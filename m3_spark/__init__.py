@@ -1,0 +1,25 @@
+"""m3_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of m3db/m3.
+
+The reference (m3db/m3) is a distributed time-series metrics platform:
+a PromQL engine, a Graphite engine, a streaming aggregator, and a tag
+search API over tagged float64 series.  This package re-expresses those
+capabilities Spark-first: long-format DataFrames, Catalyst-optimised
+declarative plans, Structured Streaming for ingest, and Pandas UDFs
+only for the kernels SQL genuinely cannot express (Prometheus rate
+extrapolation, Holt-Winters).
+
+Layout:
+    model         canonical samples schema + series-id canonicalization
+    session       tuned SparkSession builder
+    operators/    consolidation, aggregation, binary (vector matching),
+                  temporal (range windows), linear (scalar functions)
+    sources/      parquet/events adapters, promql test-corpus loader
+    functions/    metadata/tag-search API
+    graphite/     graphite dialect (path model, function library)
+    streaming/    m3aggregator-style tumbling-window aggregation
+    pipeline/     large-scale training-data ops (dedup, similarity,
+                  text analysis, multimodal)
+"""
+
+__version__ = "0.1.0"

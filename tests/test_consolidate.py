@@ -1,0 +1,130 @@
+"""Golden tests for the consolidation kernel (SURVEY §7 phase 0).
+
+Mirrors the fixture shape of the reference's golden corpus
+(``src/query/test/compatibility/testdata/aggregators.test:1-18``):
+``load 5m`` series ``0+10x10`` etc., then the Phase-1 smoke query
+``sum by (group) (http_requests{job="api-server"})`` at t=50m
+⇒ {group=canary} 700, {group=production} 300.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from m3_spark.operators.aggregation import aggregate
+from m3_spark.operators.consolidate import consolidate, step_grid
+from m3_spark.operators.fetch import fetch
+
+from .conftest import make_samples
+
+T0 = 1_600_000_000  # aligned epoch base
+
+
+def load_5m(spark, series):
+    """series: list of (name, tags, start_val, inc) — 11 points at 5m."""
+    rows = []
+    for name, tags, v0, inc in series:
+        for i in range(11):
+            rows.append((name, tags, T0 + i * 300, v0 + i * inc))
+    return make_samples(spark, rows)
+
+
+HTTP = [
+    ("http_requests", {"job": "api-server", "instance": "0", "group": "production"}, 0, 10),
+    ("http_requests", {"job": "api-server", "instance": "1", "group": "production"}, 0, 20),
+    ("http_requests", {"job": "api-server", "instance": "0", "group": "canary"}, 0, 30),
+    ("http_requests", {"job": "api-server", "instance": "1", "group": "canary"}, 0, 40),
+    ("http_requests", {"job": "app-server", "instance": "0", "group": "production"}, 0, 50),
+    ("http_requests", {"job": "app-server", "instance": "1", "group": "production"}, 0, 60),
+    ("http_requests", {"job": "app-server", "instance": "0", "group": "canary"}, 0, 70),
+    ("http_requests", {"job": "app-server", "instance": "1", "group": "canary"}, 0, 80),
+]
+
+
+def test_consolidate_takes_last_within_lookback(spark):
+    samples = make_samples(
+        spark,
+        [
+            ("m", {"a": "1"}, T0 + 10, 1.0),
+            ("m", {"a": "1"}, T0 + 70, 2.0),
+            # gap > lookback before T0+1200
+            ("m", {"a": "1"}, T0 + 1150, 5.0),
+        ],
+    )
+    grid = consolidate(samples, T0, T0 + 1200, step_s=60, lookback_s=300)
+    got = {
+        int(r["step_ts"].timestamp()): r["value"]
+        for r in grid.collect()
+    }
+    assert len(got) == 21
+    assert got[T0] is None  # no sample at/before T0
+    assert got[T0 + 60] == 1.0  # before the 70s sample
+    assert got[T0 + 120] == 2.0
+    assert got[T0 + 300] == 2.0  # carried forward within lookback (70+300=370)
+    assert got[T0 + 420] is None  # 70s sample now stale (420-70 > 300)
+    assert got[T0 + 1200] == 5.0
+
+
+def test_sample_exactly_at_step_counts(spark):
+    samples = make_samples(spark, [("m", {}, T0 + 60, 7.0)])
+    grid = consolidate(samples, T0, T0 + 120, step_s=60, lookback_s=300)
+    got = {int(r["step_ts"].timestamp()): r["value"] for r in grid.collect()}
+    assert got[T0 + 60] == 7.0
+
+
+def test_phase1_smoke_sum_by_group(spark):
+    """sum by (group) (http_requests{job="api-server"}) @ 50m."""
+    samples = load_5m(spark, HTTP)
+    sel = fetch(samples, [("=", "__name__", "http_requests"), ("=", "job", "api-server")])
+    t = T0 + 3000  # 50m
+    grid = consolidate(sel, t, t, step_s=60, lookback_s=300)
+    out = aggregate(grid, "sum", by=["group"])
+    got = {r["tags"]["group"]: r["value"] for r in out.collect()}
+    assert got == {"canary": 700.0, "production": 300.0}
+
+
+def test_agg_funcs_at_50m(spark):
+    samples = load_5m(spark, HTTP)
+    t = T0 + 3000
+    grid = consolidate(samples, t, t, step_s=60, lookback_s=300)
+    # values at 50m (i=10): 100,200,300,400,500,600,700,800
+    def one(func, **kw):
+        rows = aggregate(grid, func, **kw).collect()
+        assert len(rows) == 1
+        return rows[0]["value"]
+
+    assert one("sum") == 3600.0
+    assert one("min") == 100.0
+    assert one("max") == 800.0
+    assert one("avg") == 450.0
+    assert one("count") == 8.0
+    assert one("stdvar") == pytest.approx(52500.0)
+    assert one("stddev") == pytest.approx(math.sqrt(52500.0))
+    assert one("quantile", param=0.5) == pytest.approx(450.0)
+
+
+def test_topk(spark):
+    from m3_spark.operators.aggregation import topk
+
+    samples = load_5m(spark, HTTP)
+    t = T0 + 3000
+    grid = consolidate(samples, t, t, step_s=60, lookback_s=300)
+    rows = topk(grid, 3).collect()
+    assert sorted(r["value"] for r in rows) == [600.0, 700.0, 800.0]
+    rows = topk(grid, 1, by=["group"]).collect()
+    got = {r["tags"]["group"]: r["value"] for r in rows}
+    assert got == {"canary": 800.0, "production": 600.0}
+
+
+def test_absent(spark):
+    from m3_spark.operators.aggregation import absent
+
+    samples = make_samples(spark, [("m", {}, T0 + 10, 1.0)])
+    grid = consolidate(samples, T0, T0 + 600, step_s=300, lookback_s=60)
+    steps = step_grid(spark, T0, T0 + 600, 300)
+    rows = absent(grid, steps).collect()
+    # threshold = max(lookback, step) = 300: sample at T0+10 covers
+    # T0+300 (290 <= 300) but not T0+600; nothing at/before T0.
+    assert {int(r["step_ts"].timestamp()) for r in rows} == {T0, T0 + 600}

@@ -1,0 +1,76 @@
+"""Mimic the driver's correctness gate locally: run each queries()
+entry and its oracle_sql() in DuckDB over the same parquet, compare
+row counts and (order-insensitively) values.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duck(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm(rows, cols):
+    out = []
+    for row in rows:
+        vals = []
+        for c in sorted(cols):
+            v = row[c] if not isinstance(row, tuple) else row[cols.index(c)]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = round(v, 6)
+                    v = 0.0 if v == 0 else v
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr)
+
+
+def _compare(name, spark, sf_dir):
+    import __spark_entry__ as e
+
+    fn = e.queries()[name]
+    sql = e.oracle_sql().get(name)
+    sdf = fn(spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r[c] for c in scols) for r in sdf.collect()]
+    if sql is None:
+        assert len(srows) >= 0
+        return
+    con = _duck(sf_dir)
+    ddf = con.execute(sql).fetchdf()
+    dcols = list(ddf.columns)
+    drows = list(ddf.itertuples(index=False, name=None))
+    assert sorted(scols) == sorted(dcols), f"{name}: columns {scols} vs {dcols}"
+    a = _norm([dict(zip(scols, r)) for r in srows], sorted(scols))
+    b = _norm([dict(zip(dcols, r)) for r in drows], sorted(dcols))
+    assert len(a) == len(b), f"{name}: rows {len(a)} vs {len(b)}"
+    mism = [(x, y) for x, y in zip(a, b) if x != y]
+    assert not mism, f"{name}: first mismatches {mism[:5]}"
+
+
+def all_query_names():
+    import __spark_entry__ as e
+
+    return sorted(e.queries().keys())
+
+
+@pytest.mark.parametrize("name", all_query_names())
+def test_query_matches_oracle(name, spark, sf_dir):
+    _compare(name, spark, sf_dir)
