@@ -1,0 +1,108 @@
+"""Benchmark harness — mirrors the reference's promremotebench query
+shape (BASELINE.md: range aggregation over ~5k series, 12h @ 1m step,
+plus a rate+sum pipeline) on the sf0.1 events table (~7.5k series).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from m3_spark.model import read_samples  # noqa: E402
+from m3_spark.operators.aggregation import aggregate, topk  # noqa: E402
+from m3_spark.operators.consolidate import consolidate  # noqa: E402
+from m3_spark.operators.temporal import over_time, rate  # noqa: E402
+from m3_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# 12h @ 1m step (721 steps), promremotebench query-harness shape
+T_START = "2024-01-02 00:00:00"
+T_END = "2024-01-02 12:00:00"
+
+
+def q_sum_by_12h_1m(spark):
+    """sum by (event_type) over consolidated 1m grid, 12h range."""
+    s = read_samples(spark, SF_DIR)
+    g = consolidate(s, T_START, T_END, step_s=60, lookback_s=300)
+    return aggregate(g, "sum", by=["event_type"])
+
+
+def q_rate_sum_12h_1m(spark):
+    """sum by (event_type) (rate(v[6h])) at 1m steps, 12h range."""
+    s = read_samples(spark, SF_DIR)
+    r = rate(s, "rate", 6 * 3600, T_START, T_END, 60)
+    return (
+        r.groupBy("step_ts", F.col("tags").getItem("event_type").alias("et"))
+        .agg(F.sum("value").alias("value"))
+    )
+
+
+def q_topk_7d_1h(spark):
+    """topk(10) per 1h step over 7 days."""
+    s = read_samples(spark, SF_DIR)
+    g = consolidate(s, "2024-01-01 00:00:00", "2024-01-08 00:00:00", 3600, 300)
+    return topk(g, 10)
+
+
+def q_over_time_24h(spark):
+    """sum_over_time(v[6h]) per series at 1h steps over 24h."""
+    s = read_samples(spark, SF_DIR)
+    return over_time(
+        s, "sum", 6 * 3600, "2024-01-02 00:00:00", "2024-01-03 00:00:00", 3600
+    )
+
+
+def q_agg_policy_month(spark):
+    """m3aggregator full aggregate set, 1h tumbling windows, full month."""
+    from m3_spark.queries import q_agg_policy_1h
+
+    return q_agg_policy_1h(spark, SF_DIR)
+
+
+BENCH = {
+    "sum_by_12h_1m": q_sum_by_12h_1m,
+    "rate_sum_12h_1m": q_rate_sum_12h_1m,
+    "topk_7d_1h": q_topk_7d_1h,
+    "sum_over_time_24h": q_over_time_24h,
+    "agg_policy_month": q_agg_policy_month,
+}
+
+
+def main() -> None:
+    spark = get_spark("m3_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm the JVM + parquet footer cache so we measure query time
+    read_samples(spark, SF_DIR).count()
+    timings: dict[str, float] = {}
+    for name, fn in BENCH.items():
+        t0 = time.perf_counter()
+        n = fn(spark).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+    total = round(sum(timings.values()), 3)
+    sf = 0.1 if "sf0.1" in SF_DIR else SF_DIR
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

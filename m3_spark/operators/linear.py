@@ -1,0 +1,206 @@
+"""Scalar / linear functions: element-wise value maps + label ops.
+
+Reference: ``src/query/functions/linear/`` — math.go:34-62 (abs..sqrt),
+clamp.go:35-39, round.go:37, sort.go:36-39, datetime.go:37-63,
+histogram_quantile.go:43-216+, tag/join.go:35, tag/replace.go:35;
+``src/query/functions/unconsolidated/timestamp.go:38``;
+``src/query/functions/scalar/``.
+
+All of these are plain Catalyst column expressions (the reference
+evaluates them as value maps over the block — Spark fuses them into
+WholeStageCodegen for free).  The one custom kernel is
+histogram_quantile's bucket interpolation, expressed with
+sort_array + aggregate over collected (le, value) structs — still
+JVM-side, no Python.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .aggregation import group_sig_col, retained_tags_col
+
+# -- element-wise math (linear/math.go:34-62) -------------------------------
+
+_MATH = {
+    "abs": F.abs,
+    "ceil": F.ceil,
+    "exp": F.exp,
+    "floor": F.floor,
+    "ln": F.log,
+    "log2": F.log2,
+    "log10": F.log10,
+    "sqrt": F.sqrt,
+}
+
+
+def math_fn(grid: DataFrame, func: str) -> DataFrame:
+    out = _MATH[func](F.col("value"))
+    return grid.withColumn("value", out.cast("double"))
+
+
+def clamp_min(grid: DataFrame, mn: float) -> DataFrame:
+    return grid.withColumn("value", F.greatest(F.col("value"), F.lit(float(mn))))
+
+
+def clamp_max(grid: DataFrame, mx: float) -> DataFrame:
+    return grid.withColumn("value", F.least(F.col("value"), F.lit(float(mx))))
+
+
+def round_to(grid: DataFrame, to: float = 1.0) -> DataFrame:
+    """round(v, to): nearest multiple of ``to`` (linear/round.go:37).
+    Prometheus rounds half away from zero via floor(v/to + 0.5)."""
+    t = F.lit(float(to))
+    return grid.withColumn("value", F.floor(F.col("value") / t + F.lit(0.5)) * t)
+
+
+def sort_instant(grid: DataFrame, desc: bool = False) -> DataFrame:
+    """sort/sort_desc on an instant result (linear/sort.go:36-39)."""
+    c = F.col("value").desc() if desc else F.col("value").asc()
+    return grid.orderBy(c)
+
+
+# -- datetime family (linear/datetime.go:37-63) -----------------------------
+
+_DT = {
+    "day_of_month": F.dayofmonth,
+    "day_of_week": lambda c: F.dayofweek(c) - 1,  # Prom: 0=Sunday
+    "days_in_month": lambda c: F.dayofmonth(F.last_day(c)),
+    "hour": F.hour,
+    "minute": F.minute,
+    "month": F.month,
+    "year": F.year,
+}
+
+
+def datetime_fn(grid: DataFrame, func: str) -> DataFrame:
+    """Interpret the value as a UNIX epoch and extract a field."""
+    t = F.timestamp_seconds(F.col("value"))
+    return grid.withColumn("value", _DT[func](t).cast("double"))
+
+
+def timestamp_fn(samples: DataFrame) -> DataFrame:
+    """timestamp(v): value := its own sample timestamp
+    (unconsolidated/timestamp.go:38)."""
+    return samples.withColumn(
+        "value", F.unix_micros(F.col("ts")).cast("double") / F.lit(1e6)
+    )
+
+
+def time_fn(steps: DataFrame) -> DataFrame:
+    """time(): step timestamps as values (scalar/time.go)."""
+    return steps.select(
+        "step_ts",
+        F.map_from_arrays(F.array(), F.array()).alias("tags"),
+        F.unix_timestamp(F.col("step_ts")).cast("double").alias("value"),
+    )
+
+
+# -- label manipulation (tag/join.go, tag/replace.go) -----------------------
+
+def label_join(
+    grid: DataFrame, dst: str, sep: str, srcs: Sequence[str]
+) -> DataFrame:
+    """label_join(v, dst, sep, src...): dst := join(sep, tags[srcs])."""
+    joined = F.concat_ws(
+        sep, *[F.coalesce(F.col("tags").getItem(s), F.lit("")) for s in srcs]
+    )
+    return grid.withColumn(
+        "tags", F.map_concat(
+            F.map_filter(F.col("tags"), lambda k, _v: k != F.lit(dst)),
+            F.create_map(F.lit(dst), joined),
+        )
+    )
+
+
+def label_replace(
+    grid: DataFrame, dst: str, repl: str, src: str, regex: str
+) -> DataFrame:
+    """label_replace(v, dst, repl, src, regex) — anchored match on
+    tags[src]; on match dst := repl with $1-style backrefs."""
+    srcv = F.coalesce(F.col("tags").getItem(src), F.lit(""))
+    anchored = f"^(?:{regex})$"
+    matched = srcv.rlike(anchored)
+    newv = F.regexp_replace(srcv, anchored, repl)
+    tags_set = F.map_concat(
+        F.map_filter(F.col("tags"), lambda k, _v: k != F.lit(dst)),
+        F.create_map(F.lit(dst), newv),
+    )
+    # empty replacement result removes the label (Prometheus semantics)
+    tags_out = F.when(
+        matched & (newv != F.lit("")), tags_set
+    ).when(
+        matched & (newv == F.lit("")),
+        F.map_filter(F.col("tags"), lambda k, _v: k != F.lit(dst)),
+    ).otherwise(F.col("tags"))
+    return grid.withColumn("tags", tags_out)
+
+
+# -- histogram_quantile (linear/histogram_quantile.go) ----------------------
+
+def histogram_quantile(grid: DataFrame, phi: float) -> DataFrame:
+    """histogram_quantile(φ, v) over ``le``-bucketed cumulative series.
+
+    Port of gather (histogram_quantile.go:153-214) + bucketQuantile
+    (:216+): group bucket series by tags-minus-le per step, sort
+    buckets by le, enforce cumulative monotonicity, then linearly
+    interpolate inside the bucket containing rank φ·count.
+
+    All JVM-side: collect_list of (le, value) structs per group,
+    sort_array, then an aggregate() expression walks the buckets.
+    """
+    g = grid.where(F.col("value").isNotNull()).select(
+        "step_ts",
+        retained_tags_col(without=["le"]).alias("tags"),
+        F.col("tags").getItem("le").cast("double").alias("le"),
+        "value",
+    )
+    g = g.withColumn("sig", group_sig_col(F.col("tags")))
+    rows = (
+        g.groupBy("step_ts", "sig")
+        .agg(
+            F.first("tags").alias("tags"),
+            F.sort_array(
+                F.collect_list(F.struct(F.col("le"), F.col("value")))
+            ).alias("buckets"),
+        )
+    )
+    # monotonic fix-up: running max of cumulative counts (:216+ fix-ups)
+    mono = F.expr(
+        "aggregate(buckets, "
+        " cast(array() as array<struct<le:double, value:double>>), "
+        " (acc, b) -> acc || array(named_struct("
+        "   'le', b.le, "
+        "   'value', greatest(b.value, coalesce(get(acc, size(acc)-1).value, "
+        "                                       cast('-Infinity' as double)))))"
+        ")"
+    )
+    rows = rows.withColumn("buckets", mono)
+    total = F.element_at(F.col("buckets"), -1).getField("value")
+    has_inf = F.element_at(F.col("buckets"), -1).getField("le") == F.lit(
+        float("inf")
+    )
+    rank = F.lit(float(phi)) * total
+    # index of first bucket with cum >= rank
+    idx = F.expr(
+        f"array_position(transform(buckets, b -> b.value >= {phi} * "
+        "buckets[size(buckets)-1].value), true)"
+    ).cast("int")
+    b = F.element_at(F.col("buckets"), idx)
+    prev = F.when(idx > 1, F.element_at(F.col("buckets"), idx - 1))
+    lo_le = F.coalesce(prev.getField("le"), F.lit(0.0))
+    lo_cnt = F.coalesce(prev.getField("value"), F.lit(0.0))
+    # top bucket (+Inf) → return lower bound of it (Prometheus returns
+    # the highest finite le); φ in first bucket → interpolate from 0.
+    in_top = idx == F.size(F.col("buckets"))
+    interp = lo_le + (b.getField("le") - lo_le) * (
+        (rank - lo_cnt) / (b.getField("value") - lo_cnt)
+    )
+    val = F.when(in_top & has_inf, lo_le).otherwise(interp)
+    return (
+        rows.where(has_inf & (F.size(F.col("buckets")) >= 2) & (total > 0))
+        .select("step_ts", "tags", val.cast("double").alias("value"))
+    )

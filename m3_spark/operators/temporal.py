@@ -306,21 +306,43 @@ def rate(
     )
     kernel = _instant_kernel if kind in ("irate", "idelta") else _rate_kernel
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+    def one_series(sid: str, pdf: pd.DataFrame) -> pd.DataFrame:
         ts_us = pdf["ts"].values.astype("datetime64[us]").astype(np.int64)
         vals = pdf["value"].to_numpy(dtype=np.float64)
         res = kernel(ts_us, vals, steps_us, range_us, kind)
         keep = ~np.isnan(res)
         return pd.DataFrame(
             {
-                "series_id": pdf["series_id"].iloc[0],
+                "series_id": sid,
                 "step_ts": steps_us[keep].astype("datetime64[us]"),
                 "value": res[keep],
             }
         )
 
-    res = pruned.select("series_id", "ts", "value").groupBy("series_id").applyInPandas(
-        fn, "series_id string, step_ts timestamp, value double"
+    def fn(batches):
+        # mapInPandas over series-clustered, time-sorted partitions:
+        # one Arrow stream per partition (vs one call per series with
+        # applyInPandas — ~10x less per-group overhead at high series
+        # cardinality).  A series may straddle Arrow batch boundaries,
+        # so the trailing series of each batch is carried forward.
+        buf: pd.DataFrame | None = None
+        for pdf in batches:
+            if buf is not None:
+                pdf = pd.concat([buf, pdf], ignore_index=True)
+            last_sid = pdf["series_id"].iloc[-1]
+            mask = pdf["series_id"].to_numpy() == last_sid
+            buf = pdf[mask]
+            work = pdf[~mask]
+            for sid, g in work.groupby("series_id", sort=False):
+                yield one_series(sid, g)
+        if buf is not None and len(buf):
+            yield one_series(buf["series_id"].iloc[0], buf)
+
+    res = (
+        pruned.select("series_id", "ts", "value")
+        .repartition("series_id")
+        .sortWithinPartitions("series_id", "ts")
+        .mapInPandas(fn, "series_id string, step_ts timestamp, value double")
     )
     dims = pruned.groupBy("series_id").agg(
         F.first("name").alias("name"), F.first("tags").alias("tags")

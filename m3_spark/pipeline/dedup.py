@@ -1,0 +1,211 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not part of the m3 reference surface — these are the data-pipeline
+operators a 100 TB corpus needs (exact, MinHash+LSH, SimHash, n-gram
+Jaccard).  All are expressed as declarative DataFrame plans:
+
+  * exact:   hash-groupBy — one shuffle on the content hash;
+  * minhash: shingle → k md5-min signatures → band → self-join on
+    (band_id, band_key).  The band join is the scale path: candidate
+    pairs only, never the full O(n²) cross product;
+  * simhash: 64-bit sign-aggregated fingerprint, Hamming-ready;
+  * n-gram Jaccard: shingle-inverted-index self-join (pairs sharing a
+    shingle), exact Jaccard from intersection counts — the verify
+    stage downstream of LSH.
+
+Hashes are md5-based (not Spark's xxhash64/murmur) so results are
+engine-portable and every operator here has a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# -- shingling ---------------------------------------------------------------
+
+
+def words_col(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles, JVM-side (transform over index
+    sequence — no explode, no UDF)."""
+    w = words_col(text)
+    return F.array_distinct(
+        F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - n),
+                lambda i: F.array_join(F.slice(w, i + 1, n), " "),
+            ),
+        ).otherwise(F.array(F.array_join(w, " ")))
+    )
+
+
+# -- exact dedup -------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: md5(text) → keep the min id per group.
+
+    Returns (content_hash, keep_id, dup_count).  One shuffle on the
+    content hash; at 100 TB the map-side combine reduces each
+    duplicate cluster before the shuffle.
+    """
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+# -- MinHash + LSH -----------------------------------------------------------
+
+
+def minhash_signature(
+    docs: DataFrame, k: int = 12, n: int = 3,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """k-permutation MinHash: hash_i(s) = md5(i || '|' || s); the
+    signature element is the lexicographic min over shingles.
+
+    md5-as-permutation keeps it deterministic and portable; min over
+    a transform'd array stays inside codegen.
+    """
+    sh = shingles_col(F.col(text_col), n)
+
+    def _perm(i: int):
+        # NB: a default-arg lambda would be mis-read by pyspark as a
+        # two-arg (element, index) HOF lambda — use a closure factory.
+        return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
+
+    sig = F.array(*[F.array_min(F.transform(sh, _perm(i))) for i in range(k)])
+    return docs.select(F.col(id_col), sig.alias("signature"))
+
+
+def lsh_candidates(
+    docs: DataFrame, k: int = 12, bands: int = 4, n: int = 3,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH.
+
+    Signature is split into ``bands`` bands of r = k/bands rows; a pair
+    is a candidate iff some band hashes equal.  Plan shape: explode to
+    (band_id, band_key, id) then self-join on the band key — the join
+    key is high-entropy so the shuffle is uniform; no O(n²) stage.
+    Returns distinct (id_a, id_b) with id_a < id_b.
+    """
+    r = k // bands
+    sigs = minhash_signature(docs, k, n, text_col, id_col)
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.md5(
+                            F.concat_ws(
+                                "|", *[F.col("signature")[b * r + j] for j in range(r)]
+                            )
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+# -- SimHash -----------------------------------------------------------------
+
+
+def simhash(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash over word n-gram shingles, as a '0'/'1' bit string.
+
+    The 64 bits come from the first 16 hex chars of md5(shingle)
+    (4 bits per char via instr on the hex alphabet — portable across
+    engines).  Bit b of the fingerprint is 1 iff the sum over shingles
+    of (+1 if bit set else -1) is positive.
+    """
+    sh = shingles_col(F.col(text_col), n)
+    hexes = F.transform(sh, lambda s: F.substring(F.md5(s), 1, 16))
+
+    def _contrib_fn(p: int, j: int):
+        # closure factory — pyspark higher-order lambdas must take
+        # exactly the declared arity (no default-arg closing)
+        def fn(acc, h):
+            digit = (
+                F.instr(F.lit("0123456789abcdef"), F.substring(h, p + 1, 1)) - 1
+            )
+            return acc + F.when(
+                F.shiftright(digit, j) % 2 == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+
+        return fn
+
+    bit_chars = []
+    for p in range(16):  # hex char position
+        for j in (3, 2, 1, 0):  # high bit first within the nibble
+            contrib = F.aggregate(hexes, F.lit(0), _contrib_fn(p, j))
+            bit_chars.append(F.when(contrib > 0, F.lit("1")).otherwise(F.lit("0")))
+    return docs.select(F.col(id_col), F.concat(*bit_chars).alias("simhash_bits"))
+
+
+# -- exact n-gram Jaccard ----------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.1,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard over word n-gram shingle sets for every pair
+    sharing at least one shingle (inverted-index self-join — the pair
+    set LSH would verify).  Returns (id_a, id_b, jaccard >= threshold).
+
+    Scale note: the join fans out by shingle document-frequency; at
+    100 TB, cap hot shingles (stop-shingle removal) before the join.
+    Here the shingle alphabet is the testdata vocabulary — fine.
+    """
+    sh = docs.select(
+        F.col(id_col),
+        F.size(shingles_col(F.col(text_col), n)).alias("n_sh"),
+        F.explode(shingles_col(F.col(text_col), n)).alias("s"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,134 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata.
+
+The decode/resize/feature steps need codec libraries that are not in
+this container, so the *kernels* are stubbed (deterministic fake or
+NotImplementedError behind an import-try), but the Spark-side plumbing
+is real and tested: schema, Arrow batch shape, ``mapInPandas``
+signatures, and partition sizing are exactly what a production decode
+stage uses — swap the kernel body for PIL/ffmpeg and nothing else
+changes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: canonical multimodal asset schema: opaque payload + typed metadata
+ASSET_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("modality", StringType()),  # image | audio | video
+        StructField("media_type", StringType()),  # e.g. image/png
+        StructField("payload", BinaryType()),  # opaque bytes
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+FEATURE_DIM = 16
+
+_FEATURE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+)
+
+
+def _have_codecs() -> bool:
+    try:  # pragma: no cover - container has no codec libs
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _fake_decode_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Deterministic stand-in for decode→feature-extract: a seeded
+    byte-histogram projection.  REPLACE with a real decoder when codec
+    libraries are available."""
+    arr = np.frombuffer(payload or b"\x00", dtype=np.uint8)
+    hist = np.bincount(arr % dim, minlength=dim).astype(np.float32)
+    norm = np.linalg.norm(hist)
+    return hist / norm if norm > 0 else hist
+
+
+def extract_features(assets: DataFrame, batch_rows: int = 256) -> DataFrame:
+    """Decode + feature-extract over binary payloads via mapInPandas.
+
+    The Arrow batch carries the raw bytes; the kernel is per-batch
+    vectorized-Python.  Partition sizing note for 100 TB: payloads are
+    large — repartition so ~(batch_rows × avg payload) fits executor
+    memory, and never collect payload columns to the driver.
+    """
+    if _have_codecs():  # pragma: no cover
+        raise NotImplementedError("real codec path not wired in this container")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _fake_decode_features(p).tolist() for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": [len(p or b"") for p in pdf["payload"]],
+                    "feature": feats,
+                }
+            )
+
+    return assets.select("asset_id", "modality", "payload").mapInPandas(
+        fn, _FEATURE_SCHEMA
+    )
+
+
+def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: one row per frame to extract.
+
+    Pure-relational expansion (sequence + explode) — the actual frame
+    grab happens in a downstream mapInPandas with a real decoder.
+    """
+    return assets.where(F.col("modality") == "video").select(
+        "asset_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("duration_ms") - 1, F.lit(0)),
+                F.lit(every_ms),
+            )
+        ).alias("frame_at_ms"),
+    )
+
+
+def synthetic_assets(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake asset table for tests (payload = seeded bytes)."""
+    rows = []
+    for i in range(n):
+        mod = ["image", "audio", "video"][i % 3]
+        payload = bytes(((i * 31 + j * 7) % 256 for j in range(128 + i)))
+        rows.append(
+            (i, mod, f"{mod}/x-fake", payload, 64, 48, 1000 * (i % 7 + 1))
+        )
+    return spark.createDataFrame(rows, ASSET_SCHEMA)

@@ -1,0 +1,137 @@
+"""Text analysis operators: language-ID, quality scoring, token
+counting, document fingerprinting.
+
+All pure column expressions (whole-stage codegen; no UDFs), all
+deterministic, all mirrored by DuckDB oracles in the query battery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import words_col
+
+#: tiny per-language stopword lists for the n-gram/stopword heuristic
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "que", "pour", "dans"],
+    "es": ["el", "la", "los", "las", "es", "que", "por", "con"],
+    "zh": ["de", "shi", "bu", "le", "zai", "ren", "you", "wo"],
+}
+
+#: deterministic tie-break order (scores equal → first in this list)
+LANG_ORDER = ["en", "de", "fr", "es", "zh"]
+
+
+def token_count_col(text: Column) -> Column:
+    """Whitespace tokenization count."""
+    return F.size(F.split(F.trim(text), " +"))
+
+
+def bpe_ish_token_count_col(text: Column) -> Column:
+    """BPE-ish proxy: count of regex word/number/punct pieces — the
+    standard pre-tokenizer split (letters | digits | single punct)."""
+    pieces = F.regexp_extract_all(
+        text, F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0
+    )
+    return F.size(pieces)
+
+
+def _stopword_hits(words: Column, stops: list[str]) -> Column:
+    arr = F.array(*[F.lit(s) for s in stops])
+    return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+
+
+def quality_features(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document quality features + a composite score in [0, 1]:
+
+      n_tokens, n_chars, avg_word_len, alpha_ratio (alphabetic chars /
+      chars), stopword_ratio (en), and
+      quality = 0.4*min(1, n_tokens/100) + 0.3*alpha_ratio
+              + 0.3*min(1, 4*stopword_ratio).
+    """
+    text = F.col(text_col)
+    words = words_col(text)
+    n_tokens = F.size(words)
+    n_chars = F.length(text)
+    alpha = F.length(F.regexp_replace(text, "[^a-zA-Z]", ""))
+    stop_hits = _stopword_hits(words, LANG_STOPWORDS["en"])
+    alpha_ratio = alpha.cast("double") / n_chars.cast("double")
+    stop_ratio = stop_hits.cast("double") / n_tokens.cast("double")
+    quality = (
+        F.lit(0.4) * F.least(F.lit(1.0), n_tokens.cast("double") / F.lit(100.0))
+        + F.lit(0.3) * alpha_ratio
+        + F.lit(0.3) * F.least(F.lit(1.0), F.lit(4.0) * stop_ratio)
+    )
+    return docs.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        F.round(n_chars.cast("double") / n_tokens.cast("double"), 6).alias(
+            "avg_word_len"
+        ),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def lang_id(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Stopword-vote language ID: argmax over per-language stopword
+    hits, deterministic tie-break by LANG_ORDER.  Returns
+    (id, lang_pred, lang_score)."""
+    words = words_col(F.col(text_col))
+    scored = F.array(
+        *[
+            F.struct(
+                _stopword_hits(words, LANG_STOPWORDS[lang]).alias("score"),
+                F.lit(i).alias("prio"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(LANG_ORDER)
+        ]
+    )
+    # max score, min priority: sort by (-score, prio) → take first
+    best = F.array_sort(
+        scored,
+        lambda a, b: F.when(a["score"] > b["score"], F.lit(-1))
+        .when(a["score"] < b["score"], F.lit(1))
+        .when(a["prio"] < b["prio"], F.lit(-1))
+        .otherwise(F.lit(1)),
+    )[0]
+    return docs.select(
+        F.col(id_col),
+        best["lang"].alias("lang_pred"),
+        best["score"].cast("double").alias("lang_score"),
+    )
+
+
+def fingerprint(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Rolling polynomial hash over words, engine-portable:
+    word value = first 4 hex chars of md5(word) (via instr on the hex
+    alphabet); acc = (acc * 31 + wv) % 1_000_000_007."""
+    words = words_col(F.col(text_col))
+
+    def hexd(h: Column, p: int) -> Column:
+        return F.instr(F.lit("0123456789abcdef"), F.substring(h, p + 1, 1)) - 1
+
+    def wv(w: Column) -> Column:
+        h = F.md5(w)
+        return (
+            hexd(h, 0) * 4096 + hexd(h, 1) * 256 + hexd(h, 2) * 16 + hexd(h, 3)
+        ).cast("long")
+
+    acc = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda a, w: (a * F.lit(31).cast("long") + wv(w)) % F.lit(1_000_000_007).cast("long"),
+    )
+    return docs.select(F.col(id_col), acc.alias("fingerprint"))

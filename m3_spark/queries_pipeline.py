@@ -1,0 +1,370 @@
+"""Pipeline-operator query battery (documents/embeddings tables) with
+DuckDB oracles.
+
+Every hash here is md5-based so the oracle reproduces it; every fold
+is a left-to-right sequential fold in both engines; doubles are
+rounded to 6 decimals on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .pipeline.dedup import (
+    exact_dedup,
+    lsh_candidates,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from .pipeline.similarity import brute_force_topk, bucketed_topk
+from .pipeline.text import (
+    LANG_ORDER,
+    LANG_STOPWORDS,
+    bpe_ish_token_count_col,
+    fingerprint,
+    lang_id,
+    quality_features,
+    token_count_col,
+)
+from .sources.tables import read_table
+
+K_MINHASH = 12
+BANDS = 4
+NGRAM = 3
+
+# DuckDB shingle CTE (word 3-grams, distinct), mirror of
+# pipeline.dedup.shingles_col.  DuckDB list slice [i:i+2] is inclusive.
+_SHINGLES_CTE = """
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(ws) >= 3
+           THEN [array_to_string(ws[i:i+2], ' ')
+                 for i in generate_series(1, len(ws) - 2)]
+           ELSE [array_to_string(ws, ' ')] END) AS shingles
+  FROM w
+),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh)
+"""
+
+_MINSIG_COLS = ", ".join(
+    f"min(md5('{i}|' || s)) AS m{i}" for i in range(K_MINHASH)
+)
+_MINSIG_CTE = f"""{_SHINGLES_CTE},
+sig AS (SELECT doc_id, {_MINSIG_COLS} FROM ex GROUP BY doc_id)
+"""
+
+
+# -- exact dedup -------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    return exact_dedup(docs)
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+       COUNT(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+# -- minhash signature -------------------------------------------------------
+
+def q_dedup_minhash_sig(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    sigs = minhash_signature(docs, K_MINHASH, NGRAM)
+    return sigs.select(
+        "doc_id", F.md5(F.concat_ws("|", F.col("signature"))).alias("sig")
+    )
+
+
+ORACLE_DEDUP_MINHASH = f"""WITH {_MINSIG_CTE}
+SELECT doc_id,
+       md5(concat_ws('|', {", ".join(f"m{i}" for i in range(K_MINHASH))})) AS sig
+FROM sig
+"""
+
+
+# -- LSH candidate pairs -----------------------------------------------------
+
+def q_dedup_lsh_pairs(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    return lsh_candidates(docs, K_MINHASH, BANDS, NGRAM)
+
+
+def _band_keys_sql() -> list[str]:
+    r = K_MINHASH // BANDS
+    return [
+        "md5(" + " || '|' || ".join(f"m{b * r + j}" for j in range(r)) + ")"
+        for b in range(BANDS)
+    ]
+
+
+ORACLE_DEDUP_LSH = f"""WITH {_MINSIG_CTE},
+banded AS (
+  SELECT doc_id, band_id, band_key FROM sig,
+  UNNEST([{", ".join(f"{{'band_id': {b}, 'band_key': {k}}}" for b, k in enumerate(_band_keys_sql()))}])
+    AS t(band)
+  , LATERAL (SELECT band.band_id AS band_id, band.band_key AS band_key) l
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b
+  ON a.band_id = b.band_id AND a.band_key = b.band_key
+ AND a.doc_id < b.doc_id
+"""
+
+
+# -- simhash -----------------------------------------------------------------
+
+def q_dedup_simhash(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash(docs, NGRAM)
+
+
+def _simhash_sql() -> str:
+    bits = []
+    for p in range(16):
+        d = f"(instr('0123456789abcdef', substr(md5(s), {p + 1}, 1)) - 1)"
+        for j in (3, 2, 1, 0):
+            bit = f"((({d} // {1 << j}) % 2) = 1)"
+            bits.append(
+                f"CASE WHEN SUM(CASE WHEN {bit} THEN 1 ELSE -1 END) > 0 "
+                f"THEN '1' ELSE '0' END"
+            )
+    cols = " || ".join(bits)
+    return f"""WITH {_SHINGLES_CTE}
+SELECT doc_id, {cols} AS simhash_bits FROM ex GROUP BY doc_id
+"""
+
+
+ORACLE_DEDUP_SIMHASH = _simhash_sql()
+
+
+# -- exact n-gram jaccard ----------------------------------------------------
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, NGRAM, threshold=0.1)
+
+
+ORACLE_NGRAM_JACCARD = f"""WITH {_SHINGLES_CTE},
+sized AS (SELECT e.doc_id, len(sh.shingles) AS n_sh, e.s
+          FROM ex e JOIN sh ON e.doc_id = sh.doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
+         COUNT(*) AS inter
+  FROM sized a JOIN sized b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b,
+       ROUND(inter / (na + nb - inter), 6) AS jaccard
+FROM inter WHERE ROUND(inter / (na + nb - inter), 6) >= 0.1
+"""
+
+
+# -- ANN cosine top-k --------------------------------------------------------
+
+N_QUERIES = 10
+TOPK = 5
+
+_COS_SQL = """
+list_reduce(list_prepend(0.0, [qa.v[i] * qb.v[i] for i in generate_series(1, len(qa.v))]), (x, y) -> x + y)
+/ (sqrt(list_reduce(list_prepend(0.0, [x * x for x in qa.v]), (x, y) -> x + y))
+ * sqrt(list_reduce(list_prepend(0.0, [x * x for x in qb.v]), (x, y) -> x + y)))
+"""
+
+
+def q_ann_brute_topk(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < N_QUERIES)
+    out = brute_force_topk(emb, qs, TOPK)
+    return out.select(
+        "query_id", "neighbor_id", F.round(F.col("cosine"), 6).alias("cosine")
+    )
+
+
+ORACLE_ANN_BRUTE = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT qa.vec_id AS query_id, qb.vec_id AS neighbor_id,
+         {_COS_SQL} AS cosine
+  FROM v qa JOIN v qb ON qb.vec_id <> qa.vec_id
+  WHERE qa.vec_id < {N_QUERIES}
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine
+FROM ranked WHERE rk <= {TOPK}
+"""
+
+
+def q_ann_bucketed_topk(spark, sf_dir):
+    """ANN scale path — hyperplane-bucketed rank (rows-only check;
+    the bucketing itself is verified by q_ann_buckets)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = bucketed_topk(emb, TOPK, n_planes=8)
+    return out.select(
+        "query_id", "neighbor_id", F.round(F.col("cosine"), 6).alias("cosine")
+    )
+
+
+def q_ann_buckets(spark, sf_dir):
+    from .pipeline.similarity import hyperplane_bucket
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return hyperplane_bucket(emb, n_planes=8)
+
+
+def _bucket_sql(n_planes: int = 8, seed: int = 7, dim: int = 64) -> str:
+    bits = []
+    for p in range(n_planes):
+        proj = (
+            "list_reduce(list_prepend(0.0, "
+            f"[v[d+1] * (((1103515245 * ({seed} + {p} * {dim} + d) + 12345) % 2048) - 1024) "
+            f"for d in generate_series(0, {dim - 1})]), (x, y) -> x + y)"
+        )
+        bits.append(f"CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END")
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT vec_id, {" || ".join(bits)} AS bucket FROM v
+"""
+
+
+ORACLE_ANN_BUCKETS = _bucket_sql()
+
+
+# -- text analysis -----------------------------------------------------------
+
+def q_text_quality(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    return quality_features(docs)
+
+
+_EN_STOPS = ", ".join(f"'{s}'" for s in LANG_STOPWORDS["en"])
+
+ORACLE_TEXT_QUALITY = f"""
+WITH f AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha,
+         len(list_filter(string_split(text, ' '),
+             w -> list_contains([{_EN_STOPS}], w))) AS stop_hits
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_chars,
+       ROUND(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS avg_word_len,
+       ROUND(CAST(alpha AS DOUBLE) / n_chars, 6) AS alpha_ratio,
+       ROUND(CAST(stop_hits AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+       ROUND(0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+           + 0.3 * (CAST(alpha AS DOUBLE) / n_chars)
+           + 0.3 * least(1.0, 4.0 * (CAST(stop_hits AS DOUBLE) / n_tokens)),
+         6) AS quality
+FROM f
+"""
+
+
+def q_text_lang_id(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    return lang_id(docs)
+
+
+def _lang_sql() -> str:
+    scores = []
+    for lang in LANG_ORDER:
+        stops = ", ".join(f"'{s}'" for s in LANG_STOPWORDS[lang])
+        scores.append(
+            f"len(list_filter(ws, w -> list_contains([{stops}], w))) AS s_{lang}"
+        )
+    # tie-break: earlier lang in LANG_ORDER wins ties
+    conds = []
+    for i, lang in enumerate(LANG_ORDER):
+        others = [f"s_{lang} >= s_{o}" for o in LANG_ORDER[i + 1:]]
+        prior = [f"s_{lang} > s_{o}" for o in LANG_ORDER[:i]]
+        cond = " AND ".join(prior + others) or "TRUE"
+        conds.append(f"WHEN {cond} THEN '{lang}'")
+    score = "greatest(" + ", ".join(f"s_{l}" for l in LANG_ORDER) + ")"
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sc AS (SELECT doc_id, {", ".join(scores)} FROM w)
+SELECT doc_id, CASE {" ".join(conds)} END AS lang_pred,
+       CAST({score} AS DOUBLE) AS lang_score
+FROM sc
+"""
+
+
+ORACLE_TEXT_LANG = _lang_sql()
+
+
+def q_text_tokens(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_col(F.col("text")).alias("n_ws_tokens"),
+        bpe_ish_token_count_col(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+ORACLE_TEXT_TOKENS = r"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), ' +')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+         AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_text_fingerprint(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    return fingerprint(docs)
+
+
+ORACLE_TEXT_FINGERPRINT = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      [CAST((instr('0123456789abcdef', substr(md5(x), 1, 1)) - 1) * 4096
+          + (instr('0123456789abcdef', substr(md5(x), 2, 1)) - 1) * 256
+          + (instr('0123456789abcdef', substr(md5(x), 3, 1)) - 1) * 16
+          + (instr('0123456789abcdef', substr(md5(x), 4, 1)) - 1) AS BIGINT)
+       for x in ws]),
+    (acc, v) -> (acc * 31 + v) % 1000000007
+  ) AS fingerprint
+FROM w
+"""
+
+
+# -- multimodal (no oracle — synthetic assets, plumbing check) ---------------
+
+def q_multimodal_features(spark, sf_dir):
+    from .pipeline.multimodal import extract_features, synthetic_assets
+
+    assets = synthetic_assets(spark, 64)
+    out = extract_features(assets)
+    return out.select(
+        "asset_id", "modality", "n_bytes",
+        F.round(F.element_at(F.col("feature"), 1).cast("double"), 6).alias("f0"),
+    )
+
+
+PIPELINE_QUERIES = {
+    "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
+    "dedup_minhash_sig": (q_dedup_minhash_sig, ORACLE_DEDUP_MINHASH),
+    "dedup_lsh_pairs": (q_dedup_lsh_pairs, ORACLE_DEDUP_LSH),
+    "dedup_simhash": (q_dedup_simhash, ORACLE_DEDUP_SIMHASH),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_NGRAM_JACCARD),
+    "ann_brute_topk": (q_ann_brute_topk, ORACLE_ANN_BRUTE),
+    "ann_buckets": (q_ann_buckets, ORACLE_ANN_BUCKETS),
+    "ann_bucketed_topk": (q_ann_bucketed_topk, None),
+    "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
+    "text_lang_id": (q_text_lang_id, ORACLE_TEXT_LANG),
+    "text_tokens": (q_text_tokens, ORACLE_TEXT_TOKENS),
+    "text_fingerprint": (q_text_fingerprint, ORACLE_TEXT_FINGERPRINT),
+    "multimodal_features": (q_multimodal_features, None),
+}

@@ -1,0 +1,68 @@
+from __future__ import annotations
+
+import pytest
+
+from m3_spark.operators.consolidate import consolidate
+from m3_spark.operators.linear import (
+    clamp_max,
+    clamp_min,
+    histogram_quantile,
+    label_join,
+    label_replace,
+    math_fn,
+    round_to,
+)
+
+from .conftest import make_samples
+from .test_consolidate import T0
+
+
+@pytest.fixture(scope="module")
+def small_grid(spark):
+    samples = make_samples(
+        spark,
+        [("m", {"a": "x"}, T0 + 10, -4.0), ("m", {"a": "y"}, T0 + 10, 2.25)],
+    )
+    return consolidate(samples, T0 + 60, T0 + 60, 60, 300)
+
+
+def _vals(df):
+    return sorted(r["value"] for r in df.collect())
+
+
+def test_math(spark, small_grid):
+    assert _vals(math_fn(small_grid, "abs")) == [2.25, 4.0]
+    assert _vals(math_fn(small_grid, "ceil")) == [-4.0, 3.0]
+    assert _vals(math_fn(small_grid, "floor")) == [-4.0, 2.0]
+    assert _vals(clamp_min(small_grid, 0.0)) == [0.0, 2.25]
+    assert _vals(clamp_max(small_grid, 0.0)) == [-4.0, 0.0]
+    assert _vals(round_to(small_grid, 0.5)) == [-4.0, 2.5]
+
+
+def test_label_join_replace(spark, small_grid):
+    out = label_join(small_grid, "b", "-", ["a", "a"]).collect()
+    assert {r["tags"]["b"] for r in out} == {"x-x", "y-y"}
+    out = label_replace(small_grid, "c", "$1!", "a", "(x)").collect()
+    by_a = {r["tags"]["a"]: r["tags"] for r in out}
+    assert by_a["x"].get("c") == "x!"
+    assert "c" not in by_a["y"]
+
+
+def test_histogram_quantile(spark):
+    # classic Prometheus fixture: buckets le=0.1:1, 0.2:3, +Inf:4
+    rows = []
+    for le, cum in [("0.1", 1.0), ("0.2", 3.0), ("+Inf", 4.0)]:
+        rows.append(("hb", {"le": le, "job": "j"}, T0 + 10, cum))
+    samples = make_samples(spark, rows)
+    grid = consolidate(samples, T0 + 60, T0 + 60, 60, 300)
+    out = histogram_quantile(grid, 0.5).collect()
+    assert len(out) == 1
+    # rank = 0.5*4 = 2 → in bucket (0.1, 0.2]: 0.1 + 0.1*(2-1)/(3-1) = 0.15
+    assert out[0]["value"] == pytest.approx(0.15)
+    assert out[0]["tags"] == {"job": "j"}
+    # φ=0.9 → rank 3.6 in +Inf bucket → highest finite le = 0.2
+    out = histogram_quantile(grid, 0.9).collect()
+    assert out[0]["value"] == pytest.approx(0.2)
+    # φ small → first bucket: interpolate from 0: rank .4 → 0.1*0.4/1
+    out = histogram_quantile(grid, 0.1).collect()
+    assert out[0]["value"] == pytest.approx(0.04)
