@@ -1,0 +1,480 @@
+"""Graphite function library — the second dialect over the same kernels.
+
+Reference: ~100 reflection-registered functions
+(``src/query/graphite/native/functions.go:78-191``,
+``builtin_functions.go`` 3,059 LoC / 139 funcs,
+``aggregation_functions.go``, ``summarize.go``).  Each maps onto the
+§2.3-§2.6 kernels; this module implements the core of every category
+as DataFrame transforms over the *grid* frame (step_ts, name, tags,
+series_id, value).
+
+The registry (``REGISTRY``) is the Spark analog of the reference's
+compile-time function registry: a dict of named transforms the
+expression compiler dispatches into.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .paths import gtag
+
+# ---------------------------------------------------------------------------
+# series combination (aggregation_functions.go:43-135)
+# ---------------------------------------------------------------------------
+
+_COMBINE = {
+    "sum": F.sum,
+    "avg": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "median": lambda c: F.percentile(c, F.lit(0.5)),
+    "stddev": F.stddev_pop,
+    "count": lambda c: F.count(c).cast("double"),
+    "last": F.last,
+    "range": lambda c: F.max(c) - F.min(c),
+    "multiply": lambda c: F.exp(F.sum(F.log(c))),  # product via log-sum
+}
+
+
+def _combined(grid: DataFrame, func: str, name: str) -> DataFrame:
+    agg = _COMBINE[func](F.col("value"))
+    return (
+        grid.groupBy("step_ts")
+        .agg(agg.alias("value"), F.count("value").alias("_n"))
+        .where(F.col("_n") > 0)
+        .select(
+            "step_ts",
+            F.lit(name).alias("name"),
+            F.map_from_arrays(F.array(), F.array()).alias("tags"),
+            F.lit(name).alias("series_id"),
+            "value",
+        )
+    )
+
+
+def sum_series(grid: DataFrame) -> DataFrame:
+    return _combined(grid, "sum", "sumSeries")
+
+
+def average_series(grid: DataFrame) -> DataFrame:
+    return _combined(grid, "avg", "averageSeries")
+
+
+def min_series(grid: DataFrame) -> DataFrame:
+    return _combined(grid, "min", "minSeries")
+
+
+def max_series(grid: DataFrame) -> DataFrame:
+    return _combined(grid, "max", "maxSeries")
+
+
+def count_series(grid: DataFrame) -> DataFrame:
+    return _combined(grid, "count", "countSeries")
+
+
+def median_series(grid: DataFrame) -> DataFrame:
+    return _combined(grid, "median", "medianSeries")
+
+
+def range_of_series(grid: DataFrame) -> DataFrame:
+    return _combined(grid, "range", "rangeOfSeries")
+
+
+# ---------------------------------------------------------------------------
+# wildcard / node grouping (aggregation_functions.go:334-705)
+# ---------------------------------------------------------------------------
+
+def group_by_nodes(grid: DataFrame, func: str, *nodes: int) -> DataFrame:
+    """groupByNode(s): aggregate series whose selected path components
+    match; the output name is the joined components."""
+    key = F.concat_ws(
+        ".", *[F.coalesce(F.col("tags").getItem(gtag(n)), F.lit("")) for n in nodes]
+    )
+    agg = _COMBINE[func](F.col("value"))
+    return (
+        grid.withColumn("_key", key)
+        .groupBy("step_ts", "_key")
+        .agg(agg.alias("value"), F.count("value").alias("_n"))
+        .where(F.col("_n") > 0)
+        .select(
+            "step_ts",
+            F.col("_key").alias("name"),
+            F.map_from_arrays(F.array(), F.array()).alias("tags"),
+            F.col("_key").alias("series_id"),
+            "value",
+        )
+    )
+
+
+def alias_by_node(grid: DataFrame, *nodes: int) -> DataFrame:
+    """aliasByNode: rename each series to selected path components."""
+    newname = F.concat_ws(
+        ".", *[F.coalesce(F.col("tags").getItem(gtag(n)), F.lit("")) for n in nodes]
+    )
+    return grid.withColumn("name", newname)
+
+
+# ---------------------------------------------------------------------------
+# ratio (aggregation_functions.go:199-298)
+# ---------------------------------------------------------------------------
+
+def as_percent_of_total(grid: DataFrame) -> DataFrame:
+    """asPercent(v) with computed total: share of the per-step sum."""
+    w = Window.partitionBy("step_ts")
+    return grid.withColumn(
+        "value", F.col("value") / F.sum("value").over(w) * F.lit(100.0)
+    )
+
+
+def divide_series(grid: DataFrame, divisor: DataFrame) -> DataFrame:
+    """divideSeries: each series divided by the (single) divisor series."""
+    d = divisor.select("step_ts", F.col("value").alias("_div"))
+    return (
+        grid.join(d, "step_ts", "left")
+        .withColumn("value", F.col("value") / F.col("_div"))
+        .drop("_div")
+    )
+
+
+# ---------------------------------------------------------------------------
+# moving windows over steps (builtin_functions.go:973+)
+# ---------------------------------------------------------------------------
+
+def _moving(grid: DataFrame, steps: int, agg: Callable[[Column], Column]) -> DataFrame:
+    w = (
+        Window.partitionBy("series_id")
+        .orderBy("step_ts")
+        .rowsBetween(-(steps - 1), 0)
+    )
+    return grid.withColumn("value", agg(F.col("value")).over(w))
+
+
+def moving_average(grid: DataFrame, steps: int) -> DataFrame:
+    return _moving(grid, steps, F.avg)
+
+
+def moving_sum(grid: DataFrame, steps: int) -> DataFrame:
+    return _moving(grid, steps, F.sum)
+
+
+def moving_min(grid: DataFrame, steps: int) -> DataFrame:
+    return _moving(grid, steps, F.min)
+
+
+def moving_max(grid: DataFrame, steps: int) -> DataFrame:
+    return _moving(grid, steps, F.max)
+
+
+def moving_median(grid: DataFrame, steps: int) -> DataFrame:
+    return _moving(grid, steps, lambda c: F.percentile(c, F.lit(0.5)))
+
+
+def exponential_moving_average(grid: DataFrame, steps: int) -> DataFrame:
+    """EMA with constant c = 2/(steps+1) (builtin_functions.go:973):
+    ema_t = c*v_t + (1-c)*ema_{t-1}, seeded with the first value.
+
+    SQL-only closed form: ema_t = Σ_i c*(1-c)^(t-i)*v_i (+ seed term)
+    via an aggregate over the collected per-series step list.
+    """
+    c = 2.0 / (steps + 1.0)
+    w = (
+        Window.partitionBy("series_id")
+        .orderBy("step_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    vals = F.collect_list(F.col("value")).over(w)
+    ema = F.aggregate(
+        vals,
+        F.lit(None).cast("double"),
+        lambda acc, v: F.when(acc.isNull(), v).otherwise(
+            F.lit(c) * v + F.lit(1.0 - c) * acc
+        ),
+    )
+    return grid.withColumn("value", ema)
+
+
+def delay(grid: DataFrame, steps: int) -> DataFrame:
+    w = Window.partitionBy("series_id").orderBy("step_ts")
+    return grid.withColumn("value", F.lag("value", steps).over(w))
+
+
+# ---------------------------------------------------------------------------
+# rate / integral (builtin_functions.go:543,1435-1542)
+# ---------------------------------------------------------------------------
+
+def derivative(grid: DataFrame) -> DataFrame:
+    w = Window.partitionBy("series_id").orderBy("step_ts")
+    return grid.withColumn("value", F.col("value") - F.lag("value").over(w))
+
+
+def non_negative_derivative(grid: DataFrame) -> DataFrame:
+    w = Window.partitionBy("series_id").orderBy("step_ts")
+    d = F.col("value") - F.lag("value").over(w)
+    return grid.withColumn("value", F.when(d >= 0, d))
+
+
+def per_second(grid: DataFrame, step_s: float) -> DataFrame:
+    w = Window.partitionBy("series_id").orderBy("step_ts")
+    d = F.col("value") - F.lag("value").over(w)
+    return grid.withColumn(
+        "value", F.when(d >= 0, d / F.lit(float(step_s)))
+    )
+
+
+def integral(grid: DataFrame) -> DataFrame:
+    w = (
+        Window.partitionBy("series_id")
+        .orderBy("step_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return grid.withColumn("value", F.sum("value").over(w))
+
+
+# ---------------------------------------------------------------------------
+# fill / clean (builtin_functions.go:551-576)
+# ---------------------------------------------------------------------------
+
+def transform_null(grid: DataFrame, default: float = 0.0) -> DataFrame:
+    return grid.withColumn("value", F.coalesce(F.col("value"), F.lit(float(default))))
+
+
+def keep_last_value(grid: DataFrame, limit: int | None = None) -> DataFrame:
+    w = (
+        Window.partitionBy("series_id")
+        .orderBy("step_ts")
+        .rowsBetween(Window.unboundedPreceding if limit is None else -limit, 0)
+    )
+    return grid.withColumn(
+        "value", F.coalesce(F.col("value"), F.last("value", ignorenulls=True).over(w))
+    )
+
+
+def is_non_null(grid: DataFrame) -> DataFrame:
+    return grid.withColumn(
+        "value", F.col("value").isNotNull().cast("double")
+    )
+
+
+def remove_empty_series(grid: DataFrame) -> DataFrame:
+    w = Window.partitionBy("series_id")
+    return (
+        grid.withColumn("_n", F.count("value").over(w))
+        .where(F.col("_n") > 0)
+        .drop("_n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# filter-by-stat / sort / limit (builtin_functions.go registry)
+# ---------------------------------------------------------------------------
+
+def _series_stat(grid: DataFrame, func: str) -> DataFrame:
+    agg = {
+        "average": F.avg("value"),
+        "current": F.expr("max_by(value, CASE WHEN value IS NOT NULL THEN unix_micros(step_ts) END)"),
+        "max": F.max("value"),
+        "min": F.min("value"),
+        "total": F.sum("value"),
+    }[func]
+    return grid.groupBy("series_id").agg(agg.alias("_stat"))
+
+
+def filter_series(grid: DataFrame, func: str, op: str, n: float) -> DataFrame:
+    """filterSeries / averageAbove / currentBelow / … — keep series
+    whose summary stat passes the predicate (semi-join on series_id)."""
+    stats = _series_stat(grid, func)
+    ops = {
+        ">": F.col("_stat") > n, ">=": F.col("_stat") >= n,
+        "<": F.col("_stat") < n, "<=": F.col("_stat") <= n,
+        "=": F.col("_stat") == n, "!=": F.col("_stat") != n,
+    }
+    keep = stats.where(ops[op]).select("series_id")
+    return grid.join(F.broadcast(keep), "series_id", "left_semi")
+
+
+def highest(grid: DataFrame, func: str, k: int) -> DataFrame:
+    """highestAverage/highestCurrent/highestMax (and lowest* with
+    negated rank): top-k series by summary stat."""
+    stats = _series_stat(grid, func)
+    w = Window.orderBy(F.col("_stat").desc(), F.col("series_id"))
+    keep = stats.withColumn("_rk", F.row_number().over(w)).where(
+        F.col("_rk") <= k
+    ).select("series_id")
+    return grid.join(F.broadcast(keep), "series_id", "left_semi")
+
+
+def lowest(grid: DataFrame, func: str, k: int) -> DataFrame:
+    stats = _series_stat(grid, func)
+    w = Window.orderBy(F.col("_stat").asc(), F.col("series_id"))
+    keep = stats.withColumn("_rk", F.row_number().over(w)).where(
+        F.col("_rk") <= k
+    ).select("series_id")
+    return grid.join(F.broadcast(keep), "series_id", "left_semi")
+
+
+def sort_by(grid: DataFrame, func: str = "average", desc: bool = True) -> DataFrame:
+    stats = _series_stat(grid, func)
+    order = F.col("_stat").desc() if desc else F.col("_stat").asc()
+    return (
+        grid.join(F.broadcast(stats), "series_id")
+        .orderBy(order, "series_id", "step_ts")
+        .drop("_stat")
+    )
+
+
+def limit_series(grid: DataFrame, k: int) -> DataFrame:
+    keep = (
+        grid.select("series_id").distinct().orderBy("series_id").limit(k)
+    )
+    return grid.join(F.broadcast(keep), "series_id", "left_semi")
+
+
+def exclude(grid: DataFrame, pattern: str) -> DataFrame:
+    return grid.where(~F.col("name").rlike(pattern))
+
+
+def grep(grid: DataFrame, pattern: str) -> DataFrame:
+    return grid.where(F.col("name").rlike(pattern))
+
+
+# ---------------------------------------------------------------------------
+# time (builtin_functions.go:357) + resample (summarize.go:35,148)
+# ---------------------------------------------------------------------------
+
+def time_shift(grid: DataFrame, shift_s: float) -> DataFrame:
+    """timeShift: evaluate over shifted time, present at original steps."""
+    return grid.withColumn(
+        "step_ts", F.col("step_ts") + F.expr(f"INTERVAL {int(shift_s)} SECONDS")
+    )
+
+
+def time_slice(grid: DataFrame, start, end) -> DataFrame:
+    from ..operators.consolidate import _to_ts_lit
+
+    return grid.where(
+        (F.col("step_ts") >= _to_ts_lit(start)) & (F.col("step_ts") <= _to_ts_lit(end))
+    )
+
+
+def summarize(
+    samples: DataFrame, interval_s: int, func: str = "sum"
+) -> DataFrame:
+    """summarize(v, interval, func): tumbling-window resample of raw
+    samples (summarize.go:35).  hitcount = sum scaled by seconds."""
+    agg = _COMBINE[func](F.col("value"))
+    return (
+        samples.groupBy(
+            F.window("ts", f"{interval_s} seconds").alias("w"),
+            "name", "tags", "series_id",
+        )
+        .agg(agg.alias("value"))
+        .select(
+            F.col("w.start").alias("step_ts"), "name", "tags", "series_id", "value"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# math / rename (registry)
+# ---------------------------------------------------------------------------
+
+def scale(grid: DataFrame, factor: float) -> DataFrame:
+    return grid.withColumn("value", F.col("value") * F.lit(float(factor)))
+
+
+def offset(grid: DataFrame, amount: float) -> DataFrame:
+    return grid.withColumn("value", F.col("value") + F.lit(float(amount)))
+
+
+def absolute(grid: DataFrame) -> DataFrame:
+    return grid.withColumn("value", F.abs(F.col("value")))
+
+
+def invert(grid: DataFrame) -> DataFrame:
+    return grid.withColumn("value", F.lit(1.0) / F.col("value"))
+
+
+def logarithm(grid: DataFrame, base: float = 10.0) -> DataFrame:
+    return grid.withColumn("value", F.log(float(base), F.col("value")))
+
+
+def square_root(grid: DataFrame) -> DataFrame:
+    return grid.withColumn("value", F.sqrt(F.col("value")))
+
+
+def pow_series(grid: DataFrame, exp: float) -> DataFrame:
+    return grid.withColumn("value", F.pow(F.col("value"), F.lit(float(exp))))
+
+
+def offset_to_zero(grid: DataFrame) -> DataFrame:
+    w = Window.partitionBy("series_id")
+    return grid.withColumn("value", F.col("value") - F.min("value").over(w))
+
+
+def alias_series(grid: DataFrame, newname: str) -> DataFrame:
+    return grid.withColumn("name", F.lit(newname))
+
+
+def alias_sub(grid: DataFrame, pattern: str, repl: str) -> DataFrame:
+    return grid.withColumn("name", F.regexp_replace(F.col("name"), pattern, repl))
+
+
+#: the function registry — Spark analog of native/functions.go:78-94
+REGISTRY: dict[str, Callable] = {
+    "sumSeries": sum_series,
+    "averageSeries": average_series,
+    "minSeries": min_series,
+    "maxSeries": max_series,
+    "countSeries": count_series,
+    "medianSeries": median_series,
+    "rangeOfSeries": range_of_series,
+    "groupByNode": lambda g, n, f="sum": group_by_nodes(g, f, n),
+    "groupByNodes": group_by_nodes,
+    "aliasByNode": alias_by_node,
+    "asPercent": as_percent_of_total,
+    "divideSeries": divide_series,
+    "movingAverage": moving_average,
+    "movingSum": moving_sum,
+    "movingMin": moving_min,
+    "movingMax": moving_max,
+    "movingMedian": moving_median,
+    "exponentialMovingAverage": exponential_moving_average,
+    "delay": delay,
+    "derivative": derivative,
+    "nonNegativeDerivative": non_negative_derivative,
+    "perSecond": per_second,
+    "integral": integral,
+    "transformNull": transform_null,
+    "keepLastValue": keep_last_value,
+    "isNonNull": is_non_null,
+    "removeEmptySeries": remove_empty_series,
+    "filterSeries": filter_series,
+    "highestAverage": lambda g, k: highest(g, "average", k),
+    "highestCurrent": lambda g, k: highest(g, "current", k),
+    "highestMax": lambda g, k: highest(g, "max", k),
+    "lowestAverage": lambda g, k: lowest(g, "average", k),
+    "lowestCurrent": lambda g, k: lowest(g, "current", k),
+    "sortByTotal": lambda g: sort_by(g, "total", True),
+    "sortByMaxima": lambda g: sort_by(g, "max", True),
+    "sortByName": lambda g: g.orderBy("name", "step_ts"),
+    "limit": limit_series,
+    "exclude": exclude,
+    "grep": grep,
+    "timeShift": time_shift,
+    "timeSlice": time_slice,
+    "summarize": summarize,
+    "scale": scale,
+    "offset": offset,
+    "absolute": absolute,
+    "invert": invert,
+    "logarithm": logarithm,
+    "squareRoot": square_root,
+    "pow": pow_series,
+    "offsetToZero": offset_to_zero,
+    "alias": alias_series,
+    "aliasSub": alias_sub,
+}

@@ -1,0 +1,104 @@
+"""Graphite path model: dot-separated paths mapped onto positional tags.
+
+Reference: paths map to tags ``__g0__``..``__gN__``
+(``src/query/graphite/storage/m3_wrapper.go:101-139``); glob patterns
+compile to regexes (``src/query/graphite/graphite``
+ExtendedGlobToRegexPattern, used at ``m3_wrapper.go:125``).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def gtag(i: int) -> str:
+    return f"__g{i}__"
+
+
+def path_tags_col(path: Column) -> Column:
+    """MAP<__gN__, component> from a dot path (JVM-side)."""
+    parts = F.split(path, r"\.")
+    keys = F.transform(
+        F.sequence(F.lit(0), F.size(parts) - 1),
+        lambda i: F.concat(F.lit("__g"), i.cast("string"), F.lit("__")),
+    )
+    return F.map_from_arrays(keys, parts)
+
+
+def paths_to_samples(df: DataFrame, path_col: str = "path") -> DataFrame:
+    """(path, ts, value) → canonical samples frame with positional tags."""
+    from ..model import with_series_id
+
+    out = df.select(
+        F.col(path_col).alias("name"),
+        path_tags_col(F.col(path_col)).alias("tags"),
+        "ts",
+        F.col("value").cast("double").alias("value"),
+    )
+    return with_series_id(out).select("name", "tags", "series_id", "ts", "value")
+
+
+def glob_to_regex(glob: str) -> str:
+    """Port of the Graphite extended glob semantics:
+    ``*`` → one path component ([^.]*), ``?`` → single char,
+    ``{a,b}`` → (a|b), ``[...]`` passes through, ``.`` is literal.
+    Anchored."""
+    out: list[str] = []
+    i = 0
+    while i < len(glob):
+        c = glob[i]
+        if c == "*":
+            out.append("[^.]*")
+        elif c == "?":
+            out.append("[^.]")
+        elif c == "{":
+            j = glob.index("}", i)
+            alts = glob[i + 1 : j].split(",")
+            out.append("(" + "|".join(re.escape(a) for a in alts) + ")")
+            i = j
+        elif c == "[":
+            j = glob.index("]", i)
+            out.append(glob[i : j + 1])
+            i = j
+        elif c == ".":
+            out.append(r"\.")
+        else:
+            out.append(re.escape(c))
+        i += 1
+    return "^(?:" + "".join(out) + ")$"
+
+
+def fetch_by_glob(samples: DataFrame, glob: str) -> DataFrame:
+    """Graphite series selection: glob over the full path (= name)."""
+    return samples.where(F.col("name").rlike(glob_to_regex(glob)))
+
+
+def find_metrics(samples: DataFrame, glob: str) -> DataFrame:
+    """Graphite ``metrics/find``: next-level browse nodes for a glob.
+
+    Reference handler ``src/query/api/v1/handler/graphite/find.go:45``.
+    Returns (node STRING, is_leaf BOOLEAN) for distinct matches at the
+    glob's depth.
+    """
+    depth = glob.count(".") + 1
+    parts = F.split(F.col("name"), r"\.")
+    matched = samples.where(
+        F.col("name").rlike(_prefix_regex(glob)) & (F.size(parts) >= depth)
+    )
+    node = F.array_join(F.slice(parts, 1, depth), ".")
+    return (
+        matched.select(
+            node.alias("node"), (F.size(parts) == depth).alias("is_leaf")
+        )
+        .groupBy("node")
+        .agg(F.max("is_leaf").alias("is_leaf"))
+    )
+
+
+def _prefix_regex(glob: str) -> str:
+    """Regex matching any path whose first components match the glob."""
+    body = glob_to_regex(glob)[4:-2]  # strip ^(?: )$
+    return f"^(?:{body})(?:\\.|$)"

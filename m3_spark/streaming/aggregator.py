@@ -1,0 +1,231 @@
+"""Streaming metrics aggregator — the m3aggregator on Structured Streaming.
+
+Reference semantics:
+  * tumbling windows aligned to the storage-policy resolution:
+    ``alignedStart = timestamp.Truncate(resolution)``
+    (``src/aggregator/aggregator/generic_elem.go:194-247``);
+  * aggregate set per element: Last Min Max Mean Median Count Sum SumSq
+    Stdev P50 P95 P99 … (``src/metrics/aggregation/type.go:32-60``);
+  * timers use the Cormode-Muthukrishnan quantile sketch
+    (``src/aggregator/aggregation/quantile/cm/stream.go``) — here
+    ``percentile_approx`` (t-digest-style) in streaming mode, exact
+    ``percentile`` in batch mode; the accuracy delta is documented at
+    the call site;
+  * late data: accepted within bufferPast, dropped outside
+    (``src/dbnode/storage/series/buffer.go:301-312``) → watermark;
+  * storage policies ``resolution:retention``
+    (``src/metrics/policy/storage_policy.go:34-60``) → one windowed
+    aggregation per resolution;
+  * mapping/rollup rules applied at ingest
+    (``src/metrics/rules/mapping.go``, ``rollup.go``,
+    coordinator downsampler ``downsample/downsampler.go:39-113``);
+  * rollup-pipeline transforms Increase/Reset keep last-value state per
+    series (``src/metrics/transformation/binary.go``) →
+    ``applyInPandasWithState``.
+
+The same plan works in batch and streaming mode (Structured Streaming's
+unified DataFrame semantics); batch mode is what the DuckDB oracle
+checks, streaming mode is covered by availableNow-trigger tests.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+from dataclasses import dataclass
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+@dataclass(frozen=True)
+class StoragePolicy:
+    """``resolution:retention`` (storage_policy.go:34-60)."""
+
+    resolution_s: int
+    retention_s: int
+
+    @classmethod
+    def parse(cls, s: str) -> "StoragePolicy":
+        res, ret = s.split(":")
+        return cls(_dur_s(res), _dur_s(ret))
+
+    @property
+    def table_suffix(self) -> str:
+        return f"{self.resolution_s}s"
+
+
+def _dur_s(s: str) -> int:
+    units = {"s": 1, "m": 60, "h": 3600, "d": 86400}
+    return int(s[:-1]) * units[s[-1]]
+
+
+def tumbling_aggregates(
+    metrics: DataFrame,
+    resolution_s: int,
+    watermark_s: int | None = None,
+    key_cols: Sequence[str] = ("metric_id",),
+    exact_quantiles: bool | None = None,
+) -> DataFrame:
+    """Windowed aggregate-set computation for one storage policy.
+
+    ``metrics``: (metric_id, ts, value [, …]) batch OR streaming frame.
+    Returns one row per (window_start, keys) with the m3 aggregate set.
+
+    exact_quantiles defaults to True for batch frames (engine
+    ``quantile`` is exact linear interpolation) and False for streaming
+    (CM-sketch analog → percentile_approx, accuracy 10_000 ≈ the
+    sketch's configured eps).
+    """
+    if exact_quantiles is None:
+        exact_quantiles = not metrics.isStreaming
+    if metrics.isStreaming and watermark_s:
+        metrics = metrics.withWatermark("ts", f"{watermark_s} seconds")
+
+    if exact_quantiles:
+        q = lambda p: F.percentile("value", F.lit(p))
+    else:
+        q = lambda p: F.percentile_approx("value", F.lit(p), F.lit(10_000))
+
+    return (
+        metrics.groupBy(
+            F.window("ts", f"{resolution_s} seconds").alias("w"), *key_cols
+        )
+        .agg(
+            F.expr("max_by(value, ts)").alias("agg_last"),
+            F.min("value").alias("agg_min"),
+            F.max("value").alias("agg_max"),
+            F.avg("value").alias("agg_mean"),
+            F.count("value").alias("agg_count"),
+            F.sum("value").alias("agg_sum"),
+            F.sum(F.col("value") * F.col("value")).alias("agg_sumsq"),
+            F.stddev_pop("value").alias("agg_stdev"),
+            q(0.5).alias("p50"),
+            q(0.95).alias("p95"),
+            q(0.99).alias("p99"),
+        )
+        .select(F.col("w.start").alias("window_start"), "*")
+        .drop("w")
+    )
+
+
+@dataclass(frozen=True)
+class MappingRule:
+    """filter → storage policies (rules/mapping.go)."""
+
+    name: str
+    filter_expr: str  # SQL boolean over the metrics frame
+    policies: tuple[str, ...]
+
+
+@dataclass(frozen=True)
+class RollupRule:
+    """filter → rolled-up metric via re-key + aggregate (rules/rollup.go)."""
+
+    name: str
+    filter_expr: str
+    new_metric_id: str  # SQL string expr producing the rollup id
+    policies: tuple[str, ...]
+
+
+def apply_mapping_rules(
+    metrics: DataFrame, rules: Sequence[MappingRule], watermark_s: int | None = None
+) -> dict[str, DataFrame]:
+    """One aggregated frame per (rule, policy) — the multi-sink layout
+    (one windowed agg stream per resolution, SURVEY §2.8)."""
+    out: dict[str, DataFrame] = {}
+    for rule in rules:
+        matched = metrics.where(F.expr(rule.filter_expr))
+        for pol in rule.policies:
+            p = StoragePolicy.parse(pol)
+            out[f"{rule.name}/{pol}"] = tumbling_aggregates(
+                matched, p.resolution_s, watermark_s
+            )
+    return out
+
+
+def apply_rollup_rules(
+    metrics: DataFrame, rules: Sequence[RollupRule], watermark_s: int | None = None
+) -> dict[str, DataFrame]:
+    out: dict[str, DataFrame] = {}
+    for rule in rules:
+        matched = metrics.where(F.expr(rule.filter_expr)).withColumn(
+            "metric_id", F.expr(rule.new_metric_id)
+        )
+        for pol in rule.policies:
+            p = StoragePolicy.parse(pol)
+            out[f"{rule.name}/{pol}"] = tumbling_aggregates(
+                matched, p.resolution_s, watermark_s
+            )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# stateful counter transform (Increase/Reset — transformation/binary.go)
+# ---------------------------------------------------------------------------
+
+_INC_OUT = StructType(
+    [
+        StructField("metric_id", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("increase", DoubleType()),
+    ]
+)
+_INC_STATE = StructType([StructField("last_value", DoubleType())])
+
+
+def counter_increase(metrics: DataFrame, watermark_s: int = 3600) -> DataFrame:
+    """Per-sample monotonic increase with counter-reset handling,
+    keeping last-value state per metric across micro-batches.
+
+    Streaming: ``applyInPandasWithState`` (the one truly stateful op,
+    SURVEY hard-part #7).  Batch frames take the window-lag fast path —
+    identical results when all data is in one batch.
+
+    Reset semantics (transformation/unary.go Increase/Reset): if the
+    value drops, the increase is the raw new value (counter restarted).
+    """
+    if not metrics.isStreaming:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("metric_id").orderBy("ts")
+        prev = F.lag("value").over(w)
+        inc = F.when(prev.isNull(), F.lit(None)).otherwise(
+            F.when(F.col("value") >= prev, F.col("value") - prev).otherwise(
+                F.col("value")
+            )
+        )
+        return metrics.select(
+            "metric_id", "ts", inc.alias("increase")
+        ).where(F.col("increase").isNotNull())
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        (metric_id,) = key
+        last = state.get[0] if state.exists else None
+        outs = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for ts, v in zip(pdf["ts"], pdf["value"]):
+                if last is not None:
+                    inc = v - last if v >= last else v
+                    outs.append((metric_id, ts, float(inc)))
+                last = float(v)
+        state.update((last,))
+        if outs:
+            yield pd.DataFrame(outs, columns=["metric_id", "ts", "increase"])
+
+    return (
+        metrics.withWatermark("ts", f"{watermark_s} seconds")
+        .groupBy("metric_id")
+        .applyInPandasWithState(
+            fn, _INC_OUT, _INC_STATE, "append", "NoTimeout"
+        )
+    )

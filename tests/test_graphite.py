@@ -1,0 +1,125 @@
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from m3_spark.graphite import functions as gf
+from m3_spark.graphite.paths import (
+    fetch_by_glob,
+    find_metrics,
+    glob_to_regex,
+    paths_to_samples,
+)
+from m3_spark.operators.consolidate import consolidate
+
+from .test_consolidate import T0
+
+
+@pytest.fixture(scope="module")
+def gsamples(spark):
+    rows = []
+    for host in ["web01", "web02", "db01"]:
+        for metric in ["cpu.user", "cpu.system", "mem.used"]:
+            for i in range(5):
+                base = {"web01": 10.0, "web02": 20.0, "db01": 40.0}[host]
+                rows.append(
+                    (f"servers.{host}.{metric}", T0 + i * 60, base + i)
+                )
+    df = spark.createDataFrame(rows, "path string, ts_s long, value double").select(
+        "path", F.timestamp_seconds("ts_s").alias("ts"), "value"
+    )
+    return paths_to_samples(df)
+
+
+@pytest.fixture(scope="module")
+def ggrid(gsamples):
+    return consolidate(gsamples, T0, T0 + 240, 60, 300)
+
+
+def test_glob_to_regex():
+    rx = glob_to_regex("servers.*.cpu.user")
+    import re
+
+    assert re.match(rx, "servers.web01.cpu.user")
+    assert not re.match(rx, "servers.web01.mem.used")
+    assert not re.match(rx, "servers.a.b.cpu.user")
+    rx = glob_to_regex("servers.{web01,db01}.cpu.*")
+    assert re.match(rx, "servers.db01.cpu.system")
+    assert not re.match(rx, "servers.web02.cpu.user")
+
+
+def test_fetch_and_sum_series(spark, gsamples):
+    sel = fetch_by_glob(gsamples, "servers.*.cpu.user")
+    grid = consolidate(sel, T0 + 240, T0 + 240, 60, 300)
+    out = gf.sum_series(grid).collect()
+    # values at i=4: web01 14, web02 24, db01 44 → 82
+    assert len(out) == 1 and out[0]["value"] == 82.0
+
+
+def test_group_by_node(spark, ggrid):
+    sel = ggrid.where(F.col("name").rlike(glob_to_regex("servers.*.cpu.*")))
+    out = gf.group_by_nodes(sel, "sum", 1).collect()
+    by = {(r["name"], int(r["step_ts"].timestamp())): r["value"] for r in out}
+    # host web01 at i=0: cpu.user 10 + cpu.system 10 = 20
+    assert by[("web01", T0)] == 20.0
+    assert by[("db01", T0 + 240)] == 88.0
+
+
+def test_moving_and_derivative(spark, ggrid):
+    sel = ggrid.where(F.col("series_id").rlike("web01\\.cpu\\.user"))
+    out = gf.moving_average(sel, 2).orderBy("step_ts").collect()
+    assert out[0]["value"] == 10.0
+    assert out[1]["value"] == 10.5
+    d = gf.derivative(sel).orderBy("step_ts").collect()
+    assert d[0]["value"] is None and d[1]["value"] == 1.0
+    i = gf.integral(sel).orderBy("step_ts").collect()
+    assert [r["value"] for r in i] == [10.0, 21.0, 33.0, 46.0, 60.0]
+
+
+def test_filter_and_highest(spark, ggrid):
+    out = gf.filter_series(ggrid, "average", ">", 30.0)
+    names = {r["name"] for r in out.collect()}
+    assert names == {"servers.db01.cpu.user", "servers.db01.cpu.system",
+                     "servers.db01.mem.used"}
+    out = gf.highest(ggrid, "average", 3)
+    assert {r["name"] for r in out.collect()} == names
+
+
+def test_ema(spark, ggrid):
+    sel = ggrid.where(F.col("series_id").rlike("web01\\.cpu\\.user"))
+    out = gf.exponential_moving_average(sel, 3).orderBy("step_ts").collect()
+    # c = 0.5: ema = [10, 10.5, 11.25, 12.125, 13.0625]
+    assert [r["value"] for r in out] == pytest.approx(
+        [10.0, 10.5, 11.25, 12.125, 13.0625]
+    )
+
+
+def test_summarize(spark, gsamples):
+    sel = fetch_by_glob(gsamples, "servers.web01.cpu.user")
+    out = gf.summarize(sel, 120, "sum").orderBy("step_ts").collect()
+    # samples at 0,60 → window0: 21; 120,180 → 25; 240 → 14
+    assert [r["value"] for r in out] == [21.0, 25.0, 14.0]
+
+
+def test_find_metrics(spark, gsamples):
+    out = {r["node"]: r["is_leaf"] for r in find_metrics(gsamples, "servers.*").collect()}
+    assert out == {"servers.web01": False, "servers.web02": False, "servers.db01": False}
+    out = {r["node"]: r["is_leaf"] for r in find_metrics(gsamples, "servers.web01.cpu.*").collect()}
+    assert out == {"servers.web01.cpu.user": True, "servers.web01.cpu.system": True}
+
+
+def test_transform_null_keep_last(spark, gsamples):
+    sel = fetch_by_glob(gsamples, "servers.web01.cpu.user")
+    # grid beyond data range → nulls at the tail (thr = max(60,300)=300
+    # keeps carrying; use lookback 60 + step 60 → thr 60)
+    grid = consolidate(sel, T0, T0 + 480, 60, 60)
+    vals = {int(r["step_ts"].timestamp()): r["value"] for r in grid.collect()}
+    assert vals[T0 + 360] is None
+    filled = gf.transform_null(grid, -1.0)
+    vals = {int(r["step_ts"].timestamp()): r["value"] for r in filled.collect()}
+    assert vals[T0 + 360] == -1.0
+    kept = gf.keep_last_value(grid)
+    vals = {int(r["step_ts"].timestamp()): r["value"] for r in kept.collect()}
+    assert vals[T0 + 360] == 14.0

@@ -1,0 +1,163 @@
+"""Streaming aggregator tests: batch/stream parity via availableNow
+micro-batches over a file source (two files → two micro-batches for
+the stateful counter path)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from m3_spark.streaming.aggregator import (
+    MappingRule,
+    RollupRule,
+    StoragePolicy,
+    apply_mapping_rules,
+    apply_rollup_rules,
+    counter_increase,
+    tumbling_aggregates,
+)
+
+TA = 1_600_000_800  # aligned to 60s and 300s epoch windows
+
+SCHEMA = "metric_id string, metric_type string, ts timestamp, value double"
+
+
+@pytest.fixture(scope="module")
+def metric_rows():
+    rows = []
+    for i in range(40):
+        rows.append(("m.counter", "counter", TA + i * 15, float(i * 2)))
+        rows.append(("m.timer", "timer", TA + i * 15, float(i % 7)))
+    return rows
+
+
+def _to_df(spark, rows):
+    return spark.createDataFrame(
+        [(m, t, ts, v) for m, t, ts, v in rows], "metric_id string, metric_type string, ts_s long, value double"
+    ).select("metric_id", "metric_type", F.timestamp_seconds("ts_s").alias("ts"), "value")
+
+
+def test_storage_policy_parse():
+    p = StoragePolicy.parse("1m:40d")
+    assert p.resolution_s == 60 and p.retention_s == 40 * 86400
+
+
+def test_tumbling_batch(spark, metric_rows):
+    df = _to_df(spark, metric_rows)
+    out = tumbling_aggregates(df, 60)
+    rows = {
+        (r["metric_id"], int(r["window_start"].timestamp())): r
+        for r in out.collect()
+    }
+    # window [TA, TA+60): counter i=0..3 → values 0,2,4,6
+    r = rows[("m.counter", TA)]
+    assert r["agg_sum"] == 12.0 and r["agg_count"] == 4
+    assert r["agg_last"] == 6.0 and r["agg_min"] == 0.0 and r["agg_max"] == 6.0
+    assert r["agg_mean"] == 3.0
+    assert r["agg_sumsq"] == 0 + 4 + 16 + 36
+
+
+def test_mapping_and_rollup_rules(spark, metric_rows):
+    df = _to_df(spark, metric_rows)
+    outs = apply_mapping_rules(
+        df,
+        [MappingRule("timers", "metric_type = 'timer'", ("1m:1d", "5m:7d"))],
+    )
+    assert set(outs) == {"timers/1m:1d", "timers/5m:7d"}
+    assert outs["timers/1m:1d"].where(
+        F.col("metric_id") != "m.timer"
+    ).count() == 0
+    r = apply_rollup_rules(
+        df,
+        [
+            RollupRule(
+                "all_counters",
+                "metric_type = 'counter'",
+                "'rollup.counters'",
+                ("5m:7d",),
+            )
+        ],
+    )
+    rows = r["all_counters/5m:7d"].collect()
+    assert {x["metric_id"] for x in rows} == {"rollup.counters"}
+    # 40 samples over 600s → 2 windows of 5m
+    assert len(rows) == 2
+
+
+def test_counter_increase_batch(spark):
+    rows = [
+        ("c", "counter", TA, 10.0),
+        ("c", "counter", TA + 10, 15.0),
+        ("c", "counter", TA + 20, 3.0),  # reset
+        ("c", "counter", TA + 30, 9.0),
+    ]
+    df = _to_df(spark, rows)
+    out = counter_increase(df).orderBy("ts").collect()
+    assert [r["increase"] for r in out] == [5.0, 3.0, 6.0]
+
+
+def test_streaming_parity(spark, metric_rows, tmp_path):
+    """availableNow streaming over two parquet files == batch result."""
+    src = str(tmp_path / "src")
+    half = len(metric_rows) // 2
+    _to_df(spark, metric_rows[:half]).write.parquet(src + "/f1")
+    _to_df(spark, metric_rows[half:]).write.parquet(src + "/f2")
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    agg = tumbling_aggregates(stream, 60, watermark_s=3600)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_stream_agg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT metric_id, window_start, agg_sum, agg_count, p95 FROM t_stream_agg"
+    ).collect()
+    batch = tumbling_aggregates(_to_df(spark, metric_rows), 60, exact_quantiles=False)
+    want = {
+        (r["metric_id"], r["window_start"]): (r["agg_sum"], r["agg_count"], r["p95"])
+        for r in batch.collect()
+    }
+    assert len(got) == len(want)
+    for r in got:
+        k = (r["metric_id"], r["window_start"])
+        assert want[k] == (r["agg_sum"], r["agg_count"], r["p95"])
+
+
+def test_counter_increase_streaming_state(spark, tmp_path):
+    """State carries across micro-batches: increase spanning two files."""
+    src = str(tmp_path / "csrc")
+    rows1 = [("c", "counter", TA, 10.0), ("c", "counter", TA + 10, 15.0)]
+    rows2 = [("c", "counter", TA + 20, 3.0), ("c", "counter", TA + 30, 9.0)]
+    _to_df(spark, rows1).coalesce(1).write.parquet(src + "/f1")
+    _to_df(spark, rows2).coalesce(1).write.parquet(src + "/f2")
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src + "/*")
+    )
+    out = counter_increase(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_counter_inc")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["ts"], r["increase"])
+        for r in spark.sql("SELECT * FROM t_counter_inc").collect()
+    )
+    assert [v for _, v in got] == [5.0, 3.0, 6.0]
