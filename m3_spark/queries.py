@@ -318,9 +318,11 @@ FROM events GROUP BY 1, 2
 
 
 from .queries_pipeline import PIPELINE_QUERIES  # noqa: E402
+from .queries_relational import RELATIONAL_QUERIES  # noqa: E402
 
 QUERIES = {
     **PIPELINE_QUERIES,
+    **RELATIONAL_QUERIES,
     "promql_sum_by": (q_sum_by, ORACLE_SUM_BY),
     "promql_avg_by": (q_avg_by, ORACLE_AVG_BY),
     "promql_count_by": (q_count_by, ORACLE_COUNT_BY),

@@ -1,0 +1,543 @@
+"""Relational-form battery: the §2.4 join cardinalities and generic
+groupBy/window/sort forms over the TPC-H-ish tables, plus graphite,
+binary-op, and streaming-rule entries over events.
+
+FIXTURES.md §5: lineitem/orders exercise the generic relational forms;
+dimension tables provide join fan-out for vector-matching cardinality
+tests (one-to-one, many-to-one via group_left analog).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .model import read_samples
+from .operators.aggregation import absent, aggregate, count_values
+from .operators.binary import scalar_arith, vector_and, vector_arith, vector_unless
+from .operators.consolidate import consolidate, step_grid
+from .operators.fetch import fetch
+from .operators.linear import histogram_quantile
+from .operators.temporal import deriv, over_time
+from .queries import (
+    END,
+    LOOKBACK_S,
+    START,
+    STEP_S,
+    _LASTV_SQL,
+    _STEPS_SQL,
+    _epoch,
+    _grid,
+)
+from .sources.tables import read_table
+
+# ---------------------------------------------------------------------------
+# PromQL binary operators over events
+# ---------------------------------------------------------------------------
+
+
+def q_err_ratio(spark, sf_dir):
+    """sum(errors) / sum(all) per step — scalar-sig vector division."""
+    g = _grid(spark, sf_dir)
+    errs = aggregate(g.where(F.col("name") == "error"), "sum")
+    total = aggregate(g, "sum")
+    out = vector_arith(errs, total, "/")
+    return out.select(_epoch(), F.round(F.col("value"), 6).alias("value"))
+
+
+ORACLE_ERR_RATIO = f"""{_LASTV_SQL}
+SELECT CAST(epoch(step_ts) AS BIGINT) AS step_s,
+       ROUND(SUM(CASE WHEN event_type = 'error' THEN v END) / SUM(v), 6)
+         AS value
+FROM lastv GROUP BY 1
+HAVING SUM(CASE WHEN event_type = 'error' THEN v END) IS NOT NULL
+"""
+
+
+def _series_proj(out):
+    return out.select(
+        _epoch(),
+        F.col("tags").getItem("event_type").alias("event_type"),
+        F.col("tags").getItem("user_id").cast("bigint").alias("user_id"),
+        F.round(F.col("value"), 6).alias("value"),
+    )
+
+
+def q_vector_and(spark, sf_dir):
+    """(v > 150) and (user_id even series) — left-semi sig join."""
+    g = _grid(spark, sf_dir)
+    hi = g.where(F.col("value") > 150)
+    even = fetch(g, [("=~", "user_id", "[0-9]*[02468]")])
+    return _series_proj(vector_and(hi, even))
+
+
+ORACLE_VECTOR_AND = f"""{_LASTV_SQL}
+SELECT CAST(epoch(step_ts) AS BIGINT) AS step_s, event_type,
+       CAST(user_id AS BIGINT) AS user_id, ROUND(v, 6) AS value
+FROM lastv WHERE v > 150 AND user_id % 2 = 0
+"""
+
+
+def q_vector_unless(spark, sf_dir):
+    g = _grid(spark, sf_dir)
+    hi = g.where(F.col("value") > 150)
+    even = fetch(g, [("=~", "user_id", "[0-9]*[02468]")])
+    return _series_proj(vector_unless(hi, even))
+
+
+ORACLE_VECTOR_UNLESS = f"""{_LASTV_SQL}
+SELECT CAST(epoch(step_ts) AS BIGINT) AS step_s, event_type,
+       CAST(user_id AS BIGINT) AS user_id, ROUND(v, 6) AS value
+FROM lastv WHERE v > 150 AND user_id % 2 = 1
+"""
+
+
+def q_scalar_arith(spark, sf_dir):
+    """v * 2 + 1 — scalar short-circuit path (no join)."""
+    g = _grid(spark, sf_dir)
+    out = scalar_arith(scalar_arith(g, "*", 2.0), "+", 1.0)
+    return _series_proj(out.where(F.col("value").isNotNull()))
+
+
+ORACLE_SCALAR_ARITH = f"""{_LASTV_SQL}
+SELECT CAST(epoch(step_ts) AS BIGINT) AS step_s, event_type,
+       CAST(user_id AS BIGINT) AS user_id, ROUND(v * 2 + 1, 6) AS value
+FROM lastv
+"""
+
+
+def q_count_values(spark, sf_dir):
+    """count_values over 50-wide value buckets."""
+    g = _grid(spark, sf_dir).withColumn(
+        "value", F.floor(F.col("value") / 50) * 50
+    )
+    out = count_values(g, "bucket")
+    return out.select(
+        _epoch(),
+        F.col("tags").getItem("bucket").cast("bigint").alias("bucket"),
+        F.round(F.col("value"), 6).alias("value"),
+    )
+
+
+ORACLE_COUNT_VALUES = f"""{_LASTV_SQL}
+SELECT CAST(epoch(step_ts) AS BIGINT) AS step_s,
+       CAST(FLOOR(v / 50) * 50 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS DOUBLE) AS value
+FROM lastv GROUP BY 1, 2
+"""
+
+
+def q_absent(spark, sf_dir):
+    """absent(signup) — steps where no signup series is live."""
+    samples = fetch(read_samples(spark, sf_dir), [("=", "__name__", "signup")])
+    g = consolidate(samples, START, END, STEP_S, LOOKBACK_S)
+    steps = step_grid(spark, START, END, STEP_S)
+    return absent(g, steps).select(_epoch(), F.col("value"))
+
+
+ORACLE_ABSENT = f"""WITH steps AS ({_STEPS_SQL})
+SELECT CAST(epoch(s.step_ts) AS BIGINT) AS step_s, 1.0 AS value
+FROM steps s
+WHERE NOT EXISTS (
+  SELECT 1 FROM events e WHERE e.event_type = 'signup'
+    AND e.ts <= s.step_ts AND e.ts > s.step_ts - INTERVAL 1 HOUR
+)
+"""
+
+
+def q_quantile_over_time(spark, sf_dir):
+    s = read_samples(spark, sf_dir)
+    out = over_time(s, "quantile", 6 * 3600, START, END, STEP_S, param=0.5)
+    return _series_proj(out)
+
+
+ORACLE_QUANTILE_OVER_TIME = f"""WITH steps AS ({_STEPS_SQL})
+SELECT CAST(epoch(s.step_ts) AS BIGINT) AS step_s, e.event_type,
+       CAST(e.user_id AS BIGINT) AS user_id,
+       ROUND(quantile_cont(e.value, 0.5), 6) AS value
+FROM steps s JOIN events e
+  ON e.ts <= s.step_ts AND e.ts > s.step_ts - INTERVAL 6 HOUR
+GROUP BY 1, 2, 3
+"""
+
+
+def q_deriv(spark, sf_dir):
+    s = read_samples(spark, sf_dir)
+    out = deriv(s, 6 * 3600, START, END, STEP_S)
+    return _series_proj(out)
+
+
+ORACLE_DERIV = f"""WITH steps AS ({_STEPS_SQL})
+SELECT CAST(epoch(s.step_ts) AS BIGINT) AS step_s, e.event_type,
+       CAST(e.user_id AS BIGINT) AS user_id,
+       ROUND(regr_slope(e.value, epoch(e.ts)), 6) AS value
+FROM steps s JOIN events e
+  ON e.ts <= s.step_ts AND e.ts > s.step_ts - INTERVAL 6 HOUR
+GROUP BY 1, 2, 3
+HAVING COUNT(*) >= 2 AND regr_slope(e.value, epoch(e.ts)) IS NOT NULL
+"""
+
+
+def q_histogram_quantile(spark, sf_dir):
+    """histogram_quantile(0.9) over buckets synthesized per 1h window."""
+    ev = read_table(spark, sf_dir, "events")
+    thresholds = [50.0, 100.0, 200.0, float("inf")]
+    w = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), F.col("event_type")
+    ).agg(
+        *[
+            F.sum((F.col("value") <= F.lit(t)).cast("double")).alias(f"c{i}")
+            for i, t in enumerate(thresholds)
+        ]
+    )
+    # explode to bucket grid rows with le tags
+    les = ["50.0", "100.0", "200.0", "+Inf"]
+    buckets = w.select(
+        F.col("w.start").alias("step_ts"),
+        F.col("event_type"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(le).alias("le"), F.col(f"c{i}").alias("value")
+                    )
+                    for i, le in enumerate(les)
+                ]
+            )
+        ).alias("b"),
+    ).select(
+        "step_ts",
+        F.lit("lat").alias("name"),
+        F.create_map(
+            F.lit("event_type"), F.col("event_type"), F.lit("le"), F.col("b.le")
+        ).alias("tags"),
+        F.concat(F.lit("lat{"), F.col("event_type"), F.lit(","), F.col("b.le"), F.lit("}")).alias("series_id"),
+        F.col("b.value"),
+    )
+    out = histogram_quantile(buckets, 0.9)
+    return out.select(
+        _epoch(),
+        F.col("tags").getItem("event_type").alias("event_type"),
+        F.round(F.col("value"), 6).alias("value"),
+    )
+
+
+ORACLE_HISTOGRAM_QUANTILE = """
+WITH c AS (
+  SELECT date_trunc('hour', ts) AS step_ts, event_type,
+         SUM(CASE WHEN value <= 50 THEN 1.0 ELSE 0.0 END) AS c0,
+         SUM(CASE WHEN value <= 100 THEN 1.0 ELSE 0.0 END) AS c1,
+         SUM(CASE WHEN value <= 200 THEN 1.0 ELSE 0.0 END) AS c2,
+         CAST(COUNT(*) AS DOUBLE) AS c3
+  FROM events GROUP BY 1, 2
+),
+q AS (
+  SELECT step_ts, event_type, c0, c1, c2, c3, 0.9 * c3 AS rank
+  FROM c WHERE c3 > 0
+)
+SELECT CAST(epoch(step_ts) AS BIGINT) AS step_s, event_type,
+  ROUND(CASE
+    WHEN rank <= c0 THEN 50.0 * rank / c0
+    WHEN rank <= c1 THEN 50.0 + (100.0 - 50.0) * (rank - c0) / (c1 - c0)
+    WHEN rank <= c2 THEN 100.0 + (200.0 - 100.0) * (rank - c1) / (c2 - c1)
+    ELSE 200.0
+  END, 6) AS value
+FROM q
+"""
+
+
+# ---------------------------------------------------------------------------
+# Graphite entries over events-as-paths
+# ---------------------------------------------------------------------------
+
+
+def _gsamples(spark, sf_dir):
+    from .graphite.paths import paths_to_samples
+
+    ev = read_table(spark, sf_dir, "events")
+    return paths_to_samples(
+        ev.select(
+            F.concat(
+                F.lit("events."), F.col("event_type"), F.lit(".u"),
+                F.col("user_id").cast("string"),
+            ).alias("path"),
+            "ts",
+            "value",
+        )
+    )
+
+
+def q_graphite_groupbynode(spark, sf_dir):
+    """groupByNode(events.*.*, 1, 'sum') on the 1h grid."""
+    from .graphite.functions import group_by_nodes
+
+    g = consolidate(_gsamples(spark, sf_dir), START, END, STEP_S, LOOKBACK_S)
+    out = group_by_nodes(g, "sum", 1)
+    return out.select(
+        _epoch(), F.col("name").alias("event_type"),
+        F.round(F.col("value"), 6).alias("value"),
+    )
+
+
+# same consolidation as promql_sum_by — identical oracle shape
+ORACLE_GRAPHITE_GBN = f"""{_LASTV_SQL}
+SELECT CAST(epoch(step_ts) AS BIGINT) AS step_s, event_type,
+       ROUND(SUM(v), 6) AS value
+FROM lastv GROUP BY 1, 2"""
+
+
+def q_graphite_moving_avg(spark, sf_dir):
+    """movingAverage(groupByNode(...), 3) — 3-step rows window."""
+    from .graphite.functions import group_by_nodes, moving_average
+
+    g = consolidate(_gsamples(spark, sf_dir), START, END, STEP_S, LOOKBACK_S)
+    out = moving_average(group_by_nodes(g, "sum", 1), 3)
+    return out.select(
+        _epoch(), F.col("name").alias("event_type"),
+        F.round(F.col("value"), 6).alias("value"),
+    )
+
+
+ORACLE_GRAPHITE_MOVAVG = f"""{_LASTV_SQL},
+summed AS (
+  SELECT step_ts, event_type, SUM(v) AS v FROM lastv GROUP BY 1, 2
+)
+SELECT CAST(epoch(step_ts) AS BIGINT) AS step_s, event_type,
+       ROUND(AVG(v) OVER (PARTITION BY event_type ORDER BY step_ts
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+         AS value
+FROM summed"""
+
+
+def q_graphite_highest_avg(spark, sf_dir):
+    """highestAverage(events.*.*, 5) → the 5 series kept, with stat."""
+    from .graphite.functions import highest
+
+    g = consolidate(_gsamples(spark, sf_dir), START, END, STEP_S, LOOKBACK_S)
+    kept = highest(g, "average", 5)
+    return (
+        kept.groupBy(F.col("name").alias("path"))
+        .agg(F.round(F.avg("value"), 6).alias("avg_value"))
+    )
+
+
+ORACLE_GRAPHITE_HIGHEST = f"""{_LASTV_SQL},
+stats AS (
+  SELECT 'events.' || event_type || '.u' || CAST(user_id AS VARCHAR) AS path,
+         AVG(v) AS avg_value
+  FROM lastv GROUP BY 1
+),
+ranked AS (
+  SELECT path, avg_value,
+         row_number() OVER (ORDER BY avg_value DESC,
+           'events.' || '{{' || '__g0__=events,__g1__=' ||
+           split_part(path, '.', 2) || ',__g2__=' || split_part(path, '.', 3)
+           || '}}') AS rk
+  FROM stats
+)
+SELECT path, ROUND(avg_value, 6) AS avg_value FROM ranked WHERE rk <= 5
+"""
+
+
+def q_graphite_find(spark, sf_dir):
+    from .graphite.paths import find_metrics
+
+    return find_metrics(_gsamples(spark, sf_dir), "events.*")
+
+
+ORACLE_GRAPHITE_FIND = """
+SELECT DISTINCT 'events.' || event_type AS node, FALSE AS is_leaf FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# streaming rules (batch form — the oracle-checkable path)
+# ---------------------------------------------------------------------------
+
+
+def q_stream_rollup(spark, sf_dir):
+    """Rollup rule: all purchase/error events → rollup.purchases_errors
+    at 1h resolution (rules/rollup.go analog, batch mode)."""
+    from .streaming.aggregator import RollupRule, apply_rollup_rules
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.concat(F.lit("events."), F.col("event_type")).alias("metric_id"),
+        "ts", "value",
+    )
+    outs = apply_rollup_rules(
+        ev,
+        [
+            RollupRule(
+                "pe",
+                "metric_id IN ('events.purchase', 'events.error')",
+                "'rollup.pe'",
+                ("1h:30d",),
+            )
+        ],
+    )
+    out = outs["pe/1h:30d"]
+    return out.select(
+        F.unix_timestamp("window_start").alias("step_s"),
+        "metric_id",
+        F.round(F.col("agg_sum"), 6).alias("agg_sum"),
+        F.col("agg_count"),
+        F.round(F.col("p95"), 6).alias("p95"),
+    )
+
+
+ORACLE_STREAM_ROLLUP = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step_s,
+       'rollup.pe' AS metric_id,
+       ROUND(SUM(value), 6) AS agg_sum,
+       COUNT(value) AS agg_count,
+       ROUND(quantile_cont(value, 0.95), 6) AS p95
+FROM events WHERE event_type IN ('purchase', 'error')
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational §2.4 cardinality forms (TPC-H tables)
+# ---------------------------------------------------------------------------
+
+
+def q_rel_group_aggregate(spark, sf_dir):
+    """TPC-H Q1 shape: lineitem pricing summary (groupBy aggregates)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+ORACLE_REL_GROUP = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 6) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 6) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2
+"""
+
+
+def q_rel_many_to_one(spark, sf_dir):
+    """group_left analog: orders ⋈ customer ⋈ nation (many-to-one ×2,
+    broadcast dims) — revenue per nation."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 6).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+ORACLE_REL_M2O = """
+SELECT n_name, ROUND(SUM(o_totalprice), 6) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1
+"""
+
+
+def q_rel_anti(spark, sf_dir):
+    """unless analog on relations: customers with no orders."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+ORACLE_REL_ANTI = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_rel_semi(spark, sf_dir):
+    """and analog: suppliers that supply at least one shipped part."""
+    s = read_table(spark, sf_dir, "supplier")
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        s.join(li, s["s_suppkey"] == li["l_suppkey"], "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+ORACLE_REL_SEMI = """
+SELECT s_suppkey, s_name FROM supplier
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+"""
+
+
+def q_rel_window_topk(spark, sf_dir):
+    """top-3 orders by price per priority (rank window, tie on key)."""
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "o_orderpriority", "o_orderkey",
+            F.round(F.col("o_totalprice"), 6).alias("o_totalprice"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+ORACLE_REL_TOPK = """
+SELECT o_orderpriority, o_orderkey, ROUND(o_totalprice, 6) AS o_totalprice,
+       CAST(rk AS INT) AS rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+) WHERE rk <= 3
+"""
+
+
+RELATIONAL_QUERIES = {
+    "promql_err_ratio": (q_err_ratio, ORACLE_ERR_RATIO),
+    "promql_vector_and": (q_vector_and, ORACLE_VECTOR_AND),
+    "promql_vector_unless": (q_vector_unless, ORACLE_VECTOR_UNLESS),
+    "promql_scalar_arith": (q_scalar_arith, ORACLE_SCALAR_ARITH),
+    "promql_count_values": (q_count_values, ORACLE_COUNT_VALUES),
+    "promql_absent": (q_absent, ORACLE_ABSENT),
+    "promql_quantile_over_time": (q_quantile_over_time, ORACLE_QUANTILE_OVER_TIME),
+    "promql_deriv": (q_deriv, ORACLE_DERIV),
+    "promql_histogram_quantile": (q_histogram_quantile, ORACLE_HISTOGRAM_QUANTILE),
+    "graphite_groupbynode": (q_graphite_groupbynode, ORACLE_GRAPHITE_GBN),
+    "graphite_moving_avg": (q_graphite_moving_avg, ORACLE_GRAPHITE_MOVAVG),
+    "graphite_highest_avg": (q_graphite_highest_avg, ORACLE_GRAPHITE_HIGHEST),
+    "graphite_find": (q_graphite_find, ORACLE_GRAPHITE_FIND),
+    "stream_rollup_1h": (q_stream_rollup, ORACLE_STREAM_ROLLUP),
+    "rel_group_aggregate": (q_rel_group_aggregate, ORACLE_REL_GROUP),
+    "rel_many_to_one": (q_rel_many_to_one, ORACLE_REL_M2O),
+    "rel_anti_join": (q_rel_anti, ORACLE_REL_ANTI),
+    "rel_semi_join": (q_rel_semi, ORACLE_REL_SEMI),
+    "rel_window_topk": (q_rel_window_topk, ORACLE_REL_TOPK),
+}
