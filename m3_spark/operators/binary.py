@@ -55,7 +55,7 @@ def _match_sig(
     Default (no on/ignoring): all tags except ``__name__``
     (``binary/common.go:81-108``)."""
     tags = F.col("tags")
-    if on:
+    if on is not None:  # on() with an empty list matches everything
         arr = F.array(*[F.lit(k) for k in on])
         kept = F.map_filter(tags, lambda k, _v: F.array_contains(arr, k))
     else:

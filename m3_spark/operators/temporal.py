@@ -283,11 +283,59 @@ def _instant_kernel(
     return out
 
 
+def _holt_winters_kernel(
+    ts_us: np.ndarray, vals: np.ndarray, steps_us: np.ndarray,
+    range_us: int, sf: float, tf: float,
+) -> np.ndarray:
+    """holt_winters(v[r], sf, tf): Prometheus double exponential
+    smoothing (``temporal/holt_winters.go:35``): s_1 = v_1,
+    b_1 = v_1 - v_0, s_i = sf*v_i + (1-sf)*(s_{i-1} + b_{i-1}),
+    b_i = tf*(s_i - s_{i-1}) + (1-tf)*b_{i-1}; needs >= 2 points."""
+    order = np.argsort(ts_us, kind="stable")
+    ts_us, vals = ts_us[order], vals[order]
+    lo = np.searchsorted(ts_us, steps_us - range_us, side="right")
+    hi = np.searchsorted(ts_us, steps_us, side="right") - 1
+    out = np.full(len(steps_us), np.nan)
+    for k in range(len(steps_us)):
+        if hi[k] - lo[k] + 1 < 2:
+            continue
+        v = vals[lo[k] : hi[k] + 1]
+        s, b = v[1], v[1] - v[0]
+        for i in range(2, len(v)):
+            s_prev = s
+            s = sf * v[i] + (1 - sf) * (s + b)
+            b = tf * (s - s_prev) + (1 - tf) * b
+        out[k] = s
+    return out
+
+
+def holt_winters(
+    samples: DataFrame, range_s: float, start, end, step_s: float,
+    sf: float, tf: float,
+) -> DataFrame:
+    """holt_winters via the shared mapInPandas series runner."""
+    return _run_series_kernel(
+        samples, range_s, start, end, step_s,
+        lambda t, v, st, r: _holt_winters_kernel(t, v, st, r, sf, tf),
+    )
+
+
 def rate(
     samples: DataFrame, kind: str, range_s: float, start, end, step_s: float
 ) -> DataFrame:
     """rate/increase/delta/irate/idelta (v[range]) on the step grid."""
-    spark = samples.sparkSession
+    kernel = _instant_kernel if kind in ("irate", "idelta") else _rate_kernel
+    return _run_series_kernel(
+        samples, range_s, start, end, step_s,
+        lambda t, v, st, r: kernel(t, v, st, r, kind),
+    )
+
+
+def _run_series_kernel(
+    samples: DataFrame, range_s: float, start, end, step_s: float, kernel
+) -> DataFrame:
+    """Shared mapInPandas runner: per-series numpy kernel evaluated at
+    the step grid (see rate() docstring for the batching strategy)."""
     range_us = int(range_s * _US)
     pruned = samples.where(
         (F.col("ts") > _to_ts_lit(start) - F.expr(f"INTERVAL {int(range_s)} SECONDS"))
@@ -304,12 +352,10 @@ def rate(
         int(step_s * _US),
         dtype=np.int64,
     )
-    kernel = _instant_kernel if kind in ("irate", "idelta") else _rate_kernel
-
     def one_series(sid: str, pdf: pd.DataFrame) -> pd.DataFrame:
         ts_us = pdf["ts"].values.astype("datetime64[us]").astype(np.int64)
         vals = pdf["value"].to_numpy(dtype=np.float64)
-        res = kernel(ts_us, vals, steps_us, range_us, kind)
+        res = kernel(ts_us, vals, steps_us, range_us)
         keep = ~np.isnan(res)
         return pd.DataFrame(
             {

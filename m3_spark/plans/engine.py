@@ -1,0 +1,272 @@
+"""PromQL planner/executor: AST → DataFrame plan → grid-frame result.
+
+Reference lifecycle (SURVEY §3.1): parse → DAG → logical plan →
+physical plan (result node + time-shift) → execute.  Here steps 5-8
+collapse into Catalyst: the walk below *declares* the full DataFrame
+expression tree and Spark plans/executes it (predicate pushdown,
+column pruning, join strategy, AQE — all free).
+
+The physical-plan time shift (``src/query/plan/physical.go:52-122``,
+shift start back by max(range, lookback)) happens naturally inside
+each operator's scan pruning.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import binary as B
+from ..operators import linear as L
+from ..operators.aggregation import absent, aggregate, count_values, topk
+from ..operators.consolidate import consolidate, step_grid
+from ..operators.fetch import fetch
+from ..operators.temporal import (
+    deriv,
+    holt_winters,
+    over_time,
+    rate,
+    resets_or_changes,
+)
+from .promql import Agg, Binary, Call, NumberLit, Selector, StringLit, Unary, parse
+
+
+@dataclass
+class Context:
+    samples: DataFrame
+    start: object
+    end: object
+    step_s: float
+    lookback_s: float = 300.0
+
+
+_TEMPORAL_OVER_TIME = {
+    f"{f}_over_time": f
+    for f in ["sum", "avg", "min", "max", "count", "stddev", "stdvar", "last", "present"]
+}
+_RATE_FUNCS = {"rate", "increase", "delta", "irate", "idelta"}
+_MATH_FUNCS = {"abs", "ceil", "exp", "floor", "ln", "log2", "log10", "sqrt"}
+_DATETIME_FUNCS = {
+    "day_of_month", "day_of_week", "days_in_month", "hour", "minute",
+    "month", "year",
+}
+
+
+def query_range(
+    samples: DataFrame, q: str, start, end, step_s: float,
+    lookback_s: float = 300.0,
+) -> DataFrame:
+    """Evaluate a PromQL range query → grid frame
+    (step_ts, name?, tags, series_id?, value)."""
+    ctx = Context(samples, start, end, step_s, lookback_s)
+    ast = parse(q)
+    out = _eval(ast, ctx)
+    if isinstance(out, float):
+        steps = step_grid(samples.sparkSession, start, end, step_s)
+        return steps.select(
+            "step_ts",
+            F.map_from_arrays(F.array(), F.array()).alias("tags"),
+            F.lit(out).alias("value"),
+        )
+    return out
+
+
+def query_instant(samples: DataFrame, q: str, t, lookback_s: float = 300.0) -> DataFrame:
+    return query_range(samples, q, t, t, 1, lookback_s)
+
+
+def _shifted(ctx: Context, sel: Selector) -> DataFrame:
+    """Selector → filtered samples, with `offset` applied as a lazy
+    time shift (functions/lazy/base.go:34)."""
+    s = fetch(ctx.samples, list(sel.matchers))
+    if sel.offset_s:
+        s = s.withColumn(
+            "ts", F.col("ts") + F.expr(f"INTERVAL {int(sel.offset_s)} SECONDS")
+        )
+    return s
+
+
+def _vector(ctx: Context, e) -> DataFrame:
+    """Evaluate an instant-vector expression to a grid frame."""
+    out = _eval(e, ctx)
+    if isinstance(out, float):
+        raise TypeError("expected instant vector, got scalar")
+    return out
+
+
+def _eval(e, ctx: Context):
+    if isinstance(e, NumberLit):
+        return float(e.value)
+    if isinstance(e, StringLit):
+        return e.value
+    if isinstance(e, Unary):
+        inner = _eval(e.expr, ctx)
+        if isinstance(inner, float):
+            return -inner
+        return inner.withColumn("value", -F.col("value"))
+    if isinstance(e, Selector):
+        if e.range_s is not None:
+            raise TypeError("range selector outside temporal function")
+        return consolidate(
+            _shifted(ctx, e), ctx.start, ctx.end, ctx.step_s, ctx.lookback_s
+        )
+    if isinstance(e, Agg):
+        return _eval_agg(e, ctx)
+    if isinstance(e, Call):
+        return _eval_call(e, ctx)
+    if isinstance(e, Binary):
+        return _eval_binary(e, ctx)
+    raise TypeError(f"cannot evaluate {e!r}")
+
+
+def _eval_agg(e: Agg, ctx: Context):
+    grid = _vector(ctx, e.expr)
+    by = list(e.by) if e.by else None
+    without = list(e.without) if e.without else None
+    if e.op in ("sum", "min", "max", "avg", "count", "stddev", "stdvar"):
+        return aggregate(grid, e.op, by, without)
+    if e.op == "group":
+        out = aggregate(grid, "count", by, without)
+        return out.withColumn("value", F.lit(1.0))
+    if e.op == "quantile":
+        return aggregate(grid, "quantile", by, without, param=_eval(e.param, ctx))
+    if e.op in ("topk", "bottomk"):
+        k = int(_eval(e.param, ctx))
+        return topk(grid, k, by, without, bottom=e.op == "bottomk")
+    if e.op == "count_values":
+        label = _eval(e.param, ctx)
+        return count_values(grid, label, by, without)
+    raise ValueError(f"unknown aggregation {e.op}")
+
+
+def _range_sel(e: Call, idx: int) -> Selector:
+    sel = e.args[idx]
+    if not isinstance(sel, Selector) or sel.range_s is None:
+        raise TypeError(f"{e.func} requires a range selector")
+    return sel
+
+
+def _eval_call(e: Call, ctx: Context):
+    f = e.func
+    if f in _RATE_FUNCS:
+        sel = _range_sel(e, 0)
+        return rate(_shifted(ctx, sel), f, sel.range_s, ctx.start, ctx.end, ctx.step_s)
+    if f in _TEMPORAL_OVER_TIME:
+        sel = _range_sel(e, 0)
+        return over_time(
+            _shifted(ctx, sel), _TEMPORAL_OVER_TIME[f], sel.range_s,
+            ctx.start, ctx.end, ctx.step_s,
+        )
+    if f == "quantile_over_time":
+        sel = _range_sel(e, 1)
+        return over_time(
+            _shifted(ctx, sel), "quantile", sel.range_s,
+            ctx.start, ctx.end, ctx.step_s, param=_eval(e.args[0], ctx),
+        )
+    if f in ("resets", "changes"):
+        sel = _range_sel(e, 0)
+        return resets_or_changes(
+            _shifted(ctx, sel), f, sel.range_s, ctx.start, ctx.end, ctx.step_s
+        )
+    if f == "deriv":
+        sel = _range_sel(e, 0)
+        return deriv(_shifted(ctx, sel), sel.range_s, ctx.start, ctx.end, ctx.step_s)
+    if f == "predict_linear":
+        sel = _range_sel(e, 0)
+        return deriv(
+            _shifted(ctx, sel), sel.range_s, ctx.start, ctx.end, ctx.step_s,
+            predict_offset_s=_eval(e.args[1], ctx),
+        )
+    if f == "holt_winters":
+        sel = _range_sel(e, 0)
+        return holt_winters(
+            _shifted(ctx, sel), sel.range_s, ctx.start, ctx.end, ctx.step_s,
+            sf=_eval(e.args[1], ctx), tf=_eval(e.args[2], ctx),
+        )
+    if f in _MATH_FUNCS:
+        return L.math_fn(_vector(ctx, e.args[0]), f)
+    if f in _DATETIME_FUNCS:
+        return L.datetime_fn(_vector(ctx, e.args[0]), f)
+    if f == "clamp_min":
+        return L.clamp_min(_vector(ctx, e.args[0]), _eval(e.args[1], ctx))
+    if f == "clamp_max":
+        return L.clamp_max(_vector(ctx, e.args[0]), _eval(e.args[1], ctx))
+    if f == "clamp":
+        v = L.clamp_min(_vector(ctx, e.args[0]), _eval(e.args[1], ctx))
+        return L.clamp_max(v, _eval(e.args[2], ctx))
+    if f == "round":
+        to = _eval(e.args[1], ctx) if len(e.args) > 1 else 1.0
+        return L.round_to(_vector(ctx, e.args[0]), to)
+    if f in ("sort", "sort_desc"):
+        return L.sort_instant(_vector(ctx, e.args[0]), desc=f == "sort_desc")
+    if f == "histogram_quantile":
+        return L.histogram_quantile(
+            _vector(ctx, e.args[1]), _eval(e.args[0], ctx)
+        )
+    if f == "label_join":
+        grid = _vector(ctx, e.args[0])
+        dst, sep, *srcs = [_eval(a, ctx) for a in e.args[1:]]
+        return L.label_join(grid, dst, sep, srcs)
+    if f == "label_replace":
+        grid = _vector(ctx, e.args[0])
+        dst, repl, src, regex = [_eval(a, ctx) for a in e.args[1:]]
+        return L.label_replace(grid, dst, repl, src, regex)
+    if f == "absent":
+        grid = _vector(ctx, e.args[0])
+        steps = step_grid(ctx.samples.sparkSession, ctx.start, ctx.end, ctx.step_s)
+        return absent(grid, steps)
+    if f == "vector":
+        val = _eval(e.args[0], ctx)
+        steps = step_grid(ctx.samples.sparkSession, ctx.start, ctx.end, ctx.step_s)
+        return steps.select(
+            "step_ts",
+            F.lit(None).cast("string").alias("name"),
+            F.map_from_arrays(F.array(), F.array()).alias("tags"),
+            F.lit("{}").alias("series_id"),
+            F.lit(float(val)).alias("value"),
+        )
+    if f == "time":
+        steps = step_grid(ctx.samples.sparkSession, ctx.start, ctx.end, ctx.step_s)
+        return L.time_fn(steps)
+    if f == "timestamp":
+        grid = _vector(ctx, e.args[0])
+        # value := the step timestamp of the (consolidated) sample
+        return grid.withColumn(
+            "value",
+            F.when(
+                F.col("value").isNotNull(),
+                F.unix_timestamp(F.col("step_ts")).cast("double"),
+            ),
+        )
+    raise ValueError(f"unknown function {f!r}")
+
+
+def _eval_binary(e: Binary, ctx: Context):
+    lhs, rhs = _eval(e.lhs, ctx), _eval(e.rhs, ctx)
+    comparison = e.op in B.COMPARE
+    if isinstance(lhs, float) and isinstance(rhs, float):
+        raise TypeError("scalar/scalar binary should have been folded")
+    if isinstance(lhs, float) or isinstance(rhs, float):
+        vec, scalar = (rhs, lhs) if isinstance(lhs, float) else (lhs, rhs)
+        reverse = isinstance(lhs, float)
+        if comparison:
+            op = e.op if not reverse else _flip(e.op)
+            return B.scalar_compare(vec, op, scalar, bool_mode=e.bool_mode)
+        return B.scalar_arith(vec, e.op, scalar, reverse=reverse)
+    on = list(e.on) if e.on is not None else None
+    ignoring = list(e.ignoring) if e.ignoring is not None else None
+    if e.op == "and":
+        return B.vector_and(lhs, rhs, on, ignoring)
+    if e.op == "or":
+        return B.vector_or(lhs, rhs, on, ignoring)
+    if e.op == "unless":
+        return B.vector_unless(lhs, rhs, on, ignoring)
+    if comparison:
+        return B.vector_compare(lhs, rhs, e.op, on, ignoring, bool_mode=e.bool_mode)
+    return B.vector_arith(lhs, rhs, e.op, on, ignoring, many_side=e.group)
+
+
+def _flip(op: str) -> str:
+    return {"<": ">", ">": "<", "<=": ">=", ">=": "<=", "==": "==", "!=": "!="}[op]

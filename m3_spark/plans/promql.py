@@ -1,0 +1,342 @@
+"""PromQL parser: query text → AST.
+
+The reference borrows the upstream Prometheus parser
+(``src/query/parser/promql/parse.go:46-64`` imports
+``github.com/prometheus/prometheus/promql/parser``) and walks the AST
+into its DAG (``parse.go:176-412``).  No Python PromQL parser is
+available in this container, so this is a small hand-written
+tokenizer + Pratt parser for the v1 grammar subset:
+
+  * literals (numbers, strings), unary +/-
+  * vector selectors ``name{label op "v", …}[range] offset d``
+  * function calls (temporal, linear, label, histogram_quantile, …)
+  * aggregations with ``by``/``without`` and parameters
+    (sum avg min max count stddev stdvar quantile topk bottomk
+    count_values)
+  * binary operators with Prometheus precedence and
+    ``bool`` / ``on`` / ``ignoring`` / ``group_left`` / ``group_right``
+
+Scalar-only subexpressions are constant-folded at parse time, like the
+reference's ``resolve_scalars.go``.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+# -- AST --------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class NumberLit:
+    value: float
+
+
+@dataclass(frozen=True)
+class StringLit:
+    value: str
+
+
+@dataclass(frozen=True)
+class Selector:
+    name: str | None
+    matchers: tuple[tuple[str, str, str], ...]  # (kind, key, value)
+    range_s: float | None = None
+    offset_s: float = 0.0
+
+
+@dataclass(frozen=True)
+class Call:
+    func: str
+    args: tuple
+
+
+@dataclass(frozen=True)
+class Agg:
+    op: str
+    expr: object
+    by: tuple[str, ...] | None = None
+    without: tuple[str, ...] | None = None
+    param: object | None = None
+
+
+@dataclass(frozen=True)
+class Binary:
+    op: str
+    lhs: object
+    rhs: object
+    bool_mode: bool = False
+    on: tuple[str, ...] | None = None
+    ignoring: tuple[str, ...] | None = None
+    group: str | None = None  # 'left' | 'right'
+
+
+@dataclass(frozen=True)
+class Unary:
+    op: str
+    expr: object
+
+
+# -- tokenizer --------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<dur>[0-9]+(?:\.[0-9]+)?[smhdwy]\b)
+  | (?P<num>[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)
+  | (?P<id>[a-zA-Z_:][a-zA-Z0-9_:]*)
+  | (?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+  | (?P<op>=~|!~|!=|==|<=|>=|=|<|>|\+|-|\*|/|%|\^|\(|\)|\{|\}|\[|\]|,)
+""",
+    re.VERBOSE,
+)
+
+_DUR_UNITS = {"s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800, "y": 31536000}
+
+
+def _dur_to_s(tok: str) -> float:
+    return float(tok[:-1]) * _DUR_UNITS[tok[-1]]
+
+
+def tokenize(q: str) -> list[tuple[str, str]]:
+    out, i = [], 0
+    while i < len(q):
+        m = _TOKEN_RE.match(q, i)
+        if not m:
+            raise SyntaxError(f"bad token at {q[i:i+20]!r}")
+        i = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        out.append((kind, m.group()))
+    out.append(("eof", ""))
+    return out
+
+
+# -- parser -----------------------------------------------------------------
+
+AGG_OPS = {
+    "sum", "min", "max", "avg", "count", "stddev", "stdvar",
+    "quantile", "topk", "bottomk", "count_values", "group",
+}
+# precedence (higher binds tighter), per Prometheus
+_PREC = {
+    "or": 1,
+    "and": 2, "unless": 2,
+    "==": 3, "!=": 3, "<": 3, ">": 3, "<=": 3, ">=": 3,
+    "+": 4, "-": 4,
+    "*": 5, "/": 5, "%": 5,
+    "^": 6,
+}
+_RIGHT = {"^"}
+
+
+class Parser:
+    def __init__(self, q: str):
+        self.toks = tokenize(q)
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, val: str):
+        k, v = self.next()
+        if v != val:
+            raise SyntaxError(f"expected {val!r}, got {v!r}")
+
+    def parse(self):
+        e = self.parse_expr(0)
+        if self.peek()[0] != "eof":
+            raise SyntaxError(f"trailing input at {self.peek()[1]!r}")
+        return _fold(e)
+
+    def parse_expr(self, min_prec: int):
+        lhs = self.parse_unary()
+        while True:
+            k, v = self.peek()
+            op = v if v in _PREC else (v if k == "id" and v in _PREC else None)
+            if op is None or _PREC[op] < min_prec:
+                return lhs
+            self.next()
+            bool_mode = False
+            on = ignoring = None
+            group = None
+            if self.peek() == ("id", "bool"):
+                self.next()
+                bool_mode = True
+            if self.peek()[1] in ("on", "ignoring") and self.peek()[0] == "id":
+                which = self.next()[1]
+                labels = self._label_list()
+                if which == "on":
+                    on = labels
+                else:
+                    ignoring = labels
+                if self.peek()[1] in ("group_left", "group_right"):
+                    group = self.next()[1].removeprefix("group_")
+                    if self.peek()[1] == "(":
+                        self._label_list()  # include labels: parsed, v1 ignores
+            nxt = _PREC[op] + (0 if op in _RIGHT else 1)
+            rhs = self.parse_expr(nxt)
+            lhs = Binary(op, lhs, rhs, bool_mode, on, ignoring, group)
+
+    def parse_unary(self):
+        k, v = self.peek()
+        if v in ("-", "+"):
+            self.next()
+            e = self.parse_unary()
+            return e if v == "+" else Unary("-", e)
+        return self.parse_postfix(self.parse_atom())
+
+    def parse_postfix(self, e):
+        while True:
+            k, v = self.peek()
+            if v == "[":
+                self.next()
+                kd, vd = self.next()
+                if kd != "dur":
+                    raise SyntaxError(f"expected duration, got {vd!r}")
+                self.expect("]")
+                if not isinstance(e, Selector):
+                    raise SyntaxError("range selector on non-selector")
+                e = Selector(e.name, e.matchers, _dur_to_s(vd), e.offset_s)
+            elif k == "id" and v == "offset":
+                self.next()
+                kd, vd = self.next()
+                if kd != "dur":
+                    raise SyntaxError("expected duration after offset")
+                if not isinstance(e, Selector):
+                    raise SyntaxError("offset on non-selector")
+                e = Selector(e.name, e.matchers, e.range_s, _dur_to_s(vd))
+            else:
+                return e
+
+    def parse_atom(self):
+        k, v = self.peek()
+        if v == "(":
+            self.next()
+            e = self.parse_expr(0)
+            self.expect(")")
+            return e
+        if k == "num":
+            self.next()
+            return NumberLit(float(v))
+        if k == "dur":  # bare durations double as numbers in some spots
+            self.next()
+            return NumberLit(_dur_to_s(v))
+        if k == "str":
+            self.next()
+            return StringLit(v[1:-1])
+        if v == "{":
+            return self._selector(None)
+        if k == "id":
+            self.next()
+            if v in AGG_OPS and self.peek()[1] in ("(", "by", "without"):
+                return self._aggregation(v)
+            if self.peek()[1] == "(":
+                return self._call(v)
+            if self.peek()[1] == "{":
+                return self._selector(v)
+            return Selector(v, (("=", "__name__", v),))
+        raise SyntaxError(f"unexpected token {v!r}")
+
+    def _label_list(self) -> tuple[str, ...]:
+        self.expect("(")
+        out = []
+        while self.peek()[1] != ")":
+            k, v = self.next()
+            if k != "id":
+                raise SyntaxError(f"expected label, got {v!r}")
+            out.append(v)
+            if self.peek()[1] == ",":
+                self.next()
+        self.expect(")")
+        return tuple(out)
+
+    def _selector(self, name: str | None):
+        matchers = []
+        if self.peek()[1] == "{":
+            self.next()
+            while self.peek()[1] != "}":
+                _, key = self.next()
+                _, op = self.next()
+                if op not in ("=", "!=", "=~", "!~"):
+                    raise SyntaxError(f"bad matcher op {op!r}")
+                ks, vs = self.next()
+                if ks != "str":
+                    raise SyntaxError("matcher value must be a string")
+                matchers.append((op, key, vs[1:-1]))
+                if self.peek()[1] == ",":
+                    self.next()
+            self.expect("}")
+        if name is not None:
+            matchers.insert(0, ("=", "__name__", name))
+        return Selector(name, tuple(matchers))
+
+    def _aggregation(self, op: str):
+        by = without = None
+        if self.peek()[1] in ("by", "without"):
+            which = self.next()[1]
+            labels = self._label_list()
+            by, without = (labels, None) if which == "by" else (None, labels)
+        self.expect("(")
+        args = [self.parse_expr(0)]
+        while self.peek()[1] == ",":
+            self.next()
+            args.append(self.parse_expr(0))
+        self.expect(")")
+        if self.peek()[1] in ("by", "without"):
+            which = self.next()[1]
+            labels = self._label_list()
+            by, without = (labels, None) if which == "by" else (None, labels)
+        param, expr = (args[0], args[1]) if len(args) == 2 else (None, args[0])
+        return Agg(op, expr, by, without, param)
+
+    def _call(self, func: str):
+        self.expect("(")
+        args = []
+        while self.peek()[1] != ")":
+            args.append(self.parse_expr(0))
+            if self.peek()[1] == ",":
+                self.next()
+        self.expect(")")
+        return Call(func, tuple(args))
+
+
+def _fold(e):
+    """Constant-fold scalar-only subexpressions (resolve_scalars.go)."""
+    if isinstance(e, Binary):
+        lhs, rhs = _fold(e.lhs), _fold(e.rhs)
+        if isinstance(lhs, NumberLit) and isinstance(rhs, NumberLit):
+            import math
+
+            a, b = lhs.value, rhs.value
+            ops = {
+                "+": a + b, "-": a - b, "*": a * b,
+                "/": a / b if b else float("nan"),
+                "%": math.fmod(a, b) if b else float("nan"),
+                "^": a ** b,
+            }
+            if e.op in ops:
+                return NumberLit(ops[e.op])
+        return Binary(e.op, lhs, rhs, e.bool_mode, e.on, e.ignoring, e.group)
+    if isinstance(e, Unary):
+        inner = _fold(e.expr)
+        if isinstance(inner, NumberLit):
+            return NumberLit(-inner.value)
+        return Unary(e.op, inner)
+    if isinstance(e, Agg):
+        return Agg(e.op, _fold(e.expr), e.by, e.without, _fold(e.param) if e.param is not None else None)
+    if isinstance(e, Call):
+        return Call(e.func, tuple(_fold(a) for a in e.args))
+    return e
+
+
+def parse(q: str):
+    return Parser(q).parse()

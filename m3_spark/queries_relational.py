@@ -520,7 +520,50 @@ FROM (
 """
 
 
+def q_promql_text(spark, sf_dir):
+    """End-to-end PromQL text path: parse → plan → execute.  Same
+    semantics as promql_sum_by, driven through the query language."""
+    from .plans.engine import query_range
+
+    s = read_samples(spark, sf_dir)
+    out = query_range(
+        s, 'sum by (event_type) ({user_id=~".+"})', START, END, STEP_S, LOOKBACK_S
+    )
+    return out.select(
+        _epoch(),
+        F.col("tags").getItem("event_type").alias("event_type"),
+        F.round(F.col("value"), 6).alias("value"),
+    )
+
+
+ORACLE_PROMQL_TEXT = f"""{_LASTV_SQL}
+SELECT CAST(epoch(step_ts) AS BIGINT) AS step_s, event_type,
+       ROUND(SUM(v), 6) AS value
+FROM lastv GROUP BY 1, 2"""
+
+
+def q_promql_text_binary(spark, sf_dir):
+    """PromQL text: topk(3, ...) through the language front-end."""
+    from .plans.engine import query_range
+
+    s = read_samples(spark, sf_dir)
+    out = query_range(
+        s, 'topk(3, {user_id=~".+"})', START, END, STEP_S, LOOKBACK_S
+    )
+    return out.select(
+        _epoch(),
+        F.col("tags").getItem("event_type").alias("event_type"),
+        F.col("tags").getItem("user_id").cast("bigint").alias("user_id"),
+        F.round(F.col("value"), 6).alias("value"),
+    )
+
+
+from .queries import ORACLE_TOPK as ORACLE_PROMQL_TEXT_BINARY  # noqa: E402
+
+
 RELATIONAL_QUERIES = {
+    "promql_text_sum_by": (q_promql_text, ORACLE_PROMQL_TEXT),
+    "promql_text_topk": (q_promql_text_binary, ORACLE_PROMQL_TEXT_BINARY),
     "promql_err_ratio": (q_err_ratio, ORACLE_ERR_RATIO),
     "promql_vector_and": (q_vector_and, ORACLE_VECTOR_AND),
     "promql_vector_unless": (q_vector_unless, ORACLE_VECTOR_UNLESS),

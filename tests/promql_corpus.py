@@ -1,0 +1,141 @@
+"""Loader for the upstream-Prometheus logic-test notation
+(``load <step>`` series blocks + ``eval instant at <t>`` expectations)
+— the format of the reference's golden corpus
+(``src/query/test/compatibility/testdata/*.test``; harness
+``promql_test.go``).  The corpus itself is ours (written fresh against
+the documented semantics), only the notation is adopted.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+_DUR = {"s": 1, "m": 60, "h": 3600, "d": 86400}
+
+
+def dur_s(tok: str) -> float:
+    m = re.fullmatch(r"([0-9.]+)([smhd])", tok)
+    return float(m.group(1)) * _DUR[m.group(2)]
+
+
+def parse_series(spec: str) -> tuple[str, dict[str, str]]:
+    """``metric{k="v",…}`` → (name, labels)."""
+    m = re.fullmatch(r"([a-zA-Z_:][a-zA-Z0-9_:]*)?(\{([^}]*)\})?", spec.strip())
+    name = m.group(1)
+    labels: dict[str, str] = {}
+    if m.group(3):
+        for part in m.group(3).split(","):
+            if not part.strip():
+                continue
+            k, v = part.split("=", 1)
+            labels[k.strip()] = v.strip().strip('"')
+    return name, labels
+
+
+def expand_values(expr: str) -> list[float | None]:
+    """``0+10x10`` → arithmetic progression (11 points);
+    plain space-separated values; ``_`` = missing."""
+    out: list[float | None] = []
+    for tok in expr.split():
+        m = re.fullmatch(r"(-?[0-9.]+)(?:([+-][0-9.]+)x([0-9]+))?", tok)
+        if m and m.group(2) is not None:
+            base, inc, n = float(m.group(1)), float(m.group(2)), int(m.group(3))
+            out.extend(base + i * inc for i in range(n + 1))
+        elif tok == "_":
+            out.append(None)
+        else:
+            out.append(float(tok))
+    return out
+
+
+@dataclass
+class EvalCase:
+    at_s: float
+    query: str
+    expected: dict[tuple[tuple[str, str], ...], float]  # sorted label kv → value
+    ordered: bool = False
+
+
+@dataclass
+class Corpus:
+    step_s: float
+    series: list[tuple[str, dict[str, str], list[float | None]]] = field(
+        default_factory=list
+    )
+    evals: list[EvalCase] = field(default_factory=list)
+
+
+def parse_corpus(text: str) -> list[Corpus]:
+    out: list[Corpus] = []
+    cur: Corpus | None = None
+    pending_eval: EvalCase | None = None
+    for raw in text.splitlines():
+        line = raw.rstrip()
+        if not line.strip() or line.strip().startswith("#"):
+            continue
+        if line.startswith("load "):
+            cur = Corpus(dur_s(line.split()[1]))
+            out.append(cur)
+            pending_eval = None
+        elif line.startswith("eval instant at "):
+            rest = line[len("eval instant at "):]
+            at, query = rest.split(" ", 1)
+            pending_eval = EvalCase(dur_s(at), query.strip(), {})
+            cur.evals.append(pending_eval)
+        elif line.startswith(("  ", "\t")):
+            body = line.strip()
+            # the series spec ends at the closing brace (label lists
+            # contain spaces); bare metrics end at the first space
+            m = re.match(r"^([^{\s]*(?:\{[^}]*\})?)\s+(.*)$", body)
+            spec, rest = m.group(1), m.group(2)
+            if pending_eval is None:
+                name, labels = parse_series(spec)
+                cur.series.append((name, labels, expand_values(rest)))
+            else:
+                _, labels = parse_series(spec)
+                key = tuple(sorted(labels.items()))
+                pending_eval.expected[key] = float(rest)
+        else:
+            raise ValueError(f"bad corpus line: {line!r}")
+    return out
+
+
+T0 = 1_600_000_000  # corpus epoch
+
+
+def load_samples(spark, corpus: Corpus):
+    from .conftest import make_samples
+
+    rows = []
+    for name, labels, values in corpus.series:
+        for i, v in enumerate(values):
+            if v is None:
+                continue
+            rows.append((name, labels, T0 + i * corpus.step_s, v))
+    return make_samples(spark, rows)
+
+
+def run_corpus(spark, text: str, lookback_s: float = 300.0):
+    from m3_spark.plans.engine import query_instant
+
+    failures = []
+    for corpus in parse_corpus(text):
+        samples = load_samples(spark, corpus)
+        for case in corpus.evals:
+            got_rows = query_instant(
+                samples, case.query, T0 + case.at_s, lookback_s
+            ).collect()
+            got = {}
+            for r in got_rows:
+                tags = dict(r["tags"]) if r["tags"] else {}
+                got[tuple(sorted(tags.items()))] = r["value"]
+            if not _match(got, case.expected):
+                failures.append((case.query, case.expected, got))
+    return failures
+
+
+def _match(got, want, tol=1e-6) -> bool:
+    if set(got) != set(want):
+        return False
+    return all(abs(got[k] - want[k]) <= tol * max(1.0, abs(want[k])) for k in want)

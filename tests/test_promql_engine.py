@@ -1,0 +1,165 @@
+"""PromQL parser unit tests + golden corpus in the upstream logic-test
+notation (fresh corpus; semantics per the documented fixtures)."""
+
+from __future__ import annotations
+
+import pytest
+
+from m3_spark.plans.promql import (
+    Agg,
+    Binary,
+    Call,
+    NumberLit,
+    Selector,
+    parse,
+)
+
+from .promql_corpus import run_corpus
+
+
+def test_parse_selector():
+    ast = parse('http_requests{job="api-server", instance!="0"}')
+    assert isinstance(ast, Selector)
+    assert ast.matchers == (
+        ("=", "__name__", "http_requests"),
+        ("=", "job", "api-server"),
+        ("!=", "instance", "0"),
+    )
+
+
+def test_parse_range_offset():
+    ast = parse("rate(foo[5m] offset 1h)")
+    assert isinstance(ast, Call) and ast.func == "rate"
+    sel = ast.args[0]
+    assert sel.range_s == 300.0 and sel.offset_s == 3600.0
+
+
+def test_parse_agg_modifiers():
+    ast = parse("sum by (a, b) (foo)")
+    assert isinstance(ast, Agg) and ast.by == ("a", "b")
+    ast = parse("quantile without (c) (0.9, foo)")
+    assert ast.without == ("c",) and ast.param == NumberLit(0.9)
+    ast = parse("topk(3, foo)")
+    assert ast.op == "topk" and ast.param == NumberLit(3.0)
+
+
+def test_parse_precedence_and_fold():
+    ast = parse("1 + 2 * 3 ^ 2")
+    assert ast == NumberLit(19.0)
+    ast = parse("foo + bar * 2")
+    assert isinstance(ast, Binary) and ast.op == "+"
+    assert isinstance(ast.rhs, Binary) and ast.rhs.op == "*"
+
+
+def test_parse_vector_matching():
+    ast = parse("a / on(x) group_left b")
+    assert ast.on == ("x",) and ast.group == "left"
+    ast = parse("a > bool 10")
+    assert ast.bool_mode and ast.rhs == NumberLit(10.0)
+
+
+CORPUS = """
+load 5m
+  http_requests{job="api-server", instance="0", group="production"} 0+10x10
+  http_requests{job="api-server", instance="1", group="production"} 0+20x10
+  http_requests{job="api-server", instance="0", group="canary"} 0+30x10
+  http_requests{job="api-server", instance="1", group="canary"} 0+40x10
+  http_requests{job="app-server", instance="0", group="production"} 0+50x10
+  http_requests{job="app-server", instance="1", group="production"} 0+60x10
+  http_requests{job="app-server", instance="0", group="canary"} 0+70x10
+  http_requests{job="app-server", instance="1", group="canary"} 0+80x10
+
+eval instant at 50m sum by (group) (http_requests{job="api-server"})
+  {group="canary"} 700
+  {group="production"} 300
+
+eval instant at 50m sum(http_requests)
+  {} 3600
+
+eval instant at 50m avg by (job) (http_requests)
+  {job="api-server"} 250
+  {job="app-server"} 650
+
+eval instant at 50m count by (group) (http_requests)
+  {group="canary"} 4
+  {group="production"} 4
+
+eval instant at 50m max without (instance, group, job) (http_requests)
+  {} 800
+
+eval instant at 50m quantile by (job) (0.5, http_requests)
+  {job="api-server"} 250
+  {job="app-server"} 650
+
+eval instant at 50m sum by (group) (http_requests{job="api-server"}) + sum by (group) (http_requests{job="app-server"})
+  {group="canary"} 2200
+  {group="production"} 1400
+
+eval instant at 50m sum by (group) (http_requests) * 2 - 100
+  {group="canary"} 4300
+  {group="production"} 2700
+
+eval instant at 50m sum by (instance) (http_requests) / on() sum(http_requests)
+  {instance="0"} 0.444444444
+  {instance="1"} 0.555555555
+
+eval instant at 50m http_requests{job="api-server"} > 350
+  {group="canary", instance="1", job="api-server"} 400
+
+eval instant at 50m rate(http_requests{instance="0", group="canary"}[30m])
+  {group="canary", instance="0", job="api-server"} 0.1
+  {group="canary", instance="0", job="app-server"} 0.23333333333
+
+eval instant at 50m sum_over_time(http_requests{instance="1", job="app-server"}[30m])
+  {group="canary", instance="1", job="app-server"} 3600
+  {group="production", instance="1", job="app-server"} 2700
+
+eval instant at 50m avg_over_time(http_requests{instance="1", job="app-server", group="canary"}[30m])
+  {group="canary", instance="1", job="app-server"} 600
+
+eval instant at 50m abs(-1 * http_requests{group="production", job="api-server"})
+  {group="production", instance="0", job="api-server"} 100
+  {group="production", instance="1", job="api-server"} 200
+
+eval instant at 50m clamp_max(http_requests{job="api-server"}, 250)
+  {group="canary", instance="0", job="api-server"} 250
+  {group="canary", instance="1", job="api-server"} 250
+  {group="production", instance="0", job="api-server"} 100
+  {group="production", instance="1", job="api-server"} 200
+
+load 5m
+  up{job="a"} 1 1 1 0 0 1
+  up{job="b"} 0 0 0 0 0 0
+
+eval instant at 25m changes(up{job="a"}[25m])
+  {job="a"} 2
+
+eval instant at 25m resets(up{job="a"}[25m])
+  {job="a"} 1
+
+eval instant at 25m up{job="a"} and up{job="b"}
+
+eval instant at 25m up{job="a"} and on() up{job="b"}
+  {job="a"} 1
+
+eval instant at 25m up{job="a"} unless on() up{job="b"}
+
+eval instant at 25m sum(absent(nonexistent_metric))
+  {} 1
+
+load 5m
+  hist_bucket{le="0.1"} 0+1x10
+  hist_bucket{le="0.5"} 0+3x10
+  hist_bucket{le="+Inf"} 0+4x10
+
+eval instant at 50m histogram_quantile(0.5, hist_bucket)
+  {} 0.3
+"""
+
+
+def test_corpus(spark):
+    failures = run_corpus(spark, CORPUS)
+    msg = "\n".join(
+        f"{q}\n  want={w}\n  got ={g}" for q, w, g in failures
+    )
+    assert not failures, f"{len(failures)} corpus failures:\n{msg}"
