@@ -1,0 +1,76 @@
+"""Metadata / tag-search API — the §2.9 surface.
+
+Reference handlers: label names ``prometheus/native/list_tags.go:47``,
+label values ``remote/tag_values.go:51``, series match
+``httpd/handler.go:327-329``, complete tags
+``native/complete_tags.go``, search ``handler/search.go:44``.
+
+The reference backs these with the m3ninx inverted index; Spark gets
+the same pruning from Parquet column statistics + dictionary filters.
+For hot metadata paths at 100 TB, materialize ``series_dict``
+(distinct series_id, name, tags) once per ingest window and serve
+these queries from it — that's the ``series_dictionary`` helper.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.fetch import fetch
+
+
+def series_dictionary(samples: DataFrame) -> DataFrame:
+    """Distinct series (the materialized tag-search index)."""
+    return samples.groupBy("series_id").agg(
+        F.first("name").alias("name"), F.first("tags").alias("tags")
+    )
+
+
+def label_names(
+    samples: DataFrame, matchers: Sequence[tuple[str, str, str]] = ()
+) -> DataFrame:
+    """/api/v1/labels: distinct tag keys over matching series."""
+    sel = fetch(samples, matchers) if matchers else samples
+    return (
+        sel.select(F.explode(F.map_keys(F.col("tags"))).alias("label"))
+        .distinct()
+    )
+
+
+def label_values(
+    samples: DataFrame, key: str, matchers: Sequence[tuple[str, str, str]] = ()
+) -> DataFrame:
+    """/api/v1/label/<k>/values."""
+    sel = fetch(samples, matchers) if matchers else samples
+    return (
+        sel.select(F.col("tags").getItem(key).alias("value"))
+        .where(F.col("value").isNotNull())
+        .distinct()
+    )
+
+
+def series_match(
+    samples: DataFrame, matchers: Sequence[tuple[str, str, str]]
+) -> DataFrame:
+    """/api/v1/series: distinct matching series identities."""
+    return series_dictionary(fetch(samples, matchers))
+
+
+def complete_tags(
+    samples: DataFrame,
+    key_prefix: str = "",
+    matchers: Sequence[tuple[str, str, str]] = (),
+) -> DataFrame:
+    """complete_tags: (label, values[]) pairs, optional key prefix."""
+    sel = fetch(samples, matchers) if matchers else samples
+    kv = sel.select(F.explode(F.col("tags")).alias("label", "value"))
+    if key_prefix:
+        kv = kv.where(F.col("label").startswith(key_prefix))
+    return (
+        kv.distinct()
+        .groupBy("label")
+        .agg(F.sort_array(F.collect_set("value")).alias("values"))
+    )

@@ -1,0 +1,158 @@
+"""Graphite target compiler: render-target text → DataFrame plan.
+
+Reference: hand-written lexer + recursive-descent compiler resolving
+calls against the reflection-typed registry
+(``src/query/graphite/native/compiler.go:40-200``,
+``native/functions.go:78-191``); execution pulls series by glob and
+applies the function pipeline (``native/engine.go:29-59``).
+
+Grammar subset: ``func(arg, …)`` nesting, path globs, numbers,
+quoted strings.  Functions resolve against ``functions.REGISTRY``;
+series-typed arguments become grid frames (fetch by glob →
+consolidate).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+from ..operators.consolidate import consolidate
+from . import functions as gf
+from .paths import fetch_by_glob
+
+_TOK = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<num>-?[0-9]+(?:\.[0-9]+)?)
+  | (?P<str>"[^"]*"|'[^']*')
+  | (?P<sym>[(),])
+  | (?P<word>[^\s(),'"]+)
+""",
+    re.VERBOSE,
+)
+
+
+@dataclass(frozen=True)
+class CallNode:
+    func: str
+    args: tuple
+
+
+@dataclass(frozen=True)
+class GlobNode:
+    glob: str
+
+
+@dataclass(frozen=True)
+class LitNode:
+    value: object
+
+
+def _tokenize(target: str):
+    out, i = [], 0
+    while i < len(target):
+        m = _TOK.match(target, i)
+        if not m:
+            raise SyntaxError(f"bad graphite token at {target[i:i+20]!r}")
+        i = m.end()
+        if m.lastgroup != "ws":
+            out.append((m.lastgroup, m.group()))
+    out.append(("eof", ""))
+    return out
+
+
+class _Parser:
+    def __init__(self, target: str):
+        self.toks = _tokenize(target)
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def parse(self):
+        e = self.expr()
+        if self.peek()[0] != "eof":
+            raise SyntaxError(f"trailing input {self.peek()[1]!r}")
+        return e
+
+    def expr(self):
+        k, v = self.next()
+        if k == "num":
+            return LitNode(float(v))
+        if k == "str":
+            return LitNode(v[1:-1])
+        if k == "word":
+            if self.peek()[1] == "(":
+                self.next()
+                args = []
+                while self.peek()[1] != ")":
+                    args.append(self.expr())
+                    if self.peek()[1] == ",":
+                        self.next()
+                self.next()
+                return CallNode(v, tuple(args))
+            return GlobNode(v)
+        raise SyntaxError(f"unexpected {v!r}")
+
+
+def parse_target(target: str):
+    return _Parser(target).parse()
+
+
+def evaluate(
+    samples: DataFrame, target: str, start, end, step_s: float,
+    lookback_s: float | None = None,
+) -> DataFrame:
+    """Compile + execute a render target over the samples frame."""
+    lookback_s = lookback_s if lookback_s is not None else step_s
+
+    def ev(node):
+        if isinstance(node, LitNode):
+            return node.value
+        if isinstance(node, GlobNode):
+            sel = fetch_by_glob(samples, node.glob)
+            return consolidate(sel, start, end, step_s, lookback_s)
+        if isinstance(node, CallNode):
+            if node.func not in gf.REGISTRY:
+                raise ValueError(f"unknown graphite function {node.func!r}")
+            fn = gf.REGISTRY[node.func]
+            args = [ev(a) for a in node.args]
+            # summarize/perSecond take raw samples or step size — the
+            # registry entries are uniform over grid frames except
+            # summarize (tumbling over raw samples)
+            if node.func == "summarize":
+                glob = node.args[0]
+                if not isinstance(glob, GlobNode):
+                    raise ValueError("summarize requires a series glob")
+                raw = fetch_by_glob(samples, glob.glob)
+                interval = int(_dur_s(node.args[1].value))
+                func = args[2] if len(args) > 2 else "sum"
+                return gf.summarize(raw, interval, func)
+            if node.func == "perSecond":
+                return gf.per_second(args[0], step_s)
+            coerced = [
+                int(a) if isinstance(a, float) and a.is_integer() and i > 0 else a
+                for i, a in enumerate(args)
+            ]
+            return fn(*coerced)
+        raise TypeError(node)
+
+    return ev(parse_target(target))
+
+
+def _dur_s(s):
+    if isinstance(s, float):
+        return s
+    units = {"s": 1, "min": 60, "h": 3600, "d": 86400}
+    m = re.fullmatch(r"([0-9]+)(s|min|h|d)", s)
+    if not m:
+        raise ValueError(f"bad duration {s!r}")
+    return int(m.group(1)) * units[m.group(2)]

@@ -1,0 +1,94 @@
+"""Multi-resolution namespace routing (SURVEY §4.1 "custom").
+
+Reference: queries fan out to unaggregated + aggregated namespaces;
+the resolver picks the finest resolution whose retention covers the
+query range and stitches partial coverage
+(``src/query/storage/m3/cluster_resolver.go:87-271``,
+``consolidators/multi_fetch_result.go``).
+
+Spark restatement: namespaces are tables (``metrics_<res>``) written by
+the streaming rollup jobs; routing is a *driver-side* decision made
+before ``spark.read`` (not a Catalyst rule) so partition pruning sees a
+concrete table + time filter.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Namespace:
+    """resolution 0 = unaggregated/raw (finest)."""
+
+    name: str
+    resolution_s: int
+    retention_s: int
+
+
+@dataclass(frozen=True)
+class Segment:
+    namespace: Namespace
+    start_s: float
+    end_s: float
+
+
+def route(
+    namespaces: Sequence[Namespace], start_s: float, end_s: float, now_s: float
+) -> list[Segment]:
+    """Pick per-time-segment namespaces: finest resolution available
+    at each point of [start, end] (cluster_resolver semantics: prefer
+    the finest namespace whose retention window covers the segment;
+    older segments fall back to coarser/longer-retention namespaces).
+    """
+    by_fine = sorted(namespaces, key=lambda n: n.resolution_s)
+    segments: list[Segment] = []
+    t = start_s
+    while t < end_s:
+        # namespaces alive at time t
+        alive = [n for n in by_fine if now_s - n.retention_s <= t]
+        if not alive:
+            # nothing covers this era — skip forward to the earliest
+            # covered instant
+            starts = [now_s - n.retention_s for n in by_fine]
+            nxt = min(s for s in starts if s > t) if any(s > t for s in starts) else end_s
+            t = min(nxt, end_s)
+            continue
+        chosen = alive[0]  # finest
+        # this choice holds until a finer namespace's retention begins
+        finer_starts = [
+            now_s - n.retention_s
+            for n in by_fine
+            if n.resolution_s < chosen.resolution_s and now_s - n.retention_s > t
+        ]
+        seg_end = min([end_s] + finer_starts)
+        segments.append(Segment(chosen, t, seg_end))
+        t = seg_end
+    return segments
+
+
+def read_routed(
+    segments: Sequence[Segment],
+    reader: Callable[[Namespace], DataFrame],
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Union the routed segments with per-segment time pruning.
+
+    ``reader`` maps a namespace to its frame (e.g.
+    ``spark.read.parquet(f"metrics_{ns.name}")``); the segment bounds
+    become pushed-down scan filters.
+    """
+    out: DataFrame | None = None
+    for seg in segments:
+        df = reader(seg.namespace).where(
+            (F.col(ts_col) >= F.timestamp_seconds(F.lit(seg.start_s)))
+            & (F.col(ts_col) < F.timestamp_seconds(F.lit(seg.end_s)))
+        )
+        out = df if out is None else out.unionByName(df)
+    if out is None:
+        raise ValueError("no namespace covers the query range")
+    return out

@@ -1,0 +1,131 @@
+"""Ingest-format parsers: wire formats → the canonical samples schema.
+
+Reference handlers (all → storage writes):
+  * Carbon plaintext ``path value timestamp``
+    (``src/cmd/services/m3coordinator/ingest/carbon/ingest.go``);
+  * InfluxDB line protocol ``m,tag=v field=1.5 <ns>``
+    (``src/query/api/v1/handler/influxdb/write.go``);
+  * JSON write ``{"tags": {...}, "timestamp": ..., "value": ...}``
+    (``src/query/api/v1/handler/json/write.go``);
+  * Prometheus remote write (protobuf; here the already-decoded
+    (labels, ts, value) relational shape)
+    (``src/query/api/v1/handler/prometheus/remote/write.go:68``).
+
+All parsers are pure column expressions over a ``line STRING`` frame —
+usable identically under ``spark.read.text`` (batch backfill) and
+``spark.readStream`` (live ingest); invalid lines are dropped, matching
+the reference's per-line error handling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..graphite.paths import path_tags_col
+from ..model import with_series_id
+
+
+def parse_carbon(lines: DataFrame, line_col: str = "value") -> DataFrame:
+    """``path value timestamp`` plaintext → samples (graphite tags)."""
+    parts = F.split(F.trim(F.col(line_col)), r"\s+")
+    df = lines.select(
+        F.get(parts, 0).alias("path"),
+        F.get(parts, 1).try_cast("double").alias("value"),
+        F.timestamp_seconds(F.get(parts, 2).try_cast("double")).alias("ts"),
+        F.size(parts).alias("_n"),
+    ).where(
+        (F.col("_n") == 3)
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    out = df.select(
+        F.col("path").alias("name"),
+        path_tags_col(F.col("path")).alias("tags"),
+        "ts",
+        "value",
+    )
+    return with_series_id(out).select("name", "tags", "series_id", "ts", "value")
+
+
+def parse_influx(lines: DataFrame, line_col: str = "value") -> DataFrame:
+    """InfluxDB line protocol (single-field form):
+    ``measurement[,tag=v…] field=value [ns-timestamp]``.
+
+    Field keys become the metric name suffix ``measurement.field``
+    (the reference's influx translation flattens fields the same way).
+    """
+    line = F.trim(F.col(line_col))
+    head = F.regexp_extract(line, r"^([^ ]+) ", 1)  # measurement,tags
+    measurement = F.get(F.split(head, ","), 0)
+    # tags: everything after the first comma in the head section
+    tags_str = F.when(
+        head.contains(","),
+        F.regexp_extract(head, r"^[^,]+,(.*)$", 1),
+    ).otherwise(F.lit(""))
+    tag_pairs = F.filter(F.split(tags_str, ","), lambda s: s.contains("="))
+    tags = F.map_from_entries(
+        F.transform(
+            tag_pairs,
+            lambda p: F.struct(
+                F.get(F.split(p, "="), 0).alias("key"),
+                F.get(F.split(p, "="), 1).alias("value"),
+            ),
+        )
+    )
+    field_part = F.regexp_extract(line, r"^[^ ]+ ([^ ]+)", 1)
+    field_key = F.get(F.split(field_part, "="), 0)
+    field_val = F.get(F.split(field_part, "="), 1).try_cast("double")
+    ts_ns = F.regexp_extract(line, r" ([0-9]+)$", 1)
+    ts = F.when(
+        ts_ns != "",
+        F.timestamp_micros(
+            F.expr(
+                f"try_cast(regexp_extract(trim({line_col}), ' ([0-9]+)$', 1)"
+                " AS BIGINT) div 1000"
+            )
+        ),
+    )
+    out = lines.select(
+        F.concat(measurement, F.lit("."), field_key).alias("name"),
+        F.coalesce(tags, F.map_from_arrays(F.array(), F.array())).alias("tags"),
+        ts.alias("ts"),
+        field_val.alias("value"),
+    ).where(F.col("value").isNotNull() & F.col("ts").isNotNull())
+    return with_series_id(out).select("name", "tags", "series_id", "ts", "value")
+
+
+def parse_json_write(lines: DataFrame, line_col: str = "value") -> DataFrame:
+    """``{"tags": {"__name__": …, …}, "timestamp": sec, "value": v}``."""
+    schema = "tags MAP<STRING,STRING>, timestamp DOUBLE, value DOUBLE"
+    j = lines.select(F.from_json(F.col(line_col), schema).alias("r")).where(
+        F.col("r").isNotNull()
+    )
+    out = j.select(
+        F.col("r.tags").getItem("__name__").alias("name"),
+        F.map_filter(
+            F.col("r.tags"), lambda k, _v: k != F.lit("__name__")
+        ).alias("tags"),
+        F.timestamp_seconds(F.col("r.timestamp")).alias("ts"),
+        F.col("r.value").alias("value"),
+    ).where(F.col("value").isNotNull() & F.col("ts").isNotNull())
+    return with_series_id(out).select("name", "tags", "series_id", "ts", "value")
+
+
+def from_remote_write(
+    labeled: DataFrame,
+    labels_col: str = "labels",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Prometheus remote-write relational shape:
+    (labels MAP<STRING,STRING> incl. __name__, ts, value) → samples."""
+    out = labeled.select(
+        F.col(labels_col).getItem("__name__").alias("name"),
+        F.map_filter(
+            F.col(labels_col), lambda k, _v: k != F.lit("__name__")
+        ).alias("tags"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return with_series_id(out).select("name", "tags", "series_id", "ts", "value")

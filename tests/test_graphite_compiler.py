@@ -1,0 +1,48 @@
+from __future__ import annotations
+
+import pytest
+
+from m3_spark.graphite.compiler import evaluate, parse_target, CallNode, GlobNode
+
+from .test_consolidate import T0
+from .test_graphite import gsamples  # noqa: F401  (fixture)
+
+
+def test_parse_target():
+    ast = parse_target('groupByNode(servers.*.cpu.*, 1, "sum")')
+    assert isinstance(ast, CallNode) and ast.func == "groupByNode"
+    assert ast.args[0] == GlobNode("servers.*.cpu.*")
+
+
+def test_eval_sum_series(spark, gsamples):  # noqa: F811
+    out = evaluate(
+        gsamples, "sumSeries(servers.*.cpu.user)", T0 + 240, T0 + 240, 60, 300
+    ).collect()
+    assert len(out) == 1 and out[0]["value"] == 82.0
+
+
+def test_eval_nested(spark, gsamples):  # noqa: F811
+    out = evaluate(
+        gsamples,
+        'scale(groupByNode(servers.*.cpu.*, 1, "sum"), 10)',
+        T0 + 240, T0 + 240, 60, 300,
+    ).collect()
+    got = {r["name"]: r["value"] for r in out}
+    assert got == {"web01": 280.0, "web02": 480.0, "db01": 880.0}
+
+
+def test_eval_summarize(spark, gsamples):  # noqa: F811
+    out = evaluate(
+        gsamples, 'summarize(servers.web01.cpu.user, "2min", "sum")',
+        T0, T0 + 240, 60,
+    ).collect()
+    assert sorted(r["value"] for r in out) == [14.0, 21.0, 25.0]
+
+
+def test_eval_highest(spark, gsamples):  # noqa: F811
+    out = evaluate(
+        gsamples, "highestAverage(servers.*.*.*, 3)", T0, T0 + 240, 60, 300
+    ).collect()
+    assert {r["name"] for r in out} == {
+        "servers.db01.cpu.user", "servers.db01.cpu.system", "servers.db01.mem.used",
+    }

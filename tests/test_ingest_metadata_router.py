@@ -1,0 +1,148 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from m3_spark.functions.metadata import (
+    complete_tags,
+    label_names,
+    label_values,
+    series_match,
+)
+from m3_spark.plans.router import Namespace, Segment, read_routed, route
+from m3_spark.sources.ingest import (
+    from_remote_write,
+    parse_carbon,
+    parse_influx,
+    parse_json_write,
+)
+
+from .conftest import make_samples
+from .test_consolidate import T0
+
+
+def _lines(spark, lines):
+    return spark.createDataFrame([(l,) for l in lines], "value string")
+
+
+def test_parse_carbon(spark):
+    df = parse_carbon(
+        _lines(
+            spark,
+            [
+                f"servers.web01.cpu 0.5 {T0}",
+                f"servers.db01.mem 1024 {T0 + 10}",
+                "garbage line",
+                f"bad.value abc {T0}",
+            ],
+        )
+    )
+    rows = df.collect()
+    assert len(rows) == 2
+    r = {x["name"]: x for x in rows}
+    assert r["servers.web01.cpu"]["value"] == 0.5
+    assert r["servers.web01.cpu"]["tags"]["__g1__"] == "web01"
+
+
+def test_parse_influx(spark):
+    ns = T0 * 1_000_000_000
+    df = parse_influx(
+        _lines(
+            spark,
+            [
+                f"cpu,host=web01,region=us usage=0.64 {ns}",
+                f"mem free=2048 {ns}",
+                "malformed",
+            ],
+        )
+    )
+    rows = {x["name"]: x for x in df.collect()}
+    assert set(rows) == {"cpu.usage", "mem.free"}
+    assert rows["cpu.usage"]["tags"] == {"host": "web01", "region": "us"}
+    assert rows["cpu.usage"]["value"] == 0.64
+    assert int(rows["mem.free"]["ts"].timestamp()) == T0
+
+
+def test_parse_json(spark):
+    df = parse_json_write(
+        _lines(
+            spark,
+            [
+                '{"tags": {"__name__": "up", "job": "a"}, "timestamp": %d, "value": 1.0}' % T0,
+                "not json",
+            ],
+        )
+    )
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0]["name"] == "up" and rows[0]["tags"] == {"job": "a"}
+
+
+def test_remote_write(spark):
+    df = spark.createDataFrame(
+        [({"__name__": "up", "job": "a"}, T0, 1.0)],
+        "labels map<string,string>, ts_s long, value double",
+    ).select("labels", F.timestamp_seconds("ts_s").alias("ts"), "value")
+    out = from_remote_write(df).collect()
+    assert out[0]["name"] == "up" and out[0]["tags"] == {"job": "a"}
+
+
+@pytest.fixture(scope="module")
+def meta_samples(spark):
+    return make_samples(
+        spark,
+        [
+            ("up", {"job": "a", "env": "prod"}, T0, 1.0),
+            ("up", {"job": "b", "env": "dev"}, T0, 1.0),
+            ("down", {"job": "a", "zone": "x"}, T0, 1.0),
+        ],
+    )
+
+
+def test_metadata(spark, meta_samples):
+    assert {r["label"] for r in label_names(meta_samples).collect()} == {
+        "job", "env", "zone",
+    }
+    assert {r["value"] for r in label_values(meta_samples, "job").collect()} == {
+        "a", "b",
+    }
+    m = series_match(meta_samples, [("=", "job", "a")]).collect()
+    assert {r["name"] for r in m} == {"up", "down"}
+    ct = {r["label"]: r["values"] for r in complete_tags(meta_samples).collect()}
+    assert ct["job"] == ["a", "b"]
+    ct = {r["label"]: r["values"] for r in complete_tags(meta_samples, "e").collect()}
+    assert set(ct) == {"env"}
+
+
+def test_route_finest_cover():
+    raw = Namespace("raw", 0, 2 * 86400)
+    m5 = Namespace("5m", 300, 30 * 86400)
+    h1 = Namespace("1h", 3600, 365 * 86400)
+    now = 1_700_000_000
+    # recent query → raw only
+    segs = route([raw, m5, h1], now - 86400, now, now)
+    assert [s.namespace.name for s in segs] == ["raw"]
+    # 10-day query → 5m until raw's retention starts, then raw
+    segs = route([raw, m5, h1], now - 10 * 86400, now, now)
+    assert [s.namespace.name for s in segs] == ["5m", "raw"]
+    assert segs[0].end_s == now - 2 * 86400
+    # 100-day query → 1h, then 5m, then raw
+    segs = route([raw, m5, h1], now - 100 * 86400, now, now)
+    assert [s.namespace.name for s in segs] == ["1h", "5m", "raw"]
+
+
+def test_read_routed(spark):
+    now = float(T0 + 1000)
+    raw = Namespace("raw", 0, 500)
+    agg = Namespace("agg", 60, 10_000)
+    frames = {
+        "raw": make_samples(spark, [("m", {}, T0 + 800, 2.0)]),
+        "agg": make_samples(
+            spark, [("m", {}, T0 + 100, 1.0), ("m", {}, T0 + 800, 99.0)]
+        ),
+    }
+    segs = route([raw, agg], T0, now, now)
+    assert [s.namespace.name for s in segs] == ["agg", "raw"]
+    out = read_routed(segs, lambda ns: frames[ns.name]).collect()
+    # agg serves [T0, T0+500), raw serves [T0+500, now) → 99.0 excluded
+    assert sorted(r["value"] for r in out) == [1.0, 2.0]
