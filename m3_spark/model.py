@@ -77,7 +77,7 @@ def events_to_samples(events: DataFrame) -> DataFrame:
     Convention (FIXTURES.md §5): ``event_type`` is the metric name,
     ``user_id`` is a tag, ``value`` is the sample value.
     """
-    df = events.select(
+    cols = [
         F.col("event_type").alias("name"),
         F.create_map(
             F.lit("event_type"), F.col("event_type"),
@@ -85,8 +85,13 @@ def events_to_samples(events: DataFrame) -> DataFrame:
         ).alias("tags"),
         F.col("ts"),
         F.col("value").cast("double").alias("value"),
-    )
-    return with_series_id(df).select("name", "tags", "series_id", "ts", "value")
+    ]
+    out_cols = ["name", "tags", "series_id", "ts", "value"]
+    # carry the raw-nanos pruning column through (see sources.tables)
+    if "_ts_ns" in events.columns:
+        cols.append(F.col("_ts_ns"))
+        out_cols.append("_ts_ns")
+    return with_series_id(events.select(*cols)).select(*out_cols)
 
 
 def read_samples(spark, sf_dir: str) -> DataFrame:

@@ -83,12 +83,6 @@ def aggregate(
 
     func ∈ sum|min|max|avg|count|stddev|stdvar|quantile (param=φ).
     """
-    g = grid.select(
-        "step_ts",
-        retained_tags_col(by, without).alias("tags"),
-        "value",
-    ).withColumn("sig", group_sig_col(F.col("tags")))
-
     if func in _SIMPLE:
         val = _SIMPLE[func](F.col("value"))
     elif func == "count":
@@ -100,6 +94,39 @@ def aggregate(
     else:
         raise ValueError(f"unknown aggregation {func!r}")
 
+    if by is not None:
+        # Fast path: group on plain string key columns (map-typed keys
+        # or map aggregates force SortAggregate; strings + double
+        # buffers keep it a HashAggregate inside codegen) and rebuild
+        # the retained-tags map from the grouped values afterwards.
+        keys = [
+            F.col("tags").getItem(k).alias(f"_k{i}") for i, k in enumerate(by)
+        ]
+        out = (
+            grid.select("step_ts", "value", *keys)
+            .groupBy("step_ts", *[f"_k{i}" for i in range(len(by))])
+            .agg(val.alias("value"), F.count(F.col("value")).alias("_present"))
+        )
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("key"), F.col(f"_k{i}").alias("value")
+                )
+                for i, k in enumerate(by)
+            ]
+        )
+        tags = F.map_from_entries(
+            F.filter(entries, lambda e: e["value"].isNotNull())
+        )
+        return out.where(F.col("_present") > 0).select(
+            "step_ts", tags.alias("tags"), "value"
+        )
+
+    g = grid.select(
+        "step_ts",
+        retained_tags_col(by, without).alias("tags"),
+        "value",
+    ).withColumn("sig", group_sig_col(F.col("tags")))
     out = g.groupBy("step_ts", "sig").agg(
         F.first("tags").alias("tags"),
         val.alias("value"),

@@ -46,6 +46,43 @@ def _to_ts_lit(t):
     return F.to_timestamp(F.lit(t))
 
 
+def _epoch_s(t) -> float:
+    """Python-side epoch seconds for a datetime | ISO string | number."""
+    if isinstance(t, dt.datetime):
+        if t.tzinfo is None:
+            t = t.replace(tzinfo=dt.timezone.utc)
+        return t.timestamp()
+    if isinstance(t, (int, float)):
+        return float(t)
+    return (
+        dt.datetime.fromisoformat(str(t))
+        .replace(tzinfo=dt.timezone.utc)
+        .timestamp()
+    )
+
+
+def prune_time(samples, start, end, margin_before_s: float):
+    """Time-range filter that actually reaches the parquet scan.
+
+    The ordinary predicate on the (converted) ``ts`` column prunes rows
+    but cannot be pushed past the nanos→µs conversion; when the frame
+    carries the raw ``_ts_ns`` column (sources.tables), an equivalent
+    int64 range predicate is added, which lands in PushedFilters and
+    prunes parquet row groups — the difference between scanning a day
+    and scanning 100 TB.
+    """
+    out = samples.where(
+        (F.col("ts") >= _to_ts_lit(start) - F.expr(f"INTERVAL {int(margin_before_s)} SECONDS"))
+        & (F.col("ts") <= _to_ts_lit(end))
+    )
+    if "_ts_ns" in samples.columns:
+        lo = int((_epoch_s(start) - margin_before_s) * 1_000_000_000)
+        hi = int(_epoch_s(end) * 1_000_000_000)
+        out = out.where((F.col("_ts_ns") >= lo) & (F.col("_ts_ns") <= hi))
+        out = out.drop("_ts_ns")
+    return out
+
+
 def step_grid(spark, start, end, step_s: float) -> DataFrame:
     """One-column DataFrame ``step_ts`` with the uniform step grid.
 
@@ -81,12 +118,8 @@ def consolidate(
     thr_s = max(lookback_s, step_s)
     thr_us = int(thr_s * 1_000_000)
 
-    start_c = _to_ts_lit(start)
     # Push the time-range filter to the scan (partition/row-group pruning).
-    pruned = samples.where(
-        (F.col("ts") >= start_c - F.expr(f"INTERVAL {int(thr_s)} SECONDS"))
-        & (F.col("ts") <= _to_ts_lit(end))
-    )
+    pruned = prune_time(samples, start, end, thr_s)
 
     # distinct on series_id (map columns can't be set-operation keys;
     # series_id is injective over (name, tags) anyway — map-side combine).

@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .consolidate import _to_ts_lit, step_grid
+from .consolidate import _to_ts_lit, prune_time, step_grid
 
 _US = 1_000_000
 
@@ -36,10 +36,7 @@ _US = 1_000_000
 def _probed(samples: DataFrame, start, end, step_s: float, range_s: float):
     """Union raw samples with per-series probe rows at each step."""
     spark = samples.sparkSession
-    pruned = samples.where(
-        (F.col("ts") > _to_ts_lit(start) - F.expr(f"INTERVAL {int(range_s)} SECONDS"))
-        & (F.col("ts") <= _to_ts_lit(end))
-    )
+    pruned = prune_time(samples, start, end, range_s)
     dims = pruned.groupBy("series_id").agg(
         F.first("name").alias("name"), F.first("tags").alias("tags")
     )
@@ -337,10 +334,7 @@ def _run_series_kernel(
     """Shared mapInPandas runner: per-series numpy kernel evaluated at
     the step grid (see rate() docstring for the batching strategy)."""
     range_us = int(range_s * _US)
-    pruned = samples.where(
-        (F.col("ts") > _to_ts_lit(start) - F.expr(f"INTERVAL {int(range_s)} SECONDS"))
-        & (F.col("ts") <= _to_ts_lit(end))
-    )
+    pruned = prune_time(samples, start, end, range_s)
     if isinstance(start, (int, float)):
         start_dt = dt.datetime.fromtimestamp(float(start), dt.timezone.utc)
         end_dt = dt.datetime.fromtimestamp(float(end), dt.timezone.utc)

@@ -26,6 +26,13 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         pass  # immutable in this session; read may still work if preset
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        # integer `div` — float division would lose precision on int64 nanos
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # integer `div` — float division would lose precision on int64
+        # nanos.  Keep the raw nanos as `_ts_ns`: predicates on the
+        # converted `ts` cannot be pushed into the parquet scan (they
+        # wrap the column in an expression), so time-pruning operators
+        # add an equivalent `_ts_ns` range predicate, which DOES reach
+        # PushedFilters / row-group stats.
+        df = df.withColumn("_ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
     return df
