@@ -415,6 +415,121 @@ def offset_to_zero(grid: DataFrame) -> DataFrame:
     return grid.withColumn("value", F.col("value") - F.min("value").over(w))
 
 
+def remove_above_value(grid: DataFrame, v: float) -> DataFrame:
+    return grid.withColumn(
+        "value", F.when(F.col("value") <= F.lit(float(v)), F.col("value"))
+    )
+
+
+def remove_below_value(grid: DataFrame, v: float) -> DataFrame:
+    return grid.withColumn(
+        "value", F.when(F.col("value") >= F.lit(float(v)), F.col("value"))
+    )
+
+
+def remove_above_percentile(grid: DataFrame, pct: float) -> DataFrame:
+    """null out values above the series' own pct-percentile."""
+    w = Window.partitionBy("series_id")
+    thr = F.percentile(F.col("value"), F.lit(float(pct) / 100.0)).over(w)
+    return grid.withColumn(
+        "value", F.when(F.col("value") <= thr, F.col("value"))
+    )
+
+
+def most_deviant(grid: DataFrame, k: int) -> DataFrame:
+    """mostDeviant(k): top-k series by population variance."""
+    stats = grid.groupBy("series_id").agg(F.var_pop("value").alias("_stat"))
+    w = Window.orderBy(F.col("_stat").desc(), F.col("series_id"))
+    keep = stats.withColumn("_rk", F.row_number().over(w)).where(
+        F.col("_rk") <= k
+    ).select("series_id")
+    return grid.join(F.broadcast(keep), "series_id", "left_semi")
+
+
+def changed(grid: DataFrame) -> DataFrame:
+    w = Window.partitionBy("series_id").orderBy("step_ts")
+    prev = F.lag("value").over(w)
+    return grid.withColumn(
+        "value",
+        F.when(prev.isNull(), F.lit(0.0)).otherwise(
+            (F.col("value") != prev).cast("double")
+        ),
+    )
+
+
+def time_function(grid: DataFrame) -> DataFrame:
+    """timeFunction/identity: value := step epoch seconds."""
+    return grid.withColumn(
+        "value", F.unix_timestamp(F.col("step_ts")).cast("double")
+    )
+
+
+def constant_line(grid: DataFrame, v: float) -> DataFrame:
+    """constantLine(v) over the grid's step domain."""
+    return (
+        grid.select("step_ts")
+        .distinct()
+        .select(
+            "step_ts",
+            F.lit("constantLine").alias("name"),
+            F.map_from_arrays(F.array(), F.array()).alias("tags"),
+            F.lit("constantLine").alias("series_id"),
+            F.lit(float(v)).alias("value"),
+        )
+    )
+
+
+def group_by_dropping_nodes(grid: DataFrame, func: str, *drop: int) -> DataFrame:
+    """sumSeriesWithWildcards / averageSeriesWithWildcards: aggregate
+    series whose paths match after removing the given components
+    (aggregation_functions.go:334-705)."""
+    drop_keys = F.array(*[F.lit(gtag(d)) for d in drop])
+    kept = F.map_filter(
+        F.col("tags"),
+        lambda k, _v: k.startswith("__g") & ~F.array_contains(drop_keys, k),
+    )
+    kv = F.transform(
+        F.array_sort(F.map_entries(kept)),
+        lambda e: e["value"],
+    )
+    key = F.array_join(kv, ".")
+    agg = _COMBINE[func](F.col("value"))
+    return (
+        grid.withColumn("_key", key)
+        .groupBy("step_ts", "_key")
+        .agg(agg.alias("value"), F.count("value").alias("_n"))
+        .where(F.col("_n") > 0)
+        .select(
+            "step_ts",
+            F.col("_key").alias("name"),
+            F.map_from_arrays(F.array(), F.array()).alias("tags"),
+            F.col("_key").alias("series_id"),
+            "value",
+        )
+    )
+
+
+def weighted_average(grid: DataFrame, weights: DataFrame) -> DataFrame:
+    """weightedAverage: sum(v*w)/sum(w) per step, joined on series."""
+    w = weights.select(
+        "step_ts", "series_id", F.col("value").alias("_w")
+    )
+    j = grid.join(w, ["step_ts", "series_id"])
+    return (
+        j.groupBy("step_ts")
+        .agg(
+            (F.sum(F.col("value") * F.col("_w")) / F.sum("_w")).alias("value")
+        )
+        .select(
+            "step_ts",
+            F.lit("weightedAverage").alias("name"),
+            F.map_from_arrays(F.array(), F.array()).alias("tags"),
+            F.lit("weightedAverage").alias("series_id"),
+            "value",
+        )
+    )
+
+
 def alias_series(grid: DataFrame, newname: str) -> DataFrame:
     return grid.withColumn("name", F.lit(newname))
 
@@ -464,6 +579,27 @@ REGISTRY: dict[str, Callable] = {
     "limit": limit_series,
     "exclude": exclude,
     "grep": grep,
+    "aggregate": lambda g, f: _combined(g, f, f"aggregate-{f}"),
+    "sumSeriesWithWildcards": lambda g, *d: group_by_dropping_nodes(g, "sum", *d),
+    "averageSeriesWithWildcards": lambda g, *d: group_by_dropping_nodes(g, "avg", *d),
+    "multiplySeriesWithWildcards": lambda g, *d: group_by_dropping_nodes(g, "multiply", *d),
+    "aggregateWithWildcards": lambda g, f, *d: group_by_dropping_nodes(g, f, *d),
+    "weightedAverage": weighted_average,
+    "averageAbove": lambda g, n: filter_series(g, "average", ">", n),
+    "averageBelow": lambda g, n: filter_series(g, "average", "<", n),
+    "currentAbove": lambda g, n: filter_series(g, "current", ">", n),
+    "currentBelow": lambda g, n: filter_series(g, "current", "<", n),
+    "maximumAbove": lambda g, n: filter_series(g, "max", ">", n),
+    "maximumBelow": lambda g, n: filter_series(g, "max", "<", n),
+    "minimumAbove": lambda g, n: filter_series(g, "min", ">", n),
+    "removeAboveValue": remove_above_value,
+    "removeBelowValue": remove_below_value,
+    "removeAbovePercentile": remove_above_percentile,
+    "mostDeviant": most_deviant,
+    "changed": changed,
+    "timeFunction": time_function,
+    "identity": time_function,
+    "constantLine": constant_line,
     "timeShift": time_shift,
     "timeSlice": time_slice,
     "summarize": summarize,

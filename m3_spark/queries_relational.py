@@ -520,6 +520,55 @@ FROM (
 """
 
 
+def q_bottomk(spark, sf_dir):
+    from .operators.aggregation import topk
+
+    out = topk(_grid(spark, sf_dir), 3, bottom=True)
+    return out.select(
+        _epoch(),
+        F.col("tags").getItem("event_type").alias("event_type"),
+        F.col("tags").getItem("user_id").cast("bigint").alias("user_id"),
+        F.round(F.col("value"), 6).alias("value"),
+    )
+
+
+ORACLE_BOTTOMK = f"""{_LASTV_SQL},
+ranked AS (
+  SELECT step_ts, event_type, user_id, v,
+         row_number() OVER (
+           PARTITION BY step_ts
+           ORDER BY v ASC,
+             event_type || '{{event_type=' || event_type || ',user_id='
+               || CAST(user_id AS VARCHAR) || '}}'
+         ) AS rk
+  FROM lastv
+)
+SELECT CAST(epoch(step_ts) AS BIGINT) AS step_s, event_type,
+       CAST(user_id AS BIGINT) AS user_id, ROUND(v, 6) AS value
+FROM ranked WHERE rk <= 3"""
+
+
+def q_vector_or(spark, sf_dir):
+    """(v > 150) or (v <= 20) — union + anti-dedup on sig."""
+    from .operators.binary import vector_or
+
+    g = _grid(spark, sf_dir)
+    hi = g.where(F.col("value") > 150)
+    lo = g.where(F.col("value") <= 20)
+    return _series_proj(
+        vector_or(hi, lo).select(
+            "step_ts", "tags", F.col("value")
+        )
+    )
+
+
+ORACLE_VECTOR_OR = f"""{_LASTV_SQL}
+SELECT CAST(epoch(step_ts) AS BIGINT) AS step_s, event_type,
+       CAST(user_id AS BIGINT) AS user_id, ROUND(v, 6) AS value
+FROM lastv WHERE v > 150 OR v <= 20
+"""
+
+
 def q_promql_text(spark, sf_dir):
     """End-to-end PromQL text path: parse → plan → execute.  Same
     semantics as promql_sum_by, driven through the query language."""
@@ -562,6 +611,8 @@ from .queries import ORACLE_TOPK as ORACLE_PROMQL_TEXT_BINARY  # noqa: E402
 
 
 RELATIONAL_QUERIES = {
+    "promql_bottomk": (q_bottomk, ORACLE_BOTTOMK),
+    "promql_vector_or": (q_vector_or, ORACLE_VECTOR_OR),
     "promql_text_sum_by": (q_promql_text, ORACLE_PROMQL_TEXT),
     "promql_text_topk": (q_promql_text_binary, ORACLE_PROMQL_TEXT_BINARY),
     "promql_err_ratio": (q_err_ratio, ORACLE_ERR_RATIO),

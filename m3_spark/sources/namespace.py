@@ -1,0 +1,57 @@
+"""Namespace tables: the storage layout replacing M3's filesets.
+
+Reference storage semantics (NOT ported mechanically — SURVEY §1):
+  * namespace = retention + block size + optional resolution
+    (``src/dbnode/namespace/types.go:36-151``);
+  * data lives in block-of-time filesets per shard
+    (``src/dbnode/persist/fs``), sharded by series hash
+    (``src/dbnode/sharding``).
+
+Spark/Parquet restatement:
+  * one table per namespace (``samples`` raw + ``metrics_<res>``
+    rollups), partitioned by ``date_bucket`` (the block-of-time
+    analog — partition pruning replaces fileset time filtering);
+  * within a partition, files are written sorted by
+    (series_id, ts) so parquet row-group stats on series_id allow
+    skip-scans for matcher-selective queries (the inverted-index
+    analog, weaker but free);
+  * optional ``bucket_count`` repartitions by hash(series_id) before
+    the write — co-locating a series inside one file per day, which
+    keeps per-series range scans and the consolidate/rate shuffles
+    narrow at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_namespace(
+    samples: DataFrame,
+    path: str,
+    bucket_count: int | None = None,
+    mode: str = "append",
+) -> None:
+    """Write a samples frame as a date-partitioned namespace table."""
+    df = samples.withColumn("date_bucket", F.to_date(F.col("ts")))
+    if bucket_count:
+        df = df.repartition(bucket_count, F.col("series_id"))
+    (
+        df.sortWithinPartitions("series_id", "ts")
+        .write.mode(mode)
+        .partitionBy("date_bucket")
+        .parquet(path)
+    )
+
+
+def read_namespace(
+    spark: SparkSession, path: str, start=None, end=None
+) -> DataFrame:
+    """Read a namespace table with partition pruning on date_bucket."""
+    df = spark.read.parquet(path)
+    if start is not None:
+        df = df.where(F.col("date_bucket") >= F.to_date(F.lit(start)))
+    if end is not None:
+        df = df.where(F.col("date_bucket") <= F.to_date(F.lit(end)))
+    return df.drop("date_bucket")

@@ -1,0 +1,48 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from m3_spark.graphite import functions as gf
+from m3_spark.operators.consolidate import consolidate
+
+from .test_graphite import gsamples  # noqa: F401
+from .test_consolidate import T0
+
+
+@pytest.fixture(scope="module")
+def ggrid2(gsamples):  # noqa: F811
+    return consolidate(gsamples, T0, T0 + 240, 60, 300)
+
+
+def test_with_wildcards(spark, ggrid2):
+    sel = ggrid2.where(F.col("name").rlike(r"servers\.\w+\.cpu\."))
+    # drop the host node (1) → aggregate over hosts per metric path
+    out = gf.group_by_dropping_nodes(sel, "sum", 1).collect()
+    got = {(r["name"], int(r["step_ts"].timestamp())): r["value"] for r in out}
+    # cpu.user at i=0: 10+20+40 = 70
+    assert got[("servers.cpu.user", T0)] == 70.0
+
+
+def test_remove_and_deviant(spark, ggrid2):
+    out = gf.remove_above_value(ggrid2, 30.0)
+    vals = [r["value"] for r in out.collect() if r["value"] is not None]
+    assert max(vals) <= 30.0
+    # db01 series have base 40 → highest variance equal across; take 3
+    out = gf.most_deviant(ggrid2, 3)
+    assert out.select("series_id").distinct().count() == 3
+
+
+def test_changed_and_constant(spark, ggrid2):
+    sel = ggrid2.where(F.col("series_id").rlike("web01\\.cpu\\.user"))
+    out = gf.changed(sel).orderBy("step_ts").collect()
+    assert [r["value"] for r in out] == [0.0, 1.0, 1.0, 1.0, 1.0]
+    cl = gf.constant_line(ggrid2, 42.0).collect()
+    assert len(cl) == 5 and all(r["value"] == 42.0 for r in cl)
+
+
+def test_weighted_average(spark, ggrid2):
+    sel = ggrid2.where(F.col("name").rlike(r"servers\.\w+\.cpu\.user"))
+    out = gf.weighted_average(sel, sel).orderBy("step_ts").collect()
+    # weights = values → sum(v^2)/sum(v); at i=0: (100+400+1600)/70 = 30
+    assert out[0]["value"] == pytest.approx(2100.0 / 70.0)

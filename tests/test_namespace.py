@@ -1,0 +1,28 @@
+from __future__ import annotations
+
+from m3_spark.sources.namespace import read_namespace, write_namespace
+
+from .conftest import make_samples
+from .test_consolidate import T0
+
+
+def test_namespace_roundtrip(spark, tmp_path):
+    samples = make_samples(
+        spark,
+        [("m", {"a": "1"}, T0 + i * 43200, float(i)) for i in range(8)],
+    )
+    path = str(tmp_path / "ns")
+    write_namespace(samples, path, bucket_count=2)
+    back = read_namespace(spark, path)
+    assert back.count() == 8
+    assert sorted(back.columns) == sorted(samples.columns)
+    # partition pruning: day-bounded read returns only that day
+    import datetime as dt
+
+    day0 = dt.datetime.fromtimestamp(T0, dt.timezone.utc).date()
+    pruned = read_namespace(spark, path, start=str(day0), end=str(day0))
+    # T0 is mid-day, 12h spacing → exactly one sample lands on day 0
+    assert pruned.count() == 1
+    # pruning shows up as a PartitionFilters entry, not a row filter
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan

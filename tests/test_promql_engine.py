@@ -154,6 +154,24 @@ load 5m
 
 eval instant at 50m histogram_quantile(0.5, hist_bucket)
   {} 0.3
+
+# staleness: lookback (5m) carries values forward; beyond it → stale
+load 5m
+  sparse{job="s"} 1 _ _ _ _ 2
+
+eval instant at 2m sparse
+  {job="s"} 1
+
+eval instant at 5m sparse
+  {job="s"} 1
+
+eval instant at 20m sparse
+
+eval instant at 25m sparse
+  {job="s"} 2
+
+eval instant at 20m absent(sparse)
+  {} 1
 """
 
 
