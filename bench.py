@@ -19,7 +19,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from m3_spark.model import read_samples  # noqa: E402
 from m3_spark.operators.aggregation import aggregate, topk  # noqa: E402
-from m3_spark.operators.consolidate import consolidate  # noqa: E402
+from m3_spark.operators.consolidate import consolidate_sparse  # noqa: E402
 from m3_spark.operators.temporal import over_time, rate  # noqa: E402
 from m3_spark.session import get_spark  # noqa: E402
 
@@ -33,7 +33,7 @@ T_END = "2024-01-02 12:00:00"
 def q_sum_by_12h_1m(spark):
     """sum by (event_type) over consolidated 1m grid, 12h range."""
     s = read_samples(spark, SF_DIR)
-    g = consolidate(s, T_START, T_END, step_s=60, lookback_s=300)
+    g = consolidate_sparse(s, T_START, T_END, step_s=60, lookback_s=300)
     return aggregate(g, "sum", by=["event_type"])
 
 
@@ -50,7 +50,7 @@ def q_rate_sum_12h_1m(spark):
 def q_topk_7d_1h(spark):
     """topk(10) per 1h step over 7 days."""
     s = read_samples(spark, SF_DIR)
-    g = consolidate(s, "2024-01-01 00:00:00", "2024-01-08 00:00:00", 3600, 300)
+    g = consolidate_sparse(s, "2024-01-01 00:00:00", "2024-01-08 00:00:00", 3600, 300)
     return topk(g, 10)
 
 
@@ -81,8 +81,12 @@ BENCH = {
 def main() -> None:
     spark = get_spark("m3_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    # warm the JVM + parquet footer cache so we measure query time
+    # warm the JVM + parquet footer cache + python/arrow workers so we
+    # measure steady-state query time, not process startup
     read_samples(spark, SF_DIR).count()
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
     timings: dict[str, float] = {}
     for name, fn in BENCH.items():
         t0 = time.perf_counter()

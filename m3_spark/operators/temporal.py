@@ -346,16 +346,34 @@ def _run_series_kernel(
         int(step_s * _US),
         dtype=np.int64,
     )
-    def one_series(sid: str, pdf: pd.DataFrame) -> pd.DataFrame:
+    def run_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one output DataFrame per chunk (a per-series DataFrame would
+        # cost ~0.4 ms/series in construction alone — dominant at 10k+
+        # series); per-series slices are numpy views over the
+        # (series, ts)-sorted chunk
+        sids = pdf["series_id"].to_numpy()
         ts_us = pdf["ts"].values.astype("datetime64[us]").astype(np.int64)
         vals = pdf["value"].to_numpy(dtype=np.float64)
-        res = kernel(ts_us, vals, steps_us, range_us)
-        keep = ~np.isnan(res)
+        bounds = np.flatnonzero(np.r_[True, sids[1:] != sids[:-1], True])
+        out_sid, out_step, out_val = [], [], []
+        for i in range(len(bounds) - 1):
+            lo, hi = bounds[i], bounds[i + 1]
+            res = kernel(ts_us[lo:hi], vals[lo:hi], steps_us, range_us)
+            keep = ~np.isnan(res)
+            if keep.any():
+                out_sid.append(np.repeat(sids[lo], keep.sum()))
+                out_step.append(steps_us[keep])
+                out_val.append(res[keep])
+        if not out_sid:
+            return pd.DataFrame(
+                {"series_id": [], "step_ts": np.array([], "datetime64[us]"),
+                 "value": []}
+            )
         return pd.DataFrame(
             {
-                "series_id": sid,
-                "step_ts": steps_us[keep].astype("datetime64[us]"),
-                "value": res[keep],
+                "series_id": np.concatenate(out_sid),
+                "step_ts": np.concatenate(out_step).astype("datetime64[us]"),
+                "value": np.concatenate(out_val),
             }
         )
 
@@ -373,10 +391,10 @@ def _run_series_kernel(
             mask = pdf["series_id"].to_numpy() == last_sid
             buf = pdf[mask]
             work = pdf[~mask]
-            for sid, g in work.groupby("series_id", sort=False):
-                yield one_series(sid, g)
+            if len(work):
+                yield run_chunk(work)
         if buf is not None and len(buf):
-            yield one_series(buf["series_id"].iloc[0], buf)
+            yield run_chunk(buf)
 
     res = (
         pruned.select("series_id", "ts", "value")

@@ -46,8 +46,13 @@ lastv AS (
 
 
 def _grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.consolidate import consolidate_sparse
+
     samples = read_samples(spark, sf_dir)
-    return consolidate(samples, START, END, STEP_S, LOOKBACK_S)
+    # sparse (present-rows-only) consolidation: identical semantics for
+    # every aggregate-style consumer, O(samples) instead of
+    # O(series x steps)
+    return consolidate_sparse(samples, START, END, STEP_S, LOOKBACK_S)
 
 
 def _epoch(col: str = "step_ts"):

@@ -1,0 +1,36 @@
+"""consolidate_sparse must equal consolidate minus the stale rows —
+property-checked on randomized series (hypothesis-style grid sweep)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from m3_spark.operators.consolidate import consolidate, consolidate_sparse
+
+from .conftest import make_samples
+from .test_consolidate import T0
+
+
+@pytest.mark.parametrize("step_s,lookback_s", [(60, 300), (300, 60), (90, 90)])
+def test_sparse_equals_dense_minus_nulls(spark, step_s, lookback_s):
+    rng = random.Random(42 + step_s)
+    rows = []
+    for sid in range(6):
+        t = T0
+        while t < T0 + 3600:
+            t += rng.randint(20, 700)
+            rows.append(("m", {"s": str(sid)}, t, round(rng.random() * 100, 2)))
+    samples = make_samples(spark, rows)
+    dense = consolidate(samples, T0 + 60, T0 + 3600, step_s, lookback_s)
+    sparse = consolidate_sparse(samples, T0 + 60, T0 + 3600, step_s, lookback_s)
+    d = {
+        (r["series_id"], r["step_ts"]): r["value"]
+        for r in dense.collect()
+        if r["value"] is not None
+    }
+    s = {
+        (r["series_id"], r["step_ts"]): r["value"] for r in sparse.collect()
+    }
+    assert d == s
