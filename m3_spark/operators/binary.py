@@ -78,6 +78,27 @@ def _strip_name(tags: Column) -> Column:
     return F.map_filter(tags, lambda k, _v: k != F.lit(NAME_TAG))
 
 
+def _result_tags(
+    many_side: str | None,
+    on: Sequence[str] | None,
+    ignoring: Sequence[str] | None,
+) -> Column:
+    """PromQL result-label rules (binary.go resultMetric):
+    many-to-one → the many side's labels minus ``__name__``;
+    one-to-one with on(l…) → exactly the on labels;
+    one-to-one (default/ignoring) → LHS labels minus ignored minus
+    ``__name__``."""
+    src = F.col("r_tags") if many_side == "right" else F.col("l_tags")
+    if many_side is not None:
+        return _strip_name(src)
+    if on is not None:
+        arr = F.array(*[F.lit(k) for k in on])
+        return F.map_filter(src, lambda k, _v: F.array_contains(arr, k))
+    drop = list(ignoring or []) + [NAME_TAG]
+    arr = F.array(*[F.lit(k) for k in drop])
+    return F.map_filter(src, lambda k, _v: ~F.array_contains(arr, k))
+
+
 def vector_arith(
     left: DataFrame,
     right: DataFrame,
@@ -85,29 +106,43 @@ def vector_arith(
     on: Sequence[str] | None = None,
     ignoring: Sequence[str] | None = None,
     many_side: str | None = None,
+    validate: bool = False,
 ) -> DataFrame:
     """vector OP vector with one-to-one (default) or many-to-one matching.
 
     ``many_side``: None = strict one-to-one; 'left' = group_left;
-    'right' = group_right.  Output tags follow PromQL: the many side's
-    tags minus ``__name__``.
+    'right' = group_right.  ``validate=True`` raises at execution time
+    when a "one" side has duplicate signatures per step (PromQL's
+    many-to-one error, ``binary.go:110-120``).
     """
     l = _prep(left, "l", on, ignoring)
     r = _prep(right, "r", on, ignoring)
-    # Validate the "one" side(s) have unique signatures per step.
-    dup_w = Window.partitionBy("step_ts", "sig")
-    if many_side != "left":
-        l = l.withColumn("_n", F.count("*").over(dup_w))
-    if many_side != "right":
-        r = r.withColumn("_n", F.count("*").over(dup_w))
+    if validate:
+        # fold the check into the value column — a dropped side-column
+        # would be pruned by Catalyst and never evaluated
+        dup_w = Window.partitionBy("step_ts", "sig")
+        err = F.raise_error(
+            F.lit("vector matching: many-to-* on the 'one' side")
+        ).cast("double")
+        if many_side != "left":
+            l = l.withColumn(
+                "l_value",
+                F.when(F.count("*").over(dup_w) > 1, err).otherwise(
+                    F.col("l_value")
+                ),
+            )
+        if many_side != "right":
+            r = r.withColumn(
+                "r_value",
+                F.when(F.count("*").over(dup_w) > 1, err).otherwise(
+                    F.col("r_value")
+                ),
+            )
     j = l.join(r, ["step_ts", "sig"], "inner")
-    out_tags = _strip_name(
-        F.col("r_tags") if many_side == "right" else F.col("l_tags")
-    )
     fn = ARITH[op]
     return j.select(
         "step_ts",
-        out_tags.alias("tags"),
+        _result_tags(many_side, on, ignoring).alias("tags"),
         F.col("sig"),
         fn(F.col("l_value"), F.col("r_value")).alias("value"),
     )
@@ -132,7 +167,7 @@ def vector_compare(
     if bool_mode:
         return j.select(
             "step_ts",
-            _strip_name(F.col("l_tags")).alias("tags"),
+            _result_tags(None, on, ignoring).alias("tags"),
             "sig",
             cond.cast("double").alias("value"),
         )

@@ -99,7 +99,7 @@ eval instant at 50m sum by (group) (http_requests) * 2 - 100
   {group="canary"} 4300
   {group="production"} 2700
 
-eval instant at 50m sum by (instance) (http_requests) / on() sum(http_requests)
+eval instant at 50m sum by (instance) (http_requests) / on() group_left sum(http_requests)
   {instance="0"} 0.444444444
   {instance="1"} 0.555555555
 
@@ -172,6 +172,52 @@ eval instant at 25m sparse
 
 eval instant at 20m absent(sparse)
   {} 1
+
+# vector matching label rules + group_left + label functions
+load 5m
+  req{job="api", instance="0", group="prod"} 0+10x10
+  req{job="api", instance="1", group="prod"} 0+20x10
+  req{job="app", instance="0", group="prod"} 0+50x10
+  req{job="app", instance="1", group="prod"} 0+60x10
+  limit{instance="0"} 300+0x10
+  limit{instance="1"} 500+0x10
+
+eval instant at 50m req{job="api"} + on(instance) req{job="app"}
+  {instance="0"} 600
+  {instance="1"} 800
+
+eval instant at 50m req{job="api"} + ignoring(job) req{job="app"}
+  {group="prod", instance="0"} 600
+  {group="prod", instance="1"} 800
+
+eval instant at 50m req / on(instance) group_left limit
+  {group="prod", instance="0", job="api"} 0.33333333333
+  {group="prod", instance="1", job="api"} 0.4
+  {group="prod", instance="0", job="app"} 1.66666666666
+  {group="prod", instance="1", job="app"} 1.2
+
+eval instant at 50m req{job="api"} > bool on(instance) req{job="app"}
+  {instance="0"} 0
+  {instance="1"} 0
+
+eval instant at 50m count_values("v", req{job="api"})
+  {v="100"} 1
+  {v="200"} 1
+
+eval instant at 55m req{instance="0", job="api"} offset 5m
+  {group="prod", instance="0", job="api"} 100
+
+eval instant at 50m quantile_over_time(0.5, req{instance="0", job="api"}[30m])
+  {group="prod", instance="0", job="api"} 75
+
+eval instant at 50m predict_linear(req{instance="0", job="api"}[30m], 300)
+  {group="prod", instance="0", job="api"} 110
+
+eval instant at 50m label_replace(req{job="api", instance="0"}, "dst", "$1-x", "job", "(.*)")
+  {group="prod", instance="0", job="api", dst="api-x"} 100
+
+eval instant at 50m label_join(req{job="api", instance="0"}, "ji", "-", "job", "instance")
+  {group="prod", instance="0", job="api", ji="api-0"} 100
 """
 
 
