@@ -1,0 +1,94 @@
+"""Result rendering: grid frames → Prometheus / Graphite response JSON.
+
+Reference: Prometheus-format render ``src/query/api/v1/handler/
+prometheus/native/read.go:135-160`` + ``read_common.go``; Graphite
+render ``graphite/render.go:96+``.
+
+These run on the *final, already-aggregated* result (small by
+construction) — the single place a driver-side collect is legitimate.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+from pyspark.sql import DataFrame
+
+
+def to_prom_matrix(result: DataFrame) -> dict:
+    """Range-query response: ``{"resultType": "matrix", "result":
+    [{"metric": {...}, "values": [[t, "v"], ...]}, ...]}``."""
+    rows = result.select("step_ts", "tags", "value").collect()
+    series: dict[tuple, list] = {}
+    tag_maps: dict[tuple, dict] = {}
+    for r in rows:
+        tags = dict(r["tags"]) if r["tags"] else {}
+        key = tuple(sorted(tags.items()))
+        tag_maps[key] = tags
+        v = r["value"]
+        if v is None:
+            continue
+        series.setdefault(key, []).append(
+            [r["step_ts"].timestamp(), _fmt(v)]
+        )
+    return {
+        "status": "success",
+        "data": {
+            "resultType": "matrix",
+            "result": [
+                {"metric": tag_maps[k], "values": sorted(vs)}
+                for k, vs in sorted(series.items())
+            ],
+        },
+    }
+
+
+def to_prom_vector(result: DataFrame) -> dict:
+    """Instant-query response (vector)."""
+    rows = result.select("step_ts", "tags", "value").collect()
+    out = []
+    for r in rows:
+        if r["value"] is None:
+            continue
+        out.append(
+            {
+                "metric": dict(r["tags"]) if r["tags"] else {},
+                "value": [r["step_ts"].timestamp(), _fmt(r["value"])],
+            }
+        )
+    out.sort(key=lambda x: sorted(x["metric"].items()))
+    return {
+        "status": "success",
+        "data": {"resultType": "vector", "result": out},
+    }
+
+
+def to_graphite_render(result: DataFrame) -> list[dict]:
+    """Graphite render JSON: ``[{"target": name, "datapoints":
+    [[v, t], ...]}, ...]``."""
+    rows = result.select("step_ts", "name", "series_id", "value").collect()
+    series: dict[str, list] = {}
+    for r in rows:
+        name = r["name"] or r["series_id"]
+        v = r["value"]
+        series.setdefault(name, []).append(
+            [None if v is None or math.isnan(v) else v,
+             int(r["step_ts"].timestamp())]
+        )
+    return [
+        {"target": name, "datapoints": sorted(dps, key=lambda x: x[1])}
+        for name, dps in sorted(series.items())
+    ]
+
+
+def _fmt(v: float) -> str:
+    if math.isnan(v):
+        return "NaN"
+    if v == int(v) and abs(v) < 1e15:
+        return str(int(v))
+    return repr(v)
+
+
+def dumps(obj) -> str:
+    return json.dumps(obj, separators=(",", ":"), sort_keys=True)

@@ -610,7 +610,81 @@ def q_promql_text_binary(spark, sf_dir):
 from .queries import ORACLE_TOPK as ORACLE_PROMQL_TEXT_BINARY  # noqa: E402
 
 
+def q_events_props_json(spark, sf_dir):
+    """Semi-structured props column: JSON-path extract + aggregate
+    (Spark is strictly more general than the reference here — typed
+    nested values exist only at M3's protobuf storage layer)."""
+    ev = read_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.avg(k), 6).alias("avg_k"),
+            F.sum(k).alias("sum_k"),
+            F.count(k).alias("n"),
+        )
+    )
+
+
+ORACLE_EVENTS_PROPS = """
+SELECT event_type,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n
+FROM events GROUP BY 1
+"""
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: cosine >= 0.62, id_a < id_b.
+
+    Brute pairwise at oracle scale; the 100 TB path is the
+    hyperplane-bucketed variant (ann_bucketed_topk)."""
+    from .pipeline.similarity import _as_double, cosine_col
+
+    emb = _as_double(read_table(spark, sf_dir, "embeddings"), "embedding")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    j = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = cosine_col(F.col("va"), F.col("vb"))
+    return (
+        j.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .where(F.col("cosine") >= 0.62)
+    )
+
+
+from .queries_pipeline import _COS_SQL  # noqa: E402
+
+ORACLE_DEDUP_EMBEDDING = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT qa.vec_id AS id_a, qb.vec_id AS id_b, {_COS_SQL} AS cosine
+  FROM v qa JOIN v qb ON qa.vec_id < qb.vec_id
+)
+SELECT id_a, id_b, ROUND(cosine, 6) AS cosine
+FROM scored WHERE ROUND(cosine, 6) >= 0.62
+"""
+
+
+def q_graphite_text_target(spark, sf_dir):
+    """End-to-end Graphite text path: compile + execute a render target."""
+    from .graphite.compiler import evaluate
+
+    out = evaluate(
+        _gsamples(spark, sf_dir),
+        'groupByNode(events.*.*, 1, "sum")',
+        START, END, STEP_S, LOOKBACK_S,
+    )
+    return out.select(
+        _epoch(), F.col("name").alias("event_type"),
+        F.round(F.col("value"), 6).alias("value"),
+    )
+
+
 RELATIONAL_QUERIES = {
+    "events_props_json": (q_events_props_json, ORACLE_EVENTS_PROPS),
+    "dedup_embedding_cosine": (q_dedup_embedding_cosine, ORACLE_DEDUP_EMBEDDING),
+    "graphite_text_target": (q_graphite_text_target, ORACLE_GRAPHITE_GBN),
     "promql_bottomk": (q_bottomk, ORACLE_BOTTOMK),
     "promql_vector_or": (q_vector_or, ORACLE_VECTOR_OR),
     "promql_text_sum_by": (q_promql_text, ORACLE_PROMQL_TEXT),

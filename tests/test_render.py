@@ -1,0 +1,45 @@
+from __future__ import annotations
+
+from m3_spark.functions.render import (
+    dumps,
+    to_graphite_render,
+    to_prom_matrix,
+    to_prom_vector,
+)
+from m3_spark.operators.aggregation import aggregate
+from m3_spark.operators.consolidate import consolidate
+from m3_spark.plans.engine import query_instant
+
+from .conftest import make_samples
+from .test_consolidate import HTTP, T0, load_5m
+
+
+def test_prom_render(spark):
+    samples = load_5m(spark, HTTP)
+    out = query_instant(
+        samples, 'sum by (group) (http_requests{job="api-server"})', T0 + 3000
+    )
+    v = to_prom_vector(out)
+    assert v["status"] == "success"
+    res = v["data"]["result"]
+    assert [r["metric"] for r in res] == [
+        {"group": "canary"}, {"group": "production"},
+    ]
+    assert [r["value"][1] for r in res] == ["700", "300"]
+    m = to_prom_matrix(out)
+    assert m["data"]["resultType"] == "matrix"
+    assert dumps(m).startswith('{"data"')
+
+
+def test_graphite_render(spark):
+    from m3_spark.graphite.compiler import evaluate
+    from .test_graphite import gsamples  # noqa: F401
+
+    rows = []
+    for i in range(3):
+        rows.append(("a.b", {}, T0 + i * 60, float(i)))
+    samples = make_samples(spark, rows)
+    grid = consolidate(samples, T0, T0 + 120, 60, 300)
+    out = to_graphite_render(grid)
+    assert out[0]["target"] == "a.b"
+    assert [v for v, _t in out[0]["datapoints"]] == [0.0, 1.0, 2.0]
