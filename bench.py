@@ -89,9 +89,13 @@ def main() -> None:
     ).count()
     timings: dict[str, float] = {}
     for name, fn in BENCH.items():
-        t0 = time.perf_counter()
-        n = fn(spark).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best, n = None, 0
+        for _ in range(2):  # min-of-2: shave scheduler/GC noise
+            t0 = time.perf_counter()
+            n = fn(spark).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
     total = round(sum(timings.values()), 3)
     sf = 0.1 if "sf0.1" in SF_DIR else SF_DIR

@@ -29,6 +29,24 @@ def series_dictionary(samples: DataFrame) -> DataFrame:
     )
 
 
+def fetch_indexed(
+    samples: DataFrame,
+    series_dict: DataFrame,
+    matchers: Sequence[tuple[str, str, str]],
+) -> DataFrame:
+    """Index-assisted fetch: evaluate matchers on the (small) series
+    dictionary, then left-semi join the samples on series_id.
+
+    The inverted-index analog for very selective matchers at 100 TB:
+    the predicate runs over |series| rows instead of |samples|, and the
+    broadcast semi-join on the high-entropy series_id key lets parquet
+    row-group stats (namespace tables are sorted by series_id) skip
+    data files entirely.  Matcher semantics identical to ``fetch``.
+    """
+    keys = fetch(series_dict, matchers).select("series_id")
+    return samples.join(F.broadcast(keys), "series_id", "left_semi")
+
+
 def label_names(
     samples: DataFrame, matchers: Sequence[tuple[str, str, str]] = ()
 ) -> DataFrame:

@@ -1,0 +1,70 @@
+"""Property test: the consolidation kernel vs an independent pure-
+Python model of the reference semantics (take-last within
+max(lookback, step), else stale) on randomized series.
+
+Mirrors the reference's property-based layer (SURVEY §5: gopter
+round-trips) with hypothesis.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from m3_spark.operators.consolidate import consolidate_sparse
+
+from .conftest import make_samples
+from .test_consolidate import T0
+
+STEP = 60
+LOOKBACK = 150
+START, END = T0 + 60, T0 + 660
+
+
+def _python_model(points: list[tuple[int, float]]) -> dict[int, float]:
+    """Independent implementation: for each grid step, the last sample
+    with ts <= t and t - ts <= max(lookback, step)."""
+    thr = max(LOOKBACK, STEP)
+    out = {}
+    pts = sorted(points)
+    for t in range(START, END + 1, STEP):
+        best = None
+        for ts, v in pts:
+            if ts <= t and t - ts <= thr:
+                best = v  # later sample wins (sorted ascending)
+        if best is not None:
+            out[t] = best
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=T0 - 200, max_value=END + 100),
+            st.floats(
+                min_value=-1e6, max_value=1e6,
+                allow_nan=False, allow_infinity=False,
+            ),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_consolidate_matches_python_model(spark, points):
+    # dedupe timestamps: equal-ts ordering is tie-broken by value in
+    # the engine; keep the model simple by making ts unique
+    seen, uniq = set(), []
+    for ts, v in points:
+        if ts not in seen:
+            seen.add(ts)
+            uniq.append((ts, v))
+    expected = _python_model(uniq)
+    if not uniq:
+        return
+    samples = make_samples(spark, [("m", {}, ts, v) for ts, v in uniq])
+    got = {
+        int(r["step_ts"].timestamp()): r["value"]
+        for r in consolidate_sparse(samples, START, END, STEP, LOOKBACK).collect()
+    }
+    assert got == expected
