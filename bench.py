@@ -69,12 +69,41 @@ def q_agg_policy_month(spark):
     return q_agg_policy_1h(spark, SF_DIR)
 
 
+def q_dedup_lsh(spark):
+    """MinHash-LSH candidate pairs over the 5k-doc corpus."""
+    from m3_spark.queries_pipeline import q_dedup_lsh_pairs
+
+    return q_dedup_lsh_pairs(spark, SF_DIR)
+
+
+def q_ann_matmul(spark):
+    """Blocked-matmul cosine top-5 for 10 queries over 5k vectors."""
+    from pyspark.sql import functions as F
+
+    from m3_spark.pipeline.similarity import brute_force_topk_np
+    from m3_spark.sources.tables import read_table
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    qs = emb.where(F.col("vec_id") < 10).toPandas()
+    return brute_force_topk_np(emb, qs, 5)
+
+
+def q_text_pipeline(spark):
+    """Quality features + lang-id over the full document corpus."""
+    from m3_spark.queries_pipeline import q_text_quality
+
+    return q_text_quality(spark, SF_DIR)
+
+
 BENCH = {
     "sum_by_12h_1m": q_sum_by_12h_1m,
     "rate_sum_12h_1m": q_rate_sum_12h_1m,
     "topk_7d_1h": q_topk_7d_1h,
     "sum_over_time_24h": q_over_time_24h,
     "agg_policy_month": q_agg_policy_month,
+    "dedup_lsh_5k_docs": q_dedup_lsh,
+    "ann_matmul_topk": q_ann_matmul,
+    "text_quality_5k": q_text_pipeline,
 }
 
 

@@ -85,7 +85,8 @@ def minhash_signature(
         return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
 
     sig = F.array(*[F.array_min(F.transform(sh, _perm(i))) for i in range(k)])
-    return docs.select(F.col(id_col), sig.alias("signature"))
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(par, id_col).select(F.col(id_col), sig.alias("signature"))
 
 
 def lsh_candidates(
@@ -101,7 +102,10 @@ def lsh_candidates(
     Returns distinct (id_a, id_b) with id_a < id_b.
     """
     r = k // bands
-    sigs = minhash_signature(docs, k, n, text_col, id_col)
+    # materialize signatures once: the self-join would otherwise
+    # recompute k md5-min folds per shingle on BOTH sides (at 100 TB,
+    # write the signature table instead of caching)
+    sigs = minhash_signature(docs, k, n, text_col, id_col).persist()
     banded = sigs.select(
         F.col(id_col),
         F.explode(
@@ -120,18 +124,24 @@ def lsh_candidates(
             )
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_key")
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # per-side renames (see ngram_jaccard_pairs: .alias() self-joins
+    # degenerate to nested loops)
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("band_id").alias("bid_a"),
+        F.col("band_key").alias("key_a"),
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("band_id").alias("bid_b"),
+        F.col("band_key").alias("key_b"),
+    )
     return (
         a.join(
             b,
-            (F.col(f"a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            (F.col("bid_a") == F.col("bid_b"))
+            & (F.col("key_a") == F.col("key_b"))
+            & (F.col("id_a") < F.col("id_b")),
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        .select("id_a", "id_b")
         .distinct()
     )
 
@@ -149,6 +159,8 @@ def simhash(
     engines).  Bit b of the fingerprint is 1 iff the sum over shingles
     of (+1 if bit set else -1) is positive.
     """
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    docs = docs.repartition(par, id_col)
     sh = shingles_col(F.col(text_col), n)
     hexes = F.transform(sh, lambda s: F.substring(F.md5(s), 1, 16))
 
@@ -188,20 +200,41 @@ def ngram_jaccard_pairs(
     100 TB, cap hot shingles (stop-shingle removal) before the join.
     Here the shingle alphabet is the testdata vocabulary — fine.
     """
-    sh = docs.select(
-        F.col(id_col),
-        F.size(shingles_col(F.col(text_col), n)).alias("n_sh"),
-        F.explode(shingles_col(F.col(text_col), n)).alias("s"),
-    )
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.n_sh").alias("na"),
-            F.col("b.n_sh").alias("nb"),
+    # join on a 64-bit hash of the shingle (narrow shuffle key; a
+    # collision would off-by-one an intersection count — 2^-64 scale),
+    # carry per-doc shingle counts on the exploded rows so no second
+    # join against the shingle sets is needed
+    # repartition first: a single parquet file would otherwise pin the
+    # whole (interpreted-HOF) shingle computation to one task
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    ex = (
+        docs.repartition(par, id_col)
+        .select(
+            F.col(id_col),
+            F.explode(shingles_col(F.col(text_col), n)).alias("s"),
         )
+        .select(id_col, F.xxhash64("s").alias("h"))
+    )
+    # shingle-set sizes via a window over the exploded rows (distinct
+    # shingles) — recomputing size(shingles) post-explode would rebuild
+    # the array once per exploded row
+    from pyspark.sql import Window as _W
+
+    sh = ex.withColumn("n_sh", F.count("*").over(_W.partitionBy(id_col)))
+    # per-side renames, NOT .alias() views: self-join attribute
+    # resolution would bind a.h == b.h to the same column (trivially
+    # true) and degrade the equi-join into a nested-loop cross product
+    a = sh.select(
+        F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"),
+        F.col("h").alias("ha"),
+    )
+    b = sh.select(
+        F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"),
+        F.col("h").alias("hb"),
+    )
+    inter = (
+        a.join(b, (F.col("ha") == F.col("hb")) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b", "na", "nb")
         .agg(F.count("*").alias("inter"))
     )
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))

@@ -24,47 +24,26 @@ from .operators.aggregation import aggregate, topk
 from .operators.consolidate import consolidate
 from .operators.temporal import over_time, rate, resets_or_changes
 
-START = "2024-01-01 00:00:00"
-END = "2024-01-08 00:00:00"
-STEP_S = 3600
-LOOKBACK_S = 300  # thr = max(lookback, step) = 3600
-
-_STEPS_SQL = (
-    "SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00', "
-    "TIMESTAMP '2024-01-08 00:00:00', INTERVAL 1 HOUR)) AS step_ts"
+from .queries_common import (  # noqa: F401
+    END,
+    LOOKBACK_S,
+    RANGE_S,
+    START,
+    STEP_S,
+    _LASTV_SQL,
+    _STEPS_SQL,
+    _epoch,
+    _finish_agg,
+    _finish_series,
+    _grid,
 )
-# last-value consolidation per (series, step): thr = max(lookback, step) = 1h
-_LASTV_SQL = f"""
-WITH steps AS ({_STEPS_SQL}),
-lastv AS (
-  SELECT s.step_ts, e.event_type, e.user_id, arg_max(e.value, e.ts) AS v
-  FROM steps s JOIN events e
-    ON e.ts <= s.step_ts AND e.ts > s.step_ts - INTERVAL 1 HOUR
-  GROUP BY 1, 2, 3
-)
-"""
 
 
-def _grid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.consolidate import consolidate_sparse
-
-    samples = read_samples(spark, sf_dir)
-    # sparse (present-rows-only) consolidation: identical semantics for
-    # every aggregate-style consumer, O(samples) instead of
-    # O(series x steps)
-    return consolidate_sparse(samples, START, END, STEP_S, LOOKBACK_S)
 
 
-def _epoch(col: str = "step_ts"):
-    return F.unix_timestamp(F.col(col)).alias("step_s")
 
 
-def _finish_agg(out: DataFrame) -> DataFrame:
-    return out.select(
-        _epoch(),
-        F.col("tags").getItem("event_type").alias("event_type"),
-        F.round(F.col("value"), 6).alias("value"),
-    )
+
 
 
 def q_sum_by(spark, sf_dir):
@@ -112,34 +91,13 @@ ORACLE_COUNT_BY = _sql_agg("CAST(COUNT(v) AS DOUBLE)")
 ORACLE_QUANTILE_BY = _sql_agg("quantile_cont(v, 0.9)")
 ORACLE_STDDEV_BY = _sql_agg("COALESCE(stddev_pop(v), 0)")
 
-ORACLE_TOPK = f"""{_LASTV_SQL},
-ranked AS (
-  SELECT step_ts, event_type, user_id, v,
-         row_number() OVER (
-           PARTITION BY step_ts
-           ORDER BY v DESC,
-             event_type || '{{event_type=' || event_type || ',user_id='
-               || CAST(user_id AS VARCHAR) || '}}'
-         ) AS rk
-  FROM lastv
-)
-SELECT CAST(epoch(step_ts) AS BIGINT) AS step_s, event_type,
-       CAST(user_id AS BIGINT) AS user_id, ROUND(v, 6) AS value
-FROM ranked WHERE rk <= 3"""
+from .queries_common import ORACLE_TOPK  # noqa: E402
 
 
 # -- temporal: sliding 6h windows evaluated hourly ---------------------------
 
-RANGE_S = 6 * 3600
 
 
-def _finish_series(out: DataFrame) -> DataFrame:
-    return out.select(
-        _epoch(),
-        F.col("tags").getItem("event_type").alias("event_type"),
-        F.col("tags").getItem("user_id").cast("bigint").alias("user_id"),
-        F.round(F.col("value"), 6).alias("value"),
-    )
 
 
 def q_sum_over_time(spark, sf_dir):
@@ -171,7 +129,13 @@ FROM steps s JOIN events e
 GROUP BY 1, 2, 3"""
 
 
+def q_stddev_over_time(spark, sf_dir):
+    s = read_samples(spark, sf_dir)
+    return _finish_series(over_time(s, "stddev", RANGE_S, START, END, STEP_S))
+
+
 ORACLE_SUM_OVER_TIME = _sql_over_time("SUM(e.value)")
+ORACLE_STDDEV_OVER_TIME = _sql_over_time("COALESCE(stddev_pop(e.value), 0)")
 ORACLE_AVG_OVER_TIME = _sql_over_time("AVG(e.value)")
 ORACLE_MAX_OVER_TIME = _sql_over_time("MAX(e.value)")
 ORACLE_LAST_OVER_TIME = _sql_over_time("arg_max(e.value, e.ts)")
@@ -338,6 +302,7 @@ QUERIES = {
     "promql_avg_over_time": (q_avg_over_time, ORACLE_AVG_OVER_TIME),
     "promql_max_over_time": (q_max_over_time, ORACLE_MAX_OVER_TIME),
     "promql_last_over_time": (q_last_over_time, ORACLE_LAST_OVER_TIME),
+    "promql_stddev_over_time": (q_stddev_over_time, ORACLE_STDDEV_OVER_TIME),
     "promql_resets": (q_resets, ORACLE_RESETS),
     "promql_changes": (q_changes, ORACLE_CHANGES),
     "promql_rate": (q_rate, None),

@@ -1,0 +1,80 @@
+"""Shared constants/helpers for the driver query batteries.
+
+Kept in a leaf module so queries.py, queries_pipeline.py and
+queries_relational.py can all import it without circular imports.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .model import read_samples
+
+START = "2024-01-01 00:00:00"
+END = "2024-01-08 00:00:00"
+STEP_S = 3600
+LOOKBACK_S = 300  # thr = max(lookback, step) = 3600
+RANGE_S = 6 * 3600
+
+_STEPS_SQL = (
+    "SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00', "
+    "TIMESTAMP '2024-01-08 00:00:00', INTERVAL 1 HOUR)) AS step_ts"
+)
+# last-value consolidation per (series, step): thr = max(lookback, step) = 1h
+_LASTV_SQL = f"""
+WITH steps AS ({_STEPS_SQL}),
+lastv AS (
+  SELECT s.step_ts, e.event_type, e.user_id, arg_max(e.value, e.ts) AS v
+  FROM steps s JOIN events e
+    ON e.ts <= s.step_ts AND e.ts > s.step_ts - INTERVAL 1 HOUR
+  GROUP BY 1, 2, 3
+)
+"""
+
+
+def _grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.consolidate import consolidate_sparse
+
+    samples = read_samples(spark, sf_dir)
+    # sparse (present-rows-only) consolidation: identical semantics for
+    # every aggregate-style consumer, O(samples) instead of
+    # O(series x steps)
+    return consolidate_sparse(samples, START, END, STEP_S, LOOKBACK_S)
+
+
+def _epoch(col: str = "step_ts"):
+    return F.unix_timestamp(F.col(col)).alias("step_s")
+
+
+def _finish_agg(out: DataFrame) -> DataFrame:
+    return out.select(
+        _epoch(),
+        F.col("tags").getItem("event_type").alias("event_type"),
+        F.round(F.col("value"), 6).alias("value"),
+    )
+
+
+def _finish_series(out: DataFrame) -> DataFrame:
+    return out.select(
+        _epoch(),
+        F.col("tags").getItem("event_type").alias("event_type"),
+        F.col("tags").getItem("user_id").cast("bigint").alias("user_id"),
+        F.round(F.col("value"), 6).alias("value"),
+    )
+
+
+ORACLE_TOPK = f"""{_LASTV_SQL},
+ranked AS (
+  SELECT step_ts, event_type, user_id, v,
+         row_number() OVER (
+           PARTITION BY step_ts
+           ORDER BY v DESC,
+             event_type || '{{event_type=' || event_type || ',user_id='
+               || CAST(user_id AS VARCHAR) || '}}'
+         ) AS rk
+  FROM lastv
+)
+SELECT CAST(epoch(step_ts) AS BIGINT) AS step_s, event_type,
+       CAST(user_id AS BIGINT) AS user_id, ROUND(v, 6) AS value
+FROM ranked WHERE rk <= 3"""

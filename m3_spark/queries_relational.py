@@ -18,7 +18,8 @@ from .operators.consolidate import consolidate, step_grid
 from .operators.fetch import fetch
 from .operators.linear import histogram_quantile
 from .operators.temporal import deriv, over_time
-from .queries import (
+from .queries_common import (  # noqa: F401
+    ORACLE_TOPK as ORACLE_PROMQL_TEXT_BINARY,
     END,
     LOOKBACK_S,
     START,
@@ -607,7 +608,7 @@ def q_promql_text_binary(spark, sf_dir):
     )
 
 
-from .queries import ORACLE_TOPK as ORACLE_PROMQL_TEXT_BINARY  # noqa: E402
+
 
 
 def q_events_props_json(spark, sf_dir):
@@ -640,13 +641,24 @@ def q_dedup_embedding_cosine(spark, sf_dir):
 
     Brute pairwise at oracle scale; the 100 TB path is the
     hyperplane-bucketed variant (ann_bucketed_topk)."""
-    from .pipeline.similarity import _as_double, cosine_col
+    from .pipeline.similarity import _as_double, _dot, _norm2
 
     emb = _as_double(read_table(spark, sf_dir, "embeddings"), "embedding")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    # single-file table → repartition so the pair scoring parallelizes
+    emb = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    withn = emb.select(
+        "vec_id", "embedding", F.sqrt(_norm2(F.col("embedding"))).alias("nrm")
+    )
+    a = withn.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = withn.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
     j = a.join(b, F.col("id_a") < F.col("id_b"))
-    cos = cosine_col(F.col("va"), F.col("vb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         j.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .where(F.col("cosine") >= 0.62)

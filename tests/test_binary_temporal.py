@@ -134,6 +134,24 @@ def test_irate_idelta(spark):
     assert out[0]["value"] == pytest.approx(7.0)
 
 
+def test_holt_winters(spark):
+    from m3_spark.operators.temporal import holt_winters
+
+    vals = [10.0, 12.0, 11.0, 15.0, 14.0]
+    samples = make_samples(
+        spark, [("m", {}, T0 + 10 * (i + 1), v) for i, v in enumerate(vals)]
+    )
+    t = T0 + 60
+    out = holt_winters(samples, 60, t, t, 60, sf=0.5, tf=0.5).collect()
+    # python model: s=v1, b=v1-v0; then double exponential smoothing
+    s, b = vals[1], vals[1] - vals[0]
+    for v in vals[2:]:
+        s_prev = s
+        s = 0.5 * v + 0.5 * (s + b)
+        b = 0.5 * (s - s_prev) + 0.5 * b
+    assert out[0]["value"] == pytest.approx(s)
+
+
 def test_deriv_predict(spark):
     # perfectly linear: v = 2*t_rel → slope 2/s
     samples = make_samples(
