@@ -186,7 +186,17 @@ def _eval_call(e: Call, ctx: Context):
             sf=_eval(e.args[1], ctx), tf=_eval(e.args[2], ctx),
         )
     if f in _MATH_FUNCS:
-        return L.math_fn(_vector(ctx, e.args[0]), f)
+        arg = _eval(e.args[0], ctx)
+        if isinstance(arg, float):  # scalar math folds in python
+            import math as _m
+
+            fns = {
+                "abs": abs, "ceil": _m.ceil, "exp": _m.exp,
+                "floor": _m.floor, "ln": _m.log, "log2": _m.log2,
+                "log10": _m.log10, "sqrt": _m.sqrt,
+            }
+            return float(fns[f](arg))
+        return L.math_fn(arg, f)
     if f in _DATETIME_FUNCS:
         return L.datetime_fn(_vector(ctx, e.args[0]), f)
     if f == "clamp_min":

@@ -1,0 +1,69 @@
+"""End-to-end multi-resolution flow (SURVEY §3.4 + §4.1):
+
+ingest → raw namespace table + rule-driven 1h rollup table →
+retention-based routing → stitched query across both — the Spark
+restatement of M3's downsampler + cluster_resolver path.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from m3_spark.plans.router import Namespace, read_routed, route
+from m3_spark.sources.namespace import read_namespace, write_namespace
+from m3_spark.streaming.aggregator import MappingRule, apply_mapping_rules
+
+from .conftest import make_samples
+
+TA = 1_600_000_800 - 1_600_000_800 % 86400  # day-aligned epoch
+
+
+def test_rollup_route_stitch(spark, tmp_path):
+    # 3 days of one series, hourly samples
+    n_hours = 72
+    rows = [
+        ("cpu", {"host": "a"}, TA + h * 3600 + 60, float(h)) for h in range(n_hours)
+    ]
+    samples = make_samples(spark, rows)
+    now = TA + n_hours * 3600
+
+    raw_path = str(tmp_path / "ns_raw")
+    agg_path = str(tmp_path / "ns_1h")
+    write_namespace(samples, raw_path, bucket_count=2)
+
+    # rollup rule: everything → 1h:long-retention
+    metrics = samples.select(
+        F.col("series_id").alias("metric_id"), "ts", "value"
+    )
+    outs = apply_mapping_rules(
+        metrics, [MappingRule("all", "TRUE", ("1h:365d",))]
+    )
+    rolled = outs["all/1h:365d"].select(
+        F.lit("cpu").alias("name"),
+        F.create_map(F.lit("host"), F.lit("a")).alias("tags"),
+        F.col("metric_id").alias("series_id"),
+        F.col("window_start").alias("ts"),
+        F.col("agg_last").alias("value"),
+    )
+    write_namespace(rolled, agg_path)
+
+    # raw retains 1 day, rollup retains 1 year
+    raw_ns = Namespace("raw", 0, 86400)
+    agg_ns = Namespace("1h", 3600, 365 * 86400)
+    segs = route([raw_ns, agg_ns], TA, now, now)
+    assert [s.namespace.name for s in segs] == ["1h", "raw"]
+    assert segs[1].start_s == now - 86400
+
+    readers = {
+        "raw": lambda: read_namespace(spark, raw_path),
+        "1h": lambda: read_namespace(spark, agg_path),
+    }
+    stitched = read_routed(segs, lambda ns: readers[ns.name]())
+    rows_out = stitched.orderBy("ts").collect()
+    # full 72h coverage, no duplicates at the boundary
+    assert len(rows_out) == n_hours
+    assert [r["value"] for r in rows_out] == [float(h) for h in range(n_hours)]
+    # first 48h came from the rollup (window starts, :00), last 24h raw (:01)
+    mins = [r["ts"].minute for r in rows_out]
+    assert set(mins[:48]) == {0} and set(mins[48:]) == {1}

@@ -218,6 +218,49 @@ eval instant at 50m label_replace(req{job="api", instance="0"}, "dst", "$1-x", "
 
 eval instant at 50m label_join(req{job="api", instance="0"}, "ji", "-", "job", "instance")
   {group="prod", instance="0", job="api", ji="api-0"} 100
+
+eval instant at 50m group by (job) (req)
+  {job="api"} 1
+  {job="app"} 1
+
+eval instant at 50m stdvar by (job) (req)
+  {job="api"} 2500
+  {job="app"} 2500
+
+eval instant at 50m min by (job) (req)
+  {job="api"} 100
+  {job="app"} 500
+
+eval instant at 50m bottomk(1, req)
+  {group="prod", instance="0", job="api"} 100
+
+eval instant at 50m sqrt(req{job="api", instance="0"})
+  {group="prod", instance="0", job="api"} 10
+
+eval instant at 50m req{job="api", instance="0"} ^ 2 + floor(1.5)
+  {group="prod", instance="0", job="api"} 10001
+
+eval instant at 50m clamp(req{job="api"}, 150, 180)
+  {group="prod", instance="0", job="api"} 150
+  {group="prod", instance="1", job="api"} 180
+
+eval instant at 50m vector(7) * 6
+  {} 42
+
+eval instant at 50m req{job="api"} or limit
+  {group="prod", instance="0", job="api"} 100
+  {group="prod", instance="1", job="api"} 200
+  {instance="0"} 300
+  {instance="1"} 500
+
+eval instant at 50m count(req == 100)
+  {} 1
+
+eval instant at 50m max_over_time(req{job="api", instance="1"}[20m])
+  {group="prod", instance="1", job="api"} 200
+
+eval instant at 50m present_over_time(req{job="api", instance="1"}[20m])
+  {group="prod", instance="1", job="api"} 1
 """
 
 
