@@ -415,6 +415,57 @@ def offset_to_zero(grid: DataFrame) -> DataFrame:
     return grid.withColumn("value", F.col("value") - F.min("value").over(w))
 
 
+def sustained_above(grid: DataFrame, n: float, min_steps: int) -> DataFrame:
+    """sustainedAbove: keep series whose value stayed >= n for at least
+    ``min_steps`` consecutive steps.  Run-length via the classic
+    row_number-difference grouping — no UDF."""
+    ws = Window.partitionBy("series_id").orderBy("step_ts")
+    above = (F.col("value") >= F.lit(float(n))).cast("int")
+    marked = grid.withColumn("_rn", F.row_number().over(ws)).withColumn(
+        "_ra",
+        F.sum(above).over(ws.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    # within a run of above-rows, _rn - _ra is constant
+    runs = (
+        marked.where(above == 1)
+        .groupBy("series_id", (F.col("_rn") - F.col("_ra")).alias("_grp"))
+        .agg(F.count("*").alias("_len"))
+        .where(F.col("_len") >= min_steps)
+        .select("series_id")
+        .distinct()
+    )
+    return grid.join(F.broadcast(runs), "series_id", "left_semi")
+
+
+def integral_by_interval(grid: DataFrame, interval_s: int) -> DataFrame:
+    """integralByInterval: cumulative sum resetting at each interval
+    boundary (builtin_functions.go:1435-1542)."""
+    w = (
+        Window.partitionBy(
+            "series_id", F.window("step_ts", f"{interval_s} seconds")
+        )
+        .orderBy("step_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return grid.withColumn("value", F.sum("value").over(w))
+
+
+def hitcount(samples: DataFrame, interval_s: int, step_s: float) -> DataFrame:
+    """hitcount: rate×time integration per tumbling interval —
+    sum(value × step_seconds) (summarize.go:148)."""
+    return (
+        samples.groupBy(
+            F.window("ts", f"{interval_s} seconds").alias("w"),
+            "name", "tags", "series_id",
+        )
+        .agg((F.sum("value") * F.lit(float(step_s))).alias("value"))
+        .select(
+            F.col("w.start").alias("step_ts"), "name", "tags", "series_id",
+            "value",
+        )
+    )
+
+
 def remove_above_value(grid: DataFrame, v: float) -> DataFrame:
     return grid.withColumn(
         "value", F.when(F.col("value") <= F.lit(float(v)), F.col("value"))
@@ -592,6 +643,9 @@ REGISTRY: dict[str, Callable] = {
     "maximumAbove": lambda g, n: filter_series(g, "max", ">", n),
     "maximumBelow": lambda g, n: filter_series(g, "max", "<", n),
     "minimumAbove": lambda g, n: filter_series(g, "min", ">", n),
+    "sustainedAbove": sustained_above,
+    "integralByInterval": integral_by_interval,
+    "hitcount": hitcount,
     "removeAboveValue": remove_above_value,
     "removeBelowValue": remove_below_value,
     "removeAbovePercentile": remove_above_percentile,

@@ -49,11 +49,12 @@ def parse_carbon(lines: DataFrame, line_col: str = "value") -> DataFrame:
 
 
 def parse_influx(lines: DataFrame, line_col: str = "value") -> DataFrame:
-    """InfluxDB line protocol (single-field form):
-    ``measurement[,tag=v…] field=value [ns-timestamp]``.
+    """InfluxDB line protocol:
+    ``measurement[,tag=v…] field=value[,field2=value2…] [ns-timestamp]``.
 
-    Field keys become the metric name suffix ``measurement.field``
-    (the reference's influx translation flattens fields the same way).
+    Each field becomes one sample named ``measurement.field`` (the
+    reference's influx translation flattens fields the same way);
+    integer suffixes (``42i``) are handled, non-numeric fields dropped.
     """
     line = F.trim(F.col(line_col))
     head = F.regexp_extract(line, r"^([^ ]+) ", 1)  # measurement,tags
@@ -73,9 +74,8 @@ def parse_influx(lines: DataFrame, line_col: str = "value") -> DataFrame:
             ),
         )
     )
-    field_part = F.regexp_extract(line, r"^[^ ]+ ([^ ]+)", 1)
-    field_key = F.get(F.split(field_part, "="), 0)
-    field_val = F.get(F.split(field_part, "="), 1).try_cast("double")
+    field_section = F.regexp_extract(line, r"^[^ ]+ ([^ ]+)", 1)
+    field_part = F.explode(F.split(field_section, ","))
     ts_ns = F.regexp_extract(line, r" ([0-9]+)$", 1)
     ts = F.when(
         ts_ns != "",
@@ -86,10 +86,23 @@ def parse_influx(lines: DataFrame, line_col: str = "value") -> DataFrame:
             )
         ),
     )
-    out = lines.select(
-        F.concat(measurement, F.lit("."), field_key).alias("name"),
+    exploded = lines.select(
+        measurement.alias("_m"),
         F.coalesce(tags, F.map_from_arrays(F.array(), F.array())).alias("tags"),
         ts.alias("ts"),
+        field_part.alias("_f"),
+    )
+    field_key = F.get(F.split(F.col("_f"), "="), 0)
+    raw_val = F.get(F.split(F.col("_f"), "="), 1)
+    # integer fields carry an 'i' suffix in line protocol
+    field_val = F.when(
+        raw_val.rlike("^-?[0-9]+i$"),
+        F.regexp_replace(raw_val, "i$", "").try_cast("double"),
+    ).otherwise(raw_val.try_cast("double"))
+    out = exploded.select(
+        F.concat(F.col("_m"), F.lit("."), field_key).alias("name"),
+        "tags",
+        "ts",
         field_val.alias("value"),
     ).where(F.col("value").isNotNull() & F.col("ts").isNotNull())
     return with_series_id(out).select("name", "tags", "series_id", "ts", "value")

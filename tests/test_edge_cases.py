@@ -1,0 +1,66 @@
+"""Robustness: empty matches, degenerate ranges, single samples."""
+
+from __future__ import annotations
+
+import pytest
+
+from m3_spark.operators.aggregation import aggregate, topk
+from m3_spark.operators.consolidate import consolidate, consolidate_sparse
+from m3_spark.operators.temporal import over_time, rate
+from m3_spark.plans.engine import query_instant, query_range
+
+from .conftest import make_samples
+from .test_consolidate import T0
+
+
+@pytest.fixture(scope="module")
+def one_sample(spark):
+    return make_samples(spark, [("m", {"a": "1"}, T0, 1.0)])
+
+
+def test_no_matching_series(spark, one_sample):
+    out = query_instant(one_sample, 'sum(nope{x="y"})', T0 + 60)
+    assert out.count() == 0
+    out = query_instant(one_sample, "rate(nope[5m])", T0 + 60)
+    assert out.count() == 0
+    out = query_instant(one_sample, "topk(5, nope)", T0 + 60)
+    assert out.count() == 0
+
+
+def test_single_point_series(spark, one_sample):
+    # rate needs >= 2 points → empty, not error
+    assert rate(one_sample, "rate", 300, T0 + 60, T0 + 60, 60).count() == 0
+    # last_over_time works with 1 point
+    out = over_time(one_sample, "last", 300, T0 + 60, T0 + 60, 60).collect()
+    assert out[0]["value"] == 1.0
+
+
+def test_instant_equals_range_single_step(spark, one_sample):
+    a = query_instant(one_sample, "m", T0 + 60).collect()
+    b = query_range(one_sample, "m", T0 + 60, T0 + 60, 60).collect()
+    assert [r["value"] for r in a] == [r["value"] for r in b] == [1.0]
+
+
+def test_sparse_empty_window(spark, one_sample):
+    # query window entirely before the data
+    g = consolidate_sparse(one_sample, T0 - 3600, T0 - 1800, 60, 60)
+    assert g.count() == 0
+    g = consolidate(one_sample, T0 - 3600, T0 - 1800, 60, 60)
+    # dense: probe rows exist only for series seen in the pruned scan
+    assert g.count() == 0
+
+
+def test_aggregate_empty_grid(spark, one_sample):
+    g = consolidate(one_sample, T0 - 3600, T0 - 1800, 60, 60)
+    assert aggregate(g, "sum", by=["a"]).count() == 0
+    assert topk(g, 3).count() == 0
+
+
+def test_duplicate_timestamps(spark):
+    # same series, same microsecond: deterministic (max value wins)
+    samples = make_samples(
+        spark, [("m", {}, T0, 5.0), ("m", {}, T0, 9.0)]
+    )
+    for fn in (consolidate, consolidate_sparse):
+        got = fn(samples, T0 + 60, T0 + 60, 60, 300).collect()
+        assert [r["value"] for r in got] == [9.0]

@@ -41,6 +41,38 @@ def test_changed_and_constant(spark, ggrid2):
     assert len(cl) == 5 and all(r["value"] == 42.0 for r in cl)
 
 
+def test_sustained_above(spark, ggrid2):
+    # db01 series: values 40..44 → always >= 40 for 5 steps
+    out = gf.sustained_above(ggrid2, 40.0, 5)
+    assert out.select("series_id").distinct().count() == 3
+    # web02 (20..24) reaches 22 at i=2..4 → run of 3
+    out = gf.sustained_above(ggrid2, 22.0, 3)
+    names = {r["name"] for r in out.collect()}
+    assert all(".db01." in n or ".web02." in n for n in names)
+    out = gf.sustained_above(ggrid2, 22.0, 4)
+    names = {r["name"] for r in out.collect()}
+    assert all(".db01." in n for n in names)
+
+
+def test_integral_by_interval(spark, ggrid2):
+    from pyspark.sql import functions as F
+
+    sel = ggrid2.where(F.col("series_id").rlike("web01\\.cpu\\.user"))
+    out = gf.integral_by_interval(sel, 120).orderBy("step_ts").collect()
+    # 2-minute windows, epoch-aligned like F.window
+    vals = [r["value"] for r in out]
+    assert vals[0] == 10.0  # first window starts fresh
+    assert sum(vals) > sum([10, 11, 12, 13, 14])  # cumulative within runs
+
+
+def test_hitcount(spark, gsamples):  # noqa: F811
+    from m3_spark.graphite.paths import fetch_by_glob
+
+    sel = fetch_by_glob(gsamples, "servers.web01.cpu.user")
+    out = gf.hitcount(sel, 120, 60).orderBy("step_ts").collect()
+    assert [r["value"] for r in out] == [21.0 * 60, 25.0 * 60, 14.0 * 60]
+
+
 def test_weighted_average(spark, ggrid2):
     sel = ggrid2.where(F.col("name").rlike(r"servers\.\w+\.cpu\.user"))
     out = gf.weighted_average(sel, sel).orderBy("step_ts").collect()

@@ -50,16 +50,17 @@ def test_parse_influx(spark):
         _lines(
             spark,
             [
-                f"cpu,host=web01,region=us usage=0.64 {ns}",
-                f"mem free=2048 {ns}",
+                f"cpu,host=web01,region=us usage=0.64,sys=0.1,n=42i {ns}",
+                f'mem free=2048,desc="skip" {ns}',
                 "malformed",
             ],
         )
     )
     rows = {x["name"]: x for x in df.collect()}
-    assert set(rows) == {"cpu.usage", "mem.free"}
+    assert set(rows) == {"cpu.usage", "cpu.sys", "cpu.n", "mem.free"}
     assert rows["cpu.usage"]["tags"] == {"host": "web01", "region": "us"}
     assert rows["cpu.usage"]["value"] == 0.64
+    assert rows["cpu.n"]["value"] == 42.0
     assert int(rows["mem.free"]["ts"].timestamp()) == T0
 
 
