@@ -30,7 +30,17 @@ from ..operators.temporal import (
     rate,
     resets_or_changes,
 )
-from .promql import Agg, Binary, Call, NumberLit, Selector, StringLit, Unary, parse
+from .promql import (
+    Agg,
+    Binary,
+    Call,
+    NumberLit,
+    Selector,
+    StringLit,
+    Subquery,
+    Unary,
+    parse,
+)
 
 
 @dataclass
@@ -141,48 +151,95 @@ def _eval_agg(e: Agg, ctx: Context):
     raise ValueError(f"unknown aggregation {e.op}")
 
 
-def _range_sel(e: Call, idx: int) -> Selector:
-    sel = e.args[idx]
-    if not isinstance(sel, Selector) or sel.range_s is None:
-        raise TypeError(f"{e.func} requires a range selector")
-    return sel
+def _range_input(ctx: Context, arg) -> tuple[DataFrame, float]:
+    """A temporal function's input: (samples-shaped frame, range).
+
+    Range selector → filtered raw samples.  Subquery → evaluate the
+    inner expression as a range query at the sub-step resolution over
+    [start - range, end], then treat its grid rows as samples (the
+    upstream-engine subquery semantics; the reference's native engine
+    has no subqueries at all).  Sub-steps align to the extended query
+    start rather than epoch multiples (documented divergence).
+    """
+    from ..model import series_id_col
+    from ..operators.consolidate import _epoch_s
+
+    if isinstance(arg, Selector) and arg.range_s is not None:
+        return _shifted(ctx, arg), arg.range_s
+    if isinstance(arg, Subquery):
+        sub_step = arg.step_s or ctx.step_s
+        inner_ctx = Context(
+            ctx.samples,
+            _epoch_s(ctx.start) - arg.range_s - arg.offset_s,
+            _epoch_s(ctx.end) - arg.offset_s,
+            sub_step,
+            ctx.lookback_s,
+        )
+        inner = _eval(arg.expr, inner_ctx)
+        if isinstance(inner, float):
+            raise TypeError("scalar subquery is not a range vector")
+        cols = inner.columns
+        name = F.col("name") if "name" in cols else F.lit(None).cast("string")
+        sid = (
+            F.col("series_id")
+            if "series_id" in cols
+            else series_id_col(name, F.col("tags"))
+        )
+        ts = F.col("step_ts")
+        if arg.offset_s:
+            ts = ts + F.expr(f"INTERVAL {int(arg.offset_s)} SECONDS")
+        samples_like = inner.where(F.col("value").isNotNull()).select(
+            name.alias("name"),
+            F.col("tags"),
+            sid.alias("series_id"),
+            ts.alias("ts"),
+            F.col("value"),
+        )
+        return samples_like, arg.range_s
+    raise TypeError("temporal function requires a range selector or subquery")
+
+
+def _range_sel(e: Call, idx: int):
+    arg = e.args[idx]
+    if isinstance(arg, Subquery) or (
+        isinstance(arg, Selector) and arg.range_s is not None
+    ):
+        return arg
+    raise TypeError(f"{e.func} requires a range selector or subquery")
 
 
 def _eval_call(e: Call, ctx: Context):
     f = e.func
     if f in _RATE_FUNCS:
-        sel = _range_sel(e, 0)
-        return rate(_shifted(ctx, sel), f, sel.range_s, ctx.start, ctx.end, ctx.step_s)
+        src, rng = _range_input(ctx, _range_sel(e, 0))
+        return rate(src, f, rng, ctx.start, ctx.end, ctx.step_s)
     if f in _TEMPORAL_OVER_TIME:
-        sel = _range_sel(e, 0)
+        src, rng = _range_input(ctx, _range_sel(e, 0))
         return over_time(
-            _shifted(ctx, sel), _TEMPORAL_OVER_TIME[f], sel.range_s,
-            ctx.start, ctx.end, ctx.step_s,
+            src, _TEMPORAL_OVER_TIME[f], rng, ctx.start, ctx.end, ctx.step_s
         )
     if f == "quantile_over_time":
-        sel = _range_sel(e, 1)
+        src, rng = _range_input(ctx, _range_sel(e, 1))
         return over_time(
-            _shifted(ctx, sel), "quantile", sel.range_s,
+            src, "quantile", rng,
             ctx.start, ctx.end, ctx.step_s, param=_eval(e.args[0], ctx),
         )
     if f in ("resets", "changes"):
-        sel = _range_sel(e, 0)
-        return resets_or_changes(
-            _shifted(ctx, sel), f, sel.range_s, ctx.start, ctx.end, ctx.step_s
-        )
+        src, rng = _range_input(ctx, _range_sel(e, 0))
+        return resets_or_changes(src, f, rng, ctx.start, ctx.end, ctx.step_s)
     if f == "deriv":
-        sel = _range_sel(e, 0)
-        return deriv(_shifted(ctx, sel), sel.range_s, ctx.start, ctx.end, ctx.step_s)
+        src, rng = _range_input(ctx, _range_sel(e, 0))
+        return deriv(src, rng, ctx.start, ctx.end, ctx.step_s)
     if f == "predict_linear":
-        sel = _range_sel(e, 0)
+        src, rng = _range_input(ctx, _range_sel(e, 0))
         return deriv(
-            _shifted(ctx, sel), sel.range_s, ctx.start, ctx.end, ctx.step_s,
+            src, rng, ctx.start, ctx.end, ctx.step_s,
             predict_offset_s=_eval(e.args[1], ctx),
         )
     if f == "holt_winters":
-        sel = _range_sel(e, 0)
+        src, rng = _range_input(ctx, _range_sel(e, 0))
         return holt_winters(
-            _shifted(ctx, sel), sel.range_s, ctx.start, ctx.end, ctx.step_s,
+            src, rng, ctx.start, ctx.end, ctx.step_s,
             sf=_eval(e.args[1], ctx), tf=_eval(e.args[2], ctx),
         )
     if f in _MATH_FUNCS:

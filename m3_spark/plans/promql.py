@@ -63,6 +63,20 @@ class Agg:
 
 
 @dataclass(frozen=True)
+class Subquery:
+    """``expr[range:step]`` — evaluate expr as a range vector at
+    ``step`` resolution over the trailing ``range``.  Note: the
+    reference's native engine does NOT support subqueries (SURVEY
+    §3.1 step 4); they only work via its vendored upstream engine —
+    here they are first-class."""
+
+    expr: object
+    range_s: float
+    step_s: float | None = None  # None → default resolution
+    offset_s: float = 0.0
+
+
+@dataclass(frozen=True)
 class Binary:
     op: str
     lhs: object
@@ -84,6 +98,7 @@ class Unary:
 _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+)
+  | (?P<subq>\[[0-9]+(?:\.[0-9]+)?[smhdwy]:(?:[0-9]+(?:\.[0-9]+)?[smhdwy])?\])
   | (?P<dur>[0-9]+(?:\.[0-9]+)?[smhdwy]\b)
   | (?P<num>[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)
   | (?P<id>[a-zA-Z_:][a-zA-Z0-9_:]*)
@@ -203,17 +218,26 @@ class Parser:
                 if kd != "dur":
                     raise SyntaxError(f"expected duration, got {vd!r}")
                 self.expect("]")
-                if not isinstance(e, Selector):
-                    raise SyntaxError("range selector on non-selector")
-                e = Selector(e.name, e.matchers, _dur_to_s(vd), e.offset_s)
+                if isinstance(e, Selector) and e.range_s is None:
+                    e = Selector(e.name, e.matchers, _dur_to_s(vd), e.offset_s)
+                else:
+                    e = Subquery(e, _dur_to_s(vd))
+            elif k == "subq":
+                self.next()
+                rng, step = v[1:-1].split(":")
+                step_s = _dur_to_s(step) if step else None
+                e = Subquery(e, _dur_to_s(rng), step_s)
             elif k == "id" and v == "offset":
                 self.next()
                 kd, vd = self.next()
                 if kd != "dur":
                     raise SyntaxError("expected duration after offset")
-                if not isinstance(e, Selector):
+                if isinstance(e, Selector):
+                    e = Selector(e.name, e.matchers, e.range_s, _dur_to_s(vd))
+                elif isinstance(e, Subquery):
+                    e = Subquery(e.expr, e.range_s, e.step_s, _dur_to_s(vd))
+                else:
                     raise SyntaxError("offset on non-selector")
-                e = Selector(e.name, e.matchers, e.range_s, _dur_to_s(vd))
             else:
                 return e
 
@@ -331,6 +355,8 @@ def _fold(e):
         if isinstance(inner, NumberLit):
             return NumberLit(-inner.value)
         return Unary(e.op, inner)
+    if isinstance(e, Subquery):
+        return Subquery(_fold(e.expr), e.range_s, e.step_s, e.offset_s)
     if isinstance(e, Agg):
         return Agg(e.op, _fold(e.expr), e.by, e.without, _fold(e.param) if e.param is not None else None)
     if isinstance(e, Call):

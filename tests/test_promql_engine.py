@@ -121,6 +121,18 @@ eval instant at 50m abs(-1 * http_requests{group="production", job="api-server"}
   {group="production", instance="0", job="api-server"} 100
   {group="production", instance="1", job="api-server"} 200
 
+# subqueries (beyond the reference's native engine)
+eval instant at 50m max_over_time(sum by (group) (http_requests)[30m:5m])
+  {group="canary"} 2200
+  {group="production"} 1400
+
+eval instant at 50m min_over_time(sum by (group) (http_requests)[30m:5m])
+  {group="canary"} 1100
+  {group="production"} 700
+
+eval instant at 50m avg_over_time(vector(5)[20m:5m])
+  {} 5
+
 eval instant at 50m clamp_max(http_requests{job="api-server"}, 250)
   {group="canary", instance="0", job="api-server"} 250
   {group="canary", instance="1", job="api-server"} 250
