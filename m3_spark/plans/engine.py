@@ -119,6 +119,21 @@ def _eval(e, ctx: Context):
     if isinstance(e, Selector):
         if e.range_s is not None:
             raise TypeError("range selector outside temporal function")
+        if e.at_s is not None:
+            # `@ t`: evaluate once at the fixed instant, replicate the
+            # result across every output step (upstream semantics; the
+            # reference supports @ only via its vendored engine)
+            inst = consolidate(
+                _shifted(ctx, e), e.at_s, e.at_s, 1, ctx.lookback_s
+            ).where(F.col("value").isNotNull())
+            steps = step_grid(
+                ctx.samples.sparkSession, ctx.start, ctx.end, ctx.step_s
+            )
+            return (
+                inst.drop("step_ts")
+                .crossJoin(F.broadcast(steps))
+                .select("step_ts", "name", "tags", "series_id", "value")
+            )
         return consolidate(
             _shifted(ctx, e), ctx.start, ctx.end, ctx.step_s, ctx.lookback_s
         )

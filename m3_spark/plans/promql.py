@@ -45,6 +45,7 @@ class Selector:
     matchers: tuple[tuple[str, str, str], ...]  # (kind, key, value)
     range_s: float | None = None
     offset_s: float = 0.0
+    at_s: float | None = None  # `@ <epoch>` modifier: fixed eval time
 
 
 @dataclass(frozen=True)
@@ -103,7 +104,7 @@ _TOKEN_RE = re.compile(
   | (?P<num>[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)
   | (?P<id>[a-zA-Z_:][a-zA-Z0-9_:]*)
   | (?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
-  | (?P<op>=~|!~|!=|==|<=|>=|=|<|>|\+|-|\*|/|%|\^|\(|\)|\{|\}|\[|\]|,)
+  | (?P<op>=~|!~|!=|==|<=|>=|=|<|>|\+|-|\*|/|%|\^|\(|\)|\{|\}|\[|\]|,|@)
 """,
     re.VERBOSE,
 )
@@ -233,11 +234,21 @@ class Parser:
                 if kd != "dur":
                     raise SyntaxError("expected duration after offset")
                 if isinstance(e, Selector):
-                    e = Selector(e.name, e.matchers, e.range_s, _dur_to_s(vd))
+                    e = Selector(
+                        e.name, e.matchers, e.range_s, _dur_to_s(vd), e.at_s
+                    )
                 elif isinstance(e, Subquery):
                     e = Subquery(e.expr, e.range_s, e.step_s, _dur_to_s(vd))
                 else:
                     raise SyntaxError("offset on non-selector")
+            elif v == "@":
+                self.next()
+                kn, vn = self.next()
+                if kn != "num":
+                    raise SyntaxError("expected epoch timestamp after @")
+                if not isinstance(e, Selector):
+                    raise SyntaxError("@ modifier on non-selector")
+                e = Selector(e.name, e.matchers, e.range_s, e.offset_s, float(vn))
             else:
                 return e
 

@@ -276,6 +276,30 @@ eval instant at 50m present_over_time(req{job="api", instance="1"}[20m])
 """
 
 
+def test_at_modifier(spark):
+    from m3_spark.plans.engine import query_instant
+
+    from .promql_corpus import T0, load_samples, parse_corpus
+
+    corpus = parse_corpus(CORPUS)[0]
+    samples = load_samples(spark, corpus)
+    at = T0 + 1500  # 25m: api-server instance 0 production = 50
+    out = query_instant(
+        samples,
+        f'http_requests{{job="api-server", instance="0", group="production"}} @ {at}',
+        T0 + 3000,
+    ).collect()
+    assert len(out) == 1 and out[0]["value"] == 50.0
+    # combined with current-time series in a binary op
+    out = query_instant(
+        samples,
+        f'http_requests{{job="api-server", instance="0", group="production"}} '
+        f'- http_requests{{job="api-server", instance="0", group="production"}} @ {at}',
+        T0 + 3000,
+    ).collect()
+    assert len(out) == 1 and out[0]["value"] == 50.0  # 100 - 50
+
+
 def test_corpus(spark):
     failures = run_corpus(spark, CORPUS)
     msg = "\n".join(
