@@ -134,6 +134,43 @@ def test_streaming_parity(spark, metric_rows, tmp_path):
         assert want[k] == (r["agg_sum"], r["agg_count"], r["p95"])
 
 
+def test_streaming_to_namespace_table(spark, tmp_path):
+    """Durable path: stream → windowed rollup → parquet sink with
+    checkpoint → readable namespace-style table (the metrics_<res>
+    materialization loop)."""
+    src = str(tmp_path / "nsrc")
+    rows = [("m.g", "gauge", TA + i * 30, float(i)) for i in range(20)]
+    # append sinks emit only watermark-closed windows: a second batch
+    # with later events advances the watermark past both test windows
+    late = [("m.g", "gauge", TA + 3600, 0.0)]
+    _to_df(spark, rows).coalesce(1).write.parquet(src + "/f1")
+    _to_df(spark, late).coalesce(1).write.parquet(src + "/f2")
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    agg = tumbling_aggregates(stream, 300, watermark_s=60)
+    out_path = str(tmp_path / "metrics_5m")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    back = spark.read.parquet(out_path)
+    got = {
+        int(r["window_start"].timestamp()): (r["agg_sum"], r["agg_count"])
+        for r in back.collect()
+    }
+    # 20 samples @30s → two 5m windows of 10 each
+    assert got[TA] == (sum(range(10)), 10)
+    assert got[TA + 300] == (sum(range(10, 20)), 10)
+
+
 def test_counter_increase_streaming_state(spark, tmp_path):
     """State carries across micro-batches: increase spanning two files."""
     src = str(tmp_path / "csrc")
