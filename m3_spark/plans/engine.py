@@ -225,6 +225,37 @@ def _range_sel(e: Call, idx: int):
 
 def _eval_call(e: Call, ctx: Context):
     f = e.func
+    # `f(m[r] @ t)`: evaluate the temporal call once at the fixed
+    # instant, replicate across the output grid (same shape as the
+    # instant-selector @ path)
+    at_idx = next(
+        (
+            i
+            for i, a in enumerate(e.args)
+            if isinstance(a, Selector) and a.range_s is not None and a.at_s is not None
+        ),
+        None,
+    )
+    if at_idx is not None:
+        sel = e.args[at_idx]
+        stripped = Call(
+            e.func,
+            tuple(
+                Selector(a.name, a.matchers, a.range_s, a.offset_s, None)
+                if i == at_idx
+                else a
+                for i, a in enumerate(e.args)
+            ),
+        )
+        inner_ctx = Context(ctx.samples, sel.at_s, sel.at_s, 1, ctx.lookback_s)
+        inst = _eval_call(stripped, inner_ctx)
+        steps = step_grid(ctx.samples.sparkSession, ctx.start, ctx.end, ctx.step_s)
+        keep = [c for c in inst.columns if c != "step_ts"]
+        return (
+            inst.drop("step_ts")
+            .crossJoin(F.broadcast(steps))
+            .select("step_ts", *keep)
+        )
     if f in _RATE_FUNCS:
         src, rng = _range_input(ctx, _range_sel(e, 0))
         return rate(src, f, rng, ctx.start, ctx.end, ctx.step_s)

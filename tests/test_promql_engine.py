@@ -298,6 +298,15 @@ def test_at_modifier(spark):
         T0 + 3000,
     ).collect()
     assert len(out) == 1 and out[0]["value"] == 50.0  # 100 - 50
+    # range selector @: sum_over_time window pinned at 25m
+    out = query_instant(
+        samples,
+        f'sum_over_time(http_requests{{job="api-server", instance="0", '
+        f'group="production"}}[15m] @ {at})',
+        T0 + 3000,
+    ).collect()
+    # window (10m, 25m] @5m steps → values 30+40+50 = 120
+    assert len(out) == 1 and out[0]["value"] == 120.0
 
 
 def test_corpus(spark):
