@@ -178,7 +178,7 @@ ORACLE_CHANGES = _sql_pairflag("f.value <> f.pv")
 
 
 def q_rate(spark, sf_dir):
-    """Prometheus-extrapolated rate — not SQL-expressible (rows-only check)."""
+    """Prometheus-extrapolated rate (``temporal/rate.go:150-240``)."""
     s = read_samples(spark, sf_dir)
     return _finish_series(rate(s, "rate", RANGE_S, START, END, STEP_S))
 
@@ -186,6 +186,63 @@ def q_rate(spark, sf_dir):
 def q_increase(spark, sf_dir):
     s = read_samples(spark, sf_dir)
     return _finish_series(rate(s, "increase", RANGE_S, START, END, STEP_S))
+
+
+def _sql_rate(final_expr: str) -> str:
+    """DuckDB restatement of the Prometheus extrapolation algorithm
+    (reference ``src/query/functions/temporal/rate.go:150-240``):
+    counter-reset correction via per-series prefix sums, boundary
+    extrapolation capped at 1.1x the average sample interval, and the
+    counter zero-point clamp.  Arithmetic ordering mirrors
+    ``_rate_kernel`` so both sides round identically at 6 dp."""
+    return f"""WITH steps AS ({_STEPS_SQL}),
+flags AS (
+  SELECT event_type, user_id, ts, value,
+         CASE WHEN lag(value) OVER w > value THEN lag(value) OVER w
+              ELSE 0 END AS drp
+  FROM events
+  WINDOW w AS (PARTITION BY event_type, user_id ORDER BY ts)
+),
+cum AS (
+  SELECT event_type, user_id, ts, value,
+         SUM(drp) OVER (PARTITION BY event_type, user_id ORDER BY ts) AS cr
+  FROM flags
+),
+win AS (
+  SELECT s.step_ts, c.event_type, c.user_id, COUNT(*) AS n,
+         epoch_us(MIN(c.ts)) / 1e6 AS t0s, epoch_us(MAX(c.ts)) / 1e6 AS t1s,
+         epoch_us(s.step_ts) / 1e6 AS tss,
+         arg_min(c.value, c.ts) AS v0,
+         (arg_max(c.value, c.ts) + arg_max(c.cr, c.ts))
+           - (arg_min(c.value, c.ts) + arg_min(c.cr, c.ts)) AS result
+  FROM steps s JOIN cum c
+    ON c.ts <= s.step_ts AND c.ts > s.step_ts - INTERVAL 6 HOUR
+  GROUP BY s.step_ts, c.event_type, c.user_id
+),
+ext AS (
+  SELECT step_ts, event_type, user_id, result,
+         t1s - t0s AS sampled,
+         (t1s - t0s) / (n - 1) AS avg_dur,
+         tss - t1s AS dur_end,
+         CASE WHEN result > 0 AND v0 >= 0
+                   AND (t1s - t0s) * (v0 / result) < t0s - (tss - 21600.0)
+              THEN (t1s - t0s) * (v0 / result)
+              ELSE t0s - (tss - 21600.0) END AS dur_start
+  FROM win WHERE n >= 2
+)
+SELECT CAST(epoch(step_ts) AS BIGINT) AS step_s, event_type,
+       CAST(user_id AS BIGINT) AS user_id,
+       ROUND({final_expr}, 6) AS value
+FROM ext WHERE sampled > 0"""
+
+
+_RATE_EXTRAP = """result * ((sampled
+    + CASE WHEN dur_start < avg_dur * 1.1 THEN dur_start ELSE avg_dur / 2 END
+    + CASE WHEN dur_end < avg_dur * 1.1 THEN dur_end ELSE avg_dur / 2 END)
+    / sampled)"""
+
+ORACLE_RATE = _sql_rate(f"({_RATE_EXTRAP}) / 21600.0")
+ORACLE_INCREASE = _sql_rate(_RATE_EXTRAP)
 
 
 # -- metadata ----------------------------------------------------------------
@@ -305,8 +362,8 @@ QUERIES = {
     "promql_stddev_over_time": (q_stddev_over_time, ORACLE_STDDEV_OVER_TIME),
     "promql_resets": (q_resets, ORACLE_RESETS),
     "promql_changes": (q_changes, ORACLE_CHANGES),
-    "promql_rate": (q_rate, None),
-    "promql_increase": (q_increase, None),
+    "promql_rate": (q_rate, ORACLE_RATE),
+    "promql_increase": (q_increase, ORACLE_INCREASE),
     "meta_label_values": (q_label_values, ORACLE_LABEL_VALUES),
     "meta_series_match": (q_series_match, ORACLE_SERIES_MATCH),
     "graphite_summarize_1d": (q_summarize_1d, ORACLE_SUMMARIZE_1D),
