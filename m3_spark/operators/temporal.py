@@ -21,6 +21,7 @@ Spark restatement — two tiers:
 from __future__ import annotations
 
 import datetime as dt
+from collections.abc import Sequence
 
 import numpy as np
 import pandas as pd
@@ -100,6 +101,39 @@ def over_time(
     out = u.select(
         "step_ts", "name", "tags", "series_id",
         val.alias("value"),
+        F.count("value").over(w).alias("_n"),
+    )
+    return (
+        out.where(F.col("step_ts").isNotNull() & (F.col("_n") > 0))
+        .drop("_n")
+    )
+
+
+def over_time_multi(
+    samples: DataFrame, funcs: Sequence[str], range_s: float,
+    start, end, step_s: float, quantile: float | None = None,
+) -> DataFrame:
+    """Several ``<func>_over_time`` aggregates in ONE probe-row window
+    pass — one shuffle and one sort amortized across every aggregate
+    (the single-func form pays them per call).  Output has a
+    ``<func>_ot`` column per requested func.
+
+    Same per-step window semantics as :func:`over_time`
+    (``src/query/functions/temporal/aggregation.go:35-59``).
+    """
+    u = _probed(samples, start, end, step_s, range_s)
+    w = _range_window(range_s)
+    cols = []
+    for func in funcs:
+        if func == "quantile":
+            val = F.percentile(F.col("value"), F.lit(float(quantile))).over(w)
+        elif func in _OVER_TIME:
+            val = _OVER_TIME[func](w)
+        else:
+            raise ValueError(f"unknown over_time func {func!r}")
+        cols.append(val.alias(f"{func}_ot"))
+    out = u.select(
+        "step_ts", "name", "tags", "series_id", *cols,
         F.count("value").over(w).alias("_n"),
     )
     return (

@@ -67,11 +67,17 @@ def _have_codecs() -> bool:
 def _fake_decode_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     """Deterministic stand-in for decode→feature-extract: a seeded
     byte-histogram projection.  REPLACE with a real decoder when codec
-    libraries are available."""
+    libraries are available.
+
+    Computed in float64 and rounded to 6 dp *before* the float32 cast
+    so the value survives the Arrow float32 round-trip exactly — this
+    makes the stub oracle-checkable against an integer-arithmetic SQL
+    restatement (a float32 quotient can round differently at 6 dp)."""
     arr = np.frombuffer(payload or b"\x00", dtype=np.uint8)
-    hist = np.bincount(arr % dim, minlength=dim).astype(np.float32)
+    hist = np.bincount(arr % dim, minlength=dim).astype(np.float64)
     norm = np.linalg.norm(hist)
-    return hist / norm if norm > 0 else hist
+    out = hist / norm if norm > 0 else hist
+    return np.round(out, 6).astype(np.float32)
 
 
 def extract_features(assets: DataFrame, batch_rows: int = 256) -> DataFrame:

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from .model import read_samples
 from .operators.aggregation import aggregate, topk
 from .operators.consolidate import consolidate
-from .operators.temporal import over_time, rate, resets_or_changes
+from .operators.temporal import over_time, over_time_multi, rate, resets_or_changes
 
 from .queries_common import (  # noqa: F401
     END,
@@ -50,22 +50,27 @@ def q_sum_by(spark, sf_dir):
     return _finish_agg(aggregate(_grid(spark, sf_dir), "sum", by=["event_type"]))
 
 
-def q_avg_by(spark, sf_dir):
-    return _finish_agg(aggregate(_grid(spark, sf_dir), "avg", by=["event_type"]))
+_AGG_BY_FUNCS = [
+    ("avg", None), ("count", None), ("min", None), ("max", None),
+    ("stddev", None), ("stdvar", None), ("quantile", 0.9),
+]
 
 
-def q_count_by(spark, sf_dir):
-    return _finish_agg(aggregate(_grid(spark, sf_dir), "count", by=["event_type"]))
+def q_agg_by_multi(spark, sf_dir):
+    """Every non-sum vertical aggregator over the same consolidated
+    grid, stacked with an ``agg`` discriminator column — one battery
+    row covering avg/count/min/max/stddev/stdvar/quantile
+    (``src/query/functions/aggregation/function.go:29-165``)."""
+    from functools import reduce
 
-
-def q_quantile_by(spark, sf_dir):
-    return _finish_agg(
-        aggregate(_grid(spark, sf_dir), "quantile", by=["event_type"], param=0.9)
-    )
-
-
-def q_stddev_by(spark, sf_dir):
-    return _finish_agg(aggregate(_grid(spark, sf_dir), "stddev", by=["event_type"]))
+    g = _grid(spark, sf_dir)
+    parts = [
+        _finish_agg(
+            aggregate(g, func, by=["event_type"], param=param)
+        ).select("step_s", "event_type", F.lit(func).alias("agg"), "value")
+        for func, param in _AGG_BY_FUNCS
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
 
 
 def q_topk(spark, sf_dir):
@@ -86,10 +91,24 @@ FROM lastv GROUP BY 1, 2"""
 
 
 ORACLE_SUM_BY = _sql_agg("SUM(v)")
-ORACLE_AVG_BY = _sql_agg("AVG(v)")
-ORACLE_COUNT_BY = _sql_agg("CAST(COUNT(v) AS DOUBLE)")
-ORACLE_QUANTILE_BY = _sql_agg("quantile_cont(v, 0.9)")
-ORACLE_STDDEV_BY = _sql_agg("COALESCE(stddev_pop(v), 0)")
+
+_AGG_BY_SQL = {
+    "avg": "AVG(v)",
+    "count": "CAST(COUNT(v) AS DOUBLE)",
+    "min": "MIN(v)",
+    "max": "MAX(v)",
+    "stddev": "COALESCE(stddev_pop(v), 0)",
+    "stdvar": "COALESCE(var_pop(v), 0)",
+    "quantile": "quantile_cont(v, 0.9)",
+}
+
+ORACLE_AGG_BY_MULTI = f"""{_LASTV_SQL}
+""" + "\nUNION ALL\n".join(
+    f"""SELECT CAST(epoch(step_ts) AS BIGINT) AS step_s, event_type,
+       '{func}' AS agg, ROUND({expr}, 6) AS value
+FROM lastv GROUP BY 1, 2"""
+    for func, expr in _AGG_BY_SQL.items()
+)
 
 from .queries_common import ORACLE_TOPK  # noqa: E402
 
@@ -105,21 +124,6 @@ def q_sum_over_time(spark, sf_dir):
     return _finish_series(over_time(s, "sum", RANGE_S, START, END, STEP_S))
 
 
-def q_avg_over_time(spark, sf_dir):
-    s = read_samples(spark, sf_dir)
-    return _finish_series(over_time(s, "avg", RANGE_S, START, END, STEP_S))
-
-
-def q_max_over_time(spark, sf_dir):
-    s = read_samples(spark, sf_dir)
-    return _finish_series(over_time(s, "max", RANGE_S, START, END, STEP_S))
-
-
-def q_last_over_time(spark, sf_dir):
-    s = read_samples(spark, sf_dir)
-    return _finish_series(over_time(s, "last", RANGE_S, START, END, STEP_S))
-
-
 def _sql_over_time(expr: str) -> str:
     return f"""WITH steps AS ({_STEPS_SQL})
 SELECT CAST(epoch(s.step_ts) AS BIGINT) AS step_s, e.event_type,
@@ -129,16 +133,49 @@ FROM steps s JOIN events e
 GROUP BY 1, 2, 3"""
 
 
-def q_stddev_over_time(spark, sf_dir):
-    s = read_samples(spark, sf_dir)
-    return _finish_series(over_time(s, "stddev", RANGE_S, START, END, STEP_S))
-
-
 ORACLE_SUM_OVER_TIME = _sql_over_time("SUM(e.value)")
-ORACLE_STDDEV_OVER_TIME = _sql_over_time("COALESCE(stddev_pop(e.value), 0)")
-ORACLE_AVG_OVER_TIME = _sql_over_time("AVG(e.value)")
-ORACLE_MAX_OVER_TIME = _sql_over_time("MAX(e.value)")
-ORACLE_LAST_OVER_TIME = _sql_over_time("arg_max(e.value, e.ts)")
+
+_OT_FUNCS = [
+    "avg", "min", "max", "count", "stddev", "stdvar", "last", "present",
+    "quantile",
+]
+
+_OT_SQL = {
+    "avg": "AVG(e.value)",
+    "min": "MIN(e.value)",
+    "max": "MAX(e.value)",
+    "count": "CAST(COUNT(e.value) AS DOUBLE)",
+    "stddev": "COALESCE(stddev_pop(e.value), 0)",
+    "stdvar": "COALESCE(var_pop(e.value), 0)",
+    "last": "arg_max(e.value, e.ts)",
+    "present": "1.0",
+    "quantile": "quantile_cont(e.value, 0.5)",
+}
+
+
+def q_over_time_multi(spark, sf_dir):
+    """All remaining ``*_over_time`` aggregates (avg/min/max/count/
+    stddev/stdvar/last/present/quantile) in one probe-row window pass
+    (``temporal/aggregation.go:35-59``) — one column per func."""
+    s = read_samples(spark, sf_dir)
+    out = over_time_multi(
+        s, _OT_FUNCS, RANGE_S, START, END, STEP_S, quantile=0.5
+    )
+    return out.select(
+        _epoch(),
+        F.col("tags").getItem("event_type").alias("event_type"),
+        F.col("tags").getItem("user_id").cast("bigint").alias("user_id"),
+        *[F.round(F.col(f"{f}_ot"), 6).alias(f"{f}_ot") for f in _OT_FUNCS],
+    )
+
+
+ORACLE_OVER_TIME_MULTI = f"""WITH steps AS ({_STEPS_SQL})
+SELECT CAST(epoch(s.step_ts) AS BIGINT) AS step_s, e.event_type,
+       CAST(e.user_id AS BIGINT) AS user_id,
+       {", ".join(f"ROUND({_OT_SQL[f]}, 6) AS {f}_ot" for f in _OT_FUNCS)}
+FROM steps s JOIN events e
+  ON e.ts <= s.step_ts AND e.ts > s.step_ts - INTERVAL 6 HOUR
+GROUP BY 1, 2, 3"""
 
 
 def q_resets(spark, sf_dir):
@@ -350,16 +387,10 @@ QUERIES = {
     **PIPELINE_QUERIES,
     **RELATIONAL_QUERIES,
     "promql_sum_by": (q_sum_by, ORACLE_SUM_BY),
-    "promql_avg_by": (q_avg_by, ORACLE_AVG_BY),
-    "promql_count_by": (q_count_by, ORACLE_COUNT_BY),
-    "promql_quantile_by": (q_quantile_by, ORACLE_QUANTILE_BY),
-    "promql_stddev_by": (q_stddev_by, ORACLE_STDDEV_BY),
+    "promql_agg_by_multi": (q_agg_by_multi, ORACLE_AGG_BY_MULTI),
     "promql_topk": (q_topk, ORACLE_TOPK),
     "promql_sum_over_time": (q_sum_over_time, ORACLE_SUM_OVER_TIME),
-    "promql_avg_over_time": (q_avg_over_time, ORACLE_AVG_OVER_TIME),
-    "promql_max_over_time": (q_max_over_time, ORACLE_MAX_OVER_TIME),
-    "promql_last_over_time": (q_last_over_time, ORACLE_LAST_OVER_TIME),
-    "promql_stddev_over_time": (q_stddev_over_time, ORACLE_STDDEV_OVER_TIME),
+    "promql_over_time_multi": (q_over_time_multi, ORACLE_OVER_TIME_MULTI),
     "promql_resets": (q_resets, ORACLE_RESETS),
     "promql_changes": (q_changes, ORACLE_CHANGES),
     "promql_rate": (q_rate, ORACLE_RATE),

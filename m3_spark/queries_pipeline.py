@@ -204,8 +204,9 @@ FROM ranked WHERE rk <= {TOPK}
 
 
 def q_ann_bucketed_topk(spark, sf_dir):
-    """ANN scale path — hyperplane-bucketed rank (rows-only check;
-    the bucketing itself is verified by q_ann_buckets)."""
+    """ANN scale path — exact cosine rank *within* each hyperplane
+    bucket.  Fully deterministic (integer-LCG planes + sequential-fold
+    cosine), so the oracle reproduces it bit-for-bit."""
     emb = read_table(spark, sf_dir, "embeddings")
     out = bucketed_topk(emb, TOPK, n_planes=8)
     return out.select(
@@ -220,7 +221,9 @@ def q_ann_buckets(spark, sf_dir):
     return hyperplane_bucket(emb, n_planes=8)
 
 
-def _bucket_sql(n_planes: int = 8, seed: int = 7, dim: int = 64) -> str:
+def _bucket_bits(n_planes: int = 8, seed: int = 7, dim: int = 64) -> str:
+    """Bucket-id expression over a DOUBLE[] column ``v`` — mirror of
+    pipeline.similarity.hyperplane_bucket's integer-LCG planes."""
     bits = []
     for p in range(n_planes):
         proj = (
@@ -229,13 +232,31 @@ def _bucket_sql(n_planes: int = 8, seed: int = 7, dim: int = 64) -> str:
             f"for d in generate_series(0, {dim - 1})]), (x, y) -> x + y)"
         )
         bits.append(f"CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END")
-    return f"""
+    return " || ".join(bits)
+
+
+ORACLE_ANN_BUCKETS = f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-SELECT vec_id, {" || ".join(bits)} AS bucket FROM v
+SELECT vec_id, {_bucket_bits()} AS bucket FROM v
 """
 
-
-ORACLE_ANN_BUCKETS = _bucket_sql()
+ORACLE_ANN_BUCKETED = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+vb AS (SELECT vec_id, v, {_bucket_bits()} AS bucket FROM v),
+scored AS (
+  SELECT qa.vec_id AS query_id, qb.vec_id AS neighbor_id,
+         {_COS_SQL} AS cosine
+  FROM vb qa JOIN vb qb
+    ON qa.bucket = qb.bucket AND qb.vec_id <> qa.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine
+FROM ranked WHERE rk <= {TOPK}
+"""
 
 
 # -- text analysis -----------------------------------------------------------
@@ -340,7 +361,38 @@ FROM w
 """
 
 
-# -- multimodal (no oracle — synthetic assets, plumbing check) ---------------
+def q_text_analysis(spark, sf_dir):
+    """All four text-analysis components (quality features, language
+    ID, token counts, fingerprint) joined on doc_id — one battery row,
+    four operators, single scan-side join fan-in."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        quality_features(docs)
+        .join(lang_id(docs), "doc_id")
+        .join(
+            docs.select(
+                "doc_id",
+                token_count_col(F.col("text")).alias("n_ws_tokens"),
+                bpe_ish_token_count_col(F.col("text")).alias("n_bpe_tokens"),
+            ),
+            "doc_id",
+        )
+        .join(fingerprint(docs), "doc_id")
+    )
+
+
+ORACLE_TEXT_ANALYSIS = f"""
+WITH qq AS ({ORACLE_TEXT_QUALITY}),
+ll AS ({ORACLE_TEXT_LANG}),
+tt AS ({ORACLE_TEXT_TOKENS}),
+ff AS ({ORACLE_TEXT_FINGERPRINT})
+SELECT qq.*, ll.lang_pred, ll.lang_score, tt.n_ws_tokens, tt.n_bpe_tokens,
+       ff.fingerprint
+FROM qq JOIN ll USING (doc_id) JOIN tt USING (doc_id) JOIN ff USING (doc_id)
+"""
+
+
+# -- multimodal (deterministic fake kernel, SQL-restated oracle) -------------
 
 def q_multimodal_features(spark, sf_dir):
     from .pipeline.multimodal import extract_features, synthetic_assets
@@ -353,6 +405,29 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+# The synthetic payload is bytes((i*31 + j*7) % 256, j < 128+i) and the
+# fake kernel is an L2-normalized byte-histogram mod 16 — both integer
+# arithmetic, restated here so the stub is a *checked* component.
+ORACLE_MULTIMODAL = """
+WITH a AS (SELECT unnest(generate_series(0, 63)) AS asset_id),
+b AS (SELECT asset_id, unnest(generate_series(0, 127 + asset_id)) AS j FROM a),
+v AS (SELECT asset_id, ((asset_id * 31 + j * 7) % 256) % 16 AS bin FROM b),
+h AS (SELECT asset_id, bin, CAST(COUNT(*) AS DOUBLE) AS c FROM v GROUP BY 1, 2),
+agg AS (
+  SELECT asset_id,
+         SUM(CASE WHEN bin = 0 THEN c ELSE 0 END) AS h0,
+         sqrt(SUM(c * c)) AS nrm
+  FROM h GROUP BY 1
+)
+SELECT a.asset_id,
+       CASE a.asset_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS modality,
+       CAST(128 + a.asset_id AS BIGINT) AS n_bytes,
+       ROUND(agg.h0 / agg.nrm, 6) AS f0
+FROM a JOIN agg USING (asset_id)
+"""
+
+
 PIPELINE_QUERIES = {
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_minhash_sig": (q_dedup_minhash_sig, ORACLE_DEDUP_MINHASH),
@@ -361,10 +436,7 @@ PIPELINE_QUERIES = {
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_NGRAM_JACCARD),
     "ann_brute_topk": (q_ann_brute_topk, ORACLE_ANN_BRUTE),
     "ann_buckets": (q_ann_buckets, ORACLE_ANN_BUCKETS),
-    "ann_bucketed_topk": (q_ann_bucketed_topk, None),
-    "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
-    "text_lang_id": (q_text_lang_id, ORACLE_TEXT_LANG),
-    "text_tokens": (q_text_tokens, ORACLE_TEXT_TOKENS),
-    "text_fingerprint": (q_text_fingerprint, ORACLE_TEXT_FINGERPRINT),
-    "multimodal_features": (q_multimodal_features, None),
+    "ann_bucketed_topk": (q_ann_bucketed_topk, ORACLE_ANN_BUCKETED),
+    "text_analysis": (q_text_analysis, ORACLE_TEXT_ANALYSIS),
+    "multimodal_features": (q_multimodal_features, ORACLE_MULTIMODAL),
 }

@@ -17,7 +17,7 @@ from .operators.binary import scalar_arith, vector_and, vector_arith, vector_unl
 from .operators.consolidate import consolidate, step_grid
 from .operators.fetch import fetch
 from .operators.linear import histogram_quantile
-from .operators.temporal import deriv, over_time
+from .operators.temporal import deriv
 from .queries_common import (  # noqa: F401
     ORACLE_TOPK as ORACLE_PROMQL_TEXT_BINARY,
     END,
@@ -142,22 +142,6 @@ WHERE NOT EXISTS (
   SELECT 1 FROM events e WHERE e.event_type = 'signup'
     AND e.ts <= s.step_ts AND e.ts > s.step_ts - INTERVAL 1 HOUR
 )
-"""
-
-
-def q_quantile_over_time(spark, sf_dir):
-    s = read_samples(spark, sf_dir)
-    out = over_time(s, "quantile", 6 * 3600, START, END, STEP_S, param=0.5)
-    return _series_proj(out)
-
-
-ORACLE_QUANTILE_OVER_TIME = f"""WITH steps AS ({_STEPS_SQL})
-SELECT CAST(epoch(s.step_ts) AS BIGINT) AS step_s, e.event_type,
-       CAST(e.user_id AS BIGINT) AS user_id,
-       ROUND(quantile_cont(e.value, 0.5), 6) AS value
-FROM steps s JOIN events e
-  ON e.ts <= s.step_ts AND e.ts > s.step_ts - INTERVAL 6 HOUR
-GROUP BY 1, 2, 3
 """
 
 
@@ -630,7 +614,7 @@ def q_events_props_json(spark, sf_dir):
 ORACLE_EVENTS_PROPS = """
 SELECT event_type,
        ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n
 FROM events GROUP BY 1
 """
@@ -707,7 +691,6 @@ RELATIONAL_QUERIES = {
     "promql_scalar_arith": (q_scalar_arith, ORACLE_SCALAR_ARITH),
     "promql_count_values": (q_count_values, ORACLE_COUNT_VALUES),
     "promql_absent": (q_absent, ORACLE_ABSENT),
-    "promql_quantile_over_time": (q_quantile_over_time, ORACLE_QUANTILE_OVER_TIME),
     "promql_deriv": (q_deriv, ORACLE_DERIV),
     "promql_histogram_quantile": (q_histogram_quantile, ORACLE_HISTOGRAM_QUANTILE),
     "graphite_groupbynode": (q_graphite_groupbynode, ORACLE_GRAPHITE_GBN),
