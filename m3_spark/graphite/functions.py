@@ -36,7 +36,9 @@ _COMBINE = {
     "count": lambda c: F.count(c).cast("double"),
     "last": F.last,
     "range": lambda c: F.max(c) - F.min(c),
-    "multiply": lambda c: F.exp(F.sum(F.log(c))),  # product via log-sum
+    # native product aggregate: exact for zeros/negatives (a log-sum
+    # trick would NaN on them and lose the sign)
+    "multiply": F.product,
 }
 
 

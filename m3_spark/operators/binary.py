@@ -82,15 +82,25 @@ def _result_tags(
     many_side: str | None,
     on: Sequence[str] | None,
     ignoring: Sequence[str] | None,
+    include: Sequence[str] | None = None,
 ) -> Column:
     """PromQL result-label rules (binary.go resultMetric):
-    many-to-one → the many side's labels minus ``__name__``;
+    many-to-one → the many side's labels minus ``__name__``, plus any
+    ``group_left(l…)``/``group_right(l…)`` include labels copied from
+    the "one" side (overwriting the many side's value);
     one-to-one with on(l…) → exactly the on labels;
     one-to-one (default/ignoring) → LHS labels minus ignored minus
     ``__name__``."""
     src = F.col("r_tags") if many_side == "right" else F.col("l_tags")
     if many_side is not None:
-        return _strip_name(src)
+        base = _strip_name(src)
+        if include:
+            one = F.col("l_tags") if many_side == "right" else F.col("r_tags")
+            arr = F.array(*[F.lit(k) for k in include])
+            base = F.map_filter(base, lambda k, _v: ~F.array_contains(arr, k))
+            copied = F.map_filter(one, lambda k, _v: F.array_contains(arr, k))
+            return F.map_concat(base, copied)
+        return base
     if on is not None:
         arr = F.array(*[F.lit(k) for k in on])
         return F.map_filter(src, lambda k, _v: F.array_contains(arr, k))
@@ -107,13 +117,16 @@ def vector_arith(
     ignoring: Sequence[str] | None = None,
     many_side: str | None = None,
     validate: bool = False,
+    include: Sequence[str] | None = None,
 ) -> DataFrame:
     """vector OP vector with one-to-one (default) or many-to-one matching.
 
     ``many_side``: None = strict one-to-one; 'left' = group_left;
-    'right' = group_right.  ``validate=True`` raises at execution time
-    when a "one" side has duplicate signatures per step (PromQL's
-    many-to-one error, ``binary.go:110-120``).
+    'right' = group_right.  ``include``: the ``group_left(l…)`` label
+    list copied from the "one" side onto the result.
+    ``validate=True`` raises at execution time when a "one" side has
+    duplicate signatures per step (PromQL's many-to-one error,
+    ``binary.go:110-120``).
     """
     l = _prep(left, "l", on, ignoring)
     r = _prep(right, "r", on, ignoring)
@@ -142,7 +155,7 @@ def vector_arith(
     fn = ARITH[op]
     return j.select(
         "step_ts",
-        _result_tags(many_side, on, ignoring).alias("tags"),
+        _result_tags(many_side, on, ignoring, include).alias("tags"),
         F.col("sig"),
         fn(F.col("l_value"), F.col("r_value")).alias("value"),
     )

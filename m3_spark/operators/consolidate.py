@@ -171,12 +171,18 @@ def consolidate(
     end,
     step_s: float,
     lookback_s: float = DEFAULT_LOOKBACK,
+    keep_sample_ts: bool = False,
 ) -> DataFrame:
     """Consolidate raw samples onto the step grid.
 
     Returns a *grid* frame: (step_ts TIMESTAMP, name, tags, series_id,
     value DOUBLE nullable) — one row per (series, step); NULL value
     means stale/absent at that step (reference uses NaN).
+
+    ``keep_sample_ts=True`` adds ``sample_t_us`` — the *underlying*
+    sample's timestamp carried through lookback (NULL when stale),
+    which is what ``timestamp(v)`` must return
+    (``src/query/functions/unconsolidated/timestamp.go:38``).
     """
     spark = samples.sparkSession
     thr_s = max(lookback_s, step_s)
@@ -223,6 +229,12 @@ def consolidate(
         F.last("value", ignorenulls=True).over(w).alias("last_val"),
         F.last(sample_t, ignorenulls=True).over(w).alias("last_t_us"),
     )
+    live = F.col("t_us") - F.col("last_t_us") <= F.lit(thr_us)
+    extra = (
+        [F.when(live, F.col("last_t_us")).alias("sample_t_us")]
+        if keep_sample_ts
+        else []
+    )
     return (
         filled.where(F.col("is_probe") == 1)
         .select(
@@ -230,9 +242,7 @@ def consolidate(
             "name",
             "tags",
             "series_id",
-            F.when(
-                F.col("t_us") - F.col("last_t_us") <= F.lit(thr_us),
-                F.col("last_val"),
-            ).alias("value"),
+            F.when(live, F.col("last_val")).alias("value"),
+            *extra,
         )
     )

@@ -33,14 +33,34 @@ def _tag_col(key: str) -> Column:
     return F.col("name") if key == NAME_TAG else F.col("tags").getItem(key)
 
 
+def _regex_matches_empty(pattern: str) -> bool:
+    import re
+
+    try:
+        return re.fullmatch(f"(?:{pattern})", "") is not None
+    except re.error:  # Java-only syntax — assume the common case
+        return False
+
+
 def matcher_expr(kind: str, key: str, value: str | None = None) -> Column:
+    # PromQL semantics: a missing label is the empty string
+    # (``src/query/models/matcher.go:33-47`` + upstream labels model).
+    # The null branches are emitted only when the value/regex can match
+    # "" so the plain comparison stays pushdown-eligible otherwise.
     if kind == EQ:
+        if value == "":
+            return _tag_col(key).isNull() | (_tag_col(key) == F.lit(""))
         return _tag_col(key) == F.lit(value)
     if kind == NEQ:
-        # PromQL: != also matches series lacking the label.
+        if value == "":
+            # {foo!=""}: series lacking foo must NOT match.
+            return _tag_col(key).isNotNull() & (_tag_col(key) != F.lit(""))
         return (_tag_col(key) != F.lit(value)) | _tag_col(key).isNull()
     if kind == RE:
-        return _tag_col(key).rlike(f"^(?:{value})$")
+        expr = _tag_col(key).rlike(f"^(?:{value})$")
+        if _regex_matches_empty(value or ""):
+            return _tag_col(key).isNull() | expr
+        return expr
     if kind == NRE:
         c = _tag_col(key)
         return ~F.coalesce(c, F.lit("")).rlike(f"^(?:{value})$")

@@ -91,11 +91,34 @@ def timestamp_fn(samples: DataFrame) -> DataFrame:
 
 
 def time_fn(steps: DataFrame) -> DataFrame:
-    """time(): step timestamps as values (scalar/time.go)."""
+    """time(): step timestamps as values (scalar/time.go).
+
+    The ``_scalar`` marker column tags this as a per-step *scalar*
+    stream: binary ops against a vector join on step_ts alone instead
+    of vector-matching on the (empty) tag signature."""
     return steps.select(
         "step_ts",
         F.map_from_arrays(F.array(), F.array()).alias("tags"),
         F.unix_timestamp(F.col("step_ts")).cast("double").alias("value"),
+        F.lit(True).alias("_scalar"),
+    )
+
+
+def scalar_fn(grid: DataFrame, steps: DataFrame) -> DataFrame:
+    """scalar(v): per step, the value of the single series, else NaN
+    (``src/query/functions/scalar/scalar.go:35-44``)."""
+    per = (
+        grid.where(F.col("value").isNotNull())
+        .groupBy("step_ts")
+        .agg(F.count("*").alias("_n"), F.first("value").alias("_v"))
+    )
+    return steps.join(per, "step_ts", "left").select(
+        "step_ts",
+        F.map_from_arrays(F.array(), F.array()).alias("tags"),
+        F.when(F.col("_n") == 1, F.col("_v"))
+        .otherwise(F.lit(float("nan")))
+        .alias("value"),
+        F.lit(True).alias("_scalar"),
     )
 
 
@@ -194,12 +217,20 @@ def histogram_quantile(grid: DataFrame, phi: float) -> DataFrame:
     lo_le = F.coalesce(prev.getField("le"), F.lit(0.0))
     lo_cnt = F.coalesce(prev.getField("value"), F.lit(0.0))
     # top bucket (+Inf) → return lower bound of it (Prometheus returns
-    # the highest finite le); φ in first bucket → interpolate from 0.
+    # the highest finite le); φ in first bucket → interpolate from 0
+    # only when its upper bound is positive — a first bucket with
+    # le <= 0 (negative-valued histogram) returns its own upper bound
+    # (upstream bucketQuantile's negative-bucket guard).
     in_top = idx == F.size(F.col("buckets"))
+    first_le = F.element_at(F.col("buckets"), 1).getField("le")
     interp = lo_le + (b.getField("le") - lo_le) * (
         (rank - lo_cnt) / (b.getField("value") - lo_cnt)
     )
-    val = F.when(in_top & has_inf, lo_le).otherwise(interp)
+    val = (
+        F.when(in_top & has_inf, lo_le)
+        .when((idx == 1) & (first_le <= 0), first_le)
+        .otherwise(interp)
+    )
     return (
         rows.where(has_inf & (F.size(F.col("buckets")) >= 2) & (total > 0))
         .select("step_ts", "tags", val.cast("double").alias("value"))

@@ -80,6 +80,8 @@ def query_range(
             F.map_from_arrays(F.array(), F.array()).alias("tags"),
             F.lit(out).alias("value"),
         )
+    if "_scalar" in out.columns:
+        out = out.drop("_scalar")
     return out
 
 
@@ -301,6 +303,12 @@ def _eval_call(e: Call, ctx: Context):
             return float(fns[f](arg))
         return L.math_fn(arg, f)
     if f in _DATETIME_FUNCS:
+        if not e.args:
+            # hour() ≡ hour(vector(time())) (upstream default arg)
+            steps = step_grid(
+                ctx.samples.sparkSession, ctx.start, ctx.end, ctx.step_s
+            )
+            return L.datetime_fn(L.time_fn(steps).drop("_scalar"), f)
         return L.datetime_fn(_vector(ctx, e.args[0]), f)
     if f == "clamp_min":
         return L.clamp_min(_vector(ctx, e.args[0]), _eval(e.args[1], ctx))
@@ -332,6 +340,8 @@ def _eval_call(e: Call, ctx: Context):
         return absent(grid, steps)
     if f == "vector":
         val = _eval(e.args[0], ctx)
+        if isinstance(val, DataFrame):  # vector(scalar(v)) / vector(time())
+            return val.drop("_scalar")
         steps = step_grid(ctx.samples.sparkSession, ctx.start, ctx.end, ctx.step_s)
         return steps.select(
             "step_ts",
@@ -344,8 +354,22 @@ def _eval_call(e: Call, ctx: Context):
         steps = step_grid(ctx.samples.sparkSession, ctx.start, ctx.end, ctx.step_s)
         return L.time_fn(steps)
     if f == "timestamp":
-        grid = _vector(ctx, e.args[0])
-        # value := the step timestamp of the (consolidated) sample
+        arg = e.args[0]
+        if isinstance(arg, Selector) and arg.range_s is None and arg.at_s is None:
+            # value := the *underlying* sample's timestamp carried
+            # through lookback (unconsolidated/timestamp.go:38);
+            # un-shift offset so the original sample time is reported
+            grid = consolidate(
+                _shifted(ctx, arg), ctx.start, ctx.end, ctx.step_s,
+                ctx.lookback_s, keep_sample_ts=True,
+            )
+            return grid.withColumn(
+                "value",
+                F.col("sample_t_us").cast("double") / F.lit(1e6)
+                - F.lit(float(arg.offset_s or 0.0)),
+            ).drop("sample_t_us")
+        # derived vectors carry the evaluation (step) timestamp
+        grid = _vector(ctx, arg)
         return grid.withColumn(
             "value",
             F.when(
@@ -353,7 +377,17 @@ def _eval_call(e: Call, ctx: Context):
                 F.unix_timestamp(F.col("step_ts")).cast("double"),
             ),
         )
+    if f == "scalar":
+        arg = _eval(e.args[0], ctx)
+        if isinstance(arg, float):
+            return arg
+        steps = step_grid(ctx.samples.sparkSession, ctx.start, ctx.end, ctx.step_s)
+        return L.scalar_fn(arg, steps)
     raise ValueError(f"unknown function {f!r}")
+
+
+def _is_scalar_frame(x) -> bool:
+    return isinstance(x, DataFrame) and "_scalar" in x.columns
 
 
 def _eval_binary(e: Binary, ctx: Context):
@@ -362,12 +396,26 @@ def _eval_binary(e: Binary, ctx: Context):
     if isinstance(lhs, float) and isinstance(rhs, float):
         raise TypeError("scalar/scalar binary should have been folded")
     if isinstance(lhs, float) or isinstance(rhs, float):
+        other = rhs if isinstance(lhs, float) else lhs
+        if _is_scalar_frame(other):
+            # scalar op scalar(v): stay in the per-step scalar domain
+            const, reverse = (
+                (lhs, True) if isinstance(lhs, float) else (rhs, False)
+            )
+            fn = B.COMPARE[e.op] if comparison else B.ARITH[e.op]
+            v, s = F.col("value"), F.lit(float(const))
+            out = fn(s, v) if reverse else fn(v, s)
+            if comparison:
+                out = out.cast("double")
+            return other.withColumn("value", out)
         vec, scalar = (rhs, lhs) if isinstance(lhs, float) else (lhs, rhs)
         reverse = isinstance(lhs, float)
         if comparison:
             op = e.op if not reverse else _flip(e.op)
             return B.scalar_compare(vec, op, scalar, bool_mode=e.bool_mode)
         return B.scalar_arith(vec, e.op, scalar, reverse=reverse)
+    if _is_scalar_frame(lhs) or _is_scalar_frame(rhs):
+        return _scalar_frame_binary(e, lhs, rhs, comparison)
     on = list(e.on) if e.on is not None else None
     ignoring = list(e.ignoring) if e.ignoring is not None else None
     if e.op == "and":
@@ -378,7 +426,43 @@ def _eval_binary(e: Binary, ctx: Context):
         return B.vector_unless(lhs, rhs, on, ignoring)
     if comparison:
         return B.vector_compare(lhs, rhs, e.op, on, ignoring, bool_mode=e.bool_mode)
-    return B.vector_arith(lhs, rhs, e.op, on, ignoring, many_side=e.group)
+    return B.vector_arith(
+        lhs, rhs, e.op, on, ignoring, many_side=e.group,
+        include=list(e.group_include) if e.group_include else None,
+    )
+
+
+def _scalar_frame_binary(e: Binary, lhs, rhs, comparison: bool):
+    """vector OP scalar(v) / time(): join on step_ts alone — the RHS
+    is a per-step scalar stream, not a matchable vector
+    (``binary.go:34-120`` scalar short-circuit, per-step form)."""
+    from ..model import NAME_TAG
+
+    if _is_scalar_frame(lhs) and _is_scalar_frame(rhs):
+        l = lhs.select("step_ts", "tags", F.col("value").alias("_lv"), "_scalar")
+        r = rhs.select("step_ts", F.col("value").alias("_rv"))
+        fn = B.COMPARE[e.op] if comparison else B.ARITH[e.op]
+        out = fn(F.col("_lv"), F.col("_rv"))
+        if comparison:
+            out = out.cast("double")
+        return l.join(r, "step_ts").select(
+            "step_ts", "tags", out.alias("value"), "_scalar"
+        )
+    vec, sf = (lhs, rhs) if _is_scalar_frame(rhs) else (rhs, lhs)
+    reverse = _is_scalar_frame(lhs)
+    s = sf.select("step_ts", F.col("value").alias("_sval"))
+    j = vec.where(F.col("value").isNotNull()).join(F.broadcast(s), "step_ts")
+    fn = B.COMPARE[e.op] if comparison else B.ARITH[e.op]
+    v, sv = F.col("value"), F.col("_sval")
+    out = fn(sv, v) if reverse else fn(v, sv)
+    strip = F.map_filter(F.col("tags"), lambda k, _v: k != F.lit(NAME_TAG))
+    if comparison:
+        if e.bool_mode:
+            return j.withColumn("value", out.cast("double")).withColumn(
+                "tags", strip
+            ).drop("_sval")
+        return j.where(out).drop("_sval")
+    return j.withColumn("value", out).withColumn("tags", strip).drop("_sval")
 
 
 def _flip(op: str) -> str:

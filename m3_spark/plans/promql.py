@@ -86,6 +86,7 @@ class Binary:
     on: tuple[str, ...] | None = None
     ignoring: tuple[str, ...] | None = None
     group: str | None = None  # 'left' | 'right'
+    group_include: tuple[str, ...] | None = None  # group_left(l1, …)
 
 
 @dataclass(frozen=True)
@@ -183,7 +184,7 @@ class Parser:
             self.next()
             bool_mode = False
             on = ignoring = None
-            group = None
+            group = include = None
             if self.peek() == ("id", "bool"):
                 self.next()
                 bool_mode = True
@@ -197,10 +198,10 @@ class Parser:
                 if self.peek()[1] in ("group_left", "group_right"):
                     group = self.next()[1].removeprefix("group_")
                     if self.peek()[1] == "(":
-                        self._label_list()  # include labels: parsed, v1 ignores
+                        include = self._label_list()
             nxt = _PREC[op] + (0 if op in _RIGHT else 1)
             rhs = self.parse_expr(nxt)
-            lhs = Binary(op, lhs, rhs, bool_mode, on, ignoring, group)
+            lhs = Binary(op, lhs, rhs, bool_mode, on, ignoring, group, include)
 
     def parse_unary(self):
         k, v = self.peek()
@@ -360,7 +361,10 @@ def _fold(e):
             }
             if e.op in ops:
                 return NumberLit(ops[e.op])
-        return Binary(e.op, lhs, rhs, e.bool_mode, e.on, e.ignoring, e.group)
+        return Binary(
+            e.op, lhs, rhs, e.bool_mode, e.on, e.ignoring, e.group,
+            e.group_include,
+        )
     if isinstance(e, Unary):
         inner = _fold(e.expr)
         if isinstance(inner, NumberLit):

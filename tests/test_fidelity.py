@@ -1,0 +1,164 @@
+"""Round-2 fidelity fixes: matcher empty-string semantics, group_left
+include labels, scalar()/time() per-step scalars, timestamp() sample
+timestamps, zero-arg datetime calls, multiplySeries sign/zero,
+histogram_quantile negative buckets."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from m3_spark.operators.fetch import fetch
+from m3_spark.operators.linear import histogram_quantile
+from m3_spark.plans.engine import query_instant, query_range
+
+from .conftest import make_samples
+from .test_consolidate import T0
+
+
+def _samples(spark):
+    return make_samples(
+        spark,
+        [
+            ("m", {"a": "1", "side": "l"}, T0, 10.0),
+            ("m", {"a": "2", "side": "l"}, T0, 20.0),
+            ("m", {"a": "3"}, T0, 30.0),  # lacks `side`
+        ],
+    )
+
+
+# -- matcher empty-string semantics (missing label == "") -------------------
+
+def test_eq_empty_matches_missing(spark):
+    s = _samples(spark)
+    got = {r["tags"]["a"] for r in fetch(s, [("=", "side", "")]).collect()}
+    assert got == {"3"}
+
+
+def test_neq_empty_excludes_missing(spark):
+    s = _samples(spark)
+    got = {r["tags"]["a"] for r in fetch(s, [("!=", "side", "")]).collect()}
+    assert got == {"1", "2"}
+
+
+def test_re_dotstar_matches_missing(spark):
+    s = _samples(spark)
+    got = {r["tags"]["a"] for r in fetch(s, [("=~", "side", ".*")]).collect()}
+    assert got == {"1", "2", "3"}
+    got = {r["tags"]["a"] for r in fetch(s, [("=~", "side", "l")]).collect()}
+    assert got == {"1", "2"}
+
+
+# -- group_left include labels ----------------------------------------------
+
+def test_group_left_include_labels(spark):
+    s = make_samples(
+        spark,
+        [
+            ("req", {"inst": "i1", "job": "api"}, T0, 4.0),
+            ("req", {"inst": "i2", "job": "api"}, T0, 6.0),
+            ("info", {"job": "api", "ver": "v9"}, T0, 1.0),
+        ],
+    )
+    out = query_instant(
+        s, 'req * on (job) group_left(ver) info', T0 + 60
+    ).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["tags"]["ver"] == "v9"
+        assert r["tags"]["inst"] in ("i1", "i2")
+
+
+# -- scalar() / time() as per-step scalars ----------------------------------
+
+def test_scalar_single_series(spark):
+    s = make_samples(spark, [("m", {"a": "1"}, T0, 7.0)])
+    out = query_instant(s, "scalar(m)", T0 + 60).collect()
+    assert len(out) == 1 and out[0]["value"] == 7.0
+
+
+def test_scalar_multi_series_is_nan(spark):
+    s = _samples(spark)
+    out = query_instant(s, "scalar(m)", T0 + 60).collect()
+    assert len(out) == 1 and math.isnan(out[0]["value"])
+
+
+def test_vector_times_scalar_of_vector(spark):
+    s = make_samples(
+        spark,
+        [
+            ("m", {"a": "1"}, T0, 10.0),
+            ("m", {"a": "2"}, T0, 20.0),
+            ("unit", {}, T0, 3.0),
+        ],
+    )
+    out = query_instant(s, "m * scalar(unit)", T0 + 60).collect()
+    assert sorted(r["value"] for r in out) == [30.0, 60.0]
+
+
+def test_compare_to_time(spark):
+    s = make_samples(spark, [("m", {"a": "1"}, T0, float(T0 + 100))])
+    # value > time() at T0+60 (value exceeds eval ts) → kept
+    out = query_instant(s, "m > time()", T0 + 60).collect()
+    assert len(out) == 1
+
+
+# -- timestamp() returns the underlying sample timestamp --------------------
+
+def test_timestamp_underlying_sample(spark):
+    s = make_samples(spark, [("m", {"a": "1"}, T0, 5.0)])
+    out = query_instant(s, "timestamp(m)", T0 + 60).collect()
+    assert out[0]["value"] == float(T0)  # not T0+60 (the step)
+
+
+# -- zero-arg datetime funcs -------------------------------------------------
+
+def test_zero_arg_hour(spark):
+    s = make_samples(spark, [("m", {}, T0, 1.0)])
+    t = T0 + 60
+    out = query_range(s, "hour()", t, t, 60).collect()
+    assert len(out) == 1
+    import datetime as dt
+
+    want = dt.datetime.fromtimestamp(t, dt.timezone.utc).hour
+    assert out[0]["value"] == float(want)
+
+
+# -- graphite multiplySeries exactness --------------------------------------
+
+def test_multiply_series_zero_and_negative(spark):
+    from m3_spark.graphite.functions import _combined
+    from m3_spark.operators.consolidate import consolidate
+
+    s = make_samples(
+        spark,
+        [
+            ("a.x", {}, T0, -2.0),
+            ("a.y", {}, T0, 3.0),
+            ("a.z", {}, T0, 0.0),
+        ],
+    )
+    g = consolidate(s, T0 + 60, T0 + 60, 60, 300)
+    out = _combined(g, "multiply", "multiplySeries").collect()
+    assert out[0]["value"] == 0.0
+    s2 = make_samples(spark, [("a.x", {}, T0, -2.0), ("a.y", {}, T0, 3.0)])
+    g2 = consolidate(s2, T0 + 60, T0 + 60, 60, 300)
+    out2 = _combined(g2, "multiply", "multiplySeries").collect()
+    assert out2[0]["value"] == -6.0
+
+
+# -- histogram_quantile negative first bucket -------------------------------
+
+def test_histogram_quantile_negative_buckets(spark):
+    rows = []
+    for le, cum in [("-1.0", 5.0), ("1.0", 5.0), ("+Inf", 5.0)]:
+        rows.append(("h", {"le": le}, T0, cum))
+    s = make_samples(spark, rows)
+    from m3_spark.operators.consolidate import consolidate
+
+    g = consolidate(s, T0 + 60, T0 + 60, 60, 300)
+    out = histogram_quantile(g, 0.5).collect()
+    # all mass in the first (negative) bucket → its own upper bound,
+    # NOT an interpolation from 0
+    assert out[0]["value"] == -1.0
