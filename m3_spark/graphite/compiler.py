@@ -107,43 +107,170 @@ def parse_target(target: str):
     return _Parser(target).parse()
 
 
+#: render-target functions that need evaluation context (bounds /
+#: step / re-fetch) — dispatched inside ``evaluate`` instead of the
+#: plain grid-level REGISTRY
+_CONTEXT_FUNCS = {
+    "summarize", "perSecond", "scaleToSeconds", "threshold",
+    "randomWalkFunction", "smartSummarize", "applyByNode",
+    "useSeriesAbove", "holtWintersForecast", "holtWintersConfidenceBands",
+    "holtWintersAberration", "movingAverage", "movingSum", "movingMin",
+    "movingMax", "movingMedian", "movingWindow",
+}
+
+
 def evaluate(
     samples: DataFrame, target: str, start, end, step_s: float,
     lookback_s: float | None = None,
 ) -> DataFrame:
     """Compile + execute a render target over the samples frame."""
+    from pyspark.sql import functions as F
+
+    from ..operators.consolidate import _epoch_s, step_grid
+    from . import holt_winters as hw
+
     lookback_s = lookback_s if lookback_s is not None else step_s
 
-    def ev(node):
+    def _steps_arg(v) -> int:
+        """Moving-window size: a step count, or a '5min'-style
+        interval converted to steps."""
+        if isinstance(v, str):
+            return max(1, int(_dur_s(v) // step_s))
+        return int(v)
+
+    def ev(node, s=None, e=None):
+        s = start if s is None else s
+        e = end if e is None else e
         if isinstance(node, LitNode):
             return node.value
         if isinstance(node, GlobNode):
             sel = fetch_by_glob(samples, node.glob)
-            return consolidate(sel, start, end, step_s, lookback_s)
+            return consolidate(sel, s, e, step_s, lookback_s)
         if isinstance(node, CallNode):
-            if node.func not in gf.REGISTRY:
+            if node.func in _CONTEXT_FUNCS:
+                return ev_ctx(node, s, e)
+            if node.func not in gf.REGISTRY or gf.REGISTRY[node.func] is None:
                 raise ValueError(f"unknown graphite function {node.func!r}")
             fn = gf.REGISTRY[node.func]
-            args = [ev(a) for a in node.args]
-            # summarize/perSecond take raw samples or step size — the
-            # registry entries are uniform over grid frames except
-            # summarize (tumbling over raw samples)
-            if node.func == "summarize":
-                glob = node.args[0]
-                if not isinstance(glob, GlobNode):
-                    raise ValueError("summarize requires a series glob")
-                raw = fetch_by_glob(samples, glob.glob)
-                interval = int(_dur_s(node.args[1].value))
-                func = args[2] if len(args) > 2 else "sum"
-                return gf.summarize(raw, interval, func)
-            if node.func == "perSecond":
-                return gf.per_second(args[0], step_s)
+            args = [ev(a, s, e) for a in node.args]
             coerced = [
                 int(a) if isinstance(a, float) and a.is_integer() and i > 0 else a
                 for i, a in enumerate(args)
             ]
             return fn(*coerced)
         raise TypeError(node)
+
+    def ev_ctx(node, s, e):
+        f = node.func
+        args = node.args
+        if f == "summarize":
+            glob = args[0]
+            if not isinstance(glob, GlobNode):
+                raise ValueError("summarize requires a series glob")
+            raw = fetch_by_glob(samples, glob.glob)
+            interval = int(_dur_s(_lit(args[1])))
+            func = _lit(args[2]) if len(args) > 2 else "sum"
+            return gf.summarize(raw, interval, func)
+        if f == "smartSummarize":
+            grid = ev(args[0], s, e)
+            interval = int(_dur_s(_lit(args[1])))
+            func = _lit(args[2]) if len(args) > 2 else "sum"
+            return gf.smart_summarize(grid, interval, func, s)
+        if f == "perSecond":
+            return gf.per_second(ev(args[0], s, e), step_s)
+        if f == "scaleToSeconds":
+            return gf.scale_to_seconds(
+                ev(args[0], s, e), float(_lit(args[1])), step_s
+            )
+        if f in ("movingAverage", "movingSum", "movingMin", "movingMax",
+                 "movingMedian"):
+            n = _steps_arg(_lit(args[1]))
+            fn = {
+                "movingAverage": gf.moving_average,
+                "movingSum": gf.moving_sum,
+                "movingMin": gf.moving_min,
+                "movingMax": gf.moving_max,
+                "movingMedian": gf.moving_median,
+            }[f]
+            return fn(ev(args[0], s, e), n)
+        if f == "movingWindow":
+            n = _steps_arg(_lit(args[1]))
+            func = _lit(args[2]) if len(args) > 2 else "avg"
+            return gf.moving_window(ev(args[0], s, e), n, func)
+        if f == "threshold":
+            steps = step_grid(samples.sparkSession, s, e, step_s)
+            label = _lit(args[1]) if len(args) > 1 else ""
+            return gf.threshold_line(steps, float(_lit(args[0])), label)
+        if f == "randomWalkFunction":
+            steps = step_grid(samples.sparkSession, s, e, step_s)
+            return gf.random_walk(steps, str(_lit(args[0])))
+        if f in ("holtWintersForecast", "holtWintersConfidenceBands",
+                 "holtWintersAberration"):
+            # bootstrap: evaluate the inner expression one week earlier
+            # (common.FetchWithBootstrap semantics)
+            boot_start = _epoch_s(s) - hw.SECONDS_PER_WEEK
+            grid = ev(args[0], boot_start, e)
+            if f == "holtWintersForecast":
+                return hw.holt_winters_forecast(grid, s, e, step_s)
+            delta = float(_lit(args[1])) if len(args) > 1 else 3.0
+            if f == "holtWintersConfidenceBands":
+                return hw.holt_winters_confidence_bands(grid, s, e, step_s, delta)
+            return hw.holt_winters_aberration(grid, s, e, step_s, delta)
+        if f == "applyByNode":
+            # substitute each unique node prefix into the template and
+            # evaluate it as a sub-target (aggregation_functions.go:538)
+            grid = ev(args[0], s, e)
+            node_num = int(_lit(args[1]))
+            template = str(_lit(args[2]))
+            new_name = str(_lit(args[3])) if len(args) > 3 else ""
+            names = [r["name"] for r in grid.select("name").distinct().collect()]
+            prefixes = sorted(
+                {
+                    ".".join(n.split(".")[: node_num + 1])
+                    for n in names
+                    if len(n.split(".")) > node_num
+                }
+            )
+            outs = []
+            for p in prefixes:
+                sub = evaluate(
+                    samples, template.replace("%", p), s, e, step_s, lookback_s
+                )
+                if new_name:
+                    sub = sub.withColumn(
+                        "name", F.lit(new_name.replace("%", p))
+                    )
+                outs.append(sub)
+            if not outs:
+                return grid.limit(0)
+            return gf.group_series(*outs)
+        if f == "useSeriesAbove":
+            # series whose max exceeds the bound are re-fetched under a
+            # rewritten name (builtin_functions.go:149)
+            grid = ev(args[0], s, e)
+            bound = float(_lit(args[1]))
+            search, replace = str(_lit(args[2])), str(_lit(args[3]))
+            names = [
+                r["name"]
+                for r in grid.groupBy("name")
+                .agg(F.max("value").alias("_mx"))
+                .where(F.col("_mx") > bound)
+                .select("name")
+                .collect()
+            ]
+            new_names = [n.replace(search, replace) for n in names]
+            if not new_names:
+                return grid.limit(0)
+            sel = samples.where(F.col("name").isin(new_names))
+            return consolidate(sel, s, e, step_s, lookback_s)
+        raise ValueError(f"unhandled context function {f!r}")
+
+    def _lit(node):
+        if isinstance(node, LitNode):
+            return node.value
+        if isinstance(node, GlobNode):  # bare words (e.g. sum, avg)
+            return node.glob
+        raise ValueError(f"expected literal argument, got {node!r}")
 
     return ev(parse_target(target))
 

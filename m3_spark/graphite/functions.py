@@ -34,11 +34,25 @@ _COMBINE = {
     "median": lambda c: F.percentile(c, F.lit(0.5)),
     "stddev": F.stddev_pop,
     "count": lambda c: F.count(c).cast("double"),
-    "last": F.last,
+    # "last"/"current": the final series in list order (deterministic:
+    # series_id order stands in for the reference's fetch order)
+    "last": lambda c: F.expr(
+        "max_by(value, CASE WHEN value IS NOT NULL THEN series_id END)"
+    ),
     "range": lambda c: F.max(c) - F.min(c),
     # native product aggregate: exact for zeros/negatives (a log-sum
     # trick would NaN on them and lose the sign)
     "multiply": F.product,
+    # diff: first series minus the sum of the rest = 2*first - sum
+    "diff": lambda c: F.expr(
+        "2 * min_by(value, CASE WHEN value IS NOT NULL THEN series_id END)"
+    ) - F.sum(c),
+    # pow: left-to-right fold of v1 ^ v2 ^ … in series order
+    "pow": lambda c: F.expr(
+        "aggregate(array_sort(collect_list(struct(series_id, value))), "
+        "cast(null as double), (acc, x) -> CASE WHEN acc IS NULL "
+        "THEN x.value ELSE power(acc, x.value) END)"
+    ),
 }
 
 
@@ -362,20 +376,56 @@ def time_slice(grid: DataFrame, start, end) -> DataFrame:
     )
 
 
+def _resample_agg(func: str, time_col: str) -> Column:
+    """Per-time-bucket aggregate: ``last`` means last *in time* here
+    (the cross-series ``_COMBINE['last']`` keys on series order)."""
+    if func in ("last", "current"):
+        return F.expr(
+            "max_by(value, CASE WHEN value IS NOT NULL "
+            f"THEN unix_micros({time_col}) END)"
+        )
+    return _COMBINE[func](F.col("value"))
+
+
 def summarize(
     samples: DataFrame, interval_s: int, func: str = "sum"
 ) -> DataFrame:
     """summarize(v, interval, func): tumbling-window resample of raw
-    samples (summarize.go:35).  hitcount = sum scaled by seconds."""
-    agg = _COMBINE[func](F.col("value"))
+    samples, buckets aligned to epoch interval multiples
+    (summarize.go:35, alignToFrom=false)."""
     return (
         samples.groupBy(
             F.window("ts", f"{interval_s} seconds").alias("w"),
             "name", "tags", "series_id",
         )
-        .agg(agg.alias("value"))
+        .agg(_resample_agg(func, "ts").alias("value"))
         .select(
             F.col("w.start").alias("step_ts"), "name", "tags", "series_id", "value"
+        )
+    )
+
+
+def smart_summarize(
+    grid: DataFrame, interval_s: int, func: str, start
+) -> DataFrame:
+    """smartSummarize: like summarize but buckets align to the query
+    start instead of epoch multiples (summarize.go:148, alignToFrom)."""
+    from ..operators.consolidate import _epoch_s
+
+    offset = int(_epoch_s(start)) % int(interval_s)
+    return (
+        grid.where(F.col("value").isNotNull())
+        .groupBy(
+            F.window(
+                "step_ts", f"{interval_s} seconds",
+                startTime=f"{offset} seconds",
+            ).alias("w"),
+            "name", "tags", "series_id",
+        )
+        .agg(_resample_agg(func, "step_ts").alias("value"))
+        .select(
+            F.col("w.start").alias("step_ts"), "name", "tags", "series_id",
+            "value",
         )
     )
 
@@ -583,6 +633,359 @@ def weighted_average(grid: DataFrame, weights: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# graphite exclusive-style percentile (common/percentiles.go:61-91)
+# ---------------------------------------------------------------------------
+
+def _graphite_percentile_col(arr: Column, pct: float, interpolate: bool = False) -> Column:
+    """GetPercentile over a (null-free) double array: fractional rank
+    against n+1, floor + ceil(frac) when not interpolating — NOT the
+    quantile_cont formula."""
+    srt = F.array_sort(arr)
+    n = F.size(srt)
+    frank = F.lit(float(pct) / 100.0) * (n + F.lit(1)).cast("double")
+    r0 = F.floor(frank).cast("int")
+    frac = frank - r0
+    rank = r0 if interpolate else (r0 + F.ceil(frac).cast("int"))
+    base = (
+        F.when(rank <= 0, F.element_at(srt, 1))
+        .when(rank >= n + 1, F.element_at(srt, n))
+        .otherwise(F.element_at(srt, rank))
+    )
+    if interpolate:
+        nxt = F.element_at(srt, rank + 1)
+        return F.when(
+            (rank != n) & (rank > 0), base + frac * (nxt - base)
+        ).otherwise(base)
+    return base
+
+
+def percentile_of_series(
+    grid: DataFrame, pct: float, interpolate: bool = False
+) -> DataFrame:
+    """percentileOfSeries: per-step percentile across series
+    (builtin_functions.go:1562)."""
+    name = f"percentileOfSeries-{pct:g}"
+    return (
+        grid.groupBy("step_ts")
+        .agg(
+            _graphite_percentile_col(
+                F.collect_list(F.col("value")), pct, interpolate
+            ).alias("value"),
+            F.count("value").alias("_n"),
+        )
+        .where(F.col("_n") > 0)
+        .select(
+            "step_ts",
+            F.lit(name).alias("name"),
+            F.map_from_arrays(F.array(), F.array()).alias("tags"),
+            F.lit(name).alias("series_id"),
+            "value",
+        )
+    )
+
+
+def n_percentile(grid: DataFrame, pct: float) -> DataFrame:
+    """nPercentile: each series flattened to its own pct-percentile
+    (common/percentiles.go NPercentile, interpolate=false)."""
+    w = Window.partitionBy("series_id")
+    vals = F.collect_list(F.col("value")).over(w)
+    return grid.withColumn(
+        "value", _graphite_percentile_col(vals, pct, False)
+    ).withColumn("name", F.concat(F.lit("nPercentile("), F.col("name"), F.lit(")")))
+
+
+def divide_series_lists(grid: DataFrame, divisor: DataFrame) -> DataFrame:
+    """divideSeriesLists: pairwise division after sorting both lists
+    by name (aggregation_functions.go:258-295)."""
+    def ranked(df, val_alias):
+        ww = Window.orderBy("name", "series_id")
+        # distinct over plain string keys (map columns can't be
+        # set-operation keys)
+        return (
+            df.select("series_id", "name").distinct()
+            .withColumn("_rank", F.dense_rank().over(ww))
+            .join(df, ["series_id", "name"])
+            .select("_rank", "step_ts", F.col("value").alias(val_alias))
+        )
+
+    lhs = ranked(grid, "_num")
+    rhs = ranked(divisor, "_den")
+    j = lhs.join(rhs, ["_rank", "step_ts"])
+    dims = (
+        grid.groupBy("series_id", "name")
+        .agg(F.first("tags").alias("tags"))
+        .withColumn("_rank", F.dense_rank().over(Window.orderBy("name", "series_id")))
+    )
+    return (
+        j.join(F.broadcast(dims), "_rank")
+        .select(
+            "step_ts", "name", "tags", "series_id",
+            (F.col("_num") / F.col("_den")).alias("value"),
+        )
+    )
+
+
+def aggregate_line(grid: DataFrame, func: str = "avg") -> DataFrame:
+    """aggregateLine: flat line at the reducer value of the FIRST
+    series (builtin_functions.go:2273 uses Values[0] only)."""
+    red = {
+        "avg": F.avg, "average": F.avg, "sum": F.sum, "total": F.sum,
+        "min": F.min, "max": F.max,
+        "last": lambda c: F.expr(
+            "max_by(value, CASE WHEN value IS NOT NULL THEN unix_micros(step_ts) END)"
+        ),
+        "current": lambda c: F.expr(
+            "max_by(value, CASE WHEN value IS NOT NULL THEN unix_micros(step_ts) END)"
+        ),
+    }[func]
+    first = grid.select(F.min("series_id").alias("series_id"))
+    val = (
+        grid.join(F.broadcast(first), "series_id")
+        .agg(red(F.col("value")).alias("_v"))
+    )
+    return grid.select("step_ts").distinct().crossJoin(F.broadcast(val)).select(
+        "step_ts",
+        F.lit("aggregateLine").alias("name"),
+        F.map_from_arrays(F.array(), F.array()).alias("tags"),
+        F.lit("aggregateLine").alias("series_id"),
+        F.col("_v").alias("value"),
+    )
+
+
+def fallback_series(grid: DataFrame, fallback: DataFrame) -> DataFrame:
+    """fallbackSeries: the fallback when the primary list is empty
+    (builtin_functions.go:855).  List emptiness is a plan-time
+    property in the reference too — one cheap limit(1) action."""
+    return grid if grid.limit(1).count() > 0 else fallback
+
+
+def group_series(*grids: DataFrame) -> DataFrame:
+    """group(...): union of the argument series lists."""
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), grids)
+
+
+def interpolate_series(grid: DataFrame, limit: int | None = None) -> DataFrame:
+    """interpolate: linearly fill interior null gaps (leading/trailing
+    nulls stay; gaps longer than ``limit`` steps stay) —
+    builtin_functions.go:1376, windowed closed form."""
+    ws = Window.partitionBy("series_id").orderBy("step_ts")
+    g = grid.withColumn("_rn", F.row_number().over(ws))
+    back = ws.rowsBetween(Window.unboundedPreceding, -1)
+    fwd = ws.rowsBetween(0, Window.unboundedFollowing)
+    sample_rn = F.when(F.col("value").isNotNull(), F.col("_rn"))
+    prev_v = F.last("value", ignorenulls=True).over(back)
+    prev_rn = F.last(sample_rn, ignorenulls=True).over(back)
+    next_v = F.first("value", ignorenulls=True).over(fwd)
+    next_rn = F.first(sample_rn, ignorenulls=True).over(fwd)
+    filled = prev_v + (next_v - prev_v) * (
+        (F.col("_rn") - prev_rn).cast("double")
+        / (next_rn - prev_rn).cast("double")
+    )
+    cond = F.col("value").isNull() & prev_v.isNotNull() & next_v.isNotNull()
+    if limit is not None and limit >= 0:
+        cond = cond & ((next_rn - prev_rn - 1) <= limit)
+    return (
+        g.withColumn("value", F.when(cond, filled).otherwise(F.col("value")))
+        .withColumn(
+            "name", F.concat(F.lit("interpolate("), F.col("name"), F.lit(")"))
+        )
+        .drop("_rn")
+    )
+
+
+_MOVING_FNS = {
+    "avg": F.avg, "average": F.avg, "sum": F.sum, "min": F.min,
+    "max": F.max, "median": lambda c: F.percentile(c, F.lit(0.5)),
+}
+
+
+def moving_window(grid: DataFrame, steps: int, func: str = "avg") -> DataFrame:
+    """movingWindow(…, fname): dispatch over the moving aggregates
+    (builtin_functions.go:2604)."""
+    return _moving(grid, steps, _MOVING_FNS[func])
+
+
+def stdev_series(grid: DataFrame, points: int) -> DataFrame:
+    """stdev(seriesList, points): moving population stddev
+    (builtin_functions.go:2205)."""
+    return _moving(grid, points, F.stddev_pop)
+
+
+def sustained_below(grid: DataFrame, n: float, min_steps: int) -> DataFrame:
+    """sustainedBelow (builtin_functions.go:768) — mirror of
+    sustainedAbove with <=."""
+    ws = Window.partitionBy("series_id").orderBy("step_ts")
+    below = (F.col("value") <= F.lit(float(n))).cast("int")
+    marked = grid.withColumn("_rn", F.row_number().over(ws)).withColumn(
+        "_ra", F.sum(below).over(ws.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    runs = (
+        marked.where(below == 1)
+        .groupBy("series_id", (F.col("_rn") - F.col("_ra")).alias("_grp"))
+        .agg(F.count("*").alias("_len"))
+        .where(F.col("_len") >= min_steps)
+        .select("series_id")
+        .distinct()
+    )
+    return grid.join(F.broadcast(runs), "series_id", "left_semi")
+
+
+def remove_below_percentile(grid: DataFrame, pct: float) -> DataFrame:
+    """removeBelowPercentile (builtin_functions.go:2240)."""
+    w = Window.partitionBy("series_id")
+    thr = F.percentile(F.col("value"), F.lit(float(pct) / 100.0)).over(w)
+    return grid.withColumn(
+        "value", F.when(F.col("value") >= thr, F.col("value"))
+    )
+
+
+def consolidate_by(grid: DataFrame, approach: str) -> DataFrame:
+    """consolidateBy (builtin_functions.go:2714): records the render-
+    time consolidation function.  This engine never reduces a result
+    below the requested step grid (no MaxDataPoints repaint), so the
+    values are untouched — only the name wrap applies."""
+    if approach not in ("sum", "avg", "average", "min", "max"):
+        raise ValueError(f"invalid consolidation approach {approach!r}")
+    return grid.withColumn(
+        "name",
+        F.concat(
+            F.lit("consolidateBy("), F.col("name"),
+            F.lit(f',"{approach}")'),
+        ),
+    )
+
+
+def cumulative(grid: DataFrame) -> DataFrame:
+    """cumulative = consolidateBy(series, 'sum') (:2750)."""
+    return consolidate_by(grid, "sum")
+
+
+def dashed(grid: DataFrame, dash_len: float = 5.0) -> DataFrame:
+    """dashed: a pure rendering hint — name decoration only (:2802)."""
+    return grid.withColumn(
+        "name",
+        F.concat(F.lit("dashed("), F.col("name"), F.lit(f",{dash_len:g})")),
+    )
+
+
+def scale_to_seconds(grid: DataFrame, seconds: float, step_s: float) -> DataFrame:
+    """scaleToSeconds(seriesList, seconds): value × seconds/step
+    (builtin_functions.go:494)."""
+    return grid.withColumn(
+        "value", F.col("value") * F.lit(float(seconds) / float(step_s))
+    )
+
+
+def round_function(grid: DataFrame, precision: int = 0) -> DataFrame:
+    """roundFunction (builtin_functions.go:617)."""
+    return grid.withColumn("value", F.round(F.col("value"), int(precision)))
+
+
+def substr_name(grid: DataFrame, start: int = 0, stop: int = 0) -> DataFrame:
+    """substr: keep path components [start:stop) of the name, after
+    stripping any wrapping call text (builtin_functions.go:1793)."""
+    inner = F.regexp_extract(F.col("name"), r"([^()]*)\)?$", 1)
+    parts = F.split(inner, r"\.")
+    n = F.size(parts)
+    st = F.lit(int(start))
+    st = F.when(st < 0, st + n).otherwise(st)
+    if stop == 0:
+        sliced = F.slice(parts, st + 1, n - st)
+    else:
+        sp = F.lit(int(stop))
+        sp = F.when(sp < 0, sp + n).otherwise(sp)
+        sliced = F.slice(parts, st + 1, sp - st)
+    return grid.withColumn("name", F.array_join(sliced, "."))
+
+
+def alias_by_metric(grid: DataFrame) -> DataFrame:
+    """aliasByMetric: name := last path component."""
+    return grid.withColumn(
+        "name", F.element_at(F.split(F.col("name"), r"\."), -1)
+    )
+
+
+def legend_value(grid: DataFrame, value_type: str) -> DataFrame:
+    """legendValue: append "(type: value)" to each name (:2631)."""
+    red = {
+        "avg": F.avg("value"), "average": F.avg("value"),
+        "total": F.sum("value"), "sum": F.sum("value"),
+        "min": F.min("value"), "max": F.max("value"),
+        "last": F.expr(
+            "max_by(value, CASE WHEN value IS NOT NULL THEN unix_micros(step_ts) END)"
+        ),
+    }[value_type]
+    w = Window.partitionBy("series_id")
+    stat = red.over(w)
+    return grid.withColumn(
+        "name",
+        F.concat(
+            F.col("name"), F.lit(f" ({value_type}: "),
+            F.format_string("%.3f", stat), F.lit(")"),
+        ),
+    )
+
+
+def cacti_style(grid: DataFrame) -> DataFrame:
+    """cactiStyle: append Current/Max/Min stats to each name (:2679).
+    Column alignment (the reference pads to the widest entry) is a
+    terminal-rendering concern; the stats themselves match."""
+    w = Window.partitionBy("series_id")
+    cur = F.expr(
+        "max_by(value, CASE WHEN value IS NOT NULL THEN unix_micros(step_ts) END)"
+    ).over(w)
+    mx = F.max("value").over(w)
+    mn = F.min("value").over(w)
+
+    def fmt(c):
+        return F.coalesce(F.format_string("%.2f", c), F.lit("nan"))
+
+    return grid.withColumn(
+        "name",
+        F.concat(
+            F.col("name"),
+            F.lit(" Current:"), fmt(cur),
+            F.lit(" Max:"), fmt(mx),
+            F.lit(" Min:"), fmt(mn),
+        ),
+    )
+
+
+def random_walk(steps: DataFrame, name: str = "randomWalk") -> DataFrame:
+    """randomWalkFunction (:2253).  The reference seeds from wall
+    clock; for engine determinism we derive uniform values from an
+    integer LCG over the step index (documented divergence: values are
+    pseudo-random but reproducible)."""
+    w = Window.orderBy("step_ts")
+    idx = F.row_number().over(w).cast("long")
+    lcg = (F.lit(1103515245) * idx + F.lit(12345)) % F.lit(2_147_483_648)
+    return steps.select(
+        "step_ts",
+        F.lit(name).alias("name"),
+        F.map_from_arrays(F.array(), F.array()).alias("tags"),
+        F.lit(name).alias("series_id"),
+        (lcg.cast("double") / F.lit(2_147_483_648.0) - F.lit(0.5)).alias(
+            "value"
+        ),
+    )
+
+
+def threshold_line(steps: DataFrame, value: float, label: str = "") -> DataFrame:
+    """threshold(value, label): constant line over the step domain
+    (builtin_functions.go:2821)."""
+    name = label or f"{value:g}"
+    return steps.select(
+        "step_ts",
+        F.lit(name).alias("name"),
+        F.map_from_arrays(F.array(), F.array()).alias("tags"),
+        F.lit(name).alias("series_id"),
+        F.lit(float(value)).alias("value"),
+    )
+
+
 def alias_series(grid: DataFrame, newname: str) -> DataFrame:
     return grid.withColumn("name", F.lit(newname))
 
@@ -633,6 +1036,34 @@ REGISTRY: dict[str, Callable] = {
     "exclude": exclude,
     "grep": grep,
     "aggregate": lambda g, f: _combined(g, f, f"aggregate-{f}"),
+    "diffSeries": lambda g: _combined(g, "diff", "diffSeries"),
+    "multiplySeries": lambda g: _combined(g, "multiply", "multiplySeries"),
+    "stddevSeries": lambda g: _combined(g, "stddev", "stddevSeries"),
+    "lastSeries": lambda g: _combined(g, "last", "lastSeries"),
+    "powSeries": lambda g: _combined(g, "pow", "powSeries"),
+    "percentileOfSeries": percentile_of_series,
+    "nPercentile": n_percentile,
+    "divideSeriesLists": divide_series_lists,
+    "aggregateLine": aggregate_line,
+    "fallbackSeries": fallback_series,
+    "group": group_series,
+    "interpolate": interpolate_series,
+    "movingWindow": moving_window,
+    "stdev": stdev_series,
+    "sustainedBelow": sustained_below,
+    "removeBelowPercentile": remove_below_percentile,
+    "consolidateBy": consolidate_by,
+    "cumulative": cumulative,
+    "dashed": dashed,
+    "roundFunction": round_function,
+    "substr": substr_name,
+    "aliasByMetric": alias_by_metric,
+    "legendValue": legend_value,
+    "cactiStyle": cacti_style,
+    "sortBy": lambda g, f="average", reverse=False: sort_by(g, f, bool(reverse)),
+    "sortByMinima": lambda g: sort_by(g, "min", False),
+    "highest": lambda g, n=1, f="average": highest(g, f, n),
+    "lowest": lambda g, n=1, f="average": lowest(g, f, n),
     "sumSeriesWithWildcards": lambda g, *d: group_by_dropping_nodes(g, "sum", *d),
     "averageSeriesWithWildcards": lambda g, *d: group_by_dropping_nodes(g, "avg", *d),
     "multiplySeriesWithWildcards": lambda g, *d: group_by_dropping_nodes(g, "multiply", *d),
@@ -670,3 +1101,24 @@ REGISTRY: dict[str, Callable] = {
     "alias": alias_series,
     "aliasSub": alias_sub,
 }
+
+
+def _needs_context(name: str) -> Callable:
+    def _raise(*_a, **_k):
+        raise ValueError(
+            f"{name} needs evaluation context (bounds/step/re-fetch) — "
+            "run it through graphite.compiler.evaluate"
+        )
+
+    return _raise
+
+
+#: functions whose semantics need the evaluation context; the target
+#: compiler dispatches them (compiler._CONTEXT_FUNCS) — registered
+#: here so the registry is the complete function inventory
+for _ctx_fn in (
+    "smartSummarize", "applyByNode", "useSeriesAbove", "scaleToSeconds",
+    "threshold", "randomWalkFunction", "holtWintersForecast",
+    "holtWintersConfidenceBands", "holtWintersAberration",
+):
+    REGISTRY[_ctx_fn] = _needs_context(_ctx_fn)

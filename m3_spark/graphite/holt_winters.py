@@ -1,0 +1,226 @@
+"""Graphite Holt-Winters forecast family.
+
+Reference: ``src/query/graphite/native/builtin_functions.go:1954-2190``
+(holtWintersForecast / ConfidenceBands / Aberration, holtWintersAnalysis
+recurrence with alpha=0.1, beta=0.0035, gamma=0.1, daily season, weekly
+bootstrap).
+
+Spark shape: the recurrence is sequential in *time* but independent per
+*series*, so the kernel vectorizes across series — the step grid is
+dense per series, each Arrow chunk is reshaped to a (series × steps)
+matrix and the loop runs once per step with numpy element-wise ops
+over all series in the chunk.  Partitioning is by series_id, so at
+100 TB the matrix height scales with series-per-partition while the
+loop length stays bounded by the query range.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ALPHA = 0.1
+GAMMA = 0.1
+BETA = 0.0035
+
+SECONDS_PER_DAY = 86_400
+SECONDS_PER_WEEK = 7 * 86_400
+
+
+def hw_analysis_matrix(
+    vals: np.ndarray, season_len: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Port of ``holtWintersAnalysis`` (builtin_functions.go:2100-2190)
+    over a (series × steps) matrix: returns (predictions, deviations).
+
+    Missing steps (NaN actual) follow the reference's zero-value
+    semantics: intercept=NaN, slope=0, seasonal=0, prediction carries
+    the previous nextPred, deviation=0, and nextPred resets to NaN.
+    """
+    n_s, n_t = vals.shape
+    intercepts = np.zeros((n_s, n_t))
+    slopes = np.zeros((n_s, n_t))
+    seasonals = np.zeros((n_s, n_t))
+    preds = np.full((n_s, n_t), np.nan)
+    devs = np.zeros((n_s, n_t))
+    next_pred = np.full(n_s, np.nan)
+    zeros = np.zeros(n_s)
+
+    for i in range(n_t):
+        a = vals[:, i]
+        miss = np.isnan(a)
+        last_season = seasonals[:, i - season_len] if i >= season_len else zeros
+        next_last_season = (
+            seasonals[:, i + 1 - season_len] if i + 1 >= season_len else zeros
+        )
+        last_dev = devs[:, i - season_len] if i >= season_len else zeros
+        if i == 0:
+            last_intercept = a.copy()
+            last_slope = zeros
+            prediction = a.copy()
+        else:
+            last_intercept = intercepts[:, i - 1].copy()
+            last_slope = slopes[:, i - 1]
+            gap = np.isnan(last_intercept)
+            last_intercept[gap] = a[gap]
+            prediction = next_pred
+        with np.errstate(invalid="ignore"):
+            intercept = ALPHA * (a - last_season) + (1 - ALPHA) * (
+                last_intercept + last_slope
+            )
+            slope = BETA * (intercept - last_intercept) + (1 - BETA) * last_slope
+            seasonal = GAMMA * (a - intercept) + (1 - GAMMA) * last_season
+            pred_safe = np.where(np.isnan(prediction), 0.0, prediction)
+            deviation = GAMMA * np.abs(a - pred_safe) + (1 - GAMMA) * last_dev
+        intercepts[:, i] = np.where(miss, np.nan, intercept)
+        slopes[:, i] = np.where(miss, 0.0, slope)
+        seasonals[:, i] = np.where(miss, 0.0, seasonal)
+        preds[:, i] = np.where(miss, next_pred, prediction)
+        devs[:, i] = np.where(miss, 0.0, deviation)
+        next_pred = np.where(
+            miss, np.nan, intercept + slope + next_last_season
+        )
+    return preds, devs
+
+
+def _hw_frame(
+    grid: DataFrame, start, end, step_s: float, season_s: float,
+) -> DataFrame:
+    """Run the analysis over a DENSE grid (must cover the bootstrap
+    range before ``start``) → (series_id, name, tags, step_ts, pred,
+    dev) rows trimmed to [start, end]."""
+    from ..operators.consolidate import _epoch_s
+
+    season_len = max(1, int(season_s // step_s))
+    start_us = int(_epoch_s(start) * 1_000_000)
+    end_us = int(_epoch_s(end) * 1_000_000)
+    step_us = int(step_s * 1_000_000)
+
+    def fn(batches):
+        buf: pd.DataFrame | None = None
+        for pdf in batches:
+            if buf is not None:
+                pdf = pd.concat([buf, pdf], ignore_index=True)
+            last_sid = pdf["series_id"].iloc[-1]
+            mask = pdf["series_id"].to_numpy() == last_sid
+            buf = pdf[mask]
+            work = pdf[~mask]
+            if len(work):
+                yield _run(work)
+        if buf is not None and len(buf):
+            yield _run(buf)
+
+    def _run(pdf: pd.DataFrame) -> pd.DataFrame:
+        ts_us = pdf["step_ts"].values.astype("datetime64[us]").astype(np.int64)
+        sids = pdf["series_id"].to_numpy()
+        # dense grid: every series has one row per step, sorted
+        n_t = int(np.count_nonzero(sids == sids[0]))
+        n_s = len(pdf) // n_t
+        vals = pdf["value"].to_numpy(dtype=np.float64).reshape(n_s, n_t)
+        preds, devs = hw_analysis_matrix(vals, season_len)
+        # trim the bootstrap off: keep steps >= start
+        keep = ts_us[:n_t] >= start_us
+        k = int(keep.sum())
+        out_ts = np.tile(ts_us[:n_t][keep], n_s)
+        return pd.DataFrame(
+            {
+                "series_id": np.repeat(sids[::n_t], k),
+                "step_ts": out_ts.astype("datetime64[us]"),
+                "pred": preds[:, keep].ravel(),
+                "dev": devs[:, keep].ravel(),
+            }
+        )
+
+    res = (
+        grid.select("series_id", "step_ts", "value")
+        .repartition("series_id")
+        .sortWithinPartitions("series_id", "step_ts")
+        .mapInPandas(
+            fn, "series_id string, step_ts timestamp, pred double, dev double"
+        )
+    )
+    dims = grid.groupBy("series_id").agg(
+        F.first("name").alias("name"), F.first("tags").alias("tags")
+    )
+    return res.join(F.broadcast(dims), "series_id")
+
+
+def _wrap(prefix: str):
+    return F.concat(F.lit(f"{prefix}("), F.col("name"), F.lit(")"))
+
+
+def holt_winters_forecast(
+    grid: DataFrame, start, end, step_s: float,
+    season_s: float = SECONDS_PER_DAY,
+) -> DataFrame:
+    """holtWintersForecast (builtin_functions.go:1956)."""
+    hw = _hw_frame(grid, start, end, step_s, season_s)
+    nan_to_null = F.when(~F.isnan(F.col("pred")), F.col("pred"))
+    return hw.select(
+        "step_ts",
+        _wrap("holtWintersForecast").alias("name"),
+        "tags",
+        "series_id",
+        nan_to_null.alias("value"),
+    )
+
+
+def holt_winters_confidence_bands(
+    grid: DataFrame, start, end, step_s: float, delta: float = 3.0,
+    season_s: float = SECONDS_PER_DAY,
+) -> DataFrame:
+    """holtWintersConfidenceBands (builtin_functions.go:1979): lower
+    and upper band series (pred ∓ delta·dev); rows where either input
+    is NaN are stale."""
+    hw = _hw_frame(grid, start, end, step_s, season_s)
+    ok = ~F.isnan(F.col("pred")) & ~F.isnan(F.col("dev"))
+    scaled = F.lit(float(delta)) * F.col("dev")
+    lower = hw.select(
+        "step_ts",
+        _wrap("holtWintersConfidenceLower").alias("name"),
+        "tags",
+        F.concat(F.lit("lower:"), F.col("series_id")).alias("series_id"),
+        F.when(ok, F.col("pred") - scaled).alias("value"),
+    )
+    upper = hw.select(
+        "step_ts",
+        _wrap("holtWintersConfidenceUpper").alias("name"),
+        "tags",
+        F.concat(F.lit("upper:"), F.col("series_id")).alias("series_id"),
+        F.when(ok, F.col("pred") + scaled).alias("value"),
+    )
+    return lower.unionByName(upper)
+
+
+def holt_winters_aberration(
+    grid: DataFrame, start, end, step_s: float, delta: float = 3.0,
+    season_s: float = SECONDS_PER_DAY,
+) -> DataFrame:
+    """holtWintersAberration (builtin_functions.go:2022): how far the
+    actual value sits outside the confidence bands (0 when inside or
+    when the actual is missing)."""
+    hw = _hw_frame(grid, start, end, step_s, season_s)
+    actual = grid.select(
+        "series_id", "step_ts", F.col("value").alias("_actual")
+    )
+    j = hw.join(actual, ["series_id", "step_ts"], "left")
+    ok = ~F.isnan(F.col("pred")) & ~F.isnan(F.col("dev"))
+    upper = F.when(ok, F.col("pred") + F.lit(float(delta)) * F.col("dev"))
+    lower = F.when(ok, F.col("pred") - F.lit(float(delta)) * F.col("dev"))
+    a = F.col("_actual")
+    value = (
+        F.when(a.isNull(), F.lit(0.0))
+        .when(upper.isNotNull() & (a > upper), a - upper)
+        .when(lower.isNotNull() & (a < lower), a - lower)
+        .otherwise(F.lit(0.0))
+    )
+    return j.select(
+        "step_ts",
+        _wrap("holtWintersAberration").alias("name"),
+        "tags",
+        "series_id",
+        value.alias("value"),
+    )

@@ -1,0 +1,275 @@
+"""Round-2 Graphite batch: holtWinters* forecast family (golden values
+from ``builtin_functions_test.go:3468-3620``), smartSummarize,
+applyByNode, useSeriesAbove, percentileOfSeries, divideSeriesLists and
+the mechanical registry fills."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from m3_spark.graphite import functions as gf
+from m3_spark.graphite.compiler import evaluate
+from m3_spark.graphite.holt_winters import (
+    holt_winters_aberration,
+    holt_winters_confidence_bands,
+    holt_winters_forecast,
+)
+from m3_spark.operators.consolidate import consolidate
+
+from .conftest import make_samples
+from .test_consolidate import T0
+from .test_graphite import ggrid, gsamples  # noqa: F401  (fixtures)
+
+
+@pytest.fixture(scope="module")
+def hw_grid(spark):
+    """[4, 5, 6] at 1s steps after a 3-step empty bootstrap — the
+    reference's TestHoltWintersForecast shape."""
+    s = make_samples(
+        spark,
+        [("foo", {}, T0 + 3 + i, 4.0 + i) for i in range(3)],
+    )
+    return consolidate(s, T0, T0 + 5, 1, 1)
+
+
+def _by_step(rows):
+    return {int(r["step_ts"].timestamp()) - T0: r["value"] for r in rows}
+
+
+def test_holt_winters_forecast_golden(hw_grid):
+    out = holt_winters_forecast(hw_grid, T0 + 3, T0 + 5, 1).collect()
+    got = _by_step(out)
+    assert got[3] is None  # NaN in the reference
+    assert got[4] == pytest.approx(4.0)
+    assert got[5] == pytest.approx(4.10035, abs=1e-4)
+
+
+def test_holt_winters_confidence_bands_golden(hw_grid):
+    out = holt_winters_confidence_bands(hw_grid, T0 + 3, T0 + 5, 1, 3.0)
+    lower = _by_step([r for r in out.collect() if "Lower" in r["name"]])
+    upper = _by_step([r for r in out.collect() if "Upper" in r["name"]])
+    assert lower[3] is None and upper[3] is None
+    assert lower[4] == pytest.approx(3.7, abs=1e-4)
+    assert lower[5] == pytest.approx(3.5305, abs=1e-4)
+    assert upper[4] == pytest.approx(4.3, abs=1e-4)
+    assert upper[5] == pytest.approx(4.6702, abs=1e-4)
+
+
+def test_holt_winters_aberration_golden(hw_grid):
+    out = holt_winters_aberration(hw_grid, T0 + 3, T0 + 5, 1, 3.0).collect()
+    got = _by_step(out)
+    assert got[3] == 0.0
+    assert got[4] == pytest.approx(0.7, abs=1e-4)
+    assert got[5] == pytest.approx(1.3298, abs=1e-4)
+
+
+def test_holt_winters_via_compiler(spark, gsamples):  # noqa: F811
+    out = evaluate(
+        gsamples, "holtWintersForecast(servers.web01.cpu.user)",
+        T0, T0 + 240, 60, 300,
+    ).collect()
+    assert len(out) == 5
+    assert all(r["name"] == "holtWintersForecast(servers.web01.cpu.user)" for r in out)
+
+
+# -- percentile family -------------------------------------------------------
+
+def test_percentile_of_series_exclusive_rank(spark):
+    # graphite GetPercentile: values 1..10, p=50 → rank ceil → 6
+    s = make_samples(
+        spark, [("m.s%d" % i, {}, T0, float(i)) for i in range(1, 11)]
+    )
+    g = consolidate(s, T0 + 60, T0 + 60, 60, 300)
+    out = gf.percentile_of_series(g, 50).collect()
+    assert out[0]["value"] == 6.0
+
+
+def test_n_percentile_flat_line(spark):
+    s = make_samples(
+        spark,
+        [("m.a", {}, T0 + i * 60, float(i + 1)) for i in range(10)],
+    )
+    g = consolidate(s, T0, T0 + 540, 60, 300)
+    out = gf.n_percentile(g, 50).collect()
+    assert all(r["value"] == 6.0 for r in out)
+    assert all(r["name"].startswith("nPercentile(") for r in out)
+
+
+# -- list ops ----------------------------------------------------------------
+
+def test_divide_series_lists(spark):
+    num = make_samples(
+        spark, [("a.x", {}, T0, 10.0), ("a.y", {}, T0, 20.0)]
+    )
+    den = make_samples(
+        spark, [("b.x", {}, T0, 2.0), ("b.y", {}, T0, 4.0)]
+    )
+    gn = consolidate(num, T0 + 60, T0 + 60, 60, 300)
+    gd = consolidate(den, T0 + 60, T0 + 60, 60, 300)
+    out = {r["name"]: r["value"] for r in gf.divide_series_lists(gn, gd).collect()}
+    assert out == {"a.x": 5.0, "a.y": 5.0}
+
+
+def test_diff_pow_last_stddev_series(spark):
+    s = make_samples(
+        spark,
+        [("m.a", {}, T0, 10.0), ("m.b", {}, T0, 3.0), ("m.c", {}, T0, 2.0)],
+    )
+    g = consolidate(s, T0 + 60, T0 + 60, 60, 300)
+    assert gf._combined(g, "diff", "d").collect()[0]["value"] == 5.0
+    assert gf._combined(g, "pow", "p").collect()[0]["value"] == 1000000.0
+    assert gf._combined(g, "last", "l").collect()[0]["value"] == 2.0
+    sd = gf._combined(g, "stddev", "s").collect()[0]["value"]
+    assert sd == pytest.approx(math.sqrt(113.0 / 3.0 - 25.0), abs=1e-9)
+
+
+def test_group_and_fallback(spark):
+    a = make_samples(spark, [("m.a", {}, T0, 1.0)])
+    b = make_samples(spark, [("m.b", {}, T0, 2.0)])
+    ga = consolidate(a, T0 + 60, T0 + 60, 60, 300)
+    gb = consolidate(b, T0 + 60, T0 + 60, 60, 300)
+    assert gf.group_series(ga, gb).count() == 2
+    assert gf.fallback_series(ga, gb).collect()[0]["name"] == "m.a"
+    empty = ga.where(F.lit(False))
+    assert gf.fallback_series(empty, gb).collect()[0]["name"] == "m.b"
+
+
+def test_aggregate_line_uses_first_series(spark):
+    s = make_samples(
+        spark,
+        [("m.a", {}, T0 + i * 60, 10.0 + i) for i in range(3)]
+        + [("m.b", {}, T0 + i * 60, 100.0) for i in range(3)],
+    )
+    g = consolidate(s, T0, T0 + 120, 60, 300)
+    out = gf.aggregate_line(g, "avg").collect()
+    assert len(out) == 3 and all(r["value"] == 11.0 for r in out)
+
+
+# -- fill / window / filter ---------------------------------------------------
+
+def test_interpolate_interior_gap(spark):
+    # grid (lookback=step): [10, 10, null, 40, null]
+    s = make_samples(
+        spark,
+        [("m.a", {}, T0, 10.0), ("m.a", {}, T0 + 180, 40.0)],
+    )
+    g = consolidate(s, T0, T0 + 240, 60, 60)
+    out = _by_step(gf.interpolate_series(g).collect())
+    assert out[120] == pytest.approx(25.0)  # midpoint of 10 → 40
+
+
+def test_interpolate_limit(spark):
+    s = make_samples(
+        spark,
+        [("m.a", {}, T0, 10.0), ("m.a", {}, T0 + 180, 40.0)],
+    )
+    g = consolidate(s, T0, T0 + 180, 60, 60)
+    out = _by_step(gf.interpolate_series(g, limit=0).collect())
+    assert out[120] is None  # gap of 1 > limit 0
+
+
+def test_moving_window_and_stdev(spark, ggrid):  # noqa: F811
+    mw = gf.moving_window(ggrid, 3, "sum")
+    ma = gf.moving_sum(ggrid, 3)
+    assert sorted(map(str, mw.collect())) == sorted(map(str, ma.collect()))
+    sd = gf.stdev_series(ggrid, 2).collect()
+    assert all(r["value"] is None or r["value"] >= 0 for r in sd)
+
+
+def test_sustained_below_and_remove_below_percentile(spark):
+    s = make_samples(
+        spark,
+        [("m.low", {}, T0 + i * 60, 1.0) for i in range(5)]
+        + [("m.high", {}, T0 + i * 60, 100.0) for i in range(5)],
+    )
+    g = consolidate(s, T0, T0 + 240, 60, 300)
+    kept = {r["name"] for r in gf.sustained_below(g, 5.0, 3).collect()}
+    assert kept == {"m.low"}
+    rb = gf.remove_below_percentile(g, 50)
+    assert rb.where(F.col("value").isNotNull()).count() > 0
+
+
+def test_use_series_above_via_compiler(spark, gsamples):  # noqa: F811
+    # db01 cpu.user peaks at 44 — above 40 → rewritten to mem.used
+    out = evaluate(
+        gsamples,
+        'useSeriesAbove(servers.*.cpu.user, 40, "cpu.user", "mem.used")',
+        T0, T0 + 240, 60, 300,
+    ).collect()
+    assert {r["name"] for r in out} == {"servers.db01.mem.used"}
+
+
+def test_apply_by_node_via_compiler(spark, gsamples):  # noqa: F811
+    out = evaluate(
+        gsamples,
+        'applyByNode(servers.*.cpu.user, 1, "sumSeries(%.cpu.*)", "%.cpu_total")',
+        T0 + 240, T0 + 240, 60, 300,
+    ).collect()
+    got = {r["name"]: r["value"] for r in out}
+    # per host: cpu.user + cpu.system at T0+240 (base+4 each)
+    assert got == {
+        "servers.web01.cpu_total": 28.0,
+        "servers.web02.cpu_total": 48.0,
+        "servers.db01.cpu_total": 88.0,
+    }
+
+
+def test_smart_summarize_aligns_to_start(spark, gsamples):  # noqa: F811
+    # start at T0+60: buckets [T0+60, T0+180), [T0+180, T0+300)
+    out = evaluate(
+        gsamples,
+        'smartSummarize(servers.web01.cpu.user, "2min", "sum")',
+        T0 + 60, T0 + 240, 60, 300,
+    ).collect()
+    got = _by_step(out)
+    assert got[60] == 23.0  # 11 + 12
+    assert got[180] == 27.0  # 13 + 14
+
+
+# -- decorations / misc ------------------------------------------------------
+
+def test_name_decorations(spark, ggrid):  # noqa: F811
+    one = ggrid.where(F.col("name") == "servers.web01.cpu.user")
+    cb = gf.consolidate_by(one, "max").select("name").first()["name"]
+    assert cb == 'consolidateBy(servers.web01.cpu.user,"max")'
+    d = gf.dashed(one).select("name").first()["name"]
+    assert d == "dashed(servers.web01.cpu.user,5)"
+    am = gf.alias_by_metric(one).select("name").first()["name"]
+    assert am == "user"
+    sb = gf.substr_name(one, 1, 3).select("name").first()["name"]
+    assert sb == "web01.cpu"
+    lv = gf.legend_value(one, "max").select("name").first()["name"]
+    assert lv == "servers.web01.cpu.user (max: 14.000)"
+    cs = gf.cacti_style(one).select("name").first()["name"]
+    assert cs == "servers.web01.cpu.user Current:14.00 Max:14.00 Min:10.00"
+
+
+def test_scale_to_seconds_and_round(spark, ggrid):  # noqa: F811
+    out = gf.scale_to_seconds(ggrid, 1, 60)
+    r = out.where(F.col("name") == "servers.web01.cpu.user").collect()
+    assert min(x["value"] for x in r) == pytest.approx(10.0 / 60.0)
+    rf = gf.round_function(out, 2)
+    assert all(
+        x["value"] == round(x["value"], 2)
+        for x in rf.collect()
+        if x["value"] is not None
+    )
+
+
+def test_threshold_and_random_walk_via_compiler(spark, gsamples):  # noqa: F811
+    out = evaluate(
+        gsamples, 'threshold(42.5, "limit")', T0, T0 + 240, 60
+    ).collect()
+    assert len(out) == 5
+    assert all(r["value"] == 42.5 and r["name"] == "limit" for r in out)
+    rw1 = evaluate(
+        gsamples, 'randomWalkFunction("rw")', T0, T0 + 240, 60
+    ).collect()
+    rw2 = evaluate(
+        gsamples, 'randomWalkFunction("rw")', T0, T0 + 240, 60
+    ).collect()
+    assert sorted(map(str, rw1)) == sorted(map(str, rw2))  # deterministic
+    assert all(-0.5 <= r["value"] <= 0.5 for r in rw1)
