@@ -211,11 +211,17 @@ def evaluate(
             boot_start = _epoch_s(s) - hw.SECONDS_PER_WEEK
             grid = ev(args[0], boot_start, e)
             if f == "holtWintersForecast":
-                return hw.holt_winters_forecast(grid, s, e, step_s)
+                return hw.holt_winters_forecast(
+                    grid, s, e, step_s, boot_start=boot_start
+                )
             delta = float(_lit(args[1])) if len(args) > 1 else 3.0
             if f == "holtWintersConfidenceBands":
-                return hw.holt_winters_confidence_bands(grid, s, e, step_s, delta)
-            return hw.holt_winters_aberration(grid, s, e, step_s, delta)
+                return hw.holt_winters_confidence_bands(
+                    grid, s, e, step_s, delta, boot_start=boot_start
+                )
+            return hw.holt_winters_aberration(
+                grid, s, e, step_s, delta, boot_start=boot_start
+            )
         if f == "applyByNode":
             # substitute each unique node prefix into the template and
             # evaluate it as a sub-target (aggregation_functions.go:538)

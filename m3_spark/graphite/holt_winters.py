@@ -87,17 +87,34 @@ def hw_analysis_matrix(
 
 
 def _hw_frame(
-    grid: DataFrame, start, end, step_s: float, season_s: float,
+    grid: DataFrame, boot_start, start, end, step_s: float, season_s: float,
 ) -> DataFrame:
-    """Run the analysis over a DENSE grid (must cover the bootstrap
-    range before ``start``) → (series_id, name, tags, step_ts, pred,
-    dev) rows trimmed to [start, end]."""
-    from ..operators.consolidate import _epoch_s
+    """Run the analysis over a grid covering [boot_start, end] →
+    (series_id, name, tags, step_ts, pred, dev) rows trimmed to
+    [start, end].
+
+    The input may be sparse (groupByNode & co. emit only present
+    rows); the recurrence indexes by step *position*, so the grid is
+    densified here — one row per (series, step), NaN when absent."""
+    from ..operators.consolidate import _epoch_s, step_grid
 
     season_len = max(1, int(season_s // step_s))
     start_us = int(_epoch_s(start) * 1_000_000)
-    end_us = int(_epoch_s(end) * 1_000_000)
     step_us = int(step_s * 1_000_000)
+
+    steps = step_grid(grid.sparkSession, boot_start, end, step_s)
+    dims = grid.groupBy("series_id").agg(
+        F.first("name").alias("name"), F.first("tags").alias("tags")
+    )
+    dense = (
+        dims.select("series_id")
+        .crossJoin(F.broadcast(steps))
+        .join(
+            grid.select("series_id", "step_ts", "value"),
+            ["series_id", "step_ts"],
+            "left",
+        )
+    )
 
     def fn(batches):
         buf: pd.DataFrame | None = None
@@ -135,17 +152,20 @@ def _hw_frame(
         )
 
     res = (
-        grid.select("series_id", "step_ts", "value")
-        .repartition("series_id")
+        dense.repartition("series_id")
         .sortWithinPartitions("series_id", "step_ts")
         .mapInPandas(
             fn, "series_id string, step_ts timestamp, pred double, dev double"
         )
     )
-    dims = grid.groupBy("series_id").agg(
-        F.first("name").alias("name"), F.first("tags").alias("tags")
-    )
     return res.join(F.broadcast(dims), "series_id")
+
+
+def _boot(boot_start, grid: DataFrame):
+    """Default bootstrap start: the grid's own earliest step."""
+    if boot_start is not None:
+        return boot_start
+    return grid.agg(F.min("step_ts")).first()[0]
 
 
 def _wrap(prefix: str):
@@ -154,10 +174,10 @@ def _wrap(prefix: str):
 
 def holt_winters_forecast(
     grid: DataFrame, start, end, step_s: float,
-    season_s: float = SECONDS_PER_DAY,
+    season_s: float = SECONDS_PER_DAY, boot_start=None,
 ) -> DataFrame:
     """holtWintersForecast (builtin_functions.go:1956)."""
-    hw = _hw_frame(grid, start, end, step_s, season_s)
+    hw = _hw_frame(grid, _boot(boot_start, grid), start, end, step_s, season_s)
     nan_to_null = F.when(~F.isnan(F.col("pred")), F.col("pred"))
     return hw.select(
         "step_ts",
@@ -170,12 +190,12 @@ def holt_winters_forecast(
 
 def holt_winters_confidence_bands(
     grid: DataFrame, start, end, step_s: float, delta: float = 3.0,
-    season_s: float = SECONDS_PER_DAY,
+    season_s: float = SECONDS_PER_DAY, boot_start=None,
 ) -> DataFrame:
     """holtWintersConfidenceBands (builtin_functions.go:1979): lower
     and upper band series (pred ∓ delta·dev); rows where either input
     is NaN are stale."""
-    hw = _hw_frame(grid, start, end, step_s, season_s)
+    hw = _hw_frame(grid, _boot(boot_start, grid), start, end, step_s, season_s)
     ok = ~F.isnan(F.col("pred")) & ~F.isnan(F.col("dev"))
     scaled = F.lit(float(delta)) * F.col("dev")
     lower = hw.select(
@@ -197,12 +217,12 @@ def holt_winters_confidence_bands(
 
 def holt_winters_aberration(
     grid: DataFrame, start, end, step_s: float, delta: float = 3.0,
-    season_s: float = SECONDS_PER_DAY,
+    season_s: float = SECONDS_PER_DAY, boot_start=None,
 ) -> DataFrame:
     """holtWintersAberration (builtin_functions.go:2022): how far the
     actual value sits outside the confidence bands (0 when inside or
     when the actual is missing)."""
-    hw = _hw_frame(grid, start, end, step_s, season_s)
+    hw = _hw_frame(grid, _boot(boot_start, grid), start, end, step_s, season_s)
     actual = grid.select(
         "series_id", "step_ts", F.col("value").alias("_actual")
     )

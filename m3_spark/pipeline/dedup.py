@@ -104,8 +104,13 @@ def lsh_candidates(
     r = k // bands
     # materialize signatures once: the self-join would otherwise
     # recompute k md5-min folds per shingle on BOTH sides (at 100 TB,
-    # write the signature table instead of caching)
-    sigs = minhash_signature(docs, k, n, text_col, id_col).persist()
+    # write the signature table instead of caching).  localCheckpoint
+    # rather than persist: cached plans live in the CacheManager until
+    # explicitly unpersisted (a leak for a library function); a local
+    # checkpoint's backing RDD is GC-cleaned once unreferenced.
+    sigs = minhash_signature(docs, k, n, text_col, id_col).localCheckpoint(
+        eager=False
+    )
     banded = sigs.select(
         F.col(id_col),
         F.explode(

@@ -334,6 +334,143 @@ FROM events GROUP BY 1, 2
 """
 
 
+# -- graphite round-2 entries: smartSummarize + holtWintersForecast ----------
+
+def _gsamples_ev(spark, sf_dir):
+    from .graphite.paths import paths_to_samples
+    from .sources.tables import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    return paths_to_samples(
+        ev.select(
+            F.concat(
+                F.lit("events."), F.col("event_type"), F.lit(".u"),
+                F.col("user_id").cast("string"),
+            ).alias("path"),
+            "ts",
+            "value",
+        )
+    )
+
+
+def q_graphite_smart_summarize(spark, sf_dir):
+    """smartSummarize(events.*.*, "7h", "sum") — buckets aligned to the
+    query start, not epoch multiples (``native/summarize.go:148``)."""
+    from .graphite.compiler import evaluate
+
+    out = evaluate(
+        _gsamples_ev(spark, sf_dir),
+        'smartSummarize(events.*.*, "7h", "sum")',
+        START, END, STEP_S, LOOKBACK_S,
+    )
+    return out.select(
+        _epoch(),
+        F.col("name").alias("path"),
+        F.round(F.col("value"), 6).alias("value"),
+    )
+
+
+_START_EPOCH = 1704067200  # 2024-01-01 00:00:00 UTC
+
+ORACLE_SMART_SUMMARIZE = f"""{_LASTV_SQL}
+SELECT CAST({_START_EPOCH} + 25200 * CAST(FLOOR((epoch(step_ts) - {_START_EPOCH}) / 25200) AS BIGINT) AS BIGINT) AS step_s,
+       'events.' || event_type || '.u' || CAST(user_id AS VARCHAR) AS path,
+       ROUND(SUM(v), 6) AS value
+FROM lastv GROUP BY 1, 2"""
+
+
+def q_graphite_holt_forecast(spark, sf_dir):
+    """holtWintersForecast over per-event_type hourly sums.  The
+    1-week bootstrap window precedes the data (all-NaN bootstrap — the
+    reference's own test shape); season = 24 steps at 1h."""
+    from .graphite.compiler import evaluate
+
+    out = evaluate(
+        _gsamples_ev(spark, sf_dir),
+        'holtWintersForecast(groupByNode(events.*.*, 1, "sum"))',
+        START, END, STEP_S, LOOKBACK_S,
+    )
+    # drop not-yet-warmed-up steps (NaN in the reference): a NULL
+    # double comes back as NaN through the driver's fetchdf and would
+    # false-mismatch
+    return out.where(F.col("value").isNotNull()).select(
+        _epoch(),
+        F.regexp_extract(
+            F.col("name"), r"holtWintersForecast\((.*)\)", 1
+        ).alias("event_type"),
+        # 4 dp: the ~300-step recurrence amplifies cross-engine FP
+        # noise to ~1e-8; 6-dp rounding sits on coin-flip boundaries
+        F.round(F.col("value"), 4).alias("value"),
+    )
+
+
+def _hw_oracle() -> str:
+    """DuckDB restatement of holtWintersAnalysis
+    (``builtin_functions.go:2100-2190``): a recursive CTE iterates the
+    step grid carrying (intercept, slope, nextPred) plus a 24-slot
+    seasonal ring; NULL intercept encodes the reference's NaN-actual
+    branch.  Arithmetic mirrors the numpy kernel term-for-term
+    (coefficients written as 1 - alpha etc. so both engines fold the
+    identical doubles)."""
+    zeros24 = "[" + ", ".join(["0.0"] * 24) + "]"
+    # shared subexpressions, inlined (recursive CTEs can't alias
+    # intermediates): li = last intercept, ls = last slope
+    intercept = "(0.1*(t.v - t.seas1) + (1 - 0.1)*(t.li + t.ls))"
+    slope = f"(0.0035*({intercept} - t.li) + (1 - 0.0035)*t.ls)"
+    seasonal = f"(0.1*(t.v - {intercept}) + (1 - 0.1)*t.seas1)"
+    return f"""WITH RECURSIVE
+steps AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY step_ts) - 1 AS i, step_ts
+  FROM (SELECT unnest(generate_series(TIMESTAMP '2023-12-25 00:00:00',
+        TIMESTAMP '2024-01-08 00:00:00', INTERVAL 1 HOUR)) AS step_ts)
+),
+lastv2 AS (
+  SELECT s.step_ts, e.event_type, e.user_id, arg_max(e.value, e.ts) AS v
+  FROM steps s JOIN events e
+    ON e.ts <= s.step_ts AND e.ts > s.step_ts - INTERVAL 1 HOUR
+  GROUP BY 1, 2, 3
+),
+summed AS (SELECT step_ts, event_type, SUM(v) AS v FROM lastv2 GROUP BY 1, 2),
+et AS (SELECT DISTINCT event_type FROM events),
+rec AS (
+  SELECT event_type, -1 AS i,
+         CAST(NULL AS DOUBLE) AS intercept,
+         CAST(0.0 AS DOUBLE) AS slope,
+         'NaN'::DOUBLE AS next_pred, CAST(NULL AS DOUBLE) AS pred,
+         {zeros24}::DOUBLE[] AS seas
+  FROM et
+  UNION ALL
+  SELECT t.event_type, t.i,
+         CASE WHEN t.v IS NULL THEN NULL ELSE {intercept} END,
+         CASE WHEN t.v IS NULL THEN 0.0 ELSE {slope} END,
+         CASE WHEN t.v IS NULL THEN 'NaN'::DOUBLE
+              ELSE {intercept} + {slope} + t.seas2 END,
+         CASE WHEN t.v IS NULL THEN t.prev_next_pred ELSE t.prediction END,
+         list_append(t.seas[2:24],
+                     CASE WHEN t.v IS NULL THEN 0.0 ELSE {seasonal} END)
+  FROM (
+    SELECT a.i, r.event_type, m.v,
+           r.next_pred AS prev_next_pred, r.seas,
+           r.seas[1] AS seas1, r.seas[2] AS seas2,
+           CASE WHEN a.i = 0 THEN m.v
+                WHEN r.intercept IS NULL THEN m.v
+                ELSE r.intercept END AS li,
+           r.slope AS ls,
+           CASE WHEN a.i = 0 THEN m.v ELSE r.next_pred END AS prediction
+    FROM rec r
+    JOIN steps a ON a.i = r.i + 1
+    LEFT JOIN summed m ON m.step_ts = a.step_ts AND m.event_type = r.event_type
+  ) t
+)
+SELECT CAST(epoch(s.step_ts) AS BIGINT) AS step_s, r.event_type,
+       ROUND(r.pred, 4) AS value
+FROM rec r JOIN steps s ON s.i = r.i
+WHERE r.i >= 168 AND r.pred IS NOT NULL AND NOT isnan(r.pred)"""
+
+
+ORACLE_HOLT_FORECAST = _hw_oracle()
+
+
 # -- m3aggregator tumbling-window aggregate set ------------------------------
 
 def q_agg_policy_1h(spark, sf_dir):
@@ -398,5 +535,9 @@ QUERIES = {
     "meta_label_values": (q_label_values, ORACLE_LABEL_VALUES),
     "meta_series_match": (q_series_match, ORACLE_SERIES_MATCH),
     "graphite_summarize_1d": (q_summarize_1d, ORACLE_SUMMARIZE_1D),
+    "graphite_smart_summarize": (
+        q_graphite_smart_summarize, ORACLE_SMART_SUMMARIZE,
+    ),
+    "graphite_holt_forecast": (q_graphite_holt_forecast, ORACLE_HOLT_FORECAST),
     "stream_agg_policy_1h": (q_agg_policy_1h, ORACLE_AGG_POLICY_1H),
 }
