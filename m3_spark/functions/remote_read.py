@@ -1,0 +1,297 @@
+"""Prometheus remote-read endpoint: snappy(protobuf) request/response.
+
+Reference handler ``src/query/api/v1/handler/prometheus/remote/read.go:62``
+(decode snappy-compressed ``prompb.ReadRequest``, fetch, encode
+``prompb.ReadResponse``).
+
+The container has neither ``protobuf`` nor ``snappy`` packages, so this
+module implements the two PUBLIC wire formats directly:
+
+  * protobuf wire format (varints + length-delimited submessages) for
+    exactly the prompb messages remote read uses — ReadRequest/Query/
+    LabelMatcher and ReadResponse/QueryResult/TimeSeries/Label/Sample;
+  * snappy block format — a full decompressor (literals + copies) and
+    a literal-only compressor (valid snappy per the format spec; no
+    back-references, which only costs ratio, not correctness).
+
+The query itself is a plain fetch → collect: the response encode is a
+final result sink, the same role as the render layer.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# -- varint / protobuf primitives -------------------------------------------
+
+
+def _uvarint(value: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = value & 0x7F
+        value >>= 7
+        if value:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_uvarint(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = result = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _zigzag_to_int64(v: int) -> int:
+    # prompb int64 fields use plain varints (two's complement), not
+    # zigzag — map the 64-bit unsigned reading back to signed
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _key(field: int, wire: int) -> bytes:
+    return _uvarint(field << 3 | wire)
+
+
+def _len_delim(field: int, payload: bytes) -> bytes:
+    return _key(field, 2) + _uvarint(len(payload)) + payload
+
+
+def _varint_field(field: int, value: int) -> bytes:
+    if value < 0:
+        value += 1 << 64
+    return _key(field, 0) + _uvarint(value)
+
+
+def _double_field(field: int, value: float) -> bytes:
+    return _key(field, 1) + struct.pack("<d", value)
+
+
+def _iter_fields(buf: bytes):
+    """Yield (field_no, wire_type, value) over a protobuf message."""
+    pos = 0
+    while pos < len(buf):
+        tag, pos = _read_uvarint(buf, pos)
+        field, wire = tag >> 3, tag & 7
+        if wire == 0:
+            v, pos = _read_uvarint(buf, pos)
+            yield field, wire, v
+        elif wire == 1:
+            yield field, wire, buf[pos : pos + 8]
+            pos += 8
+        elif wire == 2:
+            n, pos = _read_uvarint(buf, pos)
+            yield field, wire, buf[pos : pos + n]
+            pos += n
+        elif wire == 5:
+            yield field, wire, buf[pos : pos + 4]
+            pos += 4
+        else:  # pragma: no cover - groups are long-dead
+            raise ValueError(f"unsupported wire type {wire}")
+
+
+# -- snappy block format -----------------------------------------------------
+
+
+def snappy_compress(data: bytes) -> bytes:
+    """Valid snappy stream using literal elements only (format.txt:
+    a literal tag may carry up to 2^32 bytes; ratio is 1:1, which the
+    spec allows — decompressors don't care how the stream was built)."""
+    out = bytearray(_uvarint(len(data)))
+    pos = 0
+    while pos < len(data):
+        chunk = data[pos : pos + 60]
+        out.append((len(chunk) - 1) << 2)  # tag 00 = literal, len-1 <= 59
+        out += chunk
+        pos += len(chunk)
+    return bytes(out)
+
+
+def snappy_decompress(data: bytes) -> bytes:
+    """Full snappy block decompressor: literals and all three copy
+    element widths."""
+    expected, pos = _read_uvarint(data, 0)
+    out = bytearray()
+    while pos < len(data):
+        tag = data[pos]
+        pos += 1
+        elem = tag & 3
+        if elem == 0:  # literal: len-1 in the tag, or trailing bytes
+            n = tag >> 2
+            if n >= 60:
+                extra = n - 59
+                n = int.from_bytes(data[pos : pos + extra], "little")
+                pos += extra
+            n += 1
+            out += data[pos : pos + n]
+            pos += n
+        else:
+            if elem == 1:  # copy, 1-byte offset
+                length = ((tag >> 2) & 0x7) + 4
+                offset = ((tag >> 5) << 8) | data[pos]
+                pos += 1
+            elif elem == 2:  # copy, 2-byte offset
+                length = (tag >> 2) + 1
+                offset = int.from_bytes(data[pos : pos + 2], "little")
+                pos += 2
+            else:  # copy, 4-byte offset
+                length = (tag >> 2) + 1
+                offset = int.from_bytes(data[pos : pos + 4], "little")
+                pos += 4
+            start = len(out) - offset
+            for i in range(length):  # may self-overlap — byte-at-a-time
+                out.append(out[start + i])
+    if len(out) != expected:
+        raise ValueError(f"snappy: expected {expected} bytes, got {len(out)}")
+    return bytes(out)
+
+
+# -- prompb encode / decode ---------------------------------------------------
+
+#: prompb.LabelMatcher.Type → fetch matcher kind
+_MATCHER_KINDS = {0: "=", 1: "!=", 2: "=~", 3: "!~"}
+
+
+def decode_read_request(body: bytes) -> list[dict]:
+    """snappy(prompb.ReadRequest) → [{start_ms, end_ms, matchers}]."""
+    raw = snappy_decompress(body)
+    queries = []
+    for field, wire, val in _iter_fields(raw):
+        if field == 1 and wire == 2:  # Query
+            q = {"start_ms": 0, "end_ms": 0, "matchers": []}
+            for f2, w2, v2 in _iter_fields(val):
+                if f2 == 1 and w2 == 0:
+                    q["start_ms"] = _zigzag_to_int64(v2)
+                elif f2 == 2 and w2 == 0:
+                    q["end_ms"] = _zigzag_to_int64(v2)
+                elif f2 == 3 and w2 == 2:  # LabelMatcher
+                    kind, name, value = 0, "", ""
+                    for f3, w3, v3 in _iter_fields(v2):
+                        if f3 == 1 and w3 == 0:
+                            kind = v3
+                        elif f3 == 2 and w3 == 2:
+                            name = v3.decode()
+                        elif f3 == 3 and w3 == 2:
+                            value = v3.decode()
+                    q["matchers"].append(
+                        (_MATCHER_KINDS[kind], name, value)
+                    )
+            queries.append(q)
+    return queries
+
+
+def encode_read_request(queries: list[dict]) -> bytes:
+    """[{start_ms, end_ms, matchers}] → snappy(prompb.ReadRequest) —
+    the client half, used by tests and remote-storage federation."""
+    kinds = {v: k for k, v in _MATCHER_KINDS.items()}
+    body = b""
+    for q in queries:
+        qb = _varint_field(1, q["start_ms"]) + _varint_field(2, q["end_ms"])
+        for kind, name, value in q["matchers"]:
+            m = (
+                _varint_field(1, kinds[kind])
+                + _len_delim(2, name.encode())
+                + _len_delim(3, value.encode())
+            )
+            qb += _len_delim(3, m)
+        body += _len_delim(1, qb)
+    return snappy_compress(body)
+
+
+def encode_read_response(series: list[dict]) -> bytes:
+    """[{labels: {..}, samples: [(ts_ms, value)]}] →
+    snappy(prompb.ReadResponse) with one QueryResult."""
+    ts_blobs = b""
+    for s in series:
+        lb = b""
+        for k in sorted(s["labels"]):
+            lb += _len_delim(
+                1, _len_delim(1, k.encode()) + _len_delim(2, s["labels"][k].encode())
+            )
+        sb = b""
+        for ts_ms, v in s["samples"]:
+            sb += _len_delim(
+                2, _double_field(1, float(v)) + _varint_field(2, int(ts_ms))
+            )
+        ts_blobs += _len_delim(1, lb + sb)
+    return snappy_compress(_len_delim(1, ts_blobs))
+
+
+def decode_read_response(body: bytes) -> list[dict]:
+    raw = snappy_decompress(body)
+    out = []
+    for field, _w, result in _iter_fields(raw):
+        if field != 1:
+            continue
+        for f2, _w2, ts_msg in _iter_fields(result):
+            if f2 != 1:
+                continue
+            labels, samples = {}, []
+            for f3, _w3, v3 in _iter_fields(ts_msg):
+                if f3 == 1:
+                    name = value = ""
+                    for f4, _w4, v4 in _iter_fields(v3):
+                        if f4 == 1:
+                            name = v4.decode()
+                        elif f4 == 2:
+                            value = v4.decode()
+                    labels[name] = value
+                elif f3 == 2:
+                    val, ts_ms = 0.0, 0
+                    for f4, w4, v4 in _iter_fields(v3):
+                        if f4 == 1 and w4 == 1:
+                            val = struct.unpack("<d", v4)[0]
+                        elif f4 == 2 and w4 == 0:
+                            ts_ms = _zigzag_to_int64(v4)
+                    samples.append((ts_ms, val))
+            out.append({"labels": labels, "samples": samples})
+    return out
+
+
+# -- the handler --------------------------------------------------------------
+
+
+def remote_read(samples: DataFrame, request_body: bytes) -> bytes:
+    """The /api/v1/prom/remote/read handler body (``remote/read.go:62``):
+    decode → fetch raw samples per query → encode.
+
+    Remote read returns RAW samples in range (the reading Prometheus
+    does its own evaluation), so there is no consolidation step —
+    a time-pruned fetch per query, collected as the final sink.
+    """
+    from ..operators.consolidate import prune_time
+    from ..operators.fetch import fetch
+
+    results = []
+    for q in decode_read_request(request_body):
+        sel = fetch(samples, q["matchers"])
+        sel = prune_time(sel, q["start_ms"] / 1000.0, q["end_ms"] / 1000.0, 0)
+        # maps aren't orderable — (name, ts) order is enough: samples
+        # append into their own series entry, so per-series ts order
+        # is preserved even when two series share a name
+        rows = (
+            sel.select("name", "tags", "ts", "value")
+            .orderBy("name", "ts")
+            .collect()
+        )
+        by_series: dict[tuple, dict] = {}
+        for r in rows:
+            labels = dict(r["tags"])
+            labels["__name__"] = r["name"]
+            key = tuple(sorted(labels.items()))
+            entry = by_series.setdefault(
+                key, {"labels": labels, "samples": []}
+            )
+            entry["samples"].append(
+                (int(r["ts"].timestamp() * 1000), r["value"])
+            )
+        results.extend(by_series.values())
+    return encode_read_response(results)

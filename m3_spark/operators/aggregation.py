@@ -137,6 +137,9 @@ def aggregate(
     return out.where(F.col("_present") > 0).select("step_ts", "tags", "value")
 
 
+TOPK_SALT_BUCKETS = 64
+
+
 def topk(
     grid: DataFrame,
     k: int,
@@ -146,19 +149,33 @@ def topk(
 ) -> DataFrame:
     """topk/bottomk: per step and group, the k largest/smallest series.
 
-    Reference keeps a float heap per bucket (``take.go:47-118``); the
-    Spark-native form is a rank window over the (step, group) shuffle —
-    same key, and AQE handles skewed steps.
-    Output keeps the *original* series tags (PromQL semantics).
+    Reference keeps a float heap per bucket (``take.go:47-118``).
+    Spark shape: a SALTED two-level rank.  A single rank window over
+    (step, group) fully sorts every series in the group per step — for
+    the common ungrouped ``topk(k, m)`` that is one reducer sorting the
+    entire cardinality.  Instead, level 1 ranks within
+    (step, group, salt) — ``TOPK_SALT_BUCKETS``-way parallel, each
+    sorting S/64 rows — and keeps k per bucket; level 2 ranks the
+    ≤ 64·k survivors.  Any global top-k row is in its bucket's top-k,
+    so the result is exact; the salt keys on series_id so it is
+    deterministic.  Output keeps the *original* series tags (PromQL
+    semantics).
     """
     g = grid.withColumn("sig", group_sig_col(retained_tags_col(by, without)))
     order = F.col("value").asc() if bottom else F.col("value").desc()
-    w = Window.partitionBy("step_ts", "sig").orderBy(
+    salt = F.pmod(F.xxhash64(F.col("series_id")), F.lit(TOPK_SALT_BUCKETS))
+    w1 = Window.partitionBy("step_ts", "sig", "_salt").orderBy(
+        order, F.col("series_id").asc()
+    )
+    w2 = Window.partitionBy("step_ts", "sig").orderBy(
         order, F.col("series_id").asc()
     )
     return (
         g.where(F.col("value").isNotNull())
-        .withColumn("_rk", F.row_number().over(w))
+        .withColumn("_salt", salt)
+        .withColumn("_rk1", F.row_number().over(w1))
+        .where(F.col("_rk1") <= k)
+        .withColumn("_rk", F.row_number().over(w2))
         .where(F.col("_rk") <= k)
         .select("step_ts", "name", "tags", "series_id", "value")
     )

@@ -321,22 +321,37 @@ def _holt_winters_kernel(
     """holt_winters(v[r], sf, tf): Prometheus double exponential
     smoothing (``temporal/holt_winters.go:35``): s_1 = v_1,
     b_1 = v_1 - v_0, s_i = sf*v_i + (1-sf)*(s_{i-1} + b_{i-1}),
-    b_i = tf*(s_i - s_{i-1}) + (1-tf)*b_{i-1}; needs >= 2 points."""
+    b_i = tf*(s_i - s_{i-1}) + (1-tf)*b_{i-1}; needs >= 2 points.
+
+    The recurrence restarts per window, so prefix sums don't apply —
+    instead the loop runs over window *offsets*, vectorized across all
+    steps at once (every window advances its own (s, b) in lockstep,
+    frozen past its own length): O(maxlen) numpy passes instead of a
+    per-step-times-window interpreted loop."""
     order = np.argsort(ts_us, kind="stable")
     ts_us, vals = ts_us[order], vals[order]
     lo = np.searchsorted(ts_us, steps_us - range_us, side="right")
     hi = np.searchsorted(ts_us, steps_us, side="right") - 1
+    length = hi - lo + 1
     out = np.full(len(steps_us), np.nan)
-    for k in range(len(steps_us)):
-        if hi[k] - lo[k] + 1 < 2:
-            continue
-        v = vals[lo[k] : hi[k] + 1]
-        s, b = v[1], v[1] - v[0]
-        for i in range(2, len(v)):
-            s_prev = s
-            s = sf * v[i] + (1 - sf) * (s + b)
-            b = tf * (s - s_prev) + (1 - tf) * b
-        out[k] = s
+    valid = length >= 2
+    if not valid.any():
+        return out
+    lov, lenv = lo[valid], length[valid]
+    max_len = int(lenv.max())
+    idx = lov[:, None] + np.arange(max_len)[None, :]
+    np.clip(idx, 0, len(vals) - 1, out=idx)
+    win = vals[idx]  # (n_valid_steps, max_len); cols past length unused
+    s = win[:, 1].copy()
+    b = win[:, 1] - win[:, 0]
+    for j in range(2, max_len):
+        active = j < lenv
+        s_prev = s
+        s_new = sf * win[:, j] + (1 - sf) * (s + b)
+        b_new = tf * (s_new - s_prev) + (1 - tf) * b
+        s = np.where(active, s_new, s)
+        b = np.where(active, b_new, b)
+    out[valid] = s
     return out
 
 

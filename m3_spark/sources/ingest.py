@@ -142,3 +142,72 @@ def from_remote_write(
         F.col(value_col).cast("double").alias("value"),
     )
     return with_series_id(out).select("name", "tags", "series_id", "ts", "value")
+
+
+# -- Kafka / m3msg pub-sub source -------------------------------------------
+
+#: payload format → line parser (the m3msg analog carries one of the
+#: wire formats above per message)
+_PAYLOAD_PARSERS = {
+    "carbon": parse_carbon,
+    "influx": parse_influx,
+    "json": parse_json_write,
+}
+
+
+def kafka_reader_options(
+    bootstrap_servers: str,
+    topics: str,
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = None,
+    fail_on_data_loss: bool = False,
+    **extra: str,
+) -> dict[str, str]:
+    """Options dict for ``spark.readStream.format("kafka")`` — the
+    pub-sub ingest the reference runs over m3msg
+    (``src/cmd/services/m3coordinator/ingest/m3msg/ingest.go:86``).
+
+    ``max_offsets_per_trigger`` is the backpressure bound (the m3msg
+    consumer's per-connection flow control analog)."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topics,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": "true" if fail_on_data_loss else "false",
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(int(max_offsets_per_trigger))
+    opts.update({k: str(v) for k, v in extra.items()})
+    return opts
+
+
+def kafka_payload_to_samples(raw: DataFrame, payload_format: str = "carbon") -> DataFrame:
+    """Kafka record frame (``value BINARY``, per the Kafka source
+    schema) → canonical samples via the wire-format parsers.  Split
+    from :func:`kafka_ingest_stream` so the decode path is testable
+    without a broker."""
+    if payload_format not in _PAYLOAD_PARSERS:
+        raise ValueError(f"unknown payload format {payload_format!r}")
+    lines = raw.select(F.col("value").cast("string").alias("value"))
+    return _PAYLOAD_PARSERS[payload_format](lines)
+
+
+def kafka_ingest_stream(
+    spark,
+    bootstrap_servers: str,
+    topics: str,
+    payload_format: str = "carbon",
+    **reader_opts,
+) -> DataFrame:
+    """Structured-Streaming Kafka ingest → canonical samples stream.
+
+    Requires the spark-sql-kafka connector on the classpath (not in
+    this container — construction is exercised by unit tests through
+    :func:`kafka_reader_options` / :func:`kafka_payload_to_samples`;
+    this assembly is the production entry point)."""
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_reader_options(
+        bootstrap_servers, topics, **reader_opts
+    ).items():
+        reader = reader.option(k, v)
+    return kafka_payload_to_samples(reader.load(), payload_format)

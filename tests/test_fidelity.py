@@ -162,3 +162,24 @@ def test_histogram_quantile_negative_buckets(spark):
     # all mass in the first (negative) bucket → its own upper bound,
     # NOT an interpolation from 0
     assert out[0]["value"] == -1.0
+
+
+# -- ngram jaccard hot-shingle cap -------------------------------------------
+
+def test_ngram_jaccard_df_cap(spark):
+    from m3_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    rows = []
+    # 4 docs share the hot shingle "the common phrase"; docs 0/1 also
+    # share a rare one
+    for i in range(4):
+        extra = "alpha beta gamma" if i < 2 else f"uniq{i} x{i} y{i}"
+        rows.append((i, f"the common phrase {extra}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = ngram_jaccard_pairs(docs, 3, threshold=0.0)
+    capped = ngram_jaccard_pairs(docs, 3, threshold=0.0, df_cap=3)
+    n_exact = exact.count()
+    n_capped = capped.count()
+    assert n_capped < n_exact  # hot-shingle pairs dropped
+    # the rare-shingle pair survives the cap
+    assert capped.where("id_a = 0 AND id_b = 1").count() == 1

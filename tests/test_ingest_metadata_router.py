@@ -147,3 +147,31 @@ def test_read_routed(spark):
     out = read_routed(segs, lambda ns: frames[ns.name]).collect()
     # agg serves [T0, T0+500), raw serves [T0+500, now) → 99.0 excluded
     assert sorted(r["value"] for r in out) == [1.0, 2.0]
+
+
+def test_kafka_reader_options():
+    from m3_spark.sources.ingest import kafka_reader_options
+
+    opts = kafka_reader_options(
+        "broker1:9092,broker2:9092", "metrics", starting_offsets="earliest",
+        max_offsets_per_trigger=50000,
+    )
+    assert opts["kafka.bootstrap.servers"] == "broker1:9092,broker2:9092"
+    assert opts["subscribe"] == "metrics"
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["maxOffsetsPerTrigger"] == "50000"
+    assert opts["failOnDataLoss"] == "false"
+
+
+def test_kafka_payload_decode(spark):
+    from m3_spark.sources.ingest import kafka_payload_to_samples
+
+    raw = spark.createDataFrame(
+        [(b"key", b"servers.web01.cpu 42.5 1600000000"),
+         (b"key", b"not a carbon line at all foo bar baz")],
+        "key binary, value binary",
+    )
+    out = kafka_payload_to_samples(raw, "carbon").collect()
+    assert len(out) == 1
+    assert out[0]["name"] == "servers.web01.cpu"
+    assert out[0]["value"] == 42.5

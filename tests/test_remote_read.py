@@ -1,0 +1,75 @@
+"""Remote-read wire format: snappy + prompb round-trips and the
+fetch-backed handler (``remote/read.go:62`` analog)."""
+
+from __future__ import annotations
+
+from m3_spark.functions.remote_read import (
+    decode_read_request,
+    decode_read_response,
+    encode_read_request,
+    encode_read_response,
+    remote_read,
+    snappy_compress,
+    snappy_decompress,
+)
+
+from .conftest import make_samples
+from .test_consolidate import T0
+
+
+def test_snappy_roundtrip():
+    for payload in (b"", b"x", b"hello world " * 100, bytes(range(256)) * 5):
+        assert snappy_decompress(snappy_compress(payload)) == payload
+
+
+def test_snappy_copy_elements():
+    # hand-built stream with a 1-byte-offset copy: "abcdabcd"
+    # literal "abcd" (tag 3<<2) + copy len=4 off=4 (elem 1)
+    stream = bytes([8]) + bytes([3 << 2]) + b"abcd" + bytes([0b001, 4])
+    assert snappy_decompress(stream) == b"abcdabcd"
+
+
+def test_read_request_roundtrip():
+    q = {
+        "start_ms": 1_600_000_000_000,
+        "end_ms": 1_600_003_600_000,
+        "matchers": [("=", "__name__", "m"), ("=~", "job", "api|web")],
+    }
+    got = decode_read_request(encode_read_request([q]))
+    assert got == [q]
+
+
+def test_read_response_roundtrip():
+    series = [
+        {
+            "labels": {"__name__": "m", "job": "api"},
+            "samples": [(1_600_000_000_000, 1.5), (1_600_000_060_000, -2.25)],
+        }
+    ]
+    got = decode_read_response(encode_read_response(series))
+    assert got == series
+
+
+def test_remote_read_handler(spark):
+    s = make_samples(
+        spark,
+        [
+            ("m", {"job": "api"}, T0, 1.0),
+            ("m", {"job": "api"}, T0 + 60, 2.0),
+            ("m", {"job": "web"}, T0, 9.0),
+            ("other", {"job": "api"}, T0, 5.0),
+        ],
+    )
+    req = encode_read_request(
+        [
+            {
+                "start_ms": T0 * 1000,
+                "end_ms": (T0 + 3600) * 1000,
+                "matchers": [("=", "__name__", "m"), ("=", "job", "api")],
+            }
+        ]
+    )
+    out = decode_read_response(remote_read(s, req))
+    assert len(out) == 1
+    assert out[0]["labels"] == {"__name__": "m", "job": "api"}
+    assert out[0]["samples"] == [(T0 * 1000, 1.0), ((T0 + 60) * 1000, 2.0)]
