@@ -444,8 +444,13 @@ GROUP BY 1
 
 
 def q_rel_anti(spark, sf_dir):
-    """unless analog on relations: customers with no orders."""
-    o = read_table(spark, sf_dir, "orders")
+    """unless analog on relations: customers with no 1995 orders.
+    (The unrestricted form returns zero rows on this testdata — a
+    vacuous check; the date window makes the anti-join observable.)"""
+    o = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01"))
+    )
     c = read_table(spark, sf_dir, "customer")
     return (
         c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
@@ -455,7 +460,11 @@ def q_rel_anti(spark, sf_dir):
 
 ORACLE_REL_ANTI = """
 SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey
+    AND o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1996-01-01'
+)
 """
 
 
@@ -624,7 +633,9 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs: cosine >= 0.62, id_a < id_b.
 
     Brute pairwise at oracle scale; the 100 TB path is the
-    hyperplane-bucketed variant (ann_bucketed_topk)."""
+    hyperplane-bucketed variant (ann_bucketed_topk).  Threshold 0.40
+    (not higher) so the pair set is non-empty on the testdata — an
+    empty result is a vacuous hash match."""
     from .pipeline.similarity import _as_double, _dot, _norm2
 
     emb = _as_double(read_table(spark, sf_dir, "embeddings"), "embedding")
@@ -645,7 +656,7 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         j.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
-        .where(F.col("cosine") >= 0.62)
+        .where(F.col("cosine") >= 0.40)
     )
 
 
@@ -658,7 +669,7 @@ scored AS (
   FROM v qa JOIN v qb ON qa.vec_id < qb.vec_id
 )
 SELECT id_a, id_b, ROUND(cosine, 6) AS cosine
-FROM scored WHERE ROUND(cosine, 6) >= 0.62
+FROM scored WHERE ROUND(cosine, 6) >= 0.40
 """
 
 
