@@ -273,6 +273,36 @@ eval instant at 50m max_over_time(req{job="api", instance="1"}[20m])
 
 eval instant at 50m present_over_time(req{job="api", instance="1"}[20m])
   {group="prod", instance="1", job="api"} 1
+
+load 5m
+  hr{job="api", instance="0"} 0+10x10
+  hr{job="api", instance="1"} 0+20x10
+  minfo{job="api", version="v2"} 1+0x10
+
+eval instant at 50m hr * on (job) group_left(version) minfo
+  {instance="0", job="api", version="v2"} 100
+  {instance="1", job="api", version="v2"} 200
+
+eval instant at 50m scalar(sum(hr))
+  {} 300
+
+eval instant at 50m hr{instance="0"} * scalar(minfo)
+  {instance="0", job="api"} 100
+
+eval instant at 50m timestamp(hr{instance="0"})
+  {instance="0", job="api"} 1600003000
+
+eval instant at 50m hour()
+  {} 13
+
+eval instant at 50m holt_winters(hr{instance="0"}[30m], 0.5, 0.5)
+  {instance="0", job="api"} 100
+
+eval instant at 50m sum(hr{foo=""})
+  {} 300
+
+eval instant at 50m sum(hr{instance=~"0|"})
+  {} 100
 """
 
 
