@@ -1,0 +1,313 @@
+"""M3QL front-end: pipe-syntax query language → DataFrame plan.
+
+Reference: the PEG grammar ``src/query/parser/m3ql/grammar.peg`` (the
+reference ships the parser UNWIRED — no executor reaches it from any
+handler).  This module implements that grammar faithfully — macros,
+pipelines, keyword arguments, patterns, nested pipelines — and adds
+the executor the reference never built, mapping each pipeline stage
+onto the engine's §2 kernels.
+
+Semantics of the stage vocabulary follow the publicly documented M3QL
+style: ``fetch tag:glob …`` selects series; aggregators take the tag
+names to RETAIN (``sum region`` ≡ PromQL ``sum by (region)``); bare
+comparison operators filter values; ``sort``/``head`` order and
+truncate series by a summary statistic.
+
+Example::
+
+    fetch name:cpu.* region:us-* | sum region | >= 5 | head 10
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# -- AST ---------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Arg:
+    value: object  # str | float | bool | Pipeline
+    keyword: str | None = None
+
+
+@dataclass(frozen=True)
+class Expr:
+    func: str
+    args: tuple[Arg, ...] = ()
+
+
+@dataclass(frozen=True)
+class Pipeline:
+    stages: tuple[Expr, ...]
+
+
+# -- tokenizer (lexical rules of grammar.peg) --------------------------------
+
+_TOK = re.compile(
+    r"""
+    (?P<ws>[ \t\r\n]+|\#[^\n]*)
+  | (?P<op><=|<|==|!=|>=|>)
+  | (?P<num>-?(?:[0-9]+\.[0-9]+|\.[0-9]+|[0-9]+)(?![a-zA-Z_0-9.*?{}\[\],^$-]))
+  | (?P<bool>(?:true|false)(?![a-zA-Z_0-9.*?{}\[\],^$-]))
+  | (?P<str>"[^"]*")
+  | (?P<pat>[a-zA-Z_0-9.\-/\\*?{}\[\],^$]+)
+  | (?P<sym>[|();:=])
+""",
+    re.VERBOSE,
+)
+
+_IDENT = re.compile(r"[a-z_][a-z_0-9.\-/\\]*\Z", re.IGNORECASE)
+
+
+def _tokenize(text: str) -> list[tuple[str, str]]:
+    out, i = [], 0
+    while i < len(text):
+        m = _TOK.match(text, i)
+        if not m:
+            raise SyntaxError(f"bad m3ql token at {text[i:i+20]!r}")
+        i = m.end()
+        if m.lastgroup != "ws":
+            out.append((m.lastgroup, m.group()))
+    out.append(("eof", ""))
+    return out
+
+
+class _Parser:
+    """Recursive descent over the grammar:
+    Grammar  <- (MacroDef ';')* Pipeline
+    Pipeline <- Expression ('|' Expression)*
+    Expression <- (Identifier / Operator) Argument*
+    Argument <- (Identifier ':')? (Bool / Number / Pattern / String / '(' Pipeline ')')
+    """
+
+    def __init__(self, text: str):
+        self.toks = _tokenize(text)
+        self.i = 0
+        self.macros: dict[str, Pipeline] = {}
+
+    def peek(self):
+        return self.toks[self.i]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def parse(self) -> Pipeline:
+        # macro defs: Identifier '=' Pipeline ';'
+        while (
+            self.peek()[0] == "pat"
+            and self.i + 1 < len(self.toks)
+            and self.toks[self.i + 1] == ("sym", "=")
+        ):
+            name = self.next()[1]
+            self.next()  # '='
+            body = self.pipeline()
+            if self.peek() != ("sym", ";"):
+                raise SyntaxError("macro def must end with ';'")
+            self.next()
+            self.macros[name] = body
+        p = self.pipeline()
+        if self.peek()[0] != "eof":
+            raise SyntaxError(f"trailing input {self.peek()[1]!r}")
+        return p
+
+    def pipeline(self) -> Pipeline:
+        stages = [self.expression()]
+        while self.peek() == ("sym", "|"):
+            self.next()
+            stages.append(self.expression())
+        return Pipeline(tuple(stages))
+
+    def expression(self) -> Expr:
+        k, v = self.peek()
+        if k == "op":
+            self.next()
+            return Expr(v, tuple(self.arguments()))
+        if k == "pat" and _IDENT.match(v):
+            self.next()
+            if v in self.macros:
+                # macro reference: splice its pipeline as a nested arg
+                return Expr("__macro__", (Arg(self.macros[v]),))
+            return Expr(v, tuple(self.arguments()))
+        if k == "sym" and v == "(":
+            self.next()
+            inner = self.pipeline()
+            if self.peek() != ("sym", ")"):
+                raise SyntaxError("unclosed '('")
+            self.next()
+            return Expr("__nested__", (Arg(inner),))
+        raise SyntaxError(f"expected expression, got {v!r}")
+
+    def arguments(self) -> list[Arg]:
+        args: list[Arg] = []
+        while True:
+            k, v = self.peek()
+            keyword = None
+            if (
+                k == "pat"
+                and _IDENT.match(v)
+                and self.i + 1 < len(self.toks)
+                and self.toks[self.i + 1] == ("sym", ":")
+            ):
+                keyword = self.next()[1]
+                self.next()  # ':'
+                k, v = self.peek()
+            if k == "bool":
+                self.next()
+                args.append(Arg(v == "true", keyword))
+            elif k == "num":
+                self.next()
+                args.append(Arg(float(v), keyword))
+            elif k == "str":
+                self.next()
+                args.append(Arg(v[1:-1], keyword))
+            elif k == "pat":
+                self.next()
+                args.append(Arg(v, keyword))
+            elif k == "sym" and v == "(":
+                self.next()
+                inner = self.pipeline()
+                if self.peek() != ("sym", ")"):
+                    raise SyntaxError("unclosed '('")
+                self.next()
+                args.append(Arg(inner, keyword))
+            else:
+                if keyword is not None:
+                    raise SyntaxError(f"keyword {keyword!r} without value")
+                return args
+
+
+def parse(text: str) -> Pipeline:
+    return _Parser(text).parse()
+
+
+# -- executor ----------------------------------------------------------------
+
+_COMPARE = {
+    ">": lambda c, n: c > n, ">=": lambda c, n: c >= n,
+    "<": lambda c, n: c < n, "<=": lambda c, n: c <= n,
+    "==": lambda c, n: c == n, "!=": lambda c, n: c != n,
+}
+
+_AGGS = {"sum", "avg", "min", "max", "count", "stddev", "stdvar"}
+
+_MATH = {"abs", "log", "sqrt", "ceil", "floor", "exp"}
+
+
+def evaluate(
+    samples: DataFrame, query: str, start, end, step_s: float,
+    lookback_s: float = 300.0,
+) -> DataFrame:
+    """Execute an M3QL pipeline → grid frame (step_ts, tags, value…)."""
+    from ..operators.aggregation import aggregate
+    from ..operators.consolidate import consolidate
+    from ..operators.fetch import fetch
+    from ..graphite.functions import highest, lowest, sort_by
+    from ..graphite.paths import glob_to_regex
+
+    def run(pipe: Pipeline, grid: DataFrame | None = None) -> DataFrame:
+        for stage in pipe.stages:
+            grid = step(stage, grid)
+        return grid
+
+    def step(e: Expr, grid: DataFrame | None) -> DataFrame:
+        f = e.func
+        if f in ("__macro__", "__nested__"):
+            return run(e.args[0].value, grid)
+        if f == "fetch":
+            matchers = []
+            for a in e.args:
+                if a.keyword is None:
+                    raise ValueError("fetch arguments must be tag:pattern")
+                key = "__name__" if a.keyword == "name" else a.keyword
+                pat = str(a.value)
+                if re.search(r"[*?{}\[\]]", pat):
+                    # glob → anchored regex, reusing the graphite rules
+                    matchers.append(("=~", key, glob_to_regex(pat).strip("^$")))
+                else:
+                    matchers.append(("=", key, pat))
+            sel = fetch(samples, matchers)
+            return consolidate(sel, start, end, step_s, lookback_s)
+        if grid is None:
+            raise ValueError(f"{f!r} needs an input pipeline (start with fetch)")
+        if f in _AGGS:
+            from ..operators.aggregation import group_sig_col
+
+            keep = [str(a.value) for a in e.args] or None
+            out = aggregate(grid, f, by=keep)
+            # downstream sort/head/tail key on series_id — rebuild it
+            # from the retained tag signature
+            return out.withColumn(
+                "series_id", group_sig_col(F.col("tags"))
+            ).withColumn("name", F.lit(f))
+        if f in _COMPARE:
+            n = float(e.args[0].value)
+            return grid.where(
+                F.col("value").isNotNull() & _COMPARE[f](F.col("value"), F.lit(n))
+            )
+        if f in _MATH:
+            fn = {"log": F.log10}.get(f, getattr(F, f))
+            return grid.withColumn("value", fn(F.col("value")).cast("double"))
+        if f == "scale":
+            return grid.withColumn(
+                "value", F.col("value") * F.lit(float(e.args[0].value))
+            )
+        if f == "offset":
+            return grid.withColumn(
+                "value", F.col("value") + F.lit(float(e.args[0].value))
+            )
+        if f == "transformNull":
+            n = float(e.args[0].value) if e.args else 0.0
+            return grid.withColumn(
+                "value", F.coalesce(F.col("value"), F.lit(n))
+            )
+        if f == "head":
+            k = int(e.args[0].value)
+            stat = str(e.args[1].value) if len(e.args) > 1 else "average"
+            return highest(grid, stat, k)
+        if f == "tail":
+            k = int(e.args[0].value)
+            stat = str(e.args[1].value) if len(e.args) > 1 else "average"
+            return lowest(grid, stat, k)
+        if f == "sort":
+            stat = str(e.args[0].value) if e.args else "average"
+            desc = True
+            if len(e.args) > 1:
+                desc = str(e.args[1].value) != "asc"
+            return sort_by(grid, stat, desc)
+        if f == "alias":
+            return grid.withColumn("name", F.lit(str(e.args[0].value)))
+        if f == "excludeByTag":
+            tag, pat = str(e.args[0].value), str(e.args[1].value)
+            return grid.where(
+                ~F.coalesce(F.col("tags").getItem(tag), F.lit("")).rlike(
+                    glob_to_regex(pat)
+                )
+            )
+        if f == "perSecond":
+            from ..graphite.functions import per_second
+
+            return per_second(grid, step_s)
+        if f == "divide":
+            rhs = run(e.args[0].value)
+            d = rhs.select("step_ts", F.col("value").alias("_div"))
+            return (
+                grid.join(d, "step_ts", "left")
+                .withColumn("value", F.col("value") / F.col("_div"))
+                .drop("_div")
+            )
+        if f == "asPercent":
+            from ..graphite.functions import as_percent_of_total
+
+            return as_percent_of_total(grid)
+        raise ValueError(f"unknown m3ql function {f!r}")
+
+    parser = _Parser(query)
+    pipe = parser.parse()
+    return run(pipe)

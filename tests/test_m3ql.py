@@ -1,0 +1,112 @@
+"""M3QL front-end: grammar (``src/query/parser/m3ql/grammar.peg``)
+and the executor the reference never wired."""
+
+from __future__ import annotations
+
+import pytest
+
+from m3_spark.plans.m3ql import Arg, Expr, Pipeline, evaluate, parse
+
+from .conftest import make_samples
+from .test_consolidate import T0
+
+
+# -- parser -------------------------------------------------------------------
+
+def test_parse_reference_example():
+    # the query from the reference's grammar_test.go
+    p = parse("fetch name:foo.bar | >= 5")
+    assert p == Pipeline(
+        (
+            Expr("fetch", (Arg("foo.bar", "name"),)),
+            Expr(">=", (Arg(5.0),)),
+        )
+    )
+
+
+def test_parse_args_and_kinds():
+    p = parse('fetch name:cpu.* region:us-* | sum region | alias "cpu" | head 3 max')
+    assert [e.func for e in p.stages] == ["fetch", "sum", "alias", "head"]
+    assert p.stages[0].args == (Arg("cpu.*", "name"), Arg("us-*", "region"))
+    assert p.stages[2].args == (Arg("cpu"),)
+    assert p.stages[3].args == (Arg(3.0), Arg("max"))
+
+
+def test_parse_macro_and_nesting():
+    p = parse("base = fetch name:foo; base | sum")
+    assert p.stages[0].func == "__macro__"
+    inner = p.stages[0].args[0].value
+    assert inner.stages[0].func == "fetch"
+    p2 = parse("fetch name:a | divide (fetch name:b | sum)")
+    assert p2.stages[1].func == "divide"
+    assert isinstance(p2.stages[1].args[0].value, Pipeline)
+
+
+def test_parse_comments_and_bools():
+    p = parse("fetch name:foo # select\n | sort avg true")
+    assert p.stages[1].args == (Arg("avg"), Arg(True))
+
+
+def test_parse_errors():
+    with pytest.raises(SyntaxError):
+        parse("fetch name:foo |")
+    with pytest.raises(SyntaxError):
+        parse("fetch name:(")
+
+
+# -- executor -----------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def msamples(spark):
+    rows = []
+    for region, base in [("us-east", 10.0), ("us-west", 20.0), ("eu", 40.0)]:
+        for inst in ["a", "b"]:
+            for i in range(5):
+                rows.append(
+                    (
+                        "cpu.util",
+                        {"region": region, "inst": inst},
+                        T0 + i * 60,
+                        base + i + (1.0 if inst == "b" else 0.0),
+                    )
+                )
+    return make_samples(spark, rows)
+
+
+def _ev(samples, q):
+    return evaluate(samples, q, T0 + 240, T0 + 240, 60, 300)
+
+
+def test_fetch_and_sum_by(spark, msamples):
+    out = _ev(msamples, "fetch name:cpu.util region:us-* | sum region").collect()
+    got = {r["tags"]["region"]: r["value"] for r in out}
+    # at T0+240: us-east a=14 b=15, us-west a=24 b=25
+    assert got == {"us-east": 29.0, "us-west": 49.0}
+
+
+def test_compare_filter(spark, msamples):
+    out = _ev(msamples, "fetch name:cpu.util | >= 25").collect()
+    assert sorted(r["value"] for r in out) == [25.0, 44.0, 45.0]
+
+
+def test_pipeline_math_and_head(spark, msamples):
+    out = _ev(msamples, "fetch name:cpu.util | sum region | scale 0.5 | head 1 max").collect()
+    assert len(out) == 1 and out[0]["value"] == 44.5  # eu: (44+45)/2... scaled
+
+
+def test_macro_divide(spark, msamples):
+    q = (
+        "total = fetch name:cpu.util | sum; "
+        "fetch name:cpu.util region:eu | sum region | divide (total)"
+    )
+    out = _ev(msamples, q).collect()
+    # eu 89 / total (29+49+89)=167
+    assert len(out) == 1
+    assert out[0]["value"] == pytest.approx(89.0 / 167.0)
+
+
+def test_exclude_by_tag(spark, msamples):
+    out = _ev(
+        msamples, "fetch name:cpu.util | excludeByTag region us-* | sum region"
+    ).collect()
+    assert {r["tags"]["region"] for r in out} == {"eu"}
