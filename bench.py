@@ -95,6 +95,24 @@ def q_text_pipeline(spark):
     return q_text_quality(spark, SF_DIR)
 
 
+def q_holt_forecast_7d(spark):
+    """holtWintersForecast over per-event_type 1h sums, 7d range +
+    1-week bootstrap (the r02 graphite forecast kernel)."""
+    from m3_spark.queries import q_graphite_holt_forecast
+
+    return q_graphite_holt_forecast(spark, SF_DIR)
+
+
+def q_m3ql_pipeline_12h(spark):
+    """M3QL text pipeline: fetch | sum event_type | >= 0 at 1m steps."""
+    from m3_spark.plans.m3ql import evaluate
+
+    s = read_samples(spark, SF_DIR)
+    return evaluate(
+        s, "fetch name:* | sum event_type | >= 0", T_START, T_END, 60, 300
+    )
+
+
 BENCH = {
     "sum_by_12h_1m": q_sum_by_12h_1m,
     "rate_sum_12h_1m": q_rate_sum_12h_1m,
@@ -104,6 +122,8 @@ BENCH = {
     "dedup_lsh_5k_docs": q_dedup_lsh,
     "ann_matmul_topk": q_ann_matmul,
     "text_quality_5k": q_text_pipeline,
+    "holt_forecast_7d": q_holt_forecast_7d,
+    "m3ql_pipeline_12h": q_m3ql_pipeline_12h,
 }
 
 

@@ -23,7 +23,6 @@ from __future__ import annotations
 import struct
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 # -- varint / protobuf primitives -------------------------------------------
 

@@ -107,6 +107,20 @@ def parse_target(target: str):
     return _Parser(target).parse()
 
 
+#: functions whose semantics depend on stale/missing grid rows being
+#: PRESENT (fills, row-adjacency windows, run-length scans): a target
+#: touching any of these consolidates densely; everything else gets
+#: the O(samples) sparse kernel
+_DENSE_FUNCS = {
+    "transformNull", "keepLastValue", "isNonNull", "interpolate",
+    "delay", "changed", "derivative", "nonNegativeDerivative",
+    "perSecond", "integral", "integralByInterval", "movingAverage",
+    "movingSum", "movingMin", "movingMax", "movingMedian",
+    "movingWindow", "exponentialMovingAverage", "stdev",
+    "sustainedAbove", "sustainedBelow", "timeFunction", "identity",
+    "timeShift", "countSeries",
+}
+
 #: render-target functions that need evaluation context (bounds /
 #: step / re-fetch) — dispatched inside ``evaluate`` instead of the
 #: plain grid-level REGISTRY
@@ -126,10 +140,21 @@ def evaluate(
     """Compile + execute a render target over the samples frame."""
     from pyspark.sql import functions as F
 
-    from ..operators.consolidate import _epoch_s, step_grid
+    from ..operators.consolidate import _epoch_s, consolidate_sparse, step_grid
     from . import holt_winters as hw
 
     lookback_s = lookback_s if lookback_s is not None else step_s
+
+    ast = parse_target(target)
+
+    def _called(node):
+        if isinstance(node, CallNode):
+            yield node.func
+            for a in node.args:
+                yield from _called(a)
+
+    needs_dense = bool(_DENSE_FUNCS & set(_called(ast)))
+    consolidate_fn = consolidate if needs_dense else consolidate_sparse
 
     def _steps_arg(v) -> int:
         """Moving-window size: a step count, or a '5min'-style
@@ -145,7 +170,7 @@ def evaluate(
             return node.value
         if isinstance(node, GlobNode):
             sel = fetch_by_glob(samples, node.glob)
-            return consolidate(sel, s, e, step_s, lookback_s)
+            return consolidate_fn(sel, s, e, step_s, lookback_s)
         if isinstance(node, CallNode):
             if node.func in _CONTEXT_FUNCS:
                 return ev_ctx(node, s, e)
@@ -268,7 +293,7 @@ def evaluate(
             if not new_names:
                 return grid.limit(0)
             sel = samples.where(F.col("name").isin(new_names))
-            return consolidate(sel, s, e, step_s, lookback_s)
+            return consolidate_fn(sel, s, e, step_s, lookback_s)
         raise ValueError(f"unhandled context function {f!r}")
 
     def _lit(node):
@@ -278,7 +303,7 @@ def evaluate(
             return node.glob
         raise ValueError(f"expected literal argument, got {node!r}")
 
-    return ev(parse_target(target))
+    return ev(ast)
 
 
 def _dur_s(s):

@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .consolidate import _to_ts_lit, prune_time, step_grid
+from .consolidate import prune_time, step_grid
 
 _US = 1_000_000
 

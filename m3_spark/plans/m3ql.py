@@ -21,7 +21,7 @@ Example::
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -206,10 +206,17 @@ def evaluate(
 ) -> DataFrame:
     """Execute an M3QL pipeline → grid frame (step_ts, tags, value…)."""
     from ..operators.aggregation import aggregate
-    from ..operators.consolidate import consolidate
+    from ..operators.consolidate import consolidate, consolidate_sparse
     from ..operators.fetch import fetch
     from ..graphite.functions import highest, lowest, sort_by
     from ..graphite.paths import glob_to_regex
+
+    def _funcs(pipe: Pipeline):
+        for st in pipe.stages:
+            yield st.func
+            for a in st.args:
+                if isinstance(a.value, Pipeline):
+                    yield from _funcs(a.value)
 
     def run(pipe: Pipeline, grid: DataFrame | None = None) -> DataFrame:
         for stage in pipe.stages:
@@ -233,7 +240,10 @@ def evaluate(
                 else:
                     matchers.append(("=", key, pat))
             sel = fetch(samples, matchers)
-            return consolidate(sel, start, end, step_s, lookback_s)
+            # planner choice: the sparse kernel (present rows only) is
+            # O(samples) instead of O(series × steps) and is equivalent
+            # for every stage except fill-style ones
+            return _consolidate(sel, start, end, step_s, lookback_s)
         if grid is None:
             raise ValueError(f"{f!r} needs an input pipeline (start with fetch)")
         if f in _AGGS:
@@ -310,4 +320,9 @@ def evaluate(
 
     parser = _Parser(query)
     pipe = parser.parse()
+    needs_dense = {"transformNull"} & (
+        set(_funcs(pipe))
+        | {f for m in parser.macros.values() for f in _funcs(m)}
+    )
+    _consolidate = consolidate if needs_dense else consolidate_sparse
     return run(pipe)

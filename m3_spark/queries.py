@@ -21,7 +21,6 @@ from pyspark.sql import functions as F
 
 from .model import read_samples
 from .operators.aggregation import aggregate, topk
-from .operators.consolidate import consolidate
 from .operators.temporal import over_time, over_time_multi, rate, resets_or_changes
 
 from .queries_common import (  # noqa: F401

@@ -1,0 +1,113 @@
+"""Physical-plan regression guards: the properties that make the
+operators survive 100× scale — predicate pushdown into the parquet
+scan, no nested-loop joins where an equi-join is intended, broadcast
+on dimension sides, and the salted two-level topk shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from .conftest import make_samples
+from .test_consolidate import T0
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_fetch_pushdown_reaches_scan(spark):
+    from m3_spark.model import read_samples
+    from m3_spark.operators.consolidate import prune_time
+    from m3_spark.operators.fetch import fetch
+
+    s = read_samples(spark, SF_DIR)
+    sel = prune_time(
+        fetch(s, [("=", "__name__", "click")]), "2024-01-01", "2024-01-02", 3600
+    )
+    txt = _formatted(sel)
+    assert "PushedFilters" in txt
+    assert "EqualTo(event_type,click)" in txt
+    # int64-ns range predicate reaches the scan (row-group pruning)
+    assert "GreaterThanOrEqual(ts," in txt
+
+
+def test_binary_join_is_not_nested_loop(spark):
+    from m3_spark.operators.binary import vector_arith
+    from m3_spark.operators.consolidate import consolidate
+
+    s = make_samples(
+        spark,
+        [("a", {"k": str(i)}, T0, float(i)) for i in range(4)]
+        + [("b", {"k": str(i)}, T0, float(i)) for i in range(4)],
+    )
+    g = consolidate(s, T0 + 60, T0 + 60, 60, 300)
+    out = vector_arith(
+        g.where(F.col("name") == "a"), g.where(F.col("name") == "b"), "+"
+    )
+    plan = _plan(out)
+    # the vector match must be a hash/merge equi-join on (step_ts, sig)
+    # (consolidate's internal dims × broadcast-steps cross is fine —
+    # that side is a tiny broadcast probe grid by construction)
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin [step_ts" in plan) or (
+        "ShuffledHashJoin [step_ts" in plan
+    ) or ("BroadcastHashJoin [step_ts" in plan)
+
+
+def test_lsh_join_is_equi_join(spark):
+    from m3_spark.pipeline.dedup import lsh_candidates
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} with words") for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = lsh_candidates(docs)
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_join_is_equi_join(spark):
+    from m3_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} with words") for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = _plan(ngram_jaccard_pairs(docs))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_plan_is_salted_two_level(spark):
+    from m3_spark.operators.aggregation import topk
+    from m3_spark.operators.consolidate import consolidate
+
+    s = make_samples(
+        spark, [("m", {"k": str(i)}, T0, float(i)) for i in range(8)]
+    )
+    g = consolidate(s, T0 + 60, T0 + 60, 60, 300)
+    plan = _plan(topk(g, 3))
+    # two Window operators: per-salt-bucket partial rank, then global
+    assert plan.count("Window") >= 2
+    assert "_salt" in plan
+
+
+def test_consolidate_dims_join_broadcasts_steps(spark):
+    from m3_spark.model import read_samples
+    from m3_spark.operators.consolidate import consolidate
+
+    s = read_samples(spark, SF_DIR)
+    g = consolidate(s, "2024-01-01", "2024-01-02", 3600, 300)
+    # the step grid joins in via BroadcastNestedLoopJoin-free cross of
+    # a broadcast single-row-ish steps frame
+    assert "BroadcastExchange" in _plan(g)

@@ -198,3 +198,49 @@ def test_counter_increase_streaming_state(spark, tmp_path):
         for r in spark.sql("SELECT * FROM t_counter_inc").collect()
     )
     assert [v for _, v in got] == [5.0, 3.0, 6.0]
+
+
+def test_kafka_decode_streaming_rollup(spark, tmp_path):
+    """End-to-end pub-sub shape: binary Kafka-style records →
+    payload decode (carbon) → windowed rollup, via availableNow
+    streaming over a parquet stand-in for the Kafka source."""
+    from pyspark.sql import functions as F
+
+    from m3_spark.sources.ingest import kafka_payload_to_samples
+
+    t0 = 1_600_000_000
+    recs = [
+        (b"k", f"servers.web01.cpu {10.0 + i} {t0 + i * 60}".encode())
+        for i in range(10)
+    ] + [(b"k", b"malformed line")]
+    src = tmp_path / "kafka_stand_in"
+    spark.createDataFrame(recs, "key binary, value binary").write.parquet(
+        str(src)
+    )
+    stream = spark.readStream.schema("key binary, value binary").parquet(
+        str(src)
+    )
+    samples = kafka_payload_to_samples(stream, "carbon")
+    agg = (
+        samples.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "name")
+        .agg(F.sum("value").alias("total"), F.count("*").alias("n"))
+    )
+    # complete mode: append would hold both windows open (the final
+    # watermark sits 10m behind the last event)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("kafka_rollup")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT * FROM kafka_rollup ORDER BY w.start"
+    ).collect()
+    # malformed line dropped; epoch-aligned 5m windows start 100s
+    # before t0 → first window holds samples at t0..t0+180 (10..13)
+    assert rows[0]["n"] == 4 and rows[0]["total"] == 46.0
+    assert sum(r["n"] for r in rows) == 10
