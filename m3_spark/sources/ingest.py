@@ -130,18 +130,29 @@ def from_remote_write(
     labels_col: str = "labels",
     ts_col: str = "ts",
     value_col: str = "value",
+    annotation_col: str | None = None,
 ) -> DataFrame:
     """Prometheus remote-write relational shape:
-    (labels MAP<STRING,STRING> incl. __name__, ts, value) → samples."""
-    out = labeled.select(
+    (labels MAP<STRING,STRING> incl. __name__, ts, value) → samples.
+
+    ``annotation_col``: optional per-datapoint opaque BINARY blob
+    (``ts.Annotation``, ``src/dbnode/encoding/m3tsz/encoder.go:90``) —
+    carried on the samples/namespace layer, dropped by the query
+    kernels (the reference's annotations likewise never reach query
+    math)."""
+    cols = [
         F.col(labels_col).getItem("__name__").alias("name"),
         F.map_filter(
             F.col(labels_col), lambda k, _v: k != F.lit("__name__")
         ).alias("tags"),
         F.col(ts_col).alias("ts"),
         F.col(value_col).cast("double").alias("value"),
-    )
-    return with_series_id(out).select("name", "tags", "series_id", "ts", "value")
+    ]
+    keep = ["name", "tags", "series_id", "ts", "value"]
+    if annotation_col is not None:
+        cols.append(F.col(annotation_col).cast("binary").alias("annotation"))
+        keep.append("annotation")
+    return with_series_id(labeled.select(*cols)).select(*keep)
 
 
 # -- Kafka / m3msg pub-sub source -------------------------------------------

@@ -175,3 +175,34 @@ def test_kafka_payload_decode(spark):
     assert len(out) == 1
     assert out[0]["name"] == "servers.web01.cpu"
     assert out[0]["value"] == 42.5
+
+
+def test_remote_write_annotation_roundtrip(spark, tmp_path):
+    """Annotation column (ts.Annotation analog): carried through
+    ingest and the namespace table, ignored by query kernels."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from m3_spark.operators.consolidate import consolidate
+    from m3_spark.sources.ingest import from_remote_write
+    from m3_spark.sources.namespace import read_namespace, write_namespace
+
+    t0 = dt.datetime(2024, 1, 1)
+    labeled = spark.createDataFrame(
+        [
+            ({"__name__": "m", "job": "api"}, t0, 1.5, b"proto-blob-1"),
+            ({"__name__": "m", "job": "api"}, t0 + dt.timedelta(seconds=60), 2.5, b"proto-blob-2"),
+        ],
+        "labels map<string,string>, ts timestamp, value double, ann binary",
+    )
+    s = from_remote_write(labeled, annotation_col="ann")
+    assert "annotation" in s.columns
+    path = str(tmp_path / "ns")
+    write_namespace(s, path)
+    back = read_namespace(spark, path)
+    rows = back.orderBy("ts").collect()
+    assert [bytes(r["annotation"]) for r in rows] == [b"proto-blob-1", b"proto-blob-2"]
+    # query kernels consume the same frame, annotations simply drop out
+    g = consolidate(back, "2024-01-01 00:01:00", "2024-01-01 00:01:00", 60, 300)
+    assert g.collect()[0]["value"] == 2.5

@@ -1,0 +1,123 @@
+"""Property test: the vectorized rate/increase kernel vs an
+independent straight-line-Python model of the Prometheus
+extrapolation algorithm (``temporal/rate.go:150-240``).  Pure numpy —
+no Spark session needed, so hypothesis can afford many examples."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from m3_spark.operators.temporal import _holt_winters_kernel, _rate_kernel
+
+RANGE_S = 300
+STEPS = [600, 900, 1200]
+
+
+def _model_rate(points, step_t, range_s, kind):
+    """Per-window reference model, written independently of the
+    vectorized kernel: walk the window's samples, correct resets,
+    extrapolate to the boundaries, clamp at the counter zero point."""
+    window = [(t, v) for t, v in points if step_t - range_s < t <= step_t]
+    if len(window) < 2:
+        return None
+    counter = kind in ("rate", "increase")
+    result = 0.0
+    prev = window[0][1]
+    for _, v in window[1:]:
+        if counter and v < prev:
+            result += prev  # reset: counter restarted from ~0
+        prev = v
+    result += window[-1][1] - window[0][1]
+
+    t0, v0 = window[0]
+    t1, _ = window[-1]
+    sampled = t1 - t0
+    if sampled <= 0:
+        return None
+    avg_dur = sampled / (len(window) - 1)
+    dur_start = t0 - (step_t - range_s)
+    dur_end = step_t - t1
+    if counter and result > 0 and v0 >= 0:
+        dur_to_zero = sampled * (v0 / result)
+        if dur_to_zero < dur_start:
+            dur_start = dur_to_zero
+    thresh = avg_dur * 1.1
+    extrap = sampled
+    extrap += dur_start if dur_start < thresh else avg_dur / 2
+    extrap += dur_end if dur_end < thresh else avg_dur / 2
+    out = result * (extrap / sampled)
+    if kind == "rate":
+        out /= range_s
+    return out
+
+
+@st.composite
+def series(draw):
+    n = draw(st.integers(min_value=0, max_value=12))
+    ts = draw(
+        st.lists(
+            st.integers(min_value=301, max_value=1200),
+            min_size=n, max_size=n, unique=True,
+        )
+    )
+    vals = draw(
+        st.lists(
+            st.floats(
+                min_value=0.0, max_value=1e6,
+                allow_nan=False, allow_infinity=False,
+            ),
+            min_size=n, max_size=n,
+        )
+    )
+    return sorted(zip(ts, vals))
+
+
+@settings(max_examples=300, deadline=None)
+@given(series(), st.sampled_from(["rate", "increase", "delta"]))
+def test_rate_kernel_matches_model(points, kind):
+    ts_us = np.array([t * 1_000_000 for t, _ in points], dtype=np.int64)
+    vals = np.array([v for _, v in points], dtype=np.float64)
+    steps_us = np.array([s * 1_000_000 for s in STEPS], dtype=np.int64)
+    got = _rate_kernel(ts_us, vals, steps_us, RANGE_S * 1_000_000, kind)
+    for i, step_t in enumerate(STEPS):
+        want = _model_rate(points, step_t, RANGE_S, kind)
+        if want is None:
+            assert math.isnan(got[i])
+        else:
+            assert got[i] == pytest.approx(want, rel=1e-9, abs=1e-9)
+
+
+def _model_hw(points, step_t, range_s, sf, tf):
+    window = [v for t, v in points if step_t - range_s < t <= step_t]
+    if len(window) < 2:
+        return None
+    s, b = window[1], window[1] - window[0]
+    for v in window[2:]:
+        s_prev = s
+        s = sf * v + (1 - sf) * (s + b)
+        b = tf * (s - s_prev) + (1 - tf) * b
+    return s
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    series(),
+    st.floats(min_value=0.01, max_value=0.99),
+    st.floats(min_value=0.01, max_value=0.99),
+)
+def test_holt_winters_kernel_matches_model(points, sf, tf):
+    ts_us = np.array([t * 1_000_000 for t, _ in points], dtype=np.int64)
+    vals = np.array([v for _, v in points], dtype=np.float64)
+    steps_us = np.array([s * 1_000_000 for s in STEPS], dtype=np.int64)
+    got = _holt_winters_kernel(ts_us, vals, steps_us, RANGE_S * 1_000_000, sf, tf)
+    for i, step_t in enumerate(STEPS):
+        want = _model_hw(points, step_t, RANGE_S, sf, tf)
+        if want is None:
+            assert math.isnan(got[i])
+        else:
+            assert got[i] == pytest.approx(want, rel=1e-9, abs=1e-9)
