@@ -647,13 +647,16 @@ def _graphite_percentile_col(arr: Column, pct: float, interpolate: bool = False)
     r0 = F.floor(frank).cast("int")
     frac = frank - r0
     rank = r0 if interpolate else (r0 + F.ceil(frac).cast("int"))
+    # F.get (0-based) over element_at: null-safe on the empty array an
+    # all-stale step produces (ANSI element_at throws mid-aggregation,
+    # before any row filter can drop the group)
     base = (
-        F.when(rank <= 0, F.element_at(srt, 1))
-        .when(rank >= n + 1, F.element_at(srt, n))
-        .otherwise(F.element_at(srt, rank))
+        F.when(rank <= 0, F.get(srt, F.lit(0)))
+        .when(rank >= n + 1, F.get(srt, n - 1))
+        .otherwise(F.get(srt, rank - 1))
     )
     if interpolate:
-        nxt = F.element_at(srt, rank + 1)
+        nxt = F.get(srt, rank)
         return F.when(
             (rank != n) & (rank > 0), base + frac * (nxt - base)
         ).otherwise(base)
@@ -886,17 +889,20 @@ def round_function(grid: DataFrame, precision: int = 0) -> DataFrame:
 
 def substr_name(grid: DataFrame, start: int = 0, stop: int = 0) -> DataFrame:
     """substr: keep path components [start:stop) of the name, after
-    stripping any wrapping call text (builtin_functions.go:1793)."""
+    stripping any wrapping call text and trailing call arguments
+    (builtin_functions.go:1793; negative indices wrap repeatedly,
+    matching the reference's while-loop — i.e. a positive modulus)."""
     inner = F.regexp_extract(F.col("name"), r"([^()]*)\)?$", 1)
+    inner = F.regexp_replace(inner, r",.*$", "")
     parts = F.split(inner, r"\.")
     n = F.size(parts)
     st = F.lit(int(start))
-    st = F.when(st < 0, st + n).otherwise(st)
+    st = F.when(st < 0, F.pmod(st, n)).otherwise(st)
     if stop == 0:
         sliced = F.slice(parts, st + 1, n - st)
     else:
         sp = F.lit(int(stop))
-        sp = F.when(sp < 0, sp + n).otherwise(sp)
+        sp = F.when(sp < 0, F.pmod(sp, n)).otherwise(sp)
         sliced = F.slice(parts, st + 1, sp - st)
     return grid.withColumn("name", F.array_join(sliced, "."))
 

@@ -1,0 +1,193 @@
+"""Golden-value parity with the reference's own test tables
+(``builtin_functions_test.go`` / ``summarize_test.go``) for the
+round-2 graphite functions.  Grids with exact NaN positions are built
+directly (consolidate would backfill within lookback)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from m3_spark.graphite import functions as gf
+
+from .test_consolidate import T0
+
+STEP = 60
+
+
+def _grid_df(spark, series: dict[str, list[float | None]], t0: int = T0):
+    """Grid frame with explicit per-step values (None = stale)."""
+    rows = []
+    for name, vals in series.items():
+        for i, v in enumerate(vals):
+            rows.append(
+                (
+                    dt.datetime.fromtimestamp(t0 + i * STEP, dt.timezone.utc)
+                    .replace(tzinfo=None),
+                    name,
+                    {},
+                    name,
+                    v,
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "step_ts timestamp, name string, tags map<string,string>, "
+        "series_id string, value double",
+    )
+
+
+def _vals_by_step(rows, t0: int = T0):
+    return {
+        int((r["step_ts"] - dt.datetime(1970, 1, 1)).total_seconds() - t0)
+        // STEP: r["value"]
+        for r in rows
+    }
+
+
+NAN = math.nan
+
+
+def test_percentile_of_series_golden(spark):
+    # builtin_functions_test.go TestPercentileOfSeries case 1: p33,
+    # non-interpolated, NaN-laden series → [NaN, 16, 24, 43, 34]
+    series = {
+        "a": [None, 16.0, 23.0, None, 75.0, 48.0, 42.0, 41.0],
+        "b": [None, 36.0, 74.0, 43.0, 73.0],
+        "c": [None, 61.0, 24.0, 29.0, None, 62.0, 65.0, 72.0],
+        "d": [None, 48.0, 94.0, None, 32.0, 39.0, None, 84.0],
+        "e": [None, 16.0, None, 85.0, 34.0, 27.0, 74.0, None, 72.0],
+    }
+    g = _grid_df(spark, series)
+    got = _vals_by_step(gf.percentile_of_series(g, 33).collect())
+    # step 0 is all-NaN → no row (grid-form stale); steps 1-4 match
+    # the reference's normalized window exactly
+    assert 0 not in got
+    for i, want in [(1, 16.0), (2, 24.0), (3, 43.0), (4, 34.0)]:
+        assert got[i] == pytest.approx(want), f"step {i}"
+
+
+def test_percentile_of_series_interpolated_golden(spark):
+    # same table, interpolate=true → [NaN, 16, 23.65, 33.48, 33.3]
+    series = {
+        "a": [None, 16.0, 23.0, None, 75.0, 48.0, 42.0, 41.0],
+        "b": [None, 36.0, 74.0, 43.0, 73.0],
+        "c": [None, 61.0, 24.0, 29.0, None, 62.0, 65.0, 72.0],
+        "d": [None, 48.0, 94.0, None, 32.0, 39.0, None, 84.0],
+        "e": [None, 16.0, None, 85.0, 34.0, 27.0, 74.0, None, 72.0],
+    }
+    g = _grid_df(spark, series)
+    got = _vals_by_step(gf.percentile_of_series(g, 33, interpolate=True).collect())
+    for i, want in [(1, 16.0), (2, 23.65), (3, 33.480000000000004), (4, 33.3)]:
+        assert got[i] == pytest.approx(want, abs=1e-9), f"step {i}"
+
+
+def test_percentile_of_series_p100_golden(spark):
+    series = {
+        "a": [60.0, 50.0, 40.0, 30.0, 20.0, 10.0],
+        "b": [18.0, 15.0, 12.0, 9.0, 6.0, 3.0],
+        "c": [6.0, 5.0, 4.0, 3.0, 2.0, 1.0],
+    }
+    g = _grid_df(spark, series)
+    got = _vals_by_step(gf.percentile_of_series(g, 100).collect())
+    assert [got[i] for i in range(6)] == [60.0, 50.0, 40.0, 30.0, 20.0, 10.0]
+
+
+def test_interpolate_golden(spark):
+    # builtin_functions_test.go TestInterpolate rows 2-6
+    cases = [
+        (
+            [None, 2.0, None, 4.0, None, 6.0, None, 8.0, None, 10.0],
+            {0: None, 1: 2.0, 2: 3.0, 3: 4.0, 4: 5.0, 5: 6.0, 6: 7.0, 7: 8.0, 8: 9.0, 9: 10.0},
+            None,
+        ),
+        (
+            [1.0, 2.0, None, None, None, 6.0, 7.0, 8.0, None, None],
+            {2: 3.0, 3: 4.0, 4: 5.0, 8: None, 9: None},
+            None,
+        ),
+        (
+            # gap of 5 > limit 3 stays unfilled
+            [1.0, 2.0, None, None, None, None, None, 8.0, 9.0, 10.0],
+            {2: None, 3: None, 4: None, 5: None, 6: None},
+            3,
+        ),
+    ]
+    for vals, want, limit in cases:
+        g = _grid_df(spark, {"foo": vals})
+        out = gf.interpolate_series(g, limit)
+        got = _vals_by_step(out.collect())
+        for i, w in want.items():
+            if w is None:
+                assert got[i] is None, f"step {i} (limit={limit})"
+            else:
+                assert got[i] == pytest.approx(w), f"step {i} (limit={limit})"
+        assert out.first()["name"] == "interpolate(foo)"
+
+
+def test_integral_by_interval_golden(spark):
+    # builtin_functions_test.go TestIntegralByInterval:
+    # in  [NaN,1,2,3,4,5,NaN,6,7,8] @1m, 2m buckets
+    # out [0,1,2,5,4,9,0,6,7,15]
+    g = _grid_df(
+        spark,
+        {"hello": [None, 1.0, 2.0, 3.0, 4.0, 5.0, None, 6.0, 7.0, 8.0]},
+        t0=T0 - T0 % 120,  # interval-aligned, as in the reference
+    )
+    out = gf.integral_by_interval(
+        gf.transform_null(g, 0.0), 120
+    )
+    got = {
+        int((r["step_ts"] - dt.datetime(1970, 1, 1)).total_seconds()
+            - (T0 - T0 % 120)) // STEP: r["value"]
+        for r in out.collect()
+    }
+    assert [got[i] for i in range(10)] == [0, 1, 2, 5, 4, 9, 0, 6, 7, 15]
+
+
+def test_smart_summarize_golden(spark):
+    # summarize_test.go TestSmartSummarize: 12 values 0..11 @10s from
+    # t=131 (unaligned) — buckets align to the query start
+    t0 = 131
+    rows = [
+        (
+            dt.datetime.fromtimestamp(t0 + i * 10, dt.timezone.utc)
+            .replace(tzinfo=None),
+            "foo", {}, "foo", float(i),
+        )
+        for i in range(12)
+    ]
+    g = spark.createDataFrame(
+        rows,
+        "step_ts timestamp, name string, tags map<string,string>, "
+        "series_id string, value double",
+    )
+
+    def run(interval, func):
+        out = gf.smart_summarize(g, interval, func, t0)
+        return [
+            r["value"]
+            for r in out.orderBy("step_ts").collect()
+        ]
+
+    assert run(30, "sum") == [3.0, 12.0, 21.0, 30.0]
+    assert run(60, "sum") == [15.0, 51.0]
+    assert run(40, "median") == [1.5, 5.5, 9.5]
+    assert run(30, "median") == [1.0, 4.0, 7.0, 10.0]
+
+
+def test_substr_golden(spark):
+    # builtin_functions_test.go TestSubstr on a wrapped name with a
+    # call argument: "aliasByName(foo.bar,baz)"
+    g = _grid_df(spark, {"x": [1.0]}).withColumn(
+        "name", F.lit("aliasByName(foo.bar,baz)")
+    )
+    for start, stop, want in [
+        (1, 0, "bar"), (0, 2, "foo.bar"), (0, 0, "foo.bar"),
+        (-1, 0, "bar"), (-3, 0, "bar"),
+    ]:
+        got = gf.substr_name(g, start, stop).first()["name"]
+        assert got == want, f"substr({start},{stop})"
