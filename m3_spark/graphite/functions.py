@@ -531,9 +531,13 @@ def remove_below_value(grid: DataFrame, v: float) -> DataFrame:
 
 
 def remove_above_percentile(grid: DataFrame, pct: float) -> DataFrame:
-    """null out values above the series' own pct-percentile."""
+    """null out values above the series' own pct-percentile —
+    graphite's exclusive-rank percentile (common/percentiles.go:61),
+    not the continuous-interpolation quantile."""
     w = Window.partitionBy("series_id")
-    thr = F.percentile(F.col("value"), F.lit(float(pct) / 100.0)).over(w)
+    thr = _graphite_percentile_col(
+        F.collect_list(F.col("value")).over(w), pct, False
+    )
     return grid.withColumn(
         "value", F.when(F.col("value") <= thr, F.col("value"))
     )
@@ -837,9 +841,12 @@ def sustained_below(grid: DataFrame, n: float, min_steps: int) -> DataFrame:
 
 
 def remove_below_percentile(grid: DataFrame, pct: float) -> DataFrame:
-    """removeBelowPercentile (builtin_functions.go:2240)."""
+    """removeBelowPercentile (builtin_functions.go:2240) — graphite
+    exclusive-rank percentile threshold."""
     w = Window.partitionBy("series_id")
-    thr = F.percentile(F.col("value"), F.lit(float(pct) / 100.0)).over(w)
+    thr = _graphite_percentile_col(
+        F.collect_list(F.col("value")).over(w), pct, False
+    )
     return grid.withColumn(
         "value", F.when(F.col("value") >= thr, F.col("value"))
     )

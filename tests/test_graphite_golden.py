@@ -191,3 +191,53 @@ def test_substr_golden(spark):
     ]:
         got = gf.substr_name(g, start, stop).first()["name"]
         assert got == want, f"substr({start},{stop})"
+
+
+def test_stdev_golden(spark):
+    # TestStdev: [1,2,3,4,nan,nan,nan,5,6,nan,nan], points=3
+    g = _grid_df(
+        spark,
+        {"foo": [1.0, 2.0, 3.0, 4.0, None, None, None, 5.0, 6.0, None, None]},
+    )
+    got = _vals_by_step(gf.stdev_series(g, 3).collect())
+    want = [0.0, 0.5, 0.8165, 0.8165, 0.5, 0.0, None, 0.0, 0.5, 0.5, 0.0]
+    for i, w in enumerate(want):
+        if w is None:
+            assert got[i] is None, f"step {i}"
+        else:
+            assert got[i] == pytest.approx(w, abs=1e-4), f"step {i}"
+
+
+_PCT_SERIES = {
+    "foo": [None, None, None, None, None],
+    "bar": [3.0, 2.0, 4.0, None, 1.0, 6.0, None, 5.0],
+    "baz": [1.0],
+}
+
+
+def test_n_percentile_golden(spark):
+    g = _grid_df(spark, _PCT_SERIES)
+    out = gf.n_percentile(g, 40.123)
+    by_series = {}
+    for r in out.collect():
+        by_series.setdefault(r["series_id"], set()).add(r["value"])
+    assert by_series["bar"] == {3.0}
+    assert by_series["baz"] == {1.0}
+    assert by_series["foo"] == {None}
+
+
+def test_remove_above_percentile_golden(spark):
+    g = _grid_df(spark, _PCT_SERIES)
+    out = gf.remove_above_percentile(g, 40.123)
+    bar = _vals_by_step([r for r in out.collect() if r["series_id"] == "bar"])
+    want = [3.0, 2.0, None, None, 1.0, None, None, None]
+    assert [bar[i] for i in range(8)] == want
+
+
+def test_remove_below_percentile_golden(spark):
+    g = _grid_df(spark, _PCT_SERIES)
+    out = gf.remove_below_percentile(g, 40.123)
+    bar = _vals_by_step([r for r in out.collect() if r["series_id"] == "bar"])
+    # threshold 3.0 → keep >= 3
+    want = [3.0, None, 4.0, None, None, 6.0, None, 5.0]
+    assert [bar[i] for i in range(8)] == want
