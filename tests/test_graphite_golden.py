@@ -241,3 +241,15 @@ def test_remove_below_percentile_golden(spark):
     # threshold 3.0 → keep >= 3
     want = [3.0, None, 4.0, None, None, 6.0, None, 5.0]
     assert [bar[i] for i in range(8)] == want
+
+
+def test_legend_value_golden(spark):
+    # TestLegendValue: avg skips the NaN → "foo (avg: 2.500)";
+    # last = last non-NaN → "foo (last: 4.000)"
+    g = _grid_df(spark, {"foo": [1.0, 2.0, 3.0, 4.0, None]})
+    got = gf.legend_value(g, "avg").first()["name"]
+    assert got == "foo (avg: 2.500)"
+    got = gf.legend_value(g, "last").first()["name"]
+    assert got == "foo (last: 4.000)"
+    with pytest.raises(KeyError):
+        gf.legend_value(g, "unknown")
