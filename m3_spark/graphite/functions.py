@@ -40,6 +40,8 @@ _COMBINE = {
         "max_by(value, CASE WHEN value IS NOT NULL THEN series_id END)"
     ),
     "range": lambda c: F.max(c) - F.min(c),
+    # avg_zero: missing values count as zero in the mean
+    "avg_zero": lambda c: F.sum(F.coalesce(c, F.lit(0.0))) / F.count("*"),
     # native product aggregate: exact for zeros/negatives (a log-sum
     # trick would NaN on them and lose the sign)
     "multiply": F.product,
@@ -143,6 +145,24 @@ def as_percent_of_total(grid: DataFrame) -> DataFrame:
     w = Window.partitionBy("step_ts")
     return grid.withColumn(
         "value", F.col("value") / F.sum("value").over(w) * F.lit(100.0)
+    )
+
+
+def as_percent(grid: DataFrame, total=None) -> DataFrame:
+    """asPercent(v[, total]): 2-arg form accepts a constant or a
+    series list whose per-step sum is the denominator
+    (aggregation_functions.go asPercent)."""
+    if total is None:
+        return as_percent_of_total(grid)
+    if isinstance(total, DataFrame):
+        t = total.groupBy("step_ts").agg(F.sum("value").alias("_tot"))
+        return (
+            grid.join(t, "step_ts", "left")
+            .withColumn("value", F.col("value") / F.col("_tot") * F.lit(100.0))
+            .drop("_tot")
+        )
+    return grid.withColumn(
+        "value", F.col("value") / F.lit(float(total)) * F.lit(100.0)
     )
 
 
@@ -1019,7 +1039,7 @@ REGISTRY: dict[str, Callable] = {
     "groupByNode": lambda g, n, f="sum": group_by_nodes(g, f, n),
     "groupByNodes": group_by_nodes,
     "aliasByNode": alias_by_node,
-    "asPercent": as_percent_of_total,
+    "asPercent": as_percent,
     "divideSeries": divide_series,
     "movingAverage": moving_average,
     "movingSum": moving_sum,
@@ -1048,7 +1068,14 @@ REGISTRY: dict[str, Callable] = {
     "limit": limit_series,
     "exclude": exclude,
     "grep": grep,
-    "aggregate": lambda g, f: _combined(g, f, f"aggregate-{f}"),
+    # aggregate() accepts the reference's alias names
+    # (aggregation_functions.go:298: total/current/rangeOf/avg_zero)
+    "aggregate": lambda g, f: _combined(
+        g,
+        {"total": "sum", "current": "last", "rangeOf": "range",
+         "average": "avg"}.get(f, f),
+        f"aggregate-{f}",
+    ),
     "diffSeries": lambda g: _combined(g, "diff", "diffSeries"),
     "multiplySeries": lambda g: _combined(g, "multiply", "multiplySeries"),
     "stddevSeries": lambda g: _combined(g, "stddev", "stddevSeries"),

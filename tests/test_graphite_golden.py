@@ -253,3 +253,25 @@ def test_legend_value_golden(spark):
     assert got == "foo (last: 4.000)"
     with pytest.raises(KeyError):
         gf.legend_value(g, "unknown")
+
+
+def test_as_percent_two_arg(spark):
+    g = _grid_df(spark, {"a": [25.0], "b": [75.0]})
+    tot = _grid_df(spark, {"t1": [100.0], "t2": [100.0]})
+    got = {r["series_id"]: r["value"] for r in gf.as_percent(g, tot).collect()}
+    assert got == {"a": 12.5, "b": 37.5}  # denominator = 200
+    got = {r["series_id"]: r["value"] for r in gf.as_percent(g, 50.0).collect()}
+    assert got == {"a": 50.0, "b": 150.0}
+    got = {r["series_id"]: r["value"] for r in gf.as_percent(g).collect()}
+    assert got == {"a": 25.0, "b": 75.0}
+
+
+def test_aggregate_alias_names(spark):
+    g = _grid_df(spark, {"a": [2.0, None], "b": [4.0, 6.0]})
+    total = gf.REGISTRY["aggregate"](g, "total").collect()
+    assert {r["value"] for r in total} == {6.0, 6.0}
+    rng = gf.REGISTRY["aggregate"](g, "rangeOf").collect()
+    assert [r["value"] for r in rng if r["value"] is not None][0] == 2.0
+    az = gf._combined(g, "avg_zero", "x").orderBy("step_ts").collect()
+    assert az[0]["value"] == 3.0  # (2+4)/2
+    assert az[1]["value"] == 3.0  # (0+6)/2
