@@ -337,7 +337,27 @@ def _eval_call(e: Call, ctx: Context):
     if f == "absent":
         grid = _vector(ctx, e.args[0])
         steps = step_grid(ctx.samples.sparkSession, ctx.start, ctx.end, ctx.step_s)
-        return absent(grid, steps)
+        out = absent(grid, steps)
+        # upstream semantics (and the reference's common-tag pull,
+        # aggregation/absent.go:110): equality-matcher labels appear
+        # on the result series
+        arg = e.args[0]
+        if isinstance(arg, Selector):
+            eqs = {
+                key: val
+                for kind, key, val in arg.matchers
+                if kind == "=" and key != "__name__" and val
+            }
+            if eqs:
+                tags_map = F.create_map(
+                    *[
+                        x
+                        for k, v in sorted(eqs.items())
+                        for x in (F.lit(k), F.lit(v))
+                    ]
+                )
+                out = out.withColumn("tags", tags_map)
+        return out
     if f == "vector":
         val = _eval(e.args[0], ctx)
         if isinstance(val, DataFrame):  # vector(scalar(v)) / vector(time())

@@ -183,3 +183,13 @@ def test_ngram_jaccard_df_cap(spark):
     assert n_capped < n_exact  # hot-shingle pairs dropped
     # the rare-shingle pair survives the cap
     assert capped.where("id_a = 0 AND id_b = 1").count() == 1
+
+
+# -- absent() carries equality-matcher labels --------------------------------
+
+def test_absent_eq_matcher_labels(spark):
+    s = make_samples(spark, [("m", {"job": "api"}, T0, 1.0)])
+    out = query_instant(s, 'absent(nope{job="api", inst=~"a.*"})', T0 + 60).collect()
+    assert len(out) == 1
+    assert out[0]["value"] == 1.0
+    assert dict(out[0]["tags"]) == {"job": "api"}  # only the EQ matcher
