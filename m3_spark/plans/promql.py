@@ -361,6 +361,18 @@ def _fold(e):
             }
             if e.op in ops:
                 return NumberLit(ops[e.op])
+            cmps = {
+                "==": a == b, "!=": a != b, ">": a > b,
+                "<": a < b, ">=": a >= b, "<=": a <= b,
+            }
+            if e.op in cmps:
+                # upstream: scalar comparisons REQUIRE the bool
+                # modifier and yield scalar 0/1
+                if not e.bool_mode:
+                    raise ValueError(
+                        "comparisons between scalars must use BOOL modifier"
+                    )
+                return NumberLit(1.0 if cmps[e.op] else 0.0)
         return Binary(
             e.op, lhs, rhs, e.bool_mode, e.on, e.ignoring, e.group,
             e.group_include,

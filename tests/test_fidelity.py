@@ -193,3 +193,15 @@ def test_absent_eq_matcher_labels(spark):
     assert len(out) == 1
     assert out[0]["value"] == 1.0
     assert dict(out[0]["tags"]) == {"job": "api"}  # only the EQ matcher
+
+
+def test_scalar_scalar_comparison_folds(spark):
+    import pytest as _pt
+
+    s = make_samples(spark, [("m", {}, T0, 5.0)])
+    out = query_instant(s, "m * (3 > bool 2)", T0 + 60).collect()
+    assert out[0]["value"] == 5.0
+    out = query_instant(s, "m * (3 < bool 2)", T0 + 60).collect()
+    assert out[0]["value"] == 0.0
+    with _pt.raises(ValueError, match="BOOL modifier"):
+        query_instant(s, "m * (3 > 2)", T0 + 60)
