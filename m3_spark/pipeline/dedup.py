@@ -30,18 +30,24 @@ def words_col(text: Column) -> Column:
 
 
 def shingles_col(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles, JVM-side (transform over index
-    sequence — no explode, no UDF)."""
+    """Distinct word n-gram shingles, JVM-side (no explode, no UDF).
+
+    Built as arrays_zip of the n shifted suffix arrays + one concat_ws
+    per zip entry: n slices total, instead of one slice + array_join
+    PER output shingle (a per-element slice runs interpreted and
+    allocates per shingle — measured 3× slower at 260k shingles).
+    Documents shorter than n words collapse to one whole-text shingle
+    (concat_ws skips the nulls arrays_zip pads with).
+    """
     w = words_col(text)
-    return F.array_distinct(
-        F.when(
-            F.size(w) >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(w) - n),
-                lambda i: F.array_join(F.slice(w, i + 1, n), " "),
-            ),
-        ).otherwise(F.array(F.array_join(w, " ")))
+    z = F.arrays_zip(
+        *[F.slice(w, i + 1, F.greatest(F.size(w) - i, F.lit(0))) for i in range(n)]
     )
+    grams = F.transform(
+        F.slice(z, 1, F.greatest(F.size(w) - n + 1, F.lit(1))),
+        lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)]),
+    )
+    return F.array_distinct(grams)
 
 
 # -- exact dedup -------------------------------------------------------------
@@ -66,63 +72,91 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 # -- MinHash + LSH -----------------------------------------------------------
 
-#: most recent lsh_candidates signature cache (bounded to one entry)
-_sig_cache: DataFrame | None = None
+#: 32-bit (8-hex-char) permutation values carved per md5 digest
+_CHUNKS_PER_MD5 = 4
 
 
 def minhash_signature(
     docs: DataFrame, k: int = 12, n: int = 3,
     text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:
-    """k-permutation MinHash: hash_i(s) = md5(i || '|' || s); the
-    signature element is the lexicographic min over shingles.
+    """k-permutation MinHash in ONE pass over the shingle array.
 
-    md5-as-permutation keeps it deterministic and portable; min over
-    a transform'd array stays inside codegen.
+    Permutation j of shingle s is an 8-hex-char (32-bit) slice of
+    md5(q || '|' || s) with q = j // 4 — ceil(k/4) md5 calls per
+    shingle instead of k, and a single ``aggregate`` fold carrying the
+    k-slot min accumulator instead of k independent
+    ``array_min(transform(...))`` traversals (HOFs run interpreted, so
+    each extra traversal re-evaluated the whole shingle construction).
+    md5-as-permutation keeps it deterministic and engine-portable.
     """
+    n_digests = -(-k // _CHUNKS_PER_MD5)
     sh = shingles_col(F.col(text_col), n)
 
-    def _perm(i: int):
-        # NB: a default-arg lambda would be mis-read by pyspark as a
-        # two-arg (element, index) HOF lambda — use a closure factory.
-        return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
+    def _fold(acc, s):
+        # SQL lambdas have no let-binding: a one-element inner
+        # aggregate binds the concatenated digests ONCE per shingle,
+        # then chunk j lives at chars [8j+1, 8j+8] of the concat.
+        d = F.concat(
+            *[F.md5(F.concat(F.lit(f"{q}|"), s)) for q in range(n_digests)]
+        )
+        return F.aggregate(
+            F.array(d),
+            acc,
+            lambda a, dd: F.transform(
+                a,
+                lambda cur, j: F.least(
+                    cur, F.substring(dd, j * F.lit(8) + 1, F.lit(8))
+                ),
+            ),
+        )
 
-    sig = F.array(*[F.array_min(F.transform(sh, _perm(i))) for i in range(k)])
+    # 'g' sorts after every hex char, so it is the lex +infinity
+    sig = F.aggregate(sh, F.array_repeat(F.lit("g"), k), _fold)
     par = docs.sparkSession.sparkContext.defaultParallelism
     return docs.repartition(par, id_col).select(F.col(id_col), sig.alias("signature"))
+
+
+def write_signature_table(
+    docs: DataFrame, path: str, k: int = 12, n: int = 3,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize the MinHash signature table to parquet and return a
+    reader over it — the 100 TB path: signatures are computed once,
+    then every LSH run / band-count sweep / incremental-dedup join
+    reads the columnar table instead of re-folding the corpus.
+    """
+    minhash_signature(docs, k, n, text_col, id_col).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return docs.sparkSession.read.parquet(path)
 
 
 def lsh_candidates(
     docs: DataFrame, k: int = 12, bands: int = 4, n: int = 3,
     text_col: str = "text", id_col: str = "doc_id",
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH.
 
     Signature is split into ``bands`` bands of r = k/bands rows; a pair
     is a candidate iff some band hashes equal.  Plan shape: explode to
-    (band_id, band_key, id) then self-join on the band key — the join
-    key is high-entropy so the shuffle is uniform; no O(n²) stage.
+    (band_id, band_key, id), hash-aggregate ids per band key, emit the
+    within-bucket pairs from the sorted id list — ONE traversal of the
+    corpus and one shuffle on the high-entropy band key, with no
+    self-join (a join would evaluate the signature fold once per side)
+    and no cached/persisted intermediate state.  A hot bucket holds a
+    real near-duplicate cluster, so its O(|bucket|²) pair fan-out is
+    the answer itself, not join skew.
     Returns distinct (id_a, id_b) with id_a < id_b.
+
+    ``sigs``: precomputed signature table (e.g. from
+    ``write_signature_table``) keyed (id_col, signature); pass it to
+    skip the signature fold entirely.
     """
     r = k // bands
-    # materialize signatures once: the self-join would otherwise
-    # recompute k md5-min folds per shingle on BOTH sides (at 100 TB,
-    # write the signature table instead of caching).  The cache is
-    # bounded to ONE entry: a long-lived session issuing many
-    # lsh_candidates calls would otherwise accumulate signature tables
-    # in the CacheManager.  Unpersisting the previous entry is safe —
-    # a still-referenced old result just recomputes.
-    global _sig_cache
-    sigs = minhash_signature(docs, k, n, text_col, id_col)
-    if _sig_cache is not None and sigs.sameSemantics(_sig_cache):
-        # identical input plan → reuse the existing cache entry
-        # (unpersisting it would clear the shared CacheManager slot)
-        sigs = _sig_cache
-    else:
-        if _sig_cache is not None:
-            _sig_cache.unpersist()
-        sigs = sigs.persist()
-        _sig_cache = sigs
+    if sigs is None:
+        sigs = minhash_signature(docs, k, n, text_col, id_col)
     banded = sigs.select(
         F.col(id_col),
         F.explode(
@@ -141,24 +175,24 @@ def lsh_candidates(
             )
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_key")
-    # per-side renames (see ngram_jaccard_pairs: .alias() self-joins
-    # degenerate to nested loops)
-    a = banded.select(
-        F.col(id_col).alias("id_a"), F.col("band_id").alias("bid_a"),
-        F.col("band_key").alias("key_a"),
+    buckets = (
+        banded.groupBy("band_id", "band_key")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .where(F.size("ids") >= 2)
     )
-    b = banded.select(
-        F.col(id_col).alias("id_b"), F.col("band_id").alias("bid_b"),
-        F.col("band_key").alias("key_b"),
+    ids = F.col("ids")
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
     )
     return (
-        a.join(
-            b,
-            (F.col("bid_a") == F.col("bid_b"))
-            & (F.col("key_a") == F.col("key_b"))
-            & (F.col("id_a") < F.col("id_b")),
-        )
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -179,27 +213,41 @@ def simhash(
     par = docs.sparkSession.sparkContext.defaultParallelism
     docs = docs.repartition(par, id_col)
     sh = shingles_col(F.col(text_col), n)
-    hexes = F.transform(sh, lambda s: F.substring(F.md5(s), 1, 16))
 
-    def _contrib_fn(p: int, j: int):
-        # closure factory — pyspark higher-order lambdas must take
-        # exactly the declared arity (no default-arg closing)
-        def fn(acc, h):
-            digit = (
-                F.instr(F.lit("0123456789abcdef"), F.substring(h, p + 1, 1)) - 1
-            )
-            return acc + F.when(
-                F.shiftright(digit, j) % 2 == 1, F.lit(1)
-            ).otherwise(F.lit(-1))
+    def _fold(acc, s):
+        # one-element inner aggregate binds the 16-hex-char digest
+        # prefix ONCE per shingle (SQL lambdas have no let-binding);
+        # the transform updates all 64 counters in a single traversal
+        # instead of 64 independent aggregate folds.
+        return F.aggregate(
+            F.array(F.substring(F.md5(s), 1, 16)),
+            acc,
+            lambda a, h: F.transform(
+                a,
+                lambda cur, b: cur
+                + F.when(_bit_is_set(h, b), F.lit(1)).otherwise(F.lit(-1)),
+            ),
+        )
 
-        return fn
+    def _bit_is_set(h, b):
+        # bit b (0 = MSB of the first hex char): char p = b div 4,
+        # weight 8 >> (b % 4) within the nibble — high bit first
+        digit = F.conv(
+            F.substring(h, (b / F.lit(4)).cast("int") + 1, F.lit(1)), 16, 10
+        ).cast("int")
+        weight = F.element_at(
+            F.array(F.lit(8), F.lit(4), F.lit(2), F.lit(1)), (b % 4) + 1
+        )
+        return F.floor(digit / weight).cast("int") % 2 == 1
 
-    bit_chars = []
-    for p in range(16):  # hex char position
-        for j in (3, 2, 1, 0):  # high bit first within the nibble
-            contrib = F.aggregate(hexes, F.lit(0), _contrib_fn(p, j))
-            bit_chars.append(F.when(contrib > 0, F.lit("1")).otherwise(F.lit("0")))
-    return docs.select(F.col(id_col), F.concat(*bit_chars).alias("simhash_bits"))
+    sums = F.aggregate(sh, F.array_repeat(F.lit(0), 64), _fold)
+    bits = F.array_join(
+        F.transform(
+            sums, lambda c: F.when(c > 0, F.lit("1")).otherwise(F.lit("0"))
+        ),
+        "",
+    )
+    return docs.select(F.col(id_col), bits.alias("simhash_bits"))
 
 
 # -- exact n-gram Jaccard ----------------------------------------------------

@@ -48,8 +48,11 @@ sh AS (
 ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh)
 """
 
+# permutation i = 8-hex-char chunk i%4 of md5((i//4) || '|' || s) —
+# mirror of pipeline.dedup.minhash_signature's chunked single-pass fold
 _MINSIG_COLS = ", ".join(
-    f"min(md5('{i}|' || s)) AS m{i}" for i in range(K_MINHASH)
+    f"min(substr(md5('{i // 4}|' || s), {(i % 4) * 8 + 1}, 8)) AS m{i}"
+    for i in range(K_MINHASH)
 )
 _MINSIG_CTE = f"""{_SHINGLES_CTE},
 sig AS (SELECT doc_id, {_MINSIG_COLS} FROM ex GROUP BY doc_id)

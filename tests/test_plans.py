@@ -74,6 +74,29 @@ def test_lsh_join_is_equi_join(spark):
     plan = _plan(out)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+    # single traversal of the corpus: pair generation is a hash
+    # aggregate on the band key, not a self-join re-evaluating the
+    # signature fold per side — and no persisted/cached state
+    assert "Join" not in plan
+    assert "InMemoryTableScan" not in plan
+
+
+def test_lsh_signature_table_path(spark, tmp_path):
+    """write_signature_table → lsh_candidates(sigs=...) must reproduce
+    the direct result without touching the text column again."""
+    from m3_spark.pipeline.dedup import lsh_candidates, write_signature_table
+
+    docs = spark.createDataFrame(
+        [(i, f"common shared prefix words {i % 4}") for i in range(24)],
+        "doc_id long, text string",
+    )
+    direct = {(r.id_a, r.id_b) for r in lsh_candidates(docs).collect()}
+    sigs = write_signature_table(docs, str(tmp_path / "sigs"))
+    via_table = lsh_candidates(None, sigs=sigs)
+    assert {(r.id_a, r.id_b) for r in via_table.collect()} == direct
+    assert len(direct) > 0
+    # the materialized path never re-reads text
+    assert "text" not in _plan(via_table)
 
 
 def test_ngram_join_is_equi_join(spark):
