@@ -45,21 +45,53 @@ _COMBINE = {
     # native product aggregate: exact for zeros/negatives (a log-sum
     # trick would NaN on them and lose the sign)
     "multiply": F.product,
-    # diff: first series minus the sum of the rest = 2*first - sum
-    "diff": lambda c: F.expr(
-        "2 * min_by(value, CASE WHEN value IS NOT NULL THEN series_id END)"
-    ) - F.sum(c),
-    # pow: left-to-right fold of v1 ^ v2 ^ … in series order
+    # pow: left-to-right fold of v1 ^ v2 ^ … in series order, skipping
+    # null steps like the reference's NaN-skipping consolidation
+    # (ts/series.go AddDatapoint) — power(acc, null) would null the
+    # accumulator and silently restart the fold at the next series
     "pow": lambda c: F.expr(
-        "aggregate(array_sort(collect_list(struct(series_id, value))), "
+        "aggregate(filter(array_sort(collect_list(struct(series_id, value))), "
+        "x -> x.value IS NOT NULL), "
         "cast(null as double), (acc, x) -> CASE WHEN acc IS NULL "
         "THEN x.value ELSE power(acc, x.value) END)"
     ),
 }
 
+# diff: first-series-in-list minus the sum of the rest.  The minuend is
+# the first series of the WHOLE group (min series_id overall, standing
+# in for fetch order), not the first non-null series at each step —
+# when the first series is stale at a step the reference's NaN-skipping
+# consolidation yields -(sum of the others).  Needs the group-wide
+# first series_id joined in, so it is handled outside _COMBINE.
+
+
+def _with_first_sid(grid: DataFrame, key: Column | None) -> DataFrame:
+    """Broadcast-join the group-wide min series_id (fetch-order first
+    series).  A tiny per-group aggregate + broadcast join, not a
+    window — no single-partition shuffle at scale."""
+    if key is None:
+        firsts = grid.agg(F.min("series_id").alias("_first_sid"))
+        return grid.crossJoin(F.broadcast(firsts))
+    with_key = grid.withColumn("_key", key)
+    firsts = with_key.groupBy("_key").agg(F.min("series_id").alias("_first_sid"))
+    return with_key.join(F.broadcast(firsts), "_key")
+
+
+def _diff_agg() -> Column:
+    """Per-step diff once _first_sid is attached: sum skips nulls, so
+    a stale minuend contributes 0 and stale subtrahends drop out."""
+    return F.sum(
+        F.when(
+            F.col("series_id") == F.col("_first_sid"), F.col("value")
+        ).otherwise(-F.col("value"))
+    )
+
 
 def _combined(grid: DataFrame, func: str, name: str) -> DataFrame:
-    agg = _COMBINE[func](F.col("value"))
+    if func == "diff":
+        grid, agg = _with_first_sid(grid, None), _diff_agg()
+    else:
+        agg = _COMBINE[func](F.col("value"))
     return (
         grid.groupBy("step_ts")
         .agg(agg.alias("value"), F.count("value").alias("_n"))
@@ -112,9 +144,12 @@ def group_by_nodes(grid: DataFrame, func: str, *nodes: int) -> DataFrame:
     key = F.concat_ws(
         ".", *[F.coalesce(F.col("tags").getItem(gtag(n)), F.lit("")) for n in nodes]
     )
-    agg = _COMBINE[func](F.col("value"))
+    if func == "diff":
+        grid, agg = _with_first_sid(grid, key), _diff_agg()
+    else:
+        grid, agg = grid.withColumn("_key", key), _COMBINE[func](F.col("value"))
     return (
-        grid.withColumn("_key", key)
+        grid
         .groupBy("step_ts", "_key")
         .agg(agg.alias("value"), F.count("value").alias("_n"))
         .where(F.col("_n") > 0)
@@ -620,9 +655,12 @@ def group_by_dropping_nodes(grid: DataFrame, func: str, *drop: int) -> DataFrame
         lambda e: e["value"],
     )
     key = F.array_join(kv, ".")
-    agg = _COMBINE[func](F.col("value"))
+    if func == "diff":
+        grid, agg = _with_first_sid(grid, key), _diff_agg()
+    else:
+        grid, agg = grid.withColumn("_key", key), _COMBINE[func](F.col("value"))
     return (
-        grid.withColumn("_key", key)
+        grid
         .groupBy("step_ts", "_key")
         .agg(agg.alias("value"), F.count("value").alias("_n"))
         .where(F.col("_n") > 0)

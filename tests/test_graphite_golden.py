@@ -275,3 +275,43 @@ def test_aggregate_alias_names(spark):
     az = gf._combined(g, "avg_zero", "x").orderBy("step_ts").collect()
     assert az[0]["value"] == 3.0  # (2+4)/2
     assert az[1]["value"] == 3.0  # (0+6)/2
+
+
+def test_diff_series_stale_minuend(spark):
+    # ADVICE r03: diffSeries minuend is the FIRST series of the list
+    # (min series_id), contributing 0 when stale at a step — not the
+    # first non-null series at that step (ts/series.go AddDatapoint
+    # skips NaN during consolidation).
+    g = _grid_df(spark, {"a": [10.0, None, 7.0], "b": [3.0, 4.0, None],
+                         "c": [1.0, 2.0, 5.0]})
+    got = _vals_by_step(gf.REGISTRY["diffSeries"](g).collect())
+    assert got == {0: 6.0, 1: -6.0, 2: 2.0}
+
+
+def test_diff_series_group_by_node(spark):
+    # group-wide first sid, per group: key x → x.a - x.b, key y → y.a
+    from m3_spark.graphite.paths import gtag
+
+    g = _grid_df(spark, {"x.a": [None, 8.0], "x.b": [3.0, 2.0],
+                         "y.a": [5.0, None]})
+    g = g.withColumn(
+        "tags",
+        F.map_from_arrays(
+            F.array(F.lit(gtag(0)), F.lit(gtag(1))),
+            F.split(F.col("name"), r"\."),
+        ),
+    )
+    rows = gf.group_by_nodes(g, "diff", 0).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["name"], {}).update(_vals_by_step([r]))
+    assert by_key["x"] == {0: -3.0, 1: 6.0}
+    assert by_key["y"] == {0: 5.0}
+
+
+def test_pow_series_null_skip(spark):
+    # ADVICE r03: powSeries fold must skip null steps; [2, null, 3]
+    # folds to 8, not 3 (a nulled accumulator restarted the fold).
+    g = _grid_df(spark, {"a": [2.0, None], "b": [None, 4.0], "c": [3.0, 2.0]})
+    got = _vals_by_step(gf.REGISTRY["powSeries"](g).collect())
+    assert got == {0: 8.0, 1: 16.0}
