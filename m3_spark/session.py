@@ -27,6 +27,13 @@ def get_spark(app_name: str = "m3_spark", cpus: int | None = None) -> SparkSessi
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Testdata parquet stores untagged timestamp[us]; without this the
+        # scan infers TIMESTAMP_NTZ, which unix_micros()/timestamp-literal
+        # predicates reject and which can't be compared against the
+        # session-UTC grid.  Set at build time so the very first read is
+        # already normalized (read_table also sets it, belt-and-braces).
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()

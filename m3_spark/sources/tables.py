@@ -1,30 +1,60 @@
 """Readers for the driver testdata tables.
 
-The ``events`` table stores TIMESTAMP(NANOS) parquet, which Spark 4.x
-refuses by default (PARQUET_TYPE_ILLEGAL).  We flip the session conf
-``spark.sql.legacy.parquet.nanosAsLong`` and rebuild a microsecond
-TimestampType column from the int64 nanos — the engine's time math is
-µs-resolution (SURVEY §1.2: TimestampType is sufficient for 1s-1h
-resolutions).
+Timestamp normalization: testdata generations have stored the ``events``
+``ts`` column as either int64 TIMESTAMP(NANOS) (Spark 4.x refuses this by
+default — PARQUET_TYPE_ILLEGAL) or plain untagged ``timestamp[us]``
+(Spark 4.x infers TIMESTAMP_NTZ, which `unix_micros` and timestamp-literal
+comparisons reject).  Every engine kernel assumes a session-UTC
+``TimestampType`` ``ts`` (SURVEY §1.2: µs TimestampType is sufficient for
+1s-1h resolutions), so `read_table` pins the confs that make the parquet
+scan produce exactly that:
+
+* ``spark.sql.legacy.parquet.nanosAsLong=true`` → nanos arrive as int64
+  and we rebuild a µs TimestampType (keeping raw ``_ts_ns`` for pushdown).
+* ``spark.sql.parquet.inferTimestampNTZ.enabled=false`` → untagged µs
+  parquet loads directly as session-UTC TIMESTAMP.  This keeps plain
+  ``ts`` range predicates pushdown-eligible (a post-read ``cast`` would
+  wrap the column in an expression and kill row-group pruning — the
+  difference between scanning a day and scanning 100 TB).
+
+A ``TimestampNTZType → cast`` fallback covers an immutable-conf session;
+it loses scan-level pruning but preserves semantics (session tz is UTC,
+so the cast is a relabel, not a shift).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _pin_session_confs(spark: SparkSession) -> None:
     # Timestamp literals and unix_timestamp() are session-tz-sensitive;
     # the oracle (DuckDB) is effectively UTC — pin the session so results
     # are identical regardless of the host/driver timezone.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass  # immutable in this session; read may still work if preset
+    for key, val in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+    ):
+        try:
+            spark.conf.set(key, val)
+        except Exception:
+            pass  # immutable in this session; read may still work if preset
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _pin_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    ts_cols = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)
+    ]
+    for c in ts_cols:
+        # Fallback only (inferTimestampNTZ conf was immutable): relabel
+        # NTZ as session-UTC TIMESTAMP.  Same instant values; loses
+        # scan pushdown on this column, hence the conf is the main path.
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         # integer `div` — float division would lose precision on int64
         # nanos.  Keep the raw nanos as `_ts_ns`: predicates on the
