@@ -20,6 +20,7 @@ from collections.abc import Callable, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..model import empty_tags_col
 from .paths import gtag
 
 # ---------------------------------------------------------------------------
@@ -99,7 +100,7 @@ def _combined(grid: DataFrame, func: str, name: str) -> DataFrame:
         .select(
             "step_ts",
             F.lit(name).alias("name"),
-            F.map_from_arrays(F.array(), F.array()).alias("tags"),
+            empty_tags_col().alias("tags"),
             F.lit(name).alias("series_id"),
             "value",
         )
@@ -156,7 +157,7 @@ def group_by_nodes(grid: DataFrame, func: str, *nodes: int) -> DataFrame:
         .select(
             "step_ts",
             F.col("_key").alias("name"),
-            F.map_from_arrays(F.array(), F.array()).alias("tags"),
+            empty_tags_col().alias("tags"),
             F.col("_key").alias("series_id"),
             "value",
         )
@@ -634,7 +635,7 @@ def constant_line(grid: DataFrame, v: float) -> DataFrame:
         .select(
             "step_ts",
             F.lit("constantLine").alias("name"),
-            F.map_from_arrays(F.array(), F.array()).alias("tags"),
+            empty_tags_col().alias("tags"),
             F.lit("constantLine").alias("series_id"),
             F.lit(float(v)).alias("value"),
         )
@@ -667,7 +668,7 @@ def group_by_dropping_nodes(grid: DataFrame, func: str, *drop: int) -> DataFrame
         .select(
             "step_ts",
             F.col("_key").alias("name"),
-            F.map_from_arrays(F.array(), F.array()).alias("tags"),
+            empty_tags_col().alias("tags"),
             F.col("_key").alias("series_id"),
             "value",
         )
@@ -688,7 +689,7 @@ def weighted_average(grid: DataFrame, weights: DataFrame) -> DataFrame:
         .select(
             "step_ts",
             F.lit("weightedAverage").alias("name"),
-            F.map_from_arrays(F.array(), F.array()).alias("tags"),
+            empty_tags_col().alias("tags"),
             F.lit("weightedAverage").alias("series_id"),
             "value",
         )
@@ -743,7 +744,7 @@ def percentile_of_series(
         .select(
             "step_ts",
             F.lit(name).alias("name"),
-            F.map_from_arrays(F.array(), F.array()).alias("tags"),
+            empty_tags_col().alias("tags"),
             F.lit(name).alias("series_id"),
             "value",
         )
@@ -812,7 +813,7 @@ def aggregate_line(grid: DataFrame, func: str = "avg") -> DataFrame:
     return grid.select("step_ts").distinct().crossJoin(F.broadcast(val)).select(
         "step_ts",
         F.lit("aggregateLine").alias("name"),
-        F.map_from_arrays(F.array(), F.array()).alias("tags"),
+        empty_tags_col().alias("tags"),
         F.lit("aggregateLine").alias("series_id"),
         F.col("_v").alias("value"),
     )
@@ -1036,7 +1037,7 @@ def random_walk(steps: DataFrame, name: str = "randomWalk") -> DataFrame:
     return steps.select(
         "step_ts",
         F.lit(name).alias("name"),
-        F.map_from_arrays(F.array(), F.array()).alias("tags"),
+        empty_tags_col().alias("tags"),
         F.lit(name).alias("series_id"),
         (lcg.cast("double") / F.lit(2_147_483_648.0) - F.lit(0.5)).alias(
             "value"
@@ -1051,7 +1052,7 @@ def threshold_line(steps: DataFrame, value: float, label: str = "") -> DataFrame
     return steps.select(
         "step_ts",
         F.lit(name).alias("name"),
-        F.map_from_arrays(F.array(), F.array()).alias("tags"),
+        empty_tags_col().alias("tags"),
         F.lit(name).alias("series_id"),
         F.lit(float(value)).alias("value"),
     )

@@ -35,6 +35,16 @@ from pyspark.sql.types import (
 #: Reserved tag holding the metric name (Prometheus convention).
 NAME_TAG = "__name__"
 
+
+def empty_tags_col():
+    """Typed empty tag map.  ``empty_tags_col()``
+    yields ``map<void,void>``, which breaks any downstream
+    ``map_filter``/``array_contains`` (NULL-typed lambda args) — always
+    use this instead."""
+    from pyspark.sql import functions as F
+
+    return F.expr("cast(map() as map<string,string>)")
+
 SAMPLES_SCHEMA = StructType(
     [
         StructField("name", StringType()),

@@ -25,7 +25,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..model import NAME_TAG
+from ..model import empty_tags_col, NAME_TAG
 
 
 def retained_tags_col(
@@ -41,7 +41,10 @@ def retained_tags_col(
     if by:
         arr = F.array(*[F.lit(k) for k in by])
         return F.map_filter(tags, lambda k, _v: F.array_contains(arr, k))
-    if without:
+    if without is not None:
+        # NB: `without ()` (empty list, upstream-legal) keeps every
+        # label except __name__ — one group per series — so the empty
+        # list must NOT fall through to the keep-nothing default.
         arr = F.array(*[F.lit(k) for k in list(without) + [NAME_TAG]])
         return F.map_filter(tags, lambda k, _v: ~F.array_contains(arr, k))
     return F.map_filter(tags, lambda _k, _v: F.lit(False))
@@ -83,14 +86,26 @@ def aggregate(
 
     func ∈ sum|min|max|avg|count|stddev|stdvar|quantile (param=φ).
     """
-    if func in _SIMPLE:
+    if func in ("max", "min"):
+        # NaN LOSES against any value (function.go:57-74 / upstream
+        # heaps): max skips NaN inputs; Spark's max would instead treat
+        # NaN as the largest double.  An all-NaN group yields NaN.
+        clean = F.when(~F.isnan(F.col("value")), F.col("value"))
+        agg = F.max(clean) if func == "max" else F.min(clean)
+        val = F.coalesce(agg, F.first(F.col("value"), ignorenulls=True))
+    elif func in _SIMPLE:
         val = _SIMPLE[func](F.col("value"))
     elif func == "count":
         val = F.count(F.col("value")).cast("double")
     elif func == "quantile":
         if param is None:
             raise ValueError("quantile requires param=phi")
-        val = F.percentile(F.col("value"), F.lit(float(param)))
+        p = float(param)
+        if p < 0 or p > 1:
+            # upstream emits ±Inf with a warning for out-of-range φ
+            val = F.lit(float("-inf") if p < 0 else float("inf"))
+        else:
+            val = F.percentile(F.col("value"), F.lit(p))
     else:
         raise ValueError(f"unknown aggregation {func!r}")
 
@@ -162,13 +177,17 @@ def topk(
     semantics).
     """
     g = grid.withColumn("sig", group_sig_col(retained_tags_col(by, without)))
+    # NaN ranks LAST in both directions (take.go heaps sort NaN away
+    # from the top/bottom): include a NaN series only when k exceeds
+    # the non-NaN count.
+    nan_last = F.isnan(F.col("value")).asc()
     order = F.col("value").asc() if bottom else F.col("value").desc()
     salt = F.pmod(F.xxhash64(F.col("series_id")), F.lit(TOPK_SALT_BUCKETS))
     w1 = Window.partitionBy("step_ts", "sig", "_salt").orderBy(
-        order, F.col("series_id").asc()
+        nan_last, order, F.col("series_id").asc()
     )
     w2 = Window.partitionBy("step_ts", "sig").orderBy(
-        order, F.col("series_id").asc()
+        nan_last, order, F.col("series_id").asc()
     )
     return (
         g.where(F.col("value").isNotNull())
@@ -178,6 +197,10 @@ def topk(
         .withColumn("_rk", F.row_number().over(w2))
         .where(F.col("_rk") <= k)
         .select("step_ts", "name", "tags", "series_id", "value")
+        # rank order IS the API contract for topk/bottomk results
+        # (upstream returns them ordered); the input to this sort is
+        # already reduced to ≤ k rows per (step, group)
+        .orderBy("step_ts", nan_last, order, F.col("series_id").asc())
     )
 
 
@@ -223,7 +246,7 @@ def absent(grid: DataFrame, steps: DataFrame) -> DataFrame:
         steps.join(present, "step_ts", "left_anti")
         .select(
             "step_ts",
-            F.map_from_arrays(F.array(), F.array()).alias("tags"),
+            empty_tags_col().alias("tags"),
             F.lit(1.0).alias("value"),
         )
     )

@@ -27,15 +27,34 @@ from pyspark.sql import functions as F
 from ..model import NAME_TAG
 from .aggregation import group_sig_col
 
+def _ieee_div(l: Column, r: Column) -> Column:
+    """Go float64 division: x/0 → ±Inf, 0/0 and NaN/0 → NaN.  Spark's
+    ``/`` raises DIVIDE_BY_ZERO under ANSI (or yields NULL otherwise),
+    so the zero-divisor branch is made explicit — the guard also keeps
+    ANSI mode from ever seeing a zero divisor."""
+    inf = F.lit(float("inf"))
+    return F.when(
+        r != 0, l / r
+    ).otherwise(
+        F.when(F.isnan(l) | (l == 0), F.lit(float("nan"))).when(
+            l > 0, inf
+        ).otherwise(-inf)
+    )
+
+
+def _ieee_mod(l: Column, r: Column) -> Column:
+    # PromQL % is Go math.Mod: truncated (toward-zero) remainder —
+    # Spark's % matches, but x % 0 must be NaN (ANSI raises).
+    return F.when(r != 0, l % r).otherwise(F.lit(float("nan")))
+
+
 ARITH = {
     "+": lambda l, r: l + r,
     "-": lambda l, r: l - r,
     "*": lambda l, r: l * r,
-    "/": lambda l, r: l / r,
+    "/": _ieee_div,
     "^": lambda l, r: F.pow(l, r),
-    # PromQL % is Go math.Mod: truncated (toward-zero) remainder —
-    # Spark's % on doubles has the same semantics.
-    "%": lambda l, r: l % r,
+    "%": _ieee_mod,
 }
 COMPARE = {
     "==": lambda l, r: l == r,

@@ -21,18 +21,33 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..model import empty_tags_col
 from .aggregation import group_sig_col, retained_tags_col
 
 # -- element-wise math (linear/math.go:34-62) -------------------------------
+
+def _ieee_log(fn):
+    """Go math.Log semantics: log(0) → -Inf, log(<0) → NaN (Spark's
+    log returns NULL for both, which would drop the series)."""
+
+    def wrapped(c):
+        return (
+            F.when(c > 0, fn(c))
+            .when(c == 0, F.lit(float("-inf")))
+            .otherwise(F.lit(float("nan")))
+        )
+
+    return wrapped
+
 
 _MATH = {
     "abs": F.abs,
     "ceil": F.ceil,
     "exp": F.exp,
     "floor": F.floor,
-    "ln": F.log,
-    "log2": F.log2,
-    "log10": F.log10,
+    "ln": _ieee_log(F.log),
+    "log2": _ieee_log(F.log2),
+    "log10": _ieee_log(F.log10),
     "sqrt": F.sqrt,
 }
 
@@ -52,15 +67,21 @@ def clamp_max(grid: DataFrame, mx: float) -> DataFrame:
 
 def round_to(grid: DataFrame, to: float = 1.0) -> DataFrame:
     """round(v, to): nearest multiple of ``to`` (linear/round.go:37).
-    Prometheus rounds half away from zero via floor(v/to + 0.5)."""
-    t = F.lit(float(to))
-    return grid.withColumn("value", F.floor(F.col("value") / t + F.lit(0.5)) * t)
+
+    Prometheus computes ``floor(v * (1/to) + 0.5) / (1/to)`` — the
+    multiply-by-inverse form matters: dividing by ``to`` directly
+    accumulates opposite fp error (e.g. round(2.15, 0.1) must be 2.2,
+    but 2.15/0.1 = 21.49999… floors to 21)."""
+    inv = F.lit(1.0 / float(to))
+    return grid.withColumn("value", F.floor(F.col("value") * inv + F.lit(0.5)) / inv)
 
 
 def sort_instant(grid: DataFrame, desc: bool = False) -> DataFrame:
-    """sort/sort_desc on an instant result (linear/sort.go:36-39)."""
+    """sort/sort_desc on an instant result (linear/sort.go:36-39).
+    NaN sorts LAST in both directions (upstream sorts NaN away from
+    the top/bottom; Spark would put NaN first on desc)."""
     c = F.col("value").desc() if desc else F.col("value").asc()
-    return grid.orderBy(c)
+    return grid.orderBy(F.isnan(F.col("value")).asc(), c)
 
 
 # -- datetime family (linear/datetime.go:37-63) -----------------------------
@@ -98,7 +119,7 @@ def time_fn(steps: DataFrame) -> DataFrame:
     of vector-matching on the (empty) tag signature."""
     return steps.select(
         "step_ts",
-        F.map_from_arrays(F.array(), F.array()).alias("tags"),
+        empty_tags_col().alias("tags"),
         F.unix_timestamp(F.col("step_ts")).cast("double").alias("value"),
         F.lit(True).alias("_scalar"),
     )
@@ -114,7 +135,7 @@ def scalar_fn(grid: DataFrame, steps: DataFrame) -> DataFrame:
     )
     return steps.join(per, "step_ts", "left").select(
         "step_ts",
-        F.map_from_arrays(F.array(), F.array()).alias("tags"),
+        empty_tags_col().alias("tags"),
         F.when(F.col("_n") == 1, F.col("_v"))
         .otherwise(F.lit(float("nan")))
         .alias("value"),
@@ -203,6 +224,16 @@ def histogram_quantile(grid: DataFrame, phi: float) -> DataFrame:
     )
     rows = rows.withColumn("buckets", mono)
     total = F.element_at(F.col("buckets"), -1).getField("value")
+    if phi < 0 or phi > 1:
+        # out-of-range φ → ±Inf per group (bucketQuantile's guard)
+        oor = float("-inf") if phi < 0 else float("inf")
+        has_inf0 = F.element_at(F.col("buckets"), -1).getField("le") == F.lit(
+            float("inf")
+        )
+        return (
+            rows.where(has_inf0 & (F.size(F.col("buckets")) >= 2) & (total > 0))
+            .select("step_ts", "tags", F.lit(oor).alias("value"))
+        )
     has_inf = F.element_at(F.col("buckets"), -1).getField("le") == F.lit(
         float("inf")
     )

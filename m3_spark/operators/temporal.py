@@ -2,7 +2,8 @@
 
 Reference evaluation model (``src/query/functions/temporal/base.go:
 323-423`` singleProcess): for each series, for each output step ``t``,
-collect *raw* datapoints in ``(t-range, t]`` and apply a processor.
+collect *raw* datapoints in ``[t-range, t]`` (closed, per the
+vendored Prometheus v2 engine) and apply a processor.
 
 Spark restatement — two tiers:
 
@@ -58,19 +59,33 @@ def _probed(samples: DataFrame, start, end, step_s: float, range_s: float):
 
 
 def _range_window(range_s: float) -> Window:
-    # PromQL window is (t-range, t]: left-exclusive → lower bound +1µs.
+    # Range-vector window is CLOSED [t-range, t], matching the
+    # reference's vendored Prometheus v2 engine (its compatibility
+    # corpus pins this, e.g. staleness.test count_over_time(metric[10s])
+    # at 20s counts the sample at exactly t-range).  Prometheus v3 later
+    # moved to left-open (t-range, t] — we follow the reference.
     return (
         Window.partitionBy("series_id")
         .orderBy("t_us")
-        .rangeBetween(-int(range_s * _US) + 1, 0)
+        .rangeBetween(-int(range_s * _US), 0)
     )
+
+
+# NaN discipline (reference: the corpus' *_over_time NaN block — the
+# reference treats NaN datapoints as missing): min/max SKIP NaN inputs
+# (upstream NaN-losing comparisons); `last` is the literal last sample
+# (NaN included — a NaN result row is then dropped by over_time's final
+# filter, reproducing the corpus' omitted rows).
+# (column built lazily — F.col at import time needs a live SparkContext)
+def _not_nan():
+    return F.when(~F.isnan(F.col("value")), F.col("value"))
 
 
 _OVER_TIME = {
     "sum": lambda w: F.sum("value").over(w),
     "avg": lambda w: F.avg("value").over(w),
-    "min": lambda w: F.min("value").over(w),
-    "max": lambda w: F.max("value").over(w),
+    "min": lambda w: F.min(_not_nan()).over(w),
+    "max": lambda w: F.max(_not_nan()).over(w),
     "count": lambda w: F.count("value").over(w).cast("double"),
     "stddev": lambda w: F.stddev_pop("value").over(w),
     "stdvar": lambda w: F.var_pop("value").over(w),
@@ -79,6 +94,21 @@ _OVER_TIME = {
         F.count("value").over(w) > 0, F.lit(1.0)
     ),
 }
+
+
+def _over_time_col(func: str, w, param: float | None):
+    if func == "quantile":
+        p = float(param)
+        if p < 0 or p > 1:
+            # upstream: out-of-range φ → ±Inf (with a warning)
+            return F.when(
+                F.count("value").over(w) > 0,
+                F.lit(float("-inf") if p < 0 else float("inf")),
+            )
+        return F.percentile(F.col("value"), F.lit(p)).over(w)
+    if func in _OVER_TIME:
+        return _OVER_TIME[func](w)
+    raise ValueError(f"unknown over_time func {func!r}")
 
 
 def over_time(
@@ -92,19 +122,21 @@ def over_time(
     """
     u = _probed(samples, start, end, step_s, range_s)
     w = _range_window(range_s)
-    if func == "quantile":
-        val = F.percentile(F.col("value"), F.lit(float(param))).over(w)
-    elif func in _OVER_TIME:
-        val = _OVER_TIME[func](w)
-    else:
-        raise ValueError(f"unknown over_time func {func!r}")
+    val = _over_time_col(func, w, param)
     out = u.select(
         "step_ts", "name", "tags", "series_id",
         val.alias("value"),
         F.count("value").over(w).alias("_n"),
     )
+    # NaN/NULL results are dropped (reference NaN-as-missing: an
+    # all-NaN window emits no row; ±Inf results are kept)
     return (
-        out.where(F.col("step_ts").isNotNull() & (F.col("_n") > 0))
+        out.where(
+            F.col("step_ts").isNotNull()
+            & (F.col("_n") > 0)
+            & F.col("value").isNotNull()
+            & ~F.isnan(F.col("value"))
+        )
         .drop("_n")
     )
 
@@ -123,15 +155,9 @@ def over_time_multi(
     """
     u = _probed(samples, start, end, step_s, range_s)
     w = _range_window(range_s)
-    cols = []
-    for func in funcs:
-        if func == "quantile":
-            val = F.percentile(F.col("value"), F.lit(float(quantile))).over(w)
-        elif func in _OVER_TIME:
-            val = _OVER_TIME[func](w)
-        else:
-            raise ValueError(f"unknown over_time func {func!r}")
-        cols.append(val.alias(f"{func}_ot"))
+    cols = [
+        _over_time_col(func, w, quantile).alias(f"{func}_ot") for func in funcs
+    ]
     out = u.select(
         "step_ts", "name", "tags", "series_id", *cols,
         F.count("value").over(w).alias("_n"),
@@ -251,7 +277,7 @@ def _rate_kernel(
         drops[1:] = np.where(d > 0, vals[:-1], 0.0)
     cum_resets = np.cumsum(drops)
 
-    lo = np.searchsorted(ts_us, steps_us - range_us, side="right")
+    lo = np.searchsorted(ts_us, steps_us - range_us, side="left")
     hi = np.searchsorted(ts_us, steps_us, side="right") - 1
     n = hi - lo + 1
     valid = n >= 2
@@ -297,7 +323,7 @@ def _instant_kernel(
     """irate/idelta: last two samples in the window (rate.go irate path)."""
     order = np.argsort(ts_us, kind="stable")
     ts_us, vals = ts_us[order], vals[order]
-    lo = np.searchsorted(ts_us, steps_us - range_us, side="right")
+    lo = np.searchsorted(ts_us, steps_us - range_us, side="left")
     hi = np.searchsorted(ts_us, steps_us, side="right") - 1
     valid = (hi - lo) >= 1
     out = np.full(len(steps_us), np.nan)
@@ -330,7 +356,7 @@ def _holt_winters_kernel(
     per-step-times-window interpreted loop."""
     order = np.argsort(ts_us, kind="stable")
     ts_us, vals = ts_us[order], vals[order]
-    lo = np.searchsorted(ts_us, steps_us - range_us, side="right")
+    lo = np.searchsorted(ts_us, steps_us - range_us, side="left")
     hi = np.searchsorted(ts_us, steps_us, side="right") - 1
     length = hi - lo + 1
     out = np.full(len(steps_us), np.nan)

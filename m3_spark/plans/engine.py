@@ -18,6 +18,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..model import empty_tags_col
 from ..operators import binary as B
 from ..operators import linear as L
 from ..operators.aggregation import absent, aggregate, count_values, topk
@@ -77,7 +78,7 @@ def query_range(
         steps = step_grid(samples.sparkSession, start, end, step_s)
         return steps.select(
             "step_ts",
-            F.map_from_arrays(F.array(), F.array()).alias("tags"),
+            empty_tags_col().alias("tags"),
             F.lit(out).alias("value"),
         )
     if "_scalar" in out.columns:
@@ -151,7 +152,9 @@ def _eval(e, ctx: Context):
 def _eval_agg(e: Agg, ctx: Context):
     grid = _vector(ctx, e.expr)
     by = list(e.by) if e.by else None
-    without = list(e.without) if e.without else None
+    # `without ()` (empty but present) differs from no modifier: it
+    # keeps all labels except __name__ — preserve the empty list
+    without = list(e.without) if e.without is not None else None
     if e.op in ("sum", "min", "max", "avg", "count", "stddev", "stdvar"):
         return aggregate(grid, e.op, by, without)
     if e.op == "group":
@@ -366,7 +369,7 @@ def _eval_call(e: Call, ctx: Context):
         return steps.select(
             "step_ts",
             F.lit(None).cast("string").alias("name"),
-            F.map_from_arrays(F.array(), F.array()).alias("tags"),
+            empty_tags_col().alias("tags"),
             F.lit("{}").alias("series_id"),
             F.lit(float(val)).alias("value"),
         )

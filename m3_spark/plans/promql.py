@@ -102,7 +102,7 @@ _TOKEN_RE = re.compile(
     (?P<ws>\s+)
   | (?P<subq>\[[0-9]+(?:\.[0-9]+)?[smhdwy]:(?:[0-9]+(?:\.[0-9]+)?[smhdwy])?\])
   | (?P<dur>[0-9]+(?:\.[0-9]+)?[smhdwy]\b)
-  | (?P<num>[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)
+  | (?P<num>(?:[0-9]+\.?[0-9]*|\.[0-9]+)(?:[eE][+-]?[0-9]+)?)
   | (?P<id>[a-zA-Z_:][a-zA-Z0-9_:]*)
   | (?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
   | (?P<op>=~|!~|!=|==|<=|>=|=|<|>|\+|-|\*|/|%|\^|\(|\)|\{|\}|\[|\]|,|@)
@@ -178,25 +178,31 @@ class Parser:
         lhs = self.parse_unary()
         while True:
             k, v = self.peek()
-            op = v if v in _PREC else (v if k == "id" and v in _PREC else None)
+            # keyword operators (and/or/unless) are case-insensitive,
+            # like the upstream lexer; symbol ops match verbatim
+            word = v.lower() if k == "id" else v
+            op = word if word in _PREC else None
             if op is None or _PREC[op] < min_prec:
                 return lhs
             self.next()
             bool_mode = False
             on = ignoring = None
             group = include = None
-            if self.peek() == ("id", "bool"):
+            if self.peek()[0] == "id" and self.peek()[1].lower() == "bool":
                 self.next()
                 bool_mode = True
-            if self.peek()[1] in ("on", "ignoring") and self.peek()[0] == "id":
-                which = self.next()[1]
+            if (
+                self.peek()[0] == "id"
+                and self.peek()[1].lower() in ("on", "ignoring")
+            ):
+                which = self.next()[1].lower()
                 labels = self._label_list()
                 if which == "on":
                     on = labels
                 else:
                     ignoring = labels
-                if self.peek()[1] in ("group_left", "group_right"):
-                    group = self.next()[1].removeprefix("group_")
+                if self.peek()[1].lower() in ("group_left", "group_right"):
+                    group = self.next()[1].lower().removeprefix("group_")
                     if self.peek()[1] == "(":
                         include = self._label_list()
             nxt = _PREC[op] + (0 if op in _RIGHT else 1)
@@ -229,7 +235,7 @@ class Parser:
                 rng, step = v[1:-1].split(":")
                 step_s = _dur_to_s(step) if step else None
                 e = Subquery(e, _dur_to_s(rng), step_s)
-            elif k == "id" and v == "offset":
+            elif k == "id" and v.lower() == "offset":
                 self.next()
                 kd, vd = self.next()
                 if kd != "dur":
@@ -273,8 +279,14 @@ class Parser:
             return self._selector(None)
         if k == "id":
             self.next()
-            if v in AGG_OPS and self.peek()[1] in ("(", "by", "without"):
-                return self._aggregation(v)
+            # upstream lexer: inf / nan (any case) are number literals,
+            # not metric names
+            if v.lower() in ("inf", "nan") and self.peek()[1] not in ("{", "("):
+                return NumberLit(float(v))
+            if v.lower() in AGG_OPS and (
+                self.peek()[1] == "(" or self.peek()[1].lower() in ("by", "without")
+            ):
+                return self._aggregation(v.lower())
             if self.peek()[1] == "(":
                 return self._call(v)
             if self.peek()[1] == "{":
@@ -317,8 +329,8 @@ class Parser:
 
     def _aggregation(self, op: str):
         by = without = None
-        if self.peek()[1] in ("by", "without"):
-            which = self.next()[1]
+        if self.peek()[1].lower() in ("by", "without"):
+            which = self.next()[1].lower()
             labels = self._label_list()
             by, without = (labels, None) if which == "by" else (None, labels)
         self.expect("(")
@@ -327,8 +339,8 @@ class Parser:
             self.next()
             args.append(self.parse_expr(0))
         self.expect(")")
-        if self.peek()[1] in ("by", "without"):
-            which = self.next()[1]
+        if self.peek()[1].lower() in ("by", "without"):
+            which = self.next()[1].lower()
             labels = self._label_list()
             by, without = (labels, None) if which == "by" else (None, labels)
         param, expr = (args[0], args[1]) if len(args) == 2 else (None, args[0])
@@ -345,6 +357,29 @@ class Parser:
         return Call(func, tuple(args))
 
 
+def _ieee_div(a: float, b: float) -> float:
+    """Go float64 division: x/0 → ±Inf, 0/0 → NaN (Python raises)."""
+    import math
+
+    if b != 0.0:
+        return a / b
+    if math.isnan(a) or a == 0.0:
+        return float("nan")
+    return math.copysign(float("inf"), a) * math.copysign(1.0, b)
+
+
+def _ieee_pow(a: float, b: float) -> float:
+    """Go math.Pow semantics (Python ** raises on 0**-1, (-x)**0.5)."""
+    import math
+
+    try:
+        return math.pow(a, b)
+    except ValueError:  # e.g. (-1) ** 0.5 → NaN in IEEE
+        return float("nan")
+    except OverflowError:
+        return math.copysign(float("inf"), a) if b % 2 == 1 else float("inf")
+
+
 def _fold(e):
     """Constant-fold scalar-only subexpressions (resolve_scalars.go)."""
     if isinstance(e, Binary):
@@ -355,9 +390,9 @@ def _fold(e):
             a, b = lhs.value, rhs.value
             ops = {
                 "+": a + b, "-": a - b, "*": a * b,
-                "/": a / b if b else float("nan"),
+                "/": _ieee_div(a, b),
                 "%": math.fmod(a, b) if b else float("nan"),
-                "^": a ** b,
+                "^": _ieee_pow(a, b),
             }
             if e.op in ops:
                 return NumberLit(ops[e.op])

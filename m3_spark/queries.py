@@ -128,7 +128,7 @@ def _sql_over_time(expr: str) -> str:
 SELECT CAST(epoch(s.step_ts) AS BIGINT) AS step_s, e.event_type,
        CAST(e.user_id AS BIGINT) AS user_id, ROUND({expr}, 6) AS value
 FROM steps s JOIN events e
-  ON e.ts <= s.step_ts AND e.ts > s.step_ts - INTERVAL 6 HOUR
+  ON e.ts <= s.step_ts AND e.ts >= s.step_ts - INTERVAL 6 HOUR
 GROUP BY 1, 2, 3"""
 
 
@@ -173,7 +173,7 @@ SELECT CAST(epoch(s.step_ts) AS BIGINT) AS step_s, e.event_type,
        CAST(e.user_id AS BIGINT) AS user_id,
        {", ".join(f"ROUND({_OT_SQL[f]}, 6) AS {f}_ot" for f in _OT_FUNCS)}
 FROM steps s JOIN events e
-  ON e.ts <= s.step_ts AND e.ts > s.step_ts - INTERVAL 6 HOUR
+  ON e.ts <= s.step_ts AND e.ts >= s.step_ts - INTERVAL 6 HOUR
 GROUP BY 1, 2, 3"""
 
 
@@ -201,11 +201,11 @@ flags AS (
 )
 SELECT CAST(epoch(s.step_ts) AS BIGINT) AS step_s, f.event_type,
        CAST(f.user_id AS BIGINT) AS user_id,
-       ROUND(CAST(SUM(CASE WHEN f.pts > s.step_ts - INTERVAL 6 HOUR
+       ROUND(CAST(SUM(CASE WHEN f.pts >= s.step_ts - INTERVAL 6 HOUR
                             AND {cond} THEN 1 ELSE 0 END) AS DOUBLE), 6)
          AS value
 FROM steps s JOIN flags f
-  ON f.ts <= s.step_ts AND f.ts > s.step_ts - INTERVAL 6 HOUR
+  ON f.ts <= s.step_ts AND f.ts >= s.step_ts - INTERVAL 6 HOUR
 GROUP BY 1, 2, 3"""
 
 
@@ -252,7 +252,7 @@ win AS (
          (arg_max(c.value, c.ts) + arg_max(c.cr, c.ts))
            - (arg_min(c.value, c.ts) + arg_min(c.cr, c.ts)) AS result
   FROM steps s JOIN cum c
-    ON c.ts <= s.step_ts AND c.ts > s.step_ts - INTERVAL 6 HOUR
+    ON c.ts <= s.step_ts AND c.ts >= s.step_ts - INTERVAL 6 HOUR
   GROUP BY s.step_ts, c.event_type, c.user_id
 ),
 ext AS (
@@ -426,7 +426,7 @@ steps AS (
 lastv2 AS (
   SELECT s.step_ts, e.event_type, e.user_id, arg_max(e.value, e.ts) AS v
   FROM steps s JOIN events e
-    ON e.ts <= s.step_ts AND e.ts > s.step_ts - INTERVAL 1 HOUR
+    ON e.ts <= s.step_ts AND e.ts >= s.step_ts - INTERVAL 1 HOUR
   GROUP BY 1, 2, 3
 ),
 summed AS (SELECT step_ts, event_type, SUM(v) AS v FROM lastv2 GROUP BY 1, 2),

@@ -27,7 +27,7 @@ WITH steps AS ({_STEPS_SQL}),
 lastv AS (
   SELECT s.step_ts, e.event_type, e.user_id, arg_max(e.value, e.ts) AS v
   FROM steps s JOIN events e
-    ON e.ts <= s.step_ts AND e.ts > s.step_ts - INTERVAL 1 HOUR
+    ON e.ts <= s.step_ts AND e.ts >= s.step_ts - INTERVAL 1 HOUR
   GROUP BY 1, 2, 3
 )
 """

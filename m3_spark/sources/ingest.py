@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..graphite.paths import path_tags_col
-from ..model import with_series_id
+from ..model import empty_tags_col, with_series_id
 
 
 def parse_carbon(lines: DataFrame, line_col: str = "value") -> DataFrame:
@@ -88,7 +88,7 @@ def parse_influx(lines: DataFrame, line_col: str = "value") -> DataFrame:
     )
     exploded = lines.select(
         measurement.alias("_m"),
-        F.coalesce(tags, F.map_from_arrays(F.array(), F.array())).alias("tags"),
+        F.coalesce(tags, empty_tags_col()).alias("tags"),
         ts.alias("ts"),
         field_part.alias("_f"),
     )

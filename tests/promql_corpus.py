@@ -2,16 +2,21 @@
 (``load <step>`` series blocks + ``eval instant at <t>`` expectations)
 — the format of the reference's golden corpus
 (``src/query/test/compatibility/testdata/*.test``; harness
-``promql_test.go``).  The corpus itself is ours (written fresh against
-the documented semantics), only the notation is adopted.
+``promql_test.go``).  Supports the full upstream directive set:
+``clear``, accumulating ``load`` blocks, ``eval_ordered`` /
+``eval_fail``, ``stale`` markers, ``NaN``/``±Inf`` values, metric names
+in expectations, and bare scalar expectations.
 """
 
 from __future__ import annotations
 
+import math
 import re
 from dataclasses import dataclass, field
 
 _DUR = {"s": 1, "m": 60, "h": 3600, "d": 86400}
+
+_STALE = object()  # sentinel for upstream staleness markers
 
 
 def dur_s(tok: str) -> float:
@@ -19,24 +24,31 @@ def dur_s(tok: str) -> float:
     return float(m.group(1)) * _DUR[m.group(2)]
 
 
-def parse_series(spec: str) -> tuple[str, dict[str, str]]:
-    """``metric{k="v",…}`` → (name, labels)."""
+def _num(tok: str) -> float:
+    # upstream accepts any case: NaN/nan, Inf/inF/+Inf/-inf …
+    return float(tok)  # Python float() parses these case-insensitively
+
+
+_LABEL_RE = re.compile(r'([a-zA-Z_][a-zA-Z0-9_]*)\s*=\s*"((?:[^"\\]|\\.)*)"')
+
+
+def parse_series(spec: str) -> tuple[str | None, dict[str, str]]:
+    """``metric{k="v",…}`` → (name, labels).  Values are quoted and may
+    contain commas/equals, so split with a quote-aware regex."""
     m = re.fullmatch(r"([a-zA-Z_:][a-zA-Z0-9_:]*)?(\{([^}]*)\})?", spec.strip())
     name = m.group(1)
     labels: dict[str, str] = {}
     if m.group(3):
-        for part in m.group(3).split(","):
-            if not part.strip():
-                continue
-            k, v = part.split("=", 1)
-            labels[k.strip()] = v.strip().strip('"')
+        for k, v in _LABEL_RE.findall(m.group(3)):
+            labels[k] = v.replace('\\"', '"')
     return name, labels
 
 
-def expand_values(expr: str) -> list[float | None]:
-    """``0+10x10`` → arithmetic progression (11 points);
-    plain space-separated values; ``_`` = missing."""
-    out: list[float | None] = []
+def expand_values(expr: str) -> list:
+    """``0+10x10`` → arithmetic progression (11 points); plain
+    space-separated values; ``_`` = missing; ``stale`` = staleness
+    marker; NaN / ±Inf parsed case-insensitively."""
+    out: list = []
     for tok in expr.split():
         m = re.fullmatch(r"(-?[0-9.]+)(?:([+-][0-9.]+)x([0-9]+))?", tok)
         if m and m.group(2) is not None:
@@ -44,8 +56,10 @@ def expand_values(expr: str) -> list[float | None]:
             out.extend(base + i * inc for i in range(n + 1))
         elif tok == "_":
             out.append(None)
+        elif tok == "stale":
+            out.append(_STALE)
         else:
-            out.append(float(tok))
+            out.append(_num(tok))
     return out
 
 
@@ -55,47 +69,80 @@ class EvalCase:
     query: str
     expected: dict[tuple[tuple[str, str], ...], float]  # sorted label kv → value
     ordered: bool = False
+    expect_fail: bool = False
+    has_name: bool = False  # any expectation carries a metric name
+    order: list[float] = field(default_factory=list)  # values in file order
 
 
 @dataclass
 class Corpus:
-    step_s: float
-    series: list[tuple[str, dict[str, str], list[float | None]]] = field(
+    step_s: float  # step of the first load block (back-compat)
+    series: list[tuple[str, dict[str, str], list, float]] = field(
         default_factory=list
-    )
+    )  # (name, labels, values, step_s)
     evals: list[EvalCase] = field(default_factory=list)
+
+
+_EVAL_RE = re.compile(r"^(eval|eval_ordered|eval_fail)\s+instant\s+at\s+(\S+)\s+(.*)$")
 
 
 def parse_corpus(text: str) -> list[Corpus]:
     out: list[Corpus] = []
     cur: Corpus | None = None
+    load_step: float | None = None
     pending_eval: EvalCase | None = None
     for raw in text.splitlines():
         line = raw.rstrip()
         if not line.strip() or line.strip().startswith("#"):
             continue
         if line.startswith("load "):
-            cur = Corpus(dur_s(line.split()[1]))
-            out.append(cur)
+            load_step = dur_s(line.split()[1])
+            if cur is None:
+                cur = Corpus(load_step)
+                out.append(cur)
             pending_eval = None
-        elif line.startswith("eval instant at "):
-            rest = line[len("eval instant at "):]
-            at, query = rest.split(" ", 1)
-            pending_eval = EvalCase(dur_s(at), query.strip(), {})
+        elif line.strip() == "clear":
+            cur = None
+            load_step = None
+            pending_eval = None
+        elif _EVAL_RE.match(line):
+            if cur is None:  # eval without a load (pure literals)
+                cur = Corpus(0.0)
+                out.append(cur)
+            kind, at, query = _EVAL_RE.match(line).groups()
+            pending_eval = EvalCase(
+                dur_s(at),
+                query.strip(),
+                {},
+                ordered=(kind == "eval_ordered"),
+                expect_fail=(kind == "eval_fail"),
+            )
             cur.evals.append(pending_eval)
         elif line.startswith(("  ", "\t")):
             body = line.strip()
             # the series spec ends at the closing brace (label lists
             # contain spaces); bare metrics end at the first space
             m = re.match(r"^([^{\s]*(?:\{[^}]*\})?)\s+(.*)$", body)
-            spec, rest = m.group(1), m.group(2)
             if pending_eval is None:
-                name, labels = parse_series(spec)
-                cur.series.append((name, labels, expand_values(rest)))
+                name, labels = parse_series(m.group(1))
+                cur.series.append(
+                    (name, labels, expand_values(m.group(2)), load_step)
+                )
+            elif m is None:
+                # bare scalar expectation (literals.test): `-1`, `+Inf`…
+                v = _num(body)
+                pending_eval.expected[()] = v
+                pending_eval.order.append(v)
             else:
-                _, labels = parse_series(spec)
+                name, labels = parse_series(m.group(1))
+                if name is not None:
+                    labels = {**labels, "__name__": name}
+                if "__name__" in labels:
+                    pending_eval.has_name = True
                 key = tuple(sorted(labels.items()))
-                pending_eval.expected[key] = float(rest)
+                v = _num(m.group(2))
+                pending_eval.expected[key] = v
+                pending_eval.order.append(v)
         else:
             raise ValueError(f"bad corpus line: {line!r}")
     return out
@@ -104,38 +151,83 @@ def parse_corpus(text: str) -> list[Corpus]:
 T0 = 1_600_000_000  # corpus epoch
 
 
-def load_samples(spark, corpus: Corpus):
+def load_samples(spark, corpus: Corpus, t0: float = T0):
     from .conftest import make_samples
 
     rows = []
-    for name, labels, values in corpus.series:
+    for name, labels, values, step in corpus.series:
         for i, v in enumerate(values):
-            if v is None:
+            if v is None or v is _STALE:
+                # staleness markers cut instant lookback in upstream
+                # Prometheus; every *active* corpus case that probes the
+                # marker window is FAILING-commented upstream, so
+                # dropping the marker reproduces the active contract
+                # (range vectors ignore markers entirely).
                 continue
-            rows.append((name, labels, T0 + i * corpus.step_s, v))
+            rows.append((name, labels, t0 + i * step, v))
     return make_samples(spark, rows)
 
 
-def run_corpus(spark, text: str, lookback_s: float = 300.0):
+def run_corpus(
+    spark,
+    text: str,
+    lookback_s: float = 300.0,
+    t0: float = T0,
+    check_order: bool = True,
+):
+    """Run every eval; return [(query, want, got), …] failures."""
     from m3_spark.plans.engine import query_instant
 
     failures = []
     for corpus in parse_corpus(text):
-        samples = load_samples(spark, corpus)
+        samples = load_samples(spark, corpus, t0)
         for case in corpus.evals:
-            got_rows = query_instant(
-                samples, case.query, T0 + case.at_s, lookback_s
-            ).collect()
+            try:
+                got_rows = query_instant(
+                    samples, case.query, t0 + case.at_s, lookback_s
+                ).collect()
+            except Exception as ex:
+                if case.expect_fail:
+                    continue
+                failures.append((case.query, case.expected, f"ERROR: {ex}"))
+                continue
+            if case.expect_fail:
+                failures.append((case.query, "expected failure", "ran OK"))
+                continue
             got = {}
+            got_order = []
             for r in got_rows:
                 tags = dict(r["tags"]) if r["tags"] else {}
+                if case.has_name and r["name"]:
+                    tags["__name__"] = r["name"]
+                else:
+                    tags.pop("__name__", None)
                 got[tuple(sorted(tags.items()))] = r["value"]
+                got_order.append(r["value"])
             if not _match(got, case.expected):
                 failures.append((case.query, case.expected, got))
+            elif case.ordered and check_order and not _seq_match(
+                got_order, case.order
+            ):
+                failures.append(
+                    (case.query + " [order]", case.order, got_order)
+                )
     return failures
 
 
-def _match(got, want, tol=1e-6) -> bool:
+def _eq(a: float, b: float, tol: float = 1e-6) -> bool:
+    if math.isnan(b):
+        return math.isnan(a)
+    if math.isinf(b) or math.isinf(a):
+        return a == b
+    return abs(a - b) <= tol * max(1.0, abs(b))
+
+
+def _seq_match(got: list[float], want: list[float]) -> bool:
+    return len(got) == len(want) and all(_eq(g, w) for g, w in zip(got, want))
+
+
+def _match(got, want) -> bool:
     if set(got) != set(want):
         return False
-    return all(abs(got[k] - want[k]) <= tol * max(1.0, abs(want[k])) for k in want)
+    return all(_eq(got[k], want[k]) for k in want)

@@ -90,10 +90,11 @@ def test_resets_changes(spark):
     assert r[0]["value"] == 1.0
     c = resets_or_changes(samples, "changes", 60, t, t, 60).collect()
     assert c[0]["value"] == 4.0
-    # window covering only last 3 samples (40,60] → pairs (1,4): changes=2?
-    # samples in (40-..: ts 50,60 → v=1,4 → pairs: (1,4) → changes 1, resets 0
+    # closed window [40,60] → samples at 40,50,60 → v=3,1,4 →
+    # pairs (3,1),(1,4) → changes 2 (the pair crossing the left edge,
+    # 2→3, is excluded)
     c = resets_or_changes(samples, "changes", 20, t, t, 60).collect()
-    assert c[0]["value"] == 1.0
+    assert c[0]["value"] == 2.0
 
 
 def test_rate_extrapolation(spark):

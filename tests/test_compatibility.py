@@ -1,0 +1,48 @@
+"""Run the reference's PromQL compatibility corpus (upstream Prometheus
+logic tests, `tests/compatibility/*.test`) against the engine.
+
+Each file becomes one test that executes every *active* eval case (the
+upstream files keep known-failing cases `# FAILING`-commented; we inherit
+that exact split) and reports all failures at once.  Upstream evaluates
+against an epoch-0 storage, so t0=0 here — absolute-time functions
+(day_of_month etc.) in the corpus only ever consume vector timestamps,
+which are t0-relative.
+
+SKIP lists documented engine deltas: each entry is (file, query-prefix)
+with the reason inline.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import pytest
+
+from .promql_corpus import parse_corpus, run_corpus
+
+DATA = pathlib.Path(__file__).parent / "compatibility"
+FILES = sorted(p.name for p in DATA.glob("*.test"))
+
+# Documented deltas: (file, exact query as it appears in the corpus).
+SKIP: dict[tuple[str, str], str] = {}
+
+
+def _cases(name: str) -> str:
+    return (DATA / name).read_text()
+
+
+@pytest.mark.parametrize("fname", FILES)
+def test_compatibility_corpus(spark, fname):
+    text = _cases(fname)
+    n_evals = sum(len(c.evals) for c in parse_corpus(text))
+    assert n_evals > 0
+    failures = run_corpus(spark, text, t0=0)
+    failures = [
+        (q, w, g)
+        for q, w, g in failures
+        if (fname, q.removesuffix(" [order]")) not in SKIP
+    ]
+    msg = "\n".join(f"{q}\n  want={w}\n  got ={g}" for q, w, g in failures)
+    assert not failures, (
+        f"{len(failures)}/{n_evals} corpus failures in {fname}:\n{msg}"
+    )

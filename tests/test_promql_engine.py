@@ -111,11 +111,11 @@ eval instant at 50m rate(http_requests{instance="0", group="canary"}[30m])
   {group="canary", instance="0", job="app-server"} 0.23333333333
 
 eval instant at 50m sum_over_time(http_requests{instance="1", job="app-server"}[30m])
-  {group="canary", instance="1", job="app-server"} 3600
-  {group="production", instance="1", job="app-server"} 2700
+  {group="canary", instance="1", job="app-server"} 3920
+  {group="production", instance="1", job="app-server"} 2940
 
 eval instant at 50m avg_over_time(http_requests{instance="1", job="app-server", group="canary"}[30m])
-  {group="canary", instance="1", job="app-server"} 600
+  {group="canary", instance="1", job="app-server"} 560
 
 eval instant at 50m abs(-1 * http_requests{group="production", job="api-server"})
   {group="production", instance="0", job="api-server"} 100
@@ -127,8 +127,8 @@ eval instant at 50m max_over_time(sum by (group) (http_requests)[30m:5m])
   {group="production"} 1400
 
 eval instant at 50m min_over_time(sum by (group) (http_requests)[30m:5m])
-  {group="canary"} 1100
-  {group="production"} 700
+  {group="canary"} 880
+  {group="production"} 560
 
 eval instant at 50m avg_over_time(vector(5)[20m:5m])
   {} 5
@@ -220,7 +220,7 @@ eval instant at 55m req{instance="0", job="api"} offset 5m
   {group="prod", instance="0", job="api"} 100
 
 eval instant at 50m quantile_over_time(0.5, req{instance="0", job="api"}[30m])
-  {group="prod", instance="0", job="api"} 75
+  {group="prod", instance="0", job="api"} 70
 
 eval instant at 50m predict_linear(req{instance="0", job="api"}[30m], 300)
   {group="prod", instance="0", job="api"} 110
@@ -335,8 +335,8 @@ def test_at_modifier(spark):
         f'group="production"}}[15m] @ {at})',
         T0 + 3000,
     ).collect()
-    # window (10m, 25m] @5m steps → values 30+40+50 = 120
-    assert len(out) == 1 and out[0]["value"] == 120.0
+    # closed window [10m, 25m] @5m steps → values 20+30+40+50 = 140
+    assert len(out) == 1 and out[0]["value"] == 140.0
 
 
 def test_corpus(spark):

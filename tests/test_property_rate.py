@@ -22,7 +22,7 @@ def _model_rate(points, step_t, range_s, kind):
     """Per-window reference model, written independently of the
     vectorized kernel: walk the window's samples, correct resets,
     extrapolate to the boundaries, clamp at the counter zero point."""
-    window = [(t, v) for t, v in points if step_t - range_s < t <= step_t]
+    window = [(t, v) for t, v in points if step_t - range_s <= t <= step_t]
     if len(window) < 2:
         return None
     counter = kind in ("rate", "increase")
@@ -93,7 +93,7 @@ def test_rate_kernel_matches_model(points, kind):
 
 
 def _model_hw(points, step_t, range_s, sf, tf):
-    window = [v for t, v in points if step_t - range_s < t <= step_t]
+    window = [v for t, v in points if step_t - range_s <= t <= step_t]
     if len(window) < 2:
         return None
     s, b = window[1], window[1] - window[0]

@@ -1,0 +1,41 @@
+"""Dev triage: run compatibility corpus files outside pytest and print
+every failure compactly.  Usage: python -m tests.triage_compat [file...]"""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+
+from m3_spark.session import get_spark
+
+from tests.promql_corpus import parse_corpus, run_corpus
+
+DATA = pathlib.Path(__file__).parent / "compatibility"
+
+
+def main(argv):
+    names = argv or sorted(p.name for p in DATA.glob("*.test"))
+    spark = get_spark("triage", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    total = bad = 0
+    for name in names:
+        text = (DATA / name).read_text()
+        try:
+            n = sum(len(c.evals) for c in parse_corpus(text))
+            fails = run_corpus(spark, text, t0=0)
+        except Exception as ex:
+            print(f"== {name}: CRASH {ex!r}")
+            bad += 1
+            continue
+        total += n
+        bad += len(fails)
+        print(f"== {name}: {len(fails)}/{n} failures")
+        for q, w, g in fails:
+            print(f"  Q: {q}")
+            print(f"     want={w}")
+            print(f"     got ={g}")
+    print(f"== TOTAL: {bad}/{total} failures")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
