@@ -205,31 +205,45 @@ def encode_read_request(queries: list[dict]) -> bytes:
     return snappy_compress(body)
 
 
-def encode_read_response(series: list[dict]) -> bytes:
-    """[{labels: {..}, samples: [(ts_ms, value)]}] →
-    snappy(prompb.ReadResponse) with one QueryResult."""
-    ts_blobs = b""
-    for s in series:
-        lb = b""
-        for k in sorted(s["labels"]):
-            lb += _len_delim(
-                1, _len_delim(1, k.encode()) + _len_delim(2, s["labels"][k].encode())
-            )
-        sb = b""
-        for ts_ms, v in s["samples"]:
-            sb += _len_delim(
-                2, _double_field(1, float(v)) + _varint_field(2, int(ts_ms))
-            )
-        ts_blobs += _len_delim(1, lb + sb)
-    return snappy_compress(_len_delim(1, ts_blobs))
+def encode_read_response(results: list[list[dict]]) -> bytes:
+    """Per-query series lists → snappy(prompb.ReadResponse).
+
+    One field-1 ``QueryResult`` submessage per query, in request order —
+    the reference builds the response the same way
+    (``remote/read.go``: results are index-aligned with the request's
+    queries), so a multi-query ``ReadRequest`` gets per-query series
+    attribution rather than one flattened result.
+    """
+    body = b""
+    for series in results:
+        ts_blobs = b""
+        for s in series:
+            lb = b""
+            for k in sorted(s["labels"]):
+                lb += _len_delim(
+                    1,
+                    _len_delim(1, k.encode())
+                    + _len_delim(2, s["labels"][k].encode()),
+                )
+            sb = b""
+            for ts_ms, v in s["samples"]:
+                sb += _len_delim(
+                    2, _double_field(1, float(v)) + _varint_field(2, int(ts_ms))
+                )
+            ts_blobs += _len_delim(1, lb + sb)
+        body += _len_delim(1, ts_blobs)
+    return snappy_compress(body)
 
 
-def decode_read_response(body: bytes) -> list[dict]:
+def decode_read_response(body: bytes) -> list[list[dict]]:
+    """snappy(prompb.ReadResponse) → per-query series lists
+    (``out[i]`` is the i-th query's series, request-order)."""
     raw = snappy_decompress(body)
     out = []
     for field, _w, result in _iter_fields(raw):
         if field != 1:
             continue
+        series = []
         for f2, _w2, ts_msg in _iter_fields(result):
             if f2 != 1:
                 continue
@@ -251,7 +265,8 @@ def decode_read_response(body: bytes) -> list[dict]:
                         elif f4 == 2 and w4 == 0:
                             ts_ms = _zigzag_to_int64(v4)
                     samples.append((ts_ms, val))
-            out.append({"labels": labels, "samples": samples})
+            series.append({"labels": labels, "samples": samples})
+        out.append(series)
     return out
 
 
@@ -292,5 +307,6 @@ def remote_read(samples: DataFrame, request_body: bytes) -> bytes:
             entry["samples"].append(
                 (int(r["ts"].timestamp() * 1000), r["value"])
             )
-        results.extend(by_series.values())
+        # one QueryResult per query, request-order (remote/read.go)
+        results.append(list(by_series.values()))
     return encode_read_response(results)

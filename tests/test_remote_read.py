@@ -40,14 +40,23 @@ def test_read_request_roundtrip():
 
 
 def test_read_response_roundtrip():
-    series = [
-        {
-            "labels": {"__name__": "m", "job": "api"},
-            "samples": [(1_600_000_000_000, 1.5), (1_600_000_060_000, -2.25)],
-        }
+    results = [
+        [
+            {
+                "labels": {"__name__": "m", "job": "api"},
+                "samples": [(1_600_000_000_000, 1.5), (1_600_000_060_000, -2.25)],
+            }
+        ],
+        [],  # empty QueryResult must survive the round-trip in place
+        [
+            {
+                "labels": {"__name__": "n"},
+                "samples": [(1_600_000_000_000, 0.5)],
+            }
+        ],
     ]
-    got = decode_read_response(encode_read_response(series))
-    assert got == series
+    got = decode_read_response(encode_read_response(results))
+    assert got == results
 
 
 def test_remote_read_handler(spark):
@@ -70,6 +79,31 @@ def test_remote_read_handler(spark):
         ]
     )
     out = decode_read_response(remote_read(s, req))
-    assert len(out) == 1
-    assert out[0]["labels"] == {"__name__": "m", "job": "api"}
-    assert out[0]["samples"] == [(T0 * 1000, 1.0), ((T0 + 60) * 1000, 2.0)]
+    assert len(out) == 1 and len(out[0]) == 1
+    assert out[0][0]["labels"] == {"__name__": "m", "job": "api"}
+    assert out[0][0]["samples"] == [(T0 * 1000, 1.0), ((T0 + 60) * 1000, 2.0)]
+
+
+def test_remote_read_multi_query_framing(spark):
+    """A 2-query ReadRequest gets one QueryResult per query, in request
+    order, each holding only its own query's series (remote/read.go
+    builds the response index-aligned with the request)."""
+    s = make_samples(
+        spark,
+        [
+            ("m", {"job": "api"}, T0, 1.0),
+            ("other", {"job": "web"}, T0, 5.0),
+        ],
+    )
+    win = {"start_ms": T0 * 1000, "end_ms": (T0 + 3600) * 1000}
+    req = encode_read_request(
+        [
+            {**win, "matchers": [("=", "__name__", "other")]},
+            {**win, "matchers": [("=", "__name__", "nope")]},
+            {**win, "matchers": [("=", "__name__", "m")]},
+        ]
+    )
+    out = decode_read_response(remote_read(s, req))
+    assert [len(qr) for qr in out] == [1, 0, 1]
+    assert out[0][0]["labels"]["__name__"] == "other"
+    assert out[2][0]["labels"]["__name__"] == "m"
