@@ -23,6 +23,12 @@ from ..operators.consolidate import consolidate
 from . import functions as gf
 from .paths import fetch_by_glob
 
+#: Hard cap on driver-side collects in context functions (applyByNode /
+#: useSeriesAbove): these genuinely require driver knowledge (template
+#: re-compilation per prefix), but an unbounded collect over a wildcard
+#: seed would pull the whole series dictionary into the driver at scale.
+MAX_DRIVER_PREFIXES = 1024
+
 _TOK = re.compile(
     r"""
     (?P<ws>\s+)
@@ -249,19 +255,34 @@ def evaluate(
             )
         if f == "applyByNode":
             # substitute each unique node prefix into the template and
-            # evaluate it as a sub-target (aggregation_functions.go:538)
+            # evaluate it as a sub-target (aggregation_functions.go:538).
+            # The collect is semantically required (each prefix becomes
+            # a re-compiled sub-target) but must be BOUNDED: distinct
+            # *prefixes* are computed Spark-side (never full names — at
+            # scale the series dictionary dwarfs the prefix set) and
+            # capped, erroring past the cap instead of OOMing the driver.
             grid = ev(args[0], s, e)
             node_num = int(_lit(args[1]))
             template = str(_lit(args[2]))
             new_name = str(_lit(args[3])) if len(args) > 3 else ""
-            names = [r["name"] for r in grid.select("name").distinct().collect()]
-            prefixes = sorted(
-                {
-                    ".".join(n.split(".")[: node_num + 1])
-                    for n in names
-                    if len(n.split(".")) > node_num
-                }
+            parts = F.split(F.col("name"), r"\.")
+            pref_rows = (
+                grid.where(F.size(parts) > node_num)
+                .select(
+                    F.array_join(
+                        F.slice(parts, 1, node_num + 1), "."
+                    ).alias("_prefix")
+                )
+                .distinct()
+                .limit(MAX_DRIVER_PREFIXES + 1)
+                .collect()
             )
+            if len(pref_rows) > MAX_DRIVER_PREFIXES:
+                raise ValueError(
+                    f"applyByNode: more than {MAX_DRIVER_PREFIXES} distinct"
+                    " node prefixes — narrow the seed series glob"
+                )
+            prefixes = sorted(r["_prefix"] for r in pref_rows)
             outs = []
             for p in prefixes:
                 sub = evaluate(
@@ -277,18 +298,26 @@ def evaluate(
             return gf.group_series(*outs)
         if f == "useSeriesAbove":
             # series whose max exceeds the bound are re-fetched under a
-            # rewritten name (builtin_functions.go:149)
+            # rewritten name (builtin_functions.go:149).  The name set
+            # is aggregated + filtered Spark-side and capped before the
+            # driver collect (same rationale as applyByNode).
             grid = ev(args[0], s, e)
             bound = float(_lit(args[1]))
             search, replace = str(_lit(args[2])), str(_lit(args[3]))
-            names = [
-                r["name"]
-                for r in grid.groupBy("name")
+            name_rows = (
+                grid.groupBy("name")
                 .agg(F.max("value").alias("_mx"))
                 .where(F.col("_mx") > bound)
                 .select("name")
+                .limit(MAX_DRIVER_PREFIXES + 1)
                 .collect()
-            ]
+            )
+            if len(name_rows) > MAX_DRIVER_PREFIXES:
+                raise ValueError(
+                    f"useSeriesAbove: more than {MAX_DRIVER_PREFIXES}"
+                    " qualifying series — narrow the seed series glob"
+                )
+            names = [r["name"] for r in name_rows]
             new_names = [n.replace(search, replace) for n in names]
             if not new_names:
                 return grid.limit(0)

@@ -217,6 +217,27 @@ def test_apply_by_node_via_compiler(spark, gsamples):  # noqa: F811
     }
 
 
+def test_context_fn_driver_collects_are_capped(spark, gsamples, monkeypatch):  # noqa: F811
+    """applyByNode/useSeriesAbove collect driver-side state by design
+    (template re-compilation) — but past MAX_DRIVER_PREFIXES they must
+    error instead of pulling the series dictionary into the driver."""
+    import m3_spark.graphite.compiler as gc
+
+    monkeypatch.setattr(gc, "MAX_DRIVER_PREFIXES", 2)
+    with pytest.raises(ValueError, match="applyByNode.*prefixes"):
+        evaluate(
+            gsamples,
+            'applyByNode(servers.*.cpu.user, 1, "sumSeries(%.cpu.*)")',
+            T0 + 240, T0 + 240, 60, 300,
+        )
+    with pytest.raises(ValueError, match="useSeriesAbove.*series"):
+        evaluate(
+            gsamples,
+            'useSeriesAbove(servers.*.cpu.*, -1, "cpu", "cpu")',
+            T0, T0 + 240, 60, 300,
+        )
+
+
 def test_smart_summarize_aligns_to_start(spark, gsamples):  # noqa: F811
     # start at T0+60: buckets [T0+60, T0+180), [T0+180, T0+300)
     out = evaluate(
