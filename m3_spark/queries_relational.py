@@ -140,7 +140,7 @@ SELECT CAST(epoch(s.step_ts) AS BIGINT) AS step_s, 1.0 AS value
 FROM steps s
 WHERE NOT EXISTS (
   SELECT 1 FROM events e WHERE e.event_type = 'signup'
-    AND e.ts <= s.step_ts AND e.ts > s.step_ts - INTERVAL 1 HOUR
+    AND e.ts <= s.step_ts AND e.ts >= s.step_ts - INTERVAL 1 HOUR
 )
 """
 
@@ -156,7 +156,7 @@ SELECT CAST(epoch(s.step_ts) AS BIGINT) AS step_s, e.event_type,
        CAST(e.user_id AS BIGINT) AS user_id,
        ROUND(regr_slope(e.value, epoch(e.ts)), 6) AS value
 FROM steps s JOIN events e
-  ON e.ts <= s.step_ts AND e.ts > s.step_ts - INTERVAL 6 HOUR
+  ON e.ts <= s.step_ts AND e.ts >= s.step_ts - INTERVAL 6 HOUR
 GROUP BY 1, 2, 3
 HAVING COUNT(*) >= 2 AND regr_slope(e.value, epoch(e.ts)) IS NOT NULL
 """
@@ -688,7 +688,231 @@ def q_graphite_text_target(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-4 battery additions: previously pytest-only operator families
+# (comparisons+bool, label ops, PromQL holt_winters, delta/irate/idelta,
+# graphite applyByNode) each get a driver-checked oracle entry.
+# ---------------------------------------------------------------------------
+
+
+def q_compare_bool(spark, sf_dir):
+    """Scalar comparison in both modes (``comparison.go:33-48``):
+    filter form keeps matching samples; ``bool`` form emits 0/1."""
+    from .operators.binary import scalar_compare
+
+    g = _grid(spark, sf_dir).where(F.col("value").isNotNull())
+    filt = _series_proj(scalar_compare(g, ">", 150.0)).select(
+        "step_s", "event_type", "user_id",
+        F.lit("filter").alias("mode"), "value",
+    )
+    b = _series_proj(scalar_compare(g, ">", 150.0, bool_mode=True)).select(
+        "step_s", "event_type", "user_id",
+        F.lit("bool").alias("mode"), "value",
+    )
+    return filt.unionByName(b)
+
+
+ORACLE_COMPARE_BOOL = f"""{_LASTV_SQL}
+SELECT CAST(epoch(step_ts) AS BIGINT) AS step_s, event_type,
+       CAST(user_id AS BIGINT) AS user_id, 'filter' AS mode,
+       ROUND(v, 6) AS value
+FROM lastv WHERE v > 150
+UNION ALL
+SELECT CAST(epoch(step_ts) AS BIGINT) AS step_s, event_type,
+       CAST(user_id AS BIGINT) AS user_id, 'bool' AS mode,
+       CASE WHEN v > 150 THEN 1.0 ELSE 0.0 END AS value
+FROM lastv
+"""
+
+
+def q_label_ops(spark, sf_dir):
+    """label_replace + label_join (tag/replace.go:35, tag/join.go:35):
+    shard := first digit of user_id; ukey := event_type-user_id."""
+    from .operators.linear import label_join, label_replace
+
+    g = _grid(spark, sf_dir).where(F.col("value").isNotNull())
+    g = label_replace(g, "shard", "s$1", "user_id", "([0-9]).*")
+    g = label_join(g, "ukey", "-", ["event_type", "user_id"])
+    return g.select(
+        _epoch(),
+        F.col("tags").getItem("event_type").alias("event_type"),
+        F.col("tags").getItem("user_id").cast("bigint").alias("user_id"),
+        F.col("tags").getItem("shard").alias("shard"),
+        F.col("tags").getItem("ukey").alias("ukey"),
+        F.round(F.col("value"), 6).alias("value"),
+    )
+
+
+ORACLE_LABEL_OPS = f"""{_LASTV_SQL}
+SELECT CAST(epoch(step_ts) AS BIGINT) AS step_s, event_type,
+       CAST(user_id AS BIGINT) AS user_id,
+       's' || substr(CAST(user_id AS VARCHAR), 1, 1) AS shard,
+       event_type || '-' || CAST(user_id AS VARCHAR) AS ukey,
+       ROUND(v, 6) AS value
+FROM lastv
+"""
+
+
+def q_promql_holt_winters(spark, sf_dir):
+    """holt_winters(v[6h], 0.5, 0.5) hourly — the PromQL double
+    exponential smoothing (``temporal/holt_winters.go:35``), pandas-tier
+    numpy kernel; the oracle folds the identical recurrence with
+    DuckDB's list_reduce."""
+    from .operators.temporal import holt_winters
+
+    s = read_samples(spark, sf_dir)
+    out = holt_winters(s, 6 * 3600, START, END, STEP_S, sf=0.5, tf=0.5)
+    return _series_proj(out)
+
+
+# acc = [s, b]; x = [v, _]; sf = tf = 0.5 (exact binary fractions, so
+# both engines parse identical constants); arithmetic order mirrors
+# _holt_winters_kernel term-for-term for bitwise-equal folds.
+ORACLE_PROMQL_HW = f"""WITH steps AS ({_STEPS_SQL}),
+win AS (
+  SELECT s.step_ts, e.event_type, e.user_id,
+         list(e.value ORDER BY e.ts) AS vs
+  FROM steps s JOIN events e
+    ON e.ts <= s.step_ts AND e.ts >= s.step_ts - INTERVAL 6 HOUR
+  GROUP BY 1, 2, 3
+  HAVING COUNT(*) >= 2
+)
+SELECT CAST(epoch(step_ts) AS BIGINT) AS step_s, event_type,
+       CAST(user_id AS BIGINT) AS user_id,
+       ROUND(list_reduce(
+         list_prepend([vs[2], vs[2] - vs[1]],
+                      list_transform(vs[3:], x -> [x, 0.0])),
+         (acc, x) -> [0.5 * x[1] + 0.5 * (acc[1] + acc[2]),
+                      0.5 * ((0.5 * x[1] + 0.5 * (acc[1] + acc[2])) - acc[1])
+                        + 0.5 * acc[2]]
+       )[1], 6) AS value
+FROM win
+"""
+
+
+def q_delta(spark, sf_dir):
+    """delta(v[6h]) — gauge extrapolation: the rate algorithm minus
+    counter-reset correction and the zero clamp (rate.go:150-240)."""
+    from .operators.temporal import rate as rate_op
+
+    s = read_samples(spark, sf_dir)
+    return _series_proj(rate_op(s, "delta", 6 * 3600, START, END, STEP_S))
+
+
+ORACLE_DELTA = f"""WITH steps AS ({_STEPS_SQL}),
+win AS (
+  SELECT s.step_ts, e.event_type, e.user_id, COUNT(*) AS n,
+         epoch_us(MIN(e.ts)) / 1e6 AS t0s, epoch_us(MAX(e.ts)) / 1e6 AS t1s,
+         epoch_us(s.step_ts) / 1e6 AS tss,
+         arg_max(e.value, e.ts) - arg_min(e.value, e.ts) AS result
+  FROM steps s JOIN events e
+    ON e.ts <= s.step_ts AND e.ts >= s.step_ts - INTERVAL 6 HOUR
+  GROUP BY s.step_ts, e.event_type, e.user_id
+),
+ext AS (
+  SELECT step_ts, event_type, user_id, result,
+         t1s - t0s AS sampled,
+         (t1s - t0s) / (n - 1) AS avg_dur,
+         tss - t1s AS dur_end,
+         t0s - (tss - 21600.0) AS dur_start
+  FROM win WHERE n >= 2
+)
+SELECT CAST(epoch(step_ts) AS BIGINT) AS step_s, event_type,
+       CAST(user_id AS BIGINT) AS user_id,
+       ROUND(result * ((sampled
+         + CASE WHEN dur_start < avg_dur * 1.1 THEN dur_start
+                ELSE avg_dur / 2 END
+         + CASE WHEN dur_end < avg_dur * 1.1 THEN dur_end
+                ELSE avg_dur / 2 END) / sampled), 6) AS value
+FROM ext WHERE sampled > 0
+"""
+
+
+def q_irate_idelta(spark, sf_dir):
+    """irate/idelta (rate.go irate path): last two samples in the
+    window, stacked with a ``kind`` discriminator."""
+    from .operators.temporal import rate as rate_op
+
+    s = read_samples(spark, sf_dir)
+    ir = _series_proj(
+        rate_op(s, "irate", 6 * 3600, START, END, STEP_S)
+    ).select(
+        "step_s", "event_type", "user_id",
+        F.lit("irate").alias("kind"), "value",
+    )
+    idl = _series_proj(
+        rate_op(s, "idelta", 6 * 3600, START, END, STEP_S)
+    ).select(
+        "step_s", "event_type", "user_id",
+        F.lit("idelta").alias("kind"), "value",
+    )
+    return ir.unionByName(idl)
+
+
+ORACLE_IRATE_IDELTA = f"""WITH steps AS ({_STEPS_SQL}),
+ranked AS (
+  SELECT s.step_ts, e.event_type, e.user_id, e.ts, e.value,
+         ROW_NUMBER() OVER (
+           PARTITION BY s.step_ts, e.event_type, e.user_id
+           ORDER BY e.ts DESC
+         ) AS rn
+  FROM steps s JOIN events e
+    ON e.ts <= s.step_ts AND e.ts >= s.step_ts - INTERVAL 6 HOUR
+),
+lastpair AS (
+  SELECT step_ts, event_type, user_id,
+         MAX(CASE WHEN rn = 1 THEN value END) AS v1,
+         MAX(CASE WHEN rn = 2 THEN value END) AS v0,
+         epoch_us(MAX(CASE WHEN rn = 1 THEN ts END)) / 1e6 AS t1,
+         epoch_us(MAX(CASE WHEN rn = 2 THEN ts END)) / 1e6 AS t0
+  FROM ranked GROUP BY 1, 2, 3
+  HAVING COUNT(*) >= 2
+)
+SELECT CAST(epoch(step_ts) AS BIGINT) AS step_s, event_type,
+       CAST(user_id AS BIGINT) AS user_id, 'irate' AS kind,
+       ROUND((CASE WHEN v1 < v0 THEN v1 ELSE v1 - v0 END) / (t1 - t0), 6)
+         AS value
+FROM lastpair
+UNION ALL
+SELECT CAST(epoch(step_ts) AS BIGINT) AS step_s, event_type,
+       CAST(user_id AS BIGINT) AS user_id, 'idelta' AS kind,
+       ROUND(v1 - v0, 6) AS value
+FROM lastpair
+"""
+
+
+def q_graphite_apply_by_node(spark, sf_dir):
+    """applyByNode via the compiler (aggregation_functions.go:538): one
+    re-compiled sumSeries sub-target per node-1 prefix, with the
+    bounded prefix collect."""
+    from .graphite.compiler import evaluate
+
+    out = evaluate(
+        _gsamples(spark, sf_dir),
+        'applyByNode(events.*.*, 1, "sumSeries(%.*)", "%.total")',
+        START, END, STEP_S, LOOKBACK_S,
+    )
+    return out.select(
+        _epoch(), F.col("name").alias("path"),
+        F.round(F.col("value"), 6).alias("value"),
+    )
+
+
+ORACLE_GRAPHITE_ABN = f"""{_LASTV_SQL}
+SELECT CAST(epoch(step_ts) AS BIGINT) AS step_s,
+       'events.' || event_type || '.total' AS path,
+       ROUND(SUM(v), 6) AS value
+FROM lastv GROUP BY 1, 2
+"""
+
+
 RELATIONAL_QUERIES = {
+    "promql_compare_bool": (q_compare_bool, ORACLE_COMPARE_BOOL),
+    "promql_label_ops": (q_label_ops, ORACLE_LABEL_OPS),
+    "promql_holt_winters": (q_promql_holt_winters, ORACLE_PROMQL_HW),
+    "promql_delta": (q_delta, ORACLE_DELTA),
+    "promql_irate_idelta": (q_irate_idelta, ORACLE_IRATE_IDELTA),
+    "graphite_apply_by_node": (q_graphite_apply_by_node, ORACLE_GRAPHITE_ABN),
     "events_props_json": (q_events_props_json, ORACLE_EVENTS_PROPS),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, ORACLE_DEDUP_EMBEDDING),
     "graphite_text_target": (q_graphite_text_target, ORACLE_GRAPHITE_GBN),
