@@ -82,6 +82,44 @@ def to_graphite_render(result: DataFrame) -> list[dict]:
     ]
 
 
+def to_graphite_pickle(
+    result: DataFrame, start_s: int, end_s: int, step_s: int
+) -> bytes:
+    """Graphite pickle render (``render_parser.go:234-265`` +
+    ``graphite/pickle/pickle_writer.go``): a pickled list of
+    ``{name, start, end, step, values}`` dicts, where ``values`` is the
+    DENSE per-step list with ``None`` for missing points (the reference
+    writer converts NaN → None, :108-111).
+
+    The reference hand-writes pickle opcodes because Go has no pickle;
+    Python's stdlib IS the wire format, so ``pickle.dumps`` at protocol
+    2 (what graphite-web speaks) is the whole implementation.
+    """
+    import pickle
+
+    rows = result.select("step_ts", "name", "series_id", "value").collect()
+    n_steps = int((end_s - start_s) // step_s) + 1
+    series: dict[str, list] = {}
+    for r in rows:
+        name = r["name"] or r["series_id"]
+        vals = series.setdefault(name, [None] * n_steps)
+        i = int((r["step_ts"].timestamp() - start_s) // step_s)
+        if 0 <= i < n_steps:
+            v = r["value"]
+            vals[i] = None if v is None or math.isnan(v) else float(v)
+    out = [
+        {
+            "name": name,
+            "start": int(start_s),
+            "end": int(end_s),
+            "step": int(step_s),
+            "values": vals,
+        }
+        for name, vals in sorted(series.items())
+    ]
+    return pickle.dumps(out, protocol=2)
+
+
 def _fmt(v: float) -> str:
     if math.isnan(v):
         return "NaN"

@@ -906,7 +906,41 @@ FROM lastv GROUP BY 1, 2
 """
 
 
+def q_meta_labels_complete(spark, sf_dir):
+    """label names (/api/v1/labels, list_tags.go:47) + complete_tags
+    (complete_tags.go) stacked with a ``kind`` discriminator; values
+    CSV-joined so the driver hash sees one deterministic row per label."""
+    from .functions.metadata import complete_tags, label_names
+
+    s = read_samples(spark, sf_dir)
+    names = label_names(s).select(
+        "label",
+        F.lit(None).cast("string").alias("values_csv"),
+        F.lit("names").alias("kind"),
+    )
+    ct = complete_tags(s, key_prefix="event").select(
+        "label",
+        F.array_join(F.col("values"), ",").alias("values_csv"),
+        F.lit("complete").alias("kind"),
+    )
+    return names.unionByName(ct)
+
+
+ORACLE_META_LABELS = """
+SELECT 'event_type' AS label, CAST(NULL AS VARCHAR) AS values_csv,
+       'names' AS kind
+UNION ALL
+SELECT 'user_id', NULL, 'names'
+UNION ALL
+SELECT 'event_type',
+       (SELECT string_agg(event_type, ',')
+        FROM (SELECT DISTINCT event_type FROM events ORDER BY event_type)),
+       'complete'
+"""
+
+
 RELATIONAL_QUERIES = {
+    "meta_labels_complete": (q_meta_labels_complete, ORACLE_META_LABELS),
     "promql_compare_bool": (q_compare_bool, ORACLE_COMPARE_BOOL),
     "promql_label_ops": (q_label_ops, ORACLE_LABEL_OPS),
     "promql_holt_winters": (q_promql_holt_winters, ORACLE_PROMQL_HW),

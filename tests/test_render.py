@@ -43,3 +43,23 @@ def test_graphite_render(spark):
     out = to_graphite_render(grid)
     assert out[0]["target"] == "a.b"
     assert [v for v, _t in out[0]["datapoints"]] == [0.0, 1.0, 2.0]
+
+
+def test_graphite_pickle_render(spark):
+    """Pickle render: dense per-step values with None gaps, the
+    renderResultsPickle dict shape, loadable by stdlib pickle."""
+    import pickle
+
+    from m3_spark.functions.render import to_graphite_pickle
+
+    rows = [("a.b", {}, T0, 1.0), ("a.b", {}, T0 + 120, 3.0),
+            ("c.d", {}, T0 + 60, 2.0)]
+    samples = make_samples(spark, rows)
+    grid = consolidate(samples, T0, T0 + 120, 60, 30)
+    got = pickle.loads(to_graphite_pickle(grid, T0, T0 + 120, 60))
+    assert [s["name"] for s in got] == ["a.b", "c.d"]
+    ab = got[0]
+    assert (ab["start"], ab["end"], ab["step"]) == (T0, T0 + 120, 60)
+    # thr = max(lookback, step) = 60s: values carry one step forward
+    assert ab["values"] == [1.0, 1.0, 3.0]
+    assert got[1]["values"] == [None, 2.0, 2.0]
