@@ -939,8 +939,101 @@ SELECT 'event_type',
 """
 
 
+def q_promql_text_offset(spark, sf_dir):
+    """PromQL `offset` through the text front-end: the selector's
+    evaluation instant shifts back 1h (functions/lazy/base.go:34)."""
+    from .plans.engine import query_range
+
+    s = read_samples(spark, sf_dir)
+    out = query_range(
+        s,
+        'sum by (event_type) ({user_id=~".+"} offset 1h)',
+        START, END, STEP_S, LOOKBACK_S,
+    )
+    return out.select(
+        _epoch(),
+        F.col("tags").getItem("event_type").alias("event_type"),
+        F.round(F.col("value"), 6).alias("value"),
+    )
+
+
+ORACLE_PROMQL_OFFSET = f"""WITH steps AS ({_STEPS_SQL}),
+lastv AS (
+  SELECT s.step_ts, e.event_type, e.user_id, arg_max(e.value, e.ts) AS v
+  FROM steps s JOIN events e
+    ON e.ts <= s.step_ts - INTERVAL 1 HOUR
+   AND e.ts >= s.step_ts - INTERVAL 2 HOUR
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(epoch(step_ts) AS BIGINT) AS step_s, event_type,
+       ROUND(SUM(v), 6) AS value
+FROM lastv GROUP BY 1, 2"""
+
+
+_DT_FUNCS = [
+    "hour", "minute", "month", "year", "day_of_month", "day_of_week",
+    "days_in_month",
+]
+
+_DT_SQL = {
+    "hour": "date_part('hour', sts)",
+    "minute": "date_part('minute', sts)",
+    "month": "date_part('month', sts)",
+    "year": "date_part('year', sts)",
+    "day_of_month": "date_part('day', sts)",
+    "day_of_week": "date_part('dow', sts)",  # 0=Sunday, same as PromQL
+    "days_in_month": "date_part('day', last_day(sts))",
+}
+
+
+def q_promql_datetime(spark, sf_dir):
+    """The datetime family over timestamp(v) (linear/datetime.go:37-63 +
+    unconsolidated/timestamp.go:38): each function applied to the
+    underlying sample timestamp, stacked with a ``func`` column."""
+    from functools import reduce
+
+    from .plans.engine import query_range
+
+    s = read_samples(spark, sf_dir)
+    parts = []
+    for fn in _DT_FUNCS:
+        out = query_range(
+            s,
+            f'{fn}(timestamp({{user_id=~".+"}}))',
+            START, END, STEP_S, LOOKBACK_S,
+        )
+        parts.append(
+            out.where(F.col("value").isNotNull()).select(
+                _epoch(),
+                F.col("tags").getItem("event_type").alias("event_type"),
+                F.col("tags").getItem("user_id").cast("bigint").alias("user_id"),
+                F.lit(fn).alias("func"),
+                F.round(F.col("value"), 6).alias("value"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+ORACLE_PROMQL_DATETIME = f"""WITH steps AS ({_STEPS_SQL}),
+lastt AS (
+  SELECT s.step_ts, e.event_type, e.user_id, MAX(e.ts) AS sts
+  FROM steps s JOIN events e
+    ON e.ts <= s.step_ts AND e.ts >= s.step_ts - INTERVAL 1 HOUR
+  GROUP BY 1, 2, 3
+)
+""" + "\nUNION ALL\n".join(
+    f"""SELECT CAST(epoch(step_ts) AS BIGINT) AS step_s, event_type,
+       CAST(user_id AS BIGINT) AS user_id, '{fn}' AS func,
+       ROUND(CAST({expr} AS DOUBLE), 6) AS value
+FROM lastt"""
+    for fn, expr in _DT_SQL.items()
+)
+
+
 RELATIONAL_QUERIES = {
     "meta_labels_complete": (q_meta_labels_complete, ORACLE_META_LABELS),
+    "promql_text_offset": (q_promql_text_offset, ORACLE_PROMQL_OFFSET),
+    "promql_datetime": (q_promql_datetime, ORACLE_PROMQL_DATETIME),
     "promql_compare_bool": (q_compare_bool, ORACLE_COMPARE_BOOL),
     "promql_label_ops": (q_label_ops, ORACLE_LABEL_OPS),
     "promql_holt_winters": (q_promql_holt_winters, ORACLE_PROMQL_HW),
