@@ -1030,7 +1030,77 @@ FROM lastt"""
 )
 
 
+def q_ingest_roundtrip(spark, sf_dir):
+    """Wire-format ingest round-trip (carbon/influx/JSON parsers,
+    ingest.py): the events table is FORMATTED into each wire format,
+    re-PARSED by the ingest path, and aggregated — the oracle aggregates
+    the table directly, so any parse loss (values, timestamps, tags)
+    breaks the match.  Spark double→string is shortest-round-trip repr,
+    so values survive exactly."""
+    from functools import reduce
+
+    from .sources.ingest import parse_carbon, parse_influx, parse_json_write
+
+    ev = read_table(spark, sf_dir, "events")
+    vs = F.col("value").cast("string")
+    uid = F.col("user_id").cast("string")
+    ns = (F.unix_micros(F.col("ts")) * 1000).cast("string")
+    sec = (F.unix_micros(F.col("ts")) / F.lit(1e6)).cast("string")
+    influx_lines = ev.select(
+        F.concat(
+            F.lit("events,event_type="), F.col("event_type"),
+            F.lit(",user_id="), uid,
+            F.lit(" value="), vs, F.lit(" "), ns,
+        ).alias("value")
+    )
+    carbon_lines = ev.select(
+        F.concat(
+            F.lit("events."), F.col("event_type"), F.lit(".u"), uid,
+            F.lit(" "), vs, F.lit(" "), sec,
+        ).alias("value")
+    )
+    json_lines = ev.select(
+        F.to_json(
+            F.struct(
+                F.map_from_arrays(
+                    F.array(F.lit("__name__"), F.lit("event_type"), F.lit("user_id")),
+                    F.array(F.lit("events"), F.col("event_type"), uid),
+                ).alias("tags"),
+                (F.unix_micros(F.col("ts")) / F.lit(1e6)).alias("timestamp"),
+                F.col("value"),
+            )
+        ).alias("value")
+    )
+    parsed = [
+        ("influx", parse_influx(influx_lines),
+         F.col("tags").getItem("event_type")),
+        ("carbon", parse_carbon(carbon_lines),
+         F.col("tags").getItem("__g1__")),
+        ("json", parse_json_write(json_lines),
+         F.col("tags").getItem("event_type")),
+    ]
+    parts = [
+        samples.groupBy(et_col.alias("event_type")).agg(
+            F.count("*").cast("double").alias("n"),
+            F.round(F.sum("value"), 6).alias("vsum"),
+            F.round(F.unix_micros(F.max("ts")) / F.lit(1e6), 6).alias("t_max"),
+        ).select(F.lit(kind).alias("kind"), "event_type", "n", "vsum", "t_max")
+        for kind, samples, et_col in parsed
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+ORACLE_INGEST_ROUNDTRIP = "\nUNION ALL\n".join(
+    f"""SELECT '{kind}' AS kind, event_type,
+       CAST(COUNT(*) AS DOUBLE) AS n, ROUND(SUM(value), 6) AS vsum,
+       ROUND(epoch(MAX(ts)), 6) AS t_max
+FROM events GROUP BY 2"""
+    for kind in ("influx", "carbon", "json")
+)
+
+
 RELATIONAL_QUERIES = {
+    "ingest_roundtrip": (q_ingest_roundtrip, ORACLE_INGEST_ROUNDTRIP),
     "meta_labels_complete": (q_meta_labels_complete, ORACLE_META_LABELS),
     "promql_text_offset": (q_promql_text_offset, ORACLE_PROMQL_OFFSET),
     "promql_datetime": (q_promql_datetime, ORACLE_PROMQL_DATETIME),
