@@ -1099,7 +1099,32 @@ FROM events GROUP BY 2"""
 )
 
 
+def q_m3ql_text(spark, sf_dir):
+    """M3QL pipe-syntax front-end (grammar.peg): fetch | sum | filter,
+    driver-checked (previously bench-only)."""
+    from .plans.m3ql import evaluate as m3ql_eval
+
+    s = read_samples(spark, sf_dir)
+    out = m3ql_eval(
+        s, "fetch name:* | sum event_type | > 100",
+        START, END, STEP_S, LOOKBACK_S,
+    )
+    return out.select(
+        _epoch(),
+        F.col("tags").getItem("event_type").alias("event_type"),
+        F.round(F.col("value"), 6).alias("value"),
+    )
+
+
+ORACLE_M3QL_TEXT = f"""{_LASTV_SQL}
+SELECT CAST(epoch(step_ts) AS BIGINT) AS step_s, event_type,
+       ROUND(SUM(v), 6) AS value
+FROM lastv GROUP BY 1, 2
+HAVING SUM(v) > 100"""
+
+
 RELATIONAL_QUERIES = {
+    "m3ql_text_pipeline": (q_m3ql_text, ORACLE_M3QL_TEXT),
     "ingest_roundtrip": (q_ingest_roundtrip, ORACLE_INGEST_ROUNDTRIP),
     "meta_labels_complete": (q_meta_labels_complete, ORACLE_META_LABELS),
     "promql_text_offset": (q_promql_text_offset, ORACLE_PROMQL_OFFSET),
