@@ -913,9 +913,11 @@ def q_meta_labels_complete(spark, sf_dir):
     from .functions.metadata import complete_tags, label_names
 
     s = read_samples(spark, sf_dir)
+    # empty string, not NULL: a NULL VARCHAR surfaces as NaN in pandas
+    # on the oracle side and breaks the driver's value hash
     names = label_names(s).select(
         "label",
-        F.lit(None).cast("string").alias("values_csv"),
+        F.lit("").alias("values_csv"),
         F.lit("names").alias("kind"),
     )
     ct = complete_tags(s, key_prefix="event").select(
@@ -927,14 +929,13 @@ def q_meta_labels_complete(spark, sf_dir):
 
 
 ORACLE_META_LABELS = """
-SELECT 'event_type' AS label, CAST(NULL AS VARCHAR) AS values_csv,
-       'names' AS kind
+SELECT 'event_type' AS label, '' AS values_csv, 'names' AS kind
 UNION ALL
-SELECT 'user_id', NULL, 'names'
+SELECT 'user_id', '', 'names'
 UNION ALL
 SELECT 'event_type',
-       (SELECT string_agg(event_type, ',')
-        FROM (SELECT DISTINCT event_type FROM events ORDER BY event_type)),
+       (SELECT string_agg(event_type, ',' ORDER BY event_type)
+        FROM (SELECT DISTINCT event_type FROM events)),
        'complete'
 """
 
