@@ -56,14 +56,28 @@ ARITH = {
     "^": lambda l, r: F.pow(l, r),
     "%": _ieee_mod,
 }
-COMPARE = {
-    "==": lambda l, r: l == r,
-    "!=": lambda l, r: l != r,
-    ">": lambda l, r: l > r,
-    "<": lambda l, r: l < r,
-    ">=": lambda l, r: l >= r,
-    "<=": lambda l, r: l <= r,
-}
+def _ieee_cmp(op: str):
+    """IEEE comparison semantics (Go float64): any comparison with NaN
+    is false, EXCEPT ``!=`` which is true.  Spark instead orders NaN as
+    the largest double (NaN > x is true, NaN == NaN is true), which
+    would let NaN series through comparison filters upstream drops."""
+    base = {
+        "==": lambda l, r: l == r,
+        "!=": lambda l, r: l != r,
+        ">": lambda l, r: l > r,
+        "<": lambda l, r: l < r,
+        ">=": lambda l, r: l >= r,
+        "<=": lambda l, r: l <= r,
+    }[op]
+
+    def f(l: Column, r: Column) -> Column:
+        nan = F.isnan(l) | F.isnan(r)
+        return F.when(nan, F.lit(op == "!=")).otherwise(base(l, r))
+
+    return f
+
+
+COMPARE = {op: _ieee_cmp(op) for op in ("==", "!=", ">", "<", ">=", "<=")}
 
 
 def _match_sig(

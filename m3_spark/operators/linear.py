@@ -40,11 +40,23 @@ def _ieee_log(fn):
     return wrapped
 
 
+def _ieee_intop(fn):
+    """Go math.Ceil/Floor pass NaN and ±Inf through; Spark's ceil/floor
+    return BIGINT (NULL/overflow on non-finite input)."""
+
+    def wrapped(c):
+        return F.when(F.isnan(c) | (F.abs(c) == F.lit(float("inf"))), c).otherwise(
+            fn(c).cast("double")
+        )
+
+    return wrapped
+
+
 _MATH = {
     "abs": F.abs,
-    "ceil": F.ceil,
+    "ceil": _ieee_intop(F.ceil),
     "exp": F.exp,
-    "floor": F.floor,
+    "floor": _ieee_intop(F.floor),
     "ln": _ieee_log(F.log),
     "log2": _ieee_log(F.log2),
     "log10": _ieee_log(F.log10),
@@ -57,12 +69,24 @@ def math_fn(grid: DataFrame, func: str) -> DataFrame:
     return grid.withColumn("value", out.cast("double"))
 
 
+def _nan_through(col: Column, clamped: Column) -> Column:
+    # Go math.Max/Min propagate NaN; Spark's greatest/least order NaN
+    # as the largest double (least(NaN, mx) would return mx)
+    return F.when(F.isnan(col), col).otherwise(clamped)
+
+
 def clamp_min(grid: DataFrame, mn: float) -> DataFrame:
-    return grid.withColumn("value", F.greatest(F.col("value"), F.lit(float(mn))))
+    v = F.col("value")
+    return grid.withColumn(
+        "value", _nan_through(v, F.greatest(v, F.lit(float(mn))))
+    )
 
 
 def clamp_max(grid: DataFrame, mx: float) -> DataFrame:
-    return grid.withColumn("value", F.least(F.col("value"), F.lit(float(mx))))
+    v = F.col("value")
+    return grid.withColumn(
+        "value", _nan_through(v, F.least(v, F.lit(float(mx))))
+    )
 
 
 def round_to(grid: DataFrame, to: float = 1.0) -> DataFrame:

@@ -303,6 +303,40 @@ eval instant at 50m sum(hr{foo=""})
 
 eval instant at 50m sum(hr{instance=~"0|"})
   {} 100
+
+# IEEE NaN discipline: comparisons with NaN are false (!= true);
+# clamp/ceil/floor pass NaN and Inf through (Spark's native NaN-as-
+# largest ordering and bigint ceil/floor would all differ here)
+load 5m
+  nx{k="nan"} NaN NaN NaN
+  nx{k="num"} 500 500 500
+
+eval instant at 10m nx > 350
+  nx{k="num"} 500
+
+eval instant at 10m nx == bool nx
+  {k="nan"} 0
+  {k="num"} 1
+
+eval instant at 10m nx != bool nx
+  {k="nan"} 1
+  {k="num"} 0
+
+eval instant at 10m clamp_max(nx, 100)
+  {k="nan"} NaN
+  {k="num"} 100
+
+eval instant at 10m clamp_min(nx, 600)
+  {k="nan"} NaN
+  {k="num"} 600
+
+eval instant at 10m ceil(nx / 0)
+  {k="nan"} NaN
+  {k="num"} +Inf
+
+eval instant at 10m floor(nx)
+  {k="nan"} NaN
+  {k="num"} 500
 """
 
 
