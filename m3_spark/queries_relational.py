@@ -1124,7 +1124,43 @@ FROM lastv GROUP BY 1, 2
 HAVING SUM(v) > 100"""
 
 
+def q_namespace_roundtrip(spark, sf_dir):
+    """Namespace table round-trip (sources/namespace.py — the fileset
+    analog): events → date-partitioned, series-bucketed parquet →
+    pruned read over 3 days → per-day aggregate vs a direct oracle.
+    Covers the write layout, partition pruning, and read path."""
+    import tempfile
+
+    from .sources.namespace import read_namespace, write_namespace
+
+    path = f"{tempfile.gettempdir()}/m3s_ns_rt_{sf_dir.strip('/').replace('/', '_')}"
+    write_namespace(
+        read_samples(spark, sf_dir), path, bucket_count=8, mode="overwrite"
+    )
+    back = read_namespace(spark, path, start="2024-01-02", end="2024-01-04")
+    return (
+        back.groupBy(
+            F.to_date(F.col("ts")).cast("string").alias("day"),
+            F.col("tags").getItem("event_type").alias("event_type"),
+        )
+        .agg(
+            F.count("*").cast("double").alias("n"),
+            F.round(F.sum("value"), 6).alias("vsum"),
+        )
+    )
+
+
+ORACLE_NAMESPACE_RT = """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+       CAST(COUNT(*) AS DOUBLE) AS n, ROUND(SUM(value), 6) AS vsum
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-02' AND DATE '2024-01-04'
+GROUP BY 1, 2
+"""
+
+
 RELATIONAL_QUERIES = {
+    "namespace_roundtrip": (q_namespace_roundtrip, ORACLE_NAMESPACE_RT),
     "m3ql_text_pipeline": (q_m3ql_text, ORACLE_M3QL_TEXT),
     "ingest_roundtrip": (q_ingest_roundtrip, ORACLE_INGEST_ROUNDTRIP),
     "meta_labels_complete": (q_meta_labels_complete, ORACLE_META_LABELS),
