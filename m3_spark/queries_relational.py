@@ -1129,11 +1129,16 @@ def q_namespace_roundtrip(spark, sf_dir):
     analog): events → date-partitioned, series-bucketed parquet →
     pruned read over 3 days → per-day aggregate vs a direct oracle.
     Covers the write layout, partition pruning, and read path."""
-    import tempfile
+    import os
 
     from .sources.namespace import read_namespace, write_namespace
 
-    path = f"{tempfile.gettempdir()}/m3s_ns_rt_{sf_dir.strip('/').replace('/', '_')}"
+    # scratch lives inside the repo (.gitignored): the sandbox contract
+    # is that nothing outside the repo tree is written
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(
+        root, ".scratch", f"ns_rt_{sf_dir.strip('/').replace('/', '_')}"
+    )
     write_namespace(
         read_samples(spark, sf_dir), path, bucket_count=8, mode="overwrite"
     )
