@@ -228,6 +228,28 @@ def _range_sel(e: Call, idx: int):
     raise TypeError(f"{e.func} requires a range selector or subquery")
 
 
+def _with_absent_labels(out: DataFrame, arg) -> DataFrame:
+    """Upstream absent()/absent_over_time() semantics (and the
+    reference's common-tag pull, aggregation/absent.go:110):
+    equality-matcher labels appear on the result series."""
+    if isinstance(arg, Selector):
+        eqs = {
+            key: val
+            for kind, key, val in arg.matchers
+            if kind == "=" and key != "__name__" and val
+        }
+        if eqs:
+            tags_map = F.create_map(
+                *[
+                    x
+                    for k, v in sorted(eqs.items())
+                    for x in (F.lit(k), F.lit(v))
+                ]
+            )
+            out = out.withColumn("tags", tags_map)
+    return out
+
+
 def _eval_call(e: Call, ctx: Context):
     f = e.func
     # `f(m[r] @ t)`: evaluate the temporal call once at the fixed
@@ -340,27 +362,25 @@ def _eval_call(e: Call, ctx: Context):
     if f == "absent":
         grid = _vector(ctx, e.args[0])
         steps = step_grid(ctx.samples.sparkSession, ctx.start, ctx.end, ctx.step_s)
-        out = absent(grid, steps)
-        # upstream semantics (and the reference's common-tag pull,
-        # aggregation/absent.go:110): equality-matcher labels appear
-        # on the result series
-        arg = e.args[0]
-        if isinstance(arg, Selector):
-            eqs = {
-                key: val
-                for kind, key, val in arg.matchers
-                if kind == "=" and key != "__name__" and val
-            }
-            if eqs:
-                tags_map = F.create_map(
-                    *[
-                        x
-                        for k, v in sorted(eqs.items())
-                        for x in (F.lit(k), F.lit(v))
-                    ]
-                )
-                out = out.withColumn("tags", tags_map)
-        return out
+        return _with_absent_labels(absent(grid, steps), e.args[0])
+    if f == "absent_over_time":
+        # 1 at steps whose RANGE window holds no sample (upstream
+        # functions.go absentOverTime; the reference's native engine
+        # fails these — its corpus cases are FAILING-commented)
+        sel = _range_sel(e, 0)
+        src, rng = _range_input(ctx, sel)
+        steps = step_grid(ctx.samples.sparkSession, ctx.start, ctx.end, ctx.step_s)
+        present = (
+            over_time(src, "present", rng, ctx.start, ctx.end, ctx.step_s)
+            .select("step_ts")
+            .distinct()
+        )
+        out = steps.join(present, "step_ts", "left_anti").select(
+            "step_ts",
+            empty_tags_col().alias("tags"),
+            F.lit(1.0).alias("value"),
+        )
+        return _with_absent_labels(out, sel)
     if f == "vector":
         val = _eval(e.args[0], ctx)
         if isinstance(val, DataFrame):  # vector(scalar(v)) / vector(time())

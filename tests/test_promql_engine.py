@@ -185,6 +185,18 @@ eval instant at 25m sparse
 eval instant at 20m absent(sparse)
   {} 1
 
+# absent_over_time: the closed [t-r, t] window holds no sample
+eval instant at 20m absent_over_time(sparse[10m])
+  {} 1
+
+eval instant at 25m absent_over_time(sparse[10m])
+
+eval instant at 25m absent_over_time(nonexistent[10m])
+  {} 1
+
+eval instant at 25m absent_over_time(nonexistent{job="x"}[10m])
+  {job="x"} 1
+
 # vector matching label rules + group_left + label functions
 load 5m
   req{job="api", instance="0", group="prod"} 0+10x10
