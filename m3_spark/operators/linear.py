@@ -61,6 +61,23 @@ _MATH = {
     "log2": _ieee_log(F.log2),
     "log10": _ieee_log(F.log10),
     "sqrt": F.sqrt,
+    # v2.26+/v2.31 additions the reference's vendored engine exposes
+    # (functions.go sgn + trigonometric family); all Java-IEEE already
+    "sgn": F.signum,
+    "sin": F.sin,
+    "cos": F.cos,
+    "tan": F.tan,
+    "asin": F.asin,
+    "acos": F.acos,
+    "atan": F.atan,
+    "sinh": F.sinh,
+    "cosh": F.cosh,
+    "tanh": F.tanh,
+    "asinh": F.asinh,
+    "acosh": F.acosh,
+    "atanh": F.atanh,
+    "deg": F.degrees,
+    "rad": F.radians,
 }
 
 

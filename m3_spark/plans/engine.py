@@ -58,7 +58,11 @@ _TEMPORAL_OVER_TIME = {
     for f in ["sum", "avg", "min", "max", "count", "stddev", "stdvar", "last", "present"]
 }
 _RATE_FUNCS = {"rate", "increase", "delta", "irate", "idelta"}
-_MATH_FUNCS = {"abs", "ceil", "exp", "floor", "ln", "log2", "log10", "sqrt"}
+_MATH_FUNCS = {
+    "abs", "ceil", "exp", "floor", "ln", "log2", "log10", "sqrt",
+    "sgn", "sin", "cos", "tan", "asin", "acos", "atan",
+    "sinh", "cosh", "tanh", "asinh", "acosh", "atanh", "deg", "rad",
+}
 _DATETIME_FUNCS = {
     "day_of_month", "day_of_week", "days_in_month", "hour", "minute",
     "month", "year",
@@ -315,6 +319,10 @@ def _eval_call(e: Call, ctx: Context):
             src, rng, ctx.start, ctx.end, ctx.step_s,
             sf=_eval(e.args[1], ctx), tf=_eval(e.args[2], ctx),
         )
+    if f == "pi":
+        import math as _m
+
+        return float(_m.pi)
     if f in _MATH_FUNCS:
         arg = _eval(e.args[0], ctx)
         if isinstance(arg, float):  # scalar math folds in python
@@ -324,6 +332,12 @@ def _eval_call(e: Call, ctx: Context):
                 "abs": abs, "ceil": _m.ceil, "exp": _m.exp,
                 "floor": _m.floor, "ln": _m.log, "log2": _m.log2,
                 "log10": _m.log10, "sqrt": _m.sqrt,
+                "sgn": lambda x: float((x > 0) - (x < 0)),
+                "sin": _m.sin, "cos": _m.cos, "tan": _m.tan,
+                "asin": _m.asin, "acos": _m.acos, "atan": _m.atan,
+                "sinh": _m.sinh, "cosh": _m.cosh, "tanh": _m.tanh,
+                "asinh": _m.asinh, "acosh": _m.acosh, "atanh": _m.atanh,
+                "deg": _m.degrees, "rad": _m.radians,
             }
             return float(fns[f](arg))
         return L.math_fn(arg, f)

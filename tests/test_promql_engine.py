@@ -349,6 +349,32 @@ eval instant at 10m ceil(nx / 0)
 eval instant at 10m floor(nx)
   {k="nan"} NaN
   {k="num"} 500
+
+# sgn + trig family (vendored-engine v2.26/v2.31 surface)
+load 5m
+  tg{s="neg"} -4+0x10
+  tg{s="zero"} 0+0x10
+  tg{s="pos"} 9+0x10
+
+eval instant at 50m sgn(tg)
+  {s="neg"} -1
+  {s="zero"} 0
+  {s="pos"} 1
+
+eval instant at 50m deg(pi())
+  180
+
+eval instant at 50m cos(tg{s="zero"})
+  {s="zero"} 1
+
+eval instant at 50m atan(tg{s="zero"}) + sinh(tg{s="zero"}) + tanh(tg{s="zero"})
+  {s="zero"} 0
+
+eval instant at 50m rad(deg(tg{s="pos"}))
+  {s="pos"} 9
+
+eval instant at 50m acosh(cosh(tg{s="pos"} / 9))
+  {s="pos"} 1
 """
 
 
