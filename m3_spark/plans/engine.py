@@ -130,8 +130,9 @@ def _eval(e, ctx: Context):
             # `@ t`: evaluate once at the fixed instant, replicate the
             # result across every output step (upstream semantics; the
             # reference supports @ only via its vendored engine)
+            at = _resolve_at(e.at_s, ctx)
             inst = consolidate(
-                _shifted(ctx, e), e.at_s, e.at_s, 1, ctx.lookback_s
+                _shifted(ctx, e), at, at, 1, ctx.lookback_s
             ).where(F.col("value").isNotNull())
             steps = step_grid(
                 ctx.samples.sparkSession, ctx.start, ctx.end, ctx.step_s
@@ -232,6 +233,17 @@ def _range_sel(e: Call, idx: int):
     raise TypeError(f"{e.func} requires a range selector or subquery")
 
 
+def _resolve_at(at, ctx: Context):
+    """`@ start()` / `@ end()` sentinels → the query window bounds."""
+    from ..operators.consolidate import _epoch_s
+
+    if at == "start":
+        return _epoch_s(ctx.start)
+    if at == "end":
+        return _epoch_s(ctx.end)
+    return at
+
+
 def _with_absent_labels(out: DataFrame, arg) -> DataFrame:
     """Upstream absent()/absent_over_time() semantics (and the
     reference's common-tag pull, aggregation/absent.go:110):
@@ -278,7 +290,8 @@ def _eval_call(e: Call, ctx: Context):
                 for i, a in enumerate(e.args)
             ),
         )
-        inner_ctx = Context(ctx.samples, sel.at_s, sel.at_s, 1, ctx.lookback_s)
+        at = _resolve_at(sel.at_s, ctx)
+        inner_ctx = Context(ctx.samples, at, at, 1, ctx.lookback_s)
         inst = _eval_call(stripped, inner_ctx)
         steps = step_grid(ctx.samples.sparkSession, ctx.start, ctx.end, ctx.step_s)
         keep = [c for c in inst.columns if c != "step_ts"]

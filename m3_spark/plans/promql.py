@@ -45,7 +45,9 @@ class Selector:
     matchers: tuple[tuple[str, str, str], ...]  # (kind, key, value)
     range_s: float | None = None
     offset_s: float = 0.0
-    at_s: float | None = None  # `@ <epoch>` modifier: fixed eval time
+    #: `@` modifier: epoch seconds, or the sentinel strings "start" /
+    #: "end" (resolved against the query window at eval time)
+    at_s: float | str | None = None
 
 
 @dataclass(frozen=True)
@@ -237,25 +239,36 @@ class Parser:
                 e = Subquery(e, _dur_to_s(rng), step_s)
             elif k == "id" and v.lower() == "offset":
                 self.next()
+                sign = 1.0
+                if self.peek()[1] == "-":  # negative offset (v2.26+)
+                    self.next()
+                    sign = -1.0
                 kd, vd = self.next()
                 if kd != "dur":
                     raise SyntaxError("expected duration after offset")
+                off = sign * _dur_to_s(vd)
                 if isinstance(e, Selector):
-                    e = Selector(
-                        e.name, e.matchers, e.range_s, _dur_to_s(vd), e.at_s
-                    )
+                    e = Selector(e.name, e.matchers, e.range_s, off, e.at_s)
                 elif isinstance(e, Subquery):
-                    e = Subquery(e.expr, e.range_s, e.step_s, _dur_to_s(vd))
+                    e = Subquery(e.expr, e.range_s, e.step_s, off)
                 else:
                     raise SyntaxError("offset on non-selector")
             elif v == "@":
                 self.next()
                 kn, vn = self.next()
-                if kn != "num":
-                    raise SyntaxError("expected epoch timestamp after @")
+                if kn == "num":
+                    at = float(vn)
+                elif kn == "id" and vn in ("start", "end"):
+                    # `@ start()` / `@ end()` (v2.29) — resolved against
+                    # the query window at eval time
+                    self.expect("(")
+                    self.expect(")")
+                    at = vn
+                else:
+                    raise SyntaxError("expected epoch, start() or end() after @")
                 if not isinstance(e, Selector):
                     raise SyntaxError("@ modifier on non-selector")
-                e = Selector(e.name, e.matchers, e.range_s, e.offset_s, float(vn))
+                e = Selector(e.name, e.matchers, e.range_s, e.offset_s, at)
             else:
                 return e
 

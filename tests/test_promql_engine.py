@@ -409,6 +409,21 @@ def test_at_modifier(spark):
     ).collect()
     # closed window [10m, 25m] @5m steps → values 20+30+40+50 = 140
     assert len(out) == 1 and out[0]["value"] == 140.0
+    # `@ start()` / `@ end()` resolve against the query window (v2.29)
+    from m3_spark.plans.engine import query_range
+
+    sel = 'http_requests{job="api-server", instance="0", group="production"}'
+    rows = query_range(
+        samples, f"{sel} @ end()", T0 + 1500, T0 + 3000, 300
+    ).collect()
+    assert len(rows) == 6 and {r["value"] for r in rows} == {100.0}
+    rows = query_range(
+        samples, f"{sel} @ start()", T0 + 1500, T0 + 3000, 300
+    ).collect()
+    assert len(rows) == 6 and {r["value"] for r in rows} == {50.0}
+    # negative offset (v2.26): evaluates 5m into the future
+    out = query_instant(samples, f"{sel} offset -5m", T0 + 1500).collect()
+    assert len(out) == 1 and out[0]["value"] == 60.0
 
 
 def test_corpus(spark):
