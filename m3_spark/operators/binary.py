@@ -55,6 +55,7 @@ ARITH = {
     "/": _ieee_div,
     "^": lambda l, r: F.pow(l, r),
     "%": _ieee_mod,
+    "atan2": F.atan2,  # binary operator since v2.31 (vendored engine)
 }
 def _ieee_cmp(op: str):
     """IEEE comparison semantics (Go float64): any comparison with NaN

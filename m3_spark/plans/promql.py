@@ -146,7 +146,7 @@ _PREC = {
     "and": 2, "unless": 2,
     "==": 3, "!=": 3, "<": 3, ">": 3, "<=": 3, ">=": 3,
     "+": 4, "-": 4,
-    "*": 5, "/": 5, "%": 5,
+    "*": 5, "/": 5, "%": 5, "atan2": 5,
     "^": 6,
 }
 _RIGHT = {"^"}
@@ -406,6 +406,7 @@ def _fold(e):
                 "/": _ieee_div(a, b),
                 "%": math.fmod(a, b) if b else float("nan"),
                 "^": _ieee_pow(a, b),
+                "atan2": math.atan2(a, b),
             }
             if e.op in ops:
                 return NumberLit(ops[e.op])

@@ -375,6 +375,12 @@ eval instant at 50m rad(deg(tg{s="pos"}))
 
 eval instant at 50m acosh(cosh(tg{s="pos"} / 9))
   {s="pos"} 1
+
+eval instant at 50m tg{s="pos"} atan2 0
+  {s="pos"} 1.5707963267948966
+
+eval instant at 50m 1 atan2 1
+  0.7853981633974483
 """
 
 
