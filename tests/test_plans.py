@@ -125,6 +125,33 @@ def test_topk_plan_is_salted_two_level(spark):
     assert "_salt" in plan
 
 
+def test_sql_tier_has_no_python_eval(spark):
+    """The SQL-tier operators (over_time, aggregation, binary compare)
+    must stay JVM-side: no Python/Arrow eval nodes in their plans, and
+    whole-stage codegen present.  Python is allowed only in the pandas
+    tier (rate family, holt_winters, matmul ANN)."""
+    from m3_spark.model import read_samples
+    from m3_spark.operators.aggregation import aggregate
+    from m3_spark.operators.binary import scalar_compare
+    from m3_spark.operators.consolidate import consolidate_sparse
+    from m3_spark.operators.temporal import over_time
+
+    s = read_samples(spark, SF_DIR)
+    grid = consolidate_sparse(s, "2024-01-01", "2024-01-02", 3600, 300)
+    cases = [
+        (over_time(s, "max", 3600, "2024-01-01", "2024-01-02", 3600), "Window"),
+        (aggregate(grid, "max", by=["event_type"]), "HashAggregate"),
+        (scalar_compare(grid, ">", 10.0, bool_mode=True), "HashAggregate"),
+    ]
+    for df, jvm_op in cases:
+        plan = _plan(df)
+        # (WholeStageCodegen markers only materialize post-execution
+        # under AQE, so assert the JVM operator + no Python nodes)
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert jvm_op in plan
+
+
 def test_consolidate_dims_join_broadcasts_steps(spark):
     from m3_spark.model import read_samples
     from m3_spark.operators.consolidate import consolidate
