@@ -139,17 +139,20 @@ def test_sql_tier_has_no_python_eval(spark):
     s = read_samples(spark, SF_DIR)
     grid = consolidate_sparse(s, "2024-01-01", "2024-01-02", 3600, 300)
     cases = [
-        (over_time(s, "max", 3600, "2024-01-01", "2024-01-02", 3600), "Window"),
-        (aggregate(grid, "max", by=["event_type"]), "HashAggregate"),
-        (scalar_compare(grid, ">", 10.0, bool_mode=True), "HashAggregate"),
+        (over_time(s, "max", 3600, "2024-01-01", "2024-01-02", 3600), ("Window",)),
+        (aggregate(grid, "max", by=["event_type"]), ("HashAggregate",)),
+        # sparse-consolidate carries map-typed first() aggregates, which
+        # Spark plans as SortAggregate — either aggregate node is JVM-side
+        (scalar_compare(grid, ">", 10.0, bool_mode=True),
+         ("HashAggregate", "SortAggregate")),
     ]
-    for df, jvm_op in cases:
+    for df, jvm_ops in cases:
         plan = _plan(df)
         # (WholeStageCodegen markers only materialize post-execution
         # under AQE, so assert the JVM operator + no Python nodes)
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
-        assert jvm_op in plan
+        assert any(op in plan for op in jvm_ops)
 
 
 def test_consolidate_dims_join_broadcasts_steps(spark):
