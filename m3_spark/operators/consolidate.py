@@ -140,9 +140,20 @@ def consolidate_sparse(
         F.lit((end_us - start_us) // step_us),
         F.floor((t_us + F.lit(thr_us) - F.lit(start_us)) / F.lit(step_us)).cast("long"),
     )
+    # The take-last aggregate carries ONLY primitive columns: any
+    # string/map aggregation buffer (first(name), first(tags), or a
+    # struct max_by ordering key) disqualifies HashAggregateExec and
+    # forces SortAggregate — sorting every EXPANDED row per partition,
+    # ~(thr/step+1)x the sample count.  With (double, long) buffers the
+    # plan is a hash aggregate; (name, tags) re-attach afterwards from
+    # a per-series dims frame aggregated over the unexpanded samples
+    # (AQE broadcasts it when small).  Equal-timestamp tie order is
+    # arbitrary — upstream storage forbids duplicate timestamps per
+    # series (the dense kernel keeps its deterministic ordering for
+    # fill-style consumers).
     expanded = (
         pruned.select(
-            "series_id", "name", "tags", t_us.alias("t_us"), "value",
+            "series_id", t_us.alias("t_us"), "value",
             F.explode(
                 F.when(k_lo <= k_hi, F.sequence(k_lo, k_hi)).otherwise(
                     F.array().cast("array<long>")
@@ -150,14 +161,13 @@ def consolidate_sparse(
             ).alias("k"),
         )
     )
-    # last sample per (series, step); (t_us, value) tiebreak matches
-    # the dense kernel's window ordering
-    out = expanded.groupBy("series_id", "k").agg(
-        F.first("name").alias("name"),
-        F.first("tags").alias("tags"),
-        F.expr("max_by(value, struct(t_us, value))").alias("value"),
+    vals = expanded.groupBy("series_id", "k").agg(
+        F.expr("max_by(value, t_us)").alias("value"),
     )
-    return out.select(
+    dims = pruned.groupBy("series_id").agg(
+        F.first("name").alias("name"), F.first("tags").alias("tags")
+    )
+    return vals.join(dims, "series_id").select(
         F.timestamp_micros(
             F.lit(start_us) + F.col("k") * F.lit(step_us)
         ).alias("step_ts"),
