@@ -50,6 +50,18 @@ def retained_tags_col(
     return F.map_filter(tags, lambda _k, _v: F.lit(False))
 
 
+def sig_json_col(tags: Column) -> Column:
+    """Canonical JSON encoding of a tag map (entries sorted by key).
+
+    Serves as BOTH the aggregation group key and the lossless payload
+    to rebuild ``tags`` afterwards with ``from_json`` — carrying the
+    map itself through ``first()`` would give the aggregate a
+    non-primitive buffer and force SortAggregate over every grid row;
+    with only the string key and primitive value buffers the plan
+    stays a HashAggregate."""
+    return F.to_json(F.map_from_entries(F.array_sort(F.map_entries(tags))))
+
+
 def group_sig_col(tags: Column) -> Column:
     """Deterministic string signature of a tag map (the join/group key).
 
@@ -139,17 +151,20 @@ def aggregate(
 
     g = grid.select(
         "step_ts",
-        retained_tags_col(by, without).alias("tags"),
+        sig_json_col(retained_tags_col(by, without)).alias("sig"),
         "value",
-    ).withColumn("sig", group_sig_col(F.col("tags")))
+    )
     out = g.groupBy("step_ts", "sig").agg(
-        F.first("tags").alias("tags"),
         val.alias("value"),
         F.count(F.col("value")).alias("_present"),
     )
     # Groups where every series is stale emit nothing (reference:
     # all-NaN group → NaN → dropped from output).
-    return out.where(F.col("_present") > 0).select("step_ts", "tags", "value")
+    return out.where(F.col("_present") > 0).select(
+        "step_ts",
+        F.from_json(F.col("sig"), "map<string,string>").alias("tags"),
+        "value",
+    )
 
 
 TOPK_SALT_BUCKETS = 64
@@ -227,11 +242,15 @@ def count_values(
                 ).otherwise(F.col("value").cast("string")),
             ),
         ),
-    ).withColumn("sig", group_sig_col(F.col("tags")))
+    ).select("step_ts", sig_json_col(F.col("tags")).alias("sig"))
     return (
         g.groupBy("step_ts", "sig")
-        .agg(F.first("tags").alias("tags"), F.count("*").cast("double").alias("value"))
-        .select("step_ts", "tags", "value")
+        .agg(F.count("*").cast("double").alias("value"))
+        .select(
+            "step_ts",
+            F.from_json(F.col("sig"), "map<string,string>").alias("tags"),
+            "value",
+        )
     )
 
 
