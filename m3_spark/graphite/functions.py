@@ -283,10 +283,23 @@ def derivative(grid: DataFrame) -> DataFrame:
     return grid.withColumn("value", F.col("value") - F.lag("value").over(w))
 
 
-def non_negative_derivative(grid: DataFrame) -> DataFrame:
+def non_negative_derivative(
+    grid: DataFrame, max_value: float | None = None
+) -> DataFrame:
+    """nonNegativeDerivative(series, maxValue=None) —
+    ``builtin_functions.go:1542-1553``: decreases are NaN (null here),
+    unless ``maxValue`` is given, in which case the counter is assumed
+    to have wrapped at maxValue: (maxValue - prev) + value + 1."""
+    import math as _math
+
     w = Window.partitionBy("series_id").orderBy("step_ts")
-    d = F.col("value") - F.lag("value").over(w)
-    return grid.withColumn("value", F.when(d >= 0, d))
+    prev = F.lag("value").over(w)
+    d = F.col("value") - prev
+    out = F.when(d >= 0, d)
+    if max_value is not None and not _math.isnan(float(max_value)):
+        mv = F.lit(float(max_value))
+        out = out.when(mv >= F.col("value"), mv - prev + F.col("value") + F.lit(1.0))
+    return grid.withColumn("value", out)
 
 
 def per_second(grid: DataFrame, step_s: float) -> DataFrame:
@@ -315,14 +328,28 @@ def transform_null(grid: DataFrame, default: float = 0.0) -> DataFrame:
 
 
 def keep_last_value(grid: DataFrame, limit: int | None = None) -> DataFrame:
-    w = (
-        Window.partitionBy("series_id")
-        .orderBy("step_ts")
-        .rowsBetween(Window.unboundedPreceding if limit is None else -limit, 0)
+    """keepLastValue(series, limit=∞) — ``builtin_functions.go:1360``
+    golden semantics: a gap is filled with the prior value only when the
+    ENTIRE null run is at most ``limit`` long (a longer run stays
+    null throughout — not even its first ``limit`` steps fill).
+    ``limit`` None or negative = unlimited."""
+    w_ord = Window.partitionBy("series_id").orderBy("step_ts")
+    filled = F.last("value", ignorenulls=True).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, 0)
     )
-    return grid.withColumn(
-        "value", F.coalesce(F.col("value"), F.last("value", ignorenulls=True).over(w))
+    if limit is None or int(limit) < 0:
+        return grid.withColumn("value", F.coalesce(F.col("value"), filled))
+    # group id = running non-null count: each null run shares its
+    # anchor value's group; run length = group size - the anchor row
+    grp = F.count("value").over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+    g = grid.withColumn("_grp", grp)
+    w_grp = Window.partitionBy("series_id", "_grp")
+    run_len = F.count("*").over(w_grp) - F.count("value").over(w_grp)
+    out = (
+        F.when(F.col("value").isNotNull(), F.col("value"))
+        .when(run_len <= int(limit), filled)
     )
+    return g.withColumn("value", out).drop("_grp")
 
 
 def is_non_null(grid: DataFrame) -> DataFrame:

@@ -315,3 +315,49 @@ def test_pow_series_null_skip(spark):
     g = _grid_df(spark, {"a": [2.0, None], "b": [None, 4.0], "c": [3.0, 2.0]})
     got = _vals_by_step(gf.REGISTRY["powSeries"](g).collect())
     assert got == {0: 8.0, 1: 16.0}
+
+
+def test_non_negative_derivative_golden(spark):
+    """builtin_functions_test.go TestNonNegativeDerivative: decreases
+    are null without maxValue; with maxValue the counter wraps as
+    (maxValue - prev) + value + 1."""
+    g = _grid_df(spark, {"foo": [10.0, 20.0, 30.0, 5.0, 5.0]})
+    got = [
+        r["value"]
+        for r in gf.non_negative_derivative(g).orderBy("step_ts").collect()
+    ]
+    assert got == [None, 10.0, 10.0, None, 0.0]
+    g2 = _grid_df(spark, {"foo": [50.0, 50.0, 25.0, 250.0, 350.0]})
+    got = [
+        r["value"]
+        for r in gf.non_negative_derivative(g2, 100.0)
+        .orderBy("step_ts")
+        .collect()
+    ]
+    assert got == [None, 0.0, 76.0, 225.0, 100.0]
+
+
+def test_keep_last_value_limit_golden(spark):
+    """builtin_functions_test.go TestKeepLastValue: a null run longer
+    than limit stays ENTIRELY null; runs within limit fill fully."""
+    g = _grid_df(
+        spark,
+        {"foo": [1.0, None, None, None, 3.0, None, None, 2.0]},
+    )
+    got = [
+        r["value"]
+        for r in gf.keep_last_value(g, 2).orderBy("step_ts").collect()
+    ]
+    assert got == [1.0, None, None, None, 3.0, 3.0, 3.0, 2.0]
+    got = [
+        r["value"]
+        for r in gf.keep_last_value(g).orderBy("step_ts").collect()
+    ]
+    assert got == [1.0, 1.0, 1.0, 1.0, 3.0, 3.0, 3.0, 2.0]
+    # leading gap has no anchor → stays null
+    g2 = _grid_df(spark, {"foo": [None, 1.0, None, 3.0]})
+    got = [
+        r["value"]
+        for r in gf.keep_last_value(g2, 1).orderBy("step_ts").collect()
+    ]
+    assert got == [None, 1.0, 1.0, 3.0]
