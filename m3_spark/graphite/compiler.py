@@ -135,7 +135,7 @@ _CONTEXT_FUNCS = {
     "randomWalkFunction", "smartSummarize", "applyByNode",
     "useSeriesAbove", "holtWintersForecast", "holtWintersConfidenceBands",
     "holtWintersAberration", "movingAverage", "movingSum", "movingMin",
-    "movingMax", "movingMedian", "movingWindow",
+    "movingMax", "movingMedian", "movingWindow", "exponentialMovingAverage",
 }
 
 
@@ -214,20 +214,42 @@ def evaluate(
                 ev(args[0], s, e), float(_lit(args[1])), step_s
             )
         if f in ("movingAverage", "movingSum", "movingMin", "movingMax",
-                 "movingMedian"):
-            n = _steps_arg(_lit(args[1]))
-            fn = {
-                "movingAverage": gf.moving_average,
-                "movingSum": gf.moving_sum,
-                "movingMin": gf.moving_min,
-                "movingMax": gf.moving_max,
-                "movingMedian": gf.moving_median,
-            }[f]
-            return fn(ev(args[0], s, e), n)
-        if f == "movingWindow":
-            n = _steps_arg(_lit(args[1]))
-            func = _lit(args[2]) if len(args) > 2 else "avg"
-            return gf.moving_window(ev(args[0], s, e), n, func)
+                 "movingMedian", "movingWindow", "exponentialMovingAverage"):
+            # the reference context-shifts: the inner expression is
+            # fetched over [start - window, end] so the leading output
+            # steps see full windows (newMovingBinaryTransform's
+            # AdjustTimeRange); output trims back to [start, end]
+            arg1 = _lit(args[1])
+            n = _steps_arg(arg1)
+            boot_s = _epoch_s(s) - n * step_s
+            grid = ev(args[0], boot_s, e)
+            if f == "exponentialMovingAverage":
+                # duration form: c = 2/(windowSeconds+1); count form:
+                # 2/(points+1) (builtin_functions.go emaConstant)
+                c = (
+                    2.0 / (_dur_s(arg1) + 1.0)
+                    if isinstance(arg1, str)
+                    else None
+                )
+                out = gf.exponential_moving_average(grid, n, c=c)
+            elif f == "movingWindow":
+                func = _lit(args[2]) if len(args) > 2 else "avg"
+                xff = float(_lit(args[3])) if len(args) > 3 else 0.0
+                out = gf.moving_window(grid, n, func, xff)
+            else:
+                fn = {
+                    "movingAverage": gf.moving_average,
+                    "movingSum": gf.moving_sum,
+                    "movingMin": gf.moving_min,
+                    "movingMax": gf.moving_max,
+                    "movingMedian": gf.moving_median,
+                }[f]
+                xff = float(_lit(args[2])) if len(args) > 2 else 0.0
+                out = fn(grid, n, xff)
+            return out.where(
+                F.col("step_ts")
+                >= F.timestamp_seconds(F.lit(float(_epoch_s(s))))
+            )
         if f == "threshold":
             steps = step_grid(samples.sparkSession, s, e, step_s)
             label = _lit(args[1]) if len(args) > 1 else ""

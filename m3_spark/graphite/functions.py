@@ -216,57 +216,105 @@ def divide_series(grid: DataFrame, divisor: DataFrame) -> DataFrame:
 # moving windows over steps (builtin_functions.go:973+)
 # ---------------------------------------------------------------------------
 
-def _moving(grid: DataFrame, steps: int, agg: Callable[[Column], Column]) -> DataFrame:
+def _moving(
+    grid: DataFrame, steps: int, agg: Callable[[Column], Column],
+    xff: float = 0.0,
+) -> DataFrame:
+    """Moving window = the PREVIOUS ``steps`` points EXCLUDING the
+    current one (reference TestMovingAverageSuccess: the first output
+    is the aggregate of the bootstrap window alone).  ``xff``
+    (xFilesFactor): windows with fewer than xff*steps present points
+    yield null."""
     w = (
         Window.partitionBy("series_id")
         .orderBy("step_ts")
-        .rowsBetween(-(steps - 1), 0)
+        .rowsBetween(-steps, -1)
     )
-    return grid.withColumn("value", agg(F.col("value")).over(w))
+    val = agg(F.col("value")).over(w)
+    if xff and float(xff) > 0.0:
+        present = F.count("value").over(w)
+        val = F.when(present >= F.lit(float(xff)) * F.lit(float(steps)), val)
+    return grid.withColumn("value", val)
 
 
-def moving_average(grid: DataFrame, steps: int) -> DataFrame:
-    return _moving(grid, steps, F.avg)
+def moving_average(grid: DataFrame, steps: int, xff: float = 0.0) -> DataFrame:
+    return _moving(grid, steps, F.avg, xff)
 
 
-def moving_sum(grid: DataFrame, steps: int) -> DataFrame:
-    return _moving(grid, steps, F.sum)
+def moving_sum(grid: DataFrame, steps: int, xff: float = 0.0) -> DataFrame:
+    return _moving(grid, steps, F.sum, xff)
 
 
-def moving_min(grid: DataFrame, steps: int) -> DataFrame:
-    return _moving(grid, steps, F.min)
+def moving_min(grid: DataFrame, steps: int, xff: float = 0.0) -> DataFrame:
+    return _moving(grid, steps, F.min, xff)
 
 
-def moving_max(grid: DataFrame, steps: int) -> DataFrame:
-    return _moving(grid, steps, F.max)
+def moving_max(grid: DataFrame, steps: int, xff: float = 0.0) -> DataFrame:
+    return _moving(grid, steps, F.max, xff)
 
 
-def moving_median(grid: DataFrame, steps: int) -> DataFrame:
-    return _moving(grid, steps, lambda c: F.percentile(c, F.lit(0.5)))
+def moving_median(grid: DataFrame, steps: int, xff: float = 0.0) -> DataFrame:
+    return _moving(grid, steps, lambda c: F.percentile(c, F.lit(0.5)), xff)
 
 
-def exponential_moving_average(grid: DataFrame, steps: int) -> DataFrame:
-    """EMA with constant c = 2/(steps+1) (builtin_functions.go:973):
-    ema_t = c*v_t + (1-c)*ema_{t-1}, seeded with the first value.
+def exponential_moving_average(
+    grid: DataFrame, steps: int, c: float | None = None
+) -> DataFrame:
+    """exponentialMovingAverage (builtin_functions.go:973 +
+    TestExponentialMovingAverageSuccess): the first ``steps`` points
+    form the SEED window (their average is the first emitted value —
+    the point at that step is ignored); later points fold
+    ema = c*v + (1-c)*ema, holding ema (and emitting null) on gaps.
+    ``c`` defaults to 2/(steps+1); the duration form passes
+    2/(windowSeconds+1) explicitly.
 
-    SQL-only closed form: ema_t = Σ_i c*(1-c)^(t-i)*v_i (+ seed term)
-    via an aggregate over the collected per-series step list.
+    SQL-only: a per-row fold over the collected prefix (structs, so
+    gaps survive collect_list) with a (i, sum, cnt, ema) accumulator.
     """
-    c = 2.0 / (steps + 1.0)
-    w = (
-        Window.partitionBy("series_id")
-        .orderBy("step_ts")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    cc = 2.0 / (steps + 1.0) if c is None else float(c)
+    word = Window.partitionBy("series_id").orderBy("step_ts")
+    w = word.rowsBetween(Window.unboundedPreceding, 0)
+    pts = F.collect_list(F.struct(F.col("value").alias("v"))).over(w)
+    acc0 = F.struct(
+        F.lit(0).alias("i"),
+        F.lit(0.0).alias("s"),
+        F.lit(0).alias("n"),
+        F.lit(None).cast("double").alias("ema"),
     )
-    vals = F.collect_list(F.col("value")).over(w)
-    ema = F.aggregate(
-        vals,
-        F.lit(None).cast("double"),
-        lambda acc, v: F.when(acc.isNull(), v).otherwise(
-            F.lit(c) * v + F.lit(1.0 - c) * acc
-        ),
+
+    def fold(acc, x):
+        v = x["v"]
+        in_seed = acc["i"] < steps
+        at_seed = acc["i"] == steps
+        seed = F.when(acc["n"] > 0, acc["s"] / acc["n"])
+        new_ema = (
+            F.when(in_seed, F.lit(None).cast("double"))
+            .when(at_seed, seed)
+            .otherwise(
+                F.when(
+                    v.isNotNull(), F.lit(cc) * v + F.lit(1.0 - cc) * acc["ema"]
+                ).otherwise(acc["ema"])
+            )
+        )
+        return F.struct(
+            (acc["i"] + 1).alias("i"),
+            F.when(in_seed, acc["s"] + F.coalesce(v, F.lit(0.0)))
+            .otherwise(acc["s"])
+            .alias("s"),
+            F.when(in_seed & v.isNotNull(), acc["n"] + 1)
+            .otherwise(acc["n"])
+            .alias("n"),
+            new_ema.alias("ema"),
+        )
+
+    acc = F.aggregate(pts, acc0, fold)
+    rn = F.row_number().over(word)
+    out = (
+        F.when(rn <= steps, F.lit(None).cast("double"))
+        .when(rn == steps + 1, acc["ema"])
+        .when(F.col("value").isNotNull(), acc["ema"])
     )
-    return grid.withColumn("value", ema)
+    return grid.withColumn("value", out)
 
 
 def delay(grid: DataFrame, steps: int) -> DataFrame:
@@ -895,16 +943,26 @@ _MOVING_FNS = {
 }
 
 
-def moving_window(grid: DataFrame, steps: int, func: str = "avg") -> DataFrame:
+def moving_window(
+    grid: DataFrame, steps: int, func: str = "avg", xff: float = 0.0
+) -> DataFrame:
     """movingWindow(…, fname): dispatch over the moving aggregates
     (builtin_functions.go:2604)."""
-    return _moving(grid, steps, _MOVING_FNS[func])
+    return _moving(grid, steps, _MOVING_FNS[func], xff)
 
 
 def stdev_series(grid: DataFrame, points: int) -> DataFrame:
     """stdev(seriesList, points): moving population stddev
-    (builtin_functions.go:2205)."""
-    return _moving(grid, points, F.stddev_pop)
+    (builtin_functions.go:2205).  Unlike the moving* family, stdev's
+    window INCLUDES the current point (TestStdev golden: the first
+    step's stddev of a single value is 0, not null) and has no
+    context shift."""
+    w = (
+        Window.partitionBy("series_id")
+        .orderBy("step_ts")
+        .rowsBetween(-(points - 1), 0)
+    )
+    return grid.withColumn("value", F.stddev_pop(F.col("value")).over(w))
 
 
 def sustained_below(grid: DataFrame, n: float, min_steps: int) -> DataFrame:

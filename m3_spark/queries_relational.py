@@ -271,26 +271,46 @@ FROM lastv GROUP BY 1, 2"""
 
 
 def q_graphite_moving_avg(spark, sf_dir):
-    """movingAverage(groupByNode(...), 3) — 3-step rows window."""
-    from .graphite.functions import group_by_nodes, moving_average
+    """movingAverage(groupByNode(...), 3) through the compiler: the
+    reference's context shift fetches [start - 3 steps, end] so the
+    leading output windows are full, and the window is the previous 3
+    points EXCLUDING the current one."""
+    from .graphite.compiler import evaluate
 
-    g = consolidate(_gsamples(spark, sf_dir), START, END, STEP_S, LOOKBACK_S)
-    out = moving_average(group_by_nodes(g, "sum", 1), 3)
-    return out.select(
+    out = evaluate(
+        _gsamples(spark, sf_dir),
+        'movingAverage(groupByNode(events.*.*, 1, "sum"), 3)',
+        START, END, STEP_S, LOOKBACK_S,
+    )
+    return out.where(F.col("value").isNotNull()).select(
         _epoch(), F.col("name").alias("event_type"),
         F.round(F.col("value"), 6).alias("value"),
     )
 
 
-ORACLE_GRAPHITE_MOVAVG = f"""{_LASTV_SQL},
+ORACLE_GRAPHITE_MOVAVG = """WITH steps AS (
+  SELECT unnest(generate_series(TIMESTAMP '2023-12-31 21:00:00',
+        TIMESTAMP '2024-01-08 00:00:00', INTERVAL 1 HOUR)) AS step_ts
+),
+lastv AS (
+  SELECT s.step_ts, e.event_type, e.user_id, arg_max(e.value, e.ts) AS v
+  FROM steps s JOIN events e
+    ON e.ts <= s.step_ts AND e.ts >= s.step_ts - INTERVAL 1 HOUR
+  GROUP BY 1, 2, 3
+),
 summed AS (
   SELECT step_ts, event_type, SUM(v) AS v FROM lastv GROUP BY 1, 2
+),
+mv AS (
+  SELECT step_ts, event_type,
+         AVG(v) OVER (PARTITION BY event_type ORDER BY step_ts
+                      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS value
+  FROM summed
 )
 SELECT CAST(epoch(step_ts) AS BIGINT) AS step_s, event_type,
-       ROUND(AVG(v) OVER (PARTITION BY event_type ORDER BY step_ts
-                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
-         AS value
-FROM summed"""
+       ROUND(value, 6) AS value
+FROM mv
+WHERE step_ts >= TIMESTAMP '2024-01-01 00:00:00' AND value IS NOT NULL"""
 
 
 def q_graphite_highest_avg(spark, sf_dir):

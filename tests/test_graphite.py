@@ -70,8 +70,10 @@ def test_group_by_node(spark, ggrid):
 def test_moving_and_derivative(spark, ggrid):
     sel = ggrid.where(F.col("series_id").rlike("web01\\.cpu\\.user"))
     out = gf.moving_average(sel, 2).orderBy("step_ts").collect()
-    assert out[0]["value"] == 10.0
-    assert out[1]["value"] == 10.5
+    # window = previous 2 points EXCLUDING current (reference semantics)
+    assert out[0]["value"] is None
+    assert out[1]["value"] == 10.0
+    assert out[2]["value"] == 10.5
     d = gf.derivative(sel).orderBy("step_ts").collect()
     assert d[0]["value"] is None and d[1]["value"] == 1.0
     i = gf.integral(sel).orderBy("step_ts").collect()
@@ -90,10 +92,11 @@ def test_filter_and_highest(spark, ggrid):
 def test_ema(spark, ggrid):
     sel = ggrid.where(F.col("series_id").rlike("web01\\.cpu\\.user"))
     out = gf.exponential_moving_average(sel, 3).orderBy("step_ts").collect()
-    # c = 0.5: ema = [10, 10.5, 11.25, 12.125, 13.0625]
-    assert [r["value"] for r in out] == pytest.approx(
-        [10.0, 10.5, 11.25, 12.125, 13.0625]
-    )
+    # first 3 points are the seed window (emitted null); the 4th emits
+    # their average; then ema = 0.5*v + 0.5*ema
+    vals = [r["value"] for r in out]
+    assert vals[:3] == [None, None, None]
+    assert vals[3:] == pytest.approx([11.0, 12.5])
 
 
 def test_summarize(spark, gsamples):

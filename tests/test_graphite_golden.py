@@ -361,3 +361,46 @@ def test_keep_last_value_limit_golden(spark):
         for r in gf.keep_last_value(g2, 1).orderBy("step_ts").collect()
     ]
     assert got == [None, 1.0, 1.0, 3.0]
+
+
+def test_moving_average_bootstrap_golden(spark):
+    """TestMovingAverageSuccess: bootstrap [3,4,5] + values
+    [12,19,-10,NaN,10], window 3, xFilesFactor 0.5 then 0.8 — the
+    window is the previous 3 points excluding current."""
+    g = _grid_df(
+        spark, {"foo": [3.0, 4.0, 5.0, 12.0, 19.0, -10.0, None, 10.0]}
+    )
+    out = [
+        r["value"]
+        for r in gf.moving_average(g, 3, 0.5).orderBy("step_ts").collect()
+    ][3:]
+    assert out == pytest.approx([4.0, 7.0, 12.0, 7.0, 4.5])
+    out = [
+        r["value"]
+        for r in gf.moving_average(g, 3, 0.8).orderBy("step_ts").collect()
+    ][3:]
+    assert out[:4] == pytest.approx([4.0, 7.0, 12.0, 7.0])
+    assert out[4] is None  # 2/3 present < 0.8
+
+
+def test_exponential_moving_average_golden(spark):
+    """TestExponentialMovingAverageSuccess: seed = avg of the first
+    window; NaN holds the ema and emits null."""
+    g = _grid_df(
+        spark, {"foo": [0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0]}
+    )
+    out = [
+        r["value"]
+        for r in gf.exponential_moving_average(g, 3).orderBy("step_ts").collect()
+    ][3:]
+    assert out == pytest.approx([1.0, 2.5, 3.75, 4.875, 5.9375])
+    g2 = _grid_df(
+        spark, {"foo": [0.0, 1.0, 2.0, 3.0, 4.0, 5.0, None, 7.0]}
+    )
+    out = [
+        r["value"]
+        for r in gf.exponential_moving_average(g2, 3).orderBy("step_ts").collect()
+    ][3:]
+    assert out[:3] == pytest.approx([1.0, 2.5, 3.75])
+    assert out[3] is None
+    assert out[4] == pytest.approx(5.375)
