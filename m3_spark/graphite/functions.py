@@ -359,12 +359,18 @@ def per_second(grid: DataFrame, step_s: float) -> DataFrame:
 
 
 def integral(grid: DataFrame) -> DataFrame:
+    """integral (builtin_functions.go:1462+, TestIntegral golden):
+    running sum of present values; missing steps stay missing (Spark's
+    window sum would otherwise emit the carried total there)."""
     w = (
         Window.partitionBy("series_id")
         .orderBy("step_ts")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return grid.withColumn("value", F.sum("value").over(w))
+    return grid.withColumn(
+        "value",
+        F.when(F.col("value").isNotNull(), F.sum("value").over(w)),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -685,11 +691,18 @@ def most_deviant(grid: DataFrame, k: int) -> DataFrame:
 
 
 def changed(grid: DataFrame) -> DataFrame:
-    w = Window.partitionBy("series_id").orderBy("step_ts")
-    prev = F.lag("value").over(w)
+    """changed (TestChanged golden): 1 when the value differs from the
+    LAST PRESENT value (gaps don't reset the comparison); missing
+    steps and the leading run emit 0."""
+    w = (
+        Window.partitionBy("series_id")
+        .orderBy("step_ts")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.last("value", ignorenulls=True).over(w)
     return grid.withColumn(
         "value",
-        F.when(prev.isNull(), F.lit(0.0)).otherwise(
+        F.when(F.col("value").isNull() | prev.isNull(), F.lit(0.0)).otherwise(
             (F.col("value") != prev).cast("double")
         ),
     )

@@ -404,3 +404,24 @@ def test_exponential_moving_average_golden(spark):
     assert out[:3] == pytest.approx([1.0, 2.5, 3.75])
     assert out[3] is None
     assert out[4] == pytest.approx(5.375)
+
+
+def test_integral_null_golden(spark):
+    """TestIntegral: running sum of present values, nulls stay null."""
+    g = _grid_df(
+        spark,
+        {"h": [0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, None, 8.0, None]},
+    )
+    got = [r["value"] for r in gf.integral(g).orderBy("step_ts").collect()]
+    assert got == [0.0, 1.0, 3.0, 6.0, 10.0, 15.0, 21.0, None, 29.0, None]
+
+
+def test_changed_golden(spark):
+    """TestChanged: compares against the last PRESENT value across
+    gaps; nulls and the leading run emit 0."""
+    g = _grid_df(
+        spark,
+        {"foo": [1.0, 1.0, 2.0, 3.0, None, 3.0, None, 4.0, None]},
+    )
+    got = [r["value"] for r in gf.changed(g).orderBy("step_ts").collect()]
+    assert got == [0.0, 0.0, 1.0, 1.0, 0.0, 0.0, 0.0, 1.0, 0.0]
