@@ -185,12 +185,26 @@ def as_percent_of_total(grid: DataFrame) -> DataFrame:
 
 
 def as_percent(grid: DataFrame, total=None) -> DataFrame:
-    """asPercent(v[, total]): 2-arg form accepts a constant or a
-    series list whose per-step sum is the denominator
-    (aggregation_functions.go asPercent)."""
+    """asPercent(v[, total]) (aggregation_functions.go asPercent):
+    no total → share of the per-step sum; constant → v/c*100;
+    single-series total → per-step divide by it; MULTI-series total →
+    pairwise by sorted name like divideSeriesLists
+    (TestAsPercentWithSeriesListAndTotalSeriesList), erroring on a
+    length mismatch.  The cardinality probe is a driver-side count over
+    the (bounded) series dictionary, same class as useSeriesAbove."""
     if total is None:
         return as_percent_of_total(grid)
     if isinstance(total, DataFrame):
+        n_total = total.select("series_id").distinct().count()
+        if n_total > 1:
+            n_grid = grid.select("series_id").distinct().count()
+            if n_grid != n_total:
+                raise ValueError(
+                    "asPercent: seriesList and totalSeriesList lengths"
+                    f" differ ({n_grid} vs {n_total})"
+                )
+            out = divide_series_lists(grid, total)
+            return out.withColumn("value", F.col("value") * F.lit(100.0))
         t = total.groupBy("step_ts").agg(F.sum("value").alias("_tot"))
         return (
             grid.join(t, "step_ts", "left")

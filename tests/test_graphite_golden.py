@@ -256,10 +256,18 @@ def test_legend_value_golden(spark):
 
 
 def test_as_percent_two_arg(spark):
+    # multi-series total pairs by sorted name (reference
+    # TestAsPercentWithSeriesListAndTotalSeriesList): a↔t1, b↔t2
     g = _grid_df(spark, {"a": [25.0], "b": [75.0]})
     tot = _grid_df(spark, {"t1": [100.0], "t2": [100.0]})
     got = {r["series_id"]: r["value"] for r in gf.as_percent(g, tot).collect()}
-    assert got == {"a": 12.5, "b": 37.5}  # denominator = 200
+    assert got == {"a": 25.0, "b": 75.0}
+    # single-series total broadcasts per step
+    got = {
+        r["series_id"]: r["value"]
+        for r in gf.as_percent(g, _grid_df(spark, {"t": [200.0]})).collect()
+    }
+    assert got == {"a": 12.5, "b": 37.5}
     got = {r["series_id"]: r["value"] for r in gf.as_percent(g, 50.0).collect()}
     assert got == {"a": 50.0, "b": 150.0}
     got = {r["series_id"]: r["value"] for r in gf.as_percent(g).collect()}
@@ -425,3 +433,36 @@ def test_changed_golden(spark):
     )
     got = [r["value"] for r in gf.changed(g).orderBy("step_ts").collect()]
     assert got == [0.0, 0.0, 1.0, 1.0, 0.0, 0.0, 0.0, 1.0, 0.0]
+
+
+def test_as_percent_total_list_golden(spark):
+    """TestAsPercentWithSeriesListAndTotalSeriesList: multi-series
+    totals pair by sorted name; NaN steps stay missing."""
+    g = _grid_df(
+        spark,
+        {
+            "foo.value": [12.0, 14.0, 16.0, None, 20.0],
+            "bar.value": [7.0, None, 25.0],
+        },
+    )
+    t = _grid_df(
+        spark,
+        {
+            "foo.total": [24.0, 28.0, 48.0, None, 40.0],
+            "bar.total": [14.0, None, 75.0],
+        },
+    )
+    out = gf.as_percent(g, t).collect()
+    by = {
+        (r["name"], int((r["step_ts"] - dt.datetime(1970, 1, 1)).total_seconds()) - T0): r["value"]
+        for r in out
+    }
+    assert by[("foo.value", 0)] == pytest.approx(50.0)
+    assert by[("foo.value", 2 * STEP)] == pytest.approx(100.0 * 16 / 48)
+    assert by[("bar.value", 0)] == pytest.approx(50.0)
+    assert by[("bar.value", 2 * STEP)] == pytest.approx(100.0 * 25 / 75)
+    # mismatched lengths error (multi-series total only)
+    with pytest.raises(ValueError, match="lengths"):
+        gf.as_percent(
+            g, _grid_df(spark, {"x": [1.0], "y": [1.0], "z": [1.0]})
+        )
