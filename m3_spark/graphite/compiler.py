@@ -136,6 +136,7 @@ _CONTEXT_FUNCS = {
     "useSeriesAbove", "holtWintersForecast", "holtWintersConfidenceBands",
     "holtWintersAberration", "movingAverage", "movingSum", "movingMin",
     "movingMax", "movingMedian", "movingWindow", "exponentialMovingAverage",
+    "timeShift",
 }
 
 
@@ -207,6 +208,26 @@ def evaluate(
             interval = int(_dur_s(_lit(args[1])))
             func = _lit(args[2]) if len(args) > 2 else "sum"
             return gf.smart_summarize(grid, interval, func, s)
+        if f == "timeShift":
+            # reference timeShift (builtin_functions.go:357): no sign →
+            # minus implied (shift back); the inner expression FETCHES
+            # over the shifted window and is re-stamped onto the
+            # original one (an in-range lag would leave the leading
+            # window empty)
+            spec = str(_lit(args[1]))
+            if not spec.startswith(("+", "-")):
+                spec = "-" + spec
+            shift = (-1 if spec[0] == "-" else 1) * _dur_s(spec[1:])
+            grid = ev(args[0], _epoch_s(s) + shift, _epoch_s(e) + shift)
+            return grid.select(
+                (
+                    F.col("step_ts") - F.expr(f"INTERVAL {int(shift)} SECONDS")
+                ).alias("step_ts"),
+                F.concat(
+                    F.lit("timeShift("), F.col("name"), F.lit(f',"{spec}")')
+                ).alias("name"),
+                "tags", "series_id", "value",
+            )
         if f == "perSecond":
             return gf.per_second(ev(args[0], s, e), step_s)
         if f == "scaleToSeconds":

@@ -46,3 +46,19 @@ def test_eval_highest(spark, gsamples):  # noqa: F811
     assert {r["name"] for r in out} == {
         "servers.db01.cpu.user", "servers.db01.cpu.system", "servers.db01.mem.used",
     }
+
+
+def test_time_shift_fetches_shifted_window(spark, gsamples):
+    """timeShift('5min') re-fetches [s-5min, e-5min] and re-stamps —
+    the leading output steps carry real (earlier) data instead of
+    nulls, and the name records the signed spec."""
+    from pyspark.sql import functions as F
+
+    out = evaluate(
+        gsamples, "timeShift(servers.web01.cpu.user, '5min')",
+        T0 + 300, T0 + 300, 60, 300,
+    ).where(F.col("value").isNotNull()).collect()
+    # value at T0+300 equals the series' value at T0 (base 10)
+    assert len(out) == 1
+    assert out[0]["value"] == 10.0
+    assert out[0]["name"] == 'timeShift(servers.web01.cpu.user,"-5min")'
