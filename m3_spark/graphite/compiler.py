@@ -136,7 +136,7 @@ _CONTEXT_FUNCS = {
     "useSeriesAbove", "holtWintersForecast", "holtWintersConfidenceBands",
     "holtWintersAberration", "movingAverage", "movingSum", "movingMin",
     "movingMax", "movingMedian", "movingWindow", "exponentialMovingAverage",
-    "timeShift",
+    "timeShift", "hitcount",
 }
 
 
@@ -208,6 +208,26 @@ def evaluate(
             interval = int(_dur_s(_lit(args[1])))
             func = _lit(args[2]) if len(args) > 2 else "sum"
             return gf.smart_summarize(grid, interval, func, s)
+        if f == "hitcount":
+            # buckets anchor at the query END (TestHitcount's shifted
+            # start); the consolidated grid's step rows play the raw
+            # datapoint role (value × step seconds per bucket)
+            grid = ev(args[0], s, e)
+            interval = int(_dur_s(_lit(args[1])))
+            src = grid.select(
+                F.col("step_ts").alias("ts"), "name", "tags", "series_id",
+                "value",
+            )
+            out = gf.hitcount(
+                src, interval, step_s, anchor_s=int(_epoch_s(e))
+            )
+            spec = str(_lit(args[1]))
+            return out.withColumn(
+                "name",
+                F.concat(
+                    F.lit("hitcount("), F.col("name"), F.lit(f',"{spec}")')
+                ),
+            )
         if f == "timeShift":
             # reference timeShift (builtin_functions.go:357): no sign →
             # minus implied (shift back); the inner expression FETCHES

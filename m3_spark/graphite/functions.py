@@ -653,12 +653,21 @@ def integral_by_interval(grid: DataFrame, interval_s: int) -> DataFrame:
     return grid.withColumn("value", F.sum("value").over(w))
 
 
-def hitcount(samples: DataFrame, interval_s: int, step_s: float) -> DataFrame:
+def hitcount(
+    samples: DataFrame, interval_s: int, step_s: float, anchor_s: int = 0
+) -> DataFrame:
     """hitcount: rate×time integration per tumbling interval —
-    sum(value × step_seconds) (summarize.go:148)."""
+    sum(value × step_seconds) (summarize.go:148).  ``anchor_s``: epoch
+    second the bucket boundaries align to — the reference anchors
+    buckets at the series END (TestHitcount's shifted newStartTime),
+    so the compiler passes the query end; 0 = epoch-aligned."""
+    off = int(anchor_s) % int(interval_s)
     return (
         samples.groupBy(
-            F.window("ts", f"{interval_s} seconds").alias("w"),
+            F.window(
+                "ts", f"{interval_s} seconds", f"{interval_s} seconds",
+                f"{off} seconds",
+            ).alias("w"),
             "name", "tags", "series_id",
         )
         .agg((F.sum("value") * F.lit(float(step_s))).alias("value"))

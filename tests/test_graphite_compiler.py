@@ -62,3 +62,19 @@ def test_time_shift_fetches_shifted_window(spark, gsamples):
     assert len(out) == 1
     assert out[0]["value"] == 10.0
     assert out[0]["name"] == 'timeShift(servers.web01.cpu.user,"-5min")'
+
+
+def test_hitcount_end_anchored(spark, gsamples):
+    """hitcount('2min') anchors buckets at the query end and sums
+    value x step-seconds per bucket (TestHitcount's alignment)."""
+    out = evaluate(
+        gsamples, "hitcount(servers.web01.cpu.user, '2min')",
+        T0, T0 + 240, 60, 300,
+    ).collect()
+    by = {int(r["step_ts"].timestamp()): r["value"] for r in out}
+    # user values 10..14 at 60s steps; buckets [T0,T0+120) -> (10+11)*60,
+    # [T0+120,T0+240) -> (12+13)*60, [T0+240,..) -> 14*60
+    assert by[T0] == 1260.0
+    assert by[T0 + 120] == 1500.0
+    assert by[T0 + 240] == 840.0
+    assert all(r["name"].startswith("hitcount(") for r in out)
