@@ -1188,6 +1188,27 @@ def alias_sub(grid: DataFrame, pattern: str, repl: str) -> DataFrame:
 
 
 #: the function registry — Spark analog of native/functions.go:78-94
+def _truthy(v) -> bool:
+    return v in (True, 1) or (isinstance(v, str) and v.lower() == "true")
+
+
+def sort_by_name(grid: DataFrame, natural=False, reverse=False) -> DataFrame:
+    """sortByName(series, natural, reverse) (builtin_functions.go:103):
+    natural sort compares digit runs numerically (a2 < a10) — digit
+    chunks are zero-padded into the sort key."""
+    if _truthy(natural):
+        key = F.expr(
+            "array_join(transform("
+            "  regexp_extract_all(name, '([0-9]+|[^0-9]+)', 1),"
+            "  x -> CASE WHEN x rlike '^[0-9]+$'"
+            "       THEN lpad(x, 20, '0') ELSE x END), '')"
+        )
+    else:
+        key = F.col("name")
+    order = key.desc() if _truthy(reverse) else key.asc()
+    return grid.orderBy(order, "step_ts")
+
+
 REGISTRY: dict[str, Callable] = {
     "sumSeries": sum_series,
     "averageSeries": average_series,
@@ -1224,7 +1245,9 @@ REGISTRY: dict[str, Callable] = {
     "lowestCurrent": lambda g, k: lowest(g, "current", k),
     "sortByTotal": lambda g: sort_by(g, "total", True),
     "sortByMaxima": lambda g: sort_by(g, "max", True),
-    "sortByName": lambda g: g.orderBy("name", "step_ts"),
+    "sortByName": lambda g, natural=False, reverse=False: sort_by_name(
+        g, natural, reverse
+    ),
     "limit": limit_series,
     "exclude": exclude,
     "grep": grep,

@@ -466,3 +466,16 @@ def test_as_percent_total_list_golden(spark):
         gf.as_percent(
             g, _grid_df(spark, {"x": [1.0], "y": [1.0], "z": [1.0]})
         )
+
+
+def test_sort_by_name_natural(spark):
+    """sortByName natural=true compares digit runs numerically
+    (builtin_functions.go:103 SeriesByNameAndNaturalNumbers)."""
+    g = _grid_df(spark, {"a10.x": [1.0], "a2.x": [2.0], "a1.x": [3.0]})
+    fn = gf.REGISTRY["sortByName"]
+    plain = [r["name"] for r in fn(g).collect()]
+    assert plain == ["a1.x", "a10.x", "a2.x"]  # lexicographic
+    nat = [r["name"] for r in fn(g, "true").collect()]
+    assert nat == ["a1.x", "a2.x", "a10.x"]
+    rev = [r["name"] for r in fn(g, "true", "true").collect()]
+    assert rev == ["a10.x", "a2.x", "a1.x"]
