@@ -786,12 +786,22 @@ def group_by_dropping_nodes(grid: DataFrame, func: str, *drop: int) -> DataFrame
     )
 
 
-def weighted_average(grid: DataFrame, weights: DataFrame) -> DataFrame:
-    """weightedAverage: sum(v*w)/sum(w) per step, joined on series."""
-    w = weights.select(
-        "step_ts", "series_id", F.col("value").alias("_w")
-    )
-    j = grid.join(w, ["step_ts", "series_id"])
+def weighted_average(
+    grid: DataFrame, weights: DataFrame, node: int | None = None
+) -> DataFrame:
+    """weightedAverage(values, weights, node): sum(v*w)/sum(w) per
+    step.  Pairs value and weight series by the given NODE path
+    component (aggregation_functions.go:767-803 pairs via aliasByNode
+    keys — e.g. hosts.*.cpu weighted by hosts.*.weight join on the
+    host node, not on series identity); node=None joins on series_id
+    (the degenerate same-list case)."""
+    if node is None:
+        key = F.col("series_id")
+    else:
+        key = F.coalesce(F.col("tags").getItem(gtag(int(node))), F.lit(""))
+    g = grid.select("step_ts", key.alias("_k"), "value")
+    w = weights.select("step_ts", key.alias("_k"), F.col("value").alias("_w"))
+    j = g.join(w, ["step_ts", "_k"])
     return (
         j.groupBy("step_ts")
         .agg(

@@ -479,3 +479,19 @@ def test_sort_by_name_natural(spark):
     assert nat == ["a1.x", "a2.x", "a10.x"]
     rev = [r["name"] for r in fn(g, "true", "true").collect()]
     assert rev == ["a10.x", "a2.x", "a1.x"]
+
+
+def test_weighted_average_node_pairing(spark):
+    """weightedAverage pairs value/weight series by node component
+    (aggregation_functions.go:767): hosts share the node key across
+    different metric subtrees."""
+    g = _grid_df(spark, {"h1.cpu": [10.0], "h2.cpu": [20.0]})
+    w = _grid_df(spark, {"h1.weight": [1.0], "h2.weight": [3.0]})
+    # path tags: our grid fixture stores no tags — build them
+    from m3_spark.graphite.paths import path_tags_col
+
+    g = g.withColumn("tags", path_tags_col(F.col("name")))
+    w = w.withColumn("tags", path_tags_col(F.col("name")))
+    out = gf.weighted_average(g, w, 0).collect()
+    assert len(out) == 1
+    assert out[0]["value"] == pytest.approx((10 * 1 + 20 * 3) / 4.0)
