@@ -27,6 +27,12 @@ from .paths import gtag
 # series combination (aggregation_functions.go:43-135)
 # ---------------------------------------------------------------------------
 
+def _safe_div(num: Column, den: Column) -> Column:
+    """num/den with x/0 and x/null → null (graphite's NaN-as-missing;
+    Spark's ANSI division would raise DIVIDE_BY_ZERO instead)."""
+    return F.when(den != 0, num / den)
+
+
 _COMBINE = {
     "sum": F.sum,
     "avg": F.avg,
@@ -180,7 +186,7 @@ def as_percent_of_total(grid: DataFrame) -> DataFrame:
     """asPercent(v) with computed total: share of the per-step sum."""
     w = Window.partitionBy("step_ts")
     return grid.withColumn(
-        "value", F.col("value") / F.sum("value").over(w) * F.lit(100.0)
+        "value", _safe_div(F.col("value"), F.sum("value").over(w)) * F.lit(100.0)
     )
 
 
@@ -208,7 +214,7 @@ def as_percent(grid: DataFrame, total=None) -> DataFrame:
         t = total.groupBy("step_ts").agg(F.sum("value").alias("_tot"))
         return (
             grid.join(t, "step_ts", "left")
-            .withColumn("value", F.col("value") / F.col("_tot") * F.lit(100.0))
+            .withColumn("value", _safe_div(F.col("value"), F.col("_tot")) * F.lit(100.0))
             .drop("_tot")
         )
     return grid.withColumn(
@@ -217,11 +223,20 @@ def as_percent(grid: DataFrame, total=None) -> DataFrame:
 
 
 def divide_series(grid: DataFrame, divisor: DataFrame) -> DataFrame:
-    """divideSeries: each series divided by the (single) divisor series."""
+    """divideSeries: each series divided by the single divisor series
+    (aggregation_functions.go:230-239: >1 divisor series is an error —
+    a silent join against several would fan rows out); zero/missing
+    divisor steps yield null."""
+    n_div = divisor.select("series_id").distinct().count()
+    if n_div > 1:
+        raise ValueError(
+            "divideSeries second argument must reference exactly one"
+            f" series but instead has {n_div}"
+        )
     d = divisor.select("step_ts", F.col("value").alias("_div"))
     return (
         grid.join(d, "step_ts", "left")
-        .withColumn("value", F.col("value") / F.col("_div"))
+        .withColumn("value", _safe_div(F.col("value"), F.col("_div")))
         .drop("_div")
     )
 
@@ -598,7 +613,7 @@ def absolute(grid: DataFrame) -> DataFrame:
 
 
 def invert(grid: DataFrame) -> DataFrame:
-    return grid.withColumn("value", F.lit(1.0) / F.col("value"))
+    return grid.withColumn("value", _safe_div(F.lit(1.0), F.col("value")))
 
 
 def logarithm(grid: DataFrame, base: float = 10.0) -> DataFrame:
@@ -805,7 +820,9 @@ def weighted_average(
     return (
         j.groupBy("step_ts")
         .agg(
-            (F.sum(F.col("value") * F.col("_w")) / F.sum("_w")).alias("value")
+            _safe_div(
+                F.sum(F.col("value") * F.col("_w")), F.sum("_w")
+            ).alias("value")
         )
         .select(
             "step_ts",
@@ -908,7 +925,7 @@ def divide_series_lists(grid: DataFrame, divisor: DataFrame) -> DataFrame:
         j.join(F.broadcast(dims), "_rank")
         .select(
             "step_ts", "name", "tags", "series_id",
-            (F.col("_num") / F.col("_den")).alias("value"),
+            _safe_div(F.col("_num"), F.col("_den")).alias("value"),
         )
     )
 

@@ -31,7 +31,10 @@ def _norm2(a: Column) -> Column:
 
 
 def cosine_col(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (F.sqrt(_norm2(a)) * F.sqrt(_norm2(b)))
+    # zero-norm vectors (possible at scale even if absent in testdata)
+    # yield null instead of an ANSI DIVIDE_BY_ZERO error
+    den = F.sqrt(_norm2(a)) * F.sqrt(_norm2(b))
+    return F.when(den != 0, _dot(a, b) / den)
 
 
 def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
@@ -71,9 +74,10 @@ def brute_force_topk(
     scored = j.select(
         "query_id",
         "neighbor_id",
-        (
+        F.when(
+            F.col("qnorm") * F.col("cnorm") != 0,
             _dot(F.col("qvec"), F.col("cvec"))
-            / (F.col("qnorm") * F.col("cnorm"))
+            / (F.col("qnorm") * F.col("cnorm")),
         ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(

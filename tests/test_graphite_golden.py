@@ -495,3 +495,20 @@ def test_weighted_average_node_pairing(spark):
     out = gf.weighted_average(g, w, 0).collect()
     assert len(out) == 1
     assert out[0]["value"] == pytest.approx((10 * 1 + 20 * 3) / 4.0)
+
+
+def test_division_by_zero_yields_null(spark):
+    """Zero denominators yield missing values (graphite NaN), not an
+    ANSI DIVIDE_BY_ZERO error."""
+    g = _grid_df(spark, {"a": [10.0, 20.0]})
+    d = _grid_df(spark, {"d": [0.0, 5.0]})
+    got = [
+        r["value"]
+        for r in gf.divide_series(g, d).orderBy("step_ts").collect()
+    ]
+    assert got == [None, 4.0]
+    inv = [r["value"] for r in gf.invert(_grid_df(spark, {"x": [0.0, 2.0]}))
+           .orderBy("step_ts").collect()]
+    assert inv == [None, 0.5]
+    with pytest.raises(ValueError, match="exactly one"):
+        gf.divide_series(g, _grid_df(spark, {"d1": [1.0], "d2": [1.0]}))
