@@ -309,7 +309,13 @@ def evaluate(
             d = rhs.select("step_ts", F.col("value").alias("_div"))
             return (
                 grid.join(d, "step_ts", "left")
-                .withColumn("value", F.col("value") / F.col("_div"))
+                .withColumn(
+                    "value",
+                    # zero divisor → null, not an ANSI DIVIDE_BY_ZERO
+                    F.when(
+                        F.col("_div") != 0, F.col("value") / F.col("_div")
+                    ),
+                )
                 .drop("_div")
             )
         if f == "asPercent":
