@@ -233,7 +233,10 @@ def count_values(
     g = g.withColumn(
         "tags",
         F.map_concat(
-            F.col("tags"),
+            # the value-label overwrites an existing label of the same
+            # name (upstream count_values; and map_concat would throw
+            # DUPLICATED_MAP_KEY on the collision otherwise)
+            F.map_filter(F.col("tags"), lambda k, _v: k != F.lit(label)),
             F.create_map(
                 F.lit(label),
                 F.when(

@@ -100,9 +100,13 @@ def _match_sig(
 
 
 def _prep(df: DataFrame, side: str, on, ignoring) -> DataFrame:
+    name = (
+        F.col("name") if "name" in df.columns else F.lit(None).cast("string")
+    )
     return df.select(
         F.col("step_ts"),
         _match_sig(on, ignoring).alias("sig"),
+        name.alias(f"{side}_name"),
         F.col("tags").alias(f"{side}_tags"),
         F.col("value").alias(f"{side}_value"),
     ).where(F.col(f"{side}_value").isNotNull())
@@ -189,6 +193,9 @@ def vector_arith(
     fn = ARITH[op]
     return j.select(
         "step_ts",
+        # arithmetic results carry no metric name; a NULL name column
+        # keeps the schema unionable with grid frames (`(a+b) or c`)
+        F.lit(None).cast("string").alias("name"),
         _result_tags(many_side, on, ignoring, include).alias("tags"),
         F.col("sig"),
         fn(F.col("l_value"), F.col("r_value")).alias("value"),
@@ -202,11 +209,15 @@ def vector_compare(
     on: Sequence[str] | None = None,
     ignoring: Sequence[str] | None = None,
     bool_mode: bool = False,
+    many_side: str | None = None,
+    include: Sequence[str] | None = None,
 ) -> DataFrame:
     """Comparison: filters the left vector, or 0/1 values with ``bool``.
 
     Reference ``comparison.go:33-48``; non-bool keeps the LEFT sample
-    (including its name) when the predicate holds."""
+    (including its name) when the predicate holds.  With a group
+    modifier (``> on(…) group_left(l…) other``) the ``include`` labels
+    are copied from the "one" side onto the kept sample."""
     l = _prep(left, "l", on, ignoring)
     r = _prep(right, "r", on, ignoring)
     j = l.join(r, ["step_ts", "sig"], "inner")
@@ -218,8 +229,16 @@ def vector_compare(
             "sig",
             cond.cast("double").alias("value"),
         )
+    tags = F.col("l_tags")
+    if many_side and include:
+        one = F.col("r_tags") if many_side == "left" else F.col("l_tags")
+        arr = F.array(*[F.lit(k) for k in include])
+        tags = F.map_concat(
+            F.map_filter(tags, lambda k, _v: ~F.array_contains(arr, k)),
+            F.map_filter(one, lambda k, _v: F.array_contains(arr, k)),
+        )
     return j.where(cond).select(
-        "step_ts", F.col("l_tags").alias("tags"), "sig",
+        "step_ts", F.col("l_name").alias("name"), tags.alias("tags"), "sig",
         F.col("l_value").alias("value"),
     )
 

@@ -161,7 +161,9 @@ def time_fn(steps: DataFrame) -> DataFrame:
     return steps.select(
         "step_ts",
         empty_tags_col().alias("tags"),
-        F.unix_timestamp(F.col("step_ts")).cast("double").alias("value"),
+        # µs precision: unix_timestamp() truncates to whole seconds,
+        # which breaks sub-second eval times (`time()` at 1ms = 0.001)
+        (F.unix_micros(F.col("step_ts")) / F.lit(1e6)).alias("value"),
         F.lit(True).alias("_scalar"),
     )
 
@@ -186,18 +188,39 @@ def scalar_fn(grid: DataFrame, steps: DataFrame) -> DataFrame:
 
 # -- label manipulation (tag/join.go, tag/replace.go) -----------------------
 
+_LABEL_NAME_RE = None  # compiled lazily
+
+
+def _check_label_name(dst: str) -> None:
+    """label_replace/label_join reject an invalid destination label
+    name at plan time (upstream: `model.LabelName(dst).IsValid()`)."""
+    import re as _re
+
+    global _LABEL_NAME_RE
+    if _LABEL_NAME_RE is None:
+        _LABEL_NAME_RE = _re.compile(r"^[a-zA-Z_][a-zA-Z0-9_]*$")
+    if not _LABEL_NAME_RE.match(dst):
+        raise ValueError(f"invalid destination label name {dst!r}")
+
+
 def label_join(
     grid: DataFrame, dst: str, sep: str, srcs: Sequence[str]
 ) -> DataFrame:
-    """label_join(v, dst, sep, src...): dst := join(sep, tags[srcs])."""
+    """label_join(v, dst, sep, src...): dst := join(sep, tags[srcs]);
+    an empty joined result removes dst (empty label value == absent,
+    same as label_replace)."""
+    _check_label_name(dst)
     joined = F.concat_ws(
         sep, *[F.coalesce(F.col("tags").getItem(s), F.lit("")) for s in srcs]
-    )
+    ) if srcs else F.lit("")
+    without_dst = F.map_filter(F.col("tags"), lambda k, _v: k != F.lit(dst))
     return grid.withColumn(
-        "tags", F.map_concat(
-            F.map_filter(F.col("tags"), lambda k, _v: k != F.lit(dst)),
-            F.create_map(F.lit(dst), joined),
-        )
+        "tags",
+        F.when(
+            joined == F.lit(""), without_dst
+        ).otherwise(
+            F.map_concat(without_dst, F.create_map(F.lit(dst), joined))
+        ),
     )
 
 
@@ -206,6 +229,7 @@ def label_replace(
 ) -> DataFrame:
     """label_replace(v, dst, repl, src, regex) — anchored match on
     tags[src]; on match dst := repl with $1-style backrefs."""
+    _check_label_name(dst)
     srcv = F.coalesce(F.col("tags").getItem(src), F.lit(""))
     anchored = f"^(?:{regex})$"
     matched = srcv.rlike(anchored)
@@ -244,8 +268,13 @@ def histogram_quantile(grid: DataFrame, phi: float) -> DataFrame:
         "value",
     )
     g = g.withColumn("sig", group_sig_col(F.col("tags")))
+    # coalesce buckets that are textually-different spellings of the
+    # same upper bound ("0.2" / "2e-1" / "2.0e-1"; "+inf" / "+Inf") by
+    # SUMMING their counts before the walk — upstream coalesceBuckets
     rows = (
-        g.groupBy("step_ts", "sig")
+        g.groupBy("step_ts", "sig", "le")
+        .agg(F.first("tags").alias("tags"), F.sum("value").alias("value"))
+        .groupBy("step_ts", "sig")
         .agg(
             F.first("tags").alias("tags"),
             F.sort_array(
@@ -299,11 +328,17 @@ def histogram_quantile(grid: DataFrame, phi: float) -> DataFrame:
         (rank - lo_cnt) / (b.getField("value") - lo_cnt)
     )
     val = (
-        F.when(in_top & has_inf, lo_le)
+        # degenerate histograms → NaN (upstream bucketQuantile's guards:
+        # fewer than two distinct buckets, or zero observations)
+        F.when(
+            (F.size(F.col("buckets")) < 2) | (total <= 0),
+            F.lit(float("nan")),
+        )
+        .when(in_top & has_inf, lo_le)
         .when((idx == 1) & (first_le <= 0), first_le)
         .otherwise(interp)
     )
     return (
-        rows.where(has_inf & (F.size(F.col("buckets")) >= 2) & (total > 0))
+        rows.where(has_inf)
         .select("step_ts", "tags", val.cast("double").alias("value"))
     )

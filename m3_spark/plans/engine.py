@@ -13,6 +13,7 @@ each operator's scan pruning.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -71,10 +72,18 @@ _DATETIME_FUNCS = {
 
 def query_range(
     samples: DataFrame, q: str, start, end, step_s: float,
-    lookback_s: float = 300.0,
+    lookback_s: float = 300.0, validate: bool = True,
 ) -> DataFrame:
     """Evaluate a PromQL range query → grid frame
-    (step_ts, name?, tags, series_id?, value)."""
+    (step_ts, name?, tags, series_id?, value)).
+
+    ``validate`` appends the upstream engine's output-integrity check —
+    "vector cannot contain metrics with the same labelset" raises at
+    collect time (e.g. ``ceil({__name__=~'a|b'})`` collapses two
+    metrics onto one labelset).  The check windows over the RESULT set
+    (post-aggregation, output-sized), not the raw scan, so its cost is
+    bounded by the rows returned; pass False to skip it entirely.
+    """
     ctx = Context(samples, start, end, step_s, lookback_s)
     ast = parse(q)
     out = _eval(ast, ctx)
@@ -87,11 +96,52 @@ def query_range(
         )
     if "_scalar" in out.columns:
         out = out.drop("_scalar")
+    # an order-producing top-level construct (topk/bottomk/sort) has
+    # row order as part of its contract — the validation window would
+    # reshuffle it away, and these pass labelsets through unchanged,
+    # so the check adds nothing there
+    ordered_top = (
+        isinstance(ast, Agg) and ast.op in ("topk", "bottomk")
+    ) or (isinstance(ast, Call) and ast.func in ("sort", "sort_desc"))
+    if validate and not ordered_top:
+        out = _check_unique_labelsets(out)
     return out
 
 
-def query_instant(samples: DataFrame, q: str, t, lookback_s: float = 300.0) -> DataFrame:
-    return query_range(samples, q, t, t, 1, lookback_s)
+def query_instant(
+    samples: DataFrame, q: str, t, lookback_s: float = 300.0,
+    validate: bool = True,
+) -> DataFrame:
+    return query_range(samples, q, t, t, 1, lookback_s, validate)
+
+
+def _check_unique_labelsets(out: DataFrame) -> DataFrame:
+    """Upstream output integrity: two result series may not share one
+    labelset at a step ("vector cannot contain metrics with the same
+    labelset").  A window count over (step, name, tags) poisons the
+    value column with raise_error on collision."""
+    from pyspark.sql import Window
+
+    from ..operators.aggregation import sig_json_col
+
+    name = (
+        F.coalesce(F.col("name"), F.lit(""))
+        if "name" in out.columns
+        else F.lit("")
+    )
+    w = Window.partitionBy(
+        F.col("step_ts"), name, sig_json_col(F.col("tags"))
+    )
+    cnt = F.count(F.lit(1)).over(w)
+    return out.withColumn(
+        "value",
+        F.when(
+            cnt > 1,
+            F.raise_error(
+                F.lit("vector cannot contain metrics with the same labelset")
+            ),
+        ).otherwise(F.col("value")),
+    )
 
 
 def _shifted(ctx: Context, sel: Selector) -> DataFrame:
@@ -122,7 +172,8 @@ def _eval(e, ctx: Context):
         inner = _eval(e.expr, ctx)
         if isinstance(inner, float):
             return -inner
-        return inner.withColumn("value", -F.col("value"))
+        # unary minus is `0 - v`: an arithmetic, so the metric name drops
+        return _drop_metric_name(inner.withColumn("value", -F.col("value")))
     if isinstance(e, Selector):
         if e.range_s is not None:
             raise TypeError("range selector outside temporal function")
@@ -154,6 +205,26 @@ def _eval(e, ctx: Context):
     raise TypeError(f"cannot evaluate {e!r}")
 
 
+def _agg_param(e: Agg, ctx: Context) -> float:
+    """Aggregation parameter (k / φ): a literal folds to float; a
+    scalar expression (`topk(scalar(foo), v)`) is evaluated and, for a
+    single-step window, collapsed to its one value.  A per-step-varying
+    parameter over a multi-step range has no upstream analog in the
+    reference (its native engine rejects non-literal params outright).
+    """
+    p = _eval(e.param, ctx)
+    if isinstance(p, float):
+        return p
+    if _is_scalar_frame(p):
+        rows = p.limit(2).collect()
+        if len(rows) == 1:
+            return float(rows[0]["value"])
+        raise TypeError(
+            f"{e.op} parameter must be constant over a multi-step range"
+        )
+    raise TypeError(f"{e.op} parameter must be a scalar")
+
+
 def _eval_agg(e: Agg, ctx: Context):
     grid = _vector(ctx, e.expr)
     by = list(e.by) if e.by else None
@@ -166,9 +237,9 @@ def _eval_agg(e: Agg, ctx: Context):
         out = aggregate(grid, "count", by, without)
         return out.withColumn("value", F.lit(1.0))
     if e.op == "quantile":
-        return aggregate(grid, "quantile", by, without, param=_eval(e.param, ctx))
+        return aggregate(grid, "quantile", by, without, param=_agg_param(e, ctx))
     if e.op in ("topk", "bottomk"):
-        k = int(_eval(e.param, ctx))
+        k = int(_agg_param(e, ctx))
         return topk(grid, k, by, without, bottom=e.op == "bottomk")
     if e.op == "count_values":
         label = _eval(e.param, ctx)
@@ -193,9 +264,15 @@ def _range_input(ctx: Context, arg) -> tuple[DataFrame, float]:
         return _shifted(ctx, arg), arg.range_s
     if isinstance(arg, Subquery):
         sub_step = arg.step_s or ctx.step_s
+        # upstream eval.go aligns subquery eval points to EPOCH
+        # multiples of the sub-step (ceil the window start up to the
+        # next multiple), not to the outer query start — `[30s:10s]
+        # offset 9s` evaluates at …:10/:20/:30, whatever the offset
+        raw_start = _epoch_s(ctx.start) - arg.range_s - arg.offset_s
+        aligned_start = math.ceil(raw_start / sub_step) * sub_step
         inner_ctx = Context(
             ctx.samples,
-            _epoch_s(ctx.start) - arg.range_s - arg.offset_s,
+            aligned_start,
             _epoch_s(ctx.end) - arg.offset_s,
             sub_step,
             ctx.lookback_s,
@@ -249,10 +326,16 @@ def _with_absent_labels(out: DataFrame, arg) -> DataFrame:
     reference's common-tag pull, aggregation/absent.go:110):
     equality-matcher labels appear on the result series."""
     if isinstance(arg, Selector):
+        # a label named by MORE than one matcher (any kind) is dropped
+        # entirely — upstream createLabelsForAbsentFunction keeps only
+        # unambiguous equality matchers
+        from collections import Counter
+
+        counts = Counter(key for _kind, key, _val in arg.matchers)
         eqs = {
             key: val
             for kind, key, val in arg.matchers
-            if kind == "=" and key != "__name__" and val
+            if kind == "=" and key != "__name__" and val and counts[key] == 1
         }
         if eqs:
             tags_map = F.create_map(
@@ -266,7 +349,42 @@ def _with_absent_labels(out: DataFrame, arg) -> DataFrame:
     return out
 
 
+# Functions that KEEP the metric name on their output (upstream: every
+# other function drops it — functions.go dropMetricName; the vendored
+# engine keeps it for last_over_time, sort, and the label ops)
+_KEEP_NAME_FUNCS = {
+    "label_replace", "label_join", "last_over_time", "sort", "sort_desc",
+    "vector", "time", "scalar", "absent", "absent_over_time", "pi",
+}
+
+
+def _drop_metric_name(out):
+    """NULL the name column and strip __name__ from tags — applied to
+    name-dropping function results at the engine layer (operators keep
+    their columns; battery queries calling them directly are
+    unaffected)."""
+    from ..model import NAME_TAG
+
+    if not isinstance(out, DataFrame) or "_scalar" in out.columns:
+        return out
+    if "tags" in out.columns:
+        out = out.withColumn(
+            "tags",
+            F.map_filter(F.col("tags"), lambda k, _v: k != F.lit(NAME_TAG)),
+        )
+    if "name" in out.columns:
+        out = out.withColumn("name", F.lit(None).cast("string"))
+    return out
+
+
 def _eval_call(e: Call, ctx: Context):
+    out = _eval_call_inner(e, ctx)
+    if e.func not in _KEEP_NAME_FUNCS:
+        out = _drop_metric_name(out)
+    return out
+
+
+def _eval_call_inner(e: Call, ctx: Context):
     f = e.func
     # `f(m[r] @ t)`: evaluate the temporal call once at the fixed
     # instant, replicate across the output grid (same shape as the
@@ -367,8 +485,13 @@ def _eval_call(e: Call, ctx: Context):
     if f == "clamp_max":
         return L.clamp_max(_vector(ctx, e.args[0]), _eval(e.args[1], ctx))
     if f == "clamp":
-        v = L.clamp_min(_vector(ctx, e.args[0]), _eval(e.args[1], ctx))
-        return L.clamp_max(v, _eval(e.args[2], ctx))
+        mn, mx = _eval(e.args[1], ctx), _eval(e.args[2], ctx)
+        vec = _vector(ctx, e.args[0])
+        if mn > mx:  # upstream clamp.go: min > max → empty vector
+            return vec.where(F.lit(False))
+        if math.isnan(mn) or math.isnan(mx):  # NaN bound poisons all
+            return vec.withColumn("value", F.lit(float("nan")))
+        return L.clamp_max(L.clamp_min(vec, mn), mx)
     if f == "round":
         to = _eval(e.args[1], ctx) if len(e.args) > 1 else 1.0
         return L.round_to(_vector(ctx, e.args[0]), to)
@@ -461,6 +584,16 @@ def _is_scalar_frame(x) -> bool:
 
 
 def _eval_binary(e: Binary, ctx: Context):
+    out = _eval_binary_inner(e, ctx)
+    # upstream resultMetric: arithmetic (and `bool`-mode comparison)
+    # results carry no metric name; filtering comparisons and the set
+    # operators keep the left sample's identity untouched
+    if e.op in B.ARITH or (e.op in B.COMPARE and e.bool_mode):
+        out = _drop_metric_name(out)
+    return out
+
+
+def _eval_binary_inner(e: Binary, ctx: Context):
     lhs, rhs = _eval(e.lhs, ctx), _eval(e.rhs, ctx)
     comparison = e.op in B.COMPARE
     if isinstance(lhs, float) and isinstance(rhs, float):
@@ -495,7 +628,11 @@ def _eval_binary(e: Binary, ctx: Context):
     if e.op == "unless":
         return B.vector_unless(lhs, rhs, on, ignoring)
     if comparison:
-        return B.vector_compare(lhs, rhs, e.op, on, ignoring, bool_mode=e.bool_mode)
+        return B.vector_compare(
+            lhs, rhs, e.op, on, ignoring, bool_mode=e.bool_mode,
+            many_side=e.group,
+            include=list(e.group_include) if e.group_include else None,
+        )
     return B.vector_arith(
         lhs, rhs, e.op, on, ignoring, many_side=e.group,
         include=list(e.group_include) if e.group_include else None,

@@ -215,7 +215,10 @@ class Parser:
         k, v = self.peek()
         if v in ("-", "+"):
             self.next()
-            e = self.parse_unary()
+            # upstream precedence: unary minus binds tighter than `*`
+            # but looser than `^` — `-2^-1*3` is `(-(2^-1))*3`, and the
+            # operand itself may open with another unary (`---1`).
+            e = self.parse_expr(_PREC["^"])
             return e if v == "+" else Unary("-", e)
         return self.parse_postfix(self.parse_atom())
 

@@ -188,6 +188,20 @@ def q_ann_brute_topk(spark, sf_dir):
     )
 
 
+def q_ann_matmul_topk(spark, sf_dir):
+    """BLAS throughput tier (blocked matmul under mapInPandas) — same
+    semantics as ``ann_brute_topk``, so it shares that oracle; rounding
+    to 6 dp absorbs the BLAS-vs-fold last-ulp summation difference."""
+    from .pipeline.similarity import brute_force_topk_np
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < N_QUERIES).toPandas()
+    out = brute_force_topk_np(emb, qs, TOPK)
+    return out.select(
+        "query_id", "neighbor_id", F.round(F.col("cosine"), 6).alias("cosine")
+    )
+
+
 ORACLE_ANN_BRUTE = f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 scored AS (
@@ -438,6 +452,7 @@ PIPELINE_QUERIES = {
     "dedup_simhash": (q_dedup_simhash, ORACLE_DEDUP_SIMHASH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_NGRAM_JACCARD),
     "ann_brute_topk": (q_ann_brute_topk, ORACLE_ANN_BRUTE),
+    "ann_matmul_topk": (q_ann_matmul_topk, ORACLE_ANN_BRUTE),
     "ann_buckets": (q_ann_buckets, ORACLE_ANN_BUCKETS),
     "ann_bucketed_topk": (q_ann_bucketed_topk, ORACLE_ANN_BUCKETED),
     "text_analysis": (q_text_analysis, ORACLE_TEXT_ANALYSIS),

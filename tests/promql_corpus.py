@@ -14,13 +14,13 @@ import math
 import re
 from dataclasses import dataclass, field
 
-_DUR = {"s": 1, "m": 60, "h": 3600, "d": 86400}
+_DUR = {"ms": 0.001, "s": 1, "m": 60, "h": 3600, "d": 86400}
 
 _STALE = object()  # sentinel for upstream staleness markers
 
 
 def dur_s(tok: str) -> float:
-    m = re.fullmatch(r"([0-9.]+)([smhd])", tok)
+    m = re.fullmatch(r"([0-9.]+)(ms|[smhd])", tok)
     return float(m.group(1)) * _DUR[m.group(2)]
 
 
@@ -72,6 +72,8 @@ class EvalCase:
     expect_fail: bool = False
     has_name: bool = False  # any expectation carries a metric name
     order: list[float] = field(default_factory=list)  # values in file order
+    n_series: int = -1  # series loaded before this eval (upstream runs
+    # the file sequentially: an eval sees only earlier loads; -1 = all)
 
 
 @dataclass
@@ -116,6 +118,7 @@ def parse_corpus(text: str) -> list[Corpus]:
                 {},
                 ordered=(kind == "eval_ordered"),
                 expect_fail=(kind == "eval_fail"),
+                n_series=len(cur.series),
             )
             cur.evals.append(pending_eval)
         elif line.startswith(("  ", "\t")):
@@ -180,12 +183,26 @@ def run_corpus(
 
     failures = []
     for corpus in parse_corpus(text):
-        samples = load_samples(spark, corpus, t0)
+        # upstream promql_test.go executes the file top-to-bottom: an
+        # eval placed before a later `load` must not see its series.
+        # Materialize one frame per load-prefix (usually just one).
+        frames: dict[int, object] = {}
+
+        def _samples_for(n: int):
+            key = len(corpus.series) if n < 0 or n > len(corpus.series) else n
+            if key not in frames:
+                sub = Corpus(corpus.step_s, corpus.series[:key])
+                frames[key] = load_samples(spark, sub, t0)
+            return frames[key]
+
         for case in corpus.evals:
+            samples = _samples_for(case.n_series)
             try:
-                got_rows = query_instant(
+                res = query_instant(
                     samples, case.query, t0 + case.at_s, lookback_s
-                ).collect()
+                )
+                has_name_col = "name" in res.columns
+                got_rows = res.collect()
             except Exception as ex:
                 if case.expect_fail:
                     continue
@@ -198,7 +215,7 @@ def run_corpus(
             got_order = []
             for r in got_rows:
                 tags = dict(r["tags"]) if r["tags"] else {}
-                if case.has_name and r["name"]:
+                if case.has_name and has_name_col and r["name"]:
                     tags["__name__"] = r["name"]
                 else:
                     tags.pop("__name__", None)
@@ -231,3 +248,78 @@ def _match(got, want) -> bool:
     if set(got) != set(want):
         return False
     return all(_eq(got[k], want[k]) for k in want)
+
+
+# -- upstream-FAILING case activation ----------------------------------------
+#
+# The reference keeps the corpus cases its native engine cannot pass as
+# `# FAILING …`-commented blocks (promql_test.go never sees them).  Two
+# shapes appear in the files:
+#
+#   # FAILING issue #53. eval instant at 50m -http_requests{…}
+#   #  {…} -100
+#
+#   # FAILING. label_replace does not do a sub-string match.
+#   #eval instant at 0m label_replace(…)
+#   #  testmetric{…} 0
+#
+# `activate_failing` re-activates those blocks in place — same load/clear
+# state, only the FAILING population of evals — so we can measure which
+# upstream-known-failing cases THIS engine passes.
+
+_FAIL_EVAL_RE = re.compile(
+    r"^FAILING\b.*?\b(eval(?:_ordered|_fail)?\s+instant\s+at\s+\S+\s+.+)$"
+)
+_BARE_EVAL_RE = re.compile(r"^(eval(?:_ordered|_fail)?\s+instant\s+at\s+\S+.*)$")
+# expectation bodies: `{…} v`, `metric{…} v`, bare scalars `-1.5` / `+Inf`
+_EXPECT_RE = re.compile(
+    r"^(?:[a-zA-Z_:][\w:]*)?(?:\{[^}]*\})?\s*[-+]?(?:[0-9.]|Inf|NaN)", re.I
+)
+
+
+def activate_failing(text: str) -> str:
+    """Corpus text with ONLY the `# FAILING` eval blocks active (all
+    `load`/`clear` state preserved, originally-active evals dropped)."""
+    out: list[str] = []
+    in_expect = False  # uncommenting an activated block's expectations
+    skip_active = False  # dropping an active eval's expectation lines
+    for line in text.splitlines():
+        stripped = line.strip()
+        if not stripped:
+            in_expect = skip_active = False
+            out.append("")
+            continue
+        if stripped.startswith("#"):
+            skip_active = False
+            body = stripped.lstrip("#").strip()
+            m = _FAIL_EVAL_RE.match(body) or _BARE_EVAL_RE.match(body)
+            if m:
+                out.append(m.group(1))
+                in_expect = True
+            elif body == "clear" or re.fullmatch(r"load\s+\S+", body):
+                # FAILING regions sometimes comment their own load state
+                # (`#clear` / `#load 5m` / `#  series …`) — reactivate it
+                out.append(body)
+                in_expect = True  # following comment rows are series rows
+            elif in_expect:
+                # expectation rows sometimes repeat the FAILING prefix:
+                # `# FAILING issue #6.     {instance="127.0.0.1"} 1`
+                exp = re.sub(r"^FAILING\b[^.]*\.\s*", "", body)
+                if _EXPECT_RE.match(exp):
+                    out.append("  " + exp)
+                else:
+                    in_expect = False
+            else:
+                in_expect = False
+            continue
+        in_expect = False
+        if line.startswith("load ") or stripped == "clear":
+            skip_active = False
+            out.append(line)
+        elif _BARE_EVAL_RE.match(stripped) and not line.startswith(("  ", "\t")):
+            skip_active = True  # active eval: drop it and its expectations
+        elif line.startswith(("  ", "\t")) and skip_active:
+            pass
+        else:
+            out.append(line)  # load-block series rows
+    return "\n".join(out)

@@ -1,0 +1,67 @@
+"""Run the upstream corpus' `# FAILING` population — the cases the
+reference's OWN engine cannot pass (kept commented in its testdata so
+`promql_test.go` never sees them) — against this engine.
+
+`activate_failing` re-activates those blocks in place (same load/clear
+state).  This engine passes all but a handful; `KNOWN_GAPS` pins the
+remaining deltas with the reason each is out of scope.  Any other
+failure — i.e. a regression in a case we currently beat the reference
+on — fails the test.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import pytest
+
+from .promql_corpus import activate_failing, parse_corpus, run_corpus
+
+DATA = pathlib.Path(__file__).parent / "compatibility"
+FILES = sorted(
+    p.name
+    for p in DATA.glob("*.test")
+    if "FAILING" in p.read_text() or "#eval" in p.read_text()
+)
+
+# (file, query, at_s) → reason we do not chase this case.
+KNOWN_GAPS: dict[tuple[str, str, float], str] = {
+    ("functions.test", "clamp(test_clamp, -25, 75)", 0.0):
+        "expectation omits {src=clamp-b} 0 — no clamp semantics "
+        "(upstream or otherwise) produces that; M3-trimmed block",
+    ("functions.test", "clamp(test_clamp, 0, NaN)", 0.0):
+        "expectation omits {src=clamp-a} — same trimmed block; we "
+        "implement upstream NaN-poisoning (all series → NaN)",
+    ("staleness.test", "metric", 20.0):
+        "explicit staleness markers: Prometheus encodes them as a "
+        "reserved NaN bit-pattern, which Spark SQL cannot test for "
+        "without a per-row UDF; markers are dropped at load instead "
+        "(range-vector semantics identical, instant lookback differs "
+        "in this one window)",
+}
+
+
+@pytest.mark.parametrize("fname", FILES)
+def test_upstream_failing_cases(spark, fname):
+    text = activate_failing((DATA / fname).read_text())
+    corpora = parse_corpus(text)
+    n_evals = sum(len(c.evals) for c in corpora)
+    if n_evals == 0:
+        pytest.skip("no FAILING cases in this file")
+    at_by_query: dict[str, list[float]] = {}
+    for c in corpora:
+        for e in c.evals:
+            at_by_query.setdefault(e.query, []).append(e.at_s)
+    failures = run_corpus(spark, text, t0=0)
+    real = []
+    for q, w, g in failures:
+        base = q.removesuffix(" [order]")
+        ats = at_by_query.get(base, [])
+        if any((fname, base, at) in KNOWN_GAPS for at in ats):
+            continue
+        real.append((q, w, g))
+    msg = "\n".join(f"{q}\n  want={w}\n  got ={g}" for q, w, g in real)
+    assert not real, (
+        f"{len(real)}/{n_evals} upstream-FAILING cases regressed in "
+        f"{fname}:\n{msg}"
+    )

@@ -121,10 +121,13 @@ eval instant at 50m abs(-1 * http_requests{group="production", job="api-server"}
   {group="production", instance="0", job="api-server"} 100
   {group="production", instance="1", job="api-server"} 200
 
-# subqueries (beyond the reference's native engine)
+# subqueries (beyond the reference's native engine).  Sub-steps align
+# to EPOCH multiples of the 5m sub-step (upstream eval.go); T0 here is
+# 1_600_000_000 ≡ 100 (mod 300), so the last eval point is t0+2900 —
+# its lookback sees the i=9 sample (canary 1980), not i=10.
 eval instant at 50m max_over_time(sum by (group) (http_requests)[30m:5m])
-  {group="canary"} 2200
-  {group="production"} 1400
+  {group="canary"} 1980
+  {group="production"} 1260
 
 eval instant at 50m min_over_time(sum by (group) (http_requests)[30m:5m])
   {group="canary"} 880
