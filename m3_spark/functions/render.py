@@ -64,9 +64,23 @@ def to_prom_vector(result: DataFrame) -> dict:
     }
 
 
-def to_graphite_render(result: DataFrame) -> list[dict]:
+def to_graphite_render(
+    result: DataFrame,
+    start=None,
+    end=None,
+    step_s: float | None = None,
+    max_data_points: int = 0,
+) -> list[dict]:
     """Graphite render JSON: ``[{"target": name, "datapoints":
-    [[v, t], ...]}, ...]``."""
+    [[v, t], ...]}, ...]``.
+
+    With ``max_data_points`` > 0 (and the window parameters), series
+    exceeding the limit are LTTB-downsampled before the collect — the
+    ``render.go:160-178`` maxDataPoints resize."""
+    if max_data_points > 0 and step_s is not None:
+        from ..graphite.lttb import lttb
+
+        result = lttb(result, start, end, step_s, max_data_points)
     rows = result.select("step_ts", "name", "series_id", "value").collect()
     series: dict[str, list] = {}
     for r in rows:

@@ -1,0 +1,168 @@
+"""LTTB (Largest-Triangle-Three-Buckets) downsampling for render.
+
+The reference applies LTTB to every series whose point count exceeds
+the render request's ``maxDataPoints``
+(``src/query/api/v1/handler/graphite/render.go:170-178``; algorithm
+``src/query/graphite/ts/lttb.go:32``, after Steinarsson's thesis).  It
+keeps the visual shape of a series while shrinking it to ``threshold``
+points: always the first and last point, plus — per bucket — the point
+forming the largest triangle with the previously-selected point and
+the next bucket's average.
+
+Spark shape: the selection is inherently sequential WITHIN one series
+(each pick depends on the previous one) but embarrassingly parallel
+ACROSS series, so the kernel is a numpy port under ``applyInPandas``
+grouped by ``series_id`` — each group is one series' dense step array,
+the loop runs ``threshold`` times (≤ maxDataPoints, typically a few
+hundred for a chart), and every series downsamples concurrently.  At
+100 TB the render result set (post-query, per-chart) is the SMALL end
+of the pipeline, which is exactly where a per-series python kernel is
+acceptable; the heavy lifting stays in the SQL tier upstream of it.
+
+Reference quirks reproduced bit-for-bit (goldens in
+``tests/test_lttb.py`` mirror ``lttb_test.go``):
+
+* the next-bucket average divides by the bucket LENGTH, not the count
+  of non-NaN points read (lttb.go:81-84) — NaN-holed buckets bias the
+  average toward zero;
+* all-NaN right bucket or NaN previous point → fall back to the
+  in-bucket point closest to the bucket average (lttb.go:102-106);
+* triangle areas that come out NaN count as 0, and the max starts at
+  -1 so the first candidate always wins over "nothing"
+  (lttb.go:126-140).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.consolidate import _epoch_s
+
+
+def lttb_downsample_array(vals, values_per_step: int):
+    """Exact port of ``ts.LTTB`` over one series' dense value array
+    (NaN = missing).  Returns the selected values, length
+    ``ceil(len/values_per_step)`` (or the input when nothing to do)."""
+    import numpy as np
+
+    n = len(vals)
+    threshold = int(math.ceil(n / float(values_per_step)))
+    if threshold == 0 or threshold > n:
+        return np.asarray(vals, dtype=float)
+    out = np.full(threshold, np.nan)
+    out[0] = vals[0]
+    a = 0
+    every = float(values_per_step)
+    bucket_start = 1
+    bucket_center = bucket_start + int(math.floor(every)) + 1
+    for i in range(threshold - 2):
+        bucket_end = bucket_center + int(math.floor(every))
+        avg_start, avg_end = bucket_center, min(bucket_end, n)
+        avg_len = float(avg_end - avg_start)
+        seg = vals[avg_start:avg_end]
+        mask = ~np.isnan(seg)
+        if mask.any():
+            # reference divides by the RANGE length, not the non-NaN
+            # count (lttb.go:81-84) — keep that bias
+            avg_x = (np.arange(avg_start, avg_end)[mask]).sum() / avg_len
+            avg_y = seg[mask].sum() / avg_len
+        else:
+            avg_x = avg_y = float("nan")
+        lo, hi = bucket_start, bucket_center
+        ax, ay = float(a), vals[a]
+        if math.isnan(avg_y) or math.isnan(ay):
+            next_a = _closest_to_average(vals, lo, hi)
+        else:
+            idx = np.arange(lo, hi)
+            area = np.abs(
+                (ax - avg_x) * (vals[lo:hi] - ay) - (ax - idx) * (avg_y - ay)
+            )
+            area = np.where(np.isnan(area), 0.0, area)
+            next_a = lo + int(np.argmax(area))  # first max wins, like Go
+        out[i + 1] = vals[next_a]
+        a = next_a
+        bucket_start = bucket_center
+        bucket_center = bucket_end
+    if threshold > 1:
+        out[threshold - 1] = vals[n - 1]
+    return out
+
+
+def _closest_to_average(vals, start: int, end: int) -> int:
+    import numpy as np
+
+    seg = vals[start:end]
+    mask = ~np.isnan(seg)
+    if not mask.any():
+        return start
+    avg = seg[mask].mean()
+    diff = np.abs(avg - seg)
+    diff = np.where(np.isnan(seg), np.inf, diff)
+    return start + int(np.argmin(diff))
+
+
+def lttb(
+    grid: DataFrame, start, end, step_s: float, max_data_points: int
+) -> DataFrame:
+    """Downsample a grid frame so no series exceeds ``max_data_points``
+    rows, preserving visual shape (render.go's maxDataPoints resize).
+
+    The new step is the smallest integer multiple of ``step_s`` that
+    fits (``samplingMultiplier = ceil(len / maxDataPoints)``,
+    render.go:160-168).  Series at or under the limit pass through
+    unchanged — the whole call is a no-op projection then.
+    """
+    import numpy as np
+    import pandas as pd
+
+    start_s = _epoch_s(start)
+    end_s = _epoch_s(end)
+    n_steps = int(math.floor((end_s - start_s) / step_s)) + 1
+    if max_data_points <= 0 or n_steps <= max_data_points:
+        return grid
+    mult = int(math.ceil(n_steps / float(max_data_points)))
+    new_step_s = mult * step_s
+    step_us = int(step_s * 1_000_000)
+    new_step_us = int(new_step_s * 1_000_000)
+    start_us = int(start_s * 1_000_000)
+
+    # the kernel carries only primitives (map columns don't round-trip
+    # through Arrow's pandas output path); (name, tags) re-attach from
+    # a per-series dims frame afterwards, same shape as consolidation
+    schema = "series_id string, k long, value double"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        dense = np.full(n_steps, np.nan)
+        ks = ((pdf["t_us"].to_numpy() - start_us) // step_us).astype(int)
+        ok = (ks >= 0) & (ks < n_steps)
+        dense[ks[ok]] = pdf["value"].to_numpy()[ok]
+        sampled = lttb_downsample_array(dense, mult)
+        keep = ~np.isnan(sampled)
+        return pd.DataFrame(
+            {
+                "series_id": pdf["series_id"].iloc[0],
+                "k": np.flatnonzero(keep),
+                "value": sampled[keep],
+            }
+        )
+
+    src = grid.where(F.col("value").isNotNull()).select(
+        "series_id",
+        F.unix_micros(F.col("step_ts")).alias("t_us"),
+        "value",
+    )
+    dims = grid.groupBy("series_id").agg(
+        F.first("name").alias("name"), F.first("tags").alias("tags")
+    )
+    out = src.groupBy("series_id").applyInPandas(fn, schema).join(
+        dims, "series_id"
+    )
+    return out.select(
+        F.timestamp_micros(
+            F.lit(start_us) + F.col("k") * F.lit(new_step_us)
+        ).alias("step_ts"),
+        "name", "tags", "series_id", "value",
+    )

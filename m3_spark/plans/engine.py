@@ -96,14 +96,16 @@ def query_range(
         )
     if "_scalar" in out.columns:
         out = out.drop("_scalar")
-    # an order-producing top-level construct (topk/bottomk/sort) has
-    # row order as part of its contract — the validation window would
-    # reshuffle it away, and these pass labelsets through unchanged,
-    # so the check adds nothing there
-    ordered_top = (
-        isinstance(ast, Agg) and ast.op in ("topk", "bottomk")
-    ) or (isinstance(ast, Call) and ast.func in ("sort", "sort_desc"))
-    if validate and not ordered_top:
+    # Skip the check where it can't fire or would break the contract:
+    # an aggregation's groupBy key IS the output labelset (duplicates
+    # impossible by construction), and order-producing tops
+    # (topk/bottomk/sort) carry row order the validation window would
+    # reshuffle away.  This keeps the common `sum by (…)` production
+    # shape at its minimal shuffle count.
+    skip_check = isinstance(ast, Agg) or (
+        isinstance(ast, Call) and ast.func in ("sort", "sort_desc")
+    )
+    if validate and not skip_check:
         out = _check_unique_labelsets(out)
     return out
 

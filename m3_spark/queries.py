@@ -516,6 +516,56 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_counter_increase(spark, sf_dir):
+    """m3aggregator's Increase transform (counter-reset aware) — batch
+    form of ``streaming/aggregator.py::counter_increase`` (the
+    streaming applyInPandasWithState path computes the identical values
+    and is covered by ``tests/test_streaming.py``).  Duplicate
+    timestamps per metric are pre-collapsed (take-max) so the lag order
+    is deterministic on both engines."""
+    from .sources.tables import read_table
+    from .streaming.aggregator import counter_increase
+
+    ev = read_table(spark, sf_dir, "events")
+    m = (
+        ev.select(
+            F.concat_ws(
+                "|", "event_type", F.col("user_id").cast("string")
+            ).alias("metric_id"),
+            "ts",
+            F.col("value").cast("double").alias("value"),
+        )
+        .groupBy("metric_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    out = counter_increase(m)
+    return out.select(
+        "metric_id",
+        # µs epoch: events carry sub-second timestamps, and whole-second
+        # truncation vs rounding differs between Spark and DuckDB
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.round(F.col("increase"), 6).alias("increase"),
+    )
+
+
+ORACLE_COUNTER_INCREASE = """
+WITH m AS (
+  SELECT event_type || '|' || CAST(user_id AS VARCHAR) AS metric_id,
+         ts, MAX(value) AS value
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT metric_id, ts, value,
+         lag(value) OVER (PARTITION BY metric_id ORDER BY ts) AS prev
+  FROM m
+)
+SELECT metric_id, epoch_us(ts) AS ts_us,
+       ROUND(CASE WHEN value >= prev THEN value - prev ELSE value END, 6)
+         AS increase
+FROM lagged WHERE prev IS NOT NULL
+"""
+
+
 from .queries_pipeline import PIPELINE_QUERIES  # noqa: E402
 from .queries_relational import RELATIONAL_QUERIES  # noqa: E402
 
@@ -539,4 +589,5 @@ QUERIES = {
     ),
     "graphite_holt_forecast": (q_graphite_holt_forecast, ORACLE_HOLT_FORECAST),
     "stream_agg_policy_1h": (q_agg_policy_1h, ORACLE_AGG_POLICY_1H),
+    "counter_increase": (q_counter_increase, ORACLE_COUNTER_INCREASE),
 }

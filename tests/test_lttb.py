@@ -1,0 +1,96 @@
+"""LTTB downsampling goldens, mirroring the reference's
+``src/query/graphite/ts/lttb_test.go`` (TestLTTB length/step matrix,
+TestLTTBWithNull, TestLTTBAverage) plus grid-level behavior of the
+render maxDataPoints hook."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from m3_spark.graphite.lttb import lttb, lttb_downsample_array
+
+# data[0..8].Y from lttb_test.go's fixture
+DATA9 = [
+    29.357995947822218, 29.40932479606209, 29.28168582006162,
+    30.409965579108867, 30.7726859735917, 30.839942247539028,
+    30.760611642264667, 31.203663004229718, 31.38899603525572,
+]
+
+
+def test_linear_series_matrix():
+    # 10-point linear series 1..10 through the TestLTTB size matrix:
+    # the selected values are the bucket-start points (all triangle
+    # areas are 0 on a line, first candidate wins)
+    vals = np.arange(1.0, 11.0)
+    assert list(lttb_downsample_array(vals, 4)) == [1, 2, 10]
+    assert list(lttb_downsample_array(vals, 3)) == [1, 2, 6, 10]
+    assert list(lttb_downsample_array(vals, 2)) == [1, 2, 5, 7, 10]
+    # thresholds 6 and 7 resolve to the same 2x multiplier → still 5
+    assert math.ceil(10 / math.ceil(10 / 6)) == 5
+    assert math.ceil(10 / math.ceil(10 / 7)) == 5
+
+
+def test_threshold_equal_length_keeps_count_and_endpoints():
+    # threshold == len is not the no-op branch upstream either (that
+    # requires threshold > len); count and endpoints are preserved
+    vals = np.arange(1.0, 11.0)
+    out = lttb_downsample_array(vals, 1)
+    assert len(out) == 10 and out[0] == 1.0 and out[-1] == 10.0
+
+
+def test_leading_null_kept():
+    # TestLTTBWithNull: first point NaN stays NaN, second is real
+    vals = np.array([float("nan")] + DATA9[1:])
+    out = lttb_downsample_array(vals, 5)
+    assert len(out) == 2
+    assert math.isnan(out[0])
+    assert not math.isnan(out[1])
+
+
+def test_average_fallback():
+    # TestLTTBAverage: all-NaN neighborhoods fall back to the
+    # closest-to-average pick, locating the lone real point
+    vals = np.full(8, float("nan"))
+    vals[4] = DATA9[4]
+    out = lttb_downsample_array(vals, 3)
+    assert out[1] == pytest.approx(DATA9[4], abs=1e-3)
+
+    vals = np.full(12, float("nan"))
+    vals[7] = DATA9[7]
+    out = lttb_downsample_array(vals, 3)
+    assert out[2] == pytest.approx(DATA9[7], abs=1e-3)
+
+
+def test_grid_downsample(spark):
+    from tests.conftest import make_samples
+    from m3_spark.operators.consolidate import consolidate_sparse
+
+    t0 = 1_600_000_000
+    rows = [
+        ("m", {"host": h}, t0 + i * 60, float(base + i))
+        for h, base in (("a", 0), ("b", 100))
+        for i in range(10)
+    ]
+    s = make_samples(spark, rows)
+    grid = consolidate_sparse(s, t0, t0 + 9 * 60, 60, 60)
+    out = lttb(grid, t0, t0 + 9 * 60, 60, 5).orderBy("step_ts")
+    rows_a = [
+        (r["step_ts"].timestamp(), r["value"])
+        for r in out.where(F_col_tags_host(out, "a")).collect()
+    ]
+    # 10 points → multiplier 2 → 5 points at 120s step on the same
+    # bucket-start picks as the linear golden (values 0-based here)
+    assert [v for _, v in rows_a] == [0.0, 1.0, 4.0, 6.0, 9.0]
+    assert [t - t0 for t, _ in rows_a] == [0, 120, 240, 360, 480]
+    # under the limit → untouched frame comes back
+    same = lttb(grid, t0, t0 + 9 * 60, 60, 100)
+    assert same.count() == grid.count()
+
+
+def F_col_tags_host(df, v):
+    from pyspark.sql import functions as F
+
+    return F.col("tags").getItem("host") == v
