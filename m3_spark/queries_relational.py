@@ -708,6 +708,71 @@ def q_graphite_text_target(spark, sf_dir):
     )
 
 
+def q_graphite_as_percent(spark, sf_dir):
+    """asPercent(groupByNode(events.*.*, 1, "sum")) through the
+    compiler — each per-event_type series as a share of the per-step
+    total (aggregation_functions.go asPercent, computed-total form)."""
+    from .graphite.compiler import evaluate
+
+    out = evaluate(
+        _gsamples(spark, sf_dir),
+        'asPercent(groupByNode(events.*.*, 1, "sum"))',
+        START, END, STEP_S, LOOKBACK_S,
+    )
+    return out.where(F.col("value").isNotNull()).select(
+        _epoch(), F.col("name").alias("event_type"),
+        F.round(F.col("value"), 6).alias("value"),
+    )
+
+
+ORACLE_GRAPHITE_ASPERCENT = f"""{_LASTV_SQL}
+, et AS (
+  SELECT step_ts, event_type, SUM(v) AS value FROM lastv GROUP BY 1, 2
+),
+shares AS (
+  SELECT step_ts, event_type,
+         value / NULLIF(SUM(value) OVER (PARTITION BY step_ts), 0) AS share
+  FROM et
+)
+SELECT CAST(epoch(step_ts) AS BIGINT) AS step_s, event_type,
+       ROUND(share * 100, 6) AS value
+FROM shares WHERE share IS NOT NULL
+"""
+
+
+def q_graphite_divide_series(spark, sf_dir):
+    """divideSeries(groupByNode(...), sumSeries(events.*.*)) through
+    the compiler — per-step division by the single total series
+    (aggregation_functions.go:230-239; >1 divisor series errors)."""
+    from .graphite.compiler import evaluate
+
+    out = evaluate(
+        _gsamples(spark, sf_dir),
+        'divideSeries(groupByNode(events.*.*, 1, "sum"),'
+        ' sumSeries(events.*.*))',
+        START, END, STEP_S, LOOKBACK_S,
+    )
+    return out.where(F.col("value").isNotNull()).select(
+        _epoch(), F.col("name").alias("event_type"),
+        F.round(F.col("value"), 6).alias("value"),
+    )
+
+
+ORACLE_GRAPHITE_DIVIDE = f"""{_LASTV_SQL}
+, et AS (
+  SELECT step_ts, event_type, SUM(v) AS value FROM lastv GROUP BY 1, 2
+),
+shares AS (
+  SELECT step_ts, event_type,
+         value / NULLIF(SUM(value) OVER (PARTITION BY step_ts), 0) AS share
+  FROM et
+)
+SELECT CAST(epoch(step_ts) AS BIGINT) AS step_s, event_type,
+       ROUND(share, 6) AS value
+FROM shares WHERE share IS NOT NULL
+"""
+
+
 # ---------------------------------------------------------------------------
 # Round-4 battery additions: previously pytest-only operator families
 # (comparisons+bool, label ops, PromQL holt_winters, delta/irate/idelta,
@@ -1200,6 +1265,10 @@ RELATIONAL_QUERIES = {
     "events_props_json": (q_events_props_json, ORACLE_EVENTS_PROPS),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, ORACLE_DEDUP_EMBEDDING),
     "graphite_text_target": (q_graphite_text_target, ORACLE_GRAPHITE_GBN),
+    "graphite_as_percent": (q_graphite_as_percent, ORACLE_GRAPHITE_ASPERCENT),
+    "graphite_divide_series": (
+        q_graphite_divide_series, ORACLE_GRAPHITE_DIVIDE,
+    ),
     "promql_bottomk": (q_bottomk, ORACLE_BOTTOMK),
     "promql_vector_or": (q_vector_or, ORACLE_VECTOR_OR),
     "promql_text_sum_by": (q_promql_text, ORACLE_PROMQL_TEXT),
