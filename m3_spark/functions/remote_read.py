@@ -270,6 +270,77 @@ def decode_read_response(body: bytes) -> list[list[dict]]:
     return out
 
 
+# -- prompb.WriteRequest (remote write wire) ---------------------------------
+
+#: Prometheus staleness marker: a reserved quiet-NaN payload
+#: (value.go StaleNaN = 0x7ff0000000000002).  Only the WIRE decode can
+#: see it — once unpacked to a float the payload is indistinguishable
+#: from an ordinary NaN — so markers become None here and NULL-valued
+#: sample rows downstream (the engine's marker representation).
+STALE_NAN_BITS = 0x7FF0000000000002
+
+
+def decode_write_request(body: bytes) -> list[dict]:
+    """snappy(prompb.WriteRequest) → [{labels, samples: [(ts_ms,
+    value-or-None)]}] — the reference handler's decode
+    (``src/query/api/v1/handler/prometheus/remote/write.go``), with
+    stale markers surfaced as ``None``."""
+    raw = snappy_decompress(body)
+    out = []
+    for field, _w, ts_msg in _iter_fields(raw):
+        if field != 1:  # repeated TimeSeries
+            continue
+        labels, samples = {}, []
+        for f2, _w2, v2 in _iter_fields(ts_msg):
+            if f2 == 1:  # Label
+                name = value = ""
+                for f3, _w3, v3 in _iter_fields(v2):
+                    if f3 == 1:
+                        name = v3.decode()
+                    elif f3 == 2:
+                        value = v3.decode()
+                labels[name] = value
+            elif f2 == 2:  # Sample
+                val, ts_ms = 0.0, 0
+                for f3, w3, v3 in _iter_fields(v2):
+                    if f3 == 1 and w3 == 1:
+                        bits = int.from_bytes(v3, "little")
+                        val = (
+                            None
+                            if bits == STALE_NAN_BITS
+                            else struct.unpack("<d", v3)[0]
+                        )
+                    elif f3 == 2 and w3 == 0:
+                        ts_ms = _zigzag_to_int64(v3)
+                samples.append((ts_ms, val))
+        out.append({"labels": labels, "samples": samples})
+    return out
+
+
+def encode_write_request(series: list[dict]) -> bytes:
+    """[{labels, samples: [(ts_ms, value-or-None)]}] →
+    snappy(prompb.WriteRequest) — the client half; ``None`` values
+    encode as the StaleNaN marker bits."""
+    body = b""
+    for s in series:
+        lb = b""
+        for k in sorted(s["labels"]):
+            lb += _len_delim(
+                1,
+                _len_delim(1, k.encode())
+                + _len_delim(2, s["labels"][k].encode()),
+            )
+        sb = b""
+        for ts_ms, v in s["samples"]:
+            if v is None:
+                val_bytes = _key(1, 1) + STALE_NAN_BITS.to_bytes(8, "little")
+            else:
+                val_bytes = _double_field(1, float(v))
+            sb += _len_delim(2, val_bytes + _varint_field(2, int(ts_ms)))
+        body += _len_delim(1, lb + sb)
+    return snappy_compress(body)
+
+
 # -- the handler --------------------------------------------------------------
 
 

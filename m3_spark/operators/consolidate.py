@@ -233,13 +233,27 @@ def consolidate(
         .orderBy("t_us", "is_probe", "value")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    sample_t = F.when(F.col("is_probe") == 0, F.col("t_us"))
+    # A NULL-valued sample row is an explicit STALENESS MARKER (the
+    # Prometheus stale-NaN analog): it contributes no value, but a
+    # marker NEWER than the last real sample cuts the lookback — the
+    # series is absent at that step even though a value is in range.
+    # Range-vector consumers never see markers (every aggregate skips
+    # NULL), so only this instant-lookback path needs the check; with
+    # no markers present last_marker is NULL and the plan behaves
+    # exactly as before.
+    is_sample = F.col("is_probe") == 0
+    sample_t = F.when(is_sample & F.col("value").isNotNull(), F.col("t_us"))
+    marker_t = F.when(is_sample & F.col("value").isNull(), F.col("t_us"))
     filled = points.unionByName(probes).select(
         "*",
         F.last("value", ignorenulls=True).over(w).alias("last_val"),
         F.last(sample_t, ignorenulls=True).over(w).alias("last_t_us"),
+        F.last(marker_t, ignorenulls=True).over(w).alias("last_marker_us"),
     )
-    live = F.col("t_us") - F.col("last_t_us") <= F.lit(thr_us)
+    live = (F.col("t_us") - F.col("last_t_us") <= F.lit(thr_us)) & (
+        F.col("last_marker_us").isNull()
+        | (F.col("last_marker_us") < F.col("last_t_us"))
+    )
     extra = (
         [F.when(live, F.col("last_t_us")).alias("sample_t_us")]
         if keep_sample_ts

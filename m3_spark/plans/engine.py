@@ -197,7 +197,10 @@ def _eval(e, ctx: Context):
             )
         return consolidate(
             _shifted(ctx, e), ctx.start, ctx.end, ctx.step_s, ctx.lookback_s
-        )
+        ).where(F.col("value").isNotNull())
+        # stale steps emit NO row in a PromQL vector (the dense grid's
+        # NULL rows are a consolidation-layer contract for fill-style
+        # graphite consumers, not part of the instant-vector semantic)
     if isinstance(e, Agg):
         return _eval_agg(e, ctx)
     if isinstance(e, Call):

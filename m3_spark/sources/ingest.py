@@ -155,6 +155,39 @@ def from_remote_write(
     return with_series_id(labeled.select(*cols)).select(*keep)
 
 
+def from_remote_write_wire(spark, body: bytes) -> DataFrame:
+    """snappy(prompb.WriteRequest) HTTP body → samples frame — the
+    full remote-write handler path (decode is
+    ``functions/remote_read.py::decode_write_request``).
+
+    Stale markers (the reserved StaleNaN payload, detectable only at
+    the wire layer) become NULL-valued sample rows: invisible to range
+    vectors, lookback-cutting for instant queries.  One body is one
+    driver-side decode (the handler shape); a high-volume stream of
+    bodies would run the same decode inside ``mapInPandas`` over a
+    Kafka/file source of raw payloads instead.
+    """
+    import datetime as dt
+
+    from ..functions.remote_read import decode_write_request
+
+    rows = [
+        (
+            s["labels"],
+            dt.datetime.fromtimestamp(ts_ms / 1000.0, dt.timezone.utc).replace(
+                tzinfo=None
+            ),
+            v,
+        )
+        for s in decode_write_request(body)
+        for ts_ms, v in s["samples"]
+    ]
+    labeled = spark.createDataFrame(
+        rows, "labels map<string,string>, ts timestamp, value double"
+    )
+    return from_remote_write(labeled)
+
+
 # -- Kafka / m3msg pub-sub source -------------------------------------------
 
 #: payload format → line parser (the m3msg analog carries one of the

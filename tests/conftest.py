@@ -26,7 +26,12 @@ def make_samples(spark, rows):
     from m3_spark.model import with_series_id
 
     data = [
-        (name, tags, dt.datetime.fromtimestamp(ts, dt.timezone.utc).replace(tzinfo=None), float(v))
+        (
+            name,
+            tags,
+            dt.datetime.fromtimestamp(ts, dt.timezone.utc).replace(tzinfo=None),
+            None if v is None else float(v),  # None = staleness marker
+        )
         for name, tags, ts, v in rows
     ]
     df = spark.createDataFrame(

@@ -160,12 +160,13 @@ def load_samples(spark, corpus: Corpus, t0: float = T0):
     rows = []
     for name, labels, values, step in corpus.series:
         for i, v in enumerate(values):
-            if v is None or v is _STALE:
-                # staleness markers cut instant lookback in upstream
-                # Prometheus; every *active* corpus case that probes the
-                # marker window is FAILING-commented upstream, so
-                # dropping the marker reproduces the active contract
-                # (range vectors ignore markers entirely).
+            if v is None:
+                continue  # `_` = no sample at this step
+            if v is _STALE:
+                # staleness marker → NULL-valued sample row: invisible
+                # to range vectors (aggregates skip NULL), cuts instant
+                # lookback in the dense consolidation kernel
+                rows.append((name, labels, t0 + i * step, None))
                 continue
             rows.append((name, labels, t0 + i * step, v))
     return make_samples(spark, rows)

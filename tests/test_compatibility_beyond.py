@@ -32,12 +32,6 @@ KNOWN_GAPS: dict[tuple[str, str, float], str] = {
     ("functions.test", "clamp(test_clamp, 0, NaN)", 0.0):
         "expectation omits {src=clamp-a} — same trimmed block; we "
         "implement upstream NaN-poisoning (all series → NaN)",
-    ("staleness.test", "metric", 20.0):
-        "explicit staleness markers: Prometheus encodes them as a "
-        "reserved NaN bit-pattern, which Spark SQL cannot test for "
-        "without a per-row UDF; markers are dropped at load instead "
-        "(range-vector semantics identical, instant lookback differs "
-        "in this one window)",
 }
 
 

@@ -107,3 +107,45 @@ def test_remote_read_multi_query_framing(spark):
     assert [len(qr) for qr in out] == [1, 0, 1]
     assert out[0][0]["labels"]["__name__"] == "other"
     assert out[2][0]["labels"]["__name__"] == "m"
+
+
+def test_write_request_roundtrip_with_stale_marker():
+    """WriteRequest wire round-trip; a None value encodes as the
+    StaleNaN payload (value.go StaleNaN) and decodes back to None."""
+    from m3_spark.functions.remote_read import (
+        decode_write_request,
+        encode_write_request,
+    )
+
+    series = [
+        {
+            "labels": {"__name__": "m", "job": "api"},
+            "samples": [(1000, 1.5), (2000, None), (3000, 2.5)],
+        }
+    ]
+    out = decode_write_request(encode_write_request(series))
+    assert out == series
+
+
+def test_remote_write_stale_marker_cuts_lookback(spark):
+    """End-to-end: a staleness marker arriving over remote write makes
+    the series absent for instant queries after the marker, while the
+    pre-marker instant still resolves (upstream stale-NaN semantics)."""
+    from m3_spark.functions.remote_read import encode_write_request
+    from m3_spark.plans.engine import query_instant
+    from m3_spark.sources.ingest import from_remote_write_wire
+
+    body = encode_write_request(
+        [
+            {
+                "labels": {"__name__": "m", "job": "api"},
+                "samples": [
+                    (T0 * 1000, 1.0),
+                    ((T0 + 10) * 1000, None),  # marker at +10s
+                ],
+            }
+        ]
+    )
+    s = from_remote_write_wire(spark, body)
+    assert [r["value"] for r in query_instant(s, "m", T0 + 5).collect()] == [1.0]
+    assert query_instant(s, "m", T0 + 15).collect() == []
