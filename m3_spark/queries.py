@@ -566,6 +566,28 @@ FROM lagged WHERE prev IS NOT NULL
 """
 
 
+def q_graphite_lttb(spark, sf_dir):
+    """maxDataPoints LTTB downsample over per-event_type 1h sums —
+    the render.go resize path.  No SQL oracle: the point selection is
+    sequential within a series (each pick depends on the previous
+    one), so the driver records the rows-only check; golden values are
+    pinned against the reference's lttb_test.go in
+    ``tests/test_lttb.py``."""
+    from .graphite.lttb import lttb
+    from .queries_common import END, LOOKBACK_S, START, STEP_S, _grid
+    from .operators.aggregation import aggregate
+
+    g = aggregate(_grid(spark, sf_dir), "sum", by=["event_type"])
+    out = lttb(g.withColumn("name", F.col("tags").getItem("event_type"))
+               .withColumn("series_id", F.col("name")),
+               START, END, STEP_S, max_data_points=24)
+    return out.select(
+        F.unix_timestamp(F.col("step_ts")).alias("step_s"),
+        F.col("name").alias("event_type"),
+        F.round(F.col("value"), 6).alias("value"),
+    )
+
+
 from .queries_pipeline import PIPELINE_QUERIES  # noqa: E402
 from .queries_relational import RELATIONAL_QUERIES  # noqa: E402
 
@@ -590,4 +612,5 @@ QUERIES = {
     "graphite_holt_forecast": (q_graphite_holt_forecast, ORACLE_HOLT_FORECAST),
     "stream_agg_policy_1h": (q_agg_policy_1h, ORACLE_AGG_POLICY_1H),
     "counter_increase": (q_counter_increase, ORACLE_COUNTER_INCREASE),
+    "graphite_lttb": (q_graphite_lttb, None),
 }
