@@ -1,0 +1,157 @@
+"""Empirical scale smoke: run the headline operators at ~100x the
+sf0.1 test fixtures (10M events, 500k documents by default) to verify
+the partition/shuffle design holds as data grows — the same plans the
+driver benches at sf0.1, nothing re-tuned for size.
+
+Everything is generated IN Spark (spark.range → column expressions;
+no driver-side materialization) and written once to a local parquet
+scratch dir, so the timed runs measure scan+shuffle+compute exactly
+like the real fixtures do.
+
+    python scale_check.py [--events 10000000] [--docs 500000] [--keep]
+
+Prints one JSON line: {"rows": ..., "queries": {name: sec, ...}}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from m3_spark.session import get_spark  # noqa: E402
+
+SCRATCH = os.environ.get(
+    "SPARK_GRAFT_SCALE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale_data"),
+)
+
+T0 = "2024-01-01 00:00:00"
+
+
+def generate(spark, n_events: int, n_docs: int) -> None:
+    ev_path = os.path.join(SCRATCH, "events.parquet")
+    if not os.path.exists(ev_path):
+        # ~7.5k series (5 types x 1.5k users), 30 days of data — the
+        # sf0.1 shape scaled up in row count, same cardinality knobs a
+        # real cluster would see per partition
+        (
+            spark.range(n_events)
+            .select(
+                F.col("id").alias("event_id"),
+                F.timestamp_micros(
+                    F.lit(1704067200000000)
+                    + (F.xxhash64("id") % (30 * 86400)) * 1_000_000
+                ).alias("ts"),
+                (F.pmod(F.xxhash64("id", F.lit(1)), 1500)).alias("user_id"),
+                F.element_at(
+                    F.array(*[F.lit(t) for t in
+                              ("click", "view", "purchase", "signup", "error")]),
+                    (F.pmod(F.xxhash64("id", F.lit(2)), 5) + 1).cast("int"),
+                ).alias("event_type"),
+                (F.pmod(F.xxhash64("id", F.lit(3)), 10000) / 100.0).alias("value"),
+            )
+            .write.mode("overwrite")
+            .parquet(ev_path)
+        )
+    doc_path = os.path.join(SCRATCH, "documents.parquet")
+    if not os.path.exists(doc_path):
+        # ~5% exact dups + shingled text long enough for MinHash
+        word = lambda c: F.concat(  # noqa: E731
+            F.lit("w"), F.pmod(F.xxhash64("base", F.lit(c)), 5000).cast("string")
+        )
+        (
+            spark.range(n_docs)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.pmod(F.xxhash64("id", F.lit(9)), int(n_docs * 0.95)).alias("base"),
+            )
+            .select(
+                "doc_id",
+                F.concat_ws(
+                    " ", *[word(c) for c in range(30)]
+                ).alias("text"),
+            )
+            .write.mode("overwrite")
+            .parquet(doc_path)
+        )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--events", type=int, default=10_000_000)
+    ap.add_argument("--docs", type=int, default=500_000)
+    ap.add_argument("--keep", action="store_true")
+    args = ap.parse_args()
+
+    spark = get_spark("m3_spark-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    generate(spark, args.events, args.docs)
+
+    from m3_spark.model import read_samples
+    from m3_spark.operators.aggregation import aggregate, topk
+    from m3_spark.operators.consolidate import consolidate_sparse
+    from m3_spark.operators.temporal import over_time, rate
+    from m3_spark.pipeline.dedup import lsh_candidates, write_signature_table
+
+    samples = read_samples(spark, SCRATCH)
+    end_7d = "2024-01-08 00:00:00"
+
+    def q_sum_by(_):
+        g = consolidate_sparse(samples, T0, end_7d, 3600, 300)
+        return aggregate(g, "sum", by=["event_type"])
+
+    def q_rate_sum(_):
+        r = rate(samples, "rate", 6 * 3600, T0, "2024-01-02 00:00:00", 60)
+        return r.groupBy("step_ts", F.col("tags").getItem("event_type")).agg(
+            F.sum("value")
+        )
+
+    def q_topk(_):
+        g = consolidate_sparse(samples, T0, end_7d, 3600, 300)
+        return topk(g, 10)
+
+    def q_over_time(_):
+        return over_time(
+            samples, "sum", 6 * 3600, T0, "2024-01-02 00:00:00", 3600
+        )
+
+    def q_dedup_lsh(_):
+        from m3_spark.sources.tables import read_table
+
+        docs = read_table(spark, SCRATCH, "documents")
+        sig_dir = os.path.join(SCRATCH, "signatures.parquet")
+        sigs = write_signature_table(docs, sig_dir, k=16)
+        return lsh_candidates(docs, k=16, bands=4, sigs=sigs)
+
+    timings, counts = {}, {}
+    for name, fn in {
+        "sum_by_7d_1h": q_sum_by,
+        "rate_sum_24h_1m": q_rate_sum,
+        "topk_7d_1h": q_topk,
+        "sum_over_time_24h": q_over_time,
+        "dedup_lsh": q_dedup_lsh,
+    }.items():
+        t = time.perf_counter()
+        counts[name] = fn(None).count()
+        timings[name] = round(time.perf_counter() - t, 2)
+        print(f"# {name}: {timings[name]}s ({counts[name]} rows)", file=sys.stderr)
+    print(
+        json.dumps(
+            {"events": args.events, "docs": args.docs, "queries": timings,
+             "rows": counts}
+        )
+    )
+    if not args.keep:
+        shutil.rmtree(SCRATCH, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

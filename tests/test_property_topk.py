@@ -1,0 +1,65 @@
+"""Salted two-level topk vs a naive single-window rank on randomized
+frames.  The salted form (64-way parallel partial top-k, then a rank
+over the ≤64·k survivors) must be EXACT — any global top-k row is in
+its salt bucket's top-k — so both implementations agree on every
+(step, group, k), including NaN placement and ties.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from m3_spark.operators.aggregation import (
+    group_sig_col,
+    retained_tags_col,
+    topk,
+)
+
+from .conftest import make_samples
+
+
+def _naive_topk(grid, k, by=None, bottom=False):
+    g = grid.withColumn("sig", group_sig_col(retained_tags_col(by, None)))
+    nan_last = F.isnan(F.col("value")).asc()
+    order = F.col("value").asc() if bottom else F.col("value").desc()
+    w = Window.partitionBy("step_ts", "sig").orderBy(
+        nan_last, order, F.col("series_id").asc()
+    )
+    return (
+        g.where(F.col("value").isNotNull())
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .select("step_ts", "series_id", "value")
+    )
+
+
+@pytest.mark.parametrize("seed,k,bottom", [(1, 3, False), (2, 1, True), (3, 7, False)])
+def test_salted_topk_matches_naive(spark, seed, k, bottom):
+    rng = random.Random(seed)
+    t0 = 1_600_000_000
+    rows = []
+    for s in range(40):
+        tags = {"host": f"h{s}", "dc": f"d{s % 3}"}
+        for step in range(4):
+            v = rng.choice(
+                [rng.uniform(-100, 100), float("nan"), rng.randint(0, 5) * 1.0]
+            )
+            rows.append(("m", tags, t0 + step * 60, v))
+    samples = make_samples(spark, rows)
+    from m3_spark.operators.consolidate import consolidate_sparse
+
+    grid = consolidate_sparse(samples, t0, t0 + 3 * 60, 60, 60)
+    for by in (None, ["dc"]):
+        got = {
+            (r["step_ts"], r["series_id"]): r["value"]
+            for r in topk(grid, k, by=by, bottom=bottom).collect()
+        }
+        want = {
+            (r["step_ts"], r["series_id"]): r["value"]
+            for r in _naive_topk(grid, k, by=by, bottom=bottom).collect()
+        }
+        assert got.keys() == want.keys()
