@@ -1,0 +1,64 @@
+"""Session-timezone robustness: the driver's SparkSession is not
+guaranteed UTC, and timestamp literals / unix_timestamp() are
+session-tz-sensitive.  ``read_table`` (and ``get_spark``) pin
+``spark.sql.session.timeZone=UTC`` so every battery query produces
+identical time keys whatever the ambient default was — this test
+flips the session to America/New_York first and asserts the defense
+holds end-to-end against the DuckDB oracle (which is effectively UTC).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+
+@pytest.fixture()
+def ny_session(spark):
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    yield spark
+    spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_read_table_repins_utc(ny_session, sf_dir):
+    from m3_spark.sources.tables import read_table
+
+    assert (
+        ny_session.conf.get("spark.sql.session.timeZone")
+        == "America/New_York"
+    )
+    read_table(ny_session, sf_dir, "events")
+    # the read path must have re-pinned the session
+    assert ny_session.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_battery_query_matches_oracle_after_tz_flip(ny_session, sf_dir):
+    import __spark_entry__ as e
+
+    fn = e.queries()["promql_sum_by"]
+    sql = e.oracle_sql()["promql_sum_by"]
+    sdf = fn(ny_session, sf_dir)
+    scols = sorted(sdf.columns)
+    srows = sorted(
+        tuple(
+            round(r[c], 6) if isinstance(r[c], float) else r[c]
+            for c in scols
+        )
+        for r in sdf.collect()
+    )
+    con = duckdb.connect()
+    for t in ("events",):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    ddf = con.execute(sql).fetchdf()
+    drows = sorted(
+        tuple(
+            round(v, 6) if isinstance(v, float) else v
+            for v in (getattr(row, c) for c in scols)
+        )
+        for row in ddf.itertuples(index=False)
+    )
+    assert srows == drows
