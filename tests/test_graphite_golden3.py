@@ -1,0 +1,150 @@
+"""More golden parity with ``builtin_functions_test.go``: the shared
+``testInput`` fixture driven through the comparator filters
+(maximumAbove … currentBelow), removeAbove/BelowValue, the sortBy*
+family, exclude/grep, and the math transforms absolute / invert /
+offsetToZero.  NaN values in the reference tables are grid-form stale
+(None) here — the aggregates' NULL-skipping reproduces the reference's
+NaN-skipping, and a NULL summary stat orders exactly where the
+reference puts all-NaN series (first ascending, last descending).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from m3_spark.graphite import functions as gf
+
+from .test_graphite_golden import _grid_df, _vals_by_step
+
+# builtin_functions_test.go:48 testInput
+TEST_INPUT = {
+    "foo": [0.0, 601.0, 3.0, 4.0],
+    "nan": [None, None, None],
+    "bar": [500.0, -8.0],
+    "baz": [600.0, -600.0, 3.0],
+    "quux": [100.0, 50000.0, 888.0, -1.0, -2.0, None],
+}
+SMALL_INPUT = {"foo": TEST_INPUT["foo"], "bar": TEST_INPUT["bar"]}
+IDX = ["foo", "nan", "bar", "baz", "quux"]
+
+
+def _names(df):
+    return {r["series_id"] for r in df.select("series_id").distinct().collect()}
+
+
+@pytest.mark.parametrize(
+    "func,op,n,want",
+    [
+        # TestMaximumAbove / TestMinimumAbove / TestAverageAbove /
+        # TestAverageBelow / TestCurrentAbove / TestCurrentBelow
+        ("max", ">", -10, [0, 2, 3, 4]),
+        ("max", ">", 600, [0, 4]),
+        ("max", ">", 100000, []),
+        ("min", ">", -1000, [0, 2, 3, 4]),
+        ("min", ">", -100, [0, 2, 4]),
+        ("min", ">", 1, []),
+        ("average", ">", 0, [0, 2, 3, 4]),
+        ("average", ">", 1, [0, 2, 4]),
+        ("average", ">", 12000, []),
+        ("average", "<", 0, []),
+        ("average", "<", 600, [0, 2, 3]),
+        ("average", "<", 12000, [0, 2, 3, 4]),
+        ("current", ">", -10, [0, 2, 3, 4]),
+        ("current", ">", -5, [0, 3, 4]),
+        ("current", ">", 5, []),
+        ("current", "<", 5, [0, 2, 3, 4]),
+        ("current", "<", 0, [2, 4]),
+        ("current", "<", -5, [2]),
+        ("current", "<", -10, []),
+    ],
+)
+def test_comparator_filters_golden(spark, func, op, n, want):
+    g = _grid_df(spark, TEST_INPUT)
+    got = _names(gf.filter_series(g, func, op, n))
+    assert got == {IDX[i] for i in want}
+
+
+def test_remove_below_value_golden(spark):
+    g = _grid_df(spark, SMALL_INPUT)
+    out = gf.remove_below_value(g, 500)
+    foo = _vals_by_step(out.where("series_id = 'foo'").collect())
+    bar = _vals_by_step(out.where("series_id = 'bar'").collect())
+    assert foo == {0: None, 1: 601.0, 2: None, 3: None}
+    assert bar == {0: 500.0, 1: None}
+    out4 = gf.remove_below_value(g, 4)
+    foo4 = _vals_by_step(out4.where("series_id = 'foo'").collect())
+    assert foo4 == {0: None, 1: 601.0, 2: None, 3: 4.0}
+
+
+def test_remove_above_value_golden(spark):
+    g = _grid_df(spark, SMALL_INPUT)
+    out = gf.remove_above_value(g, 500)
+    foo = _vals_by_step(out.where("series_id = 'foo'").collect())
+    bar = _vals_by_step(out.where("series_id = 'bar'").collect())
+    assert foo == {0: 0.0, 1: None, 2: 3.0, 3: 4.0}
+    assert bar == {0: 500.0, 1: -8.0}
+    out3 = gf.remove_above_value(g, 3)
+    foo3 = _vals_by_step(out3.where("series_id = 'foo'").collect())
+    bar3 = _vals_by_step(out3.where("series_id = 'bar'").collect())
+    assert foo3 == {0: 0.0, 1: None, 2: 3.0, 3: None}
+    assert bar3 == {0: None, 1: -8.0}
+
+
+def _order(df):
+    seen = []
+    for r in df.select("series_id").collect():
+        if r["series_id"] not in seen:
+            seen.append(r["series_id"])
+    return seen
+
+
+@pytest.mark.parametrize(
+    "func,desc,want",
+    [
+        # TestSortBy matrix + TestSortByTotal/Maxima/Minima
+        ("average", True, [4, 2, 0, 3, 1]),
+        ("total", True, [4, 0, 2, 3, 1]),
+        ("max", True, [4, 0, 3, 2, 1]),
+        ("min", False, [1, 3, 2, 4, 0]),
+    ],
+)
+def test_sort_by_golden(spark, func, desc, want):
+    g = _grid_df(spark, TEST_INPUT)
+    assert _order(gf.sort_by(g, func, desc=desc)) == [IDX[i] for i in want]
+
+
+def test_exclude_golden(spark):
+    names = [
+        "servers.graphite01-foo.disk.bar.available_bytes",
+        "servers.graphite02-foo.disk.bar.available_bytes",
+        "servers.graphite03-foo.disk.bar.available_bytes",
+    ]
+    g = _grid_df(spark, {n: [10.0] * 3 for n in names})
+    assert _names(gf.exclude(g, "graphite02-foo")) == {names[0], names[2]}
+    assert _names(gf.exclude(g, "graphite")) == set()
+    assert _names(gf.exclude(g, "graphite.*-foo")) == set()
+
+
+def test_grep_golden(spark):
+    names = [f"collectd.test-db{i}.load.value" for i in (1, 2, 3, 4)]
+    g = _grid_df(spark, {n: [10.0] * 5 for n in names})
+    assert _names(gf.grep(g, ".*db[12]")) == {names[0], names[1]}
+
+
+def test_absolute_golden(spark):
+    g = _grid_df(spark, {"foo": [-2.0, 0.0, 42.0, None]})
+    assert _vals_by_step(gf.absolute(g).collect()) == {
+        0: 2.0, 1: 0.0, 2: 42.0, 3: None,
+    }
+
+
+def test_invert_golden(spark):
+    g = _grid_df(spark, {"foo": [1.0, 2.0, 4.0]})
+    assert _vals_by_step(gf.invert(g).collect()) == {0: 1.0, 1: 0.5, 2: 0.25}
+
+
+def test_offset_to_zero_golden(spark):
+    g = _grid_df(spark, {"bar": [3.0, 2.0, 4.0, None, 1.0, 6.0, None, 5.0]})
+    assert _vals_by_step(gf.offset_to_zero(g).collect()) == {
+        0: 2.0, 1: 1.0, 2: 3.0, 3: None, 4: 0.0, 5: 5.0, 6: None, 7: 4.0,
+    }
