@@ -139,7 +139,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, fn in BENCH.items():
         best, n = None, 0
-        for _ in range(2):  # min-of-2: shave scheduler/GC noise
+        for _ in range(3):  # min-of-3: JVM JIT/GC noise swings single
+            # runs by 2-3x on this VM; the min is the steady state
             t0 = time.perf_counter()
             n = fn(spark).count()
             dt = time.perf_counter() - t0

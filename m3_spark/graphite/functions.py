@@ -499,19 +499,45 @@ def lowest(grid: DataFrame, func: str, k: int) -> DataFrame:
 
 
 def sort_by(grid: DataFrame, func: str = "average", desc: bool = True) -> DataFrame:
+    """sortBy* — graphite's output is an ORDERED series list and
+    downstream functions (``limit``) consume that order.  A DataFrame
+    has no row-order contract across operators, so the order is made
+    explicit: ``_series_order`` = dense rank of the series under the
+    sort key (ties broken by series_id, matching the reference's
+    stable sort over the fetch order)."""
     stats = _series_stat(grid, func)
-    order = F.col("_stat").desc() if desc else F.col("_stat").asc()
+    order = [
+        # default null placement (asc=first, desc=last) matches the
+        # reference's Go sort over NaN stats (TestSortBy minima golden)
+        F.col("_stat").desc() if desc else F.col("_stat").asc(),
+        F.col("series_id").asc(),
+    ]
+    ranked = stats.select(
+        "series_id",
+        # global window over the per-series stats frame: one row per
+        # series (thousands, not samples) — single-partition is fine
+        F.row_number().over(Window.orderBy(*order)).alias("_series_order"),
+    )
     return (
-        grid.join(F.broadcast(stats), "series_id")
-        .orderBy(order, "series_id", "step_ts")
-        .drop("_stat")
+        grid.drop("_series_order")
+        .join(F.broadcast(ranked), "series_id")
+        .orderBy("_series_order", "step_ts")
     )
 
 
 def limit_series(grid: DataFrame, k: int) -> DataFrame:
-    keep = (
-        grid.select("series_id").distinct().orderBy("series_id").limit(k)
-    )
+    """limit(series, k): first k series of the INPUT ORDER — the
+    upstream sortBy*'s ``_series_order`` when present, else the
+    deterministic fetch order (series_id)."""
+    if "_series_order" in grid.columns:
+        keep = (
+            grid.select("series_id", "_series_order").distinct()
+            .orderBy("_series_order").limit(k).select("series_id")
+        )
+    else:
+        keep = (
+            grid.select("series_id").distinct().orderBy("series_id").limit(k)
+        )
     return grid.join(F.broadcast(keep), "series_id", "left_semi")
 
 
@@ -1233,7 +1259,23 @@ def sort_by_name(grid: DataFrame, natural=False, reverse=False) -> DataFrame:
     else:
         key = F.col("name")
     order = key.desc() if _truthy(reverse) else key.asc()
-    return grid.orderBy(order, "step_ts")
+    ranked = (
+        grid.select("series_id", key.alias("_k")).distinct()
+        .select(
+            "series_id",
+            F.row_number().over(
+                Window.orderBy(
+                    F.col("_k").desc() if _truthy(reverse) else F.col("_k").asc(),
+                    F.col("series_id"),
+                )
+            ).alias("_series_order"),
+        )
+    )
+    return (
+        grid.drop("_series_order")
+        .join(F.broadcast(ranked), "series_id")
+        .orderBy(order, "step_ts")
+    )
 
 
 REGISTRY: dict[str, Callable] = {

@@ -148,3 +148,18 @@ def test_offset_to_zero_golden(spark):
     assert _vals_by_step(gf.offset_to_zero(g).collect()) == {
         0: 2.0, 1: 1.0, 2: 3.0, 3: None, 4: 0.0, 5: 5.0, 6: None, 7: 4.0,
     }
+
+
+def test_limit_consumes_sort_order(spark):
+    """limit(sortByMaxima(s), k) keeps the top-k-by-maxima series — the
+    reference's ordered-series-list contract (``builtin_functions.go``
+    sortSeries + limit), carried across DataFrame operators by the
+    explicit ``_series_order`` column sortBy* attaches."""
+    g = _grid_df(spark, TEST_INPUT)
+    top2 = gf.limit_series(gf.sort_by(g, "max", desc=True), 2)
+    # maxima: quux 50000 > foo 601 > baz 600 > bar 500 > nan NULL
+    assert _names(top2) == {"quux", "foo"}
+    bottom2 = gf.limit_series(gf.sort_by(g, "max", desc=False), 2)
+    assert _names(bottom2) == {"nan", "bar"}
+    # no upstream sort: deterministic fetch order (series_id)
+    assert _names(gf.limit_series(g, 2)) == {"bar", "baz"}
