@@ -1,0 +1,497 @@
+"""Round-5 battery additions: oracle entries for the operator families
+that were implemented and pytest-green but had no driver-checked row —
+the PromQL math/clamp/round/predict_linear/timestamp functions, the
+text-engine subquery and @-modifier paths, and the graphite
+rate/fill/sort-limit/timeShift families.
+
+Same conventions as queries.py: epoch-second BIGINT time columns,
+6-dp rounding on both sides, identical column names.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import functions as F
+
+from .model import read_samples
+from .operators.linear import clamp_max, clamp_min, math_fn, round_to
+from .operators.temporal import deriv
+from .queries_common import (
+    END,
+    LOOKBACK_S,
+    START,
+    STEP_S,
+    _LASTV_SQL,
+    _STEPS_SQL,
+    _epoch,
+    _grid,
+)
+
+# ---------------------------------------------------------------------------
+# PromQL math function family (operators/linear.py::_MATH)
+# ---------------------------------------------------------------------------
+
+# (func, spark pre-transform, duckdb input expr) — pre-transforms pin
+# each function to its safe domain so both engines stay off the
+# NaN/Inf branches (those are corpus-tested; the battery checks the
+# finite paths the fetchdf hash can compare).
+_MATH_CASES = [
+    ("abs", lambda v: v - 50.0, "(v - 50.0)", "abs"),
+    ("ceil", lambda v: v / 7.0, "(v / 7.0)", "ceil"),
+    ("floor", lambda v: v / 7.0, "(v / 7.0)", "floor"),
+    ("sqrt", lambda v: F.abs(v), "abs(v)", "sqrt"),
+    ("exp", lambda v: v / 1000.0, "(v / 1000.0)", "exp"),
+    ("ln", lambda v: F.abs(v) + 1.0, "(abs(v) + 1.0)", "ln"),
+    ("log2", lambda v: F.abs(v) + 1.0, "(abs(v) + 1.0)", "log2"),
+    ("log10", lambda v: F.abs(v) + 1.0, "(abs(v) + 1.0)", "log10"),
+    ("sgn", lambda v: v - 50.0, "(v - 50.0)", "sign"),
+    ("sin", lambda v: v / 10.0, "(v / 10.0)", "sin"),
+    ("cos", lambda v: v / 10.0, "(v / 10.0)", "cos"),
+    ("atan", lambda v: v / 10.0, "(v / 10.0)", "atan"),
+    # DuckDB has no tanh — the oracle states it via the exp identity
+    ("tanh", lambda v: v / 100.0,
+     "(exp(2 * (v / 100.0)) - 1) / (exp(2 * (v / 100.0)) + 1)", ""),
+    ("deg", lambda v: v / 100.0, "(v / 100.0)", "degrees"),
+    ("rad", lambda v: v / 100.0, "(v / 100.0)", "radians"),
+]
+
+
+def q_math_multi(spark, sf_dir):
+    """abs/ceil/floor/sqrt/exp/ln/log2/log10/sgn + the v2.26/v2.31
+    trig family (``functions.go`` vendored-engine surface), stacked
+    with a ``func`` discriminator over the consolidated grid."""
+    g = _grid(spark, sf_dir)
+    parts = []
+    for func, pre, _sql_in, _sql_fn in _MATH_CASES:
+        t = math_fn(g.withColumn("value", pre(F.col("value"))), func)
+        parts.append(
+            t.select(
+                _epoch(),
+                F.col("tags").getItem("event_type").alias("event_type"),
+                F.col("tags").getItem("user_id").cast("bigint").alias("user_id"),
+                F.lit(func).alias("func"),
+                F.round(F.col("value"), 6).alias("value"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+ORACLE_MATH_MULTI = f"""{_LASTV_SQL}
+{" UNION ALL ".join(
+    f'''SELECT CAST(epoch(step_ts) AS BIGINT) AS step_s, event_type,
+       CAST(user_id AS BIGINT) AS user_id, '{func}' AS func,
+       ROUND({sql_fn}({sql_in}), 6) AS value FROM lastv'''
+    for func, _pre, sql_in, sql_fn in _MATH_CASES
+)}"""
+
+
+# ---------------------------------------------------------------------------
+# clamp_min / clamp_max / round(v, to)
+# ---------------------------------------------------------------------------
+
+def q_clamp_round(spark, sf_dir):
+    """clamp_min(v,30) / clamp_max(v,70) / round(v,0.5)
+    (``linear/clamp.go``, ``linear/round.go:37``), stacked."""
+    g = _grid(spark, sf_dir)
+    parts = []
+    for func, t in [
+        ("clamp_min", clamp_min(g, 30.0)),
+        ("clamp_max", clamp_max(g, 70.0)),
+        ("round", round_to(g, 0.5)),
+    ]:
+        parts.append(
+            t.select(
+                _epoch(),
+                F.col("tags").getItem("event_type").alias("event_type"),
+                F.col("tags").getItem("user_id").cast("bigint").alias("user_id"),
+                F.lit(func).alias("func"),
+                F.round(F.col("value"), 6).alias("value"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+ORACLE_CLAMP_ROUND = f"""{_LASTV_SQL}
+SELECT CAST(epoch(step_ts) AS BIGINT) AS step_s, event_type,
+       CAST(user_id AS BIGINT) AS user_id, 'clamp_min' AS func,
+       ROUND(GREATEST(v, 30.0), 6) AS value FROM lastv
+UNION ALL
+SELECT CAST(epoch(step_ts) AS BIGINT) AS step_s, event_type,
+       CAST(user_id AS BIGINT) AS user_id, 'clamp_max' AS func,
+       ROUND(LEAST(v, 70.0), 6) AS value FROM lastv
+UNION ALL
+SELECT CAST(epoch(step_ts) AS BIGINT) AS step_s, event_type,
+       CAST(user_id AS BIGINT) AS user_id, 'round' AS func,
+       ROUND(FLOOR(v * 2.0 + 0.5) / 2.0, 6) AS value FROM lastv"""
+
+
+# ---------------------------------------------------------------------------
+# predict_linear
+# ---------------------------------------------------------------------------
+
+def q_predict_linear(spark, sf_dir):
+    """predict_linear(v[6h], 3600) — least-squares line anchored at
+    the eval step, projected 1h out
+    (``temporal/linear_regression.go:37-42``)."""
+    s = read_samples(spark, sf_dir)
+    out = deriv(s, 6 * 3600, START, END, STEP_S, predict_offset_s=3600)
+    return out.select(
+        _epoch(),
+        F.col("tags").getItem("event_type").alias("event_type"),
+        F.col("tags").getItem("user_id").cast("bigint").alias("user_id"),
+        # the icept+slope*t cancellation costs ~2 decimal digits over
+        # the 6-dp slope-only deriv entry
+        F.round(F.col("value"), 4).alias("value"),
+    )
+
+
+ORACLE_PREDICT_LINEAR = f"""WITH steps AS ({_STEPS_SQL})
+SELECT CAST(epoch(s.step_ts) AS BIGINT) AS step_s, e.event_type,
+       CAST(e.user_id AS BIGINT) AS user_id,
+       ROUND(regr_intercept(e.value, epoch(e.ts))
+             + regr_slope(e.value, epoch(e.ts)) * (epoch(s.step_ts) + 3600),
+             4) AS value
+FROM steps s JOIN events e
+  ON e.ts <= s.step_ts AND e.ts >= s.step_ts - INTERVAL 6 HOUR
+GROUP BY s.step_ts, e.event_type, e.user_id
+HAVING COUNT(*) >= 2 AND regr_slope(e.value, epoch(e.ts)) IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# timestamp(v) through the text engine
+# ---------------------------------------------------------------------------
+
+def q_text_timestamp(spark, sf_dir):
+    """timestamp({...}): the *underlying* sample's timestamp carried
+    through lookback (``unconsolidated/timestamp.go:38``), driven
+    through the PromQL text front-end."""
+    from .plans.engine import query_range
+
+    s = read_samples(spark, sf_dir)
+    out = query_range(
+        s, 'timestamp({user_id=~".+"})', START, END, STEP_S, LOOKBACK_S
+    )
+    return out.where(F.col("value").isNotNull()).select(
+        _epoch(),
+        F.col("tags").getItem("event_type").alias("event_type"),
+        F.col("tags").getItem("user_id").cast("bigint").alias("user_id"),
+        F.round(F.col("value"), 6).alias("value"),
+    )
+
+
+ORACLE_TEXT_TIMESTAMP = f"""{_LASTV_SQL.replace("arg_max(e.value, e.ts) AS v",
+                                                "MAX(e.ts) AS mts")}
+SELECT CAST(epoch(step_ts) AS BIGINT) AS step_s, event_type,
+       CAST(user_id AS BIGINT) AS user_id,
+       ROUND(epoch_us(mts) / 1e6, 6) AS value
+FROM lastv"""
+
+
+# ---------------------------------------------------------------------------
+# subquery + @ modifier through the text engine
+# ---------------------------------------------------------------------------
+
+def q_text_subquery(spark, sf_dir):
+    """max_over_time((sum by (event_type) (...))[6h:1h]) — epoch-
+    aligned subquery steps, closed [t-6h, t] window (the engine
+    feature the reference's native engine lacks, SURVEY §3.1)."""
+    from .plans.engine import query_range
+
+    s = read_samples(spark, sf_dir)
+    out = query_range(
+        s,
+        'max_over_time((sum by (event_type) ({user_id=~".+"}))[6h:1h])',
+        START, END, STEP_S, LOOKBACK_S,
+    )
+    return out.select(
+        _epoch(),
+        F.col("tags").getItem("event_type").alias("event_type"),
+        F.round(F.col("value"), 6).alias("value"),
+    )
+
+
+# inner sums at epoch-aligned 1h sub-steps over the EXTENDED window
+# [start - 6h, end] (upstream eval.go alignment); the outer
+# max_over_time sees the closed 7-point window [t-6h, t]
+ORACLE_TEXT_SUBQUERY = """WITH xsteps AS (
+  SELECT unnest(generate_series(TIMESTAMP '2023-12-31 18:00:00',
+    TIMESTAMP '2024-01-08 00:00:00', INTERVAL 1 HOUR)) AS step_ts
+),
+lastv AS (
+  SELECT s.step_ts, e.event_type, e.user_id, arg_max(e.value, e.ts) AS v
+  FROM xsteps s JOIN events e
+    ON e.ts <= s.step_ts AND e.ts >= s.step_ts - INTERVAL 1 HOUR
+  GROUP BY 1, 2, 3
+),
+sums AS (
+  SELECT step_ts, event_type, SUM(v) AS v FROM lastv GROUP BY 1, 2
+)
+SELECT CAST(epoch(a.step_ts) AS BIGINT) AS step_s, a.event_type,
+       ROUND(MAX(b.v), 6) AS value
+-- probe EVERY outer step (the inner series may have gap steps that
+-- still fall inside a later window), not just steps with inner points
+FROM (SELECT st.step_ts, et.event_type
+      FROM xsteps st CROSS JOIN (SELECT DISTINCT event_type FROM sums) et
+      WHERE st.step_ts >= TIMESTAMP '2024-01-01 00:00:00') a
+JOIN sums b
+  ON a.event_type = b.event_type
+ AND b.step_ts <= a.step_ts AND b.step_ts >= a.step_ts - INTERVAL 6 HOUR
+GROUP BY 1, 2"""
+
+
+_AT_EPOCH = 1704326400  # 2024-01-04 00:00:00 UTC
+
+
+def q_text_at(spark, sf_dir):
+    """sum by (event_type) ({...} @ 1704326400) — the @ modifier pins
+    the selector's eval time; the result is constant across steps
+    (v2.25 feature, first-class here)."""
+    from .plans.engine import query_range
+
+    s = read_samples(spark, sf_dir)
+    out = query_range(
+        s,
+        f'sum by (event_type) ({{user_id=~".+"}} @ {_AT_EPOCH})',
+        START, END, STEP_S, LOOKBACK_S,
+    )
+    return out.select(
+        _epoch(),
+        F.col("tags").getItem("event_type").alias("event_type"),
+        F.round(F.col("value"), 6).alias("value"),
+    )
+
+
+# the pinned instant is a point evaluation: the live window is the
+# LOOKBACK (300 s), not the step-derived 1 h consolidation threshold
+ORACLE_TEXT_AT = f"""WITH steps AS ({_STEPS_SQL}),
+pinned AS (
+  SELECT e.event_type, e.user_id, arg_max(e.value, e.ts) AS v
+  FROM events e
+  WHERE e.ts <= TIMESTAMP '2024-01-04 00:00:00'
+    AND e.ts >= TIMESTAMP '2024-01-04 00:00:00' - INTERVAL 5 MINUTE
+  GROUP BY 1, 2
+)
+SELECT CAST(epoch(s.step_ts) AS BIGINT) AS step_s, p.event_type,
+       ROUND(SUM(p.v), 6) AS value
+FROM steps s CROSS JOIN pinned p
+GROUP BY 1, 2"""
+
+
+# ---------------------------------------------------------------------------
+# graphite rate family: derivative / nonNegativeDerivative / perSecond
+# ---------------------------------------------------------------------------
+
+def _gsamples_ev(spark, sf_dir):
+    from .queries import _gsamples_ev as inner
+
+    return inner(spark, sf_dir)
+
+
+def q_graphite_rate_family(spark, sf_dir):
+    """derivative / nonNegativeDerivative / perSecond over per-
+    event_type sums (``builtin_functions.go:1462-1553``), stacked.
+    Leading/negative-diff NULLs are filtered on both sides (a NULL
+    double round-trips as NaN through fetchdf)."""
+    from .graphite.compiler import evaluate
+
+    parts = []
+    for func in ("derivative", "nonNegativeDerivative", "perSecond"):
+        out = evaluate(
+            _gsamples_ev(spark, sf_dir),
+            f'{func}(groupByNode(events.*.*, 1, "sum"))',
+            START, END, STEP_S, LOOKBACK_S,
+        )
+        parts.append(
+            out.where(F.col("value").isNotNull()).select(
+                _epoch(),
+                F.col("name").alias("event_type"),
+                F.lit(func).alias("func"),
+                F.round(F.col("value"), 6).alias("value"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+_GBN_SUMS = f"""{_LASTV_SQL},
+g AS (
+  SELECT step_ts, event_type, SUM(v) AS v FROM lastv GROUP BY 1, 2
+),
+d AS (
+  SELECT step_ts, event_type, v,
+         v - lag(v) OVER (PARTITION BY event_type ORDER BY step_ts) AS dv
+  FROM g
+)"""
+
+ORACLE_GRAPHITE_RATE_FAMILY = f"""{_GBN_SUMS}
+SELECT CAST(epoch(step_ts) AS BIGINT) AS step_s, event_type,
+       'derivative' AS func, ROUND(dv, 6) AS value
+FROM d WHERE dv IS NOT NULL
+UNION ALL
+SELECT CAST(epoch(step_ts) AS BIGINT) AS step_s, event_type,
+       'nonNegativeDerivative' AS func, ROUND(dv, 6) AS value
+FROM d WHERE dv >= 0
+UNION ALL
+SELECT CAST(epoch(step_ts) AS BIGINT) AS step_s, event_type,
+       'perSecond' AS func, ROUND(dv / 3600.0, 6) AS value
+FROM d WHERE dv >= 0"""
+
+
+# ---------------------------------------------------------------------------
+# graphite fill family: keepLastValue / transformNull / isNonNull
+# ---------------------------------------------------------------------------
+
+def q_graphite_fill_family(spark, sf_dir):
+    """keepLastValue / transformNull(-1) / isNonNull over the dense
+    per-series click grid (``builtin_functions.go:551-576,1360``)."""
+    from .graphite.compiler import evaluate
+
+    parts = []
+    for func, target in [
+        ("keepLastValue", "keepLastValue(events.click.*)"),
+        ("transformNull", "transformNull(events.click.*, -1)"),
+        ("isNonNull", "isNonNull(events.click.*)"),
+    ]:
+        out = evaluate(
+            _gsamples_ev(spark, sf_dir), target, START, END, STEP_S, LOOKBACK_S
+        )
+        parts.append(
+            out.where(F.col("value").isNotNull()).select(
+                _epoch(),
+                F.col("tags").getItem("__g2__").alias("uid"),
+                F.lit(func).alias("func"),
+                F.round(F.col("value"), 6).alias("value"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+# dense scaffold: steps x series present in the pruned fetch window
+# [START - thr, END], thr = max(lookback, step) = 1h — exactly the
+# dense kernel's dims frame
+_CLICK_DENSE = f"""WITH steps AS ({_STEPS_SQL}),
+series AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'click'
+    AND ts >= TIMESTAMP '2024-01-01 00:00:00' - INTERVAL 1 HOUR
+    AND ts <= TIMESTAMP '2024-01-08 00:00:00'
+),
+lastv AS (
+  SELECT s.step_ts, e.user_id, arg_max(e.value, e.ts) AS v
+  FROM steps s JOIN events e
+    ON e.event_type = 'click'
+   AND e.ts <= s.step_ts AND e.ts >= s.step_ts - INTERVAL 1 HOUR
+  GROUP BY 1, 2
+),
+dense AS (
+  SELECT st.step_ts, se.user_id, lv.v
+  FROM steps st CROSS JOIN series se
+  LEFT JOIN lastv lv ON lv.step_ts = st.step_ts AND lv.user_id = se.user_id
+)"""
+
+ORACLE_GRAPHITE_FILL_FAMILY = f"""{_CLICK_DENSE}
+SELECT * FROM (
+SELECT CAST(epoch(step_ts) AS BIGINT) AS step_s,
+       'u' || CAST(user_id AS VARCHAR) AS uid, 'keepLastValue' AS func,
+       ROUND(last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY step_ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value
+FROM dense) WHERE value IS NOT NULL
+UNION ALL
+SELECT CAST(epoch(step_ts) AS BIGINT) AS step_s,
+       'u' || CAST(user_id AS VARCHAR) AS uid, 'transformNull' AS func,
+       ROUND(COALESCE(v, -1), 6) AS value
+FROM dense
+UNION ALL
+SELECT CAST(epoch(step_ts) AS BIGINT) AS step_s,
+       'u' || CAST(user_id AS VARCHAR) AS uid, 'isNonNull' AS func,
+       CASE WHEN v IS NULL THEN 0.0 ELSE 1.0 END AS value
+FROM dense"""
+
+
+# ---------------------------------------------------------------------------
+# graphite sort + limit composition
+# ---------------------------------------------------------------------------
+
+def q_graphite_sort_limit(spark, sf_dir):
+    """limit(sortByMaxima(groupByNode(...)), 2) — the ordered-series-
+    list contract carried across operators by ``_series_order``."""
+    from .graphite.compiler import evaluate
+
+    out = evaluate(
+        _gsamples_ev(spark, sf_dir),
+        'limit(sortByMaxima(groupByNode(events.*.*, 1, "sum")), 2)',
+        START, END, STEP_S, LOOKBACK_S,
+    )
+    return out.select(
+        _epoch(),
+        F.col("name").alias("event_type"),
+        F.round(F.col("value"), 6).alias("value"),
+    )
+
+
+ORACLE_GRAPHITE_SORT_LIMIT = f"""{_GBN_SUMS},
+top2 AS (
+  SELECT event_type FROM g GROUP BY 1
+  ORDER BY MAX(v) DESC, event_type LIMIT 2
+)
+SELECT CAST(epoch(d.step_ts) AS BIGINT) AS step_s, d.event_type,
+       ROUND(d.v, 6) AS value
+FROM d JOIN top2 USING (event_type)"""
+
+
+# ---------------------------------------------------------------------------
+# graphite timeShift
+# ---------------------------------------------------------------------------
+
+def q_graphite_time_shift(spark, sf_dir):
+    """timeShift(..., "1d"): fetch [start-1d, end-1d], re-stamp onto
+    the original window (``builtin_functions.go:357``)."""
+    from .graphite.compiler import evaluate
+
+    out = evaluate(
+        _gsamples_ev(spark, sf_dir),
+        'timeShift(groupByNode(events.*.*, 1, "sum"), "1d")',
+        START, END, STEP_S, LOOKBACK_S,
+    )
+    return out.where(F.col("value").isNotNull()).select(
+        _epoch(),
+        F.regexp_extract(F.col("name"), r"timeShift\(([^,]*),", 1).alias(
+            "event_type"
+        ),
+        F.round(F.col("value"), 6).alias("value"),
+    )
+
+
+ORACLE_GRAPHITE_TIME_SHIFT = """WITH steps AS (
+  SELECT unnest(generate_series(TIMESTAMP '2023-12-31 00:00:00',
+    TIMESTAMP '2024-01-07 00:00:00', INTERVAL 1 HOUR)) AS step_ts
+),
+lastv AS (
+  SELECT s.step_ts, e.event_type, e.user_id, arg_max(e.value, e.ts) AS v
+  FROM steps s JOIN events e
+    ON e.ts <= s.step_ts AND e.ts >= s.step_ts - INTERVAL 1 HOUR
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(epoch(step_ts + INTERVAL 1 DAY) AS BIGINT) AS step_s,
+       event_type, ROUND(SUM(v), 6) AS value
+FROM lastv GROUP BY 1, 2"""
+
+
+ROUND5_QUERIES = {
+    "promql_math_multi": (q_math_multi, ORACLE_MATH_MULTI),
+    "promql_clamp_round": (q_clamp_round, ORACLE_CLAMP_ROUND),
+    "promql_predict_linear": (q_predict_linear, ORACLE_PREDICT_LINEAR),
+    "promql_text_timestamp": (q_text_timestamp, ORACLE_TEXT_TIMESTAMP),
+    "promql_text_subquery": (q_text_subquery, ORACLE_TEXT_SUBQUERY),
+    "promql_text_at": (q_text_at, ORACLE_TEXT_AT),
+    "graphite_rate_family": (
+        q_graphite_rate_family, ORACLE_GRAPHITE_RATE_FAMILY,
+    ),
+    "graphite_fill_family": (
+        q_graphite_fill_family, ORACLE_GRAPHITE_FILL_FAMILY,
+    ),
+    "graphite_sort_limit": (q_graphite_sort_limit, ORACLE_GRAPHITE_SORT_LIMIT),
+    "graphite_time_shift": (q_graphite_time_shift, ORACLE_GRAPHITE_TIME_SHIFT),
+}
