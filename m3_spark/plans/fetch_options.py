@@ -1,0 +1,288 @@
+"""Per-query fetch options: restrict-by-tags, restrict-by-type, and
+resource limits — the reference's query-governance surface.
+
+Reference parity:
+  * ``src/query/storage/restrict_query_options.go`` — RestrictByTag
+    (matchers forced onto every fetch + tag names stripped from
+    results, strip defaulting to the matcher names) and RestrictByType
+    (metrics type + storage policy → namespace selection).
+  * ``src/query/api/v1/handler/prometheus/handleroptions/tag_options.go``
+    — the ``M3-Restrict-By-Tags-JSON`` wire form
+    (``{"match": [{"name","type","value"}], "strip": [...]}`` with
+    EQUAL/NOTEQUAL/REGEXP/NOTREGEXP/EXISTS/NOTEXISTS types).
+  * ``src/query/api/v1/handler/prometheus/handleroptions/fetch_options.go``
+    — SeriesLimit / DocsLimit / RangeLimit / ReturnedSeriesLimit /
+    ReturnedDatapointsLimit / RequireExhaustive.
+  * ``src/x/headers/headers.go`` — the M3-Results-Limited /
+    M3-Returned-Data-Limited / M3-Fetched-Series-Count response
+    headers this module's ``ResultMeta`` maps onto.
+
+Spark-first shape: restriction matchers reuse the fetch operator's
+pushdown-eligible column predicates (they reach PushedFilters exactly
+like query matchers); strip is a map-key filter; limits are enforced
+with bounded probes — a ``LIMIT n+1`` over the distinct-series frame
+(Spark short-circuits limits; no full count is paid) — and truncation
+is a deterministic semi-join against the first N series, never a
+driver-side collect of the data itself.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.fetch import fetch, matcher_expr
+
+_MATCH_TYPES = {
+    "EQUAL": "=",
+    "NOTEQUAL": "!=",
+    "REGEXP": "=~",
+    "NOTREGEXP": "!~",
+    "EXISTS": "exists",
+    "NOTEXISTS": "!exists",
+}
+
+
+class LimitError(Exception):
+    """require_exhaustive=True and a fetch limit was exceeded
+    (the reference's ReturnedDataLimited error path)."""
+
+
+@dataclass
+class RestrictByTag:
+    """Matchers enforced on every fetch + tags stripped from results."""
+
+    restrict: list[tuple[str, str, str | None]] = field(default_factory=list)
+    strip: list[str] | None = None
+
+    def strip_names(self) -> list[str]:
+        # strip defaults to the restricted matcher names
+        # (restrict_query_options.go:112-127)
+        if self.strip is not None:
+            return self.strip
+        return [key for _kind, key, _v in self.restrict]
+
+
+@dataclass
+class RestrictByType:
+    """Metrics-type restriction: route the fetch to the unaggregated
+    namespace or the aggregated namespace matching the storage policy
+    (``M3-Metrics-Type`` / ``M3-Storage-Policy`` headers)."""
+
+    metrics_type: str = "unaggregated"  # or "aggregated"
+    storage_policy: str | None = None  # "1m:40d" resolution:retention
+
+    def validate(self) -> None:
+        if self.metrics_type == "unaggregated":
+            if self.storage_policy:
+                raise ValueError(
+                    "expected no storage policy for unaggregated metrics type"
+                )
+        elif self.metrics_type == "aggregated":
+            if not self.storage_policy or ":" not in self.storage_policy:
+                raise ValueError(
+                    "aggregated metrics type requires a resolution:retention "
+                    "storage policy"
+                )
+        else:
+            raise ValueError(f"unknown metrics type: {self.metrics_type}")
+
+
+@dataclass
+class FetchOptions:
+    series_limit: int | None = None
+    docs_limit: int | None = None
+    returned_series_limit: int | None = None
+    returned_datapoints_limit: int | None = None
+    require_exhaustive: bool = False
+    restrict_by_tag: RestrictByTag | None = None
+    restrict_by_type: RestrictByType | None = None
+
+
+@dataclass
+class ResultMeta:
+    """Response metadata → the M3-* response headers."""
+
+    exhaustive: bool = True
+    fetched_series_count: int | None = None
+    warnings: list[str] = field(default_factory=list)
+
+    def headers(self) -> dict[str, str]:
+        out: dict[str, str] = {}
+        if self.fetched_series_count is not None:
+            out["M3-Fetched-Series-Count"] = str(self.fetched_series_count)
+        if self.warnings:
+            out["M3-Results-Limited"] = ",".join(self.warnings)
+        return out
+
+
+def parse_restrict_by_tags_json(payload: str | bytes) -> RestrictByTag | None:
+    """Decode the ``M3-Restrict-By-Tags-JSON`` header body."""
+    doc = json.loads(payload)
+    match = doc.get("match") or []
+    strip = doc.get("strip")
+    restrict: list[tuple[str, str, str | None]] = []
+    for m in match:
+        t = str(m.get("type", "")).upper()
+        if t == "ALL":
+            raise ValueError(
+                "ALL type not supported as a tag matcher restriction"
+            )
+        if t not in _MATCH_TYPES:
+            raise ValueError(f"matcher type {t} not recognized")
+        restrict.append((_MATCH_TYPES[t], m["name"], m.get("value")))
+    if not restrict and strip is None:
+        return None
+    return RestrictByTag(restrict=restrict, strip=strip)
+
+
+def apply_restrict_by_tag(
+    samples: DataFrame, restrict: RestrictByTag
+) -> DataFrame:
+    """Force the restriction matchers onto the fetch (same
+    pushdown-eligible predicates as query matchers) and strip the
+    configured tag names from the result's tag map."""
+    out = fetch(samples, restrict.restrict) if restrict.restrict else samples
+    names = restrict.strip_names()
+    if names:
+        gone = F.array(*[F.lit(n) for n in names])
+        out = out.withColumn(
+            "tags",
+            F.map_filter(F.col("tags"), lambda k, _v: ~F.array_contains(gone, k)),
+        )
+    return out
+
+
+def enforce_limits(
+    samples: DataFrame, opts: FetchOptions
+) -> tuple[DataFrame, ResultMeta]:
+    """Apply series/docs limits to a samples-shaped frame.
+
+    The over-limit probe is ``distinct series LIMIT n+1`` — Spark
+    short-circuits limits (CollectLimitExec), so the probe touches a
+    bounded prefix of the scan, not the full 100 TB.  Truncation keeps
+    the first N series in deterministic series_id order via a
+    broadcast semi-join, mirroring the reference's "apply the limit,
+    set exhaustive=false, warn" behavior; require_exhaustive instead
+    raises (handlers map it to 413, ``handler/prometheus/native/
+    read.go`` error path).
+    """
+    meta = ResultMeta()
+    out = samples
+    if opts.series_limit is not None:
+        n = int(opts.series_limit)
+        sids = [
+            r["series_id"]
+            for r in out.select("series_id").distinct()
+            .orderBy("series_id").limit(n + 1).collect()
+        ]
+        meta.fetched_series_count = min(len(sids), n)
+        if len(sids) > n:
+            if opts.require_exhaustive:
+                raise LimitError(
+                    f"query exceeded limit: series_limit={n} and "
+                    "require_exhaustive is set"
+                )
+            keep = out.sparkSession.createDataFrame(
+                [(s,) for s in sids[:n]], "series_id string"
+            )
+            out = out.join(F.broadcast(keep), "series_id", "left_semi")
+            meta.exhaustive = False
+            meta.warnings.append("max_fetch_series_limit_applied")
+    if opts.docs_limit is not None:
+        n = int(opts.docs_limit)
+        over = out.limit(n + 1).count() > n
+        if over:
+            if opts.require_exhaustive:
+                raise LimitError(
+                    f"query exceeded limit: docs_limit={n} and "
+                    "require_exhaustive is set"
+                )
+            out = out.limit(n)
+            meta.exhaustive = False
+            meta.warnings.append("max_fetch_docs_limit_applied")
+    return out, meta
+
+
+def truncate_returned(
+    grid: DataFrame, opts: FetchOptions, meta: ResultMeta
+) -> DataFrame:
+    """Returned-data limits applied to the RESULT frame (grid rows):
+    ReturnedSeriesLimit keeps the first N series, ReturnedDatapointsLimit
+    derives a series budget from datapoints/series (the reference's
+    render-layer truncation, ``handleroptions/headers.go``
+    AddReturnedLimitResponseHeaders)."""
+    out = grid
+    limit = None
+    if opts.returned_series_limit is not None:
+        limit = int(opts.returned_series_limit)
+    if opts.returned_datapoints_limit is not None:
+        per_series = (
+            out.groupBy("series_id").count()
+            .agg(F.max("count").alias("m")).collect()[0]["m"]
+        ) or 1
+        by_dp = max(1, int(opts.returned_datapoints_limit) // int(per_series))
+        limit = by_dp if limit is None else min(limit, by_dp)
+    if limit is None:
+        return out
+    sids = [
+        r["series_id"]
+        for r in out.select("series_id").distinct()
+        .orderBy("series_id").limit(limit + 1).collect()
+    ]
+    if len(sids) > limit:
+        keep = out.sparkSession.createDataFrame(
+            [(s,) for s in sids[:limit]], "series_id string"
+        )
+        out = out.join(F.broadcast(keep), "series_id", "left_semi")
+        meta.warnings.append("returned_data_limited")
+    return out
+
+
+_DUR_UNITS = {"s": 1, "m": 60, "h": 3600, "d": 86400, "w": 7 * 86400}
+
+
+def _dur_s(spec: str) -> int:
+    num, unit = spec[:-1], spec[-1]
+    if unit not in _DUR_UNITS:
+        raise ValueError(f"bad duration {spec!r}")
+    return int(float(num) * _DUR_UNITS[unit])
+
+
+def restrict_namespaces(namespaces, restrict: RestrictByType):
+    """RestrictByType → the namespace subset the router may use
+    (``cluster_resolver.go`` RestrictQueryOptions path): unaggregated
+    keeps only the raw namespace; aggregated keeps the namespace whose
+    resolution:retention equals the storage policy."""
+    restrict.validate()
+    if restrict.metrics_type == "unaggregated":
+        out = [n for n in namespaces if n.resolution_s == 0]
+    else:
+        res_spec, ret_spec = restrict.storage_policy.split(":", 1)
+        res_s, ret_s = _dur_s(res_spec), _dur_s(ret_spec)
+        out = [
+            n for n in namespaces
+            if n.resolution_s == res_s and n.retention_s == ret_s
+        ]
+    if not out:
+        raise ValueError(
+            f"no namespace satisfies restriction {restrict.metrics_type} "
+            f"{restrict.storage_policy or ''}".strip()
+        )
+    return out
+
+
+def apply_fetch_options(
+    samples: DataFrame, opts: FetchOptions
+) -> tuple[DataFrame, ResultMeta]:
+    """restrict → limits, in the reference's order (restriction
+    matchers narrow the fetch BEFORE limits are measured)."""
+    out = samples
+    if opts.restrict_by_type is not None:
+        opts.restrict_by_type.validate()
+    if opts.restrict_by_tag is not None:
+        out = apply_restrict_by_tag(out, opts.restrict_by_tag)
+    return enforce_limits(out, opts)

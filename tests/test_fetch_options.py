@@ -1,0 +1,168 @@
+"""Fetch options: restrict-by-tags (wire JSON, matcher enforcement,
+tag stripping), restrict-by-type namespace selection, and the
+series/docs/returned limits with require_exhaustive semantics.
+
+Reference: ``storage/restrict_query_options.go``,
+``handleroptions/tag_options.go``, ``handleroptions/fetch_options.go``.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from m3_spark.plans.fetch_options import (
+    FetchOptions,
+    LimitError,
+    RestrictByTag,
+    RestrictByType,
+    apply_fetch_options,
+    apply_restrict_by_tag,
+    enforce_limits,
+    parse_restrict_by_tags_json,
+    restrict_namespaces,
+    truncate_returned,
+)
+from m3_spark.plans.router import Namespace
+
+from .conftest import make_samples
+
+T0 = 1704067200  # 2024-01-01 00:00:00 UTC
+
+
+def _samples(spark, n_series=5, points=3):
+    rows = []
+    for i in range(n_series):
+        for p in range(points):
+            rows.append(
+                (
+                    "cpu",
+                    {"host": f"h{i}", "dc": "east" if i % 2 == 0 else "west"},
+                    T0 + p * 60,
+                    float(i * 10 + p),
+                )
+            )
+    return make_samples(spark, rows)
+
+
+def test_parse_restrict_json_types():
+    r = parse_restrict_by_tags_json(
+        '{"match": [{"name": "dc", "type": "EQUAL", "value": "east"},'
+        '{"name": "env", "type": "NOTREGEXP", "value": "st.*"}]}'
+    )
+    assert r.restrict == [("=", "dc", "east"), ("!~", "env", "st.*")]
+    # strip defaults to the matcher names (restrict_query_options.go:112)
+    assert r.strip_names() == ["dc", "env"]
+    r2 = parse_restrict_by_tags_json(
+        '{"match": [{"name": "dc", "type": "EXISTS"}], "strip": ["other"]}'
+    )
+    assert r2.strip_names() == ["other"]
+    with pytest.raises(ValueError, match="ALL type not supported"):
+        parse_restrict_by_tags_json('{"match": [{"name": "x", "type": "ALL"}]}')
+    with pytest.raises(ValueError, match="not recognized"):
+        parse_restrict_by_tags_json('{"match": [{"name": "x", "type": "XX"}]}')
+    assert parse_restrict_by_tags_json('{"match": []}') is None
+
+
+def test_restrict_by_tag_filters_and_strips(spark):
+    s = _samples(spark)
+    r = RestrictByTag(restrict=[("=", "dc", "east")])
+    out = apply_restrict_by_tag(s, r)
+    rows = out.collect()
+    # hosts h0/h2/h4 are east: 3 series x 3 points
+    assert len(rows) == 9
+    # the restriction tag is stripped from the result tags
+    assert all("dc" not in row["tags"] for row in rows)
+    assert all("host" in row["tags"] for row in rows)
+    # explicit strip overrides the default
+    out2 = apply_restrict_by_tag(
+        s, RestrictByTag(restrict=[("=", "dc", "east")], strip=["host"])
+    )
+    row = out2.limit(1).collect()[0]
+    assert "dc" in row["tags"] and "host" not in row["tags"]
+
+
+def test_series_limit_truncates_with_warning(spark):
+    s = _samples(spark, n_series=5)
+    out, meta = enforce_limits(s, FetchOptions(series_limit=3))
+    assert out.select("series_id").distinct().count() == 3
+    assert meta.exhaustive is False
+    assert meta.fetched_series_count == 3
+    assert meta.warnings == ["max_fetch_series_limit_applied"]
+    assert meta.headers()["M3-Results-Limited"] == (
+        "max_fetch_series_limit_applied"
+    )
+    # under the limit: untouched, exhaustive
+    out2, meta2 = enforce_limits(s, FetchOptions(series_limit=10))
+    assert out2.count() == 15 and meta2.exhaustive is True
+
+
+def test_require_exhaustive_raises(spark):
+    s = _samples(spark, n_series=5)
+    with pytest.raises(LimitError, match="series_limit=2"):
+        enforce_limits(
+            s, FetchOptions(series_limit=2, require_exhaustive=True)
+        )
+    with pytest.raises(LimitError, match="docs_limit=4"):
+        enforce_limits(s, FetchOptions(docs_limit=4, require_exhaustive=True))
+
+
+def test_docs_limit(spark):
+    s = _samples(spark, n_series=5)
+    out, meta = enforce_limits(s, FetchOptions(docs_limit=7))
+    assert out.count() == 7
+    assert meta.warnings == ["max_fetch_docs_limit_applied"]
+
+
+def test_returned_limits(spark):
+    s = _samples(spark, n_series=4, points=3)
+    grid = s.withColumnRenamed("ts", "step_ts")
+    meta_holder = FetchOptions(returned_series_limit=2)
+    from m3_spark.plans.fetch_options import ResultMeta
+
+    meta = ResultMeta()
+    out = truncate_returned(grid, meta_holder, meta)
+    assert out.select("series_id").distinct().count() == 2
+    assert meta.warnings == ["returned_data_limited"]
+    # datapoint budget: 3 points/series, 7 datapoints -> 2 series
+    meta2 = ResultMeta()
+    out2 = truncate_returned(
+        grid, FetchOptions(returned_datapoints_limit=7), meta2
+    )
+    assert out2.select("series_id").distinct().count() == 2
+
+
+NS = [
+    Namespace("raw", 0, 2 * 86400),
+    Namespace("agg_1m_40d", 60, 40 * 86400),
+    Namespace("agg_1h_1y", 3600, 365 * 86400),
+]
+
+
+def test_restrict_namespaces():
+    assert [
+        n.name
+        for n in restrict_namespaces(NS, RestrictByType("unaggregated"))
+    ] == ["raw"]
+    assert [
+        n.name
+        for n in restrict_namespaces(NS, RestrictByType("aggregated", "1m:40d"))
+    ] == ["agg_1m_40d"]
+    with pytest.raises(ValueError, match="no namespace satisfies"):
+        restrict_namespaces(NS, RestrictByType("aggregated", "5m:40d"))
+    with pytest.raises(ValueError, match="storage policy"):
+        RestrictByType("unaggregated", "1m:40d").validate()
+    with pytest.raises(ValueError, match="unknown metrics type"):
+        RestrictByType("nope").validate()
+
+
+def test_apply_fetch_options_order(spark):
+    """Restriction narrows the fetch BEFORE limits are measured: with
+    dc=east (3 series) a series_limit of 3 is exhaustive."""
+    s = _samples(spark, n_series=5)
+    opts = FetchOptions(
+        series_limit=3,
+        restrict_by_tag=RestrictByTag(restrict=[("=", "dc", "east")]),
+    )
+    out, meta = apply_fetch_options(s, opts)
+    assert meta.exhaustive is True
+    assert out.select("series_id").distinct().count() == 3
