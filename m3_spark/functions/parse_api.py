@@ -1,0 +1,95 @@
+"""Prometheus `/parse` and `/threshold` endpoint analogs: a query
+string → JSON execution-DAG representation, plus top-level threshold
+extraction.
+
+Reference:
+  * ``api/v1/handler/prometheus/native/parse_query.go`` — FunctionNode
+    ``{"name", "children"}`` tree over the execution DAG (selectors
+    are "fetch", literals are "scalar").
+  * ``api/v1/handler/prometheus/native/parse_threshold.go`` — a root
+    comparison against a scalar is split off as
+    ``{"comparator", "value"}``, standardized so the threshold sits on
+    the RHS (`1 > up` inverts to `up < 1`); a scalar-vs-scalar root is
+    a calculator, not a threshold.
+"""
+
+from __future__ import annotations
+
+from ..plans.promql import (
+    Agg,
+    Binary,
+    Call,
+    NumberLit,
+    Selector,
+    StringLit,
+    Subquery,
+    Unary,
+    parse,
+)
+
+_THRESHOLD_OPS = (">", ">=", "<", "<=", "==", "!=")
+#: RHS-standardized comparator when the scalar is on the left
+_INVERTED = dict(zip(_THRESHOLD_OPS, ("<", "<=", ">", ">=", "==", "!=")))
+
+
+def _node(e) -> dict:
+    """AST → FunctionNode dict (insertion order matches the reference:
+    children listed before name is irrelevant to JSON equality)."""
+    if isinstance(e, (NumberLit, StringLit)):
+        return {"name": "scalar"}
+    if isinstance(e, Selector):
+        return {"name": "fetch"}
+    if isinstance(e, Subquery):
+        return _node(e.expr)
+    if isinstance(e, Unary):
+        return {"name": "-", "children": [{"name": "scalar"}, _node(e.expr)]}
+    if isinstance(e, Agg):
+        return {"name": e.op, "children": [_node(e.expr)]}
+    if isinstance(e, Call):
+        children = [
+            _node(a)
+            for a in e.args
+            if not isinstance(a, StringLit)  # label args aren't DAG nodes
+        ]
+        return {"name": e.func, "children": children}
+    if isinstance(e, Binary):
+        return {"name": e.op, "children": [_node(e.lhs), _node(e.rhs)]}
+    raise TypeError(f"cannot represent {e!r}")
+
+
+def _is_scalar(e) -> bool:
+    return isinstance(e, (NumberLit, StringLit))
+
+
+def parse_dag(query: str) -> dict:
+    """`/api/v1/parse`: the execution-DAG JSON for a PromQL string."""
+    return _node(parse(query, fold=False))
+
+
+def query_representation(query: str) -> dict:
+    """`/api/v1/threshold`: split a top-level scalar comparison off as
+    the threshold; everything else passes through under "query"."""
+    ast = parse(query, fold=False)
+    if isinstance(ast, Binary) and ast.op in _THRESHOLD_OPS:
+        scalar_left = _is_scalar(ast.lhs)
+        scalar_right = _is_scalar(ast.rhs)
+        if scalar_left and scalar_right:
+            # calculator, not a query threshold
+            return {"query": _node(ast)}
+        if scalar_left:
+            return {
+                "query": _node(ast.rhs),
+                "threshold": {
+                    "comparator": _INVERTED[ast.op],
+                    "value": float(ast.lhs.value),
+                },
+            }
+        if scalar_right:
+            return {
+                "query": _node(ast.lhs),
+                "threshold": {
+                    "comparator": ast.op,
+                    "value": float(ast.rhs.value),
+                },
+            }
+    return {"query": _node(ast)}

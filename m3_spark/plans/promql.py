@@ -170,11 +170,14 @@ class Parser:
         if v != val:
             raise SyntaxError(f"expected {val!r}, got {v!r}")
 
-    def parse(self):
+    def parse(self, fold: bool = True):
         e = self.parse_expr(0)
         if self.peek()[0] != "eof":
             raise SyntaxError(f"trailing input at {self.peek()[1]!r}")
-        return _fold(e)
+        # fold=False: the pre-fold DAG, what the reference's /parse and
+        # /threshold endpoints render (parse_query.go walks the parsed
+        # nodes before resolve_scalars runs)
+        return _fold(e) if fold else e
 
     def parse_expr(self, min_prec: int):
         lhs = self.parse_unary()
@@ -443,5 +446,5 @@ def _fold(e):
     return e
 
 
-def parse(q: str):
-    return Parser(q).parse()
+def parse(q: str, fold: bool = True):
+    return Parser(q).parse(fold=fold)

@@ -1,0 +1,99 @@
+"""`/parse` + `/threshold` endpoint analogs — expectations ported from
+``parse_query_test.go`` / ``parse_threshold_test.go``."""
+
+from __future__ import annotations
+
+from m3_spark.functions.parse_api import parse_dag, query_representation
+
+
+def test_parse_dag_fetch():
+    assert parse_dag("foo") == {"name": "fetch"}
+
+
+def test_parse_dag_sum_minus_scalar():
+    assert parse_dag("sum(a)-3") == {
+        "name": "-",
+        "children": [
+            {"name": "sum", "children": [{"name": "fetch"}]},
+            {"name": "scalar"},
+        ],
+    }
+
+
+def test_parse_dag_nested():
+    # parse_query_test.go: "1 > bool (foo or sum(rate(bar[5m])))"
+    assert parse_dag("1 > bool (foo or sum(rate(bar[5m])))") == {
+        "name": ">",
+        "children": [
+            {"name": "scalar"},
+            {
+                "name": "or",
+                "children": [
+                    {"name": "fetch"},
+                    {
+                        "name": "sum",
+                        "children": [
+                            {"name": "rate", "children": [{"name": "fetch"}]}
+                        ],
+                    },
+                ],
+            },
+        ],
+    }
+
+
+def test_threshold_plain_fetch():
+    assert query_representation("foo") == {"query": {"name": "fetch"}}
+
+
+def test_threshold_non_comparison_passthrough():
+    assert query_representation("sum(a)-3") == {
+        "query": {
+            "name": "-",
+            "children": [
+                {"name": "sum", "children": [{"name": "fetch"}]},
+                {"name": "scalar"},
+            ],
+        }
+    }
+
+
+def test_threshold_calculator_not_query():
+    # both sides scalar: calculator, no threshold split
+    assert query_representation("1 > bool 2") == {
+        "query": {
+            "name": ">",
+            "children": [{"name": "scalar"}, {"name": "scalar"}],
+        }
+    }
+
+
+def test_threshold_vector_vector_not_threshold():
+    assert query_representation("foo > bar") == {
+        "query": {
+            "name": ">",
+            "children": [{"name": "fetch"}, {"name": "fetch"}],
+        }
+    }
+
+
+def test_threshold_scalar_right():
+    assert query_representation("up > 13.37") == {
+        "query": {"name": "fetch"},
+        "threshold": {"comparator": ">", "value": 13.37},
+    }
+
+
+def test_threshold_scalar_left_inverts():
+    # parse_threshold.go: `1 > up` standardizes to `up < 1`
+    assert query_representation("1 > up") == {
+        "query": {"name": "fetch"},
+        "threshold": {"comparator": "<", "value": 1.0},
+    }
+    assert query_representation("1 <= sum(rate(bar[5m]))") == {
+        "query": {
+            "name": "sum",
+            "children": [{"name": "rate", "children": [{"name": "fetch"}]}],
+        },
+        "threshold": {"comparator": ">=", "value": 1.0},
+    }
