@@ -321,3 +321,93 @@ def ngram_jaccard_pairs(
         inter.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+# -- connected components / duplicate clusters -------------------------------
+
+def connected_components(
+    pairs: DataFrame, max_iters: int = 12
+) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over a
+    candidate-pair edge list, returning (node, cluster) with cluster =
+    the component's minimum node id.
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — each
+    round is one groupBy shuffle over the edge list and the edge count
+    never grows, so the 100 TB cost is O(log n) bounded shuffles, not
+    an unbounded label-propagation loop.  Convergence is checked with
+    a cheap changed-edge count per round; near-duplicate clusters are
+    near-cliques (band collisions link most pairs directly), so 2-3
+    rounds typically suffice.
+
+    ``pairs``: (id_a, id_b) edges, any orientation, self-loops ignored.
+    """
+    sess = pairs.sparkSession
+    a, b = pairs.columns[0], pairs.columns[1]
+    edges = (
+        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def _star(e: DataFrame, large: bool) -> DataFrame:
+        # neighbors grouped per u over symmetrized edges; every
+        # neighbor (large: only those > u; small: those <= u) connects
+        # to m = min(N(u) ∪ {u})
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        grouped = sym.groupBy("u").agg(
+            F.collect_set("v").alias("nbrs")
+        )
+        m = F.array_min(F.array_append(F.col("nbrs"), F.col("u")))
+        pick = (
+            F.filter(F.col("nbrs"), lambda x: x > F.col("u"))
+            if large
+            else F.array_append(
+                F.filter(F.col("nbrs"), lambda x: x <= F.col("u")),
+                F.col("u"),
+            )
+        )
+        return (
+            grouped.select(
+                F.explode(pick).alias("u"), m.alias("v")
+            )
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    for _ in range(max_iters):
+        nxt = _star(_star(edges, large=True), large=False)
+        nxt = nxt.localCheckpoint(eager=True)  # cut the lineage per round
+        # fixpoint: star rounds are idempotent once every node points
+        # at its component minimum
+        changed = nxt.exceptAll(edges).limit(1).count()
+        edges = nxt
+        if changed == 0:
+            break
+
+    # at fixpoint every edge is (node > min, min): the cluster map,
+    # plus each minimum labels itself
+    roots = edges.select(F.col("v").alias("u")).distinct().select(
+        F.col("u"), F.col("u").alias("cluster")
+    )
+    return (
+        edges.select("u", F.col("v").alias("cluster"))
+        .unionByName(roots)
+        .distinct()
+        .select(F.col("u").alias("node"), "cluster")
+    )
+
+
+def dedup_clusters(
+    docs: DataFrame, k: int = 12, bands: int = 4, n: int = 3,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash-LSH candidate pairs → connected components: every doc
+    that collides with another gets a (doc, cluster) row keyed by the
+    cluster's minimum doc id — the grouping step a dedup pipeline uses
+    to keep one canonical document per near-duplicate set."""
+    pairs = lsh_candidates(docs, k, bands, n, text_col, id_col)
+    return connected_components(pairs)

@@ -445,10 +445,52 @@ FROM a JOIN agg USING (asset_id)
 """
 
 
+
+
+# -- duplicate clusters (connected components over LSH pairs) ----------------
+
+def q_dedup_clusters(spark, sf_dir):
+    """MinHash-LSH pairs -> alternating large-star/small-star connected
+    components: (node, cluster=min doc id of the component)."""
+    from m3_spark.pipeline.dedup import dedup_clusters
+
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup_clusters(docs, K_MINHASH, BANDS, NGRAM)
+
+
+# exact transitive closure via recursive CTE (sf0.01 edge lists are
+# small; the Spark side is the O(log n)-shuffle scale algorithm)
+ORACLE_DEDUP_CLUSTERS = f"""WITH RECURSIVE {_MINSIG_CTE},
+banded AS (
+  SELECT doc_id, band_id, band_key FROM sig,
+  UNNEST([{", ".join(f"{{'band_id': {b}, 'band_key': {k}}}" for b, k in enumerate(_band_keys_sql()))}])
+    AS t(band)
+  , LATERAL (SELECT band.band_id AS band_id, band.band_key AS band_key) l
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.a, e.v FROM reach r JOIN edges e ON e.u = r.b
+)
+SELECT a AS node, LEAST(a, MIN(b)) AS cluster
+FROM reach GROUP BY a"""
+
+
 PIPELINE_QUERIES = {
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_minhash_sig": (q_dedup_minhash_sig, ORACLE_DEDUP_MINHASH),
     "dedup_lsh_pairs": (q_dedup_lsh_pairs, ORACLE_DEDUP_LSH),
+    "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "dedup_simhash": (q_dedup_simhash, ORACLE_DEDUP_SIMHASH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_NGRAM_JACCARD),
     "ann_brute_topk": (q_ann_brute_topk, ORACLE_ANN_BRUTE),

@@ -1,0 +1,41 @@
+"""Connected-components duplicate clustering (large-star/small-star)."""
+
+from __future__ import annotations
+
+
+def _cc(spark, edges):
+    from m3_spark.pipeline.dedup import connected_components
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = connected_components(df)
+    return {(r["node"], r["cluster"]) for r in out.collect()}
+
+
+def test_cc_path_graph_multi_hop(spark):
+    # 1-2-3-4-5 chain: min label must propagate the full diameter
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1)}
+
+
+def test_cc_multiple_components_and_orientation(spark):
+    # two components, edges in mixed orientation + a duplicate edge
+    got = _cc(spark, [(2, 1), (1, 2), (3, 2), (10, 11), (12, 11)])
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10), (12, 10),
+    }
+
+
+def test_cc_self_loops_ignored(spark):
+    got = _cc(spark, [(7, 7), (8, 9)])
+    assert got == {(8, 8), (9, 8)}
+
+
+def test_cc_star_and_clique(spark):
+    # star around 100 + a triangle clique: both collapse in one round
+    edges = [(100, i) for i in (101, 102, 103)] + [(5, 6), (6, 7), (5, 7)]
+    got = _cc(spark, edges)
+    assert got == {
+        (100, 100), (101, 100), (102, 100), (103, 100),
+        (5, 5), (6, 5), (7, 5),
+    }
