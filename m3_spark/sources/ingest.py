@@ -255,3 +255,79 @@ def kafka_ingest_stream(
     ).items():
         reader = reader.option(k, v)
     return kafka_payload_to_samples(reader.load(), payload_format)
+
+
+# -- write-path tag mapping (M3-Map-Tags-JSON) -------------------------------
+
+def parse_map_tags_json(payload: str | bytes) -> list[dict]:
+    """Decode the ``M3-Map-Tags-JSON`` header body
+    (``handleroptions/tag_options.go`` MapTagsOptions): a list of
+    mappers, each with EXACTLY one of write / drop / dropWithValue /
+    replace set."""
+    import json
+
+    doc = json.loads(payload)
+    mappers = doc.get("tagMappers") or []
+    out: list[dict] = []
+    for m in mappers:
+        ops = [k for k in ("write", "drop", "dropWithValue", "replace")
+               if m.get(k)]
+        if len(ops) != 1:
+            raise ValueError(
+                f"must specify one operation per tag mapper (got {len(ops)})"
+            )
+        out.append({ops[0]: m[ops[0]]})
+    return out
+
+
+def apply_map_tags(samples: DataFrame, mappers: list[dict]) -> DataFrame:
+    """Apply write-request tag mutations to a samples frame
+    (``storage`` MapTags semantics):
+
+      * write {tag, value} — unconditionally set, replacing existing;
+      * drop {tag} — remove the pair wherever the tag matches;
+      * dropWithValue {tag, value} — remove only exact pair matches;
+      * replace {tag, old, new} — rewrite the value; empty old
+        rewrites unconditionally.
+
+    All column expressions over the tags map — the mutation runs
+    inside codegen on the write path, no UDFs.  series_id is rebuilt
+    so downstream grouping sees the mutated identity.
+    """
+    from ..model import with_series_id
+
+    tags = F.col("tags")
+    for m in mappers:
+        if "write" in m:
+            tag, value = m["write"]["tag"], m["write"]["value"]
+            tags = F.map_concat(
+                F.map_filter(tags, lambda k, _v: k != F.lit(tag)),
+                F.create_map(F.lit(tag), F.lit(value)),
+            )
+        elif "drop" in m:
+            tag = m["drop"]["tag"]
+            tags = F.map_filter(tags, lambda k, _v: k != F.lit(tag))
+        elif "dropWithValue" in m:
+            tag, value = m["dropWithValue"]["tag"], m["dropWithValue"]["value"]
+            tags = F.map_filter(
+                tags,
+                lambda k, v: ~((k == F.lit(tag)) & (v == F.lit(value))),
+            )
+        elif "replace" in m:
+            tag = m["replace"]["tag"]
+            old = m["replace"].get("old", "")
+            new = m["replace"]["new"]
+            tags = F.transform_values(
+                tags,
+                lambda k, v: F.when(
+                    (k == F.lit(tag))
+                    & (F.lit(old == "") | (v == F.lit(old))),
+                    F.lit(new),
+                ).otherwise(v),
+            )
+        else:
+            raise ValueError(f"unknown tag mapper {m!r}")
+    out = samples.withColumn("tags", tags).drop("series_id")
+    return with_series_id(out).select(
+        *[c for c in samples.columns]
+    )

@@ -206,3 +206,71 @@ def test_remote_write_annotation_roundtrip(spark, tmp_path):
     # query kernels consume the same frame, annotations simply drop out
     g = consolidate(back, "2024-01-01 00:01:00", "2024-01-01 00:01:00", 60, 300)
     assert g.collect()[0]["value"] == 2.5
+
+
+# -- M3-Map-Tags-JSON write-path mutations -----------------------------------
+
+def _mt_samples(spark):
+    from .conftest import make_samples
+
+    return make_samples(
+        spark,
+        [
+            ("cpu", {"host": "h1", "dc": "east"}, 1704067200, 1.0),
+            ("cpu", {"host": "h2", "env": "prod"}, 1704067200, 2.0),
+        ],
+    )
+
+
+def test_parse_map_tags_json_validates():
+    import pytest
+
+    from m3_spark.sources.ingest import parse_map_tags_json
+
+    got = parse_map_tags_json(
+        '{"tagMappers": [{"write": {"tag": "t", "value": "v"}},'
+        ' {"drop": {"tag": "d"}}]}'
+    )
+    assert got == [{"write": {"tag": "t", "value": "v"}}, {"drop": {"tag": "d"}}]
+    with pytest.raises(ValueError, match="one operation per tag mapper"):
+        parse_map_tags_json(
+            '{"tagMappers": [{"write": {"tag": "t", "value": "v"},'
+            ' "drop": {"tag": "d"}}]}'
+        )
+
+
+def test_map_tags_write_drop_replace(spark):
+    from m3_spark.sources.ingest import apply_map_tags
+
+    s = _mt_samples(spark)
+    out = apply_map_tags(
+        s,
+        [
+            # write replaces existing values (WriteOp doc semantics)
+            {"write": {"tag": "dc", "value": "west"}},
+            {"drop": {"tag": "env"}},
+            {"replace": {"tag": "host", "old": "h1", "new": "hx"}},
+        ],
+    )
+    rows = {r["tags"]["host"]: dict(r["tags"]) for r in out.collect()}
+    assert rows["hx"] == {"host": "hx", "dc": "west"}
+    assert rows["h2"] == {"host": "h2", "dc": "west"}
+    # series_id rebuilt from the mutated tags
+    sids = {r["series_id"] for r in out.collect()}
+    assert all("dc=west" in s for s in sids)
+
+
+def test_map_tags_drop_with_value_and_uncond_replace(spark):
+    from m3_spark.sources.ingest import apply_map_tags
+
+    s = _mt_samples(spark)
+    out = apply_map_tags(
+        s,
+        [
+            {"dropWithValue": {"tag": "dc", "value": "east"}},
+            {"replace": {"tag": "host", "new": "all"}},  # empty old
+        ],
+    )
+    tags = [dict(r["tags"]) for r in out.collect()]
+    assert {"host": "all"} in tags
+    assert {"host": "all", "env": "prod"} in tags
