@@ -378,15 +378,27 @@ def connected_components(
             .distinct()
         )
 
+    def _sig(e: DataFrame) -> tuple:
+        # order-insensitive edge-set fingerprint: one aggregate job
+        # (count + xxhash64 xor — overflow-free under ANSI), far
+        # cheaper than an exceptAll join
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev_sig = _sig(edges)
     for _ in range(max_iters):
         nxt = _star(_star(edges, large=True), large=False)
         nxt = nxt.localCheckpoint(eager=True)  # cut the lineage per round
         # fixpoint: star rounds are idempotent once every node points
         # at its component minimum
-        changed = nxt.exceptAll(edges).limit(1).count()
+        sig = _sig(nxt)
         edges = nxt
-        if changed == 0:
+        if sig == prev_sig:
             break
+        prev_sig = sig
 
     # at fixpoint every edge is (node > min, min): the cluster map,
     # plus each minimum labels itself

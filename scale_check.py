@@ -131,6 +131,15 @@ def main() -> None:
         sigs = write_signature_table(docs, sig_dir, k=16)
         return lsh_candidates(docs, k=16, bands=4, sigs=sigs)
 
+    def q_dedup_clusters(_):
+        from m3_spark.pipeline.dedup import connected_components
+        from m3_spark.sources.tables import read_table
+
+        docs = read_table(spark, SCRATCH, "documents")
+        sigs = spark.read.parquet(os.path.join(SCRATCH, "signatures.parquet"))
+        pairs = lsh_candidates(docs, k=16, bands=4, sigs=sigs)
+        return connected_components(pairs)
+
     timings, counts = {}, {}
     for name, fn in {
         "sum_by_7d_1h": q_sum_by,
@@ -138,6 +147,7 @@ def main() -> None:
         "topk_7d_1h": q_topk,
         "sum_over_time_24h": q_over_time,
         "dedup_lsh": q_dedup_lsh,
+        "dedup_clusters": q_dedup_clusters,
     }.items():
         t = time.perf_counter()
         counts[name] = fn(None).count()
