@@ -234,3 +234,99 @@ def bucketed_topk(
         .where(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its closest
+    centroid by cosine (ties → lowest centroid id).
+
+    Centroids are the vectors with id < n_lists — a deterministic
+    random-init quantizer (ids carry no embedding-space order, so this
+    is a fixed random draw).  At 100 TB you would refine the centroids
+    with a few kmeans|| rounds; the inverted-list machinery below is
+    identical either way, and the fixed draw keeps the whole path
+    bit-reproducible for the oracle.
+
+    Returns (id, list_id).  The centroid frame is broadcast — the
+    assignment is a map-side crossJoin + per-id rank, one shuffle.
+    """
+    e = _as_double(embeddings, vec_col)
+    cents = e.where(F.col(id_col) < n_lists).select(
+        F.col(id_col).alias("list_id"), F.col(vec_col).alias("_cvec")
+    )
+    scored = e.select(id_col, vec_col).crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        "list_id",
+        cosine_col(F.col(vec_col), F.col("_cvec")).alias("_sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_sim").desc(), F.col("list_id").asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select(id_col, "list_id")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: probe each query's n_probe closest inverted lists and
+    rank candidates by exact cosine within them — the second
+    bucketed scale path next to hyperplane LSH (`bucketed_topk`).
+
+    Plan shape: one broadcast crossJoin against the n_lists centroids
+    (scores queries AND builds the assignment in a single pass), an
+    equi-join on list_id to enumerate candidates, then the salted-free
+    per-query top-k rank.  No all-pairs product anywhere.
+    """
+    e = _as_double(embeddings, vec_col)
+    cents = e.where(F.col(id_col) < n_lists).select(
+        F.col(id_col).alias("list_id"), F.col(vec_col).alias("_cvec")
+    )
+    scored = e.select(id_col, vec_col).crossJoin(F.broadcast(cents)).select(
+        F.col(id_col), "list_id",
+        cosine_col(F.col(vec_col), F.col("_cvec")).alias("_sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_sim").desc(), F.col("list_id").asc()
+    )
+    ranked = scored.withColumn("_rk", F.row_number().over(w))
+    assign = ranked.where(F.col("_rk") == 1).select(
+        F.col(id_col).alias("neighbor_id"), "list_id"
+    )
+    probes = ranked.where(F.col("_rk") <= n_probe).select(
+        F.col(id_col).alias("query_id"), "list_id"
+    )
+    cands = (
+        probes.join(assign, "list_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    qv = e.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    nv = e.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")
+    )
+    pairs = cands.join(qv, "query_id").join(nv, "neighbor_id").select(
+        "query_id", "neighbor_id",
+        cosine_col(F.col("_qv"), F.col("_nv")).alias("cosine"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("_rk", F.row_number().over(wk))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )

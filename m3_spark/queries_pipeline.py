@@ -486,6 +486,66 @@ SELECT a AS node, LEAST(a, MIN(b)) AS cluster
 FROM reach GROUP BY a"""
 
 
+
+
+# -- IVF ANN -----------------------------------------------------------------
+
+N_LISTS = 16
+N_PROBE = 2
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF scale path: probe the 2 closest of 16 inverted lists, exact
+    cosine rank within them.  Deterministic random-init centroids
+    (vec_id < 16) keep it bit-reproducible for the oracle."""
+    from m3_spark.pipeline.similarity import ivf_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = ivf_topk(emb, TOPK, N_LISTS, N_PROBE)
+    return out.select(
+        "query_id", "neighbor_id", F.round(F.col("cosine"), 6).alias("cosine")
+    )
+
+
+ORACLE_ANN_IVF = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS list_id, v AS cv FROM v WHERE vec_id < {N_LISTS}),
+cscored AS (
+  SELECT qa.vec_id, c.list_id,
+         list_reduce(list_prepend(0.0, [qa.v[i] * c.cv[i] for i in generate_series(1, len(qa.v))]), (x, y) -> x + y)
+         / (sqrt(list_reduce(list_prepend(0.0, [x * x for x in qa.v]), (x, y) -> x + y))
+          * sqrt(list_reduce(list_prepend(0.0, [x * x for x in c.cv]), (x, y) -> x + y))) AS sim
+  FROM v qa CROSS JOIN cents c
+),
+cranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY sim DESC, list_id) AS rk
+  FROM cscored
+),
+assign AS (SELECT vec_id AS neighbor_id, list_id FROM cranked WHERE rk = 1),
+probes AS (SELECT vec_id AS query_id, list_id FROM cranked WHERE rk <= {N_PROBE}),
+cands AS (
+  SELECT p.query_id, a.neighbor_id
+  FROM probes p JOIN assign a USING (list_id)
+  WHERE a.neighbor_id <> p.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         {_COS_SQL} AS cosine
+  FROM cands c
+  JOIN v qa ON qa.vec_id = c.query_id
+  JOIN v qb ON qb.vec_id = c.neighbor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine
+FROM ranked WHERE rk <= {TOPK}
+"""
+
+
 PIPELINE_QUERIES = {
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_minhash_sig": (q_dedup_minhash_sig, ORACLE_DEDUP_MINHASH),
@@ -497,6 +557,7 @@ PIPELINE_QUERIES = {
     "ann_matmul_topk": (q_ann_matmul_topk, ORACLE_ANN_BRUTE),
     "ann_buckets": (q_ann_buckets, ORACLE_ANN_BUCKETS),
     "ann_bucketed_topk": (q_ann_bucketed_topk, ORACLE_ANN_BUCKETED),
+    "ann_ivf_topk": (q_ann_ivf_topk, ORACLE_ANN_IVF),
     "text_analysis": (q_text_analysis, ORACLE_TEXT_ANALYSIS),
     "multimodal_features": (q_multimodal_features, ORACLE_MULTIMODAL),
 }
