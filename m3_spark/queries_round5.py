@@ -479,6 +479,58 @@ SELECT CAST(epoch(step_ts + INTERVAL 1 DAY) AS BIGINT) AS step_s,
 FROM lastv GROUP BY 1, 2"""
 
 
+
+
+
+# ---------------------------------------------------------------------------
+# group aggregator + absent_over_time through the text engine
+# ---------------------------------------------------------------------------
+
+def q_text_group(spark, sf_dir):
+    """group by (event_type) (...) — every group collapses to 1
+    (``aggregation/function.go`` group)."""
+    from .plans.engine import query_range
+
+    s = read_samples(spark, sf_dir)
+    out = query_range(
+        s, 'group by (event_type) ({user_id=~".+"})',
+        START, END, STEP_S, LOOKBACK_S,
+    )
+    return out.select(
+        _epoch(),
+        F.col("tags").getItem("event_type").alias("event_type"),
+        F.round(F.col("value"), 6).alias("value"),
+    )
+
+
+ORACLE_TEXT_GROUP = f"""{_LASTV_SQL}
+SELECT DISTINCT CAST(epoch(step_ts) AS BIGINT) AS step_s, event_type,
+       1.0 AS value
+FROM lastv"""
+
+
+def q_text_absent_over_time(spark, sf_dir):
+    """absent_over_time(signup[6h]): 1 at steps whose whole window has
+    no sample (the range-vector absent form the reference's native
+    engine fails its own corpus cases on)."""
+    from .plans.engine import query_range
+
+    s = read_samples(spark, sf_dir)
+    out = query_range(
+        s, "absent_over_time(signup[6h])", START, END, STEP_S, LOOKBACK_S
+    )
+    return out.select(_epoch(), F.col("value"))
+
+
+ORACLE_TEXT_ABSENT_OT = f"""WITH steps AS ({_STEPS_SQL})
+SELECT CAST(epoch(s.step_ts) AS BIGINT) AS step_s, 1.0 AS value
+FROM steps s
+WHERE NOT EXISTS (
+  SELECT 1 FROM events e WHERE e.event_type = 'signup'
+    AND e.ts <= s.step_ts AND e.ts >= s.step_ts - INTERVAL 6 HOUR
+)"""
+
+
 ROUND5_QUERIES = {
     "promql_math_multi": (q_math_multi, ORACLE_MATH_MULTI),
     "promql_clamp_round": (q_clamp_round, ORACLE_CLAMP_ROUND),
@@ -494,4 +546,6 @@ ROUND5_QUERIES = {
     ),
     "graphite_sort_limit": (q_graphite_sort_limit, ORACLE_GRAPHITE_SORT_LIMIT),
     "graphite_time_shift": (q_graphite_time_shift, ORACLE_GRAPHITE_TIME_SHIFT),
+    "promql_text_group": (q_text_group, ORACLE_TEXT_GROUP),
+    "promql_absent_over_time": (q_text_absent_over_time, ORACLE_TEXT_ABSENT_OT),
 }
