@@ -39,3 +39,42 @@ def test_cc_star_and_clique(spark):
         (100, 100), (101, 100), (102, 100), (103, 100),
         (5, 5), (6, 5), (7, 5),
     }
+
+
+def test_cc_property_random_graphs(spark):
+    """Property check against a pure-python union-find on a batch of
+    pseudo-random graphs (seeded, no flaky hypothesis shrink cost in
+    the Spark fixture)."""
+    import random
+
+    def unionfind(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        # path-compress fully, label = component min (root IS the min
+        # because unions always point larger roots at smaller ones)
+        return {n: find(n) for n in nodes}
+
+    rng = random.Random(42)
+    for trial in range(4):
+        n = rng.randint(5, 40)
+        m = rng.randint(1, 60)
+        edges = [
+            (rng.randint(0, n - 1), rng.randint(0, n - 1)) for _ in range(m)
+        ]
+        edges = [(u, v) for u, v in edges if u != v]
+        if not edges:
+            continue
+        nodes = {x for e in edges for x in e}
+        want = unionfind(edges, nodes)
+        got = _cc(spark, edges)
+        assert got == {(n_, c) for n_, c in want.items()}, f"trial {trial}"
