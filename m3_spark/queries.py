@@ -403,7 +403,31 @@ def q_graphite_holt_forecast(spark, sf_dir):
     )
 
 
-def _hw_oracle() -> str:
+def q_graphite_holt_bands(spark, sf_dir):
+    """holtWintersConfidenceBands over per-event_type hourly sums —
+    same bootstrap shape as the forecast entry; lower and upper bands
+    stacked with a ``band`` discriminator."""
+    from .graphite.compiler import evaluate
+
+    out = evaluate(
+        _gsamples_ev(spark, sf_dir),
+        'holtWintersConfidenceBands(groupByNode(events.*.*, 1, "sum"))',
+        START, END, STEP_S, LOOKBACK_S,
+    )
+    return out.where(F.col("value").isNotNull()).select(
+        _epoch(),
+        F.regexp_extract(
+            F.col("name"), r"holtWintersConfidence(?:Lower|Upper)\((.*)\)", 1
+        ).alias("event_type"),
+        F.when(
+            F.col("name").startswith("holtWintersConfidenceLower"),
+            F.lit("lower"),
+        ).otherwise(F.lit("upper")).alias("band"),
+        F.round(F.col("value"), 4).alias("value"),
+    )
+
+
+def _hw_oracle(final: str) -> str:
     """DuckDB restatement of holtWintersAnalysis
     (``builtin_functions.go:2100-2190``): a recursive CTE iterates the
     step grid carrying (intercept, slope, nextPred) plus a 24-slot
@@ -417,6 +441,13 @@ def _hw_oracle() -> str:
     intercept = "(0.1*(t.v - t.seas1) + (1 - 0.1)*(t.li + t.ls))"
     slope = f"(0.0035*({intercept} - t.li) + (1 - 0.0035)*t.ls)"
     seasonal = f"(0.1*(t.v - {intercept}) + (1 - 0.1)*t.seas1)"
+    # deviation recurrence (hw_analysis_matrix): GAMMA*|a - pred_safe|
+    # + (1-GAMMA)*dev[i-24]; pred_safe zeroes a NaN/absent prediction
+    deviation = (
+        "(0.1*abs(t.v - CASE WHEN t.prediction IS NULL OR "
+        "isnan(t.prediction) THEN 0.0 ELSE t.prediction END) "
+        "+ (1 - 0.1)*t.devs[1])"
+    )
     return f"""WITH RECURSIVE
 steps AS (
   SELECT ROW_NUMBER() OVER (ORDER BY step_ts) - 1 AS i, step_ts
@@ -436,7 +467,9 @@ rec AS (
          CAST(NULL AS DOUBLE) AS intercept,
          CAST(0.0 AS DOUBLE) AS slope,
          'NaN'::DOUBLE AS next_pred, CAST(NULL AS DOUBLE) AS pred,
-         {zeros24}::DOUBLE[] AS seas
+         CAST(0.0 AS DOUBLE) AS dev,
+         {zeros24}::DOUBLE[] AS seas,
+         {zeros24}::DOUBLE[] AS devs
   FROM et
   UNION ALL
   SELECT t.event_type, t.i,
@@ -445,11 +478,14 @@ rec AS (
          CASE WHEN t.v IS NULL THEN 'NaN'::DOUBLE
               ELSE {intercept} + {slope} + t.seas2 END,
          CASE WHEN t.v IS NULL THEN t.prev_next_pred ELSE t.prediction END,
+         CASE WHEN t.v IS NULL THEN 0.0 ELSE {deviation} END,
          list_append(t.seas[2:24],
-                     CASE WHEN t.v IS NULL THEN 0.0 ELSE {seasonal} END)
+                     CASE WHEN t.v IS NULL THEN 0.0 ELSE {seasonal} END),
+         list_append(t.devs[2:24],
+                     CASE WHEN t.v IS NULL THEN 0.0 ELSE {deviation} END)
   FROM (
     SELECT a.i, r.event_type, m.v,
-           r.next_pred AS prev_next_pred, r.seas,
+           r.next_pred AS prev_next_pred, r.seas, r.devs,
            r.seas[1] AS seas1, r.seas[2] AS seas2,
            CASE WHEN a.i = 0 THEN m.v
                 WHEN r.intercept IS NULL THEN m.v
@@ -461,13 +497,23 @@ rec AS (
     LEFT JOIN summed m ON m.step_ts = a.step_ts AND m.event_type = r.event_type
   ) t
 )
-SELECT CAST(epoch(s.step_ts) AS BIGINT) AS step_s, r.event_type,
+{final}"""
+
+
+_HW_FORECAST_FINAL = """SELECT CAST(epoch(s.step_ts) AS BIGINT) AS step_s, r.event_type,
        ROUND(r.pred, 4) AS value
 FROM rec r JOIN steps s ON s.i = r.i
 WHERE r.i >= 168 AND r.pred IS NOT NULL AND NOT isnan(r.pred)"""
 
+# lower/upper = pred ∓ 3·dev (holt_winters.py bands; delta default 3)
+_HW_BANDS_FINAL = """SELECT CAST(epoch(s.step_ts) AS BIGINT) AS step_s, r.event_type,
+       b.band, ROUND(r.pred + b.sgn * 3.0 * r.dev, 4) AS value
+FROM rec r JOIN steps s ON s.i = r.i
+CROSS JOIN (VALUES ('lower', -1.0), ('upper', 1.0)) b(band, sgn)
+WHERE r.i >= 168 AND r.pred IS NOT NULL AND NOT isnan(r.pred)"""
 
-ORACLE_HOLT_FORECAST = _hw_oracle()
+ORACLE_HOLT_FORECAST = _hw_oracle(_HW_FORECAST_FINAL)
+ORACLE_HOLT_BANDS = _hw_oracle(_HW_BANDS_FINAL)
 
 
 # -- m3aggregator tumbling-window aggregate set ------------------------------
@@ -612,6 +658,7 @@ QUERIES = {
         q_graphite_smart_summarize, ORACLE_SMART_SUMMARIZE,
     ),
     "graphite_holt_forecast": (q_graphite_holt_forecast, ORACLE_HOLT_FORECAST),
+    "graphite_holt_bands": (q_graphite_holt_bands, ORACLE_HOLT_BANDS),
     "stream_agg_policy_1h": (q_agg_policy_1h, ORACLE_AGG_POLICY_1H),
     "counter_increase": (q_counter_increase, ORACLE_COUNTER_INCREASE),
     "graphite_lttb": (q_graphite_lttb, None),
