@@ -427,6 +427,25 @@ def q_graphite_holt_bands(spark, sf_dir):
     )
 
 
+def q_graphite_holt_aberration(spark, sf_dir):
+    """holtWintersAberration — actual distance outside the 3σ bands,
+    0 inside/missing (``builtin_functions.go:2022``)."""
+    from .graphite.compiler import evaluate
+
+    out = evaluate(
+        _gsamples_ev(spark, sf_dir),
+        'holtWintersAberration(groupByNode(events.*.*, 1, "sum"))',
+        START, END, STEP_S, LOOKBACK_S,
+    )
+    return out.where(F.col("value").isNotNull()).select(
+        _epoch(),
+        F.regexp_extract(
+            F.col("name"), r"holtWintersAberration\((.*)\)", 1
+        ).alias("event_type"),
+        F.round(F.col("value"), 4).alias("value"),
+    )
+
+
 def _hw_oracle(final: str) -> str:
     """DuckDB restatement of holtWintersAnalysis
     (``builtin_functions.go:2100-2190``): a recursive CTE iterates the
@@ -512,8 +531,21 @@ FROM rec r JOIN steps s ON s.i = r.i
 CROSS JOIN (VALUES ('lower', -1.0), ('upper', 1.0)) b(band, sgn)
 WHERE r.i >= 168 AND r.pred IS NOT NULL AND NOT isnan(r.pred)"""
 
+# aberration: distance of the actual outside [pred-3σ, pred+3σ];
+# 0 inside or when the actual is missing (builtin_functions.go:2022)
+_HW_ABERRATION_FINAL = """SELECT CAST(epoch(s.step_ts) AS BIGINT) AS step_s, r.event_type,
+       ROUND(CASE WHEN m.v IS NULL THEN 0.0
+                  WHEN r.pred IS NULL OR isnan(r.pred) THEN 0.0
+                  WHEN m.v > r.pred + 3.0 * r.dev THEN m.v - (r.pred + 3.0 * r.dev)
+                  WHEN m.v < r.pred - 3.0 * r.dev THEN m.v - (r.pred - 3.0 * r.dev)
+                  ELSE 0.0 END, 4) AS value
+FROM rec r JOIN steps s ON s.i = r.i
+LEFT JOIN summed m ON m.step_ts = s.step_ts AND m.event_type = r.event_type
+WHERE r.i >= 168"""
+
 ORACLE_HOLT_FORECAST = _hw_oracle(_HW_FORECAST_FINAL)
 ORACLE_HOLT_BANDS = _hw_oracle(_HW_BANDS_FINAL)
+ORACLE_HOLT_ABERRATION = _hw_oracle(_HW_ABERRATION_FINAL)
 
 
 # -- m3aggregator tumbling-window aggregate set ------------------------------
@@ -659,6 +691,9 @@ QUERIES = {
     ),
     "graphite_holt_forecast": (q_graphite_holt_forecast, ORACLE_HOLT_FORECAST),
     "graphite_holt_bands": (q_graphite_holt_bands, ORACLE_HOLT_BANDS),
+    "graphite_holt_aberration": (
+        q_graphite_holt_aberration, ORACLE_HOLT_ABERRATION,
+    ),
     "stream_agg_policy_1h": (q_agg_policy_1h, ORACLE_AGG_POLICY_1H),
     "counter_increase": (q_counter_increase, ORACLE_COUNTER_INCREASE),
     "graphite_lttb": (q_graphite_lttb, None),
