@@ -1414,3 +1414,22 @@ for _ctx_fn in (
     "holtWintersConfidenceBands", "holtWintersAberration",
 ):
     REGISTRY[_ctx_fn] = _needs_context(_ctx_fn)
+
+#: short-name aliases the reference registers via
+#: MustRegisterAliasedFunction (builtin_functions.go:3049-3058);
+#: aliasByTags aliases aliasByNode — in the tagged path model the tag
+#: index IS the node index
+_ALIASES = {
+    "abs": "absolute",
+    "aliasByTags": "aliasByNode",
+    "avg": "averageSeries",
+    "log": "logarithm",
+    "max": "maxSeries",
+    "min": "minSeries",
+    "randomWalk": "randomWalkFunction",
+    "round": "roundFunction",
+    "sum": "sumSeries",
+    "time": "timeFunction",
+}
+for _alias, _target in _ALIASES.items():
+    REGISTRY[_alias] = REGISTRY[_target]

@@ -78,3 +78,27 @@ def test_hitcount_end_anchored(spark, gsamples):
     assert by[T0 + 120] == 1500.0
     assert by[T0 + 240] == 840.0
     assert all(r["name"].startswith("hitcount(") for r in out)
+
+
+def test_registry_alias_parity(spark):
+    """The short-name aliases the reference registers via
+    MustRegisterAliasedFunction (builtin_functions.go:3049-3058) are
+    present and dispatch to the same transforms."""
+    from m3_spark.graphite.compiler import evaluate
+    from m3_spark.graphite.functions import REGISTRY, _ALIASES
+
+    for alias, target in _ALIASES.items():
+        assert REGISTRY[alias] is REGISTRY[target], alias
+
+    from .test_graphite_golden import _grid_df
+
+    g = _grid_df(spark, {"a.x": [2.0, 4.0], "a.y": [6.0, 8.0]})
+    via_alias = {
+        (r["step_ts"], r["value"])
+        for r in REGISTRY["sum"](g).collect()
+    }
+    via_full = {
+        (r["step_ts"], r["value"])
+        for r in REGISTRY["sumSeries"](g).collect()
+    }
+    assert via_alias == via_full and len(via_alias) == 2
