@@ -164,3 +164,19 @@ def test_consolidate_dims_join_broadcasts_steps(spark):
     # the step grid joins in via BroadcastNestedLoopJoin-free cross of
     # a broadcast single-row-ish steps frame
     assert "BroadcastExchange" in _plan(g)
+
+
+def test_restrict_by_tag_pushdown_reaches_scan(spark):
+    """Restriction matchers are plan-identical to query matchers: the
+    forced equality reaches PushedFilters on the parquet scan, and the
+    strip projection doesn't block it."""
+    from m3_spark.model import read_samples
+    from m3_spark.plans.fetch_options import RestrictByTag, apply_restrict_by_tag
+
+    s = read_samples(spark, SF_DIR)
+    out = apply_restrict_by_tag(
+        s, RestrictByTag(restrict=[("=", "event_type", "click")], strip=["user_id"])
+    )
+    txt = _formatted(out)
+    assert "PushedFilters" in txt
+    assert "EqualTo(event_type,click)" in txt
