@@ -1,0 +1,191 @@
+"""Sampling, data mixing, and sequence packing for training-data
+pipelines.
+
+Not part of the m3 reference surface — these are the corpus-shaping
+operators a 100 TB training pipeline needs between dedup/quality
+filtering and the trainer:
+
+  * stratified_sample: per-stratum keep rates (e.g. downsample a
+    dominant crawl source) — a pure deterministic predicate, NO
+    shuffle, NO rng state.  Filters compose with Catalyst pushdown,
+    so a sampled scan still prunes row groups.
+  * mix_epochs: per-stratum repetition weights (the "data mixing"
+    table of an LLM run: weight 2.4 → every doc appears 2 times and a
+    deterministic 40% of docs a 3rd time) — an explode of a
+    per-row-computed copies array, NO shuffle.
+  * pack_sequences: assign documents to fixed token-budget bins
+    (sequence packing) via a cumulative-sum window per stratum — ONE
+    shuffle on the stratum key.
+
+Determinism: all randomness is a multiplicative-hash LCG on the
+document id reduced mod the prime 1_000_003 — identical arithmetic is
+expressible in ANSI SQL, so every operator here has an exact DuckDB
+oracle (no rand(), no seed-dependent sampleBy).
+
+Scale notes (100 TB / 1000 executors):
+  * stratified_sample and mix_epochs are embarrassingly parallel
+    column expressions inside whole-stage codegen.
+  * pack_sequences windows over each stratum; a single dominant
+    stratum would serialize into one task, so the window key is
+    (stratum, shard) where shard = id mod n_shards — bins are packed
+    per shard and bin ids are globally unique via (shard, local bin).
+    Packing quality is unchanged (each shard fills bins greedily);
+    parallelism is n_shards per stratum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: modulus for the deterministic per-id uniform — prime, so the
+#: multiplicative step permutes residues well; small enough that
+#: (id % P) * MULT never overflows int64 in either engine.
+SAMPLE_MOD = 1_000_003
+#: Knuth's multiplicative-hash constant (2^32 / phi).
+SAMPLE_MULT = 2_654_435_761
+SAMPLE_INC = 12_345
+
+
+def uniform_col(id_col: Column, salt: int = 0) -> Column:
+    """Deterministic pseudo-uniform integer in [0, SAMPLE_MOD) from a
+    BIGINT id — engine-portable (same closed form runs in DuckDB):
+
+        u = ((id % P + salt) * MULT + INC) % P
+    """
+    return F.pmod(
+        (F.pmod(id_col, F.lit(SAMPLE_MOD)) + F.lit(salt)) * F.lit(SAMPLE_MULT)
+        + F.lit(SAMPLE_INC),
+        F.lit(SAMPLE_MOD),
+    )
+
+
+def uniform_sql(id_expr: str, salt: int = 0) -> str:
+    """The DuckDB restatement of :func:`uniform_col` (oracle side)."""
+    return (
+        f"(((({id_expr}) % {SAMPLE_MOD} + {salt}) * {SAMPLE_MULT} "
+        f"+ {SAMPLE_INC}) % {SAMPLE_MOD})"
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+    salt: int = 0,
+) -> DataFrame:
+    """Keep a deterministic per-stratum fraction of rows.
+
+    ``rates`` maps stratum value → keep rate in [0, 1]; strata not
+    listed keep ``default_rate``.  The keep decision is
+    ``uniform(id) < rate * SAMPLE_MOD`` — a pure predicate, so the
+    sampled scan still benefits from row-group pruning upstream and
+    costs zero shuffles.  Repeated runs (and retried tasks) make the
+    same decision for the same id: the sample is stable across the
+    cluster and across days of incremental runs.
+    """
+    u = uniform_col(F.col(id_col), salt)
+    rate = F.lit(float(default_rate))
+    for k, v in rates.items():
+        rate = F.when(F.col(stratum_col) == k, F.lit(float(v))).otherwise(rate)
+    return docs.where(u < rate * F.lit(float(SAMPLE_MOD)))
+
+
+def mix_epochs(
+    docs: DataFrame,
+    weights: dict[str, float],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    default_weight: float = 1.0,
+    salt: int = 1,
+) -> DataFrame:
+    """Repeat rows per-stratum by a (possibly fractional) epoch weight
+    — the LLM data-mixing table.
+
+    weight w → floor(w) copies for every doc, plus one more for the
+    deterministic frac(w) fraction of docs (chosen by the same
+    id-hash uniform as :func:`stratified_sample`, salted differently
+    so sampling and mixing decisions are independent).  Output adds an
+    ``epoch`` column (0-based copy index) so downstream shuffles
+    de-cluster the copies.  Weights < 1 degenerate to sampling (0
+    copies for the complement).  Explode only — no shuffle.
+    """
+    u = uniform_col(F.col(id_col), salt)
+    w = F.lit(float(default_weight))
+    for k, v in weights.items():
+        w = F.when(F.col(stratum_col) == k, F.lit(float(v))).otherwise(w)
+    n_copies = F.floor(w).cast("long") + F.when(
+        u < (w - F.floor(w)) * F.lit(float(SAMPLE_MOD)), F.lit(1)
+    ).otherwise(F.lit(0)).cast("long")
+    return (
+        docs.withColumn("_n_copies", n_copies)
+        .where(F.col("_n_copies") > 0)
+        .withColumn(
+            "epoch", F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1))
+        )
+        .drop("_n_copies")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget_tokens: int,
+    tokens_col: Column | None = None,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    n_shards: int = 1,
+) -> DataFrame:
+    """Assign documents to fixed token-budget training bins.
+
+    Within each (stratum, shard) the documents are taken in id order
+    and fill bins by cumulative token count: a document starts a new
+    bin when the running total before it has crossed the budget
+    (documents may straddle a boundary — the trainer's chunker splits
+    them; what matters for packing efficiency is that each bin's
+    token mass is ≈ budget).  bin = floor(cum_before / budget).
+
+    Returns (id, stratum, shard, n_tokens, bin) — one window shuffle
+    on (stratum, shard).  ``n_shards > 1`` bounds per-task work for
+    skewed strata; bin ids stay unique via the shard column.
+    """
+    from .text import token_count_col
+
+    if tokens_col is None:
+        tokens_col = token_count_col(F.col("text"))
+    shard = F.pmod(F.col(id_col), F.lit(int(n_shards)))
+    w = (
+        Window.partitionBy(stratum_col, "shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            F.col(stratum_col),
+            shard.alias("shard"),
+            tokens_col.cast("long").alias("n_tokens"),
+        )
+        .withColumn("_cum", F.sum("n_tokens").over(w))
+        .select(
+            id_col,
+            stratum_col,
+            "shard",
+            "n_tokens",
+            F.floor(
+                (F.col("_cum") - F.col("n_tokens"))
+                / F.lit(float(budget_tokens))
+            ).cast("long").alias("bin"),
+        )
+    )
+
+
+def pack_bins(packed: DataFrame, stratum_col: str = "source") -> DataFrame:
+    """Per-bin packing summary: (stratum, shard, bin, n_docs,
+    tok_sum) — the fill-rate view a pipeline monitors (tok_sum /
+    budget ≈ 1 means dense packing)."""
+    return packed.groupBy(stratum_col, "shard", "bin").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("tok_sum")
+    )

@@ -546,6 +546,98 @@ FROM ranked WHERE rk <= {TOPK}
 """
 
 
+# -- sampling / mixing / packing ---------------------------------------------
+
+_SAMPLE_RATES = {"src0": 0.5, "src1": 0.0}
+_MIX_WEIGHTS = {"src2": 2.4, "src3": 0.5}
+_PACK_BUDGET = 200
+_PACK_SHARDS = 2
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic per-source downsampling — pure predicate, no
+    shuffle, stable across retries (pipeline/sampling.py)."""
+    from m3_spark.pipeline.sampling import stratified_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, _SAMPLE_RATES).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+def _rate_case_sql(table: dict[str, float], default: float) -> str:
+    whens = " ".join(f"WHEN '{k}' THEN {v}" for k, v in table.items())
+    return f"CASE source {whens} ELSE {default} END"
+
+
+def _ORACLE_SAMPLE() -> str:
+    from m3_spark.pipeline.sampling import SAMPLE_MOD, uniform_sql
+
+    return f"""
+SELECT doc_id, source, n_chars FROM documents
+WHERE {uniform_sql("doc_id", 0)}
+    < {_rate_case_sql(_SAMPLE_RATES, 1.0)} * {SAMPLE_MOD}
+"""
+
+
+def q_mix_epochs(spark, sf_dir):
+    """Fractional epoch weights (data-mixing table): explode-only,
+    deterministic extra-copy choice (pipeline/sampling.py)."""
+    from m3_spark.pipeline.sampling import mix_epochs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return mix_epochs(docs, _MIX_WEIGHTS).select("doc_id", "source", "epoch")
+
+
+def _ORACLE_MIX() -> str:
+    from m3_spark.pipeline.sampling import SAMPLE_MOD, uniform_sql
+
+    return f"""
+WITH m AS (
+  SELECT doc_id, source, {uniform_sql("doc_id", 1)} AS u,
+         {_rate_case_sql(_MIX_WEIGHTS, 1.0)} AS w
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source,
+         CAST(floor(w) AS BIGINT)
+       + CASE WHEN u < (w - floor(w)) * {SAMPLE_MOD} THEN 1 ELSE 0 END AS n
+  FROM m
+)
+SELECT doc_id, source, CAST(t.e AS BIGINT) AS epoch
+FROM c, UNNEST(generate_series(0, n - 1)) AS t(e)
+"""
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing: cumulative-sum bin assignment
+    per (source, shard) — one window shuffle (pipeline/sampling.py)."""
+    from m3_spark.pipeline.sampling import pack_sequences
+
+    docs = read_table(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, _PACK_BUDGET, n_shards=_PACK_SHARDS
+    )
+
+
+ORACLE_PACK = f"""
+WITH t AS (
+  SELECT doc_id, source, doc_id % {_PACK_SHARDS} AS shard,
+         CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT *, SUM(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, source, shard, n_tokens,
+       CAST(floor((cum - n_tokens) / {float(_PACK_BUDGET)}) AS BIGINT) AS bin
+FROM c
+"""
+
+
 PIPELINE_QUERIES = {
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_minhash_sig": (q_dedup_minhash_sig, ORACLE_DEDUP_MINHASH),
@@ -560,4 +652,7 @@ PIPELINE_QUERIES = {
     "ann_ivf_topk": (q_ann_ivf_topk, ORACLE_ANN_IVF),
     "text_analysis": (q_text_analysis, ORACLE_TEXT_ANALYSIS),
     "multimodal_features": (q_multimodal_features, ORACLE_MULTIMODAL),
+    "sample_stratified": (q_sample_stratified, _ORACLE_SAMPLE()),
+    "mix_epochs": (q_mix_epochs, _ORACLE_MIX()),
+    "pack_sequences": (q_pack_sequences, ORACLE_PACK),
 }

@@ -1,0 +1,113 @@
+"""Unit tests for pipeline/sampling.py — deterministic stratified
+sampling, epoch mixing, and sequence packing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from m3_spark.pipeline.sampling import (
+    SAMPLE_MOD,
+    mix_epochs,
+    pack_bins,
+    pack_sequences,
+    stratified_sample,
+    uniform_col,
+)
+
+
+def _docs(spark, n=200, sources=("a", "b")):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("w "), F.repeat(F.lit("x "), (F.col("id") % 7 + 1).cast("int"))
+        ).alias("text"),
+        F.element_at(
+            F.array(*[F.lit(s) for s in sources]),
+            (F.col("id") % len(sources) + 1).cast("int"),
+        ).alias("source"),
+    )
+
+
+def test_sample_rate_bounds(spark):
+    docs = _docs(spark)
+    assert stratified_sample(docs, {"a": 0.0, "b": 0.0}).count() == 0
+    assert stratified_sample(docs, {"a": 1.0, "b": 1.0}).count() == docs.count()
+    # default_rate applies to unlisted strata
+    assert stratified_sample(docs, {"a": 0.0}, default_rate=1.0).count() == 100
+
+
+def test_sample_deterministic_and_unbiased(spark):
+    docs = _docs(spark, n=2000)
+    s1 = sorted(r.doc_id for r in stratified_sample(docs, {"a": 0.3}).collect())
+    s2 = sorted(r.doc_id for r in stratified_sample(docs, {"a": 0.3}).collect())
+    assert s1 == s2  # stable across runs / task retries
+    kept_a = sum(1 for i in s1 if i % 2 == 0)
+    assert 0.2 * 1000 < kept_a < 0.4 * 1000  # ~30% of stratum a
+    assert sum(1 for i in s1 if i % 2 == 1) == 1000  # stratum b untouched
+
+
+def test_sample_subset_monotone(spark):
+    # same salt → the 20% sample is a subset of the 60% sample
+    # (uniform threshold nests), which makes rate changes incremental
+    docs = _docs(spark, n=1000)
+    lo = {r.doc_id for r in stratified_sample(docs, {"a": 0.2, "b": 0.2}).collect()}
+    hi = {r.doc_id for r in stratified_sample(docs, {"a": 0.6, "b": 0.6}).collect()}
+    assert lo <= hi
+
+
+def test_mix_integer_weight(spark):
+    docs = _docs(spark, n=100)
+    out = mix_epochs(docs, {"a": 2.0, "b": 1.0}).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(r.epoch)
+    for doc_id, epochs in per_doc.items():
+        want = 2 if doc_id % 2 == 0 else 1
+        assert sorted(epochs) == list(range(want))
+
+
+def test_mix_fractional_weight(spark):
+    docs = _docs(spark, n=2000)
+    out = mix_epochs(docs, {"a": 1.5, "b": 0.25}).groupBy("source").count().collect()
+    n = {r.source: r["count"] for r in out}
+    assert 1.3 * 1000 < n["a"] < 1.7 * 1000  # ≈ 1.5 epochs
+    assert 0.15 * 1000 < n["b"] < 0.35 * 1000  # ≈ 0.25 epochs
+
+
+def test_mix_zero_weight_drops(spark):
+    docs = _docs(spark, n=100)
+    out = mix_epochs(docs, {"a": 0.0})
+    assert out.where(F.col("source") == "a").count() == 0
+
+
+def test_pack_fills_bins_in_order(spark):
+    # 10 docs of 3 tokens ("w x x") in one stratum, budget 9 → the
+    # running total crosses the budget every 3 docs
+    docs = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        F.lit("w x x").alias("text"),
+        F.lit("a").alias("source"),
+    )
+    rows = pack_sequences(docs, 9).orderBy("doc_id").collect()
+    assert [r.bin for r in rows] == [0, 0, 0, 1, 1, 1, 2, 2, 2, 3]
+    assert all(r.n_tokens == 3 for r in rows)
+
+
+def test_pack_bins_summary_and_shards(spark):
+    docs = _docs(spark, n=400)
+    packed = pack_sequences(docs, 40, n_shards=4)
+    assert packed.select("shard").distinct().count() == 4
+    summary = pack_bins(packed).collect()
+    # every bin except possibly the last per (source, shard) holds at
+    # least the budget's worth of starts: tok_sum ≥ budget - max doc
+    assert sum(r.n_docs for r in summary) == 400
+    total_tokens = packed.agg(F.sum("n_tokens")).first()[0]
+    assert sum(r.tok_sum for r in summary) == total_tokens
+
+
+def test_uniform_matches_closed_form(spark):
+    row = spark.range(12345, 12346).select(
+        uniform_col(F.col("id"), 7).alias("u")
+    ).first()
+    expect = ((12345 % SAMPLE_MOD + 7) * 2654435761 + 12345) % SAMPLE_MOD
+    assert row.u == expect
