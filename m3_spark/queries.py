@@ -669,11 +669,13 @@ def q_graphite_lttb(spark, sf_dir):
 from .queries_pipeline import PIPELINE_QUERIES  # noqa: E402
 from .queries_relational import RELATIONAL_QUERIES  # noqa: E402
 from .queries_round5 import ROUND5_QUERIES  # noqa: E402
+from .queries_round6 import ROUND6_QUERIES  # noqa: E402
 
 QUERIES = {
     **PIPELINE_QUERIES,
     **RELATIONAL_QUERIES,
     **ROUND5_QUERIES,
+    **ROUND6_QUERIES,
     "promql_sum_by": (q_sum_by, ORACLE_SUM_BY),
     "promql_agg_by_multi": (q_agg_by_multi, ORACLE_AGG_BY_MULTI),
     "promql_topk": (q_topk, ORACLE_TOPK),

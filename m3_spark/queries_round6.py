@@ -1,0 +1,88 @@
+"""Round-6 battery additions.
+
+* ``stream_rule_tag_filter``: the m3 rule-filter DSL
+  (``src/metrics/filters``) driving a mapping rule end-to-end — glob
+  tag patterns compiled to pushdown-eligible predicates, then the full
+  m3aggregator aggregate set per tumbling window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .model import read_samples
+
+
+def q_stream_rule_tag_filter(spark, sf_dir):
+    """MappingRule with the reference's tag-filter DSL:
+    ``event_type:{click,view} user_id:1?`` — multi-char alternatives +
+    single-any-char patterns (filters/filter.go grammar), then the
+    1h-tumbling m3 aggregate set keyed by metric id."""
+    from .streaming.aggregator import MappingRule, apply_mapping_rules
+
+    s = read_samples(spark, sf_dir)
+    metrics = s.select(
+        F.concat_ws(
+            ":", F.col("tags")["event_type"], F.col("tags")["user_id"]
+        ).alias("metric_id"),
+        "name",
+        "tags",
+        "ts",
+        "value",
+    )
+    out = apply_mapping_rules(
+        metrics,
+        [
+            MappingRule(
+                name="r",
+                filter_expr="",
+                policies=("1h:40d",),
+                tag_filter="event_type:{click,view} user_id:1?",
+            )
+        ],
+    )
+    df = out["r/1h:40d"]
+    return df.select(
+        F.unix_timestamp("window_start").alias("step_s"),
+        "metric_id",
+        F.round("agg_last", 6).alias("agg_last"),
+        F.round("agg_min", 6).alias("agg_min"),
+        F.round("agg_max", 6).alias("agg_max"),
+        F.round("agg_mean", 6).alias("agg_mean"),
+        F.col("agg_count"),
+        F.round("agg_sum", 6).alias("agg_sum"),
+        F.round("agg_sumsq", 6).alias("agg_sumsq"),
+        F.round(F.coalesce("agg_stdev", F.lit(0.0)), 6).alias("agg_stdev"),
+        F.round("p50", 6).alias("p50"),
+        F.round("p95", 6).alias("p95"),
+        F.round("p99", 6).alias("p99"),
+    )
+
+
+ORACLE_STREAM_RULE_TAG_FILTER = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step_s,
+       event_type || ':' || CAST(user_id AS VARCHAR) AS metric_id,
+       ROUND(arg_max(value, ts), 6) AS agg_last,
+       ROUND(MIN(value), 6) AS agg_min,
+       ROUND(MAX(value), 6) AS agg_max,
+       ROUND(AVG(value), 6) AS agg_mean,
+       COUNT(value) AS agg_count,
+       ROUND(SUM(value), 6) AS agg_sum,
+       ROUND(SUM(value * value), 6) AS agg_sumsq,
+       ROUND(COALESCE(stddev_pop(value), 0), 6) AS agg_stdev,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.95), 6) AS p95,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events
+WHERE event_type IN ('click', 'view')
+  AND regexp_matches(CAST(user_id AS VARCHAR), '^1.$')
+GROUP BY 1, 2
+"""
+
+
+ROUND6_QUERIES = {
+    "stream_rule_tag_filter": (
+        q_stream_rule_tag_filter,
+        ORACLE_STREAM_RULE_TAG_FILTER,
+    ),
+}

@@ -117,13 +117,29 @@ def tumbling_aggregates(
     )
 
 
+def _rule_predicate(rule) -> F.Column:
+    """A rule's match predicate: either the reference's tag-filter DSL
+    (``tag_filter="tag1:val* …"``, compiled by streaming/filters.py)
+    or a raw SQL boolean (``filter_expr``)."""
+    if getattr(rule, "tag_filter", None):
+        from .filters import tags_filter_expr
+
+        return tags_filter_expr(rule.tag_filter)
+    return F.expr(rule.filter_expr)
+
+
 @dataclass(frozen=True)
 class MappingRule:
-    """filter → storage policies (rules/mapping.go)."""
+    """filter → storage policies (rules/mapping.go).
+
+    ``tag_filter`` is the reference's rule-filter DSL over a frame
+    with (name, tags) columns (``src/metrics/filters``); as an escape
+    hatch ``filter_expr`` takes a raw SQL boolean instead."""
 
     name: str
     filter_expr: str  # SQL boolean over the metrics frame
     policies: tuple[str, ...]
+    tag_filter: str | None = None
 
 
 @dataclass(frozen=True)
@@ -134,6 +150,7 @@ class RollupRule:
     filter_expr: str
     new_metric_id: str  # SQL string expr producing the rollup id
     policies: tuple[str, ...]
+    tag_filter: str | None = None
 
 
 def apply_mapping_rules(
@@ -143,7 +160,7 @@ def apply_mapping_rules(
     (one windowed agg stream per resolution, SURVEY §2.8)."""
     out: dict[str, DataFrame] = {}
     for rule in rules:
-        matched = metrics.where(F.expr(rule.filter_expr))
+        matched = metrics.where(_rule_predicate(rule))
         for pol in rule.policies:
             p = StoragePolicy.parse(pol)
             out[f"{rule.name}/{pol}"] = tumbling_aggregates(
@@ -157,7 +174,7 @@ def apply_rollup_rules(
 ) -> dict[str, DataFrame]:
     out: dict[str, DataFrame] = {}
     for rule in rules:
-        matched = metrics.where(F.expr(rule.filter_expr)).withColumn(
+        matched = metrics.where(_rule_predicate(rule)).withColumn(
             "metric_id", F.expr(rule.new_metric_id)
         )
         for pol in rule.policies:

@@ -1,0 +1,239 @@
+"""The m3 rule-filter DSL (``src/metrics/filters/filter.go``,
+``tags_filter.go``) compiled to Spark column predicates.
+
+Mapping/rollup rules in the reference select metrics with a
+space-separated tag filter list — ``"tag1:val* tag2:!{a,b}"`` — where
+each value pattern supports a restricted glob grammar:
+
+  * at most ONE ``*`` (prefix ``val*``, suffix ``*val``, or interior
+    ``va*l``), except the contains form ``*val*``;
+  * ``?`` (any single char), ``[abc]`` / ``[a-zA-Z]`` (single-char
+    set / repeated 3-byte ranges), ``[!...]`` (negated set),
+    ``{ab,cd}`` (multi-char alternatives);
+  * a leading ``!`` negates the whole value pattern;
+  * anything else (two general wildcards, unterminated ranges, a
+    range list whose length isn't a multiple of 3, nested ``?[{``
+    inside a contains pattern) is ``errInvalidFilterPattern``.
+
+Semantics notes mirrored exactly:
+
+  * An interior-wildcard pattern ``a*b`` is TWO independent chain
+    filters over the full value (prefix ``a`` AND suffix ``b``,
+    ``filter.go:175-190``) — so ``"a"`` matches ``a*a`` (the one-char
+    value passes both chains).  A single anchored regex
+    ``^a.*b$`` would disagree; we emit two independent predicates.
+  * Conjunction tag matching (``tags_filter.go:206-266``): every
+    filter tag must EXIST on the metric and match; extra metric tags
+    are ignored; a missing filter tag fails even for negated patterns.
+  * Disjunction: any (present AND matching) tag, or the name filter
+    matching, wins.
+  * The reserved name tag (default ``__name__``) routes to the metric
+    name column.
+
+Everything compiles to ``rlike``/``startswith``/``contains`` column
+expressions — JVM-side, codegen-friendly, and (for prefix/equality
+patterns) pushdown-eligible.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+CONJUNCTION = "&&"
+DISJUNCTION = "||"
+
+_INVALID_NESTED = set("?[{")
+
+
+class InvalidFilterPattern(ValueError):
+    """``errInvalidFilterPattern`` (filter.go:33)."""
+
+    def __init__(self, msg: str = "invalid filter pattern defined"):
+        super().__init__(msg)
+
+
+def _chain_regex(segment: str) -> str:
+    """Compile one wildcard-free chain segment (literals, ``?``,
+    ``[...]``, ``{...}``) to a regex fragment — the analog of
+    ``newRangeFilter`` (filter.go:337-417) + its chain filters."""
+    out: list[str] = []
+    i = 0
+    n = len(segment)
+    while i < n:
+        c = segment[i]
+        if c == "[":
+            end = segment.find("]", i + 1)
+            if end == -1:
+                raise InvalidFilterPattern()
+            body = segment[i + 1 : end]
+            if not body:
+                raise InvalidFilterPattern()
+            negate = body.startswith("!")
+            if negate:
+                body = body[1:]
+            if len(body) > 1 and body[1] == "-":
+                # repeated 3-byte lo-hi ranges (filter.go:445-462)
+                if len(body) % 3 != 0:
+                    raise InvalidFilterPattern()
+                parts = []
+                for j in range(0, len(body), 3):
+                    lo, dash, hi = body[j], body[j + 1], body[j + 2]
+                    if dash != "-" or lo > hi:
+                        raise InvalidFilterPattern()
+                    parts.append(f"{re.escape(lo)}-{re.escape(hi)}")
+                cls = "".join(parts)
+            else:
+                # explicit char set (filter.go:516-540)
+                cls = "".join(
+                    "\\" + ch if ch in r"\^]-[" else ch for ch in body
+                )
+            out.append(f"[{'^' if negate else ''}{cls}]")
+            i = end + 1
+        elif c == "{":
+            end = segment.find("}", i + 1)
+            if end == -1:
+                raise InvalidFilterPattern()
+            body = segment[i + 1 : end]
+            if not body:
+                raise InvalidFilterPattern()
+            alts = body.split(",")
+            out.append("(?:" + "|".join(re.escape(a) for a in alts) + ")")
+            i = end + 1
+        elif c == "?":
+            out.append(".")
+            i += 1
+        else:
+            out.append(re.escape(c))
+            i += 1
+    return "".join(out)
+
+
+@dataclass(frozen=True)
+class CompiledPattern:
+    """One value filter: a list of independent (anchored-regex OR
+    contains-literal) predicates ANDed together, possibly negated."""
+
+    negate: bool
+    regexes: tuple[str, ...]  # each fully anchored as needed
+    contains: str | None  # literal contains (the ``*val*`` form)
+
+    def column(self, value: Column) -> Column:
+        conds = [value.rlike(rx) for rx in self.regexes]
+        if self.contains is not None:
+            conds.append(value.contains(self.contains))
+        cond = conds[0] if conds else F.lit(True)
+        for c in conds[1:]:
+            cond = cond & c
+        return ~cond if self.negate else cond
+
+    def matches(self, value: str) -> bool:
+        """Driver-side evaluation (for tests / rule validation)."""
+        ok = all(re.search(rx, value) for rx in self.regexes)
+        if self.contains is not None:
+            ok = ok and self.contains in value
+        return not ok if self.negate else ok
+
+
+def compile_pattern(pattern: str) -> CompiledPattern:
+    """``NewFilter`` (filter.go:124-146): negation wrapper + the
+    wildcard-position analysis of ``newWildcardFilter``."""
+    if pattern == "":
+        return CompiledPattern(False, ("^$",), None)
+    negate = False
+    if pattern[0] == "!":
+        if len(pattern) == 1:
+            raise InvalidFilterPattern()
+        negate = True
+        pattern = pattern[1:]
+
+    w = pattern.find("*")
+    if w == -1:
+        return CompiledPattern(negate, ("^" + _chain_regex(pattern) + "$",), None)
+    if len(pattern) == 1:  # whole thing is "*"
+        return CompiledPattern(negate, (), None)
+    if w == len(pattern) - 1:  # single wildcard at end → prefix
+        return CompiledPattern(negate, ("^" + _chain_regex(pattern[:-1]),), None)
+    w2 = pattern.find("*", w + 1)
+    if w2 == -1:
+        if w == 0:  # single wildcard at start → suffix
+            return CompiledPattern(negate, (_chain_regex(pattern[1:]) + "$",), None)
+        # interior wildcard → independent prefix AND suffix chains
+        return CompiledPattern(
+            negate,
+            ("^" + _chain_regex(pattern[:w]), _chain_regex(pattern[w + 1 :]) + "$"),
+            None,
+        )
+    if w == 0 and w2 == len(pattern) - 1 and len(pattern) > 2:
+        body = pattern[1:-1]
+        if any(ch in _INVALID_NESTED for ch in body):
+            raise InvalidFilterPattern()
+        return CompiledPattern(negate, (), body)
+    raise InvalidFilterPattern()
+
+
+def parse_tag_filter_value_map(s: str) -> dict[str, str]:
+    """``ParseTagFilterValueMap`` (tags_filter.go:58-81): space-split
+    ``tag:pattern`` pairs, duplicate tags rejected."""
+    out: dict[str, str] = {}
+    for piece in s.strip().split(" "):
+        piece = piece.strip()
+        if not piece:
+            continue
+        items = piece.split(":")
+        if len(items) != 2:
+            raise InvalidFilterPattern(
+                f"invalid filter {piece}: expecting tag pattern pairs"
+            )
+        tag, pattern = items
+        if not tag:
+            raise InvalidFilterPattern(f"invalid filter {piece}: empty tag name")
+        if not pattern:
+            raise InvalidFilterPattern(
+                f"invalid filter {piece}: empty filter pattern"
+            )
+        if tag in out:
+            raise InvalidFilterPattern(
+                f"invalid filter {s}: duplicate tag {tag} found"
+            )
+        out[tag] = pattern
+    return out
+
+
+def validate_tags_filter(s: str) -> dict[str, str]:
+    """``ValidateTagsFilter`` — parse, then compile every pattern."""
+    m = parse_tag_filter_value_map(s)
+    for pattern in m.values():
+        compile_pattern(pattern)
+    return m
+
+
+def tags_filter_expr(
+    filter_str: str,
+    op: str = CONJUNCTION,
+    name_col: str = "name",
+    tags_col: str = "tags",
+    name_tag: str = "__name__",
+) -> Column:
+    """Compile a full tags filter string to one boolean Column over a
+    frame with (name, tags MAP<STRING,STRING>) columns —
+    ``tagsFilter.Matches`` (tags_filter.go:186-266)."""
+    filters = validate_tags_filter(filter_str)
+    if not filters:
+        return F.lit(True)
+    conds: list[Column] = []
+    for tag, pattern in filters.items():
+        cp = compile_pattern(pattern)
+        if tag == name_tag:
+            conds.append(cp.column(F.col(name_col)))
+        else:
+            v = F.col(tags_col).getItem(tag)
+            # missing tag fails the filter regardless of negation
+            conds.append(v.isNotNull() & cp.column(v))
+    out = conds[0]
+    for c in conds[1:]:
+        out = (out & c) if op == CONJUNCTION else (out | c)
+    return out

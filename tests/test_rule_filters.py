@@ -1,0 +1,164 @@
+"""Rule-filter DSL parity tests — cases ported from the reference's
+``src/metrics/filters/filter_test.go`` and ``tags_filter_test.go``."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from m3_spark.streaming.filters import (
+    InvalidFilterPattern,
+    compile_pattern,
+    parse_tag_filter_value_map,
+    tags_filter_expr,
+)
+
+# (pattern, [(value, expected_match), ...]) — filter_test.go:41-115
+CASES = [
+    ("foo", [("foo", True), ("fo", False), ("foob", False)]),
+    ("foo*bar", [("foobar", True), ("foozapbar", True), ("bazbar", False)]),
+    (
+        "ba?[0-9][!a-z]9",
+        [("bar959", True), ("bat449", True), ("bar9", False)],
+    ),
+    ("{ba,fo,car}*", [("ba", True), ("foo", True), ("car", True), ("ca", False)]),
+    ("!foo", [("foo", False), ("fo", True)]),
+    ("!foo*bar", [("foobar", False), ("foozapbar", False), ("bazbar", True)]),
+    (
+        "!ba?[0-9][!a-z]9",
+        [("bar959", False), ("bat449", False), ("bar9", True)],
+    ),
+    ("!{ba,fo,car}*", [("ba", False), ("foo", False), ("ca", True)]),
+    ("*bar", [("bar", True), ("foobar", True), ("barfoo", False)]),
+    ("baz*", [("baz", True), ("bazfoo", True), ("foobaz", False)]),
+    ("*cat*", [("cat", True), ("concatenate", True), ("dog", False)]),
+    ("*", [("anything", True), ("", True)]),
+    ("foo!", [("foo!", True), ("foo", False)]),  # non-leading ! is literal
+    ("f[A-z]?*", [("fA3", True), ("fz", False), ("gA3", False)]),
+    ("???", [("abc", True), ("ab", False), ("abcd", False)]),
+    # interior wildcard = independent prefix AND suffix chains over the
+    # full value (filter.go:175-190): "a" passes both chains of a*a
+    ("a*a", [("a", True), ("aa", True), ("aba", True), ("ab", False)]),
+    ("fo[a-zA-Z0-9]", [("foo", True), ("fo4", True), ("fo_", False)]),
+    ("[!cC]ar", [("bar", True), ("car", False), ("Car", False)]),
+    ("ba{r,t}*[!a-zA-Z]", [("bar5", True), ("batt9", True), ("barx", False)]),
+    ("*{9}", [("a9", True), ("9", True), ("a8", False)]),
+]
+
+BAD_PATTERNS = [
+    "!", "**", "***", "*too*many*", "*too**many", "to*o*many", "to*o*ma*ny",
+    "abc[sdf", "ab]c[sdf", "abc[z-a]", "*con[tT]ains*", "*con{tT}ains*",
+    "*con?ains*", "abc[a-zA-Z0-]", "abc[a-zA-Z0]", "abc[a-zZ-A]",
+    "ab}c{sdf", "ab{}sdf", "ab[]sdf",
+]
+
+
+@pytest.mark.parametrize("pattern,cases", CASES)
+def test_pattern_driver_side(pattern, cases):
+    cp = compile_pattern(pattern)
+    for val, want in cases:
+        assert cp.matches(val) == want, (pattern, val)
+
+
+@pytest.mark.parametrize("pattern", BAD_PATTERNS)
+def test_bad_patterns(pattern):
+    with pytest.raises(InvalidFilterPattern):
+        compile_pattern(pattern)
+
+
+def test_pattern_column_side(spark):
+    """The Column compilation agrees with the driver-side matcher."""
+    vals = sorted({v for _, cases in CASES for v, _ in cases})
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    for pattern, cases in CASES:
+        cp = compile_pattern(pattern)
+        got = {
+            r.v
+            for r in df.where(cp.column(F.col("v"))).collect()
+        }
+        for val, want in cases:
+            assert (val in got) == want, (pattern, val)
+
+
+def test_parse_tag_filter_map():
+    m = parse_tag_filter_value_map("  tag1:v1 tag2:{a,b}*  ")
+    assert m == {"tag1": "v1", "tag2": "{a,b}*"}
+    with pytest.raises(InvalidFilterPattern):
+        parse_tag_filter_value_map("tag1:v1 tag1:v2")  # duplicate tag
+    with pytest.raises(InvalidFilterPattern):
+        parse_tag_filter_value_map(":v1")  # empty name
+    with pytest.raises(InvalidFilterPattern):
+        parse_tag_filter_value_map("tag1:")  # empty pattern
+    with pytest.raises(InvalidFilterPattern):
+        parse_tag_filter_value_map("justaword")
+
+
+def _metrics(spark):
+    rows = [
+        ("cpu", {"host": "web01", "dc": "us-east"}),
+        ("cpu", {"host": "db01", "dc": "us-west"}),
+        ("mem", {"host": "web02", "dc": "eu-west"}),
+        ("disk", {"dc": "us-east"}),  # no host tag
+    ]
+    return spark.createDataFrame(rows, "name string, tags map<string,string>")
+
+
+def test_tags_filter_conjunction(spark):
+    df = _metrics(spark)
+    got = [
+        r.name
+        for r in df.where(tags_filter_expr("host:web* dc:us-*")).collect()
+    ]
+    assert got == ["cpu"]
+    # missing filter tag fails even for a negated pattern
+    # (tags_filter.go:221-224 bails when the tag doesn't exist)
+    assert df.where(tags_filter_expr("host:!db*")).count() == 2
+
+
+def test_tags_filter_name_tag(spark):
+    df = _metrics(spark)
+    assert df.where(tags_filter_expr("__name__:{cpu,mem}")).count() == 3
+    assert (
+        df.where(tags_filter_expr("__name__:cpu host:db*")).count() == 1
+    )
+
+
+def test_tags_filter_disjunction(spark):
+    from m3_spark.streaming.filters import DISJUNCTION
+
+    df = _metrics(spark)
+    got = df.where(
+        tags_filter_expr("host:web01 dc:eu-*", op=DISJUNCTION)
+    ).count()
+    assert got == 2  # web01 row + eu-west row
+
+
+def test_mapping_rule_tag_filter(spark):
+    from m3_spark.streaming.aggregator import MappingRule, apply_mapping_rules
+
+    rows = [
+        ("cpu", {"et": "click"}, "2024-01-01 00:10:00", 1.0),
+        ("cpu", {"et": "view"}, "2024-01-01 00:20:00", 2.0),
+        ("mem", {"et": "click"}, "2024-01-01 01:10:00", 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "metric_id string, tags map<string,string>, ts string, value double"
+    ).select(
+        "metric_id",
+        F.col("metric_id").alias("name"),
+        "tags",
+        F.to_timestamp("ts").alias("ts"),
+        "value",
+    )
+    out = apply_mapping_rules(
+        df,
+        [
+            MappingRule(
+                name="clicks", filter_expr="", policies=("1h:40d",),
+                tag_filter="et:click",
+            )
+        ],
+    )
+    rows = out["clicks/1h:40d"].collect()
+    assert sorted(r.agg_sum for r in rows) == [1.0, 3.0]
