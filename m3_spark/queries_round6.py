@@ -80,9 +80,74 @@ GROUP BY 1, 2
 """
 
 
+def q_stream_rollup_persecond(spark, sf_dir):
+    """A full rollup pipeline with a transformation stage
+    (``metrics_appender.go`` pipeline shape): per-series 1h Sum →
+    PerSecond transform (``transformation/binary.go:49-59``) → rollup
+    Sum across user_id.  The transform's lag window and the rollup
+    groupBy share the per-series clustering."""
+    from .streaming.aggregator import tumbling_aggregates
+    from .streaming.transforms import pipeline_transform
+
+    s = read_samples(spark, sf_dir)
+    metrics = s.select(
+        F.concat_ws(
+            ":", F.col("tags")["event_type"], F.col("tags")["user_id"]
+        ).alias("metric_id"),
+        F.col("tags")["event_type"].alias("event_type"),
+        "ts",
+        "value",
+    )
+    agg = tumbling_aggregates(
+        metrics, 3600, key_cols=("metric_id", "event_type"),
+        agg_types=("sum",),
+    )
+    ps = pipeline_transform(
+        agg, "persecond", key_cols=("metric_id",),
+        ts_col="window_start", value_col="agg_sum",
+    )
+    return (
+        ps.groupBy("window_start", "event_type")
+        .agg(F.round(F.sum("agg_sum"), 6).alias("rolled"))
+        .select(
+            F.unix_timestamp("window_start").alias("step_s"),
+            "event_type",
+            "rolled",
+        )
+    )
+
+
+ORACLE_STREAM_ROLLUP_PERSECOND = """
+WITH g AS (
+  SELECT event_type || ':' || CAST(user_id AS VARCHAR) AS mid, event_type,
+         date_trunc('hour', ts) AS w, SUM(value) AS s
+  FROM events GROUP BY 1, 2, 3
+),
+l AS (
+  SELECT event_type, w, s,
+         lag(s) OVER (PARTITION BY mid ORDER BY w) AS pv,
+         lag(w) OVER (PARTITION BY mid ORDER BY w) AS pt
+  FROM g
+),
+p AS (
+  SELECT event_type, w,
+         (s - pv) * 1000000.0 / (epoch_us(w) - epoch_us(pt)) AS v
+  FROM l
+  WHERE pt IS NOT NULL AND epoch_us(w) > epoch_us(pt) AND (s - pv) >= 0
+)
+SELECT CAST(epoch(w) AS BIGINT) AS step_s, event_type,
+       ROUND(SUM(v), 6) AS rolled
+FROM p GROUP BY 1, 2
+"""
+
+
 ROUND6_QUERIES = {
     "stream_rule_tag_filter": (
         q_stream_rule_tag_filter,
         ORACLE_STREAM_RULE_TAG_FILTER,
+    ),
+    "stream_rollup_persecond": (
+        q_stream_rollup_persecond,
+        ORACLE_STREAM_ROLLUP_PERSECOND,
     ),
 }

@@ -68,17 +68,68 @@ def _dur_s(s: str) -> int:
     return int(s[:-1]) * units[s[-1]]
 
 
+#: The full reference aggregation-type set
+#: (``src/metrics/aggregation/type.go:32-60``).  Median ≡ P50.
+AGG_TYPES = (
+    "last", "min", "max", "mean", "median", "count", "sum", "sumsq",
+    "stdev",
+    "p10", "p20", "p25", "p30", "p40", "p50", "p60", "p70", "p75",
+    "p80", "p90", "p95", "p99", "p999", "p9999",
+)
+
+#: The default emitted subset (the pre-round-6 battery column set).
+DEFAULT_AGG_TYPES = (
+    "last", "min", "max", "mean", "count", "sum", "sumsq", "stdev",
+    "p50", "p95", "p99",
+)
+
+
+def _agg_column(t: str, q):
+    if t == "last":
+        return F.expr("max_by(value, ts)")
+    if t == "min":
+        return F.min("value")
+    if t == "max":
+        return F.max("value")
+    if t == "mean":
+        return F.avg("value")
+    if t == "count":
+        return F.count("value")
+    if t == "sum":
+        return F.sum("value")
+    if t == "sumsq":
+        return F.sum(F.col("value") * F.col("value"))
+    if t == "stdev":
+        return F.stddev_pop("value")
+    if t == "median":
+        return q(0.5)
+    if t.startswith("p"):
+        # p50 → 0.5, p999 → 0.999, p9999 → 0.9999
+        return q(float("0." + t[1:]))
+    raise ValueError(f"unknown aggregation type {t!r}; see AGG_TYPES")
+
+
+def _agg_alias(t: str) -> str:
+    return t if t.startswith("p") and t != "p" else f"agg_{t}"
+
+
 def tumbling_aggregates(
     metrics: DataFrame,
     resolution_s: int,
     watermark_s: int | None = None,
     key_cols: Sequence[str] = ("metric_id",),
     exact_quantiles: bool | None = None,
+    agg_types: Sequence[str] | None = None,
 ) -> DataFrame:
     """Windowed aggregate-set computation for one storage policy.
 
     ``metrics``: (metric_id, ts, value [, …]) batch OR streaming frame.
     Returns one row per (window_start, keys) with the m3 aggregate set.
+
+    ``agg_types`` selects which of the reference's 24 aggregation
+    types (AGG_TYPES) to emit; default DEFAULT_AGG_TYPES.  Quantile
+    columns are named ``pNN``, everything else ``agg_<type>``
+    (``median`` → ``agg_median``, numerically ≡ ``p50``).
 
     exact_quantiles defaults to True for batch frames (engine
     ``quantile`` is exact linear interpolation) and False for streaming
@@ -95,23 +146,12 @@ def tumbling_aggregates(
     else:
         q = lambda p: F.percentile_approx("value", F.lit(p), F.lit(10_000))
 
+    types = tuple(agg_types) if agg_types is not None else DEFAULT_AGG_TYPES
     return (
         metrics.groupBy(
             F.window("ts", f"{resolution_s} seconds").alias("w"), *key_cols
         )
-        .agg(
-            F.expr("max_by(value, ts)").alias("agg_last"),
-            F.min("value").alias("agg_min"),
-            F.max("value").alias("agg_max"),
-            F.avg("value").alias("agg_mean"),
-            F.count("value").alias("agg_count"),
-            F.sum("value").alias("agg_sum"),
-            F.sum(F.col("value") * F.col("value")).alias("agg_sumsq"),
-            F.stddev_pop("value").alias("agg_stdev"),
-            q(0.5).alias("p50"),
-            q(0.95).alias("p95"),
-            q(0.99).alias("p99"),
-        )
+        .agg(*[_agg_column(t, q).alias(_agg_alias(t)) for t in types])
         .select(F.col("w.start").alias("window_start"), "*")
         .drop("w")
     )

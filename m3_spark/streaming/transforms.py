@@ -1,0 +1,118 @@
+"""Rollup-pipeline transformations — ``src/metrics/transformation``
+(``type.go:38-48``: Absolute, PerSecond, Increase, Add, Reset).
+
+In the reference these sit between the per-metric aggregation stage
+and the rollup re-aggregation inside a rollup-rule pipeline
+(``src/cmd/services/m3coordinator/downsample/metrics_appender.go``):
+each aggregated datapoint stream is transformed pointwise (unary) or
+against its predecessor (binary) before being re-keyed.
+
+Spark restatement: the aggregated stream is a frame keyed by metric
+id with one row per resolution window; binary transforms are a lag
+window over (key, ts) — one shuffle that the subsequent rollup
+groupBy reuses when the rollup key is a function of the metric key.
+
+Semantics mirrored exactly:
+
+  * absolute (``unary.go:46-51``): |v| pointwise.
+  * add (``unary.go:53-61``): running per-series sum, NaN skipped.
+  * perSecond (``binary.go:49-59``): (curr-prev)/Δt seconds; emits
+    nothing for the first point, non-monotonic timestamps, negative
+    diffs, or NaN on either side.
+  * increase (``binary.go:71-88``): curr-prev without the Δt divide;
+    a missing/NaN prev counts as 0 (so the first point emits its raw
+    value); negative diffs and NaN curr emit nothing.
+  * reset (``unary_multi.go:40-53``): pass the point through AND emit
+    a 0-valued point half a resolution later — the HA counter-reset
+    marker.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TRANSFORMS = ("absolute", "add", "persecond", "increase", "reset")
+
+
+def pipeline_transform(
+    df: DataFrame,
+    kind: str,
+    key_cols: Sequence[str] = ("metric_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    resolution_s: int | None = None,
+) -> DataFrame:
+    """Apply one pipeline transformation to an aggregated stream.
+
+    Rows whose transform "emits nothing" in the reference are dropped
+    (the aggregator simply doesn't forward them).
+    """
+    kind = kind.lower()
+    v = F.col(value_col)
+    t = F.col(ts_col)
+    if kind == "absolute":
+        return df.withColumn(value_col, F.abs(v))
+    if kind == "add":
+        w = (
+            Window.partitionBy(*key_cols)
+            .orderBy(ts_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        # NaN inputs are skipped but still emit the running total
+        clean = F.when(~F.isnan(v), v).otherwise(F.lit(0.0))
+        return df.withColumn(value_col, F.sum(clean).over(w))
+    if kind == "reset":
+        if resolution_s is None:
+            raise ValueError("reset transform needs resolution_s")
+        half = int(resolution_s * 1_000_000) // 2
+        pair = F.array(
+            F.struct(t.alias("_t"), v.alias("_v")),
+            F.struct(
+                F.timestamp_micros(F.unix_micros(t) + F.lit(half)).alias("_t"),
+                F.lit(0.0).alias("_v"),
+            ),
+        )
+        others = [c for c in df.columns if c not in (ts_col, value_col)]
+        return (
+            df.withColumn("_e", F.explode(pair))
+            .select(
+                *others,
+                F.col("_e._t").alias(ts_col),
+                F.col("_e._v").alias(value_col),
+            )
+        )
+
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    prev_v = F.lag(value_col).over(w)
+    prev_t = F.lag(ts_col).over(w)
+    if kind == "persecond":
+        dt = F.unix_micros(t) - F.unix_micros(prev_t)
+        out = (v - prev_v) * F.lit(1_000_000.0) / dt.cast("double")
+        keep = (
+            prev_t.isNotNull()
+            & (dt > 0)
+            & ~F.isnan(prev_v)
+            & ~F.isnan(v)
+            & ((v - prev_v) >= 0)
+        )
+    elif kind == "increase":
+        base = F.when(
+            prev_t.isNull() | F.isnan(prev_v), F.lit(0.0)
+        ).otherwise(prev_v)
+        out = v - base
+        keep = ~F.isnan(v) & ((v - base) >= 0)
+    else:
+        raise ValueError(f"unknown transform {kind!r}; one of {TRANSFORMS}")
+    # compute the lagged value and the keep flag in the SAME window
+    # projection, then filter — filtering first would re-evaluate the
+    # lag against the already-filtered frame
+    return (
+        df.withColumn("_new", out)
+        .withColumn("_keep", keep)
+        .where("_keep")
+        .withColumn(value_col, F.col("_new"))
+        .drop("_new", "_keep")
+    )

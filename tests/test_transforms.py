@@ -1,0 +1,90 @@
+"""Pipeline-transformation semantics — ported from the reference's
+``src/metrics/transformation/{unary,binary,unary_multi}_test.go``."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from m3_spark.streaming.transforms import pipeline_transform
+
+
+def _frame(spark, points):
+    """points: [(metric_id, ts_str, value)]"""
+    df = spark.createDataFrame(
+        points, "metric_id string, ts string, value double"
+    )
+    return df.select("metric_id", F.to_timestamp("ts").alias("ts"), "value")
+
+
+def test_absolute(spark):
+    df = _frame(spark, [("m", "2024-01-01 00:00:00", -3.5),
+                        ("m", "2024-01-01 01:00:00", 2.0)])
+    vals = sorted(
+        r.value for r in pipeline_transform(df, "absolute").collect()
+    )
+    assert vals == [2.0, 3.5]
+
+
+def test_add_running_sum_skips_nan(spark):
+    df = _frame(spark, [
+        ("m", "2024-01-01 00:00:00", 1.0),
+        ("m", "2024-01-01 01:00:00", float("nan")),
+        ("m", "2024-01-01 02:00:00", 2.0),
+    ])
+    rows = pipeline_transform(df, "add").orderBy("ts").collect()
+    assert [r.value for r in rows] == [1.0, 1.0, 3.0]
+
+
+def test_persecond(spark):
+    # binary.go:49-59: Δv/Δt in seconds; first point, negative diffs
+    # and NaN emit nothing
+    df = _frame(spark, [
+        ("m", "2024-01-01 00:00:00", 10.0),
+        ("m", "2024-01-01 00:01:00", 70.0),   # +60 over 60s → 1.0/s
+        ("m", "2024-01-01 00:02:00", 40.0),   # negative diff → dropped
+        ("m", "2024-01-01 00:03:00", 40.0),   # +0 → 0.0/s
+    ])
+    rows = pipeline_transform(df, "persecond").orderBy("ts").collect()
+    assert [(r.ts.minute, r.value) for r in rows] == [(1, 1.0), (3, 0.0)]
+
+
+def test_increase(spark):
+    # binary.go:71-88: curr-prev; missing prev counts as 0
+    df = _frame(spark, [
+        ("m", "2024-01-01 00:00:00", 5.0),
+        ("m", "2024-01-01 00:01:00", 8.0),
+        ("m", "2024-01-01 00:02:00", 2.0),   # negative → dropped
+        ("m", "2024-01-01 00:03:00", 4.0),
+    ])
+    rows = pipeline_transform(df, "increase").orderBy("ts").collect()
+    assert [(r.ts.minute, r.value) for r in rows] == [
+        (0, 5.0), (1, 3.0), (3, 2.0),
+    ]
+
+
+def test_reset_emits_zero_marker(spark):
+    # unary_multi.go:40-53: each point also emits a 0 at t + res/2
+    df = _frame(spark, [("m", "2024-01-01 00:00:00", 7.0)])
+    rows = (
+        pipeline_transform(df, "reset", resolution_s=60)
+        .orderBy("ts")
+        .collect()
+    )
+    assert [(r.ts.second, r.value) for r in rows] == [(0, 7.0), (30, 0.0)]
+
+
+def test_agg_types_full_set(spark):
+    from m3_spark.streaming.aggregator import AGG_TYPES, tumbling_aggregates
+
+    df = _frame(
+        spark,
+        [("m", "2024-01-01 00:00:00", float(v)) for v in range(1, 101)],
+    )
+    out = tumbling_aggregates(df, 3600, agg_types=AGG_TYPES).first()
+    assert out.agg_count == 100
+    assert out.agg_median == out.p50
+    assert math.isclose(out.p10, 10.9)  # linear interpolation
+    assert math.isclose(out.p9999, 99.9901)
+    assert math.isclose(out.agg_sumsq, sum(v * v for v in range(1, 101)))
