@@ -281,6 +281,7 @@ def ivf_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN: probe each query's n_probe closest inverted lists and
     rank candidates by exact cosine within them — the second
@@ -290,11 +291,16 @@ def ivf_topk(
     (scores queries AND builds the assignment in a single pass), an
     equi-join on list_id to enumerate candidates, then the salted-free
     per-query top-k rank.  No all-pairs product anywhere.
+
+    ``cents``: optional (list_id, _cvec) frame — e.g. the Lloyd-refined
+    quantizer from :func:`ivf_train`; defaults to the deterministic
+    id < n_lists draw.
     """
     e = _as_double(embeddings, vec_col)
-    cents = e.where(F.col(id_col) < n_lists).select(
-        F.col(id_col).alias("list_id"), F.col(vec_col).alias("_cvec")
-    )
+    if cents is None:
+        cents = e.where(F.col(id_col) < n_lists).select(
+            F.col(id_col).alias("list_id"), F.col(vec_col).alias("_cvec")
+        )
     scored = e.select(id_col, vec_col).crossJoin(F.broadcast(cents)).select(
         F.col(id_col), "list_id",
         cosine_col(F.col(vec_col), F.col("_cvec")).alias("_sim"),
@@ -330,3 +336,64 @@ def ivf_topk(
         .where(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def ivf_train(
+    embeddings: DataFrame,
+    n_lists: int = 16,
+    n_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd refinement of the IVF coarse quantizer: assign → per-list
+    elementwise mean → repeat.
+
+    Init is the same deterministic draw as :func:`ivf_assign` (vectors
+    with id < n_lists), so the whole pipeline stays bit-reproducible.
+    Each iteration is one broadcast-assign pass plus a (list, dim)
+    mean — the kmeans|| shape: no driver-side math, centroids never
+    leave the cluster.  Lists that lose every member keep their
+    previous centroid.  At 100 TB: n_lists ≈ √N keeps the broadcast
+    tiny (n_lists × dim doubles); checkpoint ``cents`` between
+    iterations if n_iters grows past a handful to cut lineage depth.
+
+    Returns (list_id, _cvec ARRAY<DOUBLE>).
+    """
+    e = _as_double(embeddings, vec_col)
+    cents = e.where(F.col(id_col) < n_lists).select(
+        F.col(id_col).alias("list_id"), F.col(vec_col).alias("_cvec")
+    )
+    for _ in range(n_iters):
+        scored = e.select(id_col, vec_col).crossJoin(
+            F.broadcast(cents)
+        ).select(
+            F.col(id_col),
+            "list_id",
+            cosine_col(F.col(vec_col), F.col("_cvec")).alias("_sim"),
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("_sim").desc(), F.col("list_id").asc()
+        )
+        assign = (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .select(id_col, "list_id")
+        )
+        dims = e.join(assign, id_col).select(
+            "list_id", F.posexplode(vec_col).alias("pos", "x")
+        )
+        means = dims.groupBy("list_id", "pos").agg(F.avg("x").alias("m"))
+        newc = means.groupBy("list_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("_new")
+        )
+        cents = (
+            cents.join(newc, "list_id", "left")
+            .select(
+                "list_id",
+                F.coalesce(F.col("_new"), F.col("_cvec")).alias("_cvec"),
+            )
+        )
+    return cents

@@ -141,6 +141,51 @@ FROM p GROUP BY 1, 2
 """
 
 
+_N_LISTS = 16
+
+
+def q_ann_ivf_train(spark, sf_dir):
+    """One Lloyd iteration of the IVF coarse quantizer: assign every
+    vector to its closest deterministic-init centroid, then per-list
+    elementwise mean (pipeline/similarity.py::ivf_train).  Emitted as
+    (list_id, pos, c) so the oracle pins every centroid coordinate."""
+    from .pipeline.similarity import ivf_train
+    from .sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = ivf_train(emb, _N_LISTS, n_iters=1)
+    return cents.select(
+        "list_id", F.posexplode("_cvec").alias("pos", "c")
+    ).select("list_id", "pos", F.round("c", 6).alias("c"))
+
+
+ORACLE_ANN_IVF_TRAIN = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT vec_id AS list_id, v AS cv FROM v WHERE vec_id < {_N_LISTS}),
+s AS (
+  SELECT qa.vec_id, c.list_id,
+         list_reduce(list_prepend(0.0, [qa.v[i] * c.cv[i] for i in generate_series(1, len(qa.v))]), (x, y) -> x + y)
+         / (sqrt(list_reduce(list_prepend(0.0, [x * x for x in qa.v]), (x, y) -> x + y))
+          * sqrt(list_reduce(list_prepend(0.0, [x * x for x in c.cv]), (x, y) -> x + y))) AS sim
+  FROM v qa CROSS JOIN c0 c
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY sim DESC, list_id) AS rk
+  FROM s
+),
+asg AS (SELECT vec_id, list_id FROM r WHERE rk = 1),
+d AS (
+  SELECT asg.list_id, l.e.pos AS pos, l.e.x AS x
+  FROM asg JOIN v USING (vec_id),
+  UNNEST([{{'pos': i - 1, 'x': v.v[i]}} for i in generate_series(1, len(v.v))]) AS u(e)
+  , LATERAL (SELECT u.e AS e) l
+)
+SELECT list_id, pos, ROUND(AVG(x), 6) AS c
+FROM d GROUP BY 1, 2
+"""
+
+
 ROUND6_QUERIES = {
     "stream_rule_tag_filter": (
         q_stream_rule_tag_filter,
@@ -150,4 +195,5 @@ ROUND6_QUERIES = {
         q_stream_rollup_persecond,
         ORACLE_STREAM_ROLLUP_PERSECOND,
     ),
+    "ann_ivf_train": (q_ann_ivf_train, ORACLE_ANN_IVF_TRAIN),
 }

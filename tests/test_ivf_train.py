@@ -1,0 +1,76 @@
+"""Lloyd-refined IVF quantizer tests (pipeline/similarity.py::ivf_train)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from m3_spark.pipeline.similarity import ivf_assign, ivf_topk, ivf_train
+
+
+def _emb(spark, n=60, dim=8, seed=3):
+    rng = np.random.RandomState(seed)
+    rows = [
+        (i, [float(x) for x in rng.randn(dim)]) for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_one_iteration_centroid_is_member_mean(spark):
+    emb = _emb(spark)
+    assign = {r.vec_id: r.list_id for r in ivf_assign(emb, 4).collect()}
+    vecs = {r.vec_id: np.array(r.embedding) for r in emb.collect()}
+    cents = {r.list_id: np.array(r._cvec) for r in ivf_train(emb, 4, 1).collect()}
+    for lid in set(assign.values()):
+        members = [vecs[i] for i, l in assign.items() if l == lid]
+        np.testing.assert_allclose(
+            cents[lid], np.mean(members, axis=0), rtol=1e-9
+        )
+
+
+def test_orphan_list_keeps_init_centroid(spark):
+    # two tight clusters far apart; 4 init centroids → at least one
+    # list ends up empty and must keep its previous centroid
+    rows = [(i, [100.0 + i * 0.001, 0.0]) for i in range(4)] + [
+        (i, [0.0, 50.0]) for i in range(4, 40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = ivf_train(emb, 4, 1).collect()
+    assert len(cents) == 4  # no list dropped
+
+
+def test_two_iterations_tighten_quantization(spark):
+    emb = _emb(spark, n=120)
+    vecs = {r.vec_id: np.array(r.embedding) for r in emb.collect()}
+
+    def mean_sim(cents_df):
+        cents = {r.list_id: np.array(r._cvec) for r in cents_df.collect()}
+        sims = []
+        for v in vecs.values():
+            best = max(
+                float(v @ c / (np.linalg.norm(v) * np.linalg.norm(c)))
+                for c in cents.values()
+            )
+            sims.append(best)
+        return float(np.mean(sims))
+
+    init = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("list_id"), F.col("embedding").alias("_cvec")
+    )
+    s0 = mean_sim(init)
+    s2 = mean_sim(ivf_train(emb, 8, 2))
+    assert s2 >= s0 - 1e-9  # Lloyd refinement never hurts on average
+
+
+def test_trained_topk_runs_and_ranks(spark):
+    emb = _emb(spark, n=50)
+    cents = ivf_train(emb, 4, 2)
+    out = ivf_topk(emb, k=3, n_lists=4, n_probe=2, cents=cents)
+    rows = out.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.cosine)
+    for sims in per_q.values():
+        assert len(sims) <= 3
+        assert all(-1.0 - 1e-9 <= s <= 1.0 + 1e-9 for s in sims)
