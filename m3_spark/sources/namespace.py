@@ -55,3 +55,59 @@ def read_namespace(
     if end is not None:
         df = df.where(F.col("date_bucket") <= F.to_date(F.lit(end)))
     return df.drop("date_bucket")
+
+
+def accept_write_window(
+    samples: DataFrame, now, buffer_past_s: int, buffer_future_s: int
+) -> DataFrame:
+    """The dbnode write-acceptance window: a write is accepted only
+    within [now - bufferPast, now + bufferFuture]
+    (``src/dbnode/storage/series/buffer.go:301-312``,
+    ``src/dbnode/retention/types.go:55-66``) — everything else is a
+    rejected too-old/too-new datapoint.
+
+    Pure predicate (pushdown-eligible); the streaming ingest path gets
+    the same behavior from its watermark (bufferPast) but batch
+    backfills need the explicit window.
+    """
+    now_ts = F.to_timestamp(F.lit(now))
+    return samples.where(
+        (F.col("ts") >= now_ts - F.make_dt_interval(secs=F.lit(buffer_past_s)))
+        & (F.col("ts") <= now_ts + F.make_dt_interval(secs=F.lit(buffer_future_s)))
+    )
+
+
+def prune_retention(path: str, retention_s: int, now) -> list[str]:
+    """Drop date_bucket partitions wholly outside the namespace
+    retention — the fileset-expiry analog (namespace Options
+    ``RetentionOptions``, ``src/dbnode/retention/types.go``; expiry in
+    the filesystem persist manager).
+
+    A partition ``date_bucket=D`` is dropped when even its last
+    instant (D 23:59:59.999) is older than ``now - retention``.
+    Local-parquet implementation removes the partition directories;
+    on a real deployment the same decision is one metadata op
+    (``ALTER TABLE DROP PARTITION`` / Delta ``DELETE`` + ``VACUUM``) —
+    O(partitions), never a data scan.
+
+    Returns the dropped partition values.
+    """
+    import datetime as dt
+    import os
+    import shutil
+
+    if isinstance(now, str):
+        now_dt = dt.datetime.fromisoformat(now)
+    else:
+        now_dt = now
+    cutoff = now_dt - dt.timedelta(seconds=retention_s)
+    dropped: list[str] = []
+    for entry in sorted(os.listdir(path)):
+        if not entry.startswith("date_bucket="):
+            continue
+        day = dt.datetime.fromisoformat(entry.split("=", 1)[1])
+        end_of_day = day + dt.timedelta(days=1) - dt.timedelta(microseconds=1)
+        if end_of_day < cutoff:
+            shutil.rmtree(os.path.join(path, entry))
+            dropped.append(entry.split("=", 1)[1])
+    return dropped

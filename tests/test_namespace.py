@@ -26,3 +26,44 @@ def test_namespace_roundtrip(spark, tmp_path):
     # pruning shows up as a PartitionFilters entry, not a row filter
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_prune_retention(spark, tmp_path):
+    import datetime as dt
+    import os
+
+    from m3_spark.sources.namespace import prune_retention
+
+    samples = make_samples(
+        spark,
+        [("m", {"a": "1"}, T0 + i * 86400, float(i)) for i in range(6)],
+    )
+    path = str(tmp_path / "ns")
+    write_namespace(samples, path)
+    days = sorted(
+        e for e in os.listdir(path) if e.startswith("date_bucket=")
+    )
+    assert len(days) == 6
+    # retention of 3 days from the last sample's timestamp
+    now = dt.datetime.fromtimestamp(T0 + 5 * 86400, dt.timezone.utc)
+    dropped = prune_retention(path, 3 * 86400, now.replace(tzinfo=None))
+    # days 0 and 1 end more than 3d before now; day 2's end-of-day is
+    # inside the window (partial overlap keeps the partition)
+    assert len(dropped) == 2
+    back = read_namespace(spark, path)
+    assert back.count() == 4
+
+
+def test_accept_write_window(spark):
+    from m3_spark.sources.namespace import accept_write_window
+
+    samples = make_samples(
+        spark,
+        [("m", {"a": "1"}, T0 + off, 1.0) for off in (-7200, -60, 30, 7200)],
+    )
+    import datetime as dt
+
+    now = dt.datetime.fromtimestamp(T0, dt.timezone.utc).replace(tzinfo=None)
+    kept = accept_write_window(samples, now, buffer_past_s=600,
+                               buffer_future_s=120)
+    assert kept.count() == 2  # -60s and +30s accepted
