@@ -186,6 +186,42 @@ FROM d GROUP BY 1, 2
 """
 
 
+_INSTANT_T = "2024-01-04 12:00:00"
+
+
+def q_promql_text_instant(spark, sf_dir):
+    """The `/api/v1/query` (instant) analog: single-timestamp
+    evaluation with instant-lookback semantics through the text
+    front-end (``read_instantaneous`` handler shape —
+    ``native/read.go`` with a one-point time range)."""
+    from .plans.engine import query_instant
+
+    s = read_samples(spark, sf_dir)
+    out = query_instant(
+        s, 'sum by (event_type) ({user_id=~".+"})', _INSTANT_T,
+        lookback_s=3600,
+    )
+    return out.select(
+        F.unix_timestamp("step_ts").alias("step_s"),
+        F.col("tags").getItem("event_type").alias("event_type"),
+        F.round(F.col("value"), 6).alias("value"),
+    )
+
+
+ORACLE_PROMQL_INSTANT = f"""
+SELECT CAST(epoch(TIMESTAMP '{_INSTANT_T}') AS BIGINT) AS step_s,
+       event_type, ROUND(SUM(v), 6) AS value
+FROM (
+  SELECT event_type, user_id, arg_max(value, ts) AS v
+  FROM events
+  WHERE ts <= TIMESTAMP '{_INSTANT_T}'
+    AND ts >= TIMESTAMP '{_INSTANT_T}' - INTERVAL 1 HOUR
+  GROUP BY 1, 2
+)
+GROUP BY 1, 2
+"""
+
+
 ROUND6_QUERIES = {
     "stream_rule_tag_filter": (
         q_stream_rule_tag_filter,
@@ -196,4 +232,5 @@ ROUND6_QUERIES = {
         ORACLE_STREAM_ROLLUP_PERSECOND,
     ),
     "ann_ivf_train": (q_ann_ivf_train, ORACLE_ANN_IVF_TRAIN),
+    "promql_text_instant": (q_promql_text_instant, ORACLE_PROMQL_INSTANT),
 }

@@ -61,6 +61,26 @@ def generate(spark, n_events: int, n_docs: int) -> None:
             .write.mode("overwrite")
             .parquet(ev_path)
         )
+    emb_path = os.path.join(SCRATCH, "embeddings.parquet")
+    if not os.path.exists(emb_path):
+        # 200k 32-dim vectors from a hash LCG — enough to exercise the
+        # broadcast-assign + per-list rank shape at realistic list sizes
+        dim = 32
+        (
+            spark.range(200_000)
+            .select(
+                F.col("id").alias("vec_id"),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda d: (
+                        F.pmod(F.xxhash64(F.col("id"), d), 2001) - 1000
+                    ).cast("double")
+                    / 1000.0,
+                ).alias("embedding"),
+            )
+            .write.mode("overwrite")
+            .parquet(emb_path)
+        )
     doc_path = os.path.join(SCRATCH, "documents.parquet")
     if not os.path.exists(doc_path):
         # ~5% exact dups + shingled text long enough for MinHash
@@ -78,6 +98,10 @@ def generate(spark, n_events: int, n_docs: int) -> None:
                 F.concat_ws(
                     " ", *[word(c) for c in range(30)]
                 ).alias("text"),
+                F.concat(
+                    F.lit("src"),
+                    F.pmod(F.xxhash64("doc_id", F.lit(5)), 20).cast("string"),
+                ).alias("source"),
             )
             .write.mode("overwrite")
             .parquet(doc_path)
@@ -140,6 +164,29 @@ def main() -> None:
         pairs = lsh_candidates(docs, k=16, bands=4, sigs=sigs)
         return connected_components(pairs)
 
+    def q_text_analysis(_):
+        from m3_spark.queries_pipeline import q_text_analysis as q
+
+        return q(spark, SCRATCH)
+
+    def q_sample_pack(_):
+        from m3_spark.pipeline.sampling import pack_sequences, stratified_sample
+        from m3_spark.sources.tables import read_table
+
+        docs = read_table(spark, SCRATCH, "documents")
+        kept = stratified_sample(docs, {"src0": 0.25, "src1": 0.5})
+        return pack_sequences(kept, 2048, n_shards=32)
+
+    def q_ann_ivf(_):
+        # full-corpus Lloyd pass: 200k × 64 broadcast cosine assign +
+        # the (list, dim) mean — the dominant cost of quantizer training
+        from m3_spark.pipeline.similarity import ivf_train
+        from m3_spark.sources.tables import read_table
+
+        emb = read_table(spark, SCRATCH, "embeddings")
+        cents = ivf_train(emb, 64, n_iters=1)
+        return cents.select("list_id", F.posexplode("_cvec"))
+
     timings, counts = {}, {}
     for name, fn in {
         "sum_by_7d_1h": q_sum_by,
@@ -148,6 +195,9 @@ def main() -> None:
         "sum_over_time_24h": q_over_time,
         "dedup_lsh": q_dedup_lsh,
         "dedup_clusters": q_dedup_clusters,
+        "text_analysis_500k": q_text_analysis,
+        "sample_pack_500k": q_sample_pack,
+        "ann_ivf_train_topk_200k": q_ann_ivf,
     }.items():
         t = time.perf_counter()
         counts[name] = fn(None).count()
