@@ -1,0 +1,105 @@
+"""Registry-wide smoke: every graphite function name that had no
+dedicated golden/unit test executes through the compiler on the shared
+fixture and returns a sane frame.
+
+This is the wiring check the reference gets for free from its
+reflection-typed registry (``native/functions.go:145-191`` validates
+signatures at registration): here each name is driven through parse →
+arg coercion → execution, catching signature drift, bad coercions,
+and registry typos.  Value-level semantics for the underlying kernels
+are covered by the golden suites (these names are thin aliases /
+parameterizations over tested kernels).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from m3_spark.graphite.compiler import evaluate
+
+from .test_consolidate import T0
+from .test_graphite import gsamples  # noqa: F401  (fixture)
+
+S, E = T0, T0 + 240
+
+# (target, min_rows) — globs cover 9 series × 5 steps
+TARGETS = [
+    ("averageSeries(servers.*.cpu.user)", 5),
+    ("maxSeries(servers.*.cpu.user)", 5),
+    ("minSeries(servers.*.cpu.user)", 5),
+    ("medianSeries(servers.*.cpu.user)", 5),
+    ("lastSeries(servers.*.cpu.user)", 5),
+    ("rangeOfSeries(servers.*.cpu.user)", 5),
+    ("countSeries(servers.*.cpu.user)", 5),
+    ("averageAbove(servers.*.cpu.user, 11)", 10),
+    ("averageBelow(servers.*.cpu.user, 1000)", 15),
+    ("currentAbove(servers.*.cpu.user, 15)", 10),
+    ("maximumBelow(servers.*.cpu.user, 1000)", 15),
+    ("minimumAbove(servers.*.cpu.user, -1)", 15),
+    ("highestCurrent(servers.*.cpu.user, 2)", 10),
+    ("highestMax(servers.*.cpu.user, 2)", 10),
+    ("lowestAverage(servers.*.cpu.user, 2)", 10),
+    ("lowestCurrent(servers.*.cpu.user, 2)", 10),
+    ('lowest(servers.*.cpu.user, 2, "average")', 10),
+    ('aggregateWithWildcards(servers.*.cpu.*, "sum", 1)', 5),
+    ("averageSeriesWithWildcards(servers.*.cpu.*, 1)", 5),
+    ("sumSeriesWithWildcards(servers.*.cpu.*, 1)", 5),
+    ("multiplySeriesWithWildcards(servers.*.cpu.*, 1)", 5),
+    ("aliasByNode(servers.*.cpu.user, 1)", 15),
+    ('aliasSub(servers.*.cpu.user, "web", "W")', 15),
+    ("aliasByTags(servers.*.cpu.user, 1)", 15),
+    ("movingMin(servers.*.cpu.user, 2)", 15),
+    ("movingMax(servers.*.cpu.user, 2)", 15),
+    ("movingMedian(servers.*.cpu.user, 2)", 15),
+    ("delay(servers.*.cpu.user, 1)", 15),
+    ("sortByMinima(servers.*.cpu.user)", 15),
+    ("sortByTotal(servers.*.cpu.user)", 15),
+    ("removeEmptySeries(servers.*.cpu.user)", 15),
+    ("squareRoot(servers.*.cpu.user)", 15),
+    ("logarithm(servers.*.cpu.user, 10)", 15),
+    ("timeFunction(servers.web01.cpu.user)", 5),
+    ("identity(servers.web01.cpu.user)", 5),
+    (f"timeSlice(servers.web01.cpu.user, {T0 + 60}, {T0 + 120})", 2),
+    ("fallbackSeries(servers.nosuch.*, servers.web01.cpu.user)", 5),
+    ('aggregateLine(servers.web01.cpu.user, "avg")', 1),
+    ("cactiStyle(servers.web01.cpu.user)", 5),
+    ('legendValue(servers.web01.cpu.user, "avg")', 5),
+]
+
+
+@pytest.mark.parametrize("target,min_rows", TARGETS)
+def test_registry_target_executes(spark, gsamples, target, min_rows):  # noqa: F811
+    out = evaluate(gsamples, target, S, E, 60, 300)
+    rows = out.collect()
+    assert len(rows) >= min_rows, target
+    cols = set(out.columns)
+    assert {"step_ts", "name", "value"} <= cols, target
+
+
+def test_spot_values(spark, gsamples):  # noqa: F811
+    # averageSeries of web01/web02/db01 cpu.user at T0 = (10+20+40)/3
+    row = [
+        r
+        for r in evaluate(
+            gsamples, "averageSeries(servers.*.cpu.user)", S, E, 60, 300
+        ).collect()
+        if r.step_ts.timestamp() == T0
+    ][0]
+    assert abs(row.value - 70.0 / 3) < 1e-9
+    # rangeOfSeries at T0 = 40 - 10
+    row = [
+        r
+        for r in evaluate(
+            gsamples, "rangeOfSeries(servers.*.cpu.user)", S, E, 60, 300
+        ).collect()
+        if r.step_ts.timestamp() == T0
+    ][0]
+    assert row.value == 30.0
+    # countSeries = 3 everywhere
+    vals = {
+        r.value
+        for r in evaluate(
+            gsamples, "countSeries(servers.*.cpu.user)", S, E, 60, 300
+        ).collect()
+    }
+    assert vals == {3.0}
