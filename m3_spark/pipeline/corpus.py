@@ -1,0 +1,110 @@
+"""Corpus statistics and decontamination operators for training-data
+pipelines.
+
+  * ngram_top_k: the corpus-wide n-gram frequency table (vocabulary /
+    boilerplate detection).  explode → count is ONE shuffle with
+    map-side combine; the top-k is a salted two-level rank (64-way
+    partial top-k), so no single reducer ever sees the full gram
+    dictionary — the same shape as the PromQL topk operator.
+  * decontaminate: train/test overlap scoring — the fraction of each
+    training document's distinct n-grams that appear in a probe
+    (benchmark) corpus.  The probe side is aggregated to ONE distinct
+    gram set and broadcast; scoring is a broadcast semi-join counted
+    per document, never a doc×probe product.  At 100 TB the probe set
+    (benchmarks) is MBs while the corpus is the big side — exactly the
+    broadcast shape.
+
+Both deterministic, both DuckDB-oracle-paired in the battery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import shingles_col
+
+
+def ngram_top_k(
+    docs: DataFrame,
+    n: int = 3,
+    k: int = 100,
+    text_col: str = "text",
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Top-k corpus n-grams by document frequency (distinct grams per
+    doc, so a gram repeated inside one document counts once).
+
+    Returns (gram, df) — ties broken by gram ascending so the result
+    is deterministic.
+    """
+    grams = docs.select(
+        F.explode(shingles_col(F.col(text_col), n)).alias("gram")
+    )
+    counts = grams.groupBy("gram").agg(F.count("*").alias("df"))
+    # salted two-level top-k: per-bucket rank prunes to k rows per
+    # bucket before the single-partition final rank sees anything
+    from pyspark.sql import Window
+
+    bucket = F.pmod(F.xxhash64("gram"), F.lit(salt_buckets))
+    w_local = Window.partitionBy("_b").orderBy(
+        F.col("df").desc(), F.col("gram").asc()
+    )
+    pruned = (
+        counts.withColumn("_b", bucket)
+        .withColumn("_rk", F.row_number().over(w_local))
+        .where(F.col("_rk") <= k)
+        .drop("_b", "_rk")
+    )
+    w_final = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("df").desc(), F.col("gram").asc()
+    )
+    return (
+        pruned.withColumn("_rk", F.row_number().over(w_final))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    probes: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document contamination against a probe corpus: the fraction
+    of the doc's distinct n-grams found anywhere in ``probes``.
+
+    Returns (id, n_grams, n_hit, contamination, contaminated) — the
+    caller drops ``contaminated`` rows (the industry-standard n-gram
+    overlap decontamination step).
+
+    Plan: probe grams → distinct (small side, broadcast) → left semi
+    count per document.  Documents shorter than n words degrade to
+    their whole-text shingle, same as the MinHash path.
+    """
+    probe_grams = probes.select(
+        F.explode(shingles_col(F.col(text_col), n)).alias("gram")
+    ).distinct()
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(shingles_col(F.col(text_col), n)).alias("gram")
+    )
+    hits = (
+        doc_grams.join(F.broadcast(probe_grams), "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hit"))
+    )
+    totals = doc_grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    out = totals.join(hits, id_col, "left").select(
+        id_col,
+        "n_grams",
+        F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+        F.round(
+            F.coalesce("n_hit", F.lit(0)) / F.col("n_grams").cast("double"), 6
+        ).alias("contamination"),
+    )
+    return out.withColumn(
+        "contaminated", F.col("contamination") >= F.lit(float(threshold))
+    )

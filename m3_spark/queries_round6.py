@@ -222,6 +222,71 @@ GROUP BY 1, 2
 """
 
 
+def q_corpus_ngram_topk(spark, sf_dir):
+    """Top-100 corpus 3-grams by document frequency — salted two-level
+    rank, no single-reducer dictionary (pipeline/corpus.py)."""
+    from .pipeline.corpus import ngram_top_k
+    from .sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    return ngram_top_k(docs, 3, 100)
+
+
+# same word-3-gram shingle CTE the dedup oracles use
+_SHINGLES = """
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(ws) >= 3
+           THEN [array_to_string(ws[i:i+2], ' ')
+                 for i in generate_series(1, len(ws) - 2)]
+           ELSE [array_to_string(ws, ' ')] END) AS shingles
+  FROM w
+),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh)
+"""
+
+ORACLE_CORPUS_NGRAM_TOPK = f"""
+WITH {_SHINGLES}
+SELECT s AS gram, COUNT(*) AS df
+FROM ex GROUP BY 1
+QUALIFY row_number() OVER (ORDER BY df DESC, gram ASC) <= 100
+"""
+
+
+def q_decontaminate(spark, sf_dir):
+    """Train/test n-gram decontamination: docs with id % 10 == 0 play
+    the benchmark probe set; every other doc gets its overlap fraction
+    (pipeline/corpus.py::decontaminate)."""
+    from .pipeline.corpus import decontaminate
+    from .sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    probes = docs.where(F.col("doc_id") % 10 == 0)
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    return decontaminate(train, probes, 3, 0.5)
+
+
+ORACLE_DECONTAMINATE = f"""
+WITH {_SHINGLES},
+tg AS (SELECT doc_id, s FROM ex WHERE doc_id % 10 <> 0),
+pg AS (SELECT DISTINCT s FROM ex WHERE doc_id % 10 = 0),
+tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM tg GROUP BY 1),
+hit AS (
+  SELECT tg.doc_id, COUNT(*) AS n_hit
+  FROM tg JOIN pg ON tg.s = pg.s
+  GROUP BY 1
+)
+SELECT tot.doc_id, tot.n_grams,
+       COALESCE(hit.n_hit, 0) AS n_hit,
+       ROUND(COALESCE(hit.n_hit, 0) / CAST(tot.n_grams AS DOUBLE), 6)
+         AS contamination,
+       COALESCE(hit.n_hit, 0) / CAST(tot.n_grams AS DOUBLE) >= 0.5
+         AS contaminated
+FROM tot LEFT JOIN hit USING (doc_id)
+"""
+
+
 ROUND6_QUERIES = {
     "stream_rule_tag_filter": (
         q_stream_rule_tag_filter,
@@ -233,4 +298,6 @@ ROUND6_QUERIES = {
     ),
     "ann_ivf_train": (q_ann_ivf_train, ORACLE_ANN_IVF_TRAIN),
     "promql_text_instant": (q_promql_text_instant, ORACLE_PROMQL_INSTANT),
+    "corpus_ngram_topk": (q_corpus_ngram_topk, ORACLE_CORPUS_NGRAM_TOPK),
+    "decontaminate": (q_decontaminate, ORACLE_DECONTAMINATE),
 }

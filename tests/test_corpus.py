@@ -1,0 +1,53 @@
+"""Unit tests for pipeline/corpus.py (n-gram stats, decontamination)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from m3_spark.pipeline.corpus import decontaminate, ngram_top_k
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ngram_topk_counts_distinct_per_doc(spark):
+    docs = _docs(spark, [
+        (1, "a b c a b c"),      # grams {a b c, b c a, c a b} — each once
+        (2, "a b c x y z"),
+        (3, "x y z q r s"),
+    ])
+    out = {r.gram: r.df for r in ngram_top_k(docs, 3, 10).collect()}
+    assert out["a b c"] == 2   # docs 1 and 2 (doc 1 counts once)
+    assert out["x y z"] == 2
+
+
+def test_ngram_topk_tiebreak_and_k(spark):
+    docs = _docs(spark, [(i, "w%d x%d y%d" % (i, i, i)) for i in range(50)])
+    out = ngram_top_k(docs, 3, 7).collect()
+    assert len(out) == 7
+    # all df=1 → lexicographic ascending gram order wins
+    grams = [r.gram for r in out]
+    assert grams == sorted(grams)
+    all_grams = sorted(f"w{i} x{i} y{i}" for i in range(50))
+    assert grams == all_grams[:7]
+
+
+def test_decontaminate_fractions(spark):
+    train = _docs(spark, [
+        (1, "a b c d e"),        # grams: abc bcd cde
+        (2, "q r s t u"),        # no overlap
+    ])
+    probes = _docs(spark, [(100, "a b c d")])  # grams: abc bcd
+    out = {r.doc_id: r for r in decontaminate(train, probes, 3, 0.5).collect()}
+    assert out[1].n_grams == 3 and out[1].n_hit == 2
+    assert abs(out[1].contamination - 2 / 3) < 1e-6
+    assert out[1].contaminated
+    assert out[2].n_hit == 0 and not out[2].contaminated
+
+
+def test_decontaminate_short_doc_whole_text_shingle(spark):
+    train = _docs(spark, [(1, "ab cd")])  # < n words → whole-text gram
+    probes = _docs(spark, [(2, "ab cd")])
+    row = decontaminate(train, probes, 3).first()
+    assert row.n_grams == 1 and row.n_hit == 1 and row.contaminated
