@@ -157,6 +157,57 @@ def tumbling_aggregates(
     )
 
 
+#: Default aggregation set per metric type
+#: (``types_options.go:125-143``): counters collapse to Sum, gauges to
+#: Last, timers get the full central-tendency + quantile set.
+DEFAULT_TYPES_BY_METRIC = {
+    "counter": ("sum",),
+    "timer": (
+        "sum", "sumsq", "mean", "min", "max", "count", "stdev",
+        "median", "p50", "p95", "p99",
+    ),
+    "gauge": ("last",),
+}
+
+#: Output-metric suffixes (``defaultTypeStringsMap``,
+#: ``types_options.go:144-156``) — note graphite-style Min→lower,
+#: Max→upper, SumSq→sum_sq.
+TYPE_SUFFIX = {
+    "last": "last", "sum": "sum", "sumsq": "sum_sq", "mean": "mean",
+    "min": "lower", "max": "upper", "count": "count", "stdev": "stdev",
+    "median": "median",
+}
+
+
+def typed_tumbling_aggregates(
+    metrics: DataFrame,
+    resolution_s: int,
+    watermark_s: int | None = None,
+    key_cols: Sequence[str] = ("metric_id",),
+    type_col: str = "type",
+) -> dict[str, DataFrame]:
+    """Per-metric-type default aggregation (untimed add path,
+    ``aggregator.go:224-270`` + the default type sets above): the
+    frame is split on ``type`` ∈ {counter, timer, gauge} and each
+    slice gets its type's default aggregate set, with columns named by
+    the reference's type-string suffixes (sum/sum_sq/lower/upper/…).
+    """
+    out: dict[str, DataFrame] = {}
+    for mtype, types in DEFAULT_TYPES_BY_METRIC.items():
+        sliced = metrics.where(F.col(type_col) == mtype)
+        agg = tumbling_aggregates(
+            sliced, resolution_s, watermark_s, key_cols, agg_types=types
+        )
+        renames = {
+            _agg_alias(t): TYPE_SUFFIX.get(t, t) for t in types
+        }
+        for old, new in renames.items():
+            if old != new:
+                agg = agg.withColumnRenamed(old, new)
+        out[mtype] = agg
+    return out
+
+
 def _rule_predicate(rule) -> F.Column:
     """A rule's match predicate: either the reference's tag-filter DSL
     (``tag_filter="tag1:val* …"``, compiled by streaming/filters.py)

@@ -88,3 +88,35 @@ def test_agg_types_full_set(spark):
     assert math.isclose(out.p10, 10.9)  # linear interpolation
     assert math.isclose(out.p9999, 99.9901)
     assert math.isclose(out.agg_sumsq, sum(v * v for v in range(1, 101)))
+
+
+def test_typed_default_aggregation_sets(spark):
+    from m3_spark.streaming.aggregator import typed_tumbling_aggregates
+
+    rows = [
+        ("c1", "counter", "2024-01-01 00:10:00", 2.0),
+        ("c1", "counter", "2024-01-01 00:20:00", 3.0),
+        ("t1", "timer", "2024-01-01 00:10:00", 10.0),
+        ("t1", "timer", "2024-01-01 00:20:00", 30.0),
+        ("g1", "gauge", "2024-01-01 00:10:00", 7.0),
+        ("g1", "gauge", "2024-01-01 00:20:00", 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "metric_id string, type string, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = typed_tumbling_aggregates(df, 3600)
+    # counter → Sum only
+    c = out["counter"].first()
+    assert set(out["counter"].columns) == {"window_start", "metric_id", "sum"}
+    assert c["sum"] == 5.0
+    # gauge → Last only
+    g = out["gauge"].first()
+    assert set(out["gauge"].columns) == {"window_start", "metric_id", "last"}
+    assert g["last"] == 9.0
+    # timer → full set with graphite-style suffixes
+    t = out["timer"].first()
+    assert {"sum", "sum_sq", "mean", "lower", "upper", "count",
+            "stdev", "median", "p50", "p95", "p99"} <= set(out["timer"].columns)
+    assert t["lower"] == 10.0 and t["upper"] == 30.0
+    assert t["sum_sq"] == 1000.0
+    assert t["median"] == t["p50"]
