@@ -1,0 +1,105 @@
+"""Property tests: rule-filter DSL cross-engine agreement and
+sequence-packing invariants."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from m3_spark.pipeline.sampling import pack_bins, pack_sequences
+from m3_spark.streaming.filters import InvalidFilterPattern, compile_pattern
+
+# -- filter DSL: Column (Java regex) vs driver (Python re) agreement --------
+
+_literal = st.text(alphabet="abcxyz019", min_size=1, max_size=4)
+_charset = st.sampled_from(["[abc]", "[!ab]", "[a-z]", "[0-9a-f]", "[!0-9]"])
+_alts = st.sampled_from(["{a,bc}", "{x9,yz,a}", "{ab}"])
+_piece = st.one_of(_literal, st.just("?"), _charset, _alts)
+_segment = st.lists(_piece, min_size=1, max_size=3).map("".join)
+
+
+@st.composite
+def patterns(draw):
+    form = draw(st.sampled_from(["plain", "prefix", "suffix", "interior",
+                                 "contains", "all"]))
+    neg = draw(st.booleans())
+    if form == "plain":
+        body = draw(_segment)
+    elif form == "prefix":
+        body = draw(_segment) + "*"
+    elif form == "suffix":
+        body = "*" + draw(_segment)
+    elif form == "interior":
+        body = draw(_segment) + "*" + draw(_segment)
+    elif form == "contains":
+        body = "*" + draw(_literal) + "*"
+    else:
+        body = "*"
+    return ("!" if neg else "") + body
+
+
+_values = st.lists(
+    st.text(alphabet="abcxyz019", min_size=0, max_size=8),
+    min_size=1, max_size=8, unique=True,
+)
+
+
+class _SparkHolder:
+    df_cache: dict = {}
+
+
+@settings(
+    max_examples=25, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pattern=patterns(), vals=_values)
+def test_column_matches_driver_matcher(spark, pattern, vals):
+    try:
+        cp = compile_pattern(pattern)
+    except InvalidFilterPattern:
+        return
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = {r.v for r in df.where(cp.column(F.col("v"))).collect()}
+    want = {v for v in vals if cp.matches(v)}
+    assert got == want, (pattern, vals)
+
+
+# -- sequence packing invariants --------------------------------------------
+
+@settings(
+    max_examples=15, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=50),
+                  min_size=1, max_size=40),
+    budget=st.integers(min_value=10, max_value=120),
+)
+def test_pack_invariants(spark, toks, budget):
+    rows = [(i, "x " * t, "s") for i, t in enumerate(toks)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    tok_col = F.size(F.split(F.trim(F.col("text")), " +"))
+    packed = pack_sequences(docs, budget, tokens_col=tok_col).collect()
+    by_doc = sorted(packed, key=lambda r: r.doc_id)
+    # bins start at 0 and never decrease in id order (a doc larger
+    # than the budget may legitimately skip several bin indexes)
+    bins = [r.bin for r in by_doc]
+    assert bins[0] == 0
+    assert all(b2 >= b1 for b1, b2 in zip(bins, bins[1:]))
+    # every bin boundary is justified: the doc starting bin b+1 has
+    # cum_before >= (b+1)*budget
+    cum = 0
+    for r in by_doc:
+        assert r.bin == cum // budget
+        cum += r.n_tokens
+    # summary conserves docs and tokens
+    summary = pack_bins(
+        spark.createDataFrame(
+            [(r.doc_id, r.source, r.shard, r.n_tokens, r.bin) for r in by_doc],
+            "doc_id long, source string, shard long, n_tokens long, bin long",
+        )
+    ).collect()
+    assert sum(r.n_docs for r in summary) == len(toks)
+    assert sum(r.tok_sum for r in summary) == sum(toks)
