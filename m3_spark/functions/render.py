@@ -64,6 +64,50 @@ def to_prom_vector(result: DataFrame) -> dict:
     }
 
 
+def to_prom_scalar(value: float, t) -> dict:
+    """Scalar-expression instant response (``resultType: scalar`` —
+    upstream render for e.g. ``1+1`` or ``scalar(v)``)."""
+    ts = t if isinstance(t, (int, float)) else t.timestamp()
+    return {
+        "status": "success",
+        "data": {"resultType": "scalar", "result": [ts, _fmt(value)]},
+    }
+
+
+def to_prom_string(value: str, t) -> dict:
+    """String-literal instant response (``resultType: string``)."""
+    ts = t if isinstance(t, (int, float)) else t.timestamp()
+    return {
+        "status": "success",
+        "data": {"resultType": "string", "result": [ts, value]},
+    }
+
+
+def query_api_response(samples: DataFrame, q: str, t,
+                       lookback_s: float = 300.0) -> dict:
+    """The full `/api/v1/query` envelope: picks resultType
+    scalar/vector by the expression's type (the reference resolves
+    scalars at parse time, ``resolve_scalars.go``; instant vectors
+    render as ``vector``)."""
+    from ..plans.engine import query_instant
+    from ..plans.promql import parse
+
+    ast = parse(q)
+    # a fully-folded scalar parses to a bare number literal
+    if type(ast).__name__ == "NumberLit":
+        return to_prom_scalar(float(ast.value), _epoch(t))
+    out = query_instant(samples, q, t, lookback_s)
+    return to_prom_vector(out)
+
+
+def _epoch(t) -> float:
+    if isinstance(t, (int, float)):
+        return float(t)
+    import pandas as pd
+
+    return pd.Timestamp(t).timestamp()
+
+
 def to_graphite_render(
     result: DataFrame,
     start=None,

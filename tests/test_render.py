@@ -63,3 +63,22 @@ def test_graphite_pickle_render(spark):
     # thr = max(lookback, step) = 60s: values carry one step forward
     assert ab["values"] == [1.0, 1.0, 3.0]
     assert got[1]["values"] == [None, 2.0, 2.0]
+
+
+def test_query_api_scalar_and_vector(spark):
+    from m3_spark.functions.render import query_api_response
+
+    from .conftest import make_samples
+    from .test_consolidate import T0
+
+    samples = make_samples(
+        spark, [("m", {"a": "1"}, T0, 42.0)]
+    )
+    sc = query_api_response(samples, "2 * 3 + 0.5", T0)
+    assert sc["data"]["resultType"] == "scalar"
+    assert sc["data"]["result"] == [float(T0), "6.5"]
+
+    vec = query_api_response(samples, "m", T0 + 30)
+    assert vec["data"]["resultType"] == "vector"
+    assert len(vec["data"]["result"]) == 1
+    assert vec["data"]["result"][0]["value"][1] == "42"
