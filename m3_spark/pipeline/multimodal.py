@@ -138,3 +138,60 @@ def synthetic_assets(spark, n: int = 64) -> DataFrame:
             (i, mod, f"{mod}/x-fake", payload, 64, 48, 1000 * (i % 7 + 1))
         )
     return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+def resize_plan(
+    assets: DataFrame, max_w: int, max_h: int
+) -> DataFrame:
+    """Fit-preserving resize metadata for image assets: target dims
+    under (max_w, max_h) keeping aspect, never upscaling.
+
+    The dimension math is the real production logic (pure column
+    expressions); only the pixel resample itself belongs to the
+    stubbed codec kernel downstream.
+    """
+    w = F.col("width").cast("double")
+    h = F.col("height").cast("double")
+    scale = F.least(F.lit(1.0), F.lit(float(max_w)) / w, F.lit(float(max_h)) / h)
+    return assets.where(F.col("modality") == "image").select(
+        "asset_id",
+        "width",
+        "height",
+        F.greatest(F.floor(w * scale), F.lit(1)).cast("int").alias("new_w"),
+        F.greatest(F.floor(h * scale), F.lit(1)).cast("int").alias("new_h"),
+    )
+
+
+def audio_chunk_plan(
+    assets: DataFrame, chunk_ms: int = 400, overlap_ms: int = 100
+) -> DataFrame:
+    """Audio windowing plan: one row per overlapping chunk
+    (asset_id, chunk_idx, start_ms, end_ms), stride =
+    chunk_ms - overlap_ms.  Pure-relational expansion; the sample
+    decode runs downstream of this plan.
+    """
+    if overlap_ms >= chunk_ms:
+        raise ValueError("overlap_ms must be < chunk_ms")
+    stride = chunk_ms - overlap_ms
+    return (
+        assets.where(F.col("modality") == "audio")
+        .select(
+            "asset_id",
+            "duration_ms",
+            F.posexplode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.col("duration_ms") - 1, F.lit(0)),
+                    F.lit(stride),
+                )
+            ).alias("chunk_idx", "start_ms"),
+        )
+        .select(
+            "asset_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            "start_ms",
+            F.least(
+                F.col("start_ms") + F.lit(chunk_ms), F.col("duration_ms")
+            ).alias("end_ms"),
+        )
+    )

@@ -287,6 +287,74 @@ FROM tot LEFT JOIN hit USING (doc_id)
 """
 
 
+def q_multimodal_plans(spark, sf_dir):
+    """The three pure-relational multimodal plans in one frame:
+    image fit-resize metadata (32×32 box), video frame sampling
+    (1 fps), audio chunk windows (400ms / 100ms overlap) —
+    pipeline/multimodal.py; the stubbed codec kernels run downstream
+    of these plans."""
+    from .pipeline.multimodal import (
+        audio_chunk_plan,
+        frame_sample_plan,
+        resize_plan,
+        synthetic_assets,
+    )
+
+    assets = synthetic_assets(spark, 64)
+    rz = resize_plan(assets, 32, 32).select(
+        "asset_id",
+        F.lit("resize").alias("kind"),
+        F.lit(0).cast("long").alias("idx"),
+        F.col("new_w").cast("long").alias("a"),
+        F.col("new_h").cast("long").alias("b"),
+    )
+    fr = frame_sample_plan(assets, 1000).select(
+        "asset_id",
+        F.lit("frame").alias("kind"),
+        (F.col("frame_at_ms") / F.lit(1000)).cast("long").alias("idx"),
+        F.col("frame_at_ms").cast("long").alias("a"),
+        F.lit(0).cast("long").alias("b"),
+    )
+    ch = audio_chunk_plan(assets, 400, 100).select(
+        "asset_id",
+        F.lit("chunk").alias("kind"),
+        F.col("chunk_idx").cast("long").alias("idx"),
+        F.col("start_ms").cast("long").alias("a"),
+        F.col("end_ms").cast("long").alias("b"),
+    )
+    return rz.unionByName(fr).unionByName(ch)
+
+
+ORACLE_MULTIMODAL_PLANS = """
+WITH ids AS (SELECT unnest(generate_series(0, 63)) AS asset_id),
+t AS (
+  SELECT asset_id,
+         CASE asset_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS modality,
+         1000 * (asset_id % 7 + 1) AS dur
+  FROM ids
+),
+rz AS (
+  SELECT asset_id, 'resize' AS kind, CAST(0 AS BIGINT) AS idx,
+         CAST(32 AS BIGINT) AS a, CAST(24 AS BIGINT) AS b
+  FROM t WHERE modality = 'image'
+),
+fr AS (
+  SELECT asset_id, 'frame' AS kind, s // 1000 AS idx, s AS a,
+         CAST(0 AS BIGINT) AS b
+  FROM t, UNNEST(generate_series(0, dur - 1, 1000)) AS u(s)
+  WHERE modality = 'video'
+),
+ch AS (
+  SELECT asset_id, 'chunk' AS kind, s // 300 AS idx, s AS a,
+         least(s + 400, dur) AS b
+  FROM t, UNNEST(generate_series(0, dur - 1, 300)) AS u(s)
+  WHERE modality = 'audio'
+)
+SELECT * FROM rz UNION ALL SELECT * FROM fr UNION ALL SELECT * FROM ch
+"""
+
+
 ROUND6_QUERIES = {
     "stream_rule_tag_filter": (
         q_stream_rule_tag_filter,
@@ -300,4 +368,5 @@ ROUND6_QUERIES = {
     "promql_text_instant": (q_promql_text_instant, ORACLE_PROMQL_INSTANT),
     "corpus_ngram_topk": (q_corpus_ngram_topk, ORACLE_CORPUS_NGRAM_TOPK),
     "decontaminate": (q_decontaminate, ORACLE_DECONTAMINATE),
+    "multimodal_plans": (q_multimodal_plans, ORACLE_MULTIMODAL_PLANS),
 }
