@@ -355,6 +355,63 @@ SELECT * FROM rz UNION ALL SELECT * FROM fr UNION ALL SELECT * FROM ch
 """
 
 
+def q_route_multi_resolution(spark, sf_dir):
+    """Multi-resolution routing + stitch (cluster_resolver semantics):
+    a raw namespace with 4d retention and a 1h-rollup namespace with
+    30d retention serve one 7d query — the resolver sends [d0, d3) to
+    the rollup and [d3, d7) to raw, and the stitched hourly sums must
+    equal a single full-range aggregation (any double-count or dropped
+    segment breaks the oracle match)."""
+    import datetime as dt
+
+    from .plans.router import Namespace, read_routed, route
+    from .sources.tables import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+
+    def _epoch_s(s):
+        return dt.datetime.fromisoformat(s + "+00:00").timestamp()
+
+    now_s = _epoch_s("2024-01-08 00:00:00")
+    raw_ns = Namespace("raw", 0, 4 * 86400)
+    agg_ns = Namespace("metrics_1h", 3600, 30 * 86400)
+    segs = route(
+        [raw_ns, agg_ns],
+        _epoch_s("2024-01-01 00:00:00"), now_s, now_s,
+    )
+
+    def reader(ns):
+        if ns.resolution_s == 0:
+            return ev.select("ts", "event_type", "value")
+        # the rollup table the streaming job would have materialized
+        return (
+            ev.groupBy(
+                F.date_trunc("hour", "ts").alias("ts"), "event_type"
+            ).agg(F.sum("value").alias("value"))
+        )
+
+    routed = read_routed(segs, reader)
+    return (
+        routed.groupBy(
+            F.date_trunc("hour", "ts").alias("h"), "event_type"
+        )
+        .agg(F.round(F.sum("value"), 6).alias("value"))
+        .select(
+            F.unix_timestamp("h").alias("step_s"), "event_type", "value"
+        )
+    )
+
+
+ORACLE_ROUTE_MULTI_RESOLUTION = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step_s,
+       event_type, ROUND(SUM(value), 6) AS value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+  AND ts < TIMESTAMP '2024-01-08 00:00:00'
+GROUP BY 1, 2
+"""
+
+
 ROUND6_QUERIES = {
     "stream_rule_tag_filter": (
         q_stream_rule_tag_filter,
@@ -369,4 +426,8 @@ ROUND6_QUERIES = {
     "corpus_ngram_topk": (q_corpus_ngram_topk, ORACLE_CORPUS_NGRAM_TOPK),
     "decontaminate": (q_decontaminate, ORACLE_DECONTAMINATE),
     "multimodal_plans": (q_multimodal_plans, ORACLE_MULTIMODAL_PLANS),
+    "route_multi_resolution": (
+        q_route_multi_resolution,
+        ORACLE_ROUTE_MULTI_RESOLUTION,
+    ),
 }
