@@ -455,12 +455,22 @@ def remove_empty_series(grid: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _series_stat(grid: DataFrame, func: str) -> DataFrame:
+    current = F.expr(
+        "max_by(value, CASE WHEN value IS NOT NULL"
+        " THEN unix_micros(step_ts) END)"
+    )
     agg = {
         "average": F.avg("value"),
-        "current": F.expr("max_by(value, CASE WHEN value IS NOT NULL THEN unix_micros(step_ts) END)"),
+        "current": current,
+        "last": current,
         "max": F.max("value"),
         "min": F.min("value"),
         "total": F.sum("value"),
+        "sum": F.sum("value"),
+        "median": F.percentile("value", F.lit(0.5)),
+        "stddev": F.stddev_pop("value"),
+        "count": F.count("value").cast("double"),
+        "range": F.max("value") - F.min("value"),
     }[func]
     return grid.groupBy("series_id").agg(agg.alias("_stat"))
 

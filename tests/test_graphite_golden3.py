@@ -163,3 +163,57 @@ def test_limit_consumes_sort_order(spark):
     assert _names(bottom2) == {"nan", "bar"}
     # no upstream sort: deterministic fetch order (series_id)
     assert _names(gf.limit_series(g, 2)) == {"bar", "baz"}
+
+
+# -- ranking goldens (TestHighestCurrent / TestLowest* / TestMostDeviant,
+# builtin_functions_test.go:1755-2028) — membership of the top/bottom-k
+# selection pins the full ordering decisions, incl. the reference's
+# all-NaN placement (first ascending, last descending)
+
+NAN_INPUT = {
+    "foo": TEST_INPUT["foo"],
+    "bar": TEST_INPUT["bar"],
+    "quux": TEST_INPUT["quux"],
+    "allNaN": [None, None],
+}
+
+
+@pytest.mark.parametrize(
+    "fn,func,k,want",
+    [
+        ("highest", "current", 1, {"foo"}),
+        ("highest", "current", 2, {"foo", "baz"}),          # [0, 3]
+        ("highest", "current", 15, {"foo", "nan", "bar", "baz", "quux"}),
+        ("highest", "max", 2, {"quux", "foo"}),
+        ("lowest", "sum", 2, {"nan", "baz"}),               # [1, 3]
+        ("lowest", "current", 2, {"nan", "bar"}),           # [1, 2]
+        ("lowest", "average", 3, {"nan", "baz", "foo"}),    # [1, 3, 0]
+    ],
+)
+def test_ranking_golden(spark, fn, func, k, want):
+    from m3_spark.graphite.functions import highest, lowest
+
+    grid = _grid_df(spark, TEST_INPUT)
+    out = (highest if fn == "highest" else lowest)(grid, func, k)
+    assert _names(out) == want
+
+
+def test_highest_current_nan_series_golden(spark):
+    # TestHighestCurrentWithNaNSeries: all-NaN series ranks last
+    from m3_spark.graphite.functions import highest
+
+    grid = _grid_df(spark, NAN_INPUT)
+    assert _names(highest(grid, "current", 2)) == {"foo", "quux"}
+    assert _names(highest(grid, "current", 3)) == {"foo", "quux", "bar"}
+    assert _names(highest(grid, "current", 4)) == {
+        "foo", "quux", "bar", "allNaN",
+    }
+
+
+def test_most_deviant_golden(spark):
+    # TestMostDeviant: k=1 → quux, k=2 → quux + baz
+    from m3_spark.graphite.functions import most_deviant
+
+    grid = _grid_df(spark, TEST_INPUT)
+    assert _names(most_deviant(grid, 1)) == {"quux"}
+    assert _names(most_deviant(grid, 2)) == {"quux", "baz"}
