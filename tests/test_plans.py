@@ -180,3 +180,65 @@ def test_restrict_by_tag_pushdown_reaches_scan(spark):
     txt = _formatted(out)
     assert "PushedFilters" in txt
     assert "EqualTo(event_type,click)" in txt
+
+
+def test_decontaminate_probe_side_broadcasts(spark):
+    """The probe gram set must broadcast (LeftSemi BroadcastHashJoin);
+    a shuffled semi join here would move the full doc-gram explosion."""
+    from m3_spark.pipeline.corpus import decontaminate
+    from m3_spark.sources.tables import read_table
+
+    docs = read_table(spark, SF_DIR, "documents")
+    probes = docs.where(F.col("doc_id") % 10 == 0)
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    plan = _plan(decontaminate(train, probes))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ngram_topk_rank_is_group_limited(spark):
+    """The salted top-k must show WindowGroupLimit (partial rank
+    pruning before the exchange) — no full-dictionary global sort."""
+    from m3_spark.pipeline.corpus import ngram_top_k
+    from m3_spark.sources.tables import read_table
+
+    docs = read_table(spark, SF_DIR, "documents")
+    plan = _plan(ngram_top_k(docs, 3, 50))
+    assert "WindowGroupLimit" in plan
+    # the pre-aggregation is a hash aggregate with map-side combine
+    assert "HashAggregate" in plan
+
+
+def test_sample_is_scan_side_filter(spark):
+    """stratified_sample is a pure predicate: no exchange, no join."""
+    from m3_spark.pipeline.sampling import stratified_sample
+    from m3_spark.sources.tables import read_table
+
+    docs = read_table(spark, SF_DIR, "documents")
+    plan = _plan(stratified_sample(docs, {"src0": 0.5}))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_pack_is_single_window_shuffle(spark):
+    """pack_sequences: exactly one exchange (the stratum/shard window
+    partitioning)."""
+    from m3_spark.pipeline.sampling import pack_sequences
+    from m3_spark.sources.tables import read_table
+
+    docs = read_table(spark, SF_DIR, "documents")
+    plan = _plan(pack_sequences(docs, 200, n_shards=4))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+
+
+def test_ivf_train_assign_broadcasts_centroids(spark):
+    """Lloyd assignment must crossJoin against broadcast centroids —
+    never a shuffled product with the corpus side."""
+    from m3_spark.pipeline.similarity import ivf_train
+    from m3_spark.sources.tables import read_table
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    plan = _plan(ivf_train(emb, 8, 1))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
