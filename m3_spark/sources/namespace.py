@@ -111,3 +111,48 @@ def prune_retention(path: str, retention_s: int, now) -> list[str]:
             shutil.rmtree(os.path.join(path, entry))
             dropped.append(entry.split("=", 1)[1])
     return dropped
+
+
+def compact_namespace(
+    spark: SparkSession,
+    path: str,
+    date_bucket: str,
+    target_rows_per_file: int = 5_000_000,
+) -> int:
+    """Compact one date partition's small files — the streaming-ingest
+    housekeeping job (M3's analog is fileset flush/merge; on Delta
+    this is OPTIMIZE).
+
+    Micro-batch appends leave O(batches × shuffle-partitions) small
+    files per day; scans then pay per-file open/footer costs and lose
+    row-group-level series locality.  The rewrite coalesces the
+    partition to ceil(rows / target) files re-sorted by
+    (series_id, ts), restoring the skip-scan layout `write_namespace`
+    establishes.  Runs per-partition so it parallelizes across days
+    and never touches live (still-appending) partitions.
+
+    Returns the number of files after compaction.
+    """
+    import math
+    import os
+
+    part_dir = os.path.join(path, f"date_bucket={date_bucket}")
+    df = spark.read.parquet(part_dir)
+    n_rows = df.count()
+    n_files = max(1, math.ceil(n_rows / target_rows_per_file))
+    tmp = part_dir + "._compact_tmp"
+    (
+        df.repartition(n_files, F.col("series_id"))
+        .sortWithinPartitions("series_id", "ts")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    # atomic-enough local swap; object stores would write to a new
+    # prefix and flip table metadata instead
+    import shutil
+
+    shutil.rmtree(part_dir)
+    os.rename(tmp, part_dir)
+    return len(
+        [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+    )

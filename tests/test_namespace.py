@@ -67,3 +67,32 @@ def test_accept_write_window(spark):
     kept = accept_write_window(samples, now, buffer_past_s=600,
                                buffer_future_s=120)
     assert kept.count() == 2  # -60s and +30s accepted
+
+
+def test_compact_namespace(spark, tmp_path):
+    import os
+
+    from m3_spark.sources.namespace import compact_namespace
+
+    path = str(tmp_path / "ns")
+    # simulate micro-batch appends: 4 writes into the same day
+    for batch in range(4):
+        samples = make_samples(
+            spark,
+            [("m", {"b": str(batch)}, T0 + batch * 60 + i, float(i))
+             for i in range(50)],
+        )
+        write_namespace(samples, path, bucket_count=4, mode="append")
+    import datetime as dt
+
+    day = str(dt.datetime.fromtimestamp(T0, dt.timezone.utc).date())
+    part = os.path.join(path, f"date_bucket={day}")
+    before = len([f for f in os.listdir(part) if f.endswith(".parquet")])
+    assert before >= 4  # many small files
+    n_after = compact_namespace(spark, path, day, target_rows_per_file=1000)
+    assert n_after == 1
+    back = read_namespace(spark, path)
+    assert back.count() == 200
+    # pruned reads still work after the rewrite
+    pruned = read_namespace(spark, path, start=day, end=day)
+    assert pruned.count() == 200
