@@ -162,3 +162,39 @@ def test_mapping_rule_tag_filter(spark):
     )
     rows = out["clicks/1h:40d"].collect()
     assert sorted(r.agg_sum for r in rows) == [1.0, 3.0]
+
+
+def test_tags_filter_disjunction_name_wins(spark):
+    """tags_filter_test.go: under Disjunction a matching name alone
+    wins even when no tag filter matches, and nothing-matches → false."""
+    from m3_spark.streaming.filters import DISJUNCTION
+
+    rows = [
+        ("foo", {"tagName15": "tagValue2", "tagName3": "tagValue2"}),
+        ("bar", {"tagName3": "tagValue3"}),
+        ("bar", {"tagName1": "tagValue1"}),
+    ]
+    df = spark.createDataFrame(rows, "name string, tags map<string,string>")
+    expr = tags_filter_expr(
+        "__name__:foo tagName1:tagValue1 tagName2:tagValue2",
+        op=DISJUNCTION,
+    )
+    got = [(r.name, dict(r.tags)) for r in df.where(expr).collect()]
+    assert ("foo", {"tagName15": "tagValue2", "tagName3": "tagValue2"}) in got
+    assert ("bar", {"tagName1": "tagValue1"}) in got
+    assert len(got) == 2  # bar+tagName3 matches nothing
+
+
+def test_tags_filter_conjunction_value_mismatch(spark):
+    """Swapped tag values fail conjunction even though every tag
+    exists (tags_filter_test.go swapped-values case)."""
+    rows = [
+        ("foo", {"tagName1": "tagValue1", "tagName2": "tagValue2"}),
+        ("foo", {"tagName1": "tagValue2", "tagName2": "tagValue1"}),
+    ]
+    df = spark.createDataFrame(rows, "name string, tags map<string,string>")
+    expr = tags_filter_expr(
+        "__name__:foo tagName1:tagValue1 tagName2:tagValue2"
+    )
+    kept = [dict(r.tags) for r in df.where(expr).collect()]
+    assert kept == [{"tagName1": "tagValue1", "tagName2": "tagValue2"}]
