@@ -231,6 +231,30 @@ class MappingRule:
     filter_expr: str  # SQL boolean over the metrics frame
     policies: tuple[str, ...]
     tag_filter: str | None = None
+    agg_types: tuple[str, ...] | None = None  # None → DEFAULT_AGG_TYPES
+
+
+def auto_mapping_rules(namespaces) -> list[MappingRule]:
+    """``NewAutoMappingRules`` (downsample/options.go:155-189): every
+    aggregated (resolution > 0) namespace gets a match-all rule
+    keeping ``Last`` at that namespace's storage policy — the default
+    write path when no configured rule matches a metric.
+
+    ``namespaces``: iterable of ``plans.router.Namespace``.
+    """
+    rules = []
+    for ns in namespaces:
+        if ns.resolution_s <= 0:  # unaggregated — raw write path
+            continue
+        rules.append(
+            MappingRule(
+                name=f"auto/{ns.name}",
+                filter_expr="TRUE",
+                policies=(f"{ns.resolution_s}s:{ns.retention_s}s",),
+                agg_types=("last",),
+            )
+        )
+    return rules
 
 
 @dataclass(frozen=True)
@@ -255,7 +279,8 @@ def apply_mapping_rules(
         for pol in rule.policies:
             p = StoragePolicy.parse(pol)
             out[f"{rule.name}/{pol}"] = tumbling_aggregates(
-                matched, p.resolution_s, watermark_s
+                matched, p.resolution_s, watermark_s,
+                agg_types=getattr(rule, "agg_types", None),
             )
     return out
 

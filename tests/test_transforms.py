@@ -120,3 +120,32 @@ def test_typed_default_aggregation_sets(spark):
     assert t["lower"] == 10.0 and t["upper"] == 30.0
     assert t["sum_sq"] == 1000.0
     assert t["median"] == t["p50"]
+
+
+def test_auto_mapping_rules(spark):
+    from m3_spark.plans.router import Namespace
+    from m3_spark.streaming.aggregator import (
+        apply_mapping_rules,
+        auto_mapping_rules,
+    )
+
+    namespaces = [
+        Namespace("raw", 0, 4 * 86400),          # unaggregated → skipped
+        Namespace("agg_1m", 60, 30 * 86400),
+        Namespace("agg_1h", 3600, 365 * 86400),
+    ]
+    rules = auto_mapping_rules(namespaces)
+    assert [r.name for r in rules] == ["auto/agg_1m", "auto/agg_1h"]
+    assert all(r.agg_types == ("last",) for r in rules)
+
+    df = spark.createDataFrame(
+        [("m1", "2024-01-01 00:10:00", 1.0), ("m1", "2024-01-01 00:40:00", 2.0)],
+        "metric_id string, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = apply_mapping_rules(df, rules)
+    assert set(out) == {"auto/agg_1m/60s:2592000s", "auto/agg_1h/3600s:31536000s"}
+    hourly = out["auto/agg_1h/3600s:31536000s"].collect()
+    assert len(hourly) == 1 and hourly[0].agg_last == 2.0
+    assert set(hourly[0].asDict()) == {"window_start", "metric_id", "agg_last"}
+    minute = out["auto/agg_1m/60s:2592000s"].collect()
+    assert sorted(r.agg_last for r in minute) == [1.0, 2.0]
