@@ -70,6 +70,37 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def exact_dedup_keep_best(
+    docs: DataFrame,
+    score_col: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup keeping the BEST-scoring copy per content group
+    (standard practice: keep the highest-quality duplicate, not an
+    arbitrary one).  Ties break on lowest id for determinism.
+
+    Same single hash-shuffle shape as :func:`exact_dedup` — ``max_by``
+    over a (score, -id) struct is still a map-side-combinable
+    aggregate.
+    """
+    ranked = F.struct(
+        score_col.alias("s"), (-F.col(id_col)).alias("negid")
+    )
+    return (
+        docs.select(
+            F.md5(F.col(text_col)).alias("content_hash"),
+            F.col(id_col),
+            ranked.alias("_r"),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.expr(f"max_by({id_col}, _r)").alias("keep_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
 # -- MinHash + LSH -----------------------------------------------------------
 
 #: 32-bit (8-hex-char) permutation values carved per md5 digest

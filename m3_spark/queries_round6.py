@@ -412,6 +412,30 @@ GROUP BY 1, 2
 """
 
 
+def q_dedup_exact_keep_best(spark, sf_dir):
+    """Exact dedup keeping the best-scoring copy per content group
+    (score = a deterministic per-copy proxy; ties → lowest id)."""
+    from .pipeline.dedup import exact_dedup_keep_best
+    from .sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    score = (F.col("doc_id") * 37 % 101).cast("double")
+    return exact_dedup_keep_best(docs, score)
+
+
+ORACLE_DEDUP_KEEP_BEST = """
+SELECT content_hash, doc_id AS keep_id, dup_count FROM (
+  SELECT md5(text) AS content_hash, doc_id,
+         row_number() OVER (
+           PARTITION BY md5(text)
+           ORDER BY CAST((doc_id * 37) % 101 AS DOUBLE) DESC, doc_id ASC
+         ) AS rk,
+         COUNT(*) OVER (PARTITION BY md5(text)) AS dup_count
+  FROM documents
+) WHERE rk = 1
+"""
+
+
 ROUND6_QUERIES = {
     "stream_rule_tag_filter": (
         q_stream_rule_tag_filter,
@@ -429,5 +453,9 @@ ROUND6_QUERIES = {
     "route_multi_resolution": (
         q_route_multi_resolution,
         ORACLE_ROUTE_MULTI_RESOLUTION,
+    ),
+    "dedup_exact_keep_best": (
+        q_dedup_exact_keep_best,
+        ORACLE_DEDUP_KEEP_BEST,
     ),
 }

@@ -244,3 +244,59 @@ def test_kafka_decode_streaming_rollup(spark, tmp_path):
     # before t0 → first window holds samples at t0..t0+180 (10..13)
     assert rows[0]["n"] == 4 and rows[0]["total"] == 46.0
     assert sum(r["n"] for r in rows) == 10
+
+
+def test_streaming_tag_filtered_rule(spark, tmp_path):
+    """A mapping rule with the tag-filter DSL in STREAMING mode: the
+    glob predicate + per-rule agg_types run inside the micro-batch
+    plan (availableNow memory sink) and match the batch result."""
+    from pyspark.sql.types import (
+        DoubleType,
+        MapType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    rows = [
+        ("cpu", {"host": "web01"}, "2024-01-01 00:00:30", 1.0),
+        ("cpu", {"host": "web02"}, "2024-01-01 00:00:40", 2.0),
+        ("cpu", {"host": "db01"}, "2024-01-01 00:00:50", 4.0),
+    ]
+    schema = StructType(
+        [
+            StructField("metric_id", StringType()),
+            StructField("name", StringType()),
+            StructField("tags", MapType(StringType(), StringType())),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(m, m, t, __import__("datetime").datetime.fromisoformat(ts), v)
+         for m, t, ts, v in rows],
+        schema,
+    )
+    src = str(tmp_path / "rsrc")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+
+    from m3_spark.streaming.aggregator import MappingRule, apply_mapping_rules
+
+    rule = MappingRule(
+        name="webcpu", filter_expr="", policies=("1m:40d",),
+        tag_filter="host:web*", agg_types=("sum", "count"),
+    )
+    out = apply_mapping_rules(stream, [rule])["webcpu/1m:40d"]
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_rule_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM t_rule_stream").collect()
+    assert len(got) == 1
+    assert got[0].agg_sum == 3.0 and got[0].agg_count == 2
