@@ -1,0 +1,118 @@
+"""Query caching — the Spark restatement of the reference's two
+caches (SURVEY §4.1 "Caching"):
+
+  * the PromQL conversion LRU (``src/query/promqlengine/cache.go``):
+    text → parsed AST.  Parsing is pure, so the cache is a plain
+    keyed LRU; hit = skip tokenize/parse/fold.
+  * the postings-list / read-through cache
+    (``src/m3ninx/search/types.go`` ReadThroughSegmentSearcher):
+    repeated sub-plans.  Spark's analog is ``DataFrame.persist()`` of
+    a consolidated grid that several queries share — dashboards
+    evaluating N expressions over one fetch window re-use one
+    materialization instead of N scans.
+
+Both caches are process-local (driver-side), exactly like the
+reference's; on a cluster each Spark driver keeps its own.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+#: parse-cache capacity — the reference's default LRU is small too
+#: (queries repeat heavily; dashboards are the workload)
+DEFAULT_CAPACITY = 256
+
+
+class LRU:
+    """Minimal ordered-dict LRU (no external deps)."""
+
+    def __init__(self, capacity: int = DEFAULT_CAPACITY):
+        self.capacity = capacity
+        self._d: OrderedDict = OrderedDict()
+        self.hits = 0
+        self.misses = 0
+
+    def get_or(self, key, compute: Callable):
+        if key in self._d:
+            self._d.move_to_end(key)
+            self.hits += 1
+            return self._d[key]
+        self.misses += 1
+        val = compute()
+        self._d[key] = val
+        if len(self._d) > self.capacity:
+            self._d.popitem(last=False)
+        return val
+
+    def __len__(self) -> int:
+        return len(self._d)
+
+    def clear(self) -> None:
+        self._d.clear()
+        self.hits = self.misses = 0
+
+
+_parse_cache = LRU()
+
+
+def parse_cached(q: str):
+    """promql.parse with the conversion-LRU in front
+    (``promqlengine/cache.go`` semantics: key = query text; the AST is
+    immutable so sharing is safe)."""
+    from .promql import parse
+
+    return _parse_cache.get_or(q, lambda: parse(q))
+
+
+def parse_cache_stats() -> dict:
+    return {
+        "size": len(_parse_cache),
+        "hits": _parse_cache.hits,
+        "misses": _parse_cache.misses,
+    }
+
+
+def clear_parse_cache() -> None:
+    _parse_cache.clear()
+
+
+class GridCache:
+    """Read-through cache of consolidated grid frames keyed by
+    (fetch-signature, start, end, step, lookback) — the shared-scan
+    optimization for dashboard fan-out.
+
+    ``get_or`` persists the frame (MEMORY_AND_DISK) on first use;
+    ``release`` / ``clear`` unpersist.  Capacity is small by design:
+    a grid is O(series × steps) rows and Spark's own block eviction
+    handles memory pressure, but unbounded persist handles would pin
+    executors' storage memory.
+    """
+
+    def __init__(self, capacity: int = 8):
+        self.capacity = capacity
+        self._d: OrderedDict = OrderedDict()
+        self.hits = 0
+        self.misses = 0
+
+    def get_or(self, key, compute: Callable[[], DataFrame]) -> DataFrame:
+        if key in self._d:
+            self._d.move_to_end(key)
+            self.hits += 1
+            return self._d[key]
+        self.misses += 1
+        df = compute().persist()
+        self._d[key] = df
+        if len(self._d) > self.capacity:
+            _, old = self._d.popitem(last=False)
+            old.unpersist()
+        return df
+
+    def clear(self) -> None:
+        for df in self._d.values():
+            df.unpersist()
+        self._d.clear()
+        self.hits = self.misses = 0

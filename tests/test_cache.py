@@ -1,0 +1,58 @@
+"""Parse-LRU and grid-cache tests (plans/cache.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from m3_spark.plans.cache import (
+    GridCache,
+    LRU,
+    clear_parse_cache,
+    parse_cache_stats,
+    parse_cached,
+)
+
+
+def test_lru_eviction_order():
+    lru = LRU(capacity=2)
+    lru.get_or("a", lambda: 1)
+    lru.get_or("b", lambda: 2)
+    lru.get_or("a", lambda: 99)  # hit — refreshes a
+    lru.get_or("c", lambda: 3)  # evicts b (LRU)
+    assert lru.get_or("a", lambda: -1) == 1  # still cached
+    assert lru.get_or("b", lambda: -2) == -2  # was evicted → recompute
+    assert lru.hits == 2 and lru.misses == 4
+
+
+def test_parse_cached_returns_same_ast():
+    clear_parse_cache()
+    a1 = parse_cached('sum by (et) ({job="x"})')
+    a2 = parse_cached('sum by (et) ({job="x"})')
+    assert a1 is a2  # shared immutable AST
+    s = parse_cache_stats()
+    assert s["hits"] == 1 and s["misses"] == 1 and s["size"] == 1
+    # different text → different entry
+    parse_cached('sum by (et) ({job="y"})')
+    assert parse_cache_stats()["size"] == 2
+
+
+def test_grid_cache_persists_and_evicts(spark):
+    gc = GridCache(capacity=1)
+    calls = []
+
+    def make(tag):
+        def _():
+            calls.append(tag)
+            return spark.range(10).select(F.col("id"), F.lit(tag).alias("t"))
+        return _
+
+    df1 = gc.get_or(("q1", 0, 100), make("a"))
+    assert df1.storageLevel.useMemory  # persisted
+    df1b = gc.get_or(("q1", 0, 100), make("a2"))
+    assert df1b is df1 and calls == ["a"]
+    df2 = gc.get_or(("q2", 0, 100), make("b"))  # evicts q1
+    assert calls == ["a", "b"]
+    assert not df1.storageLevel.useMemory  # unpersisted on eviction
+    assert df2.storageLevel.useMemory
+    gc.clear()
+    assert not df2.storageLevel.useMemory
