@@ -85,7 +85,12 @@ def query_range(
     bounded by the rows returned; pass False to skip it entirely.
     """
     ctx = Context(samples, start, end, step_s, lookback_s)
-    ast = parse(q)
+    # conversion-LRU in front of the parser (plans/cache.py — the
+    # promqlengine/cache.go analog); the AST is immutable, so cache
+    # sharing across queries is safe
+    from .cache import parse_cached
+
+    ast = parse_cached(q)
     out = _eval(ast, ctx)
     if isinstance(out, float):
         steps = step_grid(samples.sparkSession, start, end, step_s)

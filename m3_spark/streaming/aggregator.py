@@ -266,6 +266,11 @@ class RollupRule:
     new_metric_id: str  # SQL string expr producing the rollup id
     policies: tuple[str, ...]
     tag_filter: str | None = None
+    #: optional pipeline transformation applied per SOURCE series
+    #: between the per-policy aggregation and the rollup re-aggregation
+    #: (metrics_appender.go pipeline shape; streaming/transforms.py)
+    transform: str | None = None
+    agg_types: tuple[str, ...] | None = None
 
 
 def apply_mapping_rules(
@@ -288,16 +293,45 @@ def apply_mapping_rules(
 def apply_rollup_rules(
     metrics: DataFrame, rules: Sequence[RollupRule], watermark_s: int | None = None
 ) -> dict[str, DataFrame]:
+    """Rollup pipelines.  Without a transform: filter → re-key →
+    windowed aggregate.  With ``rule.transform``: the reference's
+    three-stage pipeline (aggregate per SOURCE series at the policy
+    resolution → transformation → re-key → rollup Sum across the
+    matched series) — ``metrics_appender.go`` shape, batch or
+    streaming-foreachBatch."""
     out: dict[str, DataFrame] = {}
     for rule in rules:
-        matched = metrics.where(_rule_predicate(rule)).withColumn(
-            "metric_id", F.expr(rule.new_metric_id)
-        )
+        matched = metrics.where(_rule_predicate(rule))
         for pol in rule.policies:
             p = StoragePolicy.parse(pol)
-            out[f"{rule.name}/{pol}"] = tumbling_aggregates(
-                matched, p.resolution_s, watermark_s
+            if rule.transform is None:
+                rekeyed = matched.withColumn(
+                    "metric_id", F.expr(rule.new_metric_id)
+                )
+                out[f"{rule.name}/{pol}"] = tumbling_aggregates(
+                    rekeyed, p.resolution_s, watermark_s,
+                    agg_types=getattr(rule, "agg_types", None),
+                )
+                continue
+            from .transforms import pipeline_transform
+
+            per_series = tumbling_aggregates(
+                matched, p.resolution_s, watermark_s,
+                key_cols=("metric_id",), agg_types=("sum",),
             )
+            transformed = pipeline_transform(
+                per_series, rule.transform,
+                key_cols=("metric_id",), ts_col="window_start",
+                value_col="agg_sum", resolution_s=p.resolution_s,
+            )
+            rolled = (
+                transformed.withColumn(
+                    "metric_id", F.expr(rule.new_metric_id)
+                )
+                .groupBy("window_start", "metric_id")
+                .agg(F.sum("agg_sum").alias("agg_sum"))
+            )
+            out[f"{rule.name}/{pol}"] = rolled
     return out
 
 

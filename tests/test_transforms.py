@@ -149,3 +149,47 @@ def test_auto_mapping_rules(spark):
     assert set(hourly[0].asDict()) == {"window_start", "metric_id", "agg_last"}
     minute = out["auto/agg_1m/60s:2592000s"].collect()
     assert sorted(r.agg_last for r in minute) == [1.0, 2.0]
+
+
+def test_rollup_rule_with_transform_stage(spark):
+    """RollupRule(transform='persecond') runs the three-stage pipeline
+    (per-series Sum → PerSecond → rollup Sum) and matches the manual
+    composition."""
+    from m3_spark.streaming.aggregator import (
+        RollupRule,
+        apply_rollup_rules,
+        tumbling_aggregates,
+    )
+    from m3_spark.streaming.transforms import pipeline_transform
+
+    rows = []
+    for mid, base in (("a:1", 10.0), ("a:2", 100.0)):
+        for h in range(4):
+            rows.append((mid, f"2024-01-01 0{h}:10:00", base * (h + 1)))
+    df = spark.createDataFrame(
+        rows, "metric_id string, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    rule = RollupRule(
+        name="r", filter_expr="TRUE",
+        new_metric_id="concat('rollup:', split(metric_id, ':')[0])",
+        policies=("1h:40d",), transform="persecond",
+    )
+    got = apply_rollup_rules(df, [rule])["r/1h:40d"].collect()
+
+    per_series = tumbling_aggregates(df, 3600, agg_types=("sum",))
+    ps = pipeline_transform(
+        per_series, "persecond", ts_col="window_start", value_col="agg_sum"
+    )
+    want = (
+        ps.withColumn("metric_id", F.lit("rollup:a"))
+        .groupBy("window_start", "metric_id")
+        .agg(F.sum("agg_sum").alias("agg_sum"))
+        .collect()
+    )
+    assert sorted((r.window_start, r.agg_sum) for r in got) == sorted(
+        (r.window_start, r.agg_sum) for r in want
+    )
+    # 3 windows survive (first has no predecessor); each sums both series
+    assert len(got) == 3
+    assert all(r.metric_id == "rollup:a" for r in got)
