@@ -199,9 +199,13 @@ def main() -> None:
         "sample_pack_500k": q_sample_pack,
         "ann_ivf_train_topk_200k": q_ann_ivf,
     }.items():
-        t = time.perf_counter()
-        counts[name] = fn(None).count()
-        timings[name] = round(time.perf_counter() - t, 2)
+        best = None
+        for _ in range(2):  # min-of-2: first run pays JVM JIT + codegen
+            t = time.perf_counter()
+            counts[name] = fn(None).count()
+            dt = time.perf_counter() - t
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 2)
         print(f"# {name}: {timings[name]}s ({counts[name]} rows)", file=sys.stderr)
     print(
         json.dumps(
