@@ -162,7 +162,11 @@ class Parser:
 
     def next(self):
         t = self.toks[self.i]
-        self.i += 1
+        # clamp at the eof sentinel: loops that consume tokens while
+        # scanning for a closer ('}', ')') then see eof and raise a
+        # clean SyntaxError instead of walking off the token list
+        if self.i < len(self.toks) - 1:
+            self.i += 1
         return t
 
     def expect(self, val: str):

@@ -1,0 +1,72 @@
+"""Front-end robustness: random/garbage inputs must fail with CLEAN
+parse errors (SyntaxError/ValueError), never internal exceptions
+(IndexError/KeyError/AttributeError/UnboundLocalError) — the property
+a public query endpoint needs."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+CLEAN = (SyntaxError, ValueError, TypeError)
+DIRTY = (IndexError, KeyError, AttributeError, UnboundLocalError)
+
+_garbage = st.text(
+    alphabet='abz019(){}[]<>,.|*?!"\'=~+-/: \t',
+    min_size=0, max_size=40,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(q=_garbage)
+def test_promql_parse_never_crashes(q):
+    from m3_spark.plans.promql import parse
+
+    try:
+        parse(q)
+    except CLEAN:
+        pass
+    except DIRTY as ex:  # pragma: no cover
+        raise AssertionError(f"dirty {type(ex).__name__} on {q!r}: {ex}")
+
+
+@settings(max_examples=300, deadline=None)
+@given(t=_garbage)
+def test_graphite_parse_never_crashes(t):
+    from m3_spark.graphite.compiler import parse_target
+
+    try:
+        parse_target(t)
+    except CLEAN:
+        pass
+    except DIRTY as ex:  # pragma: no cover
+        raise AssertionError(f"dirty {type(ex).__name__} on {t!r}: {ex}")
+
+
+@settings(max_examples=300, deadline=None)
+@given(q=_garbage)
+def test_m3ql_parse_never_crashes(q):
+    from m3_spark.plans.m3ql import parse
+
+    try:
+        parse(q)
+    except CLEAN:
+        pass
+    except DIRTY as ex:  # pragma: no cover
+        raise AssertionError(f"dirty {type(ex).__name__} on {q!r}: {ex}")
+
+
+@settings(max_examples=200, deadline=None)
+@given(s=_garbage)
+def test_tag_filter_parse_never_crashes(s):
+    from m3_spark.streaming.filters import (
+        InvalidFilterPattern,
+        validate_tags_filter,
+    )
+
+    try:
+        validate_tags_filter(s)
+    except (InvalidFilterPattern, *CLEAN):
+        pass
+    except DIRTY as ex:  # pragma: no cover
+        raise AssertionError(f"dirty {type(ex).__name__} on {s!r}: {ex}")
