@@ -189,3 +189,42 @@ def pack_bins(packed: DataFrame, stratum_col: str = "source") -> DataFrame:
     return packed.groupBy(stratum_col, "shard", "bin").agg(
         F.count("*").alias("n_docs"), F.sum("n_tokens").alias("tok_sum")
     )
+
+
+def sample_exact_k(
+    docs: DataFrame,
+    k: int,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    salt: int = 2,
+) -> DataFrame:
+    """Exactly-k-per-stratum sampling without replacement: rank rows
+    by the deterministic id-hash uniform within each stratum and keep
+    the first k.
+
+    The fixed-size complement to :func:`stratified_sample`'s
+    fixed-rate form (a reservoir sample with a deterministic,
+    retry-stable "random" order).  One shuffle on the stratum key;
+    Spark turns the rank filter into WindowGroupLimit, so each
+    partition prunes to k before the exchange.
+    """
+    from pyspark.sql.window import Window
+
+    u = uniform_col(F.col(id_col), salt)
+    w = Window.partitionBy(stratum_col).orderBy(u.asc(), F.col(id_col).asc())
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def shuffle_order(
+    docs: DataFrame, id_col: str = "doc_id", salt: int = 3
+) -> DataFrame:
+    """Deterministic global shuffle order for training: attach
+    ``shuffle_key`` (the salted id-hash uniform) — the trainer sorts
+    or range-partitions by it.  No shuffle here; the key is a column
+    expression and the eventual sort is the trainer's one exchange.
+    """
+    return docs.withColumn("shuffle_key", uniform_col(F.col(id_col), salt))

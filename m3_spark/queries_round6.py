@@ -436,6 +436,36 @@ SELECT content_hash, doc_id AS keep_id, dup_count FROM (
 """
 
 
+_EXACT_K = 7
+
+
+def q_sample_exact_k(spark, sf_dir):
+    """Exactly-k-per-source sampling: deterministic hash-rank within
+    each stratum (pipeline/sampling.py::sample_exact_k)."""
+    from .pipeline.sampling import sample_exact_k
+    from .sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    return sample_exact_k(docs, _EXACT_K).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+def _ORACLE_SAMPLE_EXACT_K() -> str:
+    from .pipeline.sampling import uniform_sql
+
+    return f"""
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {uniform_sql("doc_id", 2)} ASC, doc_id ASC
+         ) AS rk
+  FROM documents
+) WHERE rk <= {_EXACT_K}
+"""
+
+
 ROUND6_QUERIES = {
     "stream_rule_tag_filter": (
         q_stream_rule_tag_filter,
@@ -458,4 +488,5 @@ ROUND6_QUERIES = {
         q_dedup_exact_keep_best,
         ORACLE_DEDUP_KEEP_BEST,
     ),
+    "sample_exact_k": (q_sample_exact_k, _ORACLE_SAMPLE_EXACT_K()),
 }

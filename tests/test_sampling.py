@@ -111,3 +111,27 @@ def test_uniform_matches_closed_form(spark):
     ).first()
     expect = ((12345 % SAMPLE_MOD + 7) * 2654435761 + 12345) % SAMPLE_MOD
     assert row.u == expect
+
+
+def test_sample_exact_k(spark):
+    from m3_spark.pipeline.sampling import sample_exact_k
+
+    docs = _docs(spark, n=300)
+    out = sample_exact_k(docs, 5).groupBy("source").count().collect()
+    assert {r.source: r["count"] for r in out} == {"a": 5, "b": 5}
+    # stable across runs
+    s1 = sorted(r.doc_id for r in sample_exact_k(docs, 5).collect())
+    s2 = sorted(r.doc_id for r in sample_exact_k(docs, 5).collect())
+    assert s1 == s2
+    # k larger than the stratum keeps everything
+    assert sample_exact_k(docs, 1000).count() == 300
+
+
+def test_shuffle_order_deterministic(spark):
+    from m3_spark.pipeline.sampling import shuffle_order
+
+    docs = _docs(spark, n=100)
+    a = [r.doc_id for r in shuffle_order(docs).orderBy("shuffle_key", "doc_id").collect()]
+    b = [r.doc_id for r in shuffle_order(docs).orderBy("shuffle_key", "doc_id").collect()]
+    assert a == b
+    assert a != sorted(a)  # actually permuted
