@@ -96,6 +96,16 @@ class _Parser:
         if k == "str":
             return LitNode(v[1:-1])
         if k == "word":
+            # named arguments (reference compiler.go:356-365): the
+            # name is consumed and the VALUE stands in positionally —
+            # `name=value` lexes as one word because '=' is a glob
+            # char; split it back apart here
+            if "=" in v and not v.startswith("="):
+                name, _, val = v.partition("=")
+                if val == "" and self.peek()[0] in ("num", "str", "word"):
+                    # `xff= 0.5` (value as its own token)
+                    return self.expr()
+                return self._value_word(val)
             if self.peek()[1] == "(":
                 self.next()
                 args = []
@@ -105,8 +115,22 @@ class _Parser:
                         self.next()
                 self.next()
                 return CallNode(v, tuple(args))
-            return GlobNode(v)
+            return self._value_word(v)
         raise SyntaxError(f"unexpected {v!r}")
+
+    def _value_word(self, v: str):
+        # bare boolean literals (lexer.True/False, compiler.go:341-346)
+        if v == "true":
+            return LitNode(True)
+        if v == "false":
+            return LitNode(False)
+        try:
+            return LitNode(float(v))  # named-arg numeric values
+        except ValueError:
+            pass
+        if v.startswith(("'", '"')) and v.endswith(v[0]) and len(v) >= 2:
+            return LitNode(v[1:-1])
+        return GlobNode(v)
 
 
 def parse_target(target: str):

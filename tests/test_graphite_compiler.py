@@ -102,3 +102,27 @@ def test_registry_alias_parity(spark):
         for r in REGISTRY["sumSeries"](g).collect()
     }
     assert via_alias == via_full and len(via_alias) == 2
+
+
+def test_named_arguments_and_booleans(spark, gsamples):  # noqa: F811
+    """compiler.go:341-365: bare true/false literals and name=value
+    named arguments (name consumed, value stands in positionally)."""
+    from m3_spark.graphite.compiler import LitNode, parse_target
+
+    ast = parse_target("sortByName(servers.*.cpu.user, natural=true)")
+    assert ast.args[1] == LitNode(True)
+    ast = parse_target('summarize(servers.*.cpu.user, "2min", func="max")')
+    assert ast.args[2] == LitNode("max")
+    ast = parse_target("movingAverage(servers.*.cpu.user, 2, xFilesFactor=0.5)")
+    assert ast.args[2] == LitNode(0.5)
+
+    # end-to-end: named arg drives the same result as positional
+    a = evaluate(
+        gsamples, "sortByName(servers.*.cpu.user, natural=true)",
+        T0, T0 + 240, 60, 300,
+    ).collect()
+    b = evaluate(
+        gsamples, "sortByName(servers.*.cpu.user, true)",
+        T0, T0 + 240, 60, 300,
+    ).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
