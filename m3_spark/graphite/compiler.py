@@ -160,7 +160,7 @@ _CONTEXT_FUNCS = {
     "useSeriesAbove", "holtWintersForecast", "holtWintersConfidenceBands",
     "holtWintersAberration", "movingAverage", "movingSum", "movingMin",
     "movingMax", "movingMedian", "movingWindow", "exponentialMovingAverage",
-    "timeShift", "hitcount",
+    "timeShift", "hitcount", "timeSlice",
 }
 
 
@@ -271,6 +271,15 @@ def evaluate(
                     F.lit("timeShift("), F.col("name"), F.lit(f',"{spec}")')
                 ).alias("name"),
                 "tags", "series_id", "value",
+            )
+        if f == "timeSlice":
+            # relative specs ('-9min') anchor at the query end
+            grid = ev(args[0], s, e)
+            now_s = _epoch_s(e)
+            st = _time_spec_s(_lit(args[1]), now_s)
+            en = _time_spec_s(_lit(args[2]), now_s)
+            return gf.time_slice(
+                grid, st, en, str(_lit(args[1])), str(_lit(args[2]))
             )
         if f == "perSecond":
             return gf.per_second(ev(args[0], s, e), step_s)
@@ -425,8 +434,35 @@ def evaluate(
 def _dur_s(s):
     if isinstance(s, float):
         return s
-    units = {"s": 1, "min": 60, "h": 3600, "d": 86400}
-    m = re.fullmatch(r"([0-9]+)(s|min|h|d)", s)
+    units = {
+        "s": 1, "min": 60, "h": 3600, "d": 86400,
+        "w": 7 * 86400, "mon": 30 * 86400, "y": 365 * 86400,
+    }
+    m = re.fullmatch(r"([0-9]+)(s|min|h|d|w|mon|y)", s)
     if not m:
         raise ValueError(f"bad duration {s!r}")
     return int(m.group(1)) * units[m.group(2)]
+
+
+def _time_spec_s(spec, now_s: float) -> float:
+    """graphite.ParseTime subset: 'now', signed relative durations
+    ('-9min', '+2h') against ``now``, bare epoch seconds, or an ISO
+    timestamp.  The reference anchors relative specs at wall-clock
+    now; we anchor at the query end for determinism."""
+    if isinstance(spec, (int, float)):
+        return float(spec)
+    s = str(spec).strip()
+    if s == "now":
+        return float(now_s)
+    if s and s[0] in "+-":
+        return float(now_s) + (1 if s[0] == "+" else -1) * _dur_s(s[1:])
+    try:
+        return float(s)
+    except ValueError:
+        import datetime as dt
+
+        return (
+            dt.datetime.fromisoformat(s)
+            .replace(tzinfo=dt.timezone.utc)
+            .timestamp()
+        )

@@ -570,11 +570,31 @@ def time_shift(grid: DataFrame, shift_s: float) -> DataFrame:
     )
 
 
-def time_slice(grid: DataFrame, start, end) -> DataFrame:
+def time_slice(
+    grid: DataFrame, start, end,
+    start_label: str | None = None, end_label: str | None = None,
+) -> DataFrame:
+    """timeSlice (builtin_functions.go:431-470): values OUTSIDE the
+    inclusive [start, end] window become NaN — the rows are KEPT (the
+    series keeps its length) and the series is renamed
+    ``timeSlice(name, "start", "end")``.  start/end are absolute here;
+    the compiler resolves graphite relative specs ('-9min') against
+    the query end."""
     from ..operators.consolidate import _to_ts_lit
 
-    return grid.where(
-        (F.col("step_ts") >= _to_ts_lit(start)) & (F.col("step_ts") <= _to_ts_lit(end))
+    inside = (F.col("step_ts") >= _to_ts_lit(start)) & (
+        F.col("step_ts") <= _to_ts_lit(end)
+    )
+    sl = str(start_label if start_label is not None else start)
+    el = str(end_label if end_label is not None else end)
+    return grid.select(
+        "step_ts",
+        F.concat(
+            F.lit("timeSlice("), F.col("name"), F.lit(f', "{sl}", "{el}")')
+        ).alias("name"),
+        "tags",
+        "series_id",
+        F.when(inside, F.col("value")).alias("value"),
     )
 
 

@@ -217,3 +217,42 @@ def test_most_deviant_golden(spark):
     grid = _grid_df(spark, TEST_INPUT)
     assert _names(most_deviant(grid, 1)) == {"quux"}
     assert _names(most_deviant(grid, 2)) == {"quux", "baz"}
+
+
+def test_time_slice_golden(spark):
+    """TestTimeSlice (builtin_functions_test.go): values outside the
+    inclusive window go NaN; rows are kept and the series is renamed."""
+    from m3_spark.graphite.functions import time_slice
+
+    from .test_graphite_golden import STEP, T0 as GT0
+
+    vals = [None, 1.0, 2.0, 3.0, None, 5.0, 6.0, None, 7.0, 8.0, 9.0]
+    grid = _grid_df(spark, {"foo.bar.baz": vals})
+    out = time_slice(
+        grid, GT0 + 3 * STEP, GT0 + 8 * STEP, "-9min", "-3min"
+    ).collect()
+    got = {}
+    import datetime as dt
+
+    for r in out:
+        idx = int((r.step_ts - dt.datetime(1970, 1, 1)).total_seconds() - GT0) // STEP
+        got[idx] = r.value
+    # inclusive [3, 8]; indices 0/4/7 were stale already
+    assert got == {0: None, 1: None, 2: None, 3: 3.0, 4: None, 5: 5.0,
+                   6: 6.0, 7: None, 8: 7.0, 9: None, 10: None}
+    assert all(
+        r.name == 'timeSlice(foo.bar.baz, "-9min", "-3min")' for r in out
+    )
+
+
+def test_time_slice_relative_specs(spark):
+    """The compiler resolves '-9min'/'now' specs against the query
+    end (graphite.ParseTime subset)."""
+    from m3_spark.graphite.compiler import _time_spec_s
+
+    assert _time_spec_s("now", 1000.0) == 1000.0
+    assert _time_spec_s("-9min", 1000.0) == 1000.0 - 540
+    assert _time_spec_s("+2h", 0.0) == 7200.0
+    assert _time_spec_s("123", 1000.0) == 123.0
+    assert _time_spec_s(456, 1000.0) == 456.0
+    assert _time_spec_s("2024-01-02 00:00:00", 0.0) == 1704153600.0
