@@ -41,23 +41,54 @@ def paths_to_samples(df: DataFrame, path_col: str = "path") -> DataFrame:
     return with_series_id(out).select("name", "tags", "series_id", "ts", "value")
 
 
+def _glob_alt(alt: str) -> str:
+    """One ``{...}`` alternative: ranges/?/* keep their glob meaning
+    (the reference emits them unescaped — ``{0[3-9],1[0-9],20}`` →
+    ``(0[3-9]|1[0-9]|20)``, glob.go / glob_test.go:70-77)."""
+    out: list[str] = []
+    i = 0
+    while i < len(alt):
+        c = alt[i]
+        if c == "*":
+            out.append("[^.]*")
+        elif c == "?":
+            out.append("[^.]")
+        elif c == "[":
+            j = alt.index("]", i)
+            out.append(alt[i : j + 1])
+            i = j
+        else:
+            out.append(re.escape(c))
+        i += 1
+    return "".join(out)
+
+
 def glob_to_regex(glob: str) -> str:
-    """Port of the Graphite extended glob semantics:
-    ``*`` → one path component ([^.]*), ``?`` → single char,
-    ``{a,b}`` → (a|b), ``[...]`` passes through, ``.`` is literal.
-    Anchored."""
+    """Port of the Graphite extended glob semantics (glob.go):
+    ``*`` → one path component ([^.]*), ``**`` → match-all across
+    hierarchy (.*, absorbing an adjacent separator — AllowMatchAll),
+    ``?`` → single char, ``{a,b}`` → (a|b) with nested ranges kept,
+    ``[...]`` passes through, ``.`` is literal.  Anchored."""
     out: list[str] = []
     i = 0
     while i < len(glob):
         c = glob[i]
         if c == "*":
-            out.append("[^.]*")
+            if i + 1 < len(glob) and glob[i + 1] == "*":
+                out.append(".*")
+                i += 1
+                # '**' swallows a following separator, matching the
+                # reference's "foo\.+.*bar" shape for foo.**.bar
+                if i + 1 < len(glob) and glob[i + 1] == ".":
+                    i += 1
+            else:
+                out.append("[^.]*")
         elif c == "?":
             out.append("[^.]")
         elif c == "{":
             j = glob.index("}", i)
             alts = glob[i + 1 : j].split(",")
-            out.append("(" + "|".join(re.escape(a) for a in alts) + ")")
+            out.append("(" + "|".join(_glob_alt(a) for a in alts) + ")")
             i = j
         elif c == "[":
             j = glob.index("]", i)

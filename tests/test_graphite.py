@@ -126,3 +126,30 @@ def test_transform_null_keep_last(spark, gsamples):
     kept = gf.keep_last_value(grid)
     vals = {int(r["step_ts"].timestamp()): r["value"] for r in kept.collect()}
     assert vals[T0 + 360] == 14.0
+
+
+def test_glob_extended_cases():
+    """Match-behavior parity with glob_test.go's expected regexes:
+    nested ranges inside {}, and ** across hierarchy."""
+    import re
+
+    from m3_spark.graphite.paths import glob_to_regex
+
+    rx = glob_to_regex("foo.host.me{1,2,3}.*")
+    assert re.match(rx, "foo.host.me2.cpu")
+    assert not re.match(rx, "foo.host.me4.cpu")
+
+    rx = glob_to_regex("foo{0[3-9],1[0-9],20}")
+    for ok in ("foo04", "foo09", "foo15", "foo20"):
+        assert re.match(rx, ok), ok
+    for no in ("foo02", "foo21", "foo1"):
+        assert not re.match(rx, no), no
+
+    rx = glob_to_regex("foo.**.bar.baz")
+    assert re.match(rx, "foo.a.b.bar.baz")
+    assert re.match(rx, "foo.bar.baz")
+    assert not re.match(rx, "foo.a.b.bar.qux")
+
+    rx = glob_to_regex("bar.zed.whatever[0-9].*.*.bar")
+    assert re.match(rx, "bar.zed.whatever5.x.y.bar")
+    assert not re.match(rx, "bar.zed.whateverX.x.y.bar")
