@@ -103,3 +103,53 @@ def test_pack_invariants(spark, toks, budget):
     ).collect()
     assert sum(r.n_docs for r in summary) == len(toks)
     assert sum(r.tok_sum for r in summary) == sum(toks)
+
+
+# -- multi-resolution router invariants --------------------------------------
+
+@settings(max_examples=100, deadline=None)
+@given(
+    ns=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),      # resolution idx
+            st.integers(min_value=1, max_value=100),    # retention (hours)
+        ),
+        min_size=1, max_size=5,
+    ),
+    span=st.tuples(
+        st.integers(min_value=0, max_value=90),
+        st.integers(min_value=1, max_value=30),
+    ),
+)
+def test_route_partitions_range(ns, span):
+    """route() must (a) emit non-overlapping, ordered segments inside
+    [start, end], (b) choose the finest namespace alive at each
+    segment, (c) cover every instant some namespace retains."""
+    from m3_spark.plans.router import Namespace, route
+
+    H = 3600
+    namespaces = [
+        Namespace(f"ns{i}", res * 60, ret * H)
+        for i, (res, ret) in enumerate(ns)
+    ]
+    now = 100 * H
+    start = now - (span[0] + span[1]) * H
+    end = now - span[0] * H
+    segs = route(namespaces, start, end, now)
+
+    prev_end = start
+    for s in segs:
+        assert start <= s.start_s < s.end_s <= end
+        assert s.start_s >= prev_end  # ordered, non-overlapping
+        prev_end = s.end_s
+        # the chosen namespace is alive over the whole segment and no
+        # finer namespace is alive at its start
+        assert now - s.namespace.retention_s <= s.start_s
+        for n in namespaces:
+            if n.resolution_s < s.namespace.resolution_s:
+                assert now - n.retention_s > s.start_s
+    # coverage: every covered hour of [start, end] is inside a segment
+    alive_from = min(now - n.retention_s for n in namespaces)
+    t = max(start, alive_from)
+    covered = sum(s.end_s - s.start_s for s in segs)
+    assert covered == max(0, end - t)
