@@ -220,12 +220,19 @@ def evaluate(
         f = node.func
         args = node.args
         if f == "summarize":
+            interval = int(_dur_s(_lit(args[1])))
+            func = _lit(args[2]) if len(args) > 2 else "sum"
+            if not func:
+                func = "sum"  # summarize.go:41-43 empty fname default
+            # 4th arg alignToFrom=true ≡ smartSummarize
+            # (summarize.go:147-149)
+            if len(args) > 3 and bool(_lit(args[3])):
+                grid = ev(args[0], s, e)
+                return gf.smart_summarize(grid, interval, func, s)
             glob = args[0]
             if not isinstance(glob, GlobNode):
                 raise ValueError("summarize requires a series glob")
             raw = fetch_by_glob(samples, glob.glob)
-            interval = int(_dur_s(_lit(args[1])))
-            func = _lit(args[2]) if len(args) > 2 else "sum"
             return gf.summarize(raw, interval, func)
         if f == "smartSummarize":
             grid = ev(args[0], s, e)

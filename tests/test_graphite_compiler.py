@@ -126,3 +126,20 @@ def test_named_arguments_and_booleans(spark, gsamples):  # noqa: F811
         T0, T0 + 240, 60, 300,
     ).collect()
     assert sorted(map(str, a)) == sorted(map(str, b))
+
+
+def test_summarize_align_to_from(spark, gsamples):  # noqa: F811
+    """summarize(..., alignToFrom=true) ≡ smartSummarize
+    (summarize.go:147-149)."""
+    a = evaluate(
+        gsamples, 'summarize(servers.web01.cpu.user, "2min", "sum", true)',
+        T0 + 60, T0 + 240, 60,
+    ).collect()
+    b = evaluate(
+        gsamples, 'smartSummarize(servers.web01.cpu.user, "2min", "sum")',
+        T0 + 60, T0 + 240, 60,
+    ).collect()
+    assert sorted((r.step_ts, r.value) for r in a) == sorted(
+        (r.step_ts, r.value) for r in b
+    )
+    assert len(a) > 0
