@@ -36,6 +36,7 @@ def _safe_div(num: Column, den: Column) -> Column:
 _COMBINE = {
     "sum": F.sum,
     "avg": F.avg,
+    "average": F.avg,  # SafeAggregationFns carries both spellings
     "min": F.min,
     "max": F.max,
     "median": lambda c: F.percentile(c, F.lit(0.5)),
@@ -600,11 +601,23 @@ def time_slice(
 
 def _resample_agg(func: str, time_col: str) -> Column:
     """Per-time-bucket aggregate: ``last`` means last *in time* here
-    (the cross-series ``_COMBINE['last']`` keys on series order)."""
+    (the cross-series ``_COMBINE['last']`` keys on series order);
+    ``diff`` is first-in-time minus the sum of the rest, skipping
+    stale points (common.SafeDiff over a time-ordered bucket)."""
     if func in ("last", "current"):
         return F.expr(
             "max_by(value, CASE WHEN value IS NOT NULL "
             f"THEN unix_micros({time_col}) END)"
+        )
+    if func == "diff":
+        # first - sum(rest) = 2*first - sum, over non-null points
+        return (
+            F.lit(2.0)
+            * F.expr(
+                "min_by(value, CASE WHEN value IS NOT NULL "
+                f"THEN unix_micros({time_col}) END)"
+            )
+            - F.sum("value")
         )
     return _COMBINE[func](F.col("value"))
 

@@ -143,3 +143,21 @@ def test_summarize_align_to_from(spark, gsamples):  # noqa: F811
         (r.step_ts, r.value) for r in b
     )
     assert len(a) > 0
+
+
+def test_summarize_average_and_diff(spark, gsamples):  # noqa: F811
+    """SafeAggregationFns vocabulary: 'average' alias and 'diff'
+    (first-in-time minus the rest, stale points skipped)."""
+    avg = evaluate(
+        gsamples, 'summarize(servers.web01.cpu.user, "2min", "average")',
+        T0, T0 + 240, 60,
+    ).collect()
+    # web01 cpu.user = 10,11,12,13,14 → 2min epoch buckets avg
+    got = sorted(round(r.value, 6) for r in avg)
+    assert got == [10.5, 12.5, 14.0]
+    diff = evaluate(
+        gsamples, 'summarize(servers.web01.cpu.user, "2min", "diff")',
+        T0, T0 + 240, 60,
+    ).collect()
+    # diff per bucket: first - sum(rest): [10-11, 12-13, 14]
+    assert sorted(round(r.value, 6) for r in diff) == [-1.0, -1.0, 14.0]
