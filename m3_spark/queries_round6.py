@@ -466,6 +466,47 @@ SELECT doc_id, source, n_chars FROM (
 """
 
 
+def q_m3ql_macro_head(spark, sf_dir):
+    """M3QL macros (grammar.peg MacroDef) + head: a macro defines the
+    summed pipeline, the main pipeline keeps the top-2 series by
+    average."""
+    from .plans.m3ql import evaluate as m3ql_eval
+    from .queries_common import END, LOOKBACK_S, START, STEP_S
+
+    s = read_samples(spark, sf_dir)
+    out = m3ql_eval(
+        s,
+        "summed = fetch name:* | sum event_type; summed | head 2 average",
+        START, END, STEP_S, LOOKBACK_S,
+    )
+    return out.select(
+        F.unix_timestamp("step_ts").alias("step_s"),
+        F.col("tags").getItem("event_type").alias("event_type"),
+        F.round(F.col("value"), 6).alias("value"),
+    )
+
+
+def _m3ql_macro_oracle() -> str:
+    from .queries_common import _LASTV_SQL
+
+    return f"""{_LASTV_SQL},
+agg AS (
+  SELECT step_ts, event_type, SUM(v) AS v FROM lastv GROUP BY 1, 2
+),
+keep AS (
+  SELECT event_type FROM (
+    SELECT event_type, AVG(v) AS a FROM agg GROUP BY 1
+  ) QUALIFY row_number() OVER (ORDER BY a DESC, event_type) <= 2
+)
+SELECT CAST(epoch(step_ts) AS BIGINT) AS step_s, event_type,
+       ROUND(v, 6) AS value
+FROM agg JOIN keep USING (event_type)
+"""
+
+
+ORACLE_M3QL_MACRO_HEAD = _m3ql_macro_oracle()
+
+
 ROUND6_QUERIES = {
     "stream_rule_tag_filter": (
         q_stream_rule_tag_filter,
@@ -489,4 +530,5 @@ ROUND6_QUERIES = {
         ORACLE_DEDUP_KEEP_BEST,
     ),
     "sample_exact_k": (q_sample_exact_k, _ORACLE_SAMPLE_EXACT_K()),
+    "m3ql_macro_head": (q_m3ql_macro_head, ORACLE_M3QL_MACRO_HEAD),
 }
