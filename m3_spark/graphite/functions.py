@@ -493,19 +493,22 @@ def highest(grid: DataFrame, func: str, k: int) -> DataFrame:
     """highestAverage/highestCurrent/highestMax (and lowest* with
     negated rank): top-k series by summary stat."""
     stats = _series_stat(grid, func)
-    w = Window.orderBy(F.col("_stat").desc(), F.col("series_id"))
-    keep = stats.withColumn("_rk", F.row_number().over(w)).where(
-        F.col("_rk") <= k
-    ).select("series_id")
+    # orderBy+limit compiles to TakeOrderedAndProject: each partition
+    # keeps its own top-k, the driver merges — no single-partition
+    # window even when the series dictionary is large
+    keep = (
+        stats.orderBy(F.col("_stat").desc(), F.col("series_id"))
+        .limit(k).select("series_id")
+    )
     return grid.join(F.broadcast(keep), "series_id", "left_semi")
 
 
 def lowest(grid: DataFrame, func: str, k: int) -> DataFrame:
     stats = _series_stat(grid, func)
-    w = Window.orderBy(F.col("_stat").asc(), F.col("series_id"))
-    keep = stats.withColumn("_rk", F.row_number().over(w)).where(
-        F.col("_rk") <= k
-    ).select("series_id")
+    keep = (
+        stats.orderBy(F.col("_stat").asc(), F.col("series_id"))
+        .limit(k).select("series_id")
+    )
     return grid.join(F.broadcast(keep), "series_id", "left_semi")
 
 
@@ -790,10 +793,10 @@ def remove_above_percentile(grid: DataFrame, pct: float) -> DataFrame:
 def most_deviant(grid: DataFrame, k: int) -> DataFrame:
     """mostDeviant(k): top-k series by population variance."""
     stats = grid.groupBy("series_id").agg(F.var_pop("value").alias("_stat"))
-    w = Window.orderBy(F.col("_stat").desc(), F.col("series_id"))
-    keep = stats.withColumn("_rk", F.row_number().over(w)).where(
-        F.col("_rk") <= k
-    ).select("series_id")
+    keep = (
+        stats.orderBy(F.col("_stat").desc(), F.col("series_id"))
+        .limit(k).select("series_id")
+    )
     return grid.join(F.broadcast(keep), "series_id", "left_semi")
 
 

@@ -242,3 +242,23 @@ def test_ivf_train_assign_broadcasts_centroids(spark):
     plan = _plan(ivf_train(emb, 8, 1))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_graphite_topk_is_take_ordered(spark):
+    """highest/lowest/mostDeviant select series via orderBy+limit —
+    TakeOrderedAndProject (per-partition partial top-k, driver merge),
+    never a single-partition global Window over the stats frame."""
+    from m3_spark.graphite.functions import highest, lowest, most_deviant
+    from m3_spark.operators.consolidate import consolidate
+
+    s = make_samples(
+        spark, [("m", {"k": str(i)}, T0, float(i)) for i in range(8)]
+    )
+    g = consolidate(s, T0 + 60, T0 + 60, 60, 300)
+    for out in (highest(g, "average", 3), lowest(g, "max", 3), most_deviant(g, 3)):
+        plan = _plan(out)
+        assert "TakeOrderedAndProject" in plan
+        # no partition-less rank window over the stats frame (the only
+        # Window allowed is the consolidation kernel's per-series one)
+        assert "windowspecdefinition(_stat" not in plan
+        assert "_rk" not in plan
