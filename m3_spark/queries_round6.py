@@ -507,6 +507,55 @@ FROM agg JOIN keep USING (event_type)
 ORACLE_M3QL_MACRO_HEAD = _m3ql_macro_oracle()
 
 
+def q_stream_timer_ckms(spark, sf_dir):
+    """Timer percentiles through the CKMS biased-quantile sketch
+    (``quantile/cm/stream.go``) per (metric, 1h window).  Below the
+    sketch's compression threshold every sample is retained exactly
+    (g=1, Δ=0), so the emitted value is the sample at rank
+    ``floor(φn + εn)`` — a rule the oracle restates in SQL.  At driver
+    scale (≤10 samples/group at sf0.01, ~100 at sf0.1) the sketch never
+    compresses; the approximation regime is covered by
+    ``tests/test_ckms.py``'s 50k-value guarantee tests."""
+    from .sources.tables import read_table
+    from .streaming.aggregator import timer_quantiles_ckms
+
+    ev = read_table(spark, sf_dir, "events")
+    metrics = ev.select(
+        F.col("event_type").alias("metric_id"),
+        "ts",
+        F.col("value").cast("double").alias("value"),
+    )
+    out = timer_quantiles_ckms(metrics, resolution_s=3600)
+    return out.select(
+        F.col("metric_id").alias("event_type"),
+        F.unix_timestamp("window_start").alias("window_s"),
+        F.col("quantile").alias("q"),
+        F.round(F.col("value"), 6).alias("value"),
+    )
+
+
+ORACLE_STREAM_TIMER_CKMS = """
+WITH ranked AS (
+  -- window at µs precision: Spark's unix_timestamp FLOORS sub-second
+  -- timestamps, so the oracle floors too (epoch_us // hour_us)
+  SELECT event_type,
+         (epoch_us(ts) // 3600000000) * 3600 AS window_s,
+         CAST(value AS DOUBLE) AS value,
+         row_number() OVER (PARTITION BY event_type,
+                            epoch_us(ts) // 3600000000
+                            ORDER BY CAST(value AS DOUBLE)) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type,
+                        epoch_us(ts) // 3600000000) AS n
+  FROM events
+)
+SELECT event_type, window_s, CAST(qq.q AS DOUBLE) AS q,
+       ROUND(value, 6) AS value
+FROM ranked
+JOIN (VALUES (0.5), (0.95), (0.99)) AS qq(q)
+  ON rn = GREATEST(1, CAST(FLOOR(qq.q * n + 0.001 * n) AS BIGINT))
+"""
+
+
 ROUND6_QUERIES = {
     "stream_rule_tag_filter": (
         q_stream_rule_tag_filter,
@@ -531,4 +580,5 @@ ROUND6_QUERIES = {
     ),
     "sample_exact_k": (q_sample_exact_k, _ORACLE_SAMPLE_EXACT_K()),
     "m3ql_macro_head": (q_m3ql_macro_head, ORACLE_M3QL_MACRO_HEAD),
+    "stream_timer_ckms": (q_stream_timer_ckms, ORACLE_STREAM_TIMER_CKMS),
 }

@@ -38,7 +38,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -395,4 +397,94 @@ def counter_increase(metrics: DataFrame, watermark_s: int = 3600) -> DataFrame:
         .applyInPandasWithState(
             fn, _INC_OUT, _INC_STATE, "append", "NoTimeout"
         )
+    )
+
+
+_CKMS_OUT = StructType(
+    [
+        StructField("metric_id", StringType()),
+        StructField("window_start", TimestampType()),
+        StructField("quantile", DoubleType()),
+        StructField("value", DoubleType()),
+    ]
+)
+_CKMS_STATE = StructType(
+    [
+        StructField("values", ArrayType(DoubleType())),
+        StructField("gs", ArrayType(DoubleType())),
+        StructField("deltas", ArrayType(DoubleType())),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def timer_quantiles_ckms(
+    metrics: DataFrame,
+    resolution_s: int = 3600,
+    quantiles: Sequence[float] = (0.5, 0.95, 0.99),
+    eps: float = 1e-3,
+    watermark_s: int = 3600,
+) -> DataFrame:
+    """Timer percentiles through the actual CKMS biased-quantile sketch
+    the reference runs (``quantile/cm/stream.go``, eps per
+    ``cm/options.go:30``), keyed by (metric, tumbling window).
+
+    ``percentile_approx`` stays the default JVM-side tier
+    (``tumbling_aggregates``); this path exists for parity evidence and
+    for the truly stateful case — a sketch carried across micro-batches
+    in the state store, which ``percentile_approx`` (an aggregate, not
+    a state row) cannot express per-key incrementally.
+
+    Batch frames run the same sketch kernel under ``applyInPandas`` —
+    one shuffle on (metric_id, window), Arrow-batched, no driver math.
+    """
+    from .ckms import CKMS
+
+    qs = tuple(sorted(float(q) for q in quantiles))
+    win = (
+        (F.unix_timestamp("ts") / resolution_s).cast("long") * resolution_s
+    ).cast("timestamp")
+    keyed = metrics.withColumn("window_start", win)
+
+    def sketch_rows(metric_id, window_start, sk):
+        sk.flush()
+        return [
+            (metric_id, window_start, q, float(sk.quantile(q))) for q in qs
+        ]
+
+    if not metrics.isStreaming:
+
+        def batch_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            sk = CKMS(qs, eps=eps)
+            # stream order = sample time order, as at ingest
+            sk.add_batch(pdf.sort_values("ts")["value"].to_numpy())
+            return pd.DataFrame(
+                sketch_rows(pdf["metric_id"].iat[0], pdf["window_start"].iat[0], sk),
+                columns=["metric_id", "window_start", "quantile", "value"],
+            )
+
+        return keyed.groupBy("metric_id", "window_start").applyInPandas(
+            batch_fn, _CKMS_OUT
+        )
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        metric_id, window_start = key
+        if state.exists:
+            values, gs, deltas, n = state.get
+            sk = CKMS.from_state(values, gs, deltas, n, quantiles=qs, eps=eps)
+        else:
+            sk = CKMS(qs, eps=eps)
+        for pdf in pdfs:
+            sk.add_batch(pdf.sort_values("ts")["value"].to_numpy())
+        values, gs, deltas, n = sk.to_state()
+        state.update((list(values), list(gs), list(deltas), n))
+        yield pd.DataFrame(
+            sketch_rows(metric_id, window_start, sk),
+            columns=["metric_id", "window_start", "quantile", "value"],
+        )
+
+    return (
+        keyed.withWatermark("ts", f"{watermark_s} seconds")
+        .groupBy("metric_id", "window_start")
+        .applyInPandasWithState(fn, _CKMS_OUT, _CKMS_STATE, "append", "NoTimeout")
     )

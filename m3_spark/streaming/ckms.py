@@ -1,0 +1,220 @@
+"""Cormode–Muthukrishnan (CKMS) targeted-quantile sketch.
+
+The reference aggregates timer metrics with a biased-quantile stream
+sketch (``src/aggregator/aggregation/quantile/cm/stream.go``; algorithm
+note ``cm/doc.go:21-29`` — "Effective Computation of Biased Quantiles
+over Data Streams", Cormode, Korn, Muthukrishnan & Srivastava, ICDE'05)
+configured with eps=1e-3 and a 1024-element insertion buffer
+(``cm/options.go:30-32``).
+
+The Spark engine's default timer-percentile path stays JVM-side
+(``percentile_approx`` in streaming mode, exact ``percentile`` in batch
+— ``streaming/aggregator.py``); this module provides the *same
+guarantee the reference gives*: for each targeted quantile φ the
+returned value's rank r satisfies |r − φn| ≤ f(φn, n)/2 where
+
+    f(r, n) = min over targets φ of
+        2·eps·r/φ           if r ≥ φ·n
+        2·eps·(n−r)/(1−φ)   otherwise
+
+(the reference's ``threshold()`` at ``stream.go:404-424`` computes the
+same min). The sketch is implemented from the paper, not ported: a
+tuple-list ``(value, g, Δ)`` with buffered batch insertion and a
+single right-to-left compression walk, plus a ``to_state``/
+``from_state`` round-trip so it can live in a Structured-Streaming
+state store across micro-batches (``applyInPandasWithState``), which
+is where an approximate sketch — rather than the exact batch
+percentile — is actually required.
+
+``tests/test_ckms.py`` documents the accuracy delta between this
+sketch, ``percentile_approx``, and the exact quantile on the same
+stream — the comparison SURVEY §2.8 calls for.
+"""
+
+from __future__ import annotations
+
+import math
+
+__all__ = ["CKMS", "DEFAULT_EPS", "DEFAULT_COMPRESS_EVERY"]
+
+#: reference defaults: cm/options.go:30 (eps), :32 (insertAndCompressEvery)
+DEFAULT_EPS = 1e-3
+DEFAULT_COMPRESS_EVERY = 1024
+
+
+class CKMS:
+    """Targeted-quantile stream sketch.
+
+    ``quantiles`` is the target set (e.g. ``(0.5, 0.95, 0.99)``);
+    accuracy concentrates around the targets, so space stays
+    O((1/eps)·log(eps·n)) instead of the uniform sketch's O(n)·eps⁻¹
+    across the whole range.
+    """
+
+    __slots__ = ("quantiles", "eps", "compress_every", "_samples", "_buf", "n")
+
+    def __init__(
+        self,
+        quantiles=(0.5, 0.95, 0.99),
+        eps: float = DEFAULT_EPS,
+        compress_every: int = DEFAULT_COMPRESS_EVERY,
+    ):
+        self.quantiles = tuple(sorted(float(q) for q in quantiles))
+        if not self.quantiles or not all(0.0 < q < 1.0 for q in self.quantiles):
+            raise ValueError("quantile targets must be in (0, 1)")
+        self.eps = float(eps)
+        self.compress_every = int(compress_every)
+        self._samples: list[list] = []  # [value, g, delta], sorted by value
+        self._buf: list[float] = []
+        self.n = 0  # values inserted into the sorted structure
+
+    # -- invariant threshold ------------------------------------------------
+
+    def _f(self, rank: float) -> float:
+        n, e2 = self.n, 2.0 * self.eps
+        best = math.inf
+        for q in self.quantiles:
+            if rank >= q * n:
+                cand = e2 * rank / q
+            else:
+                cand = e2 * (n - rank) / (1.0 - q)
+            if cand < best:
+                best = cand
+        return best
+
+    # -- ingestion ----------------------------------------------------------
+
+    def add(self, value: float) -> None:
+        self._buf.append(float(value))
+        if len(self._buf) >= self.compress_every:
+            self._insert_compress()
+
+    def add_batch(self, values) -> None:
+        for v in values:
+            self._buf.append(float(v))
+            if len(self._buf) >= self.compress_every:
+                self._insert_compress()
+
+    def _insert_compress(self) -> None:
+        if self._buf:
+            self._insert()
+        self._compress()
+
+    def _insert(self) -> None:
+        """Merge the sorted buffer into the sample list in one walk.
+
+        A new item lands with g=1; its Δ is f(r)−1 at the insertion
+        rank (0 when it becomes the new min/max, so exact ends are
+        preserved — same end-point rule as the reference's insert)."""
+        incoming = sorted(self._buf)
+        self._buf.clear()
+        old = self._samples
+        merged: list[list] = []
+        rank = 0  # sum of g over samples already emitted
+        i = j = 0
+        while i < len(old) or j < len(incoming):
+            if j >= len(incoming) or (i < len(old) and old[i][0] <= incoming[j]):
+                s = old[i]
+                merged.append(s)
+                rank += s[1]
+                i += 1
+            else:
+                v = incoming[j]
+                j += 1
+                self.n += 1
+                if not merged or i >= len(old):
+                    # inserted at an end (current min / current max):
+                    # rank error must be 0, as in sequential insertion
+                    delta = 0.0
+                else:
+                    delta = max(math.floor(self._f(rank)) - 1, 0.0)
+                merged.append([v, 1.0, delta])
+                rank += 1
+        self._samples = merged
+
+    def _compress(self) -> None:
+        """Right-to-left merge of adjacent samples while the invariant
+        g_i + g_{i+1} + Δ_{i+1} ≤ f(r_i) holds (paper's COMPRESS)."""
+        s = self._samples
+        if len(s) < 3:
+            return
+        # precompute ranks (r_i = sum_{k<=i} g_k)
+        rank = 0.0
+        ranks = []
+        for smp in s:
+            rank += smp[1]
+            ranks.append(rank)
+        out_rev = [s[-1]]
+        i = len(s) - 2
+        while i >= 1:  # never merge the min (index 0)
+            cur, nxt = s[i], out_rev[-1]
+            if cur[1] + nxt[1] + nxt[2] <= self._f(ranks[i - 1]):
+                nxt[1] += cur[1]  # absorb g; value/Δ keep the survivor's
+            else:
+                out_rev.append(cur)
+            i -= 1
+        out_rev.append(s[0])
+        out_rev.reverse()
+        self._samples = out_rev
+
+    # -- queries ------------------------------------------------------------
+
+    def flush(self) -> None:
+        self._insert_compress()
+
+    def quantile(self, q: float) -> float:
+        self.flush()
+        if not self._samples:
+            return math.nan
+        if q <= 0.0:
+            return self._samples[0][0]
+        if q >= 1.0:
+            return self._samples[-1][0]
+        target = q * self.n
+        margin = self._f(target) / 2.0
+        rank = 0.0
+        prev = self._samples[0]
+        for smp in self._samples:
+            rank += smp[1]
+            if rank + smp[2] > target + margin:
+                break
+            prev = smp
+        return prev[0]
+
+    @property
+    def min(self) -> float:
+        self.flush()
+        return self._samples[0][0] if self._samples else math.nan
+
+    @property
+    def max(self) -> float:
+        self.flush()
+        return self._samples[-1][0] if self._samples else math.nan
+
+    def __len__(self) -> int:
+        return len(self._samples)
+
+    # -- state-store round-trip --------------------------------------------
+
+    def to_state(self) -> tuple[list, list, list, int]:
+        """Flat arrays + count — storable in an
+        ``applyInPandasWithState`` state row (array<double> columns)."""
+        self.flush()
+        return (
+            [s[0] for s in self._samples],
+            [s[1] for s in self._samples],
+            [s[2] for s in self._samples],
+            self.n,
+        )
+
+    @classmethod
+    def from_state(
+        cls, values, gs, deltas, n,
+        quantiles=(0.5, 0.95, 0.99),
+        eps: float = DEFAULT_EPS,
+        compress_every: int = DEFAULT_COMPRESS_EVERY,
+    ) -> "CKMS":
+        sk = cls(quantiles, eps, compress_every)
+        sk._samples = [[float(v), float(g), float(d)] for v, g, d in zip(values, gs, deltas)]
+        sk.n = int(n)
+        return sk

@@ -1,0 +1,145 @@
+"""CKMS targeted-quantile sketch: the guarantee the reference's timer
+aggregation gives (``src/aggregator/aggregation/quantile/cm/stream.go``,
+eps=1e-3 per ``cm/options.go:30``), plus the documented accuracy delta
+between the sketch, Spark's ``percentile_approx``, and the exact
+quantile — the SURVEY §2.8 comparison."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from m3_spark.streaming.ckms import CKMS
+
+TARGETS = (0.5, 0.95, 0.99)
+EPS = 1e-3
+
+
+def _rank_of(sorted_vals, v) -> int:
+    """number of stream values <= v (upper rank)."""
+    import bisect
+
+    return bisect.bisect_right(sorted_vals, v)
+
+
+def _f(rank, n, eps=EPS, targets=TARGETS):
+    best = math.inf
+    for q in targets:
+        if rank >= q * n:
+            best = min(best, 2 * eps * rank / q)
+        else:
+            best = min(best, 2 * eps * (n - rank) / (1 - q))
+    return best
+
+
+def _stream(n=50_000, seed=7):
+    rng = random.Random(seed)
+    # lognormal-ish latencies: heavy right tail, the regime the biased
+    # sketch is built for
+    return [math.exp(rng.gauss(3.0, 1.0)) for _ in range(n)]
+
+
+def test_ckms_rank_guarantee():
+    vals = _stream()
+    sk = CKMS(TARGETS, eps=EPS)
+    sk.add_batch(vals)
+    srt = sorted(vals)
+    n = len(vals)
+    for q in TARGETS:
+        est = sk.quantile(q)
+        rank = _rank_of(srt, est)
+        # the paper's guarantee: rank within f(phi*n, n)/2 of the target
+        # (+1 for the discrete upper-rank convention)
+        assert abs(rank - q * n) <= _f(q * n, n) / 2 + 1, (q, rank, q * n)
+
+
+def test_ckms_space_is_sublinear():
+    vals = _stream()
+    sk = CKMS(TARGETS, eps=EPS)
+    sk.add_batch(vals)
+    sk.flush()
+    # 50k inserts compress to a few hundred retained samples
+    assert len(sk) < 2_000
+
+
+def test_ckms_min_max_exact():
+    vals = _stream(n=10_000, seed=3)
+    sk = CKMS(TARGETS, eps=EPS)
+    sk.add_batch(vals)
+    assert sk.min == min(vals)
+    assert sk.max == max(vals)
+    assert sk.quantile(0.0) == min(vals)
+    assert sk.quantile(1.0) == max(vals)
+
+
+def test_ckms_state_roundtrip_matches_single_pass():
+    """to_state/from_state across a micro-batch boundary gives the same
+    answers as one continuous sketch — the property the streaming
+    state-store path depends on."""
+    vals = _stream(n=20_000, seed=11)
+    one = CKMS(TARGETS, eps=EPS)
+    one.add_batch(vals)
+
+    first = CKMS(TARGETS, eps=EPS)
+    first.add_batch(vals[:10_000])
+    state = first.to_state()
+    second = CKMS.from_state(*state, quantiles=TARGETS, eps=EPS)
+    second.add_batch(vals[10_000:])
+
+    srt, n = sorted(vals), len(vals)
+    for q in TARGETS:
+        for sk in (one, second):
+            rank = _rank_of(srt, sk.quantile(q))
+            assert abs(rank - q * n) <= _f(q * n, n) / 2 + 1
+
+
+def test_ckms_empty_and_tiny():
+    sk = CKMS(TARGETS, eps=EPS)
+    assert math.isnan(sk.quantile(0.5))
+    sk.add(42.0)
+    assert sk.quantile(0.5) == 42.0
+    sk2 = CKMS(TARGETS, eps=EPS)
+    sk2.add_batch([1.0, 2.0])
+    assert sk2.quantile(0.5) in (1.0, 2.0)
+
+
+@pytest.mark.usefixtures("spark")
+def test_accuracy_delta_vs_percentile_approx(spark):
+    """SURVEY §2.8: 'document accuracy delta vs CM'.  Same 50k-value
+    stream through (a) this CKMS sketch at the reference's eps=1e-3,
+    (b) percentile_approx at accuracy=10_000 (the streaming
+    aggregator's configured tier), (c) the exact quantile.  Both
+    approximations must sit within the CKMS rank bound; the assert
+    message records the observed deltas."""
+    vals = _stream()
+    srt, n = sorted(vals), len(vals)
+
+    sk = CKMS(TARGETS, eps=EPS)
+    sk.add_batch(vals)
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    row = df.agg(
+        *[
+            F.percentile_approx("value", F.lit(q), F.lit(10_000)).alias(f"q{i}")
+            for i, q in enumerate(TARGETS)
+        ]
+    ).first()
+
+    for i, q in enumerate(TARGETS):
+        exact = srt[min(int(math.ceil(q * n)) - 1, n - 1)]
+        ckms_v, pa_v = sk.quantile(q), row[f"q{i}"]
+        bound = _f(q * n, n) / 2 + 1
+        r_ckms = _rank_of(srt, ckms_v)
+        r_pa = _rank_of(srt, pa_v)
+        assert abs(r_ckms - q * n) <= bound, (
+            f"phi={q}: CKMS rank {r_ckms} vs target {q * n:.0f} "
+            f"(bound {bound:.1f}); value {ckms_v:.4f} vs exact {exact:.4f}"
+        )
+        assert abs(r_pa - q * n) <= bound, (
+            f"phi={q}: percentile_approx rank {r_pa} vs target {q * n:.0f} "
+            f"(bound {bound:.1f}); value {pa_v:.4f} vs exact {exact:.4f}"
+        )

@@ -300,3 +300,57 @@ def test_streaming_tag_filtered_rule(spark, tmp_path):
     got = spark.sql("SELECT * FROM t_rule_stream").collect()
     assert len(got) == 1
     assert got[0].agg_sum == 3.0 and got[0].agg_count == 2
+
+
+def test_timer_quantiles_ckms_batch(spark):
+    """Batch tier: CKMS sketch under applyInPandas per (metric, window)
+    agrees with the exact quantile on a small window (sketch is exact
+    below its compression threshold)."""
+    from m3_spark.streaming.aggregator import timer_quantiles_ckms
+
+    rows = [("m.timer", "timer", TA + i, float(i)) for i in range(100)]
+    df = _to_df(spark, rows)
+    out = timer_quantiles_ckms(df, resolution_s=3600)
+    got = {r["quantile"]: r["value"] for r in out.collect()}
+    assert got[0.5] in (49.0, 50.0)
+    assert got[0.95] in (94.0, 95.0)
+    assert got[0.99] in (98.0, 99.0)
+
+
+def test_timer_quantiles_ckms_streaming_state(spark, tmp_path):
+    """Sketch state carries across micro-batches: two files covering
+    one window; the final emitted row per quantile reflects BOTH
+    batches (values 0..49 then 50..99)."""
+    from m3_spark.streaming.aggregator import timer_quantiles_ckms
+
+    src = str(tmp_path / "qsrc")
+    rows1 = [("m.timer", "timer", TA + i, float(i)) for i in range(50)]
+    rows2 = [("m.timer", "timer", TA + 50 + i, float(50 + i)) for i in range(50)]
+    _to_df(spark, rows1).coalesce(1).write.parquet(src + "/f1")
+    _to_df(spark, rows2).coalesce(1).write.parquet(src + "/f2")
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src + "/*")
+    )
+    out = timer_quantiles_ckms(stream, resolution_s=3600)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_ckms")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM t_ckms").collect()
+    # append mode emits once per micro-batch; the emission that saw
+    # BOTH batches carries the full-window quantile (collect order is
+    # not contractual, so check membership per quantile)
+    seen: dict[float, set] = {}
+    for r in rows:
+        seen.setdefault(r["quantile"], set()).add(r["value"])
+    assert len(rows) == 6, rows  # 3 quantiles x 2 micro-batches
+    assert seen[0.5] & {49.0, 50.0}, seen
+    assert seen[0.95] & {94.0, 95.0}, seen
+    assert seen[0.99] & {98.0, 99.0}, seen
