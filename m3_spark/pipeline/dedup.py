@@ -29,25 +29,30 @@ def words_col(text: Column) -> Column:
     return F.split(text, " ")
 
 
-def shingles_col(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles, JVM-side (no explode, no UDF).
+def ngrams_col(text: Column, n: int = 3) -> Column:
+    """Word n-grams WITH multiplicity, JVM-side (no explode, no UDF).
 
     Built as arrays_zip of the n shifted suffix arrays + one concat_ws
     per zip entry: n slices total, instead of one slice + array_join
     PER output shingle (a per-element slice runs interpreted and
     allocates per shingle — measured 3× slower at 260k shingles).
-    Documents shorter than n words collapse to one whole-text shingle
+    Documents shorter than n words collapse to one whole-text gram
     (concat_ws skips the nulls arrays_zip pads with).
     """
     w = words_col(text)
     z = F.arrays_zip(
         *[F.slice(w, i + 1, F.greatest(F.size(w) - i, F.lit(0))) for i in range(n)]
     )
-    grams = F.transform(
+    return F.transform(
         F.slice(z, 1, F.greatest(F.size(w) - n + 1, F.lit(1))),
         lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)]),
     )
-    return F.array_distinct(grams)
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (MinHash input): ``ngrams_col``
+    deduplicated."""
+    return F.array_distinct(ngrams_col(text, n))
 
 
 # -- exact dedup -------------------------------------------------------------

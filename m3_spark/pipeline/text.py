@@ -135,3 +135,115 @@ def fingerprint(
         lambda a, w: (a * F.lit(31).cast("long") + wv(w)) % F.lit(1_000_000_007).cast("long"),
     )
     return docs.select(F.col(id_col), acc.alias("fingerprint"))
+
+
+def repetition_signals(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 2,
+    dup_n: int = 5,
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    "Scaling Language Models: … Gopher", App. A1.1 repetition filters),
+    the standard pre-training heuristics for boilerplate/spam removal:
+
+      * ``dup_word_frac``       — 1 − distinct words / words;
+      * ``dup_line_frac``       — fraction of non-empty lines that are
+        repeats of an earlier identical line;
+      * ``dup_line_char_frac``  — fraction of characters on those lines;
+      * ``top_ngram_char_frac`` — characters covered by the most
+        frequent word ``top_n``-gram / total characters (ties broken
+        toward more covered characters, then the lexicographically
+        larger gram — the oracle restates the same order);
+      * ``dup_ngram_char_frac`` — characters covered by all duplicated
+        ``dup_n``-grams / total characters, capped at 1 (the paper's
+        overlap-unaware approximation).
+
+    Shape: word/line signals are pure column expressions; the n-gram
+    signals are one explode + two hash aggregates keyed by (doc, gram)
+    then doc — fully map-side-combinable, no per-doc state, so the
+    plan is row-count-bound at 100 TB exactly like ``corpus_ngram``.
+    """
+    from .dedup import ngrams_col, words_col
+
+    text = F.col(text_col)
+    words = words_col(text)
+    lines = F.filter(F.split(text, "\n"), lambda l: F.length(F.trim(l)) > 0)
+    n_lines = F.size(lines)
+    n_chars = F.length(text)
+    dup_lines = n_lines - F.size(F.array_distinct(lines))
+    # chars on duplicated lines: total line chars minus one copy of
+    # each distinct line's chars
+    line_chars = F.aggregate(
+        lines, F.lit(0), lambda acc, l: acc + F.length(l)
+    )
+    uniq_line_chars = F.aggregate(
+        F.array_distinct(lines), F.lit(0), lambda acc, l: acc + F.length(l)
+    )
+
+    def safe_div(num, den):
+        return F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))
+
+    base = docs.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        safe_div(F.size(words) - F.size(F.array_distinct(words)), F.size(words)).alias(
+            "dup_word_frac"
+        ),
+        safe_div(dup_lines, n_lines).alias("dup_line_frac"),
+        safe_div(line_chars - uniq_line_chars, line_chars).alias(
+            "dup_line_char_frac"
+        ),
+    )
+
+    def gram_cover(n: int, mode: str) -> DataFrame:
+        counts = (
+            docs.select(F.col(id_col), F.explode(ngrams_col(text, n)).alias("gram"))
+            .groupBy(id_col, "gram")
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("covered", F.col("cnt") * F.length("gram"))
+        )
+        if mode == "top":
+            # most frequent gram; ties toward more covered chars, then
+            # the larger gram string (max of the struct)
+            agg = counts.groupBy(id_col).agg(
+                F.max(F.struct("cnt", "covered", "gram"))["covered"].alias(
+                    "_cov"
+                )
+            )
+        else:
+            agg = (
+                counts.where(F.col("cnt") >= 2)
+                .groupBy(id_col)
+                .agg(F.sum("covered").alias("_cov"))
+            )
+        return agg
+
+    top = gram_cover(top_n, "top").withColumnRenamed("_cov", "_top_cov")
+    dup = gram_cover(dup_n, "dup").withColumnRenamed("_cov", "_dup_cov")
+    return (
+        base.join(top, id_col, "left")
+        .join(dup, id_col, "left")
+        .select(
+            id_col,
+            "dup_word_frac",
+            "dup_line_frac",
+            "dup_line_char_frac",
+            F.when(
+                F.col("n_chars") > 0,
+                F.coalesce(F.col("_top_cov"), F.lit(0)).cast("double")
+                / F.col("n_chars"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_ngram_char_frac"),
+            F.least(
+                F.lit(1.0),
+                F.when(
+                    F.col("n_chars") > 0,
+                    F.coalesce(F.col("_dup_cov"), F.lit(0)).cast("double")
+                    / F.col("n_chars"),
+                ).otherwise(F.lit(0.0)),
+            ).alias("dup_ngram_char_frac"),
+        )
+    )

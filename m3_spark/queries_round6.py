@@ -556,6 +556,85 @@ JOIN (VALUES (0.5), (0.95), (0.99)) AS qq(q)
 """
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals over documents: word,
+    line, top-2-gram, and duplicated-5-gram repetition fractions
+    (Rae et al. 2021 App. A1.1 — the standard pre-training filters)."""
+    from .pipeline.text import repetition_signals
+    from .sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = repetition_signals(docs, top_n=2, dup_n=5)
+    return out.select(
+        "doc_id",
+        F.round("dup_word_frac", 6).alias("dup_word_frac"),
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("top_ngram_char_frac", 6).alias("top2_frac"),
+        F.round("dup_ngram_char_frac", 6).alias("dup5_frac"),
+    )
+
+
+ORACLE_TEXT_REPETITION = """
+WITH w AS (
+  SELECT doc_id, len(text) AS n_chars, string_split(text, ' ') AS ws,
+         list_filter(string_split(text, chr(10)),
+                     l -> len(trim(l)) > 0) AS lines
+  FROM documents
+),
+base AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN len(ws) > 0
+              THEN CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE) / len(ws)
+              ELSE 0.0 END AS dup_word_frac,
+         CASE WHEN len(lines) > 0
+              THEN CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                   / len(lines)
+              ELSE 0.0 END AS dup_line_frac
+  FROM w
+),
+g2 AS (
+  SELECT doc_id, n_chars,
+         unnest(CASE WHEN len(ws) >= 2
+                THEN list_transform(range(1, len(ws)),
+                                    i -> ws[i] || ' ' || ws[i+1])
+                ELSE [array_to_string(ws, ' ')] END) AS gram
+  FROM w
+),
+top2 AS (
+  SELECT doc_id,
+         CAST(COUNT(*) * len(gram) AS DOUBLE) / ANY_VALUE(n_chars) AS frac
+  FROM g2 GROUP BY doc_id, gram
+  QUALIFY row_number() OVER (
+    PARTITION BY doc_id
+    ORDER BY COUNT(*) DESC, COUNT(*) * len(gram) DESC, gram DESC) = 1
+),
+g5 AS (
+  SELECT doc_id, n_chars,
+         unnest(CASE WHEN len(ws) >= 5
+                THEN list_transform(range(1, len(ws) - 3),
+                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                          || ' ' || ws[i+3] || ' ' || ws[i+4])
+                ELSE [array_to_string(ws, ' ')] END) AS gram
+  FROM w
+),
+dup5 AS (
+  SELECT doc_id, LEAST(1.0, SUM(frac)) AS frac FROM (
+    SELECT doc_id, gram,
+           CAST(COUNT(*) * len(gram) AS DOUBLE) / ANY_VALUE(n_chars) AS frac
+    FROM g5 GROUP BY doc_id, gram HAVING COUNT(*) >= 2
+  ) GROUP BY doc_id
+)
+SELECT b.doc_id,
+       ROUND(b.dup_word_frac, 6) AS dup_word_frac,
+       ROUND(b.dup_line_frac, 6) AS dup_line_frac,
+       ROUND(COALESCE(t.frac, 0.0), 6) AS top2_frac,
+       ROUND(COALESCE(d.frac, 0.0), 6) AS dup5_frac
+FROM base b
+LEFT JOIN top2 t USING (doc_id)
+LEFT JOIN dup5 d USING (doc_id)
+"""
+
+
 ROUND6_QUERIES = {
     "stream_rule_tag_filter": (
         q_stream_rule_tag_filter,
@@ -581,4 +660,5 @@ ROUND6_QUERIES = {
     "sample_exact_k": (q_sample_exact_k, _ORACLE_SAMPLE_EXACT_K()),
     "m3ql_macro_head": (q_m3ql_macro_head, ORACLE_M3QL_MACRO_HEAD),
     "stream_timer_ckms": (q_stream_timer_ckms, ORACLE_STREAM_TIMER_CKMS),
+    "text_repetition": (q_text_repetition, ORACLE_TEXT_REPETITION),
 }

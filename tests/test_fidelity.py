@@ -232,3 +232,41 @@ def test_ivf_full_probe_equals_brute_force(spark):
     # uniform on the sphere (no cluster structure), which is IVF's
     # adversarial case — demand nontrivial recall, not equality
     assert len(part & exact) / len(exact) > 0.3
+
+
+def test_repetition_signals_hand_computed(spark):
+    """Gopher repetition signals on a hand-computable multi-line doc."""
+    from m3_spark.pipeline.text import repetition_signals
+
+    #         words: a b a b c  -> 5 words, 3 distinct -> dup_word 2/5
+    # lines: "x", "y", "x", ""  -> 3 non-empty, 2 distinct -> dup 1/3
+    #   line chars: 3, uniq 2 -> dup_line_char 1/3
+    doc1 = ("a b a b c", "x\ny\nx\n")
+    rows = [("d1", doc1[0]), ("d2", doc1[1])]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+
+    r1 = out["d1"]
+    assert abs(r1["dup_word_frac"] - 2 / 5) < 1e-9
+    assert r1["dup_line_frac"] == 0.0  # single line
+    # 2-grams: "a b" x2, "b a" x1, "b c" x1 -> top covers 2*3=6 chars / 9
+    assert abs(r1["top_ngram_char_frac"] - 6 / 9) < 1e-9
+    # 5-grams: only one ("a b a b c") -> no duplicates
+    assert r1["dup_ngram_char_frac"] == 0.0
+
+    r2 = out["d2"]
+    assert abs(r2["dup_line_frac"] - 1 / 3) < 1e-9
+    assert abs(r2["dup_line_char_frac"] - 1 / 3) < 1e-9
+
+
+def test_repetition_signals_degenerate_doc(spark):
+    """A maximally repetitive doc saturates the dup-5-gram fraction."""
+    from m3_spark.pipeline.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [("spam", "buy now " * 50)], "doc_id string, text string"
+    )
+    r = repetition_signals(df).collect()[0]
+    assert r["dup_word_frac"] > 0.9
+    assert r["dup_ngram_char_frac"] == 1.0  # capped
+    assert r["top_ngram_char_frac"] > 0.4
