@@ -156,3 +156,54 @@ def compact_namespace(
     return len(
         [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
     )
+
+
+def write_namespace_bucketed(
+    samples: DataFrame,
+    table: str,
+    path: str,
+    bucket_count: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Catalog-recorded BUCKETED namespace table: hash(series_id) →
+    fixed bucket files, each sorted by (series_id, ts).
+
+    This is the co-location strategy for 100 TB: the reference places
+    series on shards by id hash (``src/cluster/shard``,
+    ``sharding/shardset.go``) so per-series work never crosses nodes;
+    Spark's table bucketing records the same hash distribution in the
+    catalog, so every join or aggregation keyed on ``series_id``
+    between same-bucket-count tables — vector matching between two
+    fetches, rollup-vs-raw stitching, per-series temporal kernels —
+    skips its shuffle entirely (the scan already satisfies the
+    required hash distribution), and the per-bucket sort makes
+    (series_id, ts) window kernels sort-free.
+
+    ``write_namespace`` (plain parquet, file-level clustering only)
+    remains for path-addressed tables; this variant needs a catalog
+    entry (saveAsTable) because bucket metadata lives there.
+    """
+    (
+        samples.withColumn("date_bucket", F.to_date(F.col("ts")))
+        .write.format("parquet")
+        .mode(mode)
+        .partitionBy("date_bucket")
+        .bucketBy(bucket_count, "series_id")
+        .sortBy("series_id", "ts")
+        .option("path", path)
+        .saveAsTable(table)
+    )
+
+
+def read_namespace_bucketed(
+    spark: SparkSession, table: str, start=None, end=None
+) -> DataFrame:
+    """Read a bucketed namespace table with date partition pruning;
+    the returned frame carries the bucket distribution (visible as the
+    absence of Exchange under series_id-keyed operators)."""
+    df = spark.table(table)
+    if start is not None:
+        df = df.where(F.col("date_bucket") >= F.to_date(F.lit(start)))
+    if end is not None:
+        df = df.where(F.col("date_bucket") <= F.to_date(F.lit(end)))
+    return df.drop("date_bucket")

@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from m3_spark.sources.namespace import read_namespace, write_namespace
 
 from .conftest import make_samples
@@ -96,3 +98,50 @@ def test_compact_namespace(spark, tmp_path):
     # pruned reads still work after the rewrite
     pruned = read_namespace(spark, path, start=day, end=day)
     assert pruned.count() == 200
+
+
+def test_bucketed_namespace_join_and_agg_skip_shuffle(spark, tmp_path):
+    """Bucketed tables co-locate series: a series_id equi-join between
+    two same-bucket-count namespace tables and a series_id aggregation
+    both run WITHOUT a shuffle exchange — the property that makes
+    vector matching and per-series kernels scale linearly at 100 TB."""
+    from m3_spark.sources.namespace import (
+        read_namespace_bucketed,
+        write_namespace_bucketed,
+    )
+
+    rows = [
+        ("m", {"k": str(i % 5)}, T0 + 60 * j, float(i + j))
+        for i in range(10)
+        for j in range(4)
+    ]
+    samples = make_samples(spark, rows)
+    write_namespace_bucketed(samples, "t_ns_a", str(tmp_path / "a"), 4)
+    write_namespace_bucketed(samples, "t_ns_b", str(tmp_path / "b"), 4)
+    try:
+        a = read_namespace_bucketed(spark, "t_ns_a").select(
+            "series_id", "ts", "value"
+        )
+        b = read_namespace_bucketed(spark, "t_ns_b").select(
+            "series_id", F.col("value").alias("v2")
+        ).groupBy("series_id").agg(F.sum("v2").alias("v2"))
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = a.join(b, "series_id")
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan
+            assert j.count() == len(rows)
+
+            agg = read_namespace_bucketed(spark, "t_ns_a").groupBy(
+                "series_id"
+            ).agg(F.sum("value").alias("s"))
+            aplan = agg._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in aplan, aplan
+            assert agg.count() == 5  # 5 distinct series (k = i % 5)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ns_a")
+        spark.sql("DROP TABLE IF EXISTS t_ns_b")
