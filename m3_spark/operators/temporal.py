@@ -383,28 +383,37 @@ def _holt_winters_kernel(
 
 def holt_winters(
     samples: DataFrame, range_s: float, start, end, step_s: float,
-    sf: float, tf: float,
+    sf: float, tf: float, assume_clustered: bool = False,
 ) -> DataFrame:
     """holt_winters via the shared mapInPandas series runner."""
     return _run_series_kernel(
         samples, range_s, start, end, step_s,
         lambda t, v, st, r: _holt_winters_kernel(t, v, st, r, sf, tf),
+        assume_clustered=assume_clustered,
     )
 
 
 def rate(
-    samples: DataFrame, kind: str, range_s: float, start, end, step_s: float
+    samples: DataFrame, kind: str, range_s: float, start, end, step_s: float,
+    assume_clustered: bool = False,
 ) -> DataFrame:
-    """rate/increase/delta/irate/idelta (v[range]) on the step grid."""
+    """rate/increase/delta/irate/idelta (v[range]) on the step grid.
+
+    ``assume_clustered=True`` declares the input already series-
+    disjoint across partitions (a bucketed namespace table scan —
+    ``write_namespace_bucketed``): the kernel then skips its
+    repartition shuffle and only sorts within partitions."""
     kernel = _instant_kernel if kind in ("irate", "idelta") else _rate_kernel
     return _run_series_kernel(
         samples, range_s, start, end, step_s,
         lambda t, v, st, r: kernel(t, v, st, r, kind),
+        assume_clustered=assume_clustered,
     )
 
 
 def _run_series_kernel(
-    samples: DataFrame, range_s: float, start, end, step_s: float, kernel
+    samples: DataFrame, range_s: float, start, end, step_s: float, kernel,
+    assume_clustered: bool = False,
 ) -> DataFrame:
     """Shared mapInPandas runner: per-series numpy kernel evaluated at
     the step grid (see rate() docstring for the batching strategy)."""
@@ -471,12 +480,27 @@ def _run_series_kernel(
         if buf is not None and len(buf):
             yield run_chunk(buf)
 
-    res = (
-        pruned.select("series_id", "ts", "value")
-        .repartition("series_id")
-        .sortWithinPartitions("series_id", "ts")
-        .mapInPandas(fn, "series_id string, step_ts timestamp, value double")
-    )
+    clustered = pruned.select("series_id", "ts", "value")
+    out_schema = "series_id string, step_ts timestamp, value double"
+    if assume_clustered:
+        # Bucketed namespace table input (write_namespace_bucketed):
+        # applyInPandas DECLARES the per-series distribution
+        # requirement, which the bucketed scan already satisfies, so
+        # the planner elides the exchange — verified by plan test.
+        # (A bare mapInPandas skip would be unsound: the file scan
+        # packs/splits bucket files with no distribution contract.)
+        def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
+            return run_chunk(pdf.sort_values("ts"))
+
+        res = clustered.groupBy("series_id").applyInPandas(
+            per_series, out_schema
+        )
+    else:
+        res = (
+            clustered.repartition("series_id")
+            .sortWithinPartitions("series_id", "ts")
+            .mapInPandas(fn, out_schema)
+        )
     dims = pruned.groupBy("series_id").agg(
         F.first("name").alias("name"), F.first("tags").alias("tags")
     )

@@ -185,6 +185,10 @@ def write_namespace_bucketed(
     """
     (
         samples.withColumn("date_bucket", F.to_date(F.col("ts")))
+        # pre-shuffle onto the bucket key: without this every input
+        # task writes its own file per bucket (tasks × buckets small
+        # files); with it each bucket is one file per date partition
+        .repartition(bucket_count, F.col("series_id"))
         .write.format("parquet")
         .mode(mode)
         .partitionBy("date_bucket")

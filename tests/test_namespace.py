@@ -145,3 +145,44 @@ def test_bucketed_namespace_join_and_agg_skip_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_ns_a")
         spark.sql("DROP TABLE IF EXISTS t_ns_b")
+
+
+def test_rate_over_bucketed_table_is_shuffle_free(spark, tmp_path):
+    """The rate kernel over a bucketed namespace table with
+    assume_clustered=True: no Exchange in the plan (the bucketed scan
+    is already series-disjoint), and results identical to the default
+    shuffled path."""
+    from m3_spark.operators.temporal import rate
+    from m3_spark.sources.namespace import (
+        read_namespace_bucketed,
+        write_namespace_bucketed,
+    )
+
+    rows = [
+        ("m", {"k": str(i)}, T0 + 30 * j, float(j * (i + 1)))
+        for i in range(6)
+        for j in range(20)
+    ]
+    samples = make_samples(spark, rows)
+    write_namespace_bucketed(samples, "t_ns_rate", str(tmp_path / "nsr"), 4)
+    try:
+        bucketed = read_namespace_bucketed(spark, "t_ns_rate")
+        fast = rate(
+            bucketed, "rate", 300, T0 + 300, T0 + 600, 60,
+            assume_clustered=True,
+        )
+        plan = fast._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning(series_id" not in plan, plan
+
+        slow = rate(samples, "rate", 300, T0 + 300, T0 + 600, 60)
+        a = sorted(
+            (r["series_id"], r["step_ts"], round(r["value"], 9))
+            for r in fast.collect()
+        )
+        b = sorted(
+            (r["series_id"], r["step_ts"], round(r["value"], 9))
+            for r in slow.collect()
+        )
+        assert a == b and len(a) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ns_rate")
