@@ -138,6 +138,34 @@ def main() -> None:
             F.sum("value")
         )
 
+    def q_rate_sum_bucketed(_):
+        # same query over a BUCKETED namespace table: the kernel's
+        # repartition shuffle is elided (applyInPandas distribution
+        # satisfied by the bucketed scan).  First call pays the one-off
+        # table write; min-of-2 keeps the steady-state query time.
+        from m3_spark.sources.namespace import (
+            read_namespace_bucketed,
+            write_namespace_bucketed,
+        )
+
+        tbl = "scale_ns_bucketed"
+        if not spark.catalog.tableExists(tbl):
+            write_namespace_bucketed(
+                samples, tbl, os.path.join(SCRATCH, "ns_bucketed"), 32
+            )
+        # date pruning must cover the range-vector lookback: the 6h
+        # window of the first step reaches into the previous day
+        b = read_namespace_bucketed(
+            spark, tbl, start="2023-12-31", end="2024-01-02"
+        )
+        r = rate(
+            b, "rate", 6 * 3600, T0, "2024-01-02 00:00:00", 60,
+            assume_clustered=True,
+        )
+        return r.groupBy("step_ts", F.col("tags").getItem("event_type")).agg(
+            F.sum("value")
+        )
+
     def q_topk(_):
         g = consolidate_sparse(samples, T0, end_7d, 3600, 300)
         return topk(g, 10)
@@ -191,6 +219,7 @@ def main() -> None:
     for name, fn in {
         "sum_by_7d_1h": q_sum_by,
         "rate_sum_24h_1m": q_rate_sum,
+        "rate_sum_24h_bucketed": q_rate_sum_bucketed,
         "topk_7d_1h": q_topk,
         "sum_over_time_24h": q_over_time,
         "dedup_lsh": q_dedup_lsh,
@@ -214,6 +243,7 @@ def main() -> None:
         )
     )
     if not args.keep:
+        spark.sql("DROP TABLE IF EXISTS scale_ns_bucketed")
         shutil.rmtree(SCRATCH, ignore_errors=True)
 
 
