@@ -1161,16 +1161,34 @@ def dashed(grid: DataFrame, dash_len: float = 5.0) -> DataFrame:
 
 
 def scale_to_seconds(grid: DataFrame, seconds: float, step_s: float) -> DataFrame:
-    """scaleToSeconds(seriesList, seconds): value × seconds/step
-    (builtin_functions.go:494)."""
+    """scaleToSeconds(seriesList, seconds): value × seconds/step, name
+    wrapped as ``scaleToSeconds(name,N)`` (builtin_functions.go:494-511;
+    golden values TestScaleToSeconds)."""
     return grid.withColumn(
         "value", F.col("value") * F.lit(float(seconds) / float(step_s))
+    ).withColumn(
+        "name",
+        F.concat(
+            F.lit("scaleToSeconds("), F.col("name"),
+            F.lit(f",{int(seconds)})"),
+        ),
     )
 
 
 def round_function(grid: DataFrame, precision: int = 0) -> DataFrame:
-    """roundFunction (builtin_functions.go:617)."""
-    return grid.withColumn("value", F.round(F.col("value"), int(precision)))
+    """roundFunction: half-away-from-zero at ``precision`` decimals
+    (negative = tens/hundreds), NaN pass-through, name wrapped with the
+    precision omitted when 0 (builtin_functions.go:617-642, roundTo
+    :1046; golden values TestRoundFunction)."""
+    p = int(precision)
+    wrapped = (
+        F.concat(F.lit("roundFunction("), F.col("name"), F.lit(")"))
+        if p == 0
+        else F.concat(F.lit("roundFunction("), F.col("name"), F.lit(f",{p})"))
+    )
+    return grid.withColumn(
+        "value", F.round(F.col("value"), p)
+    ).withColumn("name", wrapped)
 
 
 def substr_name(grid: DataFrame, start: int = 0, stop: int = 0) -> DataFrame:

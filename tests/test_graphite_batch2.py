@@ -270,7 +270,10 @@ def test_name_decorations(spark, ggrid):  # noqa: F811
 
 def test_scale_to_seconds_and_round(spark, ggrid):  # noqa: F811
     out = gf.scale_to_seconds(ggrid, 1, 60)
-    r = out.where(F.col("name") == "servers.web01.cpu.user").collect()
+    # names are wrapped per the reference (builtin_functions.go:503)
+    r = out.where(
+        F.col("name") == "scaleToSeconds(servers.web01.cpu.user,1)"
+    ).collect()
     assert min(x["value"] for x in r) == pytest.approx(10.0 / 60.0)
     rf = gf.round_function(out, 2)
     assert all(

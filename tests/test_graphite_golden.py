@@ -512,3 +512,69 @@ def test_division_by_zero_yields_null(spark):
     assert inv == [None, 0.5]
     with pytest.raises(ValueError, match="exactly one"):
         gf.divide_series(g, _grid_df(spark, {"d1": [1.0], "d2": [1.0]}))
+
+
+def test_round_function_golden(spark):
+    """TestRoundFunction (builtin_functions_test.go:1399): half away
+    from zero at each precision, NaN pass-through, name wrap drops the
+    precision argument when 0."""
+    cases = [
+        ([111.1, None, 111.11, None, 111.111],
+         [110.0, None, 110.0, None, 110.0], "roundFunction(foo,-1)", -1),
+        ([1.1, None, 1.11, None, 1.111],
+         [1.0, None, 1.0, None, 1.0], "roundFunction(foo)", 0),
+        ([1.1, None, 1.11, None, 1.111],
+         [1.1, None, 1.1, None, 1.1], "roundFunction(foo,1)", 1),
+        ([1.1, None, 1.11, None, 1.111],
+         [1.1, None, 1.11, None, 1.11], "roundFunction(foo,2)", 2),
+    ]
+    for inputs, outputs, out_name, precision in cases:
+        g = _grid_df(spark, {"foo": inputs})
+        rows = gf.round_function(g, precision).collect()
+        got = _vals_by_step(rows)
+        for i, want in enumerate(outputs):
+            if want is None:
+                assert i not in got or got[i] is None
+            else:
+                assert got[i] == pytest.approx(want), (precision, i)
+        assert {r["name"] for r in rows} == {out_name}
+
+
+def test_scale_to_seconds_golden(spark):
+    """TestScaleToSeconds (builtin_functions_test.go:2299): value ×
+    seconds/step for 1s/0.5s/5s steps, name wrapped with seconds."""
+    vals = [1000.0, 2000.0, 3000.0, 4000.0, 5000.0]
+    for step_s, expected in [
+        (1.0, [2000.0, 4000.0, 6000.0, 8000.0, 10000.0]),
+        (0.5, [4000.0, 8000.0, 12000.0, 16000.0, 20000.0]),
+        (5.0, [400.0, 800.0, 1200.0, 1600.0, 2000.0]),
+    ]:
+        g = _grid_df(spark, {"<values>": vals})
+        rows = gf.scale_to_seconds(g, 2, step_s).collect()
+        got = _vals_by_step(rows)
+        for i, want in enumerate(expected):
+            assert got[i] == pytest.approx(want), (step_s, i)
+        assert {r["name"] for r in rows} == {"scaleToSeconds(<values>,2)"}
+
+
+def test_effective_xff_golden(spark):
+    """TestEffectiveXFilesFactor (builtin_functions_test.go:3951):
+    (present / window) >= xff keeps the window.  Driven through
+    movingSum with a 10-step window over a series with exactly
+    `present` non-null points in the window."""
+    def window_survives(present: int, xff: float) -> bool:
+        # 10 bootstrap steps with `present` non-nulls, then the probe
+        vals = [1.0] * present + [None] * (10 - present) + [0.0]
+        g = _grid_df(spark, {"s": vals})
+        rows = gf.moving_sum(g, 10, xff=xff).collect()
+        got = _vals_by_step(rows)
+        return 10 in got and got[10] is not None
+
+    # require.True rows: (total=10, missing, xff)
+    assert window_survives(10 - 9, 0.0)
+    assert window_survives(10 - 4, 0.5)
+    assert window_survives(10 - 0, 1.0)
+    # require.False rows
+    assert not window_survives(10 - 10, 0.1)
+    assert not window_survives(10 - 6, 0.5)
+    assert not window_survives(10 - 1, 1.0)
