@@ -578,3 +578,45 @@ def test_effective_xff_golden(spark):
     assert not window_survives(10 - 10, 0.1)
     assert not window_survives(10 - 6, 0.5)
     assert not window_survives(10 - 1, 1.0)
+
+
+def test_highest_current_with_nan_series_golden(spark):
+    """TestHighestCurrentWithNaNSeries (builtin_functions_test.go:1784):
+    'current' is the LAST NON-NaN value (trailing NaNs skipped), so the
+    ranking is foo(4) > quux(-2) > bar(-8).  The reference appends the
+    all-NaN series last at k=4; in grid form an all-NaN series has no
+    rows at all (stale convention) and simply cannot appear — the k≤3
+    prefix, which is the value-bearing part, matches exactly."""
+    series = {
+        "foo": [0.0, 601.0, 3.0, 4.0],
+        "bar": [500.0, -8.0],
+        "quux": [100.0, 50000.0, 888.0, -1.0, -2.0, None],
+        "allNaN": [None, None],
+    }
+    g = _grid_df(spark, series)
+    for k, want in [(0, set()), (1, {"foo"}), (2, {"foo", "quux"}),
+                    (3, {"foo", "quux", "bar"})]:
+        got = {r["name"] for r in gf.highest(g, "current", k).collect()}
+        assert got == want, k
+
+
+def test_limit_without_sort_is_stable_golden(spark):
+    """TestLimitSortStable (builtin_functions_test.go:3251): limit on
+    an UNSORTED series list picks the same series regardless of input
+    row order (our contract: deterministic series_id order)."""
+    vals = [1.0, 2.0, 3.0, 4.0]
+    names = ["qux", "bar", "foo", "baz"]
+    import random
+
+    orders = []
+    rng = random.Random(5)
+    for _ in range(4):
+        shuffled = names[:]
+        rng.shuffle(shuffled)
+        g = _grid_df(spark, {n: vals for n in shuffled})
+        kept = sorted(
+            {r["name"] for r in gf.limit_series(g, 2).collect()}
+        )
+        orders.append(kept)
+    assert all(o == orders[0] for o in orders)
+    assert orders[0] == ["bar", "baz"]  # deterministic lexicographic
