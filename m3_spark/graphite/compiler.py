@@ -327,6 +327,14 @@ def evaluate(
                 }[f]
                 xff = float(_lit(args[2])) if len(args) > 2 else 0.0
                 out = fn(grid, n, xff)
+            # rename per the reference: movingSum(name,"10min") /
+            # movingAverage(name,3) — %q for the duration form, %d for
+            # the count form (builtin_functions.go:2537, :929, :947)
+            sv = f'"{arg1}"' if isinstance(arg1, str) else str(int(n))
+            out = out.withColumn(
+                "name",
+                F.concat(F.lit(f"{f}("), F.col("name"), F.lit(f",{sv})")),
+            )
             return out.where(
                 F.col("step_ts")
                 >= F.timestamp_seconds(F.lit(float(_epoch_s(s))))

@@ -283,7 +283,12 @@ def q_graphite_moving_avg(spark, sf_dir):
         START, END, STEP_S, LOOKBACK_S,
     )
     return out.where(F.col("value").isNotNull()).select(
-        _epoch(), F.col("name").alias("event_type"),
+        _epoch(),
+        # the compiler wraps names per the reference
+        # (movingAverage(click,3)); unwrap for the oracle key
+        F.regexp_extract(
+            F.col("name"), r"movingAverage\((.*),3\)", 1
+        ).alias("event_type"),
         F.round(F.col("value"), 6).alias("value"),
     )
 

