@@ -9,6 +9,7 @@ Mirrors the fixture shape of the reference's golden corpus
 
 from __future__ import annotations
 
+import datetime as dt
 import math
 
 import pytest
@@ -128,3 +129,51 @@ def test_absent(spark):
     # threshold = max(lookback, step) = 300: sample at T0+10 covers
     # T0+300 (290 <= 300) but not T0+600; nothing at/before T0.
     assert {int(r["step_ts"].timestamp()) for r in rows} == {T0, T0 + 600}
+
+
+def test_dp_align_reference_tables(spark):
+    """The reference's core step-alignment tables (TestDPAlign,
+    ``src/query/ts/values_test.go:47-123``) with TakeLast applied (the
+    default consolidator, ``consolidators/types.go:203-210``): bucket
+    (t-step, t] membership, write-forward of one DATA RESOLUTION
+    (lookback = 10s source interval), and the really-old-points skip.
+    """
+    from m3_spark.operators.consolidate import consolidate_sparse
+
+    def run(times, start_off, dur, step, lookback=10):
+        rows = [
+            ("m", {"q": "1"}, T0 + start_off + t, float(i))
+            for i, t in enumerate(times)
+        ]
+        s = make_samples(spark, rows)
+        out = consolidate_sparse(s, T0, T0 + dur - step, step, lookback)
+        return {
+            int((r["step_ts"] - dt.datetime(1970, 1, 1)).total_seconds())
+            - T0: r["value"]
+            for r in out.collect()
+        }
+
+    # "some points line up and others before": TakeLast per bucket
+    assert run([-1, 0, 10, 18, 28, 38], 0, 40, 10) == {
+        0: 1.0, 10: 2.0, 20: 3.0, 30: 4.0,
+    }
+    # "only points after start": first bucket empty -> absent
+    assert run([1, 10, 18, 28], 0, 40, 10) == {
+        10: 1.0, 20: 2.0, 30: 3.0,
+    }
+    # "half resolution so datapoints repeated": write-forward carries
+    # each value one source interval
+    assert run([0, 10, 18, 28], 0, 40, 5) == {
+        0: 0.0, 5: 0.0, 10: 1.0, 15: 1.0, 20: 2.0, 25: 2.0,
+        30: 3.0, 35: 3.0,
+    }
+    # "double resolution so multiple dps in the same interval"
+    assert run([0, 10, 18, 28], 0, 40, 20, lookback=20) == {
+        0: 0.0, 20: 2.0,
+    }
+    # "third interval has repeated datapoint"
+    assert run([0, 4, 5, 14], 0, 20, 5) == {
+        0: 0.0, 5: 2.0, 10: 2.0, 15: 3.0,
+    }
+    # "skip really old datapoints"
+    assert run([-1, 0, 10, 18, 28, 38], -600, 40, 10) == {}
