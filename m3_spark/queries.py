@@ -566,7 +566,11 @@ def q_agg_policy_1h(spark, sf_dir):
             F.count("value").alias("agg_count"),
             F.round(F.sum("value"), 6).alias("agg_sum"),
             F.round(F.sum(F.col("value") * F.col("value")), 6).alias("agg_sumsq"),
-            F.round(F.stddev_pop("value"), 6).alias("agg_stdev"),
+            # sample stdev, 0.0 below two points (common.go:29-36)
+            F.round(
+                F.when(F.count("value") > 1, F.stddev_samp("value"))
+                .otherwise(F.lit(0.0)), 6
+            ).alias("agg_stdev"),
             F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
             F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
             F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
@@ -586,7 +590,8 @@ SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step_s, event_type,
        COUNT(value) AS agg_count,
        ROUND(SUM(value), 6) AS agg_sum,
        ROUND(SUM(value * value), 6) AS agg_sumsq,
-       ROUND(COALESCE(stddev_pop(value), 0), 6) AS agg_stdev,
+       ROUND(CASE WHEN COUNT(value) > 1 THEN stddev_samp(value)
+                  ELSE 0 END, 6) AS agg_stdev,
        ROUND(quantile_cont(value, 0.5), 6) AS p50,
        ROUND(quantile_cont(value, 0.95), 6) AS p95,
        ROUND(quantile_cont(value, 0.99), 6) AS p99

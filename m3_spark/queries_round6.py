@@ -69,7 +69,8 @@ SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step_s,
        COUNT(value) AS agg_count,
        ROUND(SUM(value), 6) AS agg_sum,
        ROUND(SUM(value * value), 6) AS agg_sumsq,
-       ROUND(COALESCE(stddev_pop(value), 0), 6) AS agg_stdev,
+       ROUND(CASE WHEN COUNT(value) > 1 THEN stddev_samp(value)
+                  ELSE 0 END, 6) AS agg_stdev,
        ROUND(quantile_cont(value, 0.5), 6) AS p50,
        ROUND(quantile_cont(value, 0.95), 6) AS p95,
        ROUND(quantile_cont(value, 0.99), 6) AS p99

@@ -102,7 +102,13 @@ def _agg_column(t: str, q):
     if t == "sumsq":
         return F.sum(F.col("value") * F.col("value"))
     if t == "stdev":
-        return F.stddev_pop("value")
+        # the reference's stdev is the SAMPLE stdev from (count, sum,
+        # sumSq), defined as 0.0 below two points — NOT population
+        # (aggregation/common.go:29-36; timer_test.go pins 29.011 for
+        # 1..100)
+        return F.when(
+            F.count("value") > 1, F.stddev_samp("value")
+        ).otherwise(F.lit(0.0))
     if t == "median":
         return q(0.5)
     if t.startswith("p"):

@@ -354,3 +354,28 @@ def test_timer_quantiles_ckms_streaming_state(spark, tmp_path):
     assert seen[0.5] & {49.0, 50.0}, seen
     assert seen[0.95] & {94.0, 95.0}, seen
     assert seen[0.99] & {98.0, 99.0}, seen
+
+
+def test_timer_aggregations_reference_golden(spark):
+    """TestTimerAggregations (aggregator/aggregation/timer_test.go):
+    values 1..100 → Count 100, Sum 5050, SumSq 338350, Min 1, Max 100,
+    Mean 50.5, Stdev 29.011 (SAMPLE stdev truncated at 3dp), P50 50."""
+    rows = [("t.timer", "timer", TA + i, float(i + 1)) for i in range(100)]
+    out = tumbling_aggregates(_to_df(spark, rows), 3600).collect()[0]
+    assert out["agg_count"] == 100
+    assert out["agg_sum"] == 5050.0
+    assert out["agg_sumsq"] == 338350.0
+    assert out["agg_min"] == 1.0 and out["agg_max"] == 100.0
+    assert out["agg_mean"] == 50.5
+    import math
+
+    assert math.trunc(out["agg_stdev"] * 1000 + 0.5) / 1000.0 == 29.011
+    assert out["p50"] == 50.5 or abs(out["p50"] - 50.0) <= 0.5
+
+
+def test_stdev_single_point_is_zero(spark):
+    """aggregation/common.go:29-36: fewer than two points → stdev 0.0
+    (not NULL/NaN)."""
+    rows = [("t.timer", "timer", TA, 5.0)]
+    out = tumbling_aggregates(_to_df(spark, rows), 3600).collect()[0]
+    assert out["agg_stdev"] == 0.0
