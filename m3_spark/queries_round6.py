@@ -511,12 +511,14 @@ ORACLE_M3QL_MACRO_HEAD = _m3ql_macro_oracle()
 def q_stream_timer_ckms(spark, sf_dir):
     """Timer percentiles through the CKMS biased-quantile sketch
     (``quantile/cm/stream.go``) per (metric, 1h window).  Below the
-    sketch's compression threshold every sample is retained exactly
-    (g=1, Δ=0), so the emitted value is the sample at rank
-    ``floor(φn + εn)`` — a rule the oracle restates in SQL.  At driver
-    scale (≤10 samples/group at sf0.01, ~100 at sf0.1) the sketch never
-    compresses; the approximation regime is covered by
-    ``tests/test_ckms.py``'s 50k-value guarantee tests."""
+    sketch's compression threshold every sample is retained exactly, so
+    the reference query rule emits the sample at 0-based index
+    ``int(φn)`` for n ≤ 3 (minSamplesToCompress) and at rank
+    ``ceil(φn)`` otherwise (threshold 0 until n ≈ φ/2ε) — a rule the
+    oracle restates in SQL.  At driver scale (≤10 samples/group at
+    sf0.01, ~100 at sf0.1) the sketch never compresses; the
+    approximation regime is covered by ``tests/test_ckms.py``'s
+    50k-value guarantee tests."""
     from .sources.tables import read_table
     from .streaming.aggregator import timer_quantiles_ckms
 
@@ -553,7 +555,9 @@ SELECT event_type, window_s, CAST(qq.q AS DOUBLE) AS q,
        ROUND(value, 6) AS value
 FROM ranked
 JOIN (VALUES (0.5), (0.95), (0.99)) AS qq(q)
-  ON rn = GREATEST(1, CAST(FLOOR(qq.q * n + 0.001 * n) AS BIGINT))
+  ON rn = CASE WHEN n <= 3
+               THEN LEAST(CAST(FLOOR(qq.q * n) AS BIGINT) + 1, n)
+               ELSE CAST(CEIL(qq.q * n) AS BIGINT) END
 """
 
 

@@ -103,52 +103,54 @@ class CKMS:
     def _insert(self) -> None:
         """Merge the sorted buffer into the sample list in one walk.
 
-        A new item lands with g=1; its Δ is f(r)−1 at the insertion
-        rank (0 when it becomes the new min/max, so exact ends are
-        preserved — same end-point rule as the reference's insert)."""
+        A new item lands with g=1 and Δ = g_next + Δ_next − 1 of the
+        existing sample it is inserted before — the reference's (and
+        statsite's) tighter bound, which the invariant guarantees is
+        ≤ f(r)−1 (``stream.go:311``); items appended past the current
+        max get Δ=0 (``stream.go:330``)."""
         incoming = sorted(self._buf)
         self._buf.clear()
         old = self._samples
         merged: list[list] = []
-        rank = 0  # sum of g over samples already emitted
         i = j = 0
-        while i < len(old) or j < len(incoming):
-            if j >= len(incoming) or (i < len(old) and old[i][0] <= incoming[j]):
-                s = old[i]
-                merged.append(s)
-                rank += s[1]
-                i += 1
-            else:
-                v = incoming[j]
-                j += 1
+        while i < len(old):
+            cur = old[i]
+            while j < len(incoming) and incoming[j] <= cur[0]:
+                delta = max(cur[1] + cur[2] - 1.0, 0.0)
+                merged.append([incoming[j], 1.0, delta])
                 self.n += 1
-                if not merged or i >= len(old):
-                    # inserted at an end (current min / current max):
-                    # rank error must be 0, as in sequential insertion
-                    delta = 0.0
-                else:
-                    delta = max(math.floor(self._f(rank)) - 1, 0.0)
-                merged.append([v, 1.0, delta])
-                rank += 1
+                j += 1
+            merged.append(cur)
+            i += 1
+        while j < len(incoming):  # beyond the current max
+            merged.append([incoming[j], 1.0, 0.0])
+            self.n += 1
+            j += 1
         self._samples = merged
 
     def _compress(self) -> None:
-        """Right-to-left merge of adjacent samples while the invariant
-        g_i + g_{i+1} + Δ_{i+1} ≤ f(r_i) holds (paper's COMPRESS)."""
+        """Right-to-left merge of adjacent samples: curr is absorbed
+        into its right neighbour when g_cur + g_next + Δ_next ≤
+        trunc(f(maxRank(curr))) — threshold evaluated at curr's OWN
+        max rank and truncated to an integer, as the reference does
+        (``stream.go:342-396``).  The last two samples and the min are
+        never merge candidates."""
         s = self._samples
         if len(s) < 3:
             return
-        # precompute ranks (r_i = sum_{k<=i} g_k)
-        rank = 0.0
-        ranks = []
+        # L(i) = sum of g strictly left of sample i
+        left = []
+        acc = 0.0
         for smp in s:
-            rank += smp[1]
-            ranks.append(rank)
-        out_rev = [s[-1]]
-        i = len(s) - 2
+            left.append(acc)
+            acc += smp[1]
+        out_rev = [s[-1], s[-2]]
+        i = len(s) - 3
         while i >= 1:  # never merge the min (index 0)
             cur, nxt = s[i], out_rev[-1]
-            if cur[1] + nxt[1] + nxt[2] <= self._f(ranks[i - 1]):
+            max_rank = left[i] + cur[1] + cur[2]
+            thr = float(int(self._f(max_rank)))
+            if cur[1] + nxt[1] + nxt[2] <= thr:
                 nxt[1] += cur[1]  # absorb g; value/Δ keep the survivor's
             else:
                 out_rev.append(cur)
@@ -163,6 +165,15 @@ class CKMS:
         self._insert_compress()
 
     def quantile(self, q: float) -> float:
+        """Reference query rule (``stream.go:231-277``): below
+        minSamplesToCompress the value at 0-based index ``int(q·n)``;
+        otherwise the CKMS walk with target rank ``ceil(q·n)`` and
+        threshold ``ceil(trunc(f(rank))/2)``, emitting the previous
+        sample when ``maxRank > rank + thr`` or ``minRank > rank``.
+        One deviation: where the reference's tail condition can leave a
+        quantile unset (its zero-value quirk for high targets at
+        mid-size n), this returns the max — still inside the f/2
+        guarantee."""
         self.flush()
         if not self._samples:
             return math.nan
@@ -170,14 +181,20 @@ class CKMS:
             return self._samples[0][0]
         if q >= 1.0:
             return self._samples[-1][0]
-        target = q * self.n
-        margin = self._f(target) / 2.0
-        rank = 0.0
+        if self.n <= 3:  # minSamplesToCompress: direct index
+            vals = []
+            for v, g, _ in self._samples:
+                vals.extend([v] * int(g))
+            return vals[min(int(q * len(vals)), len(vals) - 1)]
+        rank = math.ceil(q * self.n)
+        thr = math.ceil(int(self._f(rank)) / 2.0)
+        min_rank = 0.0
         prev = self._samples[0]
         for smp in self._samples:
-            rank += smp[1]
-            if rank + smp[2] > target + margin:
-                break
+            max_rank = min_rank + smp[1] + smp[2]
+            if max_rank > rank + thr or min_rank > rank:
+                return prev[0]
+            min_rank += smp[1]
             prev = smp
         return prev[0]
 

@@ -143,3 +143,53 @@ def test_accuracy_delta_vs_percentile_approx(spark):
             f"phi={q}: percentile_approx rank {r_pa} vs target {q * n:.0f} "
             f"(bound {bound:.1f}); value {pa_v:.4f} vs exact {exact:.4f}"
         )
+
+
+def test_reference_tiny_stream_goldens():
+    """cm/stream_test.go exact cases at eps=0.01: one sample (all
+    quantiles = it), three samples [100,200,300] with targets
+    (0.5, 0.9, 0.99) → [200, 300, 300] (the minSamplesToCompress
+    direct-index path)."""
+    targets = (0.5, 0.9, 0.99)
+    one = CKMS(targets, eps=0.01)
+    one.add(100.0)
+    assert one.min == 100.0 and one.max == 100.0
+    assert all(one.quantile(q) == 100.0 for q in targets)
+
+    neg = CKMS(targets, eps=0.01)
+    neg.add(-100.0)
+    assert all(neg.quantile(q) == -100.0 for q in targets)
+
+    three = CKMS(targets, eps=0.01)
+    three.add_batch([100.0, 200.0, 300.0])
+    assert three.min == 100.0 and three.max == 300.0
+    assert [three.quantile(q) for q in targets] == [200.0, 300.0, 300.0]
+
+
+def test_reference_increasing_decreasing_guarantee():
+    """cm/stream_test.go testStreamWithIncreasing/DecreasingSamples at
+    eps=0.01: 100k ordered values, each quantile within n*eps of the
+    true rank, both with and without periodic insert+compress."""
+    targets, eps, n = (0.5, 0.9, 0.99), 0.01, 100_000
+    for compress_every in (n + 1, 1024):  # never / periodically
+        for order in (range(n), range(n - 1, -1, -1)):
+            sk = CKMS(targets, eps=eps, compress_every=compress_every)
+            sk.add_batch(float(i) for i in order)
+            assert sk.min == 0.0 and sk.max == float(n - 1)
+            for q in targets:
+                v = sk.quantile(q)
+                assert n * q - n * eps <= v <= n * q + n * eps, (q, v)
+
+
+def test_exact_regime_matches_ceil_rank():
+    """Exact regime (no compression, n > 3): the emitted value is the
+    sorted sample at rank ceil(q*n) — the rule the battery oracle
+    restates in SQL."""
+    import math as m
+
+    vals = [8.63, 22.74, 37.59, 58.25, 70.96]
+    sk = CKMS((0.5, 0.95, 0.99), eps=EPS)
+    sk.add_batch(vals)
+    for q in (0.5, 0.95, 0.99):
+        want = sorted(vals)[m.ceil(q * len(vals)) - 1]
+        assert sk.quantile(q) == want, q
