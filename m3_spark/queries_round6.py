@@ -640,6 +640,64 @@ LEFT JOIN dup5 d USING (doc_id)
 """
 
 
+_CUT1 = 1705276800  # 2024-01-15 00:00:00 UTC
+_CUT2 = 1706140800  # 2024-01-25 00:00:00 UTC
+
+
+def q_stream_rule_cutover(spark, sf_dir):
+    """Versioned mapping rule with cutovers (``rules/active_ruleset.go``
+    per-time matching): snapshot 1 (range start) matches click only;
+    snapshot 2 (Jan 15) widens to click+view; snapshot 3 (Jan 25)
+    tombstones the rule — each sample is governed by the snapshot
+    active at its own timestamp, daily Sum windows."""
+    from .sources.tables import read_table
+    from .streaming.aggregator import (
+        RuleSnapshot,
+        VersionedMappingRule,
+        apply_versioned_mapping_rules,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    metrics = ev.select(
+        F.col("event_type").alias("metric_id"),
+        "ts",
+        F.col("value").cast("double").alias("value"),
+    )
+    rule = VersionedMappingRule(
+        "cut",
+        (
+            RuleSnapshot(0, filter_expr="metric_id = 'click'",
+                         policies=("1d:40d",), agg_types=("sum", "count")),
+            RuleSnapshot(_CUT1,
+                         filter_expr="metric_id IN ('click', 'view')",
+                         policies=("1d:40d",), agg_types=("sum", "count")),
+            RuleSnapshot(_CUT2, tombstoned=True),
+        ),
+    )
+    out = apply_versioned_mapping_rules(metrics, [rule])["cut/1d:40d"]
+    return out.select(
+        F.unix_timestamp("window_start").alias("step_s"),
+        "metric_id",
+        F.round("agg_sum", 6).alias("agg_sum"),
+        F.col("agg_count"),
+    )
+
+
+ORACLE_STREAM_RULE_CUTOVER = f"""
+SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS step_s,
+       event_type AS metric_id,
+       ROUND(SUM(CAST(value AS DOUBLE)), 6) AS agg_sum,
+       COUNT(value) AS agg_count
+FROM events
+WHERE (epoch_us(ts) < CAST({_CUT1} AS BIGINT) * 1000000
+       AND event_type = 'click')
+   OR (epoch_us(ts) >= CAST({_CUT1} AS BIGINT) * 1000000
+       AND epoch_us(ts) < CAST({_CUT2} AS BIGINT) * 1000000
+       AND event_type IN ('click', 'view'))
+GROUP BY 1, 2
+"""
+
+
 ROUND6_QUERIES = {
     "stream_rule_tag_filter": (
         q_stream_rule_tag_filter,
@@ -666,4 +724,5 @@ ROUND6_QUERIES = {
     "m3ql_macro_head": (q_m3ql_macro_head, ORACLE_M3QL_MACRO_HEAD),
     "stream_timer_ckms": (q_stream_timer_ckms, ORACLE_STREAM_TIMER_CKMS),
     "text_repetition": (q_text_repetition, ORACLE_TEXT_REPETITION),
+    "stream_rule_cutover": (q_stream_rule_cutover, ORACLE_STREAM_RULE_CUTOVER),
 }

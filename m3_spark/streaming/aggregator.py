@@ -494,3 +494,77 @@ def timer_quantiles_ckms(
         .groupBy("metric_id", "window_start")
         .applyInPandasWithState(fn, _CKMS_OUT, _CKMS_STATE, "append", "NoTimeout")
     )
+
+
+@dataclass(frozen=True)
+class RuleSnapshot:
+    """One version of a mapping rule — ``mappingRuleSnapshot``
+    (rules/mapping.go): cutover time, tombstone flag, filter, policies.
+    """
+
+    cutover_s: int
+    filter_expr: str = "TRUE"
+    tag_filter: str | None = None
+    policies: tuple[str, ...] = ()
+    tombstoned: bool = False
+    agg_types: tuple[str, ...] | None = None
+
+
+@dataclass(frozen=True)
+class VersionedMappingRule:
+    """A rule as a series of snapshots (rules/mapping.go mappingRule)."""
+
+    name: str
+    snapshots: tuple[RuleSnapshot, ...]
+
+
+def apply_versioned_mapping_rules(
+    metrics: DataFrame,
+    rules: Sequence[VersionedMappingRule],
+    watermark_s: int | None = None,
+) -> dict[str, DataFrame]:
+    """activeRuleSet cutover semantics (``rules/active_ruleset.go``:
+    matching is evaluated per time; the snapshot governing a sample is
+    the latest one with ``cutover <= ts``) re-expressed for a batch /
+    streaming frame: each sample is matched by exactly the snapshot
+    active at its OWN timestamp, so a rule edit mid-window changes
+    which samples that window aggregates — the same staged-metadata
+    behavior the reference produces, without a driver-side match loop.
+
+    Per (rule, policy) the output unions every snapshot slice carrying
+    that policy as one OR-of-ANDs predicate (single scan, pushdown
+    stays eligible), then aggregates tumbling windows.  Tombstoned
+    snapshots contribute no slice (matches stop at their cutover —
+    ``mappingRule.Tombstoned``).  ``agg_types`` per policy follows the
+    latest snapshot listing that policy.
+    """
+    out: dict[str, DataFrame] = {}
+    for rule in rules:
+        snaps = sorted(rule.snapshots, key=lambda s: s.cutover_s)
+        slices_by_policy: dict[str, list] = {}
+        types_by_policy: dict[str, tuple | None] = {}
+        for i, snap in enumerate(snaps):
+            if snap.tombstoned:
+                continue
+            in_window = F.col("ts") >= F.timestamp_seconds(
+                F.lit(snap.cutover_s)
+            )
+            if i + 1 < len(snaps):
+                in_window = in_window & (
+                    F.col("ts")
+                    < F.timestamp_seconds(F.lit(snaps[i + 1].cutover_s))
+                )
+            pred = in_window & _rule_predicate(snap)
+            for pol in snap.policies:
+                slices_by_policy.setdefault(pol, []).append(pred)
+                types_by_policy[pol] = snap.agg_types
+        for pol, preds in slices_by_policy.items():
+            combined = preds[0]
+            for p in preds[1:]:
+                combined = combined | p
+            sp = StoragePolicy.parse(pol)
+            out[f"{rule.name}/{pol}"] = tumbling_aggregates(
+                metrics.where(combined), sp.resolution_s, watermark_s,
+                agg_types=types_by_policy[pol],
+            )
+    return out

@@ -379,3 +379,67 @@ def test_stdev_single_point_is_zero(spark):
     rows = [("t.timer", "timer", TA, 5.0)]
     out = tumbling_aggregates(_to_df(spark, rows), 3600).collect()[0]
     assert out["agg_stdev"] == 0.0
+
+
+def test_versioned_rule_cutover_semantics(spark):
+    """active_ruleset.go: the snapshot governing a sample is the
+    latest with cutover <= ts.  Snapshot 1 matches only m.a; snapshot 2
+    (cutover TA+120) widens to both; snapshot 3 (TA+240) tombstones —
+    matches stop entirely."""
+    from m3_spark.streaming.aggregator import (
+        RuleSnapshot,
+        VersionedMappingRule,
+        apply_versioned_mapping_rules,
+    )
+
+    rows = [
+        (m, "gauge", TA + off, 1.0)
+        for m in ("m.a", "m.b")
+        for off in (0, 60, 120, 180, 240, 300)
+    ]
+    df = _to_df(spark, rows)
+    rule = VersionedMappingRule(
+        "r",
+        (
+            RuleSnapshot(TA, filter_expr="metric_id = 'm.a'",
+                         policies=("1m:1d",), agg_types=("sum",)),
+            RuleSnapshot(TA + 120, filter_expr="metric_id IN ('m.a','m.b')",
+                         policies=("1m:1d",), agg_types=("sum",)),
+            RuleSnapshot(TA + 240, tombstoned=True),
+        ),
+    )
+    out = apply_versioned_mapping_rules(df, [rule])
+    assert set(out) == {"r/1m:1d"}
+    got = {
+        (r["metric_id"], int(r["window_start"].timestamp()) - TA): r["agg_sum"]
+        for r in out["r/1m:1d"].collect()
+    }
+    # [TA, TA+120): only m.a; [TA+120, TA+240): both; >= TA+240: none
+    assert got == {
+        ("m.a", 0): 1.0, ("m.a", 60): 1.0,
+        ("m.a", 120): 1.0, ("m.b", 120): 1.0,
+        ("m.a", 180): 1.0, ("m.b", 180): 1.0,
+    }
+
+
+def test_versioned_rule_before_first_cutover_no_match(spark):
+    """Samples before a rule's first cutover are not matched
+    (forwardMatchAt with no active snapshot)."""
+    from m3_spark.streaming.aggregator import (
+        RuleSnapshot,
+        VersionedMappingRule,
+        apply_versioned_mapping_rules,
+    )
+
+    rows = [("m.a", "gauge", TA + off, 2.0) for off in (0, 60, 120)]
+    rule = VersionedMappingRule(
+        "r2",
+        (RuleSnapshot(TA + 60, filter_expr="TRUE", policies=("1m:1d",),
+                      agg_types=("sum",)),),
+    )
+    out = apply_versioned_mapping_rules(_to_df(spark, rows), [rule])
+    got = {
+        int(r["window_start"].timestamp()) - TA: r["agg_sum"]
+        for r in out["r2/1m:1d"].collect()
+    }
+    assert got == {60: 2.0, 120: 2.0}
