@@ -568,3 +568,74 @@ def apply_versioned_mapping_rules(
                 agg_types=types_by_policy[pol],
             )
     return out
+
+
+@dataclass(frozen=True)
+class RollupSnapshot:
+    """One version of a rollup rule (rules/rollup.go rollupRuleSnapshot):
+    cutover, tombstone, filter, the rollup target id, policies."""
+
+    cutover_s: int
+    new_metric_id: str = "''"  # SQL expr producing the rollup id
+    filter_expr: str = "TRUE"
+    tag_filter: str | None = None
+    policies: tuple[str, ...] = ()
+    tombstoned: bool = False
+    agg_types: tuple[str, ...] | None = None
+
+
+@dataclass(frozen=True)
+class VersionedRollupRule:
+    name: str
+    snapshots: tuple[RollupSnapshot, ...]
+
+
+def apply_versioned_rollup_rules(
+    metrics: DataFrame,
+    rules: Sequence[VersionedRollupRule],
+    watermark_s: int | None = None,
+) -> dict[str, DataFrame]:
+    """Cutover semantics for rollup rules: the snapshot active at each
+    sample's ts governs BOTH the match and the rollup target id (a
+    rule edit can redirect the rollup mid-stream —
+    ``forNewRollupIDs`` regenerating per cutover in
+    ``active_ruleset.go``).  One scan per (rule, policy): the match is
+    an OR-of-ANDs predicate and the re-key a single CASE chain over
+    the cutover windows."""
+    out: dict[str, DataFrame] = {}
+    for rule in rules:
+        snaps = sorted(rule.snapshots, key=lambda s: s.cutover_s)
+        per_policy: dict[str, list] = {}
+        types_by_policy: dict[str, tuple | None] = {}
+        for i, snap in enumerate(snaps):
+            if snap.tombstoned:
+                continue
+            in_window = F.col("ts") >= F.timestamp_seconds(
+                F.lit(snap.cutover_s)
+            )
+            if i + 1 < len(snaps):
+                in_window = in_window & (
+                    F.col("ts")
+                    < F.timestamp_seconds(F.lit(snaps[i + 1].cutover_s))
+                )
+            pred = in_window & _rule_predicate(snap)
+            for pol in snap.policies:
+                per_policy.setdefault(pol, []).append(
+                    (pred, snap.new_metric_id)
+                )
+                types_by_policy[pol] = snap.agg_types
+        for pol, slices in per_policy.items():
+            combined = slices[0][0]
+            rekey = F.when(slices[0][0], F.expr(slices[0][1]))
+            for pred, expr in slices[1:]:
+                combined = combined | pred
+                rekey = rekey.when(pred, F.expr(expr))
+            sp = StoragePolicy.parse(pol)
+            rekeyed = metrics.where(combined).withColumn(
+                "metric_id", rekey
+            )
+            out[f"{rule.name}/{pol}"] = tumbling_aggregates(
+                rekeyed, sp.resolution_s, watermark_s,
+                agg_types=types_by_policy[pol],
+            )
+    return out

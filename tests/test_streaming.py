@@ -443,3 +443,34 @@ def test_versioned_rule_before_first_cutover_no_match(spark):
         for r in out["r2/1m:1d"].collect()
     }
     assert got == {60: 2.0, 120: 2.0}
+
+
+def test_versioned_rollup_rule_redirects_target(spark):
+    """Rollup cutover: snapshot 2 redirects the rollup id mid-stream —
+    samples before the cutover roll into 'r.old', after into 'r.new'
+    (forNewRollupIDs per cutover, active_ruleset.go)."""
+    from m3_spark.streaming.aggregator import (
+        RollupSnapshot,
+        VersionedRollupRule,
+        apply_versioned_rollup_rules,
+    )
+
+    rows = [("m.a", "counter", TA + off, 1.0) for off in (0, 60, 120, 180)]
+    rule = VersionedRollupRule(
+        "roll",
+        (
+            RollupSnapshot(TA, new_metric_id="'r.old'",
+                           policies=("1m:1d",), agg_types=("sum",)),
+            RollupSnapshot(TA + 120, new_metric_id="'r.new'",
+                           policies=("1m:1d",), agg_types=("sum",)),
+        ),
+    )
+    out = apply_versioned_rollup_rules(_to_df(spark, rows), [rule])
+    got = {
+        (r["metric_id"], int(r["window_start"].timestamp()) - TA): r["agg_sum"]
+        for r in out["roll/1m:1d"].collect()
+    }
+    assert got == {
+        ("r.old", 0): 1.0, ("r.old", 60): 1.0,
+        ("r.new", 120): 1.0, ("r.new", 180): 1.0,
+    }
