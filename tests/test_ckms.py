@@ -193,3 +193,53 @@ def test_exact_regime_matches_ceil_rank():
     for q in (0.5, 0.95, 0.99):
         want = sorted(vals)[m.ceil(q * len(vals)) - 1]
         assert sk.quantile(q) == want, q
+
+
+def test_ckms_property_random_streams():
+    """Property: for random streams (mixed magnitudes, duplicates,
+    arbitrary micro-batch splits) every target quantile stays inside
+    the f(φn,n)/2 rank bound and min/max stay exact."""
+    try:
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+    except ImportError:  # pragma: no cover
+        import pytest
+
+        pytest.skip("hypothesis unavailable")
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        vals=st.lists(
+            st.floats(
+                min_value=-1e6, max_value=1e6,
+                allow_nan=False, allow_infinity=False,
+            ),
+            min_size=1, max_size=3000,
+        ),
+        split=st.integers(min_value=1, max_value=2999),
+        compress_every=st.sampled_from([64, 1024]),
+    )
+    def check(vals, split, compress_every):
+        sk = CKMS(TARGETS, eps=EPS, compress_every=compress_every)
+        cut = min(split, len(vals))
+        first = CKMS(TARGETS, eps=EPS, compress_every=compress_every)
+        first.add_batch(vals[:cut])
+        sk2 = CKMS.from_state(*first.to_state(), quantiles=TARGETS, eps=EPS,
+                              compress_every=compress_every)
+        sk2.add_batch(vals[cut:])
+        sk.add_batch(vals)
+        srt, n = sorted(vals), len(vals)
+        import bisect
+
+        for s in (sk, sk2):
+            assert s.min == srt[0] and s.max == srt[-1]
+            for q in TARGETS:
+                v = s.quantile(q)
+                # duplicates: the value occupies a RANGE of ranks; the
+                # guarantee holds if that range touches the bound
+                lo = bisect.bisect_left(srt, v) + 1
+                hi = bisect.bisect_right(srt, v)
+                bound = _f(q * n, n) / 2 + 1
+                assert lo - bound <= q * n <= hi + bound, (q, n, lo, hi)
+
+    check()
