@@ -446,17 +446,35 @@ def evaluate(
     return ev(ast)
 
 
+#: full unit-name table of the reference's ParseInterval
+#: (graphite/common/basic_functions.go:46-71), case-insensitive
+_INTERVAL_UNITS = {
+    "s": 1, "sec": 1, "seconds": 1,
+    "m": 60, "min": 60, "mins": 60, "minute": 60, "minutes": 60,
+    "h": 3600, "hr": 3600, "hour": 3600, "hours": 3600,
+    "d": 86400, "day": 86400, "days": 86400,
+    "w": 7 * 86400, "week": 7 * 86400, "weeks": 7 * 86400,
+    "mon": 30 * 86400, "month": 30 * 86400, "months": 30 * 86400,
+    "y": 365 * 86400, "year": 365 * 86400, "years": 365 * 86400,
+}
+
+
 def _dur_s(s):
+    """ParseInterval (basic_functions.go:186-207): one or more
+    ``<amount><unit>`` groups summed — compound forms like ``1w5min``
+    are valid; unknown units are an error."""
     if isinstance(s, float):
         return s
-    units = {
-        "s": 1, "min": 60, "h": 3600, "d": 86400,
-        "w": 7 * 86400, "mon": 30 * 86400, "y": 365 * 86400,
-    }
-    m = re.fullmatch(r"([0-9]+)(s|min|h|d|w|mon|y)", s)
-    if not m:
+    total, matched = 0, False
+    for m in re.finditer(r"([0-9]+)\s*([a-zA-Z]+)", s):
+        unit = m.group(2).lower()
+        if unit not in _INTERVAL_UNITS:
+            raise ValueError(f"bad duration {s!r}")
+        total += int(m.group(1)) * _INTERVAL_UNITS[unit]
+        matched = True
+    if not matched:
         raise ValueError(f"bad duration {s!r}")
-    return int(m.group(1)) * units[m.group(2)]
+    return total
 
 
 def _time_spec_s(spec, now_s: float) -> float:

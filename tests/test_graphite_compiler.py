@@ -161,3 +161,30 @@ def test_summarize_average_and_diff(spark, gsamples):  # noqa: F811
     ).collect()
     # diff per bucket: first - sum(rest): [10-11, 12-13, 14]
     assert sorted(round(r.value, 6) for r in diff) == [-1.0, -1.0, 14.0]
+
+
+def test_parse_interval_reference_table():
+    """TestParseInterval (common/basic_functions_test.go:122-150):
+    every unit-name form plus the compound '1w5min'."""
+    from m3_spark.graphite.compiler import _dur_s
+
+    cases = {
+        "5s": 5, "20sec": 20, "60seconds": 60,
+        "1min": 60, "10min": 600, "2minutes": 120, "3minute": 180,
+        "36h": 36 * 3600, "9hours": 9 * 3600, "1hour": 3600,
+        "12hr": 12 * 3600,
+        "1d": 86400, "2days": 2 * 86400,
+        "1mon": 30 * 86400,
+        "4W": 4 * 7 * 86400, "40weeks": 40 * 7 * 86400,
+        "6months": 6 * 30 * 86400,
+        "2y": 2 * 365 * 86400, "10years": 10 * 365 * 86400,
+        "1w5min": 7 * 86400 + 300,
+    }
+    for s, want in cases.items():
+        assert _dur_s(s) == want, s
+    import pytest
+
+    with pytest.raises(ValueError):
+        _dur_s("1fortnight")
+    with pytest.raises(ValueError):
+        _dur_s("nope")
