@@ -147,6 +147,22 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    # the reference's published query-load harness shape: 15 CONCURRENT
+    # 12h/1m sum-by range queries (promremotebench-zero.yaml:40-47).
+    # Spark's scheduler interleaves the jobs; wall-clock for all 15 is
+    # the multi-tenancy number a coordinator would see.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(_):
+        return BENCH["sum_by_12h_1m"](spark).count()
+
+    with ThreadPoolExecutor(max_workers=15) as ex:
+        list(ex.map(one, range(2)))  # warm the thread/codegen path
+        t0 = time.perf_counter()
+        list(ex.map(one, range(15)))
+        conc = round(time.perf_counter() - t0, 3)
+    print(f"# sum_by_12h_1m_conc15: {conc}s (15 concurrent)", file=sys.stderr)
     total = round(sum(timings.values()), 3)
     sf = 0.1 if "sf0.1" in SF_DIR else SF_DIR
     print(
@@ -156,6 +172,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # reference harness shape (promremotebench-zero.yaml):
+                # 15 concurrent 12h/1m sum-by range queries, wall-clock
+                "concurrent": {"sum_by_12h_1m_x15": conc},
                 "sf": sf,
             }
         )
