@@ -451,4 +451,144 @@ def _fold(e):
 
 
 def parse(q: str, fold: bool = True):
-    return Parser(q).parse(fold=fold)
+    ast = Parser(q).parse(fold=fold)
+    typecheck(ast)
+    return ast
+
+
+# -- static argument typing (upstream parser parity) ------------------------
+#
+# The vendored engine type-checks function arguments AT PARSE TIME
+# (``parser/promql/parse_test.go`` TestParseInvalidFunctionArgumentsErrors:
+# ``vector(metric)``, ``abs(1)``, ``label_join(up, 1, ",", 2)`` … are
+# parse errors, while arbitrarily parenthesized args are not).  Types:
+# scalar / string / vector (instant) / matrix (range).
+
+_V, _S, _STR, _M = "vector", "scalar", "string", "matrix"
+
+_MATH_NAMES = (
+    "abs", "ceil", "exp", "floor", "ln", "log2", "log10", "sqrt",
+    "sgn", "sin", "cos", "tan", "asin", "acos", "atan",
+    "sinh", "cosh", "tanh", "asinh", "acosh", "atanh", "deg", "rad",
+)
+_DT_NAMES = (
+    "day_of_month", "day_of_week", "days_in_month", "hour", "minute",
+    "month", "year",
+)
+
+#: func → (required arg types, optional arg types, variadic tail type)
+_SIGNATURES: dict[str, tuple[tuple, tuple, str | None]] = {
+    **{f: ((_V,), (), None) for f in _MATH_NAMES},
+    **{f: ((), (_V,), None) for f in _DT_NAMES},
+    **{
+        f"{f}_over_time": ((_M,), (), None)
+        for f in ("sum", "avg", "min", "max", "count", "stddev",
+                  "stdvar", "last", "present")
+    },
+    **{f: ((_M,), (), None) for f in ("rate", "increase", "delta",
+                                      "irate", "idelta", "resets",
+                                      "changes", "deriv",
+                                      "absent_over_time")},
+    "quantile_over_time": ((_S, _M), (), None),
+    "predict_linear": ((_M, _S), (), None),
+    "holt_winters": ((_M, _S, _S), (), None),
+    "pi": ((), (), None),
+    "time": ((), (), None),
+    "vector": ((_S,), (), None),
+    "scalar": ((_V,), (), None),
+    "timestamp": ((_V,), (), None),
+    "absent": ((_V,), (), None),
+    "sort": ((_V,), (), None),
+    "sort_desc": ((_V,), (), None),
+    "clamp": ((_V, _S, _S), (), None),
+    "clamp_min": ((_V, _S), (), None),
+    "clamp_max": ((_V, _S), (), None),
+    "round": ((_V,), (_S,), None),
+    "histogram_quantile": ((_S, _V), (), None),
+    "label_join": ((_V, _STR, _STR), (), _STR),
+    "label_replace": ((_V, _STR, _STR, _STR, _STR), (), None),
+}
+
+_SCALAR_PARAM_AGGS = {"topk", "bottomk", "quantile", "limitk", "limit_ratio"}
+
+
+def expr_type(e) -> str:
+    """Static value type of an AST node (scalar/string/vector/matrix),
+    validating function/operator argument types along the way."""
+    if isinstance(e, NumberLit):
+        return _S
+    if isinstance(e, StringLit):
+        return _STR
+    if isinstance(e, Selector):
+        return _M if e.range_s is not None else _V
+    if isinstance(e, Subquery):
+        if expr_type(e.expr) != _V:
+            raise ValueError(
+                "subquery is only allowed on instant vector, got "
+                f"{expr_type(e.expr)}"
+            )
+        return _M
+    if isinstance(e, Unary):
+        t = expr_type(e.expr)
+        if t not in (_S, _V):
+            raise ValueError(f"unary expression only allowed on "
+                             f"expressions of type scalar or instant "
+                             f"vector, got {t}")
+        return t
+    if isinstance(e, Binary):
+        lt, rt = expr_type(e.lhs), expr_type(e.rhs)
+        for t in (lt, rt):
+            if t not in (_S, _V):
+                raise ValueError(
+                    "binary expression must contain only scalar and "
+                    f"instant vector types, got {t}"
+                )
+        if e.op in ("and", "or", "unless") and (lt != _V or rt != _V):
+            raise ValueError(
+                "set operator not allowed in binary scalar expression"
+            )
+        return _V if _V in (lt, rt) else _S
+    if isinstance(e, Agg):
+        if expr_type(e.expr) != _V:
+            raise ValueError(
+                f"aggregation operator {e.op} expects an instant "
+                f"vector, got {expr_type(e.expr)}"
+            )
+        if e.param is not None:
+            want = _STR if e.op == "count_values" else (
+                _S if e.op in _SCALAR_PARAM_AGGS else None
+            )
+            if want is not None and expr_type(e.param) != want:
+                raise ValueError(
+                    f"{e.op} parameter must be of type {want}, got "
+                    f"{expr_type(e.param)}"
+                )
+        return _V
+    if isinstance(e, Call):
+        if e.func not in _SIGNATURES:
+            raise ValueError(f"unknown function {e.func!r}")
+        req, opt, var = _SIGNATURES[e.func]
+        got = [expr_type(a) for a in e.args]
+        if len(got) < len(req) or (
+            var is None and len(got) > len(req) + len(opt)
+        ):
+            raise ValueError(
+                f"wrong number of arguments for {e.func!r}: "
+                f"got {len(got)}"
+            )
+        want = list(req) + list(opt)
+        for i, t in enumerate(got):
+            expected = want[i] if i < len(want) else var
+            if t != expected:
+                raise ValueError(
+                    f"{e.func} argument {i + 1} must be of type "
+                    f"{expected}, got {t}"
+                )
+        return _S if e.func in ("pi", "time", "scalar") else _V
+    raise ValueError(f"cannot type {e!r}")
+
+
+def typecheck(e):
+    """Validate the whole tree; returns the expression unchanged."""
+    expr_type(e)
+    return e

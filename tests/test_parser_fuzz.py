@@ -70,3 +70,41 @@ def test_tag_filter_parse_never_crashes(s):
         pass
     except DIRTY as ex:  # pragma: no cover
         raise AssertionError(f"dirty {type(ex).__name__} on {s!r}: {ex}")
+
+
+def test_reference_invalid_function_arguments_error():
+    """parser/promql/parse_test.go TestParseInvalidFunctionArgumentsErrors:
+    the vendored engine type-checks function arguments at parse time —
+    each of these must raise."""
+    import pytest
+
+    from m3_spark.plans.promql import parse
+
+    for q in [
+        "vector(())",
+        "vector((1)",
+        "vector(metric)",
+        'label_join(up, "f" + "oo", ",", "ba" + "r")',
+        'label_join(up, 1, ",", 2)',
+        'label_join("up", "foo", ",", "bar")',
+        "abs(1)",
+        "abs(())",
+        "stddev_over_time(metric[1m]+1)",
+        "stddev_over_time(metric)",
+    ]:
+        with pytest.raises(Exception):
+            parse(q)
+
+
+def test_reference_parenthesized_arguments_parse():
+    """parse_test.go TestExpressionsInFunctionArgumentsDoNotError:
+    arbitrary parenthesization of valid-typed args is fine."""
+    from m3_spark.plans.promql import parse
+
+    for q in [
+        'label_join(up, ("foo"), ((",")), ((("bar"))))',
+        "abs(((foo)))",
+        "stddev_over_time(((metric[1m])))",
+        "vector((1))",
+    ]:
+        parse(q)

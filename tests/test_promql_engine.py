@@ -264,7 +264,7 @@ eval instant at 50m bottomk(1, req)
 eval instant at 50m sqrt(req{job="api", instance="0"})
   {group="prod", instance="0", job="api"} 10
 
-eval instant at 50m req{job="api", instance="0"} ^ 2 + floor(1.5)
+eval instant at 50m req{job="api", instance="0"} ^ 2 + scalar(floor(vector(1.5)))
   {group="prod", instance="0", job="api"} 10001
 
 eval instant at 50m clamp(req{job="api"}, 150, 180)
@@ -364,8 +364,8 @@ eval instant at 50m sgn(tg)
   {s="zero"} 0
   {s="pos"} 1
 
-eval instant at 50m deg(pi())
-  180
+eval instant at 50m deg(vector(pi()))
+  {} 180
 
 eval instant at 50m cos(tg{s="zero"})
   {s="zero"} 1
