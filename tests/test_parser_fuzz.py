@@ -108,3 +108,19 @@ def test_reference_parenthesized_arguments_parse():
         "vector((1))",
     ]:
         parse(q)
+
+
+def test_reference_parse_edge_cases():
+    """parse_test.go: negative offset parses (TestInvalidOffset is a
+    misnomer — it asserts NoError), '*up' and the empty expression are
+    errors, unknown *_over_time names are errors, and label_join with
+    an empty source-label list parses (TestMissingTagsDoNotPanic)."""
+    import pytest
+
+    from m3_spark.plans.promql import parse
+
+    parse("up offset -2m")
+    parse('label_join(up, "foo", ",")')
+    for q in ["*up", "", "unknown_over_time(http_requests_total[5m])"]:
+        with pytest.raises(Exception):
+            parse(q)
