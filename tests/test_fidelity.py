@@ -270,3 +270,30 @@ def test_repetition_signals_degenerate_doc(spark):
     assert r["dup_word_frac"] > 0.9
     assert r["dup_ngram_char_frac"] == 1.0  # capped
     assert r["top_ngram_char_frac"] > 0.4
+
+
+def test_regex_matcher_anchoring_semantics(spark):
+    """Anchored-RE2 matcher semantics (upstream Prometheus).  The
+    reference's index layer instead SANITIZES regexes
+    (matchers.go:374-413, TestSanitizeRegex: 'b^ar' → 'ar'), an
+    FST-compat transformation that diverges from vanilla PromQL —
+    '{x=~"b^ar"}' would match 'ar' there.  This engine keeps the
+    upstream behavior: explicit anchors are redundant but harmless,
+    and a mid-pattern anchor simply matches nothing."""
+    from m3_spark.operators.fetch import fetch
+
+    s = make_samples(
+        spark,
+        [("m", {"x": v}, T0, 1.0) for v in ("bar", "ar", "r")],
+    )
+    def names(matchers):
+        return sorted(
+            r["tags"]["x"] for r in fetch(s, matchers).collect()
+        )
+
+    # explicit anchors equal the unanchored form
+    assert names([("=~", "x", "^bar$")]) == ["bar"]
+    assert names([("=~", "x", "bar")]) == ["bar"]
+    # mid-pattern anchor: matches nothing (RE2), NOT the reference's
+    # sanitized 'ar'
+    assert names([("=~", "x", "b^ar")]) == []
