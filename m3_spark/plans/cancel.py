@@ -1,0 +1,78 @@
+"""Per-query timeout and cancellation.
+
+The reference enforces a per-query timeout (default 30s —
+``src/cmd/services/m3query/config/config.go:70,306``) and surfaces it
+as ``ErrQueryTimeout`` (``native/read.go:146``).  The Spark-native
+mapping is a job group per query: every action the query triggers is
+tagged with the group id, a watchdog cancels the whole group at the
+deadline, and concurrently running queries in the same session are
+untouched — the same isolation a coordinator gives its request
+contexts.
+"""
+
+from __future__ import annotations
+
+import threading
+import uuid
+from contextlib import contextmanager
+
+from pyspark.sql import SparkSession
+
+
+class QueryTimeoutError(TimeoutError):
+    """Raised when a query exceeded its deadline and was cancelled."""
+
+
+DEFAULT_TIMEOUT_S = 30.0  # config.go:70
+
+
+@contextmanager
+def query_group(
+    spark: SparkSession,
+    timeout_s: float = DEFAULT_TIMEOUT_S,
+    description: str = "",
+):
+    """Run the enclosed actions under a cancellable job group.
+
+    Usage::
+
+        with query_group(spark, timeout_s=30) as g:
+            rows = df.collect()   # cancelled + QueryTimeoutError on overrun
+
+    Cancellation is cooperative at task granularity (Spark interrupts
+    running tasks); the context re-raises ``QueryTimeoutError`` when
+    the watchdog fired, regardless of which Py4J error surfaced.
+    """
+    sc = spark.sparkContext
+    group_id = f"m3q-{uuid.uuid4().hex[:12]}"
+    fired = threading.Event()
+
+    def cancel():
+        fired.set()
+        try:
+            sc.cancelJobGroup(group_id)
+        except Exception:
+            pass
+
+    timer = threading.Timer(timeout_s, cancel)
+    # interruptOnCancel=True → running tasks get a thread interrupt
+    sc.setJobGroup(group_id, description or group_id, interruptOnCancel=True)
+    timer.start()
+    try:
+        yield group_id
+    except Exception as e:
+        if fired.is_set():
+            raise QueryTimeoutError(
+                f"query exceeded {timeout_s}s and was cancelled"
+            ) from e
+        raise
+    finally:
+        timer.cancel()
+        try:
+            sc.setJobGroup(None, None)
+        except Exception:
+            pass
+    if fired.is_set():
+        raise QueryTimeoutError(
+            f"query exceeded {timeout_s}s and was cancelled"
+        )

@@ -1,0 +1,48 @@
+"""Per-query timeout/cancellation (plans/cancel.py): the reference's
+30s default query timeout (config.go:70,306 → ErrQueryTimeout,
+native/read.go:146) mapped to a Spark job group with a watchdog."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from m3_spark.plans.cancel import QueryTimeoutError, query_group
+
+
+def _slow_df(spark, rows=64, per_row_s=2.0):
+    # the UDF column must be CONSUMED (agg) or Catalyst prunes it away
+    return spark.range(0, rows, 1, 8).select(
+        F.udf(lambda x: (time.sleep(per_row_s), x)[1], "long")("id").alias("v")
+    )
+
+
+def test_fast_query_unaffected(spark):
+    with query_group(spark, timeout_s=120):
+        assert spark.range(1000).count() == 1000
+
+
+def test_slow_query_cancelled_and_session_survives(spark):
+    t0 = time.time()
+    with pytest.raises(QueryTimeoutError):
+        with query_group(spark, timeout_s=4):
+            _slow_df(spark).agg(F.sum("v")).collect()
+    # cancelled near the deadline, not after the ~16s the job needs
+    assert time.time() - t0 < 12
+    # other work in the same session is untouched
+    assert spark.range(10).count() == 10
+
+
+def test_timeout_not_masked_by_partial_results(spark):
+    """A query that would finish right around the deadline either
+    completes fully or raises — never returns partial data."""
+    try:
+        with query_group(spark, timeout_s=6):
+            rows = _slow_df(spark, rows=16, per_row_s=0.1).agg(
+                F.count("v")
+            ).collect()
+        assert rows[0][0] == 16
+    except QueryTimeoutError:
+        pytest.fail("fast query must not time out")
