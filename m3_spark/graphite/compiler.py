@@ -478,24 +478,36 @@ def _dur_s(s):
 
 
 def _time_spec_s(spec, now_s: float) -> float:
-    """graphite.ParseTime subset: 'now', signed relative durations
-    ('-9min', '+2h') against ``now``, bare epoch seconds, or an ISO
-    timestamp.  The reference anchors relative specs at wall-clock
-    now; we anchor at the query end for determinism."""
+    """Full graphite.ParseTime (timespec.py): 'now', relative
+    durations, epoch, absolute formats, references (8am / noon /
+    midnight / weekday / may6 …) and ref±offset composition — plus an
+    ISO-timestamp extension.  The reference anchors relative specs at
+    wall-clock now; we anchor at the query end for determinism."""
+    import datetime as dt
+
     if isinstance(spec, (int, float)):
         return float(spec)
     s = str(spec).strip()
-    if s == "now":
-        return float(now_s)
-    if s and s[0] in "+-":
-        return float(now_s) + (1 if s[0] == "+" else -1) * _dur_s(s[1:])
+    if s and s[0] == "+":
+        # forward offsets from now are not part of graphite's grammar
+        # (references compose them); kept as an extension
+        return float(now_s) + _dur_s(s[1:])
     try:
         return float(s)
     except ValueError:
-        import datetime as dt
-
+        pass
+    try:  # ISO-timestamp extension ('2024-01-02 12:00:00')
         return (
             dt.datetime.fromisoformat(s)
             .replace(tzinfo=dt.timezone.utc)
             .timestamp()
         )
+    except ValueError:
+        pass
+    from .timespec import parse_time
+
+    now = dt.datetime.fromtimestamp(float(now_s), dt.timezone.utc).replace(
+        tzinfo=None
+    )
+    out = parse_time(s, now)
+    return out.replace(tzinfo=dt.timezone.utc).timestamp()

@@ -1,0 +1,205 @@
+"""Graphite from/until time specifications.
+
+Semantics of the reference's ``src/query/graphite/graphite/timespec.go``
+(ParseTime / ParseTimeReference / ParseOffset / ParseDuration), test
+tables ``timespec_test.go``:
+
+* ``now``, ``-3min`` relative forms, epoch integers, absolute formats
+  (``15:04_20060102``, ``20130424``, ``04/24/13``, ``02.01.06`` …);
+* references: ``8am``, ``8:50pm``, ``noon``/``midnight``/``teatime``,
+  ``yesterday``/``today``/``tomorrow``, ``may6``/``december17``,
+  weekday names (most recent such day), and combinations after
+  whitespace/comma stripping (``8am monday`` → ``8ammonday``);
+* ``ref+offset`` / ``ref-offset`` composition (``midnight+2h``).
+
+All datetimes are naive UTC; ``now`` is supplied by the caller (the
+compiler anchors it at the query end for determinism).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import re
+
+__all__ = ["parse_time", "parse_time_reference", "parse_offset",
+           "parse_duration"]
+
+_PERIODS = {
+    "s": 1, "sec": 1, "seconds": 1,
+    "m": 60, "min": 60, "mins": 60, "minute": 60, "minutes": 60,
+    "h": 3600, "hr": 3600, "hour": 3600, "hours": 3600,
+    "d": 86400, "day": 86400, "days": 86400,
+    "w": 7 * 86400, "week": 7 * 86400, "weeks": 7 * 86400,
+    "mon": 30 * 86400, "month": 30 * 86400, "months": 30 * 86400,
+    "y": 365 * 86400, "year": 365 * 86400, "years": 365 * 86400,
+}
+
+_RE_RELATIVE = re.compile(r"^\-([0-9]+)(s|min|h|d|w|mon|y)(.*)$", re.I)
+_RE_OFFSET = re.compile(r"^(\-|\+)([0-9]+)(s|min|h|d|w|mon|y)(.*)$", re.I)
+_RE_MONTH_DAY = re.compile(
+    r"^(january|february|march|april|may|june|july|august|september|"
+    r"october|november|december)([0-9]{1,2})$", re.I,
+)
+_RE_WEEKDAY = re.compile(
+    r"^(sunday|monday|tuesday|wednesday|thursday|friday|saturday)$", re.I
+)
+_RE_PM = re.compile(r"^([0-1]?[0-9])pm", re.I)
+_RE_AM = re.compile(r"^([0-1]?[0-9])am", re.I)
+_RE_COLON = re.compile(r"^([0-1]?[0-9]):([0-5][0-9])(am|pm)?", re.I)
+
+_MONTHS = {
+    m: i + 1
+    for i, m in enumerate(
+        ["january", "february", "march", "april", "may", "june", "july",
+         "august", "september", "october", "november", "december"]
+    )
+}
+_WEEKDAYS = {
+    w: i
+    for i, w in enumerate(
+        ["sunday", "monday", "tuesday", "wednesday", "thursday",
+         "friday", "saturday"]
+    )
+}
+
+#: absolute formats (timespec.go:96-106), Go layout → strptime
+_FORMATS = [
+    "%H:%M %y%m%d",
+    "%H:%M %Y%m%d",
+    "%H:%M %m/%d/%y",
+    "%H:%M %d.%m.%y",
+    "%d.%m.%y",
+    "%m/%d/%y",
+    "%m/%d/%Y",
+    "%y%m%d",
+    "%Y%m%d",
+]
+
+
+def _try_formats(s: str) -> dt.datetime | None:
+    for fmt in _FORMATS:
+        try:
+            return dt.datetime.strptime(s, fmt)
+        except ValueError:
+            continue
+    return None
+
+
+def parse_duration(s: str) -> float:
+    """``-3min`` style (strictly negative) relative duration, seconds."""
+    m = _RE_RELATIVE.match(s)
+    if not m:
+        raise ValueError(f"invalid relative time {s!r}")
+    return -int(m.group(1)) * _PERIODS[m.group(2).lower()]
+
+
+def parse_offset(s: str) -> float:
+    """Signed offset (``+2h`` / ``-3min``), seconds; empty → 0."""
+    if s == "":
+        return 0.0
+    m = _RE_OFFSET.match(s)
+    if not m:
+        raise ValueError(f"invalid time offset {s!r}")
+    sign = -1 if m.group(1) == "-" else 1
+    return sign * int(m.group(2)) * _PERIODS[m.group(3).lower()]
+
+
+def parse_time_reference(ref: str, now: dt.datetime) -> dt.datetime:
+    if ref in ("", "now"):
+        return now
+    absolute = _try_formats(ref)
+    if absolute is not None:
+        return absolute
+
+    raw = ref
+    hour, minute = now.hour, now.minute
+
+    m = _RE_COLON.match(raw)
+    if m:
+        hour, minute = int(m.group(1)), int(m.group(2))
+        ref = ref[m.end(2):]
+        if ref[:2].lower() == "am":
+            ref = ref[2:]
+        elif ref[:2].lower() == "pm":
+            hour = (hour + 12) % 24
+            ref = ref[2:]
+    elif _RE_AM.match(raw):
+        m = _RE_AM.match(raw)
+        hour, minute = int(m.group(1)), 0
+        ref = ref[m.end():]
+    elif _RE_PM.match(raw):
+        m = _RE_PM.match(raw)
+        if int(m.group(1)) > 24:
+            raise ValueError(f"unknown time reference {raw!r}")
+        hour, minute = (int(m.group(1)) + 12) % 24, 0
+        ref = ref[m.end():]
+    elif ref.startswith("noon"):
+        hour, minute = 12, 0
+        ref = ref[4:]
+    elif ref.startswith("midnight"):
+        hour, minute = 0, 0
+        ref = ref[8:]
+    elif ref.startswith("teatime"):
+        hour, minute = 16, 0
+        ref = ref[7:]
+
+    ref_date = now.replace(hour=hour, minute=minute, second=0, microsecond=0)
+
+    if ref == "yesterday":
+        return ref_date - dt.timedelta(days=1)
+    if ref == "tomorrow":
+        return ref_date + dt.timedelta(days=1)
+    if ref == "today":
+        return ref_date
+    m = _RE_MONTH_DAY.match(ref)
+    if m:
+        return ref_date.replace(
+            month=_MONTHS[m.group(1).lower()], day=int(m.group(2))
+        )
+    if _RE_WEEKDAY.match(ref):
+        # most recent such weekday, counting back from today
+        # (Go Weekday: Sunday=0; Python weekday(): Monday=0)
+        today = (ref_date.weekday() + 1) % 7
+        back = today - _WEEKDAYS[ref.lower()]
+        if back < 0:
+            back += 7
+        return ref_date - dt.timedelta(days=back)
+    if ref != "":
+        raise ValueError(f"unknown time reference {raw!r}")
+    return ref_date
+
+
+def parse_time(
+    s: str, now: dt.datetime, absolute_offset_s: float = 0.0
+) -> dt.datetime:
+    """Full graphite from/until string → naive-UTC datetime."""
+    if not s:
+        raise ValueError("time cannot be empty")
+    if s == "now":
+        return now
+    m = _RE_RELATIVE.match(s)
+    if m:
+        return now - dt.timedelta(
+            seconds=int(m.group(1)) * _PERIODS[m.group(2).lower()]
+        )
+    absolute = _try_formats(s.replace("_", " "))
+    if absolute is not None:
+        return absolute + dt.timedelta(seconds=absolute_offset_s)
+    try:
+        return dt.datetime.fromtimestamp(int(s), dt.timezone.utc).replace(
+            tzinfo=None
+        )
+    except ValueError:
+        pass
+    compact = s.lower().replace(",", "").replace(" ", "")
+    ref, offset = compact, ""
+    for sep in ("+", "-"):
+        if sep in compact:
+            parts = compact.split(sep)
+            if len(parts) != 2:
+                raise ValueError(f"unknown time string {s!r}")
+            ref, offset = parts[0], sep + parts[1]
+            break
+    return parse_time_reference(ref, now) + dt.timedelta(
+        seconds=parse_offset(offset)
+    )

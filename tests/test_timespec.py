@@ -1,0 +1,105 @@
+"""Graphite from/until time-spec parsing — reference test tables from
+``src/query/graphite/graphite/timespec_test.go`` (relativeTo =
+2013-04-03 04:05 UTC, a Wednesday)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from m3_spark.graphite.timespec import (
+    parse_duration,
+    parse_offset,
+    parse_time,
+    parse_time_reference,
+)
+
+REL = dt.datetime(2013, 4, 3, 4, 5)
+
+
+def test_parse_time_reference_table():
+    h = dt.timedelta(hours=1)
+    m = dt.timedelta(minutes=1)
+    d = dt.timedelta(days=1)
+    cases = {
+        "": REL,
+        "now": REL,
+        "8:50": REL + 4 * h + 45 * m,
+        "8:50am": REL + 4 * h + 45 * m,
+        "8:50pm": REL + 16 * h + 45 * m,
+        "8am": REL + 3 * h + 55 * m,
+        "10pm": REL + 17 * h + 55 * m,
+        "noon": REL + 7 * h + 55 * m,
+        "midnight": REL - 4 * h - 5 * m,
+        "teatime": REL + 12 * h - 5 * m,
+        "yesterday": REL - 24 * h,
+        "today": REL,
+        "tomorrow": REL + 24 * h,
+        "04/24/13": REL + 21 * d - 4 * h - 5 * m,
+        "04/24/2013": REL + 21 * d - 4 * h - 5 * m,
+        "20130424": REL + 21 * d - 4 * h - 5 * m,
+        "may6": REL + 33 * d,
+        "may06": REL + 33 * d,
+        "december17": REL + 258 * d,
+        "monday": REL - 2 * d,
+        "8ammonday": REL - 2 * d + 3 * h + 55 * m,
+        "10pmyesterday": REL + 17 * h + 55 * m - 24 * h,
+    }
+    for ref, want in cases.items():
+        assert parse_time_reference(ref, REL) == want, ref
+
+
+def test_parse_time_reference_errors():
+    for bad in ["january800", "january", "random", ":", "8:5", "99pm",
+                "12:77pm", "23:00pm", "10:00pm6am"]:
+        with pytest.raises(ValueError):
+            parse_time_reference(bad, REL)
+
+
+def test_parse_time_table():
+    cases = {
+        "-4h": REL - dt.timedelta(hours=4),
+        "-35MIN": REL - dt.timedelta(minutes=35),
+        "06:12_07.03.14": dt.datetime(2014, 3, 7, 6, 12),
+        "06:12_03/07/14": dt.datetime(2014, 3, 7, 6, 12),
+        "06:12_140307": dt.datetime(2014, 3, 7, 6, 12),
+        "14:38_20150618": dt.datetime(2015, 6, 18, 14, 38),
+        "07.03.14": dt.datetime(2014, 3, 7),
+        "03/07/14": dt.datetime(2014, 3, 7),
+        "20140307": dt.datetime(2014, 3, 7),
+        "140307": dt.datetime(2014, 3, 7),
+        "1432581620": dt.datetime(2015, 5, 25, 19, 20, 20),
+        "now": dt.datetime(2013, 4, 3, 4, 5),
+        "midnight": dt.datetime(2013, 4, 3, 0, 0),
+        "midnight+1h": dt.datetime(2013, 4, 3, 1, 0),
+        "april08+1d": dt.datetime(2013, 4, 9, 4, 5),
+        "april08+1day": dt.datetime(2013, 4, 9, 4, 5),
+        "monday": dt.datetime(2013, 4, 1, 4, 5),
+        "9am monday": dt.datetime(2013, 4, 1, 9, 0),
+        "9am monday +5min": dt.datetime(2013, 4, 1, 9, 5),
+        "9am monday +5mins": dt.datetime(2013, 4, 1, 9, 5),
+        "9:00am monday +5min": dt.datetime(2013, 4, 1, 9, 5),
+    }
+    for spec, want in cases.items():
+        assert parse_time(spec, REL) == want, spec
+
+
+def test_parse_offset_table():
+    cases = {
+        "-4h": -4 * 3600, "-35MIN": -35 * 60, "-10s": -10,
+        "+4h": 4 * 3600, "+35MIN": 35 * 60, "+10s": 10,
+        "+1day": 86400, "": 0,
+    }
+    for s, want in cases.items():
+        assert parse_offset(s) == want, s
+    for bad in ["10s", "-10.5h", "somejunk"]:
+        with pytest.raises(ValueError):
+            parse_offset(bad)
+
+
+def test_parse_duration():
+    assert parse_duration("-4h") == -4 * 3600
+    for bad in ["10s", "4h", "junk"]:
+        with pytest.raises(ValueError):
+            parse_duration(bad)
