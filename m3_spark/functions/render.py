@@ -188,3 +188,37 @@ def _fmt(v: float) -> str:
 
 def dumps(obj) -> str:
     return json.dumps(obj, separators=(",", ":"), sort_keys=True)
+
+
+def graphite_render(
+    samples: DataFrame,
+    target: str,
+    from_spec="-24h",
+    until_spec="now",
+    now_s: float | None = None,
+    step_s: float = 60.0,
+    max_data_points: int = 0,
+    fmt: str = "json",
+):
+    """The `/api/v1/graphite/render` handler path in one call
+    (``api/v1/handler/graphite/render.go``): parse from/until with the
+    FULL graphite time-spec grammar (``graphite/timespec.py``, relative
+    specs anchored at ``now_s``), compile + evaluate the target, apply
+    maxDataPoints LTTB, and emit render JSON or the pickle wire format.
+    """
+    from ..graphite.compiler import _time_spec_s, evaluate
+
+    if now_s is None:
+        raise ValueError("now_s is required (deterministic anchor)")
+    start_s = _time_spec_s(from_spec, now_s)
+    end_s = _time_spec_s(until_spec, now_s)
+    if end_s <= start_s:
+        raise ValueError(
+            f"from ({from_spec!r}) must precede until ({until_spec!r})"
+        )
+    out = evaluate(samples, target, start_s, end_s, step_s)
+    if fmt == "pickle":
+        return to_graphite_pickle(out, int(start_s), int(end_s), int(step_s))
+    return to_graphite_render(
+        out, start_s, end_s, step_s, max_data_points=max_data_points
+    )

@@ -348,8 +348,11 @@ def exponential_moving_average(
 
 
 def delay(grid: DataFrame, steps: int) -> DataFrame:
+    """delay (:395-420): rename delay(name,%d)."""
     w = Window.partitionBy("series_id").orderBy("step_ts")
-    return grid.withColumn("value", F.lag("value", steps).over(w))
+    return grid.withColumn(
+        "value", F.lag("value", steps).over(w)
+    ).withColumn("name", _wrap("delay", f",{int(steps)}"))
 
 
 # ---------------------------------------------------------------------------
@@ -358,7 +361,9 @@ def delay(grid: DataFrame, steps: int) -> DataFrame:
 
 def derivative(grid: DataFrame) -> DataFrame:
     w = Window.partitionBy("series_id").orderBy("step_ts")
-    return grid.withColumn("value", F.col("value") - F.lag("value").over(w))
+    return grid.withColumn(
+        "value", F.col("value") - F.lag("value").over(w)
+    ).withColumn("name", _wrap("derivative"))
 
 
 def non_negative_derivative(
@@ -377,15 +382,20 @@ def non_negative_derivative(
     if max_value is not None and not _math.isnan(float(max_value)):
         mv = F.lit(float(max_value))
         out = out.when(mv >= F.col("value"), mv - prev + F.col("value") + F.lit(1.0))
-    return grid.withColumn("value", out)
+    return grid.withColumn("value", out).withColumn(
+        "name", _wrap("nonNegativeDerivative")
+    )
 
 
-def per_second(grid: DataFrame, step_s: float) -> DataFrame:
+def per_second(grid: DataFrame, step_s: float, rename: bool = True) -> DataFrame:
+    """perSecond (:543-548); ``rename=False`` for non-graphite callers
+    (M3QL pipelines keep their own naming)."""
     w = Window.partitionBy("series_id").orderBy("step_ts")
     d = F.col("value") - F.lag("value").over(w)
-    return grid.withColumn(
+    out = grid.withColumn(
         "value", F.when(d >= 0, d / F.lit(float(step_s)))
     )
+    return out.withColumn("name", _wrap("perSecond")) if rename else out
 
 
 def integral(grid: DataFrame) -> DataFrame:
@@ -400,15 +410,26 @@ def integral(grid: DataFrame) -> DataFrame:
     return grid.withColumn(
         "value",
         F.when(F.col("value").isNotNull(), F.sum("value").over(w)),
-    )
+    ).withColumn("name", _wrap("integral"))
 
 
 # ---------------------------------------------------------------------------
 # fill / clean (builtin_functions.go:551-576)
 # ---------------------------------------------------------------------------
 
-def transform_null(grid: DataFrame, default: float = 0.0) -> DataFrame:
-    return grid.withColumn("value", F.coalesce(F.col("value"), F.lit(float(default))))
+def transform_null(
+    grid: DataFrame, default: float = 0.0, rename: bool = True
+) -> DataFrame:
+    """transformNull (:551-562): rename transformNull(name,%.3f);
+    ``rename=False`` for internal densify/M3QL callers."""
+    out = grid.withColumn(
+        "value", F.coalesce(F.col("value"), F.lit(float(default)))
+    )
+    if rename:
+        out = out.withColumn(
+            "name", _wrap("transformNull", f",{float(default):.3f}")
+        )
+    return out
 
 
 def keep_last_value(grid: DataFrame, limit: int | None = None) -> DataFrame:
@@ -422,7 +443,9 @@ def keep_last_value(grid: DataFrame, limit: int | None = None) -> DataFrame:
         w_ord.rowsBetween(Window.unboundedPreceding, 0)
     )
     if limit is None or int(limit) < 0:
-        return grid.withColumn("value", F.coalesce(F.col("value"), filled))
+        return grid.withColumn(
+            "value", F.coalesce(F.col("value"), filled)
+        ).withColumn("name", _wrap("keepLastValue"))
     # group id = running non-null count: each null run shares its
     # anchor value's group; run length = group size - the anchor row
     grp = F.count("value").over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
@@ -433,13 +456,15 @@ def keep_last_value(grid: DataFrame, limit: int | None = None) -> DataFrame:
         F.when(F.col("value").isNotNull(), F.col("value"))
         .when(run_len <= int(limit), filled)
     )
-    return g.withColumn("value", out).drop("_grp")
+    return g.withColumn("value", out).drop("_grp").withColumn(
+        "name", _wrap("keepLastValue")
+    )
 
 
 def is_non_null(grid: DataFrame) -> DataFrame:
     return grid.withColumn(
         "value", F.col("value").isNotNull().cast("double")
-    )
+    ).withColumn("name", _wrap("isNonNull"))
 
 
 def remove_empty_series(grid: DataFrame) -> DataFrame:
@@ -672,37 +697,63 @@ def smart_summarize(
 # math / rename (registry)
 # ---------------------------------------------------------------------------
 
+def _wrap(fn: str, suffix: str = "") -> "F.Column":
+    """Reference rename convention: fn(name<suffix>) — wrappingFmt at
+    builtin_functions.go:49 plus the per-function argument renders."""
+    return F.concat(F.lit(f"{fn}("), F.col("name"), F.lit(f"{suffix})"))
+
+
 def scale(grid: DataFrame, factor: float) -> DataFrame:
-    return grid.withColumn("value", F.col("value") * F.lit(float(factor)))
+    """scale (builtin_functions.go:480-490): rename scale(name,%.3f)."""
+    return grid.withColumn(
+        "value", F.col("value") * F.lit(float(factor))
+    ).withColumn("name", _wrap("scale", f",{float(factor):.3f}"))
 
 
 def offset(grid: DataFrame, amount: float) -> DataFrame:
-    return grid.withColumn("value", F.col("value") + F.lit(float(amount)))
+    """offset (:519-529): rename offset(name,%.3f)."""
+    return grid.withColumn(
+        "value", F.col("value") + F.lit(float(amount))
+    ).withColumn("name", _wrap("offset", f",{float(amount):.3f}"))
 
 
 def absolute(grid: DataFrame) -> DataFrame:
-    return grid.withColumn("value", F.abs(F.col("value")))
+    return grid.withColumn("value", F.abs(F.col("value"))).withColumn(
+        "name", _wrap("absolute")
+    )
 
 
 def invert(grid: DataFrame) -> DataFrame:
-    return grid.withColumn("value", _safe_div(F.lit(1.0), F.col("value")))
+    return grid.withColumn(
+        "value", _safe_div(F.lit(1.0), F.col("value"))
+    ).withColumn("name", _wrap("invert"))
 
 
 def logarithm(grid: DataFrame, base: float = 10.0) -> DataFrame:
-    return grid.withColumn("value", F.log(float(base), F.col("value")))
+    """logarithm (:1440-1460): rename log(name, %f)."""
+    return grid.withColumn(
+        "value", F.log(float(base), F.col("value"))
+    ).withColumn("name", _wrap("log", f", {float(base):.6f}"))
 
 
 def square_root(grid: DataFrame) -> DataFrame:
-    return grid.withColumn("value", F.sqrt(F.col("value")))
+    return grid.withColumn("value", F.sqrt(F.col("value"))).withColumn(
+        "name", _wrap("squareRoot")
+    )
 
 
 def pow_series(grid: DataFrame, exp: float) -> DataFrame:
-    return grid.withColumn("value", F.pow(F.col("value"), F.lit(float(exp))))
+    """pow (:1300-1331): rename pow(name, %f)."""
+    return grid.withColumn(
+        "value", F.pow(F.col("value"), F.lit(float(exp)))
+    ).withColumn("name", _wrap("pow", f", {float(exp):.6f}"))
 
 
 def offset_to_zero(grid: DataFrame) -> DataFrame:
     w = Window.partitionBy("series_id")
-    return grid.withColumn("value", F.col("value") - F.min("value").over(w))
+    return grid.withColumn(
+        "value", F.col("value") - F.min("value").over(w)
+    ).withColumn("name", _wrap("offsetToZero"))
 
 
 def sustained_above(grid: DataFrame, n: float, min_steps: int) -> DataFrame:
@@ -768,13 +819,13 @@ def hitcount(
 def remove_above_value(grid: DataFrame, v: float) -> DataFrame:
     return grid.withColumn(
         "value", F.when(F.col("value") <= F.lit(float(v)), F.col("value"))
-    )
+    ).withColumn("name", _wrap("removeAboveValue", f", {float(v):.3f}"))
 
 
 def remove_below_value(grid: DataFrame, v: float) -> DataFrame:
     return grid.withColumn(
         "value", F.when(F.col("value") >= F.lit(float(v)), F.col("value"))
-    )
+    ).withColumn("name", _wrap("removeBelowValue", f", {float(v):.3f}"))
 
 
 def remove_above_percentile(grid: DataFrame, pct: float) -> DataFrame:
@@ -787,7 +838,7 @@ def remove_above_percentile(grid: DataFrame, pct: float) -> DataFrame:
     )
     return grid.withColumn(
         "value", F.when(F.col("value") <= thr, F.col("value"))
-    )
+    ).withColumn("name", _wrap("removeAbovePercentile", f", {float(pct):.3f}"))
 
 
 def most_deviant(grid: DataFrame, k: int) -> DataFrame:
@@ -1128,7 +1179,7 @@ def remove_below_percentile(grid: DataFrame, pct: float) -> DataFrame:
     )
     return grid.withColumn(
         "value", F.when(F.col("value") >= thr, F.col("value"))
-    )
+    ).withColumn("name", _wrap("removeBelowPercentile", f", {float(pct):.3f}"))
 
 
 def consolidate_by(grid: DataFrame, approach: str) -> DataFrame:

@@ -303,7 +303,8 @@ def evaluate(
         if f == "perSecond":
             from ..graphite.functions import per_second
 
-            return per_second(grid, step_s)
+            # M3QL keeps its own naming; no graphite-style wrap
+            return per_second(grid, step_s, rename=False)
         if f == "divide":
             rhs = run(e.args[0].value)
             d = rhs.select("step_ts", F.col("value").alias("_div"))

@@ -306,7 +306,11 @@ def q_graphite_rate_family(spark, sf_dir):
         parts.append(
             out.where(F.col("value").isNotNull()).select(
                 _epoch(),
-                F.col("name").alias("event_type"),
+                # names are wrapped per the reference (derivative(click)
+                # etc.); unwrap for the oracle key
+                F.regexp_extract(
+                    F.col("name"), r"^[A-Za-z]+\((.*)\)$", 1
+                ).alias("event_type"),
                 F.lit(func).alias("func"),
                 F.round(F.col("value"), 6).alias("value"),
             )

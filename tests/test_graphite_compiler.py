@@ -28,7 +28,12 @@ def test_eval_nested(spark, gsamples):  # noqa: F811
         T0 + 240, T0 + 240, 60, 300,
     ).collect()
     got = {r["name"]: r["value"] for r in out}
-    assert got == {"web01": 280.0, "web02": 480.0, "db01": 880.0}
+    # scale renames per the reference: scale(name,%.3f)
+    assert got == {
+        "scale(web01,10.000)": 280.0,
+        "scale(web02,10.000)": 480.0,
+        "scale(db01,10.000)": 880.0,
+    }
 
 
 def test_eval_summarize(spark, gsamples):  # noqa: F811

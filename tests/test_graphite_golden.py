@@ -666,3 +666,35 @@ def test_moving_sum_series_only_in_bootstrap_golden(spark):
     assert [got['movingSum(foo.baz,"10min")'][s] for s in steps] == [
         15.0, 16.0, 15.0,
     ]
+
+
+def test_rename_wrap_formats_golden(spark):
+    """Reference rename conventions (wrappingFmt + per-function arg
+    renders): scale/offset/transformNull use %.3f, pow/log %f (6dp),
+    plain wraps for absolute/derivative/perSecond/etc., delay %d."""
+    g = _grid_df(spark, {"foo": [1.0, 2.0]})
+
+    def name_of(df):
+        return {r["name"] for r in df.collect()}
+
+    assert name_of(gf.scale(g, 2)) == {"scale(foo,2.000)"}
+    assert name_of(gf.offset(g, -1.5)) == {"offset(foo,-1.500)"}
+    assert name_of(gf.transform_null(g, 0)) == {"transformNull(foo,0.000)"}
+    assert name_of(gf.pow_series(g, 2)) == {"pow(foo, 2.000000)"}
+    assert name_of(gf.logarithm(g, 10)) == {"log(foo, 10.000000)"}
+    assert name_of(gf.absolute(g)) == {"absolute(foo)"}
+    assert name_of(gf.invert(g)) == {"invert(foo)"}
+    assert name_of(gf.square_root(g)) == {"squareRoot(foo)"}
+    assert name_of(gf.derivative(g)) == {"derivative(foo)"}
+    assert name_of(gf.non_negative_derivative(g)) == {
+        "nonNegativeDerivative(foo)"
+    }
+    assert name_of(gf.per_second(g, 60)) == {"perSecond(foo)"}
+    assert name_of(gf.integral(g)) == {"integral(foo)"}
+    assert name_of(gf.keep_last_value(g)) == {"keepLastValue(foo)"}
+    assert name_of(gf.is_non_null(g)) == {"isNonNull(foo)"}
+    assert name_of(gf.delay(g, 2)) == {"delay(foo,2)"}
+    assert name_of(gf.remove_above_value(g, 5)) == {
+        "removeAboveValue(foo, 5.000)"
+    }
+    assert name_of(gf.offset_to_zero(g)) == {"offsetToZero(foo)"}

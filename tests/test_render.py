@@ -82,3 +82,45 @@ def test_query_api_scalar_and_vector(spark):
     assert vec["data"]["resultType"] == "vector"
     assert len(vec["data"]["result"]) == 1
     assert vec["data"]["result"][0]["value"][1] == "42"
+
+
+def test_graphite_render_handler_path(spark):
+    """Full /render path: time-spec grammar ('midnight+…' forms) →
+    compiler → JSON; pickle round-trips the same values."""
+    import datetime as dt
+    import pickle
+
+    from m3_spark.functions.render import graphite_render
+    from m3_spark.graphite.paths import paths_to_samples
+    from pyspark.sql import functions as F
+
+    # midnight-anchored day of data at 1h steps
+    day0 = 1_600_041_600  # 2020-09-14 00:00:00 UTC (a Monday)
+    rows = [("web.cpu", day0 + i * 3600, float(i)) for i in range(24)]
+    df = spark.createDataFrame(
+        rows, "path string, ts_s long, value double"
+    ).select("path", F.timestamp_seconds("ts_s").alias("ts"), "value")
+    samples = paths_to_samples(df)
+
+    now = day0 + 86400  # midnight next day
+    out = graphite_render(
+        samples, "scale(web.cpu, 2)", from_spec="midnight-1d",
+        until_spec="midnight", now_s=now, step_s=3600,
+    )
+    assert len(out) == 1 and out[0]["target"].startswith("scale(")
+    vals = [v for v, _t in out[0]["datapoints"] if v is not None]
+    assert vals[0] == 0.0 and max(vals) == 46.0
+
+    blob = graphite_render(
+        samples, "web.cpu", from_spec="-1d", until_spec="now",
+        now_s=now, step_s=3600, fmt="pickle",
+    )
+    series = pickle.loads(blob)
+    assert series[0]["name"] == "web.cpu"
+    assert series[0]["step"] == 3600
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        graphite_render(samples, "web.cpu", from_spec="now",
+                        until_spec="-1d", now_s=now)
