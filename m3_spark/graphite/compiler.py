@@ -156,6 +156,7 @@ _DENSE_FUNCS = {
 #: plain grid-level REGISTRY
 _CONTEXT_FUNCS = {
     "summarize", "perSecond", "scaleToSeconds", "threshold",
+    "sustainedAbove", "sustainedBelow",
     "randomWalkFunction", "smartSummarize", "applyByNode",
     "useSeriesAbove", "holtWintersForecast", "holtWintersConfidenceBands",
     "holtWintersAberration", "movingAverage", "movingSum", "movingMin",
@@ -290,6 +291,17 @@ def evaluate(
             )
         if f == "perSecond":
             return gf.per_second(ev(args[0], s, e), step_s)
+        if f in ("sustainedAbove", "sustainedBelow"):
+            # minSteps = intervalMillis // stepMillis (truncating, as
+            # sustainedCompare does at builtin_functions.go:736)
+            thr = float(_lit(args[1]))
+            interval = str(_lit(args[2]))
+            min_steps = int(_dur_s(interval) // step_s)
+            fn = (
+                gf.sustained_above if f == "sustainedAbove"
+                else gf.sustained_below
+            )
+            return fn(ev(args[0], s, e), thr, min_steps, interval)
         if f == "scaleToSeconds":
             return gf.scale_to_seconds(
                 ev(args[0], s, e), float(_lit(args[1])), step_s

@@ -756,26 +756,44 @@ def offset_to_zero(grid: DataFrame) -> DataFrame:
     ).withColumn("name", _wrap("offsetToZero"))
 
 
-def sustained_above(grid: DataFrame, n: float, min_steps: int) -> DataFrame:
-    """sustainedAbove: keep series whose value stayed >= n for at least
-    ``min_steps`` consecutive steps.  Run-length via the classic
-    row_number-difference grouping — no UDF."""
+def _sustained_compare(
+    grid: DataFrame, n: float, min_steps: int, cmp, zero_value: float,
+    fn_name: str, interval_str: str,
+) -> DataFrame:
+    """sustainedCompare (builtin_functions.go:723-762, TestSustainedAbove
+    tables): a per-POINT transform — the value survives only while the
+    comparison has held for at least ``min_steps`` CONSECUTIVE steps
+    (the running streak including this step); every other step emits
+    ``zero_value``.  NaN (null here) fails the comparison and resets
+    the streak.  Renamed ``fn(name, %f, 'interval')``."""
     ws = Window.partitionBy("series_id").orderBy("step_ts")
-    above = (F.col("value") >= F.lit(float(n))).cast("int")
-    marked = grid.withColumn("_rn", F.row_number().over(ws)).withColumn(
-        "_ra",
-        F.sum(above).over(ws.rowsBetween(Window.unboundedPreceding, 0)),
+    upto = ws.rowsBetween(Window.unboundedPreceding, 0)
+    cond = F.col("value").isNotNull() & cmp(F.col("value"), F.lit(float(n)))
+    g = grid.withColumn("_rn", F.row_number().over(ws)).withColumn(
+        "_cond", cond
     )
-    # within a run of above-rows, _rn - _ra is constant
-    runs = (
-        marked.where(above == 1)
-        .groupBy("series_id", (F.col("_rn") - F.col("_ra")).alias("_grp"))
-        .agg(F.count("*").alias("_len"))
-        .where(F.col("_len") >= min_steps)
-        .select("series_id")
-        .distinct()
+    last_bad = F.max(F.when(~F.col("_cond"), F.col("_rn"))).over(upto)
+    streak = F.col("_rn") - F.coalesce(last_bad, F.lit(0))
+    out = F.when(streak >= int(min_steps), F.col("value")).otherwise(
+        F.lit(float(zero_value))
     )
-    return grid.join(F.broadcast(runs), "series_id", "left_semi")
+    return (
+        g.withColumn("value", out)
+        .drop("_rn", "_cond")
+        .withColumn(
+            "name", _wrap(fn_name, f", {float(n):.6f}, '{interval_str}'")
+        )
+    )
+
+
+def sustained_above(
+    grid: DataFrame, n: float, min_steps: int, interval_str: str = ""
+) -> DataFrame:
+    """sustainedAbove (:764-766): zeroValue = threshold - |threshold|."""
+    return _sustained_compare(
+        grid, n, min_steps, lambda v, t: v >= t,
+        float(n) - abs(float(n)), "sustainedAbove", interval_str,
+    )
 
 
 def integral_by_interval(grid: DataFrame, interval_s: int) -> DataFrame:
@@ -1151,23 +1169,14 @@ def stdev_series(grid: DataFrame, points: int) -> DataFrame:
     return grid.withColumn("value", F.stddev_pop(F.col("value")).over(w))
 
 
-def sustained_below(grid: DataFrame, n: float, min_steps: int) -> DataFrame:
-    """sustainedBelow (builtin_functions.go:768) — mirror of
-    sustainedAbove with <=."""
-    ws = Window.partitionBy("series_id").orderBy("step_ts")
-    below = (F.col("value") <= F.lit(float(n))).cast("int")
-    marked = grid.withColumn("_rn", F.row_number().over(ws)).withColumn(
-        "_ra", F.sum(below).over(ws.rowsBetween(Window.unboundedPreceding, 0))
+def sustained_below(
+    grid: DataFrame, n: float, min_steps: int, interval_str: str = ""
+) -> DataFrame:
+    """sustainedBelow (:768-770): zeroValue = threshold + |threshold|."""
+    return _sustained_compare(
+        grid, n, min_steps, lambda v, t: v <= t,
+        float(n) + abs(float(n)), "sustainedBelow", interval_str,
     )
-    runs = (
-        marked.where(below == 1)
-        .groupBy("series_id", (F.col("_rn") - F.col("_ra")).alias("_grp"))
-        .agg(F.count("*").alias("_len"))
-        .where(F.col("_len") >= min_steps)
-        .select("series_id")
-        .distinct()
-    )
-    return grid.join(F.broadcast(runs), "series_id", "left_semi")
 
 
 def remove_below_percentile(grid: DataFrame, pct: float) -> DataFrame:

@@ -186,8 +186,14 @@ def test_sustained_below_and_remove_below_percentile(spark):
         + [("m.high", {}, T0 + i * 60, 100.0) for i in range(5)],
     )
     g = consolidate(s, T0, T0 + 240, 60, 300)
-    kept = {r["name"] for r in gf.sustained_below(g, 5.0, 3).collect()}
-    assert kept == {"m.low"}
+    # per-point semantics: m.low (all 1.0 <= 5) keeps its values; m.high
+    # never satisfies -> every step emits threshold + |threshold| = 10
+    rows = gf.sustained_below(g, 5.0, 3).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["name"], set()).add(r["value"])
+    assert by["sustainedBelow(m.low, 5.000000, '')"] == {1.0, 10.0}
+    assert by["sustainedBelow(m.high, 5.000000, '')"] == {10.0}
     rb = gf.remove_below_percentile(g, 50)
     assert rb.where(F.col("value").isNotNull()).count() > 0
 

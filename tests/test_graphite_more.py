@@ -41,17 +41,36 @@ def test_changed_and_constant(spark, ggrid2):
     assert len(cl) == 5 and all(r["value"] == 42.0 for r in cl)
 
 
-def test_sustained_above(spark, ggrid2):
-    # db01 series: values 40..44 → always >= 40 for 5 steps
-    out = gf.sustained_above(ggrid2, 40.0, 5)
-    assert out.select("series_id").distinct().count() == 3
-    # web02 (20..24) reaches 22 at i=2..4 → run of 3
-    out = gf.sustained_above(ggrid2, 22.0, 3)
-    names = {r["name"] for r in out.collect()}
-    assert all(".db01." in n or ".web02." in n for n in names)
-    out = gf.sustained_above(ggrid2, 22.0, 4)
-    names = {r["name"] for r in out.collect()}
-    assert all(".db01." in n for n in names)
+def test_sustained_above_reference_tables(spark):
+    """TestSustainedAbove (builtin_functions_test.go:1453): per-POINT
+    masking — a value survives only while the comparison has held for
+    >= minSteps consecutive steps; other steps emit
+    threshold - |threshold|.  10s step; intervals 10s..40s."""
+    from tests.test_graphite_golden import _grid_df, _vals_by_step
+
+    cases = [
+        ([0, 0, 3, 3, 4, 0, 0], [0, 0, 3, 3, 4, 0, 0], 2, 1, "10s"),
+        ([0, 0, 3, 3, 4, 0, 0], [0, 0, 0, 3, 4, 0, 0], 2, 2, "20s"),
+        ([0, 0, 3, 3, 4, 0, 0], [0, 0, 0, 0, 4, 0, 0], 2, 3, "30s"),
+        ([0, 0, 3, 3, 4, 0, 0], [0, 0, 0, 0, 0, 0, 0], 2, 4, "40s"),
+        ([0, 3, 3, 4, 4, 2, 0], [0, 0, 0, 0, 4, 0, 0], 4, 2, "20s"),
+        ([1, 2, 3, 4, 9, 9, 9, 9, 9, 3],
+         [0, 0, 0, 0, 0, 0, 9, 9, 9, 0], 8, 3, "30s"),
+        ([1, 2, 3, 4, 5, 5, 5, 5, 5, 3],
+         [0, 0, 0, 4, 5, 5, 5, 5, 5, 0], 4, 1, "10s"),
+        ([-3, -4, -1, 3, 0, -1, -5, -6, -3],
+         [-4, -4, -4, 3, 0, -1, -4, -4, -4], -2, 2, "20s"),
+    ]
+    for vals, want, thr, min_steps, interval in cases:
+        g = _grid_df(spark, {"foo": [float(v) for v in vals]})
+        out = gf.sustained_above(g, thr, min_steps, interval)
+        got = _vals_by_step(out.collect())
+        assert [got[i] for i in range(len(want))] == [float(w) for w in want], (
+            thr, interval,
+        )
+        assert {r["name"] for r in out.collect()} == {
+            f"sustainedAbove(foo, {float(thr):.6f}, '{interval}')"
+        }
 
 
 def test_integral_by_interval(spark, ggrid2):
