@@ -97,3 +97,30 @@ def test_weighted_average(spark, ggrid2):
     out = gf.weighted_average(sel, sel).orderBy("step_ts").collect()
     # weights = values → sum(v^2)/sum(v); at i=0: (100+400+1600)/70 = 30
     assert out[0]["value"] == pytest.approx(2100.0 / 70.0)
+
+
+def test_sustained_below_reference_tables(spark):
+    """TestSustainedBelow (builtin_functions_test.go:1554): mirror of
+    sustainedAbove with <=; zeroValue = threshold + |threshold|."""
+    from tests.test_graphite_golden import _grid_df, _vals_by_step
+
+    cases = [
+        ([4, 4, 1, 1, 1, 4, 4], [4, 4, 1, 1, 1, 4, 4], 2, 1, "10s"),
+        ([7, 8, 3, 3, 2, 6, 7], [6, 6, 6, 3, 2, 6, 6], 3, 2, "20s"),
+        ([9, 7, 3, 3, 2, 5, 6], [6, 6, 6, 6, 2, 6, 6], 3, 3, "30s"),
+        ([8, 5, 3, 3, 2, 5, 8], [6, 6, 6, 6, 6, 6, 6], 3, 4, "40s"),
+        ([4, 3, 3, 1, 1, 2, 4], [2, 2, 2, 2, 1, 2, 2], 1, 2, "20s"),
+        ([7, 8, 9, 2, 2, 4, 2, 5, 3, 2],
+         [8, 8, 8, 8, 8, 8, 2, 8, 8, 8], 4, 4, "40s"),
+        ([1, 2, 3, 4, 9, 9, 9, 9, 9, 3],
+         [8, 2, 3, 4, 8, 8, 8, 8, 8, 8], 4, 2, "20s"),
+        ([-3, -4, -3, -1, 3, 2, -5, -4, -3, -3],
+         [0, -4, -3, 0, 0, 0, 0, -4, -3, -3], -2, 2, "20s"),
+    ]
+    for vals, want, thr, min_steps, interval in cases:
+        g = _grid_df(spark, {"foo": [float(v) for v in vals]})
+        out = gf.sustained_below(g, thr, min_steps, interval)
+        got = _vals_by_step(out.collect())
+        assert [got[i] for i in range(len(want))] == [float(w) for w in want], (
+            thr, interval,
+        )
