@@ -1213,10 +1213,12 @@ def cumulative(grid: DataFrame) -> DataFrame:
 
 
 def dashed(grid: DataFrame, dash_len: float = 5.0) -> DataFrame:
-    """dashed: a pure rendering hint — name decoration only (:2802)."""
+    """dashed: a pure rendering hint — name decoration only, rename
+    ``dashed(name, %.3f)`` (:2802-2812); non-positive length errors."""
+    if float(dash_len) <= 0:
+        raise ValueError(f"expected a positive dashLength, got {dash_len}")
     return grid.withColumn(
-        "name",
-        F.concat(F.lit("dashed("), F.col("name"), F.lit(f",{dash_len:g})")),
+        "name", _wrap("dashed", f", {float(dash_len):.3f}")
     )
 
 

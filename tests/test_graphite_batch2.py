@@ -263,7 +263,7 @@ def test_name_decorations(spark, ggrid):  # noqa: F811
     cb = gf.consolidate_by(one, "max").select("name").first()["name"]
     assert cb == 'consolidateBy(servers.web01.cpu.user,"max")'
     d = gf.dashed(one).select("name").first()["name"]
-    assert d == "dashed(servers.web01.cpu.user,5)"
+    assert d == "dashed(servers.web01.cpu.user, 5.000)"
     am = gf.alias_by_metric(one).select("name").first()["name"]
     assert am == "user"
     sb = gf.substr_name(one, 1, 3).select("name").first()["name"]
