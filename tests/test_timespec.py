@@ -103,3 +103,15 @@ def test_parse_duration():
     for bad in ["10s", "4h", "junk"]:
         with pytest.raises(ValueError):
             parse_duration(bad)
+
+
+def test_absolute_offset_table():
+    """TestAbsoluteOffset (timespec_test.go:125): the absolute-format
+    branch applies the offset (-7h); relative specs ignore it."""
+    cases = {
+        "-35MIN": REL - dt.timedelta(minutes=35),
+        "14:12_07.03.14": dt.datetime(2014, 3, 7, 7, 12),
+        "03/07/14": dt.datetime(2014, 3, 6, 17, 0),
+    }
+    for spec, want in cases.items():
+        assert parse_time(spec, REL, absolute_offset_s=-7 * 3600) == want, spec
