@@ -397,3 +397,119 @@ def ivf_train(
             )
         )
     return cents
+
+
+# ---------------------------------------------------------------------------
+# product quantization (the IVF companion for billion-scale ANN:
+# Jégou, Douze & Schmid, "Product Quantization for Nearest Neighbor
+# Search", TPAMI 2011 — the FAISS IVFPQ recipe)
+# ---------------------------------------------------------------------------
+
+def _sub_l2(a: Column, b: Column) -> Column:
+    """Squared L2 distance between two equal-length arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _subvectors(df: DataFrame, m: int, id_col: str, vec_col: str) -> DataFrame:
+    """(id, sub, _sv): the vector split into ``m`` contiguous
+    subspaces — one explode, subvector length derived per row so the
+    plan needs no driver-side dim probe."""
+    sub_len = (F.size(vec_col) / m).cast("int")
+    parts = F.array(*[
+        F.struct(
+            F.lit(i).alias("sub"),
+            F.slice(
+                F.col(vec_col), (F.lit(i) * sub_len + 1).cast("int"), sub_len
+            ).alias("_sv"),
+        )
+        for i in range(m)
+    ])
+    return df.select(
+        F.col(id_col), F.explode(parts).alias("_p")
+    ).select(id_col, F.col("_p.sub").alias("sub"), F.col("_p._sv").alias("_sv"))
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ codebooks: per subspace, ``k`` centroids seeded from the
+    first ``k`` vectors' subvectors (the same deterministic draw as
+    ``ivf_train``; refinable with the identical Lloyd step).  Returns
+    (sub, code, _cvec) — m×k rows, broadcastable at any corpus size.
+    """
+    e = _as_double(embeddings, vec_col)
+    return _subvectors(e.where(F.col(id_col) < k), m, id_col, vec_col).select(
+        "sub", F.col(id_col).alias("code"), F.col("_sv").alias("_cvec")
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to ``m`` one-byte-ish codes: per subspace,
+    the L2-nearest codebook entry (ties → smallest code).  One explode
+    + broadcast join + min_by — no shuffle of the embedding corpus
+    beyond the (id, sub) aggregate, so 100 TB of vectors stream
+    through map-side.  Returns (id, sub, code)."""
+    e = _as_double(embeddings, vec_col)
+    scored = _subvectors(e, m, id_col, vec_col).join(
+        F.broadcast(codebooks), "sub"
+    ).select(
+        id_col, "sub", "code", _sub_l2(F.col("_sv"), F.col("_cvec")).alias("_d")
+    )
+    return scored.groupBy(id_col, "sub").agg(
+        F.min(F.struct("_d", "code"))["code"].alias("code")
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_vec,
+    topk: int = 5,
+    m: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: DataFrame | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: the query is compared against
+    the m×k lookup table of codebook distances; each encoded vector's
+    score is the sum of its m table entries.  Returns (id, approx_dist)
+    — ascending squared-L2, ties by id, via TakeOrderedAndProject.
+
+    ``codebooks``/``codes`` can be passed in pre-materialized (the
+    realistic deployment: train once, encode incrementally)."""
+    if codebooks is None:
+        codebooks = pq_train(embeddings, m, k, id_col, vec_col)
+    if codes is None:
+        codes = pq_encode(embeddings, codebooks, m, id_col, vec_col)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sub_len = (F.size(q) / m).cast("int")
+    lut = codebooks.select(
+        "sub",
+        "code",
+        _sub_l2(
+            F.col("_cvec"),
+            F.slice(q, (F.col("sub") * sub_len + 1).cast("int"), sub_len),
+        ).alias("_d"),
+    )
+    return (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .groupBy(id_col)
+        .agg(F.sum("_d").alias("approx_dist"))
+        .orderBy(F.col("approx_dist").asc(), F.col(id_col).asc())
+        .limit(topk)
+    )

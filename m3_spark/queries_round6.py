@@ -187,6 +187,67 @@ FROM d GROUP BY 1, 2
 """
 
 
+_PQ_M, _PQ_K, _PQ_QID, _PQ_TOP = 4, 16, 42, 5
+
+
+def q_ann_pq_topk(spark, sf_dir):
+    """IVFPQ's quantization half (Jégou et al. 2011): train m=4
+    subspace codebooks (deterministic first-k init), encode every
+    vector to 4 codes, then asymmetric-distance top-5 for the
+    vec_id=42 query via the m×k lookup table — every stage
+    (codebook, argmin encode, ADC sum, top-k) pinned by the oracle."""
+    from .pipeline.similarity import pq_topk
+    from .sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == _PQ_QID).first()["embedding"]
+    out = pq_topk(emb, q, topk=_PQ_TOP, m=_PQ_M, k=_PQ_K)
+    return out.select(
+        "vec_id", F.round("approx_dist", 6).alias("approx_dist")
+    )
+
+
+ORACLE_ANN_PQ_TOPK = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM v WHERE vec_id = {_PQ_QID}),
+dims AS (SELECT len(v) // {_PQ_M} AS L FROM v LIMIT 1),
+subs AS (
+  SELECT vec_id, s.sub,
+         list_slice(v, s.sub * d.L + 1, (s.sub + 1) * d.L) AS sv
+  FROM v, dims d, (SELECT unnest(range({_PQ_M})) AS sub) s
+),
+cb AS (SELECT sub, vec_id AS code, sv AS cv FROM subs WHERE vec_id < {_PQ_K}),
+enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT subs.vec_id, subs.sub, cb.code,
+           row_number() OVER (
+             PARTITION BY subs.vec_id, subs.sub
+             ORDER BY list_reduce(list_prepend(0.0,
+                 [ (subs.sv[i] - cb.cv[i]) * (subs.sv[i] - cb.cv[i])
+                   for i in generate_series(1, len(subs.sv)) ]),
+                 (x, y) -> x + y),
+               cb.code) AS rk
+    FROM subs JOIN cb USING (sub))
+  WHERE rk = 1
+),
+lut AS (
+  SELECT cb.sub, cb.code,
+         list_reduce(list_prepend(0.0,
+           [ (cb.cv[i] - list_slice(q.qv, cb.sub * d.L + 1,
+                                    (cb.sub + 1) * d.L)[i])
+             * (cb.cv[i] - list_slice(q.qv, cb.sub * d.L + 1,
+                                      (cb.sub + 1) * d.L)[i])
+             for i in generate_series(1, len(cb.cv)) ]),
+           (x, y) -> x + y) AS d
+  FROM cb, q, dims d
+)
+SELECT vec_id, ROUND(SUM(d), 6) AS approx_dist
+FROM enc JOIN lut USING (sub, code)
+GROUP BY vec_id
+QUALIFY row_number() OVER (ORDER BY SUM(d), vec_id) <= {_PQ_TOP}
+"""
+
+
 _INSTANT_T = "2024-01-04 12:00:00"
 
 
@@ -725,4 +786,5 @@ ROUND6_QUERIES = {
     "stream_timer_ckms": (q_stream_timer_ckms, ORACLE_STREAM_TIMER_CKMS),
     "text_repetition": (q_text_repetition, ORACLE_TEXT_REPETITION),
     "stream_rule_cutover": (q_stream_rule_cutover, ORACLE_STREAM_RULE_CUTOVER),
+    "ann_pq_topk": (q_ann_pq_topk, ORACLE_ANN_PQ_TOPK),
 }

@@ -297,3 +297,25 @@ def test_regex_matcher_anchoring_semantics(spark):
     # mid-pattern anchor: matches nothing (RE2), NOT the reference's
     # sanitized 'ar'
     assert names([("=~", "x", "b^ar")]) == []
+
+
+def test_pq_full_codebook_recovers_exact_neighbors(spark):
+    """PQ sanity: with k >= corpus size every vector is its own
+    codeword, so ADC distance degenerates to exact squared-L2 and the
+    top-k equals brute force."""
+    import random
+
+    from m3_spark.pipeline.similarity import pq_topk
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(12)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = rows[0][1]
+    got = [r["vec_id"] for r in pq_topk(emb, q, topk=3, m=2, k=12).collect()]
+    # exact: rank by squared L2
+    def d2(v):
+        return sum((a - b) ** 2 for a, b in zip(v, q))
+
+    want = [i for i, v in sorted(rows, key=lambda r: (d2(r[1]), r[0]))][:3]
+    assert got == want
+    assert got[0] == 0  # the query itself
