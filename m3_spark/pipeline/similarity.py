@@ -513,3 +513,81 @@ def pq_topk(
         .orderBy(F.col("approx_dist").asc(), F.col(id_col).asc())
         .limit(topk)
     )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_vec,
+    topk: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 2,
+    m: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cents: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """IVFPQ (Jégou et al. 2011 §IV, the residual-free IVFADC
+    variant): coarse-quantize the corpus into ``n_lists`` inverted
+    lists (cosine routing, as ``ivf_topk``), PQ-encode every vector,
+    then answer a query by probing its ``n_probe`` nearest lists and
+    ranking ONLY their members with the m×k ADC lookup table — the
+    standard billion-scale recipe: the scan touches n_probe/n_lists of
+    the codes table and never the raw vectors.
+
+    Plan shape: tiny probe frame (n_probe rows) broadcast-semi-joined
+    into the assignment, one equi-join of the surviving ids against
+    the codes, ADC aggregate, TakeOrdered top-k.
+    """
+    e = _as_double(embeddings, vec_col)
+    if cents is None:
+        cents = e.where(F.col(id_col) < n_lists).select(
+            F.col(id_col).alias("list_id"), F.col(vec_col).alias("_cvec")
+        )
+    if codebooks is None:
+        codebooks = pq_train(embeddings, m, k, id_col, vec_col)
+    if codes is None:
+        codes = pq_encode(embeddings, codebooks, m, id_col, vec_col)
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+
+    # corpus → list assignment (argmax cosine, ties to smaller list)
+    scored = e.select(id_col, vec_col).crossJoin(F.broadcast(cents)).select(
+        F.col(id_col), "list_id",
+        cosine_col(F.col(vec_col), F.col("_cvec")).alias("_sim"),
+    )
+    wa = Window.partitionBy(id_col).orderBy(
+        F.col("_sim").desc(), F.col("list_id").asc()
+    )
+    assign = (
+        scored.withColumn("_rk", F.row_number().over(wa))
+        .where(F.col("_rk") == 1)
+        .select(id_col, "list_id")
+    )
+    # the query's n_probe nearest lists
+    probes = (
+        cents.select("list_id", cosine_col(F.col("_cvec"), q).alias("_s"))
+        .orderBy(F.col("_s").desc(), F.col("list_id").asc())
+        .limit(n_probe)
+        .select("list_id")
+    )
+    cand = assign.join(F.broadcast(probes), "list_id").select(id_col)
+
+    sub_len = (F.size(q) / m).cast("int")
+    lut = codebooks.select(
+        "sub", "code",
+        _sub_l2(
+            F.col("_cvec"),
+            F.slice(q, (F.col("sub") * sub_len + 1).cast("int"), sub_len),
+        ).alias("_d"),
+    )
+    return (
+        codes.join(cand, id_col, "left_semi")
+        .join(F.broadcast(lut), ["sub", "code"])
+        .groupBy(id_col)
+        .agg(F.sum("_d").alias("approx_dist"))
+        .orderBy(F.col("approx_dist").asc(), F.col(id_col).asc())
+        .limit(topk)
+    )

@@ -248,6 +248,89 @@ QUALIFY row_number() OVER (ORDER BY SUM(d), vec_id) <= {_PQ_TOP}
 """
 
 
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """Full IVFPQ (Jégou et al. 2011 §IV): cosine-routed inverted
+    lists (16, probe 2) + PQ ADC ranking of the probed lists' members
+    only — routing, assignment, encode, and lookup-table sum all
+    pinned by the composed oracle."""
+    from .pipeline.similarity import ivfpq_topk
+    from .sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == _PQ_QID).first()["embedding"]
+    out = ivfpq_topk(
+        emb, q, topk=_PQ_TOP, n_lists=_N_LISTS, n_probe=2, m=_PQ_M, k=_PQ_K
+    )
+    return out.select(
+        "vec_id", F.round("approx_dist", 6).alias("approx_dist")
+    )
+
+
+ORACLE_ANN_IVFPQ_TOPK = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM v WHERE vec_id = {_PQ_QID}),
+c0 AS (SELECT vec_id AS list_id, v AS cv FROM v WHERE vec_id < {_N_LISTS}),
+sims AS (
+  SELECT a.vec_id, c.list_id,
+         list_reduce(list_prepend(0.0, [a.v[i] * c.cv[i]
+             for i in generate_series(1, len(a.v))]), (x, y) -> x + y)
+         / (sqrt(list_reduce(list_prepend(0.0, [x * x for x in a.v]),
+                             (x, y) -> x + y))
+          * sqrt(list_reduce(list_prepend(0.0, [x * x for x in c.cv]),
+                             (x, y) -> x + y))) AS sim
+  FROM v a CROSS JOIN c0 c
+),
+asg AS (
+  SELECT vec_id, list_id FROM (
+    SELECT vec_id, list_id,
+           row_number() OVER (PARTITION BY vec_id
+             ORDER BY sim DESC, list_id) AS rk
+    FROM sims)
+  WHERE rk = 1
+),
+probes AS (
+  SELECT list_id FROM sims WHERE vec_id = {_PQ_QID}
+  ORDER BY sim DESC, list_id LIMIT 2
+),
+cand AS (SELECT vec_id FROM asg JOIN probes USING (list_id)),
+dims AS (SELECT len(v) // {_PQ_M} AS L FROM v LIMIT 1),
+subs AS (
+  SELECT vec_id, s.sub,
+         list_slice(v, s.sub * d.L + 1, (s.sub + 1) * d.L) AS sv
+  FROM v, dims d, (SELECT unnest(range({_PQ_M})) AS sub) s
+),
+cb AS (SELECT sub, vec_id AS code, sv AS cv FROM subs WHERE vec_id < {_PQ_K}),
+enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT subs.vec_id, subs.sub, cb.code,
+           row_number() OVER (
+             PARTITION BY subs.vec_id, subs.sub
+             ORDER BY list_reduce(list_prepend(0.0,
+                 [ (subs.sv[i] - cb.cv[i]) * (subs.sv[i] - cb.cv[i])
+                   for i in generate_series(1, len(subs.sv)) ]),
+                 (x, y) -> x + y),
+               cb.code) AS rk
+    FROM subs JOIN cb USING (sub))
+  WHERE rk = 1
+),
+lut AS (
+  SELECT cb.sub, cb.code,
+         list_reduce(list_prepend(0.0,
+           [ (cb.cv[i] - list_slice(q.qv, cb.sub * d.L + 1,
+                                    (cb.sub + 1) * d.L)[i])
+             * (cb.cv[i] - list_slice(q.qv, cb.sub * d.L + 1,
+                                      (cb.sub + 1) * d.L)[i])
+             for i in generate_series(1, len(cb.cv)) ]),
+           (x, y) -> x + y) AS d
+  FROM cb, q, dims d
+)
+SELECT e.vec_id, ROUND(SUM(d), 6) AS approx_dist
+FROM enc e JOIN cand USING (vec_id) JOIN lut USING (sub, code)
+GROUP BY e.vec_id
+QUALIFY row_number() OVER (ORDER BY SUM(d), e.vec_id) <= {_PQ_TOP}
+"""
+
+
 _INSTANT_T = "2024-01-04 12:00:00"
 
 
@@ -787,4 +870,5 @@ ROUND6_QUERIES = {
     "text_repetition": (q_text_repetition, ORACLE_TEXT_REPETITION),
     "stream_rule_cutover": (q_stream_rule_cutover, ORACLE_STREAM_RULE_CUTOVER),
     "ann_pq_topk": (q_ann_pq_topk, ORACLE_ANN_PQ_TOPK),
+    "ann_ivfpq_topk": (q_ann_ivfpq_topk, ORACLE_ANN_IVFPQ_TOPK),
 }
