@@ -698,3 +698,40 @@ def test_rename_wrap_formats_golden(spark):
         "removeAboveValue(foo, 5.000)"
     }
     assert name_of(gf.offset_to_zero(g)) == {"offsetToZero(foo)"}
+
+
+def test_simple_transform_value_tables_golden(spark):
+    """Reference value tables for the simple transforms:
+    TestAbsolute ([-2,0,42,NaN] → [2,0,42,NaN]), TestSquareRoot
+    ([1,-2,3,NaN] → [1,NaN,1.73205,NaN]; [4] → [2]), TestPow
+    (x^2 tables), TestInvert ([1,2,4] → [1,.5,.25])."""
+    g = _grid_df(spark, {"foo": [-2.0, 0.0, 42.0, None]})
+    got = _vals_by_step(gf.absolute(g).collect())
+    assert [got[i] for i in range(3)] == [2.0, 0.0, 42.0]
+    assert got.get(3) is None
+
+    g = _grid_df(spark, {"foo": [1.0, -2.0, 3.0, None], "bar": [4.0]})
+    rows = gf.square_root(g).collect()
+    byname = {}
+    for r in rows:
+        byname.setdefault(r["name"], {})[
+            int((r["step_ts"] - dt.datetime(1970, 1, 1)).total_seconds() - T0)
+            // STEP
+        ] = r["value"]
+    f = byname["squareRoot(foo)"]
+    assert f[0] == 1.0 and f[2] == pytest.approx(1.73205, abs=1e-5)
+    assert math.isnan(f[1])  # sqrt(-2) → NaN (IEEE, as the reference)
+    assert f[3] is None  # stale input stays stale
+    assert byname["squareRoot(bar)"][0] == 2.0
+
+    for vals, want in [
+        ([1.0, 2.0, 3.0, 4.0, 5.0], [1.0, 4.0, 9.0, 16.0, 25.0]),
+        ([0.0, 2.0, 4.0, 6.0, 8.0], [0.0, 4.0, 16.0, 36.0, 64.0]),
+    ]:
+        g = _grid_df(spark, {"foo": vals})
+        got = _vals_by_step(gf.pow_series(g, 2).collect())
+        assert [got[i] for i in range(5)] == want
+
+    g = _grid_df(spark, {"foo": [1.0, 2.0, 4.0]})
+    got = _vals_by_step(gf.invert(g).collect())
+    assert [got[i] for i in range(3)] == [1.0, 0.5, 0.25]
