@@ -247,3 +247,48 @@ def repetition_signals(
             ).alias("dup_ngram_char_frac"),
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    stride: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-token-budget chunks with optional
+    overlap — the tokenize-and-chunk stage in front of sequence
+    packing (``pipeline/sampling.py::pack_sequences``).
+
+    ``stride`` defaults to ``chunk_tokens`` (disjoint chunks); a
+    smaller stride overlaps adjacent chunks (the usual LM-pretraining
+    sliding window).  Chunk starts are 0, stride, 2·stride … while
+    they still begin inside the document, so a trailing partial chunk
+    is kept (its ``n_tokens`` < chunk_tokens).
+
+    Pure column expressions: one ``sequence``+``explode`` per doc —
+    output rows ≈ tokens/stride per doc, map-side only, no shuffle.
+    Returns (id, chunk_id, chunk_text, n_tokens).
+    """
+    from .dedup import words_col
+
+    if stride is None:
+        stride = chunk_tokens
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    words = words_col(F.col(text_col))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(words) - 1, F.lit(0)),
+        F.lit(int(stride)),
+    )
+    w = docs.select(
+        F.col(id_col), words.alias("_w"), F.explode(starts).alias("_start")
+    )
+    chunk = F.slice(F.col("_w"), F.col("_start") + 1, int(chunk_tokens))
+    return w.select(
+        id_col,
+        (F.col("_start") / int(stride)).cast("long").alias("chunk_id"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).alias("n_tokens"),
+    ).where(F.col("n_tokens") > 0)

@@ -842,6 +842,35 @@ GROUP BY 1, 2
 """
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Sliding-window token chunking (128-token chunks, stride 96 —
+    the LM-pretraining chunker feeding sequence packing); trailing
+    partial chunks kept with their true token count."""
+    from .pipeline.text import chunk_documents
+    from .sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = chunk_documents(docs, chunk_tokens=128, stride=96)
+    return out.select(
+        "doc_id", "chunk_id", F.md5("chunk_text").alias("chunk_md5"),
+        "n_tokens",
+    )
+
+
+ORACLE_CHUNK_DOCUMENTS = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+st AS (
+  SELECT doc_id, ws, unnest(range(0, len(ws), 96)) AS s FROM w
+  WHERE len(ws) > 0
+)
+SELECT doc_id, s // 96 AS chunk_id,
+       md5(array_to_string(list_slice(ws, s + 1, s + 128), ' ')) AS chunk_md5,
+       len(list_slice(ws, s + 1, s + 128)) AS n_tokens
+FROM st
+WHERE len(list_slice(ws, s + 1, s + 128)) > 0
+"""
+
+
 ROUND6_QUERIES = {
     "stream_rule_tag_filter": (
         q_stream_rule_tag_filter,
@@ -871,4 +900,5 @@ ROUND6_QUERIES = {
     "stream_rule_cutover": (q_stream_rule_cutover, ORACLE_STREAM_RULE_CUTOVER),
     "ann_pq_topk": (q_ann_pq_topk, ORACLE_ANN_PQ_TOPK),
     "ann_ivfpq_topk": (q_ann_ivfpq_topk, ORACLE_ANN_IVFPQ_TOPK),
+    "chunk_documents": (q_chunk_documents, ORACLE_CHUNK_DOCUMENTS),
 }
