@@ -591,3 +591,88 @@ def ivfpq_topk(
         .orderBy(F.col("approx_dist").asc(), F.col(id_col).asc())
         .limit(topk)
     )
+
+
+def ivfpq_residual_topk(
+    embeddings: DataFrame,
+    query_vec,
+    topk: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 2,
+    m: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The FULL IVFADC of Jégou et al. 2011 §IV-A: vectors are
+    PQ-encoded as RESIDUALS from their list centroid (tighter codebooks
+    than raw-vector PQ because residual energy is lower), and the query
+    gets a separate m×k lookup table PER PROBED LIST built from its own
+    residual ``q − centroid(L)``.
+
+    ADC(q, v) = Σ_sub ||(q − c_L)_sub − codeword(v)_sub||², v ∈ L.
+
+    Exactness pin (tests): with k ≥ corpus size each vector is its own
+    residual codeword, so the score collapses to ‖q − v‖² exactly,
+    independent of the centroids.  All lookup structures stay
+    broadcast-sized (n_probe × m × k)."""
+    e = _as_double(embeddings, vec_col)
+    cents = e.where(F.col(id_col) < n_lists).select(
+        F.col(id_col).alias("list_id"), F.col(vec_col).alias("_cvec")
+    )
+    scored = e.select(id_col, vec_col).crossJoin(F.broadcast(cents)).select(
+        F.col(id_col), "list_id",
+        cosine_col(F.col(vec_col), F.col("_cvec")).alias("_sim"),
+    )
+    wa = Window.partitionBy(id_col).orderBy(
+        F.col("_sim").desc(), F.col("list_id").asc()
+    )
+    assign = (
+        scored.withColumn("_rk", F.row_number().over(wa))
+        .where(F.col("_rk") == 1)
+        .select(id_col, "list_id")
+    )
+    resid = (
+        e.join(assign, id_col)
+        .join(F.broadcast(cents), "list_id")
+        .select(
+            id_col, "list_id",
+            F.zip_with(
+                F.col(vec_col), F.col("_cvec"), lambda a, b: a - b
+            ).alias("_rv"),
+        )
+    )
+    codebooks = pq_train(resid, m, k, id_col, "_rv")
+    codes = pq_encode(resid, codebooks, m, id_col, "_rv").join(
+        resid.select(id_col, "list_id"), id_col
+    )
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    probes = (
+        cents.select(
+            "list_id", "_cvec", cosine_col(F.col("_cvec"), q).alias("_s")
+        )
+        .orderBy(F.col("_s").desc(), F.col("list_id").asc())
+        .limit(n_probe)
+        .select(
+            "list_id",
+            F.zip_with(q, F.col("_cvec"), lambda a, b: a - b).alias("_qr"),
+        )
+    )
+    sub_len = (F.size(F.col("_qr")) / m).cast("int")
+    lut = probes.crossJoin(F.broadcast(codebooks)).select(
+        "list_id", "sub", "code",
+        _sub_l2(
+            F.col("_cvec"),
+            F.slice(
+                F.col("_qr"), (F.col("sub") * sub_len + 1).cast("int"), sub_len
+            ),
+        ).alias("_d"),
+    )
+    return (
+        codes.join(F.broadcast(lut), ["list_id", "sub", "code"])
+        .groupBy(id_col)
+        .agg(F.sum("_d").alias("approx_dist"))
+        .orderBy(F.col("approx_dist").asc(), F.col(id_col).asc())
+        .limit(topk)
+    )

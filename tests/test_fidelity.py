@@ -319,3 +319,29 @@ def test_pq_full_codebook_recovers_exact_neighbors(spark):
     want = [i for i, v in sorted(rows, key=lambda r: (d2(r[1]), r[0]))][:3]
     assert got == want
     assert got[0] == 0  # the query itself
+
+
+def test_ivfpq_residual_full_codebook_is_exact(spark):
+    """Residual IVFADC exactness pin: with k >= corpus size every
+    residual is its own codeword, so ADC collapses to exact ||q-v||^2
+    regardless of centroids — the all-probe top-k equals brute force."""
+    import random
+
+    from m3_spark.pipeline.similarity import ivfpq_residual_topk
+
+    rng = random.Random(9)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(16)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = rows[0][1]
+    got = [
+        r["vec_id"]
+        for r in ivfpq_residual_topk(
+            emb, q, topk=4, n_lists=4, n_probe=4, m=2, k=16
+        ).collect()
+    ]
+
+    def d2(v):
+        return sum((a - b) ** 2 for a, b in zip(v, q))
+
+    want = [i for i, v in sorted(rows, key=lambda r: (d2(r[1]), r[0]))][:4]
+    assert got == want and got[0] == 0
