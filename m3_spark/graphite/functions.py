@@ -198,7 +198,12 @@ def as_percent(grid: DataFrame, total=None) -> DataFrame:
     pairwise by sorted name like divideSeriesLists
     (TestAsPercentWithSeriesListAndTotalSeriesList), erroring on a
     length mismatch.  The cardinality probe is a driver-side count over
-    the (bounded) series dictionary, same class as useSeriesAbove."""
+    the (bounded) series dictionary, same class as useSeriesAbove.
+
+    Naming: constant and single-series totals wrap exactly as the
+    reference; the computed-total form keeps the input names (the
+    reference embeds the materialized ``sumSeries(<all specs>)`` text,
+    which would need an unbounded name collect — documented delta)."""
     if total is None:
         return as_percent_of_total(grid)
     if isinstance(total, DataFrame):
@@ -212,15 +217,26 @@ def as_percent(grid: DataFrame, total=None) -> DataFrame:
                 )
             out = divide_series_lists(grid, total)
             return out.withColumn("value", F.col("value") * F.lit(100.0))
-        t = total.groupBy("step_ts").agg(F.sum("value").alias("_tot"))
+        t = total.groupBy("step_ts").agg(
+            F.sum("value").alias("_tot"), F.first("name").alias("_tname")
+        )
         return (
             grid.join(t, "step_ts", "left")
             .withColumn("value", _safe_div(F.col("value"), F.col("_tot")) * F.lit(100.0))
-            .drop("_tot")
+            .withColumn(
+                "name",
+                # asPercent(a,total) (builtin_functions.go:1267)
+                F.concat(
+                    F.lit("asPercent("), F.col("name"), F.lit(","),
+                    F.coalesce(F.col("_tname"), F.lit("MISSING")), F.lit(")"),
+                ),
+            )
+            .drop("_tot", "_tname")
         )
+    # constant total: asPercent(name,%.3f) (builtin_functions.go:1186)
     return grid.withColumn(
         "value", F.col("value") / F.lit(float(total)) * F.lit(100.0)
-    )
+    ).withColumn("name", _wrap("asPercent", f",{float(total):.3f}"))
 
 
 def divide_series(grid: DataFrame, divisor: DataFrame) -> DataFrame:
