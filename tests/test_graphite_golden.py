@@ -735,3 +735,39 @@ def test_simple_transform_value_tables_golden(spark):
     g = _grid_df(spark, {"foo": [1.0, 2.0, 4.0]})
     got = _vals_by_step(gf.invert(g).collect())
     assert [got[i] for i in range(3)] == [1.0, 0.5, 0.25]
+
+
+def test_delay_reference_tables(spark):
+    """TestDelay (builtin_functions_test.go:4454): shift 3 steps; NaN
+    values shift through; the leading window is NaN (null here)."""
+    values = [
+        [54.0, 48.0, 92.0, 54.0, 14.0, 1.2],
+        [4.0, 5.0, None, 6.4, 7.2, None],
+        [None, 8.0, 9.0, 10.6, 11.2, 12.2],
+    ]
+    expected = [
+        [None, None, None, 54.0, 48.0, 92.0],
+        [None, None, None, 4.0, 5.0, None],
+        [None, None, None, None, 8.0, 9.0],
+    ]
+    for vals, want in zip(values, expected):
+        g = _grid_df(spark, {"foo.bar.baz": vals})
+        out = gf.delay(g, 3)
+        got = _vals_by_step(out.collect())
+        for i, w in enumerate(want):
+            assert (got[i] is None) if w is None else got[i] == pytest.approx(w), i
+        assert {r["name"] for r in out.collect()} == {"delay(foo.bar.baz,3)"}
+
+
+def test_non_negative_derivative_reference_tables(spark):
+    """TestNonNegativeDerivative (:3147): decreases NaN without
+    maxValue; with maxValue the counter is assumed wrapped."""
+    g = _grid_df(spark, {"foo": [10.0, 20.0, 30.0, 5.0, 5.0]})
+    got = _vals_by_step(gf.non_negative_derivative(g).collect())
+    assert got[0] is None and got[3] is None
+    assert [got[1], got[2], got[4]] == [10.0, 10.0, 0.0]
+
+    g = _grid_df(spark, {"foo": [50.0, 50.0, 25.0, 250.0, 350.0]})
+    got = _vals_by_step(gf.non_negative_derivative(g, max_value=100.0).collect())
+    assert got[0] is None
+    assert [got[1], got[2], got[3], got[4]] == [0.0, 76.0, 225.0, 100.0]
