@@ -62,3 +62,59 @@ def test_battery_query_matches_oracle_after_tz_flip(ny_session, sf_dir):
         for row in ddf.itertuples(index=False)
     )
     assert srows == drows
+
+
+def test_timestamp_encoding_robustness(spark, tmp_path):
+    """The driver has regenerated testdata with different parquet
+    timestamp encodings across rounds (int64 TIMESTAMP(NANOS) →
+    untagged timestamp[us]; round 3 lost 24 oracle entries to this).
+    read_table must yield identical instants for every plausible
+    encoding: µs-NTZ (current), int64 nanos (legacy), and
+    tz-tagged µs."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from m3_spark.sources.tables import read_table
+
+    base = dt.datetime(2024, 1, 1, 12, 30, 45, 123456)
+    rows = {
+        "event_id": [1, 2],
+        "user_id": [10, 11],
+        "event_type": ["click", "view"],
+        "value": [1.5, 2.5],
+        "props": ["{}", "{}"],
+    }
+    ts_py = [base, base + dt.timedelta(seconds=90)]
+
+    def write(variant, arr):
+        d = tmp_path / variant
+        d.mkdir()
+        t = pa.table({**rows, "ts": arr})
+        pq.write_table(t, str(d / "events.parquet"))
+        return str(d)
+
+    variants = {
+        "ntz_us": pa.array(ts_py, type=pa.timestamp("us")),
+        "nanos_int64": pa.array(
+            [int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6) * 1000
+             for t in ts_py],
+            type=pa.int64(),
+        ),
+        "utc_us": pa.array(
+            [t.replace(tzinfo=dt.timezone.utc) for t in ts_py],
+            type=pa.timestamp("us", tz="UTC"),
+        ),
+    }
+    got = {}
+    for variant, arr in variants.items():
+        sf_dir = write(variant, arr)
+        df = read_table(spark, sf_dir, "events")
+        got[variant] = sorted(
+            (r["event_id"], r["ts"]) for r in df.select("event_id", "ts").collect()
+        )
+    want = got["ntz_us"]
+    assert want[0][1] == base  # µs precision preserved
+    for variant, rows_ in got.items():
+        assert rows_ == want, variant
