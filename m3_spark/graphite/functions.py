@@ -596,12 +596,25 @@ def limit_series(grid: DataFrame, k: int) -> DataFrame:
     return grid.join(F.broadcast(keep), "series_id", "left_semi")
 
 
+def _validated_regex(pattern: str) -> str:
+    """Eager regex validation: the reference rejects a bad pattern at
+    call time (TestExcludeErr); rlike alone would defer the failure to
+    task execution."""
+    import re as _re
+
+    try:
+        _re.compile(pattern)
+    except _re.error as exc:
+        raise ValueError(f"invalid regex {pattern!r}: {exc}") from exc
+    return pattern
+
+
 def exclude(grid: DataFrame, pattern: str) -> DataFrame:
-    return grid.where(~F.col("name").rlike(pattern))
+    return grid.where(~F.col("name").rlike(_validated_regex(pattern)))
 
 
 def grep(grid: DataFrame, pattern: str) -> DataFrame:
-    return grid.where(F.col("name").rlike(pattern))
+    return grid.where(F.col("name").rlike(_validated_regex(pattern)))
 
 
 # ---------------------------------------------------------------------------

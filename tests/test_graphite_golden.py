@@ -771,3 +771,26 @@ def test_non_negative_derivative_reference_tables(spark):
     got = _vals_by_step(gf.non_negative_derivative(g, max_value=100.0).collect())
     assert got[0] is None
     assert [got[1], got[2], got[3], got[4]] == [0.0, 76.0, 225.0, 100.0]
+
+
+def test_exclude_err_and_grep_golden(spark):
+    """TestExcludeErr: an invalid regex errors at call time;
+    TestGrep/TestExclude: name-regex filtering."""
+    g = _grid_df(spark, {
+        "collectd.test-db1.load.value": [10.0],
+        "collectd.test-db2.load.value": [10.0],
+        "collectd.test-db3.load.value": [10.0],
+        "collectd.test-db4.load.value": [10.0],
+    })
+    with pytest.raises(ValueError):
+        gf.exclude(g, "(")
+    with pytest.raises(ValueError):
+        gf.grep(g, "(")
+    kept = {r["name"] for r in gf.grep(g, "db1").collect()}
+    assert kept == {"collectd.test-db1.load.value"}
+    kept = {r["name"] for r in gf.exclude(g, "db1").collect()}
+    assert kept == {
+        "collectd.test-db2.load.value",
+        "collectd.test-db3.load.value",
+        "collectd.test-db4.load.value",
+    }
