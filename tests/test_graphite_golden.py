@@ -794,3 +794,20 @@ def test_exclude_err_and_grep_golden(spark):
         "collectd.test-db3.load.value",
         "collectd.test-db4.load.value",
     }
+
+
+def test_filter_series_reference_tables(spark):
+    """TestFilterSeries (builtin_functions_test.go:2236): keep series
+    whose summary stat passes the comparator; the all-NaN series never
+    passes (its stat is null)."""
+    series = {
+        "foo": [500.0, 600.0, 700.0],
+        "bar": [500.0, 600.0, None],
+        "baz": [500.0, None, None],
+        "qux": [None, None, None],
+    }
+    g = _grid_df(spark, series)
+    kept = {r["name"] for r in gf.filter_series(g, "max", ">", 600).collect()}
+    assert kept == {"foo"}
+    kept = {r["name"] for r in gf.filter_series(g, "max", ">=", 600).collect()}
+    assert kept == {"foo", "bar"}
