@@ -215,7 +215,7 @@ def as_percent(grid: DataFrame, total=None) -> DataFrame:
                     "asPercent: seriesList and totalSeriesList lengths"
                     f" differ ({n_grid} vs {n_total})"
                 )
-            out = divide_series_lists(grid, total)
+            out = divide_series_lists(grid, total, name_fmt="asPercent")
             return out.withColumn("value", F.col("value") * F.lit(100.0))
         t = total.groupBy("step_ts").agg(
             F.sum("value").alias("_tot"), F.first("name").alias("_tname")
@@ -243,18 +243,28 @@ def divide_series(grid: DataFrame, divisor: DataFrame) -> DataFrame:
     """divideSeries: each series divided by the single divisor series
     (aggregation_functions.go:230-239: >1 divisor series is an error —
     a silent join against several would fan rows out); zero/missing
-    divisor steps yield null."""
+    divisor steps yield null.  Renamed ``divideSeries(a,b)``
+    (divideSeriesHelper :224)."""
     n_div = divisor.select("series_id").distinct().count()
     if n_div > 1:
         raise ValueError(
             "divideSeries second argument must reference exactly one"
             f" series but instead has {n_div}"
         )
-    d = divisor.select("step_ts", F.col("value").alias("_div"))
+    d = divisor.select(
+        "step_ts", F.col("value").alias("_div"), F.col("name").alias("_dn")
+    )
     return (
         grid.join(d, "step_ts", "left")
         .withColumn("value", _safe_div(F.col("value"), F.col("_div")))
-        .drop("_div")
+        .withColumn(
+            "name",
+            F.concat(
+                F.lit("divideSeries("), F.col("name"), F.lit(","),
+                F.coalesce(F.col("_dn"), F.lit("MISSING")), F.lit(")"),
+            ),
+        )
+        .drop("_div", "_dn")
     )
 
 
@@ -1069,22 +1079,29 @@ def n_percentile(grid: DataFrame, pct: float) -> DataFrame:
     ).withColumn("name", F.concat(F.lit("nPercentile("), F.col("name"), F.lit(")")))
 
 
-def divide_series_lists(grid: DataFrame, divisor: DataFrame) -> DataFrame:
+def divide_series_lists(
+    grid: DataFrame, divisor: DataFrame, name_fmt: str = "divideSeries"
+) -> DataFrame:
     """divideSeriesLists: pairwise division after sorting both lists
-    by name (aggregation_functions.go:258-295)."""
-    def ranked(df, val_alias):
+    by name (aggregation_functions.go:258-295); each output renamed
+    ``<name_fmt>(a,b)`` with the PAIR's names (divideSeriesHelper
+    :224; asPercent passes its own prefix)."""
+    def ranked(df, val_alias, keep_name=None):
         ww = Window.orderBy("name", "series_id")
         # distinct over plain string keys (map columns can't be
         # set-operation keys)
-        return (
+        r = (
             df.select("series_id", "name").distinct()
             .withColumn("_rank", F.dense_rank().over(ww))
             .join(df, ["series_id", "name"])
-            .select("_rank", "step_ts", F.col("value").alias(val_alias))
         )
+        cols = ["_rank", "step_ts", F.col("value").alias(val_alias)]
+        if keep_name:
+            cols.append(F.col("name").alias(keep_name))
+        return r.select(*cols)
 
     lhs = ranked(grid, "_num")
-    rhs = ranked(divisor, "_den")
+    rhs = ranked(divisor, "_den", keep_name="_dname")
     j = lhs.join(rhs, ["_rank", "step_ts"])
     dims = (
         grid.groupBy("series_id", "name")
@@ -1094,7 +1111,13 @@ def divide_series_lists(grid: DataFrame, divisor: DataFrame) -> DataFrame:
     return (
         j.join(F.broadcast(dims), "_rank")
         .select(
-            "step_ts", "name", "tags", "series_id",
+            "step_ts",
+            F.concat(
+                F.lit(f"{name_fmt}("), F.col("name"), F.lit(","),
+                F.col("_dname"), F.lit(")"),
+            ).alias("name"),
+            "tags",
+            "series_id",
             _safe_div(F.col("_num"), F.col("_den")).alias("value"),
         )
     )

@@ -758,7 +758,11 @@ def q_graphite_divide_series(spark, sf_dir):
         START, END, STEP_S, LOOKBACK_S,
     )
     return out.where(F.col("value").isNotNull()).select(
-        _epoch(), F.col("name").alias("event_type"),
+        _epoch(),
+        # paired rename divideSeries(click,sumSeries); unwrap arg 1
+        F.regexp_extract(
+            F.col("name"), r"divideSeries\(([^,]*),", 1
+        ).alias("event_type"),
         F.round(F.col("value"), 6).alias("value"),
     )
 

@@ -110,7 +110,8 @@ def test_divide_series_lists(spark):
     gn = consolidate(num, T0 + 60, T0 + 60, 60, 300)
     gd = consolidate(den, T0 + 60, T0 + 60, 60, 300)
     out = {r["name"]: r["value"] for r in gf.divide_series_lists(gn, gd).collect()}
-    assert out == {"a.x": 5.0, "a.y": 5.0}
+    # paired renames per divideSeriesHelper (aggregation_functions.go:224)
+    assert out == {"divideSeries(a.x,b.x)": 5.0, "divideSeries(a.y,b.y)": 5.0}
 
 
 def test_diff_pow_last_stddev_series(spark):

@@ -457,10 +457,14 @@ def test_as_percent_total_list_golden(spark):
         (r["name"], int((r["step_ts"] - dt.datetime(1970, 1, 1)).total_seconds()) - T0): r["value"]
         for r in out
     }
-    assert by[("foo.value", 0)] == pytest.approx(50.0)
-    assert by[("foo.value", 2 * STEP)] == pytest.approx(100.0 * 16 / 48)
-    assert by[("bar.value", 0)] == pytest.approx(50.0)
-    assert by[("bar.value", 2 * STEP)] == pytest.approx(100.0 * 25 / 75)
+    assert by[("asPercent(foo.value,foo.total)", 0)] == pytest.approx(50.0)
+    assert by[("asPercent(foo.value,foo.total)", 2 * STEP)] == pytest.approx(
+        100.0 * 16 / 48
+    )
+    assert by[("asPercent(bar.value,bar.total)", 0)] == pytest.approx(50.0)
+    assert by[("asPercent(bar.value,bar.total)", 2 * STEP)] == pytest.approx(
+        100.0 * 25 / 75
+    )
     # mismatched lengths error (multi-series total only)
     with pytest.raises(ValueError, match="lengths"):
         gf.as_percent(
