@@ -815,3 +815,43 @@ def test_filter_series_reference_tables(spark):
     assert kept == {"foo"}
     kept = {r["name"] for r in gf.filter_series(g, "max", ">=", 600).collect()}
     assert kept == {"foo", "bar"}
+
+
+def test_comparator_filter_family_reference_tables(spark):
+    """TestMaximumAbove/MinimumAbove/AverageAbove/Below/CurrentAbove/
+    Below (builtin_functions_test.go:2047-2082) over the shared
+    testInput: strict comparisons, 'current' = last non-NaN, the
+    all-NaN series never passes."""
+    series = {
+        "foo": [0.0, 601.0, 3.0, 4.0],
+        "nan": [None, None, None],
+        "bar": [500.0, -8.0],
+        "baz": [600.0, -600.0, 3.0],
+        "quux": [100.0, 50000.0, 888.0, -1.0, -2.0, None],
+    }
+    g = _grid_df(spark, series)
+    from m3_spark.graphite.functions import REGISTRY
+
+    def kept(fn, n):
+        return {r["name"] for r in REGISTRY[fn](g, n).collect()}
+
+    names = ["foo", "bar", "baz", "quux"]
+    assert kept("maximumAbove", -10) == set(names)
+    assert kept("maximumAbove", 600) == {"foo", "quux"}
+    assert kept("maximumAbove", 100000) == set()
+    assert kept("minimumAbove", -1000) == set(names)
+    assert kept("minimumAbove", -100) == {"foo", "bar", "quux"}
+    assert kept("minimumAbove", 1) == set()
+    assert kept("averageAbove", 0) == set(names)
+    assert kept("averageAbove", 1) == {"foo", "bar", "quux"}
+    assert kept("averageAbove", 12000) == set()
+    assert kept("averageBelow", 0) == set()
+    assert kept("averageBelow", 600) == {"foo", "bar", "baz"}
+    assert kept("averageBelow", 12000) == set(names)
+    assert kept("currentAbove", -10) == set(names)
+    assert kept("currentAbove", -5) == {"foo", "baz", "quux"}
+    assert kept("currentAbove", 5) == set()
+    assert kept("currentBelow", 5) == set(names)
+    assert kept("currentBelow", 0) == {"bar", "quux"}
+    assert kept("currentBelow", -5) == {"bar"}
+    assert kept("currentBelow", -10) == set()
