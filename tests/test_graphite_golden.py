@@ -855,3 +855,36 @@ def test_comparator_filter_family_reference_tables(spark):
     assert kept("currentBelow", 0) == {"bar", "quux"}
     assert kept("currentBelow", -5) == {"bar"}
     assert kept("currentBelow", -10) == set()
+
+
+def test_remove_value_reference_tables(spark):
+    """TestRemoveBelowValue / TestRemoveAboveValue (:2084): threshold
+    masking to NaN with the %.3f rename; testSmallInput = foo
+    [0,601,3,4], bar [500,-8]."""
+    series = {"foo": [0.0, 601.0, 3.0, 4.0], "bar": [500.0, -8.0]}
+
+    def by(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["name"], {})[
+                int((r["step_ts"] - dt.datetime(1970, 1, 1)).total_seconds()
+                    - T0) // STEP
+            ] = r["value"]
+        return out
+
+    g = _grid_df(spark, series)
+    got = by(gf.remove_below_value(g, 500))
+    f = got["removeBelowValue(foo, 500.000)"]
+    assert [f.get(0), f[1], f.get(2), f.get(3)] == [None, 601.0, None, None]
+    b = got["removeBelowValue(bar, 500.000)"]
+    assert [b[0], b.get(1)] == [500.0, None]
+
+    got = by(gf.remove_below_value(g, 4))
+    f = got["removeBelowValue(foo, 4.000)"]
+    assert [f.get(0), f[1], f.get(2), f[3]] == [None, 601.0, None, 4.0]
+
+    got = by(gf.remove_above_value(g, 500))
+    f = got["removeAboveValue(foo, 500.000)"]
+    assert [f[0], f.get(1), f[2], f[3]] == [0.0, None, 3.0, 4.0]
+    b = got["removeAboveValue(bar, 500.000)"]
+    assert [b[0], b[1]] == [500.0, -8.0]
