@@ -888,3 +888,12 @@ def test_remove_value_reference_tables(spark):
     assert [f[0], f.get(1), f[2], f[3]] == [0.0, None, 3.0, 4.0]
     b = got["removeAboveValue(bar, 500.000)"]
     assert [b[0], b[1]] == [500.0, -8.0]
+
+
+def test_time_function_identity_values(spark):
+    """TestTimeFunction/TestIdentity: the value at each step is that
+    step's epoch seconds."""
+    g = _grid_df(spark, {"foo": [1.0, 1.0, 1.0, 1.0]})
+    got = _vals_by_step(gf.time_function(g).collect())
+    for i in range(4):
+        assert got[i] == float(T0 + i * STEP), i
