@@ -897,3 +897,28 @@ def test_time_function_identity_values(spark):
     got = _vals_by_step(gf.time_function(g).collect())
     for i in range(4):
         assert got[i] == float(T0 + i * STEP), i
+
+
+def test_most_deviant_and_offset_to_zero_reference_tables(spark):
+    """TestMostDeviant (:1902): top-k by population variance over
+    testInput → quux, then baz; k<=0 empty.  TestOffsetToZero (:4358):
+    subtract the per-series min, NaN pass-through."""
+    series = {
+        "foo": [0.0, 601.0, 3.0, 4.0],
+        "nan": [None, None, None],
+        "bar": [500.0, -8.0],
+        "baz": [600.0, -600.0, 3.0],
+        "quux": [100.0, 50000.0, 888.0, -1.0, -2.0, None],
+    }
+    g = _grid_df(spark, series)
+    assert {r["name"] for r in gf.most_deviant(g, 1).collect()} == {"quux"}
+    assert {r["name"] for r in gf.most_deviant(g, 2).collect()} == {
+        "quux", "baz",
+    }
+    assert gf.most_deviant(g, -2).count() == 0
+
+    g2 = _grid_df(spark, {"bar": [3.0, 2.0, 4.0, None, 1.0, 6.0, None, 5.0]})
+    got = _vals_by_step(gf.offset_to_zero(g2).collect())
+    want = [2.0, 1.0, 3.0, None, 0.0, 5.0, None, 4.0]
+    for i, w in enumerate(want):
+        assert (got.get(i) is None) if w is None else got[i] == w, i
