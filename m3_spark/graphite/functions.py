@@ -543,6 +543,8 @@ def filter_series(grid: DataFrame, func: str, op: str, n: float) -> DataFrame:
 def highest(grid: DataFrame, func: str, k: int) -> DataFrame:
     """highestAverage/highestCurrent/highestMax (and lowest* with
     negated rank): top-k series by summary stat."""
+    if k <= 0:  # reference testRanking: n <= 0 → empty result
+        return grid.where(F.lit(False))
     stats = _series_stat(grid, func)
     # orderBy+limit compiles to TakeOrderedAndProject: each partition
     # keeps its own top-k, the driver merges — no single-partition
@@ -555,6 +557,8 @@ def highest(grid: DataFrame, func: str, k: int) -> DataFrame:
 
 
 def lowest(grid: DataFrame, func: str, k: int) -> DataFrame:
+    if k <= 0:
+        return grid.where(F.lit(False))
     stats = _series_stat(grid, func)
     keep = (
         stats.orderBy(F.col("_stat").asc(), F.col("series_id"))
@@ -900,6 +904,8 @@ def remove_above_percentile(grid: DataFrame, pct: float) -> DataFrame:
 
 def most_deviant(grid: DataFrame, k: int) -> DataFrame:
     """mostDeviant(k): top-k series by population variance."""
+    if k <= 0:
+        return grid.where(F.lit(False))
     stats = grid.groupBy("series_id").agg(F.var_pop("value").alias("_stat"))
     keep = (
         stats.orderBy(F.col("_stat").desc(), F.col("series_id"))
