@@ -484,16 +484,19 @@ def _run_series_kernel(
     out_schema = "series_id string, step_ts timestamp, value double"
     if assume_clustered:
         # Bucketed namespace table input (write_namespace_bucketed):
-        # applyInPandas DECLARES the per-series distribution
-        # requirement, which the bucketed scan already satisfies, so
-        # the planner elides the exchange — verified by plan test.
-        # (A bare mapInPandas skip would be unsound: the file scan
-        # packs/splits bucket files with no distribution contract.)
-        def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
-            return run_chunk(pdf.sort_values("ts"))
-
-        res = clustered.groupBy("series_id").applyInPandas(
-            per_series, out_schema
+        # the scan itself is bucket-disjoint on series_id — the session
+        # pins spark.sql.sources.bucketing.autoBucketedScan.enabled=
+        # false so this holds even though mapInPandas declares no
+        # required distribution (with auto-bucketed-scan on, Spark
+        # would fall back to size-split scans and split series across
+        # partitions).  So the SAME streamed kernel as the flat path
+        # runs with zero exchanges: in-partition sort + one Arrow
+        # stream per bucket, none of applyInPandas's per-series group
+        # overhead (~0.1-0.2 ms x series count).  Partition
+        # disjointness is pinned by tests/test_namespace.py.
+        res = (
+            clustered.sortWithinPartitions("series_id", "ts")
+            .mapInPandas(fn, out_schema)
         )
     else:
         res = (

@@ -675,12 +675,14 @@ from .queries_pipeline import PIPELINE_QUERIES  # noqa: E402
 from .queries_relational import RELATIONAL_QUERIES  # noqa: E402
 from .queries_round5 import ROUND5_QUERIES  # noqa: E402
 from .queries_round6 import ROUND6_QUERIES  # noqa: E402
+from .queries_round7 import make_round7_queries  # noqa: E402
 
 QUERIES = {
     **PIPELINE_QUERIES,
     **RELATIONAL_QUERIES,
     **ROUND5_QUERIES,
     **ROUND6_QUERIES,
+    **make_round7_queries(ORACLE_RATE),
     "promql_sum_by": (q_sum_by, ORACLE_SUM_BY),
     "promql_agg_by_multi": (q_agg_by_multi, ORACLE_AGG_BY_MULTI),
     "promql_topk": (q_topk, ORACLE_TOPK),

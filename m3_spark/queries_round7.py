@@ -1,0 +1,85 @@
+"""Round-7 battery additions.
+
+* ``namespace_bucketed_rate``: the catalog-bucketed zero-shuffle
+  storage tier (``sources/namespace.py::write_namespace_bucketed``)
+  driven end-to-end — write the events samples as a bucketed namespace
+  table, read it back with date-partition pruning, and run the
+  Prometheus-extrapolated rate + sum through the ``assume_clustered``
+  kernel path (no repartition exchange).  Oracle-paired with the SAME
+  DuckDB restatement the flat-path ``promql_rate`` uses, wrapped in the
+  sum: an identical hash proves the bucketed tier returns identical
+  results to the flat tier.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from .model import read_samples
+from .queries_common import END, RANGE_S, START, STEP_S
+
+
+def _scratch(name: str, sf_dir: str) -> tuple[str, str]:
+    """(table, path) pair under the repo-local .scratch dir, keyed by
+    sf so concurrent sf runs never collide."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    table = f"{name}_{tag}"
+    return table, os.path.join(root, ".scratch", table)
+
+
+def q_namespace_bucketed_rate(spark, sf_dir):
+    """rate(v[6h]) summed by event_type over a BUCKETED namespace
+    table with ``assume_clustered=True`` — the 100 TB plan: the scan
+    itself satisfies the per-series hash distribution recorded in the
+    catalog (``write_namespace_bucketed``), so the rate kernel's
+    repartition and the dims join's shuffle are both elided (reference
+    analog: shard-local series placement, ``src/cluster/shard``,
+    ``src/dbnode/sharding/shardset.go``).  Date-partition pruning
+    bounds the scan to [start - range, end]."""
+    from .operators.temporal import rate
+    from .sources.namespace import (
+        read_namespace_bucketed,
+        write_namespace_bucketed,
+    )
+
+    table, path = _scratch("ns_bkt_rate", sf_dir)
+    write_namespace_bucketed(
+        read_samples(spark, sf_dir), table, path, bucket_count=8,
+        mode="overwrite",
+    )
+    back = read_namespace_bucketed(
+        spark, table, start="2023-12-31", end="2024-01-08"
+    )
+    r = rate(back, "rate", RANGE_S, START, END, STEP_S,
+             assume_clustered=True)
+    return (
+        r.select(
+            F.unix_timestamp("step_ts").alias("step_s"),
+            F.col("tags").getItem("event_type").alias("event_type"),
+            F.round(F.col("value"), 6).alias("value"),
+        )
+        .groupBy("step_s", "event_type")
+        .agg(F.round(F.sum("value"), 6).alias("value"))
+    )
+
+
+def make_round7_queries(oracle_rate: str) -> dict:
+    """Assembled by queries.py (which owns ORACLE_RATE) to avoid a
+    circular import.  The bucketed-tier oracle is the flat-path rate
+    oracle (per-series, rounded to 6 dp) summed by event_type with the
+    same second rounding — identical to what the Spark side computes,
+    so a hash match proves flat == bucketed."""
+    oracle_bucketed = f"""
+SELECT step_s, event_type, ROUND(SUM(value), 6) AS value
+FROM ({oracle_rate})
+GROUP BY 1, 2
+"""
+    return {
+        "namespace_bucketed_rate": (
+            q_namespace_bucketed_rate,
+            oracle_bucketed,
+        ),
+    }

@@ -33,6 +33,14 @@ def get_spark(app_name: str = "m3_spark", cpus: int | None = None) -> SparkSessi
         # session-UTC grid.  Set at build time so the very first read is
         # already normalized (read_table also sets it, belt-and-braces).
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # Bucketed namespace scans must stay bucket-disjoint even under
+        # operators that declare no required distribution (the
+        # zero-shuffle temporal kernels run a streamed mapInPandas over
+        # the scan, trusting each series lives in exactly one
+        # partition).  With auto-bucketed-scan on, Spark silently falls
+        # back to size-split file scans when no operator "needs" the
+        # distribution — which would split series across partitions.
+        .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
