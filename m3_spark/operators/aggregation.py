@@ -191,6 +191,21 @@ def topk(
     deterministic.  Output keeps the *original* series tags (PromQL
     semantics).
     """
+    # An aggregation result carries no name/series_id (its labelset IS
+    # the identity: topk(k, sum(m) by (l)) ranks the aggregate series);
+    # synthesize the canonical identity so the salt/tiebreak columns
+    # exist for every input shape.
+    if "name" not in grid.columns:
+        grid = grid.withColumn("name", F.lit(None).cast("string"))
+    if "series_id" not in grid.columns:
+        from ..model import series_id_col
+
+        grid = grid.withColumn(
+            "series_id",
+            series_id_col(
+                F.coalesce(F.col("name"), F.lit("")), F.col("tags")
+            ),
+        )
     g = grid.withColumn("sig", group_sig_col(retained_tags_col(by, without)))
     # NaN ranks LAST in both directions (take.go heaps sort NaN away
     # from the top/bottom): include a NaN series only when k exceeds

@@ -66,6 +66,60 @@ def q_namespace_bucketed_rate(spark, sf_dir):
     )
 
 
+_SWEEP_STEPS = (1800, 3600, 7200)
+
+
+def q_promql_range_steps(spark, sf_dir):
+    """The comparator harness's step sweep
+    (``scripts/comparator/basic_queries/queries.json``: each query
+    group runs at steps 15s/30s/1m/5m) through the PromQL text engine:
+    the same range query evaluated at three step sizes, stacked with a
+    ``step_param`` discriminator.  Step size changes BOTH the grid and
+    the consolidation threshold (thr = max(lookback, step)), so every
+    step contributes distinct semantics — the oracle restates each
+    independently."""
+    from functools import reduce
+
+    from .plans.engine import query_range
+
+    s = read_samples(spark, sf_dir)
+    parts = []
+    for step in _SWEEP_STEPS:
+        out = query_range(
+            s, 'sum by (event_type) ({user_id=~".+"})', START, END, step, 300
+        )
+        parts.append(
+            out.select(
+                F.lit(step).alias("step_param"),
+                F.unix_timestamp("step_ts").alias("step_s"),
+                F.col("tags").getItem("event_type").alias("event_type"),
+                F.round(F.col("value"), 6).alias("value"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def _sweep_oracle() -> str:
+    parts = []
+    for step in _SWEEP_STEPS:
+        thr = max(300, step)  # consolidation threshold per step
+        parts.append(f"""
+SELECT {step} AS step_param, CAST(epoch(step_ts) AS BIGINT) AS step_s,
+       event_type, ROUND(SUM(v), 6) AS value
+FROM (
+  SELECT s.step_ts, e.event_type, e.user_id, arg_max(e.value, e.ts) AS v
+  FROM (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+        TIMESTAMP '2024-01-08 00:00:00', INTERVAL {step} SECOND)) AS step_ts) s
+  JOIN events e
+    ON e.ts <= s.step_ts AND e.ts >= s.step_ts - INTERVAL {thr} SECOND
+  GROUP BY 1, 2, 3
+) lastv GROUP BY 1, 2, 3""")
+    return "\nUNION ALL\n".join(parts)
+
+
+ORACLE_PROMQL_RANGE_STEPS = _sweep_oracle()
+
+
 def make_round7_queries(oracle_rate: str) -> dict:
     """Assembled by queries.py (which owns ORACLE_RATE) to avoid a
     circular import.  The bucketed-tier oracle is the flat-path rate
@@ -81,5 +135,9 @@ GROUP BY 1, 2
         "namespace_bucketed_rate": (
             q_namespace_bucketed_rate,
             oracle_bucketed,
+        ),
+        "promql_range_steps": (
+            q_promql_range_steps,
+            ORACLE_PROMQL_RANGE_STEPS,
         ),
     }

@@ -1,0 +1,250 @@
+"""Step-sweep differential corpus — the analog of the reference's
+comparator harness (``scripts/comparator/basic_queries/queries.json``,
+``scripts/comparator/compare.go``), which runs each generated query
+group at several range-query steps (15s/30s/1m/5m) against Prometheus
+and diffs the results.
+
+No Prometheus exists in this sandbox, but the same property is
+checkable intrinsically: a PromQL range query's value at step timestamp
+``t`` depends only on ``t`` (window end, lookback, offset), never on
+the step size, so evaluating at a coarse step must equal the fine-step
+result subsampled at the shared timestamps.  Any step-dependent bug —
+grid generation, window alignment, per-step lookback application,
+``thr = max(lookback, step)`` consolidation — breaks the invariant,
+and those are exactly the interactions the instant-eval corpus
+(``tests/compatibility``) cannot see.
+
+The query list is ported verbatim from ``queries.json``; the fixture
+gives the comparator's series names (quail, foobar, multi_1, multi_10,
+quack) deterministic 15s-interval shapes instead of the comparator's
+random walks.  The fetch group additionally gets an absolute numpy pin
+(last-sample-within-lookback recomputed independently).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from .conftest import make_samples
+
+# 2024-01-01 00:00:00 UTC
+T0 = 1704067200
+SCRAPE_S = 15
+N_POINTS = 720  # 3h of data: offsets up to 1h stay inside the fixture
+Q_START = "2024-01-01 02:00:00"  # t0 + 2h
+Q_END = "2024-01-01 02:40:00"  # 40m window
+Q_START_S = T0 + 7200
+LOOKBACK_S = 300.0
+
+# ported verbatim from scripts/comparator/basic_queries/queries.json
+# (queryGroup, queries, steps-in-seconds)
+QUERY_GROUPS = [
+    ("scalar", ["42", "time()"], [60]),
+    ("fetch", ["quail", "quail offset 60s"], [15, 30, 60]),
+    (
+        "temporal",
+        [
+            "rate(multi_1[1m])",
+            "irate(multi_1[5m])",
+            "delta(multi_1[123s])",
+            "idelta(multi_1[1m] offset 1h)",
+            "deriv(multi_1[3m])",
+        ],
+        [15, 30, 60, 300],
+    ),
+    (
+        "binary",
+        ["quail*1", "1-quail", "quail*quail", "quail offset 1m / quail"],
+        [15, 30, 60],
+    ),
+    (
+        "aggregation",
+        [
+            'sum(foobar{foobar="qux"})',
+            'sum(foobar{foobar="qux"}) - 1',
+            'sum(foobar{foobar="qux"} offset 1m)',
+        ],
+        [15, 30, 60],
+    ),
+    (
+        "transform",
+        [
+            "clamp_max(quail, 0.5)",
+            "clamp_min(quail offset 60s, 0.5)",
+            'sum(foobar{foobar="qux"}) - 1',
+            'sum(foobar{foobar="qux"} offset 1m)',
+        ],
+        [15, 30, 60],
+    ),
+    (
+        "label",
+        [
+            'label_replace(quail,"foo", "$1!", "name", "(.*)")',
+            'label_replace(quail offset 1m,"foo", "$1!", "name", "(.*)")',
+            'label_replace(quail,"foo", "$1!", "name", "(.*)")-100',
+            'label_join(quail,"quince", "!", "foobar", "name")',
+        ],
+        [15, 30, 60],
+    ),
+    (
+        "topk",
+        [
+            "topk(2, quack)",
+            "topk(2, avg_over_time(quack[30s]))",
+            "topk(2, avg(avg_over_time(quack[30s])) by (name))",
+        ],
+        [60],
+    ),
+    (
+        "quantile",
+        [
+            "quantile(0, multi_10)",
+            "quantile(0.8, avg_over_time(multi_10[30s]))",
+            "quantile(1, avg(avg_over_time(multi_10[30s])) by (name))",
+        ],
+        [60],
+    ),
+]
+
+
+def _quail_val(i: int) -> float:
+    return math.sin(i / 7.0) * 0.8 + 0.3
+
+
+def _fixture_rows():
+    rows = []
+    for i in range(N_POINTS):
+        ts = T0 + i * SCRAPE_S
+        rows.append(("quail", {"name": "quail", "foobar": "qux"}, ts, _quail_val(i)))
+        for inst in range(3):
+            fb = "qux" if inst < 2 else "baz"
+            rows.append(
+                ("foobar", {"foobar": fb, "inst": str(inst)}, ts,
+                 (i % 37) * 0.5 + inst)
+            )
+        for sid in range(2):
+            # counter with resets every 50 scrapes, per-series slope
+            rows.append(
+                ("multi_1", {"id": str(sid)}, ts,
+                 float((i % 50) * (3 + sid) + (i % 7)))
+            )
+        for sid in range(10):
+            rows.append(
+                ("multi_10", {"name": f"m{sid % 3}", "id": str(sid)}, ts,
+                 math.cos(i / 11.0 + sid) * (sid + 1))
+            )
+        for sid in range(4):
+            rows.append(
+                ("quack", {"name": f"q{sid}", "id": str(sid)}, ts,
+                 math.sin(i / 5.0 + sid * 2) * 10 + sid)
+            )
+    return rows
+
+
+@pytest.fixture(scope="module")
+def comparator_samples(spark):
+    df = make_samples(spark, _fixture_rows())
+    df = df.cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def _collect(samples, q, step_s):
+    from m3_spark.plans.engine import query_range
+
+    out = query_range(samples, q, Q_START, Q_END, step_s, LOOKBACK_S)
+    cols = out.columns
+    res = {}
+    for r in out.collect():
+        name = r["name"] if "name" in cols else ""
+        tags = tuple(sorted((r["tags"] or {}).items()))
+        key = (r["step_ts"], name or "", tags)
+        assert key not in res, f"duplicate output row {key} for {q!r}"
+        res[key] = r["value"]
+    return res
+
+
+def _vals_close(a, b):
+    if a is None or b is None:
+        return a is b
+    if math.isnan(a) or math.isnan(b):
+        return math.isnan(a) and math.isnan(b)
+    return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+
+
+@pytest.mark.parametrize(
+    "group,queries,steps", QUERY_GROUPS, ids=[g[0] for g in QUERY_GROUPS]
+)
+def test_step_sweep_consistency(comparator_samples, group, queries, steps):
+    fine = min(steps)
+    failures = []
+    for q in queries:
+        fine_res = _collect(comparator_samples, q, fine)
+        # every query group must produce data at the fine step —
+        # offsets in the corpus are sized to stay inside the fixture
+        if not fine_res:
+            failures.append((q, fine, "empty fine-step result"))
+            continue
+        for step in steps:
+            if step == fine:
+                continue
+            assert step % fine == 0  # corpus steps are gcd-aligned
+            coarse = _collect(comparator_samples, q, step)
+            # subsample the fine grid at the coarse timestamps: the
+            # two result sets must be IDENTICAL (same series, same
+            # presence/absence, same values)
+            shared_ts = {
+                ts for (ts, _, _) in fine_res
+                if int((ts.timestamp() - Q_START_S)) % step == 0
+            }
+            sub = {
+                k: v for k, v in fine_res.items() if k[0] in shared_ts
+            }
+            if set(sub) != set(coarse):
+                failures.append(
+                    (q, step,
+                     f"series/step mismatch: only-fine="
+                     f"{sorted(set(sub) - set(coarse))[:3]} only-coarse="
+                     f"{sorted(set(coarse) - set(sub))[:3]}")
+                )
+                continue
+            bad = [
+                (k, sub[k], coarse[k])
+                for k in sub
+                if not _vals_close(sub[k], coarse[k])
+            ]
+            if bad:
+                failures.append((q, step, f"value mismatch {bad[:3]}"))
+    msg = "\n".join(f"{q} @ step={s}: {m}" for q, s, m in failures)
+    assert not failures, f"{group}: {len(failures)} failures\n{msg}"
+
+
+def test_fetch_absolute_pin(comparator_samples):
+    """Absolute (non-differential) pin for the fetch group: the engine's
+    grid values for ``quail`` at every step size must equal the
+    independently recomputed last-sample-within-lookback."""
+    for step in (15, 30, 60):
+        res = _collect(comparator_samples, "quail", step)
+        n_steps = (2400 // step) + 1
+        assert len(res) == n_steps, (step, len(res))
+        for (ts, _name, _tags), got in res.items():
+            t = ts.timestamp()
+            # newest sample with T0 + i*15 <= t (scrapes are 15s apart,
+            # so one always exists within the 300s lookback here)
+            i = int((t - T0) // SCRAPE_S)
+            want = _quail_val(i)
+            assert _vals_close(got, want), (step, ts, got, want)
+
+
+def test_offset_shifts_exactly(comparator_samples):
+    """`quail offset 60s` equals `quail` shifted by 60s (fixture is
+    15s-aligned, so the shifted lookup hits exact samples)."""
+    base = _collect(comparator_samples, "quail", 60)
+    off = _collect(comparator_samples, "quail offset 60s", 60)
+    assert len(base) == len(off) > 0
+    for (ts, _n, _t), v in off.items():
+        i = int((ts.timestamp() - 60 - T0) // SCRAPE_S)
+        assert _vals_close(v, _quail_val(i)), (ts, v)
