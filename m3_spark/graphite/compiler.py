@@ -190,10 +190,17 @@ def evaluate(
 
     def _steps_arg(v) -> int:
         """Moving-window size: a step count, or a '5min'-style
-        interval converted to steps."""
+        interval converted to steps.  Non-positive windows are a
+        compile error (TestMovingAverageError / TestMovingMaxError:
+        '-30s' and 0 both reject)."""
         if isinstance(v, str):
+            if v.lstrip().startswith("-"):
+                raise ValueError(f"invalid window size {v!r}")
             return max(1, int(_dur_s(v) // step_s))
-        return int(v)
+        n = int(v)
+        if n <= 0:
+            raise ValueError(f"invalid window size {v!r}")
+        return n
 
     def ev(node, s=None, e=None):
         s = start if s is None else s
@@ -328,6 +335,19 @@ def evaluate(
             elif f == "movingWindow":
                 func = _lit(args[2]) if len(args) > 2 else "avg"
                 xff = float(_lit(args[3])) if len(args) > 3 else 0.0
+                # movingWindow dispatches AND renames to the resolved
+                # function (builtin_functions.go:2604-2626; the
+                # TestMovingWindow golden pins 'movingAverage(...)')
+                dispatch = {
+                    "avg": "movingAverage", "average": "movingAverage",
+                    "sum": "movingSum", "min": "movingMin",
+                    "max": "movingMax", "median": "movingMedian",
+                }
+                if func not in dispatch:
+                    raise ValueError(
+                        f"movingWindow doesn't support {func} function"
+                    )
+                f = dispatch[func]
                 out = gf.moving_window(grid, n, func, xff)
             else:
                 fn = {

@@ -114,32 +114,59 @@ def _combined(grid: DataFrame, func: str, name: str) -> DataFrame:
     )
 
 
-def sum_series(grid: DataFrame) -> DataFrame:
-    return _combined(grid, "sum", "sumSeries")
+def _union_grids(grids) -> DataFrame:
+    """multiplePathSpecs: the variadic aggregates take any number of
+    path expressions (aggregation_functions.go sumSeries et al.;
+    TestVariadicSumSeries compiles sumSeries(foo.bar.*, foo.baz.*))."""
+    out = grids[0]
+    for g in grids[1:]:
+        out = out.unionByName(g)
+    return out
 
 
-def average_series(grid: DataFrame) -> DataFrame:
-    return _combined(grid, "avg", "averageSeries")
+def sum_series(*grids: DataFrame) -> DataFrame:
+    return _combined(_union_grids(grids), "sum", "sumSeries")
 
 
-def min_series(grid: DataFrame) -> DataFrame:
-    return _combined(grid, "min", "minSeries")
+def average_series(*grids: DataFrame) -> DataFrame:
+    return _combined(_union_grids(grids), "avg", "averageSeries")
 
 
-def max_series(grid: DataFrame) -> DataFrame:
-    return _combined(grid, "max", "maxSeries")
+def min_series(*grids: DataFrame) -> DataFrame:
+    return _combined(_union_grids(grids), "min", "minSeries")
 
 
-def count_series(grid: DataFrame) -> DataFrame:
-    return _combined(grid, "count", "countSeries")
+def max_series(*grids: DataFrame) -> DataFrame:
+    return _combined(_union_grids(grids), "max", "maxSeries")
 
 
-def median_series(grid: DataFrame) -> DataFrame:
-    return _combined(grid, "median", "medianSeries")
+def count_series(*grids: DataFrame) -> DataFrame:
+    """countSeries: the number of input series as a constant over the
+    union step domain — common.Count (basic_functions.go:164) counts
+    the NORMALIZED list, so steps where only some series have data
+    still emit the full count (TestCountSeries: 4 at all 12 steps)."""
+    grid = _union_grids(grids)
+    n = grid.agg(F.countDistinct("series_id").cast("double").alias("value"))
+    return (
+        grid.select("step_ts")
+        .distinct()
+        .crossJoin(F.broadcast(n))
+        .select(
+            "step_ts",
+            F.lit("countSeries").alias("name"),
+            empty_tags_col().alias("tags"),
+            F.lit("countSeries").alias("series_id"),
+            "value",
+        )
+    )
 
 
-def range_of_series(grid: DataFrame) -> DataFrame:
-    return _combined(grid, "range", "rangeOfSeries")
+def median_series(*grids: DataFrame) -> DataFrame:
+    return _combined(_union_grids(grids), "median", "medianSeries")
+
+
+def range_of_series(*grids: DataFrame) -> DataFrame:
+    return _combined(_union_grids(grids), "range", "rangeOfSeries")
 
 
 # ---------------------------------------------------------------------------
@@ -493,12 +520,23 @@ def is_non_null(grid: DataFrame) -> DataFrame:
     ).withColumn("name", _wrap("isNonNull"))
 
 
-def remove_empty_series(grid: DataFrame) -> DataFrame:
+def remove_empty_series(grid: DataFrame, x_files_factor: float = 0.0) -> DataFrame:
+    """removeEmptySeries(list, xFilesFactor): drop series whose
+    fraction of present points is below xFilesFactor — and all-stale
+    series regardless (builtin_functions.go removeEmptySeries +
+    TestRemoveEmptySeries: xff 0 / 0.5 / 1 tables)."""
     w = Window.partitionBy("series_id")
+    present = F.count("value").over(w)
+    cond = present > 0
+    if x_files_factor and float(x_files_factor) > 0.0:
+        total = F.count("*").over(w)
+        cond = cond & (
+            present >= F.lit(float(x_files_factor)) * total
+        )
     return (
-        grid.withColumn("_n", F.count("value").over(w))
-        .where(F.col("_n") > 0)
-        .drop("_n")
+        grid.withColumn("_keep", cond)
+        .where(F.col("_keep"))
+        .drop("_keep")
     )
 
 
@@ -940,15 +978,18 @@ def time_function(grid: DataFrame) -> DataFrame:
 
 
 def constant_line(grid: DataFrame, v: float) -> DataFrame:
-    """constantLine(v) over the grid's step domain."""
+    """constantLine(v) over the grid's step domain; named by the
+    reference's FloatingPointFormat '%.3f' (common.ConstantLine,
+    basic_functions.go:210-218 — TestConstantLine pins '5.000')."""
+    name = f"{float(v):.3f}"
     return (
         grid.select("step_ts")
         .distinct()
         .select(
             "step_ts",
-            F.lit("constantLine").alias("name"),
+            F.lit(name).alias("name"),
             empty_tags_col().alias("tags"),
-            F.lit("constantLine").alias("series_id"),
+            F.lit(name).alias("series_id"),
             F.lit(float(v)).alias("value"),
         )
     )
@@ -1405,8 +1446,9 @@ def random_walk(steps: DataFrame, name: str = "randomWalk") -> DataFrame:
 
 def threshold_line(steps: DataFrame, value: float, label: str = "") -> DataFrame:
     """threshold(value, label): constant line over the step domain
-    (builtin_functions.go:2821)."""
-    name = label or f"{value:g}"
+    (builtin_functions.go:2821); the unlabeled name is the constant-
+    line '%.3f' form (TestThreshold pins '1.000')."""
+    name = label or f"{float(value):.3f}"
     return steps.select(
         "step_ts",
         F.lit(name).alias("name"),
@@ -1512,11 +1554,15 @@ REGISTRY: dict[str, Callable] = {
          "average": "avg"}.get(f, f),
         f"aggregate-{f}",
     ),
-    "diffSeries": lambda g: _combined(g, "diff", "diffSeries"),
-    "multiplySeries": lambda g: _combined(g, "multiply", "multiplySeries"),
-    "stddevSeries": lambda g: _combined(g, "stddev", "stddevSeries"),
-    "lastSeries": lambda g: _combined(g, "last", "lastSeries"),
-    "powSeries": lambda g: _combined(g, "pow", "powSeries"),
+    "diffSeries": lambda *g: _combined(_union_grids(g), "diff", "diffSeries"),
+    "multiplySeries": lambda *g: _combined(
+        _union_grids(g), "multiply", "multiplySeries"
+    ),
+    "stddevSeries": lambda *g: _combined(
+        _union_grids(g), "stddev", "stddevSeries"
+    ),
+    "lastSeries": lambda *g: _combined(_union_grids(g), "last", "lastSeries"),
+    "powSeries": lambda *g: _combined(_union_grids(g), "pow", "powSeries"),
     "percentileOfSeries": percentile_of_series,
     "nPercentile": n_percentile,
     "divideSeriesLists": divide_series_lists,

@@ -1,0 +1,394 @@
+"""Golden parity batch 4 — the aggregation_functions_test.go
+consolidation fixture (minSeries / maxSeries / sumSeries /
+averageSeries / diffSeries / multiplySeries / countSeries /
+rangeOfSeries over mixed-start, mixed-resolution series), the
+stddev / median / pow aggregate tables, and the moving-window family
+(movingMax / movingMin success + error tables, movingSum xFilesFactor
+table, movingSum-of-movingSum context stacking, the bootstrap-IDs
+tables, movingWindow dispatch), plus removeEmptySeries xFilesFactor,
+isNonNull, constantLine / threshold naming.
+
+Boundary note for the consolidation fixture: graphite assigns samples
+to the step bucket [t, t+step) while this engine's consolidation takes
+the last sample in (t-step, t].  Shifting every sample timestamp by
+-9s maps the reference's bucket contents onto the engine's exactly
+(sample s lands in engine-bucket t  ⟺  s ∈ [t, t+10) in the
+reference), so the 1-second series ``d`` keeps its full 60 samples
+(aggregation_functions_test.go:47-63 newConsolidationTestSeries).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from m3_spark.graphite import functions as gf
+from m3_spark.graphite.compiler import evaluate
+from m3_spark.graphite.paths import paths_to_samples
+from m3_spark.operators.consolidate import consolidate
+
+from .test_consolidate import T0
+from .test_graphite_golden import _grid_df, _vals_by_step
+
+
+def _samples(spark, rows):
+    df = spark.createDataFrame(rows, "path string, ts_s long, value double")
+    return paths_to_samples(
+        df.select("path", F.timestamp_seconds("ts_s").alias("ts"), "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# newConsolidationTestSeries (aggregation_functions_test.go:47-63):
+#   a: const 10 @10s x6 from t0        b: const 15 @10s x6 from t0-30s
+#   c: const 17 @10s x6 from t0+30s    d: const 3  @1s  from t0
+# normalized to 10s steps over [t0-30s, t0+80s] -> 12 steps in 4
+# groups of 3 (testAggregatedSeries's ev1..ev4).
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def consolidation_grid(spark):
+    rows = []
+    for i in range(6):
+        rows.append(("a", T0 + i * 10 - 9, 10.0))
+        rows.append(("b", T0 - 30 + i * 10 - 9, 15.0))
+        rows.append(("c", T0 + 30 + i * 10 - 9, 17.0))
+    # 59 of the 60 1-second samples: the last would land exactly on
+    # the +50s grid step, where the closed [t-lookback, t] coverage
+    # would carry it into the +60s bucket too; the series is constant
+    # so every reference bucket value is unchanged.
+    for s in range(59):
+        rows.append(("d", T0 + s - 9, 3.0))
+    return consolidate(_samples(spark, rows), T0 - 30, T0 + 80, 10, 10)
+
+
+def _grouped_vals(df):
+    rows = df.orderBy("step_ts").collect()
+    assert len(rows) == 12, [r["step_ts"] for r in rows]
+    vals = [r["value"] for r in rows]
+    groups = [vals[0:3], vals[3:6], vals[6:9], vals[9:12]]
+    for g in groups:
+        assert len(set(g)) == 1, vals
+    return [g[0] for g in groups]
+
+
+@pytest.mark.parametrize(
+    "fn,expected",
+    [
+        # TestMinSeries / TestMaxSeries / TestSumSeries /
+        # TestAverageSeries / TestDiffSeries / TestMultiplySeries
+        (gf.min_series, [15.0, 3.0, 3.0, 17.0]),
+        (gf.max_series, [15.0, 15.0, 17.0, 17.0]),
+        (gf.sum_series, [15.0, 28.0, 30.0, 17.0]),
+        (gf.average_series, [15.0, 28.0 / 3, 10.0, 17.0]),
+        (gf.REGISTRY["diffSeries"], [-15.0, -8.0, -10.0, -17.0]),
+        (gf.REGISTRY["multiplySeries"], [15.0, 450.0, 510.0, 17.0]),
+    ],
+)
+def test_consolidation_aggregation_goldens(consolidation_grid, fn, expected):
+    got = _grouped_vals(fn(consolidation_grid))
+    assert got == pytest.approx(expected)
+
+
+def test_count_series_consolidation_golden(consolidation_grid):
+    # TestCountSeries: the count is the size of the NORMALIZED list —
+    # 4.0 at every one of the 12 union steps, even where only one
+    # series has data.
+    rows = gf.count_series(consolidation_grid).orderBy("step_ts").collect()
+    assert len(rows) == 12
+    assert all(r["value"] == 4.0 for r in rows)
+    assert rows[0]["name"] == "countSeries"
+
+
+def test_range_of_series_consolidation_golden(consolidation_grid):
+    # TestRangeOfSeries: [0,0,0,12,12,12,14,14,14,0,0,0]
+    got = _grouped_vals(gf.range_of_series(consolidation_grid))
+    assert got == pytest.approx([0.0, 12.0, 14.0, 0.0])
+
+
+def test_single_series_aggregation_identity(consolidation_grid):
+    # testAggregatedSeries tail: single input -> same values out
+    one = consolidation_grid.where(F.col("name") == "a")
+    rows = gf.sum_series(one).orderBy("step_ts").collect()
+    assert [r["value"] for r in rows] == [10.0] * 6
+
+
+def test_stddev_series_golden(spark):
+    # TestStdDevSeries: {10,20,30} vs {90,80,70} -> [40,30,20]
+    g = _grid_df(spark, {"servers.s2": [10.0, 20.0, 30.0],
+                         "servers.s1": [90.0, 80.0, 70.0]})
+    got = _vals_by_step(gf.REGISTRY["stddevSeries"](g).collect())
+    assert [got[i] for i in range(3)] == pytest.approx([40.0, 30.0, 20.0])
+
+
+def test_aggregate_median_golden(spark):
+    # TestAggregateSeriesMedian: medians of {10,90,5},{20,80,100},
+    # {30,70,45} -> [10, 80, 45]
+    g = _grid_df(spark, {"servers.s2": [10.0, 20.0, 30.0],
+                         "servers.s1": [90.0, 80.0, 70.0],
+                         "servers.s3": [5.0, 100.0, 45.0]})
+    got = _vals_by_step(gf.median_series(g).collect())
+    assert [got[i] for i in range(3)] == pytest.approx([10.0, 80.0, 45.0])
+
+
+def test_pow_series_golden(spark):
+    # TestPowSeries: left-fold v1^v2^v3 in series order ->
+    # [0, 1, 8, 729, 64]
+    g = _grid_df(spark, {"p1": [0.0, 1.0, 2.0, 3.0, 4.0],
+                         "p2": [2.0, 4.0, 1.0, 3.0, 3.0],
+                         "p3": [5.0, 4.0, 3.0, 2.0, 1.0]})
+    got = _vals_by_step(gf.REGISTRY["powSeries"](g).collect())
+    assert [got[i] for i in range(5)] == pytest.approx(
+        [0.0, 1.0, 8.0, 729.0, 64.0]
+    )
+
+
+# ---------------------------------------------------------------------------
+# moving-window family (builtin_functions_test.go:933-1320)
+# ---------------------------------------------------------------------------
+
+def _bootstrapped_grid(spark, bootstrap, values):
+    """The testMovingFunction layout: bootstrap window then values; the
+    engine's compiler does the same by extending the fetch range."""
+    return _grid_df(spark, {"foo.bar.baz": bootstrap + values})
+
+
+def _trimmed(df, n_out):
+    rows = df.orderBy("step_ts").collect()
+    return [r["value"] for r in rows[-n_out:]]
+
+
+def test_moving_max_success_golden(spark):
+    # TestMovingMaxSuccess: [5, 12, 19, 19, 19]
+    g = _bootstrapped_grid(
+        spark, [3.0, 4.0, 5.0], [12.0, 19.0, -10.0, None, 10.0]
+    )
+    assert _trimmed(gf.moving_max(g, 3), 5) == [5.0, 12.0, 19.0, 19.0, 19.0]
+
+
+def test_moving_min_success_golden(spark):
+    # TestMovingMinSuccess: [3, 4, 5, -10, -10]
+    g = _bootstrapped_grid(
+        spark, [3.0, 4.0, 5.0], [12.0, 19.0, -10.0, None, 10.0]
+    )
+    assert _trimmed(gf.moving_min(g, 3), 5) == [3.0, 4.0, 5.0, -10.0, -10.0]
+
+
+def test_moving_sum_success_golden(spark):
+    # TestMovingSumSuccess: [12, 21, 36, 21, 9]; xff=1.0 stales the
+    # final window (2 of 3 points present)
+    g = _bootstrapped_grid(
+        spark, [3.0, 4.0, 5.0], [12.0, 19.0, -10.0, None, 10.0]
+    )
+    assert _trimmed(gf.moving_sum(g, 3), 5) == [12.0, 21.0, 36.0, 21.0, 9.0]
+    assert _trimmed(gf.moving_sum(g, 3, xff=1.0), 5) == [
+        12.0, 21.0, 36.0, 21.0, None,
+    ]
+
+
+@pytest.mark.parametrize(
+    "target",
+    [
+        # TestMovingAverageError / TestMovingSumError /
+        # TestMovingMaxError / TestMovingMinError
+        "movingAverage(servers.web01.cpu.user, '-30s')",
+        "movingAverage(servers.web01.cpu.user, 0)",
+        "movingSum(servers.web01.cpu.user, '-30s')",
+        "movingSum(servers.web01.cpu.user, 0)",
+        "movingMax(servers.web01.cpu.user, '-30s')",
+        "movingMax(servers.web01.cpu.user, 0)",
+        "movingMin(servers.web01.cpu.user, '-30s')",
+        "movingMin(servers.web01.cpu.user, 0)",
+        # movingWindow(..., fname) rejects unknown aggregates
+        # (builtin_functions.go:2622)
+        "movingWindow(servers.web01.cpu.user, 3, 'nope')",
+    ],
+)
+def test_moving_window_error_tables(spark, target):
+    from .test_graphite import gsamples  # noqa: F811
+
+    rows = [
+        (f"servers.web01.cpu.user", T0 + i * 60, float(i)) for i in range(5)
+    ]
+    samples = _samples(spark, rows)
+    with pytest.raises(ValueError):
+        evaluate(samples, target, T0, T0 + 240, 60, 60)
+
+
+def test_moving_window_dispatch_rename(spark):
+    # TestMovingWindow: movingWindow(x,'1min','avg',0.7) names itself
+    # movingAverage(x,"1min")
+    rows = [("foo.bar.g.zed", T0 + i * 60, 1.0) for i in range(-3, 5)]
+    out = evaluate(
+        _samples(spark, rows),
+        "movingWindow(foo.bar.g.zed, '1min', 'avg', 0.7)",
+        T0, T0 + 240, 60, 60,
+    ).collect()
+    assert all(r["value"] == 1.0 for r in out)
+    assert out[0]["name"] == 'movingAverage(foo.bar.g.zed,"1min")'
+
+
+def test_moving_median_engine_golden(spark):
+    # TestMovingMedian: constant-zero series -> [0, 0]
+    rows = [("foo.bar.q.zed", T0 + i * 60, 0.0) for i in range(-2, 3)]
+    out = evaluate(
+        _samples(spark, rows),
+        "movingMedian(foo.bar.q.zed, '1min')",
+        T0, T0 + 60, 60, 60,
+    ).orderBy("step_ts").collect()
+    assert [r["value"] for r in out] == [0.0, 0.0]
+    assert out[0]["name"] == 'movingMedian(foo.bar.q.zed,"1min")'
+
+
+def test_moving_sum_of_moving_sum_golden(spark):
+    # TestMovingSumOfMovingSum: nested windows stack the context
+    # shift — movingSum(movingSum(foo.bar,"2min"),"5min") over
+    # 1..15 @1min, query = last 5 minutes -> [65, 75, 85, 95, 105]
+    rows = [("foo.bar", T0 + i * 60, float(i + 1)) for i in range(15)]
+    out = evaluate(
+        _samples(spark, rows),
+        'movingSum(movingSum(foo.bar,"2min"),"5min")',
+        T0 + 600, T0 + 840, 60, 60,
+    ).orderBy("step_ts").collect()
+    assert [r["value"] for r in out] == [65.0, 75.0, 85.0, 95.0, 105.0]
+
+
+def test_moving_sum_original_ids_missing_from_bootstrap(spark):
+    # TestMovingSumOriginalIDsMissingFromBootstrapIDs: foo.baz only
+    # has data in the bootstrap window; it must still be evaluated.
+    # bootstrap from t0-10min; query [t0, t0+2min] -> 3 outputs.
+    rows = []
+    bar = [1, 1, 1, 1, 1, 2, 2, 2, 2, 2, 3, 3, 3]
+    baz = [1, 1, 1, 1, 1, 2, 2, 2, 2, 2]  # stale over the query range
+    # samples sit 9s before their step: a sample exactly on a grid
+    # step would also satisfy the next step's closed [t-lb, t] window,
+    # carrying baz one step past its reference staleness point
+    for i, v in enumerate(bar):
+        rows.append(("foo.bar", T0 - 600 + i * 60 - 9, float(v)))
+    for i, v in enumerate(baz):
+        rows.append(("foo.baz", T0 - 600 + i * 60 - 9, float(v)))
+    out = evaluate(
+        _samples(spark, rows), "movingSum(foo.*, '10min')",
+        T0, T0 + 120, 60, 60,
+    ).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["name"], {})[r["step_ts"]] = r["value"]
+    t = lambda i: dt.datetime.fromtimestamp(  # noqa: E731
+        T0 + i * 60, dt.timezone.utc
+    ).replace(tzinfo=None)
+    assert [by['movingSum(foo.bar,"10min")'][t(i)] for i in range(3)] == [
+        15.0, 17.0, 19.0,
+    ]
+    assert [by['movingSum(foo.baz,"10min")'][t(i)] for i in range(3)] == [
+        15.0, 14.0, 13.0,
+    ]
+
+
+def test_moving_sum_all_original_ids_missing_from_bootstrap(spark):
+    # TestMovingSumAllOriginalIDsMissingFromBootstrapIDs: every series
+    # is bootstrap-only -> both emit [15, 14, 13].
+    rows = []
+    vals = [1, 1, 1, 1, 1, 2, 2, 2, 2, 2]
+    for name in ("foo.bar", "foo.baz"):
+        for i, v in enumerate(vals):
+            rows.append((name, T0 - 600 + i * 60 - 9, float(v)))
+    out = evaluate(
+        _samples(spark, rows), "movingSum(foo.*, '10min')",
+        T0, T0 + 120, 60, 60,
+    ).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["name"], []).append((r["step_ts"], r["value"]))
+    for name in ('movingSum(foo.bar,"10min")', 'movingSum(foo.baz,"10min")'):
+        assert [v for _, v in sorted(by[name])] == [15.0, 14.0, 13.0]
+
+
+# ---------------------------------------------------------------------------
+# removeEmptySeries / isNonNull / constantLine / threshold
+# ---------------------------------------------------------------------------
+
+REMOVE_EMPTY_INPUT = {
+    "foo": [500.0, 600.0, 700.0],
+    "bar": [500.0, 600.0, None],
+    "baz": [500.0, None, None],
+    "qux": [None, None, None],
+}
+
+
+@pytest.mark.parametrize(
+    "xff,survivors",
+    [
+        # TestRemoveEmptySeries: xFilesFactor 0 / 0.5 / 1
+        (0.0, {"foo", "bar", "baz"}),
+        (0.5, {"foo", "bar"}),
+        (1.0, {"foo"}),
+    ],
+)
+def test_remove_empty_series_xff_golden(spark, xff, survivors):
+    g = _grid_df(spark, REMOVE_EMPTY_INPUT)
+    out = gf.remove_empty_series(g, xff)
+    got = {r["series_id"] for r in out.select("series_id").distinct().collect()}
+    assert got == survivors
+
+
+@pytest.mark.parametrize(
+    "inputs,outputs",
+    [
+        # TestIsNonNull
+        ([0.0, None, 2.0, None, 3.0], [1.0, 0.0, 1.0, 0.0, 1.0]),
+        ([0.0, 1.0, 2.0, None, 3.0], [1.0, 1.0, 1.0, 0.0, 1.0]),
+    ],
+)
+def test_is_non_null_golden(spark, inputs, outputs):
+    g = _grid_df(spark, {"foo": inputs})
+    rows = gf.is_non_null(g).orderBy("step_ts").collect()
+    assert [r["value"] for r in rows] == outputs
+    assert rows[0]["name"] == "isNonNull(foo)"
+
+
+def test_constant_line_name_golden(spark):
+    # TestConstantLine: name is the %.3f render of the value
+    g = _grid_df(spark, {"foo": [1.0, 2.0, 3.0]})
+    rows = gf.constant_line(g, 5.0).collect()
+    assert all(r["value"] == 5.0 for r in rows)
+    assert rows[0]["name"] == "5.000"
+
+
+def test_threshold_name_golden(spark):
+    # TestThreshold: labeled -> the label; unlabeled -> '1.000'
+    steps = _grid_df(spark, {"foo": [1.0, 2.0, 3.0]}).select("step_ts")
+    labeled = gf.threshold_line(steps, 1.0, "bar").collect()
+    assert labeled[0]["name"] == "bar"
+    plain = gf.threshold_line(steps, 1.0, "").collect()
+    assert plain[0]["name"] == "1.000"
+    assert all(r["value"] == 1.0 for r in plain)
+
+
+# ---------------------------------------------------------------------------
+# variadic sumSeries / divideSeries error (compiler level)
+# ---------------------------------------------------------------------------
+
+def test_variadic_sum_series_golden(spark):
+    # TestVariadicSumSeries: sumSeries(foo.bar.*, foo.baz.*) sums all
+    # four series -> constant 10
+    rows = []
+    for name, v in [("foo.bar.a", 1.0), ("foo.bar.b", 2.0),
+                    ("foo.baz.a", 3.0), ("foo.baz.b", 4.0)]:
+        for i in range(3):
+            rows.append((name, T0 + i * 60, v))
+    out = evaluate(
+        _samples(spark, rows), "sumSeries(foo.bar.*, foo.baz.*)",
+        T0, T0 + 120, 60, 60,
+    ).orderBy("step_ts").collect()
+    assert [r["value"] for r in out] == [10.0, 10.0, 10.0]
+
+
+def test_divide_series_error_golden(spark):
+    # TestDivideSeriesError: >1 divisor series is an invalid-params
+    # error with the reference's message
+    g = _grid_df(spark, {"a": [1.0], "b": [2.0], "c": [3.0], "d": [4.0]})
+    with pytest.raises(ValueError, match="exactly one series"):
+        gf.divide_series(g, g)
