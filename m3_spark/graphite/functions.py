@@ -218,21 +218,110 @@ def as_percent_of_total(grid: DataFrame) -> DataFrame:
     )
 
 
-def as_percent(grid: DataFrame, total=None) -> DataFrame:
-    """asPercent(v[, total]) (aggregation_functions.go asPercent):
-    no total → share of the per-step sum; constant → v/c*100;
-    single-series total → per-step divide by it; MULTI-series total →
-    pairwise by sorted name like divideSeriesLists
-    (TestAsPercentWithSeriesListAndTotalSeriesList), erroring on a
-    length mismatch.  The cardinality probe is a driver-side count over
-    the (bounded) series dictionary, same class as useSeriesAbove.
+def _nodes_key(*nodes: int) -> Column:
+    return F.concat_ws(
+        ".", *[F.coalesce(F.col("tags").getItem(gtag(n)), F.lit("")) for n in nodes]
+    )
 
-    Naming: constant and single-series totals wrap exactly as the
-    reference; the computed-total form keeps the input names (the
-    reference embeds the materialized ``sumSeries(<all specs>)`` text,
-    which would need an unbounded name collect — documented delta)."""
+
+def _group_total_labels(df: DataFrame, wrap_single: bool) -> DataFrame:
+    """Per _key total label: sumSeries(<sorted members>), except a
+    singleton NODE group keeps the bare name — the reference names a
+    singleton group asPercent(x,x) under nodes
+    (TestAsPercentWithNodesAndTotalNil) but always materializes
+    sumSeries(...) for the un-noded nil total
+    (TestAsPercentWithNilTotal: asPercent(x,sumSeries(x))).  A
+    per-group name aggregate, bounded by the series dictionary."""
+    wrapped = F.concat(
+        F.lit("sumSeries("), F.concat_ws(",", "_members"), F.lit(")")
+    )
+    label = (
+        wrapped
+        if wrap_single
+        else F.when(
+            F.size("_members") == 1, F.element_at("_members", 1)
+        ).otherwise(wrapped)
+    )
+    return (
+        df.select("_key", "name")
+        .distinct()
+        .groupBy("_key")
+        .agg(F.sort_array(F.collect_set("name")).alias("_members"))
+        .select("_key", label.alias("_tlabel"))
+    )
+
+
+def _as_percent_grouped(grid: DataFrame, total, nodes: tuple[int, ...]) -> DataFrame:
+    """asPercent with a node grouping (or one implicit group): each
+    series as a share of its group's per-step total
+    (aggregation_functions.go asPercent *nodes forms;
+    TestAsPercentWithNodesAndTotalNil / ...AndTotalSeriesList)."""
+    keyed = grid.withColumn("_key", _nodes_key(*nodes) if nodes else F.lit(""))
+    src = (
+        keyed if total is None
+        else total.withColumn("_key", _nodes_key(*nodes) if nodes else F.lit(""))
+    )
+    tot = src.groupBy("_key", "step_ts").agg(F.sum("value").alias("_tot"))
+    labels = _group_total_labels(src, wrap_single=not nodes)
+    out = (
+        keyed.join(tot, ["_key", "step_ts"], "left")
+        .join(F.broadcast(labels), "_key", "left")
+        .withColumn(
+            "value",
+            F.when(
+                F.col("_tlabel").isNotNull(),
+                _safe_div(F.col("value"), F.col("_tot")) * F.lit(100.0),
+            ),
+        )
+        .withColumn(
+            "name",
+            F.concat(
+                F.lit("asPercent("), F.col("name"), F.lit(","),
+                F.coalesce(F.col("_tlabel"), F.lit("MISSING")), F.lit(")"),
+            ),
+        )
+        .drop("_key", "_tot", "_tlabel", "_members")
+    )
     if total is None:
-        return as_percent_of_total(grid)
+        return out
+    # total-only groups surface as asPercent(MISSING,<label>) stale
+    # rows over the total's step domain
+    orphan_keys = labels.join(
+        keyed.select("_key").distinct(), "_key", "left_anti"
+    )
+    orphans = (
+        tot.join(F.broadcast(orphan_keys), "_key")
+        .select(
+            "step_ts",
+            F.concat(
+                F.lit("asPercent(MISSING,"), F.col("_tlabel"), F.lit(")")
+            ).alias("name"),
+            empty_tags_col().alias("tags"),
+            F.concat(
+                F.lit("asPercent(MISSING,"), F.col("_tlabel"), F.lit(")")
+            ).alias("series_id"),
+            F.lit(None).cast("double").alias("value"),
+        )
+    )
+    return out.select(
+        "step_ts", "name", "tags", "series_id", "value"
+    ).unionByName(orphans)
+
+
+def as_percent(grid: DataFrame, total=None, *nodes: int) -> DataFrame:
+    """asPercent(v[, total[, *nodes]]) (aggregation_functions.go
+    asPercent): no total → share of the (node-grouped) per-step sum;
+    constant → v/c*100; single-series total → per-step divide by it;
+    MULTI-series total without nodes → pairwise by sorted name like
+    divideSeriesLists (TestAsPercentWithSeriesListAndTotalSeriesList),
+    erroring on a length mismatch; with nodes → per-group totals with
+    MISSING orphans on either side.  The cardinality probe is a
+    driver-side count over the (bounded) series dictionary, same class
+    as useSeriesAbove."""
+    if nodes:
+        return _as_percent_grouped(grid, total, tuple(nodes))
+    if total is None:
+        return _as_percent_grouped(grid, None, ())
     if isinstance(total, DataFrame):
         n_total = total.select("series_id").distinct().count()
         if n_total > 1:
@@ -260,9 +349,11 @@ def as_percent(grid: DataFrame, total=None) -> DataFrame:
             )
             .drop("_tot", "_tname")
         )
-    # constant total: asPercent(name,%.3f) (builtin_functions.go:1186)
+    # constant total: asPercent(name,%.3f); a zero total is stale
+    # everywhere (TestAsPercentWithFloatTotal total=0 → all NaN)
     return grid.withColumn(
-        "value", F.col("value") / F.lit(float(total)) * F.lit(100.0)
+        "value",
+        _safe_div(F.col("value"), F.lit(float(total))) * F.lit(100.0),
     ).withColumn("name", _wrap("asPercent", f",{float(total):.3f}"))
 
 
@@ -441,12 +532,25 @@ def non_negative_derivative(
 
 
 def per_second(grid: DataFrame, step_s: float, rename: bool = True) -> DataFrame:
-    """perSecond (:543-548); ``rename=False`` for non-graphite callers
-    (M3QL pipelines keep their own naming)."""
-    w = Window.partitionBy("series_id").orderBy("step_ts")
-    d = F.col("value") - F.lag("value").over(w)
+    """perSecond (:543-548, common.PerSecond transform.go:268-300):
+    the rate is against the LAST PRESENT value with the true elapsed
+    seconds — stale steps are skipped, not rate-broken (TestPerSecond:
+    [1,2,NaN,4,5] → [NaN,1,NaN,1,1]).  ``rename=False`` for
+    non-graphite callers (M3QL pipelines keep their own naming)."""
+    w = (
+        Window.partitionBy("series_id")
+        .orderBy("step_ts")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_val = F.last("value", ignorenulls=True).over(w)
+    prev_us = F.last(
+        F.when(F.col("value").isNotNull(), F.unix_micros(F.col("step_ts"))),
+        ignorenulls=True,
+    ).over(w)
+    d = F.col("value") - prev_val
+    elapsed_s = (F.unix_micros(F.col("step_ts")) - prev_us) / F.lit(1e6)
     out = grid.withColumn(
-        "value", F.when(d >= 0, d / F.lit(float(step_s)))
+        "value", F.when((d >= 0) & (elapsed_s > 0), d / elapsed_s)
     )
     return out.withColumn("name", _wrap("perSecond")) if rename else out
 
@@ -1095,7 +1199,13 @@ def percentile_of_series(
     grid: DataFrame, pct: float, interpolate: bool = False
 ) -> DataFrame:
     """percentileOfSeries: per-step percentile across series
-    (builtin_functions.go:1562)."""
+    (builtin_functions.go:1562).  Percentiles outside (0, 100] are
+    invalid-params errors (TestPercentileOfSeriesErrors)."""
+    if not 0.0 < float(pct) <= 100.0:
+        raise ValueError(
+            f"the requested percentile value must be between 0 and 100,"
+            f" got {pct}"
+        )
     name = f"percentileOfSeries-{pct:g}"
     return (
         grid.groupBy("step_ts")
@@ -1290,13 +1400,62 @@ def remove_below_percentile(grid: DataFrame, pct: float) -> DataFrame:
     ).withColumn("name", _wrap("removeBelowPercentile", f", {float(pct):.3f}"))
 
 
-def consolidate_by(grid: DataFrame, approach: str) -> DataFrame:
+def consolidate_by(
+    grid: DataFrame,
+    approach: str,
+    max_data_points: int | None = None,
+    step_s: float | None = None,
+) -> DataFrame:
     """consolidateBy (builtin_functions.go:2714): records the render-
-    time consolidation function.  This engine never reduces a result
-    below the requested step grid (no MaxDataPoints repaint), so the
-    values are untouched — only the name wrap applies."""
-    if approach not in ("sum", "avg", "average", "min", "max"):
+    time consolidation function; with a MaxDataPoints budget the grid
+    is repainted into ceil(n/budget)-step buckets aggregated by the
+    approach (TestConsolidateBy: 6 points, budget 2 → 3x step,
+    min → [1,4], last → [3,5]).  Unknown approaches error."""
+    if approach not in ("sum", "avg", "average", "min", "max", "last"):
         raise ValueError(f"invalid consolidation approach {approach!r}")
+    if max_data_points:
+        if not step_s:
+            raise ValueError("max_data_points repaint needs step_s")
+        import math as _math
+
+        lo_us, n_steps = grid.agg(
+            F.min(F.unix_micros("step_ts")), F.countDistinct("step_ts")
+        ).first()
+        if n_steps and n_steps > max_data_points:
+            k = _math.ceil(n_steps / max_data_points)
+            span_us = int(k * step_s * 1_000_000)
+            lo_us = int(lo_us)
+            agg = {
+                "sum": F.sum("value"),
+                "avg": F.avg("value"),
+                "average": F.avg("value"),
+                "min": F.min("value"),
+                "max": F.max("value"),
+                "last": F.expr(
+                    "max_by(value, CASE WHEN value IS NOT NULL "
+                    "THEN unix_micros(step_ts) END)"
+                ),
+            }[approach]
+            grid = (
+                grid.withColumn(
+                    "_bucket",
+                    F.timestamp_micros(
+                        (F.unix_micros("step_ts") - F.lit(lo_us))
+                        .cast("long")
+                        - (F.unix_micros("step_ts") - F.lit(lo_us))
+                        .cast("long") % F.lit(span_us)
+                        + F.lit(lo_us)
+                    ),
+                )
+                .groupBy("_bucket", "series_id")
+                .agg(
+                    agg.alias("value"),
+                    F.first("name").alias("name"),
+                    F.first("tags").alias("tags"),
+                )
+                .withColumnRenamed("_bucket", "step_ts")
+                .select("step_ts", "name", "tags", "series_id", "value")
+            )
     return grid.withColumn(
         "name",
         F.concat(
@@ -1401,9 +1560,12 @@ def legend_value(grid: DataFrame, value_type: str) -> DataFrame:
 
 
 def cacti_style(grid: DataFrame) -> DataFrame:
-    """cactiStyle: append Current/Max/Min stats to each name (:2679).
-    Column alignment (the reference pads to the widest entry) is a
-    terminal-rendering concern; the stats themselves match."""
+    """cactiStyle: append Current/Max/Min stats to each name, each
+    column left-justified to the widest entry with a trailing space —
+    the reference's '%*s Current:%*s Max:%*s Min:%*s ' with
+    findAllLens widths (builtin_functions.go:2679-2698; TestCactiStyle
+    pins the padded forms).  The width probe is a tiny global
+    aggregate broadcast back, same class as the series dictionary."""
     w = Window.partitionBy("series_id")
     cur = F.expr(
         "max_by(value, CASE WHEN value IS NOT NULL THEN unix_micros(step_ts) END)"
@@ -1412,16 +1574,37 @@ def cacti_style(grid: DataFrame) -> DataFrame:
     mn = F.min("value").over(w)
 
     def fmt(c):
-        return F.coalesce(F.format_string("%.2f", c), F.lit("nan"))
+        return F.when(c.isNull(), F.lit("nan")).otherwise(
+            F.format_string("%.2f", c)
+        )
 
-    return grid.withColumn(
-        "name",
-        F.concat(
-            F.col("name"),
-            F.lit(" Current:"), fmt(cur),
-            F.lit(" Max:"), fmt(mx),
-            F.lit(" Min:"), fmt(mn),
-        ),
+    styled = (
+        grid.withColumn("_cur", fmt(cur))
+        .withColumn("_max", fmt(mx))
+        .withColumn("_min", fmt(mn))
+    )
+    # stat widths are the widest entry + 3 (getStatLen: nan counts 4,
+    # numbers count len(int part) + 3 — i.e. the %.2f length — then
+    # findAllLens adds 3)
+    widths = styled.agg(
+        F.max(F.length("name")).alias("_wn"),
+        (F.max(F.length("_cur")) + F.lit(3)).alias("_wc"),
+        (F.max(F.length("_max")) + F.lit(3)).alias("_wx"),
+        (F.max(F.length("_min")) + F.lit(3)).alias("_wm"),
+    )
+    return (
+        styled.crossJoin(F.broadcast(widths))
+        .withColumn(
+            "name",
+            F.concat(
+                F.expr("rpad(name, _wn, ' ')"),
+                F.lit(" Current:"), F.expr("rpad(_cur, _wc, ' ')"),
+                F.lit(" Max:"), F.expr("rpad(_max, _wx, ' ')"),
+                F.lit(" Min:"), F.expr("rpad(_min, _wm, ' ')"),
+                F.lit(" "),
+            ),
+        )
+        .drop("_cur", "_max", "_min", "_wn", "_wc", "_wx", "_wm")
     )
 
 

@@ -724,8 +724,13 @@ def q_graphite_as_percent(spark, sf_dir):
         'asPercent(groupByNode(events.*.*, 1, "sum"))',
         START, END, STEP_S, LOOKBACK_S,
     )
+    # asPercent now renames to asPercent(x,sumSeries(...)) per the
+    # reference (TestAsPercentWithNilTotal) — unwrap the first arg
     return out.where(F.col("value").isNotNull()).select(
-        _epoch(), F.col("name").alias("event_type"),
+        _epoch(),
+        F.regexp_extract(
+            F.col("name"), r"^asPercent\(([^,]+),", 1
+        ).alias("event_type"),
         F.round(F.col("value"), 6).alias("value"),
     )
 

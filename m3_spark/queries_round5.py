@@ -303,6 +303,11 @@ def q_graphite_rate_family(spark, sf_dir):
             f'{func}(groupByNode(events.*.*, 1, "sum"))',
             START, END, STEP_S, LOOKBACK_S,
         )
+        # perSecond is compared scaled to a per-hour rate: the raw
+        # rate divides by the true elapsed seconds (3600/7200), whose
+        # decimal expansion can land on a half-ulp rounding boundary;
+        # x3600 keeps the quotient terminating on both engines
+        val = F.col("value") * (F.lit(3600.0) if func == "perSecond" else F.lit(1.0))
         parts.append(
             out.where(F.col("value").isNotNull()).select(
                 _epoch(),
@@ -312,7 +317,7 @@ def q_graphite_rate_family(spark, sf_dir):
                     F.col("name"), r"^[A-Za-z]+\((.*)\)$", 1
                 ).alias("event_type"),
                 F.lit(func).alias("func"),
-                F.round(F.col("value"), 6).alias("value"),
+                F.round(val, 6).alias("value"),
             )
         )
     return reduce(lambda a, b: a.unionByName(b), parts)
@@ -324,7 +329,10 @@ g AS (
 ),
 d AS (
   SELECT step_ts, event_type, v,
-         v - lag(v) OVER (PARTITION BY event_type ORDER BY step_ts) AS dv
+         v - lag(v) OVER (PARTITION BY event_type ORDER BY step_ts) AS dv,
+         CAST(epoch(step_ts) AS BIGINT)
+           - lag(CAST(epoch(step_ts) AS BIGINT))
+             OVER (PARTITION BY event_type ORDER BY step_ts) AS dt_s
   FROM g
 )"""
 
@@ -338,7 +346,10 @@ SELECT CAST(epoch(step_ts) AS BIGINT) AS step_s, event_type,
 FROM d WHERE dv >= 0
 UNION ALL
 SELECT CAST(epoch(step_ts) AS BIGINT) AS step_s, event_type,
-       'perSecond' AS func, ROUND(dv / 3600.0, 6) AS value
+       -- perSecond rates against the LAST PRESENT value over the true
+       -- elapsed seconds (common.PerSecond skips stale steps); scaled
+       -- x3600 to keep the compared quotient terminating
+       'perSecond' AS func, ROUND(dv / dt_s * 3600.0, 6) AS value
 FROM d WHERE dv >= 0"""
 
 

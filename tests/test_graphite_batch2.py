@@ -272,7 +272,11 @@ def test_name_decorations(spark, ggrid):  # noqa: F811
     lv = gf.legend_value(one, "max").select("name").first()["name"]
     assert lv == "servers.web01.cpu.user (max: 14.000)"
     cs = gf.cacti_style(one).select("name").first()["name"]
-    assert cs == "servers.web01.cpu.user Current:14.00 Max:14.00 Min:10.00"
+    # findAllLens pads each stat column 3 past its widest entry and the
+    # format appends a separator space (builtin_functions.go:2665-2698)
+    assert cs == (
+        "servers.web01.cpu.user Current:14.00    Max:14.00    Min:10.00    "
+    )
 
 
 def test_scale_to_seconds_and_round(spark, ggrid):  # noqa: F811

@@ -392,3 +392,336 @@ def test_divide_series_error_golden(spark):
     g = _grid_df(spark, {"a": [1.0], "b": [2.0], "c": [3.0], "d": [4.0]})
     with pytest.raises(ValueError, match="exactly one series"):
         gf.divide_series(g, g)
+
+
+# ---------------------------------------------------------------------------
+# asPercent forms (builtin_functions_test.go:2352-2970)
+# ---------------------------------------------------------------------------
+
+def test_as_percent_with_series_total_golden(spark):
+    # TestAsPercentWithSeriesTotal case 1: constant 1000 total ->
+    # [1,2,3,4,5], named asPercent(<values>,<totals>)
+    g = _grid_df(spark, {"vals": [10.0, 20.0, 30.0, 40.0, 50.0]})
+    t = _grid_df(spark, {"tot": [1000.0] * 5})
+    rows = gf.as_percent(g, t).orderBy("step_ts").collect()
+    assert [r["value"] for r in rows] == [1.0, 2.0, 3.0, 4.0, 5.0]
+    assert rows[0]["name"] == "asPercent(vals,tot)"
+
+
+def test_as_percent_with_float_total_golden(spark):
+    # TestAsPercentWithFloatTotal: /20 -> x5; /0 -> all stale; name
+    # carries the %.3f total
+    g = _grid_df(spark, {"vals": [12.0, 14.0, 16.0, None, 20.0]})
+    rows = gf.as_percent(g, 20.0).orderBy("step_ts").collect()
+    assert [r["value"] for r in rows] == [60.0, 70.0, 80.0, None, 100.0]
+    assert rows[0]["name"] == "asPercent(vals,20.000)"
+    zero = gf.as_percent(g, 0).orderBy("step_ts").collect()
+    assert all(r["value"] is None for r in zero)
+    assert zero[0]["name"] == "asPercent(vals,0.000)"
+
+
+def test_as_percent_with_nil_total_golden(spark):
+    # TestAsPercentWithNilTotal: one series over its own sum -> 100
+    # except stale steps; named asPercent(x,sumSeries(x)) even for a
+    # single series
+    g = _grid_df(spark, {"vals": [12.0, 14.0, 16.0, None, 20.0]})
+    rows = gf.as_percent(g).orderBy("step_ts").collect()
+    assert [r["value"] for r in rows] == [100.0, 100.0, 100.0, None, 100.0]
+    assert rows[0]["name"] == "asPercent(vals,sumSeries(vals))"
+
+
+def _pct_grid(spark, series, n_steps=3):
+    rows = []
+    for name, vals in series.items():
+        for i, v in enumerate(vals):
+            if v is not None:
+                rows.append((name, T0 + i * 60, float(v)))
+    return consolidate(_samples(spark, rows), T0, T0 + (n_steps - 1) * 60, 60, 60)
+
+
+def _series_vals(rows, name):
+    return [
+        r["value"]
+        for r in sorted(
+            (r for r in rows if r["name"] == name), key=lambda r: r["step_ts"]
+        )
+    ]
+
+
+def test_as_percent_with_nodes_and_total_nil_golden(spark):
+    # TestAsPercentWithNodesAndTotalNil: grouped on node 1; the
+    # singleton group names itself asPercent(x,x)
+    g = _pct_grid(spark, {
+        "cpu.foo.core1": [12.0, 5.0, 48.0],
+        "cpu.foo.core2": [12.0, 15.0, 16.0],
+        "cpu.bar.core1": [12.0, 14.0, 16.0],
+    })
+    rows = gf.as_percent(g, None, 1).collect()
+    assert _series_vals(rows, "asPercent(cpu.bar.core1,cpu.bar.core1)") == [
+        100.0, 100.0, 100.0,
+    ]
+    assert _series_vals(
+        rows, "asPercent(cpu.foo.core1,sumSeries(cpu.foo.core1,cpu.foo.core2))"
+    ) == [50.0, 25.0, 75.0]
+    assert _series_vals(
+        rows, "asPercent(cpu.foo.core2,sumSeries(cpu.foo.core1,cpu.foo.core2))"
+    ) == [50.0, 75.0, 25.0]
+    assert len({r["name"] for r in rows}) == 3
+
+
+def test_as_percent_with_nodes_and_total_series_list_golden(spark):
+    # TestAsPercentWithNodesAndTotalSeriesList: totals grouped on the
+    # same node; input-only keys -> asPercent(x,MISSING) stale;
+    # total-only keys -> asPercent(MISSING,total) stale
+    g = _pct_grid(spark, {
+        "cpu.foo.core1": [12.0, 5.0, 48.0],
+        "cpu.foo.core2": [12.0, 15.0, 16.0],
+        "cpu.bar.core1": [12.0, 14.0, 16.0],
+        "cpu.qux.core1": [12.0, 14.0, 16.0],
+    })
+    t = _pct_grid(spark, {
+        "cpu_cluster.foo.zone-a": [24.0, 40.0, 256.0],
+        "cpu_cluster.foo.zone-b": [24.0, 40.0, 256.0],
+        "cpu_cluster.bar": [48.0, 14.0, 16.0],
+        "cpu_cluster.baz": [12.0, 14.0, 16.0],
+    })
+    rows = gf.as_percent(g, t, 1).collect()
+    assert _series_vals(
+        rows, "asPercent(cpu.bar.core1,cpu_cluster.bar)"
+    ) == [25.0, 100.0, 100.0]
+    assert _series_vals(
+        rows,
+        "asPercent(cpu.foo.core1,"
+        "sumSeries(cpu_cluster.foo.zone-a,cpu_cluster.foo.zone-b))",
+    ) == [25.0, 6.25, 9.375]
+    assert _series_vals(
+        rows,
+        "asPercent(cpu.foo.core2,"
+        "sumSeries(cpu_cluster.foo.zone-a,cpu_cluster.foo.zone-b))",
+    ) == [25.0, 18.75, 3.125]
+    assert _series_vals(rows, "asPercent(cpu.qux.core1,MISSING)") == [
+        None, None, None,
+    ]
+    assert _series_vals(rows, "asPercent(MISSING,cpu_cluster.baz)") == [
+        None, None, None,
+    ]
+    assert len({r["name"] for r in rows}) == 5
+
+
+# ---------------------------------------------------------------------------
+# scale / offset / perSecond / logarithm value tables
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "fn,arg,expected,name",
+    [
+        # TestScale / TestOffset
+        (gf.scale, 2.5, [0.0, 2.5, 5.0, None, 7.5], "scale(foo,2.500)"),
+        (gf.scale, 0.5, [0.0, 0.5, 1.0, None, 1.5], "scale(foo,0.500)"),
+        (gf.offset, 2.5, [2.5, 3.5, 4.5, None, 5.5], "offset(foo,2.500)"),
+        (gf.offset, -0.5, [-0.5, 0.5, 1.5, None, 2.5], "offset(foo,-0.500)"),
+    ],
+)
+def test_scale_offset_value_tables(spark, fn, arg, expected, name):
+    g = _grid_df(spark, {"foo": [0.0, 1.0, 2.0, None, 3.0]})
+    out = fn(g, arg)
+    got = _vals_by_step(out.collect())
+    assert [got.get(i) for i in range(5)] == expected
+    assert out.select("name").first()["name"] == name
+
+
+@pytest.mark.parametrize(
+    "step_s,values,expected",
+    [
+        # TestPerSecond (time-scaled variants collapse to the shared
+        # 60s grid; the engine divides by true elapsed seconds)
+        (60, [1.0, 2.0, 3.0, 4.0, 5.0],
+         [None, 1 / 60, 1 / 60, 1 / 60, 1 / 60]),
+        (60, [5.0, 4.0, 3.0, 2.0, 1.0], [None] * 5),
+        # skip over missing values: rate vs the last present point
+        (60, [1.0, 2.0, None, 4.0, 5.0],
+         [None, 1 / 60, None, 2 / 120, 1 / 60]),
+    ],
+)
+def test_per_second_value_tables(spark, step_s, values, expected):
+    g = _grid_df(spark, {"foo": values})
+    out = gf.per_second(g, step_s)
+    got = _vals_by_step(out.collect())
+    for i, w in enumerate(expected):
+        if w is None:
+            assert got.get(i) is None, i
+        else:
+            assert got[i] == pytest.approx(w), i
+    assert out.select("name").first()["name"] == "perSecond(foo)"
+
+
+def test_logarithm_value_table(spark):
+    # TestLogarithm: log10 over 0..100 -> NaN at 0, 1 at 10, 2 at 100
+    g = _grid_df(spark, {"hello": [float(i) for i in range(101)]})
+    out = gf.logarithm(g, 10)
+    got = _vals_by_step(out.collect())
+    assert got.get(0) is None
+    assert got[1] == pytest.approx(0.0)
+    assert got[10] == pytest.approx(1.0)
+    assert got[100] == pytest.approx(2.0)
+    assert out.select("name").first()["name"] == "log(hello, 10.000000)"
+
+
+# ---------------------------------------------------------------------------
+# consolidateBy / cumulative / cactiStyle / percentileOfSeries errors /
+# sustained* errors / highest extension
+# ---------------------------------------------------------------------------
+
+def test_consolidate_by_max_data_points_golden(spark):
+    # TestConsolidateBy: 6 points at budget 2 repaint to 3x step —
+    # min -> [1,4], last -> [3,5]; unknown approaches error
+    g = _grid_df(spark, {"foo": [1.0, 2.0, 3.0, 4.0, 5.0, None]})
+    plain = gf.consolidate_by(g, "min").orderBy("step_ts").collect()
+    assert [r["value"] for r in plain] == [1.0, 2.0, 3.0, 4.0, 5.0, None]
+    assert plain[0]["name"] == 'consolidateBy(foo,"min")'
+
+    mn = gf.consolidate_by(g, "min", max_data_points=2, step_s=60)
+    assert [r["value"] for r in mn.orderBy("step_ts").collect()] == [1.0, 4.0]
+    last = gf.consolidate_by(g, "last", max_data_points=2, step_s=60)
+    assert [r["value"] for r in last.orderBy("step_ts").collect()] == [3.0, 5.0]
+
+    with pytest.raises(ValueError):
+        gf.consolidate_by(g, "nonexistent")
+
+
+def test_cumulative_golden(spark):
+    # TestCumulative: identity values renamed consolidateBy(x,"sum")
+    g = _grid_df(spark, {"foo": [1.0, 2.0, 3.0, 4.0, None]})
+    rows = gf.cumulative(g).orderBy("step_ts").collect()
+    assert [r["value"] for r in rows] == [1.0, 2.0, 3.0, 4.0, None]
+    assert rows[0]["name"] == 'consolidateBy(foo,"sum")'
+
+
+def test_cacti_style_padded_golden(spark):
+    # TestCactiStyle: columns left-justified to the widest entry with
+    # a trailing space; all-stale stats render 'nan'
+    g = _grid_df(spark, {
+        "foo": [1.0, 2.0, 3.0, 4.0, None],
+        "barbaz": [10.0, -5.0, 80.0, 100.0, None],
+        "test": [None],
+    })
+    names = {r["name"] for r in gf.cacti_style(g).collect()}
+    assert names == {
+        "foo    Current:4.00      Max:4.00      Min:1.00     ",
+        "barbaz Current:100.00    Max:100.00    Min:-5.00    ",
+        "test   Current:nan       Max:nan       Min:nan      ",
+    }
+
+
+def test_percentile_of_series_errors(spark):
+    # TestPercentileOfSeriesErrors: percentiles outside (0, 100]
+    g = _grid_df(spark, {"foo": [1.0, 2.0]})
+    for bad in (101.0, 0.0, -10.0):
+        with pytest.raises(ValueError):
+            gf.percentile_of_series(g, bad)
+
+
+def test_sustained_above_below_fail(spark):
+    # TestSustainedAboveFail / TestSustainedBelowFail: a garbage
+    # interval is a compile error
+    rows = [("foo", T0 + i * 60, float(i)) for i in range(5)]
+    samples = _samples(spark, rows)
+    for target in ("sustainedAbove(foo, 10, 'wat')",
+                   "sustainedBelow(foo, 10, 'wat')"):
+        with pytest.raises(ValueError):
+            evaluate(samples, target, T0, T0 + 240, 60, 60)
+
+
+def test_highest_extension_golden(spark):
+    # TestHighest: k=0 -> empty; average k=2 -> testInput[4], [2] =
+    # quux, bar (avgs: quux ~10177, bar 246, foo 152, baz 1)
+    from .test_graphite_golden3 import TEST_INPUT, _names
+
+    g = _grid_df(spark, TEST_INPUT)
+    assert gf.highest(g, "sum", 0).count() == 0
+    assert _names(gf.highest(g, "average", 2)) == {"quux", "bar"}
+
+
+# ---------------------------------------------------------------------------
+# divideSeries over the consolidation fixture / unsorted lists /
+# *WithWildcards products
+# ---------------------------------------------------------------------------
+
+def test_divide_series_consolidation_golden(consolidation_grid):
+    # TestDivideSeries: a/c only overlaps on steps 30..50 -> 10/17;
+    # b/c never overlaps -> all stale
+    dividend = consolidation_grid.where(F.col("name").isin("a", "b"))
+    divisor = consolidation_grid.where(F.col("name") == "c")
+    rows = gf.divide_series(dividend, divisor).collect()
+    a = [
+        (int(r["step_ts"].timestamp()) - T0, r["value"])
+        for r in sorted(
+            (r for r in rows if r["name"] == "divideSeries(a,c)"),
+            key=lambda r: r["step_ts"],
+        )
+        if r["value"] is not None
+    ]
+    assert [(off, round(v, 4)) for off, v in a] == [
+        (30, 0.5882), (40, 0.5882), (50, 0.5882),
+    ]
+    assert all(
+        r["value"] is None for r in rows if r["name"] == "divideSeries(b,c)"
+    )
+
+
+def test_divide_series_lists_unsorted_golden(spark):
+    # TestDivideSeriesListsWithUnsortedSeriesInput: both lists sort by
+    # name before pairing -> a/a, b/b, c/d all == 1
+    dividend = _grid_df(spark, {"a": [1.0] * 5, "c": [3.0] * 5, "b": [2.0] * 5})
+    divisor = _grid_df(spark, {"b": [2.0] * 5, "a": [1.0] * 5, "d": [3.0] * 5})
+    rows = gf.divide_series_lists(dividend, divisor).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["name"], set()).add(r["value"])
+    assert by == {
+        "divideSeries(a,a)": {1.0},
+        "divideSeries(b,b)": {1.0},
+        "divideSeries(c,d)": {1.0},
+    }
+
+
+def test_multiply_and_aggregate_with_wildcards_golden(spark):
+    # TestMultiplySeriesWithWildcards / TestAggregateWithWildcards over
+    # createTestSeriesForAggregation: constant series, nodes (1, 2)
+    series = {
+        "servers.foo-1.pod1.status.500": 2.0,
+        "servers.foo-2.pod1.status.500": 4.0,
+        "servers.foo-3.pod1.status.500": 6.0,
+        "servers.foo-1.pod2.status.500": 8.0,
+        "servers.foo-2.pod2.status.500": 10.0,
+        "servers.foo-1.pod1.status.400": 20.0,
+        "servers.foo-2.pod1.status.400": 30.0,
+        "servers.foo-3.pod2.status.400": 40.0,
+    }
+    rows = []
+    for name, v in series.items():
+        for i in range(3):
+            rows.append((name, T0 + i * 60, v))
+    g = consolidate(_samples(spark, rows), T0, T0 + 120, 60, 60)
+
+    def vals(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["name"], set()).add(r["value"])
+        return out
+
+    got = vals(gf.REGISTRY["multiplySeriesWithWildcards"](g, 1, 2))
+    assert got == {
+        "servers.status.400": {20.0 * 30.0 * 40.0},
+        "servers.status.500": {2.0 * 4.0 * 6.0 * 8.0 * 10.0},
+    }
+    got = vals(gf.REGISTRY["aggregateWithWildcards"](g, "avg", 1, 2))
+    assert got == {
+        "servers.status.400": {30.0},
+        "servers.status.500": {6.0},
+    }
+    got = vals(gf.REGISTRY["aggregateWithWildcards"](g, "median", 1, 2))
+    assert got == {
+        "servers.status.400": {30.0},
+        "servers.status.500": {6.0},
+    }
