@@ -1,0 +1,531 @@
+"""Pinned parity ledger for the reference's graphite test corpus.
+
+Every test function in the reference's two graphite value-table files —
+``src/query/graphite/native/builtin_functions_test.go`` (109) and
+``src/query/graphite/native/aggregation_functions_test.go`` (24) — is
+accounted for below: mapped to the repo test(s) that carry its table,
+to a driver-battery entry, or marked n/a with the architectural reason.
+The companion of the 120/120 function-registry diff
+(test_graphite_compiler.py::test_registry_alias_parity): the registry
+diff pins the SURFACE, this file pins the TEST COVERAGE.
+
+The validation test resolves every "tests/...::name" pointer against
+the actual module (a renamed or deleted test breaks the ledger) and
+every "battery:" pointer against ``__spark_entry__.queries()``.
+"""
+
+from __future__ import annotations
+
+import importlib
+
+# status: a tuple of pointers; each pointer is either
+#   "tests/<file>.py::<test function>"  (ported table)
+#   "battery:<queries() key>"           (driver-battery + DuckDB oracle)
+#   "n/a: <reason>"                     (not portable, justified)
+PARITY: dict[str, tuple[str, ...]] = {
+    # ---- builtin_functions_test.go ------------------------------------
+    "TestExclude": ("tests/test_graphite_golden3.py::test_exclude_golden",),
+    "TestExcludeErr": (
+        "tests/test_graphite_golden.py::test_exclude_err_and_grep_golden",
+    ),
+    "TestGrep": ("tests/test_graphite_golden3.py::test_grep_golden",),
+    "TestSortByName": (
+        "tests/test_graphite_golden.py::test_sort_by_name_natural",
+    ),
+    "TestSortByNameNatural": (
+        "tests/test_graphite_golden.py::test_sort_by_name_natural",
+    ),
+    "TestSortBy": ("tests/test_graphite_golden3.py::test_sort_by_golden",),
+    "TestSortByTotal": (
+        "tests/test_graphite_golden3.py::test_sort_by_golden",
+    ),
+    "TestSortByMaxima": (
+        "tests/test_graphite_golden3.py::test_sort_by_golden",
+        "tests/test_graphite_golden3.py::test_limit_consumes_sort_order",
+    ),
+    "TestSortByMinima": (
+        "tests/test_graphite_golden3.py::test_sort_by_golden",
+    ),
+    "TestAbsolute": ("tests/test_graphite_golden3.py::test_absolute_golden",),
+    "TestScale": (
+        "tests/test_graphite_golden4.py::test_scale_offset_value_tables",
+        "tests/test_graphite_golden.py::test_rename_wrap_formats_golden",
+    ),
+    "TestUseSeriesAbove": (
+        "tests/test_graphite_batch2.py::test_use_series_above_via_compiler",
+    ),
+    "TestPercentileOfSeriesErrors": (
+        "tests/test_graphite_golden4.py::test_percentile_of_series_errors",
+    ),
+    "TestPercentileOfSeries": (
+        "tests/test_graphite_golden.py::test_percentile_of_series_golden",
+        "tests/test_graphite_golden.py::"
+        "test_percentile_of_series_interpolated_golden",
+        "tests/test_graphite_golden.py::test_percentile_of_series_p100_golden",
+    ),
+    "TestOffset": (
+        "tests/test_graphite_golden4.py::test_scale_offset_value_tables",
+    ),
+    "TestPerSecond": (
+        "tests/test_graphite_golden4.py::test_per_second_value_tables",
+        "battery:graphite_rate_family",
+    ),
+    "TestTransformNull": (
+        "tests/test_graphite.py::test_transform_null_keep_last",
+        "tests/test_graphite_golden.py::test_rename_wrap_formats_golden",
+        "battery:graphite_fill_family",
+    ),
+    "TestCombineBootstrapWithOriginal": (
+        "n/a: internal bootstrap-merge helper; this engine fetches the "
+        "extended window in ONE scan (compiler ev(args[0], boot_s, e)) "
+        "so there is no separate bootstrap list to combine — the "
+        "observable behavior is pinned by the moving-window goldens",
+        "tests/test_graphite_golden.py::test_moving_average_bootstrap_golden",
+    ),
+    "TestMovingAverageSuccess": (
+        "tests/test_graphite_golden.py::test_moving_average_bootstrap_golden",
+    ),
+    "TestExponentialMovingAverageSuccess": (
+        "tests/test_graphite_golden.py::test_exponential_moving_average_golden",
+    ),
+    "TestMovingAverageError": (
+        "tests/test_graphite_golden4.py::test_moving_window_error_tables",
+    ),
+    "TestMovingSumSuccess": (
+        "tests/test_graphite_golden4.py::test_moving_sum_success_golden",
+    ),
+    "TestMovingSumOfMovingSum": (
+        "tests/test_graphite_golden4.py::test_moving_sum_of_moving_sum_golden",
+    ),
+    "TestMovingSumError": (
+        "tests/test_graphite_golden4.py::test_moving_window_error_tables",
+    ),
+    "TestMovingSumOriginalIDsMissingFromBootstrapIDs": (
+        "tests/test_graphite_golden4.py::"
+        "test_moving_sum_original_ids_missing_from_bootstrap",
+    ),
+    "TestMovingSumAllOriginalIDsMissingFromBootstrapIDs": (
+        "tests/test_graphite_golden4.py::"
+        "test_moving_sum_all_original_ids_missing_from_bootstrap",
+    ),
+    "TestMovingSumOriginalIDsDifferentResolutionFromBootstrapIDs": (
+        "n/a: exercises resolution-adjusted context shifts when the "
+        "bootstrap fetch lands in a coarser namespace; this engine "
+        "consolidates every fetch onto the query's single step grid "
+        "before the kernel runs, so mixed-resolution bootstraps cannot "
+        "occur (multi-namespace selection itself is covered by the "
+        "router tests and battery route_multi_resolution)",
+    ),
+    "TestMovingMaxSuccess": (
+        "tests/test_graphite_golden4.py::test_moving_max_success_golden",
+    ),
+    "TestMovingMaxError": (
+        "tests/test_graphite_golden4.py::test_moving_window_error_tables",
+    ),
+    "TestMovingMinSuccess": (
+        "tests/test_graphite_golden4.py::test_moving_min_success_golden",
+    ),
+    "TestMovingMinError": (
+        "tests/test_graphite_golden4.py::test_moving_window_error_tables",
+    ),
+    "TestIsNonNull": (
+        "tests/test_graphite_golden4.py::test_is_non_null_golden",
+    ),
+    "TestKeepLastValue": (
+        "tests/test_graphite_golden.py::test_keep_last_value_limit_golden",
+    ),
+    "TestRoundFunction": (
+        "tests/test_graphite_golden.py::test_round_function_golden",
+    ),
+    "TestSustainedAbove": (
+        "tests/test_graphite_more.py::test_sustained_above_reference_tables",
+    ),
+    "TestSustainedAboveFail": (
+        "tests/test_graphite_golden4.py::test_sustained_above_below_fail",
+    ),
+    "TestSustainedBelow": (
+        "tests/test_graphite_more.py::test_sustained_below_reference_tables",
+    ),
+    "TestSustainedBelowFail": (
+        "tests/test_graphite_golden4.py::test_sustained_above_below_fail",
+    ),
+    "TestHighest": (
+        "tests/test_graphite_golden3.py::test_ranking_golden",
+        "tests/test_graphite_golden4.py::test_highest_extension_golden",
+    ),
+    "TestHighestCurrent": (
+        "tests/test_graphite_golden3.py::test_ranking_golden",
+    ),
+    "TestHighestCurrentWithNaNSeries": (
+        "tests/test_graphite_golden.py::"
+        "test_highest_current_with_nan_series_golden",
+        "tests/test_graphite_golden3.py::"
+        "test_highest_current_nan_series_golden",
+    ),
+    "TestHighestAverage": (
+        "tests/test_graphite_golden4.py::test_highest_extension_golden",
+        "battery:graphite_highest_avg",
+    ),
+    "TestHighestMax": ("tests/test_graphite_golden3.py::test_ranking_golden",),
+    "TestFallbackSeries": (
+        "tests/test_graphite_batch2.py::test_group_and_fallback",
+    ),
+    "TestMostDeviant": (
+        "tests/test_graphite_golden3.py::test_most_deviant_golden",
+        "tests/test_graphite_golden.py::"
+        "test_most_deviant_and_offset_to_zero_reference_tables",
+    ),
+    "TestLowest": ("tests/test_graphite_golden3.py::test_ranking_golden",),
+    "TestLowestAverage": (
+        "tests/test_graphite_golden3.py::test_ranking_golden",
+    ),
+    "TestLowestCurrent": (
+        "tests/test_graphite_golden3.py::test_ranking_golden",
+    ),
+    "TestMaximumAbove": (
+        "tests/test_graphite_golden3.py::test_comparator_filters_golden",
+    ),
+    "TestMinimumAbove": (
+        "tests/test_graphite_golden3.py::test_comparator_filters_golden",
+    ),
+    "TestAverageAbove": (
+        "tests/test_graphite_golden3.py::test_comparator_filters_golden",
+    ),
+    "TestAverageBelow": (
+        "tests/test_graphite_golden3.py::test_comparator_filters_golden",
+    ),
+    "TestCurrentAbove": (
+        "tests/test_graphite_golden3.py::test_comparator_filters_golden",
+    ),
+    "TestCurrentBelow": (
+        "tests/test_graphite_golden3.py::test_comparator_filters_golden",
+    ),
+    "TestRemoveBelowValue": (
+        "tests/test_graphite_golden3.py::test_remove_below_value_golden",
+        "tests/test_graphite_golden.py::test_remove_value_reference_tables",
+    ),
+    "TestRemoveAboveValue": (
+        "tests/test_graphite_golden3.py::test_remove_above_value_golden",
+        "tests/test_graphite_golden.py::test_remove_value_reference_tables",
+    ),
+    "TestRemoveEmptySeries": (
+        "tests/test_graphite_golden4.py::test_remove_empty_series_xff_golden",
+    ),
+    "TestFilterSeries": (
+        "tests/test_graphite_golden.py::test_filter_series_reference_tables",
+    ),
+    "TestScaleToSeconds": (
+        "tests/test_graphite_golden.py::test_scale_to_seconds_golden",
+        "tests/test_graphite_batch2.py::test_scale_to_seconds_and_round",
+    ),
+    "TestAsPercentWithSeriesTotal": (
+        "tests/test_graphite_golden4.py::test_as_percent_with_series_total_golden",
+    ),
+    "TestAsPercentWithFloatTotal": (
+        "tests/test_graphite_golden4.py::test_as_percent_with_float_total_golden",
+    ),
+    "TestAsPercentWithNilTotal": (
+        "tests/test_graphite_golden4.py::test_as_percent_with_nil_total_golden",
+    ),
+    "TestAsPercentWithSeriesList": (
+        "tests/test_graphite_golden.py::test_as_percent_two_arg",
+        "battery:graphite_as_percent",
+    ),
+    "TestAsPercentWithSeriesListAndTotalSeriesList": (
+        "tests/test_graphite_golden.py::test_as_percent_total_list_golden",
+    ),
+    "TestAsPercentWithSeriesListAndEmptyTotalSeriesList": (
+        "tests/test_graphite_golden4.py::test_as_percent_empty_total_list_golden",
+    ),
+    "TestAsPercentWithNodesAndTotalNil": (
+        "tests/test_graphite_golden4.py::"
+        "test_as_percent_with_nodes_and_total_nil_golden",
+    ),
+    "TestAsPercentWithNodesAndTotalSeriesList": (
+        "tests/test_graphite_golden4.py::"
+        "test_as_percent_with_nodes_and_total_series_list_golden",
+    ),
+    "TestLogarithm": (
+        "tests/test_graphite_golden4.py::test_logarithm_value_table",
+    ),
+    "TestIntegral": (
+        "tests/test_graphite_golden.py::test_integral_null_golden",
+        "tests/test_graphite.py::test_moving_and_derivative",
+    ),
+    "TestInterpolate": (
+        "tests/test_graphite_golden.py::test_interpolate_golden",
+        "tests/test_graphite_batch2.py::test_interpolate_interior_gap",
+    ),
+    "TestIntegralByInterval": (
+        "tests/test_graphite_golden.py::test_integral_by_interval_golden",
+        "tests/test_graphite_more.py::test_integral_by_interval",
+    ),
+    "TestDerivative": (
+        "tests/test_graphite.py::test_moving_and_derivative",
+        "battery:graphite_rate_family",
+    ),
+    "TestNonNegativeDerivative": (
+        "tests/test_graphite_golden.py::"
+        "test_non_negative_derivative_reference_tables",
+        "tests/test_graphite_golden.py::test_non_negative_derivative_golden",
+    ),
+    "TestConstantLine": (
+        "tests/test_graphite_golden4.py::test_constant_line_name_golden",
+        "tests/test_graphite_more.py::test_changed_and_constant",
+    ),
+    "TestIdentity": (
+        "tests/test_graphite_golden.py::test_time_function_identity_values",
+    ),
+    "TestLimit": (
+        "tests/test_graphite_golden3.py::test_limit_consumes_sort_order",
+    ),
+    "TestLimitSortStable": (
+        "tests/test_graphite_golden.py::test_limit_without_sort_is_stable_golden",
+    ),
+    "TestHitcount": (
+        "tests/test_graphite_more.py::test_hitcount",
+        "tests/test_graphite_compiler.py::test_hitcount_end_anchored",
+    ),
+    "TestSubstr": ("tests/test_graphite_golden.py::test_substr_golden",),
+    "TestHoltWintersForecast": (
+        "tests/test_graphite_batch2.py::test_holt_winters_forecast_golden",
+        "battery:graphite_holt_forecast",
+    ),
+    "TestHoltWintersConfidenceBands": (
+        "tests/test_graphite_batch2.py::"
+        "test_holt_winters_confidence_bands_golden",
+        "battery:graphite_holt_bands",
+    ),
+    "TestHoltWintersAberration": (
+        "tests/test_graphite_batch2.py::test_holt_winters_aberration_golden",
+        "battery:graphite_holt_aberration",
+    ),
+    "TestSquareRoot": (
+        "tests/test_graphite_golden.py::"
+        "test_simple_transform_value_tables_golden",
+    ),
+    "TestStdev": ("tests/test_graphite_golden.py::test_stdev_golden",),
+    "TestRangeOfSeries": (
+        "tests/test_graphite_golden4.py::"
+        "test_range_of_series_consolidation_golden",
+    ),
+    "TestNPercentile": (
+        "tests/test_graphite_golden.py::test_n_percentile_golden",
+        "tests/test_graphite_batch2.py::test_n_percentile_flat_line",
+    ),
+    "TestRemoveAbovePercentile": (
+        "tests/test_graphite_golden.py::test_remove_above_percentile_golden",
+    ),
+    "TestRemoveBelowPercentile": (
+        "tests/test_graphite_golden.py::test_remove_below_percentile_golden",
+        "tests/test_graphite_batch2.py::"
+        "test_sustained_below_and_remove_below_percentile",
+    ),
+    "TestRandomWalkFunction": (
+        "tests/test_graphite_batch2.py::"
+        "test_threshold_and_random_walk_via_compiler",
+    ),
+    "TestAggregateLine": (
+        "tests/test_graphite_batch2.py::test_aggregate_line_uses_first_series",
+    ),
+    "TestChanged": ("tests/test_graphite_golden.py::test_changed_golden",),
+    "TestEffectiveXFilesFactor": (
+        "tests/test_graphite_golden.py::test_effective_xff_golden",
+    ),
+    "TestMovingMedian": (
+        "tests/test_graphite_golden4.py::test_moving_median_engine_golden",
+    ),
+    "TestMovingAverage": (
+        "tests/test_graphite_golden.py::test_moving_average_bootstrap_golden",
+        "tests/test_graphite_compiler.py::test_time_shift_fetches_shifted_window",
+    ),
+    "TestMovingWindow": (
+        "tests/test_graphite_golden4.py::test_moving_window_dispatch_rename",
+    ),
+    "TestLegendValue": (
+        "tests/test_graphite_golden.py::test_legend_value_golden",
+    ),
+    "TestCactiStyle": (
+        "tests/test_graphite_golden4.py::test_cacti_style_padded_golden",
+    ),
+    "TestConsolidateBy": (
+        "tests/test_graphite_golden4.py::"
+        "test_consolidate_by_max_data_points_golden",
+    ),
+    "TestPow": (
+        "tests/test_graphite_golden.py::"
+        "test_simple_transform_value_tables_golden",
+    ),
+    "TestInvert": (
+        "tests/test_graphite_golden3.py::test_invert_golden",
+        "tests/test_graphite_golden.py::"
+        "test_simple_transform_value_tables_golden",
+    ),
+    "TestCumulative": (
+        "tests/test_graphite_golden4.py::test_cumulative_golden",
+    ),
+    "TestOffsetToZero": (
+        "tests/test_graphite_golden3.py::test_offset_to_zero_golden",
+        "tests/test_graphite_golden.py::"
+        "test_most_deviant_and_offset_to_zero_reference_tables",
+    ),
+    "TestTimeFunction": (
+        "tests/test_graphite_golden.py::test_time_function_identity_values",
+    ),
+    "TestTimeShift": (
+        "tests/test_graphite_compiler.py::test_time_shift_fetches_shifted_window",
+        "battery:graphite_time_shift",
+    ),
+    "TestDelay": (
+        "tests/test_graphite_golden.py::test_delay_reference_tables",
+    ),
+    "TestTimeSlice": (
+        "tests/test_graphite_golden3.py::test_time_slice_golden",
+        "tests/test_graphite_golden3.py::test_time_slice_relative_specs",
+    ),
+    "TestDashed": (
+        "tests/test_graphite_batch2.py::test_name_decorations",
+    ),
+    "TestThreshold": (
+        "tests/test_graphite_golden4.py::test_threshold_name_golden",
+        "tests/test_graphite_batch2.py::"
+        "test_threshold_and_random_walk_via_compiler",
+    ),
+    "TestFunctionsRegistered": (
+        "tests/test_graphite_compiler.py::test_registry_alias_parity",
+    ),
+    # ---- aggregation_functions_test.go --------------------------------
+    "TestMinSeries": (
+        "tests/test_graphite_golden4.py::test_consolidation_aggregation_goldens",
+    ),
+    "TestMaxSeries": (
+        "tests/test_graphite_golden4.py::test_consolidation_aggregation_goldens",
+    ),
+    "TestSumSeries": (
+        "tests/test_graphite_golden4.py::test_consolidation_aggregation_goldens",
+        "tests/test_graphite_golden4.py::test_single_series_aggregation_identity",
+        "battery:graphite_text_target",
+    ),
+    "TestStdDevSeries": (
+        "tests/test_graphite_golden4.py::test_stddev_series_golden",
+        "tests/test_graphite_batch2.py::test_diff_pow_last_stddev_series",
+    ),
+    "TestPowSeries": (
+        "tests/test_graphite_golden4.py::test_pow_series_golden",
+        "tests/test_graphite_golden.py::test_pow_series_null_skip",
+    ),
+    "TestAggregate": (
+        "tests/test_graphite_golden.py::test_aggregate_alias_names",
+        "tests/test_graphite_golden4.py::test_consolidation_aggregation_goldens",
+    ),
+    "TestAggregateSeriesMedian": (
+        "tests/test_graphite_golden4.py::test_aggregate_median_golden",
+    ),
+    "TestVariadicSumSeries": (
+        "tests/test_graphite_golden4.py::test_variadic_sum_series_golden",
+    ),
+    "TestDiffSeries": (
+        "tests/test_graphite_golden4.py::test_consolidation_aggregation_goldens",
+        "tests/test_graphite_golden.py::test_diff_series_stale_minuend",
+    ),
+    "TestMultiplySeries": (
+        "tests/test_graphite_golden4.py::test_consolidation_aggregation_goldens",
+    ),
+    "TestAverageSeries": (
+        "tests/test_graphite_golden4.py::test_consolidation_aggregation_goldens",
+        "tests/test_graphite_registry_smoke.py::test_spot_values",
+    ),
+    "TestDivideSeries": (
+        "tests/test_graphite_golden4.py::test_divide_series_consolidation_golden",
+        "battery:graphite_divide_series",
+    ),
+    "TestDivideSeriesError": (
+        "tests/test_graphite_golden4.py::test_divide_series_error_golden",
+    ),
+    "TestDivideSeriesLists": (
+        "tests/test_graphite_batch2.py::test_divide_series_lists",
+    ),
+    "TestDivideSeriesListsWithUnsortedSeriesInput": (
+        "tests/test_graphite_golden4.py::test_divide_series_lists_unsorted_golden",
+    ),
+    "TestAverageSeriesWithWildcards": (
+        "tests/test_graphite_more.py::test_with_wildcards",
+    ),
+    "TestSumSeriesWithWildcards": (
+        "tests/test_graphite_more.py::test_with_wildcards",
+    ),
+    "TestMultiplySeriesWithWildcards": (
+        "tests/test_graphite_golden4.py::"
+        "test_multiply_and_aggregate_with_wildcards_golden",
+    ),
+    "TestApplyByNode": (
+        "tests/test_graphite_batch2.py::test_apply_by_node_via_compiler",
+        "battery:graphite_apply_by_node",
+    ),
+    "TestAggregateWithWildcards": (
+        "tests/test_graphite_golden4.py::"
+        "test_multiply_and_aggregate_with_wildcards_golden",
+    ),
+    "TestGroupByNode": (
+        "tests/test_graphite.py::test_group_by_node",
+        "battery:graphite_groupbynode",
+    ),
+    "TestGroupByNodes": (
+        "tests/test_graphite.py::test_group_by_node",
+        "tests/test_graphite_golden.py::test_diff_series_group_by_node",
+    ),
+    "TestWeightedAverage": (
+        "tests/test_graphite_more.py::test_weighted_average",
+        "tests/test_graphite_golden.py::test_weighted_average_node_pairing",
+    ),
+    "TestCountSeries": (
+        "tests/test_graphite_golden4.py::test_count_series_consolidation_golden",
+        "tests/test_graphite_registry_smoke.py::test_spot_values",
+    ),
+}
+
+# The reference corpus, pinned: 109 builtin + 24 aggregation test
+# functions (grep '^func Test' over the two files).
+REFERENCE_TESTS_BUILTIN = 109
+REFERENCE_TESTS_AGGREGATION = 24
+
+
+def test_parity_ledger_is_complete():
+    assert len(PARITY) == REFERENCE_TESTS_BUILTIN + REFERENCE_TESTS_AGGREGATION
+
+
+def test_parity_pointers_resolve():
+    import __spark_entry__ as entry
+
+    battery = set(entry.queries().keys())
+    missing = []
+    for ref_test, pointers in PARITY.items():
+        assert pointers, ref_test
+        for p in pointers:
+            if p.startswith("n/a:"):
+                assert len(p) > 24, f"{ref_test}: justify the n/a"
+                continue
+            if p.startswith("battery:"):
+                if p.split(":", 1)[1] not in battery:
+                    missing.append(f"{ref_test} -> {p}")
+                continue
+            path, func = p.split("::")
+            mod = importlib.import_module(
+                path.replace("/", ".").removesuffix(".py")
+            )
+            if not hasattr(mod, func):
+                missing.append(f"{ref_test} -> {p}")
+    assert not missing, missing
+
+
+def test_every_reference_test_has_a_real_pointer():
+    """n/a-only entries are the documented architectural exclusions —
+    keep the list explicit and short."""
+    na_only = sorted(
+        name
+        for name, pointers in PARITY.items()
+        if all(p.startswith("n/a:") for p in pointers)
+    )
+    assert na_only == [
+        "TestMovingSumOriginalIDsDifferentResolutionFromBootstrapIDs",
+    ]
