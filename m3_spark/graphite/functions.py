@@ -324,6 +324,12 @@ def as_percent(grid: DataFrame, total=None, *nodes: int) -> DataFrame:
         return _as_percent_grouped(grid, None, ())
     if isinstance(total, DataFrame):
         n_total = total.select("series_id").distinct().count()
+        if n_total == 0:
+            # an empty totalSeriesList behaves as a nil total
+            # (TestAsPercentWithSeriesListAndEmptyTotalSeriesList);
+            # the label there joins fetch SPECIFICATIONS — the grid
+            # carries names, so members stand in (values identical)
+            return _as_percent_grouped(grid, None, ())
         if n_total > 1:
             n_grid = grid.select("series_id").distinct().count()
             if n_grid != n_total:

@@ -236,6 +236,68 @@ def kafka_payload_to_samples(raw: DataFrame, payload_format: str = "carbon") -> 
     return _PAYLOAD_PARSERS[payload_format](lines)
 
 
+def ingest_stream_to_namespaces(
+    samples_stream: DataFrame,
+    unagg_path: str,
+    checkpoint_dir: str,
+    *,
+    now=None,
+    buffer_past_s: int = 600,
+    buffer_future_s: int = 120,
+    rollups: dict[int, str] | None = None,
+    watermark_s: int = 60,
+):
+    """The m3msg consume loop: a decoded samples stream fans out to the
+    unaggregated namespace write and per-resolution downsampled writes
+    (``src/cmd/services/m3coordinator/ingest/m3msg/ingest.go:86`` — the
+    ingest writer and the downsampler consume the same message stream).
+
+    * unaggregated: foreachBatch — each micro-batch is write-window
+      checked (``accept_write_window``, the dbnode bufferPast/Future
+      acceptance) and appended to the namespace table;
+    * each ``rollups[resolution_s] = path``: a watermark-append
+      streaming aggregate (``tumbling_aggregates``), the downsampler's
+      flush-on-window-close behavior.
+
+    Returns the list of started StreamingQuery handles; callers drive
+    them with ``trigger(availableNow)`` semantics via awaitTermination
+    (tests) or leave them continuous (production).
+    """
+    from ..streaming.aggregator import tumbling_aggregates
+    from .namespace import accept_write_window, write_namespace
+
+    queries = []
+
+    def _write_unagg(batch_df, _batch_id):
+        accepted = batch_df
+        if now is not None:
+            accepted = accept_write_window(
+                batch_df, now, buffer_past_s, buffer_future_s
+            )
+        write_namespace(accepted, unagg_path)
+
+    queries.append(
+        samples_stream.writeStream.foreachBatch(_write_unagg)
+        .option("checkpointLocation", f"{checkpoint_dir}/unagg")
+        .trigger(availableNow=True)
+        .start()
+    )
+    for res_s, path in (rollups or {}).items():
+        metric = samples_stream.select(
+            F.col("series_id").alias("metric_id"), "ts", "value"
+        )
+        agg = tumbling_aggregates(metric, int(res_s), watermark_s=watermark_s)
+        queries.append(
+            agg.writeStream.format("parquet")
+            .option("path", path)
+            .option("checkpointLocation", f"{checkpoint_dir}/agg_{res_s}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    return queries
+
+
 def kafka_ingest_stream(
     spark,
     bootstrap_servers: str,

@@ -725,3 +725,18 @@ def test_multiply_and_aggregate_with_wildcards_golden(spark):
         "servers.status.400": {30.0},
         "servers.status.500": {6.0},
     }
+
+
+def test_as_percent_empty_total_list_golden(spark):
+    # TestAsPercentWithSeriesListAndEmptyTotalSeriesList: an empty
+    # totalSeriesList behaves as a nil total -> shares of the sum
+    # ([20,80] constants).  The reference labels with the fetch
+    # SPECIFICATION (sumSeries(foo.*)); the grid carries names, so the
+    # member-joined label stands in.
+    g = _grid_df(spark, {"foo.bar": [2.5, 5.0, 7.5, 10.0],
+                         "foo.baz": [10.0, 20.0, 30.0, 40.0]})
+    empty = g.where(F.lit(False))
+    rows = gf.as_percent(g, empty).collect()
+    label = "sumSeries(foo.bar,foo.baz)"
+    assert _series_vals(rows, f"asPercent(foo.bar,{label})") == [20.0] * 4
+    assert _series_vals(rows, f"asPercent(foo.baz,{label})") == [80.0] * 4
