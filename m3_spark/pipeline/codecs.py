@@ -1,0 +1,196 @@
+"""Pure-stdlib multimodal codecs: PNG (zlib) and WAV (wave) — the real
+decode kernels behind the multimodal pipeline, written against the
+published container formats so the engine carries no native codec
+dependency.
+
+PNG: 8-bit greyscale / RGB / RGBA, non-interlaced, all five scanline
+filters on decode (None/Sub/Up/Average/Paeth per the PNG spec §9);
+encode writes filter-0 rows.  WAV: PCM16 mono/stereo via the stdlib
+``wave`` module.
+
+These are the "swap the kernel body" step the multimodal plumbing was
+designed for (pipeline/multimodal.py): ``extract_features`` dispatches
+to them by media_type.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_CHANNELS = {0: 1, 2: 3, 6: 4}  # color_type -> samples per pixel
+
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """8-bit image array (H,W) / (H,W,1) / (H,W,3) / (H,W,4) → PNG
+    bytes (filter 0 scanlines)."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    color_type = {1: 0, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    p = a.astype(np.int32) + b.astype(np.int32) - c.astype(np.int32)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes → uint8 array (H, W, C).  Supports 8-bit color types
+    0/2/6, interlace 0; CRCs are verified."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, width = 8, None
+    idat = b""
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        tag = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length:pos + 12 + length]
+        )
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {tag!r} chunk")
+        if tag == b"IHDR":
+            width, height, depth, color_type, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if depth != 8 or color_type not in _CHANNELS:
+                raise ValueError(
+                    f"unsupported PNG: depth={depth} color_type={color_type}"
+                )
+            if interlace != 0:
+                raise ValueError("interlaced PNG unsupported")
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("missing IHDR")
+    c = _CHANNELS[color_type]
+    stride = width * c
+    raw = zlib.decompress(idat)
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("bad PNG scanline payload size")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)], dtype=np.uint8
+        ).copy()
+        if f == 0:
+            cur = line
+        elif f == 1:  # Sub
+            cur = line
+            for x in range(c, stride):
+                cur[x] = (cur[x] + cur[x - c]) & 0xFF
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif f == 3:  # Average
+            cur = line
+            for x in range(stride):
+                left = int(cur[x - c]) if x >= c else 0
+                cur[x] = (cur[x] + (left + int(prev[x])) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            cur = line
+            for x in range(stride):
+                left = cur[x - c] if x >= c else np.uint8(0)
+                ul = prev[x - c] if x >= c else np.uint8(0)
+                pred = _paeth(
+                    np.asarray(left), np.asarray(prev[x]), np.asarray(ul)
+                )
+                cur[x] = (int(cur[x]) + int(pred)) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y] = cur
+        prev = out[y]
+    return out.reshape(height, width, c)
+
+
+def resize_nearest(pixels: np.ndarray, new_w: int, new_h: int) -> np.ndarray:
+    """Nearest-neighbor resample (the resize_plan kernel)."""
+    arr = np.asarray(pixels)
+    h, w = arr.shape[:2]
+    ys = (np.arange(new_h) * h // new_h).clip(0, h - 1)
+    xs = (np.arange(new_w) * w // new_w).clip(0, w - 1)
+    return arr[ys][:, xs]
+
+
+def encode_wav(
+    samples: np.ndarray, sample_rate: int = 16_000, channels: int = 1
+) -> bytes:
+    """int16 PCM samples → WAV container bytes."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """WAV bytes → (sample_rate, int16 array of shape (frames, ch))."""
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        if wf.getsampwidth() != 2:
+            raise ValueError("only PCM16 WAV supported")
+        rate = wf.getframerate()
+        frames = wf.readframes(wf.getnframes())
+        arr = np.frombuffer(frames, dtype="<i2").reshape(
+            -1, wf.getnchannels()
+        )
+    return rate, arr
+
+
+# -- feature kernels (16-dim, L2-normalized, 6-dp pinned like the
+#    histogram stub so the Arrow float32 round-trip is exact) ----------------
+
+def png_luminance_histogram(payload: bytes, dim: int = 16) -> np.ndarray:
+    """decode → mean-channel luminance → dim-bin histogram, L2 norm."""
+    img = decode_png(payload)
+    lum = img.mean(axis=2).astype(np.int32)
+    hist = np.bincount((lum // (256 // dim)).ravel(), minlength=dim).astype(
+        np.float64
+    )[:dim]
+    norm = np.linalg.norm(hist)
+    out = hist / norm if norm > 0 else hist
+    return np.round(out, 6).astype(np.float32)
+
+
+def wav_amplitude_histogram(payload: bytes, dim: int = 16) -> np.ndarray:
+    """decode → amplitude bins over the int16 domain, L2 norm."""
+    _, samples = decode_wav(payload)
+    bins = ((samples.astype(np.int32).ravel() + 32768) * dim) // 65536
+    hist = np.bincount(bins.clip(0, dim - 1), minlength=dim).astype(
+        np.float64
+    )[:dim]
+    norm = np.linalg.norm(hist)
+    out = hist / norm if norm > 0 else hist
+    return np.round(out, 6).astype(np.float32)

@@ -55,15 +55,6 @@ _FEATURE_SCHEMA = StructType(
 )
 
 
-def _have_codecs() -> bool:
-    try:  # pragma: no cover - container has no codec libs
-        import PIL  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
-
-
 def _fake_decode_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     """Deterministic stand-in for decode→feature-extract: a seeded
     byte-histogram projection.  REPLACE with a real decoder when codec
@@ -80,21 +71,37 @@ def _fake_decode_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     return np.round(out, 6).astype(np.float32)
 
 
+def _decode_features(payload: bytes, media_type: str) -> np.ndarray:
+    """media_type dispatch: real decoders for the supported container
+    formats (pipeline/codecs.py — pure-stdlib PNG/WAV), the
+    deterministic byte-histogram stand-in for everything else (the
+    x-fake types keep their SQL-restatable oracle)."""
+    from .codecs import png_luminance_histogram, wav_amplitude_histogram
+
+    if media_type == "image/png":
+        return png_luminance_histogram(payload, FEATURE_DIM)
+    if media_type in ("audio/wav", "audio/x-wav"):
+        return wav_amplitude_histogram(payload, FEATURE_DIM)
+    return _fake_decode_features(payload)
+
+
 def extract_features(assets: DataFrame, batch_rows: int = 256) -> DataFrame:
     """Decode + feature-extract over binary payloads via mapInPandas.
 
     The Arrow batch carries the raw bytes; the kernel is per-batch
-    vectorized-Python.  Partition sizing note for 100 TB: payloads are
-    large — repartition so ~(batch_rows × avg payload) fits executor
-    memory, and never collect payload columns to the driver.
+    vectorized-Python, dispatching REAL decoders (PNG via zlib, WAV
+    via the stdlib wave module) by media_type and the deterministic
+    byte-histogram stand-in for unknown container types.  Partition
+    sizing note for 100 TB: payloads are large — repartition so
+    ~(batch_rows × avg payload) fits executor memory, and never
+    collect payload columns to the driver.
     """
-    if _have_codecs():  # pragma: no cover
-        raise NotImplementedError("real codec path not wired in this container")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                _fake_decode_features(p).tolist() for p in pdf["payload"]
+                _decode_features(p, mt).tolist()
+                for p, mt in zip(pdf["payload"], pdf["media_type"])
             ]
             yield pd.DataFrame(
                 {
@@ -105,9 +112,9 @@ def extract_features(assets: DataFrame, batch_rows: int = 256) -> DataFrame:
                 }
             )
 
-    return assets.select("asset_id", "modality", "payload").mapInPandas(
-        fn, _FEATURE_SCHEMA
-    )
+    return assets.select(
+        "asset_id", "modality", "media_type", "payload"
+    ).mapInPandas(fn, _FEATURE_SCHEMA)
 
 
 def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
@@ -137,6 +144,40 @@ def synthetic_assets(spark, n: int = 64) -> DataFrame:
         rows.append(
             (i, mod, f"{mod}/x-fake", payload, 64, 48, 1000 * (i % 7 + 1))
         )
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+def synthetic_real_assets(spark, n: int = 32) -> DataFrame:
+    """Asset table with REAL container payloads: 8x8 greyscale PNGs and
+    256-sample PCM16 WAVs, pixel/sample values from a deterministic
+    integer rule so an oracle can restate the decoded features without
+    running a decoder (decode(encode(x)) == x is what the comparison
+    then proves):
+
+      pixel(id, i, j) = (id*31 + i*7 + j*13) % 256     (8x8 grey)
+      sample(id, k)   = ((id*17 + k*29) % 4096) - 2048 (256 frames)
+    """
+    from .codecs import encode_png, encode_wav
+
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            px = np.fromfunction(
+                lambda y, x: (i * 31 + y * 7 + x * 13) % 256, (8, 8)
+            ).astype(np.uint8)
+            rows.append(
+                (i, "image", "image/png", encode_png(px), 8, 8, 0)
+            )
+        else:
+            k = np.arange(256)
+            samples = ((i * 17 + k * 29) % 4096) - 2048
+            rows.append(
+                (
+                    i, "audio", "audio/wav",
+                    encode_wav(samples.astype(np.int16)), 0, 0,
+                    int(256 * 1000 / 16_000),
+                )
+            )
     return spark.createDataFrame(rows, ASSET_SCHEMA)
 
 

@@ -120,6 +120,71 @@ FROM (
 ORACLE_PROMQL_RANGE_STEPS = _sweep_oracle()
 
 
+def q_multimodal_real_decode(spark, sf_dir):
+    """Real-codec decode through the multimodal pipeline: PNG (zlib)
+    and WAV (stdlib wave) payloads generated from deterministic
+    integer rules, decoded by the pure-numpy kernels
+    (pipeline/codecs.py), features exploded per histogram bin.  The
+    oracle restates the features from the generative rules WITHOUT a
+    decoder — a hash match therefore proves decode(encode(x)) == x
+    plus the feature math."""
+    from pyspark.sql import functions as F
+
+    from .pipeline.multimodal import extract_features, synthetic_real_assets
+
+    assets = synthetic_real_assets(spark, 32)
+    out = extract_features(assets)
+    return out.select(
+        "asset_id",
+        "modality",
+        F.posexplode("feature").alias("bin", "weight"),
+    ).select(
+        "asset_id",
+        "modality",
+        "bin",
+        F.round(F.col("weight").cast("double"), 6).alias("weight"),
+    )
+
+
+# pixel(id,i,j) = (id*31 + i*7 + j*13) % 256 over 8x8 (even ids, PNG);
+# sample(id,k) = ((id*17 + k*29) % 4096) - 2048 over 256 (odd ids, WAV)
+ORACLE_MULTIMODAL_REAL = """
+WITH a AS (SELECT unnest(generate_series(0, 31)) AS asset_id),
+px AS (
+  SELECT a.asset_id, ((a.asset_id*31 + i.i*7 + j.j*13) % 256) // 16 AS bin
+  FROM a,
+       (SELECT unnest(generate_series(0, 7)) AS i) i,
+       (SELECT unnest(generate_series(0, 7)) AS j) j
+  WHERE a.asset_id % 2 = 0
+),
+smp AS (
+  SELECT a.asset_id,
+         ((((a.asset_id*17 + k.k*29) % 4096) - 2048 + 32768) * 16)
+           // 65536 AS bin
+  FROM a, (SELECT unnest(generate_series(0, 255)) AS k) k
+  WHERE a.asset_id % 2 = 1
+),
+allbins AS (
+  SELECT asset_id, bin FROM px UNION ALL SELECT asset_id, bin FROM smp
+),
+h AS (
+  SELECT asset_id, bin, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM allbins GROUP BY 1, 2
+),
+n AS (SELECT asset_id, sqrt(SUM(c*c)) AS nrm FROM h GROUP BY 1),
+bins AS (SELECT unnest(generate_series(0, 15)) AS bin)
+SELECT a.asset_id,
+       CASE WHEN a.asset_id % 2 = 0 THEN 'image' ELSE 'audio' END
+         AS modality,
+       CAST(bins.bin AS INT) AS bin,
+       ROUND(COALESCE(h.c, 0) / n.nrm, 6) AS weight
+FROM a
+CROSS JOIN bins
+JOIN n USING (asset_id)
+LEFT JOIN h ON h.asset_id = a.asset_id AND h.bin = bins.bin
+"""
+
+
 def make_round7_queries(oracle_rate: str) -> dict:
     """Assembled by queries.py (which owns ORACLE_RATE) to avoid a
     circular import.  The bucketed-tier oracle is the flat-path rate
@@ -139,5 +204,9 @@ GROUP BY 1, 2
         "promql_range_steps": (
             q_promql_range_steps,
             ORACLE_PROMQL_RANGE_STEPS,
+        ),
+        "multimodal_real_decode": (
+            q_multimodal_real_decode,
+            ORACLE_MULTIMODAL_REAL,
         ),
     }
