@@ -98,6 +98,15 @@ def _hw_frame(
     densified here — one row per (series, step), NaN when absent."""
     from ..operators.consolidate import _epoch_s, step_grid
 
+    # the densify plan references the grid three ways (dims, the
+    # left join, and the name/tags re-attach) — without a cut, each
+    # re-evaluates the whole fetch+consolidate lineage (measured: six
+    # full source scans).  The consolidated window is series x steps,
+    # exactly what the recurrence must hold anyway, so materialize it
+    # once; at cluster scale this is the aggregated frame, tiny next
+    # to the raw scan it saves.
+    grid = grid.localCheckpoint()
+
     season_len = max(1, int(season_s // step_s))
     start_us = int(_epoch_s(start) * 1_000_000)
     step_us = int(step_s * 1_000_000)

@@ -80,6 +80,18 @@ def prune_time(samples, start, end, margin_before_s: float):
         hi = int(_epoch_s(end) * 1_000_000_000)
         out = out.where((F.col("_ts_ns") >= lo) & (F.col("_ts_ns") <= hi))
         out = out.drop("_ts_ns")
+    if "date_bucket" in samples.columns:
+        # namespace tables are date-partitioned: the equivalent bound
+        # on the partition column becomes a PartitionFilters entry —
+        # a bootstrap-extended fetch (holtWinters* / moving*) reads
+        # exactly the [start - margin, end] day partitions
+        lo_d = F.to_date(
+            F.timestamp_seconds(F.lit(_epoch_s(start) - margin_before_s))
+        )
+        hi_d = F.to_date(F.timestamp_seconds(F.lit(_epoch_s(end))))
+        out = out.where(
+            (F.col("date_bucket") >= lo_d) & (F.col("date_bucket") <= hi_d)
+        ).drop("date_bucket")
     return out
 
 

@@ -46,15 +46,21 @@ def write_namespace(
 
 
 def read_namespace(
-    spark: SparkSession, path: str, start=None, end=None
+    spark: SparkSession, path: str, start=None, end=None,
+    keep_partition_col: bool = False,
 ) -> DataFrame:
-    """Read a namespace table with partition pruning on date_bucket."""
+    """Read a namespace table with partition pruning on date_bucket.
+
+    ``keep_partition_col=True`` leaves ``date_bucket`` on the frame so
+    downstream time pruning (``prune_time``) can translate its window
+    — including bootstrap extensions the caller doesn't know about —
+    into PartitionFilters; the column is dropped there."""
     df = spark.read.parquet(path)
     if start is not None:
         df = df.where(F.col("date_bucket") >= F.to_date(F.lit(start)))
     if end is not None:
         df = df.where(F.col("date_bucket") <= F.to_date(F.lit(end)))
-    return df.drop("date_bucket")
+    return df if keep_partition_col else df.drop("date_bucket")
 
 
 def accept_write_window(

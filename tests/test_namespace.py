@@ -186,3 +186,92 @@ def test_rate_over_bucketed_table_is_shuffle_free(spark, tmp_path):
         assert a == b and len(a) > 0
     finally:
         spark.sql("DROP TABLE IF EXISTS t_ns_rate")
+
+
+def test_bootstrap_fetch_prunes_partitions(spark, tmp_path):
+    """holtWinters* bootstrap pruning: the compiler extends the fetch
+    one week back; on a date-partitioned namespace read (with
+    ``keep_partition_col=True``) ``prune_time`` translates that
+    [boot_start, end] window into PartitionFilters, so a 30-day table
+    scans exactly the 14 days + lookback the query needs."""
+    import datetime as dt
+
+    from m3_spark.graphite.compiler import evaluate
+    from m3_spark.graphite.paths import paths_to_samples
+
+    # 30 days of hourly data ending at T0 + 30d
+    rows = []
+    for d in range(30):
+        for h in range(24):
+            ts = T0 + d * 86400 + h * 3600
+            rows.append(("events.click.u1", ts, float(h)))
+    df = spark.createDataFrame(rows, "path string, ts_s long, value double")
+    samples = paths_to_samples(
+        df.select(
+            "path", F.timestamp_seconds("ts_s").alias("ts"), "value"
+        )
+    )
+    path = str(tmp_path / "ns30")
+    write_namespace(samples, path)
+
+    back = read_namespace(spark, path, keep_partition_col=True)
+    assert "date_bucket" in back.columns
+
+    # query the FINAL week: the 7-day moving window extends the fetch
+    # one week further back (holtWinters* extends identically, but its
+    # checkpoint truncates the visible lineage — movingSum exposes the
+    # same bootstrap-extended scan in the plan)
+    q_start, q_end = T0 + 23 * 86400, T0 + 30 * 86400 - 3600
+    out = evaluate(
+        back,
+        'movingSum(sumSeries(events.*.*), "7d")',
+        q_start, q_end, 3600, 3600,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the canonical schema survives the prune (date_bucket consumed)
+    assert "date_bucket" not in out.columns
+
+    # behavioral proof: exactly the bootstrap window's partitions are
+    # read — days before (boot_start - lookback) never reach the scan
+    scan = [
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    ][0]
+    boot_day = dt.datetime.fromtimestamp(
+        q_start - 7 * 86400 - 3600, dt.timezone.utc
+    ).date()
+    end_day = dt.datetime.fromtimestamp(q_end, dt.timezone.utc).date()
+    pf = scan.split("PartitionFilters")[1].split("]")[0]
+    assert f"(date_bucket#" in pf and str(boot_day) in pf, pf
+    assert str(end_day) in pf, pf
+    # and the query still answers (warm-up region trimmed)
+    assert out.where(F.col("value").isNotNull()).count() > 0
+
+
+def test_holt_winters_single_source_scan(spark, tmp_path):
+    """The holtWinters densify plan references its input grid three
+    ways (dims, left join, name/tags re-attach); the checkpoint in
+    _hw_frame cuts the lineage so the RAW SOURCE is scanned once at
+    materialization and the final plan reads only the (series x steps)
+    checkpoint — at 100 TB the difference between one raw scan and
+    six."""
+    from m3_spark.graphite.compiler import evaluate
+    from m3_spark.graphite.paths import paths_to_samples
+
+    rows = [
+        ("events.click.u1", T0 + h * 3600, float(h)) for h in range(48)
+    ]
+    df = spark.createDataFrame(rows, "path string, ts_s long, value double")
+    samples = paths_to_samples(
+        df.select("path", F.timestamp_seconds("ts_s").alias("ts"), "value")
+    )
+    path = str(tmp_path / "nsh")
+    write_namespace(samples, path)
+    back = read_namespace(spark, path, keep_partition_col=True)
+    out = evaluate(
+        back,
+        'holtWintersForecast(sumSeries(events.*.*))',
+        T0 + 86400, T0 + 2 * 86400 - 3600, 3600, 3600,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 0, plan
