@@ -1,0 +1,325 @@
+"""Control-plane admin API analogs: namespace / database / topic CRUD
+and the readiness probe.
+
+Reference handlers (``src/query/api/v1/handler/``):
+  * ``namespace/{add,get,update,delete}.go`` — namespace registry CRUD
+    against the cluster KV store; add rejects duplicates (add.go:95)
+    and duplicate (resolution, retention) combinations among
+    aggregated namespaces (common.go
+    validateNamespaceAggregationOptions); update permits ONLY
+    RetentionOptions.RetentionPeriod / RuntimeOptions /
+    AggregationOptions / ExtendedOptions and rejects empty updates
+    (update.go:53-68, 136-180).
+  * ``database/create.go`` — the quick-start endpoint: local type
+    derives a recommended block size from the retention
+    (recommendedBlockSizesByRetentionAsc, create.go:98-119), 64 shards
+    (shardMultiplier, :79), default 24h retention (:87); missing
+    namespaceName / invalid type are invalid-params errors (:334,
+    :381).
+  * ``topic/{add,get,update,delete,init}.go`` — m3msg topic configs
+    (number of shards + consumer services).
+  * ``ready.go`` — per-namespace read/write availability with
+    {metricsType, retention, resolution} attributes (:61-77).
+
+The reference stores this state in etcd; the Spark-native analog is a
+JSON registry document under the warehouse root — control-plane
+CONFIG, not data, so a driver-side file matches the KV-store role.
+Data-plane enforcement stays in ``sources/namespace.py`` (retention
+pruning, write-acceptance windows, table layout); the registry is
+what those mechanisms read their policy from.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+_REGISTRY_FILE = "admin_registry.json"
+
+SECONDS_PER_HOUR = 3600
+SECONDS_PER_DAY = 86400
+
+#: database/create.go recommendedBlockSizesByRetentionAsc
+RECOMMENDED_BLOCK_SIZES_S = [
+    (12 * SECONDS_PER_HOUR, 30 * 60),
+    (24 * SECONDS_PER_HOUR, SECONDS_PER_HOUR),
+    (7 * SECONDS_PER_DAY, 2 * SECONDS_PER_HOUR),
+    (30 * SECONDS_PER_DAY, 12 * SECONDS_PER_HOUR),
+    (365 * SECONDS_PER_DAY, 24 * SECONDS_PER_HOUR),
+]
+
+DEFAULT_LOCAL_RETENTION_S = 24 * SECONDS_PER_HOUR  # create.go:87
+SHARD_MULTIPLIER = 64  # create.go:79
+
+#: update.go allowedUpdateOptionsFields analog: the option fields an
+#: update may carry; within retention only the period is mutable.
+MUTABLE_FIELDS = {
+    "retention_s",            # RetentionOptions.RetentionPeriodNanos
+    "runtime_options",        # RuntimeOptions
+    "aggregation_options",    # AggregationOptions
+    "extended_options",       # ExtendedOptions
+}
+
+
+def recommended_block_size_s(retention_s: int) -> int:
+    """database/create.go defaultBlockSize walk over the ascending
+    table; retentions past the last entry keep the largest size."""
+    for upto, block in RECOMMENDED_BLOCK_SIZES_S:
+        if retention_s <= upto:
+            return block
+    return RECOMMENDED_BLOCK_SIZES_S[-1][1]
+
+
+def _registry_path(root: str) -> str:
+    return os.path.join(root, _REGISTRY_FILE)
+
+
+def _load(root: str) -> dict[str, Any]:
+    path = _registry_path(root)
+    if not os.path.exists(path):
+        return {"namespaces": {}, "topics": {}}
+    with open(path) as f:
+        return json.load(f)
+
+
+def _store(root: str, doc: dict[str, Any]) -> None:
+    os.makedirs(root, exist_ok=True)
+    tmp = _registry_path(root) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(doc, f, indent=2, sort_keys=True)
+    os.replace(tmp, _registry_path(root))
+
+
+def _validate_aggregation_options(namespaces: dict[str, dict]) -> None:
+    """validateNamespaceAggregationOptions: the (resolution, retention)
+    pair must be unique across aggregated namespaces."""
+    seen: set[tuple[int, int]] = set()
+    for ns in namespaces.values():
+        if not ns.get("aggregated"):
+            continue
+        key = (int(ns.get("resolution_s") or 0), int(ns["retention_s"]))
+        if key in seen:
+            raise ValueError(
+                "resolution and retention combination must be unique. "
+                f"namespace with resolution={key[0]}s retention={key[1]}s "
+                "already exists"
+            )
+        seen.add(key)
+
+
+def add_namespace(
+    root: str,
+    name: str,
+    retention_s: int,
+    *,
+    aggregated: bool = False,
+    resolution_s: int | None = None,
+    block_size_s: int | None = None,
+    buffer_past_s: int = 600,
+    buffer_future_s: int = 120,
+    snapshot_enabled: bool = True,
+    path: str | None = None,
+) -> dict:
+    """POST /api/v1/services/m3db/namespace (namespace/add.go)."""
+    if not name:
+        raise ValueError("must specify namespace name")
+    doc = _load(root)
+    if name in doc["namespaces"]:
+        raise ValueError("namespace already exists")
+    ns = {
+        "name": name,
+        "retention_s": int(retention_s),
+        "aggregated": bool(aggregated),
+        "resolution_s": int(resolution_s) if resolution_s else None,
+        "block_size_s": int(
+            block_size_s or recommended_block_size_s(int(retention_s))
+        ),
+        "buffer_past_s": int(buffer_past_s),
+        "buffer_future_s": int(buffer_future_s),
+        "snapshot_enabled": bool(snapshot_enabled),
+        "path": path or os.path.join(root, "ns", name),
+    }
+    candidate = dict(doc["namespaces"])
+    candidate[name] = ns
+    _validate_aggregation_options(candidate)
+    doc["namespaces"] = candidate
+    _store(root, doc)
+    return ns
+
+
+def get_namespaces(root: str) -> dict[str, dict]:
+    """GET /api/v1/services/m3db/namespace (namespace/get.go)."""
+    return dict(_load(root)["namespaces"])
+
+
+def get_namespace(root: str, name: str) -> dict:
+    try:
+        return _load(root)["namespaces"][name]
+    except KeyError:
+        raise KeyError(f"unable to find namespace {name!r}") from None
+
+
+def update_namespace(root: str, name: str, **changes) -> dict:
+    """PUT /api/v1/services/m3db/namespace (namespace/update.go):
+    empty updates and immutable fields are errors; only the retention
+    period and the runtime/aggregation/extended option groups may
+    change."""
+    if not name:
+        raise ValueError("must specify namespace name")
+    if not changes:
+        raise ValueError("update options cannot be empty")
+    immutable = set(changes) - MUTABLE_FIELDS
+    if immutable:
+        raise ValueError(
+            f"{sorted(immutable)}: namespace option field is immutable"
+        )
+    doc = _load(root)
+    if name not in doc["namespaces"]:
+        raise KeyError(f"unable to find namespace {name!r}")
+    candidate = {**doc["namespaces"][name], **changes}
+    ns_set = dict(doc["namespaces"])
+    ns_set[name] = candidate
+    _validate_aggregation_options(ns_set)
+    doc["namespaces"] = ns_set
+    _store(root, doc)
+    return candidate
+
+
+def delete_namespace(root: str, name: str) -> None:
+    """DELETE /api/v1/services/m3db/namespace/<name>
+    (namespace/delete.go); the data directory is untouched — retention
+    pruning owns file lifecycle."""
+    doc = _load(root)
+    if name not in doc["namespaces"]:
+        raise KeyError(f"unable to find namespace {name!r}")
+    del doc["namespaces"][name]
+    _store(root, doc)
+
+
+def create_database(
+    root: str,
+    namespace_name: str,
+    *,
+    db_type: str = "local",
+    retention_s: int | None = None,
+    num_shards: int | None = None,
+) -> dict:
+    """POST /api/v1/database/create (database/create.go): the
+    quick-start path — registers an unaggregated namespace with the
+    recommended block size for its retention and a shard count."""
+    if not namespace_name:
+        raise ValueError("missing required field: namespaceName")
+    if db_type not in ("local", "cluster"):
+        raise ValueError("invalid database type")
+    retention = int(retention_s or DEFAULT_LOCAL_RETENTION_S)
+    ns = add_namespace(root, namespace_name, retention)
+    return {
+        "namespace": ns,
+        "numShards": int(num_shards or SHARD_MULTIPLIER),
+        "type": db_type,
+    }
+
+
+# -- topics (topic/*.go) -----------------------------------------------------
+
+def init_topic(
+    root: str, name: str, number_of_shards: int = SHARD_MULTIPLIER
+) -> dict:
+    """topic/init.go: create-if-absent with no consumers."""
+    doc = _load(root)
+    if name in doc["topics"]:
+        return doc["topics"][name]
+    topic = {
+        "name": name,
+        "numberOfShards": int(number_of_shards),
+        "consumerServices": [],
+        "version": 1,
+    }
+    doc["topics"][name] = topic
+    _store(root, doc)
+    return topic
+
+
+def get_topic(root: str, name: str) -> dict:
+    try:
+        return _load(root)["topics"][name]
+    except KeyError:
+        raise KeyError(f"topic not found: {name}") from None
+
+
+def add_topic_consumer(root: str, name: str, consumer: dict) -> dict:
+    """topic/add.go: append a consumer service; versions bump on every
+    mutation like the KV store's."""
+    doc = _load(root)
+    if name not in doc["topics"]:
+        raise KeyError(f"topic not found: {name}")
+    topic = doc["topics"][name]
+    topic["consumerServices"].append(dict(consumer))
+    topic["version"] += 1
+    _store(root, doc)
+    return topic
+
+
+def update_topic(root: str, name: str, consumer_services: list[dict]) -> dict:
+    """topic/update.go: replace the consumer set wholesale."""
+    doc = _load(root)
+    if name not in doc["topics"]:
+        raise KeyError(f"topic not found: {name}")
+    topic = doc["topics"][name]
+    topic["consumerServices"] = [dict(c) for c in consumer_services]
+    topic["version"] += 1
+    _store(root, doc)
+    return topic
+
+
+def delete_topic(root: str, name: str) -> None:
+    doc = _load(root)
+    if name not in doc["topics"]:
+        raise KeyError(f"topic not found: {name}")
+    del doc["topics"][name]
+    _store(root, doc)
+
+
+# -- readiness (ready.go) ----------------------------------------------------
+
+def ready(spark, root: str) -> dict:
+    """GET /ready: per-namespace availability grouped into
+    readyReads / notReadyReads (ready.go readyResult).  A namespace
+    reads ready when its table path loads; writes are ready when the
+    path's parent is writable (the unaggregated ingest sink)."""
+    result: dict[str, list] = {
+        "readyReads": [], "notReadyReads": [],
+        "readyWrites": [], "notReadyWrites": [],
+    }
+    for name, ns in get_namespaces(root).items():
+        entry = {
+            "id": name,
+            "attributes": {
+                "metricsType": (
+                    "aggregated" if ns.get("aggregated") else "unaggregated"
+                ),
+                "retention": f"{ns['retention_s']}s",
+                "resolution": (
+                    f"{ns['resolution_s']}s" if ns.get("resolution_s") else ""
+                ),
+            },
+        }
+        path = ns["path"]
+        try:
+            if os.path.isdir(path):
+                spark.read.parquet(path).schema  # probe the footer
+            reads_ok = True
+        except Exception:
+            reads_ok = False
+        writes_ok = os.access(
+            os.path.dirname(path) if not os.path.isdir(path) else path,
+            os.W_OK,
+        )
+        (result["readyReads"] if reads_ok else result["notReadyReads"]).append(
+            entry
+        )
+        (
+            result["readyWrites"] if writes_ok else result["notReadyWrites"]
+        ).append(entry)
+    return result

@@ -1,0 +1,129 @@
+"""Control-plane admin analogs: namespace/database/topic CRUD rules
+and the readiness probe (handler semantics from
+src/query/api/v1/handler/{namespace,database,topic}/ + ready.go)."""
+
+from __future__ import annotations
+
+import pytest
+
+from m3_spark.functions import admin
+
+
+def test_namespace_add_get_delete(tmp_path):
+    root = str(tmp_path)
+    ns = admin.add_namespace(root, "default", 48 * 3600)
+    assert ns["block_size_s"] == 2 * 3600  # 48h retention -> 2h blocks
+    assert admin.get_namespace(root, "default")["retention_s"] == 48 * 3600
+    # duplicate add errors (add.go:95)
+    with pytest.raises(ValueError, match="already exists"):
+        admin.add_namespace(root, "default", 3600)
+    admin.delete_namespace(root, "default")
+    assert admin.get_namespaces(root) == {}
+    with pytest.raises(KeyError):
+        admin.delete_namespace(root, "default")
+
+
+def test_namespace_aggregation_options_unique(tmp_path):
+    root = str(tmp_path)
+    admin.add_namespace(
+        root, "agg_5m", 30 * 86400, aggregated=True, resolution_s=300
+    )
+    # same (resolution, retention) pair -> validateNamespaceAggregationOptions
+    with pytest.raises(ValueError, match="must be unique"):
+        admin.add_namespace(
+            root, "agg_5m_b", 30 * 86400, aggregated=True, resolution_s=300
+        )
+    # different resolution is fine
+    admin.add_namespace(
+        root, "agg_1h", 30 * 86400, aggregated=True, resolution_s=3600
+    )
+    assert len(admin.get_namespaces(root)) == 2
+
+
+def test_namespace_update_rules(tmp_path):
+    root = str(tmp_path)
+    admin.add_namespace(root, "default", 24 * 3600)
+    # empty update errors (update.go errEmptyNamespaceOptions)
+    with pytest.raises(ValueError, match="cannot be empty"):
+        admin.update_namespace(root, "default")
+    # immutable field errors (errNamespaceFieldImmutable)
+    with pytest.raises(ValueError, match="immutable"):
+        admin.update_namespace(root, "default", block_size_s=60)
+    # the retention period is the mutable retention field
+    ns = admin.update_namespace(root, "default", retention_s=7 * 86400)
+    assert ns["retention_s"] == 7 * 86400
+    with pytest.raises(KeyError):
+        admin.update_namespace(root, "nope", retention_s=60)
+
+
+def test_recommended_block_sizes():
+    # database/create.go recommendedBlockSizesByRetentionAsc
+    assert admin.recommended_block_size_s(6 * 3600) == 1800
+    assert admin.recommended_block_size_s(24 * 3600) == 3600
+    assert admin.recommended_block_size_s(7 * 86400) == 2 * 3600
+    assert admin.recommended_block_size_s(30 * 86400) == 12 * 3600
+    assert admin.recommended_block_size_s(365 * 86400) == 24 * 3600
+    assert admin.recommended_block_size_s(1000 * 86400) == 24 * 3600
+
+
+def test_create_database(tmp_path):
+    root = str(tmp_path)
+    with pytest.raises(ValueError, match="missing required field"):
+        admin.create_database(root, "")
+    with pytest.raises(ValueError, match="invalid database type"):
+        admin.create_database(root, "db", db_type="weird")
+    out = admin.create_database(root, "quickstart")
+    assert out["numShards"] == 64
+    assert out["namespace"]["retention_s"] == 24 * 3600  # local default
+    assert out["namespace"]["block_size_s"] == 3600
+    assert "quickstart" in admin.get_namespaces(root)
+
+
+def test_topics_crud(tmp_path):
+    root = str(tmp_path)
+    t = admin.init_topic(root, "aggregated_metrics")
+    assert t["version"] == 1 and t["consumerServices"] == []
+    # init is create-if-absent
+    assert admin.init_topic(root, "aggregated_metrics")["version"] == 1
+    t = admin.add_topic_consumer(
+        root, "aggregated_metrics",
+        {"serviceId": {"name": "m3coordinator"}, "consumptionType": "shared"},
+    )
+    assert t["version"] == 2 and len(t["consumerServices"]) == 1
+    t = admin.update_topic(root, "aggregated_metrics", [])
+    assert t["version"] == 3 and t["consumerServices"] == []
+    admin.delete_topic(root, "aggregated_metrics")
+    with pytest.raises(KeyError):
+        admin.get_topic(root, "aggregated_metrics")
+
+
+def test_ready_probe(spark, tmp_path):
+    from m3_spark.sources.namespace import write_namespace
+
+    from .conftest import make_samples
+    from .test_consolidate import T0
+
+    root = str(tmp_path)
+    admin.add_namespace(root, "default", 24 * 3600)
+    admin.add_namespace(
+        root, "agg_5m", 30 * 86400, aggregated=True, resolution_s=300
+    )
+    # materialize the default namespace's table; agg_5m has no data yet
+    samples = make_samples(
+        spark, [("m", {"a": "1"}, T0 + i * 60, float(i)) for i in range(4)]
+    )
+    write_namespace(samples, admin.get_namespace(root, "default")["path"])
+
+    out = admin.ready(spark, root)
+    ready_ids = {e["id"] for e in out["readyReads"]}
+    assert "default" in ready_ids
+    attrs = {
+        e["id"]: e["attributes"]
+        for e in out["readyReads"] + out["notReadyReads"]
+    }
+    assert attrs["default"]["metricsType"] == "unaggregated"
+    assert attrs["agg_5m"] == {
+        "metricsType": "aggregated",
+        "retention": f"{30 * 86400}s",
+        "resolution": "300s",
+    }
