@@ -740,3 +740,21 @@ def test_as_percent_empty_total_list_golden(spark):
     label = "sumSeries(foo.bar,foo.baz)"
     assert _series_vals(rows, f"asPercent(foo.bar,{label})") == [20.0] * 4
     assert _series_vals(rows, f"asPercent(foo.baz,{label})") == [80.0] * 4
+
+
+def test_normalize_per_series_golden(consolidation_grid):
+    # common/basic_functions_test.go TestNormalize: the per-series
+    # normalized values over the union grid —
+    #   a: [nan x3, 10 x6, nan x3]   b: [15 x6, nan x6]
+    #   c: [nan x6, 17 x6]           d: [nan x3, 3 x6, nan x3]
+    want = {
+        "a": [None] * 3 + [10.0] * 6 + [None] * 3,
+        "b": [15.0] * 6 + [None] * 6,
+        "c": [None] * 6 + [17.0] * 6,
+        "d": [None] * 3 + [3.0] * 6 + [None] * 3,
+    }
+    rows = consolidation_grid.orderBy("name", "step_ts").collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["name"], []).append(r["value"])
+    assert got == want
