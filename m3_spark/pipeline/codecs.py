@@ -110,7 +110,7 @@ def decode_png(payload: bytes) -> np.ndarray:
         elif f == 1:  # Sub
             cur = line
             for x in range(c, stride):
-                cur[x] = (cur[x] + cur[x - c]) & 0xFF
+                cur[x] = (int(cur[x]) + int(cur[x - c])) & 0xFF
         elif f == 2:  # Up
             cur = (line + prev) & 0xFF
         elif f == 3:  # Average

@@ -227,7 +227,15 @@ def test_bootstrap_fetch_prunes_partitions(spark, tmp_path):
         'movingSum(sumSeries(events.*.*), "7d")',
         q_start, q_end, 3600, 3600,
     )
-    plan = out._jdf.queryExecution().executedPlan().toString()
+    # scan metadata renders truncated at spark.sql.maxMetadataStringLength
+    # (default 100 — long attribute ids in a full-suite session push the
+    # upper bound past it); widen for the assertion
+    old = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
+    try:
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", old)
     assert "PartitionFilters" in plan
     # the canonical schema survives the prune (date_bucket consumed)
     assert "date_bucket" not in out.columns
