@@ -108,3 +108,101 @@ def decontaminate(
     return out.withColumn(
         "contaminated", F.col("contamination") >= F.lit(float(threshold))
     )
+
+
+def ngram_lm_score(
+    docs: DataFrame,
+    vocab_k: int = 1024,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """CCNet-style n-gram language-model quality scoring: train an
+    add-alpha-smoothed word-BIGRAM model on the corpus itself, then
+    score every document by its mean negative log2 bigram probability
+    (2^score is the perplexity — the filtering signal CCNet/ccnet-style
+    pipelines threshold on).
+
+    Model, all derivable by relational algebra (and restated in the
+    battery oracle):
+
+      vocab    = top ``vocab_k`` words by corpus frequency (ties by
+                 word ascending), everything else -> '<unk>'
+      D        = distinct mapped-token count (model vocabulary size)
+      P(b|a)   = (c(a,b) + alpha) / (c(a) + alpha * D), with c(a) the
+                 count of a as a bigram PREFIX
+      score(d) = -avg(log2 P) over d's bigrams; docs with < 2 tokens
+                 score null
+
+    Scale shape: token explode -> one map-side-combinable count per
+    table; the vocab is a salted two-level top-k (no full-dictionary
+    reducer) broadcast to the mapping join; bigram scoring joins the
+    doc bigrams against the (bounded: <= (vocab_k+1)^2, in practice
+    corpus-sparse) model table on its key — no driver-side model.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+    )
+    word_counts = toks.groupBy("w").agg(F.count("*").alias("c"))
+    bucket = F.pmod(F.xxhash64("w"), F.lit(salt_buckets))
+    w_local = Window.partitionBy("_b").orderBy(
+        F.col("c").desc(), F.col("w").asc()
+    )
+    w_final = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("c").desc(), F.col("w").asc()
+    )
+    vocab = (
+        word_counts.withColumn("_b", bucket)
+        .withColumn("_rk", F.row_number().over(w_local))
+        .where(F.col("_rk") <= vocab_k)
+        .withColumn("_rk", F.row_number().over(w_final))
+        .where(F.col("_rk") <= vocab_k)
+        .select("w", F.lit(True).alias("_in_vocab"))
+    )
+    mapped = (
+        toks.join(F.broadcast(vocab), "w", "left")
+        .select(
+            id_col,
+            "pos",
+            F.when(F.col("_in_vocab"), F.col("w"))
+            .otherwise(F.lit("<unk>"))
+            .alias("w"),
+        )
+    )
+    nxt = mapped.select(
+        F.col(id_col),
+        (F.col("pos") - 1).alias("pos"),
+        F.col("w").alias("w2"),
+    )
+    bigrams = mapped.join(nxt, [id_col, "pos"]).select(
+        id_col, F.col("w").alias("a"), F.col("w2").alias("b")
+    )
+    c2 = bigrams.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
+    c1 = bigrams.groupBy("a").agg(F.count("*").alias("c_a"))
+    d_size = mapped.agg(
+        F.countDistinct("w").cast("double").alias("_d")
+    )
+    model = (
+        c2.join(c1, "a")
+        .crossJoin(F.broadcast(d_size))
+        .select(
+            "a", "b",
+            (
+                (F.col("c_ab") + F.lit(float(alpha)))
+                / (F.col("c_a") + F.lit(float(alpha)) * F.col("_d"))
+            ).alias("p"),
+        )
+    )
+    scored = (
+        bigrams.join(model, ["a", "b"])
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (-F.avg(F.log2("p"))).alias("lm_score"),
+        )
+    )
+    return docs.select(id_col).join(scored, id_col, "left")

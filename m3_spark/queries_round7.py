@@ -185,6 +185,63 @@ LEFT JOIN h ON h.asset_id = a.asset_id AND h.bin = bins.bin
 """
 
 
+def q_corpus_lm_score(spark, sf_dir):
+    """CCNet-style bigram LM quality scoring over the documents table:
+    vocab = top-1024 words, add-1 smoothing, score = mean -log2 P
+    (pipeline/corpus.py::ngram_lm_score).  Unscorable (<2-token) docs
+    are dropped on both sides (a NULL round-trips as NaN through
+    fetchdf)."""
+    from pyspark.sql import functions as F
+
+    from .pipeline.corpus import ngram_lm_score
+    from .sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = ngram_lm_score(docs, vocab_k=1024, alpha=1.0)
+    return out.where(F.col("n_bigrams").isNotNull()).select(
+        "doc_id",
+        "n_bigrams",
+        F.round(F.col("lm_score"), 6).alias("lm_score"),
+    )
+
+
+ORACLE_CORPUS_LM_SCORE = """
+WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+toks AS (
+  SELECT doc_id, unnest(generate_series(1, len(ws))) AS pos,
+         unnest(ws) AS w
+  FROM w0
+),
+wc AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY 1),
+vocab AS (
+  SELECT w FROM wc
+  QUALIFY row_number() OVER (ORDER BY c DESC, w ASC) <= 1024
+),
+mapped AS (
+  SELECT doc_id, pos,
+         CASE WHEN w IN (SELECT w FROM vocab) THEN w
+              ELSE '<unk>' END AS w
+  FROM toks
+),
+bg AS (
+  SELECT m1.doc_id, m1.w AS a, m2.w AS b
+  FROM mapped m1
+  JOIN mapped m2 ON m1.doc_id = m2.doc_id AND m2.pos = m1.pos + 1
+),
+c2 AS (SELECT a, b, COUNT(*) AS c_ab FROM bg GROUP BY 1, 2),
+c1 AS (SELECT a, COUNT(*) AS c_a FROM bg GROUP BY 1),
+dsz AS (SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS dv FROM mapped),
+model AS (
+  SELECT a, b, (c_ab + 1.0) / (c_a + 1.0 * dsz.dv) AS p
+  FROM c2 JOIN c1 USING (a), dsz
+)
+SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+       ROUND(-AVG(log2(p)), 6) AS lm_score
+FROM bg JOIN model USING (a, b)
+GROUP BY 1
+"""
+
+
 def make_round7_queries(oracle_rate: str) -> dict:
     """Assembled by queries.py (which owns ORACLE_RATE) to avoid a
     circular import.  The bucketed-tier oracle is the flat-path rate
@@ -208,5 +265,9 @@ GROUP BY 1, 2
         "multimodal_real_decode": (
             q_multimodal_real_decode,
             ORACLE_MULTIMODAL_REAL,
+        ),
+        "corpus_lm_score": (
+            q_corpus_lm_score,
+            ORACLE_CORPUS_LM_SCORE,
         ),
     }

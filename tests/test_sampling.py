@@ -135,3 +135,31 @@ def test_shuffle_order_deterministic(spark):
     b = [r.doc_id for r in shuffle_order(docs).orderBy("shuffle_key", "doc_id").collect()]
     assert a == b
     assert a != sorted(a)  # actually permuted
+
+
+def test_ngram_lm_score_hand_math(spark):
+    """pipeline/corpus.py::ngram_lm_score on a 3-doc corpus, model
+    restated by hand: vocab keeps every word (k > distinct), D = 3,
+    P(b|a) = (c(ab)+1)/(c(a)+3)."""
+    import math
+
+    import pytest
+
+    from m3_spark.pipeline.corpus import ngram_lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "c")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in ngram_lm_score(docs, vocab_k=10).collect()}
+    # bigrams: doc1 = ab, ba, ab; doc2 = ab -> c(ab)=3, c(ba)=1
+    # prefixes: c(a)=3 (a b / a b / a b), c(b)=1 (b a); D = 3 (a,b,c)
+    p_ab = (3 + 1) / (3 + 3)
+    p_ba = (1 + 1) / (1 + 3)
+    want1 = -(2 * math.log2(p_ab) + math.log2(p_ba)) / 3
+    assert rows[1]["n_bigrams"] == 3
+    assert rows[1]["lm_score"] == pytest.approx(want1)
+    assert rows[2]["n_bigrams"] == 1
+    assert rows[2]["lm_score"] == pytest.approx(-math.log2(p_ab))
+    # single-token doc: no bigrams -> null score
+    assert rows[3]["n_bigrams"] is None and rows[3]["lm_score"] is None
