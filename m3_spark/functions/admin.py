@@ -323,3 +323,21 @@ def ready(spark, root: str) -> dict:
             result["readyWrites"] if writes_ok else result["notReadyWrites"]
         ).append(entry)
     return result
+
+
+def enforce_namespace_policies(spark, root: str, now) -> dict[str, list[str]]:
+    """The background file-ops sweep: for every registered namespace,
+    drop the date partitions that fell out of its retention window
+    (the fileset expiry loop the reference's cleanup manager runs,
+    policy sourced from this registry like dbnode sources it from the
+    KV store).  Returns {namespace: [dropped partition dirs]}."""
+    from ..sources.namespace import prune_retention
+
+    dropped: dict[str, list[str]] = {}
+    for name, ns in get_namespaces(root).items():
+        if not os.path.isdir(ns["path"]):
+            continue
+        dropped[name] = prune_retention(
+            ns["path"], int(ns["retention_s"]), now
+        )
+    return dropped

@@ -127,3 +127,37 @@ def test_ready_probe(spark, tmp_path):
         "retention": f"{30 * 86400}s",
         "resolution": "300s",
     }
+
+
+def test_enforce_namespace_policies(spark, tmp_path):
+    import datetime as dt
+
+    from m3_spark.sources.namespace import read_namespace, write_namespace
+
+    from .conftest import make_samples
+    from .test_consolidate import T0
+
+    root = str(tmp_path)
+    admin.add_namespace(root, "short", 2 * 86400)
+    admin.add_namespace(root, "long", 30 * 86400)
+    rows = [("m", {"a": "1"}, T0 + i * 86400, float(i)) for i in range(6)]
+    for name in ("short", "long"):
+        write_namespace(
+            make_samples(spark, rows), admin.get_namespace(root, name)["path"]
+        )
+    now = dt.datetime.fromtimestamp(
+        T0 + 5 * 86400, dt.timezone.utc
+    ).replace(tzinfo=None)
+    dropped = admin.enforce_namespace_policies(spark, root, now)
+    # 2d retention from day 5 -> days 0..2 expire (day 3's partial
+    # overlap keeps it); the 30d namespace keeps everything
+    assert len(dropped["short"]) == 3
+    assert dropped["long"] == []
+    assert (
+        read_namespace(spark, admin.get_namespace(root, "short")["path"]).count()
+        == 3
+    )
+    assert (
+        read_namespace(spark, admin.get_namespace(root, "long")["path"]).count()
+        == 6
+    )
