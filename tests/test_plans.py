@@ -262,3 +262,39 @@ def test_graphite_topk_is_take_ordered(spark):
         # Window allowed is the consolidation kernel's per-series one)
         assert "windowspecdefinition(_stat" not in plan
         assert "_rk" not in plan
+
+
+def test_headline_query_scan_budgets(spark):
+    """Source-scan budget per headline query: the sparse-consolidation
+    plan legitimately scans the source twice (hash-aggregable values
+    branch + a column-pruned dims branch — the documented trade-off in
+    consolidate_sparse); anything above that is a lineage leak of the
+    kind that had holtWintersForecast re-scanning its source six
+    times before the round-8 checkpoint fix."""
+    from m3_spark.model import read_samples
+    from m3_spark.operators.consolidate import consolidate_sparse
+    from m3_spark.operators.aggregation import topk
+    from m3_spark.operators.temporal import rate
+    from m3_spark.queries import q_graphite_holt_forecast
+
+    s = read_samples(spark, SF_DIR)
+    g = consolidate_sparse(
+        s, "2024-01-01 00:00:00", "2024-01-02 00:00:00", 3600, 300
+    )
+    sum_by = g.groupBy(
+        "step_ts", F.col("tags").getItem("event_type").alias("et")
+    ).agg(F.sum("value").alias("value"))
+    assert _plan(sum_by).count("FileScan") <= 2
+
+    assert _plan(topk(g, 5)).count("FileScan") <= 2
+
+    r = rate(
+        s, "rate", 6 * 3600,
+        "2024-01-01 06:00:00", "2024-01-01 12:00:00", 300,
+    )
+    assert _plan(r).count("FileScan") <= 2
+
+    # holt checkpoints its consolidated grid: the FINAL plan reads
+    # only the materialized (series x steps) frame
+    hw = q_graphite_holt_forecast(spark, SF_DIR)
+    assert _plan(hw).count("FileScan") == 0
