@@ -256,10 +256,19 @@ def _as_percent_grouped(grid: DataFrame, total, nodes: tuple[int, ...]) -> DataF
     series as a share of its group's per-step total
     (aggregation_functions.go asPercent *nodes forms;
     TestAsPercentWithNodesAndTotalNil / ...AndTotalSeriesList)."""
-    keyed = grid.withColumn("_key", _nodes_key(*nodes) if nodes else F.lit(""))
+    # the plan references the keyed grid three ways (group totals,
+    # total labels, and the value join) — cut the lineage so the
+    # upstream fetch runs once, not once per reference (the same
+    # re-scan leak the holtWinters densify had; measured 6 source
+    # scans on the computed-total battery entry before the cut)
+    keyed = grid.withColumn(
+        "_key", _nodes_key(*nodes) if nodes else F.lit("")
+    ).localCheckpoint()
     src = (
         keyed if total is None
-        else total.withColumn("_key", _nodes_key(*nodes) if nodes else F.lit(""))
+        else total.withColumn(
+            "_key", _nodes_key(*nodes) if nodes else F.lit("")
+        ).localCheckpoint()
     )
     tot = src.groupBy("_key", "step_ts").agg(F.sum("value").alias("_tot"))
     labels = _group_total_labels(src, wrap_single=not nodes)

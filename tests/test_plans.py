@@ -298,3 +298,18 @@ def test_headline_query_scan_budgets(spark):
     # only the materialized (series x steps) frame
     hw = q_graphite_holt_forecast(spark, SF_DIR)
     assert _plan(hw).count("FileScan") == 0
+
+
+def test_as_percent_checkpoint_cuts_lineage(spark):
+    """asPercent's grouped-total plan references the grid three ways;
+    the checkpoint keeps the upstream fetch at one execution (final
+    plan reads only the materialized frame)."""
+    from m3_spark.graphite import functions as gf
+    from m3_spark.model import read_samples
+    from m3_spark.operators.consolidate import consolidate_sparse
+
+    s = read_samples(spark, SF_DIR)
+    g = consolidate_sparse(
+        s, "2024-01-01 00:00:00", "2024-01-01 06:00:00", 3600, 300
+    )
+    assert _plan(gf.as_percent(g)).count("FileScan") == 0
