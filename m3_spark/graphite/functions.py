@@ -663,6 +663,16 @@ def remove_empty_series(grid: DataFrame, x_files_factor: float = 0.0) -> DataFra
 # filter-by-stat / sort / limit (builtin_functions.go registry)
 # ---------------------------------------------------------------------------
 
+def _materialized(grid: DataFrame) -> DataFrame:
+    """Cut the lineage before a stats+join plan that references the
+    grid twice — without it each reference re-runs the whole upstream
+    fetch (the holtWinters/asPercent re-scan leak; the sortBy+limit
+    battery entry measured EIGHT source scans).  Consolidated grids
+    are series x steps, bounded, so the materialization is cheap
+    relative to the scans it saves."""
+    return grid.localCheckpoint()
+
+
 def _series_stat(grid: DataFrame, func: str) -> DataFrame:
     current = F.expr(
         "max_by(value, CASE WHEN value IS NOT NULL"
@@ -687,6 +697,7 @@ def _series_stat(grid: DataFrame, func: str) -> DataFrame:
 def filter_series(grid: DataFrame, func: str, op: str, n: float) -> DataFrame:
     """filterSeries / averageAbove / currentBelow / … — keep series
     whose summary stat passes the predicate (semi-join on series_id)."""
+    grid = _materialized(grid)
     stats = _series_stat(grid, func)
     ops = {
         ">": F.col("_stat") > n, ">=": F.col("_stat") >= n,
@@ -702,6 +713,7 @@ def highest(grid: DataFrame, func: str, k: int) -> DataFrame:
     negated rank): top-k series by summary stat."""
     if k <= 0:  # reference testRanking: n <= 0 → empty result
         return grid.where(F.lit(False))
+    grid = _materialized(grid)
     stats = _series_stat(grid, func)
     # orderBy+limit compiles to TakeOrderedAndProject: each partition
     # keeps its own top-k, the driver merges — no single-partition
@@ -716,6 +728,7 @@ def highest(grid: DataFrame, func: str, k: int) -> DataFrame:
 def lowest(grid: DataFrame, func: str, k: int) -> DataFrame:
     if k <= 0:
         return grid.where(F.lit(False))
+    grid = _materialized(grid)
     stats = _series_stat(grid, func)
     keep = (
         stats.orderBy(F.col("_stat").asc(), F.col("series_id"))
@@ -731,6 +744,7 @@ def sort_by(grid: DataFrame, func: str = "average", desc: bool = True) -> DataFr
     explicit: ``_series_order`` = dense rank of the series under the
     sort key (ties broken by series_id, matching the reference's
     stable sort over the fetch order)."""
+    grid = _materialized(grid)
     stats = _series_stat(grid, func)
     order = [
         # default null placement (asc=first, desc=last) matches the
@@ -1063,6 +1077,7 @@ def most_deviant(grid: DataFrame, k: int) -> DataFrame:
     """mostDeviant(k): top-k series by population variance."""
     if k <= 0:
         return grid.where(F.lit(False))
+    grid = _materialized(grid)
     stats = grid.groupBy("series_id").agg(F.var_pop("value").alias("_stat"))
     keep = (
         stats.orderBy(F.col("_stat").desc(), F.col("series_id"))
