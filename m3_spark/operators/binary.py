@@ -295,6 +295,10 @@ def vector_or(
     l = left.withColumn("sig", _match_sig(on, ignoring)).where(
         F.col("value").isNotNull()
     )
+    # the LHS feeds both the union and the anti-join's sig probe —
+    # cut the lineage so its fetch runs once, not twice (the grid is
+    # consolidated series x steps, bounded)
+    l = l.localCheckpoint()
     l_sigs = l.select("step_ts", "sig").distinct()
     r = right.withColumn("sig", _match_sig(on, ignoring)).where(
         F.col("value").isNotNull()
