@@ -758,3 +758,29 @@ def test_normalize_per_series_golden(consolidation_grid):
     for r in rows:
         got.setdefault(r["name"], []).append(r["value"])
     assert got == want
+
+
+@pytest.mark.parametrize(
+    "interpolate,pct,vals,want",
+    [
+        # common/percentiles_test.go TestGetPercentile (full table)
+        (False, 0, [1.0, 2.0, 3.0, 4.0, 5.0], 1.0),
+        (False, 10, [1.0, 2.0, 3.0, 4.0, 5.0], 1.0),
+        (False, 50, [1.0, 2.0, 3.0, 4.0, 5.0], 3.0),
+        (True, 50, [1.0, 2.0, 3.0, 4.0, 5.0], 3.0),
+        (False, 50, [1.0, 2.0, 3.0, 4.0, 5.0, 6.0], 4.0),
+        (True, 50, [1.0, 2.0, 3.0, 4.0, 5.0, 6.0], 3.5),
+        (False, 90, [1.0, 2.0, 3.0, 4.0, 5.0], 5.0),
+        (False, 50, [1.0], 1.0),
+        (False, 50, [1.0, 2.0], 2.0),
+        (True, 30, [32.0, 34.0, 62.0, 73.0, 75.0], 33.6),
+        (True, 33, [32.0, 34.0, 73.0, 75.0], 33.3),
+    ],
+)
+def test_get_percentile_golden(spark, interpolate, pct, vals, want):
+    from m3_spark.graphite.functions import _graphite_percentile_col
+
+    row = spark.createDataFrame([(vals,)], "arr array<double>").select(
+        _graphite_percentile_col(F.col("arr"), pct, interpolate).alias("p")
+    ).first()
+    assert row["p"] == pytest.approx(want, abs=1e-9)
