@@ -768,7 +768,11 @@ def sort_by(grid: DataFrame, func: str = "average", desc: bool = True) -> DataFr
 def limit_series(grid: DataFrame, k: int) -> DataFrame:
     """limit(series, k): first k series of the INPUT ORDER — the
     upstream sortBy*'s ``_series_order`` when present, else the
-    deterministic fetch order (series_id)."""
+    deterministic fetch order (series_id).  Negative limits are
+    invalid-params errors (builtin_functions.go:314-317; common.Head's
+    ErrNegativeCount)."""
+    if k < 0:
+        raise ValueError(f"invalid limit parameter n: {k}")
     if "_series_order" in grid.columns:
         keep = (
             grid.select("series_id", "_series_order").distinct()

@@ -784,3 +784,18 @@ def test_get_percentile_golden(spark, interpolate, pct, vals, want):
         _graphite_percentile_col(F.col("arr"), pct, interpolate).alias("p")
     ).first()
     assert row["p"] == pytest.approx(want, abs=1e-9)
+
+
+def test_limit_head_table(spark):
+    # common TestLimitFunctions: Head(2) keeps the first two in list
+    # order, Head(100) keeps all, Head(-2) errors
+    g = _grid_df(spark, {"foo": [1.0], "bar": [1.0],
+                         "baz": [1.0], "qux": [1.0]})
+    # no upstream sort: deterministic fetch order = series_id asc
+    two = {r["series_id"] for r in gf.limit_series(g, 2).collect()}
+    assert two == {"bar", "baz"}
+    assert gf.limit_series(g, 100).select(
+        "series_id"
+    ).distinct().count() == 4
+    with pytest.raises(ValueError, match="invalid limit"):
+        gf.limit_series(g, -2)
