@@ -161,3 +161,46 @@ def test_extract_features_real_decode_via_spark(spark):
     hist = np.bincount(bins, minlength=16)[:16].astype(float)
     want = np.round(hist / np.linalg.norm(hist), 6)
     assert by[1]["feature"] == pytest.approx(list(want), abs=1e-6)
+
+
+def test_png_roundtrip_property():
+    """Property: decode(encode(x)) == x for arbitrary 8-bit images
+    across sizes and channel counts."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 12),
+        w=st.integers(1, 12),
+        c=st.sampled_from([1, 3, 4]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def inner(h, w, c, seed):
+        img = np.random.RandomState(seed).randint(
+            0, 256, size=(h, w, c)
+        ).astype(np.uint8)
+        assert np.array_equal(decode_png(encode_png(img)), img)
+
+    inner()
+
+
+def test_wav_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(1, 500),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def inner(n, rate, seed):
+        samples = np.random.RandomState(seed).randint(
+            -32768, 32768, size=n
+        ).astype(np.int16)
+        got_rate, got = decode_wav(encode_wav(samples, rate))
+        assert got_rate == rate
+        assert np.array_equal(got.ravel(), samples)
+
+    inner()
