@@ -143,10 +143,16 @@ def ngram_lm_score(
     """
     from pyspark.sql import Window
 
+    # the token table feeds the vocab count AND the mapping join; the
+    # mapped table feeds bigram assembly (twice) and the vocab-size
+    # aggregate — materialize each once (a disk-local staging table,
+    # the shape a production pipeline would stage anyway) instead of
+    # re-scanning the document corpus per reference (measured 14
+    # source scans without the cuts)
     toks = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
-    )
+    ).localCheckpoint()
     word_counts = toks.groupBy("w").agg(F.count("*").alias("c"))
     bucket = F.pmod(F.xxhash64("w"), F.lit(salt_buckets))
     w_local = Window.partitionBy("_b").orderBy(
@@ -172,14 +178,18 @@ def ngram_lm_score(
             .otherwise(F.lit("<unk>"))
             .alias("w"),
         )
+        .localCheckpoint()
     )
     nxt = mapped.select(
         F.col(id_col),
         (F.col("pos") - 1).alias("pos"),
         F.col("w").alias("w2"),
     )
-    bigrams = mapped.join(nxt, [id_col, "pos"]).select(
-        id_col, F.col("w").alias("a"), F.col("w2").alias("b")
+    bigrams = (
+        mapped.join(nxt, [id_col, "pos"])
+        .select(id_col, F.col("w").alias("a"), F.col("w2").alias("b"))
+        # referenced by both count aggregates and the scoring join
+        .localCheckpoint()
     )
     c2 = bigrams.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
     c1 = bigrams.groupBy("a").agg(F.count("*").alias("c_a"))

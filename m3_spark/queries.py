@@ -62,7 +62,8 @@ def q_agg_by_multi(spark, sf_dir):
     (``src/query/functions/aggregation/function.go:29-165``)."""
     from functools import reduce
 
-    g = _grid(spark, sf_dir)
+    # the stacked aggregators share one grid — one fetch, not seven
+    g = _grid(spark, sf_dir).localCheckpoint()
     parts = [
         _finish_agg(
             aggregate(g, func, by=["event_type"], param=param)

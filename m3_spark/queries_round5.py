@@ -61,7 +61,9 @@ def q_math_multi(spark, sf_dir):
     """abs/ceil/floor/sqrt/exp/ln/log2/log10/sgn + the v2.26/v2.31
     trig family (``functions.go`` vendored-engine surface), stacked
     with a ``func`` discriminator over the consolidated grid."""
-    g = _grid(spark, sf_dir)
+    # 15 stacked transforms reference ONE grid: cut the lineage so
+    # the fetch runs once, not per function (was 30 source scans)
+    g = _grid(spark, sf_dir).localCheckpoint()
     parts = []
     for func, pre, _sql_in, _sql_fn in _MATH_CASES:
         t = math_fn(g.withColumn("value", pre(F.col("value"))), func)
@@ -93,7 +95,7 @@ ORACLE_MATH_MULTI = f"""{_LASTV_SQL}
 def q_clamp_round(spark, sf_dir):
     """clamp_min(v,30) / clamp_max(v,70) / round(v,0.5)
     (``linear/clamp.go``, ``linear/round.go:37``), stacked."""
-    g = _grid(spark, sf_dir)
+    g = _grid(spark, sf_dir).localCheckpoint()
     parts = []
     for func, t in [
         ("clamp_min", clamp_min(g, 30.0)),
