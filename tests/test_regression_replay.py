@@ -1,0 +1,148 @@
+"""Replay of the reference's comparator regression asset
+(``scripts/comparator/regression_data/rate_tag_mismatch.json``): real
+captured series for a historical rate-vs-tag bug — two
+``database_write_tagged_success`` series differing only in the
+``namespace`` tag, queried as ``sum(rate(m[1m])) by (namespace)`` at a
+2-second step.
+
+The comparator diffs against a live Prometheus; here each namespace's
+rate curve is recomputed independently with numpy (the Prometheus
+extrapolated-rate algorithm over the raw datapoints) and the engine
+must match it point-for-point — plus the asset's titled invariant:
+the aggregated_30d namespace's total rate stays at or below the
+default namespace's.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import math
+from pathlib import Path
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from m3_spark.model import with_series_id
+from m3_spark.plans.engine import query_range
+
+ASSET = Path(__file__).parent / "data" / "rate_tag_mismatch.json"
+
+
+def _parse_ts(s: str) -> float:
+    return dt.datetime.fromisoformat(s.replace("Z", "+00:00")).timestamp()
+
+
+@pytest.fixture(scope="module")
+def replay(spark):
+    doc = json.loads(ASSET.read_text())
+    rows = []
+    series = {}
+    for s in doc["data"]:
+        tags = dict(s["tags"])
+        name = tags.pop("__name__")
+        ns = tags["namespace"]
+        pts = [
+            (_parse_ts(p["ts"]), float(p["val"])) for p in s["datapoints"]
+        ]
+        series[ns] = pts
+        for ts, val in pts:
+            rows.append((name, tags, ts, val))
+    df = spark.createDataFrame(
+        [
+            (n, t, dt.datetime.fromtimestamp(ts, dt.timezone.utc).replace(
+                tzinfo=None), v)
+            for n, t, ts, v in rows
+        ],
+        "name string, tags map<string,string>, ts timestamp, value double",
+    )
+    return doc, with_series_id(df), series
+
+
+def _prom_rate(pts, t, window_s):
+    """Prometheus extrapolated rate over (t-window, t] — the
+    promql/functions.go extrapolation restated directly on the raw
+    datapoints."""
+    lo, hi = t - window_s, t
+    inside = [(ts, v) for ts, v in pts if lo < ts <= hi]
+    if len(inside) < 2:
+        return None
+    first_ts, last_ts = inside[0][0], inside[-1][0]
+    increase = 0.0
+    prev = inside[0][1]
+    for _, v in inside[1:]:
+        if v < prev:
+            increase += v  # counter reset
+        else:
+            increase += v - prev
+        prev = v
+    sampled = last_ts - first_ts
+    if sampled <= 0:
+        return None
+    avg_interval = sampled / (len(inside) - 1)
+    extend_lo = first_ts - lo
+    extend_hi = hi - last_ts
+    lo_ext = (
+        extend_lo if extend_lo <= 1.1 * avg_interval
+        else avg_interval / 2.0
+    )
+    hi_ext = (
+        extend_hi if extend_hi <= 1.1 * avg_interval
+        else avg_interval / 2.0
+    )
+    # Prometheus also caps the left extrapolation at the zero crossing
+    if increase > 0 and inside[0][1] >= 0:
+        dur_to_zero = inside[0][1] / (increase / sampled)
+        if dur_to_zero < lo_ext:
+            lo_ext = dur_to_zero
+    factor = (sampled + lo_ext + hi_ext) / sampled
+    return increase * factor / window_s
+
+
+def test_rate_tag_mismatch_replay(spark, replay):
+    doc, samples, series = replay
+    start_s = doc["startSeconds"]
+    end_s = doc["endSeconds"]
+    step = doc["step"]
+    out = query_range(
+        samples,
+        doc["query"],
+        dt.datetime.fromtimestamp(start_s, dt.timezone.utc).replace(
+            tzinfo=None
+        ),
+        dt.datetime.fromtimestamp(end_s, dt.timezone.utc).replace(
+            tzinfo=None
+        ),
+        step,
+    ).collect()
+
+    got = {}
+    for r in out:
+        ns = r["tags"]["namespace"]
+        got.setdefault(ns, {})[
+            int(
+                r["step_ts"].replace(tzinfo=dt.timezone.utc).timestamp()
+            )
+        ] = r["value"]
+    assert set(got) == set(series)
+
+    # point-for-point vs the independent numpy restatement, sampled
+    # every 25th step to keep the python loop cheap
+    checked = 0
+    for ns, pts in series.items():
+        for t in range(start_s, end_s + 1, step * 25):
+            want = _prom_rate(pts, t, 60)
+            have = got[ns].get(t)
+            if want is None:
+                assert have is None or math.isnan(have), (ns, t)
+                continue
+            assert have == pytest.approx(want, rel=1e-9), (ns, t)
+            checked += 1
+    assert checked > 80
+
+    # the asset's titled invariant: the aggregated_30d namespace's
+    # total rate does not exceed the default namespace's
+    agg = [v for v in got["aggregated_30d]"].values() if v is not None]
+    dflt = [v for v in got["default]"].values() if v is not None]
+    assert sum(agg) <= sum(dflt) * 1.0000001
