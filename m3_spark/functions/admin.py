@@ -75,6 +75,29 @@ def _registry_path(root: str) -> str:
     return os.path.join(root, _REGISTRY_FILE)
 
 
+def _mutating(fn):
+    """Serialize registry mutations with an exclusive file lock around
+    the load-mutate-replace sequence — the reference's etcd KV store
+    does versioned CAS (kv.Store CheckAndSet), so two concurrent admin
+    calls must not lose an update.  The lock file sits beside the
+    registry; reads stay lock-free (``os.replace`` is atomic)."""
+    import fcntl
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(root: str, *args, **kwargs):
+        os.makedirs(root, exist_ok=True)
+        lock_path = _registry_path(root) + ".lock"
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            try:
+                return fn(root, *args, **kwargs)
+            finally:
+                fcntl.flock(lock, fcntl.LOCK_UN)
+
+    return wrapper
+
+
 def _load(root: str) -> dict[str, Any]:
     path = _registry_path(root)
     if not os.path.exists(path):
@@ -108,6 +131,7 @@ def _validate_aggregation_options(namespaces: dict[str, dict]) -> None:
         seen.add(key)
 
 
+@_mutating
 def add_namespace(
     root: str,
     name: str,
@@ -160,6 +184,7 @@ def get_namespace(root: str, name: str) -> dict:
         raise KeyError(f"unable to find namespace {name!r}") from None
 
 
+@_mutating
 def update_namespace(root: str, name: str, **changes) -> dict:
     """PUT /api/v1/services/m3db/namespace (namespace/update.go):
     empty updates and immutable fields are errors; only the retention
@@ -186,6 +211,7 @@ def update_namespace(root: str, name: str, **changes) -> dict:
     return candidate
 
 
+@_mutating
 def delete_namespace(root: str, name: str) -> None:
     """DELETE /api/v1/services/m3db/namespace/<name>
     (namespace/delete.go); the data directory is untouched — retention
@@ -223,6 +249,7 @@ def create_database(
 
 # -- topics (topic/*.go) -----------------------------------------------------
 
+@_mutating
 def init_topic(
     root: str, name: str, number_of_shards: int = SHARD_MULTIPLIER
 ) -> dict:
@@ -248,6 +275,7 @@ def get_topic(root: str, name: str) -> dict:
         raise KeyError(f"topic not found: {name}") from None
 
 
+@_mutating
 def add_topic_consumer(root: str, name: str, consumer: dict) -> dict:
     """topic/add.go: append a consumer service; versions bump on every
     mutation like the KV store's."""
@@ -261,6 +289,7 @@ def add_topic_consumer(root: str, name: str, consumer: dict) -> dict:
     return topic
 
 
+@_mutating
 def update_topic(root: str, name: str, consumer_services: list[dict]) -> dict:
     """topic/update.go: replace the consumer set wholesale."""
     doc = _load(root)
@@ -273,6 +302,7 @@ def update_topic(root: str, name: str, consumer_services: list[dict]) -> dict:
     return topic
 
 
+@_mutating
 def delete_topic(root: str, name: str) -> None:
     doc = _load(root)
     if name not in doc["topics"]:

@@ -16,6 +16,7 @@ expression compiler dispatches into.
 from __future__ import annotations
 
 from collections.abc import Callable, Sequence
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -144,9 +145,21 @@ def count_series(*grids: DataFrame) -> DataFrame:
     """countSeries: the number of input series as a constant over the
     union step domain — common.Count (basic_functions.go:164) counts
     the NORMALIZED list, so steps where only some series have data
-    still emit the full count (TestCountSeries: 4 at all 12 steps)."""
+    still emit the full count (TestCountSeries: 4 at all 12 steps).
+    The normalized list keeps duplicates: a series matched by two path
+    expressions (countSeries(foo.bar, foo.*)) counts twice, so the
+    count is the SUM of per-arg distinct counts, not countDistinct
+    over the union."""
     grid = _union_grids(grids)
-    n = grid.agg(F.countDistinct("series_id").cast("double").alias("value"))
+    per_arg = [
+        g.select("series_id").distinct().agg(
+            F.count("*").cast("double").alias("value")
+        )
+        for g in grids
+    ]
+    n = reduce(DataFrame.unionByName, per_arg).agg(
+        F.sum("value").alias("value")
+    )
     return (
         grid.select("step_ts")
         .distinct()
@@ -328,6 +341,14 @@ def as_percent(grid: DataFrame, total=None, *nodes: int) -> DataFrame:
     driver-side count over the (bounded) series dictionary, same class
     as useSeriesAbove."""
     if nodes:
+        # the reference rejects a non-seriesList total when nodes are
+        # given (asPercent(series, 100, 1) → invalid params), rather
+        # than crashing in the grouped path
+        if total is not None and not isinstance(total, DataFrame):
+            raise ValueError(
+                "asPercent: total must be a seriesList (or None) when "
+                "nodes are specified"
+            )
         return _as_percent_grouped(grid, total, tuple(nodes))
     if total is None:
         return _as_percent_grouped(grid, None, ())

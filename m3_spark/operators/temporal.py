@@ -483,6 +483,18 @@ def _run_series_kernel(
     clustered = pruned.select("series_id", "ts", "value")
     out_schema = "series_id string, step_ts timestamp, value double"
     if assume_clustered:
+        # Correctness of the zero-exchange path depends on the scan
+        # honoring the table's bucketBy spec: with autoBucketedScan
+        # enabled Spark may split a bucket file across size-based scan
+        # partitions, fragmenting series silently.  get_spark() pins
+        # the conf, but a caller with a foreign session must not get
+        # wrong answers — fall back to the exchanging path instead.
+        conf = clustered.sparkSession.conf.get(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true"
+        )
+        if str(conf).lower() != "false":
+            assume_clustered = False
+    if assume_clustered:
         # Bucketed namespace table input (write_namespace_bucketed):
         # the scan itself is bucket-disjoint on series_id — the session
         # pins spark.sql.sources.bucketing.autoBucketedScan.enabled=

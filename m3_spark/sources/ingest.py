@@ -236,6 +236,31 @@ def kafka_payload_to_samples(raw: DataFrame, payload_format: str = "carbon") -> 
     return _PAYLOAD_PARSERS[payload_format](lines)
 
 
+def idempotent_foreach_batch(commit_dir: str, write_fn):
+    """Make a foreachBatch writer exactly-once.  foreachBatch is
+    at-least-once: after a transient failure the same batch_id is
+    redelivered and a bare append double-writes.  A committed-batch
+    marker file (keyed by batch_id, written AFTER the append — the
+    same protocol as the parquet sink's commit log) lets the retry
+    skip already-committed batches, matching the exactly-once
+    semantics of the checkpointed parquet-sink branches."""
+    import os
+
+    os.makedirs(commit_dir, exist_ok=True)
+
+    def wrapper(batch_df, batch_id):
+        marker = os.path.join(commit_dir, str(batch_id))
+        if os.path.exists(marker):
+            return
+        write_fn(batch_df, batch_id)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write("committed")
+        os.replace(tmp, marker)
+
+    return wrapper
+
+
 def ingest_stream_to_namespaces(
     samples_stream: DataFrame,
     unagg_path: str,
@@ -275,6 +300,10 @@ def ingest_stream_to_namespaces(
                 batch_df, now, buffer_past_s, buffer_future_s
             )
         write_namespace(accepted, unagg_path)
+
+    _write_unagg = idempotent_foreach_batch(
+        f"{checkpoint_dir}/unagg_commits", _write_unagg
+    )
 
     queries.append(
         samples_stream.writeStream.foreachBatch(_write_unagg)

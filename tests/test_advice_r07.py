@@ -1,0 +1,140 @@
+"""Round-7 advice fixes, pinned.
+
+1. ``assume_clustered=True`` guards on the autoBucketedScan conf — a
+   foreign session without the pin falls back to the exchanging path
+   instead of silently fragmenting series across scan partitions.
+2. ``countSeries`` counts the NORMALIZED input list including
+   duplicates (common.Count over the concatenated args), not distinct
+   series over the union.
+3. ``asPercent(series, 100, 1)`` — numeric total with nodes — is a
+   clean invalid-params ValueError, not an AttributeError.
+4. The unaggregated foreachBatch sink is idempotent per batch_id
+   (marker-file commit log), matching the rollup parquet sink's
+   exactly-once semantics.
+5. Admin registry mutations are serialized by a file lock — no
+   lost updates under concurrent add_namespace / add_topic_consumer
+   (the reference's etcd store does versioned CAS).
+"""
+
+from __future__ import annotations
+
+from .conftest import make_samples
+from .test_consolidate import T0
+
+
+def test_assume_clustered_falls_back_without_conf(spark, tmp_path):
+    from m3_spark.operators.temporal import rate
+    from m3_spark.sources.namespace import (
+        read_namespace_bucketed,
+        write_namespace_bucketed,
+    )
+
+    rows = [
+        ("m", {"k": str(i)}, T0 + 30 * j, float(j * (i + 1)))
+        for i in range(4)
+        for j in range(15)
+    ]
+    samples = make_samples(spark, rows)
+    write_namespace_bucketed(samples, "t_adv_clust", str(tmp_path / "b"), 4)
+    conf_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    old = spark.conf.get(conf_key)
+    try:
+        spark.conf.set(conf_key, "true")
+        bucketed = read_namespace_bucketed(spark, "t_adv_clust")
+        guarded = rate(
+            bucketed, "rate", 300, T0 + 300, T0 + 450, 60,
+            assume_clustered=True,
+        )
+        # the guard must force the exchanging path: with the conf on,
+        # bucket files may be size-split and series fragmented
+        plan = guarded._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning(series_id" in plan, plan
+
+        baseline = rate(samples, "rate", 300, T0 + 300, T0 + 450, 60)
+        a = sorted(
+            (r["series_id"], r["step_ts"], round(r["value"], 9))
+            for r in guarded.collect()
+        )
+        b = sorted(
+            (r["series_id"], r["step_ts"], round(r["value"], 9))
+            for r in baseline.collect()
+        )
+        assert a == b and len(a) > 0
+    finally:
+        spark.conf.set(conf_key, old)
+        spark.sql("DROP TABLE IF EXISTS t_adv_clust")
+
+
+def test_count_series_counts_duplicates(spark):
+    """countSeries(foo.bar, foo.*): a series matched by both args
+    counts twice — common.Count counts the normalized list length."""
+    from m3_spark.graphite import functions as gf
+    from .test_graphite_golden import _grid_df
+
+    a = _grid_df(spark, {"foo.bar": [1.0, 2.0, 3.0]})
+    both = _grid_df(spark, {"foo.bar": [1.0, 2.0, 3.0],
+                            "foo.baz": [4.0, 5.0, 6.0]})
+    out = gf.count_series(a, both).collect()
+    assert len(out) == 3
+    assert all(r["value"] == 3.0 for r in out)  # 1 + 2, not 2 distinct
+
+
+def test_as_percent_numeric_total_with_nodes_raises(spark):
+    import pytest
+
+    from m3_spark.graphite import functions as gf
+    from .test_graphite_golden import _grid_df
+
+    grid = _grid_df(spark, {"a.b": [1.0, 2.0]})
+    with pytest.raises(ValueError, match="seriesList"):
+        gf.as_percent(grid, 100.0, 1)
+
+
+def test_idempotent_foreach_batch(tmp_path):
+    from m3_spark.sources.ingest import idempotent_foreach_batch
+
+    calls = []
+    fn = idempotent_foreach_batch(
+        str(tmp_path / "commits"), lambda df, bid: calls.append(bid)
+    )
+    fn(None, 0)
+    fn(None, 0)  # redelivery of the same micro-batch: skipped
+    fn(None, 1)
+    assert calls == [0, 1]
+
+
+def test_admin_registry_concurrent_mutations(tmp_path):
+    import threading
+
+    from m3_spark.functions import admin
+
+    root = str(tmp_path / "reg")
+    admin.init_topic(root, "t", number_of_shards=4)
+
+    errs = []
+
+    def add_ns(i):
+        try:
+            admin.add_namespace(root, f"ns{i}", retention_s=86400 * (i + 1))
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append(e)
+
+    def add_consumer(i):
+        try:
+            admin.add_topic_consumer(
+                root, "t", {"service": f"svc{i}", "consumption": "shared"}
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=add_ns, args=(i,)) for i in range(8)]
+    threads += [
+        threading.Thread(target=add_consumer, args=(i,)) for i in range(8)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert len(admin.get_namespaces(root)) == 8  # no lost updates
+    assert len(admin.get_topic(root, "t")["consumerServices"]) == 8
