@@ -177,22 +177,35 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
     setup_bucketed_namespace(spark)
+    # per-query: one discarded warm-up, then 5 measured reps —
+    # median is the headline (r06 verdict: error bars so a +18% swing
+    # is distinguishable from box noise; single runs swing 2-3x on
+    # this VM from JVM JIT/GC), min and sample-stdev ride along.
+    import statistics
+
     timings: dict[str, float] = {}
-    # r05 verdict flagged run-to-run upticks on these two; min-of-5
-    # tightens the noise floor enough to separate variance from
-    # regression (VERDICT r05 "Next" #6)
-    extra_reps = {"sum_over_time_24h", "agg_policy_month"}
+    stats: dict[str, dict[str, float]] = {}
     for name, fn in BENCH.items():
-        best, n = None, 0
-        reps = 5 if name in extra_reps else 3
-        for _ in range(reps):  # min-of-N: JVM JIT/GC noise swings
-            # single runs by 2-3x on this VM; the min is steady state
+        fn(spark).count()  # warm-up, discarded
+        reps = []
+        n = 0
+        for _ in range(5):
             t0 = time.perf_counter()
             n = fn(spark).count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+            reps.append(time.perf_counter() - t0)
+        med = round(statistics.median(reps), 3)
+        timings[name] = med
+        stats[name] = {
+            "median": med,
+            "min": round(min(reps), 3),
+            "stdev": round(statistics.stdev(reps), 3),
+            "n": len(reps),
+        }
+        print(
+            f"# {name}: {med}s median (min {stats[name]['min']}, "
+            f"±{stats[name]['stdev']}, {n} rows)",
+            file=sys.stderr,
+        )
 
     # the reference's published query-load harness shape: 15 CONCURRENT
     # 12h/1m sum-by range queries (promremotebench-zero.yaml:40-47).
@@ -218,6 +231,12 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # per-query error bars: median of 5 after 1 warm-up
+                # (headline "queries" values are the medians; previous
+                # rounds reported min-of-3, so r07+ values are not
+                # directly comparable to r06- without the stats block)
+                "stats": stats,
+                "stat": "median_of_5_after_warmup",
                 # reference harness shape (promremotebench-zero.yaml):
                 # 15 concurrent 12h/1m sum-by range queries, wall-clock
                 "concurrent": {"sum_by_12h_1m_x15": conc},

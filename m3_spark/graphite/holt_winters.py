@@ -95,35 +95,34 @@ def _hw_frame(
 
     The input may be sparse (groupByNode & co. emit only present
     rows); the recurrence indexes by step *position*, so the grid is
-    densified here — one row per (series, step), NaN when absent."""
-    from ..operators.consolidate import _epoch_s, step_grid
+    densified INSIDE the kernel — each series' sparse rows scatter
+    into a NaN-initialized (series x steps) matrix by step index.
+    Doing the densify in numpy (vs the former crossJoin-with-steps +
+    left join) removes a broadcast join and a full dense-grid
+    materialization from the plan: the only exchange left is the
+    per-series repartition the recurrence needs anyway, and the rows
+    it shuffles are the SPARSE grid, not series x steps.
 
-    # the densify plan references the grid three ways (dims, the
-    # left join, and the name/tags re-attach) — without a cut, each
-    # re-evaluates the whole fetch+consolidate lineage (measured: six
-    # full source scans).  The consolidated window is series x steps,
-    # exactly what the recurrence must hold anyway, so materialize it
-    # once; at cluster scale this is the aggregated frame, tiny next
-    # to the raw scan it saves.
-    grid = grid.localCheckpoint()
+    name/tags ride through the kernel (first value per series), so the
+    grid lineage is referenced exactly ONCE — no dims aggregate, no
+    re-attach join, no need to checkpoint the INPUT.  The (trimmed)
+    OUTPUT is checkpointed instead: it is the small end-product frame,
+    and the band/aberration callers reference it two or three ways —
+    without the cut each reference re-runs the whole
+    fetch+consolidate+recurrence pipeline (the lineage-leak class
+    test_plans.py pins)."""
+    from ..operators.consolidate import _epoch_s
 
     season_len = max(1, int(season_s // step_s))
+    boot_us = int(_epoch_s(boot_start) * 1_000_000)
     start_us = int(_epoch_s(start) * 1_000_000)
+    end_us = int(_epoch_s(end) * 1_000_000)
     step_us = int(step_s * 1_000_000)
-
-    steps = step_grid(grid.sparkSession, boot_start, end, step_s)
-    dims = grid.groupBy("series_id").agg(
-        F.first("name").alias("name"), F.first("tags").alias("tags")
-    )
-    dense = (
-        dims.select("series_id")
-        .crossJoin(F.broadcast(steps))
-        .join(
-            grid.select("series_id", "step_ts", "value"),
-            ["series_id", "step_ts"],
-            "left",
-        )
-    )
+    # step domain mirrors step_grid / models.Bounds: boot, boot+step,
+    # ..., <= end
+    n_t = int((end_us - boot_us) // step_us) + 1
+    # first kept step position: smallest k with boot + k*step >= start
+    k0 = max(0, int(-(-(start_us - boot_us) // step_us)))
 
     def fn(batches):
         buf: pd.DataFrame | None = None
@@ -141,33 +140,40 @@ def _hw_frame(
 
     def _run(pdf: pd.DataFrame) -> pd.DataFrame:
         ts_us = pdf["step_ts"].values.astype("datetime64[us]").astype(np.int64)
-        sids = pdf["series_id"].to_numpy()
-        # dense grid: every series has one row per step, sorted
-        n_t = int(np.count_nonzero(sids == sids[0]))
-        n_s = len(pdf) // n_t
-        vals = pdf["value"].to_numpy(dtype=np.float64).reshape(n_s, n_t)
+        codes, uniq = pd.factorize(pdf["series_id"].to_numpy())
+        vals = np.full((len(uniq), n_t), np.nan)
+        vals[codes, (ts_us - boot_us) // step_us] = pdf["value"].to_numpy(
+            dtype=np.float64
+        )
         preds, devs = hw_analysis_matrix(vals, season_len)
-        # trim the bootstrap off: keep steps >= start
-        keep = ts_us[:n_t] >= start_us
-        k = int(keep.sum())
-        out_ts = np.tile(ts_us[:n_t][keep], n_s)
+        # trim the bootstrap off: keep step positions >= k0
+        k = n_t - k0
+        out_ts = np.tile(boot_us + np.arange(k0, n_t) * step_us, len(uniq))
+        firsts = pdf.drop_duplicates("series_id")
         return pd.DataFrame(
             {
-                "series_id": np.repeat(sids[::n_t], k),
+                "series_id": np.repeat(uniq, k),
+                "name": np.repeat(firsts["name"].to_numpy(), k),
+                "tags": np.repeat(firsts["tags"].to_numpy(), k),
                 "step_ts": out_ts.astype("datetime64[us]"),
-                "pred": preds[:, keep].ravel(),
-                "dev": devs[:, keep].ravel(),
+                "pred": preds[:, k0:].ravel(),
+                "dev": devs[:, k0:].ravel(),
             }
         )
 
     res = (
-        dense.repartition("series_id")
-        .sortWithinPartitions("series_id", "step_ts")
+        grid.select("series_id", "name", "tags", "step_ts", "value")
+        .repartition("series_id")
+        .sortWithinPartitions("series_id")
         .mapInPandas(
-            fn, "series_id string, step_ts timestamp, pred double, dev double"
+            fn,
+            "series_id string, name string, tags map<string,string>, "
+            "step_ts timestamp, pred double, dev double",
         )
     )
-    return res.join(F.broadcast(dims), "series_id")
+    # the small end-product frame is the thing referenced multiple
+    # ways downstream — cut the lineage HERE (one pipeline execution)
+    return res.localCheckpoint()
 
 
 def _boot(boot_start, grid: DataFrame):
@@ -231,6 +237,10 @@ def holt_winters_aberration(
     """holtWintersAberration (builtin_functions.go:2022): how far the
     actual value sits outside the confidence bands (0 when inside or
     when the actual is missing)."""
+    # aberration is the one caller that references the GRID twice
+    # (kernel input + the actual-value join) — cut its lineage so the
+    # fetch+consolidate runs once
+    grid = grid.localCheckpoint()
     hw = _hw_frame(grid, _boot(boot_start, grid), start, end, step_s, season_s)
     actual = grid.select(
         "series_id", "step_ts", F.col("value").alias("_actual")
