@@ -233,6 +233,89 @@ def lsh_candidates(
     )
 
 
+def lsh_candidates_incremental(
+    new_docs: DataFrame, existing_sigs: DataFrame,
+    k: int = 12, bands: int = 4, n: int = 3,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental LSH dedup: candidate pairs for a NEW batch against
+    an existing corpus whose signatures were already materialized
+    (``write_signature_table``) — the 100 TB arrival path: a new shard
+    lands, only ITS text is shingled and folded; the old corpus is
+    read from the columnar signature table (k short hex strings per
+    doc, a sliver of the raw text bytes) and never re-signed.
+
+    Emits distinct (id_a, id_b) pairs where at least one member is
+    new — old-old pairs were already produced when those batches
+    arrived, so re-emitting them would double-count work AND results.
+    Same single-traversal band-bucket shape as :func:`lsh_candidates`
+    (one shuffle on the band key, no self-join).
+    """
+    r = k // bands
+    new_sigs = minhash_signature(new_docs, k, n, text_col, id_col)
+    sigs = existing_sigs.select(
+        F.col(id_col), "signature", F.lit(False).alias("is_new")
+    ).unionByName(
+        new_sigs.select(F.col(id_col), "signature", F.lit(True).alias("is_new"))
+    )
+    banded = sigs.select(
+        F.col(id_col),
+        "is_new",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[F.col("signature")[b * r + j] for j in range(r)],
+                            )
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "is_new", "band.band_id", "band.band_key")
+    buckets = (
+        banded.groupBy("band_id", "band_key")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col).alias("id"), "is_new"))
+            ).alias("members")
+        )
+        # buckets with no new member produce only old-old pairs — drop
+        # them before the pair fan-out
+        .where(
+            (F.size("members") >= 2)
+            & F.exists("members", lambda m: m["is_new"])
+        )
+    )
+    ms = F.col("members")
+    pairs = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.filter(
+                F.transform(
+                    F.slice(ms, i + F.lit(2), F.size(ms)),
+                    lambda y: F.struct(
+                        x["id"].alias("id_a"),
+                        y["id"].alias("id_b"),
+                        (x["is_new"] | y["is_new"]).alias("any_new"),
+                    ),
+                ),
+                lambda p: p["any_new"],
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+
+
 # -- SimHash -----------------------------------------------------------------
 
 

@@ -119,6 +119,48 @@ FROM banded a JOIN banded b
 """
 
 
+# -- incremental LSH (new shard vs existing signature table) -----------------
+
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental arrival: docs with doc_id % 5 == 0 are the NEW
+    batch; the rest are the existing corpus whose MinHash signatures
+    were materialized by an earlier run (write_signature_table).  The
+    incremental path signs ONLY the new batch and joins it against the
+    signature table — tests/test_plans.py pins that the old corpus
+    text is never re-scanned.  Result: candidate pairs touching at
+    least one new doc."""
+    import os
+
+    from .pipeline.dedup import lsh_candidates_incremental, write_signature_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    existing = docs.where(F.col("doc_id") % 5 != 0)
+    new_batch = docs.where(F.col("doc_id") % 5 == 0)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sig_path = os.path.join(
+        root, ".scratch", f"sigs_{sf_dir.strip('/').replace('/', '_')}"
+    )
+    sigs = write_signature_table(existing, sig_path, K_MINHASH, NGRAM)
+    return lsh_candidates_incremental(
+        new_batch, sigs, K_MINHASH, BANDS, NGRAM
+    )
+
+
+ORACLE_DEDUP_INCREMENTAL = f"""WITH {_MINSIG_CTE},
+banded AS (
+  SELECT doc_id, band_id, band_key FROM sig,
+  UNNEST([{", ".join(f"{{'band_id': {b}, 'band_key': {k}}}" for b, k in enumerate(_band_keys_sql()))}])
+    AS t(band)
+  , LATERAL (SELECT band.band_id AS band_id, band.band_key AS band_key) l
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b
+  ON a.band_id = b.band_id AND a.band_key = b.band_key
+ AND a.doc_id < b.doc_id
+WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0
+"""
+
+
 # -- simhash -----------------------------------------------------------------
 
 def q_dedup_simhash(spark, sf_dir):
@@ -642,6 +684,7 @@ PIPELINE_QUERIES = {
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_minhash_sig": (q_dedup_minhash_sig, ORACLE_DEDUP_MINHASH),
     "dedup_lsh_pairs": (q_dedup_lsh_pairs, ORACLE_DEDUP_LSH),
+    "dedup_incremental": (q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "dedup_simhash": (q_dedup_simhash, ORACLE_DEDUP_SIMHASH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_NGRAM_JACCARD),

@@ -113,6 +113,11 @@ def main() -> None:
     ap.add_argument("--events", type=int, default=10_000_000)
     ap.add_argument("--docs", type=int, default=500_000)
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument(
+        "--out",
+        help="also write the JSON line to this file (SCALE_r{N}.json "
+        "round artifact)",
+    )
     args = ap.parse_args()
 
     spark = get_spark("m3_spark-scale")
@@ -236,12 +241,20 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 2)
         print(f"# {name}: {timings[name]}s ({counts[name]} rows)", file=sys.stderr)
-    print(
-        json.dumps(
-            {"events": args.events, "docs": args.docs, "queries": timings,
-             "rows": counts}
-        )
-    )
+    doc = {
+        "metric": "scale_queries_wall",
+        "unit": "sec",
+        "events": args.events,
+        "docs": args.docs,
+        "queries": timings,
+        "rows": counts,
+        "stat": "min_of_2",
+    }
+    print(json.dumps(doc))
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(doc, fh, indent=2)
+            fh.write("\n")
     if not args.keep:
         spark.sql("DROP TABLE IF EXISTS scale_ns_bucketed")
         shutil.rmtree(SCRATCH, ignore_errors=True)

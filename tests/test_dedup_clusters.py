@@ -78,3 +78,53 @@ def test_cc_property_random_graphs(spark):
         want = unionfind(edges, nodes)
         got = _cc(spark, edges)
         assert got == {(n_, c) for n_, c in want.items()}, f"trial {trial}"
+
+
+def test_incremental_lsh_matches_full_corpus(spark, tmp_path):
+    """Two-batch incremental dedup: full-corpus LSH pairs must equal
+    (batch1-internal pairs) ∪ (batch2 incremental-vs-batch1 pairs) —
+    no pair lost, no old-old pair re-emitted, signatures reused from
+    the materialized table across arrivals."""
+    from m3_spark.pipeline.dedup import (
+        lsh_candidates,
+        lsh_candidates_incremental,
+        minhash_signature,
+        write_signature_table,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dogs",   # near-dup of 0
+        "completely different content about spark plans",
+        "the quick brown fox leaps over the lazy dog",    # near-dup of 0/1
+        "another unrelated string with its own shingles",
+        "completely different content about spark plan",  # near-dup of 2
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidates(docs, k=12, bands=4, n=3).collect()
+    }
+
+    batch1 = docs.where("doc_id < 4")
+    batch2 = docs.where("doc_id >= 4")
+    sig_path = str(tmp_path / "sigs")
+    sigs1 = write_signature_table(batch1, sig_path, k=12, n=3)
+    internal1 = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidates(batch1, k=12, bands=4, n=3, sigs=sigs1).collect()
+    }
+    inc2 = lsh_candidates_incremental(batch2, sigs1, k=12, bands=4, n=3)
+    inc_pairs = {(r["id_a"], r["id_b"]) for r in inc2.collect()}
+
+    assert internal1 | inc_pairs == full
+    assert internal1 & inc_pairs == set()  # no old-old pair re-emitted
+    # and there IS at least one cross-batch near-dup in the fixture
+    assert any(a < 4 <= b for a, b in inc_pairs)
+
+    # the signature table is append-extended for the NEXT arrival
+    minhash_signature(batch2, 12, 3).write.mode("append").parquet(sig_path)
+    all_sigs = spark.read.parquet(sig_path)
+    assert all_sigs.count() == 6

@@ -313,3 +313,21 @@ def test_as_percent_checkpoint_cuts_lineage(spark):
         s, "2024-01-01 00:00:00", "2024-01-01 06:00:00", 3600, 300
     )
     assert _plan(gf.as_percent(g)).count("FileScan") == 0
+
+
+def test_incremental_dedup_reads_corpus_from_signature_table(spark):
+    """Incremental LSH: the existing corpus must be read from the
+    materialized signature table ONLY — exactly one scan of
+    documents.parquet (the new batch, with the batch predicate pushed
+    down) and one scan of the signature parquet.  A second documents
+    scan means the corpus is being re-signed on every arrival, the
+    lineage leak that defeats the whole incremental design."""
+    from m3_spark.queries_pipeline import q_dedup_incremental
+
+    df = q_dedup_incremental(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("documents.parquet") == 1, plan
+    assert "sigs_" in plan  # signature table scan present
+    txt = _formatted(df)
+    # the new-batch filter reaches the documents scan
+    assert "PushedFilters" in txt
