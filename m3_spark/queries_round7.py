@@ -66,7 +66,11 @@ def q_namespace_bucketed_rate(spark, sf_dir):
     )
 
 
-_SWEEP_STEPS = (1800, 3600, 7200)
+# 60s is deliberately SUB-lookback (step < 300s): it exercises the
+# thr = max(lookback, step) = lookback branch, where a sample can
+# satisfy several consecutive steps — the coarse steps only ever hit
+# thr = step (r06 verdict item 5)
+_SWEEP_STEPS = (60, 1800, 3600, 7200)
 
 
 def q_promql_range_steps(spark, sf_dir):

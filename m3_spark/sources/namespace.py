@@ -164,6 +164,70 @@ def compact_namespace(
     )
 
 
+def compact_namespace_bucketed(
+    spark: SparkSession, table: str, date_bucket: str
+) -> int:
+    """Compact one date partition of a BUCKETED namespace table.
+
+    ``compact_namespace``'s path rewrite would silently destroy the
+    catalog's bucket layout (bucket ids live in the file names the
+    catalog expects), breaking the zero-shuffle distribution claim the
+    ``assume_clustered`` kernels rely on.  The bucket-preserving move
+    is a single-partition INSERT OVERWRITE of the table from itself:
+    Spark re-writes the partition THROUGH the table's own bucketBy/
+    sortBy spec, so micro-batch appends (one file set per batch)
+    coalesce back to exactly ``bucket_count`` sorted files and the
+    distribution contract survives — pinned by
+    tests/test_advice_r07.py (zero-exchange rate after compaction).
+
+    Returns the number of files after compaction.
+    """
+    import os
+
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(conf_key, "static")
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        one = spark.table(table).where(F.col("date_bucket") == date_bucket)
+        one.write.mode("overwrite").insertInto(table)
+    finally:
+        spark.conf.set(conf_key, old)
+    loc = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
+        .where(F.col("col_name") == "Location")
+        .first()["data_type"]
+    )
+    part_dir = os.path.join(loc.removeprefix("file:"), f"date_bucket={date_bucket}")
+    return len([f for f in os.listdir(part_dir) if f.endswith(".parquet")])
+
+
+def prune_retention_bucketed(
+    spark: SparkSession, table: str, retention_s: int, now
+) -> list[str]:
+    """Retention expiry for the bucketed tier: the catalog tracks the
+    partitions, so expiry is ``ALTER TABLE DROP PARTITION`` metadata
+    ops (same decision rule as :func:`prune_retention`), never a
+    directory walk that would desync the catalog.
+
+    Returns the dropped date_bucket values."""
+    import datetime as dt
+
+    now_dt = dt.datetime.fromisoformat(now) if isinstance(now, str) else now
+    cutoff = now_dt - dt.timedelta(seconds=retention_s)
+    dropped: list[str] = []
+    for row in spark.sql(f"SHOW PARTITIONS {table}").collect():
+        day_str = row["partition"].split("=", 1)[1]
+        day = dt.datetime.fromisoformat(day_str)
+        end_of_day = day + dt.timedelta(days=1) - dt.timedelta(microseconds=1)
+        if end_of_day < cutoff:
+            spark.sql(
+                f"ALTER TABLE {table} DROP IF EXISTS PARTITION "
+                f"(date_bucket='{day_str}') PURGE"
+            )
+            dropped.append(day_str)
+    return dropped
+
+
 def write_namespace_bucketed(
     samples: DataFrame,
     table: str,

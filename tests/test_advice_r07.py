@@ -138,3 +138,97 @@ def test_admin_registry_concurrent_mutations(tmp_path):
     assert not errs
     assert len(admin.get_namespaces(root)) == 8  # no lost updates
     assert len(admin.get_topic(root, "t")["consumerServices"]) == 8
+
+
+def test_bucketed_compaction_preserves_zero_shuffle(spark, tmp_path):
+    """Round-7 verdict item 8: compaction of a bucketed namespace
+    partition must preserve the catalog bucket spec — after appends
+    and a compact, assume_clustered=True rate still plans with zero
+    exchanges and returns values identical to the flat path; expired
+    partitions drop via catalog metadata ops."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from m3_spark.operators.temporal import rate
+    from m3_spark.sources.namespace import (
+        compact_namespace_bucketed,
+        prune_retention_bucketed,
+        read_namespace_bucketed,
+        write_namespace_bucketed,
+    )
+
+    rows = [
+        ("m", {"k": str(i)}, T0 + 30 * j + 86400 * d, float(j * (i + 1) + d))
+        for i in range(5)
+        for j in range(12)
+        for d in range(3)
+    ]
+    samples = make_samples(spark, rows)
+    path = str(tmp_path / "cmp")
+    write_namespace_bucketed(samples, "t_adv_cmp", path, 4)
+    try:
+        # two micro-batch appends -> small-file buildup in every day
+        day0 = samples.where(
+            F.col("ts") < F.timestamp_seconds(F.lit(T0 + 86400))
+        )
+        for _ in range(2):
+            (
+                day0.withColumn("date_bucket", F.to_date("ts"))
+                .repartition(4, F.col("series_id"))
+                .write.format("parquet")
+                .mode("append")
+                .partitionBy("date_bucket")
+                .bucketBy(4, "series_id")
+                .sortBy("series_id", "ts")
+                .option("path", path)
+                .saveAsTable("t_adv_cmp")
+            )
+        import datetime as dt
+
+        day0_str = dt.datetime.fromtimestamp(
+            T0, dt.timezone.utc
+        ).date().isoformat()
+        part = os.path.join(path, f"date_bucket={day0_str}")
+        before = len([f for f in os.listdir(part) if f.endswith(".parquet")])
+        assert before > 4
+        after = compact_namespace_bucketed(spark, "t_adv_cmp", day0_str)
+        # back to at most bucket_count sorted files (empty buckets
+        # write no file)
+        assert after <= 4 < before
+
+        back = read_namespace_bucketed(spark, "t_adv_cmp")
+        fast = rate(
+            back, "rate", 300, T0 + 300, T0 + 600, 60, assume_clustered=True
+        )
+        plan = fast._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning(series_id" not in plan, plan
+
+        # identical to the flat shuffled path over the SAME post-append
+        # data (day0 now triple-weighted)
+        flat = samples.unionByName(day0).unionByName(day0)
+        slow = rate(flat, "rate", 300, T0 + 300, T0 + 600, 60)
+        a = sorted(
+            (r["series_id"], r["step_ts"], round(r["value"], 9))
+            for r in fast.collect()
+        )
+        b = sorted(
+            (r["series_id"], r["step_ts"], round(r["value"], 9))
+            for r in slow.collect()
+        )
+        assert a == b and len(a) > 0
+
+        # retention: day0 expires via a catalog metadata op
+        now = dt.datetime.fromtimestamp(
+            T0 + 3 * 86400, dt.timezone.utc
+        ).replace(tzinfo=None)
+        dropped = prune_retention_bucketed(spark, "t_adv_cmp", 2 * 86400, now)
+        assert dropped == [day0_str]
+        remaining = {
+            r["partition"]
+            for r in spark.sql("SHOW PARTITIONS t_adv_cmp").collect()
+        }
+        assert f"date_bucket={day0_str}" not in remaining
+        assert len(remaining) == 2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_adv_cmp")
