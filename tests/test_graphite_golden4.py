@@ -799,3 +799,26 @@ def test_limit_head_table(spark):
     ).distinct().count() == 4
     with pytest.raises(ValueError, match="invalid limit"):
         gf.limit_series(g, -2)
+
+
+def test_moving_sum_coarse_resolution_end_state(spark):
+    """TestMovingSumOriginalIDsDifferentResolutionFromBootstrapIDs
+    (builtin_functions_test.go:1233): the reference's mock storage
+    returns the bootstrap at a COARSER (5-min) resolution, forcing its
+    engine to re-adjust the context shift and re-evaluate at that
+    resolution; the observable end state is movingSum(foo.*, 3) over
+    the 4-point coarse series [3,3,3,3] / [6,6,6,6] → one output point
+    9 / 18.  This engine consolidates every fetch onto ONE query grid
+    before the kernel (mixed-resolution bootstraps cannot occur — the
+    router + battery route_multi_resolution cover namespace stitching),
+    so the portable part IS that end-state table: the point-window
+    kernel is resolution-independent."""
+    g = _grid_df(spark, {"foo.bar": [3.0, 3.0, 3.0, 3.0],
+                         "foo.baz": [6.0, 6.0, 6.0, 6.0]})
+    out = gf.moving_sum(g, 3)
+    last = {
+        r["series_id"]: r["value"]
+        for r in out.orderBy("step_ts").collect()
+        if r["step_ts"] == max(x["step_ts"] for x in out.collect())
+    }
+    assert last == {"foo.bar": 9.0, "foo.baz": 18.0}

@@ -109,12 +109,15 @@ PARITY: dict[str, tuple[str, ...]] = {
         "test_moving_sum_all_original_ids_missing_from_bootstrap",
     ),
     "TestMovingSumOriginalIDsDifferentResolutionFromBootstrapIDs": (
-        "n/a: exercises resolution-adjusted context shifts when the "
-        "bootstrap fetch lands in a coarser namespace; this engine "
-        "consolidates every fetch onto the query's single step grid "
-        "before the kernel runs, so mixed-resolution bootstraps cannot "
-        "occur (multi-namespace selection itself is covered by the "
-        "router tests and battery route_multi_resolution)",
+        "n/a: the resolution-adjusted context-shift MACHINERY has no "
+        "analog — this engine consolidates every fetch onto the "
+        "query's single step grid before the kernel runs, so "
+        "mixed-resolution bootstraps cannot occur (namespace stitching "
+        "is covered by the router tests and battery "
+        "route_multi_resolution) — but the test's observable END STATE "
+        "(movingSum over the coarse series → 9/18) is ported:",
+        "tests/test_graphite_golden4.py::"
+        "test_moving_sum_coarse_resolution_end_state",
     ),
     "TestMovingMaxSuccess": (
         "tests/test_graphite_golden4.py::test_moving_max_success_golden",
@@ -526,6 +529,4 @@ def test_every_reference_test_has_a_real_pointer():
         for name, pointers in PARITY.items()
         if all(p.startswith("n/a:") for p in pointers)
     )
-    assert na_only == [
-        "TestMovingSumOriginalIDsDifferentResolutionFromBootstrapIDs",
-    ]
+    assert na_only == []  # every reference test carries a real pointer
