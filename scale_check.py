@@ -188,6 +188,21 @@ def main() -> None:
         sigs = write_signature_table(docs, sig_dir, k=16)
         return lsh_candidates(docs, k=16, bands=4, sigs=sigs)
 
+    def q_dedup_incremental(_):
+        # incremental arrival: 20% of docs as the new batch, the other
+        # 80% read from the signature table written by q_dedup_lsh —
+        # at 100 TB this is THE dedup path (sign only what arrived)
+        from m3_spark.pipeline.dedup import lsh_candidates_incremental
+        from m3_spark.sources.tables import read_table
+
+        docs = read_table(spark, SCRATCH, "documents")
+        sigs = spark.read.parquet(
+            os.path.join(SCRATCH, "signatures.parquet")
+        ).where(F.col("doc_id") % 5 != 0)
+        return lsh_candidates_incremental(
+            docs.where(F.col("doc_id") % 5 == 0), sigs, k=16, bands=4
+        )
+
     def q_dedup_clusters(_):
         from m3_spark.pipeline.dedup import connected_components
         from m3_spark.sources.tables import read_table
@@ -228,6 +243,7 @@ def main() -> None:
         "topk_7d_1h": q_topk,
         "sum_over_time_24h": q_over_time,
         "dedup_lsh": q_dedup_lsh,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_clusters": q_dedup_clusters,
         "text_analysis_500k": q_text_analysis,
         "sample_pack_500k": q_sample_pack,
