@@ -23,9 +23,12 @@ random walks.  The fetch group additionally gets an absolute numpy pin
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import math
 
-import pytest
 
 from .conftest import make_samples
 

@@ -14,9 +14,12 @@ with the reason inline.
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import pathlib
 
-import pytest
 
 from .promql_corpus import parse_corpus, run_corpus
 

@@ -11,9 +11,12 @@ on — fails the test.
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import pathlib
 
-import pytest
 
 from .promql_corpus import activate_failing, parse_corpus, run_corpus
 

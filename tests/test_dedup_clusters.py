@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 
 def _cc(spark, edges):
     from m3_spark.pipeline.dedup import connected_components
@@ -41,6 +43,7 @@ def test_cc_star_and_clique(spark):
     }
 
 
+@pytest.mark.slow
 def test_cc_property_random_graphs(spark):
     """Property check against a pure-python union-find on a batch of
     pseudo-random graphs (seeded, no flaky hypothesis shrink cost in

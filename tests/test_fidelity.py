@@ -5,6 +5,10 @@ histogram_quantile negative buckets."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import math
 
 from pyspark.sql import functions as F

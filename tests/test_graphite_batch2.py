@@ -5,9 +5,12 @@ the mechanical registry fills."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import math
 
-import pytest
 from pyspark.sql import functions as F
 
 from m3_spark.graphite import functions as gf

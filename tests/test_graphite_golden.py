@@ -5,10 +5,13 @@ directly (consolidate would backfill within lookback)."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import datetime as dt
 import math
 
-import pytest
 from pyspark.sql import functions as F
 
 from m3_spark.graphite import functions as gf

@@ -12,6 +12,9 @@ from __future__ import annotations
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
+
 from m3_spark.graphite import functions as gf
 
 from .test_graphite_golden import _grid_df, _vals_by_step

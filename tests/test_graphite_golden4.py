@@ -19,9 +19,12 @@ reference), so the 1-second series ``d`` keeps its full 60 samples
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import datetime as dt
 
-import pytest
 from pyspark.sql import functions as F
 
 from m3_spark.graphite import functions as gf

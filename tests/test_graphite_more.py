@@ -1,6 +1,9 @@
 from __future__ import annotations
 
 import pytest
+
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import functions as F
 
 from m3_spark.graphite import functions as gf

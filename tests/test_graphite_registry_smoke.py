@@ -15,6 +15,9 @@ from __future__ import annotations
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
+
 from m3_spark.graphite.compiler import evaluate
 
 from .test_consolidate import T0

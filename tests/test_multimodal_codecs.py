@@ -5,11 +5,14 @@ Spark mapInPandas plumbing."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import struct
 import zlib
 
 import numpy as np
-import pytest
 
 from m3_spark.pipeline.codecs import (
     decode_png,

@@ -5,10 +5,13 @@ row counts and (order-insensitively) values.
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import math
 
 import duckdb
-import pytest
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",

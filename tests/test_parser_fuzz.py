@@ -5,6 +5,10 @@ a public query endpoint needs."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 

@@ -435,6 +435,7 @@ def test_at_modifier(spark):
     assert len(out) == 1 and out[0]["value"] == 60.0
 
 
+@pytest.mark.slow
 def test_corpus(spark):
     failures = run_corpus(spark, CORPUS)
     msg = "\n".join(

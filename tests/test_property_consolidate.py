@@ -8,6 +8,10 @@ round-trips) with hypothesis.
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 

@@ -7,9 +7,12 @@ its salt bucket's top-k — so both implementations agree on every
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import random
 
-import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 

@@ -99,6 +99,7 @@ def test_counter_increase_batch(spark):
     assert [r["increase"] for r in out] == [5.0, 3.0, 6.0]
 
 
+@pytest.mark.slow
 def test_streaming_parity(spark, metric_rows, tmp_path):
     """availableNow streaming over two parquet files == batch result."""
     src = str(tmp_path / "src")
