@@ -442,6 +442,57 @@ def ngram_jaccard_pairs(
     )
 
 
+def lsh_verified_pairs(
+    docs: DataFrame, k: int = 12, bands: int = 4, n: int = 3,
+    threshold: float = 0.1,
+    text_col: str = "text", id_col: str = "doc_id",
+    sigs: DataFrame | None = None,
+) -> DataFrame:
+    """The production near-dup pipeline: LSH candidate generation
+    followed by EXACT Jaccard verification of only the candidates —
+    LSH prunes the O(n²) pair space to the collision set, the verify
+    step removes LSH's false positives.  Returns (id_a, id_b,
+    jaccard) for candidates with jaccard >= threshold.
+
+    Scale shape: the corpus is shingled ONCE into per-doc sorted
+    hash arrays (checkpointed — both pair sides read the same
+    materialization; at 100 TB this is a signature-table-style
+    parquet), then the (small) candidate set joins against it twice
+    and the intersection is an in-row ``array_intersect`` — no
+    inverted-index self-join, so no O(df²) hot-shingle fan-out at
+    all, unlike the exact :func:`ngram_jaccard_pairs`."""
+    pairs = lsh_candidates(docs, k, bands, n, text_col, id_col, sigs=sigs)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        docs.repartition(par, id_col)
+        .select(
+            F.col(id_col),
+            F.array_sort(
+                F.transform(
+                    shingles_col(F.col(text_col), n),
+                    lambda s: F.xxhash64(s),
+                )
+            ).alias("sh"),
+        )
+        .localCheckpoint()
+    )
+    j = (
+        pairs.join(
+            sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sa")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sb")),
+            "id_b",
+        )
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    jac = inter / (F.size("sa") + F.size("sb") - inter)
+    return j.select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    ).where(F.col("jaccard") >= threshold)
+
+
 # -- connected components / duplicate clusters -------------------------------
 
 def connected_components(

@@ -161,6 +161,46 @@ WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0
 """
 
 
+# -- LSH + exact-Jaccard verification -----------------------------------------
+
+def q_dedup_lsh_verified(spark, sf_dir):
+    """LSH candidates verified by exact shingle-set Jaccard — the
+    two-stage production pipeline (prune with LSH, verify only the
+    collision set, no O(df²) inverted-index self-join)."""
+    from .pipeline.dedup import lsh_verified_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return lsh_verified_pairs(docs, K_MINHASH, BANDS, NGRAM, threshold=0.1)
+
+
+ORACLE_DEDUP_LSH_VERIFIED = f"""WITH {_MINSIG_CTE},
+banded AS (
+  SELECT doc_id, band_id, band_key FROM sig,
+  UNNEST([{", ".join(f"{{'band_id': {b}, 'band_key': {k}}}" for b, k in enumerate(_band_keys_sql()))}])
+    AS t(band)
+  , LATERAL (SELECT band.band_id AS band_id, band.band_key AS band_key) l
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+sized AS (SELECT e.doc_id, len(sh.shingles) AS n_sh, e.s
+          FROM ex e JOIN sh ON e.doc_id = sh.doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
+         COUNT(*) AS inter
+  FROM sized a JOIN sized b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT c.id_a, c.id_b,
+       ROUND(i.inter / (i.na + i.nb - i.inter), 6) AS jaccard
+FROM cand c JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+WHERE ROUND(i.inter / (i.na + i.nb - i.inter), 6) >= 0.1
+"""
+
+
 # -- simhash -----------------------------------------------------------------
 
 def q_dedup_simhash(spark, sf_dir):
@@ -685,6 +725,7 @@ PIPELINE_QUERIES = {
     "dedup_minhash_sig": (q_dedup_minhash_sig, ORACLE_DEDUP_MINHASH),
     "dedup_lsh_pairs": (q_dedup_lsh_pairs, ORACLE_DEDUP_LSH),
     "dedup_incremental": (q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
+    "dedup_lsh_verified": (q_dedup_lsh_verified, ORACLE_DEDUP_LSH_VERIFIED),
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "dedup_simhash": (q_dedup_simhash, ORACLE_DEDUP_SIMHASH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_NGRAM_JACCARD),

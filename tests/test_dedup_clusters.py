@@ -131,3 +131,40 @@ def test_incremental_lsh_matches_full_corpus(spark, tmp_path):
     minhash_signature(batch2, 12, 3).write.mode("append").parquet(sig_path)
     all_sigs = spark.read.parquet(sig_path)
     assert all_sigs.count() == 6
+
+
+def test_lsh_verified_pairs_prune_then_exact(spark):
+    """lsh_verified_pairs == exact-Jaccard(threshold) restricted to the
+    LSH candidate set: a real near-dup pair survives with its exact
+    jaccard; sub-threshold candidates are filtered out."""
+    from m3_spark.pipeline.dedup import (
+        lsh_candidates,
+        lsh_verified_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "alpha beta gamma delta epsilon zeta eta theta iota kappaz",
+        "one two three four five six seven eight nine ten",
+        "alpha beta gamma delta epsilon zeta eta theta iota kapp",
+        "totally different words with no overlap here at all okay",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in lsh_verified_pairs(docs, k=12, bands=4, threshold=0.3).collect()
+    }
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidates(docs, k=12, bands=4).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    want = {p: j for p, j in exact.items() if p in cands}
+    assert got == want and len(got) > 0
+    assert all(j >= 0.3 for j in got.values())
