@@ -292,3 +292,41 @@ def chunk_documents(
         F.array_join(chunk, " ").alias("chunk_text"),
         F.size(chunk).alias("n_tokens"),
     ).where(F.col("n_tokens") > 0)
+
+
+# -- PII scrubbing ------------------------------------------------------------
+
+#: dialect-portable patterns (identical semantics in Java regex and
+#: RE2, so the DuckDB oracle can restate them verbatim)
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+\d{1,3}-\d{3}-\d{3,4}(-\d{3,4})?"
+
+
+def pii_scrub(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact emails / IPv4 addresses / international-format phone
+    numbers and count each per document — the pre-training scrub pass.
+    Pure column expressions (regexp_count + chained regexp_replace,
+    whole-stage codegen): emails first (so an address is never
+    half-eaten by the IP pattern), then IPs, then phones.
+
+    Returns (id, text_scrubbed, n_email, n_ipv4, n_phone)."""
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
+            PII_IPV4_RE,
+            "<IP>",
+        ),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return docs.select(
+        F.col(id_col),
+        scrubbed.alias("text_scrubbed"),
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).alias("n_email"),
+        F.regexp_count(t, F.lit(PII_IPV4_RE)).alias("n_ipv4"),
+        F.regexp_count(t, F.lit(PII_PHONE_RE)).alias("n_phone"),
+    )

@@ -201,6 +201,69 @@ WHERE ROUND(i.inter / (i.na + i.nb - i.inter), 6) >= 0.1
 """
 
 
+# -- PII scrubbing ------------------------------------------------------------
+
+def q_pii_scrub(spark, sf_dir):
+    """PII scrub differential: deterministic synthetic PII (an email,
+    an IPv4, a phone per doc, derived from doc_id) is appended to each
+    document, then redacted and counted — the oracle re-derives the
+    injection AND the scrub in SQL, so pattern/count/replacement
+    drift all hash-mismatch.  The scrubbed text is compared via md5."""
+    from .pipeline.text import pii_scrub
+
+    docs = read_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), did, F.lit("@mail.example.org from 10."),
+            (F.col("doc_id") % 200).cast("string"), F.lit(".0."),
+            (F.col("doc_id") % 250).cast("string"),
+            F.lit(" call +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    out = pii_scrub(injected)
+    return out.select(
+        "doc_id",
+        F.md5("text_scrubbed").alias("scrub_hash"),
+        F.col("n_email").cast("bigint").alias("n_email"),
+        F.col("n_ipv4").cast("bigint").alias("n_ipv4"),
+        F.col("n_phone").cast("bigint").alias("n_phone"),
+    )
+
+
+ORACLE_PII_SCRUB = r"""
+WITH injected AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.org from 10.'
+              || CAST(doc_id % 200 AS VARCHAR) || '.0.'
+              || CAST(doc_id % 250 AS VARCHAR)
+              || ' call +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents
+)
+SELECT doc_id,
+       md5(regexp_replace(
+             regexp_replace(
+               regexp_replace(t,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\+\d{1,3}-\d{3}-\d{3,4}(-\d{3,4})?', '<PHONE>', 'g')
+       ) AS scrub_hash,
+       len(regexp_extract_all(t,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+       len(regexp_extract_all(t,
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+       len(regexp_extract_all(t,
+           '\+\d{1,3}-\d{3}-\d{3,4}(-\d{3,4})?')) AS n_phone
+FROM injected
+"""
+
+
 # -- simhash -----------------------------------------------------------------
 
 def q_dedup_simhash(spark, sf_dir):
@@ -726,6 +789,7 @@ PIPELINE_QUERIES = {
     "dedup_lsh_pairs": (q_dedup_lsh_pairs, ORACLE_DEDUP_LSH),
     "dedup_incremental": (q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
     "dedup_lsh_verified": (q_dedup_lsh_verified, ORACLE_DEDUP_LSH_VERIFIED),
+    "pii_scrub": (q_pii_scrub, ORACLE_PII_SCRUB),
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "dedup_simhash": (q_dedup_simhash, ORACLE_DEDUP_SIMHASH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_NGRAM_JACCARD),

@@ -1,0 +1,35 @@
+"""PII scrubbing (pipeline/text.py pii_scrub): redaction order,
+counts, and non-PII preservation."""
+
+from __future__ import annotations
+
+
+def test_pii_scrub_cases(spark):
+    from m3_spark.pipeline.text import pii_scrub
+
+    cases = [
+        # (text, scrubbed, n_email, n_ipv4, n_phone)
+        ("plain text with no pii at all", "plain text with no pii at all",
+         0, 0, 0),
+        ("a@b.co and c.d+e@f-g.example.com twice",
+         "<EMAIL> and <EMAIL> twice", 2, 0, 0),
+        ("ips 10.0.0.1 192.168.255.254 end", "ips <IP> <IP> end", 0, 2, 0),
+        ("call +1-555-0123 or +44-202-555-0456",
+         "call <PHONE> or <PHONE>", 0, 0, 2),
+        # version strings with three octets are NOT IPv4
+        ("version 1.2.3 stays", "version 1.2.3 stays", 0, 0, 0),
+        # an email whose domain looks IP-ish is eaten by the EMAIL
+        # pass first, never half-redacted by the IP pass
+        ("x@1.2.3.example.org ok", "<EMAIL> ok", 1, 0, 0),
+        ("mixed bob@ex.io at 8.8.8.8 dial +1-555-000", 
+         "mixed <EMAIL> at <IP> dial <PHONE>", 1, 1, 1),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, *_rest) in enumerate(cases)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    for i, (text, want, ne, ni, np_) in enumerate(cases):
+        r = got[i]
+        assert r["text_scrubbed"] == want, (text, r["text_scrubbed"])
+        assert (r["n_email"], r["n_ipv4"], r["n_phone"]) == (ne, ni, np_), text
