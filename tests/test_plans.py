@@ -331,3 +331,16 @@ def test_incremental_dedup_reads_corpus_from_signature_table(spark):
     txt = _formatted(df)
     # the new-batch filter reaches the documents scan
     assert "PushedFilters" in txt
+
+
+def test_lsh_verified_and_pii_scan_budgets(spark):
+    """dedup_lsh_verified: the corpus text feeds the LSH candidate
+    traversal; the verify side reads the checkpointed shingle-hash
+    frame, so the FINAL plan holds exactly one documents scan.
+    pii_scrub is a single-pass projection — one scan, nothing else."""
+    from m3_spark.queries_pipeline import q_dedup_lsh_verified, q_pii_scrub
+
+    assert _plan(
+        q_dedup_lsh_verified(spark, SF_DIR)
+    ).count("documents.parquet") == 1
+    assert _plan(q_pii_scrub(spark, SF_DIR)).count("documents.parquet") == 1
