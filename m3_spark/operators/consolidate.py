@@ -119,6 +119,7 @@ def consolidate_sparse(
     end,
     step_s: float,
     lookback_s: float = DEFAULT_LOOKBACK,
+    dims: DataFrame | None = None,
 ) -> DataFrame:
     """Sparse consolidation: same take-last semantics, but emits only
     the (series, step) rows where a value is present.
@@ -130,6 +131,17 @@ def consolidate_sparse(
     O(|samples| x (thr/step + 1)) with a single groupBy shuffle —
     independent of series-count x step-count, so on sparse data it
     beats the dense probe grid by orders of magnitude at scale.
+
+    ``dims``: optional (series_id, name, tags) dictionary frame (e.g.
+    ``read_series_dict`` over a namespace's ingest-maintained dict
+    table).  When given, the name/tags re-attach reads THAT instead of
+    re-aggregating the fact scan — the fact table is then read with
+    ReadSchema (series_id, ts, value) only, skipping the tags map
+    bytes entirely (at 100 TB the tags column dominates scan I/O, and
+    the reference likewise resolves tags from its index, not the
+    fileset — ``src/dbnode/storage/index``).  Extra series in the
+    dict are harmless (inner join keeps only series present in the
+    window).
 
     Equivalent to ``consolidate`` for every consumer that ignores
     stale rows (aggregations, topk, binaries, absent-via-steps);
@@ -176,9 +188,12 @@ def consolidate_sparse(
     vals = expanded.groupBy("series_id", "k").agg(
         F.expr("max_by(value, t_us)").alias("value"),
     )
-    dims = pruned.groupBy("series_id").agg(
-        F.first("name").alias("name"), F.first("tags").alias("tags")
-    )
+    if dims is None:
+        dims = pruned.groupBy("series_id").agg(
+            F.first("name").alias("name"), F.first("tags").alias("tags")
+        )
+    else:
+        dims = dims.select("series_id", "name", "tags")
     return vals.join(dims, "series_id").select(
         F.timestamp_micros(
             F.lit(start_us) + F.col("k") * F.lit(step_us)

@@ -70,6 +70,58 @@ def q_namespace_bucketed_rate(spark, sf_dir):
 # thr = max(lookback, step) = lookback branch, where a sample can
 # satisfy several consecutive steps — the coarse steps only ever hit
 # thr = step (r06 verdict item 5)
+def q_namespace_dict_sum_by(spark, sf_dir):
+    """Consolidated sum-by over a namespace table with the name/tags
+    re-attach served from the ingest-maintained SERIES DICTIONARY
+    (``write_series_dict`` / ``consolidate_sparse(dims=...)``): the
+    fact scan reads only (series_id, ts, value) — the tags map bytes,
+    the dominant scan I/O at 100 TB, never leave parquet (reference
+    analog: tags live in the inverted index, not the fileset —
+    ``src/dbnode/storage/index``).  Oracle restates the consolidation
+    directly over the events table, so a dict/fact mismatch or a
+    stale dict entry hash-mismatches."""
+    from .operators.consolidate import consolidate_sparse
+    from .sources.namespace import (
+        read_namespace,
+        read_series_dict,
+        write_namespace,
+        write_series_dict,
+    )
+
+    _table, path = _scratch("ns_dict_sum", sf_dir)
+    samples = read_samples(spark, sf_dir)
+    write_namespace(samples, path, bucket_count=8, mode="overwrite")
+    write_series_dict(samples, path)
+    back = read_namespace(spark, path)
+    g = consolidate_sparse(
+        back, START, END, STEP_S, 300,
+        dims=read_series_dict(spark, path),
+    )
+    return (
+        g.select(
+            F.unix_timestamp("step_ts").alias("step_s"),
+            F.col("tags").getItem("event_type").alias("event_type"),
+            "value",
+        )
+        .groupBy("step_s", "event_type")
+        .agg(F.round(F.sum("value"), 6).alias("value"))
+    )
+
+
+ORACLE_NAMESPACE_DICT_SUM_BY = """
+SELECT CAST(epoch(step_ts) AS BIGINT) AS step_s, event_type,
+       ROUND(SUM(v), 6) AS value
+FROM (
+  SELECT s.step_ts, e.event_type, e.user_id, arg_max(e.value, e.ts) AS v
+  FROM (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+        TIMESTAMP '2024-01-08 00:00:00', INTERVAL 3600 SECOND)) AS step_ts) s
+  JOIN events e
+    ON e.ts <= s.step_ts AND e.ts >= s.step_ts - INTERVAL 3600 SECOND
+  GROUP BY 1, 2, 3
+) lastv GROUP BY 1, 2
+"""
+
+
 _SWEEP_STEPS = (60, 1800, 3600, 7200)
 
 
@@ -261,6 +313,10 @@ GROUP BY 1, 2
         "namespace_bucketed_rate": (
             q_namespace_bucketed_rate,
             oracle_bucketed,
+        ),
+        "namespace_dict_sum_by": (
+            q_namespace_dict_sum_by,
+            ORACLE_NAMESPACE_DICT_SUM_BY,
         ),
         "promql_range_steps": (
             q_promql_range_steps,

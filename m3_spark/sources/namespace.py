@@ -164,6 +164,44 @@ def compact_namespace(
     )
 
 
+def write_series_dict(samples: DataFrame, path: str) -> None:
+    """Materialize the namespace's series dictionary — one row per
+    series_id with its name/tags — the analog of the reference's
+    inverted index storing tags ONCE per series rather than per sample
+    (``src/dbnode/storage/index``; the fileset stores encoded values,
+    the index owns the tags).  Consumers pass ``read_series_dict``
+    output as ``consolidate_sparse(dims=...)`` so fact scans read only
+    (series_id, ts, value) and never the per-row tags bytes.
+
+    The dict lives under ``<namespace>/_series_dict`` — the underscore
+    prefix keeps it invisible to the namespace table's own partition
+    discovery.  Idempotent merge: re-running over a new batch unions
+    with the existing dict and keeps one row per series."""
+    import os
+
+    spark = samples.sparkSession
+    dict_path = os.path.join(path, "_series_dict")
+    fresh = samples.groupBy("series_id").agg(
+        F.first("name").alias("name"), F.first("tags").alias("tags")
+    )
+    if os.path.exists(dict_path):
+        old = spark.read.parquet(dict_path)
+        fresh = (
+            old.unionByName(fresh)
+            .groupBy("series_id")
+            .agg(F.first("name").alias("name"), F.first("tags").alias("tags"))
+        )
+        # the union reads the dir being overwritten — cut lineage first
+        fresh = fresh.localCheckpoint()
+    fresh.write.mode("overwrite").parquet(dict_path)
+
+
+def read_series_dict(spark: SparkSession, path: str) -> DataFrame:
+    import os
+
+    return spark.read.parquet(os.path.join(path, "_series_dict"))
+
+
 def compact_namespace_bucketed(
     spark: SparkSession, table: str, date_bucket: str
 ) -> int:

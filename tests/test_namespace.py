@@ -283,3 +283,65 @@ def test_holt_winters_single_source_scan(spark, tmp_path):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan") == 0, plan
+
+
+def test_series_dict_prunes_tags_from_fact_scan(spark, tmp_path):
+    """consolidate_sparse(dims=read_series_dict(...)): the name/tags
+    re-attach reads the ingest-maintained dictionary, so the FACT scan
+    reads only (series_id, ts, value) — the tags map bytes (the
+    dominant scan I/O at scale) never leave parquet.  Results are
+    identical to the self-aggregating path; the dict merge is
+    idempotent across batches."""
+    from m3_spark.operators.consolidate import consolidate_sparse
+    from m3_spark.sources.namespace import (
+        read_namespace,
+        read_series_dict,
+        write_namespace,
+        write_series_dict,
+    )
+
+    rows = [
+        ("m", {"k": str(i), "pad": "x" * 20}, T0 + 30 * j, float(i + j))
+        for i in range(5)
+        for j in range(20)
+    ]
+    samples = make_samples(spark, rows)
+    path = str(tmp_path / "nsd")
+    write_namespace(samples, path, bucket_count=2)
+    write_series_dict(samples, path)
+    # second batch: same series again + one new series — merge keeps
+    # one row per series
+    batch2 = make_samples(
+        spark, [("m", {"k": "99", "pad": "y"}, T0 + 60, 1.0)]
+    )
+    write_series_dict(batch2, path)
+    sdict = read_series_dict(spark, path)
+    assert sdict.count() == 6
+    assert sdict.select("series_id").distinct().count() == 6
+
+    back = read_namespace(spark, path)
+    fast = consolidate_sparse(
+        back, T0 + 300, T0 + 540, 60, 300, dims=sdict
+    )
+    slow = consolidate_sparse(back, T0 + 300, T0 + 540, 60, 300)
+    a = sorted(
+        (r["series_id"], r["step_ts"], r["value"], r["tags"]["k"])
+        for r in fast.collect()
+    )
+    b = sorted(
+        (r["series_id"], r["step_ts"], r["value"], r["tags"]["k"])
+        for r in slow.collect()
+    )
+    assert a == b and len(a) > 0
+
+    # the fact-table scan must NOT read the tags column: fact scans
+    # are the ones reading ts; none of them may also read tags (the
+    # dict scan reads tags but no ts).  Keyed on ReadSchema because
+    # Spark truncates the Location path mid-line.
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.split("\n") if "FileScan" in ln]
+    fact_scans = [ln for ln in scans if "ts:timestamp" in ln.split("ReadSchema:")[-1]]
+    assert fact_scans, plan
+    assert all(
+        "tags" not in ln.split("ReadSchema:")[-1] for ln in fact_scans
+    ), plan
