@@ -384,18 +384,19 @@ def _holt_winters_kernel(
 def holt_winters(
     samples: DataFrame, range_s: float, start, end, step_s: float,
     sf: float, tf: float, assume_clustered: bool = False,
+    dims: DataFrame | None = None,
 ) -> DataFrame:
     """holt_winters via the shared mapInPandas series runner."""
     return _run_series_kernel(
         samples, range_s, start, end, step_s,
         lambda t, v, st, r: _holt_winters_kernel(t, v, st, r, sf, tf),
-        assume_clustered=assume_clustered,
+        assume_clustered=assume_clustered, dims=dims,
     )
 
 
 def rate(
     samples: DataFrame, kind: str, range_s: float, start, end, step_s: float,
-    assume_clustered: bool = False,
+    assume_clustered: bool = False, dims: DataFrame | None = None,
 ) -> DataFrame:
     """rate/increase/delta/irate/idelta (v[range]) on the step grid.
 
@@ -407,13 +408,13 @@ def rate(
     return _run_series_kernel(
         samples, range_s, start, end, step_s,
         lambda t, v, st, r: kernel(t, v, st, r, kind),
-        assume_clustered=assume_clustered,
+        assume_clustered=assume_clustered, dims=dims,
     )
 
 
 def _run_series_kernel(
     samples: DataFrame, range_s: float, start, end, step_s: float, kernel,
-    assume_clustered: bool = False,
+    assume_clustered: bool = False, dims: DataFrame | None = None,
 ) -> DataFrame:
     """Shared mapInPandas runner: per-series numpy kernel evaluated at
     the step grid (see rate() docstring for the batching strategy)."""
@@ -516,9 +517,16 @@ def _run_series_kernel(
             .sortWithinPartitions("series_id", "ts")
             .mapInPandas(fn, out_schema)
         )
-    dims = pruned.groupBy("series_id").agg(
-        F.first("name").alias("name"), F.first("tags").alias("tags")
-    )
+    if dims is None:
+        dims = pruned.groupBy("series_id").agg(
+            F.first("name").alias("name"), F.first("tags").alias("tags")
+        )
+    else:
+        # ingest-maintained series dictionary (read_series_dict): the
+        # fact scan then reads only (series_id, ts, value) — tags
+        # never leave parquet (same index/fileset split as the
+        # reference, src/dbnode/storage/index)
+        dims = dims.select("series_id", "name", "tags")
     return res.join(F.broadcast(dims), "series_id").select(
         "step_ts", "name", "tags", "series_id", "value"
     )

@@ -345,3 +345,55 @@ def test_series_dict_prunes_tags_from_fact_scan(spark, tmp_path):
     assert all(
         "tags" not in ln.split("ReadSchema:")[-1] for ln in fact_scans
     ), plan
+
+
+def test_rate_with_series_dict_prunes_tags(spark, tmp_path):
+    """rate(dims=read_series_dict(...)): same tags-pruning contract as
+    consolidate — the kernel's fact scan reads (series_id, ts, value)
+    only, values identical to the self-aggregating path.  Stacks with
+    the bucketed zero-shuffle tier (dict + assume_clustered)."""
+    from m3_spark.operators.temporal import rate
+    from m3_spark.sources.namespace import (
+        read_namespace_bucketed,
+        read_series_dict,
+        write_namespace_bucketed,
+        write_series_dict,
+    )
+
+    rows = [
+        ("m", {"k": str(i)}, T0 + 30 * j, float(j * (i + 1)))
+        for i in range(5)
+        for j in range(20)
+    ]
+    samples = make_samples(spark, rows)
+    path = str(tmp_path / "nsr")
+    write_namespace_bucketed(samples, "t_ns_dict_rate", path, 4)
+    write_series_dict(samples, path)
+    try:
+        back = read_namespace_bucketed(spark, "t_ns_dict_rate")
+        sdict = read_series_dict(spark, path)
+        fast = rate(
+            back, "rate", 300, T0 + 300, T0 + 600, 60,
+            assume_clustered=True, dims=sdict,
+        )
+        plan = fast._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning(series_id" not in plan, plan
+        scans = [ln for ln in plan.split("\n") if "FileScan" in ln]
+        fact = [ln for ln in scans if "ts:timestamp" in ln.split("ReadSchema:")[-1]]
+        assert fact, plan
+        assert all(
+            "tags" not in ln.split("ReadSchema:")[-1] for ln in fact
+        ), plan
+
+        slow = rate(samples, "rate", 300, T0 + 300, T0 + 600, 60)
+        a = sorted(
+            (r["series_id"], r["step_ts"], round(r["value"], 9), r["tags"]["k"])
+            for r in fast.collect()
+        )
+        b = sorted(
+            (r["series_id"], r["step_ts"], round(r["value"], 9), r["tags"]["k"])
+            for r in slow.collect()
+        )
+        assert a == b and len(a) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ns_dict_rate")
