@@ -35,27 +35,41 @@ from .consolidate import prune_time, step_grid
 _US = 1_000_000
 
 
-def _probed(samples: DataFrame, start, end, step_s: float, range_s: float):
-    """Union raw samples with per-series probe rows at each step."""
+def _probed(
+    samples: DataFrame, start, end, step_s: float, range_s: float,
+    dims: DataFrame | None = None,
+):
+    """Union raw samples with per-series probe rows at each step.
+
+    Returns ``(u, dims)``: ``u`` is the NARROW windowing frame
+    (series_id, t_us, value, step_ts) — name/tags deliberately do not
+    ride through the window exchange+sort (per-row map bytes dominate
+    shuffle width on a real corpus); callers re-attach them from
+    ``dims`` AFTER the window via a broadcast join.  Pass ``dims``
+    (an ingest-maintained series dictionary, ``read_series_dict``) to
+    keep the fact scans tags-free entirely."""
     spark = samples.sparkSession
     pruned = prune_time(samples, start, end, range_s)
-    dims = pruned.groupBy("series_id").agg(
-        F.first("name").alias("name"), F.first("tags").alias("tags")
-    )
+    if dims is None:
+        dims = pruned.groupBy("series_id").agg(
+            F.first("name").alias("name"), F.first("tags").alias("tags")
+        )
+    else:
+        dims = dims.select("series_id", "name", "tags")
     steps = step_grid(spark, start, end, step_s)
-    probes = dims.crossJoin(F.broadcast(steps)).select(
-        "series_id", "name", "tags",
+    probes = dims.select("series_id").crossJoin(F.broadcast(steps)).select(
+        "series_id",
         F.unix_micros(F.col("step_ts")).alias("t_us"),
         F.lit(None).cast("double").alias("value"),
         F.col("step_ts"),
     )
     points = pruned.select(
-        "series_id", "name", "tags",
+        "series_id",
         F.unix_micros(F.col("ts")).alias("t_us"),
         "value",
         F.lit(None).cast("timestamp").alias("step_ts"),
     )
-    return points.unionByName(probes)
+    return points.unionByName(probes), dims
 
 
 def _range_window(range_s: float) -> Window:
@@ -114,17 +128,18 @@ def _over_time_col(func: str, w, param: float | None):
 def over_time(
     samples: DataFrame, func: str, range_s: float,
     start, end, step_s: float, param: float | None = None,
+    dims: DataFrame | None = None,
 ) -> DataFrame:
     """<func>_over_time(v[range]) evaluated on the step grid.
 
     Reference ``src/query/functions/temporal/aggregation.go:35-59``.
     Steps whose window holds no sample emit no row (stale).
     """
-    u = _probed(samples, start, end, step_s, range_s)
+    u, d = _probed(samples, start, end, step_s, range_s, dims)
     w = _range_window(range_s)
     val = _over_time_col(func, w, param)
     out = u.select(
-        "step_ts", "name", "tags", "series_id",
+        "step_ts", "series_id",
         val.alias("value"),
         F.count("value").over(w).alias("_n"),
     )
@@ -138,6 +153,8 @@ def over_time(
             & ~F.isnan(F.col("value"))
         )
         .drop("_n")
+        .join(F.broadcast(d), "series_id")
+        .select("step_ts", "name", "tags", "series_id", "value")
     )
 
 
@@ -153,18 +170,21 @@ def over_time_multi(
     Same per-step window semantics as :func:`over_time`
     (``src/query/functions/temporal/aggregation.go:35-59``).
     """
-    u = _probed(samples, start, end, step_s, range_s)
+    u, d = _probed(samples, start, end, step_s, range_s)
     w = _range_window(range_s)
     cols = [
         _over_time_col(func, w, quantile).alias(f"{func}_ot") for func in funcs
     ]
     out = u.select(
-        "step_ts", "name", "tags", "series_id", *cols,
+        "step_ts", "series_id", *cols,
         F.count("value").over(w).alias("_n"),
     )
+    ot_names = [f"{func}_ot" for func in funcs]
     return (
         out.where(F.col("step_ts").isNotNull() & (F.col("_n") > 0))
         .drop("_n")
+        .join(F.broadcast(d), "series_id")
+        .select("step_ts", "name", "tags", "series_id", *ot_names)
     )
 
 
@@ -179,7 +199,7 @@ def resets_or_changes(
     that crosses the window's left edge.  max_by/min_by over the RANGE
     window pick the cum values at the window edges.
     """
-    u = _probed(samples, start, end, step_s, range_s)
+    u, d = _probed(samples, start, end, step_s, range_s)
     ws = Window.partitionBy("series_id").orderBy("t_us", F.col("step_ts").isNotNull())
     prev = F.lag("value").over(ws)
     if kind == "resets":
@@ -207,16 +227,20 @@ def resets_or_changes(
     )
     w = _range_window(range_s)
     both = pts.select(probes.columns).unionByName(probes)
-    sample_t = F.when(F.col("value").isNotNull(), F.col("t_us"))
     out = both.select(
-        "step_ts", "name", "tags", "series_id",
+        "step_ts", "series_id",
         (
             F.expr("max_by(_cum, CASE WHEN value IS NOT NULL THEN t_us END)").over(w)
             - F.expr("min_by(_cum, CASE WHEN value IS NOT NULL THEN t_us END)").over(w)
         ).cast("double").alias("value"),
         F.count("value").over(w).alias("_n"),
     )
-    return out.where(F.col("step_ts").isNotNull() & (F.col("_n") > 0)).drop("_n")
+    return (
+        out.where(F.col("step_ts").isNotNull() & (F.col("_n") > 0))
+        .drop("_n")
+        .join(F.broadcast(d), "series_id")
+        .select("step_ts", "name", "tags", "series_id", "value")
+    )
 
 
 def deriv(
@@ -231,24 +255,26 @@ def deriv(
     equivalently predict = intercept + slope * (t + offset) with x
     anchored at epoch — identical by linearity.
     """
-    u = _probed(samples, start, end, step_s, range_s)
+    u, d = _probed(samples, start, end, step_s, range_s)
     w = _range_window(range_s)
-    x = (F.col("t_us").cast("double") / F.lit(1e6))
     slope = F.expr("regr_slope(value, t_us / 1e6)").over(w)
     out = u.select(
-        "step_ts", "name", "tags", "series_id", "t_us",
+        "step_ts", "series_id", "t_us",
         slope.alias("_slope"),
         F.expr("regr_intercept(value, t_us / 1e6)").over(w).alias("_icept"),
         F.count("value").over(w).alias("_n"),
     ).where(F.col("step_ts").isNotNull() & (F.col("_n") >= 2))
     if predict_offset_s is None:
-        return out.select(
-            "step_ts", "name", "tags", "series_id", F.col("_slope").alias("value")
+        val = F.col("_slope").alias("value")
+    else:
+        t_eval = (
+            F.col("t_us").cast("double") / F.lit(1e6)
+            + F.lit(float(predict_offset_s))
         )
-    t_eval = F.col("t_us").cast("double") / F.lit(1e6) + F.lit(float(predict_offset_s))
-    return out.select(
-        "step_ts", "name", "tags", "series_id",
-        (F.col("_icept") + F.col("_slope") * t_eval).alias("value"),
+        val = (F.col("_icept") + F.col("_slope") * t_eval).alias("value")
+    return (
+        out.join(F.broadcast(d), "series_id")
+        .select("step_ts", "name", "tags", "series_id", val)
     )
 
 

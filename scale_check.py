@@ -171,6 +171,31 @@ def main() -> None:
             F.sum("value")
         )
 
+    def q_rate_sum_bucketed_dict(_):
+        # the full 100 TB configuration: bucketed scan (zero-shuffle
+        # kernel) + ingest-maintained series dictionary (fact scan
+        # reads only series_id/ts/value — tags never leave parquet)
+        from m3_spark.sources.namespace import (
+            read_namespace_bucketed,
+            read_series_dict,
+            write_series_dict,
+        )
+
+        dict_root = os.path.join(SCRATCH, "ns_bucketed")
+        if not os.path.exists(os.path.join(dict_root, "_series_dict")):
+            write_series_dict(samples, dict_root)
+        b = read_namespace_bucketed(
+            spark, "scale_ns_bucketed", start="2023-12-31", end="2024-01-02"
+        )
+        r = rate(
+            b, "rate", 6 * 3600, T0, "2024-01-02 00:00:00", 60,
+            assume_clustered=True,
+            dims=read_series_dict(spark, dict_root),
+        )
+        return r.groupBy("step_ts", F.col("tags").getItem("event_type")).agg(
+            F.sum("value")
+        )
+
     def q_topk(_):
         g = consolidate_sparse(samples, T0, end_7d, 3600, 300)
         return topk(g, 10)
@@ -240,6 +265,7 @@ def main() -> None:
         "sum_by_7d_1h": q_sum_by,
         "rate_sum_24h_1m": q_rate_sum,
         "rate_sum_24h_bucketed": q_rate_sum_bucketed,
+        "rate_sum_24h_bucketed_dict": q_rate_sum_bucketed_dict,
         "topk_7d_1h": q_topk,
         "sum_over_time_24h": q_over_time,
         "dedup_lsh": q_dedup_lsh,
