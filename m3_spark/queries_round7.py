@@ -122,6 +122,62 @@ FROM (
 """
 
 
+def q_namespace_indexed_fetch(spark, sf_dir):
+    """The full index-assisted read path, end to end: matchers are
+    evaluated on the SERIES DICTIONARY (``fetch_indexed`` — the
+    postings-list analog: |series| rows, not |samples|), the fact
+    table is left-semi joined on the surviving series_ids, and the
+    dims re-attach also reads the dictionary — so the fact scan is
+    both FILTERED by the index and free of tags bytes.  Reference:
+    ``src/dbnode/storage/index`` resolves postings, filesets serve
+    only the matched series' blocks."""
+    from .functions.metadata import fetch_indexed
+    from .operators.consolidate import consolidate_sparse
+    from .sources.namespace import (
+        read_namespace,
+        read_series_dict,
+        write_namespace,
+        write_series_dict,
+    )
+
+    _table, path = _scratch("ns_idx_fetch", sf_dir)
+    samples = read_samples(spark, sf_dir)
+    write_namespace(samples, path, bucket_count=8, mode="overwrite")
+    write_series_dict(samples, path)
+    sdict = read_series_dict(spark, path)
+    back = read_namespace(spark, path)
+    sel = fetch_indexed(
+        back, sdict, [("=", "event_type", "click"), ("!=", "user_id", "")]
+    )
+    g = consolidate_sparse(sel, START, END, STEP_S, 300, dims=sdict)
+    return (
+        g.select(
+            F.unix_timestamp("step_ts").alias("step_s"),
+            "value",
+        )
+        .groupBy("step_s")
+        .agg(
+            F.count("*").cast("bigint").alias("n_series"),
+            F.round(F.sum("value"), 6).alias("value"),
+        )
+    )
+
+
+ORACLE_NAMESPACE_INDEXED_FETCH = """
+SELECT CAST(epoch(step_ts) AS BIGINT) AS step_s,
+       COUNT(*) AS n_series, ROUND(SUM(v), 6) AS value
+FROM (
+  SELECT s.step_ts, e.user_id, arg_max(e.value, e.ts) AS v
+  FROM (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+        TIMESTAMP '2024-01-08 00:00:00', INTERVAL 3600 SECOND)) AS step_ts) s
+  JOIN events e
+    ON e.ts <= s.step_ts AND e.ts >= s.step_ts - INTERVAL 3600 SECOND
+  WHERE e.event_type = 'click'
+  GROUP BY 1, 2
+) lastv GROUP BY 1
+"""
+
+
 _SWEEP_STEPS = (60, 1800, 3600, 7200)
 
 
@@ -317,6 +373,10 @@ GROUP BY 1, 2
         "namespace_dict_sum_by": (
             q_namespace_dict_sum_by,
             ORACLE_NAMESPACE_DICT_SUM_BY,
+        ),
+        "namespace_indexed_fetch": (
+            q_namespace_indexed_fetch,
+            ORACLE_NAMESPACE_INDEXED_FETCH,
         ),
         "promql_range_steps": (
             q_promql_range_steps,
