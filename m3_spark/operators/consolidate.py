@@ -209,6 +209,7 @@ def consolidate(
     step_s: float,
     lookback_s: float = DEFAULT_LOOKBACK,
     keep_sample_ts: bool = False,
+    dims: DataFrame | None = None,
 ) -> DataFrame:
     """Consolidate raw samples onto the step grid.
 
@@ -230,9 +231,14 @@ def consolidate(
 
     # distinct on series_id (map columns can't be set-operation keys;
     # series_id is injective over (name, tags) anyway — map-side combine).
-    dims = pruned.groupBy("series_id").agg(
-        F.first("name").alias("name"), F.first("tags").alias("tags")
-    )
+    # An ingest-maintained series dictionary (dims=) replaces this
+    # self-aggregate, keeping the fact scan tags-free.
+    if dims is None:
+        dims = pruned.groupBy("series_id").agg(
+            F.first("name").alias("name"), F.first("tags").alias("tags")
+        )
+    else:
+        dims = dims.select("series_id", "name", "tags")
     steps = step_grid(spark, start, end, step_s)
     probes = dims.crossJoin(F.broadcast(steps)).select(
         "series_id",
