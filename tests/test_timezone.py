@@ -118,3 +118,37 @@ def test_timestamp_encoding_robustness(spark, tmp_path):
     assert want[0][1] == base  # µs precision preserved
     for variant, rows_ in got.items():
         assert rows_ == want, variant
+
+
+def test_namespace_dict_entry_matches_oracle_after_tz_flip(ny_session, sf_dir):
+    """The round-7 namespace entries build a scratch table, a series
+    dictionary, and a step grid from timestamp literals — the whole
+    write+read+consolidate chain must survive a non-UTC ambient
+    session."""
+    import __spark_entry__ as e
+
+    fn = e.queries()["namespace_dict_sum_by"]
+    sql = e.oracle_sql()["namespace_dict_sum_by"]
+    sdf = fn(ny_session, sf_dir)
+    scols = sorted(sdf.columns)
+    srows = sorted(
+        tuple(
+            round(r[c], 6) if isinstance(r[c], float) else r[c]
+            for c in scols
+        )
+        for r in sdf.collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    ddf = con.execute(sql).fetchdf()
+    drows = sorted(
+        tuple(
+            round(v, 6) if isinstance(v, float) else v
+            for v in (getattr(row, c) for c in scols)
+        )
+        for row in ddf.itertuples(index=False)
+    )
+    assert srows == drows
