@@ -52,6 +52,11 @@ class Context:
     end: object
     step_s: float
     lookback_s: float = 300.0
+    #: optional ingest-maintained series dictionary (read_series_dict):
+    #: matchers then resolve on the dictionary (fetch_indexed, the
+    #: postings analog) and every consolidate/rate/over_time re-attach
+    #: reads it — fact scans stay (series_id, ts, value)-only
+    dims: DataFrame | None = None
 
 
 _TEMPORAL_OVER_TIME = {
@@ -73,6 +78,7 @@ _DATETIME_FUNCS = {
 def query_range(
     samples: DataFrame, q: str, start, end, step_s: float,
     lookback_s: float = 300.0, validate: bool = True,
+    dims: DataFrame | None = None,
 ) -> DataFrame:
     """Evaluate a PromQL range query → grid frame
     (step_ts, name?, tags, series_id?, value)).
@@ -84,7 +90,7 @@ def query_range(
     (post-aggregation, output-sized), not the raw scan, so its cost is
     bounded by the rows returned; pass False to skip it entirely.
     """
-    ctx = Context(samples, start, end, step_s, lookback_s)
+    ctx = Context(samples, start, end, step_s, lookback_s, dims)
     # conversion-LRU in front of the parser (plans/cache.py — the
     # promqlengine/cache.go analog); the AST is immutable, so cache
     # sharing across queries is safe
@@ -153,8 +159,16 @@ def _check_unique_labelsets(out: DataFrame) -> DataFrame:
 
 def _shifted(ctx: Context, sel: Selector) -> DataFrame:
     """Selector → filtered samples, with `offset` applied as a lazy
-    time shift (functions/lazy/base.go:34)."""
-    s = fetch(ctx.samples, list(sel.matchers))
+    time shift (functions/lazy/base.go:34).  With a series dictionary
+    on the context, matchers evaluate on the dictionary and the fact
+    table is semi-joined by series_id (fetch_indexed — the fact scan
+    never reads tags)."""
+    if ctx.dims is not None and sel.matchers:
+        from ..functions.metadata import fetch_indexed
+
+        s = fetch_indexed(ctx.samples, ctx.dims, list(sel.matchers))
+    else:
+        s = fetch(ctx.samples, list(sel.matchers))
     if sel.offset_s:
         s = s.withColumn(
             "ts", F.col("ts") + F.expr(f"INTERVAL {int(sel.offset_s)} SECONDS")
@@ -190,7 +204,7 @@ def _eval(e, ctx: Context):
             # reference supports @ only via its vendored engine)
             at = _resolve_at(e.at_s, ctx)
             inst = consolidate(
-                _shifted(ctx, e), at, at, 1, ctx.lookback_s
+                _shifted(ctx, e), at, at, 1, ctx.lookback_s, dims=ctx.dims
             ).where(F.col("value").isNotNull())
             steps = step_grid(
                 ctx.samples.sparkSession, ctx.start, ctx.end, ctx.step_s
@@ -201,7 +215,8 @@ def _eval(e, ctx: Context):
                 .select("step_ts", "name", "tags", "series_id", "value")
             )
         return consolidate(
-            _shifted(ctx, e), ctx.start, ctx.end, ctx.step_s, ctx.lookback_s
+            _shifted(ctx, e), ctx.start, ctx.end, ctx.step_s, ctx.lookback_s,
+            dims=ctx.dims,
         ).where(F.col("value").isNotNull())
         # stale steps emit NO row in a PromQL vector (the dense grid's
         # NULL rows are a consolidation-layer contract for fill-style
@@ -286,6 +301,7 @@ def _range_input(ctx: Context, arg) -> tuple[DataFrame, float]:
             _epoch_s(ctx.end) - arg.offset_s,
             sub_step,
             ctx.lookback_s,
+            ctx.dims,
         )
         inner = _eval(arg.expr, inner_ctx)
         if isinstance(inner, float):
@@ -430,17 +446,20 @@ def _eval_call_inner(e: Call, ctx: Context):
         )
     if f in _RATE_FUNCS:
         src, rng = _range_input(ctx, _range_sel(e, 0))
-        return rate(src, f, rng, ctx.start, ctx.end, ctx.step_s)
+        return rate(src, f, rng, ctx.start, ctx.end, ctx.step_s,
+                    dims=ctx.dims)
     if f in _TEMPORAL_OVER_TIME:
         src, rng = _range_input(ctx, _range_sel(e, 0))
         return over_time(
-            src, _TEMPORAL_OVER_TIME[f], rng, ctx.start, ctx.end, ctx.step_s
+            src, _TEMPORAL_OVER_TIME[f], rng, ctx.start, ctx.end, ctx.step_s,
+            dims=ctx.dims,
         )
     if f == "quantile_over_time":
         src, rng = _range_input(ctx, _range_sel(e, 1))
         return over_time(
             src, "quantile", rng,
             ctx.start, ctx.end, ctx.step_s, param=_eval(e.args[0], ctx),
+            dims=ctx.dims,
         )
     if f in ("resets", "changes"):
         src, rng = _range_input(ctx, _range_sel(e, 0))
@@ -531,7 +550,8 @@ def _eval_call_inner(e: Call, ctx: Context):
         src, rng = _range_input(ctx, sel)
         steps = step_grid(ctx.samples.sparkSession, ctx.start, ctx.end, ctx.step_s)
         present = (
-            over_time(src, "present", rng, ctx.start, ctx.end, ctx.step_s)
+            over_time(src, "present", rng, ctx.start, ctx.end, ctx.step_s,
+                      dims=ctx.dims)
             .select("step_ts")
             .distinct()
         )
@@ -564,7 +584,7 @@ def _eval_call_inner(e: Call, ctx: Context):
             # un-shift offset so the original sample time is reported
             grid = consolidate(
                 _shifted(ctx, arg), ctx.start, ctx.end, ctx.step_s,
-                ctx.lookback_s, keep_sample_ts=True,
+                ctx.lookback_s, keep_sample_ts=True, dims=ctx.dims,
             )
             return grid.withColumn(
                 "value",

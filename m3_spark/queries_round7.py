@@ -122,6 +122,47 @@ FROM (
 """
 
 
+def q_namespace_dict_promql(spark, sf_dir):
+    """A full PromQL TEXT query evaluated with a series dictionary on
+    the engine context (``query_range(dims=...)``): matchers resolve
+    on the dictionary (fetch_indexed), every consolidate/rate
+    re-attach reads it, and no fact scan touches the tags column —
+    pinned by tests/test_namespace.py.  Oracle: the flat-path rate
+    restatement summed by event_type (same as namespace_bucketed_rate),
+    so the dict-backed engine output is hash-identical to the
+    dict-less tiers."""
+    from .plans.engine import query_range
+    from .sources.namespace import (
+        read_namespace,
+        read_series_dict,
+        write_namespace,
+        write_series_dict,
+    )
+
+    _table, path = _scratch("ns_dict_pq", sf_dir)
+    samples = read_samples(spark, sf_dir)
+    write_namespace(samples, path, bucket_count=8, mode="overwrite")
+    write_series_dict(samples, path)
+    back = read_namespace(spark, path)
+    out = query_range(
+        back,
+        f'rate({{user_id=~".+"}}[{int(RANGE_S)}s])',
+        START, END, STEP_S,
+        dims=read_series_dict(spark, path),
+    )
+    # per-series 6-dp rounding BEFORE the sum, mirroring the oracle's
+    # per-series restatement (same shape as namespace_bucketed_rate)
+    return (
+        out.select(
+            F.unix_timestamp("step_ts").alias("step_s"),
+            F.col("tags").getItem("event_type").alias("event_type"),
+            F.round(F.col("value"), 6).alias("value"),
+        )
+        .groupBy("step_s", "event_type")
+        .agg(F.round(F.sum("value"), 6).alias("value"))
+    )
+
+
 def q_namespace_indexed_fetch(spark, sf_dir):
     """The full index-assisted read path, end to end: matchers are
     evaluated on the SERIES DICTIONARY (``fetch_indexed`` — the
@@ -377,6 +418,10 @@ GROUP BY 1, 2
         "namespace_indexed_fetch": (
             q_namespace_indexed_fetch,
             ORACLE_NAMESPACE_INDEXED_FETCH,
+        ),
+        "namespace_dict_promql": (
+            q_namespace_dict_promql,
+            oracle_bucketed,
         ),
         "promql_range_steps": (
             q_promql_range_steps,

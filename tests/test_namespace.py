@@ -397,3 +397,50 @@ def test_rate_with_series_dict_prunes_tags(spark, tmp_path):
         assert a == b and len(a) > 0
     finally:
         spark.sql("DROP TABLE IF EXISTS t_ns_dict_rate")
+
+
+def test_promql_engine_with_series_dict(spark, tmp_path):
+    """query_range(dims=...): matchers resolve on the dictionary
+    (fetch_indexed) and every re-attach reads it — for a full PromQL
+    text query over a namespace table, NO fact scan reads tags, and
+    results equal the dict-less evaluation."""
+    from m3_spark.plans.engine import query_range
+    from m3_spark.sources.namespace import (
+        read_namespace,
+        read_series_dict,
+        write_namespace,
+        write_series_dict,
+    )
+
+    rows = [
+        ("reqs", {"ep": ["a", "b"][i % 2], "u": str(i)}, T0 + 30 * j, float(i + j))
+        for i in range(6)
+        for j in range(20)
+    ]
+    samples = make_samples(spark, rows)
+    path = str(tmp_path / "nsq")
+    write_namespace(samples, path, bucket_count=2)
+    write_series_dict(samples, path)
+    back = read_namespace(spark, path)
+    sdict = read_series_dict(spark, path)
+
+    q = 'sum by (ep) (rate({ep=~"a|b"}[5m]))'
+    fast = query_range(back, q, T0 + 300, T0 + 600, 60, dims=sdict)
+    slow = query_range(back, q, T0 + 300, T0 + 600, 60)
+    a = sorted(
+        (r["step_ts"], r["tags"]["ep"], round(r["value"], 9))
+        for r in fast.collect()
+    )
+    b = sorted(
+        (r["step_ts"], r["tags"]["ep"], round(r["value"], 9))
+        for r in slow.collect()
+    )
+    assert a == b and len(a) > 0
+
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.split("\n") if "FileScan" in ln]
+    fact = [ln for ln in scans if "ts:timestamp" in ln.split("ReadSchema:")[-1]]
+    assert fact, plan
+    assert all(
+        "tags" not in ln.split("ReadSchema:")[-1] for ln in fact
+    ), plan
