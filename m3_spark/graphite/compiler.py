@@ -168,8 +168,15 @@ _CONTEXT_FUNCS = {
 def evaluate(
     samples: DataFrame, target: str, start, end, step_s: float,
     lookback_s: float | None = None,
+    dims: DataFrame | None = None,
 ) -> DataFrame:
-    """Compile + execute a render target over the samples frame."""
+    """Compile + execute a render target over the samples frame.
+
+    ``dims``: optional series dictionary (``read_series_dict``) — path
+    globs then match against the dictionary's name column and the fact
+    table is semi-joined by series_id, so the fact scan reads only
+    (series_id, ts, value); the consolidation re-attach reads the
+    dictionary too (same contract as query_range(dims=...))."""
     from pyspark.sql import functions as F
 
     from ..operators.consolidate import _epoch_s, consolidate_sparse, step_grid
@@ -208,8 +215,12 @@ def evaluate(
         if isinstance(node, LitNode):
             return node.value
         if isinstance(node, GlobNode):
-            sel = fetch_by_glob(samples, node.glob)
-            return consolidate_fn(sel, s, e, step_s, lookback_s)
+            if dims is not None:
+                keys = fetch_by_glob(dims, node.glob).select("series_id")
+                sel = samples.join(F.broadcast(keys), "series_id", "left_semi")
+            else:
+                sel = fetch_by_glob(samples, node.glob)
+            return consolidate_fn(sel, s, e, step_s, lookback_s, dims=dims)
         if isinstance(node, CallNode):
             if node.func in _CONTEXT_FUNCS:
                 return ev_ctx(node, s, e)

@@ -444,3 +444,51 @@ def test_promql_engine_with_series_dict(spark, tmp_path):
     assert all(
         "tags" not in ln.split("ReadSchema:")[-1] for ln in fact
     ), plan
+
+
+def test_graphite_compiler_with_series_dict(spark, tmp_path):
+    """graphite evaluate(dims=...): path globs match the dictionary's
+    name column, the fact table is semi-joined on series_id, and the
+    fact scan reads neither name nor tags — results identical to the
+    dict-less compile."""
+    import datetime as dt
+
+    from m3_spark.graphite.compiler import evaluate
+    from m3_spark.graphite.paths import paths_to_samples
+    from m3_spark.sources.namespace import (
+        read_namespace,
+        read_series_dict,
+        write_namespace,
+        write_series_dict,
+    )
+
+    rows = [
+        (f"servers.host{i}.cpu",
+         dt.datetime.fromtimestamp(T0 + 60 * j, dt.timezone.utc)
+         .replace(tzinfo=None),
+         float(i + j))
+        for i in range(4)
+        for j in range(15)
+    ]
+    paths = spark.createDataFrame(rows, "path string, ts timestamp, value double")
+    samples = paths_to_samples(paths)
+    path = str(tmp_path / "nsg")
+    write_namespace(samples, path, bucket_count=2)
+    write_series_dict(samples, path)
+    back = read_namespace(spark, path)
+    sdict = read_series_dict(spark, path)
+
+    target = 'sumSeries(servers.*.cpu)'
+    fast = evaluate(back, target, T0 + 300, T0 + 600, 60, 300, dims=sdict)
+    slow = evaluate(back, target, T0 + 300, T0 + 600, 60, 300)
+    a = sorted((r["step_ts"], round(r["value"], 9)) for r in fast.collect())
+    b = sorted((r["step_ts"], round(r["value"], 9)) for r in slow.collect())
+    assert a == b and len(a) > 0
+
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.split("\n") if "FileScan" in ln]
+    fact = [ln for ln in scans if "ts:timestamp" in ln.split("ReadSchema:")[-1]]
+    assert fact, plan
+    for ln in fact:
+        schema = ln.split("ReadSchema:")[-1]
+        assert "tags" not in schema and "name" not in schema, plan
