@@ -33,3 +33,66 @@ def test_pii_scrub_cases(spark):
         r = got[i]
         assert r["text_scrubbed"] == want, (text, r["text_scrubbed"])
         assert (r["n_email"], r["n_ipv4"], r["n_phone"]) == (ne, ni, np_), text
+
+
+def test_pii_scrub_dialect_parity_with_duckdb(spark):
+    """The battery oracle restates the PII patterns verbatim in
+    DuckDB (RE2); this differential sweeps a seeded corpus of
+    boundary-ish strings through BOTH engines and compares scrubbed
+    text + counts — any Java-regex/RE2 semantic drift in the patterns
+    breaks it here before it breaks the battery."""
+    import random
+
+    import duckdb
+
+    from m3_spark.pipeline.text import (
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        PII_PHONE_RE,
+        pii_scrub,
+    )
+
+    rng = random.Random(42)
+    atoms = [
+        "a@b.co", "x.y+z@sub.domain.org", "@nope", "user@", "a@b",
+        "10.0.0.1", "256.1.1.1", "1.2.3", "1.2.3.4.5", "999.999.999.999",
+        "+1-555-0123", "+44-202-555-0456", "+1-55-012", "1-555-0123",
+        "v1.2.3", "semver 10.20.30", "a@1.2.3.example.org",
+        "text", "dots...", "at @ sign", "+-+", "12345678901",
+    ]
+    texts = [
+        " ".join(rng.choice(atoms) for _ in range(rng.randint(1, 8)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["text_scrubbed"], r["n_email"], r["n_ipv4"], r["n_phone"]
+        )
+        for r in pii_scrub(df).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, ?)" for i in range(len(texts)))
+        + ") v(doc_id, text)",
+        texts,
+    )
+    q = f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{PII_IPV4_RE}', '<IP>', 'g'),
+             '{PII_PHONE_RE}', '<PHONE>', 'g') AS scrubbed,
+           len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS n_email,
+           len(regexp_extract_all(text, '{PII_IPV4_RE}')) AS n_ipv4,
+           len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS n_phone
+    FROM t
+    """
+    for doc_id, scrubbed, ne, ni, np_ in con.execute(q).fetchall():
+        assert got[doc_id] == (scrubbed, ne, ni, np_), (
+            texts[doc_id], got[doc_id], (scrubbed, ne, ni, np_)
+        )
