@@ -289,7 +289,11 @@ def ingest_stream_to_namespaces(
     (tests) or leave them continuous (production).
     """
     from ..streaming.aggregator import tumbling_aggregates
-    from .namespace import accept_write_window, write_namespace
+    from .namespace import (
+        accept_write_window,
+        write_namespace,
+        write_series_dict,
+    )
 
     queries = []
 
@@ -300,6 +304,11 @@ def ingest_stream_to_namespaces(
                 batch_df, now, buffer_past_s, buffer_future_s
             )
         write_namespace(accepted, unagg_path)
+        # keep the series dictionary complete BY CONSTRUCTION — the
+        # reference indexes a series before acking its first write
+        # (src/dbnode/storage/index insert queue); a dict missing a
+        # series would silently drop it from dims=-backed reads
+        write_series_dict(accepted, unagg_path)
 
     _write_unagg = idempotent_foreach_batch(
         f"{checkpoint_dir}/unagg_commits", _write_unagg

@@ -202,6 +202,21 @@ def read_series_dict(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(os.path.join(path, "_series_dict"))
 
 
+def series_dict_missing(samples: DataFrame, dims: DataFrame) -> DataFrame:
+    """Audit helper: series present in the fact frame but ABSENT from
+    the dictionary.  The ``dims=`` read paths inner-join the dict, so
+    a stale dictionary silently drops those series from results — the
+    ingest paths keep it complete by construction
+    (``ingest_stream_to_namespaces`` writes the dict per micro-batch,
+    the reference indexes before acking a write), and this check is
+    the operational backstop for out-of-band writers."""
+    return (
+        samples.select("series_id")
+        .distinct()
+        .join(dims.select("series_id"), "series_id", "left_anti")
+    )
+
+
 def compact_namespace_bucketed(
     spark: SparkSession, table: str, date_bucket: str
 ) -> int:

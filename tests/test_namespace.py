@@ -492,3 +492,46 @@ def test_graphite_compiler_with_series_dict(spark, tmp_path):
     for ln in fact:
         schema = ln.split("ReadSchema:")[-1]
         assert "tags" not in schema and "name" not in schema, plan
+
+
+def test_ingest_stream_maintains_series_dict(spark, tmp_path):
+    """The m3msg consume loop keeps the series dictionary complete by
+    construction: after the unagg sink drains, every ingested series
+    is in the dict (series_dict_missing is empty) and dims=-backed
+    reads see all of them."""
+    from m3_spark.sources.ingest import ingest_stream_to_namespaces
+    from m3_spark.sources.namespace import (
+        read_namespace,
+        read_series_dict,
+        series_dict_missing,
+    )
+
+    src_dir = tmp_path / "lines"
+    src_dir.mkdir()
+    (src_dir / "b1.txt").write_text(
+        "".join(
+            f"web.h{i}.cpu {float(i + j)} {T0 + 30 * j}\n"
+            for i in range(4)
+            for j in range(5)
+        )
+    )
+    from m3_spark.sources.ingest import kafka_payload_to_samples
+
+    raw = (
+        spark.readStream.format("text")
+        .schema("value string")
+        .load(str(src_dir))
+    )
+    stream = kafka_payload_to_samples(raw, "carbon")
+    unagg = str(tmp_path / "unagg")
+    qs = ingest_stream_to_namespaces(
+        stream, unagg, str(tmp_path / "ckpt")
+    )
+    for q in qs:
+        q.awaitTermination()
+
+    back = read_namespace(spark, unagg)
+    sdict = read_series_dict(spark, unagg)
+    assert back.count() == 20
+    assert sdict.count() == 4
+    assert series_dict_missing(back, sdict).count() == 0
