@@ -216,11 +216,17 @@ def evaluate(
             return node.value
         if isinstance(node, GlobNode):
             if dims is not None:
-                keys = fetch_by_glob(dims, node.glob).select("series_id")
+                # Pass the GLOB-FILTERED dictionary downstream: dense
+                # consolidate builds its probe grid as dims x steps, so
+                # handing it the full dictionary would emit grid rows
+                # (and let fill functions materialize values) for every
+                # series in the namespace, not just the glob's matches.
+                gdims = fetch_by_glob(dims, node.glob)
+                keys = gdims.select("series_id")
                 sel = samples.join(F.broadcast(keys), "series_id", "left_semi")
-            else:
-                sel = fetch_by_glob(samples, node.glob)
-            return consolidate_fn(sel, s, e, step_s, lookback_s, dims=dims)
+                return consolidate_fn(sel, s, e, step_s, lookback_s, dims=gdims)
+            sel = fetch_by_glob(samples, node.glob)
+            return consolidate_fn(sel, s, e, step_s, lookback_s)
         if isinstance(node, CallNode):
             if node.func in _CONTEXT_FUNCS:
                 return ev_ctx(node, s, e)
@@ -251,7 +257,14 @@ def evaluate(
             glob = args[0]
             if not isinstance(glob, GlobNode):
                 raise ValueError("summarize requires a series glob")
-            raw = fetch_by_glob(samples, glob.glob)
+            if dims is not None:
+                gdims = fetch_by_glob(dims, glob.glob)
+                raw = samples.select("series_id", "ts", "value").join(
+                    F.broadcast(gdims.select("series_id", "name", "tags")),
+                    "series_id",
+                )
+            else:
+                raw = fetch_by_glob(samples, glob.glob)
             return gf.summarize(raw, interval, func)
         if f == "smartSummarize":
             grid = ev(args[0], s, e)

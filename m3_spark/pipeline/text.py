@@ -297,36 +297,66 @@ def chunk_documents(
 # -- PII scrubbing ------------------------------------------------------------
 
 #: dialect-portable patterns (identical semantics in Java regex and
-#: RE2, so the DuckDB oracle can restate them verbatim)
+#: RE2 — no lookaround, no backreferences — so the DuckDB oracle can
+#: restate them verbatim)
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+#: >=4 hex groups so times ("12:30:45") never match; also catches
+#: colon-separated MACs, which is intended (hardware IDs are PII)
+PII_IPV6_RE = r"\b(?:[0-9A-Fa-f]{1,4}:){3,7}[0-9A-Fa-f]{1,4}\b"
 PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PII_PHONE_RE = r"\+\d{1,3}-\d{3}-\d{3,4}(-\d{3,4})?"
+PII_SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
+#: card-number SHAPE (4x4 groups with -/space separators, or a bare
+#: 13-16 digit run).  Luhn isn't regex-expressible; a shape-only scrub
+#: over-redacts slightly, which is the right failure mode pre-training.
+PII_CC_RE = r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{1,4}\b|\b\d{13,16}\b"
+#: secret/token shapes: AWS access keys, GitHub tokens, Slack tokens,
+#: sk-style API keys, and bare 32-64 char lowercase-hex digests
+PII_APIKEY_RE = (
+    r"\b(?:AKIA[0-9A-Z]{16}|gh[pousr]_[A-Za-z0-9]{36}"
+    r"|xox[baprs]-[A-Za-z0-9-]{10,48}|sk-[A-Za-z0-9]{20,64}"
+    r"|[0-9a-f]{32,64})\b"
+)
+
+#: scrub order matters: emails before IPs (an IP-shaped email domain
+#: must be eaten whole), IPv6 before IPv4 (v4-in-v6 tails), phones/SSNs
+#: before card runs (separator-digit shapes overlap), keys last (hex
+#: runs can appear inside earlier tokens' raw text but never vice
+#: versa).  Each count is taken on the text AS IT STANDS before that
+#: pattern's own replacement, so a span consumed by an earlier pass is
+#: never double-counted: sum(n_*) == number of redaction tokens.
+PII_PASSES: list[tuple[str, str, str]] = [
+    ("n_email", PII_EMAIL_RE, "<EMAIL>"),
+    ("n_ipv6", PII_IPV6_RE, "<IPV6>"),
+    ("n_ipv4", PII_IPV4_RE, "<IP>"),
+    ("n_phone", PII_PHONE_RE, "<PHONE>"),
+    ("n_ssn", PII_SSN_RE, "<SSN>"),
+    ("n_cc", PII_CC_RE, "<CC>"),
+    ("n_apikey", PII_APIKEY_RE, "<KEY>"),
+]
 
 
 def pii_scrub(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Redact emails / IPv4 addresses / international-format phone
-    numbers and count each per document — the pre-training scrub pass.
-    Pure column expressions (regexp_count + chained regexp_replace,
-    whole-stage codegen): emails first (so an address is never
-    half-eaten by the IP pattern), then IPs, then phones.
+    """Redact emails / IPv6+IPv4 addresses / international-format
+    phone numbers / SSN-shaped ids / credit-card digit runs /
+    API-key-and-token shapes, counting each per document — the
+    pre-training scrub pass.  Pure column expressions (regexp_count +
+    chained regexp_replace, whole-stage codegen).
 
-    Returns (id, text_scrubbed, n_email, n_ipv4, n_phone)."""
+    Counts are PROGRESSIVE: each pattern is counted on the text after
+    all earlier passes ran, so the counts sum to the exact number of
+    redaction tokens inserted (no double-counting of overlapping
+    spans).
+
+    Returns (id, text_scrubbed, n_email, n_ipv6, n_ipv4, n_phone,
+    n_ssn, n_cc, n_apikey)."""
     t = F.col(text_col)
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
-            PII_IPV4_RE,
-            "<IP>",
-        ),
-        PII_PHONE_RE,
-        "<PHONE>",
-    )
+    counts = []
+    for name, pat, token in PII_PASSES:
+        counts.append(F.regexp_count(t, F.lit(pat)).alias(name))
+        t = F.regexp_replace(t, pat, token)
     return docs.select(
-        F.col(id_col),
-        scrubbed.alias("text_scrubbed"),
-        F.regexp_count(t, F.lit(PII_EMAIL_RE)).alias("n_email"),
-        F.regexp_count(t, F.lit(PII_IPV4_RE)).alias("n_ipv4"),
-        F.regexp_count(t, F.lit(PII_PHONE_RE)).alias("n_phone"),
+        F.col(id_col), t.alias("text_scrubbed"), *counts
     )

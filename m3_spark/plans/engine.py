@@ -586,6 +586,12 @@ def _eval_call_inner(e: Call, ctx: Context):
                 _shifted(ctx, arg), ctx.start, ctx.end, ctx.step_s,
                 ctx.lookback_s, keep_sample_ts=True, dims=ctx.dims,
             )
+            # Stale steps emit no row (instant-vector contract), and —
+            # with a dictionary on the context — neither do dictionary
+            # series the matcher never selected: dense consolidate
+            # grids every dims row, so without this filter each ghost
+            # series would surface one NULL-valued row per step.
+            grid = grid.where(F.col("value").isNotNull())
             return grid.withColumn(
                 "value",
                 F.col("sample_t_us").cast("double") / F.lit(1e6)

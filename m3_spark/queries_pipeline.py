@@ -205,10 +205,12 @@ WHERE ROUND(i.inter / (i.na + i.nb - i.inter), 6) >= 0.1
 
 def q_pii_scrub(spark, sf_dir):
     """PII scrub differential: deterministic synthetic PII (an email,
-    an IPv4, a phone per doc, derived from doc_id) is appended to each
-    document, then redacted and counted — the oracle re-derives the
-    injection AND the scrub in SQL, so pattern/count/replacement
-    drift all hash-mismatch.  The scrubbed text is compared via md5."""
+    an IPv6, an IPv4, a phone, an SSN-shaped id, a card number, and an
+    AWS-style key per doc, derived from doc_id) is appended to each
+    document, then redacted and progressively counted — the oracle
+    re-derives the injection AND the scrub-pass chain in SQL, so
+    pattern/count/replacement/pass-order drift all hash-mismatch.
+    The scrubbed text is compared via md5."""
     from .pipeline.text import pii_scrub
 
     docs = read_table(spark, sf_dir, "documents")
@@ -222,19 +224,37 @@ def q_pii_scrub(spark, sf_dir):
             (F.col("doc_id") % 250).cast("string"),
             F.lit(" call +1-555-"),
             F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" v6 2001:db8:1:"),
+            (F.col("doc_id") % 9000 + 1000).cast("string"),
+            F.lit(" ssn "),
+            (F.col("doc_id") % 900 + 100).cast("string"), F.lit("-"),
+            (F.col("doc_id") % 90 + 10).cast("string"), F.lit("-"),
+            (F.col("doc_id") % 9000 + 1000).cast("string"),
+            F.lit(" card 4111-"),
+            (F.col("doc_id") % 9000 + 1000).cast("string"),
+            F.lit("-1111-1111 key AKIA"),
+            F.lpad(did, 16, "0"),
         ).alias("text"),
     )
     out = pii_scrub(injected)
     return out.select(
         "doc_id",
         F.md5("text_scrubbed").alias("scrub_hash"),
-        F.col("n_email").cast("bigint").alias("n_email"),
-        F.col("n_ipv4").cast("bigint").alias("n_ipv4"),
-        F.col("n_phone").cast("bigint").alias("n_phone"),
+        *[
+            F.col(c).cast("bigint").alias(c)
+            for c in ("n_email", "n_ipv6", "n_ipv4", "n_phone",
+                      "n_ssn", "n_cc", "n_apikey")
+        ],
     )
 
 
-ORACLE_PII_SCRUB = r"""
+def _pii_oracle_sql() -> str:
+    """Oracle for ``pii_scrub``: the same pass chain as PII_PASSES,
+    restated as a CTE per pass so each count runs on the
+    progressively-scrubbed text exactly like the operator."""
+    from .pipeline.text import PII_PASSES
+
+    sql = r"""
 WITH injected AS (
   SELECT doc_id,
          text || ' contact user' || CAST(doc_id AS VARCHAR)
@@ -242,26 +262,38 @@ WITH injected AS (
               || CAST(doc_id % 200 AS VARCHAR) || '.0.'
               || CAST(doc_id % 250 AS VARCHAR)
               || ' call +1-555-'
-              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' v6 2001:db8:1:' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+              || ' ssn ' || CAST(doc_id % 900 + 100 AS VARCHAR)
+              || '-' || CAST(doc_id % 90 + 10 AS VARCHAR)
+              || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+              || ' card 4111-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+              || '-1111-1111 key AKIA'
+              || lpad(CAST(doc_id AS VARCHAR), 16, '0') AS t0
   FROM documents
-)
-SELECT doc_id,
-       md5(regexp_replace(
-             regexp_replace(
-               regexp_replace(t,
-                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-                 '<EMAIL>', 'g'),
-               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-             '\+\d{1,3}-\d{3}-\d{3,4}(-\d{3,4})?', '<PHONE>', 'g')
-       ) AS scrub_hash,
-       len(regexp_extract_all(t,
-           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
-       len(regexp_extract_all(t,
-           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
-       len(regexp_extract_all(t,
-           '\+\d{1,3}-\d{3}-\d{3,4}(-\d{3,4})?')) AS n_phone
-FROM injected
-"""
+)"""
+    prev, prev_col = "injected", "t0"
+    names = []
+    for i, (name, pat, token) in enumerate(PII_PASSES):
+        cur, cur_col = f"s{i + 1}", f"t{i + 1}"
+        keep = ", ".join(names)
+        sql += (
+            f",\n{cur} AS (\n  SELECT doc_id{', ' + keep if keep else ''},\n"
+            f"    len(regexp_extract_all({prev_col}, '{pat}')) AS {name},\n"
+            f"    regexp_replace({prev_col}, '{pat}', '{token}', 'g')"
+            f" AS {cur_col}\n  FROM {prev}\n)"
+        )
+        names.append(name)
+        prev, prev_col = cur, cur_col
+    sql += (
+        f"\nSELECT doc_id, md5({prev_col}) AS scrub_hash, "
+        + ", ".join(names)
+        + f"\nFROM {prev}"
+    )
+    return sql
+
+
+ORACLE_PII_SCRUB = _pii_oracle_sql()
 
 
 # -- simhash -----------------------------------------------------------------

@@ -237,13 +237,15 @@ def kafka_payload_to_samples(raw: DataFrame, payload_format: str = "carbon") -> 
 
 
 def idempotent_foreach_batch(commit_dir: str, write_fn):
-    """Make a foreachBatch writer exactly-once.  foreachBatch is
-    at-least-once: after a transient failure the same batch_id is
-    redelivered and a bare append double-writes.  A committed-batch
-    marker file (keyed by batch_id, written AFTER the append — the
-    same protocol as the parquet sink's commit log) lets the retry
-    skip already-committed batches, matching the exactly-once
-    semantics of the checkpointed parquet-sink branches."""
+    """At-least-once foreachBatch with redelivery dedup.  foreachBatch
+    redelivers the same batch_id after a transient failure and a bare
+    append double-writes; a committed-batch marker file (keyed by
+    batch_id, written AFTER the append) lets the retry skip batches
+    whose write fully completed.  This is NOT exactly-once: a crash
+    after ``write_fn`` appends but before the marker lands re-runs the
+    whole batch on redelivery — true exactly-once additionally needs
+    an idempotent ``write_fn`` (e.g. a per-batch-keyed partition
+    overwrite), which the plain append sinks here do not provide."""
     import os
 
     os.makedirs(commit_dir, exist_ok=True)
@@ -303,12 +305,14 @@ def ingest_stream_to_namespaces(
             accepted = accept_write_window(
                 batch_df, now, buffer_past_s, buffer_future_s
             )
-        write_namespace(accepted, unagg_path)
-        # keep the series dictionary complete BY CONSTRUCTION — the
-        # reference indexes a series before acking its first write
-        # (src/dbnode/storage/index insert queue); a dict missing a
-        # series would silently drop it from dims=-backed reads
+        # Dictionary BEFORE facts — the reference indexes a series
+        # before acking its first write (src/dbnode/storage/index
+        # insert queue).  In this order a crash between the two writes
+        # leaves an extra dict row (harmless: dims= joins are inner),
+        # while the reverse order would leave fact rows that
+        # dims=-backed reads silently drop.
         write_series_dict(accepted, unagg_path)
+        write_namespace(accepted, unagg_path)
 
     _write_unagg = idempotent_foreach_batch(
         f"{checkpoint_dir}/unagg_commits", _write_unagg

@@ -1,0 +1,173 @@
+"""Round-8 advice regressions: dims= ghost-series leaks on the dense
+paths, ingest index-before-ack ordering, and progressive PII counts
+(the last lives in test_pii_scrub.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from .conftest import make_samples
+from .test_consolidate import T0
+
+
+def _graphite_ns(spark, tmp_path):
+    from m3_spark.graphite.paths import paths_to_samples
+    from m3_spark.sources.namespace import (
+        read_namespace,
+        read_series_dict,
+        write_namespace,
+        write_series_dict,
+    )
+
+    rows = [
+        (name,
+         dt.datetime.fromtimestamp(T0 + 60 * j, dt.timezone.utc)
+         .replace(tzinfo=None),
+         float(i + j))
+        for i, name in enumerate(
+            ["servers.h0.cpu", "servers.h1.cpu", "other.unrelated.metric"]
+        )
+        for j in range(15)
+    ]
+    paths = spark.createDataFrame(
+        rows, "path string, ts timestamp, value double"
+    )
+    samples = paths_to_samples(paths)
+    path = str(tmp_path / "nsg")
+    write_namespace(samples, path, bucket_count=2)
+    write_series_dict(samples, path)
+    return read_namespace(spark, path), read_series_dict(spark, path)
+
+
+def test_graphite_dense_fill_with_dims_excludes_unrelated(spark, tmp_path):
+    """Dense-path targets (transformNull et al.) with dims= must grid
+    only the GLOB-matched series: the probe grid is built from the
+    dictionary, so an unfiltered dictionary would emit (and fill)
+    every namespace series — the advice-flagged leak reproduced
+    other.unrelated.metric in the render output."""
+    from m3_spark.graphite.compiler import evaluate
+
+    back, sdict = _graphite_ns(spark, tmp_path)
+    target = "transformNull(servers.*.cpu, 0)"
+    fast = evaluate(back, target, T0 + 300, T0 + 600, 60, 300, dims=sdict)
+    slow = evaluate(back, target, T0 + 300, T0 + 600, 60, 300)
+    names = {r["name"] for r in fast.select("name").distinct().collect()}
+    assert not any("unrelated" in n for n in names), names
+    a = sorted(
+        (r["name"], r["step_ts"], round(r["value"], 9))
+        for r in fast.collect()
+    )
+    b = sorted(
+        (r["name"], r["step_ts"], round(r["value"], 9))
+        for r in slow.collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_graphite_summarize_with_dims_narrow_fact_scan(spark, tmp_path):
+    """summarize()'s raw-fetch path with dims= resolves the glob on
+    the dictionary: results match the dict-less compile and the fact
+    scan reads neither name nor tags."""
+    from m3_spark.graphite.compiler import evaluate
+
+    back, sdict = _graphite_ns(spark, tmp_path)
+    target = 'summarize(servers.*.cpu, "5min", "sum")'
+    fast = evaluate(back, target, T0, T0 + 840, 60, 300, dims=sdict)
+    slow = evaluate(back, target, T0, T0 + 840, 60, 300)
+    a = sorted(
+        (r["name"], r["step_ts"], round(r["value"], 9))
+        for r in fast.collect()
+    )
+    b = sorted(
+        (r["name"], r["step_ts"], round(r["value"], 9))
+        for r in slow.collect()
+    )
+    assert a == b and len(a) > 0
+    assert not any("unrelated" in n for n, *_ in a), a
+
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.split("\n") if "FileScan" in ln]
+    fact = [ln for ln in scans if "ts:timestamp" in ln.split("ReadSchema:")[-1]]
+    assert fact, plan
+    for ln in fact:
+        schema = ln.split("ReadSchema:")[-1]
+        assert "tags" not in schema and "name" not in schema, plan
+
+
+def test_timestamp_with_dims_no_ghost_rows(spark, tmp_path):
+    """timestamp(selector) with a dictionary on the context: dense
+    consolidate grids every dims row, so unmatched dictionary series
+    surfaced one NULL-valued row per step before the fix.  The result
+    must carry only matcher-selected series, no NULL values, and
+    match the dict-less evaluation."""
+    from m3_spark.plans.engine import query_range
+    from m3_spark.sources.namespace import (
+        read_namespace,
+        read_series_dict,
+        write_namespace,
+        write_series_dict,
+    )
+
+    rows = [
+        (name, {"host": f"h{i}"}, T0 + 60 * j, float(i + j))
+        for i, name in enumerate(["http_requests", "http_requests", "ghost_metric"])
+        for j in range(10)
+    ]
+    samples = make_samples(spark, rows)
+    path = str(tmp_path / "nst")
+    write_namespace(samples, path, bucket_count=2)
+    write_series_dict(samples, path)
+    back = read_namespace(spark, path)
+    sdict = read_series_dict(spark, path)
+
+    q = "timestamp(http_requests)"
+    fast = query_range(back, q, T0 + 120, T0 + 420, 60, dims=sdict)
+    slow = query_range(back, q, T0 + 120, T0 + 420, 60)
+    rows_fast = fast.collect()
+    assert all(r["value"] is not None for r in rows_fast), rows_fast
+    assert not any(r["name"] == "ghost_metric" for r in rows_fast)
+    a = sorted(
+        (r["series_id"], r["step_ts"], r["value"]) for r in rows_fast
+    )
+    b = sorted(
+        (r["series_id"], r["step_ts"], r["value"]) for r in slow.collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_ingest_writes_dict_before_facts(spark, tmp_path, monkeypatch):
+    """Index-before-ack: the consume loop writes the series dictionary
+    BEFORE the fact append, so a crash between the two leaves a
+    harmless extra dict row, never fact rows that dims=-backed reads
+    silently drop."""
+    from m3_spark.sources import ingest as ingest_mod
+    from m3_spark.sources import namespace as ns_mod
+
+    calls: list[str] = []
+    real_dict, real_ns = ns_mod.write_series_dict, ns_mod.write_namespace
+    monkeypatch.setattr(
+        ns_mod, "write_series_dict",
+        lambda *a, **k: (calls.append("dict"), real_dict(*a, **k))[1],
+    )
+    monkeypatch.setattr(
+        ns_mod, "write_namespace",
+        lambda *a, **k: (calls.append("facts"), real_ns(*a, **k))[1],
+    )
+
+    src_dir = tmp_path / "lines"
+    src_dir.mkdir()
+    (src_dir / "b1.txt").write_text(
+        f"web.h0.cpu 1.0 {T0}\nweb.h1.cpu 2.0 {T0 + 30}\n"
+    )
+    raw = (
+        spark.readStream.format("text")
+        .schema("value string")
+        .load(str(src_dir))
+    )
+    stream = ingest_mod.kafka_payload_to_samples(raw, "carbon")
+    qs = ingest_mod.ingest_stream_to_namespaces(
+        stream, str(tmp_path / "unagg"), str(tmp_path / "ckpt")
+    )
+    for q in qs:
+        q.awaitTermination()
+    assert calls == ["dict", "facts"], calls
