@@ -48,10 +48,20 @@ def fetch_indexed(
 
 
 def label_names(
-    samples: DataFrame, matchers: Sequence[tuple[str, str, str]] = ()
+    samples: DataFrame, matchers: Sequence[tuple[str, str, str]] = (),
+    dims: DataFrame | None = None,
 ) -> DataFrame:
-    """/api/v1/labels: distinct tag keys over matching series."""
-    sel = fetch(samples, matchers) if matchers else samples
+    """/api/v1/labels: distinct tag keys over matching series.
+
+    ``dims``: an ingest-maintained series dictionary
+    (``read_series_dict``).  Metadata questions are |series|-sized;
+    with the dict they never touch the fact table at all — the
+    reference's postings-list reads
+    (``native/list_tags.go:47`` over the m3ninx index, not the
+    filesets).  Requires a GC'd dict (``prune_series_dict``) or
+    expired series' labels linger."""
+    src = dims if dims is not None else samples
+    sel = fetch(src, matchers) if matchers else src
     return (
         sel.select(F.explode(F.map_keys(F.col("tags"))).alias("label"))
         .distinct()
@@ -59,10 +69,13 @@ def label_names(
 
 
 def label_values(
-    samples: DataFrame, key: str, matchers: Sequence[tuple[str, str, str]] = ()
+    samples: DataFrame, key: str, matchers: Sequence[tuple[str, str, str]] = (),
+    dims: DataFrame | None = None,
 ) -> DataFrame:
-    """/api/v1/label/<k>/values."""
-    sel = fetch(samples, matchers) if matchers else samples
+    """/api/v1/label/<k>/values.  ``dims``: serve from the series
+    dictionary — |series| rows, zero fact I/O (see label_names)."""
+    src = dims if dims is not None else samples
+    sel = fetch(src, matchers) if matchers else src
     return (
         sel.select(F.col("tags").getItem(key).alias("value"))
         .where(F.col("value").isNotNull())
@@ -71,9 +84,14 @@ def label_values(
 
 
 def series_match(
-    samples: DataFrame, matchers: Sequence[tuple[str, str, str]]
+    samples: DataFrame, matchers: Sequence[tuple[str, str, str]],
+    dims: DataFrame | None = None,
 ) -> DataFrame:
-    """/api/v1/series: distinct matching series identities."""
+    """/api/v1/series: distinct matching series identities.  ``dims``:
+    the dictionary IS the distinct-series frame — matchers filter it
+    directly, no fact scan and no re-aggregation."""
+    if dims is not None:
+        return fetch(dims, matchers).select("series_id", "name", "tags")
     return series_dictionary(fetch(samples, matchers))
 
 
@@ -81,9 +99,12 @@ def complete_tags(
     samples: DataFrame,
     key_prefix: str = "",
     matchers: Sequence[tuple[str, str, str]] = (),
+    dims: DataFrame | None = None,
 ) -> DataFrame:
-    """complete_tags: (label, values[]) pairs, optional key prefix."""
-    sel = fetch(samples, matchers) if matchers else samples
+    """complete_tags: (label, values[]) pairs, optional key prefix.
+    ``dims``: serve from the series dictionary (see label_names)."""
+    src = dims if dims is not None else samples
+    sel = fetch(src, matchers) if matchers else src
     kv = sel.select(F.explode(F.col("tags")).alias("label", "value"))
     if key_prefix:
         kv = kv.where(F.col("label").startswith(key_prefix))

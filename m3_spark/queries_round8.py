@@ -1,0 +1,68 @@
+"""Round-8 battery additions.
+
+* ``namespace_dict_label_values``: metadata served from the series
+  dictionary AFTER a retention sweep with dictionary GC — the
+  |series|-sized postings-list read (zero fact I/O) with expired
+  series provably excluded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .model import read_samples
+from .queries_round7 import _scratch
+
+
+def q_namespace_dict_label_values(spark, sf_dir):
+    """label_values("user_id") served from the ingest-maintained
+    series dictionary after a retention sweep: ``prune_retention``
+    drops the expired date partitions AND GCs the dictionary
+    (``prune_series_dict`` — dict rows expire by their ingest-stamped
+    ``last_seen_bucket``, no fact scan, the reference's
+    segments-expire-with-blocks contract,
+    ``src/dbnode/storage/index.go``), then the metadata endpoint
+    answers from the dict alone (``native/list_tags.go:47``'s
+    postings-list read).  The oracle restates per-series last-seen
+    dates over the raw events table, so a ghost left in the dict or an
+    over-eager GC both hash-mismatch."""
+    from .functions.metadata import label_values
+    from .sources.namespace import (
+        prune_retention,
+        read_namespace,
+        read_series_dict,
+        write_namespace,
+        write_series_dict,
+    )
+
+    _table, path = _scratch("ns_dict_lv", sf_dir)
+    samples = read_samples(spark, sf_dir)
+    write_namespace(samples, path, bucket_count=8, mode="overwrite")
+    write_series_dict(samples, path)
+    # now = 2024-01-31, retention 3d → partitions <= 2024-01-27 drop,
+    # dict keeps series last seen >= 2024-01-28
+    prune_retention(path, 3 * 86400, "2024-01-31T00:00:00", spark=spark)
+    back = read_namespace(spark, path)
+    sdict = read_series_dict(spark, path)
+    return (
+        label_values(back, "user_id", dims=sdict)
+        .select(F.col("value").cast("bigint").alias("user_id"))
+    )
+
+
+ORACLE_NAMESPACE_DICT_LABEL_VALUES = """
+SELECT DISTINCT user_id
+FROM (
+  SELECT event_type, user_id, max(CAST(ts AS DATE)) AS last_seen
+  FROM events GROUP BY 1, 2
+)
+WHERE last_seen >= DATE '2024-01-28'
+"""
+
+
+ROUND8_QUERIES = {
+    "namespace_dict_label_values": (
+        q_namespace_dict_label_values,
+        ORACLE_NAMESPACE_DICT_LABEL_VALUES,
+    ),
+}

@@ -83,7 +83,9 @@ def accept_write_window(
     )
 
 
-def prune_retention(path: str, retention_s: int, now) -> list[str]:
+def prune_retention(
+    path: str, retention_s: int, now, spark: SparkSession | None = None
+) -> list[str]:
     """Drop date_bucket partitions wholly outside the namespace
     retention — the fileset-expiry analog (namespace Options
     ``RetentionOptions``, ``src/dbnode/retention/types.go``; expiry in
@@ -95,6 +97,10 @@ def prune_retention(path: str, retention_s: int, now) -> list[str]:
     on a real deployment the same decision is one metadata op
     (``ALTER TABLE DROP PARTITION`` / Delta ``DELETE`` + ``VACUUM``) —
     O(partitions), never a data scan.
+
+    With ``spark`` given, the sweep also GCs the series dictionary
+    (:func:`prune_series_dict`) so expired series leave the index with
+    their data — the reference's segments-expire-with-blocks contract.
 
     Returns the dropped partition values.
     """
@@ -116,6 +122,8 @@ def prune_retention(path: str, retention_s: int, now) -> list[str]:
         if end_of_day < cutoff:
             shutil.rmtree(os.path.join(path, entry))
             dropped.append(entry.split("=", 1)[1])
+    if spark is not None:
+        prune_series_dict(spark, path, retention_s, now)
     return dropped
 
 
@@ -176,20 +184,39 @@ def write_series_dict(samples: DataFrame, path: str) -> None:
     The dict lives under ``<namespace>/_series_dict`` — the underscore
     prefix keeps it invisible to the namespace table's own partition
     discovery.  Idempotent merge: re-running over a new batch unions
-    with the existing dict and keeps one row per series."""
+    with the existing dict and keeps one row per series.
+
+    Each row also carries ``last_seen_bucket`` — the latest date
+    partition holding a sample for that series, advanced on every
+    merge.  That is what makes dictionary GC (:func:`prune_series_dict`)
+    a dict-only rewrite with the SAME expiry decision rule as the fact
+    partitions, no fact scan — the reference likewise expires index
+    segments together with their retention blocks
+    (``src/dbnode/storage/index.go`` block-scoped segments).  The
+    merge cost is |dict|-bounded (series cardinality), never
+    |samples|-bounded."""
     import os
 
     spark = samples.sparkSession
     dict_path = os.path.join(path, "_series_dict")
     fresh = samples.groupBy("series_id").agg(
-        F.first("name").alias("name"), F.first("tags").alias("tags")
+        F.first("name").alias("name"), F.first("tags").alias("tags"),
+        F.max(F.to_date(F.col("ts"))).alias("last_seen_bucket"),
     )
     if os.path.exists(dict_path):
         old = spark.read.parquet(dict_path)
+        if "last_seen_bucket" not in old.columns:  # pre-GC dict layout
+            old = old.withColumn(
+                "last_seen_bucket", F.lit(None).cast("date")
+            )
         fresh = (
             old.unionByName(fresh)
             .groupBy("series_id")
-            .agg(F.first("name").alias("name"), F.first("tags").alias("tags"))
+            .agg(
+                F.first("name").alias("name"),
+                F.first("tags").alias("tags"),
+                F.max("last_seen_bucket").alias("last_seen_bucket"),
+            )
         )
         # the union reads the dir being overwritten — cut lineage first
         fresh = fresh.localCheckpoint()
@@ -200,6 +227,74 @@ def read_series_dict(spark: SparkSession, path: str) -> DataFrame:
     import os
 
     return spark.read.parquet(os.path.join(path, "_series_dict"))
+
+
+def _retention_keep_date(now, retention_s: int):
+    """First date_bucket value that SURVIVES the retention rule.
+
+    Mirrors :func:`prune_retention`'s decision exactly: a partition D
+    is dropped when end_of_day(D) < now - retention, so the minimal
+    surviving date is the ceiling-date of (cutoff - 1 day + 1 µs)."""
+    import datetime as dt
+
+    now_dt = dt.datetime.fromisoformat(now) if isinstance(now, str) else now
+    q = now_dt - dt.timedelta(seconds=retention_s) - dt.timedelta(days=1) \
+        + dt.timedelta(microseconds=1)
+    d = q.date()
+    if q.time() != dt.time.min:
+        d += dt.timedelta(days=1)
+    return d
+
+
+def prune_series_dict(
+    spark: SparkSession, path: str, retention_s: int, now
+) -> int:
+    """Dictionary GC — the retention sweep's index half.
+
+    Drops dict rows whose ``last_seen_bucket`` lies wholly outside the
+    retention window: such a series has NO surviving fact partition
+    (every partition holding its data satisfies the same expiry rule
+    :func:`prune_retention` applies), so without this pass a
+    high-churn corpus grows the dict without bound and dict-served
+    metadata returns ghosts.  The decision reads the dict ONLY — the
+    ingest-maintained ``last_seen_bucket`` plays the role of the
+    reference's block-scoped index segments expiring with their
+    retention blocks (``src/dbnode/storage/index.go``) — so the sweep
+    is O(|dict|) regardless of fact volume.
+
+    Rows with a NULL ``last_seen_bucket`` (a dict written before the
+    GC layout) are conservatively KEPT; the next ingest merge stamps
+    them.  Returns the number of rows dropped."""
+    import os
+
+    dict_path = os.path.join(path, "_series_dict")
+    if not os.path.exists(dict_path):
+        return 0
+    dims = spark.read.parquet(dict_path)
+    if "last_seen_bucket" not in dims.columns:
+        return 0
+    keep_date = _retention_keep_date(now, retention_s)
+    alive = F.col("last_seen_bucket").isNull() | (
+        F.col("last_seen_bucket") >= F.lit(keep_date)
+    )
+    n_dropped = dims.where(~alive).count()
+    if n_dropped:
+        kept = dims.where(alive).localCheckpoint()
+        kept.write.mode("overwrite").parquet(dict_path)
+    return n_dropped
+
+
+def series_dict_ghosts(samples: DataFrame, dims: DataFrame) -> DataFrame:
+    """Inverse audit of :func:`series_dict_missing`: dictionary rows
+    whose series has NO surviving fact row.  Query results stay
+    correct with ghosts present (``dims=`` joins are inner), but
+    dict-served METADATA would return them — a non-empty result here
+    means the retention sweep ran without :func:`prune_series_dict`
+    (or an out-of-band delete bypassed it).  |facts|-scan audit by
+    nature; run it as a housekeeping check, not on the query path."""
+    return dims.join(
+        samples.select("series_id").distinct(), "series_id", "left_anti"
+    )
 
 
 def series_dict_missing(samples: DataFrame, dims: DataFrame) -> DataFrame:
@@ -260,7 +355,8 @@ def prune_retention_bucketed(
     """Retention expiry for the bucketed tier: the catalog tracks the
     partitions, so expiry is ``ALTER TABLE DROP PARTITION`` metadata
     ops (same decision rule as :func:`prune_retention`), never a
-    directory walk that would desync the catalog.
+    directory walk that would desync the catalog.  A series dictionary
+    living under the table's location is GC'd in the same sweep.
 
     Returns the dropped date_bucket values."""
     import datetime as dt
@@ -278,6 +374,12 @@ def prune_retention_bucketed(
                 f"(date_bucket='{day_str}') PURGE"
             )
             dropped.append(day_str)
+    loc = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
+        .where(F.col("col_name") == "Location")
+        .first()["data_type"]
+    )
+    prune_series_dict(spark, loc.removeprefix("file:"), retention_s, now)
     return dropped
 
 
