@@ -583,6 +583,68 @@ def connected_components(
     )
 
 
+def merge_clusters(
+    new_pairs: DataFrame, existing: DataFrame
+) -> DataFrame:
+    """Incremental cluster maintenance: fold a new batch's candidate
+    pairs (``lsh_candidates_incremental``) into an existing
+    (node, cluster) assignment WITHOUT re-reading historical edges —
+    the arrival-path complement to the incremental pair generation.
+
+    Soundness: the existing assignment contracts each old component to
+    its root (cluster = component minimum), and merging components is
+    equivalent to merging their roots — so mapping every new edge's
+    endpoints through the assignment (unassigned/new nodes map to
+    themselves) and running connected components over THAT graph finds
+    exactly the merged components.  Each old root is already the
+    minimum of its component, so the contracted minimum is the true
+    merged minimum — cluster ids come out identical to a full
+    recompute over the union edge set (old-old pairs are bucket-stable
+    under batch arrival, so the b1-internal edge set never changes).
+
+    Cost: CC runs over O(|new_pairs|) contracted edges; the existing
+    assignment is touched only by key-joins (the relabel side is
+    proportional to AFFECTED components and broadcast).  Historical
+    candidate pairs are not an input at all.
+    """
+    a, b = new_pairs.columns[0], new_pairs.columns[1]
+    ex = existing.select("node", "cluster")
+    ra = ex.select(F.col("node").alias(a), F.col("cluster").alias("_ra"))
+    rb = ex.select(F.col("node").alias(b), F.col("cluster").alias("_rb"))
+    contracted = (
+        new_pairs.join(ra, a, "left")
+        .join(rb, b, "left")
+        .select(
+            F.coalesce("_ra", F.col(a)).alias("u"),
+            F.coalesce("_rb", F.col(b)).alias("v"),
+        )
+    )
+    cc = connected_components(contracted)
+
+    old_roots = ex.select(F.col("cluster").alias("node")).distinct()
+    # old roots whose component merged → their new cluster id
+    relabel = (
+        cc.join(old_roots, "node", "left_semi")
+        .select(
+            F.col("node").alias("cluster"),
+            F.col("cluster").alias("_new_cluster"),
+        )
+    )
+    updated = (
+        ex.join(F.broadcast(relabel), "cluster", "left")
+        .select(
+            "node",
+            F.coalesce("_new_cluster", F.col("cluster")).alias("cluster"),
+        )
+    )
+    # contracted-graph nodes that are NOT old roots are new or
+    # previously-unclustered docs — old non-root members never appear
+    # (every contracted endpoint is a root or an unassigned id), so
+    # the union is disjoint by construction
+    fresh = cc.join(old_roots, "node", "left_anti")
+    return updated.unionByName(fresh)
+
+
 def dedup_clusters(
     docs: DataFrame, k: int = 12, bands: int = 4, n: int = 3,
     text_col: str = "text", id_col: str = "doc_id",

@@ -60,9 +60,58 @@ WHERE last_seen >= DATE '2024-01-28'
 """
 
 
+def q_dedup_incremental_clusters(spark, sf_dir):
+    """Incremental cluster maintenance, end to end: the existing
+    corpus (doc_id % 5 != 0) is clustered once; the NEW batch
+    (doc_id % 5 == 0) contributes only its incremental candidate
+    pairs (signed against the materialized signature table — the old
+    text is never re-shingled), and ``merge_clusters`` folds them into
+    the existing assignment by contracting old components to their
+    roots — CC runs over O(|new pairs|) edges, historical pairs are
+    not an input.  The oracle is the FULL-corpus transitive closure
+    (same SQL as dedup_clusters): a hash match proves
+    merge(incremental) == full recompute, cluster ids included."""
+    import os
+
+    from .pipeline.dedup import (
+        dedup_clusters,
+        lsh_candidates_incremental,
+        merge_clusters,
+        write_signature_table,
+    )
+    from .queries_pipeline import BANDS, K_MINHASH, NGRAM
+    from .sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    existing_docs = docs.where(F.col("doc_id") % 5 != 0)
+    new_batch = docs.where(F.col("doc_id") % 5 == 0)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sig_path = os.path.join(
+        root, ".scratch", f"sigs_mc_{sf_dir.strip('/').replace('/', '_')}"
+    )
+    sigs = write_signature_table(existing_docs, sig_path, K_MINHASH, NGRAM)
+    assignment = dedup_clusters(existing_docs, K_MINHASH, BANDS, NGRAM)
+    inc_pairs = lsh_candidates_incremental(
+        new_batch, sigs, K_MINHASH, BANDS, NGRAM
+    )
+    return merge_clusters(inc_pairs, assignment)
+
+
 ROUND8_QUERIES = {
     "namespace_dict_label_values": (
         q_namespace_dict_label_values,
         ORACLE_NAMESPACE_DICT_LABEL_VALUES,
     ),
 }
+
+
+def make_round8_queries(oracle_dedup_clusters: str) -> dict:
+    """Entries whose oracles are owned by queries_pipeline (avoids a
+    circular import at module load)."""
+    return {
+        **ROUND8_QUERIES,
+        "dedup_incremental_clusters": (
+            q_dedup_incremental_clusters,
+            oracle_dedup_clusters,
+        ),
+    }

@@ -1,0 +1,118 @@
+"""Incremental cluster maintenance (pipeline/dedup.py merge_clusters):
+merge(incremental pairs, existing assignment) == full recompute, with
+historical edges never an input (round-8 verdict item 5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _clusters_dict(df):
+    return {r["node"]: r["cluster"] for r in df.collect()}
+
+
+def test_merge_equals_full_recompute_on_lsh_pipeline(spark):
+    """b1-internal clusters + merge(incremental(b2)) must equal the
+    full-corpus clustering exactly, cluster ids included — the same
+    invariant the battery entry proves against the DuckDB transitive
+    closure at sf0.01."""
+    from m3_spark.pipeline.dedup import (
+        dedup_clusters,
+        lsh_candidates_incremental,
+        merge_clusters,
+        minhash_signature,
+    )
+
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs before noon today ok",
+        "how vexingly quick daft zebras jump over anything at all here",
+        "sphinx of black quartz judge my vow tonight and every night",
+    ]
+    rows = []
+    for i in range(40):
+        t = base[i % 4]
+        if i % 8 < 6:  # near-duplicates: light suffix perturbation
+            t = t + f" tail{i % 3}"
+        else:
+            t = f"unique document number {i} with its own words {i * 7}"
+        rows.append((i, t))
+    docs = _docs(spark, rows)
+    b1 = docs.where(F.col("doc_id") % 5 != 0)
+    b2 = docs.where(F.col("doc_id") % 5 == 0)
+
+    full = _clusters_dict(dedup_clusters(docs, 12, 4, 3))
+    assignment = dedup_clusters(b1, 12, 4, 3)
+    inc = lsh_candidates_incremental(
+        b2, minhash_signature(b1, 12, 3), 12, 4, 3
+    )
+    merged = merge_clusters(inc, assignment)
+    got = _clusters_dict(merged)
+    assert got == full
+    assert merged.count() == merged.select("node").distinct().count()
+
+
+def test_merge_bridges_two_old_components(spark):
+    """A new doc whose pairs touch two DISTINCT old components
+    relabels both to the global minimum; untouched components keep
+    their ids; a new minimum (smaller new doc id) wins."""
+    from m3_spark.pipeline.dedup import merge_clusters
+
+    existing = spark.createDataFrame(
+        # components {10,11,12} (root 10), {20,21} (root 20),
+        # untouched {30,31} (root 30)
+        [(10, 10), (11, 10), (12, 10), (20, 20), (21, 20), (30, 30), (31, 30)],
+        "node long, cluster long",
+    )
+    new_pairs = spark.createDataFrame(
+        # new doc 5 bridges members of both components (non-root
+        # members: the contraction must map them to their roots), and
+        # 40-41 form a brand-new component
+        [(5, 11), (5, 21), (40, 41)],
+        "id_a long, id_b long",
+    )
+    got = _clusters_dict(merge_clusters(new_pairs, existing))
+    assert got == {
+        5: 5, 10: 5, 11: 5, 12: 5, 20: 5, 21: 5,
+        30: 30, 31: 30, 40: 40, 41: 40,
+    }, got
+
+
+def test_merge_never_scans_historical_edges(spark, tmp_path):
+    """The merge plan reads the assignment table and the new pairs —
+    the historical pair/edge set is not an input, so a parquet-backed
+    run shows scans of exactly those two paths and nothing else."""
+    from m3_spark.pipeline.dedup import connected_components, merge_clusters
+
+    old_pairs_path = str(tmp_path / "old_pairs")
+    assign_path = str(tmp_path / "assignment")
+    spark.createDataFrame(
+        [(10, 11), (11, 12), (20, 21)], "id_a long, id_b long"
+    ).write.parquet(old_pairs_path)
+    old_pairs = spark.read.parquet(old_pairs_path)
+    connected_components(old_pairs).write.parquet(assign_path)
+
+    existing = spark.read.parquet(assign_path)
+    new_pairs = spark.createDataFrame([(5, 12)], "id_a long, id_b long")
+    merged = merge_clusters(new_pairs, existing)
+    assert _clusters_dict(merged) == {5: 5, 10: 5, 11: 5, 12: 5, 20: 20, 21: 20}
+
+    # paths are truncated in plan strings — key on ReadSchema: the
+    # old-pairs parquet is the only (id_a, id_b) file source (the new
+    # pairs are a LocalTableScan), the assignment the only
+    # (node, cluster) one
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.split("\n") if "FileScan" in ln]
+    assert scans, plan
+    assert not any(
+        "id_a" in ln.split("ReadSchema:")[-1] for ln in scans
+    ), plan
+    assert any(
+        "node" in ln.split("ReadSchema:")[-1]
+        or "cluster" in ln.split("ReadSchema:")[-1]
+        for ln in scans
+    ), plan
