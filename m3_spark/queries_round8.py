@@ -97,6 +97,90 @@ def q_dedup_incremental_clusters(spark, sf_dir):
     return merge_clusters(inc_pairs, assignment)
 
 
+def q_route_dict_multi_resolution(spark, sf_dir):
+    """Multi-resolution routing with a SERIES DICTIONARY on each side:
+    the raw namespace keys series by (event_type, user_id), the
+    1h-rollup namespace RE-KEYS them by event_type alone, and each
+    maintains its own ``_series_dict`` — so the routed query resolves
+    tags per segment from that segment's dictionary and every fact
+    scan reads only (series_id, ts, value) (plan-pinned by
+    tests/test_dict_routing.py).  The per-series hourly partial
+    aggregate runs on the narrow frame; the dictionary attaches
+    event_type AFTER the heavy aggregation — the 100 TB shape.
+    Stitched hourly sums must equal one full-range aggregation
+    (cluster_resolver semantics, ``cluster_resolver.go:87-271``)."""
+    import datetime as dt
+
+    from .model import with_series_id
+    from .plans.router import Namespace, route
+    from .sources.namespace import (
+        read_namespace,
+        read_series_dict,
+        write_namespace,
+        write_series_dict,
+    )
+
+    def _epoch_s(s):
+        return dt.datetime.fromisoformat(s + "+00:00").timestamp()
+
+    samples = read_samples(spark, sf_dir)
+    _t1, raw_path = _scratch("ns_route_raw", sf_dir)
+    _t2, agg_path = _scratch("ns_route_1h", sf_dir)
+    write_namespace(samples, raw_path, bucket_count=8, mode="overwrite")
+    write_series_dict(samples, raw_path)
+    rollup = with_series_id(
+        samples.groupBy(
+            F.date_trunc("hour", "ts").alias("ts"),
+            F.col("tags").getItem("event_type").alias("name"),
+        )
+        .agg(F.sum("value").alias("value"))
+        .select(
+            "name",
+            F.create_map(F.lit("event_type"), F.col("name")).alias("tags"),
+            "ts",
+            "value",
+        )
+    )
+    write_namespace(rollup, agg_path, bucket_count=8, mode="overwrite")
+    write_series_dict(rollup, agg_path)
+
+    now_s = _epoch_s("2024-01-08 00:00:00")
+    segs = route(
+        [Namespace("raw", 0, 4 * 86400), Namespace("metrics_1h", 3600, 30 * 86400)],
+        _epoch_s("2024-01-01 00:00:00"), now_s, now_s,
+    )
+    parts = []
+    for seg in segs:
+        path = raw_path if seg.namespace.resolution_s == 0 else agg_path
+        facts = read_namespace(spark, path).select("series_id", "ts", "value")
+        facts = facts.where(
+            (F.col("ts") >= F.timestamp_seconds(F.lit(seg.start_s)))
+            & (F.col("ts") < F.timestamp_seconds(F.lit(seg.end_s)))
+        )
+        # heavy aggregate on the narrow frame, dims re-attach after
+        hourly = facts.groupBy(
+            F.date_trunc("hour", "ts").alias("h"), "series_id"
+        ).agg(F.sum("value").alias("value"))
+        sdict = read_series_dict(spark, path)
+        parts.append(
+            hourly.join(
+                F.broadcast(sdict.select("series_id", "tags")), "series_id"
+            ).select(
+                "h",
+                F.col("tags").getItem("event_type").alias("event_type"),
+                "value",
+            )
+        )
+    stitched = parts[0]
+    for p in parts[1:]:
+        stitched = stitched.unionByName(p)
+    return (
+        stitched.groupBy("h", "event_type")
+        .agg(F.round(F.sum("value"), 6).alias("value"))
+        .select(F.unix_timestamp("h").alias("step_s"), "event_type", "value")
+    )
+
+
 ROUND8_QUERIES = {
     "namespace_dict_label_values": (
         q_namespace_dict_label_values,
@@ -106,12 +190,20 @@ ROUND8_QUERIES = {
 
 
 def make_round8_queries(oracle_dedup_clusters: str) -> dict:
-    """Entries whose oracles are owned by queries_pipeline (avoids a
-    circular import at module load)."""
+    """Entries whose oracles are owned by other query modules (avoids
+    circular imports at module load)."""
+    from .queries_round6 import ORACLE_ROUTE_MULTI_RESOLUTION
+
     return {
         **ROUND8_QUERIES,
         "dedup_incremental_clusters": (
             q_dedup_incremental_clusters,
             oracle_dedup_clusters,
+        ),
+        # identical stitched-sum oracle as the dict-less routed entry:
+        # the dict tier must be result-invisible
+        "route_dict_multi_resolution": (
+            q_route_dict_multi_resolution,
+            ORACLE_ROUTE_MULTI_RESOLUTION,
         ),
     }

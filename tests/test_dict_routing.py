@@ -1,0 +1,47 @@
+"""Multi-namespace routing with per-namespace series dictionaries
+(round-8 verdict item 8): each routed segment resolves tags from its
+own dict — fact scans never read name/tags on either side."""
+
+from __future__ import annotations
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_routed_dict_fact_scans_are_narrow(spark):
+    from m3_spark.queries_round8 import q_route_dict_multi_resolution
+
+    out = q_route_dict_multi_resolution(spark, SF_DIR)
+    assert out.count() > 0
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.split("\n") if "FileScan" in ln]
+    fact = [
+        ln for ln in scans
+        if "ts:timestamp" in ln.split("ReadSchema:")[-1]
+    ]
+    # two namespaces → at least one fact scan each
+    assert len(fact) >= 2, plan
+    for ln in fact:
+        schema = ln.split("ReadSchema:")[-1]
+        assert "tags" not in schema and "name" not in schema, plan
+
+
+def test_routed_dict_rekeyed_rollup_series(spark):
+    """The rollup namespace RE-KEYS series (event_type only): its dict
+    is smaller than the raw namespace's and their series_id sets are
+    disjoint — the routed query must resolve each segment against the
+    right one."""
+    from m3_spark.queries_round8 import _scratch
+    from m3_spark.sources.namespace import read_series_dict
+
+    _t, raw_path = _scratch("ns_route_raw", SF_DIR)
+    _t, agg_path = _scratch("ns_route_1h", SF_DIR)
+    raw_dict = read_series_dict(spark, raw_path)
+    agg_dict = read_series_dict(spark, agg_path)
+    assert agg_dict.count() < raw_dict.count()
+    assert (
+        raw_dict.select("series_id")
+        .join(agg_dict.select("series_id"), "series_id")
+        .count()
+        == 0
+    )
