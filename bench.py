@@ -50,22 +50,31 @@ def q_rate_sum_12h_1m(spark):
 _BKT_TABLE = "bench_ns_bucketed"
 
 
+_BKT_PATH = None
+
+
 def setup_bucketed_namespace(spark):
     """One-time ingest: events → catalog-bucketed namespace table
-    (32 buckets on series_id, date-partitioned).  Write time is
-    ingest cost, not query cost — excluded from timings, like the
-    reference's fileset flush."""
+    (32 buckets on series_id, date-partitioned) + its series
+    dictionary.  Write time is ingest cost, not query cost — excluded
+    from timings, like the reference's fileset flush + index build."""
+    global _BKT_PATH
+
     import shutil
 
-    from m3_spark.sources.namespace import write_namespace_bucketed
+    from m3_spark.sources.namespace import (
+        write_namespace_bucketed,
+        write_series_dict,
+    )
 
     root = os.path.dirname(os.path.abspath(__file__))
-    path = os.path.join(root, ".scratch", _BKT_TABLE)
-    shutil.rmtree(path, ignore_errors=True)
+    _BKT_PATH = os.path.join(root, ".scratch", _BKT_TABLE)
+    shutil.rmtree(_BKT_PATH, ignore_errors=True)
+    samples = read_samples(spark, SF_DIR)
     write_namespace_bucketed(
-        read_samples(spark, SF_DIR), _BKT_TABLE, path, bucket_count=32,
-        mode="overwrite",
+        samples, _BKT_TABLE, _BKT_PATH, bucket_count=32, mode="overwrite",
     )
+    write_series_dict(samples, _BKT_PATH)
 
 
 def q_rate_sum_bucketed_12h_1m(spark):
@@ -80,6 +89,30 @@ def q_rate_sum_bucketed_12h_1m(spark):
     )
     r = rate(back, "rate", 6 * 3600, T_START, T_END, 60,
              assume_clustered=True)
+    return (
+        r.groupBy("step_ts", F.col("tags").getItem("event_type").alias("et"))
+        .agg(F.sum("value").alias("value"))
+    )
+
+
+def q_rate_sum_dict_12h_1m(spark):
+    """The recommended 100 TB tier, end to end: bucketed table
+    (zero-exchange kernel) + series dictionary (fact scan reads only
+    series_id/ts/value; tags re-attach from the dict after the
+    kernel) — the configuration SCALE_r07 measured fastest at 10M
+    rows.  This row keeps the dict tier in the longitudinal bench so
+    regressions show in BENCH_rN diffs, not only in scale runs."""
+    from m3_spark.sources.namespace import (
+        read_namespace_bucketed,
+        read_series_dict,
+    )
+
+    back = read_namespace_bucketed(
+        spark, _BKT_TABLE, start="2024-01-01", end="2024-01-02"
+    )
+    dims = read_series_dict(spark, _BKT_PATH)
+    r = rate(back, "rate", 6 * 3600, T_START, T_END, 60,
+             assume_clustered=True, dims=dims)
     return (
         r.groupBy("step_ts", F.col("tags").getItem("event_type").alias("et"))
         .agg(F.sum("value").alias("value"))
@@ -193,6 +226,7 @@ BENCH = {
     "sum_by_12h_1m": q_sum_by_12h_1m,
     "rate_sum_12h_1m": q_rate_sum_12h_1m,
     "rate_sum_bucketed_12h_1m": q_rate_sum_bucketed_12h_1m,
+    "rate_sum_dict_12h_1m": q_rate_sum_dict_12h_1m,
     "topk_7d_1h": q_topk_7d_1h,
     "sum_over_time_24h": q_over_time_24h,
     "agg_policy_month": q_agg_policy_month,

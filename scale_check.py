@@ -114,6 +114,12 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=500_000)
     ap.add_argument("--keep", action="store_true")
     ap.add_argument(
+        "--reps", type=int, default=3,
+        help="measured reps per query after one discarded warm-up "
+        "(median is the headline, min/stdev ride along — same "
+        "methodology as bench.py, r07 verdict item 2)",
+    )
+    ap.add_argument(
         "--out",
         help="also write the JSON line to this file (SCALE_r{N}.json "
         "round artifact)",
@@ -260,7 +266,9 @@ def main() -> None:
         cents = ivf_train(emb, 64, n_iters=1)
         return cents.select("list_id", F.posexplode("_cvec"))
 
-    timings, counts = {}, {}
+    import statistics
+
+    timings, stats, counts = {}, {}, {}
     for name, fn in {
         "sum_by_7d_1h": q_sum_by,
         "rate_sum_24h_1m": q_rate_sum,
@@ -275,22 +283,36 @@ def main() -> None:
         "sample_pack_500k": q_sample_pack,
         "ann_ivf_train_topk_200k": q_ann_ivf,
     }.items():
-        best = None
-        for _ in range(2):  # min-of-2: first run pays JVM JIT + codegen
+        # warm-up (discarded): pays JVM JIT/codegen AND any one-off
+        # table/signature writes a query's first call performs
+        counts[name] = fn(None).count()
+        reps = []
+        for _ in range(max(1, args.reps)):
             t = time.perf_counter()
-            counts[name] = fn(None).count()
-            dt = time.perf_counter() - t
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 2)
-        print(f"# {name}: {timings[name]}s ({counts[name]} rows)", file=sys.stderr)
+            fn(None).count()
+            reps.append(time.perf_counter() - t)
+        med = round(statistics.median(reps), 2)
+        timings[name] = med
+        stats[name] = {
+            "median": med,
+            "min": round(min(reps), 2),
+            "stdev": round(statistics.stdev(reps), 2) if len(reps) > 1 else 0.0,
+            "n": len(reps),
+        }
+        print(
+            f"# {name}: {med}s median (min {stats[name]['min']}, "
+            f"±{stats[name]['stdev']}, {counts[name]} rows)",
+            file=sys.stderr,
+        )
     doc = {
         "metric": "scale_queries_wall",
         "unit": "sec",
         "events": args.events,
         "docs": args.docs,
         "queries": timings,
+        "stats": stats,
         "rows": counts,
-        "stat": "min_of_2",
+        "stat": f"median_of_{max(1, args.reps)}_after_warmup",
     }
     print(json.dumps(doc))
     if args.out:

@@ -1,0 +1,46 @@
+"""COVERAGE.md's battery counts are generated claims: this test
+parses the header paragraph and asserts it against the battery itself
+(round-8 verdict item 7 — one source of truth, no drift)."""
+
+from __future__ import annotations
+
+import os
+import re
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_coverage_counts_match_battery():
+    from m3_spark.queries import QUERIES
+
+    text = open(os.path.join(REPO, "COVERAGE.md")).read()
+    m = re.search(
+        r"\*\*(\d+) entries — (\d+) oracle-paired plus one documented\s+"
+        r"rows-only entry\*\*",
+        text,
+    )
+    assert m, "COVERAGE.md count paragraph not found / format changed"
+    total, paired = int(m.group(1)), int(m.group(2))
+    assert total == len(QUERIES), (total, len(QUERIES))
+    rows_only = sorted(k for k, (_f, sql) in QUERIES.items() if sql is None)
+    assert rows_only == ["graphite_lttb"], rows_only
+    assert paired == len(QUERIES) - len(rows_only), (paired, len(QUERIES))
+
+
+def test_readme_battery_count_matches():
+    """README quotes the battery size too — keep it on the same source
+    of truth."""
+    from m3_spark.queries import QUERIES
+
+    text = open(os.path.join(REPO, "README.md")).read()
+    counts = re.findall(
+        r"\((\d+) battery entries, (\d+) oracle-paired", text
+    ) + [
+        (m, None)
+        for m in re.findall(r"(\d+)-entry DuckDB-oracle battery", text)
+    ]
+    assert counts, "README stopped quoting a battery count"
+    for total, paired in counts:
+        assert int(total) == len(QUERIES), (total, len(QUERIES))
+        if paired is not None:
+            assert int(paired) == len(QUERIES) - 1, paired
