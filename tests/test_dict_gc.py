@@ -156,6 +156,36 @@ def test_last_seen_advances_and_legacy_dict_kept(spark, tmp_path):
     assert read_series_dict(spark, path).count() == 0
 
 
+def test_bucketed_retention_sweep_gcs_dict(spark, tmp_path):
+    """prune_retention_bucketed reaches the dict through the table's
+    catalog location: expired series leave the dict with their
+    partitions, same decision rule as the DROP PARTITION ops."""
+    from m3_spark.sources.namespace import (
+        prune_retention_bucketed,
+        read_series_dict,
+        write_namespace_bucketed,
+        write_series_dict,
+    )
+
+    rows = []
+    for d in range(6):
+        rows.append((f"s{d}", {"k": str(d)}, T0 + d * 86400, float(d)))
+        rows.append(("always", {"k": "all"}, T0 + d * 86400 + 60, 1.0))
+    samples = make_samples(spark, rows)
+    tbl = "test_gc_bucketed"
+    path = str(tmp_path / "nsb")
+    write_namespace_bucketed(samples, tbl, path, bucket_count=2)
+    write_series_dict(samples, path)
+    try:
+        now = T0_DAY + dt.timedelta(days=6)
+        dropped = prune_retention_bucketed(spark, tbl, 3 * 86400, now)
+        assert len(dropped) == 3, dropped
+        names = {r["name"] for r in read_series_dict(spark, path).collect()}
+        assert names == {"always", "s3", "s4", "s5"}, names
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 def test_compaction_leaves_dict_intact(spark, tmp_path):
     import datetime as dt2
 
