@@ -652,11 +652,14 @@ FROM lagged WHERE prev IS NOT NULL
 
 def q_graphite_lttb(spark, sf_dir):
     """maxDataPoints LTTB downsample over per-event_type 1h sums —
-    the render.go resize path.  No SQL oracle: the point selection is
-    sequential within a series (each pick depends on the previous
-    one), so the driver records the rows-only check; golden values are
-    pinned against the reference's lttb_test.go in
-    ``tests/test_lttb.py``."""
+    the render.go resize path.  The point selection is sequential
+    within a series (each pick depends on the previous one), but the
+    bucket geometry and right-bucket averages are selection-INDEPENDENT
+    — so the oracle precomputes them and restates the walk as a
+    recursive CTE whose state is just (series, iteration, selected
+    index), one correlated argmax per step (ORACLE_GRAPHITE_LTTB).
+    Golden values additionally pinned against the reference's
+    lttb_test.go in ``tests/test_lttb.py``."""
     from .graphite.lttb import lttb
     from .queries_common import END, LOOKBACK_S, START, STEP_S, _grid
     from .operators.aggregation import aggregate
@@ -670,6 +673,105 @@ def q_graphite_lttb(spark, sf_dir):
         F.col("name").alias("event_type"),
         F.round(F.col("value"), 6).alias("value"),
     )
+
+
+# LTTB restated for DuckDB.  Constants are derived from THIS query's
+# shape (7d @ 1h = 169 steps, maxDataPoints 24): every = ceil(169/24)
+# = 8, threshold = ceil(169/8) = 22 output slots, 20 walk iterations,
+# output grid re-steps to 8h (28800 s).  Sequentiality lives ONLY in
+# the previously-selected index: bucket bounds and right-bucket
+# averages never depend on selections, so they're plain CTEs and the
+# recursion is one correlated argmax per (series, iteration).
+# Reference quirks restated: averages divide by the bucket RANGE
+# length (lttb.go:81-84); NaN average or NaN previous point falls back
+# to closest-to-average (lttb.go:102-106); missing points' areas count
+# as 0 and can only win the first-max tie at the bucket start
+# (lttb.go:126-140) — hence the max(area) > 0 gate instead of a
+# (correlated-outer-join) candidate list, which DuckDB rejects.
+ORACLE_GRAPHITE_LTTB = r"""
+WITH RECURSIVE
+lastv AS (
+  SELECT s.step_ts, e.event_type, e.user_id, arg_max(e.value, e.ts) AS v
+  FROM (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+        TIMESTAMP '2024-01-08 00:00:00', INTERVAL 3600 SECOND)) AS step_ts) s
+  JOIN events e
+    ON e.ts <= s.step_ts AND e.ts >= s.step_ts - INTERVAL 3600 SECOND
+  GROUP BY 1, 2, 3
+),
+grid AS (
+  SELECT event_type AS et,
+         CAST((epoch(step_ts) - 1704067200) / 3600 AS INT) AS k,
+         SUM(v) AS v
+  FROM lastv GROUP BY 1, 2
+),
+ets AS (SELECT DISTINCT et FROM grid),
+iters AS (
+  SELECT i,
+         CASE WHEN i = 0 THEN 1 ELSE 8*i + 2 END AS lo,
+         8*i + 10 AS hi,
+         8*i + 10 AS avg_start,
+         LEAST(8*i + 18, 169) AS avg_end
+  FROM (SELECT unnest(generate_series(0, 19)) AS i)
+),
+avgs AS (
+  SELECT e.et, it.i, it.lo, it.hi,
+         SUM(g.k) / CAST(it.avg_end - it.avg_start AS DOUBLE) AS avg_x,
+         SUM(g.v) / CAST(it.avg_end - it.avg_start AS DOUBLE) AS avg_y,
+         COUNT(g.v) > 0 AS has_any
+  FROM ets e
+  CROSS JOIN iters it
+  LEFT JOIN grid g ON g.et = e.et AND g.k >= it.avg_start AND g.k < it.avg_end
+  GROUP BY 1, 2, 3, 4, it.avg_end, it.avg_start
+),
+walk(et, i, a, av_v) AS (
+  SELECT et, 0, 0,
+         (SELECT g.v FROM grid g WHERE g.et = ets.et AND g.k = 0)
+  FROM ets
+  UNION ALL
+  SELECT w.et, w.i + 1, nxt.k,
+         (SELECT g.v FROM grid g WHERE g.et = w.et AND g.k = nxt.k)
+  FROM walk w
+  JOIN avgs av ON av.et = w.et AND av.i = w.i,
+  LATERAL (
+    SELECT (CASE
+      WHEN av.has_any AND w.av_v IS NOT NULL THEN
+        CASE WHEN COALESCE((
+               SELECT MAX(abs((CAST(w.a AS DOUBLE) - av.avg_x) * (g.v - w.av_v)
+                 - (CAST(w.a AS DOUBLE) - CAST(g.k AS DOUBLE)) * (av.avg_y - w.av_v)))
+               FROM grid g
+               WHERE g.et = w.et AND g.k >= av.lo AND g.k < av.hi), 0.0) > 0
+        THEN (
+          SELECT g.k FROM grid g
+          WHERE g.et = w.et AND g.k >= av.lo AND g.k < av.hi
+          ORDER BY abs((CAST(w.a AS DOUBLE) - av.avg_x) * (g.v - w.av_v)
+                 - (CAST(w.a AS DOUBLE) - CAST(g.k AS DOUBLE)) * (av.avg_y - w.av_v))
+                   DESC, g.k LIMIT 1
+        )
+        ELSE av.lo END
+      ELSE COALESCE(
+        (SELECT g.k FROM grid g
+         WHERE g.et = w.et AND g.k >= av.lo AND g.k < av.hi
+         ORDER BY abs((SELECT AVG(g2.v) FROM grid g2
+                       WHERE g2.et = w.et AND g2.k >= av.lo AND g2.k < av.hi)
+                      - g.v) ASC, g.k ASC
+         LIMIT 1),
+        av.lo)
+    END) AS k
+  ) nxt
+  WHERE w.i < 20
+),
+sel AS (
+  SELECT et, 0 AS k_out, 0 AS k FROM ets
+  UNION ALL
+  SELECT et, i, a FROM walk WHERE i >= 1
+  UNION ALL
+  SELECT et, 21, 168 FROM ets
+)
+SELECT CAST(1704067200 + s.k_out * 28800 AS BIGINT) AS step_s,
+       s.et AS event_type,
+       ROUND(g.v, 6) AS value
+FROM sel s JOIN grid g ON g.et = s.et AND g.k = s.k
+"""
 
 
 from .queries_pipeline import PIPELINE_QUERIES  # noqa: E402
@@ -709,5 +811,5 @@ QUERIES = {
     ),
     "stream_agg_policy_1h": (q_agg_policy_1h, ORACLE_AGG_POLICY_1H),
     "counter_increase": (q_counter_increase, ORACLE_COUNTER_INCREASE),
-    "graphite_lttb": (q_graphite_lttb, None),
+    "graphite_lttb": (q_graphite_lttb, ORACLE_GRAPHITE_LTTB),
 }

@@ -15,15 +15,14 @@ def test_coverage_counts_match_battery():
 
     text = open(os.path.join(REPO, "COVERAGE.md")).read()
     m = re.search(
-        r"\*\*(\d+) entries — (\d+) oracle-paired plus one documented\s+"
-        r"rows-only entry\*\*",
+        r"\*\*(\d+) entries — (\d+) oracle-paired, zero rows-only\*\*",
         text,
     )
     assert m, "COVERAGE.md count paragraph not found / format changed"
     total, paired = int(m.group(1)), int(m.group(2))
     assert total == len(QUERIES), (total, len(QUERIES))
     rows_only = sorted(k for k, (_f, sql) in QUERIES.items() if sql is None)
-    assert rows_only == ["graphite_lttb"], rows_only
+    assert rows_only == [], rows_only
     assert paired == len(QUERIES) - len(rows_only), (paired, len(QUERIES))
 
 
@@ -34,7 +33,7 @@ def test_readme_battery_count_matches():
 
     text = open(os.path.join(REPO, "README.md")).read()
     counts = re.findall(
-        r"\((\d+) battery entries, (\d+) oracle-paired", text
+        r"\((\d+) battery entries, all (\d+) oracle-paired", text
     ) + [
         (m, None)
         for m in re.findall(r"(\d+)-entry DuckDB-oracle battery", text)
@@ -43,4 +42,4 @@ def test_readme_battery_count_matches():
     for total, paired in counts:
         assert int(total) == len(QUERIES), (total, len(QUERIES))
         if paired is not None:
-            assert int(paired) == len(QUERIES) - 1, paired
+            assert int(paired) == len(QUERIES), paired
