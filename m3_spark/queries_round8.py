@@ -181,10 +181,75 @@ def q_route_dict_multi_resolution(spark, sf_dir):
     )
 
 
+def q_graphite_dict_transform_null(spark, sf_dir):
+    """A DENSE-path graphite target (transformNull) evaluated with a
+    series dictionary: the probe grid must cover exactly the
+    GLOB-matched dictionary series — every click series ever ingested
+    gets a dense 169-step row set (zeros where stale), and series
+    outside the glob contribute nothing (the round-7 advice bug leaked
+    every dictionary series into the fill).  The oracle builds the
+    same dense grid from the raw events table: dict membership =
+    distinct click series over the FULL table (so a series whose data
+    lies outside the query range still grids as all-zeros), values =
+    closed-window last-sample carry, NULL -> 0."""
+    from .graphite.compiler import evaluate
+    from .queries_common import END, LOOKBACK_S, START, STEP_S
+    from .queries_relational import _gsamples
+    from .sources.namespace import (
+        read_namespace,
+        read_series_dict,
+        write_namespace,
+        write_series_dict,
+    )
+
+    _t, path = _scratch("ns_gdict", sf_dir)
+    samples = _gsamples(spark, sf_dir)
+    write_namespace(samples, path, bucket_count=8, mode="overwrite")
+    write_series_dict(samples, path)
+    back = read_namespace(spark, path)
+    sdict = read_series_dict(spark, path)
+    out = evaluate(
+        back, "transformNull(events.click.*, 0)",
+        START, END, STEP_S, LOOKBACK_S, dims=sdict,
+    )
+    return out.select(
+        F.unix_timestamp("step_ts").alias("step_s"),
+        F.regexp_extract("name", r"u(\d+)", 1).cast("bigint").alias("user_id"),
+        F.round(F.col("value"), 6).alias("value"),
+    )
+
+
+ORACLE_GRAPHITE_DICT_TRANSFORM_NULL = """
+WITH clickset AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+),
+steps AS (
+  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+        TIMESTAMP '2024-01-08 00:00:00', INTERVAL 3600 SECOND)) AS step_ts
+),
+lastv AS (
+  SELECT s.step_ts, e.user_id, arg_max(e.value, e.ts) AS v
+  FROM steps s JOIN events e
+    ON e.event_type = 'click'
+   AND e.ts <= s.step_ts AND e.ts >= s.step_ts - INTERVAL 3600 SECOND
+  GROUP BY 1, 2
+)
+SELECT CAST(epoch(s.step_ts) AS BIGINT) AS step_s, c.user_id,
+       ROUND(COALESCE(l.v, 0), 6) AS value
+FROM steps s
+CROSS JOIN clickset c
+LEFT JOIN lastv l ON l.step_ts = s.step_ts AND l.user_id = c.user_id
+"""
+
+
 ROUND8_QUERIES = {
     "namespace_dict_label_values": (
         q_namespace_dict_label_values,
         ORACLE_NAMESPACE_DICT_LABEL_VALUES,
+    ),
+    "graphite_dict_transform_null": (
+        q_graphite_dict_transform_null,
+        ORACLE_GRAPHITE_DICT_TRANSFORM_NULL,
     ),
 }
 
