@@ -245,7 +245,9 @@ def idempotent_foreach_batch(commit_dir: str, write_fn):
     after ``write_fn`` appends but before the marker lands re-runs the
     whole batch on redelivery — true exactly-once additionally needs
     an idempotent ``write_fn`` (e.g. a per-batch-keyed partition
-    overwrite), which the plain append sinks here do not provide."""
+    overwrite).  ``ingest_stream_to_namespaces``'s unagg sink provides
+    exactly that via ``write_namespace_batch``; for such writers the
+    marker is a fast-path skip, not the correctness mechanism."""
     import os
 
     os.makedirs(commit_dir, exist_ok=True)
@@ -294,13 +296,13 @@ def ingest_stream_to_namespaces(
     from ..streaming.aggregator import tumbling_aggregates
     from .namespace import (
         accept_write_window,
-        write_namespace,
+        write_namespace_batch,
         write_series_dict,
     )
 
     queries = []
 
-    def _write_unagg(batch_df, _batch_id):
+    def _write_unagg(batch_df, batch_id):
         accepted = batch_df
         if now is not None:
             accepted = accept_write_window(
@@ -309,14 +311,20 @@ def ingest_stream_to_namespaces(
         # Dictionary BEFORE facts — the reference indexes a series
         # before acking its first write (src/dbnode/storage/index
         # insert queue).  In this order a crash between the two writes
-        # leaves an extra dict row (harmless: dims= joins are inner),
-        # while the reverse order would leave fact rows that
-        # dims=-backed reads silently drop.
+        # leaves an extra dict row (harmless: dims= joins are inner,
+        # and the dict merge is idempotent on redelivery), while the
+        # reverse order would leave fact rows that dims=-backed reads
+        # silently drop.
         # dict_bucket_count opts into the hash-partitioned dict layout:
         # steady-state batches over known series then rewrite zero
         # dict partitions (see write_series_dict)
         write_series_dict(accepted, unagg_path, dict_bucket_count)
-        write_namespace(accepted, unagg_path)
+        # batch-keyed dynamic partition overwrite: a redelivered batch
+        # replaces its own partitions, so the fact write itself is
+        # idempotent — the marker below is a fast-path skip, not the
+        # correctness mechanism (true exactly-once even if the crash
+        # lands between the fact write and the marker)
+        write_namespace_batch(accepted, unagg_path, batch_id)
 
     _write_unagg = idempotent_foreach_batch(
         f"{checkpoint_dir}/unagg_commits", _write_unagg

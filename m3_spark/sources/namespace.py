@@ -45,6 +45,37 @@ def write_namespace(
     )
 
 
+def write_namespace_batch(
+    samples: DataFrame, path: str, batch_id: int,
+    bucket_count: int | None = None,
+) -> None:
+    """IDEMPOTENT micro-batch append: the batch lands under a
+    ``(date_bucket, _ingest_batch=batch_id)`` partition pair via
+    dynamic partition overwrite, so a redelivered batch (foreachBatch
+    is at-least-once) OVERWRITES its own partitions instead of
+    appending duplicates — write-side exactly-once without any marker
+    protocol.  ``read_namespace`` strips the batch column; compaction
+    folds the batch subdirs away once a day partition is closed."""
+    df = samples.withColumn("date_bucket", F.to_date(F.col("ts"))).withColumn(
+        "_ingest_batch", F.lit(int(batch_id))
+    )
+    if bucket_count:
+        df = df.repartition(bucket_count, F.col("series_id"))
+    spark = samples.sparkSession
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf_key, "static")
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        (
+            df.sortWithinPartitions("series_id", "ts")
+            .write.mode("overwrite")
+            .partitionBy("date_bucket", "_ingest_batch")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set(conf_key, prev)
+
+
 def read_namespace(
     spark: SparkSession, path: str, start=None, end=None,
     keep_partition_col: bool = False,
@@ -56,6 +87,8 @@ def read_namespace(
     — including bootstrap extensions the caller doesn't know about —
     into PartitionFilters; the column is dropped there."""
     df = spark.read.parquet(path)
+    if "_ingest_batch" in df.columns:  # batch-keyed idempotent sink
+        df = df.drop("_ingest_batch")
     if start is not None:
         df = df.where(F.col("date_bucket") >= F.to_date(F.lit(start)))
     if end is not None:
@@ -152,6 +185,16 @@ def compact_namespace(
 
     part_dir = os.path.join(path, f"date_bucket={date_bucket}")
     df = spark.read.parquet(part_dir)
+    batch_keyed = "_ingest_batch" in df.columns
+    if batch_keyed:
+        # folding a batch-keyed partition (write_namespace_batch)
+        # retires its idempotency subdirs — only compact CLOSED days.
+        # The compacted files must land under a reserved
+        # _ingest_batch=-1 LEAF: parquet partition discovery requires
+        # uniform directory depth across the table, so flattening one
+        # day while other days are still batch-keyed would fail every
+        # whole-table read (CONFLICTING_PARTITION_COLUMN_NAMES).
+        df = df.drop("_ingest_batch")
     n_rows = df.count()
     n_files = max(1, math.ceil(n_rows / target_rows_per_file))
     tmp = part_dir + "._compact_tmp"
@@ -166,9 +209,15 @@ def compact_namespace(
     import shutil
 
     shutil.rmtree(part_dir)
-    os.rename(tmp, part_dir)
+    if batch_keyed:
+        os.makedirs(part_dir)
+        leaf = os.path.join(part_dir, "_ingest_batch=-1")
+        os.rename(tmp, leaf)
+    else:
+        os.rename(tmp, part_dir)
+        leaf = part_dir
     return len(
-        [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+        [f for f in os.listdir(leaf) if f.endswith(".parquet")]
     )
 
 

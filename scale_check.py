@@ -256,6 +256,83 @@ def main() -> None:
         kept = stratified_sample(docs, {"src0": 0.25, "src1": 0.5})
         return pack_sequences(kept, 2048, n_shards=32)
 
+    # -- ingest-path dict maintenance: merge micro-batches into a
+    # 10M-series dictionary.  Two regimes: ARRIVAL (10 new series per
+    # batch — both layouts must write; the bucketed one rewrites only
+    # the ~10 hit buckets plus pays the change-check scan) and
+    # STEADY-STATE (known series, same UTC day — the dominant
+    # production case: flat still rewrites the whole dict, bucketed
+    # detects no change and writes NOTHING; below ~1M series the
+    # check's fixed job overhead beats the cheap full rewrite, the
+    # crossover is ~10M on this box and widens with |dict|).  Each
+    # arrival rep brings DIFFERENT new series so every rep pays a
+    # real merge.
+    N_DICT_SERIES = 10_000_000
+    DICT_BUCKETS = 64
+
+    def _dict_seed(tag: str):
+        return (
+            spark.range(N_DICT_SERIES)
+            .select(
+                F.concat(F.lit("m"), F.col("id").cast("string")).alias("name"),
+                F.create_map(
+                    F.lit("k"), F.col("id").cast("string")
+                ).alias("tags"),
+                F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+                F.lit(1.0).alias("value"),
+                F.concat(F.lit(tag), F.col("id").cast("string")).alias(
+                    "series_id"
+                ),
+            )
+        )
+
+    def _dict_batch(tag: str, rep: int):
+        # 10k samples over existing series (same day: no last_seen
+        # advance) + 10 genuinely new series
+        old = _dict_seed(tag).limit(10_000)
+        new = (
+            spark.range(10)
+            .select(
+                F.concat(F.lit(f"new{rep}_"), F.col("id").cast("string"))
+                .alias("name"),
+                F.create_map(F.lit("k"), F.lit("n")).alias("tags"),
+                F.lit("2024-01-01 01:00:00").cast("timestamp").alias("ts"),
+                F.lit(2.0).alias("value"),
+                F.concat(
+                    F.lit(f"{tag}new{rep}_"), F.col("id").cast("string")
+                ).alias("series_id"),
+            )
+        )
+        return old.unionByName(new)
+
+    from m3_spark.sources.namespace import write_series_dict
+
+    _rep_counter = {"flat": 0, "bkt": 0}
+
+    def _merge_row(tag: str, bucket_count, steady: bool):
+        def fn(_):
+            from m3_spark.sources.namespace import read_series_dict
+
+            root = os.path.join(SCRATCH, f"dict_{tag}")
+            if not os.path.exists(os.path.join(root, "_series_dict")):
+                write_series_dict(
+                    _dict_seed(tag), root, bucket_count=bucket_count
+                )
+            if steady:
+                batch = _dict_seed(tag).limit(10_000)  # known, same day
+            else:
+                _rep_counter[tag] = _rep_counter.get(tag, 0) + 1
+                batch = _dict_batch(tag, _rep_counter[tag])
+            write_series_dict(batch, root)
+            return read_series_dict(spark, root).select("series_id").limit(1)
+
+        return fn
+
+    q_dict_merge_flat = _merge_row("f", None, steady=False)
+    q_dict_merge_bucketed = _merge_row("b", DICT_BUCKETS, steady=False)
+    q_dict_steady_flat = _merge_row("sf", None, steady=True)
+    q_dict_steady_bucketed = _merge_row("sb", DICT_BUCKETS, steady=True)
+
     def q_ann_ivf(_):
         # full-corpus Lloyd pass: 200k × 64 broadcast cosine assign +
         # the (list, dim) mean — the dominant cost of quantizer training
@@ -282,6 +359,10 @@ def main() -> None:
         "text_analysis_500k": q_text_analysis,
         "sample_pack_500k": q_sample_pack,
         "ann_ivf_train_topk_200k": q_ann_ivf,
+        "dict_merge_10m_flat": q_dict_merge_flat,
+        "dict_merge_10m_bucketed": q_dict_merge_bucketed,
+        "dict_steady_10m_flat": q_dict_steady_flat,
+        "dict_steady_10m_bucketed": q_dict_steady_bucketed,
     }.items():
         # warm-up (discarded): pays JVM JIT/codegen AND any one-off
         # table/signature writes a query's first call performs

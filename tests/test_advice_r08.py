@@ -144,13 +144,14 @@ def test_ingest_writes_dict_before_facts(spark, tmp_path, monkeypatch):
     from m3_spark.sources import namespace as ns_mod
 
     calls: list[str] = []
-    real_dict, real_ns = ns_mod.write_series_dict, ns_mod.write_namespace
+    real_dict = ns_mod.write_series_dict
+    real_ns = ns_mod.write_namespace_batch
     monkeypatch.setattr(
         ns_mod, "write_series_dict",
         lambda *a, **k: (calls.append("dict"), real_dict(*a, **k))[1],
     )
     monkeypatch.setattr(
-        ns_mod, "write_namespace",
+        ns_mod, "write_namespace_batch",
         lambda *a, **k: (calls.append("facts"), real_ns(*a, **k))[1],
     )
 
