@@ -237,6 +237,7 @@ def lsh_candidates_incremental(
     new_docs: DataFrame, existing_sigs: DataFrame,
     k: int = 12, bands: int = 4, n: int = 3,
     text_col: str = "text", id_col: str = "doc_id",
+    new_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental LSH dedup: candidate pairs for a NEW batch against
     an existing corpus whose signatures were already materialized
@@ -252,7 +253,8 @@ def lsh_candidates_incremental(
     (one shuffle on the band key, no self-join).
     """
     r = k // bands
-    new_sigs = minhash_signature(new_docs, k, n, text_col, id_col)
+    if new_sigs is None:
+        new_sigs = minhash_signature(new_docs, k, n, text_col, id_col)
     sigs = existing_sigs.select(
         F.col(id_col), "signature", F.lit(False).alias("is_new")
     ).unionByName(
@@ -655,3 +657,41 @@ def dedup_clusters(
     to keep one canonical document per near-duplicate set."""
     pairs = lsh_candidates(docs, k, bands, n, text_col, id_col)
     return connected_components(pairs)
+
+
+def dedup_ingest_batch(
+    new_docs: DataFrame, sig_path: str, existing_assignment: DataFrame,
+    k: int = 12, bands: int = 4, n: int = 3,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """The complete dedup ARRIVAL step, one call — what a 100 TB
+    training-data pipeline runs per landed shard:
+
+    1. sign ONLY the arriving batch (``minhash_signature``, cut from
+       lineage so later steps never re-shingle);
+    2. candidate pairs vs the materialized signature table
+       (``lsh_candidates_incremental`` — old text never re-read,
+       old-old pairs never re-emitted), materialized eagerly;
+    3. ``merge_clusters`` folds the pairs into the existing
+       assignment (historical pairs not an input);
+    4. APPEND the batch's signatures to the table, so the NEXT
+       arrival sees this one.  The append runs after step 2's plan is
+       materialized — appending first would let the (lazy) pair scan
+       list the new files and collide the batch with itself.
+
+    Returns ``(updated_assignment, new_pairs)``.  Invariant (tested):
+    folding arrivals one at a time yields exactly the full-corpus
+    clustering after every wave.
+    """
+    spark = new_docs.sparkSession
+    new_sigs = minhash_signature(
+        new_docs, k, n, text_col, id_col
+    ).localCheckpoint()
+    existing_sigs = spark.read.parquet(sig_path)
+    pairs = lsh_candidates_incremental(
+        new_docs, existing_sigs, k, bands, n, text_col, id_col,
+        new_sigs=new_sigs,
+    ).localCheckpoint(eager=True)
+    merged = merge_clusters(pairs, existing_assignment)
+    new_sigs.write.mode("append").parquet(sig_path)
+    return merged, pairs

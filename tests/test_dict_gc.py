@@ -109,6 +109,39 @@ def test_dict_served_metadata_excludes_expired(spark, tmp_path):
     ), plan
 
 
+def test_dict_metadata_matches_flat_endpoints(spark, tmp_path):
+    """label_names / complete_tags served from the dictionary return
+    exactly what the fact-scanning path returns (pre-GC, so both see
+    the same series set) — with matchers and prefixes applied."""
+    from m3_spark.functions.metadata import complete_tags, label_names
+    from m3_spark.sources.namespace import read_namespace, read_series_dict
+
+    path = _ns(spark, tmp_path)
+    back = read_namespace(spark, path)
+    sdict = read_series_dict(spark, path)
+
+    flat = {r["label"] for r in label_names(back).collect()}
+    dictd = {r["label"] for r in label_names(back, dims=sdict).collect()}
+    assert flat == dictd and flat == {"k"}
+
+    matchers = [("=~", "__name__", "s.*")]
+    flat_m = {r["label"] for r in label_names(back, matchers).collect()}
+    dict_m = {
+        r["label"] for r in label_names(back, matchers, dims=sdict).collect()
+    }
+    assert flat_m == dict_m
+
+    a = sorted(
+        (r["label"], tuple(r["values"]))
+        for r in complete_tags(back, key_prefix="k").collect()
+    )
+    b = sorted(
+        (r["label"], tuple(r["values"]))
+        for r in complete_tags(back, key_prefix="k", dims=sdict).collect()
+    )
+    assert a == b and len(a) == 1
+
+
 def test_last_seen_advances_and_legacy_dict_kept(spark, tmp_path):
     """The merge advances last_seen_bucket (a re-appearing series is
     not GC'd), and legacy dict rows with NULL last_seen are

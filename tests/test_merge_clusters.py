@@ -82,6 +82,53 @@ def test_merge_bridges_two_old_components(spark):
     }, got
 
 
+def test_dedup_ingest_batch_multi_wave(spark, tmp_path):
+    """dedup_ingest_batch folds arrivals one at a time — signature
+    table appended per wave, clusters merged incrementally — and after
+    EVERY wave the assignment equals a full recompute over everything
+    landed so far."""
+    from pyspark.sql import functions as F
+
+    from m3_spark.pipeline.dedup import (
+        dedup_clusters,
+        dedup_ingest_batch,
+        write_signature_table,
+    )
+
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs before noon today ok",
+        "how vexingly quick daft zebras jump over anything at all here",
+    ]
+    rows = []
+    for i in range(36):
+        t = base[i % 3]
+        if i % 6 < 4:
+            t = t + f" tail{i % 2}"
+        else:
+            t = f"singleton doc {i} words {i * 13}"
+        rows.append((i, t))
+    docs = _docs(spark, rows)
+    wave = lambda w: docs.where(F.col("doc_id") % 3 == w)  # noqa: E731
+
+    sig_path = str(tmp_path / "sigs")
+    write_signature_table(wave(0), sig_path, 12, 3)
+    assignment = dedup_clusters(wave(0), 12, 4, 3)
+
+    landed = wave(0)
+    for w in (1, 2):
+        assignment, _pairs = dedup_ingest_batch(
+            wave(w), sig_path, assignment, 12, 4, 3
+        )
+        landed = landed.unionByName(wave(w))
+        full = _clusters_dict(dedup_clusters(landed, 12, 4, 3))
+        assert _clusters_dict(assignment) == full, f"wave {w} diverged"
+    # the signature table grew to cover every landed doc exactly once
+    sigs = spark.read.parquet(sig_path)
+    assert sigs.count() == landed.count()
+    assert sigs.select("doc_id").distinct().count() == landed.count()
+
+
 def test_merge_never_scans_historical_edges(spark, tmp_path):
     """The merge plan reads the assignment table and the new pairs —
     the historical pair/edge set is not an input, so a parquet-backed
