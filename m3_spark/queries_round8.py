@@ -242,6 +242,73 @@ LEFT JOIN lastv l ON l.step_ts = s.step_ts AND l.user_id = c.user_id
 """
 
 
+def q_dedup_ingest_two_waves(spark, sf_dir):
+    """The complete arrival pipeline driven for TWO successive waves
+    (``dedup_ingest_batch``): wave 1 merges against wave 0's
+    signatures/clusters, wave 2 against the APPENDED table including
+    wave 1 — and the final assignment must hash-match the full-corpus
+    transitive closure.  This is the invariant that makes per-shard
+    dedup sound at 100 TB: no arrival order can diverge from the
+    batch recompute."""
+    import shutil
+
+    from .pipeline.dedup import (
+        dedup_clusters,
+        dedup_ingest_batch,
+        write_signature_table,
+    )
+    from .queries_pipeline import BANDS, K_MINHASH, NGRAM
+    from .sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    wave = lambda w: docs.where(F.col("doc_id") % 3 == w)  # noqa: E731
+    _t, sig_path = _scratch("sigs_2w", sf_dir)
+    shutil.rmtree(sig_path, ignore_errors=True)  # append semantics
+    write_signature_table(wave(0), sig_path, K_MINHASH, NGRAM)
+    assignment = dedup_clusters(wave(0), K_MINHASH, BANDS, NGRAM)
+    for w in (1, 2):
+        assignment, _pairs = dedup_ingest_batch(
+            wave(w), sig_path, assignment, K_MINHASH, BANDS, NGRAM
+        )
+    return assignment
+
+
+def q_namespace_batch_idempotent(spark, sf_dir):
+    """The exactly-once unagg sink driven through the driver gate:
+    three batches land via ``write_namespace_batch`` and one is
+    REDELIVERED (the foreachBatch crash-retry) — the batch-keyed
+    dynamic partition overwrite must replace, not append, so the
+    hourly sums hash-match a plain full-table oracle (a duplicated
+    batch doubles its hours and mismatches)."""
+    import shutil
+
+    from .sources.namespace import read_namespace, write_namespace_batch
+
+    samples = read_samples(spark, sf_dir)
+    _t, path = _scratch("ns_batchsink", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)  # append semantics
+    cut = F.to_date(F.col("ts")) < F.lit("2024-01-15")
+    b0, b1 = samples.where(cut), samples.where(~cut)
+    write_namespace_batch(b0, path, batch_id=0)
+    write_namespace_batch(b1, path, batch_id=1)
+    write_namespace_batch(b0, path, batch_id=0)  # crash-retry redelivery
+    back = read_namespace(spark, path)
+    return (
+        back.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("step_s"),
+            F.col("tags").getItem("event_type").alias("event_type"),
+        )
+        .agg(F.round(F.sum("value"), 6).alias("value"))
+    )
+
+
+ORACLE_NAMESPACE_BATCH_IDEMPOTENT = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step_s,
+       event_type, ROUND(SUM(value), 6) AS value
+FROM events GROUP BY 1, 2
+"""
+
+
 ROUND8_QUERIES = {
     "namespace_dict_label_values": (
         q_namespace_dict_label_values,
@@ -250,6 +317,10 @@ ROUND8_QUERIES = {
     "graphite_dict_transform_null": (
         q_graphite_dict_transform_null,
         ORACLE_GRAPHITE_DICT_TRANSFORM_NULL,
+    ),
+    "namespace_batch_idempotent": (
+        q_namespace_batch_idempotent,
+        ORACLE_NAMESPACE_BATCH_IDEMPOTENT,
     ),
 }
 
@@ -270,5 +341,11 @@ def make_round8_queries(oracle_dedup_clusters: str) -> dict:
         "route_dict_multi_resolution": (
             q_route_dict_multi_resolution,
             ORACLE_ROUTE_MULTI_RESOLUTION,
+        ),
+        # same full-corpus closure oracle: two-wave arrival must equal
+        # the batch recompute, cluster ids included
+        "dedup_ingest_two_waves": (
+            q_dedup_ingest_two_waves,
+            oracle_dedup_clusters,
         ),
     }
