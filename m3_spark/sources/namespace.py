@@ -276,13 +276,27 @@ def write_series_dict(
         e.startswith("dict_bucket=") for e in os.listdir(dict_path)
     )
     if partitioned or (not exists and bucket_count):
-        n = bucket_count
-        if partitioned and not n:
+        if partitioned:
+            # the layout is STICKY: n always comes from the existing
+            # dict_bucket= directories.  An explicit bucket_count that
+            # disagrees would hash fresh rows under a new modulus while
+            # old rows sit in old-modulus buckets — the change check
+            # would miss them and the merge would duplicate series
+            # across buckets.  Changing the modulus is a rebuild
+            # (migration), never a silent write-path switch.
             n = 1 + max(
                 int(e.split("=", 1)[1])
                 for e in os.listdir(dict_path)
                 if e.startswith("dict_bucket=")
             )
+            if bucket_count and bucket_count != n:
+                raise ValueError(
+                    f"series dict at {dict_path} is hash-partitioned with "
+                    f"bucket_count={n}; got bucket_count={bucket_count}. "
+                    "Rebuild the dict to change the bucket modulus."
+                )
+        else:
+            n = bucket_count
         _write_series_dict_bucketed(spark, fresh, dict_path, n, exists)
         return
     if exists:
@@ -314,8 +328,12 @@ def _write_series_dict_bucketed(
     bucket = F.pmod(F.xxhash64("series_id"), F.lit(n)).alias("dict_bucket")
     fresh = fresh.select("*", bucket)
     if not exists:
+        # repartition on the bucket key with n tasks: each bucket's
+        # rows land in exactly one task (one file per bucket dir), but
+        # the initial 100M-series build spreads across n tasks instead
+        # of funnelling the whole dict through one.
         (
-            fresh.repartition(1, "dict_bucket")
+            fresh.repartition(n, "dict_bucket")
             .write.mode("overwrite")
             .partitionBy("dict_bucket")
             .parquet(dict_path)
@@ -360,8 +378,11 @@ def _write_series_dict_bucketed(
     prev = spark.conf.get(conf_key, "static")
     spark.conf.set(conf_key, "dynamic")
     try:
+        # n-task repartition keeps one file per bucket dir (each bucket
+        # hashes to exactly one task) without a single-task funnel when
+        # many buckets changed (e.g. a day-rollover batch)
         (
-            merged.repartition(1, "dict_bucket")
+            merged.repartition(n, "dict_bucket")
             .write.mode("overwrite")
             .partitionBy("dict_bucket")
             .parquet(dict_path)
@@ -430,14 +451,30 @@ def prune_series_dict(
     if n_dropped:
         kept = dims.where(alive).localCheckpoint()
         if "dict_bucket" in kept.columns:
-            # STATIC overwrite on purpose: a bucket emptied by GC must
-            # lose its directory, which dynamic mode would leave stale
-            (
-                kept.repartition(1, "dict_bucket")
-                .write.mode("overwrite")
-                .partitionBy("dict_bucket")
-                .parquet(dict_path)
+            n = 1 + max(
+                int(e.split("=", 1)[1])
+                for e in os.listdir(dict_path)
+                if e.startswith("dict_bucket=")
             )
+            # STATIC overwrite on purpose: a bucket emptied by GC must
+            # lose its directory, which dynamic mode would leave stale.
+            # Pinned explicitly — relying on the session default would
+            # silently resurrect ghosts in a session that set the mode
+            # to dynamic globally.  n-task repartition: the post-GC
+            # full rewrite parallelizes across buckets (one file per
+            # bucket dir either way).
+            conf_key = "spark.sql.sources.partitionOverwriteMode"
+            prev = spark.conf.get(conf_key, "static")
+            spark.conf.set(conf_key, "static")
+            try:
+                (
+                    kept.repartition(n, "dict_bucket")
+                    .write.mode("overwrite")
+                    .partitionBy("dict_bucket")
+                    .parquet(dict_path)
+                )
+            finally:
+                spark.conf.set(conf_key, prev)
         else:
             kept.write.mode("overwrite").parquet(dict_path)
     return n_dropped

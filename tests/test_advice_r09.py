@@ -1,0 +1,119 @@
+"""Round-9 advice/verdict fixes in sources/namespace.py:
+
+* a bucket_count that disagrees with an existing hash-partitioned
+  dict layout raises instead of silently corrupting the modulus;
+* prune_series_dict pins partitionOverwriteMode=static explicitly
+  (a session-global dynamic default must not resurrect ghosts);
+* full-dict writes (initial build / post-GC rewrite) parallelize
+  across buckets while keeping exactly one file per bucket dir.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+
+from .conftest import make_samples
+from .test_consolidate import T0
+
+T0_DAY = dt.datetime.fromtimestamp(T0, dt.timezone.utc).replace(tzinfo=None)
+
+N = 4
+
+
+def _mk(spark, n_series, day=0):
+    return make_samples(
+        spark,
+        [
+            (f"s{i}", {"k": str(i)}, T0 + day * 86400 + i, 1.0)
+            for i in range(n_series)
+        ],
+    )
+
+
+def _files_per_bucket(path):
+    root = os.path.join(path, "_series_dict")
+    out = {}
+    for entry in os.listdir(root):
+        if entry.startswith("dict_bucket="):
+            out[entry] = len(
+                [
+                    f
+                    for f in os.listdir(os.path.join(root, entry))
+                    if f.endswith(".parquet")
+                ]
+            )
+    return out
+
+
+def test_mismatched_bucket_count_raises(spark, tmp_path):
+    from m3_spark.sources.namespace import write_series_dict
+
+    path = str(tmp_path / "ns")
+    write_series_dict(_mk(spark, 8), path, bucket_count=N)
+    with pytest.raises(ValueError, match="bucket_count"):
+        write_series_dict(_mk(spark, 2), path, bucket_count=N + 3)
+    # matching explicit count is fine (idempotent layout declaration)
+    write_series_dict(_mk(spark, 2), path, bucket_count=N)
+
+
+def test_initial_build_one_file_per_bucket(spark, tmp_path):
+    from m3_spark.sources.namespace import read_series_dict, write_series_dict
+
+    path = str(tmp_path / "ns")
+    write_series_dict(_mk(spark, 64), path, bucket_count=N)
+    per = _files_per_bucket(path)
+    assert per and all(c == 1 for c in per.values()), per
+    assert read_series_dict(spark, path).count() == 64
+
+
+def test_gc_rewrite_static_under_dynamic_session(spark, tmp_path):
+    """With the session default flipped to dynamic, GC must still drop
+    the directories of buckets it empties (ghost rows stay gone)."""
+    from m3_spark.sources.namespace import (
+        prune_series_dict,
+        read_series_dict,
+        write_series_dict,
+    )
+
+    path = str(tmp_path / "ns")
+    # day-0 series in every bucket; one fresh series on day 30
+    old = _mk(spark, 32, day=0)
+    fresh = make_samples(spark, [("fresh", {"k": "f"}, T0 + 30 * 86400, 1.0)])
+    write_series_dict(old, path, bucket_count=N)
+    write_series_dict(fresh, path)
+
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf_key, "static")
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        now = T0_DAY + dt.timedelta(days=31)
+        n = prune_series_dict(spark, path, 5 * 86400, now)
+    finally:
+        spark.conf.set(conf_key, prev)
+    assert n == 32
+    back = read_series_dict(spark, path)
+    assert [r["name"] for r in back.collect()] == ["fresh"]
+    # buckets emptied by the sweep lost their directories
+    per = _files_per_bucket(path)
+    assert all(c == 1 for c in per.values()), per
+
+
+def test_gc_rewrite_keeps_one_file_per_bucket(spark, tmp_path):
+    from m3_spark.sources.namespace import (
+        prune_series_dict,
+        write_series_dict,
+    )
+
+    path = str(tmp_path / "ns")
+    write_series_dict(_mk(spark, 64, day=0), path, bucket_count=N)
+    write_series_dict(_mk(spark, 64, day=30), path)  # advance last_seen
+    # nothing expires (all seen day 30) but force a drop via one stale
+    stale = make_samples(spark, [("stale", {"k": "s"}, T0, 1.0)])
+    write_series_dict(stale, path)
+    now = T0_DAY + dt.timedelta(days=31)
+    assert prune_series_dict(spark, path, 5 * 86400, now) == 1
+    per = _files_per_bucket(path)
+    assert per and all(c == 1 for c in per.values()), per
