@@ -229,6 +229,9 @@ def lsh_candidates(
     return (
         buckets.select(F.explode(pairs).alias("p"))
         .select("p.id_a", "p.id_b")
+        # a doc signed twice (duplicate signature rows, e.g. a crashed
+        # arrival re-appending a wave) must not emit (a,a)
+        .where(F.col("id_a") != F.col("id_b"))
         .distinct()
     )
 
@@ -307,7 +310,11 @@ def lsh_candidates_incremental(
                         (x["is_new"] | y["is_new"]).alias("any_new"),
                     ),
                 ),
-                lambda p: p["any_new"],
+                # any_new: old-old pairs were emitted when those
+                # batches arrived; id_a != id_b: duplicate signature
+                # rows for one doc (a redelivered wave's double-append)
+                # must not emit self-pairs
+                lambda p: p["any_new"] & (p["id_a"] != p["id_b"]),
             ),
         )
     )
@@ -659,10 +666,81 @@ def dedup_clusters(
     return connected_components(pairs)
 
 
+#: reserved _sig_batch value for a base corpus / compacted signatures
+SIG_BASE_BATCH = -1
+
+
+def _fold_legacy_sig_table(sig_path: str) -> bool:
+    """Migrate a flat signature table (root-level parquet files, the
+    pre-batch-keyed layout) under a ``_sig_batch=-1`` leaf so
+    batch-keyed writes can join it — parquet partition discovery
+    requires uniform directory depth, so mixing root files with
+    ``_sig_batch=`` subdirs would fail every read.  Pure os.rename
+    (metadata ops), no data rewrite.  Returns True if a fold ran."""
+    import os
+
+    if not os.path.isdir(sig_path):
+        return False
+    flat = [
+        f for f in os.listdir(sig_path)
+        if f.endswith(".parquet")
+        and os.path.isfile(os.path.join(sig_path, f))
+    ]
+    if not flat:
+        return False
+    leaf = os.path.join(sig_path, f"_sig_batch={SIG_BASE_BATCH}")
+    os.makedirs(leaf, exist_ok=True)
+    for f in flat:
+        os.rename(os.path.join(sig_path, f), os.path.join(leaf, f))
+    return True
+
+
+def write_signature_batch(
+    sigs: DataFrame, sig_path: str, batch_id: int
+) -> None:
+    """IDEMPOTENT signature persist: the batch's signatures land under
+    a ``_sig_batch=<batch_id>`` partition via dynamic partition
+    overwrite, mirroring the fact sink (``write_namespace_batch``,
+    sources/namespace.py) — a redelivered wave REPLACES its own
+    partition instead of appending duplicate rows.  Duplicate
+    signature rows are what make later waves see one doc twice in a
+    bucket (self-pairs, duplicate candidates); the upstream source is
+    at-least-once (reference m3msg, ``src/msg/consumer/``), so every
+    arrival-path write must tolerate redelivery."""
+    import os
+
+    if int(batch_id) == SIG_BASE_BATCH:
+        raise ValueError(
+            f"_sig_batch={SIG_BASE_BATCH} is reserved for the base corpus"
+        )
+    _fold_legacy_sig_table(sig_path)
+    spark = sigs.sparkSession
+    df = sigs.withColumn("_sig_batch", F.lit(int(batch_id)))
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf_key, "static")
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        (
+            df.write.mode("overwrite" if os.path.isdir(sig_path) else "append")
+            .partitionBy("_sig_batch")
+            .parquet(sig_path)
+        )
+    finally:
+        spark.conf.set(conf_key, prev)
+
+
+def read_signature_table(spark, sig_path: str) -> DataFrame:
+    """Reader over the signature table; the ``_sig_batch`` idempotency
+    column is a write-path detail and is stripped."""
+    df = spark.read.parquet(sig_path)
+    return df.drop("_sig_batch") if "_sig_batch" in df.columns else df
+
+
 def dedup_ingest_batch(
     new_docs: DataFrame, sig_path: str, existing_assignment: DataFrame,
     k: int = 12, bands: int = 4, n: int = 3,
     text_col: str = "text", id_col: str = "doc_id",
+    batch_id: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The complete dedup ARRIVAL step, one call — what a 100 TB
     training-data pipeline runs per landed shard:
@@ -674,24 +752,46 @@ def dedup_ingest_batch(
        old-old pairs never re-emitted), materialized eagerly;
     3. ``merge_clusters`` folds the pairs into the existing
        assignment (historical pairs not an input);
-    4. APPEND the batch's signatures to the table, so the NEXT
-       arrival sees this one.  The append runs after step 2's plan is
-       materialized — appending first would let the (lazy) pair scan
+    4. persist the batch's signatures so the NEXT arrival sees this
+       one — with ``batch_id`` given, via the batch-keyed partition
+       overwrite (``write_signature_batch``), making the WHOLE step
+       crash-idempotent: redelivery after a crash anywhere in 1-4
+       replaces the batch's own signature partition (never a double
+       append) and excludes it from the corpus side of the pair scan,
+       so the rerun's pairs and assignment are identical to a clean
+       first delivery.  The write still runs after step 2's plan is
+       materialized — writing first would let the (lazy) pair scan
        list the new files and collide the batch with itself.
+
+    ``batch_id=None`` keeps the legacy plain append (only valid on a
+    flat table; at-least-once sources should always pass the batch
+    id, exactly as the fact sink takes one — sources/ingest.py:239).
 
     Returns ``(updated_assignment, new_pairs)``.  Invariant (tested):
     folding arrivals one at a time yields exactly the full-corpus
-    clustering after every wave.
+    clustering after every wave — including a redelivered wave.
     """
     spark = new_docs.sparkSession
     new_sigs = minhash_signature(
         new_docs, k, n, text_col, id_col
     ).localCheckpoint()
     existing_sigs = spark.read.parquet(sig_path)
+    if "_sig_batch" in existing_sigs.columns:
+        if batch_id is not None:
+            # a crashed earlier delivery of THIS batch may have left
+            # its partition behind — partition-pruned exclusion makes
+            # the rerun see exactly the pre-delivery corpus
+            existing_sigs = existing_sigs.where(
+                F.col("_sig_batch") != int(batch_id)
+            )
+        existing_sigs = existing_sigs.drop("_sig_batch")
     pairs = lsh_candidates_incremental(
         new_docs, existing_sigs, k, bands, n, text_col, id_col,
         new_sigs=new_sigs,
     ).localCheckpoint(eager=True)
     merged = merge_clusters(pairs, existing_assignment)
-    new_sigs.write.mode("append").parquet(sig_path)
+    if batch_id is not None:
+        write_signature_batch(new_sigs, sig_path, batch_id)
+    else:
+        new_sigs.write.mode("append").parquet(sig_path)
     return merged, pairs

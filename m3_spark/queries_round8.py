@@ -268,7 +268,8 @@ def q_dedup_ingest_two_waves(spark, sf_dir):
     assignment = dedup_clusters(wave(0), K_MINHASH, BANDS, NGRAM)
     for w in (1, 2):
         assignment, _pairs = dedup_ingest_batch(
-            wave(w), sig_path, assignment, K_MINHASH, BANDS, NGRAM
+            wave(w), sig_path, assignment, K_MINHASH, BANDS, NGRAM,
+            batch_id=w,
         )
     return assignment
 

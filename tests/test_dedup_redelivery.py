@@ -1,0 +1,154 @@
+"""Crash-idempotent dedup arrival (round-9 verdict item 1).
+
+The upstream source is at-least-once (reference m3msg,
+``src/msg/consumer/``), so a wave can be REDELIVERED after a crash at
+any point of ``dedup_ingest_batch``.  With ``batch_id`` given the
+signature persist is a batch-keyed partition overwrite
+(``write_signature_batch``): the rerun replaces its own partition
+instead of double-appending, excludes it from the corpus side, and
+produces the same pairs and assignment as a clean first delivery.
+The pair fan-outs additionally refuse (a, a) self-pairs even when
+duplicate signature rows exist (a pre-fix corpus, or an out-of-band
+append).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _corpus(spark, n=36):
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs before noon today ok",
+        "how vexingly quick daft zebras jump over anything at all here",
+    ]
+    rows = []
+    for i in range(n):
+        t = base[i % 3]
+        if i % 6 < 4:
+            t = t + f" tail{i % 2}"
+        else:
+            t = f"singleton doc {i} words {i * 13}"
+        rows.append((i, t))
+    return _docs(spark, rows)
+
+
+def _clusters_dict(assignment):
+    return {r["node"]: r["cluster"] for r in assignment.collect()}
+
+
+def _pairs_set(pairs):
+    return {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+
+
+def test_redelivered_wave_is_idempotent(spark, tmp_path):
+    """Crash between the signature write and the assignment persist:
+    the redelivered wave must leave the signature table, the pair set
+    and the merged assignment EXACTLY as a single delivery would."""
+    from m3_spark.pipeline.dedup import (
+        dedup_clusters,
+        dedup_ingest_batch,
+        read_signature_table,
+        write_signature_table,
+    )
+
+    docs = _corpus(spark)
+    wave = lambda w: docs.where(F.col("doc_id") % 3 == w)  # noqa: E731
+    sig_path = str(tmp_path / "sigs")
+    write_signature_table(wave(0), sig_path, 12, 3)
+    assignment0 = dedup_clusters(wave(0), 12, 4, 3).localCheckpoint()
+
+    a1, p1 = dedup_ingest_batch(
+        wave(1), sig_path, assignment0, 12, 4, 3, batch_id=1
+    )
+    first = (_clusters_dict(a1), _pairs_set(p1))
+    sig_rows_first = read_signature_table(spark, sig_path).count()
+
+    # the crash lost the merged assignment; the source redelivers the
+    # wave and the consumer reruns the WHOLE step with the same
+    # batch_id and the same pre-crash assignment
+    a1r, p1r = dedup_ingest_batch(
+        wave(1), sig_path, assignment0, 12, 4, 3, batch_id=1
+    )
+    assert (_clusters_dict(a1r), _pairs_set(p1r)) == first
+    sigs = read_signature_table(spark, sig_path)
+    assert sigs.count() == sig_rows_first  # replaced, not appended
+    assert sigs.select("doc_id").distinct().count() == sigs.count()
+
+    # and the next wave on top still converges to the batch recompute
+    a2, _ = dedup_ingest_batch(wave(2), sig_path, a1r, 12, 4, 3, batch_id=2)
+    full = _clusters_dict(dedup_clusters(docs, 12, 4, 3))
+    assert _clusters_dict(a2) == full
+
+
+def test_legacy_flat_table_folds_to_batch_leaf(spark, tmp_path):
+    """A signature table written by the flat layout is folded under
+    _sig_batch=-1 by the first batch-keyed write (os.rename, no data
+    rewrite) so partition depths stay uniform."""
+    from m3_spark.pipeline.dedup import (
+        dedup_clusters,
+        dedup_ingest_batch,
+        read_signature_table,
+        write_signature_table,
+    )
+
+    docs = _corpus(spark)
+    wave = lambda w: docs.where(F.col("doc_id") % 3 == w)  # noqa: E731
+    sig_path = str(tmp_path / "sigs")
+    write_signature_table(wave(0), sig_path, 12, 3)
+    assert any(f.endswith(".parquet") for f in os.listdir(sig_path))
+
+    a0 = dedup_clusters(wave(0), 12, 4, 3).localCheckpoint()
+    dedup_ingest_batch(wave(1), sig_path, a0, 12, 4, 3, batch_id=7)
+    entries = os.listdir(sig_path)
+    assert "_sig_batch=-1" in entries and "_sig_batch=7" in entries
+    assert not any(
+        f.endswith(".parquet")
+        for f in entries
+        if os.path.isfile(os.path.join(sig_path, f))
+    )
+    sigs = read_signature_table(spark, sig_path)
+    assert "_sig_batch" not in sigs.columns
+    assert sigs.count() == wave(0).count() + wave(1).count()
+
+
+def test_duplicate_sig_rows_emit_no_self_pairs(spark):
+    """Even with a corrupted (pre-fix) table holding one doc twice,
+    neither pair fan-out emits (a, a)."""
+    from m3_spark.pipeline.dedup import (
+        lsh_candidates,
+        lsh_candidates_incremental,
+        minhash_signature,
+    )
+
+    docs = _docs(
+        spark,
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+    )
+    sigs = minhash_signature(docs, 12, 3)
+    doubled = sigs.unionByName(sigs)
+
+    assert lsh_candidates(docs, 12, 4, 3, sigs=doubled).count() == 0
+    inc = lsh_candidates_incremental(
+        docs, doubled, 12, 4, 3, new_sigs=sigs
+    )
+    assert inc.count() == 0
+
+
+def test_reserved_base_batch_id_rejected(spark, tmp_path):
+    import pytest
+
+    from m3_spark.pipeline.dedup import minhash_signature, write_signature_batch
+
+    docs = _docs(spark, [(1, "some text here for the signature fold")])
+    with pytest.raises(ValueError, match="reserved"):
+        write_signature_batch(
+            minhash_signature(docs, 12, 3), str(tmp_path / "s"), -1
+        )
