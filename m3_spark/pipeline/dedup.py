@@ -692,6 +692,12 @@ def _fold_legacy_sig_table(sig_path: str) -> bool:
     os.makedirs(leaf, exist_ok=True)
     for f in flat:
         os.rename(os.path.join(sig_path, f), os.path.join(leaf, f))
+        # keep the Hadoop checksum sidecar with its file
+        crc = f".{f}.crc"
+        if os.path.isfile(os.path.join(sig_path, crc)):
+            os.rename(
+                os.path.join(sig_path, crc), os.path.join(leaf, crc)
+            )
     return True
 
 

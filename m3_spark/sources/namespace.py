@@ -45,6 +45,49 @@ def write_namespace(
     )
 
 
+def fold_legacy_batch_layout(path: str) -> int:
+    """Migrate a namespace written by the FLAT layout
+    (``write_namespace``: parquet files directly under
+    ``date_bucket=D/``) so the batch-keyed sink can land on it:
+    parquet partition discovery requires uniform directory depth, so
+    one ``(date_bucket, _ingest_batch)`` pair next to flat day
+    partitions fails every subsequent read with
+    CONFLICTING_PARTITION_COLUMN_NAMES.  Each flat day's files move
+    under an ``_ingest_batch=-1`` leaf — the same reserved value
+    compaction folds closed days into, so folded history and compacted
+    history are indistinguishable.  Pure os.rename (metadata ops, no
+    data rewrite).  Returns the number of day partitions folded."""
+    import os
+
+    if not os.path.isdir(path):
+        return 0
+    folded = 0
+    for entry in os.listdir(path):
+        day_dir = os.path.join(path, entry)
+        if not entry.startswith("date_bucket=") or not os.path.isdir(day_dir):
+            continue
+        flat = [
+            f for f in os.listdir(day_dir)
+            if f.endswith(".parquet")
+            and os.path.isfile(os.path.join(day_dir, f))
+        ]
+        if not flat:
+            continue
+        leaf = os.path.join(day_dir, "_ingest_batch=-1")
+        os.makedirs(leaf, exist_ok=True)
+        for f in flat:
+            os.rename(os.path.join(day_dir, f), os.path.join(leaf, f))
+            # keep the Hadoop checksum sidecar with its file — a stale
+            # .crc would fail any future same-named write at this level
+            crc = f".{f}.crc"
+            if os.path.isfile(os.path.join(day_dir, crc)):
+                os.rename(
+                    os.path.join(day_dir, crc), os.path.join(leaf, crc)
+                )
+        folded += 1
+    return folded
+
+
 def write_namespace_batch(
     samples: DataFrame, path: str, batch_id: int,
     bucket_count: int | None = None,
@@ -55,7 +98,16 @@ def write_namespace_batch(
     is at-least-once) OVERWRITES its own partitions instead of
     appending duplicates — write-side exactly-once without any marker
     protocol.  ``read_namespace`` strips the batch column; compaction
-    folds the batch subdirs away once a day partition is closed."""
+    folds the batch subdirs away once a day partition is closed.  A
+    pre-existing FLAT layout at ``path`` (written by
+    ``write_namespace``) is folded under ``_ingest_batch=-1`` first
+    (:func:`fold_legacy_batch_layout`) — mixed partition depths would
+    otherwise break every read of the table."""
+    if int(batch_id) == -1:
+        raise ValueError(
+            "_ingest_batch=-1 is reserved (compaction / folded legacy data)"
+        )
+    fold_legacy_batch_layout(path)
     df = samples.withColumn("date_bucket", F.to_date(F.col("ts"))).withColumn(
         "_ingest_batch", F.lit(int(batch_id))
     )

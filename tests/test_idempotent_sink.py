@@ -120,3 +120,51 @@ def test_compaction_folds_batch_partitions(spark, tmp_path):
     assert "_ingest_batch" not in back.columns
     # the compacted day re-read alone also works and is deduped
     assert read_namespace(spark, path, start=str(day0), end=str(day0)).count() == 3
+
+
+def test_legacy_flat_layout_folds_before_batch_write(spark, tmp_path):
+    """A namespace written by the FLAT layout (write_namespace) takes
+    batch-keyed writes after an automatic fold of its day partitions
+    under _ingest_batch=-1 — previously the mixed partition depths
+    broke every subsequent read (round-9 advice item 4)."""
+    import os
+
+    from m3_spark.sources.namespace import (
+        read_namespace,
+        write_namespace,
+        write_namespace_batch,
+    )
+
+    path = str(tmp_path / "ns")
+    legacy = make_samples(
+        spark, [("m", {"k": str(i)}, T0 + i * 86400, float(i)) for i in range(3)]
+    )
+    write_namespace(legacy, path)
+    day0 = os.path.join(path, sorted(
+        e for e in os.listdir(path) if e.startswith("date_bucket=")
+    )[0])
+    assert any(f.endswith(".parquet") for f in os.listdir(day0))
+
+    fresh = make_samples(spark, [("n", {"k": "x"}, T0 + 50, 9.0)])
+    write_namespace_batch(fresh, path, batch_id=0)
+
+    # flat files (and their .crc sidecars) folded under the reserved
+    # compaction leaf; the new batch lands as its own leaf beside it
+    entries = sorted(e for e in os.listdir(day0))
+    assert entries == ["_ingest_batch=-1", "_ingest_batch=0"], entries
+    back = read_namespace(spark, path)
+    assert back.count() == 4
+    assert "_ingest_batch" not in back.columns
+    # redelivery of the batch still replaces, never appends
+    write_namespace_batch(fresh, path, batch_id=0)
+    assert read_namespace(spark, path).count() == 4
+
+
+def test_reserved_batch_id_rejected(spark, tmp_path):
+    import pytest
+
+    from m3_spark.sources.namespace import write_namespace_batch
+
+    b = make_samples(spark, [("m", {"k": "1"}, T0, 1.0)])
+    with pytest.raises(ValueError, match="reserved"):
+        write_namespace_batch(b, str(tmp_path / "ns"), batch_id=-1)
