@@ -19,12 +19,36 @@ Spark/Parquet restatement:
     the write — co-locating a series inside one file per day, which
     keeps per-series range scans and the consolidate/rate shuffles
     narrow at 100 TB.
+
+Maintenance vs concurrent readers (the fileset-rotation contract,
+``src/dbnode/persist/fs/retriever.go``): the SERIES DICTIONARY is
+always snapshot-managed (immutable files + atomic ``_MANIFEST.json``
+flip + vacuum-by-grace, ``sources/snapshots.py``); namespace FACT
+tables opt in via :func:`init_namespace_snapshot`, after which
+compaction / retention expiry / the batch sink are manifest flips a
+concurrent reader never observes mid-swap.  A plain (non-manifest)
+fact table keeps directory semantics, and its maintenance ops require
+quiesced readers — stated on each op; at deployment scale the same
+protocol is a lakehouse table format (the manifest is a
+one-generation Delta log).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from . import snapshots
+
+#: flat-dict merges auto-migrate to the hash-partitioned layout once
+#: the dictionary crosses this cardinality (SCALE_r08: flat merges
+#: degrade ~2x past ~10M series while bucketed stays flat; below ~1M
+#: the change-check's fixed job overhead loses to a cheap full
+#: rewrite, so small dicts stay flat)
+AUTO_BUCKET_THRESHOLD = 1_000_000
+#: bucket modulus the auto-migration picks — ~1.5M series per bucket
+#: at the 100M-series design point, one task each
+AUTO_BUCKET_COUNT = 64
 
 
 def write_namespace(
@@ -113,14 +137,34 @@ def write_namespace_batch(
     )
     if bucket_count:
         df = df.repartition(bucket_count, F.col("series_id"))
+    df = df.sortWithinPartitions("series_id", "ts")
     spark = samples.sparkSession
+    if snapshots.has_manifest(path):
+        # snapshot mode (init_namespace_snapshot): redelivery safety
+        # comes from the manifest flip, not a partition overwrite — the
+        # batch's files are APPENDED (never deleting what a concurrent
+        # reader may be scanning) and the flip drops any files a
+        # crashed earlier attempt of the SAME batch left under its
+        # _ingest_batch partitions
+        leaf = f"_ingest_batch={int(batch_id)}"
+        with snapshots.writer_lock(path):
+            manifest = snapshots.read_manifest(path)
+            new_files = snapshots.snapshot_append(
+                df, path, partition_by=["date_bucket", "_ingest_batch"]
+            )
+            keep = [
+                f for f in manifest["files"]
+                if leaf not in f.split("/")
+            ]
+            snapshots.commit_snapshot(path, keep + new_files, df.schema.json())
+        snapshots.vacuum_snapshot(path)
+        return
     conf_key = "spark.sql.sources.partitionOverwriteMode"
     prev = spark.conf.get(conf_key, "static")
     spark.conf.set(conf_key, "dynamic")
     try:
         (
-            df.sortWithinPartitions("series_id", "ts")
-            .write.mode("overwrite")
+            df.write.mode("overwrite")
             .partitionBy("date_bucket", "_ingest_batch")
             .parquet(path)
         )
@@ -138,7 +182,9 @@ def read_namespace(
     downstream time pruning (``prune_time``) can translate its window
     — including bootstrap extensions the caller doesn't know about —
     into PartitionFilters; the column is dropped there."""
-    df = spark.read.parquet(path)
+    # snapshot-managed tables resolve their manifest (concurrent-
+    # reader-safe maintenance); plain tables read the directory
+    df = snapshots.resolve_snapshot(spark, path)
     if "_ingest_batch" in df.columns:  # batch-keyed idempotent sink
         df = df.drop("_ingest_batch")
     if start is not None:
@@ -187,6 +233,11 @@ def prune_retention(
     (:func:`prune_series_dict`) so expired series leave the index with
     their data — the reference's segments-expire-with-blocks contract.
 
+    SNAPSHOT-MANAGED tables (:func:`init_namespace_snapshot`) expire
+    by manifest flip — concurrent readers on the pre-sweep snapshot
+    finish undisturbed; plain tables rmtree the partition dirs and
+    require quiesced readers for the expired days.
+
     Returns the dropped partition values.
     """
     import datetime as dt
@@ -198,18 +249,62 @@ def prune_retention(
     else:
         now_dt = now
     cutoff = now_dt - dt.timedelta(seconds=retention_s)
+
+    def _expired(day_str: str) -> bool:
+        day = dt.datetime.fromisoformat(day_str)
+        end = day + dt.timedelta(days=1) - dt.timedelta(microseconds=1)
+        return end < cutoff
+
     dropped: list[str] = []
-    for entry in sorted(os.listdir(path)):
-        if not entry.startswith("date_bucket="):
-            continue
-        day = dt.datetime.fromisoformat(entry.split("=", 1)[1])
-        end_of_day = day + dt.timedelta(days=1) - dt.timedelta(microseconds=1)
-        if end_of_day < cutoff:
-            shutil.rmtree(os.path.join(path, entry))
-            dropped.append(entry.split("=", 1)[1])
+    if snapshots.has_manifest(path):
+        # snapshot mode: expiry is ONE manifest flip — expired days'
+        # files retire (readers resolved pre-sweep finish on them) and
+        # vacuum removes files + emptied partition dirs after grace
+        with snapshots.writer_lock(path):
+            manifest = snapshots.read_manifest(path)
+            keep: list[str] = []
+            gone: set[str] = set()
+            for f in manifest["files"]:
+                head = f.split("/", 1)[0]
+                if head.startswith("date_bucket=") and _expired(
+                    head.split("=", 1)[1]
+                ):
+                    gone.add(head.split("=", 1)[1])
+                else:
+                    keep.append(f)
+            if gone:
+                snapshots.commit_snapshot(path, keep)
+            dropped = sorted(gone)
+        snapshots.vacuum_snapshot(path)
+    else:
+        for entry in sorted(os.listdir(path)):
+            if not entry.startswith("date_bucket="):
+                continue
+            if _expired(entry.split("=", 1)[1]):
+                shutil.rmtree(os.path.join(path, entry))
+                dropped.append(entry.split("=", 1)[1])
     if spark is not None:
         prune_series_dict(spark, path, retention_s, now)
     return dropped
+
+
+def init_namespace_snapshot(path: str) -> dict:
+    """Opt a path-addressed namespace table into SNAPSHOT-MANAGED
+    maintenance: the current directory contents become snapshot v1 of
+    a ``_MANIFEST.json`` (``sources/snapshots.py``), after which
+    ``read_namespace`` resolves the manifest's pinned file list,
+    ``write_namespace_batch`` lands batches as append-plus-flip, and
+    ``compact_namespace`` / ``prune_retention`` retire files instead
+    of deleting them — a query that resolved its snapshot before a
+    maintenance flip completes mid-rewrite, the reference's
+    atomic-fileset-rotation contract
+    (``src/dbnode/persist/fs/retriever.go``).  Without this opt-in the
+    table keeps plain-parquet semantics and maintenance requires
+    quiesced readers (documented on each op).  Sticky: later writes
+    detect the manifest."""
+    fold_legacy_batch_layout(path)
+    with snapshots.writer_lock(path):
+        return snapshots.init_manifest(path)
 
 
 def compact_namespace(
@@ -231,10 +326,24 @@ def compact_namespace(
     and never touches live (still-appending) partitions.
 
     Returns the number of files after compaction.
+
+    SNAPSHOT-MANAGED tables (:func:`init_namespace_snapshot`): the
+    compacted files are written aside, moved under the day's
+    ``_ingest_batch=-1`` leaf and swapped in by one manifest flip —
+    the day's previous files retire (readers resolved pre-compaction
+    finish on them; vacuum deletes them after the grace).  Plain
+    tables keep the in-place directory swap below, which requires
+    QUIESCED READERS for this day — a concurrent query listing the
+    directory mid-swap can fail (the snapshot opt-in is the
+    concurrent-reader answer).
     """
     import math
     import os
 
+    if snapshots.has_manifest(path):
+        return _compact_namespace_snapshot(
+            spark, path, date_bucket, target_rows_per_file
+        )
     part_dir = os.path.join(path, f"date_bucket={date_bucket}")
     df = spark.read.parquet(part_dir)
     batch_keyed = "_ingest_batch" in df.columns
@@ -273,8 +382,69 @@ def compact_namespace(
     )
 
 
+def _compact_namespace_snapshot(
+    spark: SparkSession, path: str, date_bucket: str,
+    target_rows_per_file: int,
+) -> int:
+    """Snapshot-mode compaction: write-aside + move + manifest flip
+    (see :func:`compact_namespace`).  Never deletes or renames a file
+    the current snapshot references."""
+    import math
+    import os
+    import shutil
+
+    day_prefix = f"date_bucket={date_bucket}/"
+    with snapshots.writer_lock(path):
+        manifest = snapshots.read_manifest(path)
+        day_files = [
+            f for f in manifest["files"] if f.startswith(day_prefix)
+        ]
+        if not day_files:
+            return 0
+        df = spark.read.option("basePath", path).parquet(
+            *[os.path.join(path, f) for f in day_files]
+        )
+        df = df.drop("date_bucket")
+        if "_ingest_batch" in df.columns:
+            df = df.drop("_ingest_batch")
+        n_rows = df.count()
+        n_files = max(1, math.ceil(n_rows / target_rows_per_file))
+        # dot-prefixed scratch: invisible to both Spark's file index
+        # and the snapshot walk
+        tmp = os.path.join(path, f".compact_tmp_{date_bucket}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            df.repartition(n_files, F.col("series_id"))
+            .sortWithinPartitions("series_id", "ts")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        leaf = os.path.join(path, f"date_bucket={date_bucket}",
+                            "_ingest_batch=-1")
+        os.makedirs(leaf, exist_ok=True)
+        new_files = []
+        for f in os.listdir(tmp):
+            if not f.endswith(".parquet"):
+                continue
+            os.rename(os.path.join(tmp, f), os.path.join(leaf, f))
+            crc = f".{f}.crc"
+            if os.path.isfile(os.path.join(tmp, crc)):
+                os.rename(
+                    os.path.join(tmp, crc), os.path.join(leaf, crc)
+                )
+            new_files.append(
+                os.path.relpath(os.path.join(leaf, f), path)
+            )
+        shutil.rmtree(tmp, ignore_errors=True)
+        keep = [f for f in manifest["files"] if not f.startswith(day_prefix)]
+        snapshots.commit_snapshot(path, keep + new_files)
+    snapshots.vacuum_snapshot(path)
+    return len(new_files)
+
+
 def write_series_dict(
-    samples: DataFrame, path: str, bucket_count: int | None = None
+    samples: DataFrame, path: str, bucket_count: int | None = None,
+    auto_bucket_threshold: int = AUTO_BUCKET_THRESHOLD,
 ) -> None:
     """Materialize the namespace's series dictionary — one row per
     series_id with its name/tags — the analog of the reference's
@@ -299,6 +469,16 @@ def write_series_dict(
     merge cost is |dict|-bounded (series cardinality), never
     |samples|-bounded.
 
+    Every dict write is SNAPSHOT-MANAGED (``sources/snapshots.py``):
+    writers only append immutable files and atomically flip the
+    ``_MANIFEST.json``, so a concurrent query that resolved the dict
+    before a merge/GC keeps scanning the old snapshot's files (they
+    survive until vacuum's grace expires) — the reference's
+    atomic-fileset-rotation-plus-reader-lease contract
+    (``src/dbnode/persist/fs/retriever.go``) restated for parquet.  A
+    legacy plain-parquet dict is bootstrapped into a manifest on the
+    first write.
+
     ``bucket_count``: opt into a HASH-PARTITIONED dict layout
     (``dict_bucket = pmod(xxhash64(series_id), N)`` directories).  The
     merge then rewrites ONLY the buckets that actually changed — a
@@ -312,9 +492,17 @@ def write_series_dict(
     what keeps a 100M-series dictionary maintainable per micro-batch
     (the reference's index insert queue likewise touches only the
     affected segments).  The layout is sticky: once a dict is
-    partitioned, later writes keep it partitioned; an existing flat
-    dict stays flat regardless of ``bucket_count`` (rebuild to
-    migrate)."""
+    partitioned, later writes keep it partitioned (an explicit
+    ``bucket_count`` that disagrees with the existing modulus raises).
+
+    LAYOUT AUTO-SELECTION: a flat dict MIGRATES to the partitioned
+    layout inside a normal merge once it crosses
+    ``auto_bucket_threshold`` series (default 1M — below that the
+    change-check's fixed job overhead loses to a cheap full rewrite,
+    SCALE_r08), or immediately when a caller passes ``bucket_count``
+    on an existing flat dict.  The migration is one snapshot flip:
+    old flat files retire, readers resolved pre-migration finish on
+    them.  Pass ``auto_bucket_threshold=0`` to disable."""
     import os
 
     spark = samples.sparkSession
@@ -323,7 +511,10 @@ def write_series_dict(
         F.first("name").alias("name"), F.first("tags").alias("tags"),
         F.max(F.to_date(F.col("ts"))).alias("last_seen_bucket"),
     )
-    exists = os.path.exists(dict_path)
+    exists = os.path.exists(dict_path) and (
+        snapshots.has_manifest(dict_path)
+        or bool(snapshots.list_parquet_files(dict_path))
+    )
     partitioned = exists and any(
         e.startswith("dict_bucket=") for e in os.listdir(dict_path)
     )
@@ -352,31 +543,86 @@ def write_series_dict(
         _write_series_dict_bucketed(spark, fresh, dict_path, n, exists)
         return
     if exists:
-        old = spark.read.parquet(dict_path)
-        if "last_seen_bucket" not in old.columns:  # pre-GC dict layout
-            old = old.withColumn(
-                "last_seen_bucket", F.lit(None).cast("date")
+        with snapshots.writer_lock(dict_path):
+            snapshots.init_manifest(dict_path)  # bootstrap legacy dict
+            old = snapshots.resolve_snapshot(spark, dict_path)
+            if "last_seen_bucket" not in old.columns:  # pre-GC layout
+                old = old.withColumn(
+                    "last_seen_bucket", F.lit(None).cast("date")
+                )
+            merged = (
+                old.unionByName(fresh)
+                .groupBy("series_id")
+                .agg(
+                    F.first("name").alias("name"),
+                    F.first("tags").alias("tags"),
+                    F.max("last_seen_bucket").alias("last_seen_bucket"),
+                )
+                .localCheckpoint()  # materialize before the flip
             )
-        fresh = (
-            old.unionByName(fresh)
-            .groupBy("series_id")
-            .agg(
-                F.first("name").alias("name"),
-                F.first("tags").alias("tags"),
-                F.max("last_seen_bucket").alias("last_seen_bucket"),
+            if bucket_count or (
+                auto_bucket_threshold
+                and merged.count() >= auto_bucket_threshold
+            ):
+                # the flat full-rewrite-per-merge stops scaling past
+                # ~1M series — migrate to the hash-partitioned layout
+                # in the same flip (old flat files retire; a reader
+                # resolved pre-migration still completes on them).
+                # An explicit bucket_count on a flat dict is the
+                # caller-requested form of the same migration.
+                nb = bucket_count or AUTO_BUCKET_COUNT
+                bucketed = merged.select(
+                    "*",
+                    F.pmod(F.xxhash64("series_id"), F.lit(nb)).alias(
+                        "dict_bucket"
+                    ),
+                )
+                new_files = snapshots.snapshot_append(
+                    bucketed.repartition(nb, "dict_bucket"),
+                    dict_path,
+                    partition_by=["dict_bucket"],
+                )
+            else:
+                new_files = snapshots.snapshot_append(merged, dict_path)
+            snapshots.commit_snapshot(
+                dict_path, new_files, merged.schema.json()
             )
+        snapshots.vacuum_snapshot(dict_path)
+        return
+    # initial build: auto-select the layout by batch cardinality
+    fresh = fresh.localCheckpoint()
+    if auto_bucket_threshold and fresh.count() >= auto_bucket_threshold:
+        _write_series_dict_bucketed(
+            spark, fresh, dict_path, AUTO_BUCKET_COUNT, exists=False
         )
-        # the union reads the dir being overwritten — cut lineage first
-        fresh = fresh.localCheckpoint()
+        return
     fresh.write.mode("overwrite").parquet(dict_path)
+    with snapshots.writer_lock(dict_path):
+        snapshots.commit_snapshot(
+            dict_path,
+            snapshots.list_parquet_files(dict_path),
+            fresh.schema.json(),
+        )
+
+
+def _bucket_of(relpath: str) -> int | None:
+    """dict_bucket value a snapshot-relative file path lives under."""
+    head = relpath.split("/", 1)[0]
+    if head.startswith("dict_bucket="):
+        return int(head.split("=", 1)[1])
+    return None
 
 
 def _write_series_dict_bucketed(
     spark, fresh: DataFrame, dict_path: str, n: int, exists: bool
 ) -> None:
-    """Partitioned-dict merge: overwrite only the changed buckets (see
+    """Partitioned-dict merge: replace only the changed buckets (see
     write_series_dict).  The affected-bucket list is a collect bounded
-    by the bucket count — driver metadata, not data."""
+    by the bucket count — driver metadata, not data.  Snapshot
+    protocol: changed buckets' merged rows are APPENDED as new files
+    and the manifest flip swaps them in for the buckets' old files —
+    no in-place overwrite, so concurrent readers on the previous
+    snapshot are undisturbed."""
     bucket = F.pmod(F.xxhash64("series_id"), F.lit(n)).alias("dict_bucket")
     fresh = fresh.select("*", bucket)
     if not exists:
@@ -390,63 +636,77 @@ def _write_series_dict_bucketed(
             .partitionBy("dict_bucket")
             .parquet(dict_path)
         )
+        with snapshots.writer_lock(dict_path):
+            snapshots.commit_snapshot(
+                dict_path,
+                snapshots.list_parquet_files(dict_path),
+                fresh.schema.json(),
+            )
         return
-    old = spark.read.parquet(dict_path)
-    # change check: partition-pruned to the batch's own buckets, and
-    # only the (series_id, last_seen) columns leave parquet
-    fresh_buckets = [
-        r["dict_bucket"]
-        for r in fresh.select("dict_bucket").distinct().collect()
-    ]
-    old_slim = old.where(F.col("dict_bucket").isin(fresh_buckets)).select(
-        "series_id", F.col("last_seen_bucket").alias("_old_seen")
-    )
-    changed = (
-        fresh.join(old_slim, "series_id", "left")
-        .where(
-            F.col("_old_seen").isNull()
-            | (F.col("last_seen_bucket") > F.col("_old_seen"))
+    with snapshots.writer_lock(dict_path):
+        manifest = snapshots.init_manifest(dict_path)
+        old = snapshots.resolve_snapshot(spark, dict_path)
+        # change check: partition-pruned to the batch's own buckets,
+        # and only the (series_id, last_seen) columns leave parquet
+        fresh_buckets = [
+            r["dict_bucket"]
+            for r in fresh.select("dict_bucket").distinct().collect()
+        ]
+        old_slim = old.where(
+            F.col("dict_bucket").isin(fresh_buckets)
+        ).select(
+            "series_id", F.col("last_seen_bucket").alias("_old_seen")
         )
-    )
-    hit = [
-        r["dict_bucket"]
-        for r in changed.select("dict_bucket").distinct().collect()
-    ]
-    if not hit:
-        return
-    merged = (
-        old.where(F.col("dict_bucket").isin(hit))
-        .unionByName(fresh.where(F.col("dict_bucket").isin(hit)))
-        .groupBy("series_id")
-        .agg(
-            F.first("name").alias("name"),
-            F.first("tags").alias("tags"),
-            F.max("last_seen_bucket").alias("last_seen_bucket"),
+        changed = (
+            fresh.join(old_slim, "series_id", "left")
+            .where(
+                F.col("_old_seen").isNull()
+                | (F.col("last_seen_bucket") > F.col("_old_seen"))
+            )
         )
-        .select("*", bucket)
-        .localCheckpoint()  # cut lineage off the dir being overwritten
-    )
-    conf_key = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(conf_key, "static")
-    spark.conf.set(conf_key, "dynamic")
-    try:
-        # n-task repartition keeps one file per bucket dir (each bucket
-        # hashes to exactly one task) without a single-task funnel when
-        # many buckets changed (e.g. a day-rollover batch)
-        (
-            merged.repartition(n, "dict_bucket")
-            .write.mode("overwrite")
-            .partitionBy("dict_bucket")
-            .parquet(dict_path)
+        hit = {
+            r["dict_bucket"]
+            for r in changed.select("dict_bucket").distinct().collect()
+        }
+        if not hit:
+            return
+        merged = (
+            old.where(F.col("dict_bucket").isin(list(hit)))
+            .unionByName(fresh.where(F.col("dict_bucket").isin(list(hit))))
+            .groupBy("series_id")
+            .agg(
+                F.first("name").alias("name"),
+                F.first("tags").alias("tags"),
+                F.max("last_seen_bucket").alias("last_seen_bucket"),
+            )
+            .select("*", bucket)
+            .localCheckpoint()  # materialize before the flip
         )
-    finally:
-        spark.conf.set(conf_key, prev)
+        # n-task repartition keeps one file per bucket dir (each
+        # bucket hashes to exactly one task) without a single-task
+        # funnel when many buckets changed (e.g. a day-rollover batch)
+        new_files = snapshots.snapshot_append(
+            merged.repartition(n, "dict_bucket"),
+            dict_path,
+            partition_by=["dict_bucket"],
+        )
+        keep = [
+            f for f in manifest["files"] if _bucket_of(f) not in hit
+        ]
+        snapshots.commit_snapshot(
+            dict_path, keep + new_files, merged.schema.json()
+        )
+    snapshots.vacuum_snapshot(dict_path)
 
 
 def read_series_dict(spark: SparkSession, path: str) -> DataFrame:
+    """Resolve the dictionary's CURRENT snapshot (manifest-pinned file
+    list — maintenance flips after this call don't disturb the
+    returned frame; legacy manifest-less dicts fall back to a plain
+    directory read)."""
     import os
 
-    df = spark.read.parquet(os.path.join(path, "_series_dict"))
+    df = snapshots.resolve_snapshot(spark, os.path.join(path, "_series_dict"))
     # the hash-partition column is a write-path detail
     return df.drop("dict_bucket") if "dict_bucket" in df.columns else df
 
@@ -486,49 +746,67 @@ def prune_series_dict(
 
     Rows with a NULL ``last_seen_bucket`` (a dict written before the
     GC layout) are conservatively KEPT; the next ingest merge stamps
-    them.  Returns the number of rows dropped."""
+    them.  Returns the number of rows dropped.
+
+    Snapshot protocol: the sweep appends the kept rows of AFFECTED
+    buckets only (a bucket with no expired series keeps its existing
+    files untouched — GC cost is proportional to expiring buckets,
+    not |dict|) and flips the manifest; buckets emptied entirely
+    simply reference no files in the new snapshot, so dict-served
+    metadata can never resurrect ghosts regardless of any
+    partition-overwrite session setting.  Readers resolved before the
+    flip finish on the retired files."""
     import os
 
     dict_path = os.path.join(path, "_series_dict")
     if not os.path.exists(dict_path):
         return 0
-    dims = spark.read.parquet(dict_path)
-    if "last_seen_bucket" not in dims.columns:
-        return 0
     keep_date = _retention_keep_date(now, retention_s)
     alive = F.col("last_seen_bucket").isNull() | (
         F.col("last_seen_bucket") >= F.lit(keep_date)
     )
-    n_dropped = dims.where(~alive).count()
-    if n_dropped:
-        kept = dims.where(alive).localCheckpoint()
-        if "dict_bucket" in kept.columns:
-            n = 1 + max(
-                int(e.split("=", 1)[1])
-                for e in os.listdir(dict_path)
-                if e.startswith("dict_bucket=")
+    with snapshots.writer_lock(dict_path):
+        manifest = snapshots.init_manifest(dict_path)
+        dims = snapshots.resolve_snapshot(spark, dict_path)
+        if "last_seen_bucket" not in dims.columns:
+            return 0
+        n_dropped = dims.where(~alive).count()
+        if not n_dropped:
+            return 0
+        if "dict_bucket" in dims.columns:
+            affected = {
+                r["dict_bucket"]
+                for r in dims.where(~alive)
+                .select("dict_bucket")
+                .distinct()
+                .collect()
+            }
+            kept = (
+                dims.where(F.col("dict_bucket").isin(list(affected)))
+                .where(alive)
+                .localCheckpoint()
             )
-            # STATIC overwrite on purpose: a bucket emptied by GC must
-            # lose its directory, which dynamic mode would leave stale.
-            # Pinned explicitly — relying on the session default would
-            # silently resurrect ghosts in a session that set the mode
-            # to dynamic globally.  n-task repartition: the post-GC
-            # full rewrite parallelizes across buckets (one file per
-            # bucket dir either way).
-            conf_key = "spark.sql.sources.partitionOverwriteMode"
-            prev = spark.conf.get(conf_key, "static")
-            spark.conf.set(conf_key, "static")
-            try:
-                (
-                    kept.repartition(n, "dict_bucket")
-                    .write.mode("overwrite")
-                    .partitionBy("dict_bucket")
-                    .parquet(dict_path)
-                )
-            finally:
-                spark.conf.set(conf_key, prev)
+            n_tasks = max(len(affected), 1)
+            new_files = snapshots.snapshot_append(
+                kept.repartition(n_tasks, "dict_bucket"),
+                dict_path,
+                partition_by=["dict_bucket"],
+            )
+            keep_files = [
+                f
+                for f in manifest["files"]
+                if _bucket_of(f) not in affected
+            ]
+            snapshots.commit_snapshot(
+                dict_path, keep_files + new_files, kept.schema.json()
+            )
         else:
-            kept.write.mode("overwrite").parquet(dict_path)
+            kept = dims.where(alive).localCheckpoint()
+            new_files = snapshots.snapshot_append(kept, dict_path)
+            snapshots.commit_snapshot(
+                dict_path, new_files, kept.schema.json()
+            )
+    snapshots.vacuum_snapshot(dict_path)
     return n_dropped
 
 

@@ -96,9 +96,16 @@ def test_gc_rewrite_static_under_dynamic_session(spark, tmp_path):
     assert n == 32
     back = read_series_dict(spark, path)
     assert [r["name"] for r in back.collect()] == ["fresh"]
-    # buckets emptied by the sweep lost their directories
+    # expired rows are unreachable regardless of the session's
+    # overwrite mode (ghost-freedom now comes from the manifest flip,
+    # not a static overwrite); after vacuum the emptied buckets lose
+    # their directories too
+    from m3_spark.sources import snapshots
+
+    snapshots.vacuum_snapshot(os.path.join(path, "_series_dict"), grace_s=0)
     per = _files_per_bucket(path)
     assert all(c == 1 for c in per.values()), per
+    assert read_series_dict(spark, path).count() == 1
 
 
 def test_gc_rewrite_keeps_one_file_per_bucket(spark, tmp_path):
@@ -115,5 +122,8 @@ def test_gc_rewrite_keeps_one_file_per_bucket(spark, tmp_path):
     write_series_dict(stale, path)
     now = T0_DAY + dt.timedelta(days=31)
     assert prune_series_dict(spark, path, 5 * 86400, now) == 1
+    from m3_spark.sources import snapshots
+
+    snapshots.vacuum_snapshot(os.path.join(path, "_series_dict"), grace_s=0)
     per = _files_per_bucket(path)
     assert per and all(c == 1 for c in per.values()), per

@@ -182,8 +182,13 @@ def test_bucketed_dict_consumers_and_gc(spark, tmp_path):
     assert prune_series_dict(spark, path, 2 * 86400, now) == 1
     left = _rows(spark, path)
     assert [r[1] for r in left] == ["new"]
-    # the emptied bucket directory is gone (static overwrite)
+    # the emptied bucket is gone from the SNAPSHOT immediately (the
+    # manifest flip); its retired file leaves the disk after vacuum's
+    # grace — here forced to 0
+    from m3_spark.sources import snapshots
+
     root = os.path.join(path, "_series_dict")
+    snapshots.vacuum_snapshot(root, grace_s=0)
     nonempty = [
         d for d in os.listdir(root)
         if d.startswith("dict_bucket=")

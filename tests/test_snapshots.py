@@ -1,0 +1,235 @@
+"""Snapshot manifests (round-9 verdict item 2, option a): maintenance
+ops never disturb a concurrent reader.
+
+The write protocol is append-immutable-files + atomic manifest flip +
+vacuum-by-grace (``sources/snapshots.py``); a DataFrame that resolved
+its snapshot BEFORE a compaction / GC / retention flip keeps scanning
+the old snapshot's files, which stay on disk until vacuum's grace
+expires — the parquet restatement of the reference's atomic fileset
+rotation + reader leases (``src/dbnode/persist/fs/retriever.go``).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import time
+
+from .conftest import make_samples
+from .test_consolidate import T0
+
+T0_DAY = dt.datetime.fromtimestamp(T0, dt.timezone.utc).replace(tzinfo=None)
+
+
+def _mk(spark, n, day=0, name="m"):
+    return make_samples(
+        spark,
+        [
+            (f"{name}{i}", {"k": str(i)}, T0 + day * 86400 + i, float(i))
+            for i in range(n)
+        ],
+    )
+
+
+# -- dict: reader isolation across merge + GC -------------------------------
+
+
+def test_dict_reader_survives_merge_and_gc(spark, tmp_path):
+    from m3_spark.sources.namespace import (
+        prune_series_dict,
+        read_series_dict,
+        write_series_dict,
+    )
+
+    path = str(tmp_path / "ns")
+    write_series_dict(_mk(spark, 8, day=0), path, bucket_count=4)
+
+    # reader resolves the v1 snapshot (file list pinned now)
+    old_reader = read_series_dict(spark, path)
+
+    # maintenance: a merge advancing every series + a GC dropping one
+    write_series_dict(_mk(spark, 8, day=30), path)
+    stale = make_samples(spark, [("gone", {"k": "g"}, T0, 1.0)])
+    write_series_dict(stale, path)
+    now = T0_DAY + dt.timedelta(days=31)
+    assert prune_series_dict(spark, path, 5 * 86400, now) == 1
+
+    # the pre-maintenance reader completes and sees the OLD snapshot
+    old_rows = {
+        (r["series_id"], str(r["last_seen_bucket"]))
+        for r in old_reader.collect()
+    }
+    assert len(old_rows) == 8
+    assert all(d == str(T0_DAY.date()) for _sid, d in old_rows)
+
+    # a fresh resolve sees the post-maintenance state
+    new_reader = read_series_dict(spark, path)
+    assert new_reader.count() == 8  # 'gone' swept
+    day30 = str((T0_DAY + dt.timedelta(days=30)).date())
+    assert all(
+        str(r["last_seen_bucket"]) == day30 for r in new_reader.collect()
+    )
+
+
+def test_dict_gc_to_empty_keeps_typed_schema(spark, tmp_path):
+    from m3_spark.sources.namespace import (
+        prune_series_dict,
+        read_series_dict,
+        write_series_dict,
+    )
+
+    path = str(tmp_path / "ns")
+    write_series_dict(_mk(spark, 3), path)
+    now = T0_DAY + dt.timedelta(days=400)
+    assert prune_series_dict(spark, path, 86400, now) == 3
+    empty = read_series_dict(spark, path)
+    assert empty.count() == 0
+    assert "series_id" in empty.columns and "tags" in empty.columns
+
+
+# -- dict: flat -> bucketed auto-migration (round-9 verdict item 5) ---------
+
+
+def test_flat_dict_auto_migrates_at_threshold(spark, tmp_path):
+    from m3_spark.sources.namespace import read_series_dict, write_series_dict
+
+    path = str(tmp_path / "ns")
+    # below threshold: stays flat
+    write_series_dict(_mk(spark, 4), path, auto_bucket_threshold=10)
+    root = os.path.join(path, "_series_dict")
+    assert not any(e.startswith("dict_bucket=") for e in os.listdir(root))
+
+    # the merge that crosses the threshold migrates in one flip
+    write_series_dict(
+        _mk(spark, 12, name="x"), path, auto_bucket_threshold=10
+    )
+    assert any(e.startswith("dict_bucket=") for e in os.listdir(root))
+    assert read_series_dict(spark, path).count() == 16
+
+    # later writes keep the bucketed layout (sticky) and stay correct
+    write_series_dict(
+        _mk(spark, 2, name="y"), path, auto_bucket_threshold=10
+    )
+    assert read_series_dict(spark, path).count() == 18
+
+
+def test_explicit_bucket_count_migrates_flat_dict(spark, tmp_path):
+    from m3_spark.sources.namespace import read_series_dict, write_series_dict
+
+    path = str(tmp_path / "ns")
+    write_series_dict(_mk(spark, 6), path)
+    root = os.path.join(path, "_series_dict")
+    assert not any(e.startswith("dict_bucket=") for e in os.listdir(root))
+    # caller-requested migration on an existing flat dict
+    write_series_dict(_mk(spark, 2, name="z"), path, bucket_count=4)
+    assert any(e.startswith("dict_bucket=") for e in os.listdir(root))
+    assert read_series_dict(spark, path).count() == 8
+
+
+# -- namespace fact tables under the snapshot opt-in ------------------------
+
+
+def test_namespace_snapshot_lifecycle_reader_isolation(spark, tmp_path):
+    """Batch sink (with redelivery) -> pre-compaction reader ->
+    compaction flip -> retention flip: every stage leaves the
+    pre-stage reader collectable and the fresh reads exact."""
+    from m3_spark.sources.namespace import (
+        compact_namespace,
+        init_namespace_snapshot,
+        prune_retention,
+        read_namespace,
+        write_namespace_batch,
+    )
+    from m3_spark.sources.snapshots import read_manifest
+
+    path = str(tmp_path / "ns")
+    init_namespace_snapshot(path)
+
+    b0 = _mk(spark, 6, day=0)
+    b1 = _mk(spark, 4, day=1, name="n")
+    write_namespace_batch(b0, path, batch_id=0)
+    write_namespace_batch(b1, path, batch_id=1)
+    write_namespace_batch(b0, path, batch_id=0)  # crash-retry redelivery
+    assert read_namespace(spark, path).count() == 10
+
+    day0 = str(T0_DAY.date())
+    pre_compact = read_namespace(spark, path)  # resolves snapshot NOW
+    n_files = compact_namespace(spark, path, day0)
+    assert n_files == 1
+    # the reader resolved pre-compaction completes mid-rewrite: its
+    # files retired but not deleted (vacuum grace)
+    assert pre_compact.count() == 10
+    assert read_namespace(spark, path).count() == 10
+    m = read_manifest(path)
+    day0_files = [f for f in m["files"] if f.startswith(f"date_bucket={day0}/")]
+    assert day0_files == [
+        f"date_bucket={day0}/_ingest_batch=-1/" + os.path.basename(day0_files[0])
+    ]
+
+    # retention flip drops day 0; the pre-sweep reader still completes
+    pre_sweep = read_namespace(spark, path)
+    now = T0_DAY + dt.timedelta(days=4)
+    dropped = prune_retention(path, 3 * 86400, now)
+    assert dropped == [day0]
+    assert pre_sweep.count() == 10
+    assert read_namespace(spark, path).count() == 4
+
+
+def test_namespace_snapshot_redelivery_exact(spark, tmp_path):
+    """Append-plus-flip redelivery: the manifest references exactly
+    one copy of the batch even though both attempts' files exist on
+    disk until vacuum."""
+    from m3_spark.sources.namespace import (
+        init_namespace_snapshot,
+        read_namespace,
+        write_namespace_batch,
+    )
+    from m3_spark.sources.snapshots import list_parquet_files, read_manifest
+
+    path = str(tmp_path / "ns")
+    init_namespace_snapshot(path)
+    b0 = _mk(spark, 5)
+    write_namespace_batch(b0, path, batch_id=0)
+    first = set(read_manifest(path)["files"])
+    write_namespace_batch(b0, path, batch_id=0)
+    second = set(read_manifest(path)["files"])
+    assert len(first) == len(second) and first != second
+    assert read_namespace(spark, path).count() == 5
+    # both attempts on disk (grace), only one referenced
+    assert len(list_parquet_files(path)) > len(second)
+
+
+# -- vacuum ------------------------------------------------------------------
+
+
+def test_vacuum_grace_and_orphans(spark, tmp_path):
+    from m3_spark.sources.namespace import read_series_dict, write_series_dict
+    from m3_spark.sources.snapshots import (
+        list_parquet_files,
+        read_manifest,
+        vacuum_snapshot,
+    )
+
+    path = str(tmp_path / "ns")
+    write_series_dict(_mk(spark, 4, day=0), path)
+    write_series_dict(_mk(spark, 4, day=1), path)  # retires v1 files
+    root = os.path.join(path, "_series_dict")
+    m = read_manifest(root)
+    assert m["retired"]
+
+    # inside the grace window nothing is deleted
+    assert vacuum_snapshot(root, grace_s=3600) == 0
+    assert read_manifest(root)["retired"] == m["retired"]
+
+    # orphan crash debris (a file in NO manifest) ages out too
+    orphan = os.path.join(root, "part-orphan-deadbeef.c000.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"not really parquet")
+    os.utime(orphan, (time.time() - 7200, time.time() - 7200))
+
+    removed = vacuum_snapshot(root, grace_s=0)
+    assert removed == len(m["retired"]) + 1
+    after = read_manifest(root)
+    assert after["retired"] == {}
+    assert set(list_parquet_files(root)) == set(after["files"])
+    assert read_series_dict(spark, path).count() == 4
