@@ -520,14 +520,16 @@ def write_series_dict(
     )
     if partitioned or (not exists and bucket_count):
         if partitioned:
-            # the layout is STICKY: n always comes from the existing
-            # dict_bucket= directories.  An explicit bucket_count that
-            # disagrees would hash fresh rows under a new modulus while
-            # old rows sit in old-modulus buckets — the change check
-            # would miss them and the merge would duplicate series
-            # across buckets.  Changing the modulus is a rebuild
-            # (migration), never a silent write-path switch.
-            n = 1 + max(
+            # the layout is STICKY: n always comes from the dict's own
+            # manifest (directory names CANNOT recover the modulus —
+            # an empty bucket writes no directory).  An explicit
+            # bucket_count that disagrees would hash fresh rows under
+            # a new modulus while old rows sit in old-modulus buckets
+            # — the change check would miss them and the merge would
+            # duplicate series across buckets.  Changing the modulus
+            # is a rebuild (migration), never a silent switch.
+            m = snapshots.read_manifest(dict_path) or {}
+            n = m.get("bucket_count") or 1 + max(
                 int(e.split("=", 1)[1])
                 for e in os.listdir(dict_path)
                 if e.startswith("dict_bucket=")
@@ -582,10 +584,12 @@ def write_series_dict(
                     dict_path,
                     partition_by=["dict_bucket"],
                 )
+                extra = {"bucket_count": nb}
             else:
                 new_files = snapshots.snapshot_append(merged, dict_path)
+                extra = None
             snapshots.commit_snapshot(
-                dict_path, new_files, merged.schema.json()
+                dict_path, new_files, merged.schema.json(), extra=extra
             )
         snapshots.vacuum_snapshot(dict_path)
         return
@@ -641,6 +645,7 @@ def _write_series_dict_bucketed(
                 dict_path,
                 snapshots.list_parquet_files(dict_path),
                 fresh.schema.json(),
+                extra={"bucket_count": n},
             )
         return
     with snapshots.writer_lock(dict_path):
@@ -694,7 +699,8 @@ def _write_series_dict_bucketed(
             f for f in manifest["files"] if _bucket_of(f) not in hit
         ]
         snapshots.commit_snapshot(
-            dict_path, keep + new_files, merged.schema.json()
+            dict_path, keep + new_files, merged.schema.json(),
+            extra={"bucket_count": n},
         )
     snapshots.vacuum_snapshot(dict_path)
 

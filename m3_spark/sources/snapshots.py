@@ -140,12 +140,16 @@ def init_manifest(path: str, schema_json: str | None = None) -> dict:
 
 
 def commit_snapshot(
-    path: str, files: list[str], schema_json: str | None = None
+    path: str, files: list[str], schema_json: str | None = None,
+    extra: dict | None = None,
 ) -> dict:
     """Atomically flip the table to a new snapshot listing exactly
     ``files``.  Files dropped from the previous snapshot move to the
-    ``retired`` map stamped now (vacuum's input).  Call under
-    :func:`writer_lock`."""
+    ``retired`` map stamped now (vacuum's input).  ``extra`` carries
+    table-level metadata (e.g. the dict's ``bucket_count`` — the hash
+    modulus CANNOT be derived from directory names, an empty bucket
+    has no directory); previous extra keys persist across flips
+    unless overridden.  Call under :func:`writer_lock`."""
     prev = read_manifest(path) or {
         "version": 0, "files": [], "retired": {}, "schema": None
     }
@@ -158,11 +162,18 @@ def commit_snapshot(
         if f not in new_set:
             retired[f] = now
     doc = {
-        "version": int(prev.get("version", 0)) + 1,
-        "files": sorted(new_set),
-        "retired": retired,
-        "schema": schema_json or prev.get("schema"),
+        k: v
+        for k, v in prev.items()
+        if k not in ("version", "files", "retired", "schema")
     }
+    doc.update(
+        version=int(prev.get("version", 0)) + 1,
+        files=sorted(new_set),
+        retired=retired,
+        schema=schema_json or prev.get("schema"),
+    )
+    if extra:
+        doc.update(extra)
     _write_manifest(path, doc)
     return doc
 

@@ -127,3 +127,26 @@ def test_gc_rewrite_keeps_one_file_per_bucket(spark, tmp_path):
     snapshots.vacuum_snapshot(os.path.join(path, "_series_dict"), grace_s=0)
     per = _files_per_bucket(path)
     assert per and all(c == 1 for c in per.values()), per
+
+
+def test_modulus_recorded_not_derived_from_dirs(spark, tmp_path):
+    """The hash modulus lives in the dict manifest: with few series,
+    some buckets materialize no directory, so max(dir)+1 under-counts
+    — a later write re-declaring the true bucket_count must NOT raise,
+    and new series must keep hashing under the original modulus
+    (caught by the lifecycle soak test)."""
+    from m3_spark.sources import snapshots
+    from m3_spark.sources.namespace import read_series_dict, write_series_dict
+
+    path = str(tmp_path / "ns")
+    # 2 series into 8 buckets: most bucket dirs don't exist
+    write_series_dict(_mk(spark, 2), path, bucket_count=8)
+    root = os.path.join(path, "_series_dict")
+    dirs = [e for e in os.listdir(root) if e.startswith("dict_bucket=")]
+    assert len(dirs) < 8
+    assert snapshots.read_manifest(root)["bucket_count"] == 8
+
+    # re-declaring the true modulus is fine; a merge keeps it
+    write_series_dict(_mk(spark, 6, day=1), path, bucket_count=8)
+    assert snapshots.read_manifest(root)["bucket_count"] == 8
+    assert read_series_dict(spark, path).count() == 6
