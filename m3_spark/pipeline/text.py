@@ -307,9 +307,12 @@ PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PII_PHONE_RE = r"\+\d{1,3}-\d{3}-\d{3,4}(-\d{3,4})?"
 PII_SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
 #: card-number SHAPE (4x4 groups with -/space separators, or a bare
-#: 13-16 digit run).  Luhn isn't regex-expressible; a shape-only scrub
+#: 13-16 digit run whose first digit is a real card IIN range 2-6 —
+#: Visa 4, Mastercard 2/5, Amex 3, Discover/UnionPay 6).  The IIN gate
+#: keeps ISBN-13s (978/979...) and other 1/7/8/9/0-leading id runs
+#: unscathed.  Luhn isn't regex-expressible; a shape-only scrub still
 #: over-redacts slightly, which is the right failure mode pre-training.
-PII_CC_RE = r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{1,4}\b|\b\d{13,16}\b"
+PII_CC_RE = r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{1,4}\b|\b[2-6]\d{12,15}\b"
 #: secret/token shapes: AWS access keys, GitHub tokens, Slack tokens,
 #: sk-style API keys, and bare 32-64 char lowercase-hex digests
 PII_APIKEY_RE = (
