@@ -781,6 +781,7 @@ from .queries_round6 import ROUND6_QUERIES  # noqa: E402
 from .queries_round7 import make_round7_queries  # noqa: E402
 from .queries_pipeline import ORACLE_DEDUP_CLUSTERS  # noqa: E402
 from .queries_round8 import make_round8_queries  # noqa: E402
+from .queries_round9 import make_round9_queries  # noqa: E402
 
 QUERIES = {
     **PIPELINE_QUERIES,
@@ -789,6 +790,7 @@ QUERIES = {
     **ROUND6_QUERIES,
     **make_round7_queries(ORACLE_RATE),
     **make_round8_queries(ORACLE_DEDUP_CLUSTERS),
+    **make_round9_queries(ORACLE_DEDUP_CLUSTERS),
     "promql_sum_by": (q_sum_by, ORACLE_SUM_BY),
     "promql_agg_by_multi": (q_agg_by_multi, ORACLE_AGG_BY_MULTI),
     "promql_topk": (q_topk, ORACLE_TOPK),

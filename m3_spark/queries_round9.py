@@ -1,0 +1,200 @@
+"""Round-9 battery entries: the production-hardened arrival and
+maintenance paths driven through the driver gate.
+
+* ``dedup_ingest_redelivered`` — the crash-idempotent dedup arrival:
+  a wave is delivered TWICE with the same batch id (the at-least-once
+  redelivery after a crash between the signature write and the
+  assignment persist, reference m3msg ``src/msg/consumer/``); the
+  final clustering must still hash-match the full-corpus transitive
+  closure.
+* ``namespace_snapshot_lifecycle`` — a SNAPSHOT-MANAGED namespace
+  (``init_namespace_snapshot``) through its whole life: batch sink
+  with a redelivery, day compaction, retention expiry by manifest
+  flip, vacuum; the surviving hourly sums must hash-match a plain
+  date-filtered recompute over the raw events.
+* ``dict_auto_bucket_migration`` — a flat series dictionary that
+  crosses the cardinality threshold mid-merge auto-migrates to the
+  hash-partitioned layout in one snapshot flip; the dims= consolidate
+  afterwards must be result-identical to the flat tier (same oracle
+  as ``namespace_dict_sum_by``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .model import read_samples
+from .queries_common import END, START, STEP_S
+from .queries_round7 import ORACLE_NAMESPACE_DICT_SUM_BY, _scratch
+
+
+def q_dedup_ingest_redelivered(spark, sf_dir):
+    """Wave 1 of the arrival pipeline is run twice with the same
+    ``batch_id`` against the SAME pre-crash assignment — the
+    batch-keyed signature overwrite (``write_signature_batch``) must
+    replace the crashed attempt's partition and exclude it from the
+    corpus side, so wave 2 still converges to exactly the batch
+    recompute (duplicate signature rows would emit duplicate
+    candidates and diverge the closure)."""
+    import shutil
+
+    from .pipeline.dedup import (
+        dedup_clusters,
+        dedup_ingest_batch,
+        write_signature_table,
+    )
+    from .queries_pipeline import BANDS, K_MINHASH, NGRAM
+    from .sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    wave = lambda w: docs.where(F.col("doc_id") % 3 == w)  # noqa: E731
+    _t, sig_path = _scratch("sigs_redeliver", sf_dir)
+    shutil.rmtree(sig_path, ignore_errors=True)
+    write_signature_table(wave(0), sig_path, K_MINHASH, NGRAM)
+    assignment0 = dedup_clusters(
+        wave(0), K_MINHASH, BANDS, NGRAM
+    ).localCheckpoint()
+    # first delivery of wave 1 crashes after its signature write ...
+    dedup_ingest_batch(
+        wave(1), sig_path, assignment0, K_MINHASH, BANDS, NGRAM,
+        batch_id=1,
+    )
+    # ... so the source redelivers it: same batch id, same pre-crash
+    # assignment; this run's output is the one that survives
+    assignment, _p = dedup_ingest_batch(
+        wave(1), sig_path, assignment0, K_MINHASH, BANDS, NGRAM,
+        batch_id=1,
+    )
+    assignment, _p = dedup_ingest_batch(
+        wave(2), sig_path, assignment, K_MINHASH, BANDS, NGRAM,
+        batch_id=2,
+    )
+    return assignment
+
+
+def q_namespace_snapshot_lifecycle(spark, sf_dir):
+    """Snapshot-managed namespace end to end: two batches (one
+    redelivered) land by append-plus-manifest-flip, the first half's
+    days are compacted, then a retention sweep expires everything
+    before 2024-01-10 with ONE manifest flip (readers resolved
+    pre-sweep would finish on the retired files) and vacuum removes
+    the retired files.  The surviving hourly sums must equal the
+    date-filtered recompute over raw events."""
+    import datetime as dt
+    import shutil
+
+    from .sources.namespace import (
+        compact_namespace,
+        init_namespace_snapshot,
+        prune_retention,
+        read_namespace,
+        write_namespace_batch,
+    )
+    from .sources.snapshots import vacuum_snapshot
+
+    samples = read_samples(spark, sf_dir)
+    _t, path = _scratch("ns_snapshot_life", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    init_namespace_snapshot(path)
+
+    cut = F.to_date(F.col("ts")) < F.lit("2024-01-15")
+    b0, b1 = samples.where(cut), samples.where(~cut)
+    write_namespace_batch(b0, path, batch_id=0)
+    write_namespace_batch(b1, path, batch_id=1)
+    write_namespace_batch(b0, path, batch_id=0)  # crash-retry redelivery
+
+    # compact two closed days (write-aside + move + flip)
+    for day in ("2024-01-02", "2024-01-03"):
+        compact_namespace(spark, path, day)
+
+    # retention flip: now=Feb 1, retention 22d -> days <= Jan 9 expire
+    prune_retention(
+        path, 22 * 86400, dt.datetime(2024, 2, 1), spark=spark
+    )
+    vacuum_snapshot(path, grace_s=0)
+
+    back = read_namespace(spark, path)
+    return (
+        back.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("step_s"),
+            F.col("tags").getItem("event_type").alias("event_type"),
+        )
+        .agg(F.round(F.sum("value"), 6).alias("value"))
+    )
+
+
+ORACLE_NAMESPACE_SNAPSHOT_LIFECYCLE = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS step_s,
+       event_type, ROUND(SUM(value), 6) AS value
+FROM events
+WHERE CAST(ts AS DATE) >= DATE '2024-01-10'
+GROUP BY 1, 2
+"""
+
+
+def q_dict_auto_bucket_migration(spark, sf_dir):
+    """Layout auto-selection (round-9): the dict starts FLAT from the
+    even-user series, then the odd-user merge crosses a (test-sized)
+    ``auto_bucket_threshold`` and migrates to the hash-partitioned
+    layout inside the merge's snapshot flip.  The dims= consolidate on
+    the migrated dict must be result-identical to the flat tier — the
+    oracle is ``namespace_dict_sum_by``'s, verbatim: the layout must
+    be invisible to results."""
+    import shutil
+
+    from .operators.consolidate import consolidate_sparse
+    from .sources.namespace import (
+        read_namespace,
+        read_series_dict,
+        write_namespace,
+        write_series_dict,
+    )
+
+    _t, path = _scratch("ns_dict_autobkt", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)  # layout changes mid-run
+    samples = read_samples(spark, sf_dir)
+    write_namespace(samples, path, bucket_count=8, mode="overwrite")
+    half = F.pmod(F.xxhash64("series_id"), F.lit(2)) == 0
+    # first half: threshold disabled -> the dict is born FLAT; second
+    # half: threshold 1 -> this merge migrates it to bucketed
+    write_series_dict(samples.where(half), path, auto_bucket_threshold=0)
+    write_series_dict(samples.where(~half), path, auto_bucket_threshold=1)
+    g = consolidate_sparse(
+        read_namespace(spark, path), START, END, STEP_S, 300,
+        dims=read_series_dict(spark, path),
+    )
+    return (
+        g.select(
+            F.unix_timestamp("step_ts").alias("step_s"),
+            F.col("tags").getItem("event_type").alias("event_type"),
+            "value",
+        )
+        .groupBy("step_s", "event_type")
+        .agg(F.round(F.sum("value"), 6).alias("value"))
+    )
+
+
+ROUND9_QUERIES = {
+    "namespace_snapshot_lifecycle": (
+        q_namespace_snapshot_lifecycle,
+        ORACLE_NAMESPACE_SNAPSHOT_LIFECYCLE,
+    ),
+    "dict_auto_bucket_migration": (
+        q_dict_auto_bucket_migration,
+        ORACLE_NAMESPACE_DICT_SUM_BY,
+    ),
+}
+
+
+def make_round9_queries(oracle_dedup_clusters: str) -> dict:
+    """Entries whose oracles are owned by other query modules (same
+    shape as make_round8_queries)."""
+    return {
+        **ROUND9_QUERIES,
+        # same full-corpus closure oracle: a redelivered wave must be
+        # invisible in the final clustering
+        "dedup_ingest_redelivered": (
+            q_dedup_ingest_redelivered,
+            oracle_dedup_clusters,
+        ),
+    }
