@@ -258,11 +258,19 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     stats: dict[str, dict[str, float]] = {}
+    # holt_forecast_7d swings with late JVM JIT (r08: +16% with no
+    # kernel change; profiled reps DESCEND 1.7->1.3s well past the
+    # single warm-up) — 9 reps + an extra warm-up so its median stops
+    # crying wolf in the longitudinal diff (r08 verdict item 5; the
+    # kernel plan itself was approved in r07)
+    extra_reps = {"holt_forecast_7d": 9}
     for name, fn in BENCH.items():
         fn(spark).count()  # warm-up, discarded
+        if name in extra_reps:
+            fn(spark).count()  # second warm-up for JIT-sensitive rows
         reps = []
         n = 0
-        for _ in range(5):
+        for _ in range(extra_reps.get(name, 5)):
             t0 = time.perf_counter()
             n = fn(spark).count()
             reps.append(time.perf_counter() - t0)
