@@ -704,41 +704,60 @@ def _fold_legacy_sig_table(sig_path: str) -> bool:
 def write_signature_batch(
     sigs: DataFrame, sig_path: str, batch_id: int
 ) -> None:
-    """IDEMPOTENT signature persist: the batch's signatures land under
-    a ``_sig_batch=<batch_id>`` partition via dynamic partition
-    overwrite, mirroring the fact sink (``write_namespace_batch``,
-    sources/namespace.py) — a redelivered wave REPLACES its own
-    partition instead of appending duplicate rows.  Duplicate
-    signature rows are what make later waves see one doc twice in a
-    bucket (self-pairs, duplicate candidates); the upstream source is
-    at-least-once (reference m3msg, ``src/msg/consumer/``), so every
-    arrival-path write must tolerate redelivery."""
-    import os
+    """IDEMPOTENT signature persist under the SNAPSHOT protocol
+    (``sources/snapshots.py``) — the same append-plus-flip regime the
+    fact sink and the series dictionary use, so the whole arrival path
+    has ONE consistency story.  The batch's signatures land as NEW
+    files under a ``_sig_batch=<batch_id>`` partition; the atomic
+    ``_MANIFEST.json`` flip then references them INSTEAD of any files a
+    crashed earlier attempt of the same batch left there — a
+    redelivered wave REPLACES its own partition without deleting a
+    file a concurrent reader may be scanning (readers resolved
+    pre-flip finish on the retired files; vacuum reclaims them after
+    the grace).  Duplicate signature rows are what make later waves
+    see one doc twice in a bucket (self-pairs, duplicate candidates);
+    the upstream source is at-least-once (reference m3msg,
+    ``src/msg/consumer/``), so every arrival-path write must tolerate
+    redelivery.  No vacuum here — this runs per arriving batch;
+    retired-file deletion is housekeeping cadence
+    (``snapshots.vacuum_snapshot(sig_path)``).
+
+    The append's before/after listing diff is SCOPED to the batch's
+    own ``_sig_batch`` leaf, so per-batch driver work is O(batch
+    files), never O(signature-table files)."""
+    from ..sources import snapshots
 
     if int(batch_id) == SIG_BASE_BATCH:
         raise ValueError(
             f"_sig_batch={SIG_BASE_BATCH} is reserved for the base corpus"
         )
     _fold_legacy_sig_table(sig_path)
-    spark = sigs.sparkSession
     df = sigs.withColumn("_sig_batch", F.lit(int(batch_id)))
-    conf_key = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(conf_key, "static")
-    spark.conf.set(conf_key, "dynamic")
-    try:
-        (
-            df.write.mode("overwrite" if os.path.isdir(sig_path) else "append")
-            .partitionBy("_sig_batch")
-            .parquet(sig_path)
+    leaf = f"_sig_batch={int(batch_id)}"
+    with snapshots.writer_lock(sig_path):
+        manifest = snapshots.init_manifest(sig_path)
+        new_files = snapshots.snapshot_append(
+            df, sig_path, partition_by=["_sig_batch"],
+            keep_dir=snapshots.leaf_scope(leaf),
         )
-    finally:
-        spark.conf.set(conf_key, prev)
+        keep = [
+            f for f in manifest["files"] if leaf not in f.split("/")
+        ]
+        snapshots.commit_snapshot(
+            sig_path, keep + new_files, df.schema.json(),
+            expected_version=manifest["version"],
+        )
 
 
 def read_signature_table(spark, sig_path: str) -> DataFrame:
-    """Reader over the signature table; the ``_sig_batch`` idempotency
-    column is a write-path detail and is stripped."""
-    df = spark.read.parquet(sig_path)
+    """Reader over the signature table — resolves the CURRENT snapshot
+    when the table is manifest-managed (a concurrent batch flip never
+    disturbs the returned frame), falls back to a plain directory read
+    for legacy tables.  The ``_sig_batch`` idempotency column is a
+    write-path detail and is stripped."""
+    from ..sources import snapshots
+
+    df = snapshots.resolve_snapshot(spark, sig_path)
     return df.drop("_sig_batch") if "_sig_batch" in df.columns else df
 
 
@@ -777,20 +796,39 @@ def dedup_ingest_batch(
     folding arrivals one at a time yields exactly the full-corpus
     clustering after every wave — including a redelivered wave.
     """
+    from ..sources import snapshots
+
     spark = new_docs.sparkSession
+    if batch_id is not None:
+        # self-heal an interrupted legacy fold BEFORE reading: a crash
+        # midway through a prior delivery's _fold_legacy_sig_table
+        # leaves root-level files mixed with _sig_batch= dirs, and a
+        # plain directory read of that mix fails on conflicting
+        # partition depths — re-running the (idempotent, pure-rename)
+        # fold completes it instead of crash-looping the redelivery
+        _fold_legacy_sig_table(sig_path)
     new_sigs = minhash_signature(
         new_docs, k, n, text_col, id_col
     ).localCheckpoint()
-    existing_sigs = spark.read.parquet(sig_path)
+    # snapshot-resolved read: a manifest-managed table pins the current
+    # flip's files (post-flip crash debris of OTHER batches never
+    # appears); legacy tables fall back to the directory listing
+    existing_sigs = snapshots.resolve_snapshot(spark, sig_path)
     if "_sig_batch" in existing_sigs.columns:
-        if batch_id is not None:
-            # a crashed earlier delivery of THIS batch may have left
-            # its partition behind — partition-pruned exclusion makes
-            # the rerun see exactly the pre-delivery corpus
-            existing_sigs = existing_sigs.where(
-                F.col("_sig_batch") != int(batch_id)
+        if batch_id is None:
+            raise ValueError(
+                f"signature table at {sig_path} is batch-keyed "
+                "(_sig_batch partitions); batch_id=None would append "
+                "flat files at the root and break every subsequent "
+                "read — pass the delivery's batch_id"
             )
-        existing_sigs = existing_sigs.drop("_sig_batch")
+        # a crashed earlier delivery of THIS batch may have left its
+        # partition behind (and, post-flip, in the manifest) —
+        # partition-pruned exclusion makes the rerun see exactly the
+        # pre-delivery corpus
+        existing_sigs = existing_sigs.where(
+            F.col("_sig_batch") != int(batch_id)
+        ).drop("_sig_batch")
     pairs = lsh_candidates_incremental(
         new_docs, existing_sigs, k, bands, n, text_col, id_col,
         new_sigs=new_sigs,
@@ -799,5 +837,11 @@ def dedup_ingest_batch(
     if batch_id is not None:
         write_signature_batch(new_sigs, sig_path, batch_id)
     else:
+        if snapshots.has_manifest(sig_path):
+            raise ValueError(
+                f"signature table at {sig_path} is snapshot-managed: a "
+                "plain append would be invisible to manifest readers and "
+                "vacuumed as orphans — pass the delivery's batch_id"
+            )
         new_sigs.write.mode("append").parquet(sig_path)
     return merged, pairs

@@ -46,9 +46,35 @@ from . import snapshots
 #: the change-check's fixed job overhead loses to a cheap full
 #: rewrite, so small dicts stay flat)
 AUTO_BUCKET_THRESHOLD = 1_000_000
-#: bucket modulus the auto-migration picks — ~1.5M series per bucket
-#: at the 100M-series design point, one task each
+#: target series per bucket when the migration picks the modulus —
+#: ~1.5M rows keeps a bucket's merge one comfortable task (a dict row
+#: is ~100 B, so a bucket file stays ~150 MB, one HDFS-block-ish unit)
+AUTO_BUCKET_SERIES_PER_BUCKET = 1_500_000
+#: modulus clamp: enough buckets that a fresh migration already buys
+#: merge parallelism and change-check pruning, few enough that a
+#: steady-state dict never sprays thousands of tiny files
+AUTO_BUCKET_MIN = 16
+AUTO_BUCKET_MAX = 1024
+#: retained for callers/tests that pinned the round-9 fixed modulus;
+#: new migrations derive the modulus from cardinality instead
 AUTO_BUCKET_COUNT = 64
+
+
+def pick_bucket_count(n_series: int) -> int:
+    """Bucket modulus for a dictionary of ``n_series``:
+    ceil(n / AUTO_BUCKET_SERIES_PER_BUCKET) clamped to
+    [AUTO_BUCKET_MIN, AUTO_BUCKET_MAX] — 1M series → 16 buckets (clamp
+    floor), 100M → 67, 1.5B+ → 1024 (clamp ceiling).  Recorded in the
+    dict's manifest at migration; a dict that outgrows its modulus
+    regrows via :func:`rebuild_series_dict` (sticky layout — the
+    modulus never silently changes inside a merge)."""
+    import math
+
+    return min(
+        AUTO_BUCKET_MAX,
+        max(AUTO_BUCKET_MIN,
+            math.ceil(n_series / AUTO_BUCKET_SERIES_PER_BUCKET)),
+    )
 
 
 def write_namespace(
@@ -57,7 +83,19 @@ def write_namespace(
     bucket_count: int | None = None,
     mode: str = "append",
 ) -> None:
-    """Write a samples frame as a date-partitioned namespace table."""
+    """Write a samples frame as a date-partitioned namespace table.
+
+    Refuses a SNAPSHOT-MANAGED table: this writer neither registers
+    its files in the manifest (readers would never see them) nor
+    respects retirement (vacuum would silently delete them as
+    orphans once past grace) — use :func:`write_namespace_batch`,
+    which appends and flips the manifest."""
+    if snapshots.has_manifest(path):
+        raise ValueError(
+            f"{path} is snapshot-managed (init_namespace_snapshot): plain "
+            "write_namespace files would be invisible to manifest readers "
+            "and vacuumed as orphans — use write_namespace_batch"
+        )
     df = samples.withColumn("date_bucket", F.to_date(F.col("ts")))
     if bucket_count:
         df = df.repartition(bucket_count, F.col("series_id"))
@@ -145,19 +183,29 @@ def write_namespace_batch(
         # batch's files are APPENDED (never deleting what a concurrent
         # reader may be scanning) and the flip drops any files a
         # crashed earlier attempt of the SAME batch left under its
-        # _ingest_batch partitions
+        # _ingest_batch partitions.  Every file this write creates
+        # lands under an _ingest_batch=<id> leaf, so the append's
+        # before/after diff is SCOPED to that leaf — the listing walks
+        # O(days + batch files), never the other batches' files (no
+        # O(table-files) driver work per micro-batch; the reference's
+        # fileset writer likewise touches only the block it flushes).
+        # No vacuum here either: retired-file deletion is housekeeping
+        # cadence (vacuum_namespace / vacuum_snapshot), not ingest.
         leaf = f"_ingest_batch={int(batch_id)}"
         with snapshots.writer_lock(path):
             manifest = snapshots.read_manifest(path)
             new_files = snapshots.snapshot_append(
-                df, path, partition_by=["date_bucket", "_ingest_batch"]
+                df, path, partition_by=["date_bucket", "_ingest_batch"],
+                keep_dir=snapshots.leaf_scope(leaf),
             )
             keep = [
                 f for f in manifest["files"]
                 if leaf not in f.split("/")
             ]
-            snapshots.commit_snapshot(path, keep + new_files, df.schema.json())
-        snapshots.vacuum_snapshot(path)
+            snapshots.commit_snapshot(
+                path, keep + new_files, df.schema.json(),
+                expected_version=manifest["version"],
+            )
         return
     conf_key = "spark.sql.sources.partitionOverwriteMode"
     prev = spark.conf.get(conf_key, "static")
@@ -273,7 +321,9 @@ def prune_retention(
                 else:
                     keep.append(f)
             if gone:
-                snapshots.commit_snapshot(path, keep)
+                snapshots.commit_snapshot(
+                    path, keep, expected_version=manifest["version"]
+                )
             dropped = sorted(gone)
         snapshots.vacuum_snapshot(path)
     else:
@@ -437,7 +487,9 @@ def _compact_namespace_snapshot(
             )
         shutil.rmtree(tmp, ignore_errors=True)
         keep = [f for f in manifest["files"] if not f.startswith(day_prefix)]
-        snapshots.commit_snapshot(path, keep + new_files)
+        snapshots.commit_snapshot(
+            path, keep + new_files, expected_version=manifest["version"]
+        )
     snapshots.vacuum_snapshot(path)
     return len(new_files)
 
@@ -500,9 +552,26 @@ def write_series_dict(
     ``auto_bucket_threshold`` series (default 1M — below that the
     change-check's fixed job overhead loses to a cheap full rewrite,
     SCALE_r08), or immediately when a caller passes ``bucket_count``
-    on an existing flat dict.  The migration is one snapshot flip:
-    old flat files retire, readers resolved pre-migration finish on
-    them.  Pass ``auto_bucket_threshold=0`` to disable."""
+    on an existing flat dict.  The migration picks its modulus from
+    the dictionary's CARDINALITY (:func:`pick_bucket_count`) and
+    records it in the manifest; a dict that later outgrows the chosen
+    modulus regrows via :func:`rebuild_series_dict` (the explicit
+    rebuild procedure — a merge never changes the modulus silently).
+    The migration is one snapshot flip: old flat files retire, readers
+    resolved pre-migration finish on them.  Pass
+    ``auto_bucket_threshold=0`` to disable.
+
+    Layout DETECTION runs inside the writer lock: probing before
+    acquiring it would let a concurrent writer's flat→bucketed
+    migration land in between, sending this writer down the flat-merge
+    path against a bucketed snapshot.  The manifest is the layout
+    authority (a bucketed dict GC'd to empty keeps its
+    ``bucket_count`` but has no ``dict_bucket=`` directories left);
+    the directory probe only covers legacy manifest-less dicts.
+
+    No vacuum on this path — the merge runs per ingest micro-batch,
+    and retired-file deletion is housekeeping cadence
+    (:func:`vacuum_namespace`)."""
     import os
 
     spark = samples.sparkSession
@@ -511,42 +580,46 @@ def write_series_dict(
         F.first("name").alias("name"), F.first("tags").alias("tags"),
         F.max(F.to_date(F.col("ts"))).alias("last_seen_bucket"),
     )
-    exists = os.path.exists(dict_path) and (
-        snapshots.has_manifest(dict_path)
-        or bool(snapshots.list_parquet_files(dict_path))
-    )
-    partitioned = exists and any(
-        e.startswith("dict_bucket=") for e in os.listdir(dict_path)
-    )
-    if partitioned or (not exists and bucket_count):
-        if partitioned:
-            # the layout is STICKY: n always comes from the dict's own
-            # manifest (directory names CANNOT recover the modulus —
-            # an empty bucket writes no directory).  An explicit
-            # bucket_count that disagrees would hash fresh rows under
-            # a new modulus while old rows sit in old-modulus buckets
-            # — the change check would miss them and the merge would
-            # duplicate series across buckets.  Changing the modulus
-            # is a rebuild (migration), never a silent switch.
-            m = snapshots.read_manifest(dict_path) or {}
-            n = m.get("bucket_count") or 1 + max(
-                int(e.split("=", 1)[1])
-                for e in os.listdir(dict_path)
-                if e.startswith("dict_bucket=")
+    with snapshots.writer_lock(dict_path):
+        m = snapshots.read_manifest(dict_path)
+        exists = m is not None or bool(
+            snapshots.list_parquet_files(dict_path)
+        )
+        partitioned = bool(m and m.get("bucket_count")) or (
+            exists
+            and any(
+                e.startswith("dict_bucket=") for e in os.listdir(dict_path)
             )
-            if bucket_count and bucket_count != n:
-                raise ValueError(
-                    f"series dict at {dict_path} is hash-partitioned with "
-                    f"bucket_count={n}; got bucket_count={bucket_count}. "
-                    "Rebuild the dict to change the bucket modulus."
+        )
+        if partitioned or (not exists and bucket_count):
+            if partitioned:
+                # the layout is STICKY: n always comes from the dict's
+                # own manifest (directory names CANNOT recover the
+                # modulus — an empty bucket has no directory).  An
+                # explicit bucket_count that disagrees would hash fresh
+                # rows under a new modulus while old rows sit in
+                # old-modulus buckets — the change check would miss
+                # them and the merge would duplicate series across
+                # buckets.  Changing the modulus is
+                # rebuild_series_dict, never a silent switch.
+                n = (m or {}).get("bucket_count") or 1 + max(
+                    int(e.split("=", 1)[1])
+                    for e in os.listdir(dict_path)
+                    if e.startswith("dict_bucket=")
                 )
-        else:
-            n = bucket_count
-        _write_series_dict_bucketed(spark, fresh, dict_path, n, exists)
-        return
-    if exists:
-        with snapshots.writer_lock(dict_path):
-            snapshots.init_manifest(dict_path)  # bootstrap legacy dict
+                if bucket_count and bucket_count != n:
+                    raise ValueError(
+                        f"series dict at {dict_path} is hash-partitioned "
+                        f"with bucket_count={n}; got "
+                        f"bucket_count={bucket_count}. Use "
+                        "rebuild_series_dict to change the bucket modulus."
+                    )
+            else:
+                n = bucket_count
+            _write_series_dict_bucketed(spark, fresh, dict_path, n, exists)
+            return
+        if exists:
+            manifest = snapshots.init_manifest(dict_path)  # legacy dict
             old = snapshots.resolve_snapshot(spark, dict_path)
             if "last_seen_bucket" not in old.columns:  # pre-GC layout
                 old = old.withColumn(
@@ -562,9 +635,9 @@ def write_series_dict(
                 )
                 .localCheckpoint()  # materialize before the flip
             )
+            n_series = merged.count()
             if bucket_count or (
-                auto_bucket_threshold
-                and merged.count() >= auto_bucket_threshold
+                auto_bucket_threshold and n_series >= auto_bucket_threshold
             ):
                 # the flat full-rewrite-per-merge stops scaling past
                 # ~1M series — migrate to the hash-partitioned layout
@@ -572,7 +645,7 @@ def write_series_dict(
                 # resolved pre-migration still completes on them).
                 # An explicit bucket_count on a flat dict is the
                 # caller-requested form of the same migration.
-                nb = bucket_count or AUTO_BUCKET_COUNT
+                nb = bucket_count or pick_bucket_count(n_series)
                 bucketed = merged.select(
                     "*",
                     F.pmod(F.xxhash64("series_id"), F.lit(nb)).alias(
@@ -586,26 +659,32 @@ def write_series_dict(
                 )
                 extra = {"bucket_count": nb}
             else:
-                new_files = snapshots.snapshot_append(merged, dict_path)
+                # flat append's files land at the table root: the
+                # listing diff descends into no subdirectory at all
+                new_files = snapshots.snapshot_append(
+                    merged, dict_path, keep_dir=lambda d: False
+                )
                 extra = None
             snapshots.commit_snapshot(
-                dict_path, new_files, merged.schema.json(), extra=extra
+                dict_path, new_files, merged.schema.json(), extra=extra,
+                expected_version=manifest["version"],
             )
-        snapshots.vacuum_snapshot(dict_path)
-        return
-    # initial build: auto-select the layout by batch cardinality
-    fresh = fresh.localCheckpoint()
-    if auto_bucket_threshold and fresh.count() >= auto_bucket_threshold:
-        _write_series_dict_bucketed(
-            spark, fresh, dict_path, AUTO_BUCKET_COUNT, exists=False
-        )
-        return
-    fresh.write.mode("overwrite").parquet(dict_path)
-    with snapshots.writer_lock(dict_path):
+            return
+        # initial build: auto-select the layout by batch cardinality
+        fresh = fresh.localCheckpoint()
+        n_series = fresh.count()
+        if auto_bucket_threshold and n_series >= auto_bucket_threshold:
+            _write_series_dict_bucketed(
+                spark, fresh, dict_path, pick_bucket_count(n_series),
+                exists=False,
+            )
+            return
+        fresh.write.mode("overwrite").parquet(dict_path)
         snapshots.commit_snapshot(
             dict_path,
             snapshots.list_parquet_files(dict_path),
             fresh.schema.json(),
+            expected_version=0,
         )
 
 
@@ -626,7 +705,9 @@ def _write_series_dict_bucketed(
     protocol: changed buckets' merged rows are APPENDED as new files
     and the manifest flip swaps them in for the buckets' old files —
     no in-place overwrite, so concurrent readers on the previous
-    snapshot are undisturbed."""
+    snapshot are undisturbed.  CALLER HOLDS the dict's writer lock
+    (write_series_dict / rebuild_series_dict acquire it around layout
+    detection and dispatch)."""
     bucket = F.pmod(F.xxhash64("series_id"), F.lit(n)).alias("dict_bucket")
     fresh = fresh.select("*", bucket)
     if not exists:
@@ -640,69 +721,74 @@ def _write_series_dict_bucketed(
             .partitionBy("dict_bucket")
             .parquet(dict_path)
         )
-        with snapshots.writer_lock(dict_path):
-            snapshots.commit_snapshot(
-                dict_path,
-                snapshots.list_parquet_files(dict_path),
-                fresh.schema.json(),
-                extra={"bucket_count": n},
-            )
-        return
-    with snapshots.writer_lock(dict_path):
-        manifest = snapshots.init_manifest(dict_path)
-        old = snapshots.resolve_snapshot(spark, dict_path)
-        # change check: partition-pruned to the batch's own buckets,
-        # and only the (series_id, last_seen) columns leave parquet
-        fresh_buckets = [
-            r["dict_bucket"]
-            for r in fresh.select("dict_bucket").distinct().collect()
-        ]
-        old_slim = old.where(
-            F.col("dict_bucket").isin(fresh_buckets)
-        ).select(
-            "series_id", F.col("last_seen_bucket").alias("_old_seen")
-        )
-        changed = (
-            fresh.join(old_slim, "series_id", "left")
-            .where(
-                F.col("_old_seen").isNull()
-                | (F.col("last_seen_bucket") > F.col("_old_seen"))
-            )
-        )
-        hit = {
-            r["dict_bucket"]
-            for r in changed.select("dict_bucket").distinct().collect()
-        }
-        if not hit:
-            return
-        merged = (
-            old.where(F.col("dict_bucket").isin(list(hit)))
-            .unionByName(fresh.where(F.col("dict_bucket").isin(list(hit))))
-            .groupBy("series_id")
-            .agg(
-                F.first("name").alias("name"),
-                F.first("tags").alias("tags"),
-                F.max("last_seen_bucket").alias("last_seen_bucket"),
-            )
-            .select("*", bucket)
-            .localCheckpoint()  # materialize before the flip
-        )
-        # n-task repartition keeps one file per bucket dir (each
-        # bucket hashes to exactly one task) without a single-task
-        # funnel when many buckets changed (e.g. a day-rollover batch)
-        new_files = snapshots.snapshot_append(
-            merged.repartition(n, "dict_bucket"),
-            dict_path,
-            partition_by=["dict_bucket"],
-        )
-        keep = [
-            f for f in manifest["files"] if _bucket_of(f) not in hit
-        ]
         snapshots.commit_snapshot(
-            dict_path, keep + new_files, merged.schema.json(),
+            dict_path,
+            snapshots.list_parquet_files(dict_path),
+            fresh.schema.json(),
             extra={"bucket_count": n},
+            expected_version=0,
         )
-    snapshots.vacuum_snapshot(dict_path)
+        return
+    manifest = snapshots.init_manifest(dict_path)
+    old = snapshots.resolve_snapshot(spark, dict_path)
+    # change check: partition-pruned to the batch's own buckets,
+    # and only the (series_id, last_seen) columns leave parquet
+    fresh_buckets = [
+        r["dict_bucket"]
+        for r in fresh.select("dict_bucket").distinct().collect()
+    ]
+    old_slim = old.where(
+        F.col("dict_bucket").isin(fresh_buckets)
+    ).select(
+        "series_id", F.col("last_seen_bucket").alias("_old_seen")
+    )
+    changed = (
+        fresh.join(old_slim, "series_id", "left")
+        .where(
+            F.col("_old_seen").isNull()
+            | (F.col("last_seen_bucket") > F.col("_old_seen"))
+        )
+    )
+    hit = {
+        r["dict_bucket"]
+        for r in changed.select("dict_bucket").distinct().collect()
+    }
+    if not hit:
+        return
+    merged = (
+        old.where(F.col("dict_bucket").isin(list(hit)))
+        .unionByName(fresh.where(F.col("dict_bucket").isin(list(hit))))
+        .groupBy("series_id")
+        .agg(
+            F.first("name").alias("name"),
+            F.first("tags").alias("tags"),
+            F.max("last_seen_bucket").alias("last_seen_bucket"),
+        )
+        .select("*", bucket)
+        .localCheckpoint()  # materialize before the flip
+    )
+    # n-task repartition keeps one file per bucket dir (each
+    # bucket hashes to exactly one task) without a single-task
+    # funnel when many buckets changed (e.g. a day-rollover batch).
+    # The listing diff walks ONLY the hit buckets' directories —
+    # per-merge driver work stays O(changed buckets), never
+    # O(dict files).
+    new_files = snapshots.snapshot_append(
+        merged.repartition(n, "dict_bucket"),
+        dict_path,
+        partition_by=["dict_bucket"],
+        keep_dir=snapshots.leaf_scope(
+            *[f"dict_bucket={k}" for k in hit]
+        ),
+    )
+    keep = [
+        f for f in manifest["files"] if _bucket_of(f) not in hit
+    ]
+    snapshots.commit_snapshot(
+        dict_path, keep + new_files, merged.schema.json(),
+        extra={"bucket_count": n},
+        expected_version=manifest["version"],
+    )
 
 
 def read_series_dict(spark: SparkSession, path: str) -> DataFrame:
@@ -715,6 +801,73 @@ def read_series_dict(spark: SparkSession, path: str) -> DataFrame:
     df = snapshots.resolve_snapshot(spark, os.path.join(path, "_series_dict"))
     # the hash-partition column is a write-path detail
     return df.drop("dict_bucket") if "dict_bucket" in df.columns else df
+
+
+def rebuild_series_dict(
+    spark: SparkSession, path: str, bucket_count: int | None = None
+) -> int:
+    """REGROW a bucketed dictionary's hash modulus — the explicit
+    rebuild procedure the sticky-modulus rule points at (a merge never
+    changes the modulus: fresh rows hashed under a new modulus next to
+    old-modulus buckets would evade the change check and duplicate
+    series across buckets).
+
+    Rehashes every row under the new modulus (``bucket_count``, or
+    :func:`pick_bucket_count` of the current cardinality when omitted)
+    and swaps the whole dict in ONE manifest flip: the new buckets'
+    files are appended, every old file retires, readers resolved
+    pre-rebuild finish on the old modulus' files.  A same-named
+    ``dict_bucket=K`` directory may hold files of BOTH moduli until
+    vacuum — harmless, the manifest pins exactly which files are
+    current.  O(|dict|) by design; run it as housekeeping when
+    series-per-bucket drifts past ~2× :data:`AUTO_BUCKET_SERIES_PER_BUCKET`.
+
+    Returns the new bucket count."""
+    import os
+
+    dict_path = os.path.join(path, "_series_dict")
+    with snapshots.writer_lock(dict_path):
+        manifest = snapshots.init_manifest(dict_path)
+        dims = snapshots.resolve_snapshot(spark, dict_path)
+        if "dict_bucket" in dims.columns:
+            dims = dims.drop("dict_bucket")
+        dims = dims.localCheckpoint()
+        nb = bucket_count or pick_bucket_count(dims.count())
+        rehashed = dims.select(
+            "*",
+            F.pmod(F.xxhash64("series_id"), F.lit(nb)).alias("dict_bucket"),
+        )
+        new_files = snapshots.snapshot_append(
+            rehashed.repartition(nb, "dict_bucket"),
+            dict_path,
+            partition_by=["dict_bucket"],
+        )
+        snapshots.commit_snapshot(
+            dict_path, new_files, rehashed.schema.json(),
+            extra={"bucket_count": nb},
+            expected_version=manifest["version"],
+        )
+    return nb
+
+
+def vacuum_namespace(path: str, grace_s: float | None = None) -> int:
+    """Housekeeping-cadence vacuum for a namespace: physically deletes
+    retired/orphaned files of the fact table's snapshot AND its series
+    dictionary's.  The WRITE paths (batch sink, dict merge) never
+    vacuum — they only append files and flip manifests, so ingest does
+    no O(table-files) driver work; run this on the same cadence as
+    compaction (the reference's cleanup manager likewise runs apart
+    from the flush path).  Returns the number of files removed."""
+    import os
+
+    kwargs = {} if grace_s is None else {"grace_s": grace_s}
+    removed = 0
+    if snapshots.has_manifest(path):
+        removed += snapshots.vacuum_snapshot(path, **kwargs)
+    dict_path = os.path.join(path, "_series_dict")
+    if snapshots.has_manifest(dict_path):
+        removed += snapshots.vacuum_snapshot(dict_path, **kwargs)
+    return removed
 
 
 def _retention_keep_date(now, retention_s: int):
@@ -797,6 +950,9 @@ def prune_series_dict(
                 kept.repartition(n_tasks, "dict_bucket"),
                 dict_path,
                 partition_by=["dict_bucket"],
+                keep_dir=snapshots.leaf_scope(
+                    *[f"dict_bucket={k}" for k in affected]
+                ),
             )
             keep_files = [
                 f
@@ -804,13 +960,17 @@ def prune_series_dict(
                 if _bucket_of(f) not in affected
             ]
             snapshots.commit_snapshot(
-                dict_path, keep_files + new_files, kept.schema.json()
+                dict_path, keep_files + new_files, kept.schema.json(),
+                expected_version=manifest["version"],
             )
         else:
             kept = dims.where(alive).localCheckpoint()
-            new_files = snapshots.snapshot_append(kept, dict_path)
+            new_files = snapshots.snapshot_append(
+                kept, dict_path, keep_dir=lambda d: False
+            )
             snapshots.commit_snapshot(
-                dict_path, new_files, kept.schema.json()
+                dict_path, new_files, kept.schema.json(),
+                expected_version=manifest["version"],
             )
     snapshots.vacuum_snapshot(dict_path)
     return n_dropped

@@ -33,10 +33,18 @@ This module is that mechanism, minimally: a table directory carries a
   never made it into any manifest).  The operational contract is the
   same as Delta VACUUM retention: grace must exceed the longest
   concurrent query.
-* **Single writer** — manifest read-modify-write runs under an fcntl
-  file lock (same mechanism as the admin CRUD store).  Concurrent
-  READERS need no lock: `os.replace` is atomic, a reader sees either
-  the old or the new manifest, never a torn one.
+* **Single writer PER HOST** — manifest read-modify-write runs under
+  an fcntl file lock (same mechanism as the admin CRUD store), which
+  serializes writers on ONE machine only: fcntl semantics do not
+  travel over NFS-style shared storage, so two drivers on different
+  hosts never contend on each other's lock.  The cross-host backstop
+  is version FENCING: every writer passes the manifest version it
+  based its work on to :func:`commit_snapshot`, which re-reads and
+  raises :class:`SnapshotConflictError` on a mismatch instead of
+  clobbering the interleaved flip (the loser re-reads and redoes —
+  optimistic concurrency, the same protocol Delta's log uses).
+  Concurrent READERS need no lock: `os.replace` is atomic, a reader
+  sees either the old or the new manifest, never a torn one.
 
 At 100 TB the deployment answer is a real table format (the manifest
 IS a one-generation Delta log); this module keeps the repo
@@ -79,7 +87,14 @@ def read_manifest(path: str) -> dict | None:
 @contextlib.contextmanager
 def writer_lock(path: str):
     """Exclusive writer lock for manifest read-modify-write.  Readers
-    never take it — manifest swaps are atomic (`os.replace`)."""
+    never take it — manifest swaps are atomic (`os.replace`).
+
+    SCOPE CONTRACT: fcntl flock serializes writers of one table on one
+    HOST.  The deployment contract is one writer per table per
+    cluster; where that cannot be guaranteed (two drivers over shared
+    storage), :func:`commit_snapshot`'s ``expected_version`` fencing
+    turns the race into a raised :class:`SnapshotConflictError` on the
+    losing side rather than a silent lost flip."""
     import fcntl
 
     os.makedirs(path, exist_ok=True)
@@ -92,11 +107,21 @@ def writer_lock(path: str):
             fcntl.flock(fh, fcntl.LOCK_UN)
 
 
-def list_parquet_files(path: str) -> list[str]:
+def list_parquet_files(path: str, keep_dir=None) -> list[str]:
     """All parquet data files under ``path``, relative, sorted.
     Underscore/dot entries at the root (manifests, locks, stream
     metadata) are skipped the same way Spark's file index skips
-    them."""
+    them.
+
+    ``keep_dir`` (optional ``dirname -> bool``) prunes the walk: a
+    directory it rejects is never descended into.  This is what keeps
+    the snapshot sink's per-batch listing O(batch files), not
+    O(table files) — a batch write passes a predicate keeping only its
+    own ``_ingest_batch=<id>`` (or ``dict_bucket=<k>``) leaves, so the
+    walk touches the day directories (O(retention days)) plus the
+    batch's files and nothing else (the reference's fileset writer
+    likewise touches only the block it flushes,
+    ``src/dbnode/persist/fs/write.go:55-158``)."""
     out = []
     for dirpath, dirnames, files in os.walk(path):
         # Spark's file-index rule: hidden dirs (leading _ or .) are
@@ -106,6 +131,7 @@ def list_parquet_files(path: str) -> list[str]:
         dirnames[:] = [
             d for d in dirnames
             if not (d.startswith(("_", ".")) and "=" not in d)
+            and (keep_dir is None or keep_dir(d))
         ]
         for f in files:
             if f.endswith(".parquet") and not f.startswith((".", "_")):
@@ -113,6 +139,24 @@ def list_parquet_files(path: str) -> list[str]:
                     os.path.relpath(os.path.join(dirpath, f), path)
                 )
     return sorted(out)
+
+
+def leaf_scope(*leaves: str):
+    """``keep_dir`` predicate scoping a walk to chosen values of ONE
+    partition key: directories carrying that key (``_ingest_batch=`` of
+    ``_ingest_batch=7``) are kept only when they match one of
+    ``leaves`` exactly; directories of other keys (``date_bucket=...``)
+    pass through untouched.  ``leaf_scope("_ingest_batch=7")`` walks
+    every day dir but descends only into batch 7's leaves;
+    ``leaf_scope("dict_bucket=3", "dict_bucket=9")`` walks only the two
+    changed buckets of a partitioned dictionary."""
+    key = leaves[0].split("=", 1)[0] + "="
+    allowed = set(leaves)
+
+    def keep(d: str) -> bool:
+        return not d.startswith(key) or d in allowed
+
+    return keep
 
 
 def _write_manifest(path: str, doc: dict) -> None:
@@ -139,9 +183,17 @@ def init_manifest(path: str, schema_json: str | None = None) -> dict:
     return doc
 
 
+class SnapshotConflictError(RuntimeError):
+    """A manifest flip found a version it did not base its work on —
+    another writer (outside this host's fcntl lock scope, e.g. a second
+    driver on shared storage) committed in between.  The losing writer
+    must re-read and redo; committing anyway would silently drop the
+    other writer's flip."""
+
+
 def commit_snapshot(
     path: str, files: list[str], schema_json: str | None = None,
-    extra: dict | None = None,
+    extra: dict | None = None, expected_version: int | None = None,
 ) -> dict:
     """Atomically flip the table to a new snapshot listing exactly
     ``files``.  Files dropped from the previous snapshot move to the
@@ -149,10 +201,27 @@ def commit_snapshot(
     table-level metadata (e.g. the dict's ``bucket_count`` — the hash
     modulus CANNOT be derived from directory names, an empty bucket
     has no directory); previous extra keys persist across flips
-    unless overridden.  Call under :func:`writer_lock`."""
+    unless overridden.  Call under :func:`writer_lock`.
+
+    ``expected_version`` is the fencing check for writers beyond the
+    lock's scope (:func:`writer_lock` serializes ONE host; two drivers
+    on shared storage never contend on each other's fcntl lock): pass
+    the version the writer READ before computing its new file list
+    (0 = no manifest existed) and the flip re-reads under this call —
+    a mismatch raises :class:`SnapshotConflictError` instead of
+    clobbering the interleaved writer's commit.  Every in-repo write
+    path passes it."""
     prev = read_manifest(path) or {
         "version": 0, "files": [], "retired": {}, "schema": None
     }
+    if expected_version is not None and int(prev["version"]) != int(
+        expected_version
+    ):
+        raise SnapshotConflictError(
+            f"manifest at {path} is v{prev['version']}, writer based its "
+            f"flip on v{expected_version} — an interleaved writer "
+            "committed; re-read and redo"
+        )
     now = time.time()
     new_set = set(files)
     retired = {
@@ -202,18 +271,28 @@ def resolve_snapshot(spark, path: str):
     return spark.read.option("basePath", path).parquet(*files)
 
 
-def snapshot_append(df, path: str, partition_by: list[str] | None = None
-                    ) -> list[str]:
+def snapshot_append(df, path: str, partition_by: list[str] | None = None,
+                    keep_dir=None) -> list[str]:
     """Write ``df`` as NEW files under ``path`` (pure append — never
     touches existing files) and return the relative paths it created.
     The before/after listing diff is sound because writers are
-    serialized by :func:`writer_lock` (hold it around this call)."""
-    before = set(list_parquet_files(path))
+    serialized by :func:`writer_lock` (hold it around this call).
+
+    ``keep_dir`` scopes BOTH listings (see :func:`list_parquet_files`):
+    when the caller knows every file this write creates lands inside
+    the scope (a batch sink writing only its own ``_ingest_batch``
+    leaves, a dict merge rewriting only its hit buckets), the diff
+    costs O(scoped files) instead of O(table files) — the difference
+    between a per-micro-batch full-table listing and a bounded one on
+    the 100 TB ingest hot path.  An unpartitioned append's files land
+    at the table root, so ``keep_dir=lambda d: False`` (descend
+    nowhere) is the tightest sound scope there."""
+    before = set(list_parquet_files(path, keep_dir))
     w = df.write.mode("append")
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
-    return sorted(set(list_parquet_files(path)) - before)
+    return sorted(set(list_parquet_files(path, keep_dir)) - before)
 
 
 def vacuum_snapshot(path: str, grace_s: float = DEFAULT_GRACE_S) -> int:

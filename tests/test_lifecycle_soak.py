@@ -40,8 +40,9 @@ def test_lifecycle_soak(spark, tmp_path):
         read_series_dict,
         series_dict_ghosts,
         series_dict_missing,
+        vacuum_namespace,
     )
-    from m3_spark.sources.snapshots import read_manifest, vacuum_snapshot
+    from m3_spark.sources.snapshots import read_manifest
 
     src = str(tmp_path / "wire")
     os.makedirs(src)
@@ -145,12 +146,14 @@ def test_lifecycle_soak(spark, tmp_path):
     ]
     assert len(w1) == 1 and w1[0]["agg_sum"] == pytest.approx(3.0)
 
-    # -- vacuum: retired maintenance files leave, results unchanged -------
-    removed = vacuum_snapshot(unagg, grace_s=0)
+    # -- housekeeping vacuum (the WRITE paths never vacuum — retired
+    # files accumulate until this explicit cadence call): retired
+    # maintenance files leave, results unchanged
+    removed = vacuum_namespace(unagg, grace_s=0)
     assert removed > 0
     assert read_namespace(spark, unagg).count() == 2
     m = read_manifest(unagg)
     assert m["retired"] == {}
-    vacuum_snapshot(os.path.join(unagg, "_series_dict"), grace_s=0)
+    assert read_manifest(os.path.join(unagg, "_series_dict"))["retired"] == {}
     final_back, final_dict = audits_clean()
     assert final_back.count() == 2 and final_dict.count() == 2
