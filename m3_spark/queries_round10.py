@@ -1,0 +1,71 @@
+"""Round-10 battery entry: the dictionary modulus-regrow procedure
+driven through the driver gate.
+
+``dict_rebuild_regrow`` — a hash-partitioned series dictionary is
+REBUILT to a different bucket modulus (``rebuild_series_dict``: full
+rehash, ONE manifest flip, old-modulus files retired for in-flight
+readers, then a housekeeping vacuum reclaims them) and merged again
+under the new modulus.  The dims= consolidate afterwards must be
+result-identical to the flat tier — the oracle is
+``namespace_dict_sum_by``'s, verbatim: like the auto-migration entry,
+the physical layout (and any regrow of it) must be invisible to
+results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .model import read_samples
+from .queries_common import END, START, STEP_S
+from .queries_round7 import ORACLE_NAMESPACE_DICT_SUM_BY, _scratch
+
+
+def q_dict_rebuild_regrow(spark, sf_dir):
+    """Bucketed dict at modulus 4 → ``rebuild_series_dict`` to modulus
+    8 (the regrow path for a dictionary that outgrew its bucket count)
+    → one more merge under the new modulus → housekeeping vacuum.  The
+    dims= query must hash-match the dict-less recompute."""
+    import shutil
+
+    from .operators.consolidate import consolidate_sparse
+    from .sources.namespace import (
+        read_namespace,
+        read_series_dict,
+        rebuild_series_dict,
+        vacuum_namespace,
+        write_namespace,
+        write_series_dict,
+    )
+
+    _t, path = _scratch("ns_dict_regrow", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)  # modulus changes mid-run
+    samples = read_samples(spark, sf_dir)
+    write_namespace(samples, path, bucket_count=8, mode="overwrite")
+    half = F.pmod(F.xxhash64("series_id"), F.lit(2)) == 0
+    write_series_dict(samples.where(half), path, bucket_count=4)
+    assert rebuild_series_dict(spark, path, bucket_count=8) == 8
+    # the post-regrow merge lands under the NEW modulus (sticky)
+    write_series_dict(samples.where(~half), path)
+    vacuum_namespace(path, grace_s=0)  # housekeeping cadence, not write
+    g = consolidate_sparse(
+        read_namespace(spark, path), START, END, STEP_S, 300,
+        dims=read_series_dict(spark, path),
+    )
+    return (
+        g.select(
+            F.unix_timestamp("step_ts").alias("step_s"),
+            F.col("tags").getItem("event_type").alias("event_type"),
+            "value",
+        )
+        .groupBy("step_s", "event_type")
+        .agg(F.round(F.sum("value"), 6).alias("value"))
+    )
+
+
+ROUND10_QUERIES = {
+    "dict_rebuild_regrow": (
+        q_dict_rebuild_regrow,
+        ORACLE_NAMESPACE_DICT_SUM_BY,
+    ),
+}

@@ -333,6 +333,98 @@ def main() -> None:
     q_dict_steady_flat = _merge_row("sf", None, steady=True)
     q_dict_steady_bucketed = _merge_row("sb", DICT_BUCKETS, steady=True)
 
+    # -- snapshot-manifest sink overhead (round-10 verdict item 3): the
+    # batch sink into a table with a REALISTIC file population (30 days
+    # seeded with 20 micro-batches -> ~600 partition leaves), manifest
+    # on vs off.  Every timed rep lands one fresh 100k-row batch on a
+    # rotating day; the snapshot variant's extra work is the scoped
+    # listing diff + the manifest flip, which must stay flat in table
+    # size (the r09 full-tree walk was O(table files) per batch).
+    SINK_SEED_BATCHES = 20
+    SINK_BATCH_ROWS = 100_000
+    _sink_state = {"plain": SINK_SEED_BATCHES, "snap": SINK_SEED_BATCHES}
+
+    def _sink_batch(tag: str, b: int):
+        day_s = 1704067200 + (b % 30) * 86400
+        return spark.range(SINK_BATCH_ROWS).select(
+            F.concat(F.lit(tag), (F.col("id") % 5000).cast("string")).alias(
+                "series_id"
+            ),
+            F.timestamp_micros(
+                (F.lit(day_s) + F.col("id") % 86400).cast("long") * 1_000_000
+            ).alias("ts"),
+            (F.col("id") % 1000 / 7.0).alias("value"),
+        )
+
+    def _sink_row(tag: str, snapshot: bool):
+        from m3_spark.sources.namespace import (
+            init_namespace_snapshot,
+            write_namespace_batch,
+        )
+
+        path = os.path.join(SCRATCH, f"ns_sink_{tag}")
+
+        def fn(_):
+            if not os.path.exists(path):
+                if snapshot:
+                    init_namespace_snapshot(path)
+                for b in range(SINK_SEED_BATCHES):
+                    write_namespace_batch(_sink_batch(tag, b), path, b)
+            _sink_state[tag] += 1
+            write_namespace_batch(
+                _sink_batch(tag, _sink_state[tag]), path, _sink_state[tag]
+            )
+            return spark.range(1)  # timing is the sink, not a re-read
+
+        return fn
+
+    q_sink_plain = _sink_row("plain", snapshot=False)
+    q_sink_snapshot = _sink_row("snap", snapshot=True)
+
+    # -- flat->bucketed auto-migration at a REALISTIC cardinality (1.2M
+    # series, past the 1M threshold).  The migration is once-per-dict
+    # by nature, so each rep restores a pre-built flat template with a
+    # copytree (~0.2s of the measurement, noted) and then runs the
+    # merge that crosses the threshold — merged-count check, 1.2M-row
+    # rehash into pick_bucket_count(1.2M) buckets, one manifest flip.
+    N_MIG_SERIES = 1_200_000
+
+    def q_dict_automigrate(_):
+        import shutil
+
+        from m3_spark.sources.namespace import write_series_dict
+        from m3_spark.sources.snapshots import read_manifest
+
+        tmpl = os.path.join(SCRATCH, "dict_mig_tmpl")
+        live = os.path.join(SCRATCH, "dict_mig_live")
+        seed = _dict_seed("mig").limit(N_MIG_SERIES)
+        if not os.path.exists(tmpl):
+            # template stays FLAT (auto-selection disabled at build)
+            write_series_dict(seed, tmpl, auto_bucket_threshold=0)
+        shutil.rmtree(live, ignore_errors=True)
+        shutil.copytree(tmpl, live)
+        # one merge with new series crosses the default 1M threshold
+        _sink_state["mig"] = _sink_state.get("mig", 0) + 1
+        write_series_dict(_dict_batch("mig", _sink_state["mig"]), live)
+        m = read_manifest(os.path.join(live, "_series_dict"))
+        assert m and m.get("bucket_count"), "migration did not run"
+        return spark.range(1)
+
+    def q_dict_rebuild(_):
+        # the regrow procedure at the same cardinality: full rehash +
+        # one flip.  Alternating moduli so every rep does real work.
+        from m3_spark.sources.namespace import rebuild_series_dict
+        from m3_spark.sources.snapshots import read_manifest
+
+        root = os.path.join(SCRATCH, "dict_rebuild")
+        if not os.path.exists(root):
+            write_series_dict(
+                _dict_seed("rb").limit(N_MIG_SERIES), root, bucket_count=16
+            )
+        cur = read_manifest(os.path.join(root, "_series_dict"))["bucket_count"]
+        rebuild_series_dict(spark, root, bucket_count=24 if cur == 16 else 16)
+        return spark.range(1)
+
     def q_ann_ivf(_):
         # full-corpus Lloyd pass: 200k × 64 broadcast cosine assign +
         # the (list, dim) mean — the dominant cost of quantizer training
@@ -363,6 +455,10 @@ def main() -> None:
         "dict_merge_10m_bucketed": q_dict_merge_bucketed,
         "dict_steady_10m_flat": q_dict_steady_flat,
         "dict_steady_10m_bucketed": q_dict_steady_bucketed,
+        "ns_sink_100k_batch_plain": q_sink_plain,
+        "ns_sink_100k_batch_snapshot": q_sink_snapshot,
+        "dict_automigrate_1m2": q_dict_automigrate,
+        "dict_rebuild_1m2": q_dict_rebuild,
     }.items():
         # warm-up (discarded): pays JVM JIT/codegen AND any one-off
         # table/signature writes a query's first call performs
