@@ -169,7 +169,14 @@ def write_namespace_batch(
         raise ValueError(
             "_ingest_batch=-1 is reserved (compaction / folded legacy data)"
         )
-    fold_legacy_batch_layout(path)
+    snapshot_mode = snapshots.has_manifest(path)
+    if not snapshot_mode:
+        # legacy-layout heal is a plain-table concern only: a snapshot
+        # table folded at init_namespace_snapshot and write_namespace
+        # refuses it afterwards, so flat day files cannot reappear —
+        # skipping keeps the snapshot hot path free of this
+        # O(days × batches) directory probe too
+        fold_legacy_batch_layout(path)
     df = samples.withColumn("date_bucket", F.to_date(F.col("ts"))).withColumn(
         "_ingest_batch", F.lit(int(batch_id))
     )
@@ -177,7 +184,7 @@ def write_namespace_batch(
         df = df.repartition(bucket_count, F.col("series_id"))
     df = df.sortWithinPartitions("series_id", "ts")
     spark = samples.sparkSession
-    if snapshots.has_manifest(path):
+    if snapshot_mode:
         # snapshot mode (init_namespace_snapshot): redelivery safety
         # comes from the manifest flip, not a partition overwrite — the
         # batch's files are APPENDED (never deleting what a concurrent
@@ -848,6 +855,85 @@ def rebuild_series_dict(
             expected_version=manifest["version"],
         )
     return nb
+
+
+def housekeep_namespace(
+    spark: SparkSession,
+    path: str,
+    now,
+    retention_s: int | None = None,
+    closed_buffer_s: int = 3600,
+    compact_min_files: int = 2,
+    target_rows_per_file: int = 5_000_000,
+    vacuum_grace_s: float | None = None,
+) -> dict:
+    """ONE housekeeping tick for a namespace table — the analog of the
+    reference's cleanup manager, which runs expiry/compaction/cleanup
+    on a timer OFF the flush path (``src/dbnode/storage/cleanup.go``;
+    flush writes only its own block).  The ingest hot path never does
+    any of this (the batch sink only appends files and flips the
+    manifest); an operator schedules this call on compaction cadence.
+
+    In order:
+
+    1. **retention expiry** (when ``retention_s`` given):
+       :func:`prune_retention` + the dictionary GC — expired days
+       leave first so they are never compacted;
+    2. **compaction of CLOSED days**: a day is closed once ``now``
+       is past its end by ``closed_buffer_s`` (the write-acceptance
+       bufferPast — no batch can land there anymore); closed days
+       holding more than ``compact_min_files`` files coalesce via
+       :func:`compact_namespace` (already-compacted days are skipped,
+       so the tick is idempotent);
+    3. **vacuum** of the table's and dictionary's retired/orphaned
+       files past ``vacuum_grace_s`` (:func:`vacuum_namespace`).
+
+    Day discovery reads the MANIFEST (driver metadata) on a
+    snapshot-managed table; plain tables fall back to a directory
+    listing.  Returns ``{"dropped": [...], "compacted": [...],
+    "vacuumed": n}``."""
+    import datetime as dt
+    import os
+
+    now_dt = dt.datetime.fromisoformat(now) if isinstance(now, str) else now
+    summary: dict = {"dropped": [], "compacted": [], "vacuumed": 0}
+    if retention_s is not None:
+        summary["dropped"] = prune_retention(
+            path, retention_s, now_dt, spark=spark
+        )
+
+    # per-day (file count, any file outside the compacted leaf):
+    # manifest when available (driver metadata), directory otherwise
+    day_files: dict[str, list] = {}
+    rel_files: list[str] = []
+    m = snapshots.read_manifest(path)
+    if m is not None:
+        rel_files = m["files"]
+    elif os.path.isdir(path):
+        rel_files = snapshots.list_parquet_files(path)
+    for f in rel_files:
+        parts = f.split("/")
+        if not parts[0].startswith("date_bucket="):
+            continue
+        day = parts[0].split("=", 1)[1]
+        st = day_files.setdefault(day, [0, False])
+        st[0] += 1
+        if "_ingest_batch=-1" not in parts:
+            st[1] = True  # still holds un-compacted batch files
+
+    for day in sorted(day_files):
+        end_of_day = dt.datetime.fromisoformat(day) + dt.timedelta(days=1)
+        closed = now_dt >= end_of_day + dt.timedelta(seconds=closed_buffer_s)
+        n, uncompacted = day_files[day]
+        # idempotence: a day living entirely under its _ingest_batch=-1
+        # leaf was already compacted — rewriting it would churn files
+        # every tick for nothing
+        if closed and uncompacted and n > compact_min_files:
+            compact_namespace(spark, path, day, target_rows_per_file)
+            summary["compacted"].append(day)
+
+    summary["vacuumed"] = vacuum_namespace(path, grace_s=vacuum_grace_s)
+    return summary
 
 
 def vacuum_namespace(path: str, grace_s: float | None = None) -> int:

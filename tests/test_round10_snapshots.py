@@ -386,6 +386,86 @@ def test_rebuild_series_dict_regrows_modulus(spark, tmp_path):
         write_series_dict(_mk(spark, 1, name="q_"), path, bucket_count=2)
 
 
+# -- housekeep_namespace: the cleanup-manager tick ---------------------------
+
+
+def test_housekeep_namespace_tick(spark, tmp_path):
+    """One tick = retention expiry -> compaction of closed days ->
+    vacuum, all OFF the ingest path (the sink only appends+flips);
+    a second tick is a no-op (idempotent)."""
+    from m3_spark.sources.namespace import (
+        housekeep_namespace,
+        init_namespace_snapshot,
+        read_namespace,
+        write_namespace_batch,
+        write_series_dict,
+    )
+    from m3_spark.sources.snapshots import read_manifest
+
+    path = str(tmp_path / "ns")
+    init_namespace_snapshot(path)
+    # day0: 3 batches (expired by retention), day1: 3 batches (closed,
+    # compactable), day4: 1 batch (open at `now`)
+    bid = 0
+    for day, nb in ((0, 3), (1, 3), (4, 1)):
+        for _ in range(nb):
+            b = _mk(spark, 4, day=day, name=f"d{day}b{bid}_")
+            write_namespace_batch(b, path, batch_id=bid)
+            write_series_dict(b, path)
+            bid += 1
+
+    now = T0_DAY + dt.timedelta(days=4, hours=6)
+    got = housekeep_namespace(
+        spark, path, now, retention_s=3 * 86400, vacuum_grace_s=0
+    )
+    day1 = str((T0_DAY + dt.timedelta(days=1)).date())
+    assert got["dropped"] == [str(T0_DAY.date())]
+    assert got["compacted"] == [day1]  # day4 is open, day0 expired
+    assert got["vacuumed"] > 0
+    back = read_namespace(spark, path)
+    assert back.count() == 16  # day1 (12) + day4 (4)
+    m = read_manifest(path)
+    day1_files = [f for f in m["files"] if f.startswith(f"date_bucket={day1}/")]
+    assert len(day1_files) == 1
+    assert all("_ingest_batch=-1" in f.split("/") for f in day1_files)
+
+    # dict GC ran with retention: day-0 series left the dictionary
+    from m3_spark.sources.namespace import read_series_dict
+
+    names = {r["name"] for r in read_series_dict(spark, path).collect()}
+    assert not any(n.startswith("d0") for n in names)
+    assert any(n.startswith("d1") for n in names)
+
+    # second tick: nothing to drop, nothing to compact, nothing retired
+    got2 = housekeep_namespace(
+        spark, path, now, retention_s=3 * 86400, vacuum_grace_s=0
+    )
+    assert got2 == {"dropped": [], "compacted": [], "vacuumed": 0}
+    assert read_namespace(spark, path).count() == 16
+
+
+def test_housekeep_plain_table(spark, tmp_path):
+    """Plain (non-manifest) tables housekeep too — directory-listing
+    day discovery, same decisions."""
+    from m3_spark.sources.namespace import (
+        housekeep_namespace,
+        read_namespace,
+        write_namespace_batch,
+    )
+
+    path = str(tmp_path / "ns")
+    for b in range(3):
+        write_namespace_batch(_mk(spark, 4, day=0, name=f"b{b}_"), path, b)
+    write_namespace_batch(_mk(spark, 4, day=3, name="open_"), path, 3)
+
+    now = T0_DAY + dt.timedelta(days=3, hours=6)
+    got = housekeep_namespace(spark, path, now)
+    assert got["compacted"] == [str(T0_DAY.date())]
+    assert read_namespace(spark, path).count() == 16
+    got2 = housekeep_namespace(spark, path, now)
+    assert got2["compacted"] == []
+
+
 # -- advice r10: layout survives GC-to-empty + vacuum ------------------------
 
 
