@@ -324,10 +324,11 @@ def vacuum_snapshot(path: str, grace_s: float = DEFAULT_GRACE_S) -> int:
             with contextlib.suppress(FileNotFoundError):
                 os.remove(crc)
 
+        deleted: set[str] = set()
         for f, t in list(retired.items()):
             if now - float(t) >= grace_s:
                 _rm(f)
-                del retired[f]
+                deleted.add(f)
                 removed += 1
         # crash debris: data files in no manifest at all
         for f in list_parquet_files(path):
@@ -341,9 +342,22 @@ def vacuum_snapshot(path: str, grace_s: float = DEFAULT_GRACE_S) -> int:
             if age >= grace_s:
                 _rm(f)
                 removed += 1
-        if removed:
-            m["retired"] = retired
-            _write_manifest(path, m)
+        if deleted:
+            # merge the deletions into the CURRENT manifest, not the
+            # copy read above: a cross-host writer (outside this
+            # fcntl lock's scope) may have flipped in between, and
+            # rewriting the stale copy would silently revert its
+            # commit.  Deleting on the stale copy's retired map stays
+            # sound — part-file names are job-UUID-unique, so a
+            # retired path is never reused by a newer snapshot.  The
+            # version bump keeps every manifest write monotonic.
+            cur = read_manifest(path) or m
+            cur["retired"] = {
+                f: t for f, t in cur.get("retired", {}).items()
+                if f not in deleted
+            }
+            cur["version"] = int(cur.get("version", 0)) + 1
+            _write_manifest(path, cur)
         # drop directories the deletes emptied (partition dirs linger
         # otherwise and would resurrect stale partition VALUES in
         # directory-listing readers; manifest readers never see them)

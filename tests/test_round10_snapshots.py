@@ -386,6 +386,47 @@ def test_rebuild_series_dict_regrows_modulus(spark, tmp_path):
         write_series_dict(_mk(spark, 1, name="q_"), path, bucket_count=2)
 
 
+def test_vacuum_merges_into_current_manifest(spark, tmp_path, monkeypatch):
+    """Vacuum's manifest write is monotonic and merges into the
+    CURRENT manifest: a cross-host flip landing mid-vacuum (simulated
+    between the retired deletions and the write) is not reverted."""
+    from m3_spark.sources import snapshots
+    from m3_spark.sources.namespace import write_series_dict
+    from m3_spark.sources.snapshots import (
+        commit_snapshot,
+        read_manifest,
+        vacuum_snapshot,
+    )
+
+    path = str(tmp_path / "ns")
+    write_series_dict(_mk(spark, 4, day=0), path)
+    write_series_dict(_mk(spark, 4, day=1), path)  # retires v1 files
+    root = os.path.join(path, "_series_dict")
+    pre = read_manifest(root)
+    assert pre["retired"]
+
+    real_list = snapshots.list_parquet_files
+
+    def flip_then_list(p, keep_dir=None):
+        # a cross-host writer (no shared fcntl lock) flips mid-vacuum
+        if not getattr(flip_then_list, "done", False):
+            flip_then_list.done = True
+            cur = read_manifest(root)
+            commit_snapshot(
+                root, cur["files"] + ["interleaved.parquet"],
+                expected_version=cur["version"],
+            )
+        return real_list(p, keep_dir)
+
+    monkeypatch.setattr(snapshots, "list_parquet_files", flip_then_list)
+    removed = vacuum_snapshot(root, grace_s=0)
+    assert removed == len(pre["retired"])
+    after = read_manifest(root)
+    assert "interleaved.parquet" in after["files"]  # flip survived
+    assert after["retired"] == {}
+    assert after["version"] > pre["version"] + 1  # flip + vacuum bump
+
+
 # -- housekeep_namespace: the cleanup-manager tick ---------------------------
 
 
