@@ -41,11 +41,18 @@ from pyspark.sql import functions as F
 from . import snapshots
 
 #: flat-dict merges auto-migrate to the hash-partitioned layout once
-#: the dictionary crosses this cardinality (SCALE_r08: flat merges
-#: degrade ~2x past ~10M series while bucketed stays flat; below ~1M
-#: the change-check's fixed job overhead loses to a cheap full
-#: rewrite, so small dicts stay flat)
-AUTO_BUCKET_THRESHOLD = 1_000_000
+#: the dictionary crosses this cardinality.  Re-tuned from the r10
+#: crossover probe (SCALE_r10_crossover.json, medians of 3): at 1M
+#: series flat still wins arrival merges (1.52s vs 2.41s) with
+#: steady-state at par, while by 3M the steady-state intra-day merge —
+#: the dominant production case — favors bucketed ~2x (0.94s vs
+#: 2.03s: the change check reads 2 columns of the hit buckets and
+#: writes nothing, the flat path rewrites the whole dict every merge)
+#: and keeps widening with |dict| (SCALE_r10 arrival at 10M: bucketed
+#: 4.23s vs flat 5.68s).  Below the threshold the change-check's
+#: fixed job overhead loses to a cheap full rewrite, so small dicts
+#: stay flat.
+AUTO_BUCKET_THRESHOLD = 3_000_000
 #: target series per bucket when the migration picks the modulus —
 #: ~1.5M rows keeps a bucket's merge one comfortable task (a dict row
 #: is ~100 B, so a bucket file stays ~150 MB, one HDFS-block-ish unit)
