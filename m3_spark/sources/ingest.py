@@ -276,6 +276,9 @@ def ingest_stream_to_namespaces(
     rollups: dict[int, str] | None = None,
     watermark_s: int = 60,
     dict_bucket_count: int | None = None,
+    housekeep_every: int | None = None,
+    housekeep_retention_s: int | None = None,
+    housekeep_grace_s: float | None = None,
 ):
     """The m3msg consume loop: a decoded samples stream fans out to the
     unaggregated namespace write and per-resolution downsampled writes
@@ -289,6 +292,15 @@ def ingest_stream_to_namespaces(
       streaming aggregate (``tumbling_aggregates``), the downsampler's
       flush-on-window-close behavior.
 
+    ``housekeep_every=N`` runs one :func:`housekeep_namespace` tick
+    (retention expiry + dict GC → compaction of closed days → vacuum)
+    after every Nth unagg batch — the reference's cleanup manager
+    cadence (``src/dbnode/storage/cleanup.go``) folded into the
+    consume loop for single-process deployments; larger ones schedule
+    the tick separately.  The tick is idempotent, so the batch-id
+    gating stays correct across redeliveries.  Day closed-ness reuses
+    ``buffer_past_s`` (a day no batch can land in anymore is closed).
+
     Returns the list of started StreamingQuery handles; callers drive
     them with ``trigger(availableNow)`` semantics via awaitTermination
     (tests) or leave them continuous (production).
@@ -296,6 +308,7 @@ def ingest_stream_to_namespaces(
     from ..streaming.aggregator import tumbling_aggregates
     from .namespace import (
         accept_write_window,
+        housekeep_namespace,
         write_namespace_batch,
         write_series_dict,
     )
@@ -325,6 +338,20 @@ def ingest_stream_to_namespaces(
         # correctness mechanism (true exactly-once even if the crash
         # lands between the fact write and the marker)
         write_namespace_batch(accepted, unagg_path, batch_id)
+        if housekeep_every and batch_id % housekeep_every == (
+            housekeep_every - 1
+        ):
+            import datetime as dt
+
+            housekeep_namespace(
+                batch_df.sparkSession,
+                unagg_path,
+                now if now is not None else dt.datetime.now(dt.timezone.utc)
+                .replace(tzinfo=None),
+                retention_s=housekeep_retention_s,
+                closed_buffer_s=buffer_past_s,
+                vacuum_grace_s=housekeep_grace_s,
+            )
 
     _write_unagg = idempotent_foreach_batch(
         f"{checkpoint_dir}/unagg_commits", _write_unagg

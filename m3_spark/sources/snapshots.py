@@ -51,6 +51,15 @@ IS a one-generation Delta log); this module keeps the repo
 self-contained while exercising the exact reader/writer protocol —
 the namespace and series-dictionary maintenance paths drive it in
 ``sources/namespace.py``.
+
+Measured cost envelope at the design point (r10, this box): a full
+read-modify-flip at 100k file entries is ~200 ms and the manifest is
+~8 MB JSON — acceptable against a 10-second micro-batch, and the part
+a real format amortizes with log segments + checkpoints.  Everything
+ELSE on the write path is scoped: the append's listing diff walks
+only the batch's own partition leaves (``keep_dir`` /
+:func:`leaf_scope`), and no write path vacuums (housekeeping cadence
+owns the O(table-files) orphan scan).
 """
 
 from __future__ import annotations

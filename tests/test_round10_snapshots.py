@@ -507,6 +507,53 @@ def test_housekeep_plain_table(spark, tmp_path):
     assert got2["compacted"] == []
 
 
+@pytest.mark.slow
+def test_housekeep_through_consume_loop(spark, tmp_path):
+    """housekeep_every=N folds the cleanup-manager tick into the
+    consume loop: closed days compact behind the stream, results stay
+    exact."""
+    from m3_spark.sources.ingest import (
+        ingest_stream_to_namespaces,
+        kafka_payload_to_samples,
+    )
+    from m3_spark.sources.namespace import read_namespace
+
+    src = str(tmp_path / "wire")
+    os.makedirs(src)
+    unagg = str(tmp_path / "ns")
+    ckpt = str(tmp_path / "ckpt")
+    waves = [
+        [f"web.a.cpu {v}.0 {T0 + i * 60}" for i, v in enumerate((1, 2))],
+        [f"web.b.cpu {v}.0 {T0 + 3600 + i * 60}" for i, v in enumerate((3, 4))],
+        [f"web.a.cpu 5.0 {T0 + 7200}"],  # 3rd day-0 batch -> compactable
+        [f"web.a.cpu 6.0 {T0 + 86400 + 60}"],
+    ]
+
+    def run_wave(w):
+        with open(os.path.join(src, f"wave{w}.txt"), "w") as fh:
+            fh.write("\n".join(waves[w]) + "\n")
+        raw = (
+            spark.readStream.format("text").schema("value string").load(src)
+        )
+        for q in ingest_stream_to_namespaces(
+            kafka_payload_to_samples(raw, "carbon"), unagg, ckpt,
+            housekeep_every=1, housekeep_grace_s=0,
+        ):
+            q.awaitTermination(180)
+
+    for w in range(len(waves)):
+        run_wave(w)
+
+    # wall-clock `now` (2026) closed both days long ago: the per-batch
+    # ticks compacted day 0 once it held >2 files; every row survives
+    day0 = str(T0_DAY.date())
+    day0_dir = os.path.join(unagg, f"date_bucket={day0}")
+    assert os.path.isdir(os.path.join(day0_dir, "_ingest_batch=-1"))
+    back = read_namespace(spark, unagg)
+    assert back.count() == 6
+    assert {r["value"] for r in back.collect()} == {1.0, 2.0, 3.0, 4.0, 5.0, 6.0}
+
+
 # -- advice r10: layout survives GC-to-empty + vacuum ------------------------
 
 
