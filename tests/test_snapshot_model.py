@@ -1,0 +1,192 @@
+"""Stateful model check of the snapshot-managed namespace: a random
+(seeded, deterministic) sequence of arrival and maintenance operations
+— batch writes, redeliveries, compactions, retention sweeps, vacuums,
+dictionary merges/GC, modulus rebuilds, housekeeping ticks — is
+replayed against a plain in-memory model, asserting after EVERY op
+that the table reads back exactly the model's surviving rows and the
+dictionary stays ghost-free and complete.
+
+This is the consistency layer's equivalent of the reference's
+fileset/index lifecycle invariants (``src/dbnode/persist/fs``,
+``src/dbnode/storage/index.go``): no op sequence may lose a row,
+resurrect an expired one, or desync the dictionary from the facts.
+
+The model honors the ops' stated contracts: a batch is redelivered
+only while none of its DATE partitions were compacted (compaction
+folds a CLOSED day — closed means no redelivery can land there
+anymore), and writes pass the acceptance window (rows in
+retention-expired dates are rejected up front, as
+``accept_write_window`` does on the ingest path).  T0 is deliberately
+NOT midnight-aligned, so every decision is made on the row's actual
+``to_date(ts)`` partition, exactly like the engine.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import pytest
+
+from .conftest import make_samples
+from .test_consolidate import T0
+
+T0_DAY = dt.datetime.fromtimestamp(T0, dt.timezone.utc).replace(tzinfo=None)
+DAY = 86400
+N_DAYS = 5  # writable day-index window (spans N_DAYS+1 date partitions)
+NOW = T0_DAY + dt.timedelta(days=N_DAYS)
+
+
+def _row_date(day: int, off: int) -> dt.date:
+    return (T0_DAY + dt.timedelta(seconds=day * DAY + off)).date()
+
+
+def _keep_date(retention_days: int) -> dt.date:
+    """First date that SURVIVES prune_retention(NOW, retention) —
+    mirrors namespace._retention_keep_date."""
+    q = (
+        NOW
+        - dt.timedelta(days=retention_days)
+        - dt.timedelta(days=1)
+        + dt.timedelta(microseconds=1)
+    )
+    d = q.date()
+    if q.time() != dt.time.min:
+        d += dt.timedelta(days=1)
+    return d
+
+
+def _payload(bid: int):
+    """Deterministic batch payload: (name, day, offset_s, value) rows —
+    a redelivery regenerates the identical payload from the batch id."""
+    r = random.Random(10_000 + bid)
+    n = r.randint(1, 4)
+    return [
+        (
+            f"s{r.randint(0, 9)}",
+            r.randint(0, N_DAYS - 1),
+            r.randint(0, DAY - 1),
+            float(r.randint(0, 100)),
+        )
+        for _ in range(n)
+    ]
+
+
+def _to_samples(spark, rows):
+    return make_samples(
+        spark,
+        [
+            (name, {"k": name}, T0 + day * DAY + off, v)
+            for name, day, off, v in rows
+        ],
+    )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [7, 23, 61])
+def test_snapshot_namespace_model(spark, tmp_path, seed):
+    from m3_spark.sources.namespace import (
+        compact_namespace,
+        housekeep_namespace,
+        init_namespace_snapshot,
+        prune_retention,
+        read_namespace,
+        read_series_dict,
+        rebuild_series_dict,
+        series_dict_ghosts,
+        series_dict_missing,
+        vacuum_namespace,
+        write_namespace_batch,
+        write_series_dict,
+    )
+
+    path = str(tmp_path / "ns")
+    init_namespace_snapshot(path)
+    rng = random.Random(seed)
+
+    batches: dict[int, list] = {}  # bid -> rows currently on disk
+    compacted: set[dt.date] = set()  # date partitions folded into -1
+    min_keep = dt.date.min  # dates below this expired via retention
+    next_bid = 0
+
+    def expected_rows():
+        return sorted(
+            (name, day, off, v)
+            for rows in batches.values()
+            for (name, day, off, v) in rows
+            if _row_date(day, off) >= min_keep
+        )
+
+    def check():
+        got = sorted(
+            (
+                r["name"],
+                (r["ts"] - T0_DAY).days,
+                (r["ts"] - T0_DAY).seconds,
+                r["value"],
+            )
+            for r in read_namespace(spark, path).collect()
+        )
+        assert got == expected_rows()
+        facts = read_namespace(spark, path)
+        dims = read_series_dict(spark, path)
+        assert series_dict_missing(facts, dims).count() == 0
+        assert series_dict_ghosts(facts, dims).count() == 0
+
+    def write(bid):
+        # acceptance window: retention-expired dates are rejected
+        # before the sink, as accept_write_window does on ingest
+        rows = [
+            r for r in _payload(bid) if _row_date(r[1], r[2]) >= min_keep
+        ]
+        df = _to_samples(spark, rows)
+        # dictionary before facts, exactly as the consume loop orders
+        write_series_dict(df, path)
+        write_namespace_batch(df, path, batch_id=bid)
+        batches[bid] = rows
+
+    def redeliverable():
+        return [
+            b for b, rows in batches.items()
+            if not any(
+                _row_date(day, off) in compacted
+                for (_n, day, off, _v) in rows
+            )
+        ]
+
+    # seed arrival
+    for _ in range(3):
+        write(next_bid)
+        next_bid += 1
+    check()
+
+    for _step in range(12):
+        op = rng.choice(
+            ["write", "write", "redeliver", "compact", "sweep",
+             "vacuum", "rebuild", "housekeep"]
+        )
+        if op == "write":
+            write(next_bid)
+            next_bid += 1
+        elif op == "redeliver":
+            cands = redeliverable()
+            if not cands:
+                continue
+            write(rng.choice(cands))  # same payload, same batch id
+        elif op == "compact":
+            d = T0_DAY.date() + dt.timedelta(days=rng.randint(0, N_DAYS))
+            compact_namespace(spark, path, str(d))
+            compacted.add(d)
+        elif op == "sweep":
+            retention_days = rng.randint(2, N_DAYS)
+            prune_retention(path, retention_days * DAY, NOW, spark=spark)
+            min_keep = max(min_keep, _keep_date(retention_days))
+        elif op == "vacuum":
+            vacuum_namespace(path, grace_s=0)
+        elif op == "rebuild":
+            rebuild_series_dict(spark, path, bucket_count=rng.choice([2, 4]))
+        elif op == "housekeep":
+            got = housekeep_namespace(spark, path, NOW, vacuum_grace_s=0)
+            for d in got["compacted"]:
+                compacted.add(dt.date.fromisoformat(d))
+        check()
