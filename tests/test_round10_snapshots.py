@@ -278,6 +278,43 @@ def test_batch_id_none_on_keyed_table_raises(spark, tmp_path):
         )
 
 
+def test_concurrent_dict_writers_through_migration(spark, tmp_path):
+    """Two writer threads merge the dict while it crosses the
+    auto-migration threshold — the losing thread MUST detect the
+    flat→bucketed flip (layout probe runs under the writer lock now);
+    pre-fix it would take the flat-merge path against a bucketed
+    snapshot and crash on the dict_bucket column mismatch.  Readers
+    interleave and must always resolve a consistent snapshot."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from m3_spark.sources.namespace import read_series_dict, write_series_dict
+
+    path = str(tmp_path / "ns")
+    write_series_dict(_mk(spark, 4), path, auto_bucket_threshold=8)
+
+    def writer(tag):
+        for i in range(4):
+            write_series_dict(
+                _mk(spark, 3, day=i + 1, name=f"{tag}{i}_"), path,
+                auto_bucket_threshold=8,
+            )
+
+    with ThreadPoolExecutor(2) as ex:
+        fa, fb = ex.submit(writer, "a"), ex.submit(writer, "b")
+        while not (fa.done() and fb.done()):
+            snap = read_series_dict(spark, path)
+            n = snap.count()  # any resolved snapshot is complete + exact
+            assert 4 <= n <= 28
+            assert snap.select("series_id").distinct().count() == n
+        fa.result(), fb.result()
+
+    final = read_series_dict(spark, path)
+    assert final.count() == 28
+    assert final.select("series_id").distinct().count() == 28
+    root = os.path.join(path, "_series_dict")
+    assert any(e.startswith("dict_bucket=") for e in os.listdir(root))
+
+
 # -- verdict item 5: manifest version fencing --------------------------------
 
 
