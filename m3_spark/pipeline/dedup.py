@@ -451,6 +451,64 @@ def ngram_jaccard_pairs(
     )
 
 
+def contamination_check(
+    docs: DataFrame, benchmark: DataFrame, n: int = 13,
+    threshold: float = 0.0,
+    text_col: str = "text", id_col: str = "doc_id",
+    bench_text_col: str | None = None, bench_id_col: str | None = None,
+) -> DataFrame:
+    """Train/test CONTAMINATION check: for every (corpus doc, benchmark
+    item) pair sharing at least one word n-gram, the count of shared
+    distinct n-grams and the fraction of the benchmark item's n-grams
+    found in the doc.  This is the standard benchmark-decontamination
+    op for a training corpus (GPT-3 appendix C / Llama-style 13-gram
+    exact collision: a benchmark item whose ``overlap_frac`` crosses a
+    threshold is leaked into the training set and the doc — or the
+    eval item — must be dropped).  ``n=13`` is the published default;
+    pass a smaller n for short-text corpora.
+
+    Plan shape for 100 TB: the BENCHMARK side is small by definition
+    (eval suites are thousands of items, the corpus is the 100 TB), so
+    its exploded n-grams and its per-item sizes are both BROADCAST —
+    the corpus streams through a map-side hash join with zero shuffle
+    on the big side, followed by one partial-aggregated groupBy on
+    (doc, bench item).  Shingle sets are distinct per side, so
+    ``shared`` is exactly the intersection cardinality.
+
+    Returns ``(doc_id, bench_id, shared, overlap_frac)``, filtered to
+    ``overlap_frac >= threshold`` when a threshold is given.
+    """
+    bt = bench_text_col or text_col
+    bi = bench_id_col or id_col
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    corpus_sh = (
+        docs.repartition(par, id_col)  # don't pin shingling to 1 file-task
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(shingles_col(F.col(text_col), n)).alias("s"),
+        )
+    )
+    bench_sets = benchmark.select(
+        F.col(bi).alias("bench_id"), shingles_col(F.col(bt), n).alias("_sh")
+    )
+    bench_sh = bench_sets.select("bench_id", F.explode("_sh").alias("s"))
+    bench_sz = bench_sets.select("bench_id", F.size("_sh").alias("_nb"))
+    hits = (
+        corpus_sh.join(F.broadcast(bench_sh), "s")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    out = hits.join(F.broadcast(bench_sz), "bench_id").select(
+        "doc_id",
+        "bench_id",
+        "shared",
+        F.round(F.col("shared") / F.col("_nb"), 6).alias("overlap_frac"),
+    )
+    if threshold:
+        out = out.where(F.col("overlap_frac") >= threshold)
+    return out
+
+
 def lsh_verified_pairs(
     docs: DataFrame, k: int = 12, bands: int = 4, n: int = 3,
     threshold: float = 0.1,

@@ -63,9 +63,52 @@ def q_dict_rebuild_regrow(spark, sf_dir):
     )
 
 
+def q_contamination_ngram(spark, sf_dir):
+    """Benchmark decontamination over the documents table: items with
+    ``doc_id % 37 == 0`` play the held-out benchmark, the rest the
+    training corpus; a corpus doc sharing ≥ 3% of a benchmark item's
+    word 3-grams is a contamination hit (the fixture's near-duplicate
+    families make this non-trivial; 0.03 keeps the differential's
+    result set rich — at 0.5 only full near-dups survive).  The
+    benchmark side is broadcast — the corpus side joins map-side, the
+    100 TB plan."""
+    from .pipeline.dedup import contamination_check
+    from .queries_pipeline import NGRAM
+    from .sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+    corpus = docs.where(F.col("doc_id") % 37 != 0)
+    return contamination_check(corpus, bench, n=NGRAM, threshold=0.03)
+
+
+def _contamination_sql() -> str:
+    from .queries_pipeline import _SHINGLES_CTE
+
+    return f"""WITH {_SHINGLES_CTE},
+bench AS (SELECT doc_id AS bench_id, s FROM ex WHERE doc_id % 37 = 0),
+bsz AS (SELECT doc_id AS bench_id, len(shingles) AS nb
+        FROM sh WHERE doc_id % 37 = 0),
+corpus AS (SELECT doc_id, s FROM ex WHERE doc_id % 37 <> 0),
+hit AS (
+  SELECT c.doc_id, b.bench_id, COUNT(*) AS shared
+  FROM corpus c JOIN bench b ON c.s = b.s
+  GROUP BY 1, 2
+)
+SELECT h.doc_id, h.bench_id, h.shared,
+       ROUND(h.shared / z.nb, 6) AS overlap_frac
+FROM hit h JOIN bsz z USING (bench_id)
+WHERE ROUND(h.shared / z.nb, 6) >= 0.03
+"""
+
+
 ROUND10_QUERIES = {
     "dict_rebuild_regrow": (
         q_dict_rebuild_regrow,
         ORACLE_NAMESPACE_DICT_SUM_BY,
+    ),
+    "contamination_ngram": (
+        q_contamination_ngram,
+        _contamination_sql(),
     ),
 }

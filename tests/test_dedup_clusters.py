@@ -168,3 +168,51 @@ def test_lsh_verified_pairs_prune_then_exact(spark):
     want = {p: j for p, j in exact.items() if p in cands}
     assert got == want and len(got) > 0
     assert all(j >= 0.3 for j in got.values())
+
+
+# -- contamination check ------------------------------------------------------
+
+
+def test_contamination_check_exact(spark):
+    """Hand-computed shared-shingle counts and overlap fractions."""
+    from m3_spark.pipeline.dedup import contamination_check
+
+    # bench item 100: "a b c d" -> 3-grams {a b c, b c d} (nb=2)
+    # bench item 200: "x y z"   -> {x y z}                 (nb=1)
+    bench = spark.createDataFrame(
+        [(100, "a b c d"), (200, "x y z")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e"),   # shares {a b c, b c d} with 100 -> 2/2
+            (2, "q b c d"),     # shares {b c d} with 100 -> 1/2
+            (3, "totally clean words here"),
+            (4, "w x y z"),     # shares {x y z} with 200 -> 1/1
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["bench_id"]): (r["shared"], r["overlap_frac"])
+        for r in contamination_check(corpus, bench, n=3).collect()
+    }
+    assert got == {
+        (1, 100): (2, 1.0),
+        (2, 100): (1, 0.5),
+        (4, 200): (1, 1.0),
+    }
+    # threshold gate
+    flagged = contamination_check(corpus, bench, n=3, threshold=0.75)
+    assert {r["doc_id"] for r in flagged.collect()} == {1, 4}
+
+
+def test_contamination_check_broadcasts_benchmark(spark):
+    """The 100 TB plan: the benchmark side must reach the join as a
+    broadcast (no shuffle of the corpus side for the join)."""
+    from m3_spark.pipeline.dedup import contamination_check
+
+    bench = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(2, "a b c d")], "doc_id long, text string"
+    )
+    plan = contamination_check(corpus, bench, n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
