@@ -278,6 +278,32 @@ def test_batch_id_none_on_keyed_table_raises(spark, tmp_path):
         )
 
 
+def test_snapshot_read_keeps_partition_pruning(spark, tmp_path):
+    """resolve_snapshot reads an EXPLICIT file list (basePath set):
+    date_bucket must still derive from the paths and a day-bounded
+    read must prune to a PartitionFilters entry — the core scale claim
+    of the manifest reader (a pruned 100 TB scan touches one day's
+    files, not the table)."""
+    from m3_spark.sources.namespace import (
+        init_namespace_snapshot,
+        read_namespace,
+        write_namespace_batch,
+    )
+
+    path = str(tmp_path / "ns")
+    init_namespace_snapshot(path)
+    for d in range(3):
+        write_namespace_batch(
+            _mk(spark, 4, day=d, name=f"d{d}_"), path, batch_id=d
+        )
+    day1 = str((T0_DAY + dt.timedelta(days=1)).date())
+    pruned = read_namespace(spark, path, start=day1, end=day1)
+    assert pruned.count() == 4
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "date_bucket" in plan.split("PartitionFilters")[1].split("]")[0]
+
+
 def test_concurrent_dict_writers_through_migration(spark, tmp_path):
     """Two writer threads merge the dict while it crosses the
     auto-migration threshold — the losing thread MUST detect the
