@@ -480,13 +480,14 @@ def contamination_check(
     """
     bt = bench_text_col or text_col
     bi = bench_id_col or id_col
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    corpus_sh = (
-        docs.repartition(par, id_col)  # don't pin shingling to 1 file-task
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(shingles_col(F.col(text_col), n)).alias("s"),
-        )
+    # no repartition of the corpus: a parquet-backed corpus already
+    # yields parallel input splits, and the broadcast join below needs
+    # no co-partitioning — the big side is never exchanged (the whole
+    # point of the plan; ngram_jaccard_pairs repartitions because its
+    # SELF-join shape differs)
+    corpus_sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_col(F.col(text_col), n)).alias("s"),
     )
     bench_sets = benchmark.select(
         F.col(bi).alias("bench_id"), shingles_col(F.col(bt), n).alias("_sh")

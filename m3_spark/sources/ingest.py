@@ -276,7 +276,7 @@ def ingest_stream_to_namespaces(
     rollups: dict[int, str] | None = None,
     watermark_s: int = 60,
     dict_bucket_count: int | None = None,
-    housekeep_every: int | None = None,
+    housekeep_every: int | None = 100,
     housekeep_retention_s: int | None = None,
     housekeep_grace_s: float | None = None,
 ):
@@ -292,14 +292,21 @@ def ingest_stream_to_namespaces(
       streaming aggregate (``tumbling_aggregates``), the downsampler's
       flush-on-window-close behavior.
 
-    ``housekeep_every=N`` runs one :func:`housekeep_namespace` tick
-    (retention expiry + dict GC → compaction of closed days → vacuum)
-    after every Nth unagg batch — the reference's cleanup manager
-    cadence (``src/dbnode/storage/cleanup.go``) folded into the
-    consume loop for single-process deployments; larger ones schedule
-    the tick separately.  The tick is idempotent, so the batch-id
-    gating stays correct across redeliveries.  Day closed-ness reuses
-    ``buffer_past_s`` (a day no batch can land in anymore is closed).
+    ``housekeep_every=N`` (default 100) runs one
+    :func:`housekeep_namespace` tick (retention expiry + dict GC →
+    compaction of closed days → vacuum) after every Nth unagg batch —
+    the reference's cleanup manager cadence
+    (``src/dbnode/storage/cleanup.go``) folded into the consume loop
+    for single-process deployments; larger ones pass ``None`` and
+    schedule the tick separately (snapshot-managed tables MUST get a
+    vacuum from somewhere — write paths never delete, so retired
+    files otherwise accumulate without bound).  The tick runs AFTER
+    the batch's commit marker and its failures are logged, not
+    raised: maintenance and ingest keep separate failure domains (a
+    corrupt closed day must not crash-loop the stream), exactly why
+    the reference runs cleanup on its own timer.  Day closed-ness
+    reuses ``buffer_past_s`` (a day no batch can land in anymore is
+    closed).
 
     Returns the list of started StreamingQuery handles; callers drive
     them with ``trigger(availableNow)`` semantics via awaitTermination
@@ -338,27 +345,42 @@ def ingest_stream_to_namespaces(
         # correctness mechanism (true exactly-once even if the crash
         # lands between the fact write and the marker)
         write_namespace_batch(accepted, unagg_path, batch_id)
-        if housekeep_every and batch_id % housekeep_every == (
-            housekeep_every - 1
-        ):
-            import datetime as dt
-
-            housekeep_namespace(
-                batch_df.sparkSession,
-                unagg_path,
-                now if now is not None else dt.datetime.now(dt.timezone.utc)
-                .replace(tzinfo=None),
-                retention_s=housekeep_retention_s,
-                closed_buffer_s=buffer_past_s,
-                vacuum_grace_s=housekeep_grace_s,
-            )
 
     _write_unagg = idempotent_foreach_batch(
         f"{checkpoint_dir}/unagg_commits", _write_unagg
     )
 
+    def _unagg_then_housekeep(batch_df, batch_id):
+        _write_unagg(batch_df, batch_id)
+        # tick AFTER the idempotency marker, failures contained: the
+        # batch is already durable, and a maintenance error (one
+        # corrupt closed day, a cross-host SnapshotConflictError) must
+        # not fail the marker and crash-loop the stream
+        if housekeep_every and batch_id % housekeep_every == (
+            housekeep_every - 1
+        ):
+            import datetime as dt
+            import logging
+
+            try:
+                housekeep_namespace(
+                    batch_df.sparkSession,
+                    unagg_path,
+                    now if now is not None
+                    else dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
+                    retention_s=housekeep_retention_s,
+                    closed_buffer_s=buffer_past_s,
+                    vacuum_grace_s=housekeep_grace_s,
+                )
+            except Exception:
+                logging.getLogger(__name__).warning(
+                    "housekeeping tick failed after batch %s of %s "
+                    "(ingest unaffected; next tick retries)",
+                    batch_id, unagg_path, exc_info=True,
+                )
+
     queries.append(
-        samples_stream.writeStream.foreachBatch(_write_unagg)
+        samples_stream.writeStream.foreachBatch(_unagg_then_housekeep)
         .option("checkpointLocation", f"{checkpoint_dir}/unagg")
         .trigger(availableNow=True)
         .start()

@@ -563,9 +563,9 @@ def write_series_dict(
 
     LAYOUT AUTO-SELECTION: a flat dict MIGRATES to the partitioned
     layout inside a normal merge once it crosses
-    ``auto_bucket_threshold`` series (default 1M — below that the
+    ``auto_bucket_threshold`` series (default 3M — below that the
     change-check's fixed job overhead loses to a cheap full rewrite,
-    SCALE_r08), or immediately when a caller passes ``bucket_count``
+    SCALE_r10_crossover), or immediately when a caller passes ``bucket_count``
     on an existing flat dict.  The migration picks its modulus from
     the dictionary's CARDINALITY (:func:`pick_bucket_count`) and
     records it in the manifest; a dict that later outgrows the chosen
@@ -654,7 +654,7 @@ def write_series_dict(
                 auto_bucket_threshold and n_series >= auto_bucket_threshold
             ):
                 # the flat full-rewrite-per-merge stops scaling past
-                # ~1M series — migrate to the hash-partitioned layout
+                # the threshold — migrate to the hash-partitioned layout
                 # in the same flip (old flat files retire; a reader
                 # resolved pre-migration still completes on them).
                 # An explicit bucket_count on a flat dict is the
@@ -684,7 +684,14 @@ def write_series_dict(
                 expected_version=manifest["version"],
             )
             return
-        # initial build: auto-select the layout by batch cardinality
+        # initial build: auto-select the layout by batch cardinality.
+        # APPEND, never overwrite: mode("overwrite") would delete the
+        # whole directory INCLUDING the _MANIFEST.lock file whose flock
+        # this writer is holding — a second writer would then lock a
+        # fresh inode and enter the critical section concurrently.
+        # Crash debris from an interrupted earlier build is harmless:
+        # the next write sees files-without-manifest, bootstraps them
+        # as v1 and the merge dedups by series_id.
         fresh = fresh.localCheckpoint()
         n_series = fresh.count()
         if auto_bucket_threshold and n_series >= auto_bucket_threshold:
@@ -693,12 +700,11 @@ def write_series_dict(
                 exists=False,
             )
             return
-        fresh.write.mode("overwrite").parquet(dict_path)
+        new_files = snapshots.snapshot_append(
+            fresh, dict_path, keep_dir=lambda d: False
+        )
         snapshots.commit_snapshot(
-            dict_path,
-            snapshots.list_parquet_files(dict_path),
-            fresh.schema.json(),
-            expected_version=0,
+            dict_path, new_files, fresh.schema.json(), expected_version=0
         )
 
 
@@ -728,16 +734,17 @@ def _write_series_dict_bucketed(
         # repartition on the bucket key with n tasks: each bucket's
         # rows land in exactly one task (one file per bucket dir), but
         # the initial 100M-series build spreads across n tasks instead
-        # of funnelling the whole dict through one.
-        (
-            fresh.repartition(n, "dict_bucket")
-            .write.mode("overwrite")
-            .partitionBy("dict_bucket")
-            .parquet(dict_path)
+        # of funnelling the whole dict through one.  APPEND + commit,
+        # never mode("overwrite"): the directory delete would take the
+        # held _MANIFEST.lock file with it (see write_series_dict).
+        new_files = snapshots.snapshot_append(
+            fresh.repartition(n, "dict_bucket"),
+            dict_path,
+            partition_by=["dict_bucket"],
         )
         snapshots.commit_snapshot(
             dict_path,
-            snapshots.list_parquet_files(dict_path),
+            new_files,
             fresh.schema.json(),
             extra={"bucket_count": n},
             expected_version=0,

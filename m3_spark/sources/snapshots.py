@@ -43,6 +43,13 @@ This module is that mechanism, minimally: a table directory carries a
   raises :class:`SnapshotConflictError` on a mismatch instead of
   clobbering the interleaved flip (the loser re-reads and redoes —
   optimistic concurrency, the same protocol Delta's log uses).
+  Fencing NARROWS the cross-host race to the instants between a
+  writer's final re-read and its `os.replace` (vacuum re-reads fresh
+  before its write for the same reason) — with plain files there is
+  no compare-and-swap to close it completely, so the deployment
+  contract remains ONE writer per table per cluster; on a real
+  deployment the same protocol lands on a table format whose commit
+  primitive is atomic (Delta/Iceberg on an atomic-rename store).
   Concurrent READERS need no lock: `os.replace` is atomic, a reader
   sees either the old or the new manifest, never a torn one.
 

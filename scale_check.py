@@ -262,9 +262,10 @@ def main() -> None:
     # the ~10 hit buckets plus pays the change-check scan) and
     # STEADY-STATE (known series, same UTC day — the dominant
     # production case: flat still rewrites the whole dict, bucketed
-    # detects no change and writes NOTHING; below ~1M series the
-    # check's fixed job overhead beats the cheap full rewrite, the
-    # crossover is ~10M on this box and widens with |dict|).  Each
+    # detects no change and writes NOTHING; below the auto threshold the
+    # check's fixed job overhead beats the cheap full rewrite —
+    # SCALE_r10_crossover places the steady-state win at ~3M on this
+    # box, widening with |dict|).  Each
     # arrival rep brings DIFFERENT new series so every rep pays a
     # real merge.
     N_DICT_SERIES = 10_000_000
@@ -381,13 +382,13 @@ def main() -> None:
     q_sink_plain = _sink_row("plain", snapshot=False)
     q_sink_snapshot = _sink_row("snap", snapshot=True)
 
-    # -- flat->bucketed auto-migration at a REALISTIC cardinality (1.2M
-    # series, past the 1M threshold).  The migration is once-per-dict
+    # -- flat->bucketed auto-migration at a REALISTIC cardinality (3.2M
+    # series, past the 3M threshold).  The migration is once-per-dict
     # by nature, so each rep restores a pre-built flat template with a
-    # copytree (~0.2s of the measurement, noted) and then runs the
-    # merge that crosses the threshold — merged-count check, 1.2M-row
-    # rehash into pick_bucket_count(1.2M) buckets, one manifest flip.
-    N_MIG_SERIES = 1_200_000
+    # copytree (~0.3s of the measurement, noted) and then runs the
+    # merge that crosses the threshold — merged-count check, 3.2M-row
+    # rehash into pick_bucket_count(3.2M) buckets, one manifest flip.
+    N_MIG_SERIES = 3_200_000
 
     def q_dict_automigrate(_):
         import shutil
@@ -403,7 +404,7 @@ def main() -> None:
             write_series_dict(seed, tmpl, auto_bucket_threshold=0)
         shutil.rmtree(live, ignore_errors=True)
         shutil.copytree(tmpl, live)
-        # one merge with new series crosses the default 1M threshold
+        # one merge with new series crosses the default 3M threshold
         _sink_state["mig"] = _sink_state.get("mig", 0) + 1
         write_series_dict(_dict_batch("mig", _sink_state["mig"]), live)
         m = read_manifest(os.path.join(live, "_series_dict"))
@@ -457,8 +458,8 @@ def main() -> None:
         "dict_steady_10m_bucketed": q_dict_steady_bucketed,
         "ns_sink_100k_batch_plain": q_sink_plain,
         "ns_sink_100k_batch_snapshot": q_sink_snapshot,
-        "dict_automigrate_1m2": q_dict_automigrate,
-        "dict_rebuild_1m2": q_dict_rebuild,
+        "dict_automigrate_3m2": q_dict_automigrate,
+        "dict_rebuild_3m2": q_dict_rebuild,
     }.items():
         # warm-up (discarded): pays JVM JIT/codegen AND any one-off
         # table/signature writes a query's first call performs
