@@ -510,6 +510,26 @@ def contamination_check(
     return out
 
 
+def decontaminate(
+    docs: DataFrame, benchmark: DataFrame, n: int = 13,
+    threshold: float = 0.5,
+    text_col: str = "text", id_col: str = "doc_id",
+    bench_text_col: str | None = None, bench_id_col: str | None = None,
+) -> DataFrame:
+    """Apply :func:`contamination_check`: return ``docs`` MINUS every
+    document whose n-gram overlap with ANY benchmark item reaches
+    ``threshold`` — the drop step of benchmark decontamination.  One
+    broadcast-join pass to find the contaminated ids (a small set by
+    construction) followed by a broadcast anti-join, so the corpus is
+    never shuffled."""
+    hits = contamination_check(
+        docs, benchmark, n, threshold, text_col, id_col,
+        bench_text_col, bench_id_col,
+    )
+    bad = hits.select(F.col("doc_id").alias(id_col)).distinct()
+    return docs.join(F.broadcast(bad), id_col, "left_anti")
+
+
 def lsh_verified_pairs(
     docs: DataFrame, k: int = 12, bands: int = 4, n: int = 3,
     threshold: float = 0.1,

@@ -216,3 +216,25 @@ def test_contamination_check_broadcasts_benchmark(spark):
     )
     plan = contamination_check(corpus, bench, n=3)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_decontaminate_drops_leaked_docs(spark):
+    from m3_spark.pipeline.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "a b c d"), (200, "x y z")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e"),   # 100% of bench 100 -> dropped
+            (2, "q b c d"),     # 50% of bench 100 -> dropped at 0.5
+            (3, "totally clean words here"),
+            (4, "w x y z"),     # 100% of bench 200 -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    kept = decontaminate(corpus, bench, n=3, threshold=0.5)
+    assert {r["doc_id"] for r in kept.collect()} == {3}
+    # higher bar keeps the partial overlap
+    kept2 = decontaminate(corpus, bench, n=3, threshold=0.75)
+    assert {r["doc_id"] for r in kept2.collect()} == {2, 3}

@@ -1,0 +1,58 @@
+"""Property check of the scoped-listing machinery (pure python, no
+Spark): for ANY directory tree and any leaf scope, the scoped walk
+must return exactly the full listing filtered to the scope — a scope
+that ever misses a file inside its own leaves would make the snapshot
+sink commit a manifest that silently omits batch data."""
+
+from __future__ import annotations
+
+import os
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from m3_spark.sources.snapshots import leaf_scope, list_parquet_files
+
+DAYS = [f"date_bucket=2024-01-{d:02d}" for d in (1, 2, 3)]
+BATCHES = [f"_ingest_batch={b}" for b in (-1, 0, 1, 7)]
+
+
+@st.composite
+def tree(draw):
+    """A namespace-ish tree: (day, batch, filename) triples plus some
+    root-level files and hidden junk."""
+    leaves = draw(st.lists(
+        st.tuples(st.sampled_from(DAYS), st.sampled_from(BATCHES),
+                  st.integers(0, 5)),
+        min_size=0, max_size=12, unique=True,
+    ))
+    roots = draw(st.lists(st.integers(0, 3), max_size=3, unique=True))
+    return leaves, roots
+
+
+@settings(max_examples=60, deadline=None)
+@given(tree(), st.sampled_from(BATCHES))
+def test_scoped_listing_equals_filtered_full_listing(tmp_path_factory, data, leaf):
+    leaves, roots = data
+    base = str(tmp_path_factory.mktemp("t"))
+    for day, batch, i in leaves:
+        d = os.path.join(base, day, batch)
+        os.makedirs(d, exist_ok=True)
+        open(os.path.join(d, f"part-{i:03d}.parquet"), "w").close()
+    for i in roots:
+        open(os.path.join(base, f"part-root-{i}.parquet"), "w").close()
+    # hidden junk the walk must always skip
+    os.makedirs(os.path.join(base, "_series_dict"), exist_ok=True)
+    open(os.path.join(base, "_series_dict", "x.parquet"), "w").close()
+    open(os.path.join(base, "_MANIFEST.json"), "w").close()
+
+    full = list_parquet_files(base)
+    scoped = list_parquet_files(base, keep_dir=leaf_scope(leaf))
+    want = [
+        f for f in full
+        if all(not p.startswith("_ingest_batch=") or p == leaf
+               for p in f.split("/"))
+    ]
+    assert scoped == want
+    # and no hidden junk in either
+    assert not any(f.startswith("_series_dict") for f in full)
