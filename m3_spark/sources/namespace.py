@@ -340,7 +340,7 @@ def prune_retention(
                 )
             dropped = sorted(gone)
         snapshots.vacuum_snapshot(path)
-    else:
+    elif os.path.isdir(path):  # a not-yet-written namespace: no-op
         for entry in sorted(os.listdir(path)):
             if not entry.startswith("date_bucket="):
                 continue
