@@ -477,6 +477,13 @@ def contamination_check(
 
     Returns ``(doc_id, bench_id, shared, overlap_frac)``, filtered to
     ``overlap_frac >= threshold`` when a threshold is given.
+
+    Benchmark items with an EMPTY shingle set (blank text, or text
+    shorter than ``n`` words) are dropped up front: they have no
+    n-grams to collide on, so they are unmatchable by this method by
+    construction — keeping them would only produce NULL/zero-division
+    fractions downstream (ADVICE r10).  Decontaminating against such
+    items needs exact-text matching, not n-gram overlap.
     """
     bt = bench_text_col or text_col
     bi = bench_id_col or id_col
@@ -491,7 +498,7 @@ def contamination_check(
     )
     bench_sets = benchmark.select(
         F.col(bi).alias("bench_id"), shingles_col(F.col(bt), n).alias("_sh")
-    )
+    ).where(F.size("_sh") > 0)  # unmatchable empty items out (see doc)
     bench_sh = bench_sets.select("bench_id", F.explode("_sh").alias("s"))
     bench_sz = bench_sets.select("bench_id", F.size("_sh").alias("_nb"))
     hits = (
@@ -819,11 +826,12 @@ def write_signature_batch(
             df, sig_path, partition_by=["_sig_batch"],
             keep_dir=snapshots.leaf_scope(leaf),
         )
-        keep = [
-            f for f in manifest["files"] if leaf not in f.split("/")
-        ]
-        snapshots.commit_snapshot(
-            sig_path, keep + new_files, df.schema.json(),
+        # delta flip: reads/rewrites only this batch's manifest
+        # segment (its _sig_batch partition IS a top-level segment) —
+        # per-batch flip cost never grows with the signature table
+        snapshots.commit_snapshot_delta(
+            sig_path, add=new_files, remove_leaves=[leaf],
+            schema_json=df.schema.json(),
             expected_version=manifest["version"],
         )
 

@@ -265,6 +265,71 @@ def idempotent_foreach_batch(commit_dir: str, write_fn):
     return wrapper
 
 
+class AsyncHousekeeper:
+    """One daemon worker for housekeeping ticks, OFF the foreachBatch
+    path — the latency analog of the reference's cleanup manager
+    running on its own timer (``src/dbnode/storage/cleanup.go``): a
+    long compaction must not stall the micro-batch that triggered it.
+
+    Submit-if-idle semantics bound the backlog: at most ONE tick is in
+    flight, and a cadence point hit while one runs is DROPPED, not
+    queued — ticks are cumulative (each one re-derives the full
+    expiry/compaction/vacuum work from current state), so the next
+    tick covers anything a skipped one would have done.  Failures are
+    contained exactly like the inline tick: logged, never raised into
+    the stream.
+
+    The worker and the sink still serialize on the table's
+    per-operation writer locks, but those are held only around
+    metadata phases (``_compact_namespace_snapshot`` runs its Spark
+    rewrite OUTSIDE the lock), so the sink blocks for a manifest flip,
+    not a compaction."""
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.Lock()
+        self._busy = False
+        self._thread = None
+
+    def submit(self, fn) -> bool:
+        """Run ``fn`` on the worker unless a tick is already in
+        flight; returns whether it was accepted."""
+        import logging
+        import threading
+
+        with self._lock:
+            if self._busy:
+                return False
+            self._busy = True
+
+        def _run():
+            try:
+                fn()
+            except Exception:
+                logging.getLogger(__name__).warning(
+                    "async housekeeping tick failed "
+                    "(ingest unaffected; next tick retries)",
+                    exc_info=True,
+                )
+            finally:
+                with self._lock:
+                    self._busy = False
+
+        t = threading.Thread(
+            target=_run, daemon=True, name="m3-housekeeper"
+        )
+        self._thread = t
+        t.start()
+        return True
+
+    def join(self, timeout: float | None = None) -> None:
+        """Wait for an in-flight tick (tests / orderly shutdown)."""
+        t = self._thread
+        if t is not None:
+            t.join(timeout)
+
+
 def ingest_stream_to_namespaces(
     samples_stream: DataFrame,
     unagg_path: str,
@@ -279,6 +344,7 @@ def ingest_stream_to_namespaces(
     housekeep_every: int | None = 100,
     housekeep_retention_s: int | None = None,
     housekeep_grace_s: float | None = None,
+    housekeep_async: "bool | AsyncHousekeeper" = False,
 ):
     """The m3msg consume loop: a decoded samples stream fans out to the
     unaggregated namespace write and per-resolution downsampled writes
@@ -307,6 +373,15 @@ def ingest_stream_to_namespaces(
     the reference runs cleanup on its own timer.  Day closed-ness
     reuses ``buffer_past_s`` (a day no batch can land in anymore is
     closed).
+
+    ``housekeep_async=True`` additionally moves the tick onto an
+    :class:`AsyncHousekeeper` worker thread so its LATENCY domain
+    separates too: the triggering micro-batch returns as soon as its
+    marker lands instead of waiting out a compaction (cadence points
+    hit while a tick is in flight are dropped — ticks are cumulative).
+    The inline default is right for tests and availableNow drains
+    (deterministic completion); continuous production streams should
+    pass True or ``housekeep_every=None`` + an external scheduler.
 
     Returns the list of started StreamingQuery handles; callers drive
     them with ``trigger(availableNow)`` semantics via awaitTermination
@@ -350,6 +425,13 @@ def ingest_stream_to_namespaces(
         f"{checkpoint_dir}/unagg_commits", _write_unagg
     )
 
+    # housekeep_async accepts a caller-owned AsyncHousekeeper too, so
+    # tests / shutdown paths can join() the in-flight tick
+    if isinstance(housekeep_async, AsyncHousekeeper):
+        housekeeper = housekeep_async
+    else:
+        housekeeper = AsyncHousekeeper() if housekeep_async else None
+
     def _unagg_then_housekeep(batch_df, batch_id):
         _write_unagg(batch_df, batch_id)
         # tick AFTER the idempotency marker, failures contained: the
@@ -362,9 +444,11 @@ def ingest_stream_to_namespaces(
             import datetime as dt
             import logging
 
-            try:
+            spark_ref = batch_df.sparkSession
+
+            def _tick():
                 housekeep_namespace(
-                    batch_df.sparkSession,
+                    spark_ref,
                     unagg_path,
                     now if now is not None
                     else dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
@@ -372,6 +456,14 @@ def ingest_stream_to_namespaces(
                     closed_buffer_s=buffer_past_s,
                     vacuum_grace_s=housekeep_grace_s,
                 )
+
+            if housekeeper is not None:
+                # latency decoupled: the batch returns now; a tick
+                # already in flight absorbs this cadence point
+                housekeeper.submit(_tick)
+                return
+            try:
+                _tick()
             except Exception:
                 logging.getLogger(__name__).warning(
                     "housekeeping tick failed after batch %s of %s "

