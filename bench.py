@@ -239,6 +239,21 @@ BENCH = {
 }
 
 
+def q_calibration(spark):
+    """Fixed-cost machine-speed probe — touches NO repo code and no
+    I/O: 30M generated rows through a 1024-group hash aggregate
+    (codegen + one shuffle).  Its runtime moves with the BOX (ambient
+    load, JIT, co-tenants), not with this repo, so cross-round bench
+    diffs can be normalized mechanically (query_median /
+    calibration_median) instead of adjudicating noise after the fact
+    (r09→r10 both needed that adjudication — verdict r10 item 5)."""
+    return (
+        spark.range(0, 30_000_000, 1, 32)
+        .groupBy((F.col("id") % 1024).alias("g"))
+        .agg(F.sum("id").alias("s"), F.avg((F.col("id") % 7919)).alias("a"))
+    )
+
+
 def main() -> None:
     spark = get_spark("m3_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -256,6 +271,30 @@ def main() -> None:
     # this VM from JVM JIT/GC), min and sample-stdev ride along.
     import statistics
 
+    def _measure(fn, reps=5, warmups=1):
+        for _ in range(warmups):
+            fn(spark).count()
+        times = []
+        n = 0
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            n = fn(spark).count()
+            times.append(time.perf_counter() - t0)
+        med = round(statistics.median(times), 3)
+        return med, {
+            "median": med,
+            "min": round(min(times), 3),
+            "stdev": round(statistics.stdev(times), 3),
+            "n": len(times),
+        }, n
+
+    # machine-speed calibration, same stats protocol as the queries;
+    # NOT part of the headline total (it measures the box, not the
+    # repo).  Run first so it reflects the same ambient conditions.
+    cal_med, cal_stats, _ = _measure(q_calibration)
+    print(f"# calibration_agg_30m: {cal_med}s median "
+          f"(±{cal_stats['stdev']})", file=sys.stderr)
+
     timings: dict[str, float] = {}
     stats: dict[str, dict[str, float]] = {}
     # holt_forecast_7d swings with late JVM JIT (r08: +16% with no
@@ -265,26 +304,17 @@ def main() -> None:
     # kernel plan itself was approved in r07)
     extra_reps = {"holt_forecast_7d": 9}
     for name, fn in BENCH.items():
-        fn(spark).count()  # warm-up, discarded
-        if name in extra_reps:
-            fn(spark).count()  # second warm-up for JIT-sensitive rows
-        reps = []
-        n = 0
-        for _ in range(extra_reps.get(name, 5)):
-            t0 = time.perf_counter()
-            n = fn(spark).count()
-            reps.append(time.perf_counter() - t0)
-        med = round(statistics.median(reps), 3)
+        med, st, n = _measure(
+            fn,
+            reps=extra_reps.get(name, 5),
+            # second warm-up for JIT-sensitive rows
+            warmups=2 if name in extra_reps else 1,
+        )
         timings[name] = med
-        stats[name] = {
-            "median": med,
-            "min": round(min(reps), 3),
-            "stdev": round(statistics.stdev(reps), 3),
-            "n": len(reps),
-        }
+        stats[name] = st
         print(
-            f"# {name}: {med}s median (min {stats[name]['min']}, "
-            f"±{stats[name]['stdev']}, {n} rows)",
+            f"# {name}: {med}s median (min {st['min']}, "
+            f"±{st['stdev']}, {n} rows)",
             file=sys.stderr,
         )
 
@@ -321,6 +351,10 @@ def main() -> None:
                 # reference harness shape (promremotebench-zero.yaml):
                 # 15 concurrent 12h/1m sum-by range queries, wall-clock
                 "concurrent": {"sum_by_12h_1m_x15": conc},
+                # fixed-cost machine-speed probe (no repo code, no
+                # I/O): normalize cross-round diffs by this before
+                # calling a swing a regression
+                "calibration": {"synthetic_agg_30m": cal_stats},
                 "sf": sf,
             }
         )

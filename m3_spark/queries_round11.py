@@ -1,0 +1,60 @@
+"""Round-11 battery entry: the decontamination DROP step through the
+driver gate (VERDICT r10 item 6 — ``contamination_check`` was
+battery-paired in r10, the applier was pytest-only).
+
+``decontaminate_corpus`` — the corpus minus every document whose
+3-gram overlap with any benchmark item (docs with ``doc_id % 37 == 0``,
+same split as ``contamination_ngram``) reaches the 0.03 threshold.
+Plan shape: one broadcast contamination pass to find the contaminated
+ids, then a broadcast ANTI-join — the corpus is never shuffled (the
+100 TB shape; eval suites are small by definition).  The oracle
+restates it as the corpus anti-joined against the contaminated-id CTE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def q_decontaminate_corpus(spark, sf_dir):
+    from .pipeline.dedup import decontaminate
+    from .queries_pipeline import NGRAM
+    from .sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+    corpus = docs.where(F.col("doc_id") % 37 != 0)
+    kept = decontaminate(corpus, bench, n=NGRAM, threshold=0.03)
+    return kept.select("doc_id")
+
+
+def _decontaminate_sql() -> str:
+    from .queries_pipeline import _SHINGLES_CTE
+
+    return f"""WITH {_SHINGLES_CTE},
+bench AS (SELECT doc_id AS bench_id, s FROM ex WHERE doc_id % 37 = 0),
+bsz AS (SELECT doc_id AS bench_id, len(shingles) AS nb
+        FROM sh WHERE doc_id % 37 = 0),
+corpus AS (SELECT doc_id, s FROM ex WHERE doc_id % 37 <> 0),
+hit AS (
+  SELECT c.doc_id, b.bench_id, COUNT(*) AS shared
+  FROM corpus c JOIN bench b ON c.s = b.s
+  GROUP BY 1, 2
+),
+bad AS (
+  SELECT DISTINCT h.doc_id
+  FROM hit h JOIN bsz z USING (bench_id)
+  WHERE ROUND(h.shared / z.nb, 6) >= 0.03
+)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id % 37 <> 0
+  AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+"""
+
+
+ROUND11_QUERIES = {
+    "decontaminate_corpus": (
+        q_decontaminate_corpus,
+        _decontaminate_sql(),
+    ),
+}

@@ -310,21 +310,38 @@ def main() -> None:
 
     _rep_counter = {"flat": 0, "bkt": 0}
 
-    def _merge_row(tag: str, bucket_count, steady: bool):
+    def _merge_row(tag: str, bucket_count, steady: bool,
+                   n_series: int | None = None, batch_filter=None):
+        # r11 FIX (resolves the SCALE_r10 steady-state contradiction):
+        # the "flat" rows must pass auto_bucket_threshold=0 — with the
+        # default threshold (3M) a 10M-series "flat" seed SILENTLY
+        # AUTO-MIGRATED to bucketed m16 at build time, so
+        # dict_steady_10m_flat was really bucketed-m16 vs the m64 row:
+        # a modulus comparison mislabeled as a layout comparison, which
+        # is exactly why it "contradicted" the crossover probe.
+        kw = {} if bucket_count else {"auto_bucket_threshold": 0}
+
         def fn(_):
             from m3_spark.sources.namespace import read_series_dict
 
             root = os.path.join(SCRATCH, f"dict_{tag}")
             if not os.path.exists(os.path.join(root, "_series_dict")):
-                write_series_dict(
-                    _dict_seed(tag), root, bucket_count=bucket_count
-                )
+                seed = _dict_seed(tag)
+                if n_series:
+                    seed = seed.limit(n_series)
+                write_series_dict(seed, root, bucket_count=bucket_count,
+                                  **kw)
             if steady:
-                batch = _dict_seed(tag).limit(10_000)  # known, same day
+                batch = _dict_seed(tag)
+                if n_series:
+                    batch = batch.limit(n_series)
+                if batch_filter is not None:
+                    batch = batch.where(batch_filter)
+                batch = batch.limit(10_000)  # known series, same day
             else:
                 _rep_counter[tag] = _rep_counter.get(tag, 0) + 1
                 batch = _dict_batch(tag, _rep_counter[tag])
-            write_series_dict(batch, root)
+            write_series_dict(batch, root, **kw)
             return read_series_dict(spark, root).select("series_id").limit(1)
 
         return fn
@@ -333,6 +350,27 @@ def main() -> None:
     q_dict_merge_bucketed = _merge_row("b", DICT_BUCKETS, steady=False)
     q_dict_steady_flat = _merge_row("sf", None, steady=True)
     q_dict_steady_bucketed = _merge_row("sb", DICT_BUCKETS, steady=True)
+    # matched-modulus point: same modulus (16) the r10 crossover probe
+    # used, at the 10M cardinality — removes the m16-vs-m64 confound
+    q_dict_steady_bucketed_m16 = _merge_row("sb16", 16, steady=True)
+    # bounded-bucket steady batch: the batch's series hash into ~2 of
+    # the 64 buckets, so the change check partition-prunes to those —
+    # the adversarial all-buckets case is the plain `sb` row
+    q_dict_steady_subset = _merge_row(
+        "sb", DICT_BUCKETS, steady=True,
+        batch_filter=F.pmod(F.xxhash64("series_id"), F.lit(DICT_BUCKETS))
+        < 2,
+    )
+    # the 3M crossover point re-measured inside THIS artifact (same
+    # harness, same box, matched modulus) — the threshold's evidence
+    # must live in one coherent file, not a separate probe
+    N_XOVER = 3_200_000
+    q_dict_steady_3m_flat = _merge_row(
+        "s3f", None, steady=True, n_series=N_XOVER
+    )
+    q_dict_steady_3m_bucketed = _merge_row(
+        "s3b", 16, steady=True, n_series=N_XOVER
+    )
 
     # -- snapshot-manifest sink overhead (round-10 verdict item 3): the
     # batch sink into a table with a REALISTIC file population (30 days
@@ -426,6 +464,59 @@ def main() -> None:
         rebuild_series_dict(spark, root, bucket_count=24 if cur == 16 else 16)
         return spark.range(1)
 
+    # -- manifest flip cost vs TABLE SIZE (round-11 verdict item 1):
+    # the segmented manifest's promise is a flip that costs O(touched
+    # days' files), FLAT in total table files.  Pure metadata probe —
+    # synthetic file entries over 365 day-segments (the monolithic
+    # layout this replaced serialized the WHOLE list per flip: ~8 MB
+    # at 100k entries, ~80 MB at 1M).  Each timed rep is one typical
+    # batch flip: 32 new files into one day + the batch's own leaf
+    # retire — the exact write_namespace_batch commit shape.
+    def _mk_manifest_table(n_files: int) -> str:
+        import datetime as dt
+
+        from m3_spark.sources import snapshots
+
+        path = os.path.join(SCRATCH, f"mani_{n_files}")
+        if not snapshots.has_manifest(path):
+            days = 365
+            per_day = max(1, n_files // days)
+            files = [
+                f"date_bucket={dt.date(2024, 1, 1) + dt.timedelta(days=d)}"
+                f"/_ingest_batch=-1/part-{d}-{i}.parquet"
+                for d in range(days)
+                for i in range(per_day)
+            ]
+            with snapshots.writer_lock(path):
+                snapshots.commit_snapshot(path, files, expected_version=0)
+        return path
+
+    _flip_state = {}
+
+    def _manifest_flip_row(n_files: int):
+        def fn(_):
+            from m3_spark.sources import snapshots
+
+            path = _mk_manifest_table(n_files)
+            b = _flip_state[n_files] = _flip_state.get(n_files, 0) + 1
+            add = [
+                f"date_bucket=2024-06-01/_ingest_batch={b}/p{b}-{j}.parquet"
+                for j in range(32)
+            ]
+            with snapshots.writer_lock(path):
+                v = snapshots.snapshot_version(path)
+                snapshots.commit_snapshot_delta(
+                    path, add=add,
+                    remove_leaves=[f"_ingest_batch={b}"],
+                    expected_version=v,
+                )
+            return spark.range(1)
+
+        return fn
+
+    q_manifest_flip_100k = _manifest_flip_row(100_000)
+    q_manifest_flip_1m = _manifest_flip_row(1_000_000)
+
     def q_ann_ivf(_):
         # full-corpus Lloyd pass: 200k × 64 broadcast cosine assign +
         # the (list, dim) mean — the dominant cost of quantizer training
@@ -456,6 +547,12 @@ def main() -> None:
         "dict_merge_10m_bucketed": q_dict_merge_bucketed,
         "dict_steady_10m_flat": q_dict_steady_flat,
         "dict_steady_10m_bucketed": q_dict_steady_bucketed,
+        "dict_steady_10m_bucketed_m16": q_dict_steady_bucketed_m16,
+        "dict_steady_10m_bucketed_subset": q_dict_steady_subset,
+        "dict_steady_3m2_flat": q_dict_steady_3m_flat,
+        "dict_steady_3m2_bucketed_m16": q_dict_steady_3m_bucketed,
+        "manifest_flip_100k_files": q_manifest_flip_100k,
+        "manifest_flip_1m_files": q_manifest_flip_1m,
         "ns_sink_100k_batch_plain": q_sink_plain,
         "ns_sink_100k_batch_snapshot": q_sink_snapshot,
         "dict_automigrate_3m2": q_dict_automigrate,
