@@ -478,12 +478,14 @@ def contamination_check(
     Returns ``(doc_id, bench_id, shared, overlap_frac)``, filtered to
     ``overlap_frac >= threshold`` when a threshold is given.
 
-    Benchmark items with an EMPTY shingle set (blank text, or text
-    shorter than ``n`` words) are dropped up front: they have no
-    n-grams to collide on, so they are unmatchable by this method by
-    construction — keeping them would only produce NULL/zero-division
-    fractions downstream (ADVICE r10).  Decontaminating against such
-    items needs exact-text matching, not n-gram overlap.
+    Benchmark items with NO usable shingle are dropped up front
+    (ADVICE r10): NULL text yields no shingles at all, and blank /
+    whitespace-only text collapses to the single empty-string
+    "shingle" — keeping those would flag every blank corpus doc as
+    100% contaminated by an item that contains nothing.  Items that
+    are non-blank but shorter than ``n`` words are KEPT: they collapse
+    to one whole-text shingle, i.e. exact-text matching — the right
+    degenerate behavior for a short benchmark item.
     """
     bt = bench_text_col or text_col
     bi = bench_id_col or id_col
@@ -498,7 +500,10 @@ def contamination_check(
     )
     bench_sets = benchmark.select(
         F.col(bi).alias("bench_id"), shingles_col(F.col(bt), n).alias("_sh")
-    ).where(F.size("_sh") > 0)  # unmatchable empty items out (see doc)
+    ).where(  # NULL-text / blank items out (see docstring); the
+        # empty-string "shingle" of blank text doesn't count as usable
+        F.size(F.array_remove("_sh", "")) > 0
+    )
     bench_sh = bench_sets.select("bench_id", F.explode("_sh").alias("s"))
     bench_sz = bench_sets.select("bench_id", F.size("_sh").alias("_nb"))
     hits = (

@@ -279,11 +279,17 @@ class AsyncHousekeeper:
     contained exactly like the inline tick: logged, never raised into
     the stream.
 
-    The worker and the sink still serialize on the table's
-    per-operation writer locks, but those are held only around
-    metadata phases (``_compact_namespace_snapshot`` runs its Spark
-    rewrite OUTSIDE the lock), so the sink blocks for a manifest flip,
-    not a compaction."""
+    The worker and the sink still serialize on the tables' writer
+    locks.  COMPACTION — the dominant tick cost, |day-facts|-bounded —
+    holds the fact table's lock only around its metadata phases
+    (``_compact_namespace_snapshot`` runs its Spark rewrite OUTSIDE
+    the lock), so the sink blocks for a manifest flip, not a rewrite.
+    Two tick steps DO still hold a lock across real work: the
+    dictionary GC (``prune_series_dict``) keeps the dict lock over its
+    kept-rows rewrite (|dict|-bounded — series cardinality, never fact
+    volume), and vacuum holds the table lock over its orphan listing
+    (O(table files), deletion-only I/O).  A micro-batch arriving mid-
+    tick can wait on those; budget trigger intervals accordingly."""
 
     def __init__(self):
         import threading
@@ -319,8 +325,23 @@ class AsyncHousekeeper:
         t = threading.Thread(
             target=_run, daemon=True, name="m3-housekeeper"
         )
+        try:
+            t.start()
+        except Exception:
+            # thread exhaustion on a loaded driver: clear the busy
+            # flag (or every future tick would be silently dropped)
+            # and contain the failure like any other tick error —
+            # letting it escape would fail the micro-batch the async
+            # path exists to protect
+            with self._lock:
+                self._busy = False
+            logging.getLogger(__name__).warning(
+                "async housekeeping tick could not start "
+                "(ingest unaffected; next tick retries)",
+                exc_info=True,
+            )
+            return False
         self._thread = t
-        t.start()
         return True
 
     def join(self, timeout: float | None = None) -> None:

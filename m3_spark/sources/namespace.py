@@ -331,9 +331,16 @@ def prune_retention(
         with snapshots.writer_lock(path):
             segs = snapshots.snapshot_segments(path) or {}
             gone: set[str] = set()
-            for seg in segs:
-                if seg.startswith("date_bucket=") and _expired(
-                    seg.split("=", 1)[1]
+            for seg, e in segs.items():
+                # n == 0: the day's files are ALREADY retired (the
+                # segment lingers only for its retired map until
+                # vacuum's grace) — re-dropping it every tick would
+                # report the same day expired forever and churn
+                # no-op flips
+                if (
+                    seg.startswith("date_bucket=")
+                    and e["n"] > 0
+                    and _expired(seg.split("=", 1)[1])
                 ):
                     gone.add(seg.split("=", 1)[1])
             if gone:
@@ -491,9 +498,30 @@ def _compact_namespace_snapshot(
     n_rows = df.count()
     n_files = max(1, math.ceil(n_rows / target_rows_per_file))
     # dot-prefixed scratch: invisible to both Spark's file index
-    # and the snapshot walk
-    tmp = os.path.join(path, f".compact_tmp_{date_bucket}")
-    shutil.rmtree(tmp, ignore_errors=True)
+    # and the snapshot walk.  UNIQUE per invocation — phase 2 runs
+    # outside the writer lock, so two compactions of the same day
+    # (async tick + an operator's explicit call) may overlap; a shared
+    # scratch dir would let one pick up the other's partial output and
+    # commit a truncated day.  The loser of the overlap aborts at the
+    # phase-3 revalidation instead.
+    import time
+    import uuid
+
+    tmp = os.path.join(
+        path, f".compact_tmp_{date_bucket}_{uuid.uuid4().hex[:8]}"
+    )
+    # stale scratch from crashed compactions (dot-dirs are invisible
+    # to the orphan sweep): reclaim anything past the vacuum grace
+    now = time.time()
+    for entry in os.listdir(path):
+        if not entry.startswith(".compact_tmp_"):
+            continue
+        full = os.path.join(path, entry)
+        try:
+            if now - os.path.getmtime(full) >= snapshots.DEFAULT_GRACE_S:
+                shutil.rmtree(full, ignore_errors=True)
+        except FileNotFoundError:
+            pass
     (
         df.repartition(n_files, F.col("series_id"))
         .sortWithinPartitions("series_id", "ts")
@@ -1001,8 +1029,10 @@ def housekeep_namespace(
         # reader-unsafe in-place swap — ADVICE r10); compact those
         # explicitly via compact_namespace when needed.
         if closed and batch_keyed and n > compact_min_files:
-            compact_namespace(spark, path, day, target_rows_per_file)
-            summary["compacted"].append(day)
+            # a 0 return = the compaction ABORTED (phase-3 revalidation
+            # saw the day change underneath) — don't report it done
+            if compact_namespace(spark, path, day, target_rows_per_file):
+                summary["compacted"].append(day)
 
     summary["vacuumed"] = vacuum_namespace(path, grace_s=vacuum_grace_s)
     return summary

@@ -738,9 +738,21 @@ def vacuum_snapshot(path: str, grace_s: float = DEFAULT_GRACE_S) -> int:
                     for k, v in (cur.get("retired_segs") or {}).items()
                     if k not in seg_deleted
                 }
+                same_version = int(cur.get("version", 0)) == int(
+                    root.get("version", 0)
+                )
                 updates: dict[str, dict] = {}
                 for seg, e in cur["segments"].items():
-                    doc = _load_seg(path, e)
+                    # reuse the first pass's load unless a cross-host
+                    # flip bumped the version mid-vacuum (we hold this
+                    # host's lock, so same-version ⇒ same segments) —
+                    # re-parsing every segment would double the O(table)
+                    # JSON work done under the lock
+                    doc = (
+                        segs[seg]
+                        if same_version and seg in segs
+                        else _load_seg(path, e)
+                    )
                     nr = {
                         f: t for f, t in doc["retired"].items()
                         if f not in deleted

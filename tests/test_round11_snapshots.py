@@ -489,6 +489,30 @@ def test_ingest_async_housekeeping_tick_runs_off_path(spark, tmp_path):
 # -- advice r10 ----------------------------------------------------------------
 
 
+def test_prune_retention_idempotent_within_grace(spark, tmp_path):
+    """An expired day whose files are already retired (segment alive
+    only for its retired map until vacuum grace) must not be
+    re-reported dropped / re-flipped on every tick."""
+    from m3_spark.sources.namespace import (
+        init_namespace_snapshot,
+        prune_retention,
+        write_namespace_batch,
+    )
+    from m3_spark.sources.snapshots import read_snapshot_meta
+
+    path = str(tmp_path / "ns")
+    init_namespace_snapshot(path)
+    write_namespace_batch(_mk(spark, 3, day=0, name="old_"), path, 0)
+    write_namespace_batch(_mk(spark, 3, day=30, name="new_"), path, 1)
+    now = T0_DAY + dt.timedelta(days=31)
+    assert prune_retention(path, 10 * 86400, now) == [str(T0_DAY.date())]
+    v = read_snapshot_meta(path)["version"]
+    # retired files survive the default grace — the segment lingers;
+    # the sweep must become a no-op, not a repeat drop
+    assert prune_retention(path, 10 * 86400, now) == []
+    assert read_snapshot_meta(path)["version"] == v
+
+
 def test_leaf_scope_guards():
     from m3_spark.sources.snapshots import leaf_scope
 
@@ -549,19 +573,31 @@ def test_contamination_check_drops_empty_benchmark_items(spark):
 
     docs = spark.createDataFrame(
         [(1, "the quick brown fox jumps over the lazy dog today"),
-         (2, "completely unrelated text corpus entry")],
+         (2, "completely unrelated text corpus entry"),
+         (3, "")],  # blank corpus doc: must NOT be flagged by item 11
         "doc_id long, text string",
     )
     bench = spark.createDataFrame(
         [(10, "the quick brown fox jumps over the lazy dog today"),
-         (11, ""), (12, "short")],
+         (11, ""), (12, "exact short item")],
         "doc_id long, text string",
     )
     hits = contamination_check(docs, bench, n=5, threshold=0.0).collect()
+    # item 11 (blank) is excluded — without the filter its [""]
+    # shingle matches doc 3's [""] at fraction 1.0
     assert {r["bench_id"] for r in hits} == {10}
     assert all(r["overlap_frac"] is not None for r in hits)
     kept = decontaminate(docs, bench, n=5, threshold=0.5)
-    assert {r["doc_id"] for r in kept.collect()} == {2}
+    assert {r["doc_id"] for r in kept.collect()} == {2, 3}
+    # a short-but-nonblank item stays: whole-text exact matching
+    docs2 = docs.union(
+        spark.createDataFrame([(4, "exact short item")],
+                              "doc_id long, text string")
+    )
+    hits2 = contamination_check(docs2, bench, n=5, threshold=0.0).collect()
+    assert {(r["doc_id"], r["bench_id"]) for r in hits2} == {
+        (1, 10), (4, 12)
+    }
 
 
 def test_dict_merge_skips_count_when_autobucket_disabled(spark, tmp_path,
