@@ -41,17 +41,23 @@ from pyspark.sql import functions as F
 from . import snapshots
 
 #: flat-dict merges auto-migrate to the hash-partitioned layout once
-#: the dictionary crosses this cardinality.  Re-tuned from the r10
-#: crossover probe (SCALE_r10_crossover.json, medians of 3): at 1M
-#: series flat still wins arrival merges (1.52s vs 2.41s) with
-#: steady-state at par, while by 3M the steady-state intra-day merge —
-#: the dominant production case — favors bucketed ~2x (0.94s vs
-#: 2.03s: the change check reads 2 columns of the hit buckets and
-#: writes nothing, the flat path rewrites the whole dict every merge)
-#: and keeps widening with |dict| (SCALE_r10 arrival at 10M: bucketed
-#: 4.23s vs flat 5.68s).  Below the threshold the change-check's
-#: fixed job overhead loses to a cheap full rewrite, so small dicts
-#: stay flat.
+#: the dictionary crosses this cardinality.  Evidence (SCALE_r11.json,
+#: medians of 3 on a quiet box — the r10 artifact's apparent
+#: steady-state contradiction was a measurement artifact: scale_check's
+#: "flat" rows used the default threshold, so their 10M seeds silently
+#: auto-migrated to bucketed m16 and the rows compared modulus 16 vs
+#: 64 while labeled flat-vs-bucketed; r11 pins the flat rows with
+#: auto_bucket_threshold=0):
+#:   * steady-state intra-day merge — the dominant production case —
+#:     at 3.2M: flat 1.98s vs bucketed(m16) 1.39s; at 10M: flat 5.15s
+#:     vs bucketed(m16) 1.37s — the gap genuinely widens with |dict|
+#:     (the change check reads 2 columns of the hit buckets and writes
+#:     nothing; the flat path rewrites the whole dict every merge);
+#:   * arrival merge at 10M: bucketed 3.92s vs flat 6.21s;
+#:   * below the threshold the change-check's fixed job overhead loses
+#:     to a cheap full rewrite (SCALE_r10_crossover at 1M: flat wins
+#:     arrival 1.52s vs 2.41s, steady at par), so small dicts stay
+#:     flat.
 AUTO_BUCKET_THRESHOLD = 3_000_000
 #: target series per bucket when the migration picks the modulus —
 #: ~1.5M rows keeps a bucket's merge one comfortable task (a dict row
