@@ -1108,7 +1108,22 @@ def prune_series_dict(
     simply reference no files in the new snapshot, so dict-served
     metadata can never resurrect ghosts regardless of any
     partition-overwrite session setting.  Readers resolved before the
-    flip finish on the retired files."""
+    flip finish on the retired files.
+
+    LOCK SCOPE (round 11, same phase structure as
+    :func:`_compact_namespace_snapshot`): on a BUCKETED dict the
+    writer lock is held only around pinning the snapshot and the
+    revalidate-plus-commit — the GC's Spark work (the decision scan
+    and the kept-rows rewrite, |dict|-bounded but minutes at 100M
+    series) runs UNLOCKED, so the ingest micro-batch's own
+    ``write_series_dict`` never waits out a GC rewrite.  The kept
+    rows are written aside to a dot-scratch and renamed in; the
+    commit phase re-reads each affected bucket's segment and ABORTS
+    (returning 0, scratch left as vacuum-sweepable debris) if an
+    interleaved merge touched one — the merge may have revived a
+    series this sweep decided to drop, so the next tick must
+    re-decide.  Flat dicts (small by the auto-migration policy) keep
+    the single-lock path."""
     import os
 
     dict_path = os.path.join(path, "_series_dict")
@@ -1118,47 +1133,23 @@ def prune_series_dict(
     alive = F.col("last_seen_bucket").isNull() | (
         F.col("last_seen_bucket") >= F.lit(keep_date)
     )
+    # phase 1 (brief lock): pin the snapshot — the materialized dict
+    # manifest is O(bucket_count) files, driver metadata
+    flat_dropped = None
     with snapshots.writer_lock(dict_path):
         manifest = snapshots.init_manifest(dict_path)
+        m = snapshots.read_manifest(dict_path)
         dims = snapshots.resolve_snapshot(spark, dict_path)
         if "last_seen_bucket" not in dims.columns:
             return 0
-        n_dropped = dims.where(~alive).count()
-        if not n_dropped:
-            return 0
-        if "dict_bucket" in dims.columns:
-            affected = {
-                r["dict_bucket"]
-                for r in dims.where(~alive)
-                .select("dict_bucket")
-                .distinct()
-                .collect()
-            }
-            kept = (
-                dims.where(F.col("dict_bucket").isin(list(affected)))
-                .where(alive)
-                .localCheckpoint()
-            )
-            n_tasks = max(len(affected), 1)
-            new_files = snapshots.snapshot_append(
-                kept.repartition(n_tasks, "dict_bucket"),
-                dict_path,
-                partition_by=["dict_bucket"],
-                keep_dir=snapshots.leaf_scope(
-                    *[f"dict_bucket={k}" for k in affected]
-                ),
-            )
-            # delta flip: only the affected buckets' segments rewrite
-            # (a bucket emptied entirely just drops from the root) —
-            # GC manifest cost matches its data cost, O(expiring
-            # buckets)
-            snapshots.commit_snapshot_delta(
-                dict_path, add=new_files,
-                remove_leaves=[f"dict_bucket={k}" for k in affected],
-                schema_json=kept.schema.json(),
-                expected_version=manifest["version"],
-            )
-        else:
+        if "dict_bucket" not in dims.columns:
+            # flat dict: small by policy — keep the one-lock rewrite.
+            # Vacuum happens AFTER the lock releases: it takes the
+            # same flock itself, and a second fd of one lock file
+            # deadlocks within a process.
+            flat_dropped = dims.where(~alive).count()
+            if not flat_dropped:
+                return 0
             kept = dims.where(alive).localCheckpoint()
             new_files = snapshots.snapshot_append(
                 kept, dict_path, keep_dir=lambda d: False
@@ -1167,6 +1158,82 @@ def prune_series_dict(
                 dict_path, new_files, kept.schema.json(),
                 expected_version=manifest["version"],
             )
+    if flat_dropped is not None:
+        snapshots.vacuum_snapshot(dict_path)
+        return flat_dropped
+    # phase 2 (NO lock): decision scan + kept-rows rewrite on the
+    # pinned snapshot (its files survive until vacuum grace)
+    n_dropped = dims.where(~alive).count()
+    if not n_dropped:
+        return 0
+    affected = {
+        r["dict_bucket"]
+        for r in dims.where(~alive).select("dict_bucket").distinct().collect()
+    }
+    pinned = {
+        k: sorted(f for f in m["files"] if _bucket_of(f) == k)
+        for k in affected
+    }
+    kept = dims.where(F.col("dict_bucket").isin(list(affected))).where(alive)
+    import shutil
+    import time
+    import uuid
+
+    # stale scratch from crashed sweeps (dot-dirs are invisible to the
+    # orphan sweep): reclaim anything past the vacuum grace
+    _now = time.time()
+    for entry in os.listdir(dict_path):
+        if not entry.startswith(".gc_tmp_"):
+            continue
+        full = os.path.join(dict_path, entry)
+        try:
+            if _now - os.path.getmtime(full) >= snapshots.DEFAULT_GRACE_S:
+                shutil.rmtree(full, ignore_errors=True)
+        except FileNotFoundError:
+            pass
+    tmp = os.path.join(dict_path, f".gc_tmp_{uuid.uuid4().hex[:8]}")
+    (
+        kept.repartition(max(len(affected), 1), "dict_bucket")
+        .write.mode("overwrite")
+        .partitionBy("dict_bucket")
+        .parquet(tmp)
+    )
+    new_files = []
+    for leaf in os.listdir(tmp):
+        if not leaf.startswith("dict_bucket="):
+            continue
+        dest = os.path.join(dict_path, leaf)
+        os.makedirs(dest, exist_ok=True)
+        for f in os.listdir(os.path.join(tmp, leaf)):
+            if f.endswith(".parquet") or f.endswith(".crc"):
+                os.rename(
+                    os.path.join(tmp, leaf, f), os.path.join(dest, f)
+                )
+            if f.endswith(".parquet") and not f.startswith((".", "_")):
+                new_files.append(f"{leaf}/{f}")
+    schema_json = kept.schema.json()
+    shutil.rmtree(tmp, ignore_errors=True)
+    # phase 3 (brief lock): revalidate each affected bucket unchanged
+    # since the pin, then commit at the CURRENT version — interleaved
+    # merges of UNAFFECTED buckets are preserved, not clobbered
+    with snapshots.writer_lock(dict_path):
+        for k in affected:
+            if (
+                snapshots.snapshot_segment_files(
+                    dict_path, f"dict_bucket={k}"
+                )
+                != pinned[k]
+            ):
+                # a merge touched an expiring bucket mid-sweep (it may
+                # have revived a series): abandon — the renamed files
+                # are in no manifest; vacuum sweeps them after grace
+                return 0
+        snapshots.commit_snapshot_delta(
+            dict_path, add=new_files,
+            remove_leaves=[f"dict_bucket={k}" for k in affected],
+            schema_json=schema_json,
+            expected_version=snapshots.snapshot_version(dict_path),
+        )
     snapshots.vacuum_snapshot(dict_path)
     return n_dropped
 

@@ -647,6 +647,14 @@ def vacuum_snapshot(path: str, grace_s: float = DEFAULT_GRACE_S) -> int:
     the grace would lose its files.  Within the single-writer-per-
     cluster deployment contract both hazards are bounded by the same
     knob."""
+    # the O(table-files) walk runs OUTSIDE the lock so a concurrent
+    # micro-batch sink never waits out a full-table listing.  Sound:
+    # files created after this listing simply aren't candidates this
+    # pass; files the listing caught that get REFERENCED before the
+    # lock are skipped by the under-lock live/retired check; and
+    # genuinely new unreferenced files are younger than any sane
+    # grace.
+    listing = list_parquet_files(path)
     with writer_lock(path):
         root = _read_root(path)
         if root is None:
@@ -686,7 +694,7 @@ def vacuum_snapshot(path: str, grace_s: float = DEFAULT_GRACE_S) -> int:
                 deleted.add(f)
                 removed += 1
         # crash debris: data files in no manifest at all
-        for f in list_parquet_files(path):
+        for f in listing:
             if f in live or f in all_retired:
                 continue
             full = os.path.join(path, f)
@@ -767,13 +775,15 @@ def vacuum_snapshot(path: str, grace_s: float = DEFAULT_GRACE_S) -> int:
                 }
                 cur["version"] = int(cur.get("version", 0)) + 1
                 _write_manifest(path, cur)
-        # drop directories the deletes emptied (partition dirs linger
-        # otherwise and would resurrect stale partition VALUES in
-        # directory-listing readers; manifest readers never see them)
-        for dirpath, dirnames, files in os.walk(path, topdown=False):
-            if dirpath == path:
-                continue
-            if not os.listdir(dirpath):
-                with contextlib.suppress(OSError):
-                    os.rmdir(dirpath)
-        return removed
+    # drop directories the deletes emptied (partition dirs linger
+    # otherwise and would resurrect stale partition VALUES in
+    # directory-listing readers; manifest readers never see them).
+    # Outside the lock: rmdir refuses a dir a concurrent writer just
+    # repopulated (OSError, suppressed), so this races safely.
+    for dirpath, dirnames, files in os.walk(path, topdown=False):
+        if dirpath == path:
+            continue
+        if not os.listdir(dirpath):
+            with contextlib.suppress(OSError):
+                os.rmdir(dirpath)
+    return removed

@@ -486,6 +486,98 @@ def test_ingest_async_housekeeping_tick_runs_off_path(spark, tmp_path):
     assert {r["value"] for r in back.collect()} == {1.0, 2.0, 3.0, 4.0, 5.0}
 
 
+def _dict_gc_fixture(spark, path):
+    """Bucketed dict (modulus 2) where every bucket-0 series is
+    expired (old last_seen day) and every bucket-1 series is fresh —
+    so a retention sweep's affected set is exactly {0}."""
+    from pyspark.sql import functions as F
+
+    from m3_spark.sources.namespace import write_series_dict
+
+    rows = spark.range(40).select(
+        F.concat(F.lit("s"), F.col("id").cast("string")).alias("series_id"),
+        F.concat(F.lit("m"), F.col("id").cast("string")).alias("name"),
+        F.create_map(F.lit("k"), F.col("id").cast("string")).alias("tags"),
+    )
+    bkt = F.pmod(F.xxhash64("series_id"), F.lit(2))
+    samples = rows.select(
+        "series_id", "name", "tags",
+        F.when(bkt == 0, F.lit(T0_DAY - dt.timedelta(days=400)))
+        .otherwise(F.lit(T0_DAY)).alias("ts"),
+        F.lit(1.0).alias("value"),
+    )
+    write_series_dict(samples, path, bucket_count=2)
+    return samples
+
+
+def test_dict_gc_preserves_interleaved_merge(spark, tmp_path, monkeypatch):
+    """The GC's Spark work runs unlocked; a flip landing on an
+    UNAFFECTED bucket mid-sweep must survive the GC's commit."""
+    from m3_spark.sources import namespace as ns
+
+    path = str(tmp_path / "ns")
+    _dict_gc_fixture(spark, path)
+    dict_path = os.path.join(path, "_series_dict")
+
+    real = ns.snapshots.snapshot_segment_files
+    state = {"injected": False}
+
+    def seg_files_with_race(p, seg):
+        if not state["injected"]:
+            state["injected"] = True
+            ns.snapshots.commit_snapshot_delta(
+                p, add=["dict_bucket=1/zz-interleaved.parquet"],
+                expected_version=None,
+            )
+        return real(p, seg)
+
+    monkeypatch.setattr(ns.snapshots, "snapshot_segment_files",
+                        seg_files_with_race)
+    dropped = ns.prune_series_dict(spark, path, 86400, T0_DAY)
+    assert dropped > 0
+    m = ns.snapshots.read_manifest(dict_path)
+    assert "dict_bucket=1/zz-interleaved.parquet" in m["files"]
+    assert state["injected"]
+
+
+def test_dict_gc_aborts_if_affected_bucket_changed(spark, tmp_path,
+                                                   monkeypatch):
+    """A flip landing on an AFFECTED bucket mid-sweep may have revived
+    a series the sweep decided to drop — the commit must abort (0
+    dropped, dict rows untouched, scratch left to vacuum)."""
+    from m3_spark.sources import namespace as ns
+    from m3_spark.sources.namespace import read_series_dict
+
+    path = str(tmp_path / "ns")
+    _dict_gc_fixture(spark, path)
+    dict_path = os.path.join(path, "_series_dict")
+    n_before = read_series_dict(spark, path).count()
+
+    real = ns.snapshots.snapshot_segment_files
+    state = {"injected": False}
+
+    def seg_files_with_race(p, seg):
+        if not state["injected"]:
+            state["injected"] = True
+            ns.snapshots.commit_snapshot_delta(
+                p, add=["dict_bucket=0/zz-revival.parquet"],
+                expected_version=None,
+            )
+        return real(p, seg)
+
+    monkeypatch.setattr(ns.snapshots, "snapshot_segment_files",
+                        seg_files_with_race)
+    assert ns.prune_series_dict(spark, path, 86400, T0_DAY) == 0
+    m = ns.snapshots.read_manifest(dict_path)
+    assert "dict_bucket=0/zz-revival.parquet" in m["files"]  # preserved
+    live_real = [f for f in m["files"] if not f.endswith("zz-revival.parquet")]
+    # no GC flip happened: remove the fake entry and the dict reads whole
+    assert state["injected"]
+    files = [os.path.join(dict_path, f) for f in live_real]
+    back = spark.read.option("basePath", dict_path).parquet(*files)
+    assert back.count() == n_before
+
+
 # -- advice r10 ----------------------------------------------------------------
 
 
