@@ -280,16 +280,15 @@ class AsyncHousekeeper:
     the stream.
 
     The worker and the sink still serialize on the tables' writer
-    locks.  COMPACTION — the dominant tick cost, |day-facts|-bounded —
-    holds the fact table's lock only around its metadata phases
-    (``_compact_namespace_snapshot`` runs its Spark rewrite OUTSIDE
-    the lock), so the sink blocks for a manifest flip, not a rewrite.
-    Two tick steps DO still hold a lock across real work: the
-    dictionary GC (``prune_series_dict``) keeps the dict lock over its
-    kept-rows rewrite (|dict|-bounded — series cardinality, never fact
-    volume), and vacuum holds the table lock over its orphan listing
-    (O(table files), deletion-only I/O).  A micro-batch arriving mid-
-    tick can wait on those; budget trigger intervals accordingly."""
+    locks, but every |data|-bounded tick step runs its heavy work
+    OUTSIDE them: compaction's Spark rewrite and the bucketed dict
+    GC's kept-rows rewrite both use pin → unlocked rewrite →
+    revalidate-plus-commit phases, and vacuum's O(table-files) orphan
+    walk runs before taking the lock.  What a mid-tick micro-batch
+    can still wait on is bounded metadata-and-deletion work: manifest
+    flips, the under-lock vacuum deletes (O(files removed)), and a
+    FLAT dict's GC rewrite (flat dicts are small by the
+    auto-migration policy)."""
 
     def __init__(self):
         import threading

@@ -578,6 +578,72 @@ def test_dict_gc_aborts_if_affected_bucket_changed(spark, tmp_path,
     assert back.count() == n_before
 
 
+@pytest.mark.slow
+def test_sink_and_housekeeping_race_stress(spark, tmp_path):
+    """Hammer one snapshot table from two threads — the batch sink
+    landing fresh batches while housekeeping ticks (expiry +
+    compaction + vacuum) run concurrently — and assert exact reads at
+    the end.  This is the deployment shape the narrowed locks enable:
+    the tick's heavy phases run outside the writer locks, and every
+    interleaving must converge (aborted compactions retry on later
+    ticks; fencing and revalidation prevent clobbers)."""
+    import threading
+
+    from m3_spark.sources.namespace import (
+        housekeep_namespace,
+        init_namespace_snapshot,
+        read_namespace,
+        write_namespace_batch,
+    )
+
+    path = str(tmp_path / "ns")
+    init_namespace_snapshot(path)
+    # day 0 is closed (now is day 2); batches land on day 1 and 2
+    for b in range(3):
+        write_namespace_batch(_mk(spark, 3, day=0, name=f"seed{b}_"),
+                              path, batch_id=b)
+    now = T0_DAY + dt.timedelta(days=2, hours=6)
+    errors: list[BaseException] = []
+    stop = threading.Event()
+
+    def ticker():
+        try:
+            while not stop.is_set():
+                # grace must exceed the unlocked compaction window —
+                # the orphan sweep may not eat files a phase-2 rewrite
+                # just moved but has not committed yet (the documented
+                # in-flight-write grace contract)
+                housekeep_namespace(
+                    spark, path, now,
+                    retention_s=30 * 86400, vacuum_grace_s=120.0,
+                )
+        except BaseException as exc:  # pragma: no cover - fail loud
+            errors.append(exc)
+
+    t = threading.Thread(target=ticker, daemon=True)
+    t.start()
+    try:
+        for b in range(3, 13):
+            write_namespace_batch(
+                _mk(spark, 3, day=1 + b % 2, name=f"live{b}_"),
+                path, batch_id=b,
+            )
+    finally:
+        stop.set()
+        t.join(120)
+    assert not errors, errors
+    # one more tick on a quiet table settles any aborted compaction
+    housekeep_namespace(spark, path, now, retention_s=30 * 86400,
+                        vacuum_grace_s=120.0)
+    back = read_namespace(spark, path)
+    names = sorted(r["name"] for r in back.collect())
+    expected = sorted(
+        [f"seed{b}_{i}" for b in range(3) for i in range(3)]
+        + [f"live{b}_{i}" for b in range(3, 13) for i in range(3)]
+    )
+    assert names == expected
+
+
 # -- advice r10 ----------------------------------------------------------------
 
 
