@@ -49,11 +49,14 @@ from . import snapshots
 #: 64 while labeled flat-vs-bucketed; r11 pins the flat rows with
 #: auto_bucket_threshold=0):
 #:   * steady-state intra-day merge — the dominant production case —
-#:     at 3.2M: flat 1.98s vs bucketed(m16) 1.39s; at 10M: flat 5.15s
-#:     vs bucketed(m16) 1.37s — the gap genuinely widens with |dict|
-#:     (the change check reads 2 columns of the hit buckets and writes
-#:     nothing; the flat path rewrites the whole dict every merge);
-#:   * arrival merge at 10M: bucketed 3.92s vs flat 6.21s;
+#:     at 3.2M: flat 3.26s vs bucketed(m16) 1.71s (~1.9x); at 10M:
+#:     flat 9.33s vs bucketed(m16) 2.16s (~4.3x) — the gap genuinely
+#:     widens with |dict| (the change check reads 2 columns of the hit
+#:     buckets and writes nothing; the flat path rewrites the whole
+#:     dict every merge).  Ratios reproduce across runs on different
+#:     box speeds (an earlier same-day run: 1.98/1.39 and 5.15/1.37);
+#:   * arrival merge at 10M: bucketed 3.71s vs flat 3.93s (within
+#:     noise at this run's speed; 3.92 vs 6.21 on the earlier run);
 #:   * below the threshold the change-check's fixed job overhead loses
 #:     to a cheap full rewrite (SCALE_r10_crossover at 1M: flat wins
 #:     arrival 1.52s vs 2.41s, steady at par), so small dicts stay
@@ -254,8 +257,15 @@ def read_namespace(
     — including bootstrap extensions the caller doesn't know about —
     into PartitionFilters; the column is dropped there."""
     # snapshot-managed tables resolve their manifest (concurrent-
-    # reader-safe maintenance); plain tables read the directory
-    df = snapshots.resolve_snapshot(spark, path)
+    # reader-safe maintenance); plain tables read the directory.
+    # start/end additionally prune the MANIFEST read itself: only the
+    # window's day segments are loaded, so a 12h query over a
+    # year-retention table costs O(its own days) driver metadata, not
+    # O(retention days × files) — the same bounds are still pushed as
+    # partition filters below, so the pruning is result-invisible.
+    df = snapshots.resolve_snapshot(
+        spark, path, seg_filter=_day_seg_filter(start, end)
+    )
     if "_ingest_batch" in df.columns:  # batch-keyed idempotent sink
         df = df.drop("_ingest_batch")
     if start is not None:
@@ -263,6 +273,45 @@ def read_namespace(
     if end is not None:
         df = df.where(F.col("date_bucket") <= F.to_date(F.lit(end)))
     return df if keep_partition_col else df.drop("date_bucket")
+
+
+def _day_seg_filter(start, end):
+    """Manifest segment filter mirroring ``read_namespace``'s
+    date_bucket predicates: keeps exactly the ``date_bucket=D``
+    segments with ``to_date(start) <= D <= to_date(end)`` (and every
+    non-day segment — the filter must only ever WIDEN relative to the
+    pushed partition filters).  None bounds → no filter."""
+    import datetime as dt
+
+    if start is None and end is None:
+        return None
+
+    def _to_date(v):
+        if isinstance(v, dt.datetime):
+            return v.date()
+        if isinstance(v, dt.date):
+            return v
+        return dt.datetime.fromisoformat(str(v)).date()
+
+    try:
+        lo = _to_date(start) if start is not None else None
+        hi = _to_date(end) if end is not None else None
+    except (ValueError, TypeError):
+        # a bound Spark's to_date may parse but Python's fromisoformat
+        # does not: skip manifest pruning rather than break the query
+        # (the partition filters still prune the scan)
+        return None
+
+    def keep(seg: str) -> bool:
+        if not seg.startswith("date_bucket="):
+            return True  # widen: unknown partition shapes always load
+        try:
+            d = dt.date.fromisoformat(seg.split("=", 1)[1])
+        except ValueError:
+            return True
+        return (lo is None or d >= lo) and (hi is None or d <= hi)
+
+    return keep
 
 
 def accept_write_window(

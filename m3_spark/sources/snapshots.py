@@ -581,26 +581,75 @@ def commit_snapshot_delta(
     return _flip(path, prev_root, updates, schema_json, extra)
 
 
-def resolve_snapshot(spark, path: str):
+def resolve_snapshot(spark, path: str, seg_filter=None):
     """Reader entry point: pin the CURRENT snapshot's file list into a
     DataFrame.  The returned frame keeps reading those exact files even
     if maintenance flips the manifest afterwards — old files survive
     until :func:`vacuum_snapshot`'s grace expires.  ``basePath`` keeps
-    partition-column derivation and partition pruning intact."""
-    m = read_manifest(path)
-    if m is None:
-        return spark.read.parquet(path)
-    files = [os.path.join(path, f) for f in m["files"]]
-    if not files:
-        from pyspark.sql.types import StructType
+    partition-column derivation and partition pruning intact.
 
-        if not m.get("schema"):
-            raise ValueError(
-                f"empty snapshot at {path} carries no schema to type an "
-                "empty frame"
+    ``seg_filter`` (optional ``segment_key -> bool``) prunes the
+    MANIFEST read itself: only segments it accepts are loaded, so a
+    time-bounded query over a year-retention table reads its own
+    days' segment files instead of materializing the whole manifest —
+    Spark's partition pruning skips other days' DATA for free, but
+    the driver-side file index would still be O(retention × files)
+    without this (the reference's query path likewise opens only the
+    blocks inside the query window, ``src/dbnode/storage/shard.go``
+    block retrieval).  Root-level files of an unpartitioned table
+    (segment key ``""``) always load.  The filter must be a pure
+    WIDENING-safe predicate on the partition directory name — callers
+    derive it from the same bounds they push as partition filters
+    (``read_namespace``), so pruned segments can never contain
+    matching rows."""
+    root = _read_root(path)
+    if root is None:
+        return spark.read.parquet(path)
+    if "segments" in root:
+        rel_files = []
+        for seg, entry in root["segments"].items():
+            if seg_filter is not None and seg and not seg_filter(seg):
+                continue
+            rel_files.extend(_load_seg(path, entry)["files"])
+        schema_json = root.get("schema")
+    else:
+        rel_files = [
+            f for f in root.get("files", [])
+            if seg_filter is None
+            or not _seg_of(f)
+            or seg_filter(_seg_of(f))
+        ]
+        schema_json = root.get("schema")
+    files = [os.path.join(path, f) for f in sorted(rel_files)]
+    if not files:
+        if schema_json:
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame(
+                [], StructType.fromJson(json.loads(schema_json))
             )
-        return spark.createDataFrame(
-            [], StructType.fromJson(json.loads(m["schema"]))
+        # pruned to empty on a manifest with no recorded schema (e.g.
+        # bootstrapped by init_manifest): type the empty frame off any
+        # file of the UNPRUNED snapshot instead of failing the query
+        if seg_filter is not None:
+            sample = None
+            if "segments" in root:
+                for entry in root["segments"].values():
+                    seg_files = _load_seg(path, entry)["files"]
+                    if seg_files:
+                        sample = seg_files[0]
+                        break
+            elif root.get("files"):
+                sample = root["files"][0]
+            if sample is not None:
+                return (
+                    spark.read.option("basePath", path)
+                    .parquet(os.path.join(path, sample))
+                    .limit(0)
+                )
+        raise ValueError(
+            f"empty snapshot at {path} carries no schema to type an "
+            "empty frame"
         )
     return spark.read.option("basePath", path).parquet(*files)
 

@@ -517,6 +517,100 @@ def main() -> None:
     q_manifest_flip_100k = _manifest_flip_row(100_000)
     q_manifest_flip_1m = _manifest_flip_row(1_000_000)
 
+    # the root's one remaining growth term: per-day LEAF metadata for
+    # not-yet-compacted _ingest_batch leaves (what lets a redelivered
+    # batch find its prior files without reading every segment).
+    # Worst case = an open day holding a full day of 10-second batches
+    # (8640 leaves) — measure the flip against that root.
+    def q_manifest_flip_open_day(_):
+        import datetime as dt
+
+        from m3_spark.sources import snapshots
+
+        path = os.path.join(SCRATCH, "mani_openday")
+        if not snapshots.has_manifest(path):
+            files = [
+                f"date_bucket={dt.date(2024, 1, 1) + dt.timedelta(days=d)}"
+                f"/_ingest_batch=-1/part-{d}-{i}.parquet"
+                for d in range(30)
+                for i in range(20)
+            ] + [
+                f"date_bucket=2024-02-01/_ingest_batch={b}"
+                f"/part-{b}.parquet"
+                for b in range(8640)
+            ]
+            with snapshots.writer_lock(path):
+                snapshots.commit_snapshot(path, files, expected_version=0)
+        b = _flip_state["open"] = _flip_state.get("open", 9000) + 1
+        add = [
+            f"date_bucket=2024-02-01/_ingest_batch={b}/p{b}-{j}.parquet"
+            for j in range(32)
+        ]
+        with snapshots.writer_lock(path):
+            v = snapshots.snapshot_version(path)
+            snapshots.commit_snapshot_delta(
+                path, add=add, remove_leaves=[f"_ingest_batch={b}"],
+                expected_version=v,
+            )
+        return spark.range(1)
+
+    # dictionary GC at realistic cardinality (3.2M series, m16): the
+    # expiring series hash into 2 of the 16 buckets, so the row
+    # measures the claimed shape — decision scan O(|dict|) plus a
+    # rewrite of the AFFECTED buckets only, not the dictionary.  GC is
+    # once-per-retention-tick by nature, so each rep restores a
+    # pre-built template (copytree, like the automigrate row) and
+    # sweeps it.
+    def q_dict_gc(_):
+        import shutil
+
+        from m3_spark.sources.namespace import (
+            prune_series_dict,
+            write_series_dict,
+        )
+
+        tmpl = os.path.join(SCRATCH, "dict_gc_tmpl")
+        live = os.path.join(SCRATCH, "dict_gc_live")
+        if not os.path.exists(tmpl):
+            seed = (
+                spark.range(N_MIG_SERIES)
+                .select(
+                    F.concat(F.lit("g"), F.col("id").cast("string")).alias(
+                        "series_id"
+                    ),
+                    F.concat(F.lit("m"), F.col("id").cast("string")).alias(
+                        "name"
+                    ),
+                    F.create_map(
+                        F.lit("k"), F.col("id").cast("string")
+                    ).alias("tags"),
+                    F.when(
+                        F.pmod(
+                            F.xxhash64(
+                                F.concat(
+                                    F.lit("g"), F.col("id").cast("string")
+                                )
+                            ),
+                            F.lit(16),
+                        )
+                        < 2,
+                        F.lit("2023-01-01 00:00:00"),
+                    )
+                    .otherwise(F.lit("2024-01-01 00:00:00"))
+                    .cast("timestamp")
+                    .alias("ts"),
+                    F.lit(1.0).alias("value"),
+                )
+            )
+            write_series_dict(seed, tmpl, bucket_count=16)
+        shutil.rmtree(live, ignore_errors=True)
+        shutil.copytree(tmpl, live)
+        dropped = prune_series_dict(
+            spark, live, 90 * 86400, "2024-01-02 00:00:00"
+        )
+        assert dropped > 0, "GC swept nothing"
+        return spark.range(1)
+
     def q_ann_ivf(_):
         # full-corpus Lloyd pass: 200k × 64 broadcast cosine assign +
         # the (list, dim) mean — the dominant cost of quantizer training
@@ -553,6 +647,8 @@ def main() -> None:
         "dict_steady_3m2_bucketed_m16": q_dict_steady_3m_bucketed,
         "manifest_flip_100k_files": q_manifest_flip_100k,
         "manifest_flip_1m_files": q_manifest_flip_1m,
+        "manifest_flip_open_day_8640": q_manifest_flip_open_day,
+        "dict_gc_3m2": q_dict_gc,
         "ns_sink_100k_batch_plain": q_sink_plain,
         "ns_sink_100k_batch_snapshot": q_sink_snapshot,
         "dict_automigrate_3m2": q_dict_automigrate,

@@ -276,6 +276,51 @@ def test_reader_isolation_across_segment_flips(spark, tmp_path):
     assert read_namespace(spark, path).count() == 11
 
 
+def test_time_bounded_read_prunes_manifest_segments(spark, tmp_path,
+                                                    monkeypatch):
+    """read_namespace(start, end) must load ONLY the window's day
+    segments from the manifest — a 1-day query of a 6-day table reads
+    one segment file, and the result is identical to the unpruned
+    read filtered the same way."""
+    from m3_spark.sources import snapshots
+    from m3_spark.sources.namespace import (
+        init_namespace_snapshot,
+        read_namespace,
+        write_namespace_batch,
+    )
+
+    path = str(tmp_path / "ns")
+    init_namespace_snapshot(path)
+    for b in range(6):
+        write_namespace_batch(_mk(spark, 3, day=b, name=f"b{b}_"),
+                              path, batch_id=b)
+    day2 = str((T0_DAY + dt.timedelta(days=2)).date())
+    full = sorted(
+        r["name"]
+        for r in read_namespace(spark, path).collect()
+        if r["name"].startswith("b2_")
+    )
+
+    loaded: list[str] = []
+    real = snapshots._load_seg
+
+    def counting_load(p, entry):
+        loaded.append(entry["p"])
+        return real(p, entry)
+
+    monkeypatch.setattr(snapshots, "_load_seg", counting_load)
+    got = read_namespace(spark, path, start=day2, end=day2)
+    names = sorted(r["name"] for r in got.collect())
+    assert len(loaded) == 1 and f"date_bucket={day2}" in loaded[0]
+    assert names == full == [f"b2_{i}" for i in range(3)]
+    # a window past retention prunes to empty without error
+    loaded.clear()
+    empty = read_namespace(spark, path, start="2031-01-01",
+                           end="2031-01-02")
+    assert empty.count() == 0
+    assert loaded == [] or len(loaded) <= 1  # schema sample at most
+
+
 # -- verdict item 3: conflict recovery end-to-end -----------------------------
 
 
