@@ -301,6 +301,15 @@ def _day_seg_filter(start, end):
         # does not: skip manifest pruning rather than break the query
         # (the partition filters still prune the scan)
         return None
+    # WIDEN by one day on each side: Spark evaluates to_date(lit(x))
+    # in the SESSION time zone while this filter uses the bound's own
+    # (or the driver's) — any tz offset is < 24h, so a one-day pad
+    # guarantees the pruning is never narrower than the pushed
+    # partition filters regardless of session-tz configuration
+    if lo is not None:
+        lo -= dt.timedelta(days=1)
+    if hi is not None:
+        hi += dt.timedelta(days=1)
 
     def keep(seg: str) -> bool:
         if not seg.startswith("date_bucket="):
@@ -512,6 +521,77 @@ def compact_namespace(
     )
 
 
+#: rewrite-aside scratch (dot-prefixed dirs inside a table) is crash
+#: debris only once NOTHING in it has been touched for this long —
+#: a deliberately large TTL, decoupled from the vacuum grace, because
+#: a live rewrite's Spark job can legitimately run for a long time
+#: while its scratch TOP dir's mtime never advances (deep writes
+#: don't touch it); the reclaim therefore ages the NEWEST mtime in
+#: the tree, and the TTL must exceed any sane rewrite duration.
+SCRATCH_TTL_S = 6 * 3600
+
+
+def _newest_mtime(root: str) -> float:
+    import os
+
+    newest = 0.0
+    for dirpath, _dirnames, files in os.walk(root):
+        for entry in [dirpath] + [os.path.join(dirpath, f) for f in files]:
+            try:
+                newest = max(newest, os.path.getmtime(entry))
+            except FileNotFoundError:
+                pass
+    return newest
+
+
+def _reclaim_stale_scratch(parent: str, prefix: str) -> None:
+    """Remove crashed rewrites' scratch dirs (``<parent>/<prefix>*``)
+    whose entire tree has been idle past :data:`SCRATCH_TTL_S`.  Never
+    touches a live overlapping rewrite: its job keeps producing files,
+    so the tree's newest mtime stays fresh."""
+    import os
+    import shutil
+    import time
+
+    now = time.time()
+    try:
+        entries = os.listdir(parent)
+    except FileNotFoundError:
+        return
+    for entry in entries:
+        if not entry.startswith(prefix):
+            continue
+        full = os.path.join(parent, entry)
+        try:
+            if now - _newest_mtime(full) >= SCRATCH_TTL_S:
+                shutil.rmtree(full, ignore_errors=True)
+        except FileNotFoundError:
+            pass
+
+
+def _move_parquet_in(src_dir: str, dest_dir: str) -> list[str]:
+    """Move ``src_dir``'s parquet part files (and their Hadoop ``.crc``
+    sidecars) into ``dest_dir``; returns the moved parquet basenames.
+    CALLER HOLDS the table's writer lock: files must only ever appear
+    inside live partition directories under the lock, or a concurrent
+    writer's before/after listing diff could absorb them into its own
+    commit (duplicate data, permanently)."""
+    import os
+
+    os.makedirs(dest_dir, exist_ok=True)
+    moved = []
+    for f in os.listdir(src_dir):
+        if f.endswith(".parquet") and not f.startswith((".", "_")):
+            os.rename(os.path.join(src_dir, f), os.path.join(dest_dir, f))
+            crc = f".{f}.crc"
+            if os.path.isfile(os.path.join(src_dir, crc)):
+                os.rename(
+                    os.path.join(src_dir, crc), os.path.join(dest_dir, crc)
+                )
+            moved.append(f)
+    return moved
+
+
 def _compact_namespace_snapshot(
     spark: SparkSession, path: str, date_bucket: str,
     target_rows_per_file: int,
@@ -559,24 +639,12 @@ def _compact_namespace_snapshot(
     # scratch dir would let one pick up the other's partial output and
     # commit a truncated day.  The loser of the overlap aborts at the
     # phase-3 revalidation instead.
-    import time
     import uuid
 
+    _reclaim_stale_scratch(path, ".compact_tmp_")
     tmp = os.path.join(
         path, f".compact_tmp_{date_bucket}_{uuid.uuid4().hex[:8]}"
     )
-    # stale scratch from crashed compactions (dot-dirs are invisible
-    # to the orphan sweep): reclaim anything past the vacuum grace
-    now = time.time()
-    for entry in os.listdir(path):
-        if not entry.startswith(".compact_tmp_"):
-            continue
-        full = os.path.join(path, entry)
-        try:
-            if now - os.path.getmtime(full) >= snapshots.DEFAULT_GRACE_S:
-                shutil.rmtree(full, ignore_errors=True)
-        except FileNotFoundError:
-            pass
     (
         df.repartition(n_files, F.col("series_id"))
         .sortWithinPartitions("series_id", "ts")
@@ -585,37 +653,29 @@ def _compact_namespace_snapshot(
     )
     leaf = os.path.join(path, f"date_bucket={date_bucket}",
                         "_ingest_batch=-1")
-    os.makedirs(leaf, exist_ok=True)
-    new_files = []
-    for f in os.listdir(tmp):
-        if not f.endswith(".parquet"):
-            continue
-        os.rename(os.path.join(tmp, f), os.path.join(leaf, f))
-        crc = f".{f}.crc"
-        if os.path.isfile(os.path.join(tmp, crc)):
-            os.rename(
-                os.path.join(tmp, crc), os.path.join(leaf, crc)
+    # phase 3 (brief lock): revalidate the closed-day invariant, move
+    # the rewrite in (files appear inside live partition dirs ONLY
+    # under the lock — an unlocked move could be absorbed by a
+    # concurrent writer's listing diff), then commit against the
+    # CURRENT version — interleaved ingest flips during phase 2 are
+    # preserved, not clobbered
+    try:
+        with snapshots.writer_lock(path):
+            if snapshots.snapshot_segment_files(path, day_seg) != day_files:
+                # the day changed under us (not actually closed, or a
+                # competing compactor) — abandon; the scratch is
+                # removed below, nothing ever entered a live dir
+                return 0
+            new_files = [
+                os.path.relpath(os.path.join(leaf, f), path)
+                for f in _move_parquet_in(tmp, leaf)
+            ]
+            snapshots.commit_snapshot_delta(
+                path, add=new_files, remove_leaves=[day_seg],
+                expected_version=snapshots.snapshot_version(path),
             )
-        # moved-but-not-yet-committed files are invisible to readers
-        # (manifest-pinned) and safe from vacuum (orphan sweep requires
-        # age >= grace; these are seconds old)
-        new_files.append(
-            os.path.relpath(os.path.join(leaf, f), path)
-        )
-    shutil.rmtree(tmp, ignore_errors=True)
-    # phase 3 (brief lock): revalidate the closed-day invariant, then
-    # commit against the CURRENT version — interleaved ingest flips
-    # during phase 2 are preserved, not clobbered
-    with snapshots.writer_lock(path):
-        if snapshots.snapshot_segment_files(path, day_seg) != day_files:
-            # the day changed under us (not actually closed, or a
-            # competing compactor) — abandon: the moved files are in no
-            # manifest and vacuum sweeps them after the grace
-            return 0
-        snapshots.commit_snapshot_delta(
-            path, add=new_files, remove_leaves=[day_seg],
-            expected_version=snapshots.snapshot_version(path),
-        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     snapshots.vacuum_snapshot(path)
     return len(new_files)
 
@@ -1188,7 +1248,8 @@ def prune_series_dict(
     with snapshots.writer_lock(dict_path):
         manifest = snapshots.init_manifest(dict_path)
         m = snapshots.read_manifest(dict_path)
-        dims = snapshots.resolve_snapshot(spark, dict_path)
+        # one segment pass: the materialized doc above types the frame
+        dims = snapshots.resolve_snapshot(spark, dict_path, manifest=m)
         if "last_seen_bucket" not in dims.columns:
             return 0
         if "dict_bucket" not in dims.columns:
@@ -1225,21 +1286,9 @@ def prune_series_dict(
     }
     kept = dims.where(F.col("dict_bucket").isin(list(affected))).where(alive)
     import shutil
-    import time
     import uuid
 
-    # stale scratch from crashed sweeps (dot-dirs are invisible to the
-    # orphan sweep): reclaim anything past the vacuum grace
-    _now = time.time()
-    for entry in os.listdir(dict_path):
-        if not entry.startswith(".gc_tmp_"):
-            continue
-        full = os.path.join(dict_path, entry)
-        try:
-            if _now - os.path.getmtime(full) >= snapshots.DEFAULT_GRACE_S:
-                shutil.rmtree(full, ignore_errors=True)
-        except FileNotFoundError:
-            pass
+    _reclaim_stale_scratch(dict_path, ".gc_tmp_")
     tmp = os.path.join(dict_path, f".gc_tmp_{uuid.uuid4().hex[:8]}")
     (
         kept.repartition(max(len(affected), 1), "dict_bucket")
@@ -1247,42 +1296,46 @@ def prune_series_dict(
         .partitionBy("dict_bucket")
         .parquet(tmp)
     )
-    new_files = []
-    for leaf in os.listdir(tmp):
-        if not leaf.startswith("dict_bucket="):
-            continue
-        dest = os.path.join(dict_path, leaf)
-        os.makedirs(dest, exist_ok=True)
-        for f in os.listdir(os.path.join(tmp, leaf)):
-            if f.endswith(".parquet") or f.endswith(".crc"):
-                os.rename(
-                    os.path.join(tmp, leaf, f), os.path.join(dest, f)
-                )
-            if f.endswith(".parquet") and not f.startswith((".", "_")):
-                new_files.append(f"{leaf}/{f}")
     schema_json = kept.schema.json()
-    shutil.rmtree(tmp, ignore_errors=True)
     # phase 3 (brief lock): revalidate each affected bucket unchanged
-    # since the pin, then commit at the CURRENT version — interleaved
-    # merges of UNAFFECTED buckets are preserved, not clobbered
-    with snapshots.writer_lock(dict_path):
-        for k in affected:
-            if (
-                snapshots.snapshot_segment_files(
-                    dict_path, f"dict_bucket={k}"
+    # since the pin, move the rewrite in (ONLY under the lock — a
+    # concurrent merge's before/after listing diff on an overlapping
+    # bucket would otherwise absorb the GC's files into its own commit
+    # and permanently duplicate every surviving series there), then
+    # commit at the CURRENT version — interleaved merges of UNAFFECTED
+    # buckets are preserved, not clobbered
+    try:
+        with snapshots.writer_lock(dict_path):
+            for k in affected:
+                if (
+                    snapshots.snapshot_segment_files(
+                        dict_path, f"dict_bucket={k}"
+                    )
+                    != pinned[k]
+                ):
+                    # a merge touched an expiring bucket mid-sweep (it
+                    # may have revived a series): abandon — nothing
+                    # entered a live dir; the scratch is removed below
+                    return 0
+            new_files = []
+            for leaf in os.listdir(tmp):
+                if not leaf.startswith("dict_bucket="):
+                    continue
+                new_files.extend(
+                    f"{leaf}/{f}"
+                    for f in _move_parquet_in(
+                        os.path.join(tmp, leaf),
+                        os.path.join(dict_path, leaf),
+                    )
                 )
-                != pinned[k]
-            ):
-                # a merge touched an expiring bucket mid-sweep (it may
-                # have revived a series): abandon — the renamed files
-                # are in no manifest; vacuum sweeps them after grace
-                return 0
-        snapshots.commit_snapshot_delta(
-            dict_path, add=new_files,
-            remove_leaves=[f"dict_bucket={k}" for k in affected],
-            schema_json=schema_json,
-            expected_version=snapshots.snapshot_version(dict_path),
-        )
+            snapshots.commit_snapshot_delta(
+                dict_path, add=new_files,
+                remove_leaves=[f"dict_bucket={k}" for k in affected],
+                schema_json=schema_json,
+                expected_version=snapshots.snapshot_version(dict_path),
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     snapshots.vacuum_snapshot(dict_path)
     return n_dropped
 

@@ -581,7 +581,7 @@ def commit_snapshot_delta(
     return _flip(path, prev_root, updates, schema_json, extra)
 
 
-def resolve_snapshot(spark, path: str, seg_filter=None):
+def resolve_snapshot(spark, path: str, seg_filter=None, manifest=None):
     """Reader entry point: pin the CURRENT snapshot's file list into a
     DataFrame.  The returned frame keeps reading those exact files even
     if maintenance flips the manifest afterwards — old files survive
@@ -601,8 +601,13 @@ def resolve_snapshot(spark, path: str, seg_filter=None):
     WIDENING-safe predicate on the partition directory name — callers
     derive it from the same bounds they push as partition filters
     (``read_namespace``), so pruned segments can never contain
-    matching rows."""
-    root = _read_root(path)
+    matching rows.
+
+    ``manifest``: a caller that already MATERIALIZED the manifest
+    (``read_manifest`` under its own writer lock, e.g. the dict GC's
+    pin phase) passes it here so the segments aren't parsed a second
+    time."""
+    root = manifest if manifest is not None else _read_root(path)
     if root is None:
         return spark.read.parquet(path)
     if "segments" in root:
@@ -828,11 +833,22 @@ def vacuum_snapshot(path: str, grace_s: float = DEFAULT_GRACE_S) -> int:
     # otherwise and would resurrect stale partition VALUES in
     # directory-listing readers; manifest readers never see them).
     # Outside the lock: rmdir refuses a dir a concurrent writer just
-    # repopulated (OSError, suppressed), so this races safely.
+    # repopulated (OSError, suppressed) — and the grace guard below
+    # covers the other direction of that race: a dir a writer just
+    # CREATED and is about to rename files into (a committer's or a
+    # rewrite's makedirs) is seconds old, so only dirs empty AND idle
+    # past the grace are removed.
+    sweep_now = time.time()
     for dirpath, dirnames, files in os.walk(path, topdown=False):
         if dirpath == path:
             continue
-        if not os.listdir(dirpath):
-            with contextlib.suppress(OSError):
-                os.rmdir(dirpath)
+        try:
+            if (
+                not os.listdir(dirpath)
+                and sweep_now - os.path.getmtime(dirpath) >= grace_s
+            ):
+                with contextlib.suppress(OSError):
+                    os.rmdir(dirpath)
+        except FileNotFoundError:
+            continue
     return removed

@@ -311,7 +311,13 @@ def test_time_bounded_read_prunes_manifest_segments(spark, tmp_path,
     monkeypatch.setattr(snapshots, "_load_seg", counting_load)
     got = read_namespace(spark, path, start=day2, end=day2)
     names = sorted(r["name"] for r in got.collect())
-    assert len(loaded) == 1 and f"date_bucket={day2}" in loaded[0]
+    # the filter widens by one day each side (session-tz safety pad):
+    # a 1-day window loads at most 3 of the 6 day segments, and the
+    # window's own day is among them
+    assert 1 <= len(loaded) <= 3
+    assert any(f"date_bucket={day2}" in p for p in loaded)
+    day5 = str((T0_DAY + dt.timedelta(days=5)).date())
+    assert not any(f"date_bucket={day5}" in p for p in loaded)
     assert names == full == [f"b2_{i}" for i in range(3)]
     # a window past retention prunes to empty without error
     loaded.clear()
