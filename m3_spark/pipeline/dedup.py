@@ -19,7 +19,7 @@ engine-portable and every operator here has a DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # -- shingling ---------------------------------------------------------------
@@ -937,3 +937,122 @@ def dedup_ingest_batch(
             )
         new_sigs.write.mode("append").parquet(sig_path)
     return merged, pairs
+
+
+# -- span-level (substring) duplication ---------------------------------------
+
+
+def span_windows(
+    docs: DataFrame,
+    span_words: int = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Every positional ``span_words``-word window of every document,
+    stride 1 — the unit of substring-level dedup (Lee et al. 2022,
+    arXiv:2107.06499, dedup exact substrings of >= 50 tokens via a
+    suffix array; the Spark-first re-expression is rolling windows +
+    one hash-keyed shuffle, no global suffix structure).  Documents
+    shorter than the span collapse to one whole-text window
+    (``ngrams_col`` semantics), so short exact-dup docs still collide.
+
+    Returns (id, pos, span_hash): pos is the 0-based word offset,
+    span_hash is ``xxhash64`` of the window text — rows shuffled
+    downstream carry 8 bytes instead of the ~100-byte window string
+    (at 100 TB the string never leaves the scan stage).
+    """
+    grams = docs.select(
+        F.col(id_col),
+        F.posexplode(ngrams_col(F.col(text_col), span_words)).alias(
+            "pos", "_g"
+        ),
+    )
+    return grams.select(
+        id_col, "pos", F.xxhash64("_g").alias("span_hash")
+    )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    span_words: int = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The windows of :func:`span_windows` that appear in >= 2 DISTINCT
+    documents — the cross-document duplicated substrings (intra-doc
+    repetition is a quality signal, ``text.repetition_signals``, not a
+    dedup decision).
+
+    One shuffle, keyed by the 8-byte span hash: the >= 2-distinct-docs
+    test is ``min(id) != max(id)`` over the hash partition — two
+    cheap order statistics instead of a per-hash ``collect_set`` (a
+    viral span at corpus scale can sit in millions of docs; order
+    statistics stay O(1) per group member where a set materializes the
+    group).  Positions ride the same shuffle, so flagged spans come
+    back with (id, pos) at no extra exchange.
+
+    Returns (id, pos, span_hash) for duplicated windows only.
+    """
+    spans = span_windows(docs, span_words, text_col, id_col)
+    w = Window.partitionBy("span_hash")
+    return (
+        spans.select(
+            "*",
+            F.min(id_col).over(w).alias("_lo"),
+            F.max(id_col).over(w).alias("_hi"),
+        )
+        .where(F.col("_lo") != F.col("_hi"))
+        .select(id_col, "pos", "span_hash")
+    )
+
+
+def span_dup_stats(
+    docs: DataFrame,
+    span_words: int = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document substring-duplication profile: how much of each
+    document is covered by windows that also appear elsewhere in the
+    corpus.  ``dup_frac`` is the fraction of the document's windows
+    that are cross-document duplicates — the decision statistic of
+    substring-level dedup (Lee et al. 2022 cut spans; at pipeline
+    granularity the common policy is drop/keep whole documents by
+    duplicated fraction, e.g. RefinedWeb's f_dup filters).
+
+    Two map-side-combinable shuffles end to end: the span-hash window
+    above, then a (id)-keyed aggregate.  Returns
+    (id, n_windows, dup_windows, dup_frac).
+    """
+    spans = span_windows(docs, span_words, text_col, id_col)
+    w = Window.partitionBy("span_hash")
+    flagged = spans.select(
+        id_col,
+        (F.min(id_col).over(w) != F.max(id_col).over(w))
+        .cast("int")
+        .alias("_dup"),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_windows"),
+        F.sum("_dup").alias("dup_windows"),
+        F.round(F.sum("_dup") / F.count("*"), 6).alias("dup_frac"),
+    )
+
+
+def span_dedup_filter(
+    docs: DataFrame,
+    max_dup_frac: float = 0.5,
+    span_words: int = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop documents whose duplicated-window fraction reaches
+    ``max_dup_frac`` (strictly-below keeps).  The stats side is
+    id-keyed and corpus-sized, so the join back is a plain hash join
+    on the id — not a broadcast (same scale reasoning as
+    ``similarity.semantic_dedup``'s anti-join).  Returns the kept rows
+    of the input.
+    """
+    stats = span_dup_stats(docs, span_words, text_col, id_col)
+    keep = stats.where(F.col("dup_frac") < max_dup_frac).select(id_col)
+    return docs.join(keep, id_col, "inner")

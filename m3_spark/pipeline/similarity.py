@@ -676,3 +676,88 @@ def ivfpq_residual_topk(
         .orderBy(F.col("approx_dist").asc(), F.col(id_col).asc())
         .limit(topk)
     )
+
+
+def semantic_dup_pairs(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    eps: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Within-cluster near-duplicate pairs — the candidate step of
+    SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embeddings with a coarse quantizer, then score pairwise cosine
+    ONLY inside each cluster.  The cluster equi-join is what makes
+    semantic dedup feasible at corpus scale — pairwise work is
+    Σ|cluster|² instead of N², and the cluster key is the shuffle key
+    (one shuffle, never a global crossJoin; same shape as the LSH
+    band join in ``pipeline/dedup.py``).
+
+    Clustering is :func:`ivf_assign`'s deterministic quantizer
+    (centroids = the vectors with id < n_clusters, broadcast) so the
+    whole path is bit-reproducible for the oracle; at 100 TB you'd
+    refine the centroids with kmeans|| (``ivf_train``) — the pair
+    machinery is identical either way.
+
+    Returns (id_a, id_b, cluster, cosine) with id_a < id_b and
+    cosine >= eps.
+    """
+    e = _as_double(embeddings, vec_col)
+    assign = ivf_assign(e, n_clusters, id_col, vec_col).withColumnRenamed(
+        "list_id", "cluster"
+    )
+    withv = e.select(id_col, vec_col).join(assign, id_col)
+    a = withv.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "cluster"
+    )
+    b = withv.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "cluster"
+    )
+    return (
+        a.join(b, ["cluster"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", "cluster",
+            cosine_col(F.col("_va"), F.col("_vb")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= eps)
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    eps: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup's drop step: keep one representative of every
+    within-cluster ε-ball (Abbas et al. 2023 prune 50% of LAION with
+    this exact shape — cluster, pairwise-inside-cluster, keep one).
+
+    Keep rule: a row is DROPPED when some SMALLER-id member of its
+    cluster sits within ε (greedy first-survivor over id order — the
+    deterministic analog of the paper's keep-one-per-group; the paper
+    keeps the member farthest from the centroid, any fixed priority
+    gives the same dedup rate).  Greedy-by-id means a dropped row can
+    itself be the smaller-id witness for a later row — matching the
+    sorted-sweep implementations — so the rule stays a pure pairwise
+    predicate (no iterative component closure needed on the hot path;
+    use ``connected_components`` over :func:`semantic_dup_pairs` when
+    group-exact semantics matter).
+
+    Plan shape: the pair scan above + one distinct on the dropped ids
+    + an id-keyed anti-join.  The dropped set is deliberately NOT
+    broadcast — SemDeDup prunes tens of percent of the corpus, so
+    unlike ``decontaminate``'s benchmark-bounded hit list this side is
+    corpus-sized; a hash anti-join on the id key (AQE picks broadcast
+    on its own when the set turns out small) is the shape that
+    survives 100 TB.  Returns the kept rows of the input.
+    """
+    dropped = (
+        semantic_dup_pairs(embeddings, n_clusters, eps, id_col, vec_col)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return embeddings.join(dropped, id_col, "left_anti")

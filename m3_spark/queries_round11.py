@@ -58,3 +58,132 @@ ROUND11_QUERIES = {
         _decontaminate_sql(),
     ),
 }
+
+
+# -- round-11 session 2: SemDeDup + substring-level dedup ---------------------
+#
+# semdedup_kept — SemDeDup (Abbas et al. 2023): deterministic
+# 16-cluster quantizer (centroids = vec_id < 16, the ann_ivf_topk
+# regime), within-cluster pairwise cosine, drop every member with a
+# smaller-id ε-neighbor (ε = 0.35 — probed: 66 within-cluster pairs at
+# sf0.01, nearest cosine 3.6e-4 off the threshold, no cross-engine ulp
+# risk).  Plan: broadcast-centroid assignment + ONE cluster-keyed
+# equi-join + id-keyed anti-join (dropped side corpus-sized → not
+# broadcast).
+#
+# span_dup_stats / span_dedup_filter — substring-level dedup (Lee et
+# al. 2022) re-expressed as rolling 12-word windows + one span-hash
+# shuffle; per-doc duplicated-window fraction, then drop docs at
+# frac >= 0.5 (probed: 45 of 500 docs drop; nearest non-boundary frac
+# is 0.42 from the cut).  The oracle keys spans by their TEXT where
+# Spark keys by xxhash64 — per-doc fractions are hash-invariant
+# (collision-free at oracle scale by construction).
+
+SEM_K = 16
+SEM_EPS = 0.35
+SPAN_WORDS = 12
+SPAN_MAX_FRAC = 0.5
+
+
+def q_semdedup_kept(spark, sf_dir):
+    from .pipeline.similarity import semantic_dedup
+    from .sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, SEM_K, SEM_EPS).select("vec_id")
+
+
+_SEM_ASSIGN_CTE = f"""
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS list_id, v AS cv FROM v WHERE vec_id < {SEM_K}),
+cscored AS (
+  SELECT qa.vec_id, c.list_id,
+         list_reduce(list_prepend(0.0, [qa.v[i] * c.cv[i] for i in generate_series(1, len(qa.v))]), (x, y) -> x + y)
+         / (sqrt(list_reduce(list_prepend(0.0, [x * x for x in qa.v]), (x, y) -> x + y))
+          * sqrt(list_reduce(list_prepend(0.0, [x * x for x in c.cv]), (x, y) -> x + y))) AS sim
+  FROM v qa CROSS JOIN cents c
+),
+cranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY sim DESC, list_id) AS rk
+  FROM cscored
+),
+assign AS (SELECT vec_id, list_id FROM cranked WHERE rk = 1)
+"""
+
+ORACLE_SEMDEDUP = f"""
+WITH {_SEM_ASSIGN_CTE},
+pairs AS (
+  SELECT b.vec_id AS idb
+  FROM assign a JOIN assign b
+    ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+  JOIN v va ON va.vec_id = a.vec_id
+  JOIN v vb ON vb.vec_id = b.vec_id
+  WHERE list_reduce(list_prepend(0.0, [va.v[i] * vb.v[i] for i in generate_series(1, len(va.v))]), (x, y) -> x + y)
+        / (sqrt(list_reduce(list_prepend(0.0, [x * x for x in va.v]), (x, y) -> x + y))
+         * sqrt(list_reduce(list_prepend(0.0, [x * x for x in vb.v]), (x, y) -> x + y))) >= {SEM_EPS}
+)
+SELECT e.vec_id FROM embeddings e
+WHERE e.vec_id NOT IN (SELECT idb FROM pairs)
+"""
+
+
+def q_span_dup_stats(spark, sf_dir):
+    from .pipeline.dedup import span_dup_stats
+    from .sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    return span_dup_stats(docs, SPAN_WORDS)
+
+
+_SPAN_STATS_CTE = f"""
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sp0 AS (
+  SELECT doc_id, CASE WHEN len(ws) >= {SPAN_WORDS}
+    THEN [array_to_string(ws[i:i+{SPAN_WORDS - 1}], ' ')
+          for i in generate_series(1, len(ws) - {SPAN_WORDS - 1})]
+    ELSE [array_to_string(ws, ' ')] END AS gs
+  FROM w
+),
+sp AS (SELECT doc_id, unnest(gs) AS g FROM sp0),
+c AS (SELECT g, min(doc_id) AS lo, max(doc_id) AS hi FROM sp GROUP BY g),
+fl AS (
+  SELECT s.doc_id, CASE WHEN c.lo <> c.hi THEN 1 ELSE 0 END AS dup
+  FROM sp s JOIN c ON s.g = c.g
+),
+st AS (
+  SELECT doc_id,
+         COUNT(*) AS n_windows,
+         CAST(SUM(dup) AS BIGINT) AS dup_windows,
+         ROUND(SUM(dup) / COUNT(*), 6) AS dup_frac
+  FROM fl GROUP BY doc_id
+)
+"""
+
+ORACLE_SPAN_STATS = f"""
+WITH {_SPAN_STATS_CTE}
+SELECT doc_id, n_windows, dup_windows, dup_frac FROM st
+"""
+
+
+def q_span_dedup_filter(spark, sf_dir):
+    from .pipeline.dedup import span_dedup_filter
+    from .sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    return span_dedup_filter(docs, SPAN_MAX_FRAC, SPAN_WORDS).select("doc_id")
+
+
+ORACLE_SPAN_FILTER = f"""
+WITH {_SPAN_STATS_CTE}
+SELECT doc_id FROM st WHERE dup_frac < {SPAN_MAX_FRAC}
+"""
+
+
+ROUND11_QUERIES.update(
+    {
+        "semdedup_kept": (q_semdedup_kept, ORACLE_SEMDEDUP),
+        "span_dup_stats": (q_span_dup_stats, ORACLE_SPAN_STATS),
+        "span_dedup_filter": (q_span_dedup_filter, ORACLE_SPAN_FILTER),
+    }
+)

@@ -1,0 +1,205 @@
+"""SemDeDup (similarity.semantic_dedup) and substring-level dedup
+(dedup.span_* family) — semantics on handcrafted corpora plus the
+plan shapes that make both viable at corpus scale (cluster-bounded
+pairwise work, hash-keyed span shuffle, no global cross product).
+
+Reference analog: the reference has no training-data pipeline; these
+mirror the published recipes — SemDeDup (Abbas et al. 2023,
+arXiv:2303.09540) and substring dedup (Lee et al. 2022,
+arXiv:2107.06499) — re-expressed as DataFrame compositions.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from m3_spark.pipeline.dedup import (
+    duplicate_spans,
+    span_dedup_filter,
+    span_dup_stats,
+    span_windows,
+)
+from m3_spark.pipeline.similarity import semantic_dedup, semantic_dup_pairs
+
+
+# -- semantic (embedding-cluster) dedup ---------------------------------------
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_semantic_dedup_drops_within_cluster_near_dups(spark):
+    # ids 0,1 are the two centroids (id < n_clusters) and are corpus
+    # members themselves.  2 and 3 are near-copies of centroid 0's
+    # direction; 4 lands in cluster 1 but stays OUTSIDE eps of member 1
+    # (cos([0.5,0.86],[0,1]) ~ 0.86 < 0.95).  Greedy-by-id keeps 0
+    # (2 and 3's witness) and keeps 4.
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.999, 0.01]),
+        (3, [0.998, 0.02]),
+        (4, [0.5, 0.86]),
+    ]
+    kept = semantic_dedup(_emb(spark, rows), n_clusters=2, eps=0.95)
+    assert sorted(r.vec_id for r in kept.collect()) == [0, 1, 4]
+
+
+def test_semantic_dedup_cross_cluster_pairs_never_compared(spark):
+    # 2 is an exact copy of 3 but they land in DIFFERENT clusters
+    # (2 hugs centroid 0's axis with a touch more y, 3 the same with
+    # more x? -- instead: place the copy pair on the diagonal so the
+    # assignment tie-break separates them is fragile; use distinct
+    # clusters explicitly: 2 near centroid 0, 3 near centroid 1).
+    # SemDeDup's accepted recall loss: no cluster, no comparison.
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.1, 0.9]),
+    ]
+    pairs = semantic_dup_pairs(_emb(spark, rows), n_clusters=2, eps=0.0)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (2, 3) not in got and (3, 2) not in got
+
+
+def test_semantic_dedup_kept_set_is_eps_separated(spark):
+    # invariant of the greedy rule: among KEPT rows no within-cluster
+    # pair reaches eps (any such pair would have dropped its larger id)
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1), rng.uniform(-1, 1), rng.uniform(-1, 1)])
+        for i in range(40)
+    ]
+    df = _emb(spark, rows)
+    eps = 0.9
+    kept = semantic_dedup(df, n_clusters=4, eps=eps)
+    kept_ids = {r.vec_id for r in kept.collect()}
+    pairs = semantic_dup_pairs(df, n_clusters=4, eps=eps)
+    for r in pairs.collect():
+        assert not (r.id_a in kept_ids and r.id_b in kept_ids), (
+            f"kept pair {r.id_a},{r.id_b} at cosine {r.cosine}"
+        )
+    # and dropped ids are exactly the pair right-sides
+    dropped = {r.id_b for r in pairs.collect()}
+    assert kept_ids == {i for i, _ in rows} - dropped
+
+
+def test_semantic_dup_pairs_plan_broadcasts_centroids_only(spark):
+    rows = [(i, [float(i % 3), 1.0, float(i % 5)]) for i in range(30)]
+    pairs = semantic_dup_pairs(_emb(spark, rows), n_clusters=4, eps=0.5)
+    plan = pairs._sc._jvm.PythonSQLUtils.explainString(
+        pairs._jdf.queryExecution(), "extended"
+    )
+    # centroid assignment broadcasts; the pair join is a cluster-keyed
+    # equi-join -- never a global cross product
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_semantic_dedup_anti_join_not_hinted_broadcast(spark):
+    # the dropped side is corpus-sized at scale -- the code must not
+    # force a broadcast hint on the anti-join (AQE may still pick one
+    # at runtime for tiny inputs; the HINT is what we pin here)
+    rows = [(i, [1.0, float(i)]) for i in range(10)]
+    kept = semantic_dedup(_emb(spark, rows), n_clusters=2, eps=0.99)
+    logical = kept._jdf.queryExecution().logical().toString()
+    n_hints = logical.count("UnresolvedHint")
+    # ivf_assign legitimately hints its centroid broadcast; the anti
+    # join must not add another
+    pairs = semantic_dup_pairs(_emb(spark, rows), n_clusters=2, eps=0.99)
+    base_hints = (
+        pairs._jdf.queryExecution().logical().toString().count("UnresolvedHint")
+    )
+    assert n_hints == base_hints
+
+
+# -- substring (span) dedup ---------------------------------------------------
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+WORDS = "a b c d e f g h i j k l m n o p q r s t u v w".split()
+
+
+def test_duplicate_spans_flags_shared_window_with_positions(spark):
+    # doc 1 and doc 2 share the exact 5-word run "c d e f g" at
+    # different offsets; doc 3 shares nothing
+    d1 = " ".join(WORDS[:10])            # a..j -> "c d e f g" at pos 2
+    d2 = "x y " + " ".join(WORDS[2:7])   # -> same run at pos 2
+    d3 = " ".join(reversed(WORDS[:10]))
+    dups = duplicate_spans(
+        _docs(spark, [(1, d1), (2, d2), (3, d3)]), span_words=5
+    )
+    got = {(r.doc_id, r.pos) for r in dups.collect()}
+    assert (2, 2) in got
+    assert (1, 2) in got
+    assert all(doc != 3 for doc, _ in got)
+
+
+def test_duplicate_spans_intra_doc_repeat_not_flagged(spark):
+    # the same window twice WITHIN one doc is repetition, not a
+    # cross-document duplicate
+    run = " ".join(WORDS[:5])
+    dups = duplicate_spans(
+        _docs(spark, [(1, run + " " + run), (2, "q r s t u v")]),
+        span_words=5,
+    )
+    assert dups.count() == 0
+
+
+def test_short_doc_collapses_to_whole_text_window(spark):
+    # docs below the span length become one whole-text window, so
+    # short EXACT duplicates still collide
+    dups = duplicate_spans(
+        _docs(spark, [(1, "tiny doc"), (2, "tiny doc"), (3, "other doc")]),
+        span_words=12,
+    )
+    got = {(r.doc_id, r.pos) for r in dups.collect()}
+    assert got == {(1, 0), (2, 0)}
+
+
+def test_span_dup_stats_fractions(spark):
+    d1 = " ".join(WORDS[:10])           # 6 windows at L=5, 1 duplicated
+    d2 = "x y " + " ".join(WORDS[2:7])  # 3 windows, 1 duplicated
+    stats = {
+        r.doc_id: r
+        for r in span_dup_stats(
+            _docs(spark, [(1, d1), (2, d2)]), span_words=5
+        ).collect()
+    }
+    assert stats[1].n_windows == 6 and stats[1].dup_windows == 1
+    assert stats[2].n_windows == 3 and stats[2].dup_windows == 1
+    assert stats[2].dup_frac == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_span_dedup_filter_drops_mostly_duplicated_docs(spark):
+    d1 = " ".join(WORDS[:10])   # superset doc: 1/6 windows duplicated
+    d2 = " ".join(WORDS[2:8])   # fully contained: 2/2 duplicated
+    kept = span_dedup_filter(
+        _docs(spark, [(1, d1), (2, d2)]), max_dup_frac=0.5, span_words=5
+    )
+    assert [r.doc_id for r in kept.collect()] == [1]
+
+
+def test_span_windows_shuffle_carries_hash_not_text(spark):
+    # the span string must not survive past the scan stage: the only
+    # shuffled span key is the 8-byte xxhash64
+    docs = _docs(spark, [(1, " ".join(WORDS)), (2, " ".join(WORDS[5:]))])
+    stats = span_dup_stats(docs, span_words=5)
+    plan = stats._sc._jvm.PythonSQLUtils.explainString(
+        stats._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    assert "xxhash64" in plan
+    # exactly two exchanges: span_hash window + doc aggregate
+    assert plan.count("hashpartitioning") == 2
