@@ -1056,3 +1056,50 @@ def span_dedup_filter(
     stats = span_dup_stats(docs, span_words, text_col, id_col)
     keep = stats.where(F.col("dup_frac") < max_dup_frac).select(id_col)
     return docs.join(keep, id_col, "inner")
+
+
+def duplicate_spans_incremental(
+    new_docs: DataFrame,
+    existing_spans: DataFrame,
+    span_words: int = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Arrival-path substring dedup: flag the windows of an arriving
+    batch that are duplicated against the corpus WITHOUT re-windowing
+    the corpus — the span-level analog of
+    :func:`lsh_candidates_incremental` (sign/window only what arrived;
+    at 100 TB the historical side is a materialized table, never a
+    recompute).
+
+    ``existing_spans`` is the corpus span table — any frame carrying a
+    ``span_hash`` column, e.g. a previously materialized
+    :func:`span_windows` output (manage its arrival appends exactly
+    like the MinHash signature table: batch-keyed partitions +
+    snapshot flips — ``write_signature_batch`` is the template).
+
+    A batch window is duplicated when it collides WITHIN the batch
+    (min(id) != max(id) over the batch's span-hash partition — the
+    same order statistics as :func:`duplicate_spans`) OR against the
+    corpus table (left-semi-shaped hit on the 8-byte hash).  Both
+    tests key on ``span_hash``, so the window shuffle and the table
+    join share one partitioning.
+
+    Returns (id, pos, span_hash) of the batch's duplicated windows.
+    """
+    spans = span_windows(new_docs, span_words, text_col, id_col)
+    w = Window.partitionBy("span_hash")
+    ext = (
+        existing_spans.select("span_hash")
+        .distinct()
+        .withColumn("_ext", F.lit(1))
+    )
+    return (
+        spans.select(
+            "*",
+            (F.min(id_col).over(w) != F.max(id_col).over(w)).alias("_b"),
+        )
+        .join(ext, "span_hash", "left")
+        .where(F.col("_b") | F.col("_ext").isNotNull())
+        .select(id_col, "pos", "span_hash")
+    )

@@ -257,12 +257,27 @@ def ivf_assign(
     """
     e = _as_double(embeddings, vec_col)
     cents = e.where(F.col(id_col) < n_lists).select(
-        F.col(id_col).alias("list_id"), F.col(vec_col).alias("_cvec")
+        F.col(id_col).alias("list_id"),
+        F.col(vec_col).alias("_cvec"),
+        F.sqrt(_norm2(F.col(vec_col))).alias("_cn"),
     )
-    scored = e.select(id_col, vec_col).crossJoin(F.broadcast(cents)).select(
-        F.col(id_col),
-        "list_id",
-        cosine_col(F.col(vec_col), F.col("_cvec")).alias("_sim"),
+    # norms precomputed ONCE per side (the query's would otherwise be
+    # re-folded for every one of the n_lists centroids — interpreted
+    # HOF traversals, 3× the work; bit-identical to cosine_col since
+    # sqrt is exact-rounded and the multiply order is unchanged)
+    den = F.col("_qn") * F.col("_cn")
+    scored = (
+        e.select(
+            id_col, vec_col, F.sqrt(_norm2(F.col(vec_col))).alias("_qn")
+        )
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.col(id_col),
+            "list_id",
+            F.when(
+                den != 0, _dot(F.col(vec_col), F.col("_cvec")) / den
+            ).alias("_sim"),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("_sim").desc(), F.col("list_id").asc()
@@ -707,19 +722,32 @@ def semantic_dup_pairs(
     assign = ivf_assign(e, n_clusters, id_col, vec_col).withColumnRenamed(
         "list_id", "cluster"
     )
-    withv = e.select(id_col, vec_col).join(assign, id_col)
+    # precompute each row's norm ONCE: the pairwise stage then folds
+    # only the dot product — one array traversal per pair instead of
+    # three (HOFs run interpreted, so the 3× is real; measured the
+    # pair stage dominating at 200k × K=512).  sqrt is exact-rounded
+    # and the multiplication order matches cosine_col, so results are
+    # bit-identical to the per-pair form the oracle restates.
+    withv = e.select(
+        id_col, vec_col, F.sqrt(_norm2(F.col(vec_col))).alias("_nrm")
+    ).join(assign, id_col)
     a = withv.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "cluster"
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
+        F.col("_nrm").alias("_na"), "cluster",
     )
     b = withv.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "cluster"
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"),
+        F.col("_nrm").alias("_nb"), "cluster",
     )
+    den = F.col("_na") * F.col("_nb")
     return (
         a.join(b, ["cluster"])
         .where(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a", "id_b", "cluster",
-            cosine_col(F.col("_va"), F.col("_vb")).alias("cosine"),
+            F.when(
+                den != 0, _dot(F.col("_va"), F.col("_vb")) / den
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= eps)
     )

@@ -187,3 +187,54 @@ ROUND11_QUERIES.update(
         "span_dedup_filter": (q_span_dedup_filter, ORACLE_SPAN_FILTER),
     }
 )
+
+
+# span_incremental — arrival-path substring dedup: docs % 5 == 0 play
+# the arriving batch (the dedup_incremental split), the rest are the
+# corpus whose span table is materialized up front.  A batch window is
+# flagged on a within-batch collision OR a corpus-table hit; that is
+# exactly the full-corpus duplicate_spans verdict restricted to batch
+# rows, which is what the oracle computes (it has no xxhash64, so it
+# keys spans by TEXT and emits positions via a parallel unnest —
+# hash-invariant, collision-free at oracle scale).
+
+
+def q_span_incremental(spark, sf_dir):
+    from .pipeline.dedup import duplicate_spans_incremental, span_windows
+    from .sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    corpus_spans = span_windows(
+        docs.where(F.col("doc_id") % 5 != 0), SPAN_WORDS
+    )
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    return duplicate_spans_incremental(batch, corpus_spans, SPAN_WORDS).select(
+        "doc_id", "pos"
+    )
+
+
+ORACLE_SPAN_INCREMENTAL = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sp0 AS (
+  SELECT doc_id, CASE WHEN len(ws) >= {SPAN_WORDS}
+    THEN [array_to_string(ws[i:i+{SPAN_WORDS - 1}], ' ')
+          for i in generate_series(1, len(ws) - {SPAN_WORDS - 1})]
+    ELSE [array_to_string(ws, ' ')] END AS gs
+  FROM w
+),
+sp AS (
+  SELECT doc_id, unnest(gs) AS g,
+         unnest([i - 1 for i in generate_series(1, len(gs))]) AS pos
+  FROM sp0
+),
+c AS (SELECT g, min(doc_id) AS lo, max(doc_id) AS hi FROM sp GROUP BY g)
+SELECT s.doc_id, s.pos
+FROM sp s JOIN c ON s.g = c.g
+WHERE c.lo <> c.hi AND s.doc_id % 5 = 0
+"""
+
+
+ROUND11_QUERIES["span_incremental"] = (
+    q_span_incremental,
+    ORACLE_SPAN_INCREMENTAL,
+)

@@ -124,6 +124,12 @@ def main() -> None:
         help="also write the JSON line to this file (SCALE_r{N}.json "
         "round artifact)",
     )
+    ap.add_argument(
+        "--only",
+        type=lambda s: set(s.split(",")),
+        help="comma-separated row names to run (subset smoke; the "
+        "round artifact must still come from a full run)",
+    )
     args = ap.parse_args()
 
     spark = get_spark("m3_spark-scale")
@@ -621,6 +627,31 @@ def main() -> None:
         cents = ivf_train(emb, 64, n_iters=1)
         return cents.select("list_id", F.posexplode("_cvec"))
 
+    def q_span_stats(_):
+        # substring-level dedup over the full doc set: 500k docs × 19
+        # rolling 12-word windows ≈ 9.5M spans through ONE 8-byte-keyed
+        # hash shuffle + the doc-keyed aggregate — the cost must track
+        # |windows|, not |pairs| (the ~5% exact-dup docs collide on
+        # every window and prove the min/max order statistics never
+        # materialize a per-span set)
+        from m3_spark.pipeline.dedup import span_dup_stats
+        from m3_spark.sources.tables import read_table
+
+        docs = read_table(spark, SCRATCH, "documents")
+        return span_dup_stats(docs, 12)
+
+    def q_semdedup(_):
+        # SemDeDup at scale lives or dies on the cluster count: K=512
+        # bounds within-cluster pairwise work to Σ|c|² ≈ N²/K ≈ 78M
+        # cosine evals (vs 40B all-pairs) — the knob a 100 TB run
+        # turns UP as N grows, since assignment cost is linear in K
+        # while pair cost is inverse in it
+        from m3_spark.pipeline.similarity import semantic_dedup
+        from m3_spark.sources.tables import read_table
+
+        emb = read_table(spark, SCRATCH, "embeddings")
+        return semantic_dedup(emb, n_clusters=512, eps=0.9)
+
     import statistics
 
     timings, stats, counts = {}, {}, {}
@@ -653,7 +684,11 @@ def main() -> None:
         "ns_sink_100k_batch_snapshot": q_sink_snapshot,
         "dict_automigrate_3m2": q_dict_automigrate,
         "dict_rebuild_3m2": q_dict_rebuild,
+        "span_stats_500k": q_span_stats,
+        "semdedup_200k_k512": q_semdedup,
     }.items():
+        if args.only and name not in args.only:
+            continue
         # warm-up (discarded): pays JVM JIT/codegen AND any one-off
         # table/signature writes a query's first call performs
         counts[name] = fn(None).count()

@@ -203,3 +203,35 @@ def test_span_windows_shuffle_carries_hash_not_text(spark):
     assert "xxhash64" in plan
     # exactly two exchanges: span_hash window + doc aggregate
     assert plan.count("hashpartitioning") == 2
+
+
+def test_duplicate_spans_incremental_matches_full_recompute(spark):
+    # the arrival-path flag (batch-internal collision OR corpus-table
+    # hit) must equal the full-corpus duplicate_spans verdict
+    # restricted to batch rows -- same invariant the incremental LSH
+    # path pins against its full recompute
+    from m3_spark.pipeline.dedup import duplicate_spans_incremental
+
+    rows = [
+        (1, " ".join(WORDS[:10])),          # corpus
+        (2, "x y " + " ".join(WORDS[2:7])),  # corpus, shares c..g run
+        (3, " ".join(WORDS[:10])),          # batch: dup of corpus doc 1
+        (4, " ".join(reversed(WORDS[:8]))),  # batch: globally unique
+        (5, " ".join(WORDS[10:16])),        # batch: dup of batch doc 6
+        (6, " ".join(WORDS[10:16])),
+    ]
+    docs = _docs(spark, rows)
+    corpus = docs.where("doc_id <= 2")
+    batch = docs.where("doc_id > 2")
+    from m3_spark.pipeline.dedup import span_windows
+
+    inc = duplicate_spans_incremental(
+        batch, span_windows(corpus, span_words=5), span_words=5
+    )
+    got = {(r.doc_id, r.pos) for r in inc.collect()}
+    full = duplicate_spans(docs, span_words=5)
+    want = {(r.doc_id, r.pos) for r in full.collect() if r.doc_id > 2}
+    assert got == want
+    assert any(d == 3 for d, _ in got)       # corpus-hit path
+    assert any(d in (5, 6) for d, _ in got)  # batch-internal path
+    assert all(d != 4 for d, _ in got)
