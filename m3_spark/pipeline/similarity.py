@@ -214,17 +214,28 @@ def bucketed_topk(
     """
     e = _as_double(embeddings, vec_col)
     b = hyperplane_bucket(e, n_planes, id_col, vec_col)
-    withb = e.join(b, id_col)
+    # per-row norm precompute: the within-bucket pair fold then costs
+    # one traversal (dot) instead of three — bit-identical to
+    # cosine_col (sqrt is exact-rounded, multiply order unchanged)
+    withb = e.join(b, id_col).select(
+        "*", F.sqrt(_norm2(F.col(vec_col))).alias("_nrm")
+    )
     l = withb.select(
-        F.col("bucket"), F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col("bucket"), F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"), F.col("_nrm").alias("qnorm"),
     )
     r = withb.select(
-        F.col("bucket"), F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        F.col("bucket"), F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"), F.col("_nrm").alias("cnorm"),
     )
     j = l.join(r, "bucket").where(F.col("neighbor_id") != F.col("query_id"))
     scored = j.select(
         "query_id", "neighbor_id",
-        cosine_col(F.col("qvec"), F.col("cvec")).alias("cosine"),
+        F.when(
+            F.col("qnorm") * F.col("cnorm") != 0,
+            _dot(F.col("qvec"), F.col("cvec"))
+            / (F.col("qnorm") * F.col("cnorm")),
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -311,14 +322,25 @@ def ivf_topk(
     quantizer from :func:`ivf_train`; defaults to the deterministic
     id < n_lists draw.
     """
-    e = _as_double(embeddings, vec_col)
+    # norms precomputed once per row/centroid (bit-identical to
+    # cosine_col; the HOF fold is interpreted, so this is the same 3×
+    # cut as ivf_assign/semantic_dup_pairs)
+    en = _as_double(embeddings, vec_col).select(
+        id_col, vec_col, F.sqrt(_norm2(F.col(vec_col))).alias("_qn")
+    )
     if cents is None:
-        cents = e.where(F.col(id_col) < n_lists).select(
+        cents = en.where(F.col(id_col) < n_lists).select(
             F.col(id_col).alias("list_id"), F.col(vec_col).alias("_cvec")
         )
-    scored = e.select(id_col, vec_col).crossJoin(F.broadcast(cents)).select(
+    cb = cents.select(
+        "list_id", "_cvec", F.sqrt(_norm2(F.col("_cvec"))).alias("_cn")
+    )
+    aden = F.col("_qn") * F.col("_cn")
+    scored = en.crossJoin(F.broadcast(cb)).select(
         F.col(id_col), "list_id",
-        cosine_col(F.col(vec_col), F.col("_cvec")).alias("_sim"),
+        F.when(
+            aden != 0, _dot(F.col(vec_col), F.col("_cvec")) / aden
+        ).alias("_sim"),
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("_sim").desc(), F.col("list_id").asc()
@@ -335,13 +357,20 @@ def ivf_topk(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
     )
-    qv = e.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-    nv = e.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")
+    qv = en.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+        F.col("_qn").alias("_qvn"),
     )
+    nv = en.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv"),
+        F.col("_qn").alias("_nvn"),
+    )
+    pden = F.col("_qvn") * F.col("_nvn")
     pairs = cands.join(qv, "query_id").join(nv, "neighbor_id").select(
         "query_id", "neighbor_id",
-        cosine_col(F.col("_qv"), F.col("_nv")).alias("cosine"),
+        F.when(
+            pden != 0, _dot(F.col("_qv"), F.col("_nv")) / pden
+        ).alias("cosine"),
     )
     wk = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -378,13 +407,24 @@ def ivf_train(
     cents = e.where(F.col(id_col) < n_lists).select(
         F.col(id_col).alias("list_id"), F.col(vec_col).alias("_cvec")
     )
+    # the data-side norm is loop-invariant — fold it once, not once
+    # per (row × centroid × iteration); centroid norms refresh per
+    # iteration on the broadcast-sized frame (bit-identical to
+    # cosine_col, as in ivf_assign)
+    en = e.select(
+        id_col, vec_col, F.sqrt(_norm2(F.col(vec_col))).alias("_qn")
+    )
     for _ in range(n_iters):
-        scored = e.select(id_col, vec_col).crossJoin(
-            F.broadcast(cents)
-        ).select(
+        cb = cents.select(
+            "list_id", "_cvec", F.sqrt(_norm2(F.col("_cvec"))).alias("_cn")
+        )
+        den = F.col("_qn") * F.col("_cn")
+        scored = en.crossJoin(F.broadcast(cb)).select(
             F.col(id_col),
             "list_id",
-            cosine_col(F.col(vec_col), F.col("_cvec")).alias("_sim"),
+            F.when(
+                den != 0, _dot(F.col(vec_col), F.col("_cvec")) / den
+            ).alias("_sim"),
         )
         w = Window.partitionBy(id_col).orderBy(
             F.col("_sim").desc(), F.col("list_id").asc()
