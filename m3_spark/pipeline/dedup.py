@@ -816,27 +816,37 @@ def write_signature_batch(
     The append's before/after listing diff is SCOPED to the batch's
     own ``_sig_batch`` leaf, so per-batch driver work is O(batch
     files), never O(signature-table files)."""
-    from ..sources import snapshots
-
     if int(batch_id) == SIG_BASE_BATCH:
         raise ValueError(
             f"_sig_batch={SIG_BASE_BATCH} is reserved for the base corpus"
         )
     _fold_legacy_sig_table(sig_path)
-    df = sigs.withColumn("_sig_batch", F.lit(int(batch_id)))
-    leaf = f"_sig_batch={int(batch_id)}"
-    with snapshots.writer_lock(sig_path):
-        manifest = snapshots.init_manifest(sig_path)
+    _write_keyed_batch(sigs, sig_path, batch_id, "_sig_batch")
+
+
+def _write_keyed_batch(
+    df: DataFrame, path: str, batch_id: int, key: str
+) -> None:
+    """The batch-keyed append-plus-flip shared by the arrival-path
+    side tables (signatures, span hashes): the batch's rows land as
+    NEW files under a ``<key>=<batch_id>`` partition, and one DELTA
+    manifest flip retires any files a crashed earlier attempt of the
+    same batch left under that leaf — reading/rewriting only this
+    batch's manifest segment (the keyed partition IS a top-level
+    segment), so per-batch flip cost never grows with the table."""
+    from ..sources import snapshots
+
+    out = df.withColumn(key, F.lit(int(batch_id)))
+    leaf = f"{key}={int(batch_id)}"
+    with snapshots.writer_lock(path):
+        manifest = snapshots.init_manifest(path)
         new_files = snapshots.snapshot_append(
-            df, sig_path, partition_by=["_sig_batch"],
+            out, path, partition_by=[key],
             keep_dir=snapshots.leaf_scope(leaf),
         )
-        # delta flip: reads/rewrites only this batch's manifest
-        # segment (its _sig_batch partition IS a top-level segment) —
-        # per-batch flip cost never grows with the signature table
         snapshots.commit_snapshot_delta(
-            sig_path, add=new_files, remove_leaves=[leaf],
-            schema_json=df.schema.json(),
+            path, add=new_files, remove_leaves=[leaf],
+            schema_json=out.schema.json(),
             expected_version=manifest["version"],
         )
 
@@ -1064,6 +1074,7 @@ def duplicate_spans_incremental(
     span_words: int = 12,
     text_col: str = "text",
     id_col: str = "doc_id",
+    new_spans: DataFrame | None = None,
 ) -> DataFrame:
     """Arrival-path substring dedup: flag the windows of an arriving
     batch that are duplicated against the corpus WITHOUT re-windowing
@@ -1085,9 +1096,17 @@ def duplicate_spans_incremental(
     tests key on ``span_hash``, so the window shuffle and the table
     join share one partitioning.
 
+    ``new_spans``: the batch's own windows if already materialized
+    (e.g. by :func:`span_ingest_batch`, which must window the batch
+    exactly once) — skips the re-window.
+
     Returns (id, pos, span_hash) of the batch's duplicated windows.
     """
-    spans = span_windows(new_docs, span_words, text_col, id_col)
+    spans = (
+        new_spans
+        if new_spans is not None
+        else span_windows(new_docs, span_words, text_col, id_col)
+    )
     w = Window.partitionBy("span_hash")
     ext = (
         existing_spans.select("span_hash")
@@ -1103,3 +1122,115 @@ def duplicate_spans_incremental(
         .where(F.col("_b") | F.col("_ext").isNotNull())
         .select(id_col, "pos", "span_hash")
     )
+
+
+#: reserved ``_span_batch`` value for a bulk-seeded base corpus
+SPAN_BASE_BATCH = -1
+
+
+def write_span_batch(
+    spans: DataFrame, span_path: str, batch_id: int
+) -> None:
+    """IDEMPOTENT span-table persist — the substring-dedup side table
+    joins the SAME snapshot regime as the fact sink, the series
+    dictionary and the MinHash signature table (ONE consistency story
+    on the whole arrival path): the batch's (id, pos, span_hash) rows
+    land under a ``_span_batch=<batch_id>`` partition and one delta
+    manifest flip replaces any files a crashed earlier delivery of the
+    same batch left there.  No vacuum here (write paths never vacuum —
+    housekeeping cadence owns retired-file deletion)."""
+    if int(batch_id) == SPAN_BASE_BATCH:
+        raise ValueError(
+            f"_span_batch={SPAN_BASE_BATCH} is reserved for the base corpus"
+        )
+    _write_keyed_batch(spans, span_path, batch_id, "_span_batch")
+
+
+def seed_span_table(
+    docs: DataFrame,
+    span_path: str,
+    span_words: int = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Bulk-window an existing corpus into the span table under the
+    reserved base partition — the one-off backfill before incremental
+    arrival takes over (the signature table's ``_sig_batch=-1``
+    analog, landed through the same keyed append-plus-flip)."""
+    spans = span_windows(docs, span_words, text_col, id_col)
+    _write_keyed_batch(spans, span_path, SPAN_BASE_BATCH, "_span_batch")
+
+
+def read_span_table(spark, span_path: str) -> DataFrame:
+    """Reader over the span table — current-snapshot resolved (a
+    concurrent batch flip never disturbs the returned frame); the
+    ``_span_batch`` idempotency column is a write-path detail and is
+    stripped."""
+    from ..sources import snapshots
+
+    df = snapshots.resolve_snapshot(spark, span_path)
+    return df.drop("_span_batch") if "_span_batch" in df.columns else df
+
+
+def span_ingest_batch(
+    new_docs: DataFrame,
+    span_path: str,
+    span_words: int = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    batch_id: int | None = None,
+) -> DataFrame:
+    """The complete substring-dedup ARRIVAL step, one call — the
+    span-level sibling of :func:`dedup_ingest_batch`:
+
+    1. window ONLY the arriving batch (``span_windows``), cut from
+       lineage so neither later step re-windows;
+    2. flag the batch's duplicated windows against the span table
+       (``duplicate_spans_incremental`` — the corpus is never
+       re-windowed, old-old collisions never re-emitted), materialized
+       eagerly BEFORE the append: writing first would let the lazy
+       flag scan list the batch's own freshly-appended hashes and
+       self-collide every window;
+    3. persist the batch's windows under their ``_span_batch``
+       partition so the NEXT arrival sees this one.
+
+    Crash-idempotent end to end with ``batch_id``: a redelivered wave
+    replaces its own partition and is EXCLUDED from the corpus side of
+    the flag scan, so the rerun flags exactly what a clean first
+    delivery would.  Returns the batch's flagged (id, pos, span_hash).
+    """
+    from ..sources import snapshots
+
+    spark = new_docs.sparkSession
+    new_spans = span_windows(
+        new_docs, span_words, text_col, id_col
+    ).localCheckpoint()
+    existing = snapshots.resolve_snapshot(spark, span_path)
+    if "_span_batch" in existing.columns:
+        if batch_id is None:
+            raise ValueError(
+                f"span table at {span_path} is batch-keyed (_span_batch "
+                "partitions); batch_id=None would append flat files at "
+                "the root and break every subsequent read — pass the "
+                "delivery's batch_id"
+            )
+        # partition-pruned redelivery exclusion: a crashed earlier
+        # delivery of THIS batch never plays the corpus
+        existing = existing.where(
+            F.col("_span_batch") != int(batch_id)
+        ).drop("_span_batch")
+    flagged = duplicate_spans_incremental(
+        new_docs, existing, span_words, text_col, id_col,
+        new_spans=new_spans,
+    ).localCheckpoint(eager=True)
+    if batch_id is not None:
+        write_span_batch(new_spans, span_path, batch_id)
+    else:
+        if snapshots.has_manifest(span_path):
+            raise ValueError(
+                f"span table at {span_path} is snapshot-managed: a plain "
+                "append would be invisible to manifest readers and "
+                "vacuumed as orphans — pass the delivery's batch_id"
+            )
+        new_spans.write.mode("append").parquet(span_path)
+    return flagged

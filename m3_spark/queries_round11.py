@@ -238,3 +238,37 @@ ROUND11_QUERIES["span_incremental"] = (
     q_span_incremental,
     ORACLE_SPAN_INCREMENTAL,
 )
+
+
+# span_ingest_redelivered — the span-table arrival step made
+# crash-idempotent, driven through the driver gate: seed the corpus
+# (docs % 5 != 0) as the reserved base partition, then deliver the
+# batch (docs % 5 == 0) TWICE with the same batch id (the
+# at-least-once redelivery after a crash between the span append and
+# the downstream ack).  The second delivery must flag exactly what a
+# clean first delivery would — ORACLE_SPAN_INCREMENTAL verbatim
+# (positions dropped to (doc_id, pos) as there).
+
+
+def q_span_ingest_redelivered(spark, sf_dir):
+    import shutil
+
+    from .pipeline.dedup import seed_span_table, span_ingest_batch
+    from .queries_round7 import _scratch
+    from .sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    _t, span_path = _scratch("span_redeliver", sf_dir)
+    shutil.rmtree(span_path, ignore_errors=True)
+    seed_span_table(docs.where(F.col("doc_id") % 5 != 0), span_path,
+                    SPAN_WORDS)
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    span_ingest_batch(batch, span_path, SPAN_WORDS, batch_id=7)
+    flagged = span_ingest_batch(batch, span_path, SPAN_WORDS, batch_id=7)
+    return flagged.select("doc_id", "pos")
+
+
+ROUND11_QUERIES["span_ingest_redelivered"] = (
+    q_span_ingest_redelivered,
+    ORACLE_SPAN_INCREMENTAL,
+)

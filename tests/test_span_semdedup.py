@@ -235,3 +235,90 @@ def test_duplicate_spans_incremental_matches_full_recompute(spark):
     assert any(d == 3 for d, _ in got)       # corpus-hit path
     assert any(d in (5, 6) for d, _ in got)  # batch-internal path
     assert all(d != 4 for d, _ in got)
+
+
+# -- span-table arrival (snapshot-managed) ------------------------------------
+
+
+def test_span_ingest_waves_match_full_recompute(spark, tmp_path):
+    # fold arrivals one wave at a time; after each wave the flagged set
+    # must equal the full-recompute verdict restricted to that wave
+    from m3_spark.pipeline.dedup import seed_span_table, span_ingest_batch
+
+    rows = [
+        (1, " ".join(WORDS[:10])),
+        (2, "x y " + " ".join(WORDS[2:7])),
+        (3, " ".join(WORDS[:10])),           # wave A: dup of corpus 1
+        (4, " ".join(reversed(WORDS[:8]))),  # wave A: unique
+        (5, " ".join(WORDS[10:16])),         # wave B: dup of wave-B 6
+        (6, " ".join(WORDS[10:16])),
+    ]
+    docs = _docs(spark, rows)
+    path = str(tmp_path / "spans")
+    seed_span_table(docs.where("doc_id <= 2"), path, span_words=5)
+    got_a = span_ingest_batch(
+        docs.where("doc_id in (3, 4)"), path, span_words=5, batch_id=1
+    )
+    full = duplicate_spans(docs.where("doc_id <= 4"), span_words=5)
+    assert {(r.doc_id, r.pos) for r in got_a.collect()} == {
+        (r.doc_id, r.pos) for r in full.collect() if r.doc_id in (3, 4)
+    }
+    got_b = span_ingest_batch(
+        docs.where("doc_id in (5, 6)"), path, span_words=5, batch_id=2
+    )
+    full_b = duplicate_spans(docs, span_words=5)
+    assert {(r.doc_id, r.pos) for r in got_b.collect()} == {
+        (r.doc_id, r.pos) for r in full_b.collect() if r.doc_id in (5, 6)
+    }
+
+
+def test_span_ingest_redelivery_idempotent(spark, tmp_path):
+    # redelivering a wave with the same batch id must flag exactly the
+    # clean-first-delivery set (its crashed attempt's rows are
+    # partition-excluded from the corpus side) and leave ONE live copy
+    # of the wave's spans in the table
+    from m3_spark.pipeline.dedup import (
+        read_span_table,
+        seed_span_table,
+        span_ingest_batch,
+    )
+
+    rows = [
+        (1, " ".join(WORDS[:10])),
+        (3, " ".join(WORDS[:10])),
+        (4, " ".join(reversed(WORDS[:8]))),
+    ]
+    docs = _docs(spark, rows)
+    path = str(tmp_path / "spans")
+    seed_span_table(docs.where("doc_id = 1"), path, span_words=5)
+    wave = docs.where("doc_id > 1")
+    first = {(r.doc_id, r.pos) for r in span_ingest_batch(
+        wave, path, span_words=5, batch_id=9
+    ).collect()}
+    again = {(r.doc_id, r.pos) for r in span_ingest_batch(
+        wave, path, span_words=5, batch_id=9
+    ).collect()}
+    assert first == again
+    # doc 4 unique -> unflagged; doc 3 fully contained in corpus doc 1
+    assert all(d != 4 for d, _ in again)
+    # the snapshot sees exactly one copy of the wave's windows
+    tbl = read_span_table(spark, path)
+    n_wave_rows = tbl.where("doc_id = 3").count()
+    assert n_wave_rows == 6  # 10 words, L=5 -> 6 windows, once
+
+
+def test_span_ingest_guards(spark, tmp_path):
+    from m3_spark.pipeline.dedup import (
+        seed_span_table,
+        span_ingest_batch,
+        write_span_batch,
+    )
+    from m3_spark.pipeline.dedup import span_windows as sw
+
+    docs = _docs(spark, [(1, " ".join(WORDS[:10]))])
+    path = str(tmp_path / "spans")
+    seed_span_table(docs, path, span_words=5)
+    with pytest.raises(ValueError, match="batch-keyed"):
+        span_ingest_batch(docs, path, span_words=5, batch_id=None)
+    with pytest.raises(ValueError, match="reserved"):
+        write_span_batch(sw(docs, 5), path, -1)
