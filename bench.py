@@ -212,6 +212,24 @@ def q_holt_forecast_7d(spark):
     return q_graphite_holt_forecast(spark, SF_DIR)
 
 
+def q_span_stats_5k(spark):
+    """Substring-level dedup stats (12-word rolling windows, one
+    span-hash shuffle) over the full 5k-doc corpus — the Lee et al.
+    2022 decision statistic as a longitudinal row."""
+    from m3_spark.queries_round11 import q_span_dup_stats
+
+    return q_span_dup_stats(spark, SF_DIR)
+
+
+def q_semdedup_2k(spark):
+    """SemDeDup drop step over the 2k-vector embedding table
+    (16-cluster quantizer, within-cluster pairwise cosine) — the
+    Abbas et al. 2023 semantic dedup as a longitudinal row."""
+    from m3_spark.queries_round11 import q_semdedup_kept
+
+    return q_semdedup_kept(spark, SF_DIR)
+
+
 def q_m3ql_pipeline_12h(spark):
     """M3QL text pipeline: fetch | sum event_type | >= 0 at 1m steps."""
     from m3_spark.plans.m3ql import evaluate
@@ -236,6 +254,8 @@ BENCH = {
     "text_quality_5k": q_text_pipeline,
     "holt_forecast_7d": q_holt_forecast_7d,
     "m3ql_pipeline_12h": q_m3ql_pipeline_12h,
+    "span_stats_5k": q_span_stats_5k,
+    "semdedup_2k": q_semdedup_2k,
 }
 
 
