@@ -252,25 +252,28 @@ def ivf_assign(
     n_lists: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVF coarse quantizer: assign every vector to its closest
     centroid by cosine (ties → lowest centroid id).
 
-    Centroids are the vectors with id < n_lists — a deterministic
-    random-init quantizer (ids carry no embedding-space order, so this
-    is a fixed random draw).  At 100 TB you would refine the centroids
-    with a few kmeans|| rounds; the inverted-list machinery below is
-    identical either way, and the fixed draw keeps the whole path
-    bit-reproducible for the oracle.
+    Default centroids are the vectors with id < n_lists — a
+    deterministic random-init quantizer (ids carry no embedding-space
+    order, so this is a fixed random draw, bit-reproducible for the
+    oracle).  Pass ``cents`` — a (list_id, _cvec) frame, e.g.
+    :func:`ivf_train` output — for a kmeans||-refined quantizer; the
+    machinery is identical.
 
     Returns (id, list_id).  The centroid frame is broadcast — the
     assignment is a map-side crossJoin + per-id rank, one shuffle.
     """
     e = _as_double(embeddings, vec_col)
-    cents = e.where(F.col(id_col) < n_lists).select(
-        F.col(id_col).alias("list_id"),
-        F.col(vec_col).alias("_cvec"),
-        F.sqrt(_norm2(F.col(vec_col))).alias("_cn"),
+    if cents is None:
+        cents = e.where(F.col(id_col) < n_lists).select(
+            F.col(id_col).alias("list_id"), F.col(vec_col).alias("_cvec")
+        )
+    cents = cents.select(
+        "list_id", "_cvec", F.sqrt(_norm2(F.col("_cvec"))).alias("_cn")
     )
     # norms precomputed ONCE per side (the query's would otherwise be
     # re-folded for every one of the n_lists centroids — interpreted
@@ -739,6 +742,7 @@ def semantic_dup_pairs(
     eps: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """Within-cluster near-duplicate pairs — the candidate step of
     SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
@@ -751,17 +755,18 @@ def semantic_dup_pairs(
 
     Clustering is :func:`ivf_assign`'s deterministic quantizer
     (centroids = the vectors with id < n_clusters, broadcast) so the
-    whole path is bit-reproducible for the oracle; at 100 TB you'd
-    refine the centroids with kmeans|| (``ivf_train``) — the pair
-    machinery is identical either way.
+    whole path is bit-reproducible for the oracle; pass ``cents`` — a
+    kmeans||-refined (list_id, _cvec) frame from ``ivf_train``, the
+    paper's actual clustering — and the pair machinery is identical
+    (a 100 TB run trains; the fixed draw is the oracle-exact default).
 
     Returns (id_a, id_b, cluster, cosine) with id_a < id_b and
     cosine >= eps.
     """
     e = _as_double(embeddings, vec_col)
-    assign = ivf_assign(e, n_clusters, id_col, vec_col).withColumnRenamed(
-        "list_id", "cluster"
-    )
+    assign = ivf_assign(
+        e, n_clusters, id_col, vec_col, cents=cents
+    ).withColumnRenamed("list_id", "cluster")
     # precompute each row's norm ONCE: the pairwise stage then folds
     # only the dot product — one array traversal per pair instead of
     # three (HOFs run interpreted, so the 3× is real; measured the
@@ -799,6 +804,7 @@ def semantic_dedup(
     eps: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup's drop step: keep one representative of every
     within-cluster ε-ball (Abbas et al. 2023 prune 50% of LAION with
@@ -824,7 +830,9 @@ def semantic_dedup(
     survives 100 TB.  Returns the kept rows of the input.
     """
     dropped = (
-        semantic_dup_pairs(embeddings, n_clusters, eps, id_col, vec_col)
+        semantic_dup_pairs(
+            embeddings, n_clusters, eps, id_col, vec_col, cents=cents
+        )
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )

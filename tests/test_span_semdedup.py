@@ -322,3 +322,57 @@ def test_span_ingest_guards(spark, tmp_path):
         span_ingest_batch(docs, path, span_words=5, batch_id=None)
     with pytest.raises(ValueError, match="reserved"):
         write_span_batch(sw(docs, 5), path, -1)
+
+
+def test_semantic_dedup_with_trained_quantizer(spark):
+    # the cents= path: a kmeans||-refined quantizer (ivf_train) slots
+    # into the same pair machinery.  No oracle pairing for this
+    # composition ON PURPOSE: Spark's avg() folds in partition order,
+    # DuckDB's sequentially — trained centroids can differ in ulps and
+    # flip boundary assignments, so cross-engine equality is not a
+    # sound contract; the invariants below are.
+    import random
+
+    from m3_spark.pipeline.similarity import ivf_assign, ivf_train
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(60)
+    ]
+    df = _emb(spark, rows)
+    cents = ivf_train(df, n_lists=4, n_iters=1).localCheckpoint()
+    kept = semantic_dedup(df, n_clusters=4, eps=0.9, cents=cents)
+    kept_ids = {r.vec_id for r in kept.collect()}
+    pairs = semantic_dup_pairs(df, n_clusters=4, eps=0.9, cents=cents)
+    dropped = {r.id_b for r in pairs.collect()}
+    assert kept_ids == {i for i, _ in rows} - dropped
+    # the pair scan ran on the TRAINED assignment: every pair's members
+    # share a trained cluster
+    assign = {
+        r.vec_id: r.list_id
+        for r in ivf_assign(df, 4, cents=cents).collect()
+    }
+    for r in pairs.collect():
+        assert assign[r.id_a] == assign[r.id_b] == r.cluster
+
+
+def test_span_table_vacuum_reclaims_redelivered_files(spark, tmp_path):
+    # a redelivered wave's crashed-attempt files are manifest-retired,
+    # not deleted (write paths never vacuum); vacuum_snapshot at
+    # housekeeping cadence must reclaim them, leaving disk == manifest
+    import os
+
+    from m3_spark.pipeline.dedup import seed_span_table, span_ingest_batch
+    from m3_spark.sources import snapshots
+
+    docs = _docs(spark, [(1, " ".join(WORDS[:10]))])
+    path = str(tmp_path / "spans")
+    seed_span_table(docs, path, span_words=5)
+    wave = _docs(spark, [(2, " ".join(WORDS[2:9]))])
+    span_ingest_batch(wave, path, span_words=5, batch_id=3)
+    span_ingest_batch(wave, path, span_words=5, batch_id=3)
+    removed = snapshots.vacuum_snapshot(path, grace_s=0)
+    assert removed > 0  # the first delivery's retired files
+    on_disk = sorted(snapshots.list_parquet_files(path))
+    manifest = snapshots.read_manifest(path)
+    assert on_disk == sorted(manifest["files"])
