@@ -762,32 +762,39 @@ SIG_BASE_BATCH = -1
 
 
 def _fold_legacy_sig_table(sig_path: str) -> bool:
-    """Migrate a flat signature table (root-level parquet files, the
-    pre-batch-keyed layout) under a ``_sig_batch=-1`` leaf so
-    batch-keyed writes can join it — parquet partition discovery
+    """Signature-table instance of :func:`_fold_legacy_keyed_table`."""
+    return _fold_legacy_keyed_table(sig_path, "_sig_batch", SIG_BASE_BATCH)
+
+
+def _fold_legacy_keyed_table(path: str, key: str, base: int) -> bool:
+    """Migrate a flat side table (root-level parquet files, the
+    pre-batch-keyed layout) under its reserved ``<key>=<base>`` leaf
+    so batch-keyed writes can join it — parquet partition discovery
     requires uniform directory depth, so mixing root files with
-    ``_sig_batch=`` subdirs would fail every read.  Pure os.rename
-    (metadata ops), no data rewrite.  Returns True if a fold ran."""
+    ``<key>=`` subdirs breaks every subsequent read (and, worse, a
+    manifest bootstrapped over the mix SILENTLY drops the root files'
+    rows from snapshot reads).  Pure os.rename (metadata ops), no data
+    rewrite.  Returns True if a fold ran."""
     import os
 
-    if not os.path.isdir(sig_path):
+    if not os.path.isdir(path):
         return False
     flat = [
-        f for f in os.listdir(sig_path)
+        f for f in os.listdir(path)
         if f.endswith(".parquet")
-        and os.path.isfile(os.path.join(sig_path, f))
+        and os.path.isfile(os.path.join(path, f))
     ]
     if not flat:
         return False
-    leaf = os.path.join(sig_path, f"_sig_batch={SIG_BASE_BATCH}")
+    leaf = os.path.join(path, f"{key}={base}")
     os.makedirs(leaf, exist_ok=True)
     for f in flat:
-        os.rename(os.path.join(sig_path, f), os.path.join(leaf, f))
+        os.rename(os.path.join(path, f), os.path.join(leaf, f))
         # keep the Hadoop checksum sidecar with its file
         crc = f".{f}.crc"
-        if os.path.isfile(os.path.join(sig_path, crc)):
+        if os.path.isfile(os.path.join(path, crc)):
             os.rename(
-                os.path.join(sig_path, crc), os.path.join(leaf, crc)
+                os.path.join(path, crc), os.path.join(leaf, crc)
             )
     return True
 
@@ -993,26 +1000,34 @@ def duplicate_spans(
     repetition is a quality signal, ``text.repetition_signals``, not a
     dedup decision).
 
-    One shuffle, keyed by the 8-byte span hash: the >= 2-distinct-docs
-    test is ``min(id) != max(id)`` over the hash partition — two
-    cheap order statistics instead of a per-hash ``collect_set`` (a
-    viral span at corpus scale can sit in millions of docs; order
-    statistics stay O(1) per group member where a set materializes the
-    group).  Positions ride the same shuffle, so flagged spans come
-    back with (id, pos) at no extra exchange.
+    The >= 2-distinct-docs test is ``min(id) != max(id)`` per span
+    hash, computed as a GROUP-BY (map-side combinable, streaming — a
+    viral span sitting in millions of docs combines to one row per
+    map task) and equi-joined back onto the spans.  Deliberately NOT a
+    window function: an unbounded min/max frame makes WindowExec
+    buffer the entire hash group before emitting — exactly the
+    per-group materialization this path must avoid (/code-review
+    r11).  One big-side shuffle (the join; the agg's shuffle carries
+    only combined per-task extrema), and AQE broadcasts the bounds
+    side when it turns out small.
 
     Returns (id, pos, span_hash) for duplicated windows only.
     """
     spans = span_windows(docs, span_words, text_col, id_col)
-    w = Window.partitionBy("span_hash")
+    return spans.join(_dup_span_hashes(spans, id_col), "span_hash").select(
+        id_col, "pos", "span_hash"
+    )
+
+
+def _dup_span_hashes(spans: DataFrame, id_col: str) -> DataFrame:
+    """The span hashes held by >= 2 distinct documents — the streaming
+    group-by form of the order-statistics test (see
+    :func:`duplicate_spans` for why not a window)."""
     return (
-        spans.select(
-            "*",
-            F.min(id_col).over(w).alias("_lo"),
-            F.max(id_col).over(w).alias("_hi"),
-        )
+        spans.groupBy("span_hash")
+        .agg(F.min(id_col).alias("_lo"), F.max(id_col).alias("_hi"))
         .where(F.col("_lo") != F.col("_hi"))
-        .select(id_col, "pos", "span_hash")
+        .select("span_hash")
     )
 
 
@@ -1030,17 +1045,17 @@ def span_dup_stats(
     granularity the common policy is drop/keep whole documents by
     duplicated fraction, e.g. RefinedWeb's f_dup filters).
 
-    Two map-side-combinable shuffles end to end: the span-hash window
-    above, then a (id)-keyed aggregate.  Returns
-    (id, n_windows, dup_windows, dup_frac).
+    All aggregates are streaming group-bys (the duplicated-hash set
+    via ``_dup_span_hashes`` — no window, no per-group buffering), one
+    big-side shuffle for the flag join, then the (id)-keyed per-doc
+    aggregate.  Returns (id, n_windows, dup_windows, dup_frac).
     """
     spans = span_windows(docs, span_words, text_col, id_col)
-    w = Window.partitionBy("span_hash")
-    flagged = spans.select(
-        id_col,
-        (F.min(id_col).over(w) != F.max(id_col).over(w))
-        .cast("int")
-        .alias("_dup"),
+    flagged = spans.join(
+        _dup_span_hashes(spans, id_col).withColumn("_d", F.lit(1)),
+        "span_hash", "left",
+    ).select(
+        id_col, F.coalesce(F.col("_d"), F.lit(0)).alias("_dup")
     )
     return flagged.groupBy(id_col).agg(
         F.count("*").alias("n_windows"),
@@ -1090,11 +1105,10 @@ def duplicate_spans_incremental(
     snapshot flips — ``write_signature_batch`` is the template).
 
     A batch window is duplicated when it collides WITHIN the batch
-    (min(id) != max(id) over the batch's span-hash partition — the
-    same order statistics as :func:`duplicate_spans`) OR against the
-    corpus table (left-semi-shaped hit on the 8-byte hash).  Both
-    tests key on ``span_hash``, so the window shuffle and the table
-    join share one partitioning.
+    (min(id) != max(id) per span hash — the streaming group-by of
+    :func:`duplicate_spans`, not a buffering window) OR against the
+    corpus table (hit on the 8-byte hash).  Both flag sides key on
+    ``span_hash``, so one hash partitioning serves the whole plan.
 
     ``new_spans``: the batch's own windows if already materialized
     (e.g. by :func:`span_ingest_batch`, which must window the batch
@@ -1107,21 +1121,11 @@ def duplicate_spans_incremental(
         if new_spans is not None
         else span_windows(new_docs, span_words, text_col, id_col)
     )
-    w = Window.partitionBy("span_hash")
-    ext = (
-        existing_spans.select("span_hash")
-        .distinct()
-        .withColumn("_ext", F.lit(1))
-    )
-    return (
-        spans.select(
-            "*",
-            (F.min(id_col).over(w) != F.max(id_col).over(w)).alias("_b"),
-        )
-        .join(ext, "span_hash", "left")
-        .where(F.col("_b") | F.col("_ext").isNotNull())
-        .select(id_col, "pos", "span_hash")
-    )
+    intra = _dup_span_hashes(spans, id_col)
+    ext = existing_spans.select("span_hash").distinct()
+    return spans.join(
+        intra.union(ext).distinct(), "span_hash"
+    ).select(id_col, "pos", "span_hash")
 
 
 #: reserved ``_span_batch`` value for a bulk-seeded base corpus
@@ -1138,11 +1142,18 @@ def write_span_batch(
     land under a ``_span_batch=<batch_id>`` partition and one delta
     manifest flip replaces any files a crashed earlier delivery of the
     same batch left there.  No vacuum here (write paths never vacuum —
-    housekeeping cadence owns retired-file deletion)."""
+    housekeeping cadence owns retired-file deletion).
+
+    A legacy flat table (plain ``batch_id=None`` appends at the root)
+    is folded under the reserved base leaf FIRST — bootstrapping a
+    manifest over mixed depths would silently drop every root file's
+    rows from snapshot reads (the signature sink guards the identical
+    transition)."""
     if int(batch_id) == SPAN_BASE_BATCH:
         raise ValueError(
             f"_span_batch={SPAN_BASE_BATCH} is reserved for the base corpus"
         )
+    _fold_legacy_keyed_table(span_path, "_span_batch", SPAN_BASE_BATCH)
     _write_keyed_batch(spans, span_path, batch_id, "_span_batch")
 
 
@@ -1156,8 +1167,11 @@ def seed_span_table(
     """Bulk-window an existing corpus into the span table under the
     reserved base partition — the one-off backfill before incremental
     arrival takes over (the signature table's ``_sig_batch=-1``
-    analog, landed through the same keyed append-plus-flip)."""
+    analog, landed through the same keyed append-plus-flip).  An
+    existing legacy flat table folds under the same base leaf first,
+    so seeding on top of plain-append history keeps every row."""
     spans = span_windows(docs, span_words, text_col, id_col)
+    _fold_legacy_keyed_table(span_path, "_span_batch", SPAN_BASE_BATCH)
     _write_keyed_batch(spans, span_path, SPAN_BASE_BATCH, "_span_batch")
 
 
@@ -1202,10 +1216,22 @@ def span_ingest_batch(
     from ..sources import snapshots
 
     spark = new_docs.sparkSession
+    if batch_id is not None:
+        # self-heal/complete a legacy flat layout BEFORE reading —
+        # same transition guard as dedup_ingest_batch: plain-append
+        # history must fold under the base leaf or the keyed write's
+        # manifest silently drops the root files' rows
+        _fold_legacy_keyed_table(span_path, "_span_batch", SPAN_BASE_BATCH)
     new_spans = span_windows(
         new_docs, span_words, text_col, id_col
     ).localCheckpoint()
-    existing = snapshots.resolve_snapshot(spark, span_path)
+    import os
+
+    if os.path.isdir(span_path):
+        existing = snapshots.resolve_snapshot(spark, span_path)
+    else:
+        # very first delivery, nothing seeded: empty corpus side
+        existing = spark.createDataFrame([], "span_hash long")
     if "_span_batch" in existing.columns:
         if batch_id is None:
             raise ValueError(

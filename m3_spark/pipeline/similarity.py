@@ -37,6 +37,20 @@ def cosine_col(a: Column, b: Column) -> Column:
     return F.when(den != 0, _dot(a, b) / den)
 
 
+def cosine_prenorm(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine with both norms precomputed per ROW (``sqrt(_norm2(v))``
+    carried as a column): the pair-scoring fold then traverses each
+    array once (the dot) instead of three times — the HOF folds run
+    interpreted, so the 3× is real on every pairwise path.
+    Bit-identical to :func:`cosine_col` (sqrt is exact-rounded and the
+    multiply order is unchanged), same null-on-zero-norm policy —
+    every scoring site MUST use one of these two helpers so the
+    zero-norm and rounding contract the oracles restate lives in one
+    place."""
+    den = na * nb
+    return F.when(den != 0, _dot(a, b) / den)
+
+
 def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
     return df.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
 
@@ -74,10 +88,8 @@ def brute_force_topk(
     scored = j.select(
         "query_id",
         "neighbor_id",
-        F.when(
-            F.col("qnorm") * F.col("cnorm") != 0,
-            _dot(F.col("qvec"), F.col("cvec"))
-            / (F.col("qnorm") * F.col("cnorm")),
+        cosine_prenorm(
+            F.col("qvec"), F.col("cvec"), F.col("qnorm"), F.col("cnorm")
         ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -231,10 +243,8 @@ def bucketed_topk(
     j = l.join(r, "bucket").where(F.col("neighbor_id") != F.col("query_id"))
     scored = j.select(
         "query_id", "neighbor_id",
-        F.when(
-            F.col("qnorm") * F.col("cnorm") != 0,
-            _dot(F.col("qvec"), F.col("cvec"))
-            / (F.col("qnorm") * F.col("cnorm")),
+        cosine_prenorm(
+            F.col("qvec"), F.col("cvec"), F.col("qnorm"), F.col("cnorm")
         ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -279,7 +289,6 @@ def ivf_assign(
     # re-folded for every one of the n_lists centroids — interpreted
     # HOF traversals, 3× the work; bit-identical to cosine_col since
     # sqrt is exact-rounded and the multiply order is unchanged)
-    den = F.col("_qn") * F.col("_cn")
     scored = (
         e.select(
             id_col, vec_col, F.sqrt(_norm2(F.col(vec_col))).alias("_qn")
@@ -288,8 +297,9 @@ def ivf_assign(
         .select(
             F.col(id_col),
             "list_id",
-            F.when(
-                den != 0, _dot(F.col(vec_col), F.col("_cvec")) / den
+            cosine_prenorm(
+                F.col(vec_col), F.col("_cvec"),
+                F.col("_qn"), F.col("_cn"),
             ).alias("_sim"),
         )
     )
@@ -338,11 +348,10 @@ def ivf_topk(
     cb = cents.select(
         "list_id", "_cvec", F.sqrt(_norm2(F.col("_cvec"))).alias("_cn")
     )
-    aden = F.col("_qn") * F.col("_cn")
     scored = en.crossJoin(F.broadcast(cb)).select(
         F.col(id_col), "list_id",
-        F.when(
-            aden != 0, _dot(F.col(vec_col), F.col("_cvec")) / aden
+        cosine_prenorm(
+            F.col(vec_col), F.col("_cvec"), F.col("_qn"), F.col("_cn")
         ).alias("_sim"),
     )
     w = Window.partitionBy(id_col).orderBy(
@@ -368,11 +377,10 @@ def ivf_topk(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv"),
         F.col("_qn").alias("_nvn"),
     )
-    pden = F.col("_qvn") * F.col("_nvn")
     pairs = cands.join(qv, "query_id").join(nv, "neighbor_id").select(
         "query_id", "neighbor_id",
-        F.when(
-            pden != 0, _dot(F.col("_qv"), F.col("_nv")) / pden
+        cosine_prenorm(
+            F.col("_qv"), F.col("_nv"), F.col("_qvn"), F.col("_nvn")
         ).alias("cosine"),
     )
     wk = Window.partitionBy("query_id").orderBy(
@@ -421,12 +429,12 @@ def ivf_train(
         cb = cents.select(
             "list_id", "_cvec", F.sqrt(_norm2(F.col("_cvec"))).alias("_cn")
         )
-        den = F.col("_qn") * F.col("_cn")
         scored = en.crossJoin(F.broadcast(cb)).select(
             F.col(id_col),
             "list_id",
-            F.when(
-                den != 0, _dot(F.col(vec_col), F.col("_cvec")) / den
+            cosine_prenorm(
+                F.col(vec_col), F.col("_cvec"),
+                F.col("_qn"), F.col("_cn"),
             ).alias("_sim"),
         )
         w = Window.partitionBy(id_col).orderBy(
@@ -784,14 +792,13 @@ def semantic_dup_pairs(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"),
         F.col("_nrm").alias("_nb"), "cluster",
     )
-    den = F.col("_na") * F.col("_nb")
     return (
         a.join(b, ["cluster"])
         .where(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a", "id_b", "cluster",
-            F.when(
-                den != 0, _dot(F.col("_va"), F.col("_vb")) / den
+            cosine_prenorm(
+                F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
             ).alias("cosine"),
         )
         .where(F.col("cosine") >= eps)

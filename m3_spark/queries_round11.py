@@ -136,7 +136,11 @@ def q_span_dup_stats(spark, sf_dir):
     return span_dup_stats(docs, SPAN_WORDS)
 
 
-_SPAN_STATS_CTE = f"""
+# the rolling-window construction (w/sp0: split, the short-doc
+# whole-text collapse, the L-word slices) is ONE fragment shared by
+# every span oracle — a future change to the windowing semantics
+# cannot drift between them (/code-review r11)
+_SPAN_WINDOWS_CTE = f"""
 w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 sp0 AS (
   SELECT doc_id, CASE WHEN len(ws) >= {SPAN_WORDS}
@@ -144,7 +148,9 @@ sp0 AS (
           for i in generate_series(1, len(ws) - {SPAN_WORDS - 1})]
     ELSE [array_to_string(ws, ' ')] END AS gs
   FROM w
-),
+)"""
+
+_SPAN_STATS_CTE = f"""{_SPAN_WINDOWS_CTE},
 sp AS (SELECT doc_id, unnest(gs) AS g FROM sp0),
 c AS (SELECT g, min(doc_id) AS lo, max(doc_id) AS hi FROM sp GROUP BY g),
 fl AS (
@@ -214,14 +220,7 @@ def q_span_incremental(spark, sf_dir):
 
 
 ORACLE_SPAN_INCREMENTAL = f"""
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-sp0 AS (
-  SELECT doc_id, CASE WHEN len(ws) >= {SPAN_WORDS}
-    THEN [array_to_string(ws[i:i+{SPAN_WORDS - 1}], ' ')
-          for i in generate_series(1, len(ws) - {SPAN_WORDS - 1})]
-    ELSE [array_to_string(ws, ' ')] END AS gs
-  FROM w
-),
+WITH {_SPAN_WINDOWS_CTE},
 sp AS (
   SELECT doc_id, unnest(gs) AS g,
          unnest([i - 1 for i in generate_series(1, len(gs))]) AS pos

@@ -655,7 +655,7 @@ def main() -> None:
     import statistics
 
     timings, stats, counts = {}, {}, {}
-    for name, fn in {
+    rows = {
         "sum_by_7d_1h": q_sum_by,
         "rate_sum_24h_1m": q_rate_sum,
         "rate_sum_24h_bucketed": q_rate_sum_bucketed,
@@ -686,7 +686,16 @@ def main() -> None:
         "dict_rebuild_3m2": q_dict_rebuild,
         "span_stats_500k": q_span_stats,
         "semdedup_200k_k512": q_semdedup,
-    }.items():
+    }
+    if args.only:
+        unknown = args.only - rows.keys()
+        if unknown:
+            # a typo'd --only would otherwise run ZERO queries and
+            # emit an empty-but-successful artifact (/code-review r11)
+            raise SystemExit(
+                f"--only names not in the row set: {sorted(unknown)}"
+            )
+    for name, fn in rows.items():
         if args.only and name not in args.only:
             continue
         # warm-up (discarded): pays JVM JIT/codegen AND any one-off

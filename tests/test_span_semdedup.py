@@ -193,7 +193,10 @@ def test_span_dedup_filter_drops_mostly_duplicated_docs(spark):
 
 def test_span_windows_shuffle_carries_hash_not_text(spark):
     # the span string must not survive past the scan stage: the only
-    # shuffled span key is the 8-byte xxhash64
+    # shuffled span key is the 8-byte xxhash64.  And the >= 2-docs
+    # test must be the STREAMING group-by, never a window — an
+    # unbounded min/max frame buffers each whole hash group in
+    # WindowExec, the per-group materialization the design forbids
     docs = _docs(spark, [(1, " ".join(WORDS)), (2, " ".join(WORDS[5:]))])
     stats = span_dup_stats(docs, span_words=5)
     plan = stats._sc._jvm.PythonSQLUtils.explainString(
@@ -201,8 +204,9 @@ def test_span_windows_shuffle_carries_hash_not_text(spark):
     )
     assert "CartesianProduct" not in plan
     assert "xxhash64" in plan
-    # exactly two exchanges: span_hash window + doc aggregate
-    assert plan.count("hashpartitioning") == 2
+    assert "Window" not in plan
+    # three exchanges: bounds aggregate + flag join + doc aggregate
+    assert plan.count("hashpartitioning") == 3
 
 
 def test_duplicate_spans_incremental_matches_full_recompute(spark):
@@ -376,3 +380,27 @@ def test_span_table_vacuum_reclaims_redelivered_files(spark, tmp_path):
     on_disk = sorted(snapshots.list_parquet_files(path))
     manifest = snapshots.read_manifest(path)
     assert on_disk == sorted(manifest["files"])
+
+
+def test_span_legacy_flat_table_folds_before_keyed_write(spark, tmp_path):
+    # /code-review r11 finding: a flat (batch_id=None) span table later
+    # written batch-keyed bootstrapped a manifest over mixed depths and
+    # SILENTLY dropped every root file's rows from snapshot reads.
+    # The keyed write must fold the flat history under the base leaf
+    # first, exactly like the signature sink's legacy transition.
+    from m3_spark.pipeline.dedup import read_span_table, span_ingest_batch
+
+    legacy = _docs(spark, [(1, " ".join(WORDS[:10]))])
+    path = str(tmp_path / "spans")
+    # legacy regime: plain append, no manifest, no key column
+    span_ingest_batch(legacy, path, span_words=5, batch_id=None)
+    # new regime arrives: doc 3 duplicates the LEGACY doc — only
+    # visible if the folded rows survived into the snapshot
+    wave = _docs(spark, [(3, " ".join(WORDS[:10])),
+                         (4, " ".join(reversed(WORDS[:8])))])
+    flagged = span_ingest_batch(wave, path, span_words=5, batch_id=2)
+    got = {r.doc_id for r in flagged.collect()}
+    assert got == {3}
+    # and the table itself still holds the legacy rows
+    tbl = read_span_table(spark, path)
+    assert tbl.where("doc_id = 1").count() == 6
