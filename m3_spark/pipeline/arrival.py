@@ -1,0 +1,217 @@
+"""The training-data CONSUME LOOP: Structured Streaming arrival for a
+document corpus, mirroring the metrics consume loop
+(``sources/ingest.py::ingest_stream_to_namespaces`` — the reference's
+m3msg ingest shape) on the pipeline side.
+
+Per arriving micro-batch of documents, one ``foreachBatch`` step runs
+the three incremental dedup arrivals — all batch-bounded, none
+corpus-bounded:
+
+* MinHash: sign ONLY the batch, candidate pairs vs the materialized
+  signature table, append the batch's signatures
+  (``dedup_ingest_batch`` machinery, minus the assignment fold);
+* substring spans: window ONLY the batch, flag vs the span table,
+  append the batch's windows (``span_ingest_batch``);
+* the batch's candidate PAIRS land in a batch-keyed pair log (the
+  same keyed append-plus-manifest-flip as the signature and span
+  sinks), so every step is crash-idempotent under at-least-once
+  redelivery.
+
+Cluster ASSIGNMENT is deliberately NOT maintained per micro-batch:
+``merge_clusters`` returns the full corpus-sized assignment, and
+persisting that every few seconds is O(corpus) I/O per batch — the
+kind of hidden unbounded term the namespace sink spent three rounds
+removing.  Materialize it on an explicit cadence instead
+(:func:`materialize_clusters` — connected components over the pair
+log), exactly like namespace housekeeping owns compaction/vacuum
+rather than the write path.
+
+The pair log may hold DUPLICATE claims: a wave redelivered after
+later waves landed sees those waves in its corpus side and re-emits
+pairs they already logged.  Correct by design — connected components
+is claim-count-insensitive, and suppressing the duplicates would put
+an O(log)-sized read on the arrival hot path.  Consumers wanting the
+set take ``.distinct()``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: partition key of the pair log (one leaf per delivered batch)
+PAIR_BATCH_KEY = "_pair_batch"
+
+
+def sig_table_path(corpus_root: str) -> str:
+    return os.path.join(corpus_root, "_signatures")
+
+
+def span_table_path(corpus_root: str) -> str:
+    return os.path.join(corpus_root, "_spans")
+
+
+def pair_log_path(corpus_root: str) -> str:
+    return os.path.join(corpus_root, "_pairs")
+
+
+def document_arrival_step(
+    new_docs: DataFrame,
+    corpus_root: str,
+    batch_id: int,
+    *,
+    k: int = 12,
+    bands: int = 4,
+    n: int = 3,
+    span_words: int | None = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """ONE document micro-batch through the arrival side tables —
+    called from the stream's ``foreachBatch`` (or directly for a
+    replayed backfill).  Every write is the batch-keyed
+    append-plus-flip, so a redelivered ``batch_id`` replaces its own
+    partitions and reads exclude them from the corpus side: the rerun
+    converges to a clean first delivery.
+
+    ``span_words=None`` disables the substring-dedup side table.
+    """
+    from ..sources import snapshots
+    from .dedup import (
+        _write_keyed_batch,
+        lsh_candidates_incremental,
+        minhash_signature,
+        span_ingest_batch,
+        write_signature_batch,
+    )
+
+    spark = new_docs.sparkSession
+    sig_path = sig_table_path(corpus_root)
+
+    # sign only the batch; cut from lineage so the pair scan and the
+    # append never re-shingle
+    new_sigs = minhash_signature(
+        new_docs, k, n, text_col, id_col
+    ).localCheckpoint()
+    if os.path.isdir(sig_path):
+        existing_sigs = snapshots.resolve_snapshot(spark, sig_path)
+        if "_sig_batch" in existing_sigs.columns:
+            # redelivery exclusion, as in dedup_ingest_batch
+            existing_sigs = existing_sigs.where(
+                F.col("_sig_batch") != int(batch_id)
+            ).drop("_sig_batch")
+    else:
+        existing_sigs = spark.createDataFrame(
+            [], new_sigs.schema
+        )
+    pairs = lsh_candidates_incremental(
+        new_docs, existing_sigs, k, bands, n, text_col, id_col,
+        new_sigs=new_sigs,
+    ).localCheckpoint(eager=True)
+    # pairs MATERIALIZED above before any append below — appending
+    # first would let the lazy scans list the batch's own fresh files
+    # and self-collide it (same ordering as dedup_ingest_batch)
+    write_signature_batch(new_sigs, sig_path, batch_id)
+    _write_keyed_batch(
+        pairs, pair_log_path(corpus_root), batch_id, PAIR_BATCH_KEY
+    )
+    if span_words is not None:
+        span_ingest_batch(
+            new_docs, span_table_path(corpus_root), span_words,
+            text_col, id_col, batch_id=batch_id,
+        )
+
+
+def materialize_clusters(spark, corpus_root: str) -> DataFrame:
+    """Cluster assignment from the FULL pair log — the explicit
+    cadence step (run it like a housekeeping tick, not per
+    micro-batch).  Connected components over every delivered batch's
+    pairs; the log is snapshot-resolved, so a concurrent arrival's
+    flip never disturbs the read.  For an incremental fold against a
+    previously persisted assignment use ``merge_clusters`` with the
+    new batches' leaves instead — this full form is the simple,
+    always-correct cadence job."""
+    from ..sources import snapshots
+    from .dedup import connected_components
+
+    pairs = snapshots.resolve_snapshot(spark, pair_log_path(corpus_root))
+    if PAIR_BATCH_KEY in pairs.columns:
+        pairs = pairs.drop(PAIR_BATCH_KEY)
+    return connected_components(pairs)
+
+
+def vacuum_corpus(corpus_root: str, grace_s: float | None = None) -> int:
+    """Housekeeping-cadence vacuum for the arrival side tables
+    (signatures, spans, pair log): write paths never delete, so
+    redelivery-retired files accumulate until this runs — the
+    namespace tier's ``vacuum_namespace`` contract, applied to the
+    pipeline tier.  Returns files removed."""
+    from ..sources import snapshots
+
+    removed = 0
+    for path in (
+        sig_table_path(corpus_root),
+        span_table_path(corpus_root),
+        pair_log_path(corpus_root),
+    ):
+        if snapshots.has_manifest(path):
+            kwargs = {} if grace_s is None else {"grace_s": grace_s}
+            removed += snapshots.vacuum_snapshot(path, **kwargs)
+    return removed
+
+
+def ingest_document_stream(
+    docs_stream: DataFrame,
+    corpus_root: str,
+    checkpoint_dir: str,
+    *,
+    k: int = 12,
+    bands: int = 4,
+    n: int = 3,
+    span_words: int | None = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vacuum_every: int | None = 100,
+    vacuum_grace_s: float | None = None,
+):
+    """The document consume loop: a streaming frame of documents
+    drives :func:`document_arrival_step` per micro-batch, with the
+    same at-least-once contract as the metrics loop
+    (``idempotent_foreach_batch`` marker = fast-path skip; the keyed
+    sinks are the correctness mechanism).  ``vacuum_every=N`` runs a
+    :func:`vacuum_corpus` tick after every Nth batch's marker,
+    failure-contained (maintenance and ingest keep separate failure
+    domains); larger deployments pass ``None`` and schedule it
+    separately.  Returns the started StreamingQuery handle."""
+    from ..sources.ingest import idempotent_foreach_batch
+
+    counter = {"n": 0}
+
+    def _step(batch_df, batch_id):
+        document_arrival_step(
+            batch_df, corpus_root, batch_id,
+            k=k, bands=bands, n=n, span_words=span_words,
+            text_col=text_col, id_col=id_col,
+        )
+
+    inner = idempotent_foreach_batch(
+        os.path.join(checkpoint_dir, "commits_docs"), _step
+    )
+
+    def _step_then_vacuum(batch_df, batch_id):
+        inner(batch_df, batch_id)
+        counter["n"] += 1
+        if vacuum_every and counter["n"] % vacuum_every == 0:
+            try:
+                vacuum_corpus(corpus_root, vacuum_grace_s)
+            except Exception as exc:  # pragma: no cover - logged only
+                print(f"vacuum tick failed (contained): {exc!r}")
+
+    return (
+        docs_stream.writeStream.foreachBatch(_step_then_vacuum)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "docs"))
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -271,3 +271,45 @@ ROUND11_QUERIES["span_ingest_redelivered"] = (
     q_span_ingest_redelivered,
     ORACLE_SPAN_INCREMENTAL,
 )
+
+
+# doc_arrival_pair_log — the document CONSUME LOOP through the driver
+# gate: the corpus arrives as three waves (doc_id % 3) through
+# document_arrival_step (sign batch → pairs vs signature table →
+# batch-keyed sig + pair-log appends), wave 2 delivered TWICE (the
+# at-least-once redelivery).  The accumulated pair log must equal the
+# full-corpus banded-LSH pair set — ORACLE_DEDUP_LSH verbatim (spans
+# disabled here; the span side has its own redelivered entry).
+
+
+def q_doc_arrival_pair_log(spark, sf_dir):
+    import shutil
+
+    from .pipeline.arrival import document_arrival_step, pair_log_path
+    from .queries_pipeline import BANDS, K_MINHASH, NGRAM
+    from .queries_round7 import _scratch
+    from .sources import snapshots
+    from .sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    _t, root = _scratch("doc_arrival", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    for wave in (0, 1, 2, 1):  # wave 1 redelivered
+        document_arrival_step(
+            docs.where(F.col("doc_id") % 3 == wave), root, wave,
+            k=K_MINHASH, bands=BANDS, n=NGRAM, span_words=None,
+        )
+    pairs = snapshots.resolve_snapshot(spark, pair_log_path(root))
+    # a redelivered wave legitimately re-claims pairs a LATER wave
+    # already logged (its corpus side now includes that wave), so the
+    # log holds duplicate claims — the SET is the contract (downstream
+    # connected components is claim-count-insensitive)
+    return pairs.select("id_a", "id_b").distinct()
+
+
+from .queries_pipeline import ORACLE_DEDUP_LSH  # noqa: E402
+
+ROUND11_QUERIES["doc_arrival_pair_log"] = (
+    q_doc_arrival_pair_log,
+    ORACLE_DEDUP_LSH,
+)

@@ -1,0 +1,162 @@
+"""The document consume loop (`pipeline/arrival.py`): streaming
+micro-batches through the signature/span/pair-log side tables, with
+the metrics loop's at-least-once contract.  Mirrors the m3msg
+consume-loop integration test on the training-data side.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+
+from m3_spark.pipeline.arrival import (
+    document_arrival_step,
+    ingest_document_stream,
+    materialize_clusters,
+    pair_log_path,
+    sig_table_path,
+    span_table_path,
+    vacuum_corpus,
+)
+from m3_spark.pipeline.dedup import (
+    dedup_clusters,
+    duplicate_spans,
+    lsh_candidates,
+    read_span_table,
+)
+from m3_spark.sources import snapshots
+
+WORDS = [f"w{i}" for i in range(40)]
+
+
+def _doc(i, words):
+    return {"doc_id": i, "text": " ".join(words)}
+
+
+def _corpus_rows():
+    # 1/2 near-identical (LSH pair), 3 unique, 4 exact dup of 1 at the
+    # span level too, 5/6 a second cluster
+    return [
+        _doc(1, WORDS[:12]),
+        _doc(2, WORDS[:11] + ["zz"]),
+        _doc(3, list(reversed(WORDS[12:30]))),
+        _doc(4, WORDS[:12]),
+        _doc(5, WORDS[20:34]),
+        _doc(6, WORDS[20:34]),
+    ]
+
+
+def _write_wave(dirpath, name, rows):
+    os.makedirs(dirpath, exist_ok=True)
+    with open(os.path.join(dirpath, name), "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows], "doc_id long, text string"
+    )
+
+
+def test_document_stream_two_waves_converge(spark, tmp_path):
+    rows = _corpus_rows()
+    src = str(tmp_path / "incoming")
+    root = str(tmp_path / "corpus")
+    ck = str(tmp_path / "ck")
+    _write_wave(src, "wave1.jsonl", rows[:3])
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .json(src)
+    )
+    q = ingest_document_stream(
+        stream, root, ck, k=8, bands=4, n=3, span_words=5,
+        vacuum_every=None,
+    )
+    q.awaitTermination(120)
+
+    _write_wave(src, "wave2.jsonl", rows[3:])
+    q2 = ingest_document_stream(
+        (spark.readStream.schema("doc_id long, text string").json(src)),
+        root, ck, k=8, bands=4, n=3, span_words=5, vacuum_every=None,
+    )
+    q2.awaitTermination(120)
+
+    full = _docs_df(spark, rows)
+    # signature-table-driven pairs == full-corpus LSH pairs
+    got_pairs = {
+        (r.id_a, r.id_b)
+        for r in snapshots.resolve_snapshot(spark, pair_log_path(root))
+        .select("id_a", "id_b").collect()
+    }
+    want_pairs = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidates(full, k=8, bands=4, n=3).collect()
+    }
+    assert got_pairs == want_pairs and got_pairs
+
+    # span table holds every doc's windows exactly once (doc i has
+    # max(len(words) - 4, 1) five-word windows)
+    tbl = read_span_table(spark, root + "/_spans")
+    got_counts = {
+        r.doc_id: r["count"]
+        for r in tbl.groupBy("doc_id").count().collect()
+    }
+    want_counts = {
+        r["doc_id"]: max(len(r["text"].split(" ")) - 4, 1) for r in rows
+    }
+    assert got_counts == want_counts
+
+    # cadence materialization == full-corpus clustering
+    got = {(r.node, r.cluster) for r in materialize_clusters(spark, root).collect()}
+    want = {
+        (r.node, r.cluster)
+        for r in dedup_clusters(full, k=8, bands=4, n=3).collect()
+    }
+    assert got == want and got
+
+
+def test_document_arrival_redelivery_and_vacuum(spark, tmp_path):
+    rows = _corpus_rows()
+    root = str(tmp_path / "corpus")
+    document_arrival_step(
+        _docs_df(spark, rows[:3]), root, 1, k=8, bands=4, span_words=5
+    )
+    # wave 2 delivered twice with the same batch id (crash-redelivery)
+    for _ in range(2):
+        document_arrival_step(
+            _docs_df(spark, rows[3:]), root, 2, k=8, bands=4, span_words=5
+        )
+    full = _docs_df(spark, rows)
+    got_pairs = {
+        (r.id_a, r.id_b)
+        for r in snapshots.resolve_snapshot(spark, pair_log_path(root))
+        .select("id_a", "id_b").collect()
+    }
+    want_pairs = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidates(full, k=8, bands=4, n=3).collect()
+    }
+    assert got_pairs == want_pairs
+
+    got = {
+        (r.node, r.cluster)
+        for r in materialize_clusters(spark, root).collect()
+    }
+    want = {
+        (r.node, r.cluster)
+        for r in dedup_clusters(full, k=8, bands=4, n=3).collect()
+    }
+    assert got == want
+
+    # the redelivered wave's retired files are reclaimed at cadence,
+    # leaving each side table's disk == manifest
+    removed = vacuum_corpus(root, grace_s=0)
+    assert removed > 0
+    for path in (sig_table_path(root), span_table_path(root),
+                 pair_log_path(root)):
+        on_disk = sorted(snapshots.list_parquet_files(path))
+        assert on_disk == sorted(snapshots.read_manifest(path)["files"])
