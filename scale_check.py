@@ -719,6 +719,36 @@ def main() -> None:
             f"±{stats[name]['stdev']}, {counts[name]} rows)",
             file=sys.stderr,
         )
+    # fixed-cost machine-speed probe, same shape as bench.py's
+    # calibration row: rows that swing between regens on an otherwise
+    # quiet box (this VM shares a host) can be normalized against it
+    # instead of adjudicated after the fact
+    def _cal(_):
+        return (
+            spark.range(0, 30_000_000, 1, 32)
+            .groupBy((F.col("id") % 1024).alias("g"))
+            .agg(
+                F.sum("id").alias("s"),
+                F.avg((F.col("id") % 7919)).alias("a"),
+            )
+        )
+
+    _cal(None).count()
+    cal_reps = []
+    for _ in range(max(1, args.reps)):
+        t = time.perf_counter()
+        _cal(None).count()
+        cal_reps.append(time.perf_counter() - t)
+    cal = {
+        "median": round(statistics.median(cal_reps), 3),
+        "min": round(min(cal_reps), 3),
+        "stdev": round(statistics.stdev(cal_reps), 3)
+        if len(cal_reps) > 1 else 0.0,
+        "n": len(cal_reps),
+    }
+    print(f"# calibration_agg_30m: {cal['median']}s median "
+          f"(±{cal['stdev']})", file=sys.stderr)
+
     doc = {
         "metric": "scale_queries_wall",
         "unit": "sec",
@@ -727,6 +757,7 @@ def main() -> None:
         "queries": timings,
         "stats": stats,
         "rows": counts,
+        "calibration": {"synthetic_agg_30m": cal},
         "stat": f"median_of_{max(1, args.reps)}_after_warmup",
     }
     print(json.dumps(doc))
