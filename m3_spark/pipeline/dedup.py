@@ -1260,3 +1260,83 @@ def span_ingest_batch(
             )
         new_spans.write.mode("append").parquet(span_path)
     return flagged
+
+
+def span_dedup_cut(
+    docs: DataFrame,
+    span_words: int = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Lee et al. 2022's ACTUAL dedup action: CUT duplicated spans out
+    of the text instead of dropping whole documents — every
+    cross-document duplicated window keeps its occurrence in ONE
+    canonical document (the minimum id holding that window) and is
+    removed everywhere else; a document may be canonical for some of
+    its spans and cut on others.
+
+    Plan shape (all streaming, no windows):
+
+    1. :func:`span_windows` + the group-by bounds — duplicated hashes
+       with their canonical owner (min id);
+    2. flagged (id, pos) for NON-canonical occurrences → covered word
+       indices via one ``sequence`` explode, distinct on (id, idx);
+    3. ONLY documents holding a cut re-tokenize: untouched docs pass
+       through without a per-word explode (at corpus scale the
+       duplicated set is the small side), cut docs rebuild from the
+       surviving (index, word) pairs — doc-sized groups, a bounded
+       ``collect_list``.
+
+    A short exact-duplicate doc (whole-text window) loses ALL its
+    words in the non-canonical copies — the empty string IS the
+    correct residue of full-document cutting; filter empties
+    downstream if the policy wants drops.
+
+    Returns (id, text_cut) for EVERY input document.
+    """
+    spans = span_windows(docs, span_words, text_col, id_col)
+    owners = (
+        spans.groupBy("span_hash")
+        .agg(F.min(id_col).alias("_own"), F.max(id_col).alias("_hi"))
+        .where(F.col("_own") != F.col("_hi"))
+        .select("span_hash", "_own")
+    )
+    flagged = spans.join(owners, "span_hash").where(
+        F.col(id_col) != F.col("_own")
+    )
+    covered = flagged.select(
+        id_col,
+        F.explode(
+            F.sequence(
+                F.col("pos"), F.col("pos") + F.lit(span_words - 1)
+            )
+        ).alias("_w"),
+    ).distinct()
+    cut_ids = covered.select(id_col).distinct()
+    untouched = docs.join(cut_ids, id_col, "left_anti").select(
+        id_col, F.col(text_col).alias("text_cut")
+    )
+    words = (
+        docs.join(cut_ids, id_col, "inner")
+        .select(
+            id_col,
+            F.posexplode(words_col(F.col(text_col))).alias("_w", "_word"),
+        )
+    )
+    kept = words.join(covered, [id_col, "_w"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_w", "_word"))),
+                lambda s: s["_word"],
+            ),
+        ).alias("text_cut")
+    )
+    # a doc whose every word was cut loses its group row — restore it
+    # with the empty residue
+    emptied = (
+        cut_ids.join(rebuilt.select(id_col), id_col, "left_anti")
+        .select(id_col, F.lit("").alias("text_cut"))
+    )
+    return untouched.unionByName(rebuilt).unionByName(emptied)

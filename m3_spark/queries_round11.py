@@ -313,3 +313,59 @@ ROUND11_QUERIES["doc_arrival_pair_log"] = (
     q_doc_arrival_pair_log,
     ORACLE_DEDUP_LSH,
 )
+
+
+# span_dedup_cut — the Lee et al. CUT action through the driver gate:
+# duplicated 12-word windows are removed from every NON-canonical
+# document (canonical = the minimum id holding the window; short
+# exact-dup docs legitimately cut to the empty string).  The oracle
+# rebuilds each document from its surviving (index, word) pairs.
+
+
+def q_span_dedup_cut(spark, sf_dir):
+    from .pipeline.dedup import span_dedup_cut
+    from .sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    return span_dedup_cut(docs, SPAN_WORDS)
+
+
+ORACLE_SPAN_CUT = f"""
+WITH {_SPAN_WINDOWS_CTE},
+sp AS (
+  SELECT doc_id, unnest(gs) AS g,
+         unnest([i - 1 for i in generate_series(1, len(gs))]) AS pos
+  FROM sp0
+),
+own AS (
+  SELECT g, min(doc_id) AS own FROM sp
+  GROUP BY g HAVING min(doc_id) <> max(doc_id)
+),
+flag AS (
+  SELECT s.doc_id, s.pos FROM sp s JOIN own o ON s.g = o.g
+  WHERE s.doc_id <> o.own
+),
+cov AS (
+  SELECT DISTINCT doc_id, pos + i AS w
+  FROM flag CROSS JOIN generate_series(0, {SPAN_WORDS - 1}) t(i)
+),
+wrd AS (
+  SELECT doc_id, unnest(ws) AS word,
+         unnest([i - 1 for i in generate_series(1, len(ws))]) AS w
+  FROM w
+),
+kept AS (
+  SELECT wr.doc_id, wr.word, wr.w
+  FROM wrd wr LEFT JOIN cov ON wr.doc_id = cov.doc_id AND wr.w = cov.w
+  WHERE cov.w IS NULL
+),
+agg AS (
+  SELECT doc_id, string_agg(word, ' ' ORDER BY w) AS t
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(a.t, '') AS text_cut
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+ROUND11_QUERIES["span_dedup_cut"] = (q_span_dedup_cut, ORACLE_SPAN_CUT)

@@ -404,3 +404,52 @@ def test_span_legacy_flat_table_folds_before_keyed_write(spark, tmp_path):
     # and the table itself still holds the legacy rows
     tbl = read_span_table(spark, path)
     assert tbl.where("doc_id = 1").count() == 6
+
+
+def test_span_dedup_cut_removes_non_canonical_occurrences(spark):
+    from m3_spark.pipeline.dedup import span_dedup_cut
+
+    d1 = " ".join(WORDS[:10])            # canonical (min id) — intact
+    d2 = "x y " + " ".join(WORDS[2:7]) + " z"  # shares "c d e f g"
+    d3 = " ".join(reversed(WORDS[:10]))  # untouched
+    out = {
+        r.doc_id: r.text_cut
+        for r in span_dedup_cut(
+            _docs(spark, [(1, d1), (2, d2), (3, d3)]), span_words=5
+        ).collect()
+    }
+    assert out[1] == d1                      # canonical keeps its span
+    assert out[2] == "x y z"                 # the shared run is cut
+    assert out[3] == d3                      # untouched passes through
+
+
+def test_span_dedup_cut_overlapping_windows_merge(spark):
+    from m3_spark.pipeline.dedup import span_dedup_cut
+
+    # docs share a 6-word run -> two overlapping 5-word windows in the
+    # copy; the cut covers their UNION, not twice
+    run = WORDS[:6]
+    d1 = " ".join(run + ["tail1", "tail2"])
+    d2 = " ".join(["pre"] + run + ["post"])
+    out = {
+        r.doc_id: r.text_cut
+        for r in span_dedup_cut(
+            _docs(spark, [(1, d1), (2, d2)]), span_words=5
+        ).collect()
+    }
+    assert out[1] == d1
+    assert out[2] == "pre post"
+
+
+def test_span_dedup_cut_short_exact_dup_empties_the_copy(spark):
+    from m3_spark.pipeline.dedup import span_dedup_cut
+
+    out = {
+        r.doc_id: r.text_cut
+        for r in span_dedup_cut(
+            _docs(spark, [(1, "tiny doc"), (2, "tiny doc")]),
+            span_words=12,
+        ).collect()
+    }
+    assert out[1] == "tiny doc"
+    assert out[2] == ""
