@@ -640,6 +640,16 @@ def main() -> None:
         docs = read_table(spark, SCRATCH, "documents")
         return span_dup_stats(docs, 12)
 
+    def q_span_cut(_):
+        # the cut action at corpus size: flagged windows explode to
+        # covered indices, but ONLY docs holding a cut re-tokenize —
+        # cost tracks the duplicated subset (~5% here), not |corpus|
+        from m3_spark.pipeline.dedup import span_dedup_cut
+        from m3_spark.sources.tables import read_table
+
+        docs = read_table(spark, SCRATCH, "documents")
+        return span_dedup_cut(docs, 12)
+
     def q_semdedup(_):
         # SemDeDup at scale lives or dies on the cluster count: K=512
         # bounds within-cluster pairwise work to Σ|c|² ≈ N²/K ≈ 78M
@@ -685,6 +695,7 @@ def main() -> None:
         "dict_automigrate_3m2": q_dict_automigrate,
         "dict_rebuild_3m2": q_dict_rebuild,
         "span_stats_500k": q_span_stats,
+        "span_cut_500k": q_span_cut,
         "semdedup_200k_k512": q_semdedup,
     }
     if args.only:
