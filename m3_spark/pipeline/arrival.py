@@ -80,6 +80,7 @@ def document_arrival_step(
     """
     from ..sources import snapshots
     from .dedup import (
+        _fold_legacy_sig_table,
         _write_keyed_batch,
         lsh_candidates_incremental,
         minhash_signature,
@@ -89,6 +90,13 @@ def document_arrival_step(
 
     spark = new_docs.sparkSession
     sig_path = sig_table_path(corpus_root)
+    # self-heal an interrupted legacy fold BEFORE reading (the
+    # dedup_ingest_batch guard): a crash midway through a prior
+    # delivery's fold leaves root files mixed with _sig_batch= dirs,
+    # and the fallback plain read of that mix SILENTLY drops the root
+    # files' rows from the pair scan — re-running the idempotent
+    # pure-rename fold completes it
+    _fold_legacy_sig_table(sig_path)
 
     # sign only the batch; cut from lineage so the pair scan and the
     # append never re-shingle
@@ -136,7 +144,12 @@ def materialize_clusters(spark, corpus_root: str) -> DataFrame:
     from ..sources import snapshots
     from .dedup import connected_components
 
-    pairs = snapshots.resolve_snapshot(spark, pair_log_path(corpus_root))
+    log_path = pair_log_path(corpus_root)
+    if not os.path.isdir(log_path):
+        # cadence tick fired before the first batch committed: the
+        # empty clustering, not a PATH_NOT_FOUND crash
+        return spark.createDataFrame([], "node long, cluster long")
+    pairs = snapshots.resolve_snapshot(spark, log_path)
     if PAIR_BATCH_KEY in pairs.columns:
         pairs = pairs.drop(PAIR_BATCH_KEY)
     return connected_components(pairs)

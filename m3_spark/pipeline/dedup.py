@@ -1167,11 +1167,28 @@ def seed_span_table(
     """Bulk-window an existing corpus into the span table under the
     reserved base partition — the one-off backfill before incremental
     arrival takes over (the signature table's ``_sig_batch=-1``
-    analog, landed through the same keyed append-plus-flip).  An
-    existing legacy flat table folds under the same base leaf first,
-    so seeding on top of plain-append history keeps every row."""
+    analog, landed through the same keyed append-plus-flip).
+
+    Legacy plain-append history is PRESERVED: flat root files fold
+    under the base leaf, and because the keyed write's delta flip
+    RETIRES that leaf's prior files (its crashed-redelivery
+    semantics), the folded rows are read back and unioned into the
+    seed frame before the write — the one-off rewrite is the price of
+    keeping every row; a fold-then-write alone would silently retire
+    the legacy history in its own flip (/code-review r11, confirmed
+    by repro)."""
+    import os
+
     spans = span_windows(docs, span_words, text_col, id_col)
-    _fold_legacy_keyed_table(span_path, "_span_batch", SPAN_BASE_BATCH)
+    folded = _fold_legacy_keyed_table(
+        span_path, "_span_batch", SPAN_BASE_BATCH
+    )
+    base_leaf = os.path.join(span_path, f"_span_batch={SPAN_BASE_BATCH}")
+    if folded and os.path.isdir(base_leaf):
+        legacy = docs.sparkSession.read.parquet(base_leaf).select(
+            id_col, "pos", "span_hash"
+        )
+        spans = spans.unionByName(legacy).distinct().localCheckpoint()
     _write_keyed_batch(spans, span_path, SPAN_BASE_BATCH, "_span_batch")
 
 

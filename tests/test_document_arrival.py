@@ -160,3 +160,77 @@ def test_document_arrival_redelivery_and_vacuum(spark, tmp_path):
                  pair_log_path(root)):
         on_disk = sorted(snapshots.list_parquet_files(path))
         assert on_disk == sorted(snapshots.read_manifest(path)["files"])
+
+
+def test_materialize_clusters_before_first_batch_is_empty(spark, tmp_path):
+    # a cadence tick scheduled alongside the stream can fire before
+    # the first batch commits: empty clustering, not PATH_NOT_FOUND
+    out = materialize_clusters(spark, str(tmp_path / "corpus"))
+    assert out.columns == ["node", "cluster"]
+    assert out.count() == 0
+
+
+def test_arrival_step_self_heals_interrupted_sig_fold(spark, tmp_path):
+    # a crash midway through a legacy signature fold leaves root files
+    # mixed with _sig_batch= dirs; the arrival step must complete the
+    # fold before reading or the plain read silently drops the root
+    # rows from the pair scan
+    import shutil
+
+    from m3_spark.pipeline.dedup import minhash_signature
+
+    rows = _corpus_rows()
+    root = str(tmp_path / "corpus")
+    sig = sig_table_path(root)
+    # legacy flat table for docs 1-3
+    minhash_signature(
+        _docs_df(spark, rows[:3]), k=8, n=3
+    ).write.mode("overwrite").parquet(sig)
+    # simulate the interrupted fold: ONE file moved, the rest at root
+    os.makedirs(os.path.join(sig, "_sig_batch=-1"), exist_ok=True)
+    moved = [f for f in os.listdir(sig) if f.endswith(".parquet")][0]
+    shutil.move(
+        os.path.join(sig, moved),
+        os.path.join(sig, "_sig_batch=-1", moved),
+    )
+    document_arrival_step(
+        _docs_df(spark, rows[3:]), root, 1, k=8, bands=4, span_words=None
+    )
+    full = _docs_df(spark, rows)
+    got = {
+        (r.id_a, r.id_b)
+        for r in snapshots.resolve_snapshot(spark, pair_log_path(root))
+        .select("id_a", "id_b").collect()
+    }
+    # pairs where a batch doc (4,5,6) collides — doc 4 is a near-dup
+    # of LEGACY doc 1: lost if the interrupted fold wasn't healed
+    want = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidates(full, k=8, bands=4, n=3).collect()
+        if r.id_b >= 4
+    }
+    assert got == want
+    assert any(a == 1 for a, _ in got)
+
+
+def test_seed_span_table_preserves_legacy_flat_rows(spark, tmp_path):
+    # seeding on top of plain-append history must keep every legacy
+    # row: the fold moves them under the base leaf, and the seed write
+    # would otherwise retire that leaf in its own flip
+    from m3_spark.pipeline.dedup import (
+        read_span_table,
+        seed_span_table,
+        span_ingest_batch,
+    )
+
+    legacy = _docs_df(spark, [{"doc_id": 1, "text": " ".join(WORDS[:12])}])
+    root = str(tmp_path / "corpus")
+    path = span_table_path(root)
+    span_ingest_batch(legacy, path, span_words=5, batch_id=None)
+    seed_span_table(
+        _docs_df(spark, [{"doc_id": 2, "text": " ".join(WORDS[20:30])}]),
+        path, span_words=5,
+    )
+    tbl = read_span_table(spark, path)
+    assert tbl.where("doc_id = 1").count() == 8   # legacy rows survive
+    assert tbl.where("doc_id = 2").count() == 6
