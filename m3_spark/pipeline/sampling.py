@@ -228,3 +228,64 @@ def shuffle_order(
     expression and the eventual sort is the trainer's one exchange.
     """
     return docs.withColumn("shuffle_key", uniform_col(F.col(id_col), salt))
+
+
+def temperature_rates(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    stratum_col: str = "source",
+) -> DataFrame:
+    """Temperature-scaled mixture rates: per-stratum keep thresholds
+    making the sampled counts ∝ n_i^alpha — the multilingual /
+    source-balancing rule (mBERT/mT5 exponential smoothing; alpha < 1
+    upweights low-resource strata by DOWNSAMPLING high-resource ones;
+    the smallest stratum keeps everything — upsampling beyond 1.0 is
+    :func:`mix_epochs`' job).
+
+    The keep rate is (n_min / n_i)^(1 - alpha), materialized as the
+    integer threshold floor(SAMPLE_MOD * rate) so the downstream keep
+    predicate is an EXACT integer comparison — the single pow-derived
+    value both engines floor identically (verified at fixture scale),
+    after which no floating point survives into the per-row decision.
+
+    Returns (stratum, n, keep_threshold).  One count aggregate plus a
+    broadcast-sized min — #strata rows, never data-sized.
+    """
+    counts = docs.groupBy(stratum_col).agg(F.count("*").alias("n"))
+    n_min = counts.agg(F.min("n").alias("_nmin"))
+    return counts.crossJoin(F.broadcast(n_min)).select(
+        stratum_col,
+        "n",
+        F.floor(
+            F.lit(SAMPLE_MOD)
+            * F.pow(
+                F.col("_nmin").cast("double") / F.col("n"),
+                F.lit(1.0 - float(alpha)),
+            )
+        ).cast("long").alias("keep_threshold"),
+    )
+
+
+def temperature_sample(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic temperature-balanced sample: keep a row iff its
+    :func:`uniform_col` value falls under its stratum's
+    :func:`temperature_rates` threshold.  The rates frame is
+    #strata-sized and broadcast, so the corpus never shuffles — the
+    same pure-predicate shape as :func:`stratified_sample`, with the
+    rates DERIVED from the data instead of caller-supplied.
+    """
+    rates = temperature_rates(docs, alpha, stratum_col).select(
+        stratum_col, "keep_threshold"
+    )
+    u = uniform_col(F.col(id_col), salt)
+    return (
+        docs.join(F.broadcast(rates), stratum_col)
+        .where(u < F.col("keep_threshold"))
+        .drop("keep_threshold")
+    )

@@ -369,3 +369,45 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 
 
 ROUND11_QUERIES["span_dedup_cut"] = (q_span_dedup_cut, ORACLE_SPAN_CUT)
+
+
+# sample_temperature — temperature-scaled mixture sampling over the
+# SKEWED stratum (lang: en 218 docs vs fr 64 at sf0.01), alpha=0.5:
+# sampled counts ∝ n^0.5, the mBERT/mT5 low-resource-upweighting rule.
+# The per-stratum keep threshold is floor(SAMPLE_MOD * (n_min/n)^0.5)
+# — an integer both engines derive identically (probed), so the
+# per-row keep predicate is exact integer math on the shared LCG.
+
+
+def q_sample_temperature(spark, sf_dir):
+    from .pipeline.sampling import temperature_sample
+    from .sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    return temperature_sample(docs, alpha=0.5, stratum_col="lang").select(
+        "doc_id"
+    )
+
+
+def _temperature_sql() -> str:
+    from .pipeline.sampling import SAMPLE_MOD, uniform_sql
+
+    return f"""
+WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+m AS (SELECT MIN(n) AS nmin FROM c),
+r AS (
+  SELECT lang,
+         CAST(FLOOR({SAMPLE_MOD} * POW(CAST(nmin AS DOUBLE) / n, 0.5))
+              AS BIGINT) AS th
+  FROM c, m
+)
+SELECT d.doc_id
+FROM documents d JOIN r USING (lang)
+WHERE {uniform_sql('d.doc_id')} < r.th
+"""
+
+
+ROUND11_QUERIES["sample_temperature"] = (
+    q_sample_temperature,
+    _temperature_sql(),
+)

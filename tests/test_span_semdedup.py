@@ -453,3 +453,26 @@ def test_span_dedup_cut_short_exact_dup_empties_the_copy(spark):
     }
     assert out[1] == "tiny doc"
     assert out[2] == ""
+
+
+def test_temperature_sample_balances_strata(spark):
+    # alpha=0.5: sampled counts ~ n^0.5 — the 4x stratum is cut to ~2x
+    # the small one; the smallest stratum keeps everything
+    from m3_spark.pipeline.sampling import temperature_rates, temperature_sample
+
+    rows = [(i, "big" if i < 400 else "small") for i in range(500)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    rates = {r.source: r for r in temperature_rates(docs, 0.5).collect()}
+    assert rates["small"].keep_threshold == 1_000_003  # keeps all
+    assert 0 < rates["big"].keep_threshold < 1_000_003
+    out = temperature_sample(docs, 0.5)
+    counts = {r.source: r["count"]
+              for r in out.groupBy("source").count().collect()}
+    assert counts["small"] == 100
+    # big keeps ~ 400 * (100/400)^0.5 = 200; LCG sampling noise allowed
+    assert 160 < counts["big"] < 240
+    # determinism: same ids on a rerun
+    again = temperature_sample(docs, 0.5)
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
