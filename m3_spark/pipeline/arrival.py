@@ -104,7 +104,14 @@ def document_arrival_step(
         new_docs, k, n, text_col, id_col
     ).localCheckpoint()
     if os.path.isdir(sig_path):
-        existing_sigs = snapshots.resolve_snapshot(spark, sig_path)
+        try:
+            existing_sigs = snapshots.resolve_snapshot(spark, sig_path)
+        except ValueError:
+            # a crash between a first delivery's manifest bootstrap and
+            # its commit (pre-r12 left the manifest schema-less) must
+            # redeliver, not crash-loop: empty corpus side typed from
+            # the batch's own signatures
+            existing_sigs = spark.createDataFrame([], new_sigs.schema)
         if "_sig_batch" in existing_sigs.columns:
             # redelivery exclusion, as in dedup_ingest_batch
             existing_sigs = existing_sigs.where(

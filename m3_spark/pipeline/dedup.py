@@ -846,7 +846,14 @@ def _write_keyed_batch(
     out = df.withColumn(key, F.lit(int(batch_id)))
     leaf = f"{key}={int(batch_id)}"
     with snapshots.writer_lock(path):
-        manifest = snapshots.init_manifest(path)
+        # pass the batch's schema into the bootstrap: on a table's very
+        # FIRST delivery a crash between this init and the commit below
+        # would otherwise persist a zero-file manifest with no schema,
+        # and every redelivery's resolve_snapshot would fail typing the
+        # empty corpus side ("empty snapshot carries no schema") —
+        # breaking the crash-idempotent contract on exactly the write
+        # meant to establish it
+        manifest = snapshots.init_manifest(path, out.schema.json())
         new_files = snapshots.snapshot_append(
             out, path, partition_by=[key],
             keep_dir=snapshots.leaf_scope(leaf),
@@ -922,7 +929,12 @@ def dedup_ingest_batch(
     # snapshot-resolved read: a manifest-managed table pins the current
     # flip's files (post-flip crash debris of OTHER batches never
     # appears); legacy tables fall back to the directory listing
-    existing_sigs = snapshots.resolve_snapshot(spark, sig_path)
+    try:
+        existing_sigs = snapshots.resolve_snapshot(spark, sig_path)
+    except ValueError:
+        # pre-r12 first-delivery crash debris: a zero-file manifest
+        # with no schema — redeliver against an empty typed corpus
+        existing_sigs = spark.createDataFrame([], new_sigs.schema)
     if "_sig_batch" in existing_sigs.columns:
         if batch_id is None:
             raise ValueError(
@@ -1245,7 +1257,14 @@ def span_ingest_batch(
     import os
 
     if os.path.isdir(span_path):
-        existing = snapshots.resolve_snapshot(spark, span_path)
+        try:
+            existing = snapshots.resolve_snapshot(spark, span_path)
+        except ValueError:
+            # a crash between a first delivery's manifest bootstrap
+            # and its commit (pre-r12 left the manifest schema-less)
+            # must redeliver, not crash-loop: the corpus side is
+            # empty, typed from the batch's own windows
+            existing = spark.createDataFrame([], new_spans.schema)
     else:
         # very first delivery, nothing seeded: empty corpus side
         existing = spark.createDataFrame([], "span_hash long")

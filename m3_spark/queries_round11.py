@@ -99,8 +99,8 @@ cents AS (SELECT vec_id AS list_id, v AS cv FROM v WHERE vec_id < {SEM_K}),
 cscored AS (
   SELECT qa.vec_id, c.list_id,
          list_reduce(list_prepend(0.0, [qa.v[i] * c.cv[i] for i in generate_series(1, len(qa.v))]), (x, y) -> x + y)
-         / (sqrt(list_reduce(list_prepend(0.0, [x * x for x in qa.v]), (x, y) -> x + y))
-          * sqrt(list_reduce(list_prepend(0.0, [x * x for x in c.cv]), (x, y) -> x + y))) AS sim
+         / NULLIF(sqrt(list_reduce(list_prepend(0.0, [x * x for x in qa.v]), (x, y) -> x + y))
+          * sqrt(list_reduce(list_prepend(0.0, [x * x for x in c.cv]), (x, y) -> x + y)), 0) AS sim
   FROM v qa CROSS JOIN cents c
 ),
 cranked AS (
@@ -120,8 +120,8 @@ pairs AS (
   JOIN v va ON va.vec_id = a.vec_id
   JOIN v vb ON vb.vec_id = b.vec_id
   WHERE list_reduce(list_prepend(0.0, [va.v[i] * vb.v[i] for i in generate_series(1, len(va.v))]), (x, y) -> x + y)
-        / (sqrt(list_reduce(list_prepend(0.0, [x * x for x in va.v]), (x, y) -> x + y))
-         * sqrt(list_reduce(list_prepend(0.0, [x * x for x in vb.v]), (x, y) -> x + y))) >= {SEM_EPS}
+        / NULLIF(sqrt(list_reduce(list_prepend(0.0, [x * x for x in va.v]), (x, y) -> x + y))
+         * sqrt(list_reduce(list_prepend(0.0, [x * x for x in vb.v]), (x, y) -> x + y)), 0) >= {SEM_EPS}
 )
 SELECT e.vec_id FROM embeddings e
 WHERE e.vec_id NOT IN (SELECT idb FROM pairs)

@@ -1,0 +1,122 @@
+"""Round-12 ADVICE regressions.
+
+* the keyed-batch bootstrap crash window: a driver crash between
+  ``init_manifest`` and the first delta commit must not strand the
+  table behind a schema-less empty manifest (redelivery would raise
+  instead of converging — the crash-idempotent contract);
+* temperature-rate thresholds must sit a safe margin away from
+  integer boundaries at fixture scale, so a future fixture change
+  that lands within cross-engine pow/floor ulp noise fails LOUDLY
+  here instead of flaking the driver gate.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+from collections import Counter
+
+import pytest
+
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+
+# -- keyed-batch bootstrap crash window ---------------------------------------
+
+
+def test_first_delivery_crash_before_commit_converges(spark, tmp_path):
+    """Simulate the ADVICE r11 hole: the very FIRST delivery of a span
+    table crashes after ``init_manifest`` persisted the (previously
+    schema-less) empty manifest but before the delta commit recorded
+    any file.  The redelivery must read an EMPTY typed corpus side and
+    converge to a clean first delivery."""
+    from pyspark.sql import functions as F
+
+    from m3_spark.pipeline.dedup import span_ingest_batch, span_windows
+    from m3_spark.sources import snapshots
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d a b c d"), (2, "a b c d a b c d"), (3, "x y z")],
+        "doc_id long, text string",
+    )
+    span_path = str(tmp_path / "spans_crash")
+
+    # reproduce the exact crash state _write_keyed_batch can leave on a
+    # fresh table: manifest bootstrapped, zero files committed
+    out_schema = (
+        span_windows(docs, 4).withColumn("_span_batch", F.lit(0)).schema
+    )
+    with snapshots.writer_lock(span_path):
+        snapshots.init_manifest(span_path, out_schema.json())
+
+    # the "redelivery": must not raise, must flag exactly what a clean
+    # first delivery into an empty table would
+    flagged = span_ingest_batch(docs, span_path, 4, batch_id=0)
+    got = {(r["doc_id"], r["pos"]) for r in flagged.collect()}
+    # docs 1 and 2 are exact duplicates: every window of both collides
+    assert got == {(1, 0), (1, 1), (1, 2), (1, 3), (1, 4),
+                   (2, 0), (2, 1), (2, 2), (2, 3), (2, 4)}
+
+    # and the table is now live: a second batch sees batch 0's spans
+    more = spark.createDataFrame(
+        [(9, "a b c d zz")], "doc_id long, text string"
+    )
+    flagged2 = span_ingest_batch(more, span_path, 4, batch_id=1)
+    assert {(r["doc_id"], r["pos"]) for r in flagged2.collect()} == {(9, 0)}
+    shutil.rmtree(span_path, ignore_errors=True)
+
+
+def test_legacy_schemaless_crash_state_self_heals(spark, tmp_path):
+    """A table stranded by the PRE-fix crash (zero-file manifest with
+    no schema at all) must also redeliver cleanly — the reader falls
+    back to an empty corpus side typed from the batch itself."""
+    from m3_spark.pipeline.dedup import span_ingest_batch
+    from m3_spark.sources import snapshots
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d a b c d"), (2, "a b c d a b c d")],
+        "doc_id long, text string",
+    )
+    span_path = str(tmp_path / "spans_legacy_crash")
+    with snapshots.writer_lock(span_path):
+        snapshots.init_manifest(span_path)  # no schema — the old hole
+
+    flagged = span_ingest_batch(docs, span_path, 4, batch_id=0)
+    assert flagged.count() == 10  # both exact-dup docs fully flagged
+    shutil.rmtree(span_path, ignore_errors=True)
+
+
+# -- temperature thresholds vs integer boundaries ------------------------------
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_temperature_thresholds_off_integer_boundaries(sf_dir):
+    """The battery's ``sample_temperature`` entry derives its per-
+    stratum keep threshold as floor(SAMPLE_MOD * (n_min/n)^(1-alpha))
+    in double precision on BOTH engines; a value within ulp noise of
+    an integer could floor differently cross-engine.  Pin the current
+    fixtures' values a wide margin (1e-3 — ~6 orders above any
+    realistic pow/mul ulp drift) away from every integer boundary,
+    exactly as the cosine entries pin eps margins.  Exact rates (the
+    minimum stratum's 1.0) are integer BY CONSTRUCTION on both
+    engines and are exempt."""
+    import pyarrow.parquet as pq
+
+    from m3_spark.pipeline.sampling import SAMPLE_MOD
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    langs = pq.read_table(path, columns=["lang"]).column("lang").to_pylist()
+    counts = Counter(langs)
+    n_min = min(counts.values())
+    alpha = 0.5  # the battery entry's alpha
+    for lang, n in sorted(counts.items()):
+        if n == n_min:
+            continue  # rate is exactly 1.0 → SAMPLE_MOD, exact on both
+        x = SAMPLE_MOD * math.pow(n_min / n, 1.0 - alpha)
+        dist = abs(x - round(x))
+        assert dist > 1e-3, (
+            f"stratum {lang!r} (n={n}) threshold {x!r} sits {dist:.2e} "
+            "from an integer boundary — cross-engine floor flip risk; "
+            "change the fixture or the alpha"
+        )
