@@ -49,12 +49,25 @@ def sig_table_path(corpus_root: str) -> str:
     return os.path.join(corpus_root, "_signatures")
 
 
+def bands_table_path(corpus_root: str) -> str:
+    return os.path.join(corpus_root, "_bands")
+
+
 def span_table_path(corpus_root: str) -> str:
     return os.path.join(corpus_root, "_spans")
 
 
 def pair_log_path(corpus_root: str) -> str:
     return os.path.join(corpus_root, "_pairs")
+
+
+#: default hash-bucket moduli for the arrival side tables.  Sandbox-
+#: sized; a production deployment sizes them to hold the BUCKET
+#: constant as the corpus grows (m ≈ table_rows / target_rows — the
+#: series-dict ``pick_bucket_count`` rule), which is what makes the
+#: per-batch probe flat in corpus size.
+DEFAULT_BAND_BUCKETS = 64
+DEFAULT_SPAN_BUCKETS = 64
 
 
 def document_arrival_step(
@@ -68,6 +81,8 @@ def document_arrival_step(
     span_words: int | None = 12,
     text_col: str = "text",
     id_col: str = "doc_id",
+    band_buckets: int | None = DEFAULT_BAND_BUCKETS,
+    span_buckets: int | None = DEFAULT_SPAN_BUCKETS,
 ) -> None:
     """ONE document micro-batch through the arrival side tables —
     called from the stream's ``foreachBatch`` (or directly for a
@@ -76,20 +91,37 @@ def document_arrival_step(
     partitions and reads exclude them from the corpus side: the rerun
     converges to a clean first delivery.
 
-    ``span_words=None`` disables the substring-dedup side table.
+    The candidate-pair probe goes through the BUCKETED bands table
+    (``_bands``, created on the first delivery with
+    ``band_buckets``): the manifest read, the corpus scan and the
+    band-key group-by are all bounded by the batch's hit buckets and
+    collisions — never O(corpus) — where the pre-r12 path re-grouped
+    the whole signature table per micro-batch.  The signature table is
+    still maintained (the archival form: re-banding with different
+    geometry, bulk backfills).  ``band_buckets=None`` on a corpus with
+    no bands table keeps the legacy signature-table probe.
+
+    ``span_words=None`` disables the substring-dedup side table;
+    ``span_buckets`` buckets it on creation the same way.
     """
     from ..sources import snapshots
     from .dedup import (
+        _band_bucket_count,
+        _banded_rows,
         _fold_legacy_sig_table,
+        _mixed_band_pairs,
         _write_keyed_batch,
+        lsh_candidates_bucketed,
         lsh_candidates_incremental,
         minhash_signature,
         span_ingest_batch,
+        write_bands_batch,
         write_signature_batch,
     )
 
     spark = new_docs.sparkSession
     sig_path = sig_table_path(corpus_root)
+    bands_path = bands_table_path(corpus_root)
     # self-heal an interrupted legacy fold BEFORE reading (the
     # dedup_ingest_batch guard): a crash midway through a prior
     # delivery's fold leaves root files mixed with _sig_batch= dirs,
@@ -103,39 +135,70 @@ def document_arrival_step(
     new_sigs = minhash_signature(
         new_docs, k, n, text_col, id_col
     ).localCheckpoint()
-    if os.path.isdir(sig_path):
-        try:
-            existing_sigs = snapshots.resolve_snapshot(spark, sig_path)
-        except ValueError:
-            # a crash between a first delivery's manifest bootstrap and
-            # its commit (pre-r12 left the manifest schema-less) must
-            # redeliver, not crash-loop: empty corpus side typed from
-            # the batch's own signatures
-            existing_sigs = spark.createDataFrame([], new_sigs.schema)
-        if "_sig_batch" in existing_sigs.columns:
-            # redelivery exclusion, as in dedup_ingest_batch
-            existing_sigs = existing_sigs.where(
-                F.col("_sig_batch") != int(batch_id)
-            ).drop("_sig_batch")
-    else:
-        existing_sigs = spark.createDataFrame(
-            [], new_sigs.schema
+    bands_live = _band_bucket_count(bands_path) is not None
+    # the bands probe engages only when the bands table exists or the
+    # CORPUS is fresh: an existing signature corpus with no bands
+    # table must keep the signature probe — switching would silently
+    # probe an EMPTY bands corpus and miss every historical collision.
+    # To migrate an existing corpus, backfill once:
+    #   seed_bands_table(read_signature_table(spark, sig_path), ...)
+    fresh_corpus = not snapshots.has_manifest(sig_path) and not (
+        os.path.isdir(sig_path)
+        and snapshots.list_parquet_files(sig_path)
+    )
+    if bands_live or (band_buckets and fresh_corpus):
+        # band only the batch; cut from lineage so the probe and the
+        # append share one computation
+        banded = _banded_rows(new_sigs, k, bands, id_col).localCheckpoint()
+        if bands_live:
+            pairs = lsh_candidates_bucketed(
+                spark, bands_path, new_sigs, k, bands, id_col,
+                batch_id=batch_id, new_banded=banded,
+            ).localCheckpoint(eager=True)
+        else:
+            # very first delivery: no corpus side — intra-batch only
+            pairs = _mixed_band_pairs(
+                banded.withColumn("is_new", F.lit(True)), id_col
+            ).localCheckpoint(eager=True)
+        write_signature_batch(new_sigs, sig_path, batch_id)
+        write_bands_batch(
+            banded, bands_path, batch_id, k, bands, buckets=band_buckets
         )
-    pairs = lsh_candidates_incremental(
-        new_docs, existing_sigs, k, bands, n, text_col, id_col,
-        new_sigs=new_sigs,
-    ).localCheckpoint(eager=True)
-    # pairs MATERIALIZED above before any append below — appending
-    # first would let the lazy scans list the batch's own fresh files
-    # and self-collide it (same ordering as dedup_ingest_batch)
-    write_signature_batch(new_sigs, sig_path, batch_id)
+    else:
+        if os.path.isdir(sig_path):
+            try:
+                existing_sigs = snapshots.resolve_snapshot(spark, sig_path)
+            except ValueError:
+                # a crash between a first delivery's manifest bootstrap
+                # and its commit (pre-r12 left the manifest schema-less)
+                # must redeliver, not crash-loop: empty corpus side
+                # typed from the batch's own signatures
+                existing_sigs = spark.createDataFrame([], new_sigs.schema)
+            if "_sig_batch" in existing_sigs.columns:
+                # redelivery exclusion, as in dedup_ingest_batch
+                existing_sigs = existing_sigs.where(
+                    F.col("_sig_batch") != int(batch_id)
+                ).drop("_sig_batch")
+        else:
+            existing_sigs = spark.createDataFrame(
+                [], new_sigs.schema
+            )
+        pairs = lsh_candidates_incremental(
+            new_docs, existing_sigs, k, bands, n, text_col, id_col,
+            new_sigs=new_sigs,
+        ).localCheckpoint(eager=True)
+        # pairs MATERIALIZED above before any append below — appending
+        # first would let the lazy scans list the batch's own fresh
+        # files and self-collide it (same ordering as
+        # dedup_ingest_batch)
+        write_signature_batch(new_sigs, sig_path, batch_id)
     _write_keyed_batch(
         pairs, pair_log_path(corpus_root), batch_id, PAIR_BATCH_KEY
     )
     if span_words is not None:
         span_ingest_batch(
             new_docs, span_table_path(corpus_root), span_words,
-            text_col, id_col, batch_id=batch_id,
+            text_col, id_col, batch_id=batch_id, buckets=span_buckets,
         )
 
 
@@ -164,7 +227,7 @@ def materialize_clusters(spark, corpus_root: str) -> DataFrame:
 
 def vacuum_corpus(corpus_root: str, grace_s: float | None = None) -> int:
     """Housekeeping-cadence vacuum for the arrival side tables
-    (signatures, spans, pair log): write paths never delete, so
+    (signatures, bands, spans, pair log): write paths never delete, so
     redelivery-retired files accumulate until this runs — the
     namespace tier's ``vacuum_namespace`` contract, applied to the
     pipeline tier.  Returns files removed."""
@@ -173,6 +236,7 @@ def vacuum_corpus(corpus_root: str, grace_s: float | None = None) -> int:
     removed = 0
     for path in (
         sig_table_path(corpus_root),
+        bands_table_path(corpus_root),
         span_table_path(corpus_root),
         pair_log_path(corpus_root),
     ):

@@ -168,6 +168,81 @@ def write_signature_table(
     return docs.sparkSession.read.parquet(path)
 
 
+def _banded_rows(
+    sigs: DataFrame, k: int, bands: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, band_id, band_key) rows of a signature frame — the banded
+    LSH index form shared by the one-shot, incremental and
+    table-backed candidate scans.  band_key is md5 of the band's
+    signature slice (engine-portable, high-entropy)."""
+    r = k // bands
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[F.col("signature")[b * r + j] for j in range(r)],
+                            )
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_key")
+
+
+def _mixed_band_pairs(members: DataFrame, id_col: str) -> DataFrame:
+    """Candidate pairs from mixed old/new banded rows: group by band
+    key, keep buckets holding at least one NEW member, fan out the
+    within-bucket pairs where at least one side is new (old-old pairs
+    were emitted when those batches arrived).  ``members`` carries
+    (id_col, band_id, band_key, is_new).  Self-pairs from duplicate
+    banded rows (a redelivered wave's double-append) are dropped.
+    Returns distinct (id_a, id_b)."""
+    buckets = (
+        members.groupBy("band_id", "band_key")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col).alias("id"), "is_new"))
+            ).alias("members")
+        )
+        # buckets with no new member produce only old-old pairs — drop
+        # them before the pair fan-out
+        .where(
+            (F.size("members") >= 2)
+            & F.exists("members", lambda m: m["is_new"])
+        )
+    )
+    ms = F.col("members")
+    pairs = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.filter(
+                F.transform(
+                    F.slice(ms, i + F.lit(2), F.size(ms)),
+                    lambda y: F.struct(
+                        x["id"].alias("id_a"),
+                        y["id"].alias("id_b"),
+                        (x["is_new"] | y["is_new"]).alias("any_new"),
+                    ),
+                ),
+                lambda p: p["any_new"] & (p["id_a"] != p["id_b"]),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+
+
 def lsh_candidates(
     docs: DataFrame, k: int = 12, bands: int = 4, n: int = 3,
     text_col: str = "text", id_col: str = "doc_id",
@@ -190,27 +265,9 @@ def lsh_candidates(
     ``write_signature_table``) keyed (id_col, signature); pass it to
     skip the signature fold entirely.
     """
-    r = k // bands
     if sigs is None:
         sigs = minhash_signature(docs, k, n, text_col, id_col)
-    banded = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.md5(
-                            F.concat_ws(
-                                "|", *[F.col("signature")[b * r + j] for j in range(r)]
-                            )
-                        ).alias("band_key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select(id_col, "band.band_id", "band.band_key")
+    banded = _banded_rows(sigs, k, bands, id_col)
     buckets = (
         banded.groupBy("band_id", "band_key")
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
@@ -252,77 +309,30 @@ def lsh_candidates_incremental(
     Emits distinct (id_a, id_b) pairs where at least one member is
     new — old-old pairs were already produced when those batches
     arrived, so re-emitting them would double-count work AND results.
-    Same single-traversal band-bucket shape as :func:`lsh_candidates`
-    (one shuffle on the band key, no self-join).
+
+    Plan shape (the per-batch corpus-side SHUFFLE is gone since r12):
+    the batch's band keys (batch-bounded by contract — this is the
+    micro-batch arrival path) are BROADCAST and the corpus's banded
+    rows are semi-joined against them, so the corpus side is a pure
+    scan + band compute with NO exchange; only the matching corpus
+    rows (actual collision candidates) plus the batch's own rows enter
+    the band-key group-by.  Previously the whole corpus signature
+    table re-shuffled through the group-by on every arriving batch —
+    an O(corpus) exchange per micro-batch (VERDICT r11 item 1).  A
+    bucketed bands table (:func:`lsh_candidates_bucketed`) also
+    removes the residual O(corpus) scan+compute.
     """
-    r = k // bands
     if new_sigs is None:
         new_sigs = minhash_signature(new_docs, k, n, text_col, id_col)
-    sigs = existing_sigs.select(
-        F.col(id_col), "signature", F.lit(False).alias("is_new")
-    ).unionByName(
-        new_sigs.select(F.col(id_col), "signature", F.lit(True).alias("is_new"))
+    batch_banded = _banded_rows(new_sigs, k, bands, id_col)
+    batch_keys = batch_banded.select("band_id", "band_key").distinct()
+    corpus_hits = _banded_rows(existing_sigs, k, bands, id_col).join(
+        F.broadcast(batch_keys), ["band_id", "band_key"], "leftsemi"
     )
-    banded = sigs.select(
-        F.col(id_col),
-        "is_new",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[F.col("signature")[b * r + j] for j in range(r)],
-                            )
-                        ).alias("band_key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select(id_col, "is_new", "band.band_id", "band.band_key")
-    buckets = (
-        banded.groupBy("band_id", "band_key")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col(id_col).alias("id"), "is_new"))
-            ).alias("members")
-        )
-        # buckets with no new member produce only old-old pairs — drop
-        # them before the pair fan-out
-        .where(
-            (F.size("members") >= 2)
-            & F.exists("members", lambda m: m["is_new"])
-        )
+    members = corpus_hits.withColumn("is_new", F.lit(False)).unionByName(
+        batch_banded.withColumn("is_new", F.lit(True))
     )
-    ms = F.col("members")
-    pairs = F.flatten(
-        F.transform(
-            ms,
-            lambda x, i: F.filter(
-                F.transform(
-                    F.slice(ms, i + F.lit(2), F.size(ms)),
-                    lambda y: F.struct(
-                        x["id"].alias("id_a"),
-                        y["id"].alias("id_b"),
-                        (x["is_new"] | y["is_new"]).alias("any_new"),
-                    ),
-                ),
-                # any_new: old-old pairs were emitted when those
-                # batches arrived; id_a != id_b: duplicate signature
-                # rows for one doc (a redelivered wave's double-append)
-                # must not emit self-pairs
-                lambda p: p["any_new"] & (p["id_a"] != p["id_b"]),
-            ),
-        )
-    )
-    return (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .distinct()
-    )
+    return _mixed_band_pairs(members, id_col)
 
 
 # -- SimHash -----------------------------------------------------------------
@@ -832,18 +842,29 @@ def write_signature_batch(
 
 
 def _write_keyed_batch(
-    df: DataFrame, path: str, batch_id: int, key: str
+    df: DataFrame, path: str, batch_id: int, key: str,
+    bucket_col: str | None = None, extra: dict | None = None,
 ) -> None:
     """The batch-keyed append-plus-flip shared by the arrival-path
-    side tables (signatures, span hashes): the batch's rows land as
-    NEW files under a ``<key>=<batch_id>`` partition, and one DELTA
-    manifest flip retires any files a crashed earlier attempt of the
-    same batch left under that leaf — reading/rewriting only this
-    batch's manifest segment (the keyed partition IS a top-level
-    segment), so per-batch flip cost never grows with the table."""
+    side tables (signatures, span hashes, banded keys, pair log): the
+    batch's rows land as NEW files under a ``<key>=<batch_id>``
+    partition, and one DELTA manifest flip retires any files a crashed
+    earlier attempt of the same batch left under that leaf —
+    reading/rewriting only this batch's manifest segments, so per-batch
+    flip cost never grows with the table.
+
+    ``bucket_col``: a hash-bucket column already ON ``df`` — the
+    layout becomes ``<bucket_col>=<b>/<key>=<batch_id>/``, making the
+    bucket the TOP-level manifest segment (probe reads prune to hit
+    buckets via ``resolve_snapshot(seg_filter=...)``) while the batch
+    key stays the second-level leaf ``commit_snapshot_delta`` retires
+    across buckets on redelivery.  Flip cost is then O(the batch's hit
+    buckets).  ``extra`` records table-level metadata (the bucket
+    modulus) on creation; extras persist across later flips."""
     from ..sources import snapshots
 
     out = df.withColumn(key, F.lit(int(batch_id)))
+    parts = ([bucket_col] if bucket_col else []) + [key]
     leaf = f"{key}={int(batch_id)}"
     with snapshots.writer_lock(path):
         # pass the batch's schema into the bootstrap: on a table's very
@@ -855,12 +876,12 @@ def _write_keyed_batch(
         # meant to establish it
         manifest = snapshots.init_manifest(path, out.schema.json())
         new_files = snapshots.snapshot_append(
-            out, path, partition_by=[key],
+            out, path, partition_by=parts,
             keep_dir=snapshots.leaf_scope(leaf),
         )
         snapshots.commit_snapshot_delta(
             path, add=new_files, remove_leaves=[leaf],
-            schema_json=out.schema.json(),
+            schema_json=out.schema.json(), extra=extra,
             expected_version=manifest["version"],
         )
 
@@ -875,6 +896,171 @@ def read_signature_table(spark, sig_path: str) -> DataFrame:
 
     df = snapshots.resolve_snapshot(spark, sig_path)
     return df.drop("_sig_batch") if "_sig_batch" in df.columns else df
+
+
+# -- bucketed bands table (the LSH probe index) --------------------------------
+
+#: reserved ``_band_batch`` value for a bulk-seeded base corpus
+BAND_BASE_BATCH = -1
+
+#: top-level hash-bucket partition of the bands table
+BAND_BUCKET_COL = "band_bucket"
+
+
+def _band_bucket_count(bands_path: str) -> int | None:
+    """The bands table's bucket modulus from its manifest root (None =
+    no table / unbucketed).  Root-only read."""
+    from ..sources import snapshots
+
+    meta = snapshots.read_snapshot_meta(bands_path)
+    if meta is None:
+        return None
+    m = meta.get("band_buckets")
+    return int(m) if m else None
+
+
+def _with_band_bucket(banded: DataFrame, m: int) -> DataFrame:
+    return banded.withColumn(
+        BAND_BUCKET_COL,
+        F.pmod(F.xxhash64(F.col("band_key")), F.lit(int(m))),
+    )
+
+
+def seed_bands_table(
+    sigs: DataFrame, bands_path: str, k: int, bands: int,
+    buckets: int, id_col: str = "doc_id",
+) -> None:
+    """Bulk-band an existing signature corpus into the BANDED index
+    table — the structure the arrival loop probes instead of
+    re-grouping the whole signature table per micro-batch (VERDICT r11
+    item 1; the reference's m3ninx FST segments likewise index a term
+    straight to its postings instead of scanning all postings,
+    ``src/m3ninx/index/segment/fst/segment.go``).
+
+    Layout: (id, band_id, band_key) rows hash-partitioned
+    ``band_bucket=<xxhash64(band_key)%m>/_band_batch=<k>/`` — the
+    bucket is the top-level manifest segment, so a probe reads only
+    the batch's hit buckets; the batch key is the second-level
+    redelivery leaf.  The modulus AND the (k, bands) the keys were
+    derived under are recorded in the manifest; probing with different
+    band geometry raises instead of silently missing candidates.
+
+    Size ``buckets`` to hold the bucket constant as the corpus grows
+    (m ≈ corpus_docs × bands / target_rows): per-batch probe I/O is
+    then ≤ batch_keys × target_rows, independent of corpus size."""
+    banded = _banded_rows(sigs, k, bands, id_col)
+    m = int(buckets)
+    _write_keyed_batch(
+        _with_band_bucket(banded, m).repartition(m, BAND_BUCKET_COL),
+        bands_path, BAND_BASE_BATCH, "_band_batch",
+        bucket_col=BAND_BUCKET_COL,
+        extra={"band_buckets": m, "lsh_k": int(k), "lsh_bands": int(bands)},
+    )
+
+
+def _check_band_geometry(bands_path: str, k: int, bands: int) -> int:
+    """The table's bucket modulus, after validating the caller's band
+    geometry matches what the keys were derived under."""
+    from ..sources import snapshots
+
+    meta = snapshots.read_snapshot_meta(bands_path) or {}
+    m = meta.get("band_buckets")
+    if not m:
+        raise ValueError(f"no bucketed bands table at {bands_path}")
+    if int(meta.get("lsh_k", k)) != int(k) or int(
+        meta.get("lsh_bands", bands)
+    ) != int(bands):
+        raise ValueError(
+            f"bands table at {bands_path} was built with "
+            f"k={meta.get('lsh_k')}, bands={meta.get('lsh_bands')}; "
+            f"probing with k={k}, bands={bands} would silently miss "
+            "candidates — rebuild the table"
+        )
+    return int(m)
+
+
+def write_bands_batch(
+    banded: DataFrame, bands_path: str, batch_id: int,
+    k: int, bands: int, buckets: int | None = None,
+) -> None:
+    """IDEMPOTENT banded-rows persist — the same batch-keyed
+    append-plus-flip as the signature and span sinks.  ``buckets``
+    creates the table on the first delivery (no seed); on an existing
+    table the recorded modulus wins and the geometry is validated."""
+    if int(batch_id) == BAND_BASE_BATCH:
+        raise ValueError(
+            f"_band_batch={BAND_BASE_BATCH} is reserved for the base corpus"
+        )
+    import os
+
+    if os.path.isdir(bands_path) and _band_bucket_count(bands_path):
+        m = _check_band_geometry(bands_path, k, bands)
+        extra = None
+    else:
+        if not buckets:
+            raise ValueError(
+                f"no bands table at {bands_path} and no bucket count "
+                "given for creation"
+            )
+        m = int(buckets)
+        extra = {
+            "band_buckets": m, "lsh_k": int(k), "lsh_bands": int(bands)
+        }
+    _write_keyed_batch(
+        _with_band_bucket(banded, m), bands_path, batch_id,
+        "_band_batch", bucket_col=BAND_BUCKET_COL, extra=extra,
+    )
+
+
+def lsh_candidates_bucketed(
+    spark, bands_path: str, new_sigs: DataFrame,
+    k: int = 12, bands: int = 4, id_col: str = "doc_id",
+    batch_id: int | None = None, new_banded: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental LSH candidates for a new batch against the BUCKETED
+    bands table: the batch's band keys map to hit buckets driver-side
+    (a list bounded by min(batch keys, m)), the manifest read and the
+    corpus scan prune to those segments, and the corpus rows are
+    semi-joined against the BROADCAST batch keys — per-batch cost is
+    O(hit buckets × bucket rows + collisions), never O(corpus), in
+    I/O, compute AND shuffle.  Same output contract as
+    :func:`lsh_candidates_incremental`: distinct (id_a, id_b) with at
+    least one new member.
+
+    ``batch_id``: rows of a crashed earlier delivery of this batch are
+    excluded from the corpus side (the redelivery contract).
+    ``new_banded``: the batch's banded rows if already materialized —
+    skips the re-band.
+    """
+    from ..sources import snapshots
+
+    m = _check_band_geometry(bands_path, k, bands)
+    batch_banded = (
+        new_banded
+        if new_banded is not None
+        else _banded_rows(new_sigs, k, bands, id_col)
+    )
+    batch_keys = batch_banded.select("band_id", "band_key").distinct()
+    hit = {
+        int(r[0])
+        for r in _with_band_bucket(batch_keys, m)
+        .select(BAND_BUCKET_COL)
+        .distinct()
+        .collect()
+    }
+    allowed = {f"{BAND_BUCKET_COL}={b}" for b in hit}
+    corpus = snapshots.resolve_snapshot(
+        spark, bands_path, seg_filter=allowed.__contains__
+    )
+    if batch_id is not None and "_band_batch" in corpus.columns:
+        corpus = corpus.where(F.col("_band_batch") != int(batch_id))
+    corpus_hits = corpus.select(id_col, "band_id", "band_key").join(
+        F.broadcast(batch_keys), ["band_id", "band_key"], "leftsemi"
+    )
+    members = corpus_hits.withColumn("is_new", F.lit(False)).unionByName(
+        batch_banded.withColumn("is_new", F.lit(True))
+    )
+    return _mixed_band_pairs(members, id_col)
 
 
 def dedup_ingest_batch(
@@ -1126,6 +1312,20 @@ def duplicate_spans_incremental(
     (e.g. by :func:`span_ingest_batch`, which must window the batch
     exactly once) — skips the re-window.
 
+    Plan shape (the per-batch corpus-side SHUFFLE is gone since r12):
+    the batch's distinct hashes (batch-bounded by contract — this is
+    the micro-batch arrival path) are BROADCAST and the corpus span
+    table is semi-joined against them, so the corpus side is a pure
+    column-pruned scan of the 8-byte hash column with NO exchange; the
+    distinct that follows runs over matched rows only (bounded by the
+    batch's hit set after map-side combine).  Previously
+    ``existing_spans.select(...).distinct()`` re-shuffled the ENTIRE
+    span table — ~1 row per corpus word — on every arriving batch
+    (VERDICT r11 item 1).  The flag join back onto the batch is also a
+    broadcast (the hit set is a subset of the batch's hashes).  A
+    bucketed span table (``seed_span_table(buckets=...)``) additionally
+    bounds the corpus SCAN to the batch's hit buckets.
+
     Returns (id, pos, span_hash) of the batch's duplicated windows.
     """
     spans = (
@@ -1134,18 +1334,49 @@ def duplicate_spans_incremental(
         else span_windows(new_docs, span_words, text_col, id_col)
     )
     intra = _dup_span_hashes(spans, id_col)
-    ext = existing_spans.select("span_hash").distinct()
-    return spans.join(
-        intra.union(ext).distinct(), "span_hash"
-    ).select(id_col, "pos", "span_hash")
+    batch_hashes = spans.select("span_hash").distinct()
+    ext_hits = (
+        existing_spans.select("span_hash")
+        .join(F.broadcast(batch_hashes), "span_hash", "leftsemi")
+        .distinct()
+    )
+    hits = intra.unionByName(ext_hits).distinct()
+    return spans.join(F.broadcast(hits), "span_hash").select(
+        id_col, "pos", "span_hash"
+    )
 
 
 #: reserved ``_span_batch`` value for a bulk-seeded base corpus
 SPAN_BASE_BATCH = -1
 
+#: top-level hash-bucket partition of a bucketed span table
+SPAN_BUCKET_COL = "span_bucket"
+
+
+def _span_bucket_count(span_path: str) -> int | None:
+    """The span table's bucket modulus from its manifest root (None =
+    unbucketed/legacy layout).  Root-only read — O(partitions)."""
+    from ..sources import snapshots
+
+    meta = snapshots.read_snapshot_meta(span_path)
+    if meta is None:
+        return None
+    m = meta.get("span_buckets")
+    return int(m) if m else None
+
+
+def _with_span_bucket(spans: DataFrame, m: int) -> DataFrame:
+    """Attach the storage bucket column: pmod of the (already
+    xxhash64) span hash — uniform by construction, no second hash
+    needed."""
+    return spans.withColumn(
+        SPAN_BUCKET_COL, F.pmod(F.col("span_hash"), F.lit(int(m)))
+    )
+
 
 def write_span_batch(
-    spans: DataFrame, span_path: str, batch_id: int
+    spans: DataFrame, span_path: str, batch_id: int,
+    buckets: int | None = None,
 ) -> None:
     """IDEMPOTENT span-table persist — the substring-dedup side table
     joins the SAME snapshot regime as the fact sink, the series
@@ -1166,7 +1397,31 @@ def write_span_batch(
             f"_span_batch={SPAN_BASE_BATCH} is reserved for the base corpus"
         )
     _fold_legacy_keyed_table(span_path, "_span_batch", SPAN_BASE_BATCH)
-    _write_keyed_batch(spans, span_path, batch_id, "_span_batch")
+    # layout is STICKY: a table seeded bucketed keeps every later batch
+    # bucketed with the SAME modulus (mixed moduli would silently split
+    # one hash across two buckets and the probe would miss it).
+    # ``buckets`` only applies on true CREATION (no manifest, no files)
+    # — turning bucketing on over live unbucketed leaves would mix
+    # partition depths among listed files.
+    from ..sources import snapshots
+
+    m = _span_bucket_count(span_path)
+    extra = None
+    if (
+        m is None
+        and buckets
+        and not snapshots.has_manifest(span_path)
+        and not snapshots.list_parquet_files(span_path)
+    ):
+        m = int(buckets)
+        extra = {"span_buckets": m}
+    if m:
+        _write_keyed_batch(
+            _with_span_bucket(spans, m), span_path, batch_id,
+            "_span_batch", bucket_col=SPAN_BUCKET_COL, extra=extra,
+        )
+    else:
+        _write_keyed_batch(spans, span_path, batch_id, "_span_batch")
 
 
 def seed_span_table(
@@ -1175,11 +1430,23 @@ def seed_span_table(
     span_words: int = 12,
     text_col: str = "text",
     id_col: str = "doc_id",
+    buckets: int | None = None,
 ) -> None:
     """Bulk-window an existing corpus into the span table under the
     reserved base partition — the one-off backfill before incremental
     arrival takes over (the signature table's ``_sig_batch=-1``
     analog, landed through the same keyed append-plus-flip).
+
+    ``buckets=m`` seeds the BUCKETED layout
+    (``span_bucket=<hash%m>/_span_batch=<k>/``): arrival probes then
+    read only the batch's hit buckets via manifest segment pruning
+    instead of scanning the whole table.  Size m to hold the BUCKET
+    constant as the corpus grows (m ≈ corpus_spans / target_rows, the
+    series-dict ``pick_bucket_count`` rule) — per-batch probe I/O is
+    then ≤ batch_hashes × target_rows, independent of corpus size.
+    The modulus is recorded in the manifest (``span_buckets``) and the
+    layout is sticky; re-seeding with a DIFFERENT modulus over live
+    batch leaves raises (a rebuild, not an append, changes m).
 
     Legacy plain-append history is PRESERVED: flat root files fold
     under the base leaf, and because the keyed write's delta flip
@@ -1191,6 +1458,8 @@ def seed_span_table(
     by repro)."""
     import os
 
+    from ..sources import snapshots
+
     spans = span_windows(docs, span_words, text_col, id_col)
     folded = _fold_legacy_keyed_table(
         span_path, "_span_batch", SPAN_BASE_BATCH
@@ -1201,18 +1470,52 @@ def seed_span_table(
             id_col, "pos", "span_hash"
         )
         spans = spans.unionByName(legacy).distinct().localCheckpoint()
-    _write_keyed_batch(spans, span_path, SPAN_BASE_BATCH, "_span_batch")
+    existing_m = _span_bucket_count(span_path)
+    if buckets is not None and existing_m not in (None, int(buckets)):
+        raise ValueError(
+            f"span table at {span_path} is bucketed with modulus "
+            f"{existing_m}; re-seeding with {buckets} would split one "
+            "hash across two buckets — rebuild the table to re-bucket"
+        )
+    m = int(buckets) if buckets is not None else existing_m
+    if m:
+        if buckets is not None and existing_m is None:
+            # migrating a live UNbucketed keyed table in place would
+            # mix partition depths among listed files; only a fresh /
+            # legacy-flat table (whose folded leaf this seed retires
+            # and rewrites) may turn bucketing on
+            segs = snapshots.snapshot_segments(span_path) or {}
+            live = [
+                s for s in segs
+                if s.startswith("_span_batch=")
+                and s != f"_span_batch={SPAN_BASE_BATCH}"
+                and segs[s].get("n", 0) > 0
+            ]
+            if live:
+                raise ValueError(
+                    f"span table at {span_path} has live unbucketed "
+                    f"batch leaves {sorted(live)}; rebuild to bucket"
+                )
+        # n-task repartition: one file per hit bucket dir instead of
+        # (#tasks × #buckets) small files
+        spans = _with_span_bucket(spans, m).repartition(m, SPAN_BUCKET_COL)
+        _write_keyed_batch(
+            spans, span_path, SPAN_BASE_BATCH, "_span_batch",
+            bucket_col=SPAN_BUCKET_COL, extra={"span_buckets": m},
+        )
+    else:
+        _write_keyed_batch(spans, span_path, SPAN_BASE_BATCH, "_span_batch")
 
 
 def read_span_table(spark, span_path: str) -> DataFrame:
     """Reader over the span table — current-snapshot resolved (a
     concurrent batch flip never disturbs the returned frame); the
-    ``_span_batch`` idempotency column is a write-path detail and is
-    stripped."""
+    ``_span_batch`` idempotency and ``span_bucket`` layout columns are
+    write-path details and are stripped."""
     from ..sources import snapshots
 
     df = snapshots.resolve_snapshot(spark, span_path)
-    return df.drop("_span_batch") if "_span_batch" in df.columns else df
+    return df.drop("_span_batch", SPAN_BUCKET_COL)
 
 
 def span_ingest_batch(
@@ -1222,6 +1525,7 @@ def span_ingest_batch(
     text_col: str = "text",
     id_col: str = "doc_id",
     batch_id: int | None = None,
+    buckets: int | None = None,
 ) -> DataFrame:
     """The complete substring-dedup ARRIVAL step, one call — the
     span-level sibling of :func:`dedup_ingest_batch`:
@@ -1233,14 +1537,22 @@ def span_ingest_batch(
        re-windowed, old-old collisions never re-emitted), materialized
        eagerly BEFORE the append: writing first would let the lazy
        flag scan list the batch's own freshly-appended hashes and
-       self-collide every window;
+       self-collide every window.  On a BUCKETED table
+       (``seed_span_table(buckets=m)``) the corpus side is resolved
+       through a manifest ``seg_filter`` keeping only the batch's hit
+       buckets — probe I/O is O(hit buckets × bucket rows), flat in
+       corpus size when m is sized to the corpus;
     3. persist the batch's windows under their ``_span_batch``
-       partition so the NEXT arrival sees this one.
+       partition (inside their hash buckets when bucketed) so the NEXT
+       arrival sees this one.
 
     Crash-idempotent end to end with ``batch_id``: a redelivered wave
     replaces its own partition and is EXCLUDED from the corpus side of
     the flag scan, so the rerun flags exactly what a clean first
-    delivery would.  Returns the batch's flagged (id, pos, span_hash).
+    delivery would.  ``buckets``: bucket the table on true CREATION
+    (the first delivery with nothing seeded); ignored on an existing
+    table, whose recorded layout is sticky.  Returns the batch's
+    flagged (id, pos, span_hash).
     """
     from ..sources import snapshots
 
@@ -1257,8 +1569,25 @@ def span_ingest_batch(
     import os
 
     if os.path.isdir(span_path):
+        seg_filter = None
+        m = _span_bucket_count(span_path)
+        if m:
+            # the batch's hit buckets — a driver-side list bounded by
+            # min(batch hashes, m); the manifest read and the corpus
+            # scan both prune to these segments
+            hit = {
+                int(r[0])
+                for r in _with_span_bucket(new_spans, m)
+                .select(SPAN_BUCKET_COL)
+                .distinct()
+                .collect()
+            }
+            allowed = {f"{SPAN_BUCKET_COL}={b}" for b in hit}
+            seg_filter = allowed.__contains__
         try:
-            existing = snapshots.resolve_snapshot(spark, span_path)
+            existing = snapshots.resolve_snapshot(
+                spark, span_path, seg_filter=seg_filter
+            )
         except ValueError:
             # a crash between a first delivery's manifest bootstrap
             # and its commit (pre-r12 left the manifest schema-less)
@@ -1286,7 +1615,7 @@ def span_ingest_batch(
         new_spans=new_spans,
     ).localCheckpoint(eager=True)
     if batch_id is not None:
-        write_span_batch(new_spans, span_path, batch_id)
+        write_span_batch(new_spans, span_path, batch_id, buckets=buckets)
     else:
         if snapshots.has_manifest(span_path):
             raise ValueError(

@@ -784,6 +784,7 @@ from .queries_round8 import make_round8_queries  # noqa: E402
 from .queries_round9 import make_round9_queries  # noqa: E402
 from .queries_round10 import ROUND10_QUERIES  # noqa: E402
 from .queries_round11 import ROUND11_QUERIES  # noqa: E402
+from .queries_round12 import ROUND12_QUERIES  # noqa: E402
 
 QUERIES = {
     **PIPELINE_QUERIES,
@@ -795,6 +796,7 @@ QUERIES = {
     **make_round9_queries(ORACLE_DEDUP_CLUSTERS),
     **ROUND10_QUERIES,
     **ROUND11_QUERIES,
+    **ROUND12_QUERIES,
     "promql_sum_by": (q_sum_by, ORACLE_SUM_BY),
     "promql_agg_by_multi": (q_agg_by_multi, ORACLE_AGG_BY_MULTI),
     "promql_topk": (q_topk, ORACLE_TOPK),

@@ -1,0 +1,102 @@
+"""Round-12 battery entries: the bucketed arrival-probe structures
+(bands table, bucketed span table) and the vectorized SemDeDup
+pairwise kernel, each driven through the driver gate against the SAME
+oracles as their unbucketed / fold-form siblings — storage layout and
+kernel choice must be result-invisible.
+
+* ``dedup_bands_bucketed`` — the bucketed bands-table probe
+  (seed corpus bands → probe the doc_id % 5 == 0 batch): per-batch
+  cost is O(hit buckets + collisions), never O(corpus); the pair set
+  must equal the signature-table incremental scan's
+  (ORACLE_DEDUP_INCREMENTAL verbatim).
+* ``span_bucketed_redelivered`` — the span arrival through the
+  BUCKETED layout (seed with buckets → deliver the batch TWICE): the
+  manifest-pruned probe plus redelivery exclusion must flag exactly
+  what the unbucketed path flags (ORACLE_SPAN_INCREMENTAL verbatim).
+* ``semdedup_vectorized`` — SemDeDup with the per-cluster numpy
+  matmul kernel (the production/bench path): the kept set must equal
+  the interpreted fold's (ORACLE_SEMDEDUP verbatim; the fixture's
+  nearest pair sits 3.6e-4 from eps, far outside BLAS-ulp drift).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def q_dedup_bands_bucketed(spark, sf_dir):
+    import shutil
+
+    from .pipeline.dedup import (
+        lsh_candidates_bucketed,
+        minhash_signature,
+        seed_bands_table,
+    )
+    from .queries_pipeline import BANDS, K_MINHASH, NGRAM
+    from .queries_round7 import _scratch
+    from .sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    _t, bands_path = _scratch("bands_bucketed", sf_dir)
+    shutil.rmtree(bands_path, ignore_errors=True)
+    corpus_sigs = minhash_signature(
+        docs.where(F.col("doc_id") % 5 != 0), K_MINHASH, NGRAM
+    )
+    seed_bands_table(corpus_sigs, bands_path, K_MINHASH, BANDS, buckets=16)
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    return lsh_candidates_bucketed(
+        spark, bands_path, minhash_signature(batch, K_MINHASH, NGRAM),
+        K_MINHASH, BANDS,
+    )
+
+
+def q_span_bucketed_redelivered(spark, sf_dir):
+    import shutil
+
+    from .pipeline.dedup import seed_span_table, span_ingest_batch
+    from .queries_round7 import _scratch
+    from .queries_round11 import SPAN_WORDS
+    from .sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    _t, span_path = _scratch("span_bucketed", sf_dir)
+    shutil.rmtree(span_path, ignore_errors=True)
+    seed_span_table(
+        docs.where(F.col("doc_id") % 5 != 0), span_path, SPAN_WORDS,
+        buckets=32,
+    )
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    span_ingest_batch(batch, span_path, SPAN_WORDS, batch_id=3)
+    flagged = span_ingest_batch(batch, span_path, SPAN_WORDS, batch_id=3)
+    return flagged.select("doc_id", "pos")
+
+
+def q_semdedup_vectorized(spark, sf_dir):
+    from .pipeline.similarity import semantic_dedup
+    from .queries_round11 import SEM_EPS, SEM_K
+    from .sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, SEM_K, SEM_EPS, vectorized=True).select(
+        "vec_id"
+    )
+
+
+def _round12_queries():
+    from .queries_pipeline import ORACLE_DEDUP_INCREMENTAL
+    from .queries_round11 import ORACLE_SEMDEDUP, ORACLE_SPAN_INCREMENTAL
+
+    return {
+        "dedup_bands_bucketed": (
+            q_dedup_bands_bucketed,
+            ORACLE_DEDUP_INCREMENTAL,
+        ),
+        "span_bucketed_redelivered": (
+            q_span_bucketed_redelivered,
+            ORACLE_SPAN_INCREMENTAL,
+        ),
+        "semdedup_vectorized": (q_semdedup_vectorized, ORACLE_SEMDEDUP),
+    }
+
+
+ROUND12_QUERIES = _round12_queries()

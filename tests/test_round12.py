@@ -1,0 +1,316 @@
+"""Round-12: bucketed dedup side tables (the arrival READ side) and
+the vectorized SemDeDup pairwise kernel.
+
+The r11 verdict's two `weak` items: (1) the arrival-path flag scans
+re-shuffled the FULL corpus side table per micro-batch (span table ~1
+row per corpus word; signature table re-grouped whole); (2) SemDeDup's
+pairwise stage ran interpreted `aggregate` folds.  These pin:
+
+* probe ≡ full-recompute equivalence for the bucketed bands table and
+  the bucketed span table (layout must be result-invisible);
+* redelivery idempotency through the bucketed layouts;
+* geometry/modulus guards (probing with mismatched band geometry or
+  re-seeding with a different modulus raises instead of silently
+  missing candidates);
+* semantic_dup_pairs_np ≡ semantic_dup_pairs, including under forced
+  block sub-splitting (the skew guard path).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from m3_spark.pipeline.dedup import (
+    lsh_candidates,
+    lsh_candidates_bucketed,
+    lsh_candidates_incremental,
+    minhash_signature,
+    seed_bands_table,
+    seed_span_table,
+    span_ingest_batch,
+    write_bands_batch,
+    _banded_rows,
+)
+from m3_spark.sources import snapshots
+
+WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+    "kilo lima mike november oscar papa quebec romeo sierra tango "
+    "uniform victor whiskey xray yankee zulu one two three four"
+).split()
+
+
+def _doc(i, words):
+    return {"doc_id": i, "text": " ".join(words)}
+
+
+def _corpus_rows():
+    # 1/4 near-dups of each other, 2/5 exact dups, 3, 6 unique
+    return [
+        _doc(1, WORDS[:14]),
+        _doc(2, WORDS[5:20]),
+        _doc(3, list(reversed(WORDS[:15]))),
+        _doc(4, WORDS[:13] + ["zz"]),
+        _doc(5, WORDS[5:20]),
+        _doc(6, WORDS[10:28]),
+    ]
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows],
+        "doc_id long, text string",
+    )
+
+
+def _pairs(df):
+    return {(r.id_a, r.id_b) for r in df.select("id_a", "id_b").collect()}
+
+
+# -- bucketed bands table ------------------------------------------------------
+
+
+def test_bucketed_bands_probe_matches_incremental(spark, tmp_path):
+    rows = _corpus_rows()
+    docs = _docs_df(spark, rows)
+    corpus = docs.where(F.col("doc_id") <= 3)
+    batch = docs.where(F.col("doc_id") > 3)
+    corpus_sigs = minhash_signature(corpus, k=8, n=3)
+    bands_path = str(tmp_path / "bands")
+    seed_bands_table(corpus_sigs, bands_path, k=8, bands=4, buckets=16)
+
+    got = lsh_candidates_bucketed(
+        spark, bands_path, minhash_signature(batch, k=8, n=3),
+        k=8, bands=4,
+    )
+    want = lsh_candidates_incremental(
+        batch, corpus_sigs, k=8, bands=4, n=3
+    )
+    assert _pairs(got) == _pairs(want)
+    # and the union view reproduces the one-shot full-corpus scan's
+    # pairs that involve a new doc
+    full = {
+        p for p in _pairs(lsh_candidates(docs, k=8, bands=4, n=3))
+        if p[0] > 3 or p[1] > 3
+    }
+    assert _pairs(got) == full
+
+
+def test_bucketed_bands_layout_and_meta(spark, tmp_path):
+    docs = _docs_df(spark, _corpus_rows())
+    sigs = minhash_signature(docs, k=8, n=3)
+    bands_path = str(tmp_path / "bands")
+    seed_bands_table(sigs, bands_path, k=8, bands=4, buckets=8)
+    meta = snapshots.read_snapshot_meta(bands_path)
+    assert meta["band_buckets"] == 8
+    assert meta["lsh_k"] == 8 and meta["lsh_bands"] == 4
+    # every data file sits under band_bucket=<b>/_band_batch=-1/
+    for f in snapshots.read_manifest(bands_path)["files"]:
+        head, leaf = f.split("/")[0], f.split("/")[1]
+        assert head.startswith("band_bucket=")
+        assert leaf == "_band_batch=-1"
+
+
+def test_bucketed_bands_geometry_guard(spark, tmp_path):
+    docs = _docs_df(spark, _corpus_rows())
+    sigs = minhash_signature(docs, k=8, n=3)
+    bands_path = str(tmp_path / "bands")
+    seed_bands_table(sigs, bands_path, k=8, bands=4, buckets=8)
+    with pytest.raises(ValueError, match="k=8, bands=2"):
+        lsh_candidates_bucketed(spark, bands_path, sigs, k=8, bands=2)
+    with pytest.raises(ValueError, match="rebuild"):
+        write_bands_batch(
+            _banded_rows(sigs, 12, 4), bands_path, 1, k=12, bands=4
+        )
+
+
+def test_bucketed_bands_redelivery_idempotent(spark, tmp_path):
+    rows = _corpus_rows()
+    docs = _docs_df(spark, rows)
+    corpus = docs.where(F.col("doc_id") <= 3)
+    batch = docs.where(F.col("doc_id") > 3)
+    bands_path = str(tmp_path / "bands")
+    seed_bands_table(
+        minhash_signature(corpus, k=8, n=3), bands_path,
+        k=8, bands=4, buckets=16,
+    )
+
+    def deliver():
+        sigs = minhash_signature(batch, k=8, n=3)
+        banded = _banded_rows(sigs, 8, 4).localCheckpoint()
+        pairs = lsh_candidates_bucketed(
+            spark, bands_path, sigs, k=8, bands=4,
+            batch_id=7, new_banded=banded,
+        ).localCheckpoint(eager=True)
+        write_bands_batch(banded, bands_path, 7, k=8, bands=4)
+        return _pairs(pairs)
+
+    first = deliver()
+    # redelivery: the batch's own banded rows are in the table now —
+    # exclusion must keep the rerun identical to the first delivery
+    second = deliver()
+    assert first == second
+    want = _pairs(
+        lsh_candidates_incremental(
+            batch, minhash_signature(corpus, k=8, n=3), k=8, bands=4, n=3
+        )
+    )
+    assert first == want
+    # and no duplicate banded rows survive (the leaf was replaced)
+    table = snapshots.resolve_snapshot(spark, bands_path)
+    batch_rows = table.where(F.col("_band_batch") == 7)
+    assert batch_rows.count() == batch_rows.distinct().count()
+
+
+# -- bucketed span table -------------------------------------------------------
+
+
+def test_bucketed_span_table_probe_matches_unbucketed(spark, tmp_path):
+    rows = _corpus_rows()
+    docs = _docs_df(spark, rows)
+    corpus = docs.where(F.col("doc_id") <= 3)
+    batch = docs.where(F.col("doc_id") > 3)
+
+    flat_path = str(tmp_path / "spans_flat")
+    bkt_path = str(tmp_path / "spans_bkt")
+    seed_span_table(corpus, flat_path, span_words=5)
+    seed_span_table(corpus, bkt_path, span_words=5, buckets=8)
+    meta = snapshots.read_snapshot_meta(bkt_path)
+    assert meta["span_buckets"] == 8
+    for f in snapshots.read_manifest(bkt_path)["files"]:
+        assert f.split("/")[0].startswith("span_bucket=")
+
+    flat = span_ingest_batch(batch, flat_path, span_words=5, batch_id=1)
+    bkt = span_ingest_batch(batch, bkt_path, span_words=5, batch_id=1)
+    key = lambda df: {
+        (r.doc_id, r.pos, r.span_hash) for r in df.collect()
+    }
+    assert key(bkt) == key(flat)
+
+    # layout is sticky: the batch's files landed inside buckets
+    for f in snapshots.snapshot_segment_files(bkt_path, "span_bucket=0"):
+        assert "/_span_batch=" in f
+
+
+def test_bucketed_span_redelivery_idempotent(spark, tmp_path):
+    rows = _corpus_rows()
+    docs = _docs_df(spark, rows)
+    corpus = docs.where(F.col("doc_id") <= 3)
+    batch = docs.where(F.col("doc_id") > 3)
+    path = str(tmp_path / "spans")
+    seed_span_table(corpus, path, span_words=5, buckets=8)
+    first = span_ingest_batch(batch, path, span_words=5, batch_id=2)
+    k1 = {(r.doc_id, r.pos) for r in first.collect()}
+    second = span_ingest_batch(batch, path, span_words=5, batch_id=2)
+    assert {(r.doc_id, r.pos) for r in second.collect()} == k1
+
+
+def test_span_reseed_with_different_modulus_raises(spark, tmp_path):
+    docs = _docs_df(spark, _corpus_rows())
+    path = str(tmp_path / "spans")
+    seed_span_table(docs, path, span_words=5, buckets=8)
+    with pytest.raises(ValueError, match="rebuild"):
+        seed_span_table(docs, path, span_words=5, buckets=16)
+
+
+def test_span_bucketing_ignored_on_existing_unbucketed_table(
+    spark, tmp_path
+):
+    # `buckets` on span_ingest_batch is creation-only: an existing
+    # unbucketed table keeps its layout (mixed depths would break
+    # every read)
+    docs = _docs_df(spark, _corpus_rows())
+    path = str(tmp_path / "spans")
+    seed_span_table(docs.where(F.col("doc_id") <= 3), path, span_words=5)
+    span_ingest_batch(
+        docs.where(F.col("doc_id") > 3), path, span_words=5,
+        batch_id=1, buckets=8,
+    )
+    assert snapshots.read_snapshot_meta(path).get("span_buckets") is None
+    for f in snapshots.read_manifest(path)["files"]:
+        assert f.split("/")[0].startswith("_span_batch=")
+
+
+# -- vectorized SemDeDup pairwise ----------------------------------------------
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def _fixture_embeddings(spark):
+    from m3_spark.sources.tables import read_table
+
+    return read_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+
+def test_semantic_dup_pairs_np_matches_fold(spark):
+    from m3_spark.pipeline.similarity import (
+        semantic_dup_pairs,
+        semantic_dup_pairs_np,
+    )
+
+    emb = _fixture_embeddings(spark)
+    fold = semantic_dup_pairs(emb, n_clusters=8, eps=0.3)
+    np_ = semantic_dup_pairs_np(emb, n_clusters=8, eps=0.3)
+    f = {(r.id_a, r.id_b, r.cluster) for r in fold.collect()}
+    n = {(r.id_a, r.id_b, r.cluster) for r in np_.collect()}
+    assert n == f
+    # cosines agree to BLAS-ulp tolerance
+    fm = {(r.id_a, r.id_b): r.cosine for r in fold.collect()}
+    for r in np_.collect():
+        assert abs(fm[(r.id_a, r.id_b)] - r.cosine) < 1e-9
+
+
+def test_semantic_dup_pairs_np_block_split_equivalent(spark):
+    # force the skew sub-split (block smaller than every cluster):
+    # the blocked fan-out must produce the identical pair set
+    from m3_spark.pipeline.similarity import (
+        semantic_dup_pairs,
+        semantic_dup_pairs_np,
+    )
+
+    emb = _fixture_embeddings(spark).limit(120)
+    fold = semantic_dup_pairs(emb, n_clusters=4, eps=0.25)
+    np_ = semantic_dup_pairs_np(emb, n_clusters=4, eps=0.25, block=7)
+    assert {(r.id_a, r.id_b) for r in np_.collect()} == {
+        (r.id_a, r.id_b) for r in fold.collect()
+    }
+
+
+def test_semantic_dedup_vectorized_same_kept_set(spark):
+    from m3_spark.pipeline.similarity import semantic_dedup
+
+    emb = _fixture_embeddings(spark)
+    kept_fold = {
+        r.vec_id
+        for r in semantic_dedup(emb, 8, 0.3).select("vec_id").collect()
+    }
+    kept_np = {
+        r.vec_id
+        for r in semantic_dedup(emb, 8, 0.3, vectorized=True)
+        .select("vec_id")
+        .collect()
+    }
+    assert kept_np == kept_fold
+
+
+def test_semantic_dup_pairs_np_zero_norm_emits_no_pair(spark):
+    from m3_spark.pipeline.similarity import semantic_dup_pairs_np
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.0, 0.0]),   # zero-norm: cosine undefined → no pair
+        (3, [0.99, 0.01]),
+    ]
+    pairs = semantic_dup_pairs_np(_emb(spark, rows), n_clusters=2, eps=0.5)
+    ids = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert all(2 not in p for p in ids)
+    assert (0, 3) in ids
