@@ -230,6 +230,16 @@ def q_semdedup_2k(spark):
     return q_semdedup_kept(spark, SF_DIR)
 
 
+def q_temperature_mix(spark):
+    """Temperature-scaled mixture sampling over the skewed lang strata
+    (rates derived from the data, keep = exact integer compare on the
+    shared LCG) — closes the perf story on the round-11 sampling
+    operator; predicate-shaped, the corpus never shuffles."""
+    from m3_spark.queries_round11 import q_sample_temperature
+
+    return q_sample_temperature(spark, SF_DIR)
+
+
 def q_m3ql_pipeline_12h(spark):
     """M3QL text pipeline: fetch | sum event_type | >= 0 at 1m steps."""
     from m3_spark.plans.m3ql import evaluate
@@ -256,6 +266,7 @@ BENCH = {
     "m3ql_pipeline_12h": q_m3ql_pipeline_12h,
     "span_stats_5k": q_span_stats_5k,
     "semdedup_2k": q_semdedup_2k,
+    "temperature_mix_5k": q_temperature_mix,
 }
 
 

@@ -1518,6 +1518,68 @@ def read_span_table(spark, span_path: str) -> DataFrame:
     return df.drop("_span_batch", SPAN_BUCKET_COL)
 
 
+def _resolve_span_corpus(
+    spark, span_path: str, new_spans: DataFrame, batch_id: int | None,
+    readonly: bool = False,
+) -> DataFrame:
+    """The corpus side of a span-table probe: the current snapshot,
+    PRUNED to the batch's hit buckets when the table is bucketed (the
+    hit-bucket list is driver-side, bounded by min(batch hashes, m)),
+    with the redelivered batch's own partition excluded and the
+    first-delivery / crash-window fallbacks applied.
+
+    ``readonly``: the caller never appends (a dry-run probe), so
+    ``batch_id=None`` against a batch-keyed table is legitimate — no
+    exclusion, no flat-append hazard to guard."""
+    import os
+
+    from ..sources import snapshots
+
+    if os.path.isdir(span_path):
+        seg_filter = None
+        m = _span_bucket_count(span_path)
+        if m:
+            hit = {
+                int(r[0])
+                for r in _with_span_bucket(new_spans, m)
+                .select(SPAN_BUCKET_COL)
+                .distinct()
+                .collect()
+            }
+            allowed = {f"{SPAN_BUCKET_COL}={b}" for b in hit}
+            seg_filter = allowed.__contains__
+        try:
+            existing = snapshots.resolve_snapshot(
+                spark, span_path, seg_filter=seg_filter
+            )
+        except ValueError:
+            # a crash between a first delivery's manifest bootstrap
+            # and its commit (pre-r12 left the manifest schema-less)
+            # must redeliver, not crash-loop: the corpus side is
+            # empty, typed from the batch's own windows
+            existing = spark.createDataFrame([], new_spans.schema)
+    else:
+        # very first delivery, nothing seeded: empty corpus side
+        existing = spark.createDataFrame([], new_spans.schema)
+    if "_span_batch" in existing.columns:
+        if batch_id is None:
+            if not readonly:
+                raise ValueError(
+                    f"span table at {span_path} is batch-keyed "
+                    "(_span_batch partitions); batch_id=None would "
+                    "append flat files at the root and break every "
+                    "subsequent read — pass the delivery's batch_id"
+                )
+            existing = existing.drop("_span_batch")
+        else:
+            # partition-pruned redelivery exclusion: a crashed earlier
+            # delivery of THIS batch never plays the corpus
+            existing = existing.where(
+                F.col("_span_batch") != int(batch_id)
+            ).drop("_span_batch")
+    return existing
+
+
 def span_ingest_batch(
     new_docs: DataFrame,
     span_path: str,
@@ -1566,50 +1628,7 @@ def span_ingest_batch(
     new_spans = span_windows(
         new_docs, span_words, text_col, id_col
     ).localCheckpoint()
-    import os
-
-    if os.path.isdir(span_path):
-        seg_filter = None
-        m = _span_bucket_count(span_path)
-        if m:
-            # the batch's hit buckets — a driver-side list bounded by
-            # min(batch hashes, m); the manifest read and the corpus
-            # scan both prune to these segments
-            hit = {
-                int(r[0])
-                for r in _with_span_bucket(new_spans, m)
-                .select(SPAN_BUCKET_COL)
-                .distinct()
-                .collect()
-            }
-            allowed = {f"{SPAN_BUCKET_COL}={b}" for b in hit}
-            seg_filter = allowed.__contains__
-        try:
-            existing = snapshots.resolve_snapshot(
-                spark, span_path, seg_filter=seg_filter
-            )
-        except ValueError:
-            # a crash between a first delivery's manifest bootstrap
-            # and its commit (pre-r12 left the manifest schema-less)
-            # must redeliver, not crash-loop: the corpus side is
-            # empty, typed from the batch's own windows
-            existing = spark.createDataFrame([], new_spans.schema)
-    else:
-        # very first delivery, nothing seeded: empty corpus side
-        existing = spark.createDataFrame([], "span_hash long")
-    if "_span_batch" in existing.columns:
-        if batch_id is None:
-            raise ValueError(
-                f"span table at {span_path} is batch-keyed (_span_batch "
-                "partitions); batch_id=None would append flat files at "
-                "the root and break every subsequent read — pass the "
-                "delivery's batch_id"
-            )
-        # partition-pruned redelivery exclusion: a crashed earlier
-        # delivery of THIS batch never plays the corpus
-        existing = existing.where(
-            F.col("_span_batch") != int(batch_id)
-        ).drop("_span_batch")
+    existing = _resolve_span_corpus(spark, span_path, new_spans, batch_id)
     flagged = duplicate_spans_incremental(
         new_docs, existing, span_words, text_col, id_col,
         new_spans=new_spans,
@@ -1669,6 +1688,18 @@ def span_dedup_cut(
     flagged = spans.join(owners, "span_hash").where(
         F.col(id_col) != F.col("_own")
     )
+    return _apply_span_cuts(docs, flagged, span_words, text_col, id_col)
+
+
+def _apply_span_cuts(
+    docs: DataFrame, flagged: DataFrame, span_words: int,
+    text_col: str, id_col: str,
+) -> DataFrame:
+    """Steps 2-3 of the cut action, shared by the corpus-global and
+    arrival forms: flagged (id, pos) windows → covered word indices →
+    rebuild ONLY the cut documents from their surviving (index, word)
+    pairs; untouched docs pass through without a per-word explode.
+    Returns (id, text_cut) for EVERY input document."""
     covered = flagged.select(
         id_col,
         F.explode(
@@ -1705,3 +1736,85 @@ def span_dedup_cut(
         .select(id_col, F.lit("").alias("text_cut"))
     )
     return untouched.unionByName(rebuilt).unionByName(emptied)
+
+
+def span_cut_batch(
+    new_docs: DataFrame,
+    span_path: str,
+    span_words: int = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    batch_id: int | None = None,
+    buckets: int | None = None,
+) -> DataFrame:
+    """Arrival-path CUT (the incremental :func:`span_dedup_cut`): an
+    arriving batch lands PRE-CUT text against the span table's
+    canonical owners, without re-windowing the corpus.
+
+    A batch window is cut iff it is duplicated — held by ≥ 2 distinct
+    documents across corpus ∪ batch — AND this document is not the
+    canonical owner.  The owner is the GLOBAL minimum id holding the
+    window: least(corpus min, batch min), where the corpus min per hit
+    hash comes from the same broadcast-probe the flag scan uses
+    (bounded by the batch's hashes; bucket-pruned on a bucketed
+    table).  That reproduces exactly the full-corpus
+    :func:`span_dedup_cut` verdict restricted to the batch's documents
+    — regardless of id ordering between corpus and batch — which is
+    what the oracle entry pins.  Corpus documents are never
+    retro-cut: history is immutable on the arrival path (a corpus doc
+    that only now gained a duplicate keeps its text; it was canonical
+    when it landed or was cut then).
+
+    ``batch_id``: also persists the batch's ORIGINAL (pre-cut) windows
+    under its ``_span_batch`` partition — future dedup is against
+    original content, exactly like the flag path — with the same
+    crash-idempotent redelivery contract; ``batch_id=None`` is the
+    read-only dry-run (no append).  Returns (id, text_cut) for every
+    batch document.
+    """
+    spark = new_docs.sparkSession
+    if batch_id is not None:
+        _fold_legacy_keyed_table(span_path, "_span_batch", SPAN_BASE_BATCH)
+    new_spans = span_windows(
+        new_docs, span_words, text_col, id_col
+    ).localCheckpoint()
+    existing = _resolve_span_corpus(
+        spark, span_path, new_spans, batch_id,
+        readonly=batch_id is None,
+    )
+    batch_stats = new_spans.groupBy("span_hash").agg(
+        F.min(id_col).alias("_bmin"), F.max(id_col).alias("_bmax")
+    )
+    batch_hashes = new_spans.select("span_hash").distinct()
+    # corpus min id per BATCH-hit hash: the corpus side is a pure
+    # column-pruned scan semi-filtered by the broadcast batch hashes
+    # (no corpus shuffle; the aggregate's input is the hit rows only)
+    corpus_min = (
+        existing.select("span_hash", id_col)
+        .join(F.broadcast(batch_hashes), "span_hash", "leftsemi")
+        .groupBy("span_hash")
+        .agg(F.min(id_col).alias("_cmin"))
+    )
+    owners = (
+        batch_stats.join(corpus_min, "span_hash", "left")
+        .where(
+            F.col("_cmin").isNotNull()
+            | (F.col("_bmin") != F.col("_bmax"))
+        )
+        # F.least skips nulls: a batch-only duplicate owns to its
+        # batch minimum
+        .select(
+            "span_hash", F.least("_cmin", "_bmin").alias("_own")
+        )
+    )
+    flagged = (
+        new_spans.join(F.broadcast(owners), "span_hash")
+        .where(F.col(id_col) != F.col("_own"))
+        .select(id_col, "pos")
+        # materialized BEFORE the append below — the lazy probe on a
+        # legacy (non-manifest) table lists the directory at scan time
+        .localCheckpoint(eager=True)
+    )
+    if batch_id is not None:
+        write_span_batch(new_spans, span_path, batch_id, buckets=buckets)
+    return _apply_span_cuts(new_docs, flagged, span_words, text_col, id_col)

@@ -82,10 +82,82 @@ def q_semdedup_vectorized(spark, sf_dir):
     )
 
 
-def _round12_queries():
-    from .queries_pipeline import ORACLE_DEDUP_INCREMENTAL
-    from .queries_round11 import ORACLE_SEMDEDUP, ORACLE_SPAN_INCREMENTAL
+def q_pair_log_compacted(spark, sf_dir):
+    """Pair-log compaction through the driver gate: the corpus arrives
+    as three waves (doc_id % 3) through document_arrival_step, the
+    first two waves' pair batches are FOLDED into the materialized
+    cluster state (compact_pair_log — their leaves tombstoned), the
+    third wave lands afterwards, and materialize_clusters over
+    state + live pairs must equal the full-corpus clustering
+    (ORACLE_DEDUP_CLUSTERS verbatim — compaction must be
+    result-invisible)."""
+    import shutil
 
+    from .pipeline.arrival import (
+        compact_pair_log,
+        document_arrival_step,
+        materialize_clusters,
+    )
+    from .queries_pipeline import BANDS, K_MINHASH, NGRAM
+    from .queries_round7 import _scratch
+    from .sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    _t, root = _scratch("pair_compact", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    for wave in (0, 1):
+        document_arrival_step(
+            docs.where(F.col("doc_id") % 3 == wave), root, wave,
+            k=K_MINHASH, bands=BANDS, n=NGRAM, span_words=None,
+        )
+    assert compact_pair_log(spark, root) == 2
+    document_arrival_step(
+        docs.where(F.col("doc_id") % 3 == 2), root, 2,
+        k=K_MINHASH, bands=BANDS, n=NGRAM, span_words=None,
+    )
+    return materialize_clusters(spark, root)
+
+
+def q_span_cut_incremental(spark, sf_dir):
+    """The incremental CUT through the driver gate: seed the corpus
+    (doc_id % 5 != 0) into a bucketed span table, then land the batch
+    (doc_id % 5 == 0) through span_cut_batch.  The batch's cut text
+    must equal the FULL-corpus span_dedup_cut verdict restricted to
+    batch documents (the oracle is ORACLE_SPAN_CUT with that
+    restriction) — owner = global min id regardless of how corpus and
+    batch ids interleave."""
+    import shutil
+
+    from .pipeline.dedup import seed_span_table, span_cut_batch
+    from .queries_round7 import _scratch
+    from .queries_round11 import SPAN_WORDS
+    from .sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    _t, span_path = _scratch("span_cut_inc", sf_dir)
+    shutil.rmtree(span_path, ignore_errors=True)
+    seed_span_table(
+        docs.where(F.col("doc_id") % 5 != 0), span_path, SPAN_WORDS,
+        buckets=32,
+    )
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    return span_cut_batch(batch, span_path, SPAN_WORDS, batch_id=4)
+
+
+def _round12_queries():
+    from .queries_pipeline import (
+        ORACLE_DEDUP_CLUSTERS,
+        ORACLE_DEDUP_INCREMENTAL,
+    )
+    from .queries_round11 import (
+        ORACLE_SEMDEDUP,
+        ORACLE_SPAN_CUT,
+        ORACLE_SPAN_INCREMENTAL,
+    )
+
+    oracle_span_cut_batch = (
+        ORACLE_SPAN_CUT.rstrip() + "\nWHERE d.doc_id % 5 = 0\n"
+    )
     return {
         "dedup_bands_bucketed": (
             q_dedup_bands_bucketed,
@@ -96,6 +168,11 @@ def _round12_queries():
             ORACLE_SPAN_INCREMENTAL,
         ),
         "semdedup_vectorized": (q_semdedup_vectorized, ORACLE_SEMDEDUP),
+        "pair_log_compacted": (q_pair_log_compacted, ORACLE_DEDUP_CLUSTERS),
+        "span_cut_incremental": (
+            q_span_cut_incremental,
+            oracle_span_cut_batch,
+        ),
     }
 
 

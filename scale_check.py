@@ -662,6 +662,139 @@ def main() -> None:
         emb = read_table(spark, SCRATCH, "embeddings")
         return semantic_dedup(emb, n_clusters=512, eps=0.9)
 
+    def q_semdedup_np(_):
+        # the SAME SemDeDup run through the vectorized pairwise kernel
+        # (per-cluster numpy matmul under applyInPandas, block-split
+        # skew guard) — r11's slowest scale row was the interpreted
+        # fold at 31.5s; the kept set is identical (battery entry
+        # semdedup_vectorized pins it against the same oracle)
+        from m3_spark.pipeline.similarity import semantic_dedup
+        from m3_spark.sources.tables import read_table
+
+        emb = read_table(spark, SCRATCH, "embeddings")
+        return semantic_dedup(emb, n_clusters=512, eps=0.9, vectorized=True)
+
+    # ---- round-12: arrival probes flat in side-table size ----------------
+    # two corpora an order of magnitude apart, BUCKET-SIZE-CONSTANT
+    # moduli (m ∝ corpus): per-batch probe work is then bounded by
+    # hit_buckets × bucket_rows ≤ batch_hashes × const — independent of
+    # corpus size.  The same 20-doc batch probes both; flat timings
+    # across the pair are the claim (VERDICT r11 item 1 "done =").
+
+    def _span_probe_row(tag: str, pct_mod: int, m: int):
+        from m3_spark.pipeline.dedup import seed_span_table, span_ingest_batch
+        from m3_spark.sources.tables import read_table
+
+        span_dir = os.path.join(SCRATCH, f"span_table_{tag}")
+
+        def fn(_):
+            docs = read_table(spark, SCRATCH, "documents")
+            corpus = docs.where(
+                (F.col("doc_id") % pct_mod == 1) & (F.col("doc_id") >= 100)
+            )
+            if not os.path.exists(span_dir):
+                seed_span_table(corpus, span_dir, 12, buckets=m)
+            batch = docs.where(F.col("doc_id") < 20)
+            # same batch_id every rep: the redelivered-wave contract
+            # keeps the table size stable across reps
+            return span_ingest_batch(batch, span_dir, 12, batch_id=1)
+
+        return fn
+
+    # ~0.95M spans, m=208 vs ~9.5M spans, m=2080 (~4.6k spans/bucket both)
+    q_span_probe_small = _span_probe_row("950k", 10, 208)
+    q_span_probe_large = _span_probe_row("9m5", 1, 2080)
+
+    def _bands_probe_row(tag: str, pct_mod: int, m: int):
+        from m3_spark.pipeline.dedup import (
+            lsh_candidates_bucketed,
+            minhash_signature,
+            seed_bands_table,
+        )
+        from m3_spark.sources.tables import read_table
+
+        bands_dir = os.path.join(SCRATCH, f"bands_table_{tag}")
+
+        def fn(_):
+            docs = read_table(spark, SCRATCH, "documents")
+            if not os.path.exists(bands_dir):
+                corpus = docs.where(
+                    (F.col("doc_id") % pct_mod == 1)
+                    & (F.col("doc_id") >= 100)
+                )
+                seed_bands_table(
+                    minhash_signature(corpus, k=16), bands_dir,
+                    k=16, bands=4, buckets=m,
+                )
+            batch = docs.where(F.col("doc_id") < 50)
+            return lsh_candidates_bucketed(
+                spark, bands_dir,
+                minhash_signature(batch, k=16), k=16, bands=4,
+            )
+
+        return fn
+
+    # ~200k band rows, m=64 vs ~2M band rows, m=640 (~3.1k rows/bucket)
+    q_bands_probe_small = _bands_probe_row("200k", 10, 64)
+    q_bands_probe_large = _bands_probe_row("2m", 1, 640)
+
+    # ---- round-12: pair-log compaction bounds the cadence job ------------
+    # a synthetic 500k-pair log over 20 batches: materialize over the
+    # raw log vs over the compacted state, plus the fold itself (on a
+    # fresh copy per rep — compaction tombstones its input)
+
+    def _seed_pair_log(root: str) -> None:
+        from m3_spark.pipeline.dedup import _write_keyed_batch
+
+        if os.path.exists(root):
+            return
+        for b in range(20):
+            pairs = (
+                spark.range(25_000)
+                .select(
+                    (F.col("id") * 7 + b).alias("id_a"),
+                    (F.col("id") * 7 + b + 1).alias("id_b"),
+                )
+            )
+            _write_keyed_batch(
+                pairs, os.path.join(root, "_pairs"), b, "_pair_batch"
+            )
+
+    def q_pair_materialize_uncompacted(_):
+        from m3_spark.pipeline.arrival import materialize_clusters
+
+        root = os.path.join(SCRATCH, "pairlog_raw")
+        _seed_pair_log(root)
+        return materialize_clusters(spark, root)
+
+    def q_pair_materialize_compacted(_):
+        from m3_spark.pipeline.arrival import (
+            compact_pair_log,
+            materialize_clusters,
+        )
+        from m3_spark.sources import snapshots
+
+        root = os.path.join(SCRATCH, "pairlog_folded")
+        _seed_pair_log(root)
+        if not snapshots.has_manifest(
+            os.path.join(root, "_clusters")
+        ):
+            compact_pair_log(spark, root)
+        return materialize_clusters(spark, root)
+
+    def q_pair_compact_fold(_):
+        # fresh copy per call: the fold consumes (tombstones) its input
+        from m3_spark.pipeline.arrival import compact_pair_log
+
+        src = os.path.join(SCRATCH, "pairlog_raw")
+        _seed_pair_log(src)
+        dst = os.path.join(SCRATCH, "pairlog_fold_tmp")
+        shutil.rmtree(dst, ignore_errors=True)
+        shutil.copytree(src, dst)
+        n = compact_pair_log(spark, dst)
+        # return a frame so the harness's .count() has work to do
+        return spark.range(n)
+
     import statistics
 
     timings, stats, counts = {}, {}, {}
@@ -697,6 +830,14 @@ def main() -> None:
         "span_stats_500k": q_span_stats,
         "span_cut_500k": q_span_cut,
         "semdedup_200k_k512": q_semdedup,
+        "semdedup_200k_k512_np": q_semdedup_np,
+        "span_probe_950k_m208": q_span_probe_small,
+        "span_probe_9m5_m2080": q_span_probe_large,
+        "bands_probe_200k_m64": q_bands_probe_small,
+        "bands_probe_2m_m640": q_bands_probe_large,
+        "pair_materialize_uncompacted_500k": q_pair_materialize_uncompacted,
+        "pair_materialize_compacted_500k": q_pair_materialize_compacted,
+        "pair_compact_fold_500k": q_pair_compact_fold,
     }
     if args.only:
         unknown = args.only - rows.keys()

@@ -234,6 +234,242 @@ def test_span_bucketing_ignored_on_existing_unbucketed_table(
         assert f.split("/")[0].startswith("_span_batch=")
 
 
+# -- pair-log compaction --------------------------------------------------------
+
+
+def _arrive(spark, rows, root, wave_ids):
+    from m3_spark.pipeline.arrival import document_arrival_step
+
+    docs = _docs_df(spark, rows)
+    for w in wave_ids:
+        document_arrival_step(
+            docs.where(F.col("doc_id") % 3 == w % 3), root, w,
+            k=8, bands=4, n=3, span_words=None,
+        )
+    return docs
+
+
+def _clusters(df):
+    return {(r.node, r.cluster) for r in df.collect()}
+
+
+def test_compact_pair_log_is_result_invisible(spark, tmp_path):
+    from m3_spark.pipeline.arrival import (
+        compact_pair_log,
+        materialize_clusters,
+        pair_log_path,
+    )
+    from m3_spark.pipeline.dedup import dedup_clusters
+
+    rows = _corpus_rows()
+    root = str(tmp_path / "corpus")
+    docs = _arrive(spark, rows, root, [0, 1])
+    # wave 0 (docs 3, 6) has no collisions -> empty leaf, nothing to
+    # fold there; wave 1 (docs 1, 4 near-dups) folds
+    assert compact_pair_log(spark, root) == 1
+    # folded leaves are tombstoned: the live pair log is empty
+    live = snapshots.resolve_snapshot(spark, pair_log_path(root))
+    assert live.count() == 0
+    # wave 2 (and a REDELIVERY of wave 1) land after the fold
+    _arrive(spark, rows, root, [2, 1])
+    got = _clusters(materialize_clusters(spark, root))
+    want = _clusters(dedup_clusters(docs, k=8, bands=4, n=3))
+    assert got == want
+    # a second fold over the post-compaction arrivals converges too
+    assert compact_pair_log(spark, root) == 2  # waves 2 and 1 (redelivered)
+    assert _clusters(materialize_clusters(spark, root)) == want
+    # nothing left to fold
+    assert compact_pair_log(spark, root) == 0
+
+
+def test_compact_crash_between_commits_redelivers_cleanly(spark, tmp_path):
+    # crash AFTER the state commit but BEFORE the tombstone flip: the
+    # folded leaves stay live, their claims double-count into the next
+    # materialize (CC-insensitive), and the next cadence re-folds them
+    from m3_spark.pipeline import arrival
+    from m3_spark.pipeline.dedup import dedup_clusters
+    from m3_spark.sources import snapshots as snaps
+
+    rows = _corpus_rows()
+    root = str(tmp_path / "corpus")
+    docs = _arrive(spark, rows, root, [0, 1, 2])
+    log_path = arrival.pair_log_path(root)
+
+    real_delta = snaps.commit_snapshot_delta
+
+    def boom(path, *a, **kw):
+        if path == log_path and kw.get("remove_leaves"):
+            raise RuntimeError("injected crash before tombstone")
+        return real_delta(path, *a, **kw)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(snaps, "commit_snapshot_delta", boom):
+        with pytest.raises(RuntimeError, match="injected"):
+            arrival.compact_pair_log(spark, root)
+    # state committed, leaves alive: materialize sees duplicate claims
+    want = _clusters(dedup_clusters(docs, k=8, bands=4, n=3))
+    assert _clusters(arrival.materialize_clusters(spark, root)) == want
+    # the rerun folds the same leaves and converges
+    assert arrival.compact_pair_log(spark, root) == 2  # wave 0 is empty
+    assert _clusters(arrival.materialize_clusters(spark, root)) == want
+
+
+def test_compact_midfold_redelivery_leaf_survives(spark, tmp_path):
+    # a wave redelivered DURING the unlocked fold replaces its leaf
+    # with pairs the fold never saw — that leaf must NOT be tombstoned
+    from m3_spark.pipeline import arrival, dedup
+    from m3_spark.pipeline.dedup import dedup_clusters
+
+    rows = _corpus_rows()
+    root = str(tmp_path / "corpus")
+    docs = _arrive(spark, rows, root, [0, 1])
+
+    real_cc = dedup.connected_components
+    fired = {"n": 0}
+
+    def cc_with_redelivery(edges):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            arrival.document_arrival_step(
+                docs.where(F.col("doc_id") % 3 == 1), root, 1,
+                k=8, bands=4, n=3, span_words=None,
+            )
+        return real_cc(edges)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(
+        dedup, "connected_components", cc_with_redelivery
+    ):
+        folded = arrival.compact_pair_log(spark, root)
+    # wave 0's leaf is empty and wave 1's changed mid-fold: none folded
+    assert folded == 0
+    # only waves 0 and 1 ever arrived — clusters over THOSE docs
+    arrived = docs.where(F.col("doc_id") % 3 != 2)
+    want = _clusters(dedup_clusters(arrived, k=8, bands=4, n=3))
+    assert _clusters(arrival.materialize_clusters(spark, root)) == want
+    # next cadence folds the survivor
+    assert arrival.compact_pair_log(spark, root) == 1
+    assert _clusters(arrival.materialize_clusters(spark, root)) == want
+
+
+def test_vacuum_corpus_covers_cluster_state(spark, tmp_path):
+    from m3_spark.pipeline import arrival
+
+    rows = _corpus_rows()
+    root = str(tmp_path / "corpus")
+    _arrive(spark, rows, root, [0, 1, 2])
+    arrival.compact_pair_log(spark, root)
+    arrival.compact_pair_log(spark, root)  # no-op fold
+    _arrive(spark, _corpus_rows(), root, [1])  # re-create a leaf
+    arrival.compact_pair_log(spark, root)  # rewrites the state
+    removed = arrival.vacuum_corpus(root, grace_s=0)
+    assert removed > 0
+    state = arrival.cluster_state_path(root)
+    on_disk = sorted(snapshots.list_parquet_files(state))
+    assert on_disk == sorted(snapshots.read_manifest(state)["files"])
+
+
+# -- incremental span CUT --------------------------------------------------------
+
+
+def _cut_map(df):
+    return {r.doc_id: r.text_cut for r in df.collect()}
+
+
+def test_span_cut_batch_matches_global_cut_on_batch_docs(spark, tmp_path):
+    # ids INTERLEAVE between corpus and batch: doc 2 (batch) is the
+    # global min owner of the window it shares with corpus doc 5, so
+    # the batch copy is KEPT; doc 6 (batch) shares with corpus doc 1
+    # and is cut.  Batch-internal dup (6, 9) owns to 6... which is
+    # itself cut against doc 1 — exactly what the global verdict says.
+    from m3_spark.pipeline.dedup import (
+        seed_span_table,
+        span_cut_batch,
+        span_dedup_cut,
+    )
+
+    rows = [
+        _doc(1, WORDS[:10]),                 # corpus
+        _doc(5, WORDS[10:18]),               # corpus
+        _doc(7, list(reversed(WORDS[:9]))),  # corpus, unique
+        _doc(2, WORDS[10:18]),               # batch: min owner vs 5
+        _doc(6, WORDS[:10]),                 # batch: cut vs 1
+        _doc(9, WORDS[:10]),                 # batch: cut vs 1/6
+    ]
+    docs = _docs_df(spark, rows)
+    corpus = docs.where(F.col("doc_id").isin(1, 5, 7))
+    batch = docs.where(F.col("doc_id").isin(2, 6, 9))
+    path = str(tmp_path / "spans")
+    seed_span_table(corpus, path, span_words=5, buckets=8)
+
+    got = _cut_map(span_cut_batch(batch, path, span_words=5, batch_id=1))
+    want = {
+        k: v
+        for k, v in _cut_map(span_dedup_cut(docs, span_words=5)).items()
+        if k in (2, 6, 9)
+    }
+    assert got == want
+    assert got[2] == " ".join(WORDS[10:18])  # batch doc owns: kept
+    assert got[6] == "" and got[9] == ""     # exact dups of 1: emptied
+
+
+def test_span_cut_batch_redelivery_idempotent(spark, tmp_path):
+    from m3_spark.pipeline.dedup import seed_span_table, span_cut_batch
+
+    rows = _corpus_rows()
+    docs = _docs_df(spark, rows)
+    corpus = docs.where(F.col("doc_id") <= 3)
+    batch = docs.where(F.col("doc_id") > 3)
+    path = str(tmp_path / "spans")
+    seed_span_table(corpus, path, span_words=5, buckets=8)
+    first = _cut_map(span_cut_batch(batch, path, span_words=5, batch_id=2))
+    second = _cut_map(span_cut_batch(batch, path, span_words=5, batch_id=2))
+    assert first == second
+
+
+def test_span_cut_batch_dry_run_does_not_append(spark, tmp_path):
+    from m3_spark.pipeline.dedup import (
+        read_span_table,
+        seed_span_table,
+        span_cut_batch,
+    )
+
+    rows = _corpus_rows()
+    docs = _docs_df(spark, rows)
+    corpus = docs.where(F.col("doc_id") <= 3)
+    path = str(tmp_path / "spans")
+    seed_span_table(corpus, path, span_words=5, buckets=8)
+    before = read_span_table(spark, path).count()
+    span_cut_batch(
+        docs.where(F.col("doc_id") > 3), path, span_words=5,
+        batch_id=None,
+    )
+    assert read_span_table(spark, path).count() == before
+
+
+def test_span_cut_batch_sequential_waves_respect_owners(spark, tmp_path):
+    # wave 2 shares a window with wave-1 text: the wave-1 doc was
+    # persisted (original windows), so wave 2's copy is cut even
+    # though the corpus seed never held that window
+    from m3_spark.pipeline.dedup import seed_span_table, span_cut_batch
+
+    path = str(tmp_path / "spans")
+    seed_span_table(
+        _docs_df(spark, [_doc(1, WORDS[20:28])]), path, span_words=5,
+        buckets=8,
+    )
+    w1 = _docs_df(spark, [_doc(4, WORDS[:8])])
+    assert _cut_map(
+        span_cut_batch(w1, path, span_words=5, batch_id=1)
+    ) == {4: " ".join(WORDS[:8])}
+    w2 = _docs_df(spark, [_doc(6, WORDS[:8])])
+    assert _cut_map(
+        span_cut_batch(w2, path, span_words=5, batch_id=2)
+    ) == {6: ""}
+
+
 # -- vectorized SemDeDup pairwise ----------------------------------------------
 
 
