@@ -537,6 +537,42 @@ def test_semantic_dedup_vectorized_same_kept_set(spark):
     assert kept_np == kept_fold
 
 
+def test_ivf_assign_np_matches_fold(spark):
+    from m3_spark.pipeline.similarity import ivf_assign, ivf_assign_np
+
+    emb = _fixture_embeddings(spark)
+    fold = {(r.vec_id, r.list_id) for r in ivf_assign(emb, 16).collect()}
+    np_ = {(r.vec_id, r.list_id) for r in ivf_assign_np(emb, 16).collect()}
+    assert np_ == fold
+
+
+def test_ivf_assign_fixture_margins_exceed_blas_ulp(spark):
+    """The battery's semdedup entries route assignment through the
+    numpy kernel, whose scores differ from the fold in BLAS-summation
+    ulp; a vector nearly equidistant between its top two centroids
+    could flip clusters cross-kernel.  Pin the fixture's top-2 margins
+    a wide berth (1e-9 — several orders above matmul ulp at dim 8-64)
+    so a future fixture change fails loudly here, as the eps-margin
+    probes do for the cosine thresholds."""
+    import numpy as np
+
+    from m3_spark.queries_round11 import SEM_K
+
+    emb = _fixture_embeddings(spark).toPandas()
+    x = np.stack(emb["embedding"].to_list()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+    cmat = x[np.argsort(ids)[: SEM_K]]
+    sims = (x @ cmat.T) / np.outer(
+        np.linalg.norm(x, axis=1), np.linalg.norm(cmat, axis=1)
+    )
+    top2 = np.sort(sims, axis=1)[:, -2:]
+    margins = top2[:, 1] - top2[:, 0]
+    assert margins.min() > 1e-9, (
+        f"fixture min top-2 centroid margin {margins.min():.3e} is "
+        "within cross-kernel ulp risk"
+    )
+
+
 def test_semantic_dup_pairs_np_zero_norm_emits_no_pair(spark):
     from m3_spark.pipeline.similarity import semantic_dup_pairs_np
 
