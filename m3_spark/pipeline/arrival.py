@@ -164,10 +164,16 @@ def document_arrival_step(
             pairs = _mixed_band_pairs(
                 banded.withColumn("is_new", F.lit(True)), id_col
             ).localCheckpoint(eager=True)
-        write_signature_batch(new_sigs, sig_path, batch_id)
+        # bands BEFORE signatures: a first-delivery crash between the
+        # two writes must leave the corpus in a state the redelivery
+        # recognizes — sig-committed-but-no-bands-table looks exactly
+        # like a legacy corpus and would silently disable the bands
+        # probe forever (/code-review r12); bands-committed-first makes
+        # the redelivery re-enter the bands branch and replace both
         write_bands_batch(
             banded, bands_path, batch_id, k, bands, buckets=band_buckets
         )
+        write_signature_batch(new_sigs, sig_path, batch_id)
     else:
         if os.path.isdir(sig_path):
             try:
@@ -241,10 +247,16 @@ def materialize_clusters(spark, corpus_root: str) -> DataFrame:
     log_path = pair_log_path(corpus_root)
     edges = None
     if os.path.isdir(log_path):
-        pairs = snapshots.resolve_snapshot(spark, log_path)
-        if PAIR_BATCH_KEY in pairs.columns:
-            pairs = pairs.drop(PAIR_BATCH_KEY)
-        edges = pairs
+        try:
+            pairs = snapshots.resolve_snapshot(spark, log_path)
+        except ValueError:
+            # pre-r12 first-delivery crash debris (zero-file manifest
+            # with no schema): no pairs yet, not a cadence crash-loop
+            pairs = None
+        if pairs is not None:
+            if PAIR_BATCH_KEY in pairs.columns:
+                pairs = pairs.drop(PAIR_BATCH_KEY)
+            edges = pairs
     state_edges = _cluster_state_edges(spark, corpus_root)
     if state_edges is not None:
         edges = (

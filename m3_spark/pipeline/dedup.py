@@ -324,7 +324,14 @@ def lsh_candidates_incremental(
     """
     if new_sigs is None:
         new_sigs = minhash_signature(new_docs, k, n, text_col, id_col)
-    batch_banded = _banded_rows(new_sigs, k, bands, id_col)
+    # lineage cut (lazy): the banded batch feeds TWO subtrees — the
+    # broadcast key set and the members union — and Spark does not CSE
+    # across a broadcast boundary, so without the cut the batch's
+    # signature fold runs twice (measured +59% on the 100k-doc scale
+    # row)
+    batch_banded = _banded_rows(new_sigs, k, bands, id_col).localCheckpoint(
+        eager=False
+    )
     batch_keys = batch_banded.select("band_id", "band_key").distinct()
     corpus_hits = _banded_rows(existing_sigs, k, bands, id_col).join(
         F.broadcast(batch_keys), ["band_id", "band_key"], "leftsemi"
@@ -1006,8 +1013,12 @@ def write_bands_batch(
         extra = {
             "band_buckets": m, "lsh_k": int(k), "lsh_bands": int(bands)
         }
+    # one task per hit bucket → one file per bucket dir per batch
+    bucketed = _with_band_bucket(banded, m).repartition(
+        F.col(BAND_BUCKET_COL)
+    )
     _write_keyed_batch(
-        _with_band_bucket(banded, m), bands_path, batch_id,
+        bucketed, bands_path, batch_id,
         "_band_batch", bucket_col=BAND_BUCKET_COL, extra=extra,
     )
 
@@ -1331,7 +1342,12 @@ def duplicate_spans_incremental(
     spans = (
         new_spans
         if new_spans is not None
-        else span_windows(new_docs, span_words, text_col, id_col)
+        # lineage cut (lazy): the windows feed THREE subtrees (intra
+        # bounds, the broadcast hash set, the flag join) — without it
+        # the batch re-windows once per subtree
+        else span_windows(
+            new_docs, span_words, text_col, id_col
+        ).localCheckpoint(eager=False)
     )
     intra = _dup_span_hashes(spans, id_col)
     batch_hashes = spans.select("span_hash").distinct()
@@ -1351,6 +1367,22 @@ SPAN_BASE_BATCH = -1
 
 #: top-level hash-bucket partition of a bucketed span table
 SPAN_BUCKET_COL = "span_bucket"
+
+
+def _no_committed_data(path: str) -> bool:
+    """True when a side table holds NO committed data — either no
+    manifest and no on-disk parquet (fresh dir), or a manifest whose
+    every segment is empty (the crashed-first-delivery bootstrap:
+    schema recorded, zero files committed; any on-disk files are
+    uncommitted crash orphans that vacuum owns).  The condition under
+    which turning bucketing on is safe."""
+    from ..sources import snapshots
+
+    meta = snapshots.read_snapshot_meta(path)
+    if meta is None:
+        return not snapshots.list_parquet_files(path)
+    segs = snapshots.snapshot_segments(path) or {}
+    return all(e.get("n", 0) == 0 for e in segs.values())
 
 
 def _span_bucket_count(span_path: str) -> int | None:
@@ -1407,17 +1439,23 @@ def write_span_batch(
 
     m = _span_bucket_count(span_path)
     extra = None
-    if (
-        m is None
-        and buckets
-        and not snapshots.has_manifest(span_path)
-        and not snapshots.list_parquet_files(span_path)
-    ):
+    if m is None and buckets and _no_committed_data(span_path):
+        # true creation: a crashed FIRST delivery may have left a
+        # zero-file manifest (no span_buckets recorded) — the
+        # redelivery must still establish the requested bucketing, not
+        # silently fall back to an unbucketed-forever table
+        # (/code-review r12); uncommitted crash orphans are vacuum's
         m = int(buckets)
         extra = {"span_buckets": m}
     if m:
+        # one task per hit bucket → one file per bucket dir per batch
+        # (unrepartitioned, each of P tasks writes every bucket it
+        # holds: ~P×buckets tiny files per delivery on the hot path)
+        bucketed = _with_span_bucket(spans, m).repartition(
+            F.col(SPAN_BUCKET_COL)
+        )
         _write_keyed_batch(
-            _with_span_bucket(spans, m), span_path, batch_id,
+            bucketed, span_path, batch_id,
             "_span_batch", bucket_col=SPAN_BUCKET_COL, extra=extra,
         )
     else:
@@ -1461,11 +1499,18 @@ def seed_span_table(
     from ..sources import snapshots
 
     spans = span_windows(docs, span_words, text_col, id_col)
-    folded = _fold_legacy_keyed_table(
-        span_path, "_span_batch", SPAN_BASE_BATCH
-    )
+    _fold_legacy_keyed_table(span_path, "_span_batch", SPAN_BASE_BATCH)
     base_leaf = os.path.join(span_path, f"_span_batch={SPAN_BASE_BATCH}")
-    if folded and os.path.isdir(base_leaf):
+    # ADDITIVE over the base partition: union whatever the base leaf
+    # already holds — a completed legacy fold, a crashed EARLIER seed
+    # (fold done, write never committed: keying the union off "did
+    # THIS invocation fold" would let the keyed write's leaf-replacing
+    # flip retire those rows forever — /code-review r12), or a prior
+    # seed's rows.  distinct() collapses re-seeds of the same corpus;
+    # rebuilding the base from scratch = delete the table first.
+    if os.path.isdir(base_leaf) and any(
+        f.endswith(".parquet") for f in os.listdir(base_leaf)
+    ):
         legacy = docs.sparkSession.read.parquet(base_leaf).select(
             id_col, "pos", "span_hash"
         )

@@ -343,6 +343,12 @@ def ivf_assign_np(
         cents.select("list_id", "_cvec").toPandas()
         .sort_values("list_id")
     )
+    if not len(cpdf):
+        # no centroids (empty corpus / all ids >= n_lists): the fold
+        # form yields an empty assignment; np.stack would crash
+        return embeddings.sparkSession.createDataFrame(
+            [], f"{id_col} long, list_id long"
+        )
     list_ids = cpdf["list_id"].to_numpy()
     cmat = np.stack(cpdf["_cvec"].to_list()).astype(np.float64)
     cnorm = np.linalg.norm(cmat, axis=1)

@@ -371,6 +371,122 @@ def test_vacuum_corpus_covers_cluster_state(spark, tmp_path):
     assert on_disk == sorted(snapshots.read_manifest(state)["files"])
 
 
+# -- /code-review r12 regressions ------------------------------------------------
+
+
+def test_seed_after_crashed_fold_preserves_legacy_rows(spark, tmp_path):
+    # crash AFTER the legacy fold but BEFORE the seed's write: the
+    # re-run's fold is a no-op, and the seed must STILL union the base
+    # leaf's rows — keying the union off "did this invocation fold"
+    # would let the keyed write's flip retire the legacy history
+    from m3_spark.pipeline.dedup import (
+        _fold_legacy_keyed_table,
+        read_span_table,
+        seed_span_table,
+        span_windows,
+    )
+
+    legacy = _docs_df(spark, [_doc(1, WORDS[:6])])
+    path = str(tmp_path / "spans")
+    span_windows(legacy, 5).write.parquet(path)  # legacy flat layout
+    # the crashed earlier seed got exactly this far:
+    _fold_legacy_keyed_table(path, "_span_batch", -1)
+
+    seed_span_table(_docs_df(spark, [_doc(2, WORDS[6:12])]), path, 5)
+    got = {r.doc_id for r in read_span_table(spark, path).collect()}
+    assert got == {1, 2}
+
+
+def test_span_bucketing_survives_first_delivery_crash(spark, tmp_path):
+    # crashed first delivery leaves a zero-file manifest with NO
+    # span_buckets recorded; the redelivery must still establish the
+    # requested bucketing instead of silently creating the table
+    # unbucketed forever
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from m3_spark.pipeline.dedup import span_ingest_batch, span_windows
+
+    docs = _docs_df(spark, _corpus_rows())
+    path = str(tmp_path / "spans")
+    schema = (
+        span_windows(docs, 5)
+        .withColumn("span_bucket", F.lit(0))
+        .withColumn("_span_batch", F.lit(0))
+        .schema
+    )
+    with snapshots.writer_lock(path):
+        snapshots.init_manifest(path, schema.json())
+    span_ingest_batch(docs, path, span_words=5, batch_id=0, buckets=8)
+    assert snapshots.read_snapshot_meta(path)["span_buckets"] == 8
+
+
+def test_arrival_crash_between_band_and_sig_writes_recovers(
+    spark, tmp_path
+):
+    # first delivery crashes between the bands write and the signature
+    # write: the redelivery must re-enter the BANDS branch (not
+    # mistake the corpus for a legacy signature-only one) and converge
+    import unittest.mock as mock
+
+    from m3_spark.pipeline import arrival, dedup
+    from m3_spark.pipeline.dedup import lsh_candidates
+
+    rows = _corpus_rows()
+    docs = _docs_df(spark, rows)
+    root = str(tmp_path / "corpus")
+
+    real_sig = dedup.write_signature_batch
+    with mock.patch.object(
+        dedup, "write_signature_batch",
+        side_effect=RuntimeError("injected crash"),
+    ):
+        with pytest.raises(RuntimeError, match="injected"):
+            arrival.document_arrival_step(
+                docs, root, 0, k=8, bands=4, n=3, span_words=None
+            )
+    # bands table exists (written first); signature table does not
+    assert snapshots.has_manifest(arrival.bands_table_path(root))
+    # redelivery converges to a clean first delivery
+    arrival.document_arrival_step(
+        docs, root, 0, k=8, bands=4, n=3, span_words=None
+    )
+    got = _pairs(
+        snapshots.resolve_snapshot(
+            spark, arrival.pair_log_path(root)
+        ).select("id_a", "id_b").distinct()
+    )
+    assert got == _pairs(lsh_candidates(docs, k=8, bands=4, n=3))
+    # and the NEXT batch still probes through the bands table
+    from m3_spark.pipeline.dedup import _band_bucket_count
+
+    assert _band_bucket_count(arrival.bands_table_path(root))
+
+
+def test_materialize_clusters_tolerates_schemaless_pair_manifest(
+    spark, tmp_path
+):
+    from m3_spark.pipeline.arrival import materialize_clusters, pair_log_path
+
+    root = str(tmp_path / "corpus")
+    log = pair_log_path(root)
+    with snapshots.writer_lock(log):
+        snapshots.init_manifest(log)  # pre-r12 crash debris: no schema
+    out = materialize_clusters(spark, root)
+    assert out.count() == 0
+
+
+def test_ivf_assign_np_empty_inputs(spark):
+    from m3_spark.pipeline.similarity import ivf_assign_np
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    assert ivf_assign_np(empty, 4).count() == 0
+    # non-empty corpus but no rows qualify as centroids
+    emb = _emb(spark, [(10, [1.0, 0.0]), (11, [0.0, 1.0])])
+    assert ivf_assign_np(emb, 4).count() == 0
+
+
 # -- incremental span CUT --------------------------------------------------------
 
 
