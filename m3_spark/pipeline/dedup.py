@@ -1074,6 +1074,149 @@ def lsh_candidates_bucketed(
     return _mixed_band_pairs(members, id_col)
 
 
+def compact_keyed_table(
+    spark, path: str, key: str, base: int,
+    bucket_col: str | None = None, keep_last: int = 2,
+) -> int:
+    """Housekeeping-cadence compaction for a batch-keyed side table
+    (signatures, bands, spans): fold CLOSED batch leaves into the
+    reserved base partition — without it every micro-batch leaves one
+    file per hit bucket forever, and probe file counts grow linearly
+    in stream length (the namespace tier's ``_ingest_batch=-1`` day
+    fold, applied to the arrival side tables).  Returns the number of
+    batch leaves folded (0 = nothing closed, or aborted on a
+    concurrent change).
+
+    CLOSEDNESS CONTRACT: only batches older than the newest
+    ``keep_last`` are folded.  A folded batch's rows lose their
+    ``<key>=<id>`` identity, so a LATER redelivery of that id would no
+    longer be excluded from probe corpus sides — under the consume
+    loop's ``idempotent_foreach_batch`` marker a committed batch never
+    redelivers and only the in-flight tail is at risk, which
+    ``keep_last`` covers.  Raise it for sources with longer redelivery
+    horizons.
+
+    LOCK SCOPE (the unlocked-rewrite idiom): pin the affected leaves'
+    file lists under a brief lock, rewrite OFF-lock into a dot-scratch
+    (rows of folded leaves + the current base, ``distinct``), then
+    under the lock revalidate the pinned lists — ANY change (a
+    redelivery replacing a pinned leaf) aborts the whole fold, because
+    the merged rewrite cannot drop one stale leaf — move the files in
+    and flip.  Concurrent arrivals landing NEW leaves never abort (the
+    revalidation is scoped to the affected leaves)."""
+    import os
+    import shutil
+    import uuid
+
+    from ..sources import snapshots
+
+    if not snapshots.has_manifest(path):
+        return 0
+    with snapshots.writer_lock(path):
+        segs = snapshots.snapshot_segments(path) or {}
+        pinned_all = [
+            f for seg in segs
+            for f in snapshots.snapshot_segment_files(path, seg)
+        ]
+    leaf_ids = set()
+    for f in pinned_all:
+        for part in f.split("/")[:-1]:
+            if part.startswith(f"{key}="):
+                leaf_ids.add(int(part.split("=", 1)[1]))
+    fold_ids = sorted(i for i in leaf_ids if i != base)
+    if keep_last:
+        fold_ids = (
+            fold_ids[:-keep_last] if len(fold_ids) > keep_last else []
+        )
+    if not fold_ids:
+        return 0
+    affected = {f"{key}={i}" for i in fold_ids} | {f"{key}={base}"}
+
+    def _aff(files):
+        return sorted(
+            f for f in files if set(f.split("/")[:-1]) & affected
+        )
+
+    pin_aff = _aff(pinned_all)
+    # a crashed earlier fold's scratch (dot-prefixed, invisible to
+    # scans) is reclaimed on the namespace TTL rule
+    from ..sources.namespace import _reclaim_stale_scratch
+
+    _reclaim_stale_scratch(path, ".fold_tmp_")
+    # phase 2 (NO lock): the merged rewrite
+    df = (
+        spark.read.option("basePath", path)
+        .parquet(*[os.path.join(path, f) for f in pin_aff])
+        .drop(key)
+        .distinct()
+    )
+    tmp = os.path.join(path, f".fold_tmp_{uuid.uuid4().hex[:8]}")
+    if bucket_col and bucket_col in df.columns:
+        # one file per bucket; the bucket dirs become the move targets
+        df.repartition(F.col(bucket_col)).write.partitionBy(
+            bucket_col
+        ).mode("overwrite").parquet(tmp)
+        move_pairs = [
+            (os.path.join(tmp, d), os.path.join(path, d, f"{key}={base}"))
+            for d in os.listdir(tmp)
+            if d.startswith(f"{bucket_col}=")
+        ]
+    else:
+        df.write.mode("overwrite").parquet(tmp)
+        move_pairs = [(tmp, os.path.join(path, f"{key}={base}"))]
+    try:
+        with snapshots.writer_lock(path):
+            segs2 = snapshots.snapshot_segments(path) or {}
+            cur = [
+                f for seg in segs2
+                for f in snapshots.snapshot_segment_files(path, seg)
+            ]
+            if _aff(cur) != pin_aff:
+                # an affected leaf changed under the fold (redelivery
+                # outside the keep_last horizon): abandon — the
+                # scratch never entered a live dir
+                return 0
+            new_files = []
+            from ..sources.namespace import _move_parquet_in
+
+            for src, dest in move_pairs:
+                for f in _move_parquet_in(src, dest):
+                    new_files.append(
+                        os.path.relpath(os.path.join(dest, f), path)
+                    )
+            snapshots.commit_snapshot_delta(
+                path, add=new_files, remove_leaves=sorted(affected),
+                expected_version=snapshots.snapshot_version(path),
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return len(fold_ids)
+
+
+def compact_span_table(spark, span_path: str, keep_last: int = 2) -> int:
+    """Span-table instance of :func:`compact_keyed_table`."""
+    return compact_keyed_table(
+        spark, span_path, "_span_batch", SPAN_BASE_BATCH,
+        bucket_col=SPAN_BUCKET_COL, keep_last=keep_last,
+    )
+
+
+def compact_bands_table(spark, bands_path: str, keep_last: int = 2) -> int:
+    """Bands-table instance of :func:`compact_keyed_table`."""
+    return compact_keyed_table(
+        spark, bands_path, "_band_batch", BAND_BASE_BATCH,
+        bucket_col=BAND_BUCKET_COL, keep_last=keep_last,
+    )
+
+
+def compact_signature_table(spark, sig_path: str, keep_last: int = 2) -> int:
+    """Signature-table instance of :func:`compact_keyed_table`."""
+    return compact_keyed_table(
+        spark, sig_path, "_sig_batch", SIG_BASE_BATCH,
+        keep_last=keep_last,
+    )
+
+
 def dedup_ingest_batch(
     new_docs: DataFrame, sig_path: str, existing_assignment: DataFrame,
     k: int = 12, bands: int = 4, n: int = 3,

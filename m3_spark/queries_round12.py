@@ -144,6 +144,43 @@ def q_span_cut_incremental(spark, sf_dir):
     return span_cut_batch(batch, span_path, SPAN_WORDS, batch_id=4)
 
 
+def q_span_compacted_probe(spark, sf_dir):
+    """Side-table compaction through the driver gate: corpus seeded
+    bucketed, wave 1 (doc_id % 10 == 0) delivered, ALL closed leaves
+    folded into the base partition (keep_last=0), then wave 2
+    (doc_id % 10 == 5) probes the compacted table — its flags must
+    equal the full-corpus duplicate_spans verdict restricted to wave-2
+    docs (compaction is probe-invisible)."""
+    import shutil
+
+    from .pipeline.dedup import (
+        compact_span_table,
+        seed_span_table,
+        span_ingest_batch,
+    )
+    from .queries_round7 import _scratch
+    from .queries_round11 import SPAN_WORDS
+    from .sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    _t, span_path = _scratch("span_compact", sf_dir)
+    shutil.rmtree(span_path, ignore_errors=True)
+    seed_span_table(
+        docs.where(F.col("doc_id") % 5 != 0), span_path, SPAN_WORDS,
+        buckets=32,
+    )
+    span_ingest_batch(
+        docs.where(F.col("doc_id") % 10 == 0), span_path, SPAN_WORDS,
+        batch_id=1,
+    )
+    assert compact_span_table(spark, span_path, keep_last=0) == 1
+    flagged = span_ingest_batch(
+        docs.where(F.col("doc_id") % 10 == 5), span_path, SPAN_WORDS,
+        batch_id=2,
+    )
+    return flagged.select("doc_id", "pos")
+
+
 def _round12_queries():
     from .queries_pipeline import (
         ORACLE_DEDUP_CLUSTERS,
@@ -155,9 +192,27 @@ def _round12_queries():
         ORACLE_SPAN_INCREMENTAL,
     )
 
+    from .queries_round11 import _SPAN_WINDOWS_CTE
+
     oracle_span_cut_batch = (
         ORACLE_SPAN_CUT.rstrip() + "\nWHERE d.doc_id % 5 = 0\n"
     )
+    # ORACLE_SPAN_INCREMENTAL with the wave-2 restriction: the flag
+    # verdict for docs % 10 == 5 against corpus (% 5 != 0) ∪ wave 1
+    # (% 10 == 0) ∪ wave 2 itself IS the full-corpus verdict restricted
+    # to wave-2 rows (same argument as span_incremental)
+    oracle_span_compacted = f"""
+WITH {_SPAN_WINDOWS_CTE},
+sp AS (
+  SELECT doc_id, unnest(gs) AS g,
+         unnest([i - 1 for i in generate_series(1, len(gs))]) AS pos
+  FROM sp0
+),
+c AS (SELECT g, min(doc_id) AS lo, max(doc_id) AS hi FROM sp GROUP BY g)
+SELECT s.doc_id, s.pos
+FROM sp s JOIN c ON s.g = c.g
+WHERE c.lo <> c.hi AND s.doc_id % 10 = 5
+"""
     return {
         "dedup_bands_bucketed": (
             q_dedup_bands_bucketed,
@@ -172,6 +227,10 @@ def _round12_queries():
         "span_cut_incremental": (
             q_span_cut_incremental,
             oracle_span_cut_batch,
+        ),
+        "span_compacted_probe": (
+            q_span_compacted_probe,
+            oracle_span_compacted,
         ),
     }
 

@@ -371,6 +371,148 @@ def test_vacuum_corpus_covers_cluster_state(spark, tmp_path):
     assert on_disk == sorted(snapshots.read_manifest(state)["files"])
 
 
+# -- side-table compaction --------------------------------------------------------
+
+
+def test_compact_span_table_is_probe_invisible(spark, tmp_path):
+    # two identical corpora, one compacted between waves: the next
+    # batch's flags must be identical, and the compacted table's file
+    # count must shrink to ~one file per bucket
+    from m3_spark.pipeline.dedup import (
+        compact_span_table,
+        seed_span_table,
+        span_ingest_batch,
+    )
+
+    rows = _corpus_rows()
+    docs = _docs_df(spark, rows)
+    corpus = docs.where(F.col("doc_id") <= 2)
+    w1 = docs.where(F.col("doc_id").isin(3, 4))
+    w2 = docs.where(F.col("doc_id") >= 5)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    for p in (a, b):
+        seed_span_table(corpus, p, span_words=5, buckets=8)
+        span_ingest_batch(w1, p, span_words=5, batch_id=1)
+        span_ingest_batch(w1, p, span_words=5, batch_id=2)  # 2nd wave
+    assert compact_span_table(spark, a, keep_last=0) == 2
+    assert compact_span_table(spark, a, keep_last=0) == 0  # idempotent
+    fa = span_ingest_batch(w2, a, span_words=5, batch_id=3)
+    fb = span_ingest_batch(w2, b, span_words=5, batch_id=3)
+    key = lambda df: {(r.doc_id, r.pos, r.span_hash) for r in df.collect()}
+    assert key(fa) == key(fb)
+    # compacted table holds fewer live files
+    snapshots.vacuum_snapshot(a, grace_s=0)
+    snapshots.vacuum_snapshot(b, grace_s=0)
+    assert len(snapshots.read_manifest(a)["files"]) < len(
+        snapshots.read_manifest(b)["files"]
+    )
+
+
+def test_compact_keyed_table_keep_last_protects_tail(spark, tmp_path):
+    from m3_spark.pipeline.dedup import (
+        compact_span_table,
+        seed_span_table,
+        span_ingest_batch,
+    )
+
+    docs = _docs_df(spark, _corpus_rows())
+    path = str(tmp_path / "spans")
+    seed_span_table(docs.where(F.col("doc_id") <= 2), path, 5, buckets=8)
+    for b in (1, 2, 3):
+        span_ingest_batch(
+            docs.where(F.col("doc_id") == b + 2), path, 5, batch_id=b
+        )
+    assert compact_span_table(spark, path, keep_last=2) == 1  # folds 1
+    segs = snapshots.snapshot_segments(path)
+    leaves = {
+        leaf for e in segs.values() for leaf in e.get("leaves", [])
+    }
+    assert "_span_batch=2" in leaves and "_span_batch=3" in leaves
+    assert "_span_batch=1" not in leaves
+    # a kept batch still redelivers idempotently (its exclusion works)
+    first = span_ingest_batch(
+        docs.where(F.col("doc_id") == 5), path, 5, batch_id=3
+    )
+    k = {(r.doc_id, r.pos) for r in first.collect()}
+    again = span_ingest_batch(
+        docs.where(F.col("doc_id") == 5), path, 5, batch_id=3
+    )
+    assert {(r.doc_id, r.pos) for r in again.collect()} == k
+
+
+def test_compact_keyed_table_aborts_on_midfold_change(spark, tmp_path):
+    import unittest.mock as mock
+
+    from m3_spark.pipeline.dedup import (
+        compact_span_table,
+        seed_span_table,
+        span_ingest_batch,
+    )
+    from m3_spark.sources import namespace as ns
+
+    docs = _docs_df(spark, _corpus_rows())
+    path = str(tmp_path / "spans")
+    seed_span_table(docs.where(F.col("doc_id") <= 2), path, 5, buckets=8)
+    span_ingest_batch(docs.where(F.col("doc_id") == 3), path, 5, batch_id=1)
+
+    real = ns._reclaim_stale_scratch
+
+    def redeliver_then(parent, prefix):
+        # fires after the pin, before the rewrite: replace batch 1's
+        # leaf under the fold
+        span_ingest_batch(
+            docs.where(F.col("doc_id") == 4), path, 5, batch_id=1
+        )
+        return real(parent, prefix)
+
+    with mock.patch.object(ns, "_reclaim_stale_scratch", redeliver_then):
+        assert compact_span_table(spark, path, keep_last=0) == 0  # abort
+    # the replaced leaf's rows are intact
+    from m3_spark.pipeline.dedup import read_span_table
+
+    got = {r.doc_id for r in read_span_table(spark, path).collect()}
+    assert got == {1, 2, 4}
+
+
+def test_compact_bands_table_is_probe_invisible(spark, tmp_path):
+    from m3_spark.pipeline.dedup import (
+        _banded_rows,
+        compact_bands_table,
+        lsh_candidates_bucketed,
+        seed_bands_table,
+        write_bands_batch,
+    )
+
+    rows = _corpus_rows()
+    docs = _docs_df(spark, rows)
+    corpus = docs.where(F.col("doc_id") <= 3)
+    mid = docs.where(F.col("doc_id").isin(4, 5))
+    batch = docs.where(F.col("doc_id") == 6)
+    path = str(tmp_path / "bands")
+    seed_bands_table(
+        minhash_signature(corpus, k=8, n=3), path, k=8, bands=4, buckets=8
+    )
+    write_bands_batch(
+        _banded_rows(minhash_signature(mid, k=8, n=3), 8, 4),
+        path, 1, k=8, bands=4,
+    )
+    before = _pairs(
+        lsh_candidates_bucketed(
+            spark, path, minhash_signature(batch, k=8, n=3), k=8, bands=4
+        )
+    )
+    assert compact_bands_table(spark, path, keep_last=0) == 1
+    # geometry metadata survives the fold
+    meta = snapshots.read_snapshot_meta(path)
+    assert meta["band_buckets"] == 8 and meta["lsh_k"] == 8
+    after = _pairs(
+        lsh_candidates_bucketed(
+            spark, path, minhash_signature(batch, k=8, n=3), k=8, bands=4
+        )
+    )
+    assert after == before
+
+
 # -- /code-review r12 regressions ------------------------------------------------
 
 
