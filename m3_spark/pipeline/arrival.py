@@ -360,6 +360,46 @@ def compact_pair_log(spark, corpus_root: str) -> int:
     return len(folded)
 
 
+def housekeep_corpus(
+    spark, corpus_root: str, *, keep_last: int = 2,
+    vacuum_grace_s: float | None = None, vacuum: bool = True,
+) -> dict:
+    """ONE idempotent housekeeping tick for the corpus side tables —
+    the pipeline analog of ``housekeep_namespace`` (expiry/compaction/
+    cleanup on a timer OFF the ingest path): fold the pair log into
+    the cluster state, fold closed batch leaves of the signature /
+    bands / span tables into their base partitions, then (optionally)
+    vacuum retired files.  Every step is failure-contained at the
+    caller's cadence and safe to re-run.  Returns a per-step report.
+    """
+    from ..sources import snapshots
+    from .dedup import (
+        compact_bands_table,
+        compact_signature_table,
+        compact_span_table,
+    )
+
+    report = {"pairs_folded": compact_pair_log(spark, corpus_root)}
+    for name, fn, path in (
+        ("sig_leaves_folded", compact_signature_table,
+         sig_table_path(corpus_root)),
+        ("band_leaves_folded", compact_bands_table,
+         bands_table_path(corpus_root)),
+        ("span_leaves_folded", compact_span_table,
+         span_table_path(corpus_root)),
+    ):
+        report[name] = (
+            fn(spark, path, keep_last=keep_last)
+            if snapshots.has_manifest(path)
+            else 0
+        )
+    if vacuum:
+        report["files_removed"] = vacuum_corpus(
+            corpus_root, vacuum_grace_s
+        )
+    return report
+
+
 def vacuum_corpus(corpus_root: str, grace_s: float | None = None) -> int:
     """Housekeeping-cadence vacuum for the arrival side tables
     (signatures, bands, spans, pair log): write paths never delete, so
@@ -427,9 +467,13 @@ def ingest_document_stream(
         counter["n"] += 1
         if compact_every and counter["n"] % compact_every == 0:
             try:
-                compact_pair_log(batch_df.sparkSession, corpus_root)
+                # full housekeeping minus vacuum (which has its own
+                # cadence knob below)
+                housekeep_corpus(
+                    batch_df.sparkSession, corpus_root, vacuum=False
+                )
             except Exception as exc:  # pragma: no cover - logged only
-                print(f"pair-log compaction tick failed (contained): {exc!r}")
+                print(f"corpus housekeeping tick failed (contained): {exc!r}")
         if vacuum_every and counter["n"] % vacuum_every == 0:
             try:
                 vacuum_corpus(corpus_root, vacuum_grace_s)

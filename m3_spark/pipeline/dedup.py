@@ -1193,6 +1193,108 @@ def compact_keyed_table(
     return len(fold_ids)
 
 
+def _rebuild_bucketed_table(
+    spark, path: str, key: str, base: int, bucket_col: str,
+    with_bucket, new_m: int, extra: dict,
+) -> int:
+    """Re-bucket a keyed side table to a NEW modulus: fold EVERY leaf
+    (batches and base) into the base partition under the new bucket
+    assignment, one flip.  The moduli cannot coexist — a hash must
+    live in exactly one bucket for the probe to find it — so unlike
+    :func:`compact_keyed_table` there is no ``keep_last`` tail: every
+    batch loses its redelivery-exclusion identity.  Run it at a
+    QUIESCE point (no in-flight deliveries), exactly like the dict's
+    ``rebuild_series_dict``; a concurrent arrival aborts the rebuild
+    (returns 0) rather than being clobbered.  Returns 1 on success."""
+    import os
+    import shutil
+    import uuid
+
+    from ..sources import snapshots
+    from ..sources.namespace import _move_parquet_in, _reclaim_stale_scratch
+
+    if not snapshots.has_manifest(path):
+        return 0
+    with snapshots.writer_lock(path):
+        segs = snapshots.snapshot_segments(path) or {}
+        pinned = sorted(
+            f for seg in segs
+            for f in snapshots.snapshot_segment_files(path, seg)
+        )
+    if not pinned:
+        return 0
+    leaves = {
+        part
+        for f in pinned
+        for part in f.split("/")[:-1]
+        if part.startswith(f"{key}=")
+    }
+    _reclaim_stale_scratch(path, ".rebucket_tmp_")
+    df = (
+        spark.read.option("basePath", path)
+        .parquet(*[os.path.join(path, f) for f in pinned])
+        .drop(key)
+    )
+    if bucket_col in df.columns:
+        df = df.drop(bucket_col)
+    df = with_bucket(df.distinct(), new_m)
+    tmp = os.path.join(path, f".rebucket_tmp_{uuid.uuid4().hex[:8]}")
+    df.repartition(int(new_m), bucket_col).write.partitionBy(
+        bucket_col
+    ).mode("overwrite").parquet(tmp)
+    try:
+        with snapshots.writer_lock(path):
+            segs2 = snapshots.snapshot_segments(path) or {}
+            cur = sorted(
+                f for seg in segs2
+                for f in snapshots.snapshot_segment_files(path, seg)
+            )
+            if cur != pinned:
+                return 0
+            new_files = []
+            for d in os.listdir(tmp):
+                if not d.startswith(f"{bucket_col}="):
+                    continue
+                dest = os.path.join(path, d, f"{key}={base}")
+                for f in _move_parquet_in(os.path.join(tmp, d), dest):
+                    new_files.append(
+                        os.path.relpath(os.path.join(dest, f), path)
+                    )
+            snapshots.commit_snapshot_delta(
+                path, add=new_files, remove_leaves=sorted(leaves),
+                extra=extra,
+                expected_version=snapshots.snapshot_version(path),
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return 1
+
+
+def rebuild_span_table(spark, span_path: str, buckets: int) -> int:
+    """Re-bucket the span table to modulus ``buckets`` — the regrow
+    for a corpus that outgrew its seed-time m (bucket-size-constant
+    sizing needs m ∝ corpus; the dict's ``rebuild_series_dict``
+    analog).  Also migrates an UNBUCKETED table to the bucketed
+    layout.  Quiesce-point operation — see
+    :func:`_rebuild_bucketed_table`."""
+    return _rebuild_bucketed_table(
+        spark, span_path, "_span_batch", SPAN_BASE_BATCH,
+        SPAN_BUCKET_COL, _with_span_bucket, int(buckets),
+        extra={"span_buckets": int(buckets)},
+    )
+
+
+def rebuild_bands_table(spark, bands_path: str, buckets: int) -> int:
+    """Re-bucket the bands table to modulus ``buckets`` (band
+    geometry is unchanged — the recorded lsh_k/lsh_bands extras
+    persist across the flip).  Quiesce-point operation."""
+    return _rebuild_bucketed_table(
+        spark, bands_path, "_band_batch", BAND_BASE_BATCH,
+        BAND_BUCKET_COL, _with_band_bucket, int(buckets),
+        extra={"band_buckets": int(buckets)},
+    )
+
+
 def compact_span_table(spark, span_path: str, keep_last: int = 2) -> int:
     """Span-table instance of :func:`compact_keyed_table`."""
     return compact_keyed_table(

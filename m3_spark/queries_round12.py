@@ -181,6 +181,42 @@ def q_span_compacted_probe(spark, sf_dir):
     return flagged.select("doc_id", "pos")
 
 
+def q_span_rebucketed_probe(spark, sf_dir):
+    """Modulus regrow through the driver gate (the dict_rebuild_regrow
+    analog): corpus seeded at m=16, wave 1 delivered, the table
+    REBUILT to m=48, wave 2 probes the re-bucketed layout — flags must
+    equal the full-corpus verdict restricted to wave-2 docs (the
+    modulus is result-invisible)."""
+    import shutil
+
+    from .pipeline.dedup import (
+        rebuild_span_table,
+        seed_span_table,
+        span_ingest_batch,
+    )
+    from .queries_round7 import _scratch
+    from .queries_round11 import SPAN_WORDS
+    from .sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    _t, span_path = _scratch("span_rebucket", sf_dir)
+    shutil.rmtree(span_path, ignore_errors=True)
+    seed_span_table(
+        docs.where(F.col("doc_id") % 5 != 0), span_path, SPAN_WORDS,
+        buckets=16,
+    )
+    span_ingest_batch(
+        docs.where(F.col("doc_id") % 10 == 0), span_path, SPAN_WORDS,
+        batch_id=1,
+    )
+    assert rebuild_span_table(spark, span_path, 48) == 1
+    flagged = span_ingest_batch(
+        docs.where(F.col("doc_id") % 10 == 5), span_path, SPAN_WORDS,
+        batch_id=2,
+    )
+    return flagged.select("doc_id", "pos")
+
+
 def _round12_queries():
     from .queries_pipeline import (
         ORACLE_DEDUP_CLUSTERS,
@@ -230,6 +266,12 @@ WHERE c.lo <> c.hi AND s.doc_id % 10 = 5
         ),
         "span_compacted_probe": (
             q_span_compacted_probe,
+            oracle_span_compacted,
+        ),
+        # same wave structure → same oracle: the rebuild, like the
+        # compaction, must be result-invisible to the probe
+        "span_rebucketed_probe": (
+            q_span_rebucketed_probe,
             oracle_span_compacted,
         ),
     }

@@ -513,6 +513,127 @@ def test_compact_bands_table_is_probe_invisible(spark, tmp_path):
     assert after == before
 
 
+# -- re-bucketing (modulus regrow) ------------------------------------------------
+
+
+def test_rebuild_span_table_regrows_modulus(spark, tmp_path):
+    from m3_spark.pipeline.dedup import (
+        rebuild_span_table,
+        seed_span_table,
+        span_ingest_batch,
+    )
+
+    rows = _corpus_rows()
+    docs = _docs_df(spark, rows)
+    corpus = docs.where(F.col("doc_id") <= 3)
+    w1 = docs.where(F.col("doc_id").isin(4, 5))
+    w2 = docs.where(F.col("doc_id") == 6)
+    ref, live = str(tmp_path / "ref"), str(tmp_path / "live")
+    for p in (ref, live):
+        seed_span_table(corpus, p, span_words=5, buckets=4)
+        span_ingest_batch(w1, p, span_words=5, batch_id=1)
+    assert rebuild_span_table(spark, live, 16) == 1
+    assert snapshots.read_snapshot_meta(live)["span_buckets"] == 16
+    key = lambda df: {(r.doc_id, r.pos, r.span_hash) for r in df.collect()}
+    fa = span_ingest_batch(w2, live, span_words=5, batch_id=2)
+    fb = span_ingest_batch(w2, ref, span_words=5, batch_id=2)
+    assert key(fa) == key(fb)
+    # every live file sits under a NEW-modulus bucket dir + the base
+    for f in snapshots.read_manifest(live)["files"]:
+        parts = f.split("/")
+        if parts[-1].startswith("part-") and "_span_batch=-1" in parts:
+            b = int(parts[0].split("=", 1)[1])
+            assert 0 <= b < 16
+
+
+def test_rebuild_migrates_unbucketed_span_table(spark, tmp_path):
+    from m3_spark.pipeline.dedup import (
+        rebuild_span_table,
+        seed_span_table,
+        span_ingest_batch,
+    )
+
+    docs = _docs_df(spark, _corpus_rows())
+    path = str(tmp_path / "spans")
+    seed_span_table(docs.where(F.col("doc_id") <= 3), path, 5)  # flat
+    assert snapshots.read_snapshot_meta(path).get("span_buckets") is None
+    assert rebuild_span_table(spark, path, 8) == 1
+    assert snapshots.read_snapshot_meta(path)["span_buckets"] == 8
+    flagged = span_ingest_batch(
+        docs.where(F.col("doc_id") > 3), path, 5, batch_id=1
+    )
+    assert flagged.count() > 0  # doc 5 duplicates doc 2
+
+
+def test_rebuild_bands_table_keeps_geometry(spark, tmp_path):
+    from m3_spark.pipeline.dedup import (
+        lsh_candidates_bucketed,
+        rebuild_bands_table,
+        seed_bands_table,
+    )
+
+    docs = _docs_df(spark, _corpus_rows())
+    corpus = docs.where(F.col("doc_id") <= 3)
+    batch = docs.where(F.col("doc_id") > 3)
+    path = str(tmp_path / "bands")
+    seed_bands_table(
+        minhash_signature(corpus, k=8, n=3), path, k=8, bands=4, buckets=4
+    )
+    before = _pairs(
+        lsh_candidates_bucketed(
+            spark, path, minhash_signature(batch, k=8, n=3), k=8, bands=4
+        )
+    )
+    assert rebuild_bands_table(spark, path, 16) == 1
+    meta = snapshots.read_snapshot_meta(path)
+    assert meta["band_buckets"] == 16
+    assert meta["lsh_k"] == 8 and meta["lsh_bands"] == 4
+    after = _pairs(
+        lsh_candidates_bucketed(
+            spark, path, minhash_signature(batch, k=8, n=3), k=8, bands=4
+        )
+    )
+    assert after == before
+
+
+def test_housekeep_corpus_one_tick(spark, tmp_path):
+    from m3_spark.pipeline import arrival
+    from m3_spark.pipeline.dedup import dedup_clusters
+
+    rows = _corpus_rows()
+    root = str(tmp_path / "corpus")
+    docs = _docs_df(spark, rows)
+    for w in (0, 1, 2):
+        arrival.document_arrival_step(
+            docs.where(F.col("doc_id") % 3 == w), root, w,
+            k=8, bands=4, n=3, span_words=5,
+        )
+    report = arrival.housekeep_corpus(
+        spark, root, keep_last=0, vacuum_grace_s=0
+    )
+    assert report["pairs_folded"] >= 1
+    assert report["sig_leaves_folded"] == 3
+    assert report["band_leaves_folded"] == 3
+    assert report["span_leaves_folded"] == 3
+    # clustering is tick-invisible
+    want = {(r.node, r.cluster)
+            for r in dedup_clusters(docs, k=8, bands=4, n=3).collect()}
+    got = {(r.node, r.cluster)
+           for r in arrival.materialize_clusters(spark, root).collect()}
+    assert got == want
+    # and the NEXT arrival probes the folded tables correctly
+    arrival.document_arrival_step(
+        _docs_df(spark, [_doc(9, " ".join(WORDS[:14]))]), root, 3,
+        k=8, bands=4, n=3, span_words=5,
+    )
+    got2 = {(r.node, r.cluster)
+            for r in arrival.materialize_clusters(spark, root).collect()}
+    full = _docs_df(spark, rows + [_doc(9, " ".join(WORDS[:14]))])
+    want2 = {(r.node, r.cluster)
+             for r in dedup_clusters(full, k=8, bands=4, n=3).collect()}
+    assert got2 == want2
+
+
 # -- /code-review r12 regressions ------------------------------------------------
 
 
