@@ -849,6 +849,67 @@ def test_span_cut_batch_sequential_waves_respect_owners(spark, tmp_path):
     ) == {6: ""}
 
 
+# -- plan shapes: the corpus side never exchanges ----------------------------------
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_span_incremental_plan_corpus_side_never_shuffles(spark):
+    """The r12 probe contract: the corpus span table is semi-joined
+    against the BROADCAST batch hashes — a LeftSemi BroadcastHashJoin
+    with no hashpartitioning exchange upstream of the corpus scan.
+    The only exchanges left are the bounded ones: the batch's intra
+    group-by, the matched-rows distinct, and the hit-set union
+    distinct (all batch-bounded)."""
+    from m3_spark.pipeline.dedup import (
+        duplicate_spans_incremental,
+        span_windows,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(WORDS[i : i + 8])) for i in range(1, 5)],
+        "doc_id long, text string",
+    )
+    corpus_spans = span_windows(
+        docs.where(F.col("doc_id") <= 2), 5
+    )
+    out = duplicate_spans_incremental(
+        docs.where(F.col("doc_id") > 2), corpus_spans, 5
+    )
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # corpus scan flows straight into the broadcast semi join: the
+    # probe side of that join must not be an Exchange
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_lsh_incremental_plan_corpus_side_never_shuffles(spark):
+    from m3_spark.pipeline.dedup import (
+        lsh_candidates_incremental,
+        minhash_signature,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(WORDS[i : i + 10])) for i in range(1, 5)],
+        "doc_id long, text string",
+    )
+    corpus_sigs = minhash_signature(docs.where(F.col("doc_id") <= 2), 8)
+    out = lsh_candidates_incremental(
+        docs.where(F.col("doc_id") > 2), corpus_sigs, k=8, bands=4
+    )
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # remaining exchanges: members group-by, the final distinct, the
+    # broadcast subtree's key distinct — all collision/batch-bounded —
+    # plus minhash_signature's own repartition on the INLINE-signed
+    # corpus (absent when the corpus side is a signature-table read).
+    # The corpus PROBE side itself feeds the semi join with no
+    # exchange.
+    assert plan.count("Exchange hashpartitioning") <= 4
+
+
 # -- vectorized SemDeDup pairwise ----------------------------------------------
 
 
