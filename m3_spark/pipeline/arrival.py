@@ -7,11 +7,14 @@ Per arriving micro-batch of documents, one ``foreachBatch`` step runs
 the three incremental dedup arrivals — all batch-bounded, none
 corpus-bounded:
 
-* MinHash: sign ONLY the batch, candidate pairs vs the materialized
-  signature table, append the batch's signatures
-  (``dedup_ingest_batch`` machinery, minus the assignment fold);
-* substring spans: window ONLY the batch, flag vs the span table,
-  append the batch's windows (``span_ingest_batch``);
+* MinHash: sign ONLY the batch, candidate pairs via the BUCKETED
+  bands table (``lsh_candidates_bucketed`` — manifest read, corpus
+  scan and band-key group-by all prune to the batch's hit buckets;
+  the signature table is still maintained as the archival form, and
+  a legacy corpus without a bands table keeps the signature-table
+  probe until a ``seed_bands_table`` backfill);
+* substring spans: window ONLY the batch, flag vs the (bucketed)
+  span table, append the batch's windows (``span_ingest_batch``);
 * the batch's candidate PAIRS land in a batch-keyed pair log (the
   same keyed append-plus-manifest-flip as the signature and span
   sinks), so every step is crash-idempotent under at-least-once
@@ -22,9 +25,12 @@ Cluster ASSIGNMENT is deliberately NOT maintained per micro-batch:
 persisting that every few seconds is O(corpus) I/O per batch — the
 kind of hidden unbounded term the namespace sink spent three rounds
 removing.  Materialize it on an explicit cadence instead
-(:func:`materialize_clusters` — connected components over the pair
-log), exactly like namespace housekeeping owns compaction/vacuum
-rather than the write path.
+(:func:`materialize_clusters` — connected components over the
+compacted cluster state plus the live pair leaves), exactly like
+namespace housekeeping owns compaction/vacuum rather than the write
+path.  :func:`housekeep_corpus` is the single cadence tick owning ALL
+the folds (pair log → cluster state, closed batch leaves → base
+partitions) plus vacuum.
 
 The pair log may hold DUPLICATE claims: a wave redelivered after
 later waves landed sees those waves in its corpus side and re-emits
