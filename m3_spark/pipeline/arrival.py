@@ -449,7 +449,8 @@ def ingest_document_stream(
     (``idempotent_foreach_batch`` marker = fast-path skip; the keyed
     sinks are the correctness mechanism).  ``vacuum_every=N`` runs a
     :func:`vacuum_corpus` tick after every Nth batch's marker;
-    ``compact_every=N`` likewise runs :func:`compact_pair_log` — both
+    ``compact_every=N`` likewise runs the full :func:`housekeep_corpus`
+    fold set (pair log + closed side-table batches; no vacuum) — both
     failure-contained (maintenance and ingest keep separate failure
     domains); larger deployments pass ``None`` and schedule them
     separately.  Returns the started StreamingQuery handle."""
