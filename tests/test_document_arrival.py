@@ -119,6 +119,49 @@ def test_document_stream_two_waves_converge(spark, tmp_path):
     assert got == want and got
 
 
+def test_document_stream_with_housekeeping_cadence(spark, tmp_path):
+    # the full consume loop WITH the housekeeping cadence firing
+    # between waves: compact_every=1 folds the pair log and the side
+    # tables' closed batches after every delivery, and the final
+    # clustering must still equal the full-corpus one
+    from m3_spark.pipeline.arrival import cluster_state_path
+
+    rows = _corpus_rows()
+    src = str(tmp_path / "incoming")
+    root = str(tmp_path / "corpus")
+    ck = str(tmp_path / "ck")
+
+    for i, lo in enumerate((0, 2, 4)):
+        _write_wave(src, f"wave{i}.jsonl", rows[lo : lo + 2])
+        q = ingest_document_stream(
+            (spark.readStream.schema("doc_id long, text string").json(src)),
+            root, ck, k=8, bands=4, n=3, span_words=5,
+            vacuum_every=1, vacuum_grace_s=0, compact_every=1,
+        )
+        q.awaitTermination(120)
+
+    assert snapshots.has_manifest(cluster_state_path(root))
+    full = _docs_df(spark, rows)
+    got = {
+        (r.node, r.cluster)
+        for r in materialize_clusters(spark, root).collect()
+    }
+    want = {
+        (r.node, r.cluster)
+        for r in dedup_clusters(full, k=8, bands=4, n=3).collect()
+    }
+    assert got == want and got
+    # the span table still answers a fresh probe correctly after the
+    # folds (doc 9 duplicates doc 1/4's text)
+    from m3_spark.pipeline.dedup import span_ingest_batch
+
+    flagged = span_ingest_batch(
+        _docs_df(spark, [_doc(9, WORDS[:12])]), root + "/_spans", 5,
+        batch_id=99,
+    )
+    assert flagged.count() == 8  # all 8 windows collide
+
+
 def test_document_arrival_redelivery_and_vacuum(spark, tmp_path):
     rows = _corpus_rows()
     root = str(tmp_path / "corpus")
