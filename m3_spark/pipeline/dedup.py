@@ -774,6 +774,46 @@ def dedup_clusters(
     return connected_components(pairs)
 
 
+def dedup_survivors(
+    docs: DataFrame,
+    score_col: Column,
+    k: int = 12, bands: int = 4, n: int = 3,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Fuzzy dedup with KEEP-BEST survivor selection: one document per
+    near-duplicate cluster — the highest-scoring member, ties to the
+    lowest id — the standard pretraining policy (keep the longest /
+    highest-quality / most-curated copy, not an arbitrary one; the
+    cluster-level analog of :func:`exact_dedup_keep_best`).
+    Unclustered documents pass through untouched.
+
+    Plan shape: the LSH cluster map (one band-key shuffle + bounded CC
+    rounds), then ONE map-side-combinable ``max_by`` per cluster — the
+    winner set is cluster-count-sized — and two id-keyed joins back
+    onto the corpus (anti for the unclustered side, semi for the
+    winners; AQE broadcasts the winner side when small).  The corpus
+    text is traversed once, by the signature fold.  Returns the kept
+    rows of the input.
+    """
+    clusters = dedup_clusters(docs, k, bands, n, text_col, id_col)
+    scored = docs.select(F.col(id_col), score_col.alias("_s")).join(
+        clusters, F.col(id_col) == F.col("node")
+    )
+    winners = (
+        scored.groupBy("cluster")
+        .agg(
+            F.expr(
+                f"max_by({id_col}, struct(_s, -{id_col}))"
+            ).alias("keep_id")
+        )
+        .select(F.col("keep_id").alias(id_col))
+    )
+    clustered_ids = clusters.select(F.col("node").alias(id_col))
+    kept_unclustered = docs.join(clustered_ids, id_col, "left_anti")
+    kept_clustered = docs.join(winners, id_col, "left_semi")
+    return kept_unclustered.unionByName(kept_clustered)
+
+
 #: reserved _sig_batch value for a base corpus / compacted signatures
 SIG_BASE_BATCH = -1
 

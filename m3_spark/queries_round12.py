@@ -217,6 +217,71 @@ def q_span_rebucketed_probe(spark, sf_dir):
     return flagged.select("doc_id", "pos")
 
 
+def q_dedup_survivors(spark, sf_dir):
+    """Fuzzy dedup with keep-best survivor selection through the
+    driver gate: one document per LSH near-duplicate cluster — the
+    LONGEST member (score = n_chars; ties to the lowest id) — plus
+    every unclustered document.  The oracle restates the cluster map
+    (the recursive transitive-closure CTE) and picks the per-cluster
+    survivor with a window rank."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from .pipeline.dedup import dedup_survivors
+    from .queries_pipeline import BANDS, K_MINHASH, NGRAM
+    from .sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    kept = dedup_survivors(
+        docs, F.col("n_chars"), K_MINHASH, BANDS, NGRAM
+    )
+    return kept.select("doc_id")
+
+
+def _oracle_dedup_survivors() -> str:
+    from .queries_pipeline import _MINSIG_CTE, _band_keys_sql
+
+    band_structs = ", ".join(
+        f"{{'band_id': {b}, 'band_key': {kexpr}}}"
+        for b, kexpr in enumerate(_band_keys_sql())
+    )
+    return f"""WITH RECURSIVE {_MINSIG_CTE},
+banded AS (
+  SELECT doc_id, band_id, band_key FROM sig,
+  UNNEST([{band_structs}]) AS t(band)
+  , LATERAL (SELECT band.band_id AS band_id, band.band_key AS band_key) l
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.a, e.v FROM reach r JOIN edges e ON e.u = r.b
+),
+clu AS (SELECT a AS node, LEAST(a, MIN(b)) AS cluster
+        FROM reach GROUP BY a),
+ranked AS (
+  SELECT c.node AS doc_id, c.cluster,
+         row_number() OVER (
+           PARTITION BY c.cluster
+           ORDER BY d.n_chars DESC, c.node ASC
+         ) AS rk
+  FROM clu c JOIN documents d ON d.doc_id = c.node
+)
+SELECT doc_id FROM ranked WHERE rk = 1
+UNION ALL
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM clu)
+"""
+
+
 def _round12_queries():
     from .queries_pipeline import (
         ORACLE_DEDUP_CLUSTERS,
@@ -273,6 +338,10 @@ WHERE c.lo <> c.hi AND s.doc_id % 10 = 5
         "span_rebucketed_probe": (
             q_span_rebucketed_probe,
             oracle_span_compacted,
+        ),
+        "dedup_survivors": (
+            q_dedup_survivors,
+            _oracle_dedup_survivors(),
         ),
     }
 

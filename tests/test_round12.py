@@ -849,6 +849,60 @@ def test_span_cut_batch_sequential_waves_respect_owners(spark, tmp_path):
     ) == {6: ""}
 
 
+# -- keep-best survivor selection ---------------------------------------------------
+
+
+def test_dedup_survivors_keeps_best_per_cluster(spark):
+    # expectation derived from the cluster map itself: per cluster the
+    # member maximizing (n_chars, -id); unclustered docs pass through
+    from m3_spark.pipeline.dedup import dedup_clusters, dedup_survivors
+
+    rows = _corpus_rows()
+    docs = _docs_df(spark, rows).withColumn(
+        "n_chars", F.length("text")
+    )
+    kept = {
+        r.doc_id
+        for r in dedup_survivors(
+            docs, F.col("n_chars"), k=8, bands=4, n=3
+        ).select("doc_id").collect()
+    }
+    lens = {r["doc_id"]: len(r["text"]) for r in rows}
+    cmap = {}
+    for r in dedup_clusters(docs, 8, 4, 3).collect():
+        cmap.setdefault(r.cluster, []).append(r.node)
+    want = {
+        max(members, key=lambda i: (lens[i], -i))
+        for members in cmap.values()
+    }
+    clustered = {n for ms in cmap.values() for n in ms}
+    want |= {r["doc_id"] for r in rows if r["doc_id"] not in clustered}
+    assert kept == want
+    # drops happened: the corpus has real near-dups
+    assert len(kept) < len(rows)
+
+
+def test_dedup_survivors_score_overrides_id_order(spark):
+    from m3_spark.pipeline.dedup import dedup_survivors
+
+    # higher id wins when its score is higher
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(WORDS[:12]), 5.0),
+            (9, " ".join(WORDS[:12]), 7.0),  # same text, better score
+            (3, " ".join(reversed(WORDS[:15])), 1.0),
+        ],
+        "doc_id long, text string, quality double",
+    )
+    kept = {
+        r.doc_id
+        for r in dedup_survivors(
+            docs, F.col("quality"), k=8, bands=4, n=3
+        ).select("doc_id").collect()
+    }
+    assert kept == {9, 3}
+
+
 # -- plan shapes: the corpus side never exchanges ----------------------------------
 
 
