@@ -442,6 +442,7 @@ def ingest_document_stream(
     vacuum_every: int | None = 100,
     vacuum_grace_s: float | None = None,
     compact_every: int | None = None,
+    housekeep_keep_last: int = 2,
 ):
     """The document consume loop: a streaming frame of documents
     drives :func:`document_arrival_step` per micro-batch, with the
@@ -450,7 +451,10 @@ def ingest_document_stream(
     sinks are the correctness mechanism).  ``vacuum_every=N`` runs a
     :func:`vacuum_corpus` tick after every Nth batch's marker;
     ``compact_every=N`` likewise runs the full :func:`housekeep_corpus`
-    fold set (pair log + closed side-table batches; no vacuum) — both
+    fold set (pair log + closed side-table batches; no vacuum), with
+    ``housekeep_keep_last`` protecting the redelivery tail — raise it
+    for sources whose redelivery horizon exceeds the checkpoint's
+    in-flight batch (see ``compact_keyed_table``) — both
     failure-contained (maintenance and ingest keep separate failure
     domains); larger deployments pass ``None`` and schedule them
     separately.  Returns the started StreamingQuery handle."""
@@ -477,7 +481,8 @@ def ingest_document_stream(
                 # full housekeeping minus vacuum (which has its own
                 # cadence knob below)
                 housekeep_corpus(
-                    batch_df.sparkSession, corpus_root, vacuum=False
+                    batch_df.sparkSession, corpus_root, vacuum=False,
+                    keep_last=housekeep_keep_last,
                 )
             except Exception as exc:  # pragma: no cover - logged only
                 print(f"corpus housekeeping tick failed (contained): {exc!r}")

@@ -796,22 +796,28 @@ def dedup_survivors(
     rows of the input.
     """
     clusters = dedup_clusters(docs, k, bands, n, text_col, id_col)
+    # the (score desc, id asc) priority as a max_by struct — the
+    # exact_dedup_keep_best idiom
+    ranked = F.struct(F.col("_s").alias("s"), (-F.col(id_col)).alias("negid"))
     scored = docs.select(F.col(id_col), score_col.alias("_s")).join(
         clusters, F.col(id_col) == F.col("node")
     )
     winners = (
-        scored.groupBy("cluster")
-        .agg(
-            F.expr(
-                f"max_by({id_col}, struct(_s, -{id_col}))"
-            ).alias("keep_id")
-        )
-        .select(F.col("keep_id").alias(id_col))
+        scored.withColumn("_r", ranked)
+        .groupBy("cluster")
+        .agg(F.expr(f"max_by({id_col}, _r)").alias("keep_id"))
     )
-    clustered_ids = clusters.select(F.col("node").alias(id_col))
-    kept_unclustered = docs.join(clustered_ids, id_col, "left_anti")
-    kept_clustered = docs.join(winners, id_col, "left_semi")
-    return kept_unclustered.unionByName(kept_clustered)
+    # ONE corpus pass: drop the losers (clustered non-winners — a
+    # cluster-count-bounded side) instead of scanning the corpus once
+    # per branch and unioning
+    losers = (
+        clusters.select(F.col("node").alias(id_col))
+        .join(
+            winners, F.col(id_col) == F.col("keep_id"), "left_anti"
+        )
+        .select(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")
 
 
 #: reserved _sig_batch value for a base corpus / compacted signatures
@@ -891,6 +897,7 @@ def write_signature_batch(
 def _write_keyed_batch(
     df: DataFrame, path: str, batch_id: int, key: str,
     bucket_col: str | None = None, extra: dict | None = None,
+    prepare=None,
 ) -> None:
     """The batch-keyed append-plus-flip shared by the arrival-path
     side tables (signatures, span hashes, banded keys, pair log): the
@@ -907,13 +914,22 @@ def _write_keyed_batch(
     key stays the second-level leaf ``commit_snapshot_delta`` retires
     across buckets on redelivery.  Flip cost is then O(the batch's hit
     buckets).  ``extra`` records table-level metadata (the bucket
-    modulus) on creation; extras persist across later flips."""
+    modulus) on creation; extras persist across later flips.
+
+    ``prepare``: ``df -> (df, bucket_col, extra)`` invoked UNDER the
+    writer lock — how the bucketed writers read the table's CURRENT
+    modulus and attach the bucket column atomically with their commit:
+    a concurrent re-bucket rebuild takes the same lock to flip, so a
+    batch can never land rows assigned under a modulus the flip
+    retired (the TOCTOU /code-review r12 found)."""
     from ..sources import snapshots
 
-    out = df.withColumn(key, F.lit(int(batch_id)))
-    parts = ([bucket_col] if bucket_col else []) + [key]
     leaf = f"{key}={int(batch_id)}"
     with snapshots.writer_lock(path):
+        if prepare is not None:
+            df, bucket_col, extra = prepare(df)
+        out = df.withColumn(key, F.lit(int(batch_id)))
+        parts = ([bucket_col] if bucket_col else []) + [key]
         # pass the batch's schema into the bootstrap: on a table's very
         # FIRST delivery a crash between this init and the commit below
         # would otherwise persist a zero-file manifest with no schema,
@@ -1005,12 +1021,19 @@ def seed_bands_table(
     )
 
 
-def _check_band_geometry(bands_path: str, k: int, bands: int) -> int:
+def _check_band_geometry(
+    bands_path: str, k: int, bands: int, root: dict | None = None
+) -> int:
     """The table's bucket modulus, after validating the caller's band
-    geometry matches what the keys were derived under."""
+    geometry matches what the keys were derived under.  ``root``: a
+    manifest root the caller already read (keeps the modulus and the
+    file list one atomic read on the probe path)."""
     from ..sources import snapshots
 
-    meta = snapshots.read_snapshot_meta(bands_path) or {}
+    meta = (
+        root if root is not None
+        else snapshots.read_snapshot_meta(bands_path)
+    ) or {}
     m = meta.get("band_buckets")
     if not m:
         raise ValueError(f"no bucketed bands table at {bands_path}")
@@ -1040,26 +1063,32 @@ def write_bands_batch(
         )
     import os
 
-    if os.path.isdir(bands_path) and _band_bucket_count(bands_path):
-        m = _check_band_geometry(bands_path, k, bands)
-        extra = None
-    else:
-        if not buckets:
-            raise ValueError(
-                f"no bands table at {bands_path} and no bucket count "
-                "given for creation"
-            )
-        m = int(buckets)
-        extra = {
-            "band_buckets": m, "lsh_k": int(k), "lsh_bands": int(bands)
-        }
-    # one task per hit bucket → one file per bucket dir per batch
-    bucketed = _with_band_bucket(banded, m).repartition(
-        F.col(BAND_BUCKET_COL)
-    )
+    def _prepare(df):
+        # under the writer lock: modulus read + bucket assignment are
+        # atomic with the commit (see write_span_batch)
+        if os.path.isdir(bands_path) and _band_bucket_count(bands_path):
+            m = _check_band_geometry(bands_path, k, bands)
+            extra = None
+        else:
+            if not buckets:
+                raise ValueError(
+                    f"no bands table at {bands_path} and no bucket "
+                    "count given for creation"
+                )
+            m = int(buckets)
+            extra = {
+                "band_buckets": m, "lsh_k": int(k),
+                "lsh_bands": int(bands),
+            }
+        # one task per hit bucket → one file per bucket dir per batch
+        return (
+            _with_band_bucket(df, m).repartition(F.col(BAND_BUCKET_COL)),
+            BAND_BUCKET_COL,
+            extra,
+        )
+
     _write_keyed_batch(
-        bucketed, bands_path, batch_id,
-        "_band_batch", bucket_col=BAND_BUCKET_COL, extra=extra,
+        banded, bands_path, batch_id, "_band_batch", prepare=_prepare
     )
 
 
@@ -1085,7 +1114,11 @@ def lsh_candidates_bucketed(
     """
     from ..sources import snapshots
 
-    m = _check_band_geometry(bands_path, k, bands)
+    # ONE root read serves geometry check, modulus AND file list — a
+    # re-bucket rebuild flipping between two separate reads would make
+    # the probe prune new files with old bucket ids
+    root = snapshots.read_snapshot_meta(bands_path)
+    m = _check_band_geometry(bands_path, k, bands, root=root)
     batch_banded = (
         new_banded
         if new_banded is not None
@@ -1101,7 +1134,7 @@ def lsh_candidates_bucketed(
     }
     allowed = {f"{BAND_BUCKET_COL}={b}" for b in hit}
     corpus = snapshots.resolve_snapshot(
-        spark, bands_path, seg_filter=allowed.__contains__
+        spark, bands_path, seg_filter=allowed.__contains__, manifest=root
     )
     if batch_id is not None and "_band_batch" in corpus.columns:
         corpus = corpus.where(F.col("_band_batch") != int(batch_id))
@@ -1136,14 +1169,25 @@ def compact_keyed_table(
     ``keep_last`` covers.  Raise it for sources with longer redelivery
     horizons.
 
-    LOCK SCOPE (the unlocked-rewrite idiom): pin the affected leaves'
-    file lists under a brief lock, rewrite OFF-lock into a dot-scratch
-    (rows of folded leaves + the current base, ``distinct``), then
-    under the lock revalidate the pinned lists — ANY change (a
-    redelivery replacing a pinned leaf) aborts the whole fold, because
-    the merged rewrite cannot drop one stale leaf — move the files in
-    and flip.  Concurrent arrivals landing NEW leaves never abort (the
-    revalidation is scoped to the affected leaves)."""
+    LOCK SCOPE (the unlocked-rewrite idiom): pin the affected files
+    under a brief lock, rewrite OFF-lock into a dot-scratch (rows of
+    folded leaves + the base rows of the TOUCHED segments,
+    ``distinct``), then under the lock revalidate the pinned lists —
+    ANY change (a redelivery replacing a pinned leaf) aborts the whole
+    fold, because the merged rewrite cannot drop one stale leaf —
+    move the files in and flip.  Concurrent arrivals landing NEW
+    leaves never abort (the revalidation is scoped to the affected
+    files).
+
+    COST is bounded by the TOUCHED data, not the table: leaf ids come
+    from root-side segment metadata (no file lists), only segments
+    holding a folded leaf are pinned, and on a bucketed layout
+    (segment == bucket) only the touched buckets' base rows are
+    merged and rewritten — base files in buckets the folded batches
+    never hit are untouched (their retirement would otherwise make
+    every housekeeping tick an O(corpus) rewrite).  The flip retires
+    the EXPLICIT affected files (``remove_files``), never whole
+    leaves."""
     import os
     import shutil
     import uuid
@@ -1152,38 +1196,59 @@ def compact_keyed_table(
 
     if not snapshots.has_manifest(path):
         return 0
+    base_leaf = f"{key}={base}"
+
+    def _seg_ids(seg: str, meta: dict) -> set[int]:
+        ids = set()
+        for part in (seg, *meta.get("leaves", ())):
+            if part.startswith(f"{key}="):
+                ids.add(int(part.split("=", 1)[1]))
+        return ids
+
+    # phase 1 (brief lock): leaf ids from ROOT metadata, then pin only
+    # the touched segments' file lists
     with snapshots.writer_lock(path):
         segs = snapshots.snapshot_segments(path) or {}
-        pinned_all = [
-            f for seg in segs
-            for f in snapshots.snapshot_segment_files(path, seg)
+        all_ids = set()
+        for seg, meta in segs.items():
+            all_ids |= _seg_ids(seg, meta)
+        fold_ids = sorted(i for i in all_ids if i != base)
+        if keep_last:
+            fold_ids = (
+                fold_ids[:-keep_last] if len(fold_ids) > keep_last else []
+            )
+        if not fold_ids:
+            return 0
+        fold_set = set(fold_ids)
+        touched = [
+            seg for seg, meta in segs.items()
+            if _seg_ids(seg, meta) & fold_set
         ]
-    leaf_ids = set()
-    for f in pinned_all:
-        for part in f.split("/")[:-1]:
-            if part.startswith(f"{key}="):
-                leaf_ids.add(int(part.split("=", 1)[1]))
-    fold_ids = sorted(i for i in leaf_ids if i != base)
-    if keep_last:
-        fold_ids = (
-            fold_ids[:-keep_last] if len(fold_ids) > keep_last else []
-        )
-    if not fold_ids:
-        return 0
-    affected = {f"{key}={i}" for i in fold_ids} | {f"{key}={base}"}
+        # unbucketed layout: the merge target (the base segment) is
+        # separate from the folded segments and must join the rewrite
+        if base_leaf in segs and base_leaf not in touched:
+            touched.append(base_leaf)
+        pinned = {
+            seg: snapshots.snapshot_segment_files(path, seg)
+            for seg in touched
+        }
+    affected_leaves = {f"{key}={i}" for i in fold_ids} | {base_leaf}
 
     def _aff(files):
         return sorted(
-            f for f in files if set(f.split("/")[:-1]) & affected
+            f for f in files
+            if set(f.split("/")[:-1]) & affected_leaves
         )
 
-    pin_aff = _aff(pinned_all)
+    pin_aff = _aff(f for fs in pinned.values() for f in fs)
+    if not pin_aff:
+        return 0
     # a crashed earlier fold's scratch (dot-prefixed, invisible to
     # scans) is reclaimed on the namespace TTL rule
-    from ..sources.namespace import _reclaim_stale_scratch
+    from ..sources.namespace import _move_parquet_in, _reclaim_stale_scratch
 
     _reclaim_stale_scratch(path, ".fold_tmp_")
-    # phase 2 (NO lock): the merged rewrite
+    # phase 2 (NO lock): the merged rewrite of the affected files only
     df = (
         spark.read.option("basePath", path)
         .parquet(*[os.path.join(path, f) for f in pin_aff])
@@ -1197,18 +1262,17 @@ def compact_keyed_table(
             bucket_col
         ).mode("overwrite").parquet(tmp)
         move_pairs = [
-            (os.path.join(tmp, d), os.path.join(path, d, f"{key}={base}"))
+            (os.path.join(tmp, d), os.path.join(path, d, base_leaf))
             for d in os.listdir(tmp)
             if d.startswith(f"{bucket_col}=")
         ]
     else:
         df.write.mode("overwrite").parquet(tmp)
-        move_pairs = [(tmp, os.path.join(path, f"{key}={base}"))]
+        move_pairs = [(tmp, os.path.join(path, base_leaf))]
     try:
         with snapshots.writer_lock(path):
-            segs2 = snapshots.snapshot_segments(path) or {}
             cur = [
-                f for seg in segs2
+                f for seg in pinned
                 for f in snapshots.snapshot_segment_files(path, seg)
             ]
             if _aff(cur) != pin_aff:
@@ -1217,15 +1281,13 @@ def compact_keyed_table(
                 # scratch never entered a live dir
                 return 0
             new_files = []
-            from ..sources.namespace import _move_parquet_in
-
             for src, dest in move_pairs:
                 for f in _move_parquet_in(src, dest):
                     new_files.append(
                         os.path.relpath(os.path.join(dest, f), path)
                     )
             snapshots.commit_snapshot_delta(
-                path, add=new_files, remove_leaves=sorted(affected),
+                path, add=new_files, remove_files=pin_aff,
                 expected_version=snapshots.snapshot_version(path),
             )
     finally:
@@ -1720,31 +1782,36 @@ def write_span_batch(
     # ``buckets`` only applies on true CREATION (no manifest, no files)
     # — turning bucketing on over live unbucketed leaves would mix
     # partition depths among listed files.
-    from ..sources import snapshots
-
-    m = _span_bucket_count(span_path)
-    extra = None
-    if m is None and buckets and _no_committed_data(span_path):
-        # true creation: a crashed FIRST delivery may have left a
-        # zero-file manifest (no span_buckets recorded) — the
-        # redelivery must still establish the requested bucketing, not
-        # silently fall back to an unbucketed-forever table
-        # (/code-review r12); uncommitted crash orphans are vacuum's
-        m = int(buckets)
-        extra = {"span_buckets": m}
-    if m:
+    def _prepare(df):
+        # runs UNDER the table's writer lock: the modulus read and the
+        # bucket assignment are atomic with this batch's commit — a
+        # concurrent re-bucket rebuild (same lock) can never retire the
+        # modulus these rows were assigned under
+        m = _span_bucket_count(span_path)
+        extra = None
+        if m is None and buckets and _no_committed_data(span_path):
+            # true creation: a crashed FIRST delivery may have left a
+            # zero-file manifest (no span_buckets recorded) — the
+            # redelivery must still establish the requested bucketing,
+            # not silently fall back to an unbucketed-forever table
+            # (/code-review r12); uncommitted crash orphans are
+            # vacuum's
+            m = int(buckets)
+            extra = {"span_buckets": m}
+        if not m:
+            return df, None, None
         # one task per hit bucket → one file per bucket dir per batch
         # (unrepartitioned, each of P tasks writes every bucket it
         # holds: ~P×buckets tiny files per delivery on the hot path)
-        bucketed = _with_span_bucket(spans, m).repartition(
-            F.col(SPAN_BUCKET_COL)
+        return (
+            _with_span_bucket(df, m).repartition(F.col(SPAN_BUCKET_COL)),
+            SPAN_BUCKET_COL,
+            extra,
         )
-        _write_keyed_batch(
-            bucketed, span_path, batch_id,
-            "_span_batch", bucket_col=SPAN_BUCKET_COL, extra=extra,
-        )
-    else:
-        _write_keyed_batch(spans, span_path, batch_id, "_span_batch")
+
+    _write_keyed_batch(
+        spans, span_path, batch_id, "_span_batch", prepare=_prepare
+    )
 
 
 def seed_span_table(
@@ -1866,8 +1933,17 @@ def _resolve_span_corpus(
     from ..sources import snapshots
 
     if os.path.isdir(span_path):
+        # ONE root read serves both the modulus and the file list —
+        # two separate reads would let a concurrent re-bucket rebuild
+        # flip the layout in between and the probe would prune NEW
+        # files with OLD bucket ids (/code-review r12 TOCTOU)
+        root = snapshots.read_snapshot_meta(span_path)
         seg_filter = None
-        m = _span_bucket_count(span_path)
+        m = (
+            int(root["span_buckets"])
+            if root and root.get("span_buckets")
+            else None
+        )
         if m:
             hit = {
                 int(r[0])
@@ -1880,7 +1956,7 @@ def _resolve_span_corpus(
             seg_filter = allowed.__contains__
         try:
             existing = snapshots.resolve_snapshot(
-                spark, span_path, seg_filter=seg_filter
+                spark, span_path, seg_filter=seg_filter, manifest=root
             )
         except ValueError:
             # a crash between a first delivery's manifest bootstrap

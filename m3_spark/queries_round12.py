@@ -110,7 +110,9 @@ def q_pair_log_compacted(spark, sf_dir):
             docs.where(F.col("doc_id") % 3 == wave), root, wave,
             k=K_MINHASH, bands=BANDS, n=NGRAM, span_words=None,
         )
-    assert compact_pair_log(spark, root) == 2
+    folded = compact_pair_log(spark, root)
+    if folded != 2:  # a bare assert vanishes under python -O
+        raise RuntimeError(f"expected 2 pair leaves folded, got {folded}")
     document_arrival_step(
         docs.where(F.col("doc_id") % 3 == 2), root, 2,
         k=K_MINHASH, bands=BANDS, n=NGRAM, span_words=None,
@@ -173,7 +175,9 @@ def q_span_compacted_probe(spark, sf_dir):
         docs.where(F.col("doc_id") % 10 == 0), span_path, SPAN_WORDS,
         batch_id=1,
     )
-    assert compact_span_table(spark, span_path, keep_last=0) == 1
+    folded = compact_span_table(spark, span_path, keep_last=0)
+    if folded != 1:  # a bare assert vanishes under python -O
+        raise RuntimeError(f"expected 1 span leaf folded, got {folded}")
     flagged = span_ingest_batch(
         docs.where(F.col("doc_id") % 10 == 5), span_path, SPAN_WORDS,
         batch_id=2,
@@ -209,7 +213,8 @@ def q_span_rebucketed_probe(spark, sf_dir):
         docs.where(F.col("doc_id") % 10 == 0), span_path, SPAN_WORDS,
         batch_id=1,
     )
-    assert rebuild_span_table(spark, span_path, 48) == 1
+    if rebuild_span_table(spark, span_path, 48) != 1:
+        raise RuntimeError("span-table rebuild aborted")
     flagged = span_ingest_batch(
         docs.where(F.col("doc_id") % 10 == 5), span_path, SPAN_WORDS,
         batch_id=2,

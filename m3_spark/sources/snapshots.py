@@ -510,7 +510,7 @@ def commit_snapshot(
 
 
 def commit_snapshot_delta(
-    path: str, add=(), remove_leaves=(),
+    path: str, add=(), remove_leaves=(), remove_files=(),
     schema_json: str | None = None, extra: dict | None = None,
     expected_version: int | None = None,
 ) -> dict:
@@ -519,10 +519,13 @@ def commit_snapshot_delta(
     (matched against ANY path component: a first-level leaf like
     ``dict_bucket=3`` or ``date_bucket=D`` retires a whole segment, a
     second-level leaf like ``_ingest_batch=7`` retires that batch's
-    files across every day holding them), then register ``add`` as new
-    snapshot files.  Removals apply to the PRE-delta file set only, so
-    a flip may retire a leaf and add new files under the same leaf in
-    one commit (exactly what a redelivered batch does).
+    files across every day holding them), retire the EXPLICIT relative
+    paths in ``remove_files`` (for flips that replace only part of a
+    leaf — e.g. a side-table fold rewriting the base partition of the
+    touched buckets only), then register ``add`` as new snapshot
+    files.  Removals apply to the PRE-delta file set only, so a flip
+    may retire a leaf and add new files under the same leaf in one
+    commit (exactly what a redelivered batch does).
 
     Cost: reads the root (O(partitions)) plus ONLY the touched
     segments — the segments of ``add`` files, segments keyed by a
@@ -540,6 +543,7 @@ def commit_snapshot_delta(
     _fence(prev_root, expected_version, path)
     add = list(add)
     rm = set(remove_leaves)
+    rm_files = set(remove_files)
     if "segments" not in prev_root and (
         prev_root.get("files") or prev_root.get("retired")
     ):
@@ -547,14 +551,14 @@ def commit_snapshot_delta(
         # rewrites every segment; subsequent deltas are bounded)
         keep = [
             f for f in prev_root.get("files", [])
-            if not (set(f.split("/")[:-1]) & rm)
+            if not (set(f.split("/")[:-1]) & rm) and f not in rm_files
         ]
         return commit_snapshot(
             path, keep + add, schema_json, extra,
             expected_version=expected_version,
         )
     segments = prev_root.get("segments") or {}
-    touched = {_seg_of(f) for f in add}
+    touched = {_seg_of(f) for f in add} | {_seg_of(f) for f in rm_files}
     for leaf in rm:
         if leaf in segments:
             touched.add(leaf)
@@ -569,7 +573,7 @@ def commit_snapshot_delta(
         files: list[str] = []
         retired = dict(doc["retired"])
         for f in doc["files"]:
-            if set(f.split("/")[:-1]) & rm:
+            if set(f.split("/")[:-1]) & rm or f in rm_files:
                 retired[f] = now
             else:
                 files.append(f)

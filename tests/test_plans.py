@@ -334,6 +334,20 @@ def test_incremental_dedup_reads_corpus_from_signature_table(spark):
     assert plan.count("documents.parquet") <= 1, plan
     assert "sigs_" in plan  # signature table scan present
 
+    # the batch side materializes at checkpoint time from THIS
+    # subplan — the new-batch predicate must still reach the
+    # documents scan there (the final plan can no longer show it)
+    from m3_spark.pipeline.dedup import _banded_rows, minhash_signature
+    from m3_spark.sources.tables import read_table
+    from pyspark.sql import functions as F
+
+    batch = read_table(spark, SF_DIR, "documents").where(
+        F.col("doc_id") % 5 == 0
+    )
+    sub = _banded_rows(minhash_signature(batch), 12, 4)
+    txt = _formatted(sub)
+    assert "PushedFilters" in txt and txt.count("documents.parquet") == 1
+
 
 def test_lsh_verified_and_pii_scan_budgets(spark):
     """dedup_lsh_verified: the corpus text feeds the LSH candidate
