@@ -748,12 +748,16 @@ def main() -> None:
 
         if os.path.exists(root):
             return
+        # components are BOUNDED (≤ 11 nodes inside a disjoint 40-id
+        # group, with cross-batch merging) — the realistic dedup shape;
+        # a chain construction would build one corpus-diameter
+        # component and turn CC into ~log(N) full-table rounds
         for b in range(20):
             pairs = (
                 spark.range(25_000)
                 .select(
-                    (F.col("id") * 7 + b).alias("id_a"),
-                    (F.col("id") * 7 + b + 1).alias("id_b"),
+                    (F.col("id") * 40 + b % 4).alias("id_a"),
+                    (F.col("id") * 40 + 20 + b % 7).alias("id_b"),
                 )
             )
             _write_keyed_batch(
