@@ -786,6 +786,42 @@ def main() -> None:
             compact_pair_log(spark, root)
         return materialize_clusters(spark, root)
 
+    def q_span_fold_tick(_):
+        # ONE housekeeping fold of the span side table: 3 closed
+        # 100-doc batches fold into the base of a 950k-span bucketed
+        # corpus.  The r12 rework scopes the rewrite to the TOUCHED
+        # buckets' base rows (leaf ids from root metadata, explicit
+        # remove_files) — the tick must be bounded by the folded
+        # batches' hit buckets, never O(corpus).  Fresh copy per call:
+        # the fold consumes its input.
+        from m3_spark.pipeline.dedup import (
+            compact_span_table,
+            seed_span_table,
+            span_ingest_batch,
+        )
+        from m3_spark.sources.tables import read_table
+
+        src = os.path.join(SCRATCH, "span_fold_src")
+        if not os.path.exists(src):
+            docs = read_table(spark, SCRATCH, "documents")
+            corpus = docs.where(
+                (F.col("doc_id") % 10 == 1) & (F.col("doc_id") >= 1000)
+            )
+            seed_span_table(corpus, src, 12, buckets=208)
+            for b in range(3):
+                span_ingest_batch(
+                    docs.where(
+                        (F.col("doc_id") >= b * 100)
+                        & (F.col("doc_id") < b * 100 + 100)
+                    ),
+                    src, 12, batch_id=b,
+                )
+        dst = os.path.join(SCRATCH, "span_fold_tmp")
+        shutil.rmtree(dst, ignore_errors=True)
+        shutil.copytree(src, dst)
+        n = compact_span_table(spark, dst, keep_last=0)
+        return spark.range(n)
+
     def q_pair_compact_fold(_):
         # fresh copy per call: the fold consumes (tombstones) its input
         from m3_spark.pipeline.arrival import compact_pair_log
@@ -842,6 +878,7 @@ def main() -> None:
         "pair_materialize_uncompacted_500k": q_pair_materialize_uncompacted,
         "pair_materialize_compacted_500k": q_pair_materialize_compacted,
         "pair_compact_fold_500k": q_pair_compact_fold,
+        "span_fold_tick_3x100docs": q_span_fold_tick,
     }
     if args.only:
         unknown = args.only - rows.keys()
