@@ -78,6 +78,10 @@ def cluster_state_path(corpus_root: str) -> str:
 #: per-batch probe flat in corpus size.
 DEFAULT_BAND_BUCKETS = 64
 DEFAULT_SPAN_BUCKETS = 64
+DEFAULT_STATE_BUCKETS = 64
+
+#: top-level hash-bucket partition of the cluster state table
+STATE_BUCKET_COL = "state_bucket"
 
 
 def document_arrival_step(
@@ -366,9 +370,21 @@ def compact_pair_log(spark, corpus_root: str) -> int:
     return len(folded)
 
 
+#: closed signature leaves that must be waiting before the cadence
+#: tick folds them: the signature base is UNBUCKETED (archival, never
+#: probed by key — a batch's doc ids hash into every bucket, so
+#: bucketing would not bound the fold), and each fold rewrites the
+#: whole base — O(corpus) I/O.  Gating on a leaf count amortizes that
+#: rewrite over >= SIG_FOLD_MIN_LEAVES batches (advice r12); the
+#: bucketed bands/span folds stay per-tick, their rewrites are
+#: touched-bucket-bounded.
+SIG_FOLD_MIN_LEAVES = 8
+
+
 def housekeep_corpus(
     spark, corpus_root: str, *, keep_last: int = 2,
     vacuum_grace_s: float | None = None, vacuum: bool = True,
+    sig_min_fold: int = SIG_FOLD_MIN_LEAVES,
 ) -> dict:
     """ONE idempotent housekeeping tick for the corpus side tables —
     the pipeline analog of ``housekeep_namespace`` (expiry/compaction/
@@ -377,6 +393,15 @@ def housekeep_corpus(
     bands / span tables into their base partitions, then (optionally)
     vacuum retired files.  Every step is failure-contained at the
     caller's cadence and safe to re-run.  Returns a per-step report.
+
+    Cadence asymmetry, deliberate: the PAIR-LOG fold takes no
+    ``keep_last`` tail — folding an in-flight batch's pairs is safe
+    because duplicate claims are CC-insensitive (a redelivery
+    re-creates the leaf and its pairs re-fold as no-op duplicates),
+    whereas a side-table leaf folded early LOSES its redelivery
+    exclusion (see ``compact_keyed_table``).  The SIGNATURE fold is
+    gated on ``sig_min_fold`` waiting leaves — its base is unbucketed,
+    so each fold is a whole-base rewrite that the gate amortizes.
     """
     from ..sources import snapshots
     from .dedup import (
@@ -386,16 +411,16 @@ def housekeep_corpus(
     )
 
     report = {"pairs_folded": compact_pair_log(spark, corpus_root)}
-    for name, fn, path in (
+    for name, fn, path, kw in (
         ("sig_leaves_folded", compact_signature_table,
-         sig_table_path(corpus_root)),
+         sig_table_path(corpus_root), {"min_fold": sig_min_fold}),
         ("band_leaves_folded", compact_bands_table,
-         bands_table_path(corpus_root)),
+         bands_table_path(corpus_root), {}),
         ("span_leaves_folded", compact_span_table,
-         span_table_path(corpus_root)),
+         span_table_path(corpus_root), {}),
     ):
         report[name] = (
-            fn(spark, path, keep_last=keep_last)
+            fn(spark, path, keep_last=keep_last, **kw)
             if snapshots.has_manifest(path)
             else 0
         )

@@ -1010,9 +1010,57 @@ def seed_bands_table(
 
     Size ``buckets`` to hold the bucket constant as the corpus grows
     (m ≈ corpus_docs × bands / target_rows): per-batch probe I/O is
-    then ≤ batch_keys × target_rows, independent of corpus size."""
-    banded = _banded_rows(sigs, k, bands, id_col)
+    then ≤ batch_keys × target_rows, independent of corpus size.
+
+    Layout and geometry are STICKY (the ``seed_span_table`` guards,
+    advice r12): re-seeding over an existing table with a DIFFERENT
+    modulus or band geometry raises — the keyed write would replace
+    the base leaf and overwrite the manifest extras while live
+    ``_band_batch=N`` leaves keep files under old-modulus bucket dirs,
+    so the probe's hit-bucket ``seg_filter`` would silently miss their
+    candidates (exactly the failure :func:`_check_band_geometry`
+    exists to prevent).  Changing m or (k, bands) is a
+    :func:`rebuild_bands_table`, not a seed.  A same-geometry re-seed
+    is ADDITIVE over the base leaf: whatever the base partition
+    already holds (a prior seed, a crashed earlier seed's committed
+    rows) is unioned in before the leaf-replacing flip — live batch
+    leaves are untouched and stay correct, since their bucket dirs
+    share the unchanged modulus."""
+    import os
+
+    from ..sources import snapshots
+
+    existing_m = _band_bucket_count(bands_path)
     m = int(buckets)
+    if existing_m is not None:
+        # raises on k/bands drift; modulus checked explicitly below
+        _check_band_geometry(bands_path, k, bands)
+        if existing_m != m:
+            raise ValueError(
+                f"bands table at {bands_path} is bucketed with modulus "
+                f"{existing_m}; re-seeding with {m} would leave live "
+                "batch leaves under old-modulus bucket dirs the probe "
+                "never reads — rebuild_bands_table to re-bucket"
+            )
+    banded = _banded_rows(sigs, k, bands, id_col)
+    # on-disk (not manifest) listing of the base leaf, as in
+    # seed_span_table: a crashed earlier seed's appended-but-never-
+    # committed rows must survive this seed's leaf-replacing flip
+    base_files = (
+        snapshots.list_parquet_files(
+            bands_path,
+            keep_dir=snapshots.leaf_scope(f"_band_batch={BAND_BASE_BATCH}"),
+        )
+        if os.path.isdir(bands_path)
+        else []
+    )
+    if base_files:
+        legacy = (
+            sigs.sparkSession.read.option("basePath", bands_path)
+            .parquet(*[os.path.join(bands_path, f) for f in base_files])
+            .select(id_col, "band_id", "band_key")
+        )
+        banded = banded.unionByName(legacy).distinct().localCheckpoint()
     _write_keyed_batch(
         _with_band_bucket(banded, m).repartition(m, BAND_BUCKET_COL),
         bands_path, BAND_BASE_BATCH, "_band_batch",
@@ -1150,6 +1198,7 @@ def lsh_candidates_bucketed(
 def compact_keyed_table(
     spark, path: str, key: str, base: int,
     bucket_col: str | None = None, keep_last: int = 2,
+    min_fold: int = 1,
 ) -> int:
     """Housekeeping-cadence compaction for a batch-keyed side table
     (signatures, bands, spans): fold CLOSED batch leaves into the
@@ -1179,15 +1228,20 @@ def compact_keyed_table(
     leaves never abort (the revalidation is scoped to the affected
     files).
 
-    COST is bounded by the TOUCHED data, not the table: leaf ids come
-    from root-side segment metadata (no file lists), only segments
-    holding a folded leaf are pinned, and on a bucketed layout
+    COST on a BUCKETED layout is bounded by the TOUCHED data, not the
+    table: leaf ids come from root-side segment metadata (no file
+    lists), only segments holding a folded leaf are pinned, and
     (segment == bucket) only the touched buckets' base rows are
     merged and rewritten — base files in buckets the folded batches
     never hit are untouched (their retirement would otherwise make
-    every housekeeping tick an O(corpus) rewrite).  The flip retires
-    the EXPLICIT affected files (``remove_files``), never whole
-    leaves."""
+    every housekeeping tick an O(corpus) rewrite).  On an UNBUCKETED
+    layout (the signature table) the base partition is one segment,
+    so every fold merges and rewrites the WHOLE base — O(corpus) I/O
+    per fold.  ``min_fold`` amortizes that: fold only when at least
+    that many closed leaves are waiting (the per-fold base rewrite is
+    then paid once per ``min_fold`` batches; ``housekeep_corpus``
+    raises it for the signature table).  The flip retires the
+    EXPLICIT affected files (``remove_files``), never whole leaves."""
     import os
     import shutil
     import uuid
@@ -1217,7 +1271,7 @@ def compact_keyed_table(
             fold_ids = (
                 fold_ids[:-keep_last] if len(fold_ids) > keep_last else []
             )
-        if not fold_ids:
+        if len(fold_ids) < max(int(min_fold), 1):
             return 0
         fold_set = set(fold_ids)
         touched = [
@@ -1413,11 +1467,19 @@ def compact_bands_table(spark, bands_path: str, keep_last: int = 2) -> int:
     )
 
 
-def compact_signature_table(spark, sig_path: str, keep_last: int = 2) -> int:
-    """Signature-table instance of :func:`compact_keyed_table`."""
+def compact_signature_table(
+    spark, sig_path: str, keep_last: int = 2, min_fold: int = 1
+) -> int:
+    """Signature-table instance of :func:`compact_keyed_table`.  The
+    signature base is UNBUCKETED (the table is archival, never probed
+    by key — bucketing would not bound the fold, since a batch's doc
+    ids hash into every bucket), so each fold rewrites the whole base:
+    pass ``min_fold`` to amortize that rewrite over at least that many
+    closed leaves (the cadence tick defaults it to
+    ``SIG_FOLD_MIN_LEAVES``)."""
     return compact_keyed_table(
         spark, sig_path, "_sig_batch", SIG_BASE_BATCH,
-        keep_last=keep_last,
+        keep_last=keep_last, min_fold=min_fold,
     )
 
 

@@ -905,9 +905,17 @@ def semantic_dup_pairs_np(
     # evals per row and dominates at large K (measured ~20s of the
     # 31.5s r11 row); the battery fixture's assignment stability under
     # BLAS ulp is pinned by a top-2 margin test
-    assign = ivf_assign_np(
-        e, n_clusters, id_col, vec_col, cents=cents
-    ).withColumnRenamed("list_id", "cluster")
+    # lineage-cut BEFORE fanning into the sizes aggregate and the
+    # block fan-out: both subtrees read the assignment, and Spark does
+    # not CSE across them — without the cut the mapInPandas matmul
+    # executes twice per action (advice r12; the dedup probes pay the
+    # same cost for the same reason, measured +59% there).  Lazy: the
+    # small (id, cluster) frame materializes on first use.
+    assign = (
+        ivf_assign_np(e, n_clusters, id_col, vec_col, cents=cents)
+        .withColumnRenamed("list_id", "cluster")
+        .localCheckpoint(eager=False)
+    )
     withc = e.select(id_col, vec_col).join(assign, id_col)
     sizes = withc.groupBy("cluster").agg(F.count("*").alias("_n"))
     nb_col = F.greatest(

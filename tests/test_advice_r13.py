@@ -1,0 +1,186 @@
+"""Round-12 ADVICE regressions (acted on in round 13).
+
+* ``seed_bands_table`` must carry the same re-seed guards as
+  ``seed_span_table``: a different modulus (or band geometry) over an
+  existing table raises instead of stranding live batch leaves under
+  old-modulus bucket dirs the probe never reads; a same-geometry
+  re-seed is ADDITIVE over the base leaf.
+* the signature fold is gated on a waiting-leaf count — its base is
+  unbucketed, so each fold is a whole-base rewrite the gate amortizes.
+* ``semantic_dup_pairs_np``'s assignment subtree is lineage-cut before
+  it fans into the sizes aggregate and the block fan-out, so the
+  Python-side matmul runs once per action, not twice.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+    "kilo lima mike november oscar papa quebec romeo sierra tango "
+    "uniform victor whiskey xray yankee zulu one two three four"
+).split()
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in rows], "doc_id long, text string"
+    )
+
+
+def _corpus(spark):
+    return _docs(
+        spark,
+        [
+            (1, WORDS[:14]),
+            (2, WORDS[5:20]),
+            (3, list(reversed(WORDS[:15]))),
+            (4, WORDS[:13] + ["zz"]),
+            (5, WORDS[5:20]),
+            (6, WORDS[10:28]),
+        ],
+    )
+
+
+# -- seed_bands_table re-seed guards -------------------------------------------
+
+
+def test_reseed_bands_different_modulus_raises(spark, tmp_path):
+    from m3_spark.pipeline.dedup import minhash_signature, seed_bands_table
+
+    path = str(tmp_path / "bands")
+    sigs = minhash_signature(_corpus(spark), 8)
+    seed_bands_table(sigs, path, 8, 4, buckets=16)
+    with pytest.raises(ValueError, match="rebuild_bands_table"):
+        seed_bands_table(sigs, path, 8, 4, buckets=32)
+
+
+def test_reseed_bands_different_geometry_raises(spark, tmp_path):
+    from m3_spark.pipeline.dedup import minhash_signature, seed_bands_table
+
+    path = str(tmp_path / "bands")
+    seed_bands_table(
+        minhash_signature(_corpus(spark), 8), path, 8, 4, buckets=16
+    )
+    with pytest.raises(ValueError, match="rebuild"):
+        seed_bands_table(
+            minhash_signature(_corpus(spark), 8), path, 8, 2, buckets=16
+        )
+
+
+def test_reseed_bands_same_geometry_is_additive(spark, tmp_path):
+    """A second seed over the same table must UNION the base leaf, not
+    replace it: the first seed's corpus stays probe-visible."""
+    from m3_spark.pipeline.dedup import (
+        lsh_candidates_bucketed,
+        minhash_signature,
+        seed_bands_table,
+    )
+
+    path = str(tmp_path / "bands")
+    docs = _corpus(spark)
+    # seed docs 1-3 first, then re-seed with ONLY docs 4-6: a
+    # replacing write would drop 1-3 from the corpus side
+    seed_bands_table(
+        minhash_signature(docs.where(F.col("doc_id") <= 3), 8),
+        path, 8, 4, buckets=16,
+    )
+    seed_bands_table(
+        minhash_signature(docs.where(F.col("doc_id") > 3), 8),
+        path, 8, 4, buckets=16,
+    )
+    batch = _docs(spark, [(9, WORDS[5:20])])  # exact dup of 2 and 5
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidates_bucketed(
+            spark, path, minhash_signature(batch, 8), 8, 4
+        ).collect()
+    }
+    assert (2, 9) in pairs and (5, 9) in pairs
+
+
+def test_reseed_bands_with_live_batch_leaves_same_modulus_ok(spark, tmp_path):
+    """Live batch leaves do NOT block a same-geometry re-seed — their
+    bucket dirs share the unchanged modulus, so the probe keeps
+    finding them."""
+    from m3_spark.pipeline.dedup import (
+        _banded_rows,
+        lsh_candidates_bucketed,
+        minhash_signature,
+        seed_bands_table,
+        write_bands_batch,
+    )
+
+    path = str(tmp_path / "bands")
+    docs = _corpus(spark)
+    seed_bands_table(
+        minhash_signature(docs.where(F.col("doc_id") <= 3), 8),
+        path, 8, 4, buckets=16,
+    )
+    live = minhash_signature(docs.where(F.col("doc_id") == 5), 8)
+    write_bands_batch(_banded_rows(live, 8, 4), path, 1, 8, 4)
+    seed_bands_table(
+        minhash_signature(docs.where(F.col("doc_id").isin(4, 6)), 8),
+        path, 8, 4, buckets=16,
+    )
+    batch = _docs(spark, [(9, WORDS[5:20])])
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidates_bucketed(
+            spark, path, minhash_signature(batch, 8), 8, 4
+        ).collect()
+    }
+    # doc 2 (first seed), doc 5 (live batch leaf): both still probed
+    assert (2, 9) in pairs and (5, 9) in pairs
+
+
+# -- signature-fold gate --------------------------------------------------------
+
+
+def test_sig_fold_gated_on_waiting_leaves(spark, tmp_path):
+    from m3_spark.pipeline import arrival
+    from m3_spark.pipeline.dedup import compact_signature_table
+
+    root = str(tmp_path / "corpus")
+    docs = _corpus(spark)
+    for w in (0, 1, 2):
+        arrival.document_arrival_step(
+            docs.where(F.col("doc_id") % 3 == w), root, w,
+            k=8, bands=4, n=3, span_words=None,
+        )
+    # 3 closed leaves < default gate (8): the unbucketed base rewrite
+    # is deferred; the bucketed bands fold still runs per tick
+    report = arrival.housekeep_corpus(
+        spark, root, keep_last=0, vacuum=False
+    )
+    assert report["sig_leaves_folded"] == 0
+    assert report["band_leaves_folded"] == 3
+    # direct call honors the explicit threshold both ways
+    assert compact_signature_table(
+        spark, arrival.sig_table_path(root), keep_last=0, min_fold=4
+    ) == 0
+    assert compact_signature_table(
+        spark, arrival.sig_table_path(root), keep_last=0, min_fold=3
+    ) == 3
+
+
+# -- semantic_dup_pairs_np single assignment execution -------------------------
+
+
+def test_semdedup_np_assign_lineage_cut(spark):
+    """The (id, cluster) assignment feeds BOTH the sizes aggregate and
+    the block fan-out; the lineage cut must keep the mapInPandas
+    matmul out of the final plan's duplicated subtrees (one ExistingRDD
+    scan per consumer instead of two MapInPandas executions)."""
+    from m3_spark.pipeline.similarity import semantic_dup_pairs_np
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 4), 1.0, float(i)]) for i in range(24)],
+        "vec_id long, embedding array<double>",
+    )
+    out = semantic_dup_pairs_np(emb, n_clusters=4, eps=0.9)
+    out.collect()  # materializes the lazy checkpoint
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan

@@ -609,7 +609,7 @@ def test_housekeep_corpus_one_tick(spark, tmp_path):
             k=8, bands=4, n=3, span_words=5,
         )
     report = arrival.housekeep_corpus(
-        spark, root, keep_last=0, vacuum_grace_s=0
+        spark, root, keep_last=0, vacuum_grace_s=0, sig_min_fold=1
     )
     assert report["pairs_folded"] >= 1
     assert report["sig_leaves_folded"] == 3
