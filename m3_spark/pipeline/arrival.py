@@ -224,8 +224,10 @@ def document_arrival_step(
 
 def _cluster_state_edges(spark, corpus_root: str) -> DataFrame | None:
     """The materialized cluster state as (id_a, id_b) CONTRACTED edges
-    — each node star-connected to its component root (cluster =
-    component minimum), which reproduces exactly the original
+    — each node pointer-connected to a SMALLER node of its component
+    (fully contracted to the root in a freshly-materialized state;
+    possibly a short chain after incremental folds — see
+    :func:`compact_pair_log`), which reproduces exactly the original
     components under connected components.  None when no state has
     been compacted yet."""
     from ..sources import snapshots
@@ -280,39 +282,269 @@ def materialize_clusters(spark, corpus_root: str) -> DataFrame:
     return connected_components(edges)
 
 
-def compact_pair_log(spark, corpus_root: str) -> int:
+def _with_state_bucket(df: DataFrame, m: int) -> DataFrame:
+    return df.withColumn(
+        STATE_BUCKET_COL, F.pmod(F.col("node"), F.lit(int(m)))
+    )
+
+
+def seed_cluster_state(
+    assignment: DataFrame, state_path: str, buckets: int
+) -> None:
+    """Bootstrap the BUCKETED cluster-state table from a full corpus
+    clustering (``dedup_clusters`` / ``materialize_clusters`` output)
+    — the one-off backfill before the incremental fold takes over,
+    the ``seed_span_table`` analog for ``_clusters``.
+
+    Layout: (node, cluster) parent-pointer rows, cluster < node (roots
+    are implicit — a node with no row is its own root), partitioned
+    ``state_bucket=pmod(node, m)``.  Size m to hold the bucket
+    constant as the corpus grows (the ``pick_bucket_count`` rule):
+    the fold's pointer-chase and touched-bucket rewrite are then
+    bounded by batch size × bucket rows, independent of corpus size.
+    """
+    from ..sources import snapshots
+
+    m = int(buckets)
+    rows = assignment.select("node", "cluster").where(
+        F.col("node") != F.col("cluster")
+    )
+    out = _with_state_bucket(rows, m).repartition(m, F.col(STATE_BUCKET_COL))
+    with snapshots.writer_lock(state_path):
+        if snapshots.read_snapshot_meta(state_path) is not None:
+            raise ValueError(
+                f"cluster state at {state_path} already exists; the "
+                "seed is a one-off bootstrap — delete the table or "
+                "rebuild_cluster_state to re-bucket"
+            )
+        manifest = snapshots.init_manifest(state_path, out.schema.json())
+        new_files = snapshots.snapshot_append(
+            out, state_path, partition_by=[STATE_BUCKET_COL]
+        )
+        snapshots.commit_snapshot_delta(
+            state_path, add=new_files, extra={"state_buckets": m},
+            expected_version=manifest["version"],
+        )
+
+
+def rebuild_cluster_state(spark, corpus_root: str, buckets: int) -> int:
+    """Re-bucket the cluster state to modulus ``buckets`` — the regrow
+    for a corpus that outgrew its creation-time m (the side tables'
+    ``rebuild_span_table`` analog).  Version-fenced quiesce-point
+    operation: a concurrent fold aborts the rebuild (returns 0).
+    Also migrates a legacy UNBUCKETED state table (full-snapshot
+    pre-r13 layout) to the bucketed parent-pointer form."""
+    import shutil
+    import uuid
+
+    from ..sources import snapshots
+    from ..sources.namespace import _move_parquet_in, _reclaim_stale_scratch
+
+    state_path = cluster_state_path(corpus_root)
+    root = snapshots.read_snapshot_meta(state_path)
+    if root is None:
+        return 0
+    v0 = int(root.get("version", 0))
+    m = int(buckets)
+    segs = snapshots.snapshot_segments(state_path) or {}
+    old_files = sorted(
+        f for seg in segs
+        for f in snapshots.snapshot_segment_files(state_path, seg)
+    )
+    rows = (
+        snapshots.resolve_snapshot(spark, state_path, manifest=root)
+        .select("node", "cluster")
+        .where(F.col("node") != F.col("cluster"))
+        .distinct()
+    )
+    _reclaim_stale_scratch(state_path, ".statefold_tmp_")
+    tmp = os.path.join(state_path, f".statefold_tmp_{uuid.uuid4().hex[:8]}")
+    out = _with_state_bucket(rows, m).repartition(m, F.col(STATE_BUCKET_COL))
+    out.write.partitionBy(STATE_BUCKET_COL).mode("overwrite").parquet(tmp)
+    try:
+        with snapshots.writer_lock(state_path):
+            if snapshots.snapshot_version(state_path) != v0:
+                return 0
+            new_files = _move_state_scratch_in(
+                tmp, state_path, _move_parquet_in
+            )
+            snapshots.commit_snapshot_delta(
+                state_path, add=new_files, remove_files=old_files,
+                schema_json=out.schema.json(),
+                extra={"state_buckets": m}, expected_version=v0,
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return 1
+
+
+def _move_state_scratch_in(tmp: str, state_path: str, mover) -> list[str]:
+    """Move a scratch write's ``state_bucket=`` dirs into the live
+    table (caller holds the writer lock); returns the new files'
+    relative paths."""
+    new_files = []
+    for d in sorted(os.listdir(tmp)):
+        if not d.startswith(f"{STATE_BUCKET_COL}="):
+            continue
+        dest = os.path.join(state_path, d)
+        for f in mover(os.path.join(tmp, d), dest):
+            new_files.append(
+                os.path.relpath(os.path.join(dest, f), state_path)
+            )
+    return new_files
+
+
+def _resolve_state_roots(
+    spark, state_path: str, root_doc: dict, ends: DataFrame,
+    max_hops: int = 64,
+) -> tuple[DataFrame, DataFrame | None]:
+    """Resolve each node of ``ends`` to its component ROOT by chasing
+    parent pointers through hit-bucket-pruned state reads — the
+    union-find FIND over the bucketed state table.  Per hop: the
+    frontier's hit buckets are collected driver-side (bounded by
+    min(frontier, m)), the manifest and data reads prune to them, and
+    the bucket rows are semi-joined against the BROADCAST frontier —
+    never an O(state) scan.  Hop count is the longest stale-pointer
+    chain, which path compression (the fold rewrites every chased
+    pointer to the final root) keeps near 1.
+
+    Returns ``(roots, trail)``: roots = (orig, root) for every input
+    node (absent/self rows resolve to themselves); trail = the chased
+    (orig, node, stored) intermediate pointers for compression, or
+    None when every chain resolved in one hop."""
+    from ..sources import snapshots
+
+    m = int(root_doc["state_buckets"])
+    mapping = ends.select(
+        F.col("node").alias("orig"), F.col("node").alias("cur")
+    )
+    resolved: list[DataFrame] = []
+    trails: list[DataFrame] = []
+    for _ in range(max_hops):
+        keys = mapping.select("cur").distinct()
+        hit = {
+            int(r[0])
+            for r in keys.select(
+                F.pmod(F.col("cur"), F.lit(m)).alias("b")
+            ).distinct().collect()
+        }
+        allowed = {f"{STATE_BUCKET_COL}={b}" for b in hit}
+        seg = (
+            snapshots.resolve_snapshot(
+                spark, state_path,
+                seg_filter=allowed.__contains__, manifest=root_doc,
+            )
+            .select(F.col("node").alias("cur"), F.col("cluster").alias("_par"))
+            .join(F.broadcast(keys), "cur", "leftsemi")
+        )
+        j = mapping.join(seg, "cur", "left").localCheckpoint(eager=True)
+        # no row, a self-row, or (corrupt, defensively terminal) a
+        # non-decreasing pointer: cur is the root
+        resolved.append(
+            j.where(
+                F.col("_par").isNull() | (F.col("_par") >= F.col("cur"))
+            ).select("orig", F.col("cur").alias("root"))
+        )
+        nxt = j.where(
+            F.col("_par").isNotNull() & (F.col("_par") < F.col("cur"))
+        )
+        if nxt.isEmpty():
+            break
+        trails.append(
+            nxt.select(
+                "orig", F.col("cur").alias("node"),
+                F.col("_par").alias("stored"),
+            )
+        )
+        mapping = nxt.select("orig", F.col("_par").alias("cur"))
+    else:
+        raise RuntimeError(
+            f"state table at {state_path}: parent chain exceeded "
+            f"{max_hops} hops — corrupt pointer structure"
+        )
+    roots = resolved[0]
+    for part in resolved[1:]:
+        roots = roots.unionByName(part)
+    trail = None
+    if trails:
+        trail = trails[0]
+        for part in trails[1:]:
+            trail = trail.unionByName(part)
+    return roots, trail
+
+
+def compact_pair_log(
+    spark, corpus_root: str,
+    state_buckets: int = DEFAULT_STATE_BUCKETS,
+) -> int:
     """Housekeeping-cadence pair-log compaction: fold the delivered
-    batches' pairs into the materialized cluster state (``_clusters``)
-    and tombstone the folded leaves — without it the pair log grows
+    batches' pairs into the cluster-state table (``_clusters``) and
+    tombstone the folded leaves — without it the pair log grows
     without bound and every :func:`materialize_clusters` re-reads
-    every pair ever delivered (VERDICT r11 item 3; the namespace
-    tier's ``_ingest_batch=-1`` day compaction is the template).
-    Returns the number of batch leaves folded.
+    every pair ever delivered (VERDICT r11 item 3).  Returns the
+    number of batch leaves folded.
+
+    INCREMENTAL since r13 (VERDICT r12 item 1 — the fold was the last
+    O(corpus)-per-tick housekeeping term): the state is a BUCKETED
+    union-find forest — (node, cluster) parent-pointer rows with
+    cluster < node, roots implicit, ``state_bucket=pmod(node, m)``
+    partitions — and each tick runs the ``merge_clusters``
+    contraction against it:
+
+    1. FIND: each pinned pair endpoint resolves to its component root
+       by pointer-chasing over hit-bucket-pruned reads
+       (:func:`_resolve_state_roots`) — I/O is bounded by endpoint
+       count × bucket rows, never state size;
+    2. UNION: connected components over the O(new pairs) CONTRACTED
+       edges (roots are component minima, so contracted minima are
+       true merged minima — the ``merge_clusters`` soundness
+       argument, ``dedup.py``);
+    3. WRITE: only buckets holding a touched row are rewritten — new
+       nodes' pointers, merged old roots re-pointed at the new min,
+       and every chased stale pointer compressed to the final root
+       (path compression keeps later chains ~1 hop).  Buckets the
+       batch never touched are not read, not rewritten, not flipped.
+
+    Per-tick cost is therefore bounded by the NEW-pair count (times
+    the held-constant bucket size), not the corpus.  Reads are
+    unchanged: the forest's pointer rows are intra-component edges, so
+    :func:`materialize_clusters`'s CC over state ∪ live pairs yields
+    exactly the full-corpus clustering.  A legacy pre-r13 state table
+    (unbucketed full-assignment snapshot) is migrated in place on its
+    first fold (one last full CC + bucketed rewrite);
+    ``state_buckets`` applies at creation/migration only and is
+    sticky afterwards (:func:`rebuild_cluster_state` regrows it).
 
     LOCK SCOPE (the unlocked-rewrite idiom, ``namespace.py``): the
     log's writer lock is held only around the two metadata phases —
     pinning the batch leaves' file lists, and the tombstone flip — NOT
     around the Spark fold in between, so arrivals keep landing while
-    the fold runs.  Ordering and revalidation carry correctness across
-    the unlocked window:
+    the fold runs.  The state commit is fenced on the version pinned
+    at the fold's root read (any concurrent state change aborts the
+    whole tick, pairs kept for the next cadence).  Ordering and
+    revalidation carry correctness across the unlocked window:
 
     * the STATE commit lands BEFORE the tombstone flip — a crash
       between them leaves folded leaves alive, and the duplicate
       claims they re-contribute are CC-insensitive (the next cadence
-      re-folds and tombstones them);
+      re-folds them into no-op self-loops);
     * only leaves whose pinned file list is UNCHANGED at the tombstone
       flip are removed — a mid-fold redelivery replaced its leaf with
       pairs the fold never saw, so that leaf stays for the next
       cadence;
-    * a redelivery arriving AFTER its leaf was tombstoned simply
-      re-creates the leaf; its re-claimed pairs are duplicates of
-      edges already contracted into the state — harmless, re-folded
-      at the next cadence.
+    * the pair fold deliberately takes NO ``keep_last`` tail (unlike
+      the side-table folds): folding an in-flight batch's pairs is
+      safe because a redelivery re-creates the leaf and its re-claimed
+      pairs re-fold as duplicates — a side-table leaf folded early
+      would lose its redelivery EXCLUSION, which has no pair-log
+      analog.
 
-    The state table itself is a full-list snapshot commit (it is a
-    rewrite — the assignment is its own compacted form); retired state
-    files are reclaimed by :func:`vacuum_corpus`."""
+    Retired state files are reclaimed by :func:`vacuum_corpus`."""
+    import shutil
+    import uuid
+
     from ..sources import snapshots
+    from ..sources.namespace import _move_parquet_in, _reclaim_stale_scratch
     from .dedup import connected_components
 
     log_path = pair_log_path(corpus_root)
@@ -330,33 +562,176 @@ def compact_pair_log(spark, corpus_root: str) -> int:
     pinned = {seg: fs for seg, fs in pinned.items() if fs}
     if not pinned:
         return 0
-    # phase 2 (NO lock): fold pinned pairs + existing state into the
-    # new assignment — the expensive part
+    # phase 2 (NO lock): the incremental fold — the expensive part
     files = [
         os.path.join(log_path, f)
         for fs in pinned.values()
         for f in fs
     ]
+    # the pinned edges feed the endpoint set, the contraction and the
+    # (batch-bounded) CC — cut once
     edges = (
         spark.read.option("basePath", log_path)
         .parquet(*files)
         .select("id_a", "id_b")
+        .distinct()
+        .localCheckpoint(eager=True)
     )
-    state_edges = _cluster_state_edges(spark, corpus_root)
-    if state_edges is not None:
-        edges = edges.unionByName(state_edges)
-    assignment = connected_components(edges).localCheckpoint(eager=True)
-    # state commit FIRST (see docstring ordering argument)
-    with snapshots.writer_lock(state_path):
-        ver = snapshots.snapshot_version(state_path)
-        new_files = snapshots.snapshot_append(
-            assignment, state_path, keep_dir=lambda d: False
+    root_doc = snapshots.read_snapshot_meta(state_path)
+    v0 = int(root_doc.get("version", 0)) if root_doc else 0
+    m = (
+        int(root_doc["state_buckets"])
+        if root_doc and root_doc.get("state_buckets")
+        else int(state_buckets)
+    )
+    legacy = root_doc is not None and not root_doc.get("state_buckets")
+    if legacy:
+        # pre-r13 full-assignment state: one last full CC migrates it
+        # to the bucketed forest in the same flip
+        state_edges = (
+            snapshots.resolve_snapshot(spark, state_path, manifest=root_doc)
+            .where(F.col("node") != F.col("cluster"))
+            .select(
+                F.col("node").alias("id_a"), F.col("cluster").alias("id_b")
+            )
         )
-        snapshots.commit_snapshot(
-            state_path, new_files, assignment.schema.json(),
-            expected_version=ver,
+        assignment = connected_components(edges.unionByName(state_edges))
+        updates = assignment.where(F.col("node") != F.col("cluster"))
+        old_files = sorted(
+            f
+            for seg in (snapshots.snapshot_segments(state_path) or {})
+            for f in snapshots.snapshot_segment_files(state_path, seg)
         )
-    # phase 3 (brief lock): tombstone only UNCHANGED pinned leaves
+    else:
+        ends = (
+            edges.select(F.col("id_a").alias("node"))
+            .unionByName(edges.select(F.col("id_b").alias("node")))
+            .distinct()
+        )
+        if root_doc is None:
+            roots = ends.select(
+                F.col("node").alias("orig"), F.col("node").alias("root")
+            )
+            trail = None
+        else:
+            roots, trail = _resolve_state_roots(
+                spark, state_path, root_doc, ends
+            )
+        roots = roots.localCheckpoint(eager=True)
+        contracted = (
+            edges.join(
+                roots.select(
+                    F.col("orig").alias("id_a"), F.col("root").alias("_ra")
+                ),
+                "id_a", "left",
+            )
+            .join(
+                roots.select(
+                    F.col("orig").alias("id_b"), F.col("root").alias("_rb")
+                ),
+                "id_b", "left",
+            )
+            .select(
+                F.coalesce("_ra", F.col("id_a")).alias("u"),
+                F.coalesce("_rb", F.col("id_b")).alias("v"),
+            )
+        )
+        cc = connected_components(contracted).localCheckpoint(eager=True)
+        updates = cc.where(F.col("node") != F.col("cluster"))
+        if trail is not None:
+            # path compression: every chased pointer lands on the
+            # FINAL root of its (possibly just-merged) component
+            fin = (
+                trail.join(roots, "orig")
+                .join(
+                    cc.select(
+                        F.col("node").alias("root"),
+                        F.col("cluster").alias("_fc"),
+                    ),
+                    "root", "left",
+                )
+                .select(
+                    "node",
+                    F.coalesce("_fc", F.col("root")).alias("cluster"),
+                    "stored",
+                )
+                .where(F.col("cluster") != F.col("stored"))
+                .select("node", "cluster")
+            )
+            updates = updates.unionByName(fin).distinct()
+        # fold state files of touched buckets only
+        if root_doc is not None:
+            old_files = None  # derived below from the hit buckets
+        else:
+            old_files = []
+    updates = updates.localCheckpoint(eager=True)
+    if updates.isEmpty() and not legacy:
+        # every pinned pair was already represented in the state (a
+        # redelivered/re-created leaf): nothing to write, fold the
+        # leaves away
+        return _tombstone_pair_leaves(log_path, pinned)
+    if not legacy and root_doc is not None:
+        hit = {
+            int(r[0])
+            for r in updates.select(
+                F.pmod(F.col("node"), F.lit(m)).alias("b")
+            ).distinct().collect()
+        }
+        allowed = {f"{STATE_BUCKET_COL}={b}" for b in hit}
+        old = (
+            snapshots.resolve_snapshot(
+                spark, state_path,
+                seg_filter=allowed.__contains__, manifest=root_doc,
+            )
+            .select("node", "cluster")
+        )
+        rows = old.join(
+            updates.select("node"), "node", "left_anti"
+        ).unionByName(updates.select("node", "cluster"))
+        old_files = sorted(
+            f
+            for seg in allowed
+            for f in snapshots.snapshot_segment_files(state_path, seg)
+        )
+    else:
+        rows = updates.select("node", "cluster")
+    out = _with_state_bucket(rows, m).repartition(F.col(STATE_BUCKET_COL))
+    _reclaim_stale_scratch(state_path, ".statefold_tmp_")
+    tmp = os.path.join(state_path, f".statefold_tmp_{uuid.uuid4().hex[:8]}")
+    out.write.partitionBy(STATE_BUCKET_COL).mode("overwrite").parquet(tmp)
+    try:
+        # state commit FIRST (see docstring ordering argument), fenced
+        # on the version the whole fold read
+        with snapshots.writer_lock(state_path):
+            if snapshots.snapshot_version(state_path) != v0:
+                return 0
+            manifest = (
+                snapshots.init_manifest(state_path, out.schema.json())
+                if root_doc is None
+                else None
+            )
+            new_files = _move_state_scratch_in(
+                tmp, state_path, _move_parquet_in
+            )
+            snapshots.commit_snapshot_delta(
+                state_path, add=new_files, remove_files=old_files,
+                schema_json=out.schema.json(),
+                extra={"state_buckets": m},
+                expected_version=(
+                    manifest["version"] if manifest is not None else v0
+                ),
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return _tombstone_pair_leaves(log_path, pinned)
+
+
+def _tombstone_pair_leaves(log_path: str, pinned: dict) -> int:
+    """Phase 3 of the fold (brief lock): tombstone only UNCHANGED
+    pinned leaves — a mid-fold redelivery replaced its leaf with pairs
+    the fold never saw, so that leaf stays for the next cadence."""
+    from ..sources import snapshots
+
     folded = []
     with snapshots.writer_lock(log_path):
         for seg, fs in pinned.items():

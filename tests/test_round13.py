@@ -1,0 +1,284 @@
+"""Round-13: the INCREMENTAL cluster-state fold (VERDICT r12 item 1).
+
+The ``_clusters`` table is a bucketed union-find forest since r13 —
+(node, cluster) parent-pointer rows, roots implicit,
+``state_bucket=pmod(node, m)`` partitions — and ``compact_pair_log``
+folds each tick's pinned pairs via FIND (pointer-chase over hit-bucket
+pruned reads) + UNION (CC over the contracted batch edges) + a
+touched-bucket-only rewrite.  These tests pin:
+
+* fold-per-wave ≡ the full-corpus clustering after every wave;
+* buckets the batch never touched keep their exact files (the
+  scale-honesty contract — the fold is bounded by new pairs, not
+  corpus);
+* path compression: chased stale pointers land on the final root;
+* legacy pre-r13 state tables (unbucketed full-assignment snapshots)
+  migrate in place on their first fold;
+* ``seed_cluster_state`` bootstrap and ``rebuild_cluster_state``
+  regrow are result-invisible;
+* a redelivered, already-folded leaf re-folds as a no-op.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from m3_spark.pipeline import arrival
+from m3_spark.sources import snapshots
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+
+def _log_batch(spark, root, batch_id, pairs):
+    from m3_spark.pipeline.dedup import _write_keyed_batch
+
+    _write_keyed_batch(
+        _edges(spark, pairs), arrival.pair_log_path(root), batch_id,
+        arrival.PAIR_BATCH_KEY,
+    )
+
+
+def _clusters(df):
+    return {(r.node, r.cluster) for r in df.collect()}
+
+
+def _full_cc(spark, all_pairs):
+    from m3_spark.pipeline.dedup import connected_components
+
+    return _clusters(connected_components(_edges(spark, all_pairs)))
+
+
+def _state_rows(spark, root):
+    state = snapshots.resolve_snapshot(
+        spark, arrival.cluster_state_path(root)
+    )
+    return {(r.node, r.cluster) for r in state.select("node", "cluster").collect()}
+
+
+def test_fold_per_wave_matches_full_clustering(spark, tmp_path):
+    root = str(tmp_path / "corpus")
+    waves = [
+        [(1, 2), (3, 4)],
+        [(2, 5), (10, 11)],
+        [(4, 10), (20, 21)],
+    ]
+    seen = []
+    for i, wave in enumerate(waves):
+        _log_batch(spark, root, i, wave)
+        assert arrival.compact_pair_log(spark, root, state_buckets=8) == 1
+        seen += wave
+        got = _clusters(arrival.materialize_clusters(spark, root))
+        assert got == _full_cc(spark, seen)
+    # the state is bucketed from creation
+    meta = snapshots.read_snapshot_meta(arrival.cluster_state_path(root))
+    assert meta["state_buckets"] == 8
+
+
+def test_untouched_buckets_keep_their_files(spark, tmp_path):
+    """The scale contract: a fold touching component {1,2,3} must not
+    read or rewrite the bucket holding an unrelated component's rows.
+    With m=8, nodes 100/101 land in buckets 4/5 and the second wave's
+    nodes {1,2,3,9,17} in buckets 1/2/3 — files under
+    state_bucket=4,5 must be byte-identical across the fold."""
+    root = str(tmp_path / "corpus")
+    state_path = arrival.cluster_state_path(root)
+    _log_batch(spark, root, 0, [(100, 101), (1, 2)])
+    assert arrival.compact_pair_log(spark, root, state_buckets=8) == 1
+
+    def _bucket_files(b):
+        return snapshots.snapshot_segment_files(
+            state_path, f"{arrival.STATE_BUCKET_COL}={b}"
+        )
+
+    before = {b: _bucket_files(b) for b in range(8)}
+    assert before[5], "node 101's bucket should hold its pointer row"
+    _log_batch(spark, root, 1, [(2, 9), (1, 17), (3, 1)])
+    assert arrival.compact_pair_log(spark, root) == 1
+    after = {b: _bucket_files(b) for b in range(8)}
+    assert after[5] == before[5]  # 101 -> 100 pointer untouched
+    assert after[4] == before[4]
+    # and the merged component's buckets did change
+    assert after[1] != before[1] or after[2] != before[2]
+    got = _clusters(arrival.materialize_clusters(spark, root))
+    assert got == _full_cc(
+        spark, [(100, 101), (1, 2), (2, 9), (1, 17), (3, 1)]
+    )
+
+
+def test_path_compression_rewrites_chased_pointers(spark, tmp_path):
+    """Merging components one at a time builds stale chains (old root
+    -> new root); a later fold that CHASES a chain must compress every
+    visited pointer to the final root."""
+    root = str(tmp_path / "corpus")
+    # wave 0: {5,6}; wave 1: {3,5} merges -> 5 points at 3; wave 2:
+    # {1,6} chases 6 -> 5 -> 3, merges with 1 -> all pointers must
+    # land on 1
+    for i, wave in enumerate([[(5, 6)], [(3, 5)], [(1, 6)]]):
+        _log_batch(spark, root, i, wave)
+        assert arrival.compact_pair_log(spark, root, state_buckets=4) == 1
+    rows = _state_rows(spark, root)
+    assert rows == {(3, 1), (5, 1), (6, 1)}
+    got = _clusters(arrival.materialize_clusters(spark, root))
+    assert got == _full_cc(spark, [(5, 6), (3, 5), (1, 6)])
+
+
+def test_refold_of_redelivered_leaf_is_noop(spark, tmp_path):
+    root = str(tmp_path / "corpus")
+    _log_batch(spark, root, 0, [(1, 2), (7, 8)])
+    assert arrival.compact_pair_log(spark, root, state_buckets=4) == 1
+    state_path = arrival.cluster_state_path(root)
+    v1 = snapshots.snapshot_version(state_path)
+    # the tombstoned leaf redelivers: its pairs are already in state,
+    # so the next fold tombstones it WITHOUT touching the state table
+    _log_batch(spark, root, 0, [(1, 2), (7, 8)])
+    assert arrival.compact_pair_log(spark, root) == 1
+    assert snapshots.snapshot_version(state_path) == v1
+    got = _clusters(arrival.materialize_clusters(spark, root))
+    assert got == _full_cc(spark, [(1, 2), (7, 8)])
+
+
+def test_legacy_state_table_migrates_on_first_fold(spark, tmp_path):
+    """A pre-r13 state table (full-assignment snapshot at the table
+    root, no state_buckets extra) must fold correctly once more and
+    come out bucketed."""
+    from m3_spark.pipeline.dedup import connected_components
+
+    root = str(tmp_path / "corpus")
+    state_path = arrival.cluster_state_path(root)
+    assignment = connected_components(
+        _edges(spark, [(1, 2), (2, 3), (10, 11)])
+    ).localCheckpoint(eager=True)
+    with snapshots.writer_lock(state_path):
+        ver = snapshots.snapshot_version(state_path)
+        files = snapshots.snapshot_append(
+            assignment, state_path, keep_dir=lambda d: False
+        )
+        snapshots.commit_snapshot(
+            state_path, files, assignment.schema.json(),
+            expected_version=ver,
+        )
+    _log_batch(spark, root, 5, [(3, 10), (20, 21)])
+    assert arrival.compact_pair_log(spark, root, state_buckets=4) == 1
+    meta = snapshots.read_snapshot_meta(state_path)
+    assert meta["state_buckets"] == 4
+    got = _clusters(arrival.materialize_clusters(spark, root))
+    assert got == _full_cc(
+        spark, [(1, 2), (2, 3), (10, 11), (3, 10), (20, 21)]
+    )
+    # migrated layout drops self-rows: parent pointers only
+    assert all(c < n for n, c in _state_rows(spark, root))
+
+
+def test_seed_cluster_state_bootstrap(spark, tmp_path):
+    """Corpus-global clustering -> seed_cluster_state -> incremental
+    arrival: the switchover path a production corpus takes."""
+    from m3_spark.pipeline.dedup import connected_components
+
+    root = str(tmp_path / "corpus")
+    base = [(1, 2), (2, 3), (10, 11)]
+    arrival_pairs = [(3, 10), (30, 31)]
+    assignment = connected_components(_edges(spark, base))
+    arrival.seed_cluster_state(
+        assignment, arrival.cluster_state_path(root), buckets=4
+    )
+    _log_batch(spark, root, 0, arrival_pairs)
+    assert arrival.compact_pair_log(spark, root) == 1
+    got = _clusters(arrival.materialize_clusters(spark, root))
+    assert got == _full_cc(spark, base + arrival_pairs)
+    with pytest.raises(ValueError, match="already exists"):
+        arrival.seed_cluster_state(
+            assignment, arrival.cluster_state_path(root), buckets=8
+        )
+
+
+def test_rebuild_cluster_state_regrow_is_result_invisible(spark, tmp_path):
+    root = str(tmp_path / "corpus")
+    _log_batch(spark, root, 0, [(1, 2), (2, 3), (10, 11)])
+    assert arrival.compact_pair_log(spark, root, state_buckets=4) == 1
+    assert arrival.rebuild_cluster_state(spark, root, 16) == 1
+    meta = snapshots.read_snapshot_meta(arrival.cluster_state_path(root))
+    assert meta["state_buckets"] == 16
+    _log_batch(spark, root, 1, [(3, 10)])
+    assert arrival.compact_pair_log(spark, root) == 1
+    got = _clusters(arrival.materialize_clusters(spark, root))
+    assert got == _full_cc(spark, [(1, 2), (2, 3), (10, 11), (3, 10)])
+
+
+def test_fold_aborts_on_concurrent_state_change(spark, tmp_path):
+    """The version fence: a state flip between the fold's root read
+    and its commit aborts the whole tick — pairs stay for the next
+    cadence."""
+    root = str(tmp_path / "corpus")
+    state_path = arrival.cluster_state_path(root)
+    _log_batch(spark, root, 0, [(1, 2)])
+    assert arrival.compact_pair_log(spark, root, state_buckets=4) == 1
+    _log_batch(spark, root, 1, [(2, 9)])
+
+    real = snapshots.resolve_snapshot
+    fired = {"n": 0}
+
+    def racing(spark_, path, **kw):
+        out = real(spark_, path, **kw)
+        if path == state_path and fired["n"] == 0:
+            fired["n"] = 1
+            # a concurrent writer flips the state AFTER the fold read
+            # its root (raw delta commit — no lock, same-process flock
+            # on a second fd would deadlock)
+            snapshots.commit_snapshot_delta(
+                path,
+                expected_version=snapshots.snapshot_version(path),
+            )
+        return out
+
+    import m3_spark.sources.snapshots as snapmod
+
+    orig = snapmod.resolve_snapshot
+    snapmod.resolve_snapshot = racing
+    try:
+        assert arrival.compact_pair_log(spark, root) == 0
+    finally:
+        snapmod.resolve_snapshot = orig
+    # leaf survived; the next clean cadence folds it
+    assert arrival.compact_pair_log(spark, root) == 1
+    got = _clusters(arrival.materialize_clusters(spark, root))
+    assert got == _full_cc(spark, [(1, 2), (2, 9)])
+
+
+def test_fold_handles_empty_pair_batches(spark, tmp_path):
+    """A delivered batch with zero candidate pairs (common case)
+    leaves a zero-file leaf: the fold has nothing to pin (returns 0)
+    and must neither create state nor crash; a later real batch folds
+    normally."""
+    root = str(tmp_path / "corpus")
+    _log_batch(spark, root, 0, [])
+    assert arrival.compact_pair_log(spark, root) == 0
+    assert not snapshots.has_manifest(arrival.cluster_state_path(root))
+    got = _clusters(arrival.materialize_clusters(spark, root))
+    assert got == set()
+    _log_batch(spark, root, 1, [(1, 2)])
+    assert arrival.compact_pair_log(spark, root, state_buckets=4) == 1
+    got = _clusters(arrival.materialize_clusters(spark, root))
+    assert got == _full_cc(spark, [(1, 2)])
+
+
+def test_state_vacuum_reclaims_retired_bucket_files(spark, tmp_path):
+    root = str(tmp_path / "corpus")
+    _log_batch(spark, root, 0, [(1, 2)])
+    arrival.compact_pair_log(spark, root, state_buckets=4)
+    _log_batch(spark, root, 1, [(2, 3)])
+    arrival.compact_pair_log(spark, root)
+    state_path = arrival.cluster_state_path(root)
+    removed = arrival.vacuum_corpus(root, grace_s=0)
+    assert removed >= 1
+    live = set(snapshots.list_parquet_files(state_path))
+    manifest_files = set()
+    for seg in snapshots.snapshot_segments(state_path) or {}:
+        manifest_files |= set(
+            snapshots.snapshot_segment_files(state_path, seg)
+        )
+    assert live == manifest_files
