@@ -1050,3 +1050,355 @@ def semantic_dedup(
         )
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return embeddings.join(dropped, id_col, "left_anti")
+
+
+# -- arrival-path SemDeDup (the incremental form) ------------------------------
+
+#: reserved ``_emb_batch`` value for a bulk-seeded base corpus
+EMB_BASE_BATCH = -1
+
+#: batch idempotency key of the embedding side table
+EMB_BATCH_KEY = "_emb_batch"
+
+
+def _sem_quantizer(root_doc: dict | None):
+    """The embedding table's frozen quantizer from its manifest root:
+    (n_clusters, [(list_id, vector), ...]) or None when the table is
+    missing/unseeded.  Root-only read — the centroid matrix is
+    K × dim, driver-tiny by the IVF contract."""
+    if not root_doc or "sem_cents" not in root_doc:
+        return None
+    cents = [(int(lid), [float(x) for x in vec])
+             for lid, vec in root_doc["sem_cents"]]
+    return int(root_doc["sem_clusters"]), cents
+
+
+def _cents_df(spark, cents):
+    return spark.createDataFrame(
+        cents, "list_id long, _cvec array<double>"
+    )
+
+
+def seed_embedding_table(
+    embeddings: DataFrame,
+    emb_path: str,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cents: DataFrame | None = None,
+) -> None:
+    """Bulk-assign an existing embedding corpus into the CLUSTERED
+    side table the arrival-path SemDeDup probes — the ``_bands`` /
+    span-table analog for semantic dedup (VERDICT r12 item 2: the one
+    pipeline operator that was still corpus-global-only).
+
+    Layout: (id, vector, list_id) rows partitioned
+    ``list_id=<c>/_emb_batch=<k>/`` — the coarse-quantizer cluster is
+    the TOP-level manifest segment, so an arriving batch reads only
+    its hit clusters' members (the m3ninx postings shape every probe
+    here cites: a term lookup reads hit postings, never all postings,
+    ``src/m3ninx/index/segment/fst/segment.go``); the batch key is the
+    second-level redelivery leaf.  The QUANTIZER IS FROZEN at seed
+    time and recorded in the manifest extras (``sem_cents`` — K × dim
+    doubles, exact JSON roundtrip): incremental equivalence to the
+    corpus-global :func:`semantic_dedup` requires every batch to be
+    assigned under the same centroids, exactly as the bands table
+    freezes (k, bands).  Re-quantizing is a rebuild, not a seed.
+
+    ``cents``: the production path passes a TRAINED (list_id, _cvec)
+    quantizer (``ivf_train``); the default is the deterministic
+    id < n_clusters draw over the SEED frame.  A same-quantizer
+    re-seed is ADDITIVE over the base leaf (the seed_span_table crash
+    contract); a different quantizer raises.
+
+    Size K to hold the per-cluster row count constant as the corpus
+    grows (K ≈ corpus_rows / target_rows — the IVF sizing rule): the
+    per-batch probe is then bounded by batch_clusters × target_rows,
+    independent of corpus size.
+    """
+    import os
+
+    from ..sources import snapshots
+    from .dedup import _write_keyed_batch
+
+    spark = embeddings.sparkSession
+    e = _as_double(embeddings, vec_col)
+    if cents is None:
+        cents = e.where(F.col(id_col) < n_clusters).select(
+            F.col(id_col).alias("list_id"), F.col(vec_col).alias("_cvec")
+        )
+    else:
+        cents = _as_double(
+            cents.withColumnRenamed(
+                cents.columns[1], "_cvec"
+            ), "_cvec"
+        ).select("list_id", "_cvec")
+    cpdf = cents.toPandas().sort_values("list_id")
+    # plain column access, not itertuples — pandas renames
+    # underscore-prefixed fields there
+    cent_list = [
+        [int(lid), [float(x) for x in vec]]
+        for lid, vec in zip(cpdf["list_id"], cpdf["_cvec"])
+    ]
+    existing = _sem_quantizer(snapshots.read_snapshot_meta(emb_path))
+    if existing is not None:
+        k0, c0 = existing
+        if k0 != int(n_clusters) or c0 != [
+            (lid, vec) for lid, vec in cent_list
+        ]:
+            raise ValueError(
+                f"embedding table at {emb_path} was seeded under a "
+                "different quantizer; assigning batches under a new "
+                "one would silently split epsilon-balls across "
+                "clusters — rebuild the table to re-quantize"
+            )
+    assign = ivf_assign_np(
+        e, n_clusters, id_col, vec_col, cents=cents
+    )
+    rows = e.select(id_col, vec_col).join(assign, id_col)
+    # ADDITIVE over the base leaf (the keyed write's flip RETIRES the
+    # leaf's prior files): union whatever the base partition already
+    # holds — a prior seed, a crashed earlier seed's appended rows
+    base_files = (
+        snapshots.list_parquet_files(
+            emb_path,
+            keep_dir=snapshots.leaf_scope(
+                f"{EMB_BATCH_KEY}={EMB_BASE_BATCH}"
+            ),
+        )
+        if os.path.isdir(emb_path)
+        else []
+    )
+    if base_files:
+        legacy = (
+            spark.read.option("basePath", emb_path)
+            .parquet(*[os.path.join(emb_path, f) for f in base_files])
+            .select(id_col, vec_col, "list_id")
+        )
+        rows = rows.unionByName(legacy).distinct().localCheckpoint()
+    _write_keyed_batch(
+        rows.repartition(F.col("list_id")),
+        emb_path, EMB_BASE_BATCH, EMB_BATCH_KEY,
+        bucket_col="list_id",
+        extra={"sem_clusters": int(n_clusters), "sem_cents": cent_list},
+    )
+
+
+def _semdedup_dropped_np(
+    members: DataFrame, eps: float,
+    id_col: str, vec_col: str, block: int,
+) -> DataFrame:
+    """Dropped NEW ids under the SemDeDup greedy-by-id rule: a new row
+    is dropped iff SOME smaller-id member of its cluster (old or new)
+    sits within ε.  ``members``: (cluster, id, vec, is_new).
+
+    The rule is a pure pairwise predicate (a dropped row still
+    witnesses later rows — the ``semantic_dedup`` docstring), so the
+    verdict needs no iteration.  Kernel shape: per-cluster numpy
+    matmul of the batch rows against the cluster's members
+    (``semantic_dup_pairs_np``'s pattern), with the OLD side
+    deterministically sub-split into ``block``-row chunks — each task
+    holds one old chunk plus the cluster's batch rows, so a fat
+    cluster lands as bounded tasks; batch-internal pairs are computed
+    once, in chunk 0.  Zero-norm vectors witness nothing (the
+    ``cosine_col`` null contract)."""
+    import numpy as np
+    import pandas as pd
+
+    old = members.where(~F.col("is_new"))
+    new = members.where(F.col("is_new"))
+    nb_col = F.greatest(
+        F.ceil(F.col("_n") / F.lit(int(block))).cast("int"), F.lit(1)
+    )
+    sizes = old.groupBy("cluster").agg(F.count("*").alias("_n")).select(
+        "cluster", nb_col.alias("_nb")
+    )
+    oldx = old.join(F.broadcast(sizes), "cluster").withColumn(
+        "_blk", F.pmod(F.xxhash64(F.col(id_col)), F.col("_nb")).cast("int")
+    )
+    newx = (
+        new.join(F.broadcast(sizes), "cluster", "left")
+        .withColumn("_nb", F.coalesce("_nb", F.lit(1)))
+        .withColumn(
+            "_blk", F.explode(F.sequence(F.lit(0), F.col("_nb") - 1))
+        )
+        .withColumn("_blk", F.col("_blk").cast("int"))
+    )
+    rows = oldx.select(
+        "cluster", "_blk", id_col, vec_col, "is_new"
+    ).unionByName(newx.select("cluster", "_blk", id_col, vec_col, "is_new"))
+    empty = pd.DataFrame({id_col: pd.Series(dtype="int64")})
+
+    def fn(key, pdf):
+        _cluster, blk = key
+        newp = pdf[pdf["is_new"]]
+        if not len(newp):
+            return empty
+        nids = newp[id_col].to_numpy()
+        nmat = np.stack(newp[vec_col].to_list()).astype(np.float64)
+        nnorm = np.linalg.norm(nmat, axis=1)
+        dropped = np.zeros(len(nids), dtype=bool)
+        oldp = pdf[~pdf["is_new"]]
+        if len(oldp):
+            oids = oldp[id_col].to_numpy()
+            omat = np.stack(oldp[vec_col].to_list()).astype(np.float64)
+            den = np.outer(nnorm, np.linalg.norm(omat, axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.where(den != 0.0, (nmat @ omat.T) / den, np.nan)
+            dropped |= (
+                (sims >= eps) & (oids[None, :] < nids[:, None])
+            ).any(axis=1)
+        if blk == 0 and len(nids) > 1:
+            den = np.outer(nnorm, nnorm)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.where(den != 0.0, (nmat @ nmat.T) / den, np.nan)
+            dropped |= (
+                (sims >= eps) & (nids[None, :] < nids[:, None])
+            ).any(axis=1)
+        if not dropped.any():
+            return empty
+        return pd.DataFrame({id_col: nids[dropped]})
+
+    return (
+        rows.groupBy("cluster", "_blk")
+        .applyInPandas(fn, f"{id_col} long")
+        .distinct()
+    )
+
+
+def semdedup_ingest_batch(
+    new_embs: DataFrame,
+    emb_path: str,
+    eps: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_id: int | None = None,
+    block: int = 8192,
+) -> DataFrame:
+    """The complete semantic-dedup ARRIVAL step, one call — the
+    SemDeDup sibling of ``dedup_ingest_batch`` / ``span_ingest_batch``
+    (VERDICT r12 item 2):
+
+    1. assign ONLY the arriving batch under the table's FROZEN
+       quantizer (:func:`ivf_assign_np` against the broadcast
+       manifest centroids);
+    2. resolve the corpus side PRUNED to the batch's hit clusters
+       (driver-side list bounded by min(batch rows, K); the manifest
+       read and the data scan skip every other cluster) and compute
+       the dropped set with the blocked numpy kernel
+       (:func:`_semdedup_dropped_np`), materialized eagerly BEFORE
+       the append — appending first would let the lazy scan list the
+       batch's own fresh files and self-witness every row;
+    3. persist the batch's rows (ALL of them — a dropped row still
+       witnesses later arrivals, exactly as in the corpus-global
+       greedy sweep) under ``list_id=<c>/_emb_batch=<batch_id>``.
+
+    Crash-idempotent end to end with ``batch_id``: a redelivered wave
+    replaces its own partitions and is EXCLUDED from the corpus side,
+    so the rerun drops exactly what a clean first delivery would;
+    ``batch_id=None`` is a read-only dry run (no append).
+
+    EQUIVALENCE (the ``span_cut_batch`` proof shape, pinned by the
+    ``semdedup_incremental`` battery oracle): the greedy-by-id drop
+    rule is a pure pairwise predicate — a batch row is dropped iff
+    some smaller-id same-cluster member of corpus ∪ batch sits within
+    ε — and assignments are fixed by the frozen quantizer, so the
+    returned kept set equals ``semantic_dedup(corpus ∪ batch,
+    cents=quantizer)`` restricted to the batch's ids, however corpus
+    and batch ids interleave.  Corpus rows are never retro-dropped:
+    history is immutable on the arrival path (each row's verdict was
+    final when it landed).  Returns the KEPT rows of ``new_embs``.
+    """
+    from ..sources import snapshots
+
+    spark = new_embs.sparkSession
+    root_doc = snapshots.read_snapshot_meta(emb_path)
+    q = _sem_quantizer(root_doc)
+    if q is None:
+        raise ValueError(
+            f"no seeded embedding table at {emb_path} — "
+            "seed_embedding_table first (the quantizer must be frozen "
+            "before batches arrive)"
+        )
+    n_clusters, cent_rows = q
+    cents = _cents_df(spark, cent_rows)
+    e = _as_double(new_embs, vec_col)
+    # assign once, cut from lineage: feeds the hit-cluster collect,
+    # the kernel and the append
+    batch = (
+        e.select(id_col, vec_col)
+        .join(
+            ivf_assign_np(e, n_clusters, id_col, vec_col, cents=cents),
+            id_col,
+        )
+        .withColumnRenamed("list_id", "cluster")
+        .localCheckpoint()
+    )
+    hit = {
+        int(r[0]) for r in batch.select("cluster").distinct().collect()
+    }
+    allowed = {f"list_id={c}" for c in hit}
+    corpus = snapshots.resolve_snapshot(
+        spark, emb_path, seg_filter=allowed.__contains__, manifest=root_doc
+    )
+    if batch_id is not None and EMB_BATCH_KEY in corpus.columns:
+        corpus = corpus.where(F.col(EMB_BATCH_KEY) != int(batch_id))
+    members = (
+        corpus.select(
+            F.col("list_id").alias("cluster"), id_col, vec_col
+        )
+        .withColumn("is_new", F.lit(False))
+        .unionByName(batch.withColumn("is_new", F.lit(True)))
+    )
+    dropped = _semdedup_dropped_np(
+        members, eps, id_col, vec_col, block
+    ).localCheckpoint(eager=True)
+    if batch_id is not None:
+        from .dedup import _write_keyed_batch
+
+        _write_keyed_batch(
+            batch.withColumnRenamed("cluster", "list_id")
+            .repartition(F.col("list_id")),
+            emb_path, batch_id, EMB_BATCH_KEY, bucket_col="list_id",
+        )
+    return new_embs.join(dropped, id_col, "left_anti")
+
+
+def ingest_embedding_stream(
+    embs_stream: DataFrame,
+    emb_path: str,
+    checkpoint_dir: str,
+    *,
+    eps: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block: int = 8192,
+):
+    """The embedding consume loop: a streaming frame of embedding rows
+    drives :func:`semdedup_ingest_batch` per micro-batch under the
+    same at-least-once contract as the document loop
+    (``idempotent_foreach_batch`` marker = fast-path skip; the keyed
+    sink is the correctness mechanism).  The table must be seeded
+    (quantizer frozen) before the stream starts.  Returns the started
+    StreamingQuery handle."""
+    import os
+
+    from ..sources.ingest import idempotent_foreach_batch
+
+    def _step(batch_df, batch_id):
+        semdedup_ingest_batch(
+            batch_df, emb_path, eps, id_col, vec_col,
+            batch_id=batch_id, block=block,
+        )
+
+    inner = idempotent_foreach_batch(
+        os.path.join(checkpoint_dir, "commits_embs"), _step
+    )
+    return (
+        embs_stream.writeStream.foreachBatch(inner)
+        .option(
+            "checkpointLocation", os.path.join(checkpoint_dir, "embs")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,103 @@
+"""Round-13 battery entries: the INCREMENTAL cluster-state fold and
+the arrival-path SemDeDup, each driven through the driver gate against
+the SAME oracles as their corpus-global siblings — incrementality must
+be result-invisible.
+
+* ``cluster_state_incremental`` — the bucketed union-find fold under
+  per-wave cadence: three waves arrive and ``compact_pair_log`` runs
+  after EVERY wave (creation fold, then two incremental FIND+UNION
+  folds against the bucketed state), so ``materialize_clusters`` reads
+  state only — the final clustering must equal the full-corpus CC
+  (ORACLE_DEDUP_CLUSTERS verbatim).
+* ``semdedup_incremental`` — seed the corpus (vec_id % 5 != 0) into
+  the clustered embedding table under the frozen id<16 quantizer,
+  then land the batch (vec_id % 5 == 0) through
+  ``semdedup_ingest_batch``: the kept batch ids must equal the
+  corpus-global ``semantic_dedup`` verdict restricted to batch rows
+  (ORACLE_SEMDEDUP with that restriction) — the ``span_cut_batch``
+  equivalence shape, for the semantic tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def q_cluster_state_incremental(spark, sf_dir):
+    import shutil
+
+    from .pipeline.arrival import (
+        compact_pair_log,
+        document_arrival_step,
+        materialize_clusters,
+    )
+    from .queries_pipeline import BANDS, K_MINHASH, NGRAM
+    from .queries_round7 import _scratch
+    from .sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    _t, root = _scratch("state_inc", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    for wave in (0, 1, 2):
+        document_arrival_step(
+            docs.where(F.col("doc_id") % 3 == wave), root, wave,
+            k=K_MINHASH, bands=BANDS, n=NGRAM, span_words=None,
+        )
+        folded = compact_pair_log(spark, root, state_buckets=16)
+        if folded != 1:  # a bare assert vanishes under python -O
+            raise RuntimeError(
+                f"wave {wave}: expected 1 pair leaf folded, got {folded}"
+            )
+    return materialize_clusters(spark, root)
+
+
+def q_semdedup_incremental(spark, sf_dir):
+    import shutil
+
+    from .pipeline.similarity import (
+        seed_embedding_table,
+        semdedup_ingest_batch,
+    )
+    from .queries_round7 import _scratch
+    from .queries_round11 import SEM_EPS, SEM_K
+    from .sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    _t, path = _scratch("semdedup_inc", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    # the oracle's quantizer draws centroids from the FULL table's
+    # id < K rows — the seed takes it as the trained-quantizer input
+    # (ids 0/5/10/15 arrive with the batch, not the corpus)
+    cents = emb.where(F.col("vec_id") < SEM_K).select(
+        F.col("vec_id").alias("list_id"),
+        F.col("embedding").alias("_cvec"),
+    )
+    seed_embedding_table(
+        emb.where(F.col("vec_id") % 5 != 0), path, SEM_K, cents=cents
+    )
+    kept = semdedup_ingest_batch(
+        emb.where(F.col("vec_id") % 5 == 0), path, SEM_EPS, batch_id=6
+    )
+    return kept.select("vec_id")
+
+
+def _round13_queries():
+    from .queries_pipeline import ORACLE_DEDUP_CLUSTERS
+    from .queries_round11 import ORACLE_SEMDEDUP
+
+    oracle_semdedup_batch = (
+        ORACLE_SEMDEDUP.rstrip() + "\n  AND e.vec_id % 5 = 0\n"
+    )
+    return {
+        "cluster_state_incremental": (
+            q_cluster_state_incremental,
+            ORACLE_DEDUP_CLUSTERS,
+        ),
+        "semdedup_incremental": (
+            q_semdedup_incremental,
+            oracle_semdedup_batch,
+        ),
+    }
+
+
+ROUND13_QUERIES = _round13_queries()

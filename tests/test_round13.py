@@ -282,3 +282,267 @@ def test_state_vacuum_reclaims_retired_bucket_files(spark, tmp_path):
             snapshots.snapshot_segment_files(state_path, seg)
         )
     assert live == manifest_files
+
+
+# -- arrival-path SemDeDup ------------------------------------------------------
+
+
+def _emb_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+
+
+#: two well-separated clusters along axes; ids interleave so the
+#: greedy-by-id rule crosses the corpus/batch split both ways
+_EMB_BASE = [
+    (0, [1.0, 0.0, 0.0]),      # centroid A
+    (1, [0.0, 1.0, 0.0]),      # centroid B
+    (2, [0.99, 0.02, 0.0]),    # near A -> dropped by 0
+    (7, [0.0, 0.97, 0.05]),    # near B -> dropped by 1
+    (9, [0.6, 0.0, 0.8]),      # A-side but far from all
+]
+_EMB_BATCH = [
+    (3, [0.98, 0.01, 0.01]),   # near A -> dropped (witness 0 or 2)
+    (5, [0.0, 0.99, 0.01]),    # near B -> dropped (witness 1)
+    (8, [0.0, -1.0, 0.2]),     # B cluster, far from members
+]
+
+
+def _global_kept(spark, rows, eps=0.95):
+    from m3_spark.pipeline.similarity import semantic_dedup
+
+    emb = _emb_df(spark, rows)
+    cents = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("list_id"),
+        F.col("embedding").alias("_cvec"),
+    )
+    return {
+        r.vec_id
+        for r in semantic_dedup(
+            emb, 2, eps, cents=cents, vectorized=True
+        ).select("vec_id").collect()
+    }
+
+
+def test_semdedup_ingest_matches_global_restriction(spark, tmp_path):
+    from m3_spark.pipeline.similarity import (
+        seed_embedding_table,
+        semdedup_ingest_batch,
+    )
+
+    path = str(tmp_path / "emb")
+    full = _EMB_BASE + _EMB_BATCH
+    cents = _emb_df(spark, full).where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("list_id"),
+        F.col("embedding").alias("_cvec"),
+    )
+    seed_embedding_table(
+        _emb_df(spark, _EMB_BASE), path, 2, cents=cents
+    )
+    kept = semdedup_ingest_batch(
+        _emb_df(spark, _EMB_BATCH), path, eps=0.95, batch_id=0
+    )
+    got = {r.vec_id for r in kept.select("vec_id").collect()}
+    want = _global_kept(spark, full) & {i for i, _ in _EMB_BATCH}
+    assert got == want
+    assert got == {8}  # 3 and 5 have smaller-id eps-neighbors
+
+
+def test_semdedup_ingest_redelivery_idempotent(spark, tmp_path):
+    from m3_spark.pipeline.similarity import (
+        seed_embedding_table,
+        semdedup_ingest_batch,
+    )
+
+    path = str(tmp_path / "emb")
+    cents = _emb_df(spark, _EMB_BASE).where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("list_id"),
+        F.col("embedding").alias("_cvec"),
+    )
+    seed_embedding_table(_emb_df(spark, _EMB_BASE), path, 2, cents=cents)
+    batch = _emb_df(spark, _EMB_BATCH)
+    first = {
+        r.vec_id
+        for r in semdedup_ingest_batch(
+            batch, path, eps=0.95, batch_id=4
+        ).select("vec_id").collect()
+    }
+    again = {
+        r.vec_id
+        for r in semdedup_ingest_batch(
+            batch, path, eps=0.95, batch_id=4
+        ).select("vec_id").collect()
+    }
+    assert first == again == {8}
+
+
+def test_semdedup_dropped_rows_still_witness(spark, tmp_path):
+    """A batch-1 row that is DROPPED must still witness a later
+    batch's rows — the table persists all rows, matching the global
+    greedy sweep where dropped rows witness."""
+    from m3_spark.pipeline.similarity import (
+        seed_embedding_table,
+        semdedup_ingest_batch,
+    )
+
+    path = str(tmp_path / "emb")
+    cents = _emb_df(spark, _EMB_BASE).where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("list_id"),
+        F.col("embedding").alias("_cvec"),
+    )
+    seed_embedding_table(_emb_df(spark, _EMB_BASE), path, 2, cents=cents)
+    # 3 is dropped (near 0/2); 11 is near 3 but NOT near 0/2
+    semdedup_ingest_batch(
+        _emb_df(spark, [(3, [0.9, 0.31, 0.3])]), path,
+        eps=0.95, batch_id=0,
+    )
+    kept = semdedup_ingest_batch(
+        _emb_df(spark, [(11, [0.9, 0.32, 0.29])]), path,
+        eps=0.95, batch_id=1,
+    )
+    assert kept.count() == 0  # witnessed by the dropped row 3
+
+
+def test_semdedup_probe_prunes_to_hit_clusters(spark, tmp_path):
+    """Hard proof of manifest pruning: corrupt the un-hit cluster's
+    data files on disk — a probe whose batch only hits the other
+    cluster must never read them."""
+    import os
+
+    from m3_spark.pipeline.similarity import (
+        seed_embedding_table,
+        semdedup_ingest_batch,
+    )
+
+    path = str(tmp_path / "emb")
+    cents = _emb_df(spark, _EMB_BASE).where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("list_id"),
+        F.col("embedding").alias("_cvec"),
+    )
+    seed_embedding_table(_emb_df(spark, _EMB_BASE), path, 2, cents=cents)
+    for dirpath, _dirs, files in os.walk(os.path.join(path, "list_id=1")):
+        for f in files:
+            if f.endswith(".parquet"):
+                with open(os.path.join(dirpath, f), "wb") as fh:
+                    fh.write(b"not parquet")
+    kept = semdedup_ingest_batch(
+        _emb_df(spark, [(12, [0.97, 0.05, 0.01])]), path, eps=0.95
+    )
+    assert kept.count() == 0  # dropped by 0/2 without touching cluster 1
+
+
+def test_seed_embedding_table_quantizer_guards(spark, tmp_path):
+    from m3_spark.pipeline.similarity import (
+        seed_embedding_table,
+        semdedup_ingest_batch,
+    )
+
+    path = str(tmp_path / "emb")
+    base = _emb_df(spark, _EMB_BASE)
+    cents = base.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("list_id"),
+        F.col("embedding").alias("_cvec"),
+    )
+    seed_embedding_table(base, path, 2, cents=cents)
+    other = _emb_df(spark, [(0, [0.0, 0.0, 1.0]), (1, [0.0, 1.0, 0.0])])
+    with pytest.raises(ValueError, match="quantizer"):
+        seed_embedding_table(
+            base, path, 2,
+            cents=other.select(
+                F.col("vec_id").alias("list_id"),
+                F.col("embedding").alias("_cvec"),
+            ),
+        )
+    with pytest.raises(ValueError, match="seed_embedding_table"):
+        semdedup_ingest_batch(
+            _emb_df(spark, _EMB_BATCH), str(tmp_path / "missing"), 0.9
+        )
+
+
+def test_seed_embedding_table_reseed_is_additive(spark, tmp_path):
+    from m3_spark.pipeline.similarity import (
+        seed_embedding_table,
+        semdedup_ingest_batch,
+    )
+
+    path = str(tmp_path / "emb")
+    all_rows = _emb_df(spark, _EMB_BASE)
+    cents = all_rows.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("list_id"),
+        F.col("embedding").alias("_cvec"),
+    )
+    seed_embedding_table(
+        all_rows.where(F.col("vec_id") <= 2), path, 2, cents=cents
+    )
+    seed_embedding_table(
+        all_rows.where(F.col("vec_id") > 2), path, 2, cents=cents
+    )
+    # 3 is near A's members (0 and 2, from the FIRST seed)
+    kept = semdedup_ingest_batch(
+        _emb_df(spark, [(12, [0.99, 0.01, 0.0])]), path, eps=0.95
+    )
+    assert kept.count() == 0
+
+
+def test_semdedup_kernel_block_split_equivalence(spark, tmp_path):
+    """block=2 (every cluster sub-split) must drop exactly what the
+    unsplit kernel drops."""
+    from m3_spark.pipeline.similarity import (
+        seed_embedding_table,
+        semdedup_ingest_batch,
+    )
+
+    for i, block in enumerate((2, 8192)):
+        path = str(tmp_path / f"emb{i}")
+        cents = _emb_df(spark, _EMB_BASE).where(
+            F.col("vec_id") < 2
+        ).select(
+            F.col("vec_id").alias("list_id"),
+            F.col("embedding").alias("_cvec"),
+        )
+        seed_embedding_table(
+            _emb_df(spark, _EMB_BASE), path, 2, cents=cents
+        )
+        got = {
+            r.vec_id
+            for r in semdedup_ingest_batch(
+                _emb_df(spark, _EMB_BATCH), path, eps=0.95,
+                batch_id=0, block=block,
+            ).select("vec_id").collect()
+        }
+        assert got == {8}, block
+
+
+def test_ingest_embedding_stream_end_to_end(spark, tmp_path):
+    from m3_spark.pipeline.similarity import (
+        ingest_embedding_stream,
+        seed_embedding_table,
+        semdedup_ingest_batch,
+    )
+    from m3_spark.sources import snapshots
+
+    path = str(tmp_path / "emb")
+    cents = _emb_df(spark, _EMB_BASE).where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("list_id"),
+        F.col("embedding").alias("_cvec"),
+    )
+    seed_embedding_table(_emb_df(spark, _EMB_BASE), path, 2, cents=cents)
+    src = str(tmp_path / "src")
+    _emb_df(spark, _EMB_BATCH).write.parquet(src)
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).parquet(src)
+    q = ingest_embedding_stream(
+        stream, path, str(tmp_path / "ckpt"), eps=0.95
+    )
+    q.awaitTermination(120)
+    table = snapshots.resolve_snapshot(spark, path)
+    ids = {r.vec_id for r in table.select("vec_id").collect()}
+    assert ids == {i for i, _ in _EMB_BASE} | {i for i, _ in _EMB_BATCH}
+    # a later probe sees the streamed batch's rows
+    kept = semdedup_ingest_batch(
+        _emb_df(spark, [(20, [0.0, -0.99, 0.18])]), path, eps=0.95
+    )
+    assert kept.count() == 0  # witnessed by streamed row 8
