@@ -224,10 +224,23 @@ def q_span_stats_5k(spark):
 def q_semdedup_2k(spark):
     """SemDeDup drop step over the 2k-vector embedding table
     (16-cluster quantizer, within-cluster pairwise cosine) — the
-    Abbas et al. 2023 semantic dedup as a longitudinal row."""
+    Abbas et al. 2023 semantic dedup as a longitudinal row.  This is
+    the interpreted FOLD form (the oracle-exact default) — kept for
+    cross-form drift watching; the production row is semdedup_2k_np."""
     from m3_spark.queries_round11 import q_semdedup_kept
 
     return q_semdedup_kept(spark, SF_DIR)
+
+
+def q_semdedup_2k_np(spark):
+    """SemDeDup through the VECTORIZED kernel (numpy assign +
+    per-cluster blocked matmul) — the path a production/scale run
+    executes (semantic_dedup(vectorized=True)); the headline SemDeDup
+    row since r13 (verdict r12 item 2: the bench was timing the
+    interpreted fold a 100 TB run would never execute)."""
+    from m3_spark.queries_round12 import q_semdedup_vectorized
+
+    return q_semdedup_vectorized(spark, SF_DIR)
 
 
 def q_temperature_mix(spark):
@@ -266,6 +279,7 @@ BENCH = {
     "m3ql_pipeline_12h": q_m3ql_pipeline_12h,
     "span_stats_5k": q_span_stats_5k,
     "semdedup_2k": q_semdedup_2k,
+    "semdedup_2k_np": q_semdedup_2k_np,
     "temperature_mix_5k": q_temperature_mix,
 }
 

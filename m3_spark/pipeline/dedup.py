@@ -197,29 +197,110 @@ def _banded_rows(
     ).select(id_col, "band.band_id", "band.band_key")
 
 
-def _mixed_band_pairs(members: DataFrame, id_col: str) -> DataFrame:
-    """Candidate pairs from mixed old/new banded rows: group by band
-    key, keep buckets holding at least one NEW member, fan out the
-    within-bucket pairs where at least one side is new (old-old pairs
-    were emitted when those batches arrived).  ``members`` carries
-    (id_col, band_id, band_key, is_new).  Self-pairs from duplicate
-    banded rows (a redelivered wave's double-append) are dropped.
-    Returns distinct (id_a, id_b)."""
-    buckets = (
-        members.groupBy("band_id", "band_key")
-        .agg(
+#: band-bucket skew cap: a bucket larger than this is block-split
+#: before the per-bucket ``collect_list`` (see
+#: :func:`_blocked_band_groups`) — caps both the buffered array and
+#: the interpreted pair fan-out (~block²/2 structs) per task.
+DEFAULT_PAIR_BLOCK = 2048
+
+
+def _blocked_band_groups(
+    members: DataFrame, id_col: str, block: int | None,
+    with_is_new: bool,
+) -> DataFrame:
+    """The skew-capped per-band-bucket grouping shared by the one-shot
+    and incremental LSH pair scans: rows grouped by
+    (band_id, band_key, _lo, _hi) with ``ms`` = the sorted member
+    struct array of that group.
+
+    SKEW GUARD (the ``semantic_dup_pairs_np`` block-split applied to
+    the interpreted fan-out, VERDICT r12 watch item): a VIRAL band key
+    (boilerplate text signing to one band value corpus-wide) would
+    buffer the whole bucket in one ``collect_list`` task and fan out
+    |bucket|² pairs there.  A first keys-only aggregation (count with
+    map-side combine — the ids never shuffle twice) finds buckets
+    larger than ``block``; their rows are deterministically sub-split
+    into nb = ceil(n/block) blocks by id hash and replicated to the
+    nb block-PAIRS involving their block, so the bucket lands as
+    nb(nb+1)/2 tasks of ≤ ~2·block rows each.  Each unordered pair
+    lives in exactly ONE block pair (blocks are a function of the
+    ids).  The oversized-key set is broadcast — skew is rare by
+    construction, so it is tiny.  Normal buckets take nb = 1 and
+    group exactly as before.  ``block=None`` disables the guard (and
+    the extra aggregation pass)."""
+    fields = [F.col(id_col).alias("id")]
+    if with_is_new:
+        fields.append(F.col("is_new"))
+    if not block:
+        return members.groupBy("band_id", "band_key").agg(
             F.array_sort(
-                F.collect_list(F.struct(F.col(id_col).alias("id"), "is_new"))
-            ).alias("members")
-        )
-        # buckets with no new member produce only old-old pairs — drop
-        # them before the pair fan-out
-        .where(
-            (F.size("members") >= 2)
-            & F.exists("members", lambda m: m["is_new"])
+                F.collect_list(F.struct(*fields, F.lit(0).alias("blk")))
+            ).alias("ms")
+        ).withColumn("_lo", F.lit(0)).withColumn("_hi", F.lit(0))
+    over = (
+        members.groupBy("band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > int(block))
+        .select(
+            "band_id", "band_key",
+            F.ceil(F.col("_n") / F.lit(int(block))).cast("int").alias("_nb"),
         )
     )
-    ms = F.col("members")
+    rows = (
+        members.join(F.broadcast(over), ["band_id", "band_key"], "left")
+        .withColumn("_nb", F.coalesce("_nb", F.lit(1)))
+        .withColumn(
+            "_blk",
+            F.pmod(F.xxhash64(F.col(id_col)), F.col("_nb")).cast("int"),
+        )
+    )
+    pk = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.col("_nb") - 1),
+            lambda j: F.struct(
+                F.least(F.col("_blk"), j.cast("int")).alias("lo"),
+                F.greatest(F.col("_blk"), j.cast("int")).alias("hi"),
+            ),
+        )
+    )
+    expl = rows.select(
+        "band_id", "band_key", *fields, F.col("_blk").alias("blk"),
+        pk.alias("_pk"),
+    )
+    return expl.groupBy(
+        "band_id", "band_key",
+        F.col("_pk.lo").alias("_lo"), F.col("_pk.hi").alias("_hi"),
+    ).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("id"),
+                    *([F.col("is_new")] if with_is_new else []),
+                    F.col("blk"),
+                )
+            )
+        ).alias("ms")
+    )
+
+
+def _band_group_pairs(buckets: DataFrame, mixed: bool) -> DataFrame:
+    """Pair fan-out over :func:`_blocked_band_groups` output: within a
+    triangle group (_lo == _hi) every sorted pair; within a cross
+    group only cross-block pairs (same-block pairs belong to their own
+    triangle group).  ``mixed``: require at least one NEW member per
+    pair and prefilter groups with no new member."""
+    buckets = buckets.where(F.size("ms") >= 2)
+    if mixed:
+        buckets = buckets.where(F.exists("ms", lambda m: m["is_new"]))
+    ms = F.col("ms")
+    cross = F.col("_lo") != F.col("_hi")
+
+    def _ok(x, y):
+        ok = (~cross) | (x["blk"] != y["blk"])
+        if mixed:
+            ok = ok & (x["is_new"] | y["is_new"])
+        return ok & (x["id"] != y["id"])
+
     pairs = F.flatten(
         F.transform(
             ms,
@@ -229,10 +310,10 @@ def _mixed_band_pairs(members: DataFrame, id_col: str) -> DataFrame:
                     lambda y: F.struct(
                         x["id"].alias("id_a"),
                         y["id"].alias("id_b"),
-                        (x["is_new"] | y["is_new"]).alias("any_new"),
+                        _ok(x, y).alias("ok"),
                     ),
                 ),
-                lambda p: p["any_new"] & (p["id_a"] != p["id_b"]),
+                lambda p: p["ok"],
             ),
         )
     )
@@ -240,6 +321,33 @@ def _mixed_band_pairs(members: DataFrame, id_col: str) -> DataFrame:
         buckets.select(F.explode(pairs).alias("p"))
         .select("p.id_a", "p.id_b")
         .distinct()
+    )
+
+
+def _mixed_band_pairs(
+    members: DataFrame, id_col: str,
+    block: int | None = DEFAULT_PAIR_BLOCK,
+) -> DataFrame:
+    """Candidate pairs from mixed old/new banded rows: group by band
+    key (skew-capped — :func:`_blocked_band_groups`), keep buckets
+    holding at least one NEW member, fan out the within-bucket pairs
+    where at least one side is new (old-old pairs were emitted when
+    those batches arrived).  ``members`` carries (id_col, band_id,
+    band_key, is_new).  Self-pairs from duplicate banded rows (a
+    redelivered wave's double-append) are dropped.  Returns distinct
+    (id_a, id_b).
+
+    With the guard on, ``members`` feeds the sizing aggregate AND the
+    fan-out — lazily checkpointed so the corpus-hit scan executes
+    once (members is batch+collision-bounded on every caller, the
+    incremental-probe contract; the full-corpus path goes through
+    :func:`lsh_candidates`, which checkpoints the compact SIGNATURES
+    instead)."""
+    if block:
+        members = members.localCheckpoint(eager=False)
+    return _band_group_pairs(
+        _blocked_band_groups(members, id_col, block, with_is_new=True),
+        mixed=True,
     )
 
 
@@ -247,49 +355,39 @@ def lsh_candidates(
     docs: DataFrame, k: int = 12, bands: int = 4, n: int = 3,
     text_col: str = "text", id_col: str = "doc_id",
     sigs: DataFrame | None = None,
+    block: int | None = DEFAULT_PAIR_BLOCK,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH.
 
     Signature is split into ``bands`` bands of r = k/bands rows; a pair
     is a candidate iff some band hashes equal.  Plan shape: explode to
     (band_id, band_key, id), hash-aggregate ids per band key, emit the
-    within-bucket pairs from the sorted id list — ONE traversal of the
-    corpus and one shuffle on the high-entropy band key, with no
-    self-join (a join would evaluate the signature fold once per side)
-    and no cached/persisted intermediate state.  A hot bucket holds a
-    real near-duplicate cluster, so its O(|bucket|²) pair fan-out is
-    the answer itself, not join skew.
+    within-bucket pairs from the sorted member list — one shuffle on
+    the high-entropy band key, with no self-join (a join would
+    evaluate the signature fold once per side).  A hot bucket holds a
+    real near-duplicate cluster, so its O(|bucket|²) pair COUNT is the
+    answer itself — but buffering the whole bucket in one task is not:
+    buckets larger than ``block`` are block-split
+    (:func:`_blocked_band_groups`), whose keys-only sizing pass is the
+    one extra aggregation the guard costs.  When the signatures are
+    computed inline, they are lazily checkpointed so that sizing pass
+    never re-folds the corpus text (on the 100 TB path signatures come
+    from the materialized table anyway — ``write_signature_table``).
     Returns distinct (id_a, id_b) with id_a < id_b.
 
     ``sigs``: precomputed signature table (e.g. from
     ``write_signature_table``) keyed (id_col, signature); pass it to
-    skip the signature fold entirely.
+    skip the signature fold entirely.  ``block=None`` disables the
+    skew guard and its sizing pass.
     """
     if sigs is None:
         sigs = minhash_signature(docs, k, n, text_col, id_col)
+        if block:
+            sigs = sigs.localCheckpoint(eager=False)
     banded = _banded_rows(sigs, k, bands, id_col)
-    buckets = (
-        banded.groupBy("band_id", "band_key")
-        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
-        .where(F.size("ids") >= 2)
-    )
-    ids = F.col("ids")
-    pairs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.size(ids)),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
-    return (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select("p.id_a", "p.id_b")
-        # a doc signed twice (duplicate signature rows, e.g. a crashed
-        # arrival re-appending a wave) must not emit (a,a)
-        .where(F.col("id_a") != F.col("id_b"))
-        .distinct()
+    return _band_group_pairs(
+        _blocked_band_groups(banded, id_col, block, with_is_new=False),
+        mixed=False,
     )
 
 

@@ -835,6 +835,99 @@ def main() -> None:
         # return a frame so the harness's .count() has work to do
         return spark.range(n)
 
+    # ---- round-13: incremental cluster-state fold flat in state size -----
+    # two seeded state forests an order of magnitude apart with
+    # bucket-size-constant moduli (m ∝ nodes, ~977 rows/bucket); the
+    # SAME 200-pair batch folds into both.  Endpoints are component
+    # roots (1-hop FIND), updates are 200 pointer rows, so the fold
+    # reads/rewrites <= 200 hit buckets x const rows — flat across the
+    # pair is the VERDICT r12 item-1 "done =" claim.
+
+    def _state_fold_row(tag: str, n_nodes: int, m: int):
+        from m3_spark.pipeline.arrival import (
+            compact_pair_log,
+            seed_cluster_state,
+        )
+        from m3_spark.pipeline.dedup import _write_keyed_batch
+        from m3_spark.sources import snapshots
+
+        src = os.path.join(SCRATCH, f"statefold_{tag}")
+
+        def fn(_):
+            state_src = os.path.join(src, "_clusters")
+            if not snapshots.has_manifest(state_src):
+                # components of 10 consecutive ids: node -> its
+                # decade's minimum (roots implicit via the seed's
+                # node != cluster filter)
+                assignment = spark.range(n_nodes).select(
+                    F.col("id").alias("node"),
+                    (F.col("id") - F.col("id") % 10).alias("cluster"),
+                )
+                seed_cluster_state(assignment, state_src, buckets=m)
+            # fresh copy per call: the fold tombstones its pair leaf
+            # and rewrites touched state buckets
+            dst = os.path.join(SCRATCH, f"statefold_tmp_{tag}")
+            shutil.rmtree(dst, ignore_errors=True)
+            shutil.copytree(src, dst)
+            pairs = spark.range(200).select(
+                (F.col("id") * 40).alias("id_a"),
+                (F.col("id") * 40 + 20).alias("id_b"),
+            )
+            _write_keyed_batch(
+                pairs, os.path.join(dst, "_pairs"), 0, "_pair_batch"
+            )
+            n = compact_pair_log(spark, dst)
+            return spark.range(n)
+
+        return fn
+
+    q_state_fold_small = _state_fold_row("500k", 500_000, 512)
+    q_state_fold_large = _state_fold_row("5m", 5_000_000, 5120)
+
+    # ---- round-13: arrival SemDeDup probe flat in corpus size ------------
+    # two clustered embedding tables an order of magnitude apart with
+    # cluster-size-constant quantizers (K ∝ corpus, ~781 rows/cluster);
+    # the SAME 100-vector batch probes both read-only.  Hit clusters
+    # <= 100 in both, so the pruned read + per-cluster matmul are
+    # bounded by batch x const — flat across the pair.
+
+    def _synth_emb(n: int, start: int = 0):
+        dims = [
+            (
+                F.pmod(
+                    F.xxhash64(F.col("id") * F.lit(j + 1)), F.lit(1000)
+                ).cast("double")
+                / 1000.0
+            )
+            for j in range(64)
+        ]
+        return (
+            spark.range(start, start + n)
+            .select(F.col("id").alias("vec_id"), F.array(*dims).alias("embedding"))
+        )
+
+    def _semdedup_probe_row(tag: str, n: int, k: int):
+        from m3_spark.pipeline.similarity import (
+            seed_embedding_table,
+            semdedup_ingest_batch,
+        )
+        from m3_spark.sources import snapshots
+
+        emb_dir = os.path.join(SCRATCH, f"semdedup_probe_{tag}")
+
+        def fn(_):
+            if not snapshots.has_manifest(emb_dir):
+                seed_embedding_table(_synth_emb(n), emb_dir, k)
+            batch = _synth_emb(100, start=n + 1000)
+            # batch_id=None: read-only dry run — the table size stays
+            # fixed across reps
+            return semdedup_ingest_batch(batch, emb_dir, eps=0.9)
+
+        return fn
+
+    q_semdedup_probe_small = _semdedup_probe_row("200k_k256", 200_000, 256)
+    q_semdedup_probe_large = _semdedup_probe_row("2m_k2560", 2_000_000, 2560)
+
     import statistics
 
     timings, stats, counts = {}, {}, {}
@@ -879,6 +972,10 @@ def main() -> None:
         "pair_materialize_compacted_500k": q_pair_materialize_compacted,
         "pair_compact_fold_500k": q_pair_compact_fold,
         "span_fold_tick_3x100docs": q_span_fold_tick,
+        "state_fold_500k_m512": q_state_fold_small,
+        "state_fold_5m_m5120": q_state_fold_large,
+        "semdedup_probe_200k_k256": q_semdedup_probe_small,
+        "semdedup_probe_2m_k2560": q_semdedup_probe_large,
     }
     if args.only:
         unknown = args.only - rows.keys()

@@ -74,10 +74,13 @@ def test_lsh_join_is_equi_join(spark):
     plan = _plan(out)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
-    # single traversal of the corpus: pair generation is a hash
-    # aggregate on the band key, not a self-join re-evaluating the
-    # signature fold per side — and no persisted/cached state
-    assert "Join" not in plan
+    # pair generation is a hash aggregate on the band key, not a
+    # self-join re-evaluating the signature fold per side.  The only
+    # join allowed is the r13 skew guard's keys-only broadcast of the
+    # oversized-bucket set (_blocked_band_groups) — never a shuffle
+    # join, and no persisted/cached state
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") <= 1
     assert "InMemoryTableScan" not in plan
 
 
@@ -324,15 +327,33 @@ def test_incremental_dedup_reads_corpus_from_signature_table(spark):
     lineage leak that defeats the whole incremental design."""
     from m3_spark.queries_pipeline import q_dedup_incremental
 
-    df = q_dedup_incremental(spark, SF_DIR)
-    plan = _plan(df)
+    # since r13 the skew guard checkpoints the probe's MEMBERS frame,
+    # hiding the signature-table scan behind Scan ExistingRDD in the
+    # final plan — capture members at the checkpoint boundary and
+    # assert the scan budget there
+    import m3_spark.pipeline.dedup as dd
+
+    captured = {}
+    orig = dd._mixed_band_pairs
+
+    def spy(members, id_col, block=dd.DEFAULT_PAIR_BLOCK):
+        captured["members"] = members
+        return orig(members, id_col, block)
+
+    dd._mixed_band_pairs = spy
+    try:
+        df = q_dedup_incremental(spark, SF_DIR)
+    finally:
+        dd._mixed_band_pairs = orig
+    plan = _plan(captured["members"])
     # since r12 the batch side is lineage-cut (lazy localCheckpoint —
-    # it feeds two subtrees across a broadcast boundary), so the FINAL
-    # plan may show Scan ExistingRDD where the documents FileScan was;
+    # it feeds two subtrees across a broadcast boundary), so the plan
+    # may show Scan ExistingRDD where the documents FileScan was;
     # the invariant stands: never a SECOND documents scan (the corpus
     # re-signing leak)
     assert plan.count("documents.parquet") <= 1, plan
     assert "sigs_" in plan  # signature table scan present
+    assert _plan(df).count("documents.parquet") == 0
 
     # the batch side materializes at checkpoint time from THIS
     # subplan — the new-batch predicate must still reach the
@@ -350,13 +371,17 @@ def test_incremental_dedup_reads_corpus_from_signature_table(spark):
 
 
 def test_lsh_verified_and_pii_scan_budgets(spark):
-    """dedup_lsh_verified: the corpus text feeds the LSH candidate
-    traversal; the verify side reads the checkpointed shingle-hash
-    frame, so the FINAL plan holds exactly one documents scan.
-    pii_scrub is a single-pass projection — one scan, nothing else."""
+    """dedup_lsh_verified: the corpus text is traversed once — since
+    the r13 skew guard it feeds the LAZY signature checkpoint (whose
+    one materialization job holds the only text read; the final plan
+    shows Scan ExistingRDD, the holtWinters precedent), and the verify
+    side reads the checkpointed shingle-hash frame.  The final plan
+    must therefore hold AT MOST one documents scan and at least one
+    checkpoint scan.  pii_scrub is a single-pass projection — one
+    scan, nothing else."""
     from m3_spark.queries_pipeline import q_dedup_lsh_verified, q_pii_scrub
 
-    assert _plan(
-        q_dedup_lsh_verified(spark, SF_DIR)
-    ).count("documents.parquet") == 1
+    plan = _plan(q_dedup_lsh_verified(spark, SF_DIR))
+    assert plan.count("documents.parquet") <= 1
+    assert "ExistingRDD" in plan
     assert _plan(q_pii_scrub(spark, SF_DIR)).count("documents.parquet") == 1

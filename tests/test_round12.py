@@ -950,18 +950,42 @@ def test_lsh_incremental_plan_corpus_side_never_shuffles(spark):
         "doc_id long, text string",
     )
     corpus_sigs = minhash_signature(docs.where(F.col("doc_id") <= 2), 8)
-    out = lsh_candidates_incremental(
-        docs.where(F.col("doc_id") > 2), corpus_sigs, k=8, bands=4
-    )
-    plan = _plan(out)
+    # since r13 the skew guard lazily checkpoints the MEMBERS frame
+    # (it feeds the sizing aggregate and the fan-out), so the final
+    # plan shows Scan ExistingRDD where the probe structure was — the
+    # corpus contract is asserted on the members frame the probe
+    # actually builds, captured at the checkpoint boundary
+    import m3_spark.pipeline.dedup as dd
+
+    captured = {}
+    orig = dd._mixed_band_pairs
+
+    def spy(members, id_col, block=dd.DEFAULT_PAIR_BLOCK):
+        captured["members"] = members
+        return orig(members, id_col, block)
+
+    dd._mixed_band_pairs = spy
+    try:
+        out = dd.lsh_candidates_incremental(
+            docs.where(F.col("doc_id") > 2), corpus_sigs, k=8, bands=4
+        )
+    finally:
+        dd._mixed_band_pairs = orig
+    plan = _plan(captured["members"])
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
-    # remaining exchanges: members group-by, the final distinct, the
-    # broadcast subtree's key distinct — all collision/batch-bounded —
-    # plus minhash_signature's own repartition on the INLINE-signed
-    # corpus (absent when the corpus side is a signature-table read).
-    # The corpus PROBE side itself feeds the semi join with no
-    # exchange.
+    # remaining exchanges upstream of the members union: the broadcast
+    # subtree's key distinct (batch-bounded) plus minhash_signature's
+    # own repartition on the INLINE-signed corpus (absent when the
+    # corpus side is a signature-table read) — the same bound the
+    # pre-r13 whole-plan pin carried.  The corpus PROBE side itself
+    # feeds the semi join with no exchange.
     assert plan.count("Exchange hashpartitioning") <= 4
+    # downstream of the checkpoint: the capped fan-out reads ONE
+    # ExistingRDD scan per branch — the members subtree (and its
+    # corpus scan) executes once at materialization
+    final = _plan(out)
+    assert "ExistingRDD" in final
+    assert final.count("Exchange hashpartitioning") <= 3
 
 
 # -- vectorized SemDeDup pairwise ----------------------------------------------

@@ -546,3 +546,76 @@ def test_ingest_embedding_stream_end_to_end(spark, tmp_path):
         _emb_df(spark, [(20, [0.0, -0.99, 0.18])]), path, eps=0.95
     )
     assert kept.count() == 0  # witnessed by streamed row 8
+
+
+# -- LSH band-bucket skew cap -----------------------------------------------------
+
+
+def _viral_docs(spark, n=40):
+    # identical text -> identical signature -> every band bucket holds
+    # all n docs (the synthetic viral band key)
+    return spark.createDataFrame(
+        [(i, "alpha bravo charlie delta echo foxtrot") for i in range(n)],
+        "doc_id long, text string",
+    )
+
+
+def test_lsh_viral_band_bucket_block_split(spark):
+    from m3_spark.pipeline.dedup import (
+        _banded_rows,
+        _blocked_band_groups,
+        lsh_candidates,
+        minhash_signature,
+    )
+
+    docs = _viral_docs(spark)
+    want = {(a, b) for a in range(40) for b in range(a + 1, 40)}
+    got = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidates(docs, 8, 4, 3, block=8).collect()
+    }
+    assert got == want
+    # uncapped path produces the same set
+    unsplit = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidates(docs, 8, 4, 3, block=None).collect()
+    }
+    assert unsplit == want
+    # bounded task input: no group buffers the whole viral bucket
+    banded = _banded_rows(minhash_signature(docs, 8, 3), 8, 4)
+    sizes = (
+        _blocked_band_groups(banded, "doc_id", 8, with_is_new=False)
+        .agg(F.max(F.size("ms")).alias("mx"))
+        .collect()[0]["mx"]
+    )
+    assert sizes < 40 and sizes <= 3 * 8
+
+
+def test_mixed_band_pairs_block_split_equivalence(spark):
+    """The incremental probe's fan-out under a viral band key: capped
+    and uncapped paths must emit the same new-involving pair set, and
+    old-old pairs stay suppressed across blocks."""
+    from m3_spark.pipeline.dedup import (
+        _banded_rows,
+        _mixed_band_pairs,
+        minhash_signature,
+    )
+
+    docs = _viral_docs(spark, 30)
+    banded = _banded_rows(minhash_signature(docs, 8, 3), 8, 4)
+    members = banded.withColumn("is_new", F.col("doc_id") >= 20)
+    capped = {
+        (r.id_a, r.id_b)
+        for r in _mixed_band_pairs(members, "doc_id", block=8).collect()
+    }
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in _mixed_band_pairs(members, "doc_id", block=None).collect()
+    }
+    want = {
+        (a, b)
+        for a in range(30)
+        for b in range(a + 1, 30)
+        if a >= 20 or b >= 20
+    }
+    assert capped == uncapped == want
