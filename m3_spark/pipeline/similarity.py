@@ -1402,3 +1402,105 @@ def ingest_embedding_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def rebuild_embedding_table(
+    spark,
+    emb_path: str,
+    n_clusters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cents: DataFrame | None = None,
+) -> int:
+    """RE-QUANTIZE the embedding side table — the migration path the
+    seed/probe guards point at when a corpus outgrows its frozen
+    quantizer (more clusters for a bigger corpus, or a re-trained
+    ``ivf_train`` codebook): read every live row, re-assign under the
+    NEW centroids, rewrite the whole table as the new base partition,
+    and swap the manifest's quantizer extras in the same flip.  The
+    one-off full rewrite is the price of changing cluster geometry —
+    exactly like ``rebuild_span_table``'s modulus regrow — and batch
+    redelivery identities are consumed (every row folds into the
+    base), so run it at a QUIESCE point.  Version-fenced: a concurrent
+    arrival aborts the rebuild (returns 0).  Returns 1 on success.
+
+    ``cents`` defaults to the id < n_clusters draw over the CURRENT
+    table contents."""
+    import os
+    import shutil
+    import uuid
+
+    from ..sources import snapshots
+    from ..sources.namespace import _move_parquet_in, _reclaim_stale_scratch
+
+    root = snapshots.read_snapshot_meta(emb_path)
+    if root is None:
+        return 0
+    v0 = int(root.get("version", 0))
+    segs = snapshots.snapshot_segments(emb_path) or {}
+    old_files = sorted(
+        f for seg in segs
+        for f in snapshots.snapshot_segment_files(emb_path, seg)
+    )
+    e = _as_double(
+        snapshots.resolve_snapshot(spark, emb_path, manifest=root)
+        .select(id_col, vec_col)
+        .distinct(),
+        vec_col,
+    )
+    if cents is None:
+        cents = e.where(F.col(id_col) < n_clusters).select(
+            F.col(id_col).alias("list_id"), F.col(vec_col).alias("_cvec")
+        )
+    else:
+        cents = _as_double(
+            cents.withColumnRenamed(cents.columns[1], "_cvec"), "_cvec"
+        ).select("list_id", "_cvec")
+    cpdf = cents.toPandas().sort_values("list_id")
+    cent_list = [
+        [int(lid), [float(x) for x in vec]]
+        for lid, vec in zip(cpdf["list_id"], cpdf["_cvec"])
+    ]
+    rows = (
+        e.join(
+            ivf_assign_np(e, n_clusters, id_col, vec_col, cents=cents),
+            id_col,
+        )
+        .withColumn(EMB_BATCH_KEY, F.lit(int(EMB_BASE_BATCH)))
+        .repartition(F.col("list_id"))
+    )
+    _reclaim_stale_scratch(emb_path, ".requant_tmp_")
+    tmp = os.path.join(emb_path, f".requant_tmp_{uuid.uuid4().hex[:8]}")
+    rows.write.partitionBy("list_id", EMB_BATCH_KEY).mode(
+        "overwrite"
+    ).parquet(tmp)
+    try:
+        with snapshots.writer_lock(emb_path):
+            if snapshots.snapshot_version(emb_path) != v0:
+                return 0
+            new_files = []
+            for d in sorted(os.listdir(tmp)):
+                if not d.startswith("list_id="):
+                    continue
+                dest = os.path.join(
+                    emb_path, d, f"{EMB_BATCH_KEY}={EMB_BASE_BATCH}"
+                )
+                for f in _move_parquet_in(
+                    os.path.join(tmp, d, f"{EMB_BATCH_KEY}={EMB_BASE_BATCH}"),
+                    dest,
+                ):
+                    new_files.append(
+                        os.path.relpath(os.path.join(dest, f), emb_path)
+                    )
+            snapshots.commit_snapshot_delta(
+                emb_path, add=new_files, remove_files=old_files,
+                schema_json=rows.schema.json(),
+                extra={
+                    "sem_clusters": int(n_clusters),
+                    "sem_cents": cent_list,
+                },
+                expected_version=v0,
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return 1

@@ -851,11 +851,18 @@ def main() -> None:
         from m3_spark.pipeline.dedup import _write_keyed_batch
         from m3_spark.sources import snapshots
 
-        src = os.path.join(SCRATCH, f"statefold_{tag}")
+        root = os.path.join(SCRATCH, f"statefold_{tag}")
+        # per-rep batch counter: every call lands a FRESH 200-pair
+        # batch merging decades no earlier rep touched, into the SAME
+        # seeded table — the steady-state cadence tick (a copied-table
+        # variant would time the copy, not the fold; state grows 200
+        # pointer rows per rep, negligible)
+        step = (n_nodes // 250) // 10 * 10
+        rep = {"n": 0}
 
         def fn(_):
-            state_src = os.path.join(src, "_clusters")
-            if not snapshots.has_manifest(state_src):
+            state_path = os.path.join(root, "_clusters")
+            if not snapshots.has_manifest(state_path):
                 # components of 10 consecutive ids: node -> its
                 # decade's minimum (roots implicit via the seed's
                 # node != cluster filter)
@@ -863,20 +870,17 @@ def main() -> None:
                     F.col("id").alias("node"),
                     (F.col("id") - F.col("id") % 10).alias("cluster"),
                 )
-                seed_cluster_state(assignment, state_src, buckets=m)
-            # fresh copy per call: the fold tombstones its pair leaf
-            # and rewrites touched state buckets
-            dst = os.path.join(SCRATCH, f"statefold_tmp_{tag}")
-            shutil.rmtree(dst, ignore_errors=True)
-            shutil.copytree(src, dst)
+                seed_cluster_state(assignment, state_path, buckets=m)
+            r = rep["n"]
+            rep["n"] += 1
             pairs = spark.range(200).select(
-                (F.col("id") * 40).alias("id_a"),
-                (F.col("id") * 40 + 20).alias("id_b"),
+                (F.col("id") * step + r * 20).alias("id_a"),
+                (F.col("id") * step + r * 20 + 10).alias("id_b"),
             )
             _write_keyed_batch(
-                pairs, os.path.join(dst, "_pairs"), 0, "_pair_batch"
+                pairs, os.path.join(root, "_pairs"), r, "_pair_batch"
             )
-            n = compact_pair_log(spark, dst)
+            n = compact_pair_log(spark, root)
             return spark.range(n)
 
         return fn
@@ -891,19 +895,47 @@ def main() -> None:
     # <= 100 in both, so the pruned read + per-cluster matmul are
     # bounded by batch x const — flat across the pair.
 
-    def _synth_emb(n: int, start: int = 0):
-        dims = [
+    def _sign(seed_col, j):
+        # deterministic ±1 pattern — random sign vectors in 64 dims
+        # are near-orthogonal, so the K centroids are well separated
+        return (
+            F.pmod(
+                F.xxhash64(seed_col * F.lit(7919) + F.lit(j)), F.lit(2)
+            ).cast("double")
+            * 2.0
+            - 1.0
+        )
+
+    def _synth_emb(n: int, k: int, start: int = 0):
+        # CLUSTERABLE corpus: each row is a noisy copy of its true
+        # centroid (t = hash(id) % k) — a uniform-random fixture would
+        # land in the positive orthant where every cosine is ~0.75 and
+        # assignment collapses onto a few central clusters, defeating
+        # the hit-cluster pruning this row exists to measure
+        t = F.pmod(F.xxhash64(F.col("id")), F.lit(k))
+        noise = [
             (
                 F.pmod(
-                    F.xxhash64(F.col("id") * F.lit(j + 1)), F.lit(1000)
+                    F.xxhash64(F.col("id") * F.lit(j + 1) + F.lit(13)),
+                    F.lit(1000),
                 ).cast("double")
                 / 1000.0
+                - 0.5
             )
+            * 0.1
             for j in range(64)
         ]
-        return (
-            spark.range(start, start + n)
-            .select(F.col("id").alias("vec_id"), F.array(*dims).alias("embedding"))
+        dims = [_sign(t, j) + noise[j] for j in range(64)]
+        return spark.range(start, start + n).select(
+            F.col("id").alias("vec_id"), F.array(*dims).alias("embedding")
+        )
+
+    def _synth_cents(k: int):
+        return spark.range(k).select(
+            F.col("id").alias("list_id"),
+            F.array(*[_sign(F.col("id"), j) for j in range(64)]).alias(
+                "_cvec"
+            ),
         )
 
     def _semdedup_probe_row(tag: str, n: int, k: int):
@@ -917,8 +949,10 @@ def main() -> None:
 
         def fn(_):
             if not snapshots.has_manifest(emb_dir):
-                seed_embedding_table(_synth_emb(n), emb_dir, k)
-            batch = _synth_emb(100, start=n + 1000)
+                seed_embedding_table(
+                    _synth_emb(n, k), emb_dir, k, cents=_synth_cents(k)
+                )
+            batch = _synth_emb(100, k, start=n + 1000)
             # batch_id=None: read-only dry run — the table size stays
             # fixed across reps
             return semdedup_ingest_batch(batch, emb_dir, eps=0.9)

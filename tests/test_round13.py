@@ -619,3 +619,51 @@ def test_mixed_band_pairs_block_split_equivalence(spark):
         if a >= 20 or b >= 20
     }
     assert capped == uncapped == want
+
+
+def test_rebuild_embedding_table_requantize(spark, tmp_path):
+    """The re-quantize migration the seed/probe guards point at: after
+    a rebuild under NEW centroids, the frozen quantizer in the
+    manifest is swapped, batch identities are consumed into the base,
+    and probes behave as if the corpus had been seeded under the new
+    quantizer from the start."""
+    from m3_spark.pipeline.similarity import (
+        rebuild_embedding_table,
+        seed_embedding_table,
+        semdedup_ingest_batch,
+    )
+
+    path = str(tmp_path / "emb")
+    base = _emb_df(spark, _EMB_BASE)
+    old_cents = base.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("list_id"),
+        F.col("embedding").alias("_cvec"),
+    )
+    seed_embedding_table(base, path, 2, cents=old_cents)
+    semdedup_ingest_batch(
+        _emb_df(spark, _EMB_BATCH), path, eps=0.95, batch_id=0
+    )
+    # re-quantize to 3 clusters with a fresh axis for the z direction
+    new_cents = _emb_df(
+        spark,
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]),
+         (2, [0.0, 0.0, 1.0])],
+    ).select(
+        F.col("vec_id").alias("list_id"),
+        F.col("embedding").alias("_cvec"),
+    )
+    assert rebuild_embedding_table(spark, path, 3, cents=new_cents) == 1
+    meta = snapshots.read_snapshot_meta(path)
+    assert meta["sem_clusters"] == 3
+    # a fresh-table control seeded under the new quantizer must agree
+    control = str(tmp_path / "control")
+    seed_embedding_table(
+        _emb_df(spark, _EMB_BASE + _EMB_BATCH), control, 3,
+        cents=new_cents,
+    )
+    probe = _emb_df(spark, [(30, [0.62, 0.0, 0.79])])  # near 9's cluster
+    got = {r.vec_id for r in semdedup_ingest_batch(
+        probe, path, eps=0.95).select("vec_id").collect()}
+    want = {r.vec_id for r in semdedup_ingest_batch(
+        probe, control, eps=0.95).select("vec_id").collect()}
+    assert got == want
