@@ -330,7 +330,12 @@ def ivf_assign_np(
     the lowest list_id exactly like the fold's null ordering.  Scores
     differ from the fold in BLAS-summation ulp — pair it with a margin
     probe where assignment stability matters (the battery fixture's
-    top-2 centroid margins are pinned by test)."""
+    top-2 centroid margins are pinned by test).
+
+    ``cents`` may also be a PANDAS frame (list_id, _cvec) — the
+    arrival probe holds the quantizer driver-side (manifest extras)
+    and skips the per-probe createDataFrame→toPandas Spark roundtrip,
+    which is K-proportional fixed cost on every micro-batch."""
     import numpy as np
     import pandas as pd
 
@@ -340,9 +345,10 @@ def ivf_assign_np(
             F.col(id_col).alias("list_id"), F.col(vec_col).alias("_cvec")
         )
     cpdf = (
-        cents.select("list_id", "_cvec").toPandas()
-        .sort_values("list_id")
-    )
+        cents[["list_id", "_cvec"]]
+        if isinstance(cents, pd.DataFrame)
+        else cents.select("list_id", "_cvec").toPandas()
+    ).sort_values("list_id")
     if not len(cpdf):
         # no centroids (empty corpus / all ids >= n_lists): the fold
         # form yields an empty assignment; np.stack would crash
@@ -1079,6 +1085,20 @@ def _cents_df(spark, cents):
     )
 
 
+def _cents_pdf(cents):
+    """The frozen quantizer as a PANDAS frame — what the probe hands
+    :func:`ivf_assign_np` so each micro-batch skips a K-proportional
+    createDataFrame→toPandas Spark roundtrip."""
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "list_id": [lid for lid, _ in cents],
+            "_cvec": [list(vec) for _, vec in cents],
+        }
+    )
+
+
 def seed_embedding_table(
     embeddings: DataFrame,
     emb_path: str,
@@ -1321,7 +1341,9 @@ def semdedup_ingest_batch(
             "before batches arrive)"
         )
     n_clusters, cent_rows = q
-    cents = _cents_df(spark, cent_rows)
+    # pandas form: the quantizer is already driver-side (manifest
+    # extras) — no per-probe Spark roundtrip
+    cents = _cents_pdf(cent_rows)
     e = _as_double(new_embs, vec_col)
     # assign once, cut from lineage: feeds the hit-cluster collect,
     # the kernel and the append
