@@ -1386,6 +1386,63 @@ def semdedup_ingest_batch(
     return new_embs.join(dropped, id_col, "left_anti")
 
 
+def compact_embedding_table(
+    spark, emb_path: str, keep_last: int = 2
+) -> int:
+    """Embedding-table instance of
+    :func:`~m3_spark.pipeline.dedup.compact_keyed_table` — fold closed
+    ``_emb_batch`` leaves into the ``_emb_batch=-1`` base partition of
+    their ``list_id`` segments.  Without it every micro-batch of
+    :func:`semdedup_ingest_batch` leaves one file per HIT CLUSTER
+    forever, and the probe's per-cluster file count grows linearly in
+    stream length — the same failure the span/bands folds close for
+    the text-side tables.
+
+    The ``list_id`` segment IS the bucket here (the cluster is the
+    table's top-level partition), so the fold is bounded by the
+    TOUCHED clusters' data: base files of clusters the folded batches
+    never hit are untouched.  Folded rows lose their redelivery
+    exclusion exactly as spans do — ``keep_last`` protects the
+    in-flight tail (see ``compact_keyed_table``'s closedness
+    contract).  Probe-invisible by construction: the probe reads base
+    and batch leaves of its hit clusters alike, and the frozen
+    quantizer lives in the manifest ROOT extras, which every delta
+    flip carries forward."""
+    from .dedup import compact_keyed_table
+
+    return compact_keyed_table(
+        spark, emb_path, EMB_BATCH_KEY, EMB_BASE_BATCH,
+        bucket_col="list_id", keep_last=keep_last,
+    )
+
+
+def housekeep_embeddings(
+    spark, emb_path: str, *, keep_last: int = 2,
+    vacuum: bool = True, vacuum_grace_s: float | None = None,
+) -> dict:
+    """ONE idempotent housekeeping tick for the embedding side table —
+    the ``housekeep_corpus`` sibling for the semantic tier (the
+    embedding table lives at its own path, not under a corpus root,
+    so it gets its own tick): fold closed batch leaves into the
+    cluster bases, then (optionally) vacuum retired files.  Safe to
+    re-run; returns a per-step report."""
+    from ..sources import snapshots
+
+    if not snapshots.has_manifest(emb_path):
+        return {"emb_leaves_folded": 0}
+    report = {
+        "emb_leaves_folded": compact_embedding_table(
+            spark, emb_path, keep_last=keep_last
+        )
+    }
+    if vacuum:
+        kwargs = {} if vacuum_grace_s is None else {"grace_s": vacuum_grace_s}
+        report["files_removed"] = snapshots.vacuum_snapshot(
+            emb_path, **kwargs
+        )
+    return report
+
+
 def ingest_embedding_stream(
     embs_stream: DataFrame,
     emb_path: str,
@@ -1395,17 +1452,28 @@ def ingest_embedding_stream(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block: int = 8192,
+    compact_every: int | None = None,
+    vacuum_grace_s: float | None = None,
+    housekeep_keep_last: int = 2,
 ):
     """The embedding consume loop: a streaming frame of embedding rows
     drives :func:`semdedup_ingest_batch` per micro-batch under the
     same at-least-once contract as the document loop
     (``idempotent_foreach_batch`` marker = fast-path skip; the keyed
     sink is the correctness mechanism).  The table must be seeded
-    (quantizer frozen) before the stream starts.  Returns the started
-    StreamingQuery handle."""
+    (quantizer frozen) before the stream starts.
+
+    ``compact_every=N`` runs a :func:`housekeep_embeddings` tick
+    (closed-leaf fold + vacuum) after every Nth batch's marker,
+    failure-contained like the document loop's cadence —
+    ``housekeep_keep_last`` protects the redelivery tail; larger
+    deployments pass ``None`` and schedule the tick separately.
+    Returns the started StreamingQuery handle."""
     import os
 
     from ..sources.ingest import idempotent_foreach_batch
+
+    counter = {"n": 0}
 
     def _step(batch_df, batch_id):
         semdedup_ingest_batch(
@@ -1416,8 +1484,25 @@ def ingest_embedding_stream(
     inner = idempotent_foreach_batch(
         os.path.join(checkpoint_dir, "commits_embs"), _step
     )
+
+    def _step_then_housekeep(batch_df, batch_id):
+        inner(batch_df, batch_id)
+        counter["n"] += 1
+        if compact_every and counter["n"] % compact_every == 0:
+            try:
+                housekeep_embeddings(
+                    batch_df.sparkSession, emb_path,
+                    keep_last=housekeep_keep_last,
+                    vacuum_grace_s=vacuum_grace_s,
+                )
+            except Exception as exc:  # pragma: no cover - logged only
+                print(
+                    f"embedding housekeeping tick failed (contained): "
+                    f"{exc!r}"
+                )
+
     return (
-        embs_stream.writeStream.foreachBatch(inner)
+        embs_stream.writeStream.foreachBatch(_step_then_housekeep)
         .option(
             "checkpointLocation", os.path.join(checkpoint_dir, "embs")
         )

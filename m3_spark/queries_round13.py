@@ -16,6 +16,11 @@ be result-invisible.
   corpus-global ``semantic_dedup`` verdict restricted to batch rows
   (ORACLE_SEMDEDUP with that restriction) — the ``span_cut_batch``
   equivalence shape, for the semantic tier.
+* ``semdedup_compacted_probe`` — same verdict with a
+  ``compact_embedding_table`` fold between two arrivals: closed
+  ``_emb_batch`` leaves merge into the cluster bases and the probe
+  must not notice (the ``span_compacted_probe`` discipline — same
+  oracle as the uncompacted entry, layout is result-invisible).
 """
 
 from __future__ import annotations
@@ -81,6 +86,47 @@ def q_semdedup_incremental(spark, sf_dir):
     return kept.select("vec_id")
 
 
+def q_semdedup_compacted_probe(spark, sf_dir):
+    """Compaction is result-invisible to the semantic probe: land a
+    first batch, FOLD its leaf into the cluster bases
+    (``compact_embedding_table``, keep_last=0 closes everything), then
+    land a second batch — its kept set must still equal the
+    corpus-global verdict restricted to its rows (the
+    ``span_compacted_probe`` discipline: SAME oracle as the
+    uncompacted entry, because layout must never change answers)."""
+    import shutil
+
+    from .pipeline.similarity import (
+        compact_embedding_table,
+        seed_embedding_table,
+        semdedup_ingest_batch,
+    )
+    from .queries_round7 import _scratch
+    from .queries_round11 import SEM_EPS, SEM_K
+    from .sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    _t, path = _scratch("semdedup_fold", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    cents = emb.where(F.col("vec_id") < SEM_K).select(
+        F.col("vec_id").alias("list_id"),
+        F.col("embedding").alias("_cvec"),
+    )
+    seed_embedding_table(
+        emb.where(F.col("vec_id") % 5 > 1), path, SEM_K, cents=cents
+    )
+    semdedup_ingest_batch(
+        emb.where(F.col("vec_id") % 5 == 1), path, SEM_EPS, batch_id=5
+    )
+    folded = compact_embedding_table(spark, path, keep_last=0)
+    if folded != 1:  # a bare assert vanishes under python -O
+        raise RuntimeError(f"expected 1 emb leaf folded, got {folded}")
+    kept = semdedup_ingest_batch(
+        emb.where(F.col("vec_id") % 5 == 0), path, SEM_EPS, batch_id=6
+    )
+    return kept.select("vec_id")
+
+
 def _round13_queries():
     from .queries_pipeline import ORACLE_DEDUP_CLUSTERS
     from .queries_round11 import ORACLE_SEMDEDUP
@@ -95,6 +141,10 @@ def _round13_queries():
         ),
         "semdedup_incremental": (
             q_semdedup_incremental,
+            oracle_semdedup_batch,
+        ),
+        "semdedup_compacted_probe": (
+            q_semdedup_compacted_probe,
             oracle_semdedup_batch,
         ),
     }

@@ -667,3 +667,215 @@ def test_rebuild_embedding_table_requantize(spark, tmp_path):
     want = {r.vec_id for r in semdedup_ingest_batch(
         probe, control, eps=0.95).select("vec_id").collect()}
     assert got == want
+
+
+# -- embedding-table housekeeping (compaction + vacuum + cadence) -------------
+
+
+def _seeded_emb(spark, tmp_path, name="emb"):
+    from m3_spark.pipeline.similarity import seed_embedding_table
+
+    path = str(tmp_path / name)
+    cents = _emb_df(spark, _EMB_BASE).where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("list_id"),
+        F.col("embedding").alias("_cvec"),
+    )
+    seed_embedding_table(_emb_df(spark, _EMB_BASE), path, 2, cents=cents)
+    return path
+
+
+def _emb_leaf_ids(path):
+    segs = snapshots.snapshot_segments(path) or {}
+    ids = set()
+    for seg, meta in segs.items():
+        for part in (seg, *meta.get("leaves", ())):
+            if part.startswith("_emb_batch="):
+                ids.add(int(part.split("=", 1)[1]))
+    return ids
+
+
+def test_compact_embedding_table_folds_closed_leaves(spark, tmp_path):
+    """Three landed batches, keep_last=1: the two closed leaves fold
+    into the cluster bases, the newest keeps its redelivery identity,
+    and a later probe's verdict is unchanged (layout-invisible)."""
+    from m3_spark.pipeline.similarity import (
+        compact_embedding_table,
+        semdedup_ingest_batch,
+    )
+
+    path = _seeded_emb(spark, tmp_path)
+    waves = [
+        [(3, [0.98, 0.01, 0.01])],
+        [(5, [0.0, 0.99, 0.01])],
+        [(8, [0.0, -1.0, 0.2])],
+    ]
+    for b, rows in enumerate(waves):
+        semdedup_ingest_batch(_emb_df(spark, rows), path, 0.95, batch_id=b)
+    assert _emb_leaf_ids(path) == {-1, 0, 1, 2}
+    assert compact_embedding_table(spark, path, keep_last=1) == 2
+    assert _emb_leaf_ids(path) == {-1, 2}
+    # the folded rows are all still probe-visible: near-A and near-B
+    # probes are witnessed by folded batch rows 3 and 5
+    for probe, _witness in (
+        ([(30, [0.979, 0.012, 0.012])], 3),
+        ([(31, [0.0, 0.991, 0.011])], 5),
+    ):
+        kept = semdedup_ingest_batch(_emb_df(spark, probe), path, 0.95)
+        assert kept.count() == 0
+    # full contents preserved exactly
+    ids = {
+        r.vec_id
+        for r in snapshots.resolve_snapshot(spark, path)
+        .select("vec_id").collect()
+    }
+    assert ids == {i for i, _ in _EMB_BASE} | {3, 5, 8}
+
+
+def test_compact_embedding_preserves_quantizer(spark, tmp_path):
+    from m3_spark.pipeline.similarity import (
+        _sem_quantizer,
+        compact_embedding_table,
+        semdedup_ingest_batch,
+    )
+
+    path = _seeded_emb(spark, tmp_path)
+    before = _sem_quantizer(snapshots.read_snapshot_meta(path))
+    semdedup_ingest_batch(
+        _emb_df(spark, _EMB_BATCH), path, 0.95, batch_id=0
+    )
+    assert compact_embedding_table(spark, path, keep_last=0) == 1
+    assert _sem_quantizer(snapshots.read_snapshot_meta(path)) == before
+
+
+def test_compact_embedding_untouched_cluster_files_kept(spark, tmp_path):
+    """A fold is bounded by the TOUCHED clusters: a batch that only
+    hit cluster 0 folds without rewriting cluster 1's base files."""
+    from m3_spark.pipeline.similarity import (
+        compact_embedding_table,
+        semdedup_ingest_batch,
+    )
+
+    path = _seeded_emb(spark, tmp_path)
+
+    def _files(seg):
+        return sorted(snapshots.snapshot_segment_files(path, seg))
+
+    before = _files("list_id=1")
+    assert before
+    semdedup_ingest_batch(
+        _emb_df(spark, [(3, [0.98, 0.01, 0.01])]), path, 0.95, batch_id=0
+    )
+    assert compact_embedding_table(spark, path, keep_last=0) == 1
+    assert _files("list_id=1") == before
+    assert all("_emb_batch=-1" in f for f in _files("list_id=0"))
+
+
+def test_housekeep_embeddings_tick(spark, tmp_path):
+    """The cadence tick folds then vacuums: retired leaf files leave
+    the disk once the grace expires; re-running is a no-op."""
+    import os
+
+    from m3_spark.pipeline.similarity import (
+        housekeep_embeddings,
+        semdedup_ingest_batch,
+    )
+
+    path = _seeded_emb(spark, tmp_path)
+    semdedup_ingest_batch(
+        _emb_df(spark, _EMB_BATCH), path, 0.95, batch_id=0
+    )
+    report = housekeep_embeddings(
+        spark, path, keep_last=0, vacuum_grace_s=0.0
+    )
+    assert report["emb_leaves_folded"] == 1
+    assert report["files_removed"] > 0
+    leaf_dirs = [
+        d for d, _dirs, files in os.walk(path)
+        if "_emb_batch=0" in d and any(
+            f.endswith(".parquet") for f in files
+        )
+    ]
+    assert leaf_dirs == []
+    again = housekeep_embeddings(
+        spark, path, keep_last=0, vacuum_grace_s=0.0
+    )
+    assert again == {"emb_leaves_folded": 0, "files_removed": 0}
+    assert housekeep_embeddings(
+        spark, str(tmp_path / "missing")
+    ) == {"emb_leaves_folded": 0}
+
+
+def test_compact_embedding_aborts_on_concurrent_redelivery(spark, tmp_path):
+    """The unlocked-rewrite revalidation: a pinned leaf replaced
+    mid-fold (a redelivery outside the keep_last horizon) aborts the
+    fold — nothing moves, the table still answers correctly."""
+    from m3_spark.pipeline.similarity import (
+        compact_embedding_table,
+        semdedup_ingest_batch,
+    )
+
+    path = _seeded_emb(spark, tmp_path)
+    semdedup_ingest_batch(
+        _emb_df(spark, _EMB_BATCH), path, 0.95, batch_id=0
+    )
+    real_lock = snapshots.writer_lock
+    state = {"n": 0}
+
+    class _Hook:
+        def __init__(self, p):
+            self.p = p
+
+        def __enter__(self):
+            state["n"] += 1
+            if state["n"] == 2:  # the revalidation lock of the fold
+                semdedup_ingest_batch(
+                    _emb_df(spark, _EMB_BATCH), path, 0.95, batch_id=0
+                )
+            self._cm = real_lock(self.p)
+            return self._cm.__enter__()
+
+        def __exit__(self, *a):
+            return self._cm.__exit__(*a)
+
+    snapshots.writer_lock = _Hook
+    try:
+        assert compact_embedding_table(spark, path, keep_last=0) == 0
+    finally:
+        snapshots.writer_lock = real_lock
+    assert _emb_leaf_ids(path) == {-1, 0}
+    kept = semdedup_ingest_batch(
+        _emb_df(spark, [(30, [0.0, -0.99, 0.18])]), path, 0.95
+    )
+    assert kept.count() == 0  # witnessed by row 8, post-abort
+
+
+def test_ingest_embedding_stream_compaction_cadence(spark, tmp_path):
+    """compact_every=1 with keep_last=1: by end of a 3-batch stream
+    the older leaves have folded into the bases and the table still
+    holds every row."""
+    from m3_spark.pipeline.similarity import ingest_embedding_stream
+
+    path = _seeded_emb(spark, tmp_path)
+    src = str(tmp_path / "src")
+    for b, rows in enumerate(
+        ([(3, [0.98, 0.01, 0.01])], [(5, [0.0, 0.99, 0.01])],
+         [(8, [0.0, -1.0, 0.2])])
+    ):
+        _emb_df(spark, rows).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = ingest_embedding_stream(
+        stream, path, str(tmp_path / "ckpt"), eps=0.95,
+        compact_every=1, housekeep_keep_last=1, vacuum_grace_s=0.0,
+    )
+    q.awaitTermination(180)
+    assert len(_emb_leaf_ids(path)) <= 3  # base + at most the tail
+    ids = {
+        r.vec_id
+        for r in snapshots.resolve_snapshot(spark, path)
+        .select("vec_id").collect()
+    }
+    assert ids == {i for i, _ in _EMB_BASE} | {3, 5, 8}
