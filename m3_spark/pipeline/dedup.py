@@ -215,43 +215,58 @@ def _blocked_band_groups(
 
     SKEW GUARD (the ``semantic_dup_pairs_np`` block-split applied to
     the interpreted fan-out, VERDICT r12 watch item): a VIRAL band key
-    (boilerplate text signing to one band value corpus-wide) would
-    buffer the whole bucket in one ``collect_list`` task and fan out
-    |bucket|² pairs there.  A first keys-only aggregation (count with
-    map-side combine — the ids never shuffle twice) finds buckets
-    larger than ``block``; their rows are deterministically sub-split
-    into nb = ceil(n/block) blocks by id hash and replicated to the
-    nb block-PAIRS involving their block, so the bucket lands as
-    nb(nb+1)/2 tasks of ≤ ~2·block rows each.  Each unordered pair
-    lives in exactly ONE block pair (blocks are a function of the
-    ids).  The oversized-key set is broadcast — skew is rare by
-    construction, so it is tiny.  Normal buckets take nb = 1 and
-    group exactly as before.  ``block=None`` disables the guard (and
-    the extra aggregation pass)."""
+    (boilerplate text signing to one band value corpus-wide) would fan
+    out |bucket|² pair structs inside one task.  The guard is a
+    POST-AGGREGATION split — ``size(ms)`` is free once the plain
+    two-key aggregation has run, so there is no separate sizing pass:
+    groups at or under ``block`` pass through the plain plan
+    unchanged, and oversized groups (rare by construction) explode and
+    re-group into nb = ceil(n/block) id-hash blocks replicated to the
+    nb(nb+1)/2 block-PAIRS involving them, landing as tasks of
+    ≤ ~2·block rows each.  Each unordered pair lives in exactly ONE
+    block pair (blocks are a function of the ids), so the emitted pair
+    set is EXACTLY the unguarded one.  The union's two subtrees share
+    the aggregation's exchange (reused, one map stage) — the guard's
+    steady-state cost is the second reduce-side fold of that
+    aggregation, no extra shuffle, join, or action.
+
+    The first-stage ``collect_list`` still buffers an oversized bucket
+    once, transiently, in one task — O(bucket) memory, ~24 B/row.
+    That is the right trade: in the regime where O(bucket) buffering
+    could break an executor (≳10⁷ rows), the bucket's |bucket|²/2
+    pair fan-out (≳5·10¹³ structs) is not completable by ANY
+    splitting strategy — the pre-sizing design paid a full extra
+    shuffle pass on every call to protect only jobs that were already
+    impossible.  What the cap actually protects — and keeps — is the
+    fan-out and every downstream task in the completable regime.
+    ``block=None`` disables the split entirely."""
     fields = [F.col(id_col).alias("id")]
     if with_is_new:
         fields.append(F.col("is_new"))
+    out_cols = ["band_id", "band_key", "ms", "_lo", "_hi"]
+    g = members.groupBy("band_id", "band_key").agg(
+        F.array_sort(
+            F.collect_list(F.struct(*fields, F.lit(0).alias("blk")))
+        ).alias("ms")
+    ).withColumn("_lo", F.lit(0)).withColumn("_hi", F.lit(0))
     if not block:
-        return members.groupBy("band_id", "band_key").agg(
-            F.array_sort(
-                F.collect_list(F.struct(*fields, F.lit(0).alias("blk")))
-            ).alias("ms")
-        ).withColumn("_lo", F.lit(0)).withColumn("_hi", F.lit(0))
-    over = (
-        members.groupBy("band_id", "band_key")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .where(F.col("_n") > int(block))
+        return g
+    small = g.where(F.size("ms") <= int(block))
+    inner = [F.col("m.id").alias("id")]
+    if with_is_new:
+        inner.append(F.col("m.is_new").alias("is_new"))
+    rows = (
+        g.where(F.size("ms") > int(block))
         .select(
             "band_id", "band_key",
-            F.ceil(F.col("_n") / F.lit(int(block))).cast("int").alias("_nb"),
+            F.ceil(F.size("ms") / F.lit(int(block))).cast("int")
+            .alias("_nb"),
+            F.explode("ms").alias("m"),
         )
-    )
-    rows = (
-        members.join(F.broadcast(over), ["band_id", "band_key"], "left")
-        .withColumn("_nb", F.coalesce("_nb", F.lit(1)))
+        .select("band_id", "band_key", "_nb", *inner)
         .withColumn(
             "_blk",
-            F.pmod(F.xxhash64(F.col(id_col)), F.col("_nb")).cast("int"),
+            F.pmod(F.xxhash64(F.col("id")), F.col("_nb")).cast("int"),
         )
     )
     pk = F.explode(
@@ -264,10 +279,13 @@ def _blocked_band_groups(
         )
     )
     expl = rows.select(
-        "band_id", "band_key", *fields, F.col("_blk").alias("blk"),
+        "band_id", "band_key",
+        F.col("id"),
+        *([F.col("is_new")] if with_is_new else []),
+        F.col("_blk").alias("blk"),
         pk.alias("_pk"),
     )
-    return expl.groupBy(
+    blocked = expl.groupBy(
         "band_id", "band_key",
         F.col("_pk.lo").alias("_lo"), F.col("_pk.hi").alias("_hi"),
     ).agg(
@@ -281,6 +299,7 @@ def _blocked_band_groups(
             )
         ).alias("ms")
     )
+    return small.select(*out_cols).unionByName(blocked.select(*out_cols))
 
 
 def _band_group_pairs(buckets: DataFrame, mixed: bool) -> DataFrame:
@@ -337,9 +356,11 @@ def _mixed_band_pairs(
     redelivered wave's double-append) are dropped.  Returns distinct
     (id_a, id_b).
 
-    With the guard on, ``members`` feeds the sizing aggregate AND the
-    fan-out — lazily checkpointed so the corpus-hit scan executes
-    once (members is batch+collision-bounded on every caller, the
+    With the guard on, the grouped frame feeds the small AND the
+    oversized subtree of the post-aggregation split — their shared
+    exchange is reused, but ``members`` stays lazily checkpointed as
+    insurance against a reuse miss re-running the corpus-hit scan
+    (members is batch+collision-bounded on every caller, the
     incremental-probe contract; the full-corpus path goes through
     :func:`lsh_candidates`, which checkpoints the compact SIGNATURES
     instead)."""
@@ -366,19 +387,20 @@ def lsh_candidates(
     the high-entropy band key, with no self-join (a join would
     evaluate the signature fold once per side).  A hot bucket holds a
     real near-duplicate cluster, so its O(|bucket|²) pair COUNT is the
-    answer itself — but buffering the whole bucket in one task is not:
-    buckets larger than ``block`` are block-split
-    (:func:`_blocked_band_groups`), whose keys-only sizing pass is the
-    one extra aggregation the guard costs.  When the signatures are
-    computed inline, they are lazily checkpointed so that sizing pass
-    never re-folds the corpus text (on the 100 TB path signatures come
+    answer itself — but fanning the whole bucket's pairs out of one
+    task is not: groups larger than ``block`` are block-split AFTER
+    the aggregation (:func:`_blocked_band_groups` — ``size(ms)`` is
+    free post-agg, so the guard costs no extra shuffle or action).
+    When the signatures are computed inline, they are lazily
+    checkpointed so a reuse miss on the split's shared exchange can
+    never re-fold the corpus text (on the 100 TB path signatures come
     from the materialized table anyway — ``write_signature_table``).
     Returns distinct (id_a, id_b) with id_a < id_b.
 
     ``sigs``: precomputed signature table (e.g. from
     ``write_signature_table``) keyed (id_col, signature); pass it to
     skip the signature fold entirely.  ``block=None`` disables the
-    skew guard and its sizing pass.
+    skew guard.
     """
     if sigs is None:
         sigs = minhash_signature(docs, k, n, text_col, id_col)
