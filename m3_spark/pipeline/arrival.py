@@ -346,10 +346,10 @@ def rebuild_cluster_state(spark, corpus_root: str, buckets: int) -> int:
         return 0
     v0 = int(root.get("version", 0))
     m = int(buckets)
-    segs = snapshots.snapshot_segments(state_path) or {}
+    segs = snapshots.snapshot_segments(state_path, root=root) or {}
     old_files = sorted(
         f for seg in segs
-        for f in snapshots.snapshot_segment_files(state_path, seg)
+        for f in snapshots.snapshot_segment_files(state_path, seg, root=root)
     )
     rows = (
         snapshots.resolve_snapshot(spark, state_path, manifest=root)
@@ -553,9 +553,12 @@ def compact_pair_log(
         return 0
     # phase 1 (brief lock): pin the live batch leaves' file lists
     with snapshots.writer_lock(log_path):
-        segs = snapshots.snapshot_segments(log_path) or {}
+        log_root = snapshots.read_snapshot_meta(log_path)
+        segs = snapshots.snapshot_segments(log_path, root=log_root) or {}
         pinned = {
-            seg: snapshots.snapshot_segment_files(log_path, seg)
+            seg: snapshots.snapshot_segment_files(
+                log_path, seg, root=log_root
+            )
             for seg in segs
             if seg.startswith(f"{PAIR_BATCH_KEY}=")
         }
@@ -599,8 +602,12 @@ def compact_pair_log(
         updates = assignment.where(F.col("node") != F.col("cluster"))
         old_files = sorted(
             f
-            for seg in (snapshots.snapshot_segments(state_path) or {})
-            for f in snapshots.snapshot_segment_files(state_path, seg)
+            for seg in (
+                snapshots.snapshot_segments(state_path, root=root_doc) or {}
+            )
+            for f in snapshots.snapshot_segment_files(
+                state_path, seg, root=root_doc
+            )
         )
     else:
         ends = (
@@ -691,7 +698,9 @@ def compact_pair_log(
         old_files = sorted(
             f
             for seg in allowed
-            for f in snapshots.snapshot_segment_files(state_path, seg)
+            for f in snapshots.snapshot_segment_files(
+                state_path, seg, root=root_doc
+            )
         )
     else:
         rows = updates.select("node", "cluster")
@@ -734,13 +743,18 @@ def _tombstone_pair_leaves(log_path: str, pinned: dict) -> int:
 
     folded = []
     with snapshots.writer_lock(log_path):
+        cur_root = snapshots.read_snapshot_meta(log_path)
         for seg, fs in pinned.items():
-            if snapshots.snapshot_segment_files(log_path, seg) == fs:
+            if snapshots.snapshot_segment_files(
+                log_path, seg, root=cur_root
+            ) == fs:
                 folded.append(seg)
         if folded:
             snapshots.commit_snapshot_delta(
                 log_path, remove_leaves=folded,
-                expected_version=snapshots.snapshot_version(log_path),
+                expected_version=(
+                    int(cur_root.get("version", 0)) if cur_root else 0
+                ),
             )
     return len(folded)
 

@@ -1382,7 +1382,8 @@ def compact_keyed_table(
     # phase 1 (brief lock): leaf ids from ROOT metadata, then pin only
     # the touched segments' file lists
     with snapshots.writer_lock(path):
-        segs = snapshots.snapshot_segments(path) or {}
+        root = snapshots.read_snapshot_meta(path)
+        segs = snapshots.snapshot_segments(path, root=root) or {}
         all_ids = set()
         for seg, meta in segs.items():
             all_ids |= _seg_ids(seg, meta)
@@ -1403,7 +1404,7 @@ def compact_keyed_table(
         if base_leaf in segs and base_leaf not in touched:
             touched.append(base_leaf)
         pinned = {
-            seg: snapshots.snapshot_segment_files(path, seg)
+            seg: snapshots.snapshot_segment_files(path, seg, root=root)
             for seg in touched
         }
     affected_leaves = {f"{key}={i}" for i in fold_ids} | {base_leaf}
@@ -1445,9 +1446,12 @@ def compact_keyed_table(
         move_pairs = [(tmp, os.path.join(path, base_leaf))]
     try:
         with snapshots.writer_lock(path):
+            cur_root = snapshots.read_snapshot_meta(path)
             cur = [
                 f for seg in pinned
-                for f in snapshots.snapshot_segment_files(path, seg)
+                for f in snapshots.snapshot_segment_files(
+                    path, seg, root=cur_root
+                )
             ]
             if _aff(cur) != pin_aff:
                 # an affected leaf changed under the fold (redelivery
@@ -1492,10 +1496,11 @@ def _rebuild_bucketed_table(
     if not snapshots.has_manifest(path):
         return 0
     with snapshots.writer_lock(path):
-        segs = snapshots.snapshot_segments(path) or {}
+        root = snapshots.read_snapshot_meta(path)
+        segs = snapshots.snapshot_segments(path, root=root) or {}
         pinned = sorted(
             f for seg in segs
-            for f in snapshots.snapshot_segment_files(path, seg)
+            for f in snapshots.snapshot_segment_files(path, seg, root=root)
         )
     if not pinned:
         return 0
@@ -1520,10 +1525,13 @@ def _rebuild_bucketed_table(
     ).mode("overwrite").parquet(tmp)
     try:
         with snapshots.writer_lock(path):
-            segs2 = snapshots.snapshot_segments(path) or {}
+            root2 = snapshots.read_snapshot_meta(path)
+            segs2 = snapshots.snapshot_segments(path, root=root2) or {}
             cur = sorted(
                 f for seg in segs2
-                for f in snapshots.snapshot_segment_files(path, seg)
+                for f in snapshots.snapshot_segment_files(
+                    path, seg, root=root2
+                )
             )
             if cur != pinned:
                 return 0

@@ -1544,10 +1544,10 @@ def rebuild_embedding_table(
     if root is None:
         return 0
     v0 = int(root.get("version", 0))
-    segs = snapshots.snapshot_segments(emb_path) or {}
+    segs = snapshots.snapshot_segments(emb_path, root=root) or {}
     old_files = sorted(
         f for seg in segs
-        for f in snapshots.snapshot_segment_files(emb_path, seg)
+        for f in snapshots.snapshot_segment_files(emb_path, seg, root=root)
     )
     e = _as_double(
         snapshots.resolve_snapshot(spark, emb_path, manifest=root)

@@ -1306,6 +1306,9 @@ def prune_series_dict(
     # buckets are preserved, not clobbered
     try:
         with snapshots.writer_lock(dict_path):
+            # per-call root re-reads, deliberately: the affected set is
+            # small (expiry confines to few buckets) and the race tests
+            # pin a cross-host flip landing mid-loop being seen
             for k in affected:
                 if (
                     snapshots.snapshot_segment_files(

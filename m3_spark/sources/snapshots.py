@@ -212,14 +212,19 @@ def snapshot_version(path: str) -> int:
     return int(root.get("version", 0)) if root else 0
 
 
-def snapshot_segments(path: str) -> dict | None:
+def snapshot_segments(path: str, root: dict | None = None) -> dict | None:
     """Per-partition metadata from the root, without loading any file
     list: ``{seg_key: {"n": file_count, "leaves": [...]}}`` (leaves =
     second-level partition dirs, e.g. the ``_ingest_batch=K`` subdirs
     of a day).  O(partitions) — what housekeeping uses for day
     discovery.  Legacy monolithic manifests derive the same view from
-    their inline list.  None when no manifest exists."""
-    root = _read_root(path)
+    their inline list.  None when no manifest exists.
+
+    ``root``: a root document the caller already read
+    (:func:`read_snapshot_meta`) — skips the re-parse, which matters
+    when the root is large (thousands of segments)."""
+    if root is None:
+        root = _read_root(path)
     if root is None:
         return None
     if "segments" in root:
@@ -238,10 +243,18 @@ def snapshot_segments(path: str) -> dict | None:
     return out
 
 
-def snapshot_segment_files(path: str, seg: str) -> list[str]:
+def snapshot_segment_files(
+    path: str, seg: str, root: dict | None = None
+) -> list[str]:
     """ONE partition's current file list (O(that segment)) — e.g. the
-    day a compaction is about to rewrite."""
-    root = _read_root(path)
+    day a compaction is about to rewrite.
+
+    ``root``: a root document the caller already read — REQUIRED for
+    loops over many segments: each call otherwise re-parses the whole
+    root, turning an O(touched) pin into O(touched × root-size)
+    (measured 2.6 s for 99 segments of a 2,560-cluster table)."""
+    if root is None:
+        root = _read_root(path)
     if root is None:
         return []
     if "segments" in root:

@@ -962,6 +962,44 @@ def main() -> None:
     q_semdedup_probe_small = _semdedup_probe_row("200k_k256", 200_000, 256)
     q_semdedup_probe_large = _semdedup_probe_row("2m_k2560", 2_000_000, 2560)
 
+    # ---- round-13b: embedding-table housekeeping flat in corpus size -----
+    # the steady-state embedding consume-loop tick: land a fresh
+    # 100-vector batch, then fold its leaf into the cluster bases
+    # (compact_embedding_table, keep_last=0).  The fold rewrites only
+    # the TOUCHED clusters' base files (<= 100 clusters x ~781
+    # rows/cluster under the K ∝ corpus sizing), so the tick is
+    # bounded by batch x const — flat across the 10x pair.  Table
+    # grows 100 rows per rep, negligible; separate dirs from the
+    # probe rows (those stay read-only via batch_id=None).
+
+    def _emb_fold_row(tag: str, n: int, k: int):
+        from m3_spark.pipeline.similarity import (
+            compact_embedding_table,
+            seed_embedding_table,
+            semdedup_ingest_batch,
+        )
+        from m3_spark.sources import snapshots
+
+        emb_dir = os.path.join(SCRATCH, f"emb_fold_{tag}")
+        rep = {"n": 0}
+
+        def fn(_):
+            if not snapshots.has_manifest(emb_dir):
+                seed_embedding_table(
+                    _synth_emb(n, k), emb_dir, k, cents=_synth_cents(k)
+                )
+            r = rep["n"]
+            rep["n"] += 1
+            batch = _synth_emb(100, k, start=n + 1000 + r * 100)
+            semdedup_ingest_batch(batch, emb_dir, eps=0.9, batch_id=r)
+            folded = compact_embedding_table(spark, emb_dir, keep_last=0)
+            return spark.range(folded)
+
+        return fn
+
+    q_emb_fold_small = _emb_fold_row("200k_k256", 200_000, 256)
+    q_emb_fold_large = _emb_fold_row("2m_k2560", 2_000_000, 2560)
+
     import statistics
 
     timings, stats, counts = {}, {}, {}
@@ -1010,6 +1048,8 @@ def main() -> None:
         "state_fold_5m_m5120": q_state_fold_large,
         "semdedup_probe_200k_k256": q_semdedup_probe_small,
         "semdedup_probe_2m_k2560": q_semdedup_probe_large,
+        "emb_fold_200k_k256": q_emb_fold_small,
+        "emb_fold_2m_k2560": q_emb_fold_large,
     }
     if args.only:
         unknown = args.only - rows.keys()
