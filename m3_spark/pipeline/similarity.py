@@ -734,6 +734,7 @@ def ivfpq_residual_topk(
     k: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cut_round: int | None = None,
 ) -> DataFrame:
     """The FULL IVFADC of Jégou et al. 2011 §IV-A: vectors are
     PQ-encoded as RESIDUALS from their list centroid (tighter codebooks
@@ -746,7 +747,14 @@ def ivfpq_residual_topk(
     Exactness pin (tests): with k ≥ corpus size each vector is its own
     residual codeword, so the score collapses to ‖q − v‖² exactly,
     independent of the centroids.  All lookup structures stay
-    broadcast-sized (n_probe × m × k)."""
+    broadcast-sized (n_probe × m × k).
+
+    ``cut_round``: round the ADC distance to this many decimals BEFORE
+    the top-k cut (ties then break by id).  Quantized distances
+    legitimately TIE — many vectors share a code combination — and
+    without it the boundary is decided by floating-point SUM ORDER,
+    which varies across partitionings: a candidate stage must be
+    reproducible (what the re-rank wrapper passes)."""
     e = _as_double(embeddings, vec_col)
     cents = e.where(F.col(id_col) < n_lists).select(
         F.col(id_col).alias("list_id"), F.col(vec_col).alias("_cvec")
@@ -800,12 +808,65 @@ def ivfpq_residual_topk(
             ),
         ).alias("_d"),
     )
-    return (
+    agg = (
         codes.join(F.broadcast(lut), ["list_id", "sub", "code"])
         .groupBy(id_col)
         .agg(F.sum("_d").alias("approx_dist"))
-        .orderBy(F.col("approx_dist").asc(), F.col(id_col).asc())
-        .limit(topk)
+    )
+    cut = (
+        F.round(F.col("approx_dist"), int(cut_round))
+        if cut_round is not None
+        else F.col("approx_dist")
+    )
+    return agg.orderBy(cut.asc(), F.col(id_col).asc()).limit(topk)
+
+
+def ivfadc_rerank_topk(
+    embeddings: DataFrame,
+    query_vec,
+    topk: int = 5,
+    cand: int | None = None,
+    n_lists: int = 16,
+    n_probe: int = 2,
+    m: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC with EXACT re-ranking — the recall-restoring tail of the
+    billion-scale recipe (Jégou et al. 2011 §IV; the verification
+    stage every production ANN service runs): the ADC pass ranks the
+    probed lists' members by quantized distance, the top ``cand``
+    (default 4×topk) survivors are re-scored EXACTLY against their raw
+    vectors, and the final top-k order is true ‖q − v‖².
+
+    Plan shape at scale: the ADC stage reads codes only (PQ bytes, not
+    vectors); the re-rank joins the DRIVER-BOUNDED candidate id set
+    back to the vector table broadcast-side — the corpus is scanned
+    for exactly the candidates' rows, never re-ranked wholesale.  The
+    quantizer's job is recall; the re-rank's job is ordering — with
+    ``cand`` big enough the output equals exact search restricted to
+    the probed lists (pinned by test).  Returns (id, exact_dist)."""
+    cand = int(cand) if cand else 4 * int(topk)
+    adc = ivfpq_residual_topk(
+        embeddings, query_vec, topk=cand, n_lists=n_lists,
+        n_probe=n_probe, m=m, k=k, id_col=id_col, vec_col=vec_col,
+        cut_round=6,
+    )
+    e = _as_double(embeddings, vec_col)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        e.join(F.broadcast(adc.select(id_col)), id_col)
+        .select(
+            id_col,
+            F.aggregate(
+                F.zip_with(F.col(vec_col), q, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("exact_dist"),
+        )
+        .orderBy(F.col("exact_dist").asc(), F.col(id_col).asc())
+        .limit(int(topk))
     )
 
 

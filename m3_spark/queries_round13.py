@@ -127,6 +127,161 @@ def q_semdedup_compacted_probe(spark, sf_dir):
     return kept.select("vec_id")
 
 
+def q_ann_ivfadc_topk(spark, sf_dir):
+    """Full IVFADC (Jégou et al. 2011 §IV-A): vectors PQ-encoded as
+    RESIDUALS from their list centroid, per-probed-list query lookup
+    tables — the tighter-codebook variant of ``ann_ivfpq_topk``; the
+    whole pipeline (route, assign, residual encode, per-list LUT sum)
+    is pinned by the composed oracle."""
+    from .pipeline.similarity import ivfpq_residual_topk
+    from .queries_round6 import _N_LISTS, _PQ_K, _PQ_M, _PQ_QID, _PQ_TOP
+    from .sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == _PQ_QID).first()["embedding"]
+    out = ivfpq_residual_topk(
+        emb, q, topk=_PQ_TOP, n_lists=_N_LISTS, n_probe=2,
+        m=_PQ_M, k=_PQ_K, cut_round=6,
+    )
+    return out.select(
+        "vec_id", F.round("approx_dist", 6).alias("approx_dist")
+    )
+
+
+def q_ann_ivfadc_rerank(spark, sf_dir):
+    """IVFADC + EXACT re-rank (Jégou et al. §IV's verification tail):
+    the quantized pass nominates 4×topk candidates, the raw vectors of
+    exactly those ids re-score them, the output order is true
+    ‖q − v‖².  The oracle restates BOTH stages — the candidate
+    boundary comes from the quantized ranking, the final order from
+    the exact one."""
+    from .pipeline.similarity import ivfadc_rerank_topk
+    from .queries_round6 import _N_LISTS, _PQ_K, _PQ_M, _PQ_QID, _PQ_TOP
+    from .sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == _PQ_QID).first()["embedding"]
+    out = ivfadc_rerank_topk(
+        emb, q, topk=_PQ_TOP, cand=4 * _PQ_TOP, n_lists=_N_LISTS,
+        n_probe=2, m=_PQ_M, k=_PQ_K,
+    )
+    return out.select(
+        "vec_id", F.round("exact_dist", 6).alias("exact_dist")
+    )
+
+
+def _oracle_ivfadc_prefix():
+    from .queries_round6 import _N_LISTS, _PQ_K, _PQ_M, _PQ_QID
+
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM v WHERE vec_id = {_PQ_QID}),
+c0 AS (SELECT vec_id AS list_id, v AS cv FROM v WHERE vec_id < {_N_LISTS}),
+sims AS (
+  SELECT a.vec_id, c.list_id,
+         list_reduce(list_prepend(0.0, [a.v[i] * c.cv[i]
+             for i in generate_series(1, len(a.v))]), (x, y) -> x + y)
+         / (sqrt(list_reduce(list_prepend(0.0, [x * x for x in a.v]),
+                             (x, y) -> x + y))
+          * sqrt(list_reduce(list_prepend(0.0, [x * x for x in c.cv]),
+                             (x, y) -> x + y))) AS sim
+  FROM v a CROSS JOIN c0 c
+),
+asg AS (
+  SELECT vec_id, list_id FROM (
+    SELECT vec_id, list_id,
+           row_number() OVER (PARTITION BY vec_id
+             ORDER BY sim DESC, list_id) AS rk
+    FROM sims)
+  WHERE rk = 1
+),
+probes AS (
+  SELECT list_id FROM sims WHERE vec_id = {_PQ_QID}
+  ORDER BY sim DESC, list_id LIMIT 2
+),
+resid AS (
+  SELECT a.vec_id, g.list_id,
+         [a.v[i] - c.cv[i] for i in generate_series(1, len(a.v))] AS rv
+  FROM v a JOIN asg g USING (vec_id) JOIN c0 c ON c.list_id = g.list_id
+),
+dims AS (SELECT len(v) // {_PQ_M} AS L FROM v LIMIT 1),
+rsubs AS (
+  SELECT vec_id, list_id, s.sub,
+         list_slice(rv, s.sub * d.L + 1, (s.sub + 1) * d.L) AS sv
+  FROM resid, dims d, (SELECT unnest(range({_PQ_M})) AS sub) s
+),
+cb AS (SELECT sub, vec_id AS code, sv AS cv FROM rsubs WHERE vec_id < {_PQ_K}),
+enc AS (
+  SELECT vec_id, list_id, sub, code FROM (
+    SELECT rsubs.vec_id, rsubs.list_id, rsubs.sub, cb.code,
+           row_number() OVER (
+             PARTITION BY rsubs.vec_id, rsubs.sub
+             ORDER BY list_reduce(list_prepend(0.0,
+                 [ (rsubs.sv[i] - cb.cv[i]) * (rsubs.sv[i] - cb.cv[i])
+                   for i in generate_series(1, len(rsubs.sv)) ]),
+                 (x, y) -> x + y),
+               cb.code) AS rk
+    FROM rsubs JOIN cb USING (sub))
+  WHERE rk = 1
+),
+qr AS (
+  SELECT p.list_id,
+         [q.qv[i] - c.cv[i]
+          for i in generate_series(1, len(q.qv))] AS qr
+  FROM probes p JOIN c0 c ON c.list_id = p.list_id, q
+),
+lut AS (
+  SELECT r.list_id, cb.sub, cb.code,
+         list_reduce(list_prepend(0.0,
+           [ (cb.cv[i] - list_slice(r.qr, cb.sub * d.L + 1,
+                                    (cb.sub + 1) * d.L)[i])
+             * (cb.cv[i] - list_slice(r.qr, cb.sub * d.L + 1,
+                                      (cb.sub + 1) * d.L)[i])
+             for i in generate_series(1, len(cb.cv)) ]),
+           (x, y) -> x + y) AS d
+  FROM cb, qr r, dims d
+),
+adc AS (
+  SELECT e.vec_id, SUM(l.d) AS approx_dist
+  FROM enc e JOIN lut l
+    ON l.list_id = e.list_id AND l.sub = e.sub AND l.code = e.code
+  GROUP BY e.vec_id
+)"""
+
+
+def _oracle_ivfadc_topk():
+    from .queries_round6 import _PQ_TOP
+
+    return _oracle_ivfadc_prefix() + f"""
+SELECT vec_id, ROUND(approx_dist, 6) AS approx_dist FROM adc
+QUALIFY row_number() OVER (
+  ORDER BY ROUND(approx_dist, 6), vec_id) <= {_PQ_TOP}
+"""
+
+
+def _oracle_ivfadc_rerank():
+    from .queries_round6 import _PQ_QID, _PQ_TOP
+
+    return _oracle_ivfadc_prefix() + f""",
+cand AS (
+  SELECT vec_id FROM adc
+  QUALIFY row_number() OVER (
+    ORDER BY ROUND(approx_dist, 6), vec_id)
+    <= {4 * _PQ_TOP}
+),
+exact AS (
+  SELECT a.vec_id,
+         list_reduce(list_prepend(0.0,
+           [ (a.v[i] - q.qv[i]) * (a.v[i] - q.qv[i])
+             for i in generate_series(1, len(a.v)) ]),
+           (x, y) -> x + y) AS exact_dist
+  FROM v a JOIN cand USING (vec_id), q
+)
+SELECT vec_id, ROUND(exact_dist, 6) AS exact_dist FROM exact
+QUALIFY row_number() OVER (ORDER BY exact_dist, vec_id) <= {_PQ_TOP}
+"""
+
+
 def _round13_queries():
     from .queries_pipeline import ORACLE_DEDUP_CLUSTERS
     from .queries_round11 import ORACLE_SEMDEDUP
@@ -146,6 +301,11 @@ def _round13_queries():
         "semdedup_compacted_probe": (
             q_semdedup_compacted_probe,
             oracle_semdedup_batch,
+        ),
+        "ann_ivfadc_topk": (q_ann_ivfadc_topk, _oracle_ivfadc_topk()),
+        "ann_ivfadc_rerank": (
+            q_ann_ivfadc_rerank,
+            _oracle_ivfadc_rerank(),
         ),
     }
 

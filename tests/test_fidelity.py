@@ -349,3 +349,32 @@ def test_ivfpq_residual_full_codebook_is_exact(spark):
 
     want = [i for i, v in sorted(rows, key=lambda r: (d2(r[1]), r[0]))][:4]
     assert got == want and got[0] == 0
+
+
+def test_ivfadc_rerank_orders_by_exact_distance(spark):
+    """Re-rank pin: with the candidate set covering every probed
+    member (cand >= corpus) the output is EXACTLY brute-force L2 over
+    the probed lists, whatever the quantizer did — the ADC stage only
+    nominates, the raw vectors decide.  A coarse codebook (k=2) makes
+    the ADC order genuinely wrong first."""
+    import random
+
+    from m3_spark.pipeline.similarity import ivfadc_rerank_topk
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(24)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = rows[3][1]
+    out = ivfadc_rerank_topk(
+        emb, q, topk=5, cand=24, n_lists=4, n_probe=4, m=2, k=2
+    ).collect()
+    got = [(r["vec_id"], r["exact_dist"]) for r in out]
+
+    def d2(v):
+        return sum((a - b) ** 2 for a, b in zip(v, q))
+
+    want = sorted(((i, d2(v)) for i, v in rows), key=lambda t: (t[1], t[0]))[:5]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for (_, gd), (_, wd) in zip(got, want):
+        assert abs(gd - wd) < 1e-12
+    assert got[0][0] == 3  # the query itself, at distance 0
