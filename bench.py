@@ -253,6 +253,15 @@ def q_temperature_mix(spark):
     return q_sample_temperature(spark, SF_DIR)
 
 
+def q_ann_ivfadc_rerank(spark):
+    """IVFADC + exact re-rank over the embedding table — the
+    quantized-nominate / exact-verify two-stage every production ANN
+    service runs (new battery entry, round 13b)."""
+    from m3_spark.queries_round13 import q_ann_ivfadc_rerank as q
+
+    return q(spark, SF_DIR)
+
+
 def q_m3ql_pipeline_12h(spark):
     """M3QL text pipeline: fetch | sum event_type | >= 0 at 1m steps."""
     from m3_spark.plans.m3ql import evaluate
@@ -274,6 +283,7 @@ BENCH = {
     "dedup_lsh_5k_docs": q_dedup_lsh,
     "dedup_incremental_1k_new": q_dedup_incremental,
     "ann_matmul_topk": q_ann_matmul,
+    "ann_ivfadc_rerank": q_ann_ivfadc_rerank,
     "text_quality_5k": q_text_pipeline,
     "holt_forecast_7d": q_holt_forecast_7d,
     "m3ql_pipeline_12h": q_m3ql_pipeline_12h,
