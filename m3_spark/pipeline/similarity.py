@@ -303,13 +303,28 @@ def ivf_assign(
             ).alias("_sim"),
         )
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("_sim").desc(), F.col("list_id").asc()
-    )
+    return _argmax_list(scored, id_col)
+
+
+def _argmax_list(scored: DataFrame, id_col: str) -> DataFrame:
+    """Per-id argmax over a broadcast-expanded (id, list_id, _sim)
+    frame — ONE map-side-combinable aggregate (the ``pq_encode``
+    min-struct idiom) instead of a window rank: the ×K candidate
+    expansion collapses to one row per id BEFORE the shuffle, where a
+    WindowExec would shuffle and sort all K rows of every id.
+    Tie-break identical to the rank it replaces (sim DESC, list_id
+    ASC): max of (sim, −list_id) structs — a null sim (the zero-norm
+    cosine contract) orders below any value, two nulls fall through to
+    the id field, exactly the window's DESC-nulls-last (pinned by
+    test against the window form)."""
     return (
-        scored.withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") == 1)
-        .select(id_col, "list_id")
+        scored.groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(F.col("_sim"), (-F.col("list_id")).alias("_nl"))
+            ).alias("_m")
+        )
+        .select(id_col, (-F.col("_m._nl")).alias("list_id"))
     )
 
 
@@ -502,14 +517,7 @@ def ivf_train(
                 F.col("_qn"), F.col("_cn"),
             ).alias("_sim"),
         )
-        w = Window.partitionBy(id_col).orderBy(
-            F.col("_sim").desc(), F.col("list_id").asc()
-        )
-        assign = (
-            scored.withColumn("_rk", F.row_number().over(w))
-            .where(F.col("_rk") == 1)
-            .select(id_col, "list_id")
-        )
+        assign = _argmax_list(scored, id_col)
         dims = e.join(assign, id_col).select(
             "list_id", F.posexplode(vec_col).alias("pos", "x")
         )
@@ -689,14 +697,7 @@ def ivfpq_topk(
         F.col(id_col), "list_id",
         cosine_col(F.col(vec_col), F.col("_cvec")).alias("_sim"),
     )
-    wa = Window.partitionBy(id_col).orderBy(
-        F.col("_sim").desc(), F.col("list_id").asc()
-    )
-    assign = (
-        scored.withColumn("_rk", F.row_number().over(wa))
-        .where(F.col("_rk") == 1)
-        .select(id_col, "list_id")
-    )
+    assign = _argmax_list(scored, id_col)
     # the query's n_probe nearest lists
     probes = (
         cents.select("list_id", cosine_col(F.col("_cvec"), q).alias("_s"))
@@ -763,14 +764,7 @@ def ivfpq_residual_topk(
         F.col(id_col), "list_id",
         cosine_col(F.col(vec_col), F.col("_cvec")).alias("_sim"),
     )
-    wa = Window.partitionBy(id_col).orderBy(
-        F.col("_sim").desc(), F.col("list_id").asc()
-    )
-    assign = (
-        scored.withColumn("_rk", F.row_number().over(wa))
-        .where(F.col("_rk") == 1)
-        .select(id_col, "list_id")
-    )
+    assign = _argmax_list(scored, id_col)
     resid = (
         e.join(assign, id_col)
         .join(F.broadcast(cents), "list_id")

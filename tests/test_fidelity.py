@@ -378,3 +378,37 @@ def test_ivfadc_rerank_orders_by_exact_distance(spark):
     for (_, gd), (_, wd) in zip(got, want):
         assert abs(gd - wd) < 1e-12
     assert got[0][0] == 3  # the query itself, at distance 0
+
+
+def test_argmax_list_matches_window_rank(spark):
+    """The aggregate argmax (`_argmax_list`) must pick exactly what
+    the window rank it replaced picked — including null sims (zero
+    norm: below any value) and sim ties (smaller list_id wins)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from m3_spark.pipeline.similarity import _argmax_list
+
+    rows = []
+    import random
+
+    rng = random.Random(5)
+    for i in range(50):
+        for lid in range(8):
+            sim = None if (i % 7 == 0 or (i % 11 == 0 and lid < 4)) \
+                else round(rng.choice([0.1, 0.5, 0.9]), 3)
+            rows.append((i, lid, sim))
+    df = spark.createDataFrame(rows, "id long, list_id long, _sim double")
+    got = {
+        (r.id, r.list_id)
+        for r in _argmax_list(df, "id").collect()
+    }
+    w = Window.partitionBy("id").orderBy(
+        F.col("_sim").desc(), F.col("list_id").asc()
+    )
+    want = {
+        (r.id, r.list_id)
+        for r in df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1).select("id", "list_id").collect()
+    }
+    assert got == want
