@@ -1113,6 +1113,84 @@ def semantic_dedup(
     return embeddings.join(dropped, id_col, "left_anti")
 
 
+def semantic_dedup_keep_best(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    eps: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cents: DataFrame | None = None,
+    vectorized: bool = False,
+    block: int = 8192,
+) -> DataFrame:
+    """SemDeDup with the paper's ACTUAL keep rule (Abbas et al. 2023
+    §3.2): within every ε-connected duplicate group keep the member
+    with the LOWEST cosine similarity to its cluster centroid — the
+    farthest-out representative preserves the most diversity (ties →
+    smallest id); unclustered rows all survive.  ``semantic_dedup``'s
+    greedy-by-id is the streaming/arrival analog; this is the
+    curation-quality form — the ``dedup_survivors`` policy on the
+    semantic tier.
+
+    Plan shape: the ε-pair scan (cluster-keyed equi-join, Σ|c|²),
+    ``connected_components`` over the pairs (O(log n) bounded
+    shuffles), centroid sims re-derived against the broadcast
+    quantizer for exactly the CLUSTERED nodes (component-count-sized,
+    not corpus-sized), winners via ONE map-side-combinable min-struct
+    per component, and an id-keyed anti-join dropping the losers —
+    the corpus text is traversed once, by the pair scan."""
+    from .dedup import connected_components
+
+    e = _as_double(embeddings, vec_col)
+    if cents is None:
+        cents = e.where(F.col(id_col) < n_clusters).select(
+            F.col(id_col).alias("list_id"), F.col(vec_col).alias("_cvec")
+        )
+    else:
+        cents = _as_double(
+            cents.withColumnRenamed(cents.columns[1], "_cvec"), "_cvec"
+        ).select("list_id", "_cvec")
+    if vectorized:
+        pairs = semantic_dup_pairs_np(
+            e, n_clusters, eps, id_col, vec_col, cents=cents, block=block
+        )
+    else:
+        pairs = semantic_dup_pairs(
+            e, n_clusters, eps, id_col, vec_col, cents=cents
+        )
+    comps = connected_components(pairs.select("id_a", "id_b"))
+    clustered = e.join(
+        comps, F.col(id_col) == F.col("node")
+    ).select(id_col, vec_col, "cluster")
+    scored = clustered.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col), "cluster", "list_id",
+        cosine_col(F.col(vec_col), F.col("_cvec")).alias("_sim"),
+    )
+    assigned = _argmax_list(
+        scored.select(id_col, "list_id", "_sim"), id_col
+    )
+    sims = scored.join(assigned, [id_col, "list_id"]).select(
+        id_col, "cluster", "_sim"
+    )
+    # (sim ASC, id ASC) as a min-struct — farthest from the centroid
+    # wins, ties to the smaller id
+    winners = (
+        sims.groupBy("cluster")
+        .agg(
+            F.min(
+                F.struct(F.col("_sim"), F.col(id_col).alias("_id"))
+            ).alias("_m")
+        )
+        .select(F.col("_m._id").alias("keep_id"))
+    )
+    losers = (
+        comps.select(F.col("node").alias(id_col))
+        .join(winners, F.col(id_col) == F.col("keep_id"), "left_anti")
+        .select(id_col)
+    )
+    return embeddings.join(losers, id_col, "left_anti")
+
+
 # -- arrival-path SemDeDup (the incremental form) ------------------------------
 
 #: reserved ``_emb_batch`` value for a bulk-seeded base corpus

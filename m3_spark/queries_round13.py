@@ -127,6 +127,104 @@ def q_semdedup_compacted_probe(spark, sf_dir):
     return kept.select("vec_id")
 
 
+def q_semdedup_keep_best(spark, sf_dir):
+    """SemDeDup with the paper's keep rule (Abbas et al. §3.2):
+    survivor = the ε-component member FARTHEST from its cluster
+    centroid (lowest assigned-centroid cosine, ties to the smaller
+    id); unclustered rows survive.  The oracle restates the component
+    map as the recursive transitive-closure CTE over the ε-pair graph
+    and ranks members by the assign CTE's own sim — the
+    ``dedup_survivors`` oracle shape on the semantic tier."""
+    from .pipeline.similarity import semantic_dedup_keep_best
+    from .queries_round11 import SEM_EPS, SEM_K
+    from .sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_keep_best(emb, SEM_K, SEM_EPS).select("vec_id")
+
+
+def _oracle_semdedup_keep_best() -> str:
+    from .queries_round11 import _SEM_ASSIGN_CTE, SEM_EPS
+
+    return f"""WITH RECURSIVE {_SEM_ASSIGN_CTE},
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assign a JOIN assign b
+    ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+  JOIN v va ON va.vec_id = a.vec_id
+  JOIN v vb ON vb.vec_id = b.vec_id
+  WHERE list_reduce(list_prepend(0.0, [va.v[i] * vb.v[i] for i in generate_series(1, len(va.v))]), (x, y) -> x + y)
+        / NULLIF(sqrt(list_reduce(list_prepend(0.0, [x * x for x in va.v]), (x, y) -> x + y))
+         * sqrt(list_reduce(list_prepend(0.0, [x * x for x in vb.v]), (x, y) -> x + y)), 0) >= {SEM_EPS}
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.a, e.v FROM reach r JOIN edges e ON e.u = r.b
+),
+clu AS (SELECT a AS node, LEAST(a, MIN(b)) AS cluster
+        FROM reach GROUP BY a),
+asim AS (SELECT vec_id, sim FROM cranked WHERE rk = 1),
+ranked AS (
+  SELECT c.node AS vec_id, c.cluster,
+         row_number() OVER (
+           PARTITION BY c.cluster
+           ORDER BY s.sim ASC, c.node ASC
+         ) AS rk
+  FROM clu c JOIN asim s ON s.vec_id = c.node
+)
+SELECT vec_id FROM ranked WHERE rk = 1
+UNION ALL
+SELECT e.vec_id FROM embeddings e
+WHERE e.vec_id NOT IN (SELECT node FROM clu)
+"""
+
+
+def q_semdedup_rebuilt_probe(spark, sf_dir):
+    """A SAME-quantizer ``rebuild_embedding_table`` between two
+    arrivals is result-invisible (every leaf folds into fresh cluster
+    bases, batch identities consumed, extras re-recorded): the second
+    batch's kept set must still equal the corpus-global verdict
+    restricted to its rows — the ``semdedup_compacted_probe``
+    discipline for the REBUILD maintenance op (the quiesce-point
+    migration the seed/probe guards point at)."""
+    import shutil
+
+    from .pipeline.similarity import (
+        rebuild_embedding_table,
+        seed_embedding_table,
+        semdedup_ingest_batch,
+    )
+    from .queries_round7 import _scratch
+    from .queries_round11 import SEM_EPS, SEM_K
+    from .sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    _t, path = _scratch("semdedup_rebuild", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    cents = emb.where(F.col("vec_id") < SEM_K).select(
+        F.col("vec_id").alias("list_id"),
+        F.col("embedding").alias("_cvec"),
+    )
+    seed_embedding_table(
+        emb.where(F.col("vec_id") % 5 > 1), path, SEM_K, cents=cents
+    )
+    semdedup_ingest_batch(
+        emb.where(F.col("vec_id") % 5 == 1), path, SEM_EPS, batch_id=5
+    )
+    rebuilt = rebuild_embedding_table(spark, path, SEM_K, cents=cents)
+    if rebuilt != 1:  # a bare assert vanishes under python -O
+        raise RuntimeError(f"expected rebuild to commit, got {rebuilt}")
+    kept = semdedup_ingest_batch(
+        emb.where(F.col("vec_id") % 5 == 0), path, SEM_EPS, batch_id=6
+    )
+    return kept.select("vec_id")
+
+
 def q_ann_ivfadc_topk(spark, sf_dir):
     """Full IVFADC (Jégou et al. 2011 §IV-A): vectors PQ-encoded as
     RESIDUALS from their list centroid, per-probed-list query lookup
@@ -306,6 +404,14 @@ def _round13_queries():
         "ann_ivfadc_rerank": (
             q_ann_ivfadc_rerank,
             _oracle_ivfadc_rerank(),
+        ),
+        "semdedup_keep_best": (
+            q_semdedup_keep_best,
+            _oracle_semdedup_keep_best(),
+        ),
+        "semdedup_rebuilt_probe": (
+            q_semdedup_rebuilt_probe,
+            oracle_semdedup_batch,
         ),
     }
 

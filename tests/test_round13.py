@@ -879,3 +879,85 @@ def test_ingest_embedding_stream_compaction_cadence(spark, tmp_path):
         .select("vec_id").collect()
     }
     assert ids == {i for i, _ in _EMB_BASE} | {3, 5, 8}
+
+
+def test_semantic_dedup_keep_best_picks_farthest(spark):
+    """One survivor per ε-component — the member with the LOWEST
+    assigned-centroid cosine (ties to the smaller id) — unclustered
+    rows untouched; the vectorized kernel keeps the identical set."""
+    from m3_spark.pipeline.similarity import (
+        semantic_dedup,
+        semantic_dedup_keep_best,
+    )
+
+    rows = _EMB_BASE + _EMB_BATCH
+    emb = _emb_df(spark, rows)
+    cents = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("list_id"),
+        F.col("embedding").alias("_cvec"),
+    )
+    got = {
+        r.vec_id
+        for r in semantic_dedup_keep_best(
+            emb, 2, 0.95, cents=cents
+        ).select("vec_id").collect()
+    }
+    # expected, computed from the fixture by hand-rolled closure
+    import math
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(
+            sum(y * y for y in b)
+        )
+        return num / den
+
+    vecs = dict(rows)
+    assign = {
+        i: max((0, 1), key=lambda c: (cos(v, vecs[c]), -c))
+        for i, v in rows
+    }
+    # ε-pairs within clusters, transitive closure
+    import itertools
+
+    parent = {i: i for i, _ in rows}
+
+    def find(x):
+        while parent[x] != x:
+            x = parent[x]
+        return x
+
+    for a, b in itertools.combinations(sorted(vecs), 2):
+        if assign[a] == assign[b] and cos(vecs[a], vecs[b]) >= 0.95:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    comps = {}
+    for i in vecs:
+        r = find(i)
+        comps.setdefault(r, set()).add(i)
+    want = set()
+    for members in comps.values():
+        if len(members) == 1:
+            want |= members
+        else:
+            want.add(
+                min(members, key=lambda i: (cos(vecs[i], vecs[assign[i]]), i))
+            )
+    assert got == want
+    # greedy form drops at least as much as keep-best never more than…
+    # both keep exactly one member of each multi-member component
+    greedy = {
+        r.vec_id
+        for r in semantic_dedup(emb, 2, 0.95, cents=cents)
+        .select("vec_id").collect()
+    }
+    assert len(got) == len(greedy)
+    # vectorized kernel: identical kept set
+    got_np = {
+        r.vec_id
+        for r in semantic_dedup_keep_best(
+            emb, 2, 0.95, cents=cents, vectorized=True
+        ).select("vec_id").collect()
+    }
+    assert got_np == got
