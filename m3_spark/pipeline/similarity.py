@@ -764,7 +764,12 @@ def ivfpq_residual_topk(
         F.col(id_col), "list_id",
         cosine_col(F.col(vec_col), F.col("_cvec")).alias("_sim"),
     )
-    assign = _argmax_list(scored, id_col)
+    # the narrow (id, list_id) frame feeds THREE subtrees below
+    # (codebook training, encoding, and the codes join) and Spark does
+    # not CSE across them — cut it or the full-corpus assignment
+    # aggregate executes once per subtree (the semantic_dup_pairs_np
+    # idiom).  Lazy: materializes on first use.
+    assign = _argmax_list(scored, id_col).localCheckpoint(eager=False)
     resid = (
         e.join(assign, id_col)
         .join(F.broadcast(cents), "list_id")
