@@ -774,6 +774,7 @@ def housekeep_corpus(
     spark, corpus_root: str, *, keep_last: int = 2,
     vacuum_grace_s: float | None = None, vacuum: bool = True,
     sig_min_fold: int = SIG_FOLD_MIN_LEAVES,
+    emb_path: str | None = None,
 ) -> dict:
     """ONE idempotent housekeeping tick for the corpus side tables —
     the pipeline analog of ``housekeep_namespace`` (expiry/compaction/
@@ -791,6 +792,13 @@ def housekeep_corpus(
     exclusion (see ``compact_keyed_table``).  The SIGNATURE fold is
     gated on ``sig_min_fold`` waiting leaves — its base is unbucketed,
     so each fold is a whole-base rewrite that the gate amortizes.
+
+    ``emb_path``: a deployment that runs the embedding consume loop
+    alongside the document loop can hand its table here and this tick
+    owns the semantic tier too (``housekeep_embeddings`` — fold +
+    the emb table's own vacuum, since it lives outside
+    ``corpus_root``); the default leaves the embedding loop's own
+    ``compact_every`` cadence in charge.
     """
     from ..sources import snapshots
     from .dedup import (
@@ -813,6 +821,16 @@ def housekeep_corpus(
             if snapshots.has_manifest(path)
             else 0
         )
+    if emb_path is not None:
+        from .similarity import housekeep_embeddings
+
+        emb_report = housekeep_embeddings(
+            spark, emb_path, keep_last=keep_last,
+            vacuum=vacuum, vacuum_grace_s=vacuum_grace_s,
+        )
+        report["emb_leaves_folded"] = emb_report["emb_leaves_folded"]
+        if "files_removed" in emb_report:
+            report["emb_files_removed"] = emb_report["files_removed"]
     if vacuum:
         report["files_removed"] = vacuum_corpus(
             corpus_root, vacuum_grace_s

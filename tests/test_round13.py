@@ -961,3 +961,23 @@ def test_semantic_dedup_keep_best_picks_farthest(spark):
         ).select("vec_id").collect()
     }
     assert got_np == got
+
+
+def test_housekeep_corpus_owns_embedding_tick(spark, tmp_path):
+    """housekeep_corpus(emb_path=...) runs the semantic tier's fold +
+    vacuum in the same tick as the text-side tables, with the emb
+    counts kept distinct from the corpus vacuum's."""
+    from m3_spark.pipeline.arrival import housekeep_corpus
+    from m3_spark.pipeline.similarity import semdedup_ingest_batch
+
+    path = _seeded_emb(spark, tmp_path)
+    semdedup_ingest_batch(
+        _emb_df(spark, _EMB_BATCH), path, 0.95, batch_id=0
+    )
+    report = housekeep_corpus(
+        spark, str(tmp_path / "corpus"), keep_last=0,
+        vacuum_grace_s=0.0, emb_path=path,
+    )
+    assert report["emb_leaves_folded"] == 1
+    assert report["emb_files_removed"] > 0
+    assert _emb_leaf_ids(path) == {-1}
