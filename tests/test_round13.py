@@ -981,3 +981,47 @@ def test_housekeep_corpus_owns_embedding_tick(spark, tmp_path):
     assert report["emb_leaves_folded"] == 1
     assert report["emb_files_removed"] > 0
     assert _emb_leaf_ids(path) == {-1}
+
+
+@pytest.mark.parametrize("mixed", [False, True])
+def test_blocked_band_groups_equivalence_sweep(spark, mixed):
+    """Property sweep for the post-aggregation skew split: synthetic
+    band buckets of sizes straddling the block boundary (1, 2, block,
+    block+1, 3·block+1, with duplicate rows and mixed is_new) must
+    emit EXACTLY the unguarded pair set, with every fan-out group
+    bounded by ~2·block plus hash imbalance."""
+    from m3_spark.pipeline.dedup import (
+        _band_group_pairs,
+        _blocked_band_groups,
+    )
+
+    block = 8
+    rows, base = [], 0
+    for bkt, size in enumerate([1, 2, block, block + 1, 3 * block + 1]):
+        for i in range(size):
+            rid = base + i
+            rows.append((rid, 0, f"k{bkt}", rid % 3 == 0))
+        # a duplicate row (redelivered double-append shape)
+        rows.append((base, 0, f"k{bkt}", base % 3 == 0))
+        base += size
+    members = spark.createDataFrame(
+        rows, "doc_id long, band_id int, band_key string, is_new boolean"
+    )
+
+    def pairs(blk):
+        return {
+            (r.id_a, r.id_b)
+            for r in _band_group_pairs(
+                _blocked_band_groups(members, "doc_id", blk, mixed),
+                mixed=mixed,
+            ).collect()
+        }
+
+    assert pairs(block) == pairs(None)
+    sizes = [
+        len(r.ms)
+        for r in _blocked_band_groups(
+            members, "doc_id", block, mixed
+        ).collect()
+    ]
+    assert max(sizes) <= 4 * block
