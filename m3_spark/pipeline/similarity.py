@@ -1167,15 +1167,17 @@ def semantic_dedup_keep_best(
     clustered = e.join(
         comps, F.col(id_col) == F.col("node")
     ).select(id_col, vec_col, "cluster")
-    scored = clustered.crossJoin(F.broadcast(cents)).select(
-        F.col(id_col), "cluster", "list_id",
-        cosine_col(F.col(vec_col), F.col("_cvec")).alias("_sim"),
-    )
-    assigned = _argmax_list(
-        scored.select(id_col, "list_id", "_sim"), id_col
-    )
-    sims = scored.join(assigned, [id_col, "list_id"]).select(
-        id_col, "cluster", "_sim"
+    # the ASSIGNED centroid's sim is by definition the max over the
+    # broadcast candidates — one aggregate, no argmax + join-back
+    # (which would execute the clustered×K cosine fold twice)
+    sims = (
+        clustered.crossJoin(F.broadcast(cents))
+        .select(
+            F.col(id_col), "cluster",
+            cosine_col(F.col(vec_col), F.col("_cvec")).alias("_sim"),
+        )
+        .groupBy(id_col, "cluster")
+        .agg(F.max("_sim").alias("_sim"))
     )
     # (sim ASC, id ASC) as a min-struct — farthest from the centroid
     # wins, ties to the smaller id
