@@ -1163,15 +1163,22 @@ def seed_bands_table(
                 "never reads — rebuild_bands_table to re-bucket"
             )
     banded = _banded_rows(sigs, k, bands, id_col)
-    # on-disk (not manifest) listing of the base leaf, as in
-    # seed_span_table: a crashed earlier seed's appended-but-never-
-    # committed rows must survive this seed's leaf-replacing flip
+    # on-disk (not manifest) listing of the base leaf — but ONLY when
+    # the manifest already carries committed geometry: any debris
+    # written after that provably passed the same-geometry guard
+    # above, whereas debris under NO committed extras came from a seed
+    # whose (k, bands, m) never landed and its band keys cannot be
+    # revalidated (unioning them would mix geometries — the exact
+    # failure the guard exists to prevent, reachable through the
+    # crash window).  Unverifiable debris is simply retired by this
+    # seed's leaf-replacing flip; a crashed seed's caller re-runs
+    # with its full frame.
     base_files = (
         snapshots.list_parquet_files(
             bands_path,
             keep_dir=snapshots.leaf_scope(f"_band_batch={BAND_BASE_BATCH}"),
         )
-        if os.path.isdir(bands_path)
+        if existing_m is not None and os.path.isdir(bands_path)
         else []
     )
     if base_files:

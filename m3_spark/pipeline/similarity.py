@@ -1219,12 +1219,6 @@ def _sem_quantizer(root_doc: dict | None):
     return int(root_doc["sem_clusters"]), cents
 
 
-def _cents_df(spark, cents):
-    return spark.createDataFrame(
-        cents, "list_id long, _cvec array<double>"
-    )
-
-
 def _cents_pdf(cents):
     """The frozen quantizer as a PANDAS frame — what the probe hands
     :func:`ivf_assign_np` so each micro-batch skips a K-proportional
@@ -1312,13 +1306,23 @@ def seed_embedding_table(
                 "one would silently split epsilon-balls across "
                 "clusters — rebuild the table to re-quantize"
             )
+    # the quantizer is already collected (cent_list) — hand the pandas
+    # form to the assignment so the cents frame is not evaluated a
+    # second time (for the default draw that second evaluation was a
+    # full corpus scan)
     assign = ivf_assign_np(
-        e, n_clusters, id_col, vec_col, cents=cents
+        e, n_clusters, id_col, vec_col, cents=_cents_pdf(cent_list)
     )
     rows = e.select(id_col, vec_col).join(assign, id_col)
     # ADDITIVE over the base leaf (the keyed write's flip RETIRES the
     # leaf's prior files): union whatever the base partition already
-    # holds — a prior seed, a crashed earlier seed's appended rows
+    # holds — but ONLY when the manifest carries a COMMITTED quantizer
+    # (then any on-disk debris was written by a guard-passing,
+    # same-quantizer seed and its stored list_id is trustworthy).
+    # Debris under NO committed extras came from a seed whose
+    # quantizer never landed — its list_id values cannot be
+    # revalidated, so it is retired by this seed's flip instead of
+    # silently splitting ε-balls across clusters.
     base_files = (
         snapshots.list_parquet_files(
             emb_path,
@@ -1326,7 +1330,7 @@ def seed_embedding_table(
                 f"{EMB_BATCH_KEY}={EMB_BASE_BATCH}"
             ),
         )
-        if os.path.isdir(emb_path)
+        if existing is not None and os.path.isdir(emb_path)
         else []
     )
     if base_files:
@@ -1518,10 +1522,31 @@ def semdedup_ingest_batch(
     if batch_id is not None:
         from .dedup import _write_keyed_batch
 
+        def _prep(df):
+            # revalidate the quantizer UNDER the writer lock (the
+            # bucketed span/bands writers' prepare idiom): a
+            # rebuild_embedding_table that flipped between this
+            # probe's root read and the append would otherwise let
+            # rows assigned under the OLD quantizer land in the
+            # re-quantized table — future probes prune by new-
+            # quantizer clusters and silently lose these rows as
+            # ε-witnesses.  Raising aborts the batch; the consume
+            # loop's redelivery assigns under the new quantizer.
+            cur = _sem_quantizer(snapshots.read_snapshot_meta(emb_path))
+            if cur != q:
+                raise ValueError(
+                    f"embedding table at {emb_path} was re-quantized "
+                    "while this batch was being assigned — aborting "
+                    "the append; redeliver to assign under the new "
+                    "quantizer"
+                )
+            return df, "list_id", None
+
         _write_keyed_batch(
             batch.withColumnRenamed("cluster", "list_id")
             .repartition(F.col("list_id")),
-            emb_path, batch_id, EMB_BATCH_KEY, bucket_col="list_id",
+            emb_path, batch_id, EMB_BATCH_KEY,
+            prepare=_prep,
         )
     return new_embs.join(dropped, id_col, "left_anti")
 
@@ -1710,7 +1735,12 @@ def rebuild_embedding_table(
     ]
     rows = (
         e.join(
-            ivf_assign_np(e, n_clusters, id_col, vec_col, cents=cents),
+            # cent_list is already collected — pandas form, no second
+            # evaluation of the cents frame
+            ivf_assign_np(
+                e, n_clusters, id_col, vec_col,
+                cents=_cents_pdf(cent_list),
+            ),
             id_col,
         )
         .withColumn(EMB_BATCH_KEY, F.lit(int(EMB_BASE_BATCH)))

@@ -1025,3 +1025,97 @@ def test_blocked_band_groups_equivalence_sweep(spark, mixed):
         ).collect()
     ]
     assert max(sizes) <= 4 * block
+
+
+def test_seed_embedding_skips_unverifiable_crash_debris(spark, tmp_path):
+    """Base-leaf files with NO committed quantizer (a seed that
+    crashed before its manifest flip) carry unverifiable list_id
+    values: a later seed must retire them, not absorb them — absorbed
+    stale assignments would split ε-balls across clusters."""
+    from m3_spark.pipeline.similarity import seed_embedding_table
+
+    path = str(tmp_path / "emb")
+    # crash debris: rows under the base leaf, list_id assigned under
+    # some OTHER quantizer (here: everything to list 1), no manifest
+    debris = _emb_df(spark, [(50, [1.0, 0.0, 0.0])]).select(
+        "vec_id", "embedding", F.lit(1).cast("long").alias("list_id")
+    )
+    debris.write.parquet(
+        str(tmp_path / "emb" / "list_id=1" / "_emb_batch=-1")
+    )
+    cents = _emb_df(spark, _EMB_BASE).where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("list_id"),
+        F.col("embedding").alias("_cvec"),
+    )
+    seed_embedding_table(_emb_df(spark, _EMB_BASE), path, 2, cents=cents)
+    ids = {
+        r.vec_id
+        for r in snapshots.resolve_snapshot(spark, path)
+        .select("vec_id").collect()
+    }
+    assert 50 not in ids  # debris retired, not absorbed
+    assert ids == {i for i, _ in _EMB_BASE}
+
+
+def test_seed_bands_skips_unverifiable_crash_debris(spark, tmp_path):
+    """Same contract for the bands table: base-leaf debris with no
+    committed geometry must not survive into a table seeded under a
+    (possibly different) geometry."""
+    from m3_spark.pipeline.dedup import (
+        lsh_candidates_bucketed,
+        minhash_signature,
+        seed_bands_table,
+    )
+
+    path = str(tmp_path / "bands")
+    spark.createDataFrame(
+        [(99, 0, "stale-key-from-other-geometry")],
+        "doc_id long, band_id int, band_key string",
+    ).write.parquet(str(tmp_path / "bands" / "band_bucket=0" / "_band_batch=-1"))
+    docs = _viral_docs(spark, 6)
+    sigs = minhash_signature(docs, 12, 3)
+    seed_bands_table(sigs, path, 12, 4, buckets=8)
+    table = snapshots.resolve_snapshot(spark, path)
+    ids = {r.doc_id for r in table.select("doc_id").collect()}
+    assert 99 not in ids
+    assert ids == set(range(6))
+
+
+def test_semdedup_append_fences_against_rebuild(spark, tmp_path):
+    """A rebuild_embedding_table flipping between a probe's root read
+    and its append must abort the append (the prepare-hook fence):
+    rows assigned under the retired quantizer never land."""
+    from m3_spark.pipeline import similarity as sim
+    from m3_spark.pipeline.similarity import (
+        rebuild_embedding_table,
+        semdedup_ingest_batch,
+    )
+
+    path = _seeded_emb(spark, tmp_path)
+    stale = snapshots.read_snapshot_meta(path)
+    new_cents = _emb_df(
+        spark,
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]),
+         (2, [0.0, 0.0, 1.0])],
+    ).select(
+        F.col("vec_id").alias("list_id"),
+        F.col("embedding").alias("_cvec"),
+    )
+    assert rebuild_embedding_table(spark, path, 3, cents=new_cents) == 1
+    real_meta = snapshots.read_snapshot_meta
+    calls = {"n": 0}
+
+    def stale_first(p):
+        calls["n"] += 1
+        return stale if calls["n"] == 1 else real_meta(p)
+
+    snapshots.read_snapshot_meta = stale_first
+    try:
+        with pytest.raises(ValueError, match="re-quantized"):
+            semdedup_ingest_batch(
+                _emb_df(spark, [(40, [0.97, 0.02, 0.02])]), path,
+                0.95, batch_id=9,
+            )
+    finally:
+        snapshots.read_snapshot_meta = real_meta
+    assert 9 not in _emb_leaf_ids(path)
