@@ -432,7 +432,7 @@ def _resolve_state_roots(
         seg = (
             snapshots.resolve_snapshot(
                 spark, state_path,
-                seg_filter=allowed.__contains__, manifest=root_doc,
+                seg_keys=allowed, manifest=root_doc,
             )
             .select(F.col("node").alias("cur"), F.col("cluster").alias("_par"))
             .join(F.broadcast(keys), "cur", "leftsemi")
@@ -688,7 +688,7 @@ def compact_pair_log(
         old = (
             snapshots.resolve_snapshot(
                 spark, state_path,
-                seg_filter=allowed.__contains__, manifest=root_doc,
+                seg_keys=allowed, manifest=root_doc,
             )
             .select("node", "cluster")
         )

@@ -1309,7 +1309,7 @@ def lsh_candidates_bucketed(
     }
     allowed = {f"{BAND_BUCKET_COL}={b}" for b in hit}
     corpus = snapshots.resolve_snapshot(
-        spark, bands_path, seg_filter=allowed.__contains__, manifest=root
+        spark, bands_path, seg_keys=allowed, manifest=root
     )
     if batch_id is not None and "_band_batch" in corpus.columns:
         corpus = corpus.where(F.col("_band_batch") != int(batch_id))
@@ -1390,10 +1390,26 @@ def compact_keyed_table(
     # the touched segments' file lists
     with snapshots.writer_lock(path):
         root = snapshots.read_snapshot_meta(path)
-        segs = snapshots.snapshot_segments(path, root=root) or {}
-        all_ids = set()
-        for seg, meta in segs.items():
-            all_ids |= _seg_ids(seg, meta)
+        groups = snapshots.snapshot_groups(path, root=root)
+        if groups is not None:
+            # GROUPED root (a cluster-keyed table past GROUP_AT
+            # segments): batch ids come from the root-level group leaf
+            # unions — O(groups) — and segment entries load only for
+            # groups actually LISTING a folded id, so the tick stays
+            # O(hit), never O(K).  The base leaf is deliberately NOT
+            # matched against the unions: after the first fold every
+            # cluster's group lists it, and matching it would reload
+            # every group each tick.
+            all_ids = set()
+            for meta in groups.values():
+                for part in meta.get("leaves", ()):
+                    if part.startswith(f"{key}="):
+                        all_ids.add(int(part.split("=", 1)[1]))
+        else:
+            segs = snapshots.snapshot_segments(path, root=root) or {}
+            all_ids = set()
+            for seg, meta in segs.items():
+                all_ids |= _seg_ids(seg, meta)
         fold_ids = sorted(i for i in all_ids if i != base)
         if keep_last:
             fold_ids = (
@@ -1402,6 +1418,23 @@ def compact_keyed_table(
         if len(fold_ids) < max(int(min_fold), 1):
             return 0
         fold_set = set(fold_ids)
+        if groups is not None:
+            fold_leaves = {f"{key}={i}" for i in fold_set}
+            segs = {}
+            for gid, meta in groups.items():
+                if set(meta.get("leaves", ())) & fold_leaves:
+                    segs.update(
+                        snapshots.snapshot_group_segments(
+                            path, gid, root=root
+                        )
+                    )
+            # unbucketed layouts keep the base as its own top-level
+            # segment — its group joins the merge when present
+            gb = snapshots.snapshot_group_of(path, base_leaf, root=root)
+            if gb is not None and base_leaf not in segs:
+                segs.update(
+                    snapshots.snapshot_group_segments(path, gb, root=root)
+                )
         touched = [
             seg for seg, meta in segs.items()
             if _seg_ids(seg, meta) & fold_set
@@ -2135,7 +2168,7 @@ def _resolve_span_corpus(
         # flip the layout in between and the probe would prune NEW
         # files with OLD bucket ids (/code-review r12 TOCTOU)
         root = snapshots.read_snapshot_meta(span_path)
-        seg_filter = None
+        allowed = None
         m = (
             int(root["span_buckets"])
             if root and root.get("span_buckets")
@@ -2150,10 +2183,9 @@ def _resolve_span_corpus(
                 .collect()
             }
             allowed = {f"{SPAN_BUCKET_COL}={b}" for b in hit}
-            seg_filter = allowed.__contains__
         try:
             existing = snapshots.resolve_snapshot(
-                spark, span_path, seg_filter=seg_filter, manifest=root
+                spark, span_path, seg_keys=allowed, manifest=root
             )
         except ValueError:
             # a crash between a first delivery's manifest bootstrap

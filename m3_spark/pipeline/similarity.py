@@ -1505,7 +1505,7 @@ def semdedup_ingest_batch(
     }
     allowed = {f"list_id={c}" for c in hit}
     corpus = snapshots.resolve_snapshot(
-        spark, emb_path, seg_filter=allowed.__contains__, manifest=root_doc
+        spark, emb_path, seg_keys=allowed, manifest=root_doc
     )
     if batch_id is not None and EMB_BATCH_KEY in corpus.columns:
         corpus = corpus.where(F.col(EMB_BATCH_KEY) != int(batch_id))

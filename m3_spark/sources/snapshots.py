@@ -37,6 +37,27 @@ This module is that mechanism, minimally: a table directory carries a
   retire exactly like data files and vacuum reclaims them after the
   grace.  Monolithic manifests from earlier rounds are read
   transparently and converted on their first commit.
+* **The root itself is SHARDED once segments multiply** (round-14;
+  the second manifest level of Iceberg's manifest list): a table
+  whose top-level partition count reaches :data:`GROUP_AT` (the
+  embedding side table carries one ``list_id=<c>`` segment per
+  cluster, and K grows with the corpus) converts to the GROUPED
+  layout — root → segment-GROUP files → segment files.  The root
+  then holds one pointer per group (``crc32(seg) % n_groups``; ~64
+  segments per group), each immutable group file holds its members'
+  segment entries, and a flip rewrites the touched segments' files,
+  their groups' files and the O(groups) root — O(hit groups), never
+  O(K).  Without this the per-cluster root entries made every
+  micro-batch flip rewrite O(K) driver-side JSON (the r13 disclosed
+  crossover at K≈10⁵).  Group membership is stable under growth;
+  when the average group outgrows :data:`GROUP_MAX_AVG` the flip
+  re-groups (one O(K) rewrite, log-many times over a table's life —
+  the dict's re-bucket amortization argument).  Group-level entries
+  aggregate their members' second-level leaves (plus batch-keyed
+  ``_*=`` segment names), so redelivery retirement and compaction
+  leaf-discovery stay root-side and touch only listing groups.
+  Inline roots below the threshold are unchanged, and grouped roots
+  read transparently everywhere.
 * **Readers resolve once per query** (:func:`resolve_snapshot`): the
   manifest's file list becomes an explicit-file parquet read with
   ``basePath`` set, so partition columns still derive from the paths
@@ -109,12 +130,27 @@ SEG_DIR = "_manifest_segs"
 #: deletes them — must exceed the longest concurrent reader.
 DEFAULT_GRACE_S = 600.0
 
+#: a flip leaving the table with at least this many top-level
+#: segments converts the root to the GROUPED layout (root →
+#: segment-group files → segment files) — the threshold where the
+#: per-segment root entries themselves become the O(K) flip term
+GROUP_AT = 512
+#: average segments per group targeted at conversion / regroup
+GROUP_TARGET = 64
+#: regroup (one O(K) rewrite) when the average group exceeds this
+GROUP_MAX_AVG = 256
+
 #: root keys that are protocol state, not table metadata — everything
 #: else in a root document is a caller "extra" (e.g. bucket_count)
 #: and persists across flips unless overridden
 _CORE_KEYS = (
     "version", "files", "retired", "schema", "segments", "retired_segs",
-    "format",
+    "format", "groups", "n_groups", "_gcache",
+)
+
+#: protocol keys stripped from MATERIALIZED views returned to callers
+_VIEW_STRIP = (
+    "segments", "retired_segs", "format", "groups", "n_groups", "_gcache",
 )
 
 
@@ -157,6 +193,74 @@ def _seg_fname(seg: str, version: int) -> str:
     return f"{SEG_DIR}/{seg or '__root__'}.{version}.json"
 
 
+def _grp_fname(gid: str, version: int) -> str:
+    # no '=' in the name → can never collide with a segment file's
+    # partition-dir-derived name ('__root__' is the only other bare one)
+    return f"{SEG_DIR}/_grp_{gid}.{version}.json"
+
+
+def _group_of(seg: str, n_groups: int) -> str:
+    """Stable group id of a segment key — crc32, NOT Python's salted
+    ``hash``: membership must survive process restarts."""
+    import zlib
+
+    return str(zlib.crc32(seg.encode("utf-8")) % int(n_groups))
+
+
+def _choose_n_groups(n_segs: int) -> int:
+    """Power-of-two group count putting ~GROUP_TARGET segments in each
+    (power of two: regroups change every assignment anyway, but the
+    round number keeps the layout predictable across conversions)."""
+    import math
+
+    return max(
+        4, 1 << max(0, math.ceil(math.log2(max(1, n_segs) / GROUP_TARGET)))
+    )
+
+
+def _load_group(path: str, root: dict, gid: str) -> dict:
+    """One group file's member map ``{seg: entry}``, memoized on the
+    root document (``_gcache``) so loops over many segments of one
+    group parse the group JSON once.  The cache key never serializes:
+    ``_flip`` excludes it from root carry-forward (_CORE_KEYS) and
+    every ``_write_manifest`` doc is built fresh."""
+    cache = root.setdefault("_gcache", {})
+    if gid not in cache:
+        entry = root["groups"][gid]
+        with open(os.path.join(path, entry["p"])) as fh:
+            cache[gid] = json.load(fh)["segments"]
+    return cache[gid]
+
+
+def _group_meta(rel: str, members: dict) -> dict:
+    """Root-level entry for a group file: pointer, member count, and
+    the union of member leaves — INCLUDING batch-keyed (``_*=``)
+    segment NAMES, so an unbucketed batch-keyed table that somehow
+    grows past GROUP_AT still exposes its batch ids root-side (the
+    compaction fold's id discovery reads only the root)."""
+    leaves: set[str] = set()
+    for seg, e in members.items():
+        leaves.update(e.get("leaves", ()))
+        if seg.startswith("_"):
+            leaves.add(seg)
+    meta = {"p": rel, "segs": len(members)}
+    if leaves:
+        meta["leaves"] = sorted(leaves)
+    return meta
+
+
+def _all_segment_entries(path: str, root: dict) -> dict:
+    """Every segment's root/group entry, materialized ``{seg: entry}``
+    — O(groups) JSON parses on a grouped root, dict copy on an inline
+    one.  Callers on hot paths use the per-group accessors instead."""
+    if "groups" in root:
+        out: dict[str, dict] = {}
+        for gid in root["groups"]:
+            out.update(_load_group(path, root, gid))
+        return out
+    return dict(root.get("segments") or {})
+
+
 def _segmentize(files, retired) -> dict:
     """Group a flat file list + retired map by segment key."""
     segs: dict[str, dict] = {}
@@ -179,18 +283,15 @@ def read_manifest(path: str) -> dict | None:
     :func:`snapshot_version` / :func:`snapshot_segments` /
     :func:`commit_snapshot_delta` instead and never materialize."""
     root = _read_root(path)
-    if root is None or "segments" not in root:
+    if root is None or ("segments" not in root and "groups" not in root):
         return root
     files: list[str] = []
     retired: dict[str, float] = {}
-    for entry in root["segments"].values():
+    for entry in _all_segment_entries(path, root).values():
         doc = _load_seg(path, entry)
         files.extend(doc["files"])
         retired.update(doc["retired"])
-    out = {
-        k: v for k, v in root.items()
-        if k not in ("segments", "retired_segs", "format")
-    }
+    out = {k: v for k, v in root.items() if k not in _VIEW_STRIP}
     out["files"] = sorted(files)
     out["retired"] = retired
     return out
@@ -227,10 +328,10 @@ def snapshot_segments(path: str, root: dict | None = None) -> dict | None:
         root = _read_root(path)
     if root is None:
         return None
-    if "segments" in root:
+    if "segments" in root or "groups" in root:
         return {
             seg: {"n": e.get("n", 0), "leaves": e.get("leaves", [])}
-            for seg, e in root["segments"].items()
+            for seg, e in _all_segment_entries(path, root).items()
         }
     out: dict[str, dict] = {}
     for f in root.get("files", []):
@@ -241,6 +342,49 @@ def snapshot_segments(path: str, root: dict | None = None) -> dict | None:
             if p not in e["leaves"]:
                 e["leaves"].append(p)
     return out
+
+
+def snapshot_groups(path: str, root: dict | None = None) -> dict | None:
+    """Root-level view of a GROUPED manifest: ``{gid: {"segs",
+    "leaves"}}`` — O(groups), no group files loaded.  ``leaves`` is
+    the union of member-segment leaves (plus batch-keyed ``_*=``
+    segment names), what compaction scans for fold ids without
+    touching O(K) entries.  None when the root is inline, legacy or
+    absent (callers fall back to :func:`snapshot_segments`)."""
+    if root is None:
+        root = _read_root(path)
+    if root is None or "groups" not in root:
+        return None
+    return {
+        gid: {"segs": e.get("segs", 0), "leaves": e.get("leaves", [])}
+        for gid, e in root["groups"].items()
+    }
+
+
+def snapshot_group_of(path: str, seg: str, root: dict | None = None):
+    """The group id a segment key maps to under a GROUPED root (present
+    in the root or not), None for inline/legacy/absent roots."""
+    if root is None:
+        root = _read_root(path)
+    if root is None or "groups" not in root:
+        return None
+    return _group_of(seg, int(root["n_groups"]))
+
+
+def snapshot_group_segments(
+    path: str, gid: str, root: dict | None = None
+) -> dict:
+    """ONE group's member-segment metadata ``{seg: {"n", "leaves"}}``
+    (O(that group)); empty when the group has no members or the root
+    is not grouped."""
+    if root is None:
+        root = _read_root(path)
+    if root is None or "groups" not in root or gid not in root["groups"]:
+        return {}
+    return {
+        seg: {"n": e.get("n", 0), "leaves": e.get("leaves", [])}
+        for seg, e in _load_group(path, root, gid).items()
+    }
 
 
 def snapshot_segment_files(
@@ -257,6 +401,12 @@ def snapshot_segment_files(
         root = _read_root(path)
     if root is None:
         return []
+    if "groups" in root:
+        gid = _group_of(seg, int(root["n_groups"]))
+        if gid not in root["groups"]:
+            return []
+        entry = _load_group(path, root, gid).get(seg)
+        return sorted(_load_seg(path, entry)["files"]) if entry else []
     if "segments" in root:
         entry = root["segments"].get(seg)
         return sorted(_load_seg(path, entry)["files"]) if entry else []
@@ -366,28 +516,41 @@ def _flip(path: str, prev_root: dict, seg_updates: dict,
     are both empty is dropped).  Old segment files of updated segments
     move to the root's ``retired_segs`` map (vacuum's input) — a
     reader holding the previous root keeps loading them until the
-    grace expires.  Returns the new root."""
+    grace expires.  Returns the new root.
+
+    LAYOUT: an inline root carries the ``{seg: entry}`` map directly;
+    once a flip would leave :data:`GROUP_AT`+ segments the map shards
+    into immutable GROUP files (``crc32(seg) % n_groups``) and the
+    root keeps one pointer per group — a later flip then rewrites the
+    touched segments' files, their groups' files, and the O(groups)
+    root, never the O(K) segment map (the r13 disclosed crossover on
+    cluster-keyed tables).  A grouped table whose average group
+    outgrows :data:`GROUP_MAX_AVG` re-groups in one O(K) rewrite —
+    log-many times over a table's life (the dict re-bucket
+    amortization).  Old group files retire through ``retired_segs``
+    exactly like segment files."""
     now = time.time()
     version = int(prev_root.get("version", 0)) + 1
-    segments = dict(prev_root.get("segments") or {})
     retired_segs = dict(prev_root.get("retired_segs") or {})
-    for seg, doc in seg_updates.items():
-        old = segments.pop(seg, None)
-        if old is not None:
-            retired_segs[old["p"]] = now
-        if doc is None or (not doc["files"] and not doc["retired"]):
-            continue
-        rel = _seg_fname(seg, version)
-        os.makedirs(os.path.join(path, SEG_DIR), exist_ok=True)
+    seg_dir = os.path.join(path, SEG_DIR)
+
+    def _write_json(rel: str, doc: dict) -> None:
         # tmp+replace: a crash mid-write leaves only unreferenced
         # debris (the root flip below never happened), swept by vacuum
+        os.makedirs(seg_dir, exist_ok=True)
         tmp = os.path.join(path, rel) + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump(
-                {"files": sorted(doc["files"]), "retired": doc["retired"]},
-                fh,
-            )
+            json.dump(doc, fh)
         os.replace(tmp, os.path.join(path, rel))
+
+    def _entry_for(seg: str, doc) -> dict | None:
+        """Write the segment's new file list; None = segment dropped."""
+        if doc is None or (not doc["files"] and not doc["retired"]):
+            return None
+        rel = _seg_fname(seg, version)
+        _write_json(
+            rel, {"files": sorted(doc["files"]), "retired": doc["retired"]}
+        )
         entry: dict = {"p": rel, "n": len(doc["files"])}
         # second-level partition dirs (e.g. _ingest_batch=K under a
         # day) — what lets a redelivered batch find every segment
@@ -397,17 +560,94 @@ def _flip(path: str, prev_root: dict, seg_updates: dict,
         )
         if leaves:
             entry["leaves"] = leaves
-        segments[seg] = entry
+        return entry
+
+    groups: dict | None = None
+    n_groups = 0
+    segments: dict | None = None
+    if "groups" in prev_root:
+        n_groups = int(prev_root["n_groups"])
+        prev_groups = prev_root["groups"]
+        # load ONLY the groups this flip's segments land in
+        touched: dict[str, dict] = {}
+        for seg in seg_updates:
+            gid = _group_of(seg, n_groups)
+            if gid not in touched:
+                touched[gid] = dict(
+                    _load_group(path, prev_root, gid)
+                    if gid in prev_groups else {}
+                )
+        for seg, doc in seg_updates.items():
+            gid = _group_of(seg, n_groups)
+            old = touched[gid].pop(seg, None)
+            if old is not None:
+                retired_segs[old["p"]] = now
+            entry = _entry_for(seg, doc)
+            if entry is not None:
+                touched[gid][seg] = entry
+        n_segs = sum(
+            e.get("segs", 0)
+            for gid, e in prev_groups.items() if gid not in touched
+        ) + sum(len(m) for m in touched.values())
+        if (
+            n_segs > n_groups * GROUP_MAX_AVG
+            and _choose_n_groups(n_segs) > n_groups
+        ):
+            # regroup: materialize every entry, retire every old group
+            # file, and fall through to the full grouped rewrite
+            segments = {}
+            for gid in prev_groups:
+                if gid not in touched:
+                    segments.update(_load_group(path, prev_root, gid))
+            for members in touched.values():
+                segments.update(members)
+            for e in prev_groups.values():
+                retired_segs[e["p"]] = now
+        else:
+            groups = dict(prev_groups)
+            for gid, members in touched.items():
+                old = groups.pop(gid, None)
+                if old is not None:
+                    retired_segs[old["p"]] = now
+                if members:
+                    rel = _grp_fname(gid, version)
+                    _write_json(rel, {"segments": members})
+                    groups[gid] = _group_meta(rel, members)
+    else:
+        segments = dict(prev_root.get("segments") or {})
+        for seg, doc in seg_updates.items():
+            old = segments.pop(seg, None)
+            if old is not None:
+                retired_segs[old["p"]] = now
+            entry = _entry_for(seg, doc)
+            if entry is not None:
+                segments[seg] = entry
+    if groups is None and len(segments) >= GROUP_AT:
+        # inline → grouped conversion, or a regroup: existing SEGMENT
+        # files stay valid (group files only point at them) — only the
+        # group tier is (re)written, once per conversion
+        n_groups = _choose_n_groups(len(segments))
+        assign: dict[str, dict] = {}
+        for seg, e in segments.items():
+            assign.setdefault(_group_of(seg, n_groups), {})[seg] = e
+        groups = {}
+        for gid, members in assign.items():
+            rel = _grp_fname(gid, version)
+            _write_json(rel, {"segments": members})
+            groups[gid] = _group_meta(rel, members)
+        segments = None
     root = {k: v for k, v in prev_root.items() if k not in _CORE_KEYS}
     if extra:
         root.update(extra)
     root.update(
         version=version,
-        format=2,
         schema=schema_json or prev_root.get("schema"),
-        segments=segments,
         retired_segs=retired_segs,
     )
+    if groups is not None:
+        root.update(format=3, n_groups=n_groups, groups=groups)
+    else:
+        root.update(format=2, segments=segments)
     _write_manifest(path, root)
     return root
 
@@ -479,10 +719,10 @@ def commit_snapshot(
     (``files``/``retired``/``version``/extras)."""
     prev_root = _read_root(path) or {"version": 0}
     _fence(prev_root, expected_version, path)
-    if "segments" in prev_root:
+    if "segments" in prev_root or "groups" in prev_root:
         prev_segs = {
             seg: _load_seg(path, e)
-            for seg, e in prev_root["segments"].items()
+            for seg, e in _all_segment_entries(path, prev_root).items()
         }
         converting = False
     else:
@@ -513,10 +753,7 @@ def commit_snapshot(
         ):
             updates[seg] = doc
     root = _flip(path, prev_root, updates, schema_json, extra)
-    out = {
-        k: v for k, v in root.items()
-        if k not in ("segments", "retired_segs", "format")
-    }
+    out = {k: v for k, v in root.items() if k not in _VIEW_STRIP}
     out["files"] = sorted(new_set)
     out["retired"] = merged_retired
     return out
@@ -545,8 +782,13 @@ def commit_snapshot_delta(
     removed leaf, and segments whose root ``leaves`` metadata lists a
     removed leaf.  A micro-batch flip therefore costs O(touched days'
     files), never O(table files) — the property the monolithic layout
-    could not offer (VERDICT r10 item 1).  A legacy monolithic
-    manifest is converted through the full-commit path once.
+    could not offer (VERDICT r10 item 1).  On a GROUPED root (a
+    cluster-keyed table past :data:`GROUP_AT` segments) the same
+    discovery runs against the O(groups) root and loads only the
+    candidate GROUPS, so the flip is O(hit groups ×
+    segments-per-group), never O(K) — the r13 disclosed crossover.
+    A legacy monolithic manifest is converted through the full-commit
+    path once.
 
     Call under :func:`writer_lock`; ``expected_version`` as in
     :func:`commit_snapshot`.  Returns the new ROOT document (version +
@@ -557,8 +799,10 @@ def commit_snapshot_delta(
     add = list(add)
     rm = set(remove_leaves)
     rm_files = set(remove_files)
-    if "segments" not in prev_root and (
-        prev_root.get("files") or prev_root.get("retired")
+    if (
+        "segments" not in prev_root
+        and "groups" not in prev_root
+        and (prev_root.get("files") or prev_root.get("retired"))
     ):
         # legacy monolithic root: one-time conversion (full commit
         # rewrites every segment; subsequent deltas are bounded)
@@ -570,14 +814,39 @@ def commit_snapshot_delta(
             path, keep + add, schema_json, extra,
             expected_version=expected_version,
         )
-    segments = prev_root.get("segments") or {}
-    touched = {_seg_of(f) for f in add} | {_seg_of(f) for f in rm_files}
-    for leaf in rm:
-        if leaf in segments:
-            touched.add(leaf)
+    new_segs = {_seg_of(f) for f in add} | {_seg_of(f) for f in rm_files}
+    if "groups" in prev_root:
+        # GROUPED root: candidate groups = groups of the add/remove
+        # segments and of any removed leaf that IS a segment key, plus
+        # groups whose root-level leaf union lists a removed leaf —
+        # only those are loaded, so the delta stays O(hit groups)
+        n_groups = int(prev_root["n_groups"])
+        root_groups = prev_root["groups"]
+        cand = {
+            gid for gid in (
+                _group_of(s, n_groups) for s in new_segs | rm
+            ) if gid in root_groups
+        }
+        for leaf in rm:
+            for gid, e in root_groups.items():
+                if leaf in e.get("leaves", ()):
+                    cand.add(gid)
+        segments = {}
+        for gid in cand:
+            segments.update(_load_group(path, prev_root, gid))
+        touched = set(new_segs)
         for seg, e in segments.items():
-            if leaf in e.get("leaves", ()):
+            if seg in rm or set(e.get("leaves", ())) & rm:
                 touched.add(seg)
+    else:
+        segments = prev_root.get("segments") or {}
+        touched = set(new_segs)
+        for leaf in rm:
+            if leaf in segments:
+                touched.add(leaf)
+            for seg, e in segments.items():
+                if leaf in e.get("leaves", ()):
+                    touched.add(seg)
     now = time.time()
     updates: dict[str, dict] = {}
     for seg in touched:
@@ -598,7 +867,9 @@ def commit_snapshot_delta(
     return _flip(path, prev_root, updates, schema_json, extra)
 
 
-def resolve_snapshot(spark, path: str, seg_filter=None, manifest=None):
+def resolve_snapshot(
+    spark, path: str, seg_filter=None, manifest=None, seg_keys=None,
+):
     """Reader entry point: pin the CURRENT snapshot's file list into a
     DataFrame.  The returned frame keeps reading those exact files even
     if maintenance flips the manifest afterwards — old files survive
@@ -620,28 +891,61 @@ def resolve_snapshot(spark, path: str, seg_filter=None, manifest=None):
     (``read_namespace``), so pruned segments can never contain
     matching rows.
 
+    ``seg_keys``: the EXPLICIT form of pruning, for callers that hold
+    the exact hit-segment keys (the arrival probes' hit-cluster /
+    hit-bucket sets) rather than a predicate.  Equivalent to
+    ``seg_filter=keys.__contains__`` on an inline root — but on a
+    GROUPED root (cluster-keyed tables past :data:`GROUP_AT`
+    segments) only the hit keys' GROUPS are loaded, keeping the probe
+    O(hit × segments-per-group) where a predicate must enumerate all
+    O(K) entries to test them.  Root-level files of an unpartitioned
+    table always load.  Mutually exclusive with ``seg_filter``.
+
     ``manifest``: a caller that already MATERIALIZED the manifest
     (``read_manifest`` under its own writer lock, e.g. the dict GC's
     pin phase) passes it here so the segments aren't parsed a second
     time."""
+    if seg_filter is not None and seg_keys is not None:
+        raise ValueError("pass seg_filter or seg_keys, not both")
     root = manifest if manifest is not None else _read_root(path)
     if root is None:
         return spark.read.parquet(path)
-    if "segments" in root:
+    keys = None if seg_keys is None else set(seg_keys) | {""}
+    schema_json = root.get("schema")
+    if "groups" in root:
+        rel_files = []
+        n_groups = int(root["n_groups"])
+        if keys is not None:
+            for gid in sorted({_group_of(k, n_groups) for k in keys}):
+                if gid not in root["groups"]:
+                    continue
+                for seg, entry in _load_group(path, root, gid).items():
+                    if seg in keys:
+                        rel_files.extend(_load_seg(path, entry)["files"])
+        else:
+            for gid in root["groups"]:
+                for seg, entry in _load_group(path, root, gid).items():
+                    if seg_filter is not None and seg and not seg_filter(seg):
+                        continue
+                    rel_files.extend(_load_seg(path, entry)["files"])
+    elif "segments" in root:
         rel_files = []
         for seg, entry in root["segments"].items():
+            if keys is not None and seg not in keys:
+                continue
             if seg_filter is not None and seg and not seg_filter(seg):
                 continue
             rel_files.extend(_load_seg(path, entry)["files"])
-        schema_json = root.get("schema")
     else:
         rel_files = [
             f for f in root.get("files", [])
-            if seg_filter is None
-            or not _seg_of(f)
-            or seg_filter(_seg_of(f))
+            if (keys is None or _seg_of(f) in keys)
+            and (
+                seg_filter is None
+                or not _seg_of(f)
+                or seg_filter(_seg_of(f))
+            )
         ]
-        schema_json = root.get("schema")
     files = [os.path.join(path, f) for f in sorted(rel_files)]
     if not files:
         if schema_json:
@@ -653,10 +957,10 @@ def resolve_snapshot(spark, path: str, seg_filter=None, manifest=None):
         # pruned to empty on a manifest with no recorded schema (e.g.
         # bootstrapped by init_manifest): type the empty frame off any
         # file of the UNPRUNED snapshot instead of failing the query
-        if seg_filter is not None:
+        if seg_filter is not None or keys is not None:
             sample = None
-            if "segments" in root:
-                for entry in root["segments"].values():
+            if "segments" in root or "groups" in root:
+                for entry in _all_segment_entries(path, root).values():
                     seg_files = _load_seg(path, entry)["files"]
                     if seg_files:
                         sample = seg_files[0]
@@ -743,11 +1047,11 @@ def vacuum_snapshot(path: str, grace_s: float = DEFAULT_GRACE_S) -> int:
             with contextlib.suppress(FileNotFoundError):
                 os.remove(crc)
 
-        segmented = "segments" in root
+        segmented = "segments" in root or "groups" in root
         if segmented:
             segs = {
                 seg: _load_seg(path, e)
-                for seg, e in root["segments"].items()
+                for seg, e in _all_segment_entries(path, root).items()
             }
         else:
             segs = _segmentize(
@@ -786,9 +1090,16 @@ def vacuum_snapshot(path: str, grace_s: float = DEFAULT_GRACE_S) -> int:
                 seg_deleted.add(rel)
         seg_dir = os.path.join(path, SEG_DIR)
         if os.path.isdir(seg_dir):
+            # live segment files, live GROUP files (grouped roots),
+            # and everything still inside the retired grace
             referenced = {
-                e["p"] for e in (root.get("segments") or {}).values()
+                e["p"]
+                for e in _all_segment_entries(path, root).values()
             } | set(root.get("retired_segs") or {})
+            if "groups" in root:
+                referenced |= {
+                    e["p"] for e in root["groups"].values()
+                }
             for fn in os.listdir(seg_dir):
                 rel = f"{SEG_DIR}/{fn}"
                 if rel in referenced:
@@ -811,7 +1122,7 @@ def vacuum_snapshot(path: str, grace_s: float = DEFAULT_GRACE_S) -> int:
             # retired path is never reused by a newer snapshot.  The
             # version bump keeps every manifest write monotonic.
             cur = _read_root(path) or root
-            if "segments" in cur:
+            if "segments" in cur or "groups" in cur:
                 cur["retired_segs"] = {
                     k: v
                     for k, v in (cur.get("retired_segs") or {}).items()
@@ -821,7 +1132,7 @@ def vacuum_snapshot(path: str, grace_s: float = DEFAULT_GRACE_S) -> int:
                     root.get("version", 0)
                 )
                 updates: dict[str, dict] = {}
-                for seg, e in cur["segments"].items():
+                for seg, e in _all_segment_entries(path, cur).items():
                     # reuse the first pass's load unless a cross-host
                     # flip bumped the version mid-vacuum (we hold this
                     # host's lock, so same-version ⇒ same segments) —

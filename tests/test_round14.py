@@ -1,0 +1,463 @@
+"""Round-14 verdict item 1: the GROUPED manifest root (root →
+segment-group files → segment files).
+
+The embedding side table carries one ``list_id=<c>`` manifest segment
+per cluster, and K grows with the corpus — so the per-segment root
+entries were the last corpus-growing metadata term (r13 disclosed
+crossover: flips degrade past K≈10⁵).  ``sources/snapshots.py`` now
+shards the root once a table reaches ``GROUP_AT`` segments: the root
+keeps one pointer per GROUP (``crc32(seg) % n_groups``), immutable
+group files hold their members' segment entries, and a flip rewrites
+the touched segments' files, their groups' files and the O(groups)
+root — O(hit groups), never O(K).  This file pins:
+
+* conversion at the threshold, with the materialized view identical
+  before and after;
+* delta flips touching ONLY hit groups (untouched group pointers are
+  byte-stable across a flip);
+* batch-leaf retirement (redelivery) discovered via the root-level
+  group leaf unions, across groups;
+* re-grouping when the average group outgrows ``GROUP_MAX_AVG``, with
+  old group files retired and vacuumed;
+* version fencing, legacy-monolithic upgrade, vacuum of retired and
+  crash-debris group files;
+* hard pruning proof for ``resolve_snapshot(seg_keys=...)``: corrupt
+  every un-hit GROUP file — a keyed read never parses them;
+* the embedding pipeline end-to-end over a grouped root: ingest
+  equivalence to the corpus-global verdict, redelivery idempotence,
+  compaction (O(hit) grouped discovery) and housekeeping.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from m3_spark.sources import snapshots
+
+
+@pytest.fixture
+def small_groups(monkeypatch):
+    """Shrink the grouping thresholds so a handful of segments
+    exercises the grouped layout."""
+    monkeypatch.setattr(snapshots, "GROUP_AT", 6)
+    monkeypatch.setattr(snapshots, "GROUP_TARGET", 4)
+    monkeypatch.setattr(snapshots, "GROUP_MAX_AVG", 8)
+
+
+def _root(path):
+    with open(os.path.join(path, "_MANIFEST.json")) as fh:
+        return json.load(fh)
+
+
+def _seed_grouped(path, n=12):
+    """A grouped manifest over n fake cluster segments (manifest logic
+    never opens data files — paths are just strings)."""
+    files = [f"list_id={c}/part-{c:05d}.parquet" for c in range(n)]
+    with snapshots.writer_lock(path):
+        snapshots.commit_snapshot(path, files, expected_version=0)
+    return files
+
+
+# -- layout & flip cost ------------------------------------------------------
+
+
+def test_grouped_conversion_materializes_identically(
+    tmp_path, small_groups
+):
+    path = str(tmp_path / "t")
+    files = _seed_grouped(path)
+    root = _root(path)
+    assert root.get("format") == 3 and "groups" in root
+    assert "segments" not in root
+    assert len(root["groups"]) <= int(root["n_groups"])
+    # group member counts add up, and the materialized view is exact
+    assert sum(e["segs"] for e in root["groups"].values()) == 12
+    man = snapshots.read_manifest(path)
+    assert man["files"] == sorted(files)
+    segs = snapshots.snapshot_segments(path)
+    assert set(segs) == {f"list_id={c}" for c in range(12)}
+    assert all(m["n"] == 1 for m in segs.values())
+    # per-segment file lists resolve through the group tier
+    assert snapshots.snapshot_segment_files(path, "list_id=3") == [
+        "list_id=3/part-00003.parquet"
+    ]
+
+
+def test_inline_stays_inline_below_threshold(tmp_path, small_groups):
+    path = str(tmp_path / "t")
+    with snapshots.writer_lock(path):
+        snapshots.commit_snapshot(
+            path,
+            [f"list_id={c}/p.parquet" for c in range(5)],
+            expected_version=0,
+        )
+    root = _root(path)
+    assert "segments" in root and "groups" not in root
+
+
+def test_grouped_delta_touches_only_hit_groups(tmp_path, small_groups):
+    path = str(tmp_path / "t")
+    _seed_grouped(path)
+    before = {g: e["p"] for g, e in _root(path)["groups"].items()}
+    hit_gid = snapshots.snapshot_group_of(path, "list_id=3")
+    with snapshots.writer_lock(path):
+        snapshots.commit_snapshot_delta(
+            path,
+            add=["list_id=3/_emb_batch=1/p.parquet"],
+            expected_version=snapshots.snapshot_version(path),
+        )
+    after = {g: e["p"] for g, e in _root(path)["groups"].items()}
+    assert after[hit_gid] != before[hit_gid]
+    for gid, p in before.items():
+        if gid != hit_gid:
+            assert after[gid] == p  # untouched pointer is byte-stable
+    # the hit group's leaf union now lists the batch leaf root-side
+    assert "_emb_batch=1" in _root(path)["groups"][hit_gid]["leaves"]
+
+
+def test_grouped_redelivery_retires_leaf_across_groups(
+    tmp_path, small_groups
+):
+    path = str(tmp_path / "t")
+    _seed_grouped(path)
+    first = [
+        "list_id=1/_emb_batch=7/a.parquet",
+        "list_id=5/_emb_batch=7/b.parquet",
+    ]
+    with snapshots.writer_lock(path):
+        snapshots.commit_snapshot_delta(
+            path, add=first,
+            expected_version=snapshots.snapshot_version(path),
+        )
+    redelivered = [
+        "list_id=1/_emb_batch=7/a2.parquet",
+        "list_id=2/_emb_batch=7/c.parquet",
+    ]
+    with snapshots.writer_lock(path):
+        snapshots.commit_snapshot_delta(
+            path, add=redelivered, remove_leaves=["_emb_batch=7"],
+            expected_version=snapshots.snapshot_version(path),
+        )
+    man = snapshots.read_manifest(path)
+    assert set(first) <= set(man["retired"])
+    assert set(redelivered) <= set(man["files"])
+    assert not set(first) & set(man["files"])
+
+
+def test_grouped_fencing_raises_on_stale_version(tmp_path, small_groups):
+    path = str(tmp_path / "t")
+    _seed_grouped(path)
+    v = snapshots.snapshot_version(path)
+    with snapshots.writer_lock(path):
+        snapshots.commit_snapshot_delta(
+            path, add=["list_id=0/_emb_batch=9/x.parquet"],
+            expected_version=v,
+        )
+    with pytest.raises(snapshots.SnapshotConflictError):
+        with snapshots.writer_lock(path):
+            snapshots.commit_snapshot_delta(
+                path, add=["list_id=0/_emb_batch=10/y.parquet"],
+                expected_version=v,
+            )
+
+
+def test_regroup_on_growth_preserves_contents(
+    tmp_path, small_groups, monkeypatch
+):
+    monkeypatch.setattr(snapshots, "GROUP_MAX_AVG", 2)
+    path = str(tmp_path / "t")
+    files = _seed_grouped(path)  # 12 segs, G=8, avg 1.5
+    g0 = int(_root(path)["n_groups"])
+    # push past 8 * 2 = 16 segments → the flip must regroup
+    extra = [f"list_id={c}/part-{c:05d}.parquet" for c in range(12, 24)]
+    with snapshots.writer_lock(path):
+        snapshots.commit_snapshot_delta(
+            path, add=extra,
+            expected_version=snapshots.snapshot_version(path),
+        )
+    root = _root(path)
+    assert int(root["n_groups"]) > g0
+    assert sum(e["segs"] for e in root["groups"].values()) == 24
+    assert snapshots.read_manifest(path)["files"] == sorted(files + extra)
+    # every pre-regroup group file is retired, then vacuumable
+    retired = set(root["retired_segs"])
+    assert sum(p.split("/")[-1].startswith("_grp_") for p in retired) >= g0
+    snapshots.vacuum_snapshot(path, grace_s=0.0)
+    assert not _root(path)["retired_segs"]
+    live = {e["p"] for e in _root(path)["groups"].values()}
+    on_disk = {
+        f"{snapshots.SEG_DIR}/{f}"
+        for f in os.listdir(os.path.join(path, snapshots.SEG_DIR))
+        if f.startswith("_grp_")
+    }
+    assert on_disk == live
+
+
+def test_legacy_monolithic_upgrades_to_grouped(tmp_path, small_groups):
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    files = [f"list_id={c}/p.parquet" for c in range(10)]
+    with open(os.path.join(path, "_MANIFEST.json"), "w") as fh:
+        json.dump({"version": 3, "files": files, "retired": {}}, fh)
+    with snapshots.writer_lock(path):
+        snapshots.commit_snapshot_delta(
+            path, add=["list_id=3/_emb_batch=0/n.parquet"],
+            expected_version=3,
+        )
+    root = _root(path)
+    assert "groups" in root  # 10 segments ≥ patched GROUP_AT
+    man = snapshots.read_manifest(path)
+    assert set(files) | {"list_id=3/_emb_batch=0/n.parquet"} == set(
+        man["files"]
+    )
+
+
+def test_vacuum_grouped_reclaims_retired_and_debris(
+    tmp_path, small_groups
+):
+    path = str(tmp_path / "t")
+    _seed_grouped(path)
+    with snapshots.writer_lock(path):
+        snapshots.commit_snapshot_delta(
+            path, add=["list_id=4/_emb_batch=0/a.parquet"],
+            expected_version=snapshots.snapshot_version(path),
+        )
+    with snapshots.writer_lock(path):
+        snapshots.commit_snapshot_delta(
+            path, remove_leaves=["_emb_batch=0"],
+            expected_version=snapshots.snapshot_version(path),
+        )
+    assert _root(path)["retired_segs"]  # old seg + group files queued
+    # crash debris: a group file no root references
+    seg_dir = os.path.join(path, snapshots.SEG_DIR)
+    debris = os.path.join(seg_dir, "_grp_99.12345.json")
+    with open(debris, "w") as fh:
+        fh.write("{}")
+    old = time.time() - 10
+    os.utime(debris, (old, old))
+    snapshots.vacuum_snapshot(path, grace_s=0.0)
+    assert not os.path.exists(debris)
+    # the merge flip retires the seg/group files it itself rewrote; a
+    # second tick drains those (the protocol's steady-state cadence)
+    snapshots.vacuum_snapshot(path, grace_s=0.0)
+    root = _root(path)
+    assert not root["retired_segs"]
+    live = {e["p"] for e in root["groups"].values()} | {
+        e["p"]
+        for e in snapshots._all_segment_entries(path, root).values()
+    }
+    on_disk = {f"{snapshots.SEG_DIR}/{f}" for f in os.listdir(seg_dir)}
+    assert on_disk == live
+    assert snapshots.read_manifest(path)["retired"] == {}
+
+
+def test_group_leaves_expose_batch_keyed_segments(
+    tmp_path, small_groups
+):
+    """An unbucketed batch-keyed table past the threshold still shows
+    its batch ids root-side: underscore segment NAMES join the group
+    leaf unions (what the compaction fold's id discovery reads)."""
+    path = str(tmp_path / "t")
+    files = [f"_sig_batch={b}/p.parquet" for b in range(10)]
+    with snapshots.writer_lock(path):
+        snapshots.commit_snapshot(path, files, expected_version=0)
+    root = _root(path)
+    assert "groups" in root
+    seen = set()
+    for e in root["groups"].values():
+        seen.update(e.get("leaves", ()))
+    assert seen == {f"_sig_batch={b}" for b in range(10)}
+
+
+def test_snapshot_groups_accessors(tmp_path, small_groups):
+    path = str(tmp_path / "t")
+    _seed_grouped(path)
+    groups = snapshots.snapshot_groups(path)
+    assert groups and sum(m["segs"] for m in groups.values()) == 12
+    gid = snapshots.snapshot_group_of(path, "list_id=7")
+    members = snapshots.snapshot_group_segments(path, gid)
+    assert "list_id=7" in members
+    # inline tables answer None — callers fall back to segments
+    inline = str(tmp_path / "small")
+    with snapshots.writer_lock(inline):
+        snapshots.commit_snapshot(
+            inline, ["day=1/p.parquet"], expected_version=0
+        )
+    assert snapshots.snapshot_groups(inline) is None
+    assert snapshots.snapshot_group_of(inline, "day=1") is None
+
+
+# -- Spark integration -------------------------------------------------------
+
+
+def test_seg_keys_resolve_never_reads_unhit_groups(
+    spark, tmp_path, small_groups
+):
+    """Hard pruning proof at the GROUP tier: corrupt every group FILE
+    except the hit key's — a seg_keys resolve must never parse them."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(c, c * 10.0) for c in range(12)], "list_id int, v double"
+    )
+    with snapshots.writer_lock(path):
+        snapshots.init_manifest(path, df.schema.json())
+        new = snapshots.snapshot_append(df, path, partition_by=["list_id"])
+        snapshots.commit_snapshot_delta(
+            path, add=new, expected_version=1
+        )
+    root = _root(path)
+    assert "groups" in root
+    hit_gid = snapshots.snapshot_group_of(path, "list_id=3", root=root)
+    for gid, e in root["groups"].items():
+        if gid != hit_gid:
+            with open(os.path.join(path, e["p"]), "w") as fh:
+                fh.write("THIS IS NOT JSON")
+    got = (
+        snapshots.resolve_snapshot(spark, path, seg_keys={"list_id=3"})
+        .select("v")
+        .collect()
+    )
+    assert [r.v for r in got] == [30.0]
+    # and the predicate form must fail — it HAS to enumerate all groups
+    with pytest.raises(Exception):
+        snapshots.resolve_snapshot(
+            spark, path, seg_filter=lambda s: s == "list_id=3"
+        ).collect()
+
+
+def _emb_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def _basis(c, dim=8):
+    return [1.0 if i == c else 0.0 for i in range(dim)]
+
+
+#: 8 clusters (axes of R^8); ids 0-7 are the centroids themselves,
+#: 1x-ids sit near their axis (dropped by the centroid row), 9x-ids
+#: are far from everything (kept)
+_K8_BASE = [(c, _basis(c)) for c in range(8)] + [
+    (10, [0.99, 0.1, 0, 0, 0, 0, 0, 0]),   # near axis 0 -> dropped
+    (15, [0, 0, 0, 0, 0, 0.1, 0.99, 0]),   # near axis 6 -> dropped
+    (90, [0.55, 0, 0, 0, 0, 0, 0, 0.83]),  # axis-7 side, far -> kept
+]
+_K8_BATCH = [
+    (21, [0.1, 0.98, 0.1, 0, 0, 0, 0, 0]),   # near axis 1 -> dropped
+    (27, [0, 0, 0, 0, 0, 0, 0, -1.0]),       # axis-7 cluster, far -> kept
+    (91, [0.56, 0, 0, 0, 0, 0, 0, 0.82]),    # near row 90 -> dropped
+]
+
+
+def _k8_cents(spark, rows):
+    return _emb_df(spark, rows).where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("list_id"),
+        F.col("embedding").alias("_cvec"),
+    )
+
+
+def _k8_global_kept(spark, rows, eps=0.9):
+    from m3_spark.pipeline.similarity import semantic_dedup
+
+    return {
+        r.vec_id
+        for r in semantic_dedup(
+            _emb_df(spark, rows), 8, eps,
+            cents=_k8_cents(spark, rows), vectorized=True,
+        ).select("vec_id").collect()
+    }
+
+
+def _seed_k8(spark, path, monkeypatch):
+    from m3_spark.pipeline.similarity import seed_embedding_table
+
+    monkeypatch.setattr(snapshots, "GROUP_AT", 4)
+    monkeypatch.setattr(snapshots, "GROUP_TARGET", 2)
+    seed_embedding_table(
+        _emb_df(spark, _K8_BASE), path, 8,
+        cents=_k8_cents(spark, _K8_BASE),
+    )
+
+
+def test_semdedup_over_grouped_root_matches_global(
+    spark, tmp_path, monkeypatch
+):
+    """The full arrival equivalence claim, re-pinned on a GROUPED
+    manifest: ingest over the sharded root drops exactly what the
+    corpus-global greedy sweep drops, and redelivery is idempotent."""
+    from m3_spark.pipeline.similarity import semdedup_ingest_batch
+
+    path = str(tmp_path / "emb")
+    _seed_k8(spark, path, monkeypatch)
+    assert "groups" in _root(path)  # 8 clusters ≥ patched GROUP_AT
+    kept = {
+        r.vec_id
+        for r in semdedup_ingest_batch(
+            _emb_df(spark, _K8_BATCH), path, eps=0.9, batch_id=0
+        ).select("vec_id").collect()
+    }
+    want = _k8_global_kept(spark, _K8_BASE + _K8_BATCH) & {
+        i for i, _ in _K8_BATCH
+    }
+    assert kept == want == {27}
+    again = {
+        r.vec_id
+        for r in semdedup_ingest_batch(
+            _emb_df(spark, _K8_BATCH), path, eps=0.9, batch_id=0
+        ).select("vec_id").collect()
+    }
+    assert again == kept
+    # the quantizer survived every grouped flip
+    root = _root(path)
+    assert root["sem_clusters"] == 8 and len(root["sem_cents"]) == 8
+
+
+def test_grouped_compaction_folds_only_hit_groups(
+    spark, tmp_path, monkeypatch
+):
+    """compact_keyed_table over a grouped root: fold ids come from the
+    O(groups) root leaf unions, only listing groups load, and the
+    probe verdict is unchanged after the fold + vacuum."""
+    from m3_spark.pipeline.similarity import (
+        housekeep_embeddings,
+        semdedup_ingest_batch,
+    )
+
+    path = str(tmp_path / "emb")
+    _seed_k8(spark, path, monkeypatch)
+    semdedup_ingest_batch(
+        _emb_df(spark, [(21, [0.1, 0.98, 0.1, 0, 0, 0, 0, 0])]),
+        path, eps=0.9, batch_id=0,
+    )
+    semdedup_ingest_batch(
+        _emb_df(spark, [(27, [0, 0, 0, 0, 0, 0, 0, -1.0])]),
+        path, eps=0.9, batch_id=1,
+    )
+    untouched_files = snapshots.snapshot_segment_files(path, "list_id=3")
+    rep = housekeep_embeddings(
+        spark, path, keep_last=0, vacuum_grace_s=0.0
+    )
+    assert rep["emb_leaves_folded"] == 2
+    # a cluster no folded batch hit kept its exact base files
+    assert (
+        snapshots.snapshot_segment_files(path, "list_id=3")
+        == untouched_files
+    )
+    # folded leaves are gone from the hit clusters' segments
+    for seg in ("list_id=1", "list_id=7"):
+        for f in snapshots.snapshot_segment_files(path, seg):
+            assert "_emb_batch=-1" in f
+    # and the arrival verdict over the folded table is unchanged:
+    # 91 still witnessed by folded row 90's cluster-mate rule
+    kept = semdedup_ingest_batch(
+        _emb_df(spark, [(91, [0.56, 0, 0, 0, 0, 0, 0, 0.82])]),
+        path, eps=0.9, batch_id=2,
+    )
+    assert kept.count() == 0
