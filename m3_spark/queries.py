@@ -786,6 +786,7 @@ from .queries_round10 import ROUND10_QUERIES  # noqa: E402
 from .queries_round11 import ROUND11_QUERIES  # noqa: E402
 from .queries_round12 import ROUND12_QUERIES  # noqa: E402
 from .queries_round13 import ROUND13_QUERIES  # noqa: E402
+from .queries_round14 import ROUND14_QUERIES  # noqa: E402
 
 QUERIES = {
     **PIPELINE_QUERIES,
@@ -799,6 +800,7 @@ QUERIES = {
     **ROUND11_QUERIES,
     **ROUND12_QUERIES,
     **ROUND13_QUERIES,
+    **ROUND14_QUERIES,
     "promql_sum_by": (q_sum_by, ORACLE_SUM_BY),
     "promql_agg_by_multi": (q_agg_by_multi, ORACLE_AGG_BY_MULTI),
     "promql_topk": (q_topk, ORACLE_TOPK),

@@ -1,0 +1,133 @@
+"""Round-14 battery entries: the arrival-path SemDeDup driven through
+a TRAINED coarse quantizer (verdict r13 item 2).
+
+The r13 arrival entries seed the embedding table with the
+deterministic ``id < K`` centroid draw; production passes
+:func:`~m3_spark.pipeline.similarity.ivf_train` output through
+``seed_embedding_table(cents=...)``.  ``semdedup_incremental_trained``
+closes that last gap: one Lloyd iteration trains the quantizer over
+the FULL table, the corpus (vec_id % 5 != 0) seeds under it, the batch
+(vec_id % 5 == 0) lands through ``semdedup_ingest_batch`` — and the
+oracle restates the WHOLE composition (Lloyd train CTE → assignment →
+greedy ε-rule) so the kept set is pinned end-to-end against DuckDB.
+
+Centroids are rounded to 6 decimals on BOTH sides before use: the
+trained means are float sums whose low bits are engine- and
+partitioning-order-dependent, and the quantizer must be bit-identical
+across engines for the assignment argmax to agree (the id<K draws of
+the r13 entries are exact JSON roundtrips and never faced this).  A
+rounded trained quantizer is still a trained quantizer — the entry's
+claim is the composition, not the 7th decimal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def q_semdedup_incremental_trained(spark, sf_dir):
+    import shutil
+
+    from .pipeline.similarity import (
+        ivf_train,
+        seed_embedding_table,
+        semdedup_ingest_batch,
+    )
+    from .queries_round7 import _scratch
+    from .queries_round11 import SEM_EPS, SEM_K
+    from .sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    _t, path = _scratch("semdedup_trained", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    # one Lloyd iteration over the FULL table (the oracle's train CTE
+    # sees every row too — the quantizer is corpus state, batches are
+    # assigned under it, exactly the production ivf_train handoff)
+    cents = ivf_train(emb, SEM_K, n_iters=1).select(
+        "list_id",
+        F.transform("_cvec", lambda x: F.round(x, 6)).alias("_cvec"),
+    )
+    seed_embedding_table(
+        emb.where(F.col("vec_id") % 5 != 0), path, SEM_K, cents=cents
+    )
+    kept = semdedup_ingest_batch(
+        emb.where(F.col("vec_id") % 5 == 0), path, SEM_EPS, batch_id=7
+    )
+    return kept.select("vec_id")
+
+
+def _oracle_semdedup_trained() -> str:
+    from .queries_round11 import SEM_EPS, SEM_K
+
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT vec_id AS list_id, v AS cv FROM v WHERE vec_id < {SEM_K}),
+s0 AS (
+  SELECT qa.vec_id, c.list_id,
+         list_reduce(list_prepend(0.0, [qa.v[i] * c.cv[i] for i in generate_series(1, len(qa.v))]), (x, y) -> x + y)
+         / NULLIF(sqrt(list_reduce(list_prepend(0.0, [x * x for x in qa.v]), (x, y) -> x + y))
+          * sqrt(list_reduce(list_prepend(0.0, [x * x for x in c.cv]), (x, y) -> x + y)), 0) AS sim
+  FROM v qa CROSS JOIN c0 c
+),
+a0 AS (
+  SELECT vec_id, list_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+              ORDER BY sim DESC, list_id) AS rk
+    FROM s0)
+  WHERE rk = 1
+),
+tcd AS (
+  SELECT a0.list_id, l.e.pos AS pos, ROUND(AVG(l.e.x), 6) AS c
+  FROM a0 JOIN v USING (vec_id),
+  UNNEST([{{'pos': i - 1, 'x': v.v[i]}} for i in generate_series(1, len(v.v))]) AS u(e)
+  , LATERAL (SELECT u.e AS e) l
+  GROUP BY 1, 2
+),
+tc AS (SELECT list_id, list(c ORDER BY pos) AS cv FROM tcd GROUP BY list_id),
+cents AS (
+  -- a list that lost every member keeps its init centroid (the
+  -- ivf_train coalesce), rounded like the trained ones
+  SELECT c0.list_id,
+         COALESCE(tc.cv, [ROUND(x, 6) for x in c0.cv]) AS cv
+  FROM c0 LEFT JOIN tc USING (list_id)
+),
+cscored AS (
+  SELECT qa.vec_id, c.list_id,
+         list_reduce(list_prepend(0.0, [qa.v[i] * c.cv[i] for i in generate_series(1, len(qa.v))]), (x, y) -> x + y)
+         / NULLIF(sqrt(list_reduce(list_prepend(0.0, [x * x for x in qa.v]), (x, y) -> x + y))
+          * sqrt(list_reduce(list_prepend(0.0, [x * x for x in c.cv]), (x, y) -> x + y)), 0) AS sim
+  FROM v qa CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+              ORDER BY sim DESC, list_id) AS rk
+    FROM cscored)
+  WHERE rk = 1
+),
+pairs AS (
+  SELECT b.vec_id AS idb
+  FROM assign a JOIN assign b
+    ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+  JOIN v va ON va.vec_id = a.vec_id
+  JOIN v vb ON vb.vec_id = b.vec_id
+  WHERE list_reduce(list_prepend(0.0, [va.v[i] * vb.v[i] for i in generate_series(1, len(va.v))]), (x, y) -> x + y)
+        / NULLIF(sqrt(list_reduce(list_prepend(0.0, [x * x for x in va.v]), (x, y) -> x + y))
+         * sqrt(list_reduce(list_prepend(0.0, [x * x for x in vb.v]), (x, y) -> x + y)), 0) >= {SEM_EPS}
+)
+SELECT e.vec_id FROM embeddings e
+WHERE e.vec_id NOT IN (SELECT idb FROM pairs)
+  AND e.vec_id % 5 = 0
+"""
+
+
+def _round14_queries():
+    return {
+        "semdedup_incremental_trained": (
+            q_semdedup_incremental_trained,
+            _oracle_semdedup_trained(),
+        ),
+    }
+
+
+ROUND14_QUERIES = _round14_queries()

@@ -1000,6 +1000,114 @@ def main() -> None:
     q_emb_fold_small = _emb_fold_row("200k_k256", 200_000, 256)
     q_emb_fold_large = _emb_fold_row("2m_k2560", 2_000_000, 2560)
 
+    # ---- round-14: GROUPED manifest root flat in cluster count ----------
+    # The embedding table's root used to carry one entry per cluster,
+    # so every flip rewrote O(K) driver-side JSON (r13 disclosed
+    # crossover K≈1e5).  Past GROUP_AT segments the root now shards
+    # into segment-group files (snapshots.py r14) and a flip rewrites
+    # the hit segments + their groups + an O(groups) root.  This pair
+    # lands the SAME 100-cluster batch flip against K=1e5 and K=1e6
+    # cluster roots — flat-ish across the 10x (the root itself grows
+    # only with G = K/64).  Manifest-only (fake file paths): the flip
+    # cost under measure IS the driver-side JSON work.
+
+    def _emb_root_flip_row(tag: str, k: int):
+        from m3_spark.sources import snapshots
+
+        path = os.path.join(SCRATCH, f"emb_root_{tag}")
+        rep = {"n": 0}
+
+        def fn(_):
+            if not snapshots.has_manifest(path):
+                files = [
+                    f"list_id={c}/_emb_batch=-1/part-{c:07d}.parquet"
+                    for c in range(k)
+                ]
+                with snapshots.writer_lock(path):
+                    snapshots.commit_snapshot(
+                        path, files, expected_version=0
+                    )
+                root = snapshots.read_snapshot_meta(path)
+                assert root is not None and "groups" in root, (
+                    "scale row expects the grouped layout at this K"
+                )
+            b = rep["n"] = rep["n"] + 1
+            # a 100-cluster batch: the semdedup arrival shape (batch
+            # rows hash across ~min(|batch|, K) clusters)
+            add = [
+                f"list_id={(b * 997 + j * 7919) % k}"
+                f"/_emb_batch={b}/p{b}-{j}.parquet"
+                for j in range(100)
+            ]
+            with snapshots.writer_lock(path):
+                v = snapshots.snapshot_version(path)
+                snapshots.commit_snapshot_delta(
+                    path, add=add, remove_leaves=[f"_emb_batch={b}"],
+                    expected_version=v,
+                )
+            return spark.range(1)
+
+        return fn
+
+    q_emb_root_flip_small = _emb_root_flip_row("k100k", 100_000)
+    q_emb_root_flip_large = _emb_root_flip_row("k1m", 1_000_000)
+
+    # ---- round-14: gated signature-base fold, amortized cost ------------
+    # The signature table is archival and UNBUCKETED, so each fold
+    # rewrites the whole base — housekeep_corpus gates it on
+    # sig_min_fold=8 waiting leaves (advice r12).  This pair measures
+    # one full gate cycle (land 9 batches of 100 sig rows, fold the 8
+    # closed ones into the base) at 500k vs 5M base rows: the fold
+    # term is O(corpus) ONCE PER 8 BATCHES, so the per-batch amortized
+    # cost is row/8 and scales as corpus/N with N (min_fold) tunable.
+
+    def _synth_sigs(n: int, start: int = 0):
+        return spark.range(start, start + n).select(
+            F.col("id").alias("doc_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(15)),
+                lambda j: F.xxhash64(F.col("id"), j),
+            ).alias("sig"),
+        )
+
+    def _sig_base_fold_row(tag: str, n: int):
+        from m3_spark.pipeline.dedup import (
+            compact_signature_table,
+            write_signature_batch,
+        )
+        from m3_spark.sources import snapshots
+
+        path = os.path.join(SCRATCH, f"sig_base_{tag}")
+        rep = {"b": 0}
+
+        def fn(_):
+            if not snapshots.has_manifest(path):
+                out = _synth_sigs(n).withColumn("_sig_batch", F.lit(-1))
+                with snapshots.writer_lock(path):
+                    m = snapshots.init_manifest(path, out.schema.json())
+                    new = snapshots.snapshot_append(
+                        out, path, partition_by=["_sig_batch"],
+                        keep_dir=snapshots.leaf_scope("_sig_batch=-1"),
+                    )
+                    snapshots.commit_snapshot_delta(
+                        path, add=new, schema_json=out.schema.json(),
+                        expected_version=m["version"],
+                    )
+            for _i in range(9):
+                b = rep["b"] = rep["b"] + 1
+                write_signature_batch(
+                    _synth_sigs(100, start=n + b * 1000), path, b
+                )
+            folded = compact_signature_table(
+                spark, path, keep_last=1, min_fold=8
+            )
+            return spark.range(max(folded, 1))
+
+        return fn
+
+    q_sig_base_fold_small = _sig_base_fold_row("500k", 500_000)
+    q_sig_base_fold_large = _sig_base_fold_row("5m", 5_000_000)
+
     import statistics
 
     timings, stats, counts = {}, {}, {}
@@ -1050,6 +1158,10 @@ def main() -> None:
         "semdedup_probe_2m_k2560": q_semdedup_probe_large,
         "emb_fold_200k_k256": q_emb_fold_small,
         "emb_fold_2m_k2560": q_emb_fold_large,
+        "emb_root_flip_k100k": q_emb_root_flip_small,
+        "emb_root_flip_k1m": q_emb_root_flip_large,
+        "sig_base_fold_500k": q_sig_base_fold_small,
+        "sig_base_fold_5m": q_sig_base_fold_large,
     }
     if args.only:
         unknown = args.only - rows.keys()
