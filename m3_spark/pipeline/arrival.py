@@ -906,7 +906,10 @@ def ingest_document_stream(
     )
 
     def _step_then_vacuum(batch_df, batch_id):
-        inner(batch_df, batch_id)
+        # cadence counts APPLIED batches only (advice r13): a
+        # marker-skipped redelivery must not advance the clock
+        if not inner(batch_df, batch_id):
+            return
         counter["n"] += 1
         if compact_every and counter["n"] % compact_every == 0:
             try:

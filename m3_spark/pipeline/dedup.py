@@ -231,15 +231,21 @@ def _blocked_band_groups(
     aggregation, no extra shuffle, join, or action.
 
     The first-stage ``collect_list`` still buffers an oversized bucket
-    once, transiently, in one task — O(bucket) memory, ~24 B/row.
-    That is the right trade: in the regime where O(bucket) buffering
-    could break an executor (≳10⁷ rows), the bucket's |bucket|²/2
-    pair fan-out (≳5·10¹³ structs) is not completable by ANY
-    splitting strategy — the pre-sizing design paid a full extra
-    shuffle pass on every call to protect only jobs that were already
-    impossible.  What the cap actually protects — and keeps — is the
-    fan-out and every downstream task in the completable regime.
-    ``block=None`` disables the split entirely."""
+    once, transiently, in one task.  Budget REALISTICALLY (advice
+    r13): each element is an UnsafeRow-backed struct of id + optional
+    is_new + blk (~40-50 B with headers and alignment), and
+    ``array_sort`` holds a second copy transiently — plan for
+    ~100 B/row PEAK, so a 10⁷-row viral bucket needs ~1 GB of task
+    headroom, not the ~240 MB a naive 24 B/row estimate suggests.
+    That is still the right trade: in the regime where O(bucket)
+    buffering could break an executor (≳10⁷ rows at the peak rate
+    above), the bucket's |bucket|²/2 pair fan-out (≳5·10¹³ structs)
+    is not completable by ANY splitting strategy — the pre-sizing
+    design paid a full extra shuffle pass on every call to protect
+    only jobs that were already impossible.  What the cap actually
+    protects — and keeps — is the fan-out and every downstream task
+    in the completable regime.  ``block=None`` disables the split
+    entirely."""
     fields = [F.col(id_col).alias("id")]
     if with_is_new:
         fields.append(F.col("is_new"))

@@ -1651,7 +1651,11 @@ def ingest_embedding_stream(
     )
 
     def _step_then_housekeep(batch_df, batch_id):
-        inner(batch_df, batch_id)
+        # the cadence counts APPLIED batches only — a redelivered
+        # batch the marker fast-path skips must not advance the
+        # housekeeping clock (advice r13)
+        if not inner(batch_df, batch_id):
+            return
         counter["n"] += 1
         if compact_every and counter["n"] % compact_every == 0:
             try:

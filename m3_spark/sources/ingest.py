@@ -247,7 +247,12 @@ def idempotent_foreach_batch(commit_dir: str, write_fn):
     an idempotent ``write_fn`` (e.g. a per-batch-keyed partition
     overwrite).  ``ingest_stream_to_namespaces``'s unagg sink provides
     exactly that via ``write_namespace_batch``; for such writers the
-    marker is a fast-path skip, not the correctness mechanism."""
+    marker is a fast-path skip, not the correctness mechanism.
+
+    Returns True when the batch was APPLIED, False on the fast-path
+    skip — cadence counters (the consume loops' ``compact_every``)
+    tick on applied batches only, so a burst of no-op redeliveries
+    never advances the housekeeping clock (advice r13)."""
     import os
 
     os.makedirs(commit_dir, exist_ok=True)
@@ -255,12 +260,13 @@ def idempotent_foreach_batch(commit_dir: str, write_fn):
     def wrapper(batch_df, batch_id):
         marker = os.path.join(commit_dir, str(batch_id))
         if os.path.exists(marker):
-            return
+            return False
         write_fn(batch_df, batch_id)
         tmp = marker + ".tmp"
         with open(tmp, "w") as fh:
             fh.write("committed")
         os.replace(tmp, marker)
+        return True
 
     return wrapper
 

@@ -461,3 +461,24 @@ def test_grouped_compaction_folds_only_hit_groups(
         path, eps=0.9, batch_id=2,
     )
     assert kept.count() == 0
+
+
+# -- advice r13: cadence counts applied batches only --------------------------
+
+
+def test_idempotent_wrapper_reports_applied_vs_skipped(spark, tmp_path):
+    """The consume loops' housekeeping cadence ticks only when the
+    inner step actually APPLIED the batch: the idempotent wrapper
+    returns True on apply and False on the marker fast-path skip, so
+    a burst of no-op redeliveries never advances the clock."""
+    from m3_spark.sources.ingest import idempotent_foreach_batch
+
+    calls = []
+    fn = idempotent_foreach_batch(
+        str(tmp_path / "commits"), lambda df, bid: calls.append(bid)
+    )
+    df = spark.range(1)
+    assert fn(df, 0) is True
+    assert fn(df, 0) is False  # redelivery: skipped, reported as such
+    assert fn(df, 1) is True
+    assert calls == [0, 1]
