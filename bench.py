@@ -254,12 +254,52 @@ def q_temperature_mix(spark):
 
 
 def q_ann_ivfadc_rerank(spark):
-    """IVFADC + exact re-rank over the embedding table — the
-    quantized-nominate / exact-verify two-stage every production ANN
-    service runs (new battery entry, round 13b)."""
+    """IVFADC + exact re-rank over the embedding table, COMPOSED
+    (codebook training + encoding + query in one call) — kept as the
+    drift watch on the whole pipeline; the serving-shaped number is
+    ``ann_ivfadc_query`` below (VERDICT r13 item 5)."""
     from m3_spark.queries_round13 import q_ann_ivfadc_rerank as q
 
     return q(spark, SF_DIR)
+
+
+_IVFADC_INDEX: dict = {}
+
+
+def q_ann_ivfadc_query(spark):
+    """The QUERY side of IVFADC + re-rank alone: the index (quantizer,
+    residual codebooks, corpus codes) is built and checkpointed once
+    per bench process — offline work at scale — so the row prices what
+    a serving query pays: probe selection, LUT build, the codes join,
+    and the exact re-rank of the candidates (VERDICT r13 item 5; the
+    composed row above keeps watching the trainer)."""
+    from m3_spark.pipeline.similarity import (
+        ivfadc_build,
+        ivfadc_rerank_topk,
+    )
+    from m3_spark.queries_round6 import (
+        _N_LISTS,
+        _PQ_K,
+        _PQ_M,
+        _PQ_QID,
+        _PQ_TOP,
+    )
+    from m3_spark.sources.tables import read_table
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    if not _IVFADC_INDEX:
+        idx = ivfadc_build(emb, n_lists=_N_LISTS, m=_PQ_M, k=_PQ_K)
+        _IVFADC_INDEX.update(
+            {kk: df.localCheckpoint() for kk, df in idx.items()}
+        )
+        _IVFADC_INDEX["q"] = emb.where(
+            F.col("vec_id") == _PQ_QID
+        ).first()["embedding"]
+    return ivfadc_rerank_topk(
+        emb, _IVFADC_INDEX["q"], topk=_PQ_TOP, cand=4 * _PQ_TOP,
+        n_lists=_N_LISTS, n_probe=2, m=_PQ_M, k=_PQ_K,
+        index=_IVFADC_INDEX,
+    )
 
 
 def q_m3ql_pipeline_12h(spark):
@@ -284,6 +324,7 @@ BENCH = {
     "dedup_incremental_1k_new": q_dedup_incremental,
     "ann_matmul_topk": q_ann_matmul,
     "ann_ivfadc_rerank": q_ann_ivfadc_rerank,
+    "ann_ivfadc_query": q_ann_ivfadc_query,
     "text_quality_5k": q_text_pipeline,
     "holt_forecast_7d": q_holt_forecast_7d,
     "m3ql_pipeline_12h": q_m3ql_pipeline_12h,

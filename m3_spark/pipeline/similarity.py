@@ -725,37 +725,24 @@ def ivfpq_topk(
     )
 
 
-def ivfpq_residual_topk(
+def ivfadc_build(
     embeddings: DataFrame,
-    query_vec,
-    topk: int = 5,
     n_lists: int = 16,
-    n_probe: int = 2,
     m: int = 4,
     k: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    cut_round: int | None = None,
-) -> DataFrame:
-    """The FULL IVFADC of Jégou et al. 2011 §IV-A: vectors are
-    PQ-encoded as RESIDUALS from their list centroid (tighter codebooks
-    than raw-vector PQ because residual energy is lower), and the query
-    gets a separate m×k lookup table PER PROBED LIST built from its own
-    residual ``q − centroid(L)``.
-
-    ADC(q, v) = Σ_sub ||(q − c_L)_sub − codeword(v)_sub||², v ∈ L.
-
-    Exactness pin (tests): with k ≥ corpus size each vector is its own
-    residual codeword, so the score collapses to ‖q − v‖² exactly,
-    independent of the centroids.  All lookup structures stay
-    broadcast-sized (n_probe × m × k).
-
-    ``cut_round``: round the ADC distance to this many decimals BEFORE
-    the top-k cut (ties then break by id).  Quantized distances
-    legitimately TIE — many vectors share a code combination — and
-    without it the boundary is decided by floating-point SUM ORDER,
-    which varies across partitionings: a candidate stage must be
-    reproducible (what the re-rank wrapper passes)."""
+) -> dict:
+    """The OFFLINE half of IVFADC (Jégou et al. 2011 §IV-A), split
+    out so serving can price a query as a query (VERDICT r13 item 5):
+    coarse-quantizer draw, corpus assignment, residual PQ codebook
+    training, and corpus encoding — built ONCE, amortized over every
+    query.  Returns ``{"cents", "codebooks", "codes"}``: two
+    broadcast-sized frames plus the (id, sub, code, list_id) codes
+    frame (persist / checkpoint the codes at scale — they are the
+    index).  :func:`ivfpq_residual_topk` / :func:`ivfadc_rerank_topk`
+    consume it via ``index=``; their default still builds inline, the
+    composed single-call form the battery oracles pin."""
     e = _as_double(embeddings, vec_col)
     cents = e.where(F.col(id_col) < n_lists).select(
         F.col(id_col).alias("list_id"), F.col(vec_col).alias("_cvec")
@@ -783,6 +770,55 @@ def ivfpq_residual_topk(
     codebooks = pq_train(resid, m, k, id_col, "_rv")
     codes = pq_encode(resid, codebooks, m, id_col, "_rv").join(
         resid.select(id_col, "list_id"), id_col
+    )
+    return {"cents": cents, "codebooks": codebooks, "codes": codes}
+
+
+def ivfpq_residual_topk(
+    embeddings: DataFrame,
+    query_vec,
+    topk: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 2,
+    m: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cut_round: int | None = None,
+    index: dict | None = None,
+) -> DataFrame:
+    """The FULL IVFADC of Jégou et al. 2011 §IV-A: vectors are
+    PQ-encoded as RESIDUALS from their list centroid (tighter codebooks
+    than raw-vector PQ because residual energy is lower), and the query
+    gets a separate m×k lookup table PER PROBED LIST built from its own
+    residual ``q − centroid(L)``.
+
+    ADC(q, v) = Σ_sub ||(q − c_L)_sub − codeword(v)_sub||², v ∈ L.
+
+    Exactness pin (tests): with k ≥ corpus size each vector is its own
+    residual codeword, so the score collapses to ‖q − v‖² exactly,
+    independent of the centroids.  All lookup structures stay
+    broadcast-sized (n_probe × m × k).
+
+    ``cut_round``: round the ADC distance to this many decimals BEFORE
+    the top-k cut (ties then break by id).  Quantized distances
+    legitimately TIE — many vectors share a code combination — and
+    without it the boundary is decided by floating-point SUM ORDER,
+    which varies across partitionings: a candidate stage must be
+    reproducible (what the re-rank wrapper passes).
+
+    ``index``: a prebuilt :func:`ivfadc_build` result — the OFFLINE
+    half (quantizer, codebook training, corpus encoding) skipped
+    entirely, so the call prices like a query: probe selection + LUT
+    (broadcast-sized) + the codes join.  Default builds inline (the
+    oracle-pinned single-call form)."""
+    if index is None:
+        index = ivfadc_build(
+            embeddings, n_lists=n_lists, m=m, k=k,
+            id_col=id_col, vec_col=vec_col,
+        )
+    cents, codebooks, codes = (
+        index["cents"], index["codebooks"], index["codes"]
     )
 
     q = F.array(*[F.lit(float(x)) for x in query_vec])
@@ -831,6 +867,7 @@ def ivfadc_rerank_topk(
     k: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index: dict | None = None,
 ) -> DataFrame:
     """IVFADC with EXACT re-ranking — the recall-restoring tail of the
     billion-scale recipe (Jégou et al. 2011 §IV; the verification
@@ -845,12 +882,15 @@ def ivfadc_rerank_topk(
     for exactly the candidates' rows, never re-ranked wholesale.  The
     quantizer's job is recall; the re-rank's job is ordering — with
     ``cand`` big enough the output equals exact search restricted to
-    the probed lists (pinned by test).  Returns (id, exact_dist)."""
+    the probed lists (pinned by test).  Returns (id, exact_dist).
+
+    ``index``: a prebuilt :func:`ivfadc_build`, forwarded to the ADC
+    stage — the serving form (build once, query many)."""
     cand = int(cand) if cand else 4 * int(topk)
     adc = ivfpq_residual_topk(
         embeddings, query_vec, topk=cand, n_lists=n_lists,
         n_probe=n_probe, m=m, k=k, id_col=id_col, vec_col=vec_col,
-        cut_round=6,
+        cut_round=6, index=index,
     )
     e = _as_double(embeddings, vec_col)
     q = F.array(*[F.lit(float(x)) for x in query_vec])

@@ -482,3 +482,42 @@ def test_idempotent_wrapper_reports_applied_vs_skipped(spark, tmp_path):
     assert fn(df, 0) is False  # redelivery: skipped, reported as such
     assert fn(df, 1) is True
     assert calls == [0, 1]
+
+
+# -- verdict item 5: IVFADC build/query split ---------------------------------
+
+
+def test_ivfadc_prebuilt_index_matches_inline(spark):
+    """ivfadc_build + index= must return exactly what the composed
+    single-call form returns — the split is a serving optimization,
+    never a semantics change."""
+    from m3_spark.pipeline.similarity import (
+        ivfadc_build,
+        ivfadc_rerank_topk,
+        ivfpq_residual_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (i, [float(((i * 7 + j * 13) % 19) - 9) for j in range(8)])
+            for i in range(60)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    q = [float(((42 * 7 + j * 13) % 19) - 9) for j in range(8)]
+    idx = ivfadc_build(emb, n_lists=4, m=4, k=8)
+    inline = ivfpq_residual_topk(
+        emb, q, topk=5, n_lists=4, n_probe=2, m=4, k=8, cut_round=6
+    ).collect()
+    split = ivfpq_residual_topk(
+        emb, q, topk=5, n_lists=4, n_probe=2, m=4, k=8, cut_round=6,
+        index=idx,
+    ).collect()
+    assert [tuple(r) for r in inline] == [tuple(r) for r in split]
+    rr_inline = ivfadc_rerank_topk(
+        emb, q, topk=5, n_lists=4, n_probe=2, m=4, k=8
+    ).collect()
+    rr_split = ivfadc_rerank_topk(
+        emb, q, topk=5, n_lists=4, n_probe=2, m=4, k=8, index=idx
+    ).collect()
+    assert [tuple(r) for r in rr_inline] == [tuple(r) for r in rr_split]

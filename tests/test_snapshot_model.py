@@ -83,8 +83,20 @@ def _to_samples(spark, rows):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("seed", [7, 23, 61])
-def test_snapshot_namespace_model(spark, tmp_path, seed):
+@pytest.mark.parametrize(
+    "seed,grouped",
+    [(7, False), (23, False), (61, False), (7, True), (61, True)],
+)
+def test_snapshot_namespace_model(spark, tmp_path, seed, grouped, monkeypatch):
+    # grouped=True replays the SAME op sequences over a root forced
+    # into the r14 GROUPED layout (threshold 2 → every table shards,
+    # including the bucketed dict): no op sequence may behave
+    # differently across manifest layouts
+    if grouped:
+        from m3_spark.sources import snapshots
+
+        monkeypatch.setattr(snapshots, "GROUP_AT", 2)
+        monkeypatch.setattr(snapshots, "GROUP_TARGET", 2)
     from m3_spark.sources.namespace import (
         compact_namespace,
         housekeep_namespace,
@@ -190,3 +202,9 @@ def test_snapshot_namespace_model(spark, tmp_path, seed):
             for d in got["compacted"]:
                 compacted.add(dt.date.fromisoformat(d))
         check()
+    if grouped:
+        # the variant must actually have exercised the grouped layout
+        from m3_spark.sources import snapshots
+
+        root = snapshots.read_snapshot_meta(path)
+        assert root is not None and "groups" in root
