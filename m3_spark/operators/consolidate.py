@@ -95,6 +95,41 @@ def prune_time(samples, start, end, margin_before_s: float):
     return out
 
 
+def series_dims(samples: DataFrame) -> DataFrame:
+    """One (series_id, name, tags) row per series, derived from the
+    samples themselves — the dims frame every kernel re-attaches
+    name/tags from after its narrow per-series pass.
+
+    HASH-AGGREGATE form (optimization r14): the previous
+    ``groupBy(series_id).agg(first(name), first(tags))`` carries a
+    map-typed (and string-typed) aggregation buffer, which
+    disqualifies ``HashAggregateExec`` and silently planned a
+    SortAggregate — every scanned row was sorted by the long
+    synthesized series_id string, partial AND final, on a subtree
+    whose only job is to pick one representative row per series.
+    Re-expressed as a keys-only ``distinct`` on
+    (series_id, name, to_json(tags)): grouping-only aggregates take
+    any key type, so the plan is a map-side-combining HashAggregate,
+    no sort.  The map round-trips through JSON text verbatim
+    (string→string values, entry order preserved — to_json writes the
+    map's own entry order and from_json rebuilds it), and series_id is
+    injective over (name, tags) with per-series-identical entry order
+    (single construction site per source), so the distinct yields
+    exactly the one row per series ``first()`` picked.
+    """
+    return (
+        samples.select(
+            "series_id", "name", F.to_json(F.col("tags")).alias("_tj")
+        )
+        .distinct()
+        .select(
+            "series_id",
+            "name",
+            F.from_json(F.col("_tj"), "map<string,string>").alias("tags"),
+        )
+    )
+
+
 def step_grid(spark, start, end, step_s: float) -> DataFrame:
     """One-column DataFrame ``step_ts`` with the uniform step grid.
 
@@ -189,9 +224,7 @@ def consolidate_sparse(
         F.expr("max_by(value, t_us)").alias("value"),
     )
     if dims is None:
-        dims = pruned.groupBy("series_id").agg(
-            F.first("name").alias("name"), F.first("tags").alias("tags")
-        )
+        dims = series_dims(pruned)
     else:
         dims = dims.select("series_id", "name", "tags")
     return vals.join(dims, "series_id").select(
@@ -234,9 +267,7 @@ def consolidate(
     # An ingest-maintained series dictionary (dims=) replaces this
     # self-aggregate, keeping the fact scan tags-free.
     if dims is None:
-        dims = pruned.groupBy("series_id").agg(
-            F.first("name").alias("name"), F.first("tags").alias("tags")
-        )
+        dims = series_dims(pruned)
     else:
         dims = dims.select("series_id", "name", "tags")
     steps = step_grid(spark, start, end, step_s)

@@ -30,7 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .consolidate import prune_time, step_grid
+from .consolidate import prune_time, series_dims, step_grid
 
 _US = 1_000_000
 
@@ -51,9 +51,7 @@ def _probed(
     spark = samples.sparkSession
     pruned = prune_time(samples, start, end, range_s)
     if dims is None:
-        dims = pruned.groupBy("series_id").agg(
-            F.first("name").alias("name"), F.first("tags").alias("tags")
-        )
+        dims = series_dims(pruned)
     else:
         dims = dims.select("series_id", "name", "tags")
     steps = step_grid(spark, start, end, step_s)
@@ -544,9 +542,7 @@ def _run_series_kernel(
             .mapInPandas(fn, out_schema)
         )
     if dims is None:
-        dims = pruned.groupBy("series_id").agg(
-            F.first("name").alias("name"), F.first("tags").alias("tags")
-        )
+        dims = series_dims(pruned)
     else:
         # ingest-maintained series dictionary (read_series_dict): the
         # fact scan then reads only (series_id, ts, value) — tags

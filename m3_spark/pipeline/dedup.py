@@ -1799,13 +1799,26 @@ def duplicate_spans(
     window function: an unbounded min/max frame makes WindowExec
     buffer the entire hash group before emitting — exactly the
     per-group materialization this path must avoid (/code-review
-    r11).  One big-side shuffle (the join; the agg's shuffle carries
-    only combined per-task extrema), and AQE broadcasts the bounds
-    side when it turns out small.
+    r11).
+
+    SINGLE-CONSTRUCTION form (optimization r14, guide §2.4): the spans
+    frame feeds the bounds aggregate AND the flag join, and Spark does
+    not CSE across the two subtrees — the posexplode+concat_ws window
+    construction ran TWICE over the corpus (two full text scans at
+    100 TB).  ``span_dup_stats`` fixes this with a shared span_hash
+    exchange, but HERE the flag side carries ``pos`` while the bounds
+    side prunes it, so the two exchanges are not
+    canonicalization-identical and the stage is NOT reused (verified
+    on the executed plan).  The repo's lineage-cut idiom applies
+    instead: a lazy ``localCheckpoint`` materializes the narrow
+    (id, pos, hash) rows once and both subtrees read it — one text
+    scan, one construction fold, same emitted row set.
 
     Returns (id, pos, span_hash) for duplicated windows only.
     """
-    spans = span_windows(docs, span_words, text_col, id_col)
+    spans = span_windows(docs, span_words, text_col, id_col).localCheckpoint(
+        eager=False
+    )
     return spans.join(_dup_span_hashes(spans, id_col), "span_hash").select(
         id_col, "pos", "span_hash"
     )
@@ -1841,8 +1854,19 @@ def span_dup_stats(
     via ``_dup_span_hashes`` — no window, no per-group buffering), one
     big-side shuffle for the flag join, then the (id)-keyed per-doc
     aggregate.  Returns (id, n_windows, dup_windows, dup_frac).
+
+    SINGLE-CONSTRUCTION form (optimization r14, guide §2.4): the spans
+    frame feeds the bounds aggregate AND the flag join; without a
+    shared exchange the window construction ran twice over the corpus
+    (Spark does not CSE across subtrees).  The explicit span_hash
+    ``repartition`` is consumed by both (canonicalization-identical
+    exchanges — one map stage at runtime), so the text scans once,
+    the construction folds once, and the big side moves once as
+    16-byte (id, hash) rows.  The per-doc fractions are unchanged.
     """
-    spans = span_windows(docs, span_words, text_col, id_col)
+    spans = span_windows(docs, span_words, text_col, id_col).select(
+        id_col, "span_hash"
+    ).repartition("span_hash")
     flagged = spans.join(
         _dup_span_hashes(spans, id_col).withColumn("_d", F.lit(1)),
         "span_hash", "left",
