@@ -23,10 +23,14 @@ from ..operators.fetch import fetch
 
 
 def series_dictionary(samples: DataFrame) -> DataFrame:
-    """Distinct series (the materialized tag-search index)."""
-    return samples.groupBy("series_id").agg(
-        F.first("name").alias("name"), F.first("tags").alias("tags")
-    )
+    """Distinct series (the materialized tag-search index).
+
+    Hash-aggregate form — see ``operators.consolidate.series_dims``
+    (the ``first(tags)`` map buffer disqualified HashAggregateExec and
+    planned a SortAggregate over every scanned row)."""
+    from ..operators.consolidate import series_dims
+
+    return series_dims(samples)
 
 
 def fetch_indexed(

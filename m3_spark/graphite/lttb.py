@@ -154,9 +154,11 @@ def lttb(
         F.unix_micros(F.col("step_ts")).alias("t_us"),
         "value",
     )
-    dims = grid.groupBy("series_id").agg(
-        F.first("name").alias("name"), F.first("tags").alias("tags")
-    )
+    # hash-aggregate dims (see operators.consolidate.series_dims — the
+    # first(tags) map buffer forced a SortAggregate over the grid)
+    from ..operators.consolidate import series_dims
+
+    dims = series_dims(grid)
     out = src.groupBy("series_id").applyInPandas(fn, schema).join(
         dims, "series_id"
     )
