@@ -1,0 +1,92 @@
+"""Instrumented re-measure of the SCALE emb_fold pair.
+
+SCALE_r14's emb_fold_2m_k2560 came out 16.87s median (min 11.89,
+stdev 5.76, n=3) vs 6.93s for the 200k_k256 row — r13 measured the
+pair flat (6.72 vs 7.41).  The only r14 difference between the two
+tables is the GROUPED manifest root (K=2560 > GROUP_AT=512; K=256
+stays inline).  This harness re-runs the same tick with the
+ingest (probe+append) and fold (compact) steps timed separately,
+several reps, to decide noise vs a real grouped-root term.
+
+Usage: python tools_r14/emb_fold_probe.py [reps]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from m3_spark.session import get_spark  # noqa: E402
+from m3_spark.pipeline.similarity import (  # noqa: E402
+    compact_embedding_table,
+    seed_embedding_table,
+    semdedup_ingest_batch,
+)
+from m3_spark.sources import snapshots  # noqa: E402
+
+SCRATCH = os.environ.get(
+    "EMB_PROBE_DIR", "/root/repo/.scratch_emb_probe"
+)
+REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+
+spark = get_spark("emb-fold-probe")
+spark.sparkContext.setLogLevel("ERROR")
+
+
+def _sign(seed_col, j):
+    return (
+        F.pmod(F.xxhash64(seed_col * F.lit(7919) + F.lit(j)), F.lit(2))
+        .cast("double") * 2.0 - 1.0
+    )
+
+
+def _synth_emb(n, k, start=0):
+    t = F.pmod(F.xxhash64(F.col("id")), F.lit(k))
+    noise = [
+        (F.pmod(F.xxhash64(F.col("id") * F.lit(j + 1) + F.lit(13)),
+                F.lit(1000)).cast("double") / 1000.0 - 0.5) * 0.1
+        for j in range(64)
+    ]
+    dims = [_sign(t, j) + noise[j] for j in range(64)]
+    return spark.range(start, start + n).select(
+        F.col("id").alias("vec_id"), F.array(*dims).alias("embedding")
+    )
+
+
+def _synth_cents(k):
+    return spark.range(k).select(
+        F.col("id").alias("list_id"),
+        F.array(*[_sign(F.col("id"), j) for j in range(64)]).alias("_cvec"),
+    )
+
+
+def run_pair(tag, n, k):
+    emb_dir = os.path.join(SCRATCH, f"emb_fold_{tag}")
+    if not snapshots.has_manifest(emb_dir):
+        t = time.perf_counter()
+        seed_embedding_table(_synth_emb(n, k), emb_dir, k,
+                             cents=_synth_cents(k))
+        print(f"{tag}: seed {time.perf_counter() - t:.1f}s", flush=True)
+    # warmup tick (discarded)
+    b = _synth_emb(100, k, start=n + 1000)
+    semdedup_ingest_batch(b, emb_dir, eps=0.9, batch_id=0)
+    compact_embedding_table(spark, emb_dir, keep_last=0)
+    for r in range(1, REPS + 1):
+        batch = _synth_emb(100, k, start=n + 1000 + r * 100)
+        t0 = time.perf_counter()
+        semdedup_ingest_batch(batch, emb_dir, eps=0.9, batch_id=r)
+        t1 = time.perf_counter()
+        folded = compact_embedding_table(spark, emb_dir, keep_last=0)
+        t2 = time.perf_counter()
+        print(
+            f"{tag} rep{r}: ingest {t1 - t0:.2f}s fold {t2 - t1:.2f}s "
+            f"total {t2 - t0:.2f}s (folded={folded})",
+            flush=True,
+        )
+
+
+run_pair("200k_k256", 200_000, 256)
+run_pair("2m_k2560", 2_000_000, 2560)
+print("done", flush=True)

@@ -1,0 +1,54 @@
+"""Isolated timing of one or more bench queries with the noop sink
+(guide §1.4): times computation of EVERY column, not the count()-pruned
+subtree the bench uses for longitudinal comparability.
+
+Usage: python tools_r14/isolate.py <query> [<query> ...] [--reps N]
+"""
+from __future__ import annotations
+
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+from m3_spark.session import get_spark  # noqa: E402
+
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+reps = 5
+for a in sys.argv[1:]:
+    if a.startswith("--reps"):
+        reps = int(a.split("=")[1])
+
+spark = get_spark("isolate")
+spark.sparkContext.setLogLevel("ERROR")
+from m3_spark.model import read_samples  # noqa: E402
+
+read_samples(spark, bench.SF_DIR).count()
+spark.range(64).repartition(32).mapInPandas(lambda it: it, "id long").count()
+need_bkt = any(q.startswith("rate_sum_bucketed") or q.startswith("rate_sum_dict") for q in args)
+need_sig = any(q.startswith("dedup_incremental") for q in args)
+if need_bkt or not args:
+    bench.setup_bucketed_namespace(spark)
+if need_sig or not args:
+    bench.setup_signature_table(spark)
+
+names = args or list(bench.BENCH)
+for name in names:
+    fn = bench.BENCH[name]
+    spark.sparkContext.setJobDescription(f"isolate:{name}")
+    # one warmup
+    fn(spark).write.format("noop").mode("overwrite").save()
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn(spark).write.format("noop").mode("overwrite").save()
+        ts.append(time.perf_counter() - t0)
+    print(
+        f"{name}: median {statistics.median(ts):.3f}s min {min(ts):.3f} "
+        f"stdev {statistics.stdev(ts):.3f} n {reps}",
+        flush=True,
+    )
+    spark.sparkContext.setJobDescription(None)
