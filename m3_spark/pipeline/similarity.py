@@ -1023,7 +1023,15 @@ def semantic_dup_pairs_np(
         .localCheckpoint(eager=False)
     )
     withc = e.select(id_col, vec_col).join(assign, id_col)
-    sizes = withc.groupBy("cluster").agg(F.count("*").alias("_n"))
+    # cluster sizes from the CHECKPOINTED assign frame alone: the join
+    # is 1:1 on the id key (mapInPandas emits one row per input row),
+    # so per-cluster counts are identical — and deriving them from
+    # withc would paste the whole scan+join subtree into the plan a
+    # second time (no CSE across the broadcast boundary): corpus
+    # scanned twice, join executed twice per action, measured on the
+    # bench row.  From assign the sizes side reads only the tiny
+    # (id, cluster) checkpoint blocks.
+    sizes = assign.groupBy("cluster").agg(F.count("*").alias("_n"))
     nb_col = F.greatest(
         F.ceil(F.col("_n") / F.lit(int(block))).cast("int"), F.lit(1)
     )

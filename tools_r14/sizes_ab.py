@@ -1,0 +1,107 @@
+"""Interleaved same-process A/B of the semantic_dup_pairs_np sizes
+subtree: OLD (sizes from the scan+join frame, subtree duplicated in
+the plan) vs NEW (sizes from the checkpointed assign frame).
+
+Alternates variants rep by rep so box-state drift hits both equally.
+"""
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from m3_spark.session import get_spark  # noqa: E402
+from m3_spark.pipeline.similarity import (  # noqa: E402
+    _as_double,
+    ivf_assign_np,
+    semantic_dup_pairs_np,
+)
+
+REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+
+spark = get_spark("sizes-ab")
+spark.sparkContext.setLogLevel("ERROR")
+
+dim = 32
+emb = (
+    spark.range(200_000)
+    .select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: (
+                F.pmod(F.xxhash64(F.col("id"), d), 2001) - 1000
+            ).cast("double") / 1000.0,
+        ).alias("embedding"),
+    )
+)
+emb.write.mode("overwrite").parquet("/root/repo/.scale_ab/ab_emb.parquet")
+emb = spark.read.parquet("/root/repo/.scale_ab/ab_emb.parquet")
+
+
+# The two variants differ ONLY in which frame feeds the broadcast
+# sizes aggregate; the head below mirrors the real function with that
+# source switchable, and the fan-out action exercises
+# scan+assign+join+broadcast exactly as the real plan does.
+
+def run_pairs(sizes_from_assign: bool):
+    e = _as_double(emb, "embedding")
+    assign = (
+        ivf_assign_np(e, 512, "vec_id", "embedding")
+        .withColumnRenamed("list_id", "cluster")
+        .localCheckpoint(eager=False)
+    )
+    withc = e.select("vec_id", "embedding").join(assign, "vec_id")
+    src = assign if sizes_from_assign else withc
+    sizes = src.groupBy("cluster").agg(F.count("*").alias("_n"))
+    nb_col = F.greatest(
+        F.ceil(F.col("_n") / F.lit(8192)).cast("int"), F.lit(1)
+    )
+    sized = withc.join(
+        F.broadcast(sizes.select("cluster", nb_col.alias("_nb"))),
+        "cluster",
+    )
+    rows = sized.withColumn(
+        "_blk", F.pmod(F.xxhash64(F.col("vec_id")), F.col("_nb")).cast("int")
+    )
+    # the downstream kernel shape is identical between variants; the
+    # cheap stand-in action (count of the fanned-out rows) still
+    # executes scan+assign+join+broadcast exactly as the real plan does
+    pair_keys = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.col("_nb") - 1),
+            lambda j: F.struct(
+                F.least(F.col("_blk"), j).alias("lo"),
+                F.greatest(F.col("_blk"), j).alias("hi"),
+            ),
+        )
+    )
+    return rows.select(
+        "cluster", "vec_id", pair_keys.alias("_pk")
+    )
+
+
+for v in (False, True):
+    run_pairs(v).write.format("noop").mode("overwrite").save()  # warmup
+
+res = {False: [], True: []}
+for r in range(REPS):
+    for v in (False, True):
+        t0 = time.perf_counter()
+        run_pairs(v).write.format("noop").mode("overwrite").save()
+        res[v].append(time.perf_counter() - t0)
+
+for v, lab in ((False, "OLD sizes=withc"), (True, "NEW sizes=assign")):
+    ts = res[v]
+    print(f"{lab}: median {statistics.median(ts):.3f} min {min(ts):.3f} "
+          f"reps {[round(t, 2) for t in ts]}", flush=True)
+
+# full real-function sanity: current working tree variant end to end
+t0 = time.perf_counter()
+semantic_dup_pairs_np(emb, 512, 0.9).write.format(
+    "noop").mode("overwrite").save()
+print(f"real semantic_dup_pairs_np (tree variant): "
+      f"{time.perf_counter() - t0:.3f}s", flush=True)
