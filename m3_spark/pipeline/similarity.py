@@ -334,6 +334,7 @@ def ivf_assign_np(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cents: DataFrame | None = None,
+    carry_vec: bool = False,
 ) -> DataFrame:
     """Throughput form of :func:`ivf_assign`: one blocked numpy matmul
     per Arrow chunk against the collected centroid matrix (K×dim —
@@ -350,7 +351,17 @@ def ivf_assign_np(
     ``cents`` may also be a PANDAS frame (list_id, _cvec) — the
     arrival probe holds the quantizer driver-side (manifest extras)
     and skips the per-probe createDataFrame→toPandas Spark roundtrip,
-    which is K-proportional fixed cost on every micro-batch."""
+    which is K-proportional fixed cost on every micro-batch.
+
+    ``carry_vec=True`` yields (id, vec, list_id) straight out of the
+    same Arrow pass — the vec column rides through untouched (exact
+    float64 roundtrip), so a BATCH-BOUNDED caller that needs the
+    vectors next to the assignment gets them without a second scan
+    and an id-keyed self-join (the arrival probe's shape: 2-3 extra
+    exchanges per micro-batch on a ~100-row frame was pure fixed
+    overhead).  Corpus-sized callers keep the default: checkpointing
+    only the narrow (id, list_id) frame and re-reading vectors from
+    parquet is the right trade there."""
     import numpy as np
     import pandas as pd
 
@@ -364,12 +375,15 @@ def ivf_assign_np(
         if isinstance(cents, pd.DataFrame)
         else cents.select("list_id", "_cvec").toPandas()
     ).sort_values("list_id")
+    out_schema = (
+        f"{id_col} long, {vec_col} array<double>, list_id long"
+        if carry_vec
+        else f"{id_col} long, list_id long"
+    )
     if not len(cpdf):
         # no centroids (empty corpus / all ids >= n_lists): the fold
         # form yields an empty assignment; np.stack would crash
-        return embeddings.sparkSession.createDataFrame(
-            [], f"{id_col} long, list_id long"
-        )
+        return embeddings.sparkSession.createDataFrame([], out_schema)
     list_ids = cpdf["list_id"].to_numpy()
     cmat = np.stack(cpdf["_cvec"].to_list()).astype(np.float64)
     cnorm = np.linalg.norm(cmat, axis=1)
@@ -384,13 +398,21 @@ def ivf_assign_np(
             with np.errstate(divide="ignore", invalid="ignore"):
                 sims = np.where(den != 0.0, (x @ cmat.T) / den, -np.inf)
             best = np.argmax(sims, axis=1)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col].to_numpy(), "list_id": list_ids[best]}
-            )
+            if carry_vec:
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].to_numpy(),
+                        vec_col: pdf[vec_col].to_numpy(),
+                        "list_id": list_ids[best],
+                    }
+                )
+            else:
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col].to_numpy(),
+                     "list_id": list_ids[best]}
+                )
 
-    return e.select(id_col, vec_col).mapInPandas(
-        fn, f"{id_col} long, list_id long"
-    )
+    return e.select(id_col, vec_col).mapInPandas(fn, out_schema)
 
 
 def ivf_topk(
@@ -1538,12 +1560,14 @@ def semdedup_ingest_batch(
     cents = _cents_pdf(cent_rows)
     e = _as_double(new_embs, vec_col)
     # assign once, cut from lineage: feeds the hit-cluster collect,
-    # the kernel and the append
+    # the kernel and the append.  carry_vec yields (id, vec, cluster)
+    # out of the single Arrow pass — the former id-keyed self-join of
+    # the batch with its own assignment was 2-3 exchanges of pure
+    # fixed overhead per micro-batch (profiled ~1.4s of a ~5.5s tick
+    # at batch=100)
     batch = (
-        e.select(id_col, vec_col)
-        .join(
-            ivf_assign_np(e, n_clusters, id_col, vec_col, cents=cents),
-            id_col,
+        ivf_assign_np(
+            e, n_clusters, id_col, vec_col, cents=cents, carry_vec=True
         )
         .withColumnRenamed("list_id", "cluster")
         .localCheckpoint()

@@ -1,0 +1,93 @@
+"""Interleaved same-process A/B of semdedup_ingest_batch's batch
+construction: OLD (id-keyed self-join of the micro-batch with its own
+ivf_assign_np assignment) vs NEW (carry_vec=True — vectors ride
+through the single Arrow pass).
+
+Times the eager localCheckpoint + the hit-cluster collect, i.e. the
+exact per-tick actions the arrival path pays on this subtree.
+Alternates variants rep by rep so box-state drift hits both equally.
+
+Usage: python tools_r14/assign_ab.py [batch_n] [k] [reps]
+"""
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from m3_spark.session import get_spark  # noqa: E402
+from m3_spark.pipeline.similarity import (  # noqa: E402
+    _as_double,
+    _cents_pdf,
+    ivf_assign_np,
+)
+
+BATCH_N = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+K = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+REPS = int(sys.argv[3]) if len(sys.argv) > 3 else 9
+
+spark = get_spark("assign-ab")
+spark.sparkContext.setLogLevel("ERROR")
+
+
+def _sign(seed_col, j):
+    return (
+        F.pmod(F.xxhash64(seed_col * F.lit(7919) + F.lit(j)), F.lit(2))
+        .cast("double") * 2.0 - 1.0
+    )
+
+
+def _synth_emb(n, start=0):
+    t = F.pmod(F.xxhash64(F.col("id")), F.lit(K))
+    dims = [
+        _sign(t, j)
+        + (F.pmod(F.xxhash64(F.col("id") * F.lit(j + 1) + F.lit(13)),
+                  F.lit(1000)).cast("double") / 1000.0 - 0.5) * 0.1
+        for j in range(64)
+    ]
+    return spark.range(start, start + n).select(
+        F.col("id").alias("vec_id"), F.array(*dims).alias("embedding")
+    )
+
+
+cents = _cents_pdf(
+    [
+        (int(i), [float(((i * 7919 + j) % 2) * 2 - 1) for j in range(64)])
+        for i in range(K)
+    ]
+)
+
+
+def tick(carry: bool, start: int):
+    e = _as_double(_synth_emb(BATCH_N, start=start), "embedding")
+    if carry:
+        batch = ivf_assign_np(
+            e, K, "vec_id", "embedding", cents=cents, carry_vec=True
+        )
+    else:
+        batch = e.select("vec_id", "embedding").join(
+            ivf_assign_np(e, K, "vec_id", "embedding", cents=cents),
+            "vec_id",
+        )
+    batch = batch.withColumnRenamed("list_id", "cluster").localCheckpoint()
+    hit = {int(x[0]) for x in batch.select("cluster").distinct().collect()}
+    return len(hit)
+
+
+for v in (False, True):  # warmup
+    tick(v, start=10_000_000)
+
+res = {False: [], True: []}
+for r in range(REPS):
+    for v in (False, True):
+        t0 = time.perf_counter()
+        tick(v, start=20_000_000 + r * 1000 + (500 if v else 0))
+        res[v].append(time.perf_counter() - t0)
+
+for v, lab in ((False, "OLD join"), (True, "NEW carry")):
+    ts = res[v]
+    print(f"{lab}: median {statistics.median(ts):.3f} min {min(ts):.3f} "
+          f"reps {[round(t, 2) for t in ts]}", flush=True)
