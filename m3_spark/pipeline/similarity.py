@@ -635,6 +635,95 @@ def pq_encode(
     )
 
 
+def pq_encode_np(
+    embeddings: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    carry: tuple = (),
+) -> DataFrame:
+    """Throughput form of :func:`pq_encode` (the ``ivf_assign_np``
+    pattern): the m×k codebook is collected driver-side (broadcast-
+    sized by construction) and each Arrow chunk is encoded in one
+    numpy pass — instead of exploding the corpus ×(m·k), broadcast-
+    joining the codebook and collapsing with ``min(struct(_d, code))``,
+    whose immutable struct buffer disqualifies HashAggregateExec and
+    plans as TWO SortAggregates (partial+final) over the corpus×m×k
+    frame.  At 100 TB the encode is the dominant offline job; this
+    form streams the corpus through once with no row expansion, no
+    sort and no shuffle.
+
+    Bit-exact vs the fold form BY CONSTRUCTION, not by fixture margin:
+    the squared-L2 accumulates per element left-to-right in the same
+    IEEE double order as ``_sub_l2``'s fold (``(x−y)·(x−y)`` then
+    ``acc+v``, seeded 0.0), and ``np.argmin``'s first-occurrence rule
+    over codes sorted ascending equals ``min(struct(_d, code))``'s
+    tie-break.  Pinned by ``test_pq_encode_np_matches_fold``.
+
+    ``carry``: extra columns that ride through the Arrow pass
+    untouched (the :func:`ivfadc_build` caller carries ``list_id``,
+    which also removes the id-keyed corpus self-join that re-attached
+    it — at scale that join was a full shuffle of the codes on a key
+    irrelevant to their layout).  Returns (id, sub, code, *carry).
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = _as_double(embeddings, vec_col)
+    cpdf = codebooks.select("sub", "code", "_cvec").toPandas()
+    carry = tuple(carry)
+    carry_ddl = "".join(
+        f", {c} {embeddings.schema[c].dataType.simpleString()}"
+        for c in carry
+    )
+    out_schema = f"{id_col} long, sub int, code long{carry_ddl}"
+    if not len(cpdf):
+        # no codebook (empty corpus): the fold form yields an empty
+        # encode; np.stack would crash
+        return embeddings.sparkSession.createDataFrame([], out_schema)
+    subs = []
+    for s, grp in cpdf.groupby("sub", sort=True):
+        grp = grp.sort_values("code")
+        subs.append((
+            int(s),
+            grp["code"].to_numpy(),
+            np.stack(grp["_cvec"].to_list()).astype(np.float64),
+        ))
+
+    def fn(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_list()).astype(np.float64)
+            n = len(pdf)
+            sub_len = x.shape[1] // m
+            out = {id_col: [], "sub": [], "code": []}
+            for c in carry:
+                out[c] = []
+            ids = pdf[id_col].to_numpy()
+            for s, codes_s, cmat in subs:
+                xs = x[:, s * sub_len:(s + 1) * sub_len]
+                diff = xs[:, None, :] - cmat[None, :, :]
+                sq = diff * diff
+                # accumulate left-to-right per element — the exact
+                # IEEE add order of _sub_l2's fold
+                acc = np.zeros((n, len(codes_s)))
+                for j in range(sub_len):
+                    acc += sq[:, :, j]
+                best = np.argmin(acc, axis=1)
+                out[id_col].append(ids)
+                out["sub"].append(np.full(n, s, dtype=np.int32))
+                out["code"].append(codes_s[best])
+                for c in carry:
+                    out[c].append(pdf[c].to_numpy())
+            yield pd.DataFrame(
+                {k: np.concatenate(v) for k, v in out.items()}
+            )
+
+    return e.select(id_col, vec_col, *carry).mapInPandas(fn, out_schema)
+
+
 def pq_topk(
     embeddings: DataFrame,
     query_vec,
@@ -656,7 +745,9 @@ def pq_topk(
     if codebooks is None:
         codebooks = pq_train(embeddings, m, k, id_col, vec_col)
     if codes is None:
-        codes = pq_encode(embeddings, codebooks, m, id_col, vec_col)
+        # np form: one Arrow pass, no ×(m·k) explode / SortAggregate
+        # (bit-exact — see pq_encode_np)
+        codes = pq_encode_np(embeddings, codebooks, m, id_col, vec_col)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     sub_len = (F.size(q) / m).cast("int")
     lut = codebooks.select(
@@ -710,7 +801,9 @@ def ivfpq_topk(
     if codebooks is None:
         codebooks = pq_train(embeddings, m, k, id_col, vec_col)
     if codes is None:
-        codes = pq_encode(embeddings, codebooks, m, id_col, vec_col)
+        # np form: one Arrow pass, no ×(m·k) explode / SortAggregate
+        # (bit-exact — see pq_encode_np)
+        codes = pq_encode_np(embeddings, codebooks, m, id_col, vec_col)
 
     q = F.array(*[F.lit(float(x)) for x in query_vec])
 
@@ -790,8 +883,14 @@ def ivfadc_build(
         )
     )
     codebooks = pq_train(resid, m, k, id_col, "_rv")
-    codes = pq_encode(resid, codebooks, m, id_col, "_rv").join(
-        resid.select(id_col, "list_id"), id_col
+    # np encode with list_id carried through the Arrow pass: the fold
+    # form exploded resid ×(m·k), sort-aggregated the argmin, then
+    # re-attached list_id with an id-keyed self-join of two
+    # corpus-sized frames (a full SortMergeJoin shuffle at scale, on a
+    # key irrelevant to the codes' layout).  One pass, bit-exact
+    # (see pq_encode_np).
+    codes = pq_encode_np(
+        resid, codebooks, m, id_col, "_rv", carry=("list_id",)
     )
     return {"cents": cents, "codebooks": codebooks, "codes": codes}
 

@@ -521,3 +521,51 @@ def test_ivfadc_prebuilt_index_matches_inline(spark):
         emb, q, topk=5, n_lists=4, n_probe=2, m=4, k=8, index=idx
     ).collect()
     assert [tuple(r) for r in rr_inline] == [tuple(r) for r in rr_split]
+
+
+# -- r14 optimization: numpy PQ encode ----------------------------------------
+
+
+def test_pq_encode_np_matches_fold(spark):
+    """pq_encode_np must be BIT-identical to the interpreted fold form
+    — same element-order IEEE accumulation, same min(struct(_d, code))
+    tie rule (vec 7 duplicates vec 3, so codes 3 and 7 share every
+    codebook subvector: every tie must resolve to code 3) — and the
+    carried column must ride through untouched."""
+    from m3_spark.pipeline.similarity import (
+        pq_encode,
+        pq_encode_np,
+        pq_train,
+    )
+
+    rows = [
+        (i, [float(((i * 11 + j * 5) % 23) - 11) / 3.0 for j in range(16)])
+        for i in range(80)
+    ]
+    rows[7] = (7, rows[3][1][:])
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = pq_train(emb, m=4, k=16)
+    fold = sorted(tuple(r) for r in pq_encode(emb, cb, m=4).collect())
+    npk = sorted(tuple(r) for r in pq_encode_np(emb, cb, m=4).collect())
+    assert fold == npk
+    assert not any(r[2] == 7 for r in npk)  # ties -> smaller code
+    carried = pq_encode_np(
+        emb.withColumn("extra", F.col("vec_id") * 2),
+        cb, m=4, carry=("extra",),
+    )
+    assert carried.columns == ["vec_id", "sub", "code", "extra"]
+    got = sorted((r["vec_id"], r["sub"], r["code"]) for r in carried.collect())
+    assert got == npk
+    assert all(r["extra"] == r["vec_id"] * 2 for r in carried.collect())
+
+
+def test_pq_encode_np_empty_codebook(spark):
+    """An empty codebook (empty corpus) yields an empty encode with
+    the declared schema instead of an np.stack crash."""
+    from m3_spark.pipeline.similarity import pq_encode_np, pq_train
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    cb = pq_train(emb, m=4, k=16)
+    out = pq_encode_np(emb, cb, m=4)
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "sub", "code"]

@@ -1,0 +1,76 @@
+"""Interleaved same-process A/B of the PQ encode subtree: OLD
+(pq_encode fold — ×(m·k) explode + broadcast join + min(struct)
+SortAggregate — then the id-keyed self-join that re-attaches list_id)
+vs NEW (pq_encode_np — one Arrow pass, list_id carried).
+
+Mirrors the ivfadc_build codes subtree on a synthetic residual frame
+(vec_id, _rv, list_id).  Alternates variants rep by rep so box-state
+drift hits both equally.  Noop sink.
+"""
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from m3_spark.session import get_spark  # noqa: E402
+from m3_spark.pipeline.similarity import (  # noqa: E402
+    pq_encode,
+    pq_encode_np,
+    pq_train,
+)
+
+REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+N = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
+
+spark = get_spark("encode-ab")
+spark.sparkContext.setLogLevel("ERROR")
+
+dim, m, k = 32, 4, 16
+scratch = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "..", ".scale_ab", "encode_ab.parquet")
+emb = (
+    spark.range(N)
+    .select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: (
+                F.pmod(F.xxhash64(F.col("id"), d), 2001) - 1000
+            ).cast("double") / 1000.0,
+        ).alias("_rv"),
+        F.pmod(F.xxhash64(F.col("id")), F.lit(16)).alias("list_id"),
+    )
+)
+emb.write.mode("overwrite").parquet(scratch)
+emb = spark.read.parquet(scratch)
+cb = pq_train(emb, m=m, k=k, vec_col="_rv")
+
+
+def run(new: bool):
+    if new:
+        codes = pq_encode_np(emb, cb, m, vec_col="_rv", carry=("list_id",))
+    else:
+        codes = pq_encode(emb, cb, m, vec_col="_rv").join(
+            emb.select("vec_id", "list_id"), "vec_id"
+        )
+    spark.sparkContext.setJobDescription(
+        f"encode-ab {'NEW' if new else 'OLD'}"
+    )
+    codes.write.format("noop").mode("overwrite").save()
+
+
+old_t, new_t = [], []
+run(False); run(True)  # warm both
+for i in range(REPS):
+    for new in (i % 2 == 0, i % 2 == 1):
+        t0 = time.perf_counter()
+        run(new)
+        (new_t if new else old_t).append(time.perf_counter() - t0)
+print("OLD", [round(t, 3) for t in old_t],
+      "median", round(statistics.median(old_t), 3))
+print("NEW", [round(t, 3) for t in new_t],
+      "median", round(statistics.median(new_t), 3))

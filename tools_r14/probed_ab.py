@@ -1,0 +1,108 @@
+"""Interleaved same-process A/B of the _probed dims lineage cut: OLD
+(dims derived twice — the probe synthesis and the post-window
+re-attach each run their own fact scan + distinct, column pruning
+canonicalizes them apart) vs NEW (one series_dims pass behind a lazy
+localCheckpoint, both consumers read the tiny blocks).
+
+Runs over_time at the scale_check shape (10M events, ~7.5k series by
+default) where the saved scan+distinct is real work.  Noop sink;
+variants alternate rep by rep.
+"""
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from m3_spark.session import get_spark  # noqa: E402
+import m3_spark.operators.temporal as T  # noqa: E402
+from m3_spark.operators.consolidate import series_dims, step_grid  # noqa: E402
+from m3_spark.operators.consolidate import prune_time  # noqa: E402
+
+REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+N = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
+USERS = int(sys.argv[3]) if len(sys.argv) > 3 else 1500
+
+spark = get_spark("probed-ab")
+spark.sparkContext.setLogLevel("ERROR")
+
+scratch = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "..", ".scale_ab", f"probed_events_{USERS}.parquet")
+if not os.path.exists(scratch):
+    (
+        spark.range(N)
+        .select(
+            F.col("id").alias("event_id"),
+            F.timestamp_micros(
+                F.lit(1704067200000000)
+                + (F.xxhash64("id") % (30 * 86400)) * 1_000_000
+            ).alias("ts"),
+            (F.pmod(F.xxhash64("id", F.lit(1)), USERS)).alias("user_id"),
+            F.element_at(
+                F.array(*[F.lit(t) for t in
+                          ("click", "view", "purchase", "signup", "error")]),
+                (F.pmod(F.xxhash64("id", F.lit(2)), 5) + 1).cast("int"),
+            ).alias("event_type"),
+            (F.pmod(F.xxhash64("id", F.lit(3)), 10000) / 100.0).alias("value"),
+        )
+        .write.mode("overwrite").parquet(scratch)
+    )
+
+from m3_spark.model import events_to_samples  # noqa: E402
+
+samples = events_to_samples(spark.read.parquet(scratch))
+
+T0, END = "2024-01-01 00:00:00", "2024-01-02 00:00:00"
+
+
+def _probed_old(samples, start, end, step_s, range_s, dims=None):
+    """The pre-cut body: dims NOT checkpointed."""
+    spark = samples.sparkSession
+    pruned = prune_time(samples, start, end, range_s)
+    if dims is None:
+        dims = series_dims(pruned)
+    else:
+        dims = dims.select("series_id", "name", "tags")
+    steps = step_grid(spark, start, end, step_s)
+    probes = dims.select("series_id").crossJoin(F.broadcast(steps)).select(
+        "series_id",
+        F.unix_micros(F.col("step_ts")).alias("t_us"),
+        F.lit(None).cast("double").alias("value"),
+        F.col("step_ts"),
+    )
+    points = pruned.select(
+        "series_id",
+        F.unix_micros(F.col("ts")).alias("t_us"),
+        "value",
+        F.lit(None).cast("timestamp").alias("step_ts"),
+    )
+    return points.unionByName(probes), dims
+
+
+NEW_PROBED = T._probed
+
+
+def run(new: bool):
+    T._probed = NEW_PROBED if new else _probed_old
+    spark.sparkContext.setJobDescription(
+        f"probed-ab {'NEW' if new else 'OLD'}"
+    )
+    df = T.over_time(samples, "sum", 6 * 3600, T0, END, 3600)
+    df.write.format("noop").mode("overwrite").save()
+    T._probed = NEW_PROBED
+
+
+old_t, new_t = [], []
+run(False); run(True)  # warm both
+for i in range(REPS):
+    for new in (i % 2 == 0, i % 2 == 1):
+        t0 = time.perf_counter()
+        run(new)
+        (new_t if new else old_t).append(time.perf_counter() - t0)
+print("OLD", [round(t, 3) for t in old_t],
+      "median", round(statistics.median(old_t), 3))
+print("NEW", [round(t, 3) for t in new_t],
+      "median", round(statistics.median(new_t), 3))
