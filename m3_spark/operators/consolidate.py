@@ -108,18 +108,33 @@ def series_dims(samples: DataFrame) -> DataFrame:
     synthesized series_id string, partial AND final, on a subtree
     whose only job is to pick one representative row per series.
     Re-expressed as a keys-only ``distinct`` on
-    (series_id, name, to_json(tags)): grouping-only aggregates take
-    any key type, so the plan is a map-side-combining HashAggregate,
-    no sort.  The map round-trips through JSON text verbatim
-    (string→string values, entry order preserved — to_json writes the
-    map's own entry order and from_json rebuilds it), and series_id is
-    injective over (name, tags) with per-series-identical entry order
-    (single construction site per source), so the distinct yields
-    exactly the one row per series ``first()`` picked.
+    (series_id, name, sig_json_col(tags)): grouping-only aggregates
+    take any key type, so the plan is a map-side-combining
+    HashAggregate, no sort.
+
+    CANONICAL form (optimization r15, ADVICE r14-high): the distinct
+    key must be the *canonical* JSON (entries sorted by key —
+    ``sig_json_col``), not raw ``to_json(tags)``.  ``series_id`` is
+    built from SORTED tag entries (model.series_id_col), but the
+    ingest parsers (parse_influx / parse_json_write /
+    from_remote_write) preserve wire entry order — the same series
+    ingested with its tags in two different orders is ONE series_id
+    with TWO distinct raw JSON strings, and a raw-JSON distinct would
+    emit two dims rows, fanning out every dims join downstream.
+    Sorting the entries first makes the key injective per series
+    again, and matches the entry order the aggregation tier already
+    emits (sig_json_col is its group key AND tags payload), so
+    rebuilt maps are canonical everywhere.  The write/merge paths of
+    the series dictionary intentionally keep ``first()`` instead
+    (sources/namespace.py) — a persisted dict merges rows from
+    multiple lineages and must tolerate any entry order without
+    growing rows.
     """
+    from .aggregation import sig_json_col
+
     return (
         samples.select(
-            "series_id", "name", F.to_json(F.col("tags")).alias("_tj")
+            "series_id", "name", sig_json_col(F.col("tags")).alias("_tj")
         )
         .distinct()
         .select(

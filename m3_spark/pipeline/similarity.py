@@ -704,13 +704,24 @@ def pq_encode_np(
             ids = pdf[id_col].to_numpy()
             for s, codes_s, cmat in subs:
                 xs = x[:, s * sub_len:(s + 1) * sub_len]
-                diff = xs[:, None, :] - cmat[None, :, :]
-                sq = diff * diff
                 # accumulate left-to-right per element — the exact
-                # IEEE add order of _sub_l2's fold
+                # IEEE add order of _sub_l2's fold.  Sliced per j so
+                # peak temp memory is O(n×k), not the O(n×k×sub_len)
+                # cube of a one-shot (xs[:,None,:]−cmat[None,:,:])²
+                # (at production PQ sizes — k=256, sub_len=64 — the
+                # cube is ~1.3 GB per 10k-row Arrow chunk, twice);
+                # per-(row,entry) the adds happen in the same j order,
+                # so the result is bit-identical.
                 acc = np.zeros((n, len(codes_s)))
                 for j in range(sub_len):
-                    acc += sq[:, :, j]
+                    d = xs[:, j, None] - cmat[None, :, j]
+                    acc += d * d
+                # non-finite guard (matches the fold's Spark ordering:
+                # NaN sorts greatest, so min(struct) picks the best
+                # finite distance; all-NaN falls back to the smallest
+                # code) — np.argmin alone would return the FIRST NaN.
+                if not np.isfinite(acc).all():
+                    acc = np.where(np.isnan(acc), np.inf, acc)
                 best = np.argmin(acc, axis=1)
                 out[id_col].append(ids)
                 out["sub"].append(np.full(n, s, dtype=np.int32))

@@ -1,0 +1,117 @@
+"""Round-15 pins (VERDICT r14 item 5 / ADVICE r14).
+
+``series_dims`` must collapse to exactly ONE row per series even when
+the same series' tags map arrives with different ENTRY ORDERS —
+``series_id`` is built from sorted entries (model.series_id_col) but
+the ingest parsers preserve wire order, so one series can legally
+carry several distinct raw ``to_json(tags)`` encodings.  A raw-JSON
+distinct emits one row per encoding and fans out every dims join
+downstream; the canonical (sorted-entry) form does not.
+
+The series-dictionary WRITE/MERGE paths intentionally keep ``first()``
+aggregates instead of the distinct (sources/namespace.py) — a
+persisted dict merges rows from multiple lineages and must tolerate
+any entry order without growing; pinned behaviorally below.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from m3_spark.model import with_series_id
+from m3_spark.operators.consolidate import series_dims
+
+
+def _mixed_order_samples(spark):
+    """The same two series, each ingested with both tag entry orders.
+
+    Tags are built with from_json so the map's entry order is exactly
+    the JSON text's order (the same mechanism parse_json_write uses).
+    """
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("reqs", '{"b":"2","a":"1"}', t0, 1.0),
+        ("reqs", '{"a":"1","b":"2"}', t0 + dt.timedelta(minutes=1), 2.0),
+        ("errs", '{"zone":"b","app":"x"}', t0, 3.0),
+        ("errs", '{"app":"x","zone":"b"}', t0 + dt.timedelta(minutes=1), 4.0),
+        # absent tags: parsers emit an EMPTY map (never null)
+        ("bare", "{}", t0, 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "name string, tj string, ts timestamp, value double"
+    ).select(
+        "name",
+        F.from_json("tj", "map<string,string>").alias("tags"),
+        "ts",
+        "value",
+    )
+    return with_series_id(df).select("name", "tags", "series_id", "ts", "value")
+
+
+def test_series_dims_one_row_per_series_across_entry_orders(spark):
+    samples = _mixed_order_samples(spark)
+    # precondition: both entry orders collapsed to one series_id each
+    assert samples.select("series_id").distinct().count() == 3
+
+    dims = series_dims(samples)
+    rows = {r["series_id"]: r for r in dims.collect()}
+    assert len(rows) == 3, (
+        "series_dims must emit exactly one row per series_id even when "
+        f"tag entry orders differ; got {sorted(rows)}"
+    )
+    by_name = {r["name"]: r for r in rows.values()}
+    assert by_name["reqs"]["tags"] == {"a": "1", "b": "2"}
+    assert by_name["errs"]["tags"] == {"app": "x", "zone": "b"}
+    assert by_name["bare"]["tags"] == {}
+
+
+def test_series_dims_plans_hash_aggregate(spark):
+    """The r14 perf form: keys-only distinct → HashAggregate, no
+    SortAggregate (first()/min(string) buffers would force one)."""
+    dims = series_dims(_mixed_order_samples(spark))
+    plan = dims._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan
+    assert "SortAggregate" not in plan
+
+
+def test_pq_encode_np_nan_matches_fold(spark):
+    """ADVICE r14: a NaN-bearing vector must encode identically in the
+    np form and the fold form — Spark's min(struct(_d, code)) orders
+    NaN greatest (best finite wins; all-NaN falls back to the smallest
+    code), while a bare np.argmin would return the first NaN's index.
+    The np kernel masks NaN distances to +inf to restore the fold rule."""
+    from m3_spark.pipeline.similarity import pq_encode, pq_encode_np, pq_train
+
+    rows = [
+        (i, [float(((i * 7 + j * 3) % 19) - 9) / 2.0 for j in range(16)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = pq_train(emb, m=4, k=8)  # train on clean data
+    # poison AFTER training: vec 5 gets NaN in subspace 1 only
+    poisoned = rows[:]
+    v = poisoned[5][1][:]
+    v[4] = float("nan")
+    poisoned[5] = (5, v)
+    pemb = spark.createDataFrame(poisoned, "vec_id long, embedding array<double>")
+    fold = sorted(tuple(r) for r in pq_encode(pemb, cb, m=4).collect())
+    npk = sorted(tuple(r) for r in pq_encode_np(pemb, cb, m=4).collect())
+    assert fold == npk
+
+
+def test_series_dict_merge_tolerates_entry_orders(spark, tmp_path):
+    """write_series_dict keeps first()-style merge: re-ingesting the
+    same series with shuffled tag entry order must not grow the dict."""
+    from m3_spark.sources.namespace import read_series_dict, write_series_dict
+
+    samples = _mixed_order_samples(spark)
+    ns = str(tmp_path / "ns")
+    first_orders = samples.where(F.col("value").isin(1.0, 3.0, 5.0))
+    second_orders = samples.where(F.col("value").isin(2.0, 4.0))
+    write_series_dict(first_orders, ns)
+    write_series_dict(second_orders, ns)  # merge: same series, other order
+    dims = read_series_dict(spark, ns)
+    assert dims.count() == 3
+    assert dims.select("series_id").distinct().count() == 3

@@ -1,0 +1,78 @@
+"""Peak-memory probe for the pq_encode_np kernel at PRODUCTION PQ
+sizes (VERDICT r14 item 2): n=10k-row Arrow chunk, d=512, m=8 →
+sub_len=64, k=256.
+
+The r14 kernel materialized the full (n, k, sub_len) float64 cube
+twice (diff + diff²) per subspace — ~1.3 GB ×2 per chunk at these
+constants (§5 spill/OOM risk).  The r15 form accumulates per-j slices:
+O(n×k) peak, bit-identical IEEE add order.
+
+Run: python tools_r15/pq_mem_probe.py
+Pure numpy — measures the kernel loop body exactly as mapInPandas
+executes it, via tracemalloc (numpy allocations are tracked since
+numpy 1.22).
+"""
+
+import tracemalloc
+
+import numpy as np
+
+N, D, M, K = 10_000, 512, 8, 256
+SUB = D // M
+rng = np.random.default_rng(42)
+x = rng.standard_normal((N, D))
+cmats = [rng.standard_normal((K, SUB)) for _ in range(M)]
+
+
+def encode_cube():
+    """The r14 form: one-shot (n,k,sub_len) cube per subspace."""
+    out = []
+    for s in range(M):
+        xs = x[:, s * SUB:(s + 1) * SUB]
+        cmat = cmats[s]
+        diff = xs[:, None, :] - cmat[None, :, :]
+        sq = diff * diff
+        acc = np.zeros((N, K))
+        for j in range(SUB):
+            acc += sq[:, :, j]
+        out.append(np.argmin(acc, axis=1))
+    return out
+
+
+def encode_sliced():
+    """The r15 form: per-j slice accumulation, O(n×k) peak."""
+    out = []
+    for s in range(M):
+        xs = x[:, s * SUB:(s + 1) * SUB]
+        cmat = cmats[s]
+        acc = np.zeros((N, K))
+        for j in range(SUB):
+            d = xs[:, j, None] - cmat[None, :, j]
+            acc += d * d
+        if not np.isfinite(acc).all():
+            acc = np.where(np.isnan(acc), np.inf, acc)
+        out.append(np.argmin(acc, axis=1))
+    return out
+
+
+def peak_mb(fn):
+    import time
+
+    tracemalloc.start()
+    tracemalloc.reset_peak()
+    t0 = time.perf_counter()
+    res = fn()
+    dt = time.perf_counter() - t0
+    _cur, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    return peak / 1e6, dt, res
+
+
+if __name__ == "__main__":
+    mb_new, t_new, r_new = peak_mb(encode_sliced)
+    mb_old, t_old, r_old = peak_mb(encode_cube)
+    same = all((a == b).all() for a, b in zip(r_old, r_new))
+    print(f"n={N} d={D} m={M} k={K} sub_len={SUB}")
+    print(f"cube   form: peak {mb_old:8.1f} MB  wall {t_old:6.2f}s")
+    print(f"sliced form: peak {mb_new:8.1f} MB  wall {t_new:6.2f}s")
+    print(f"codes bit-identical: {same}")
