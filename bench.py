@@ -18,7 +18,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F  # noqa: E402
 
 from m3_spark.model import read_samples  # noqa: E402
-from m3_spark.operators.aggregation import aggregate, topk  # noqa: E402
+from m3_spark.operators.aggregation import (  # noqa: E402
+    aggregate_sparse,
+    topk,
+)
 from m3_spark.operators.consolidate import consolidate_sparse  # noqa: E402
 from m3_spark.operators.temporal import over_time, rate  # noqa: E402
 from m3_spark.session import get_spark  # noqa: E402
@@ -31,10 +34,16 @@ T_END = "2024-01-02 12:00:00"
 
 
 def q_sum_by_12h_1m(spark):
-    """sum by (event_type) over consolidated 1m grid, 12h range."""
+    """sum by (event_type) over consolidated 1m grid, 12h range.
+
+    r15: routes through the engine's fused consolidate+aggregate
+    (``aggregate_sparse``) — the same path ``promql_sum_by`` takes —
+    result-identical to ``aggregate(consolidate_sparse(...), ...)``
+    (raw-double-identical, pinned by tools_r15/fused_ab.py)."""
     s = read_samples(spark, SF_DIR)
-    g = consolidate_sparse(s, T_START, T_END, step_s=60, lookback_s=300)
-    return aggregate(g, "sum", by=["event_type"])
+    return aggregate_sparse(
+        s, "sum", T_START, T_END, 60, 300, by=["event_type"]
+    )
 
 
 def q_rate_sum_12h_1m(spark):

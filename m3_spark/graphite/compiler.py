@@ -230,6 +230,35 @@ def evaluate(
         if isinstance(node, CallNode):
             if node.func in _CONTEXT_FUNCS:
                 return ev_ctx(node, s, e)
+            # groupByNode(s)-over-fetch peephole (r15): fuse the sparse
+            # consolidation with the node aggregation — the node key is
+            # computed at scan time and carried through the take-last
+            # aggregate, so the dims distinct / second fact scan /
+            # broadcast re-attach drop out (result-identical; see
+            # group_by_nodes_sparse).  diff keys on the group-wide
+            # first series and stays on the unfused path.
+            if (
+                node.func in ("groupByNode", "groupByNodes")
+                and node.args
+                and isinstance(node.args[0], GlobNode)
+                and not needs_dense
+                and dims is None
+            ):
+                if node.func == "groupByNode":
+                    gnodes = (int(_lit(node.args[1])),)
+                    fname = (
+                        str(_lit(node.args[2]))
+                        if len(node.args) > 2
+                        else "sum"
+                    )
+                else:
+                    fname = str(_lit(node.args[1]))
+                    gnodes = tuple(int(_lit(a)) for a in node.args[2:])
+                if fname != "diff":
+                    sel = fetch_by_glob(samples, node.args[0].glob)
+                    return gf.group_by_nodes_sparse(
+                        sel, fname, s, e, step_s, lookback_s, *gnodes
+                    )
             if node.func not in gf.REGISTRY or gf.REGISTRY[node.func] is None:
                 raise ValueError(f"unknown graphite function {node.func!r}")
             fn = gf.REGISTRY[node.func]

@@ -211,6 +211,57 @@ def group_by_nodes(grid: DataFrame, func: str, *nodes: int) -> DataFrame:
     )
 
 
+def group_by_nodes_sparse(
+    samples: DataFrame, func: str, start, end, step_s: float,
+    lookback_s: float, *nodes: int,
+) -> DataFrame:
+    """Fused ``group_by_nodes(consolidate_sparse(samples, …), func,
+    *nodes)`` — result-identical, one fact scan, no dims re-attach
+    (r15; same §2.3/§8 rationale as ``aggregate_sparse``).
+
+    The node key is a pure function of the series' tags, computed at
+    scan time and carried through the take-last aggregate as a
+    grouping key; the dims distinct, its second fact scan and the
+    broadcast join all drop out.  ``diff`` keys on the group-wide
+    first series and is handled outside ``_COMBINE`` — callers must
+    route it through the unfused form.
+    """
+    if func == "diff":
+        raise ValueError("group_by_nodes_sparse does not support diff")
+    from ..operators.consolidate import _epoch_s, prune_time, sparse_expand
+
+    key = F.concat_ws(
+        ".", *[F.coalesce(F.col("tags").getItem(gtag(n)), F.lit("")) for n in nodes]
+    )
+    thr_s = max(lookback_s, step_s)
+    pruned = prune_time(samples, start, end, thr_s)
+    expanded = sparse_expand(
+        pruned, start, end, step_s, thr_s, [key.alias("_key")]
+    )
+    vals = expanded.groupBy("series_id", "_key", "k").agg(
+        F.expr("max_by(value, t_us)").alias("value"),
+    )
+    start_us = int(_epoch_s(start) * 1_000_000)
+    step_us = int(step_s * 1_000_000)
+    return (
+        vals.groupBy("k", "_key")
+        .agg(
+            _COMBINE[func](F.col("value")).alias("value"),
+            F.count("value").alias("_n"),
+        )
+        .where(F.col("_n") > 0)
+        .select(
+            F.timestamp_micros(
+                F.lit(start_us) + F.col("k") * F.lit(step_us)
+            ).alias("step_ts"),
+            F.col("_key").alias("name"),
+            empty_tags_col().alias("tags"),
+            F.col("_key").alias("series_id"),
+            "value",
+        )
+    )
+
+
 def alias_by_node(grid: DataFrame, *nodes: int) -> DataFrame:
     """aliasByNode: rename each series to selected path components."""
     newname = F.concat_ws(

@@ -87,6 +87,32 @@ _SIMPLE = {
 }
 
 
+def _agg_value_expr(func: str, param: float | None):
+    """The per-group value aggregate for :func:`aggregate` /
+    :func:`aggregate_sparse` — one definition site so the fused and
+    unfused forms stay expression-identical."""
+    if func in ("max", "min"):
+        # NaN LOSES against any value (function.go:57-74 / upstream
+        # heaps): max skips NaN inputs; Spark's max would instead treat
+        # NaN as the largest double.  An all-NaN group yields NaN.
+        clean = F.when(~F.isnan(F.col("value")), F.col("value"))
+        agg = F.max(clean) if func == "max" else F.min(clean)
+        return F.coalesce(agg, F.first(F.col("value"), ignorenulls=True))
+    if func in _SIMPLE:
+        return _SIMPLE[func](F.col("value"))
+    if func == "count":
+        return F.count(F.col("value")).cast("double")
+    if func == "quantile":
+        if param is None:
+            raise ValueError("quantile requires param=phi")
+        p = float(param)
+        if p < 0 or p > 1:
+            # upstream emits ±Inf with a warning for out-of-range φ
+            return F.lit(float("-inf") if p < 0 else float("inf"))
+        return F.percentile(F.col("value"), F.lit(p))
+    raise ValueError(f"unknown aggregation {func!r}")
+
+
 def aggregate(
     grid: DataFrame,
     func: str,
@@ -98,28 +124,7 @@ def aggregate(
 
     func ∈ sum|min|max|avg|count|stddev|stdvar|quantile (param=φ).
     """
-    if func in ("max", "min"):
-        # NaN LOSES against any value (function.go:57-74 / upstream
-        # heaps): max skips NaN inputs; Spark's max would instead treat
-        # NaN as the largest double.  An all-NaN group yields NaN.
-        clean = F.when(~F.isnan(F.col("value")), F.col("value"))
-        agg = F.max(clean) if func == "max" else F.min(clean)
-        val = F.coalesce(agg, F.first(F.col("value"), ignorenulls=True))
-    elif func in _SIMPLE:
-        val = _SIMPLE[func](F.col("value"))
-    elif func == "count":
-        val = F.count(F.col("value")).cast("double")
-    elif func == "quantile":
-        if param is None:
-            raise ValueError("quantile requires param=phi")
-        p = float(param)
-        if p < 0 or p > 1:
-            # upstream emits ±Inf with a warning for out-of-range φ
-            val = F.lit(float("-inf") if p < 0 else float("inf"))
-        else:
-            val = F.percentile(F.col("value"), F.lit(p))
-    else:
-        raise ValueError(f"unknown aggregation {func!r}")
+    val = _agg_value_expr(func, param)
 
     if by is not None:
         # Fast path: group on plain string key columns (map-typed keys
@@ -162,6 +167,89 @@ def aggregate(
     # all-NaN group → NaN → dropped from output).
     return out.where(F.col("_present") > 0).select(
         "step_ts",
+        F.from_json(F.col("sig"), "map<string,string>").alias("tags"),
+        "value",
+    )
+
+
+def aggregate_sparse(
+    samples: DataFrame,
+    func: str,
+    start,
+    end,
+    step_s: float,
+    lookback_s: float | None = None,
+    by: Sequence[str] | None = None,
+    without: Sequence[str] | None = None,
+    param: float | None = None,
+) -> DataFrame:
+    """Fused ``aggregate(consolidate_sparse(samples, …), func, …)`` —
+    result-identical, one fact scan, no dims re-attach (r15, guide
+    §2.3/§8 "shuffle keys, not payloads").
+
+    The unfused pipeline re-attaches (name, tags) to the narrow
+    take-last aggregate via ``series_dims`` — a SECOND full scan of the
+    fact table, a distinct exchange and a broadcast join — only for the
+    aggregation to immediately collapse the tags down to a few retained
+    keys.  Here the retained-tag group keys (plain strings — getItem
+    values for ``by``, the canonical sorted-entry signature otherwise;
+    both entry-order-insensitive, so per-series constant) are computed
+    at SCAN time while the tags are still in hand, and carried through
+    the take-last aggregate as extra grouping keys.  Grouping is
+    unchanged — each key is a function of the series' tags, so
+    (series_id, k, keys…) partitions rows exactly like (series_id, k)
+    — and both aggregates keep primitive-only buffers (string KEYS are
+    hash-eligible; buffers stay double/long), so the whole path is two
+    HashAggregates and two exchanges: the theoretical floor for a
+    consolidating aggregation.
+    """
+    from .consolidate import (
+        DEFAULT_LOOKBACK,
+        _epoch_s,
+        prune_time,
+        sparse_expand,
+    )
+
+    lookback_s = DEFAULT_LOOKBACK if lookback_s is None else lookback_s
+    thr_s = max(lookback_s, step_s)
+    pruned = prune_time(samples, start, end, thr_s)
+    if by is not None:
+        key_cols = [
+            F.col("tags").getItem(k).alias(f"_k{i}") for i, k in enumerate(by)
+        ]
+        key_names = [f"_k{i}" for i in range(len(by))]
+    else:
+        key_cols = [sig_json_col(retained_tags_col(by, without)).alias("sig")]
+        key_names = ["sig"]
+    expanded = sparse_expand(pruned, start, end, step_s, thr_s, key_cols)
+    vals = expanded.groupBy("series_id", *key_names, "k").agg(
+        F.expr("max_by(value, t_us)").alias("value"),
+    )
+    out = vals.groupBy("k", *key_names).agg(
+        _agg_value_expr(func, param).alias("value"),
+        F.count(F.col("value")).alias("_present"),
+    )
+    start_us = int(_epoch_s(start) * 1_000_000)
+    step_us = int(step_s * 1_000_000)
+    step_ts = F.timestamp_micros(
+        F.lit(start_us) + F.col("k") * F.lit(step_us)
+    ).alias("step_ts")
+    out = out.where(F.col("_present") > 0)
+    if by is not None:
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("key"), F.col(f"_k{i}").alias("value")
+                )
+                for i, k in enumerate(by)
+            ]
+        )
+        tags = F.map_from_entries(
+            F.filter(entries, lambda e: e["value"].isNotNull())
+        )
+        return out.select(step_ts, tags.alias("tags"), "value")
+    return out.select(
+        step_ts,
         F.from_json(F.col("sig"), "map<string,string>").alias("tags"),
         "value",
     )

@@ -30,6 +30,7 @@ series per query range, not by total cardinality.
 from __future__ import annotations
 
 import datetime as dt
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -163,6 +164,43 @@ def step_grid(spark, start, end, step_s: float) -> DataFrame:
     )
 
 
+def sparse_expand(
+    pruned: DataFrame, start, end, step_s: float, thr_s: float,
+    key_cols: Sequence = (),
+) -> DataFrame:
+    """The sparse-consolidation row expansion: each sample row exploded
+    to the grid step indices it covers → (series_id, t_us, value, k,
+    *key_cols).  ``key_cols``: extra aliased Column expressions
+    computed on the RAW sample row (tags still in hand) and carried
+    through — the fused consolidate+aggregate paths use them as
+    grouping keys so no dims re-attach join is needed downstream.
+    Shared by :func:`consolidate_sparse` and the fused aggregates
+    (``operators.aggregation.aggregate_sparse``,
+    ``graphite.functions.group_by_nodes_sparse``)."""
+    start_us = int(_epoch_s(start) * 1_000_000)
+    end_us = int(_epoch_s(end) * 1_000_000)
+    step_us = int(step_s * 1_000_000)
+    thr_us = int(thr_s * 1_000_000)
+    t_us = F.unix_micros(F.col("ts"))
+    # step indices k (grid t = start + k*step) covered by this sample:
+    # t >= ts  and  t - ts <= thr  and  start <= t <= end
+    k_lo = F.greatest(
+        F.lit(0), -F.floor((F.lit(start_us) - t_us) / F.lit(step_us)).cast("long")
+    )
+    k_hi = F.least(
+        F.lit((end_us - start_us) // step_us),
+        F.floor((t_us + F.lit(thr_us) - F.lit(start_us)) / F.lit(step_us)).cast("long"),
+    )
+    return pruned.select(
+        "series_id", t_us.alias("t_us"), "value", *key_cols,
+        F.explode(
+            F.when(k_lo <= k_hi, F.sequence(k_lo, k_hi)).otherwise(
+                F.array().cast("array<long>")
+            )
+        ).alias("k"),
+    )
+
+
 def consolidate_sparse(
     samples: DataFrame,
     start,
@@ -201,19 +239,7 @@ def consolidate_sparse(
     thr_s = max(lookback_s, step_s)
     pruned = prune_time(samples, start, end, thr_s)
     start_us = int(_epoch_s(start) * 1_000_000)
-    end_us = int(_epoch_s(end) * 1_000_000)
     step_us = int(step_s * 1_000_000)
-    thr_us = int(thr_s * 1_000_000)
-    t_us = F.unix_micros(F.col("ts"))
-    # step indices k (grid t = start + k*step) covered by this sample:
-    # t >= ts  and  t - ts <= thr  and  start <= t <= end
-    k_lo = F.greatest(
-        F.lit(0), -F.floor((F.lit(start_us) - t_us) / F.lit(step_us)).cast("long")
-    )
-    k_hi = F.least(
-        F.lit((end_us - start_us) // step_us),
-        F.floor((t_us + F.lit(thr_us) - F.lit(start_us)) / F.lit(step_us)).cast("long"),
-    )
     # The take-last aggregate carries ONLY primitive columns: any
     # string/map aggregation buffer (first(name), first(tags), or a
     # struct max_by ordering key) disqualifies HashAggregateExec and
@@ -225,16 +251,7 @@ def consolidate_sparse(
     # arbitrary — upstream storage forbids duplicate timestamps per
     # series (the dense kernel keeps its deterministic ordering for
     # fill-style consumers).
-    expanded = (
-        pruned.select(
-            "series_id", t_us.alias("t_us"), "value",
-            F.explode(
-                F.when(k_lo <= k_hi, F.sequence(k_lo, k_hi)).otherwise(
-                    F.array().cast("array<long>")
-                )
-            ).alias("k"),
-        )
-    )
+    expanded = sparse_expand(pruned, start, end, step_s, thr_s)
     vals = expanded.groupBy("series_id", "k").agg(
         F.expr("max_by(value, t_us)").alias("value"),
     )

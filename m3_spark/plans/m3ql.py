@@ -219,27 +219,66 @@ def evaluate(
                     yield from _funcs(a.value)
 
     def run(pipe: Pipeline, grid: DataFrame | None = None) -> DataFrame:
-        for stage in pipe.stages:
+        stages = list(pipe.stages)
+        i = 0
+        # fetch|<agg> peephole (r15): when the pipeline opens with a
+        # fetch feeding straight into a vertical aggregation and the
+        # sparse kernel applies, fuse consolidate+aggregate — the group
+        # keys are computed at scan time, so the dims distinct / second
+        # fact scan / broadcast re-attach all drop out of the plan
+        # (result-identical; see aggregate_sparse).
+        if (
+            grid is None
+            and not needs_dense
+            and len(stages) >= 2
+            and stages[0].func == "fetch"
+            and stages[1].func in _AGGS
+        ):
+            from ..operators.aggregation import aggregate_sparse
+
+            sel = fetch(samples, _matchers(stages[0]))
+            keep = [str(a.value) for a in stages[1].args] or None
+            grid = _agg_identity(
+                aggregate_sparse(
+                    sel, stages[1].func, start, end, step_s, lookback_s,
+                    by=keep,
+                ),
+                stages[1].func,
+            )
+            i = 2
+        for stage in stages[i:]:
             grid = step(stage, grid)
         return grid
+
+    def _matchers(e: Expr):
+        matchers = []
+        for a in e.args:
+            if a.keyword is None:
+                raise ValueError("fetch arguments must be tag:pattern")
+            key = "__name__" if a.keyword == "name" else a.keyword
+            pat = str(a.value)
+            if re.search(r"[*?{}\[\]]", pat):
+                # glob → anchored regex, reusing the graphite rules
+                matchers.append(("=~", key, glob_to_regex(pat).strip("^$")))
+            else:
+                matchers.append(("=", key, pat))
+        return matchers
+
+    def _agg_identity(out: DataFrame, f: str) -> DataFrame:
+        from ..operators.aggregation import group_sig_col
+
+        # downstream sort/head/tail key on series_id — rebuild it
+        # from the retained tag signature
+        return out.withColumn(
+            "series_id", group_sig_col(F.col("tags"))
+        ).withColumn("name", F.lit(f))
 
     def step(e: Expr, grid: DataFrame | None) -> DataFrame:
         f = e.func
         if f in ("__macro__", "__nested__"):
             return run(e.args[0].value, grid)
         if f == "fetch":
-            matchers = []
-            for a in e.args:
-                if a.keyword is None:
-                    raise ValueError("fetch arguments must be tag:pattern")
-                key = "__name__" if a.keyword == "name" else a.keyword
-                pat = str(a.value)
-                if re.search(r"[*?{}\[\]]", pat):
-                    # glob → anchored regex, reusing the graphite rules
-                    matchers.append(("=~", key, glob_to_regex(pat).strip("^$")))
-                else:
-                    matchers.append(("=", key, pat))
-            sel = fetch(samples, matchers)
+            sel = fetch(samples, _matchers(e))
             # planner choice: the sparse kernel (present rows only) is
             # O(samples) instead of O(series × steps) and is equivalent
             # for every stage except fill-style ones
@@ -247,15 +286,8 @@ def evaluate(
         if grid is None:
             raise ValueError(f"{f!r} needs an input pipeline (start with fetch)")
         if f in _AGGS:
-            from ..operators.aggregation import group_sig_col
-
             keep = [str(a.value) for a in e.args] or None
-            out = aggregate(grid, f, by=keep)
-            # downstream sort/head/tail key on series_id — rebuild it
-            # from the retained tag signature
-            return out.withColumn(
-                "series_id", group_sig_col(F.col("tags"))
-            ).withColumn("name", F.lit(f))
+            return _agg_identity(aggregate(grid, f, by=keep), f)
         if f in _COMPARE:
             n = float(e.args[0].value)
             return grid.where(

@@ -46,7 +46,17 @@ from .queries_common import (  # noqa: F401
 
 
 def q_sum_by(spark, sf_dir):
-    return _finish_agg(aggregate(_grid(spark, sf_dir), "sum", by=["event_type"]))
+    # fused consolidate+aggregate (r15): one fact scan, no dims
+    # re-attach — result-identical to
+    # aggregate(_grid(...), "sum", by=["event_type"])
+    from .operators.aggregation import aggregate_sparse
+
+    return _finish_agg(
+        aggregate_sparse(
+            read_samples(spark, sf_dir), "sum", START, END, STEP_S,
+            LOOKBACK_S, by=["event_type"],
+        )
+    )
 
 
 _AGG_BY_FUNCS = [

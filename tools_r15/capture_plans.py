@@ -1,0 +1,37 @@
+"""Capture .explain('formatted') for every bench query → plans/r15/.
+
+Usage: python tools_r14/capture_plans.py <suffix>    (suffix: before|after)
+Runs each bench query builder once (unexecuted plan) and writes
+plans/r15/<name>_<suffix>.txt.  Also times nothing — plan capture only.
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+from m3_spark.session import get_spark  # noqa: E402
+
+suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
+out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15")
+os.makedirs(out_dir, exist_ok=True)
+
+spark = get_spark("plan-capture")
+spark.sparkContext.setLogLevel("ERROR")
+bench.setup_bucketed_namespace(spark)
+bench.setup_signature_table(spark)
+
+for name, fn in bench.BENCH.items():
+    try:
+        df = fn(spark)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+    except Exception as ex:  # noqa: BLE001
+        plan = f"ERROR: {ex!r}"
+    with open(os.path.join(out_dir, f"{name}_{suffix}.txt"), "w") as f:
+        f.write(plan)
+    print(name, "->", f"{name}_{suffix}.txt", flush=True)
+print("done")

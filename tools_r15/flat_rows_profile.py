@@ -1,0 +1,64 @@
+"""Job/stage/exchange profile of the two normalized-flat bench rows
+(VERDICT r14 item 3): holt_forecast_7d and m3ql_pipeline_12h.
+
+For each row: wall + Spark job count + stage count for (a) the
+DataFrame build (captures any mid-build action: localCheckpoint,
+collect, first) and (b) the bench's .count() action, plus the executed
+plan's Exchange / Python-eval node census.
+
+Run from /root/repo: python tools_r15/flat_rows_profile.py
+"""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import bench  # noqa: E402  (provides SF_DIR, T_START/T_END, q_ functions)
+from m3_spark.session import get_spark  # noqa: E402
+
+
+def counters(spark):
+    sc = spark.sparkContext._jsc.sc()
+    return (
+        int(sc.dagScheduler().nextJobId()),
+        int(sc.dagScheduler().nextStageId()),
+    )
+
+
+def profile(spark, name, fn, reps=3):
+    for r in range(reps):
+        j0, s0 = counters(spark)
+        t0 = time.perf_counter()
+        df = fn(spark)
+        t1 = time.perf_counter()
+        j1, s1 = counters(spark)
+        n = df.count()
+        t2 = time.perf_counter()
+        j2, s2 = counters(spark)
+        print(
+            f"{name} rep{r}: build {t1-t0:6.3f}s ({j1-j0} jobs, {s1-s0} stages)"
+            f" | count {t2-t1:6.3f}s ({j2-j1} jobs, {s2-s1} stages)"
+            f" | rows {n}",
+            flush=True,
+        )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for node in ("Exchange", "ArrowEvalPython", "BatchEvalPython",
+                 "MapInPandas", "SortAggregate", "HashAggregate",
+                 "Scan parquet", "Scan ExistingRDD", "Sort "):
+        c = plan.count(node)
+        if c:
+            print(f"  plan[{name}] {node}: {c}")
+    return df
+
+
+if __name__ == "__main__":
+    spark = get_spark("flat-profile", cpus=int(
+        __import__("os").environ.get("SPARK_GRAFT_CPUS", "32")))
+    spark.sparkContext.setLogLevel("ERROR")
+    which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    if which in ("both", "holt"):
+        profile(spark, "holt_forecast_7d", bench.q_holt_forecast_7d)
+    if which in ("both", "m3ql"):
+        profile(spark, "m3ql_pipeline_12h", bench.q_m3ql_pipeline_12h)
+    spark.stop()

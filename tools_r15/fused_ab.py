@@ -1,0 +1,146 @@
+"""Interleaved A/B of the r15 fused consolidate+aggregate paths vs
+their unfused (r14) forms — same process, alternating reps, noop sink
+(guide §1.4), so box drift hits both sides equally.
+
+Rows: sum_by (aggregate_sparse), m3ql fetch|sum|>=0 (peephole shape),
+holt inner groupByNode (group_by_nodes_sparse feeding the hw kernel).
+
+Usage: python tools_r15/fused_ab.py [--reps=7]
+"""
+
+from __future__ import annotations
+
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from m3_spark.graphite import functions as gf  # noqa: E402
+from m3_spark.graphite import holt_winters as hw  # noqa: E402
+from m3_spark.graphite.paths import fetch_by_glob  # noqa: E402
+from m3_spark.model import read_samples  # noqa: E402
+from m3_spark.operators.aggregation import (  # noqa: E402
+    aggregate,
+    aggregate_sparse,
+    group_sig_col,
+)
+from m3_spark.operators.consolidate import (  # noqa: E402
+    _epoch_s,
+    consolidate_sparse,
+)
+from m3_spark.operators.fetch import fetch  # noqa: E402
+from m3_spark.queries import _gsamples_ev  # noqa: E402
+from m3_spark.session import get_spark  # noqa: E402
+
+reps = 7
+for a in sys.argv[1:]:
+    if a.startswith("--reps"):
+        reps = int(a.split("=")[1])
+
+spark = get_spark("fused-ab")
+spark.sparkContext.setLogLevel("ERROR")
+read_samples(spark, bench.SF_DIR).count()  # warm the scan
+spark.range(64).repartition(32).mapInPandas(lambda it: it, "id long").count()
+
+SF = bench.SF_DIR
+T0, T1 = bench.T_START, bench.T_END
+
+
+def sum_by_old(s):
+    from m3_spark.queries import START, END, STEP_S, LOOKBACK_S, _finish_agg, _grid
+
+    return _finish_agg(aggregate(_grid(s, SF), "sum", by=["event_type"]))
+
+
+def sum_by_new(s):
+    from m3_spark.queries import q_sum_by
+
+    return q_sum_by(s, SF)
+
+
+def m3ql_old(s):
+    samples = read_samples(s, SF)
+    sel = fetch(samples, [("=~", "__name__", ".*")])
+    grid = consolidate_sparse(sel, T0, T1, 60, 300)
+    out = aggregate(grid, "sum", by=["event_type"])
+    out = out.withColumn("series_id", group_sig_col(F.col("tags"))).withColumn(
+        "name", F.lit("sum")
+    )
+    return out.where(F.col("value").isNotNull() & (F.col("value") >= 0))
+
+
+def m3ql_new(s):
+    return bench.q_m3ql_pipeline_12h(s)
+
+
+GSTART, GEND, GSTEP = None, None, None
+
+
+def _holt_bounds():
+    from m3_spark.queries import END, START, STEP_S
+
+    return START, END, STEP_S
+
+
+def holt_old(s):
+    START, END, STEP_S = _holt_bounds()
+    boot = _epoch_s(START) - hw.SECONDS_PER_WEEK
+    gs = _gsamples_ev(s, SF)
+    sel = fetch_by_glob(gs, "events.*.*")
+    grid = consolidate_sparse(sel, boot, END, STEP_S, STEP_S)
+    inner = gf.group_by_nodes(grid, "sum", 1)
+    return hw.holt_winters_forecast(inner, START, END, STEP_S, boot_start=boot)
+
+
+def holt_new(s):
+    START, END, STEP_S = _holt_bounds()
+    boot = _epoch_s(START) - hw.SECONDS_PER_WEEK
+    gs = _gsamples_ev(s, SF)
+    sel = fetch_by_glob(gs, "events.*.*")
+    inner = gf.group_by_nodes_sparse(sel, "sum", boot, END, STEP_S, STEP_S, 1)
+    return hw.holt_winters_forecast(inner, START, END, STEP_S, boot_start=boot)
+
+
+PAIRS = [
+    ("sum_by", sum_by_old, sum_by_new),
+    ("m3ql", m3ql_old, m3ql_new),
+    ("holt", holt_old, holt_new),
+]
+
+for name, old, new in PAIRS:
+    # result identity first (map cells canonicalized to sorted items)
+    def _canon(df):
+        return sorted(
+            tuple(
+                tuple(sorted(v.items())) if isinstance(v, dict) else v
+                for v in row
+            )
+            for row in df.collect()
+        )
+
+    o = _canon(old(spark))
+    n = _canon(new(spark))
+    print(f"{name}: results identical: {o == n} ({len(o)} rows)", flush=True)
+    for fn in (old, new):  # warmup both
+        fn(spark).write.format("noop").mode("overwrite").save()
+    to, tn, wins = [], [], 0
+    for r in range(reps):
+        for lbl, fn, acc in (("old", old, to), ("new", new, tn)):
+            spark.sparkContext.setJobDescription(f"{name}:{lbl}:{r}")
+            t = time.perf_counter()
+            fn(spark).write.format("noop").mode("overwrite").save()
+            acc.append(time.perf_counter() - t)
+        if tn[-1] < to[-1]:
+            wins += 1
+    print(
+        f"{name}: old median {statistics.median(to):.3f}s "
+        f"(min {min(to):.3f}) | new median {statistics.median(tn):.3f}s "
+        f"(min {min(tn):.3f}) | new wins {wins}/{reps}",
+        flush=True,
+    )
+spark.stop()

@@ -1,0 +1,47 @@
+"""Capture the holt_forecast_7d KERNEL INPUT plan (pre-localCheckpoint).
+
+The bench row's final plan is `Scan ExistingRDD` — the hw kernel
+checkpoints its output, so plans/r15/holt_forecast_7d_*.txt cannot show
+the pipeline.  This captures the executed plan of the frame the
+checkpoint materializes (the whole fetch→consolidate→groupByNode→
+repartition→mapInPandas pipeline).
+
+Usage: python tools_r15/holt_kernel_plan.py <before|after>
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+import pyspark.sql.classic.dataframe as D  # noqa: E402
+
+from m3_spark.session import get_spark  # noqa: E402
+
+suffix = sys.argv[1]
+out = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans", "r15", f"holt_forecast_7d_kernel_input_{suffix}.txt",
+)
+
+spark = get_spark("holt-kernel-plan", cpus=32)
+spark.sparkContext.setLogLevel("ERROR")
+
+orig = D.DataFrame.localCheckpoint
+captured = []
+
+
+def patched(self, eager=True):
+    captured.append(self._jdf.queryExecution())
+    return orig(self, eager)
+
+
+D.DataFrame.localCheckpoint = patched
+df = bench.q_holt_forecast_7d(spark)
+df.count()  # execute so the AQE-final plan is available
+plan = "\n\n".join(q.executedPlan().toString() for q in captured)
+with open(out, "w") as f:
+    f.write(plan)
+print("wrote", out, f"({len(captured)} checkpoint(s))")
+spark.stop()
