@@ -1682,9 +1682,11 @@ def semdedup_ingest_batch(
         .withColumnRenamed("list_id", "cluster")
         .localCheckpoint()
     )
-    hit = {
-        int(r[0]) for r in batch.select("cluster").distinct().collect()
-    }
+    # hit clusters: collect the micro-batch's cluster column and dedup
+    # driver-side — a .distinct() here is a full exchange + an extra
+    # AQE job per tick for a frame that is micro-batch-bounded by
+    # contract (one long per row crosses the driver either way)
+    hit = {int(r[0]) for r in batch.select("cluster").collect()}
     allowed = {f"list_id={c}" for c in hit}
     corpus = snapshots.resolve_snapshot(
         spark, emb_path, seg_keys=allowed, manifest=root_doc

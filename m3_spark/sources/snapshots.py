@@ -977,7 +977,22 @@ def resolve_snapshot(
             f"empty snapshot at {path} carries no schema to type an "
             "empty frame"
         )
-    return spark.read.option("basePath", path).parquet(*files)
+    reader = spark.read.option("basePath", path)
+    if keys is not None and schema_json:
+        # seg_keys callers are the per-batch arrival probes (semdedup /
+        # bands / span / cluster-state): every tick paid a parquet
+        # schema-inference pass (a driver job + footer reads) for a
+        # schema the manifest already records on every flip.  Passing
+        # it explicitly removes that fixed per-batch job.  Scoped to
+        # the seg_keys path deliberately: those tables have a stable,
+        # writer-recorded schema and their callers select named
+        # columns; the seg_filter/full-read paths (namespace tables)
+        # keep inference, whose merged view tolerates schema evolution
+        # (e.g. an annotation column present only in some days).
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
+    return reader.parquet(*files)
 
 
 def snapshot_append(df, path: str, partition_by: list[str] | None = None,

@@ -1,0 +1,122 @@
+"""File-level shard plan for the self-contained parallel test runner
+(tests/conftest.py) — no pytest-xdist in the sandbox, so the parent
+pytest process spawns N child pytest processes, each running a
+deterministic subset of test FILES, and aggregates their results.
+
+Files are assigned whole (scratch dirs and catalog tables are
+file-scoped), by LPT scheduling over the measured per-file durations
+below (r15 profiling run: 988 tests, 50:07 serial).  Unknown files get
+weight 1.  CO_LOCATE pins files that execute battery entries sharing
+the repo-level ``.scratch`` roots (the battery's signature/namespace
+scratch is keyed by sf_dir, not by test file) into one shard.
+"""
+
+from __future__ import annotations
+
+NSHARDS = 4
+
+# files that must share a shard (battery entries with shared .scratch
+# roots keyed on sf_dir)
+CO_LOCATE = [
+    "test_oracle.py",
+    "test_plans.py",
+    "test_dict_routing.py",
+    "test_timezone.py",
+]
+
+WEIGHTS = {
+    "test_compatibility.py": 433,
+    "test_oracle.py": 371,
+    "test_round12.py": 293,
+    "test_comparator_steps.py": 197,
+    "test_compatibility_beyond.py": 188,
+    "test_round13.py": 177,
+    "test_promql_engine.py": 115,
+    "test_snapshot_model.py": 78,
+    "test_graphite_golden.py": 72,
+    "test_document_arrival.py": 68,
+    "test_round10_snapshots.py": 67,
+    "test_graphite_golden4.py": 55,
+    "test_round11_snapshots.py": 51,
+    "test_graphite_registry_smoke.py": 47,
+    "test_binary_temporal.py": 46,
+    "test_fidelity.py": 42,
+    "test_graphite_batch2.py": 40,
+    "test_dedup_clusters.py": 40,
+    "test_dedup_redelivery.py": 39,
+    "test_merge_clusters.py": 37,
+    "test_advice_r13.py": 30,
+    "test_span_semdedup.py": 29,
+    "test_streaming.py": 27,
+    "test_round14.py": 25,
+    "test_namespace.py": 25,
+    "test_ivf_train.py": 25,
+    "test_graphite_golden3.py": 25,
+    "test_consolidate.py": 23,
+    "test_property_filters_pack.py": 19,
+    "test_lifecycle_soak.py": 19,
+    "test_ingest_metadata_router.py": 18,
+    "test_dict_gc.py": 17,
+    "test_dict_bucketed.py": 17,
+    "test_graphite_compiler.py": 16,
+    "test_advice_r09.py": 16,
+    "test_admin.py": 16,
+    "test_idempotent_sink.py": 15,
+    "test_graphite_more.py": 14,
+    "test_advice_r08.py": 14,
+    "test_advice_r07.py": 14,
+    "test_snapshots.py": 13,
+    "test_plans.py": 13,
+    "test_edge_cases.py": 13,
+    "test_property_topk.py": 12,
+    "test_linear.py": 12,
+    "test_graphite.py": 12,
+    "test_cancel.py": 10,
+    "test_rule_filters.py": 9,
+    "test_render.py": 9,
+    "test_property_consolidate.py": 9,
+    "test_fetch_options.py": 9,
+    "test_kafka_m3msg_integration.py": 8,
+    "test_m3ql.py": 6,
+    "test_integration_rollup_route.py": 6,
+    "test_dict_routing.py": 6,
+    "test_consolidate_sparse.py": 6,
+    "test_ckms.py": 6,
+    "test_advice_r12.py": 6,
+    "test_transforms.py": 5,
+    "test_sampling.py": 5,
+    "test_round15.py": 5,
+    "test_remote_read.py": 5,
+    "test_property_rate.py": 5,
+    "test_lttb.py": 5,
+    "test_corpus.py": 5,
+    "test_timezone.py": 4,
+    "test_pii_scrub.py": 3,
+    "test_parser_fuzz.py": 3,
+    "test_regression_replay.py": 2,
+    "test_multimodal_codecs.py": 2,
+    "test_snapshot_listing_property.py": 1,
+    "test_cache.py": 1,
+}
+
+
+def assign(files: list[str], nshards: int = NSHARDS) -> dict[str, int]:
+    """Deterministic LPT assignment of file basenames to shards."""
+    group_of = {f: 0 for f in CO_LOCATE}
+    singles = sorted(
+        (f for f in set(files) if f not in group_of),
+        key=lambda f: (-WEIGHTS.get(f, 1), f),
+    )
+    loads = [0.0] * nshards
+    out: dict[str, int] = {}
+    # the co-located group is placed first, as one unit
+    grp = [f for f in CO_LOCATE if f in set(files)]
+    if grp:
+        for f in grp:
+            out[f] = 0
+        loads[0] += sum(WEIGHTS.get(f, 1) for f in grp)
+    for f in singles:
+        s = loads.index(min(loads))
+        out[f] = s
+        loads[s] += WEIGHTS.get(f, 1)
+    return out

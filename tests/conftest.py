@@ -1,10 +1,125 @@
 from __future__ import annotations
 
 import datetime as dt
+import os
+import subprocess
+import sys
+import time
 
 import pytest
 
 from m3_spark.session import get_spark
+
+# -- self-contained parallel runner (no pytest-xdist in the sandbox) ---------
+#
+# The full suite is ~50 min serial — past the round driver's
+# verification window (VERDICT r14 item 1).  When pytest is launched
+# over the whole tests/ directory, the PARENT process spawns
+# tests/_shard.NSHARDS child pytest processes (same argv, plus a shard
+# env var), each running a deterministic file-level subset
+# (tests/_shard.assign — LPT over measured per-file durations; scratch
+# dirs and catalog tables are file-scoped, and battery-scratch-sharing
+# files are co-located).  Children report normally; the parent prints
+# every child's output and exits non-zero iff any child did.  ALL
+# tests still run — this is parallelism, not a subset tier.
+#
+# Opt out with M3_PYTEST_SERIAL=1.  Any orchestration error falls back
+# to the plain serial run.
+
+_SHARD_ENV = "M3_PYTEST_SHARD"
+
+
+def _shard_args() -> list[str] | None:
+    """The argv to re-invoke pytest with, or None when sharding should
+    not engage (child process, explicit serial, or a targeted run)."""
+    if os.environ.get(_SHARD_ENV) is not None:
+        return None
+    if os.environ.get("M3_PYTEST_SERIAL") == "1":
+        return None
+    # both `pytest …` and `python -m pytest …` put the pytest args in
+    # sys.argv[1:]
+    args = sys.argv[1:]
+    # only shard full-directory runs: a targeted file/test/keyword run
+    # stays serial
+    targets = [a for a in args if not a.startswith("-")]
+    if any("::" in t or t.endswith(".py") for t in targets):
+        return None
+    if any(a in ("-k", "--collect-only", "--co") or a.startswith("-k")
+           for a in args):
+        return None
+    return args
+
+
+def pytest_configure(config):
+    args = _shard_args()
+    if args is None:
+        return
+    try:
+        from . import _shard  # noqa: F401
+    except ImportError:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        try:
+            import _shard  # noqa: F401
+        except ImportError:
+            return
+    try:
+        n = _shard.NSHARDS
+        t0 = time.time()
+        procs = []
+        for i in range(n):
+            env = dict(os.environ)
+            env[_SHARD_ENV] = str(i)
+            procs.append(
+                subprocess.Popen(
+                    [sys.executable, "-m", "pytest", *args],
+                    stdout=subprocess.PIPE,
+                    stderr=subprocess.STDOUT,
+                    env=env,
+                    cwd=os.path.dirname(
+                        os.path.dirname(os.path.abspath(__file__))
+                    ),
+                )
+            )
+        rcs = []
+        for i, p in enumerate(procs):
+            out, _ = p.communicate()
+            rcs.append(p.returncode)
+            sys.stdout.write(
+                f"\n===== shard {i}/{n} (rc={p.returncode}) =====\n"
+            )
+            sys.stdout.write(out.decode(errors="replace"))
+            sys.stdout.flush()
+        wall = time.time() - t0
+        ok = all(rc == 0 for rc in rcs)
+        sys.stdout.write(
+            f"\n===== sharded run: {n} shards, rcs={rcs}, "
+            f"{'ALL PASSED' if ok else 'FAILURES'} in {wall:.0f}s =====\n"
+        )
+        sys.stdout.flush()
+    except Exception as ex:  # noqa: BLE001 — fall back to serial
+        sys.stdout.write(f"shard orchestration failed ({ex!r}); "
+                         "running serially\n")
+        return
+    os._exit(0 if ok else 1)
+
+
+def pytest_collection_modifyitems(config, items):
+    shard = os.environ.get(_SHARD_ENV)
+    if shard is None:
+        return
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import _shard
+
+    files = sorted({os.path.basename(str(i.fspath)) for i in items})
+    mine = {
+        f for f, s in _shard.assign(files).items() if s == int(shard)
+    }
+    keep, drop = [], []
+    for it in items:
+        (keep if os.path.basename(str(it.fspath)) in mine else drop).append(it)
+    if drop:
+        config.hook.pytest_deselected(items=drop)
+        items[:] = keep
 
 
 @pytest.fixture(scope="session")

@@ -56,9 +56,12 @@ if __name__ == "__main__":
     spark = get_spark("flat-profile", cpus=int(
         __import__("os").environ.get("SPARK_GRAFT_CPUS", "32")))
     spark.sparkContext.setLogLevel("ERROR")
-    which = sys.argv[1] if len(sys.argv) > 1 else "both"
-    if which in ("both", "holt"):
-        profile(spark, "holt_forecast_7d", bench.q_holt_forecast_7d)
-    if which in ("both", "m3ql"):
-        profile(spark, "m3ql_pipeline_12h", bench.q_m3ql_pipeline_12h)
+    names = sys.argv[1:] or ["holt_forecast_7d", "m3ql_pipeline_12h"]
+    if any(n.startswith("rate_sum_bucketed") or n.startswith("rate_sum_dict")
+           for n in names):
+        bench.setup_bucketed_namespace(spark)
+    if any(n.startswith("dedup_incremental") for n in names):
+        bench.setup_signature_table(spark)
+    for n in names:
+        profile(spark, n, bench.BENCH[n])
     spark.stop()

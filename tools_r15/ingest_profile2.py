@@ -1,0 +1,140 @@
+"""Step-level profile of the CURRENT (post-carry_vec) semdedup
+arrival tick — terms: root+quantizer, assign+checkpoint, hit-collect,
+resolve, kernel+checkpoint, append — with wall AND Spark-job counts
+per term (VERDICT r14 item 4).
+
+Usage: python tools_r15/ingest_profile2.py [n] [k] [reps]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from m3_spark.session import get_spark  # noqa: E402
+from m3_spark.pipeline import similarity as S  # noqa: E402
+from m3_spark.pipeline.similarity import (  # noqa: E402
+    EMB_BATCH_KEY,
+    ivf_assign_np,
+    seed_embedding_table,
+    _as_double,
+    _cents_pdf,
+    _sem_quantizer,
+    _semdedup_dropped_np,
+)
+from m3_spark.sources import snapshots  # noqa: E402
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+K = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+REPS = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+SCRATCH = "/root/repo/.scratch_ingest_profile2"
+
+spark = get_spark("ingest-profile2")
+spark.sparkContext.setLogLevel("ERROR")
+
+
+def _sign(seed_col, j):
+    return (
+        F.pmod(F.xxhash64(seed_col * F.lit(7919) + F.lit(j)), F.lit(2))
+        .cast("double") * 2.0 - 1.0
+    )
+
+
+def _synth_emb(n, k, start=0):
+    t = F.pmod(F.xxhash64(F.col("id")), F.lit(k))
+    noise = [
+        (F.pmod(F.xxhash64(F.col("id") * F.lit(j + 1) + F.lit(13)),
+                F.lit(1000)).cast("double") / 1000.0 - 0.5) * 0.1
+        for j in range(64)
+    ]
+    dims = [_sign(t, j) + noise[j] for j in range(64)]
+    return spark.range(start, start + n).select(
+        F.col("id").alias("vec_id"), F.array(*dims).alias("embedding")
+    )
+
+
+def _synth_cents(k):
+    return spark.range(k).select(
+        F.col("id").alias("list_id"),
+        F.array(*[_sign(F.col("id"), j) for j in range(64)]).alias("_cvec"),
+    )
+
+
+def jc():
+    return int(spark.sparkContext._jsc.sc().dagScheduler().nextJobId())
+
+
+emb_dir = os.path.join(SCRATCH, f"t_{N}_{K}")
+if not snapshots.has_manifest(emb_dir):
+    t = time.perf_counter()
+    seed_embedding_table(_synth_emb(N, K), emb_dir, K, cents=_synth_cents(K))
+    print(f"seed {time.perf_counter() - t:.1f}s", flush=True)
+
+S.semdedup_ingest_batch(
+    _synth_emb(100, K, start=N + 500), emb_dir, eps=0.9, batch_id=0
+)
+
+for r in range(1, REPS + 1):
+    new_embs = _synth_emb(100, K, start=N + 1000 + r * 100)
+    marks = [("start", time.perf_counter(), jc())]
+
+    def mark(label):
+        marks.append((label, time.perf_counter(), jc()))
+
+    root_doc = snapshots.read_snapshot_meta(emb_dir)
+    q = _sem_quantizer(root_doc)
+    n_clusters, cent_rows = q
+    cents = _cents_pdf(cent_rows)
+    mark("root+quantizer")
+    e = _as_double(new_embs, "embedding")
+    batch = (
+        ivf_assign_np(e, n_clusters, "vec_id", "embedding",
+                      cents=cents, carry_vec=True)
+        .withColumnRenamed("list_id", "cluster")
+        .localCheckpoint()
+    )
+    mark("assign+checkpoint")
+    hit = {int(x[0]) for x in batch.select("cluster").collect()}
+    mark("hit-collect")
+    allowed = {f"list_id={c}" for c in hit}
+    corpus = snapshots.resolve_snapshot(
+        spark, emb_dir, seg_keys=allowed, manifest=root_doc
+    )
+    corpus = corpus.where(F.col(EMB_BATCH_KEY) != r)
+    mark("resolve")
+    members = (
+        corpus.select(F.col("list_id").alias("cluster"), "vec_id",
+                      "embedding")
+        .withColumn("is_new", F.lit(False))
+        .unionByName(batch.withColumn("is_new", F.lit(True)))
+    )
+    dropped = _semdedup_dropped_np(
+        members, 0.9, "vec_id", "embedding", 8192
+    ).localCheckpoint(eager=True)
+    mark("kernel+checkpoint")
+    from m3_spark.pipeline.dedup import _write_keyed_batch
+
+    def _prep(df):
+        cur = _sem_quantizer(snapshots.read_snapshot_meta(emb_dir))
+        if cur != q:
+            raise ValueError("re-quantized")
+        return df, "list_id", None
+
+    _write_keyed_batch(
+        batch.withColumnRenamed("cluster", "list_id")
+        .repartition(F.col("list_id")),
+        emb_dir, r, EMB_BATCH_KEY, prepare=_prep,
+    )
+    mark("append")
+    total = marks[-1][1] - marks[0][1]
+    jobs = marks[-1][2] - marks[0][2]
+    parts = " ".join(
+        f"{lab}={t1 - t0:.2f}s/{j1 - j0}j"
+        for (_, t0, j0), (lab, t1, j1) in zip(marks, marks[1:])
+    )
+    print(f"rep{r}: total={total:.2f}s/{jobs}j  {parts}  hit={len(hit)}",
+          flush=True)
+
+print("done", flush=True)
