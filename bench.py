@@ -47,13 +47,17 @@ def q_sum_by_12h_1m(spark):
 
 
 def q_rate_sum_12h_1m(spark):
-    """sum by (event_type) (rate(v[6h])) at 1m steps, 12h range."""
+    """sum by (event_type) (rate(v[6h])) at 1m steps, 12h range.
+
+    r15: the aggregation key rides the rate kernel (``keys=`` — one
+    fact scan, no dims re-attach; result-identical, pinned by
+    tools_r15 A/B and test_rate_keys_matches_dims_join)."""
     s = read_samples(spark, SF_DIR)
-    r = rate(s, "rate", 6 * 3600, T_START, T_END, 60)
-    return (
-        r.groupBy("step_ts", F.col("tags").getItem("event_type").alias("et"))
-        .agg(F.sum("value").alias("value"))
+    r = rate(
+        s, "rate", 6 * 3600, T_START, T_END, 60,
+        keys={"et": F.col("tags").getItem("event_type")},
     )
+    return r.groupBy("step_ts", "et").agg(F.sum("value").alias("value"))
 
 
 _BKT_TABLE = "bench_ns_bucketed"

@@ -421,27 +421,43 @@ def holt_winters(
 def rate(
     samples: DataFrame, kind: str, range_s: float, start, end, step_s: float,
     assume_clustered: bool = False, dims: DataFrame | None = None,
+    keys: dict | None = None,
 ) -> DataFrame:
     """rate/increase/delta/irate/idelta (v[range]) on the step grid.
 
     ``assume_clustered=True`` declares the input already series-
     disjoint across partitions (a bucketed namespace table scan —
     ``write_namespace_bucketed``): the kernel then skips its
-    repartition shuffle and only sorts within partitions."""
+    repartition shuffle and only sorts within partitions.
+
+    ``keys``: fused aggregation-key carry (r15) — ``{name: string
+    Column over the samples frame}``, each constant per series (a
+    function of the series' tags/name).  The keys are computed at
+    SCAN time, ride the kernel's Arrow pass, and come back on the
+    output rows; the dims re-attach (a SECOND fact scan + distinct +
+    broadcast when no dictionary is passed) is skipped entirely, and
+    the output is (step_ts, *keys, series_id, value) for the caller
+    to aggregate on directly.  For a rate-then-aggregate query this
+    is the §8 'shuffle keys, not payloads' shape; callers holding an
+    ingest-maintained dictionary should keep ``dims=`` instead (their
+    fact scan is already tags-free)."""
     kernel = _instant_kernel if kind in ("irate", "idelta") else _rate_kernel
     return _run_series_kernel(
         samples, range_s, start, end, step_s,
         lambda t, v, st, r: kernel(t, v, st, r, kind),
-        assume_clustered=assume_clustered, dims=dims,
+        assume_clustered=assume_clustered, dims=dims, keys=keys,
     )
 
 
 def _run_series_kernel(
     samples: DataFrame, range_s: float, start, end, step_s: float, kernel,
     assume_clustered: bool = False, dims: DataFrame | None = None,
+    keys: dict | None = None,
 ) -> DataFrame:
     """Shared mapInPandas runner: per-series numpy kernel evaluated at
-    the step grid (see rate() docstring for the batching strategy)."""
+    the step grid (see rate() docstring for the batching strategy;
+    ``keys`` — see rate() — carries constant-per-series string key
+    columns through the Arrow pass instead of re-attaching dims)."""
     range_us = int(range_s * _US)
     pruned = prune_time(samples, start, end, range_s)
     if isinstance(start, (int, float)):
@@ -455,6 +471,8 @@ def _run_series_kernel(
         int(step_s * _US),
         dtype=np.int64,
     )
+    key_names = list(keys) if keys else []
+
     def run_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
         # one output DataFrame per chunk (a per-series DataFrame would
         # cost ~0.4 ms/series in construction alone — dominant at 10k+
@@ -463,28 +481,36 @@ def _run_series_kernel(
         sids = pdf["series_id"].to_numpy()
         ts_us = pdf["ts"].values.astype("datetime64[us]").astype(np.int64)
         vals = pdf["value"].to_numpy(dtype=np.float64)
+        kcols = {nm: pdf[nm].to_numpy() for nm in key_names}
         bounds = np.flatnonzero(np.r_[True, sids[1:] != sids[:-1], True])
         out_sid, out_step, out_val = [], [], []
+        out_keys = {nm: [] for nm in key_names}
         for i in range(len(bounds) - 1):
             lo, hi = bounds[i], bounds[i + 1]
             res = kernel(ts_us[lo:hi], vals[lo:hi], steps_us, range_us)
             keep = ~np.isnan(res)
             if keep.any():
-                out_sid.append(np.repeat(sids[lo], keep.sum()))
+                n = int(keep.sum())
+                out_sid.append(np.repeat(sids[lo], n))
                 out_step.append(steps_us[keep])
                 out_val.append(res[keep])
+                for nm in key_names:
+                    # constant per series by contract — first row wins
+                    out_keys[nm].append(np.repeat(kcols[nm][lo], n))
         if not out_sid:
-            return pd.DataFrame(
-                {"series_id": [], "step_ts": np.array([], "datetime64[us]"),
-                 "value": []}
-            )
-        return pd.DataFrame(
-            {
-                "series_id": np.concatenate(out_sid),
-                "step_ts": np.concatenate(out_step).astype("datetime64[us]"),
-                "value": np.concatenate(out_val),
-            }
-        )
+            data = {"series_id": [], "step_ts": np.array([], "datetime64[us]"),
+                    "value": []}
+            for nm in key_names:
+                data[nm] = []
+            return pd.DataFrame(data)
+        data = {
+            "series_id": np.concatenate(out_sid),
+            "step_ts": np.concatenate(out_step).astype("datetime64[us]"),
+            "value": np.concatenate(out_val),
+        }
+        for nm in key_names:
+            data[nm] = np.concatenate(out_keys[nm])
+        return pd.DataFrame(data)
 
     def fn(batches):
         # mapInPandas over series-clustered, time-sorted partitions:
@@ -505,8 +531,13 @@ def _run_series_kernel(
         if buf is not None and len(buf):
             yield run_chunk(buf)
 
-    clustered = pruned.select("series_id", "ts", "value")
-    out_schema = "series_id string, step_ts timestamp, value double"
+    clustered = pruned.select(
+        "series_id", "ts", "value",
+        *[expr.alias(nm) for nm, expr in (keys or {}).items()],
+    )
+    out_schema = "series_id string, step_ts timestamp, value double" + "".join(
+        f", {nm} string" for nm in key_names
+    )
     if assume_clustered:
         # Correctness of the zero-exchange path depends on the scan
         # honoring the table's bucketBy spec: with autoBucketedScan
@@ -541,6 +572,10 @@ def _run_series_kernel(
             .sortWithinPartitions("series_id", "ts")
             .mapInPandas(fn, out_schema)
         )
+    if keys:
+        # fused form: the aggregation keys rode the kernel — no dims
+        # re-attach (and no second fact scan) at all
+        return res.select("step_ts", *key_names, "series_id", "value")
     if dims is None:
         dims = series_dims(pruned)
     else:

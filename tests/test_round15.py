@@ -76,6 +76,89 @@ def test_series_dims_plans_hash_aggregate(spark):
     assert "SortAggregate" not in plan
 
 
+def test_aggregate_sparse_matches_unfused(spark):
+    """aggregate_sparse(samples, …) ≡ aggregate(consolidate_sparse(
+    samples, …), …) for every aggregator, in the by / without / plain
+    forms — including NULL group keys (a series missing the tag) and
+    stale-marker (NULL value) rows."""
+    from m3_spark.operators.aggregation import aggregate, aggregate_sparse
+    from m3_spark.operators.consolidate import consolidate_sparse
+
+    t0 = 1_700_000_000
+    rows = [
+        ("m", {"app": "x", "zone": "a"}, t0 + 10, 1.0),
+        ("m", {"app": "x", "zone": "a"}, t0 + 70, 2.0),
+        ("m", {"app": "y", "zone": "b"}, t0 + 20, 5.0),
+        ("m", {"zone": "b"}, t0 + 30, 7.0),  # missing 'app' → NULL key
+        ("m", {"app": "y", "zone": "b"}, t0 + 95, None),  # stale marker
+    ]
+    samples = __import__("tests.conftest", fromlist=["make_samples"]).make_samples(
+        spark, rows
+    )
+    start, end, step = t0, t0 + 240, 60.0
+
+    def canon(df):
+        return sorted(
+            tuple(
+                tuple(sorted(v.items())) if isinstance(v, dict) else v
+                for v in r
+            )
+            for r in df.collect()
+        )
+
+    for func, kw in [
+        ("sum", {"by": ["app"]}),
+        ("avg", {"by": ["app", "zone"]}),
+        ("count", {"without": ["app"]}),
+        ("max", {}),
+        ("min", {"by": ["zone"]}),
+        ("stddev", {"by": ["app"]}),
+        ("quantile", {"by": ["zone"], "param": 0.9}),
+    ]:
+        unfused = aggregate(
+            consolidate_sparse(samples, start, end, step, 300.0),
+            func, **kw,
+        )
+        fused = aggregate_sparse(samples, func, start, end, step, 300.0, **kw)
+        assert canon(unfused) == canon(fused), (func, kw)
+
+
+def test_rate_keys_matches_dims_join(spark):
+    """rate(keys=…) ≡ rate() + groupBy on the dims-attached tag —
+    including a series missing the key tag (NULL key)."""
+    from pyspark.sql import functions as F
+
+    from m3_spark.operators.temporal import rate
+
+    t0 = 1_700_000_000
+    rows = [
+        ("reqs", {"app": "x"}, t0 + i * 30, float(i)) for i in range(10)
+    ] + [
+        ("reqs", {"app": "y"}, t0 + i * 30, float(2 * i)) for i in range(10)
+    ] + [
+        ("reqs", {"other": "z"}, t0 + i * 30, float(i * i)) for i in range(10)
+    ]
+    samples = __import__("tests.conftest", fromlist=["make_samples"]).make_samples(
+        spark, rows
+    )
+    start, end = t0 + 120, t0 + 270
+    old = (
+        rate(samples, "rate", 120, start, end, 30)
+        .groupBy("step_ts", F.col("tags").getItem("app").alias("k"))
+        .agg(F.sum("value").alias("value"))
+    )
+    new = (
+        rate(samples, "rate", 120, start, end, 30,
+             keys={"k": F.col("tags").getItem("app")})
+        .groupBy("step_ts", "k")
+        .agg(F.sum("value").alias("value"))
+    )
+    def canon(df):
+        return sorted((repr(r[0]), repr(r[1]), r[2]) for r in df.collect())
+
+    assert canon(old) == canon(new)
+
+
 def test_pq_encode_np_nan_matches_fold(spark):
     """ADVICE r14: a NaN-bearing vector must encode identically in the
     np form and the fold form — Spark's min(struct(_d, code)) orders
