@@ -149,11 +149,30 @@ def main() -> None:
         g = consolidate_sparse(samples, T0, end_7d, 3600, 300)
         return aggregate(g, "sum", by=["event_type"])
 
+    def q_sum_by_fused(_):
+        # r15 fused consolidate+aggregate: one fact scan, no dims
+        # re-attach — the longitudinal q_sum_by row stays for
+        # comparability; this row prices the fusion at 10M rows
+        from m3_spark.operators.aggregation import aggregate_sparse
+
+        return aggregate_sparse(
+            samples, "sum", T0, end_7d, 3600, 300, by=["event_type"]
+        )
+
     def q_rate_sum(_):
         r = rate(samples, "rate", 6 * 3600, T0, "2024-01-02 00:00:00", 60)
         return r.groupBy("step_ts", F.col("tags").getItem("event_type")).agg(
             F.sum("value")
         )
+
+    def q_rate_sum_fused(_):
+        # r15: the aggregation key rides the rate kernel (keys=) — no
+        # dims re-attach, no second fact scan
+        r = rate(
+            samples, "rate", 6 * 3600, T0, "2024-01-02 00:00:00", 60,
+            keys={"et": F.col("tags").getItem("event_type")},
+        )
+        return r.groupBy("step_ts", "et").agg(F.sum("value"))
 
     def q_rate_sum_bucketed(_):
         # same query over a BUCKETED namespace table: the kernel's
@@ -1113,7 +1132,9 @@ def main() -> None:
     timings, stats, counts = {}, {}, {}
     rows = {
         "sum_by_7d_1h": q_sum_by,
+        "sum_by_7d_1h_fused": q_sum_by_fused,
         "rate_sum_24h_1m": q_rate_sum,
+        "rate_sum_24h_1m_fused": q_rate_sum_fused,
         "rate_sum_24h_bucketed": q_rate_sum_bucketed,
         "rate_sum_24h_bucketed_dict": q_rate_sum_bucketed_dict,
         "topk_7d_1h": q_topk,
