@@ -241,6 +241,11 @@ def evaluate(
                 node.func in ("groupByNode", "groupByNodes")
                 and node.args
                 and isinstance(node.args[0], GlobNode)
+                # every non-series argument must be a LITERAL — a
+                # bare-word callback (GlobNode) takes the registry
+                # path unchanged, where it has always been rejected
+                # (ev() treats bare words as fetch globs)
+                and all(isinstance(a, LitNode) for a in node.args[1:])
                 and not needs_dense
                 and dims is None
             ):

@@ -1,0 +1,87 @@
+"""Explain the span-probe SCALE drift (VERDICT r14 item 5/6).
+
+SCALE_r14: span_probe_950k_m208 5.33s vs span_probe_9m5_m2080 8.48s —
+the only probe pair that grew across the 10× corpus.  Both tables keep
+~4.6k spans/bucket (m scales with the corpus), so "more rows per hit
+bucket" is ruled out BY CONSTRUCTION.  The actual driver is the HIT
+FRACTION: the probe reads min(batch's distinct span hashes, m) buckets
+× spans/bucket.  The same 20-doc batch carries ~2.4k distinct window
+hashes — MORE than m=208, so the small probe reads its whole table
+(208/208 buckets ≈ 0.95M spans), while the large probe hits ~2.3k of
+2080 buckets… also ~all of them at this m.  This tool measures the
+real numbers: batch windows, distinct hashes, hit buckets, corpus rows
+resolved, and the probe wall — so the crossover (cost flattens once
+m >> batch hashes) is documented with data instead of a hypothesis.
+
+Run AFTER `python scale_check.py --keep` (uses its kept span tables):
+    python tools_r15/span_probe_explain.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from m3_spark.session import get_spark  # noqa: E402
+from m3_spark.sources import snapshots  # noqa: E402
+from m3_spark.sources.tables import read_table  # noqa: E402
+from m3_spark.pipeline.dedup import (  # noqa: E402
+    SPAN_BUCKET_COL,
+    _with_span_bucket,
+    span_ingest_batch,
+    span_windows,
+)
+
+SCRATCH = os.environ.get(
+    "SPARK_GRAFT_SCALE_DIR",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scale_data",
+    ),
+)
+
+spark = get_spark("span-explain", cpus=32)
+spark.sparkContext.setLogLevel("ERROR")
+
+docs = read_table(spark, SCRATCH, "documents")
+batch = docs.where(F.col("doc_id") < 20)
+w = span_windows(batch, 12).localCheckpoint()
+n_windows = w.count()
+n_hashes = w.select("span_hash").distinct().count()
+print(f"batch: 20 docs, {n_windows} windows, {n_hashes} distinct hashes")
+
+for tag in ("950k", "9m5"):
+    span_dir = os.path.join(SCRATCH, f"span_table_{tag}")
+    if not os.path.isdir(span_dir):
+        print(f"{tag}: no kept table at {span_dir} — run scale_check --keep")
+        continue
+    root = snapshots.read_snapshot_meta(span_dir)
+    m = int(root["span_buckets"])
+    hit = {
+        int(r[0])
+        for r in _with_span_bucket(w, m)
+        .select(SPAN_BUCKET_COL)
+        .distinct()
+        .collect()
+    }
+    allowed = {f"{SPAN_BUCKET_COL}={b}" for b in hit}
+    corpus = snapshots.resolve_snapshot(
+        spark, span_dir, seg_keys=allowed, manifest=root
+    )
+    n_corpus = corpus.count()
+    total = snapshots.resolve_snapshot(spark, span_dir, manifest=root).count()
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        span_ingest_batch(batch, span_dir, 12, batch_id=1)
+        ts.append(time.perf_counter() - t0)
+    print(
+        f"{tag}: m={m} hit_buckets={len(hit)} ({len(hit)/m:.0%}) "
+        f"corpus_rows_read={n_corpus} of {total} "
+        f"({n_corpus/max(total,1):.0%}) probe={sorted(ts)[1]:.2f}s "
+        f"(min {min(ts):.2f})"
+    )
+spark.stop()
