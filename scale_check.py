@@ -708,8 +708,14 @@ def main() -> None:
 
         def fn(_):
             docs = read_table(spark, SCRATCH, "documents")
+            # pct_mod=1 must select ALL docs: compare against
+            # 1 % pct_mod (x % 1 == 1 is never true - the r12-r14
+            # "large" tables were seeded EMPTY, so their probe
+            # rows measured only per-bucket fixed overhead; found
+            # while explaining the r14 span-probe drift)
             corpus = docs.where(
-                (F.col("doc_id") % pct_mod == 1) & (F.col("doc_id") >= 100)
+                (F.col("doc_id") % pct_mod == 1 % pct_mod)
+                & (F.col("doc_id") >= 100)
             )
             if not os.path.exists(span_dir):
                 seed_span_table(corpus, span_dir, 12, buckets=m)
@@ -738,7 +744,7 @@ def main() -> None:
             docs = read_table(spark, SCRATCH, "documents")
             if not os.path.exists(bands_dir):
                 corpus = docs.where(
-                    (F.col("doc_id") % pct_mod == 1)
+                    (F.col("doc_id") % pct_mod == 1 % pct_mod)
                     & (F.col("doc_id") >= 100)
                 )
                 seed_bands_table(
