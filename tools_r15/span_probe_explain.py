@@ -1,17 +1,28 @@
 """Explain the span-probe SCALE drift (VERDICT r14 item 5/6).
 
 SCALE_r14: span_probe_950k_m208 5.33s vs span_probe_9m5_m2080 8.48s —
-the only probe pair that grew across the 10× corpus.  Both tables keep
-~4.6k spans/bucket (m scales with the corpus), so "more rows per hit
-bucket" is ruled out BY CONSTRUCTION.  The actual driver is the HIT
-FRACTION: the probe reads min(batch's distinct span hashes, m) buckets
-× spans/bucket.  The same 20-doc batch carries ~2.4k distinct window
-hashes — MORE than m=208, so the small probe reads its whole table
-(208/208 buckets ≈ 0.95M spans), while the large probe hits ~2.3k of
-2080 buckets… also ~all of them at this m.  This tool measures the
-real numbers: batch windows, distinct hashes, hit buckets, corpus rows
-resolved, and the probe wall — so the crossover (cost flattens once
-m >> batch hashes) is documented with data instead of a hypothesis.
+the only probe pair that grew across the "10×" corpus.  This tool
+measures what each probe actually touches: the batch's window/hash
+counts, the hit-bucket count, and the corpus rows the pruned resolve
+reads.
+
+FINDING 1 (the real r14 story): the "9.5M-span" table was EMPTY — its
+seed predicate `doc_id % 1 == 1` is never true (fixed in scale_check,
+r15), so the r12–r14 large-probe rows measured only per-bucket
+manifest/directory fixed cost over m=2080 buckets (first run of this
+tool read corpus_rows_read=380 of 380 — the probe batch's own
+redelivered rows).  The r14 drift was pure per-hit-bucket fixed
+overhead (353 vs 175 hit buckets), with zero data on the large side.
+
+FINDING 2 (the scaling law, measured on the FIXED tables): the 20-doc
+probe batch carries 380 windows / 380 distinct hashes, so a probe
+reads ≤ 380 hit buckets × spans-per-bucket rows regardless of corpus
+size.  Small table: 175/208 buckets hit → ~84% of 0.95M spans.  Large
+(fixed) table: ~353/2080 buckets → ~17% of 9.5M spans.  Cost grows
+until m exceeds the batch's distinct-hash count and is CORPUS-FLAT
+past that point (hit buckets are bounded by batch hashes; spans per
+bucket is held constant by the layout policy) — the drift is the
+pre-plateau regime, not a leak.
 
 Run AFTER `python scale_check.py --keep` (uses its kept span tables):
     python tools_r15/span_probe_explain.py
