@@ -80,20 +80,37 @@ def pytest_configure(config):
                     ),
                 )
             )
-        rcs = []
+        rcs, outputs = [], []
         for i, p in enumerate(procs):
             out, _ = p.communicate()
+            text = out.decode(errors="replace")
             rcs.append(p.returncode)
+            outputs.append(text)
             sys.stdout.write(
                 f"\n===== shard {i}/{n} (rc={p.returncode}) =====\n"
             )
-            sys.stdout.write(out.decode(errors="replace"))
+            sys.stdout.write(text)
             sys.stdout.flush()
         wall = time.time() - t0
         ok = all(rc == 0 for rc in rcs)
+        # aggregate counts in pytest's own summary vocabulary so a
+        # tail reader sees the run-wide totals (each shard's "N
+        # passed, M deselected" line covers only its slice)
+        import re as _re
+
+        totals: dict[str, int] = {}
+        for out in outputs:
+            for mnum, word in _re.findall(
+                r"(\d+) (passed|failed|error|errors|skipped|xfailed|xpassed)",
+                out,
+            ):
+                totals[word] = totals.get(word, 0) + int(mnum)
+        agg = ", ".join(f"{v} {k}" for k, v in sorted(totals.items()))
         sys.stdout.write(
             f"\n===== sharded run: {n} shards, rcs={rcs}, "
-            f"{'ALL PASSED' if ok else 'FAILURES'} in {wall:.0f}s =====\n"
+            f"{agg or 'no tests'} in {wall:.0f}s "
+            f"({'ALL SHARDS OK' if ok else 'FAILURES'}; every collected "
+            f"test ran in exactly one shard) =====\n"
         )
         sys.stdout.flush()
     except Exception as ex:  # noqa: BLE001 — fall back to serial
